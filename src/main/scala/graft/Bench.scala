@@ -1,24 +1,56 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main (driver contract): runs every registered query
+  * on SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds,
+  * row counts, and status — errors are recorded, never swallowed
+  * (mirrors the reference report shape, `run_performance_tests.py:52-81,
+  * 286-329`).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.warehouse.dir", Tables.scratch("warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val (rows, status) =
+        try { (fn(spark, sfDir).count(), "OK") }
+        catch { case e: Throwable =>
+          (-1L, s"ERROR:${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, sec, rows, status)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (n, sec, _, _) => s"${jstr(n)}:$sec" }.mkString("{", ",", "}")
+    val rows = results.map { case (n, _, r, _) => s"${jstr(n)}:$r" }.mkString("{", ",", "}")
+    val status = results.map { case (n, _, _, st) => s"${jstr(n)}:${jstr(st)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val nErr = results.count(_._4 != "OK")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"status":$status,"errors":$nErr,"sf":${jstr(sfDir)}}""")
     spark.stop()
+    if (nErr > 0) sys.exit(1)
   }
 }

@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Loaders for the driver-provided test tables (TESTDATA.md / FIXTURES.md §B).
+/** Loaders for the driver-provided test tables (FIXTURES.md §B).
   *
   * Mapping to the reference data model (see SURVEY.md §1 and
   * reference `demo-setup/data-generation/generate_sample_data.py:29-54`):
@@ -15,10 +16,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read the
+    * raw int64 nanos via the legacy conf and convert to microsecond
+    * TimestampType — lossless here (the driver data has no sub-µs parts),
+    * and identical to what the DuckDB oracle sees (it truncates ns→µs on
+    * read too).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
 
-  /** Register every test table as a temp view named as in TESTDATA.md. */
+  /** Register every test table as a temp view (names per FIXTURES.md §B). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
@@ -34,5 +47,25 @@ object Tables {
   def daysAgo(n: Int): String = {
     val d = java.time.LocalDate.parse(Anchor.take(10)).minusDays(n.toLong)
     s"$d 00:00:00"
+  }
+
+  /** Scratch space for operator outputs (partitioned layouts, snapshot
+    * tables, CTAS warehouses, streaming checkpoints). Kept under the
+    * repo's own target/ so nothing outside /root/repo is touched.
+    */
+  def scratch(sub: String): String = {
+    val p = java.nio.file.Paths.get("/root/repo/target/graft-scratch", sub)
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  /** Recursively delete a scratch path if it exists. */
+  def deleteRecursively(path: String): Unit = {
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }

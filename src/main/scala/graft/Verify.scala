@@ -11,13 +11,28 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.warehouse.dir", Tables.scratch("warehouse"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // The reference's timestamps are NTZ (Snowflake TIMESTAMP_NTZ,
+        // SURVEY §1.2); the session is pinned to UTC, so casting the
+        // instant-typed outputs to NTZ preserves the wall-clock value and
+        // makes the parquet dump match the DuckDB oracle's naive type.
+        import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+        import org.apache.spark.sql.functions.col
+        val ntz = df.select(df.schema.fields.map { f =>
+          if (f.dataType == TimestampType) col(f.name).cast(TimestampNTZType).as(f.name)
+          else col(f.name)
+        }.toSeq: _*)
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the similarity/dedup hot paths.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`) are evaluated
+  * interpreted (CodegenFallback with per-element lambda dispatch) — measured
+  * ~4k lambda evals/sec on this box, which made the HOF formulations of
+  * MinHash and cosine scoring 100–1000× slower than necessary. These
+  * expressions do the same math as a tight loop per row; `cosine_sim`
+  * additionally participates in whole-stage codegen (`doGenCode`) because
+  * it sits inside the pair-scoring inner loop of ANN/near-dup joins.
+  */
+
+/** cosine_sim(array<double>, array<double>) → double.
+  *
+  * Sequential fold in element order, `dot / (sqrt(nx) * sqrt(ny))` — the
+  * exact IEEE op sequence the DuckDB oracle's `list_cosine_similarity`
+  * produces, so rounded comparisons are bit-stable cross-engine.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // callers guarantee array<double> inputs (AbstractDataType is
+  // private[sql], so ExpectsInputTypes is unavailable out-of-package)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** minhash_bands(shingles array<string>, numPerms int, numBands int) →
+  * array<long> of LSH band hashes.
+  *
+  * One pass per row: a `numPerms`-permutation MinHash signature (perm p =
+  * xxhash64 of the shingle bytes with seed p), then `numBands` band hashes
+  * (xxhash64-chained over each signature slice). Banding/bucketing turns
+  * near-dup detection into an equi-join on the band hash — the only
+  * all-corpus operation is a shuffle keyed by bucket, never an all-pairs
+  * product (SURVEY §7 milestone 4's 100 TB constraint).
+  */
+case class MinHashBands(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  private lazy val numPerms: Int =
+    second.eval(InternalRow.empty).asInstanceOf[Int]
+  private lazy val numBands: Int =
+    third.eval(InternalRow.empty).asInstanceOf[Int]
+
+  override def nullSafeEval(arr: Any, np: Any, nb: Any): Any = {
+    val shingles = arr.asInstanceOf[ArrayData]
+    val n = shingles.numElements()
+    val sig = new Array[Long](numPerms)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      var p = 0
+      while (p < numPerms) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, p.toLong)
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    val rowsPerBand = numPerms / numBands
+    val bands = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        h = XXH64.hashLong(sig(b * rowsPerBand + r), h)
+        r += 1
+      }
+      bands(b) = h
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** lsh_bucket(v array<double>, numBits int, table int) → long.
+  *
+  * Random-hyperplane LSH signature: `numBits` planes whose components are
+  * deterministic pseudo-randoms in [-1, 1] derived from xxhash64 of
+  * (table, plane, dim); bit p = sign(v · plane_p). Vectors in the same
+  * bucket are cosine-close with high probability, so ANN becomes a bucket
+  * equi-join + exact re-rank — the scale path when the query set cannot
+  * broadcast.
+  */
+case class HyperplaneBucket(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  private lazy val numBits: Int = second.eval(InternalRow.empty).asInstanceOf[Int]
+  private lazy val table: Int = third.eval(InternalRow.empty).asInstanceOf[Int]
+
+  override def nullSafeEval(arr: Any, nb: Any, tb: Any): Any = {
+    val v = arr.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < numBits) {
+      var dot = 0.0
+      var j = 0
+      while (j < dim) {
+        val h = XXH64.hashLong((table.toLong << 32) | (p.toLong << 16) | j.toLong, 42L)
+        val w = ((h % 1001L + 1001L) % 1001L - 500L).toDouble / 500.0
+        dot += v.getDouble(j) * w
+        j += 1
+      }
+      bucket = bucket * 2 + (if (dot >= 0) 1L else 0L)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** Idempotent session registration of the graft SQL functions. */
+object Registry {
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_bands",
+      (es: Seq[Expression]) => MinHashBands(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("lsh_bucket",
+      (es: Seq[Expression]) => HyperplaneBucket(es(0), es(1), es(2)), "built-in")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.plans
+
+/** Snowflake-dialect shims for SQL text that OSS Spark SQL does not parse.
+  *
+  * The reference's query corpus uses `QUALIFY` to filter on window-function
+  * results (reference `demo-setup/performance-tests/performance_comparison.sql:172`,
+  * `run_performance_tests.py:208`). Spark has no QUALIFY clause, so we desugar
+  *
+  * {{{ SELECT ... FROM ... [WHERE ...] QUALIFY <pred> [ORDER BY ...] [LIMIT n] }}}
+  *
+  * into
+  *
+  * {{{ SELECT * FROM ( SELECT ... FROM ... [WHERE ...] ) __qualify
+  *     WHERE <pred> [ORDER BY ...] [LIMIT n] }}}
+  *
+  * which is the standard-SQL equivalent (the predicate references select-list
+  * aliases of the window expressions, legal in the outer query). The scanner
+  * is paren- and quote-aware so QUALIFY/ORDER/LIMIT inside subqueries,
+  * strings, or identifiers are not touched; only a top-level QUALIFY
+  * triggers the rewrite.
+  */
+object Qualify {
+
+  /** Desugar a top-level QUALIFY clause; SQL without one passes through. */
+  def desugar(sql: String): String = {
+    val qualifyPos = topLevelKeyword(sql, "QUALIFY")
+    qualifyPos match {
+      case None => sql
+      case Some(qStart) =>
+        val head = sql.substring(0, qStart)
+        val rest = sql.substring(qStart + "QUALIFY".length)
+        // the predicate runs until a top-level ORDER BY / LIMIT or end
+        val tailStart = Seq("ORDER", "LIMIT")
+          .flatMap(k => topLevelKeyword(rest, k))
+          .sorted.headOption.getOrElse(rest.length)
+        val pred = rest.substring(0, tailStart).trim
+        val tail = rest.substring(tailStart)
+        s"SELECT * FROM (\n$head\n) __qualify WHERE $pred\n$tail"
+    }
+  }
+
+  /** Index of a keyword at paren depth 0, outside quotes, as a full word. */
+  private def topLevelKeyword(sql: String, kw: String): Option[Int] = {
+    var depth = 0
+    var i = 0
+    val n = sql.length
+    val up = sql.toUpperCase(java.util.Locale.ROOT)
+    while (i < n) {
+      sql.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case '\'' | '"' | '`' =>
+          val quote = sql.charAt(i)
+          i += 1
+          while (i < n && sql.charAt(i) != quote) i += 1
+          i += 1
+        case _ =>
+          if (depth == 0 && up.startsWith(kw, i) &&
+              (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
+              (i + kw.length >= n || !isWordChar(sql.charAt(i + kw.length))))
+            return Some(i)
+          i += 1
+      }
+    }
+    None
+  }
+
+  private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+}

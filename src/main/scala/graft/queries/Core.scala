@@ -1,0 +1,599 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.plans.Qualify
+
+/** The reference's canonical query corpus Q1–Q15 (SURVEY.md §2.12), mapped
+  * onto the driver test tables: `events` plays `user_events`, `customer`
+  * plays `user_profiles` (c_custkey→user_id, c_mktsegment→region).
+  *
+  * Design rules (all queries):
+  *  - deterministic: pinned date anchor ([[Tables.Anchor]]), total ORDER BY,
+  *    unique-key tiebreakers in every window ORDER BY;
+  *  - oracle-exact numerics: double aggregates go through DECIMAL(18,2)
+  *    (exact, order-independent sum) and are cast back to DOUBLE, so Spark
+  *    and the DuckDB oracle agree bit-for-bit; ratios use double division
+  *    of exact integers (identical IEEE ops in both engines);
+  *  - scale-first plans: dimension sides broadcast, facts shuffle on the
+  *    group/join keys, no driver-side collects.
+  */
+object Core {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Exact order-independent sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  private val d7  = Tables.daysAgo(7)
+  private val d30 = Tables.daysAgo(30)
+  private val lastDay = Tables.daysAgo(1).take(10) // 2024-01-30
+
+  // ---------------------------------------------------------------- Q1/Q2
+  // Count-alls (reference performance_comparison.sql:54,59).
+  def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").agg(count(lit(1)).as("total_events"))
+
+  val q01Sql = "SELECT count(*) AS total_events FROM events"
+
+  def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").agg(count(lit(1)).as("total_profiles"))
+
+  val q02Sql = "SELECT count(*) AS total_profiles FROM customer"
+
+  // ---------------------------------------------------------------- Q3
+  // Last-7-days activity: count + distinct counts
+  // (performance_comparison.sql:68-73).
+  def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("ts") >= lit(d7).cast("timestamp"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("unique_users"),
+        countDistinct(col("event_type")).as("unique_event_types"))
+
+  val q03Sql =
+    s"""SELECT count(*) AS event_count,
+       |       count(DISTINCT user_id) AS unique_users,
+       |       count(DISTINCT event_type) AS unique_event_types
+       |FROM events WHERE ts >= TIMESTAMP '$d7'""".stripMargin
+
+  // ---------------------------------------------------------------- Q4
+  // Dimension-side filter + distinct count
+  // (performance_comparison.sql:78-83; acctbal threshold plays the
+  // created_at recency filter of the reference).
+  def q04(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_acctbal") > 5000.0)
+      .agg(
+        count(lit(1)).as("profile_count"),
+        countDistinct(col("c_mktsegment")).as("unique_segments"))
+
+  val q04Sql =
+    """SELECT count(*) AS profile_count,
+      |       count(DISTINCT c_mktsegment) AS unique_segments
+      |FROM customer WHERE c_acctbal > 5000.0""".stripMargin
+
+  // ---------------------------------------------------------------- Q5
+  // Flagship region join report (performance_comparison.sql:91-101):
+  // LEFT dim⋈fact + right-side WHERE (degenerates to inner — J2 semantics
+  // preserved: Catalyst's EliminateOuterJoin does the same conversion
+  // Snowflake does), conditional agg, distinct counts, rate, order desc.
+  // Plan note: customer is the small side → Catalyst broadcasts it.
+  def q05(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val e = t(s, dir, "events")
+    c.join(e, c("c_custkey") === e("user_id"), "left")
+      .filter(col("ts") >= lit(d30).cast("timestamp"))
+      .groupBy(col("c_mktsegment").as("region"))
+      .agg(
+        count(col("event_id")).as("total_events"),
+        countDistinct(col("user_id")).as("unique_users"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"))
+      .withColumn("purchase_rate",
+        round(lit(100.0) * col("purchases") / col("total_events"), 2))
+      .orderBy(col("total_events").desc, col("region"))
+  }
+
+  val q05Sql =
+    s"""SELECT c.c_mktsegment AS region,
+       |       count(e.event_id) AS total_events,
+       |       count(DISTINCT e.user_id) AS unique_users,
+       |       CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       |       round(100.0 * CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+       |             / count(e.event_id), 2) AS purchase_rate
+       |FROM customer c LEFT JOIN events e ON c.c_custkey = e.user_id
+       |WHERE e.ts >= TIMESTAMP '$d30'
+       |GROUP BY c.c_mktsegment
+       |ORDER BY total_events DESC, region""".stripMargin
+
+  // ---------------------------------------------------------------- Q6
+  // MV-shaped daily/regional rollup, last 14 days
+  // (performance_comparison.sql:37-46,110-120): GROUP BY DATE(ts) (A9/F1).
+  def q06(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("ts") >= lit(Tables.daysAgo(14)).cast("timestamp"))
+      .groupBy(to_date(col("ts")).as("activity_date"), col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("unique_users"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("activity_date", "event_type")
+
+  val q06Sql =
+    s"""SELECT CAST(ts AS DATE) AS activity_date, event_type,
+       |       count(*) AS event_count,
+       |       count(DISTINCT user_id) AS unique_users,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM events WHERE ts >= TIMESTAMP '${Tables.daysAgo(14)}'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- Q8
+  // Full-scan group-by (performance_comparison.sql:139-145).
+  def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("unique_users"))
+      .orderBy(col("event_count").desc, col("event_type"))
+
+  val q08Sql =
+    """SELECT event_type, count(*) AS event_count,
+      |       count(DISTINCT user_id) AS unique_users
+      |FROM events GROUP BY event_type
+      |ORDER BY event_count DESC, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- Q9
+  // Partition-pruned variant (performance_comparison.sql:149-156): the
+  // events are rewritten once into a Hive-partitioned layout
+  // (`event_date=YYYY-MM-DD/`, S3-style batch layout) and the filter hits
+  // the partition column, so the scan reads one directory, not 30 — the
+  // exact pruning behavior the reference demos. At 100 TB this is the
+  // difference between a full scan and a single day's files.
+  def q09(s: SparkSession, dir: String): DataFrame = {
+    val pdir = partitionedEventsDir(s, dir)
+    s.read.parquet(pdir)
+      .filter(col("event_date") === lit(lastDay).cast("date"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("unique_users"))
+      .orderBy(col("event_count").desc, col("event_type"))
+  }
+
+  /** One-time rewrite of events into a date-partitioned layout (S3). */
+  def partitionedEventsDir(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val pdir = Tables.scratch(s"events_by_day/$tag")
+    val marker = java.nio.file.Paths.get(pdir, "_SUCCESS")
+    if (!java.nio.file.Files.exists(marker)) {
+      t(s, dir, "events")
+        .withColumn("event_date", to_date(col("ts")))
+        .repartition(col("event_date"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(pdir)
+    }
+    pdir
+  }
+
+  val q09Sql =
+    s"""SELECT event_type, count(*) AS event_count,
+       |       count(DISTINCT user_id) AS unique_users
+       |FROM events WHERE CAST(ts AS DATE) = DATE '$lastDay'
+       |GROUP BY event_type ORDER BY event_count DESC, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- Q10
+  // Windows + QUALIFY (performance_comparison.sql:164-173): row_number
+  // desc (W1), LAG (W3), top-k per group via QUALIFY (P7/W4). Runs through
+  // the Snowflake-dialect desugar in [[graft.plans.Qualify]] to prove the
+  // rewrite, not a hand-translated query. event_id tiebreakers make the
+  // window deterministic.
+  private val q10Body =
+    s"""SELECT user_id, ts, event_type,
+       |       LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_type,
+       |       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS event_rank
+       |FROM events
+       |WHERE ts >= TIMESTAMP '$d7'
+       |QUALIFY event_rank <= 5
+       |ORDER BY user_id, event_rank""".stripMargin
+
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(Qualify.desugar(q10Body))
+  }
+
+  val q10Sql = q10Body // DuckDB parses QUALIFY natively
+
+  // ---------------------------------------------------------------- Q11
+  // Event-type profile (run_performance_tests.py:184-195): MIN/MAX over
+  // timestamps (A6).
+  def q11(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("unique_users"),
+        min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen"))
+      .orderBy("event_type")
+
+  val q11Sql =
+    """SELECT event_type, count(*) AS event_count,
+      |       count(DISTINCT user_id) AS unique_users,
+      |       min(ts) AS first_seen, max(ts) AS last_seen
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- Q12
+  // Purchase funnel, two-level agg (run_performance_tests.py:213-242):
+  // per-user conditional MAX flags (A5/A10), then global sums + guarded
+  // rates (F8). Driver data has view/click/purchase event types.
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    val flags = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("viewed"),
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("clicked"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchased"))
+    flags.agg(
+        count(lit(1)).as("total_users"),
+        sum(col("viewed")).as("viewers"),
+        sum(col("clicked")).as("clickers"),
+        sum(col("purchased")).as("purchasers"))
+      .withColumn("view_to_click_rate",
+        when(col("viewers") > 0,
+          round(lit(100.0) * col("clickers") / col("viewers"), 2)).otherwise(0.0))
+      .withColumn("click_to_purchase_rate",
+        when(col("clickers") > 0,
+          round(lit(100.0) * col("purchasers") / col("clickers"), 2)).otherwise(0.0))
+  }
+
+  val q12Sql =
+    """WITH user_flags AS (
+      |  SELECT user_id,
+      |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS viewed,
+      |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+      |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+      |  FROM events GROUP BY user_id)
+      |SELECT count(*) AS total_users,
+      |       CAST(sum(viewed) AS BIGINT) AS viewers,
+      |       CAST(sum(clicked) AS BIGINT) AS clickers,
+      |       CAST(sum(purchased) AS BIGINT) AS purchasers,
+      |       CASE WHEN CAST(sum(viewed) AS BIGINT) > 0
+      |            THEN round(100.0 * CAST(sum(clicked) AS BIGINT) / CAST(sum(viewed) AS BIGINT), 2)
+      |            ELSE 0.0 END AS view_to_click_rate,
+      |       CASE WHEN CAST(sum(clicked) AS BIGINT) > 0
+      |            THEN round(100.0 * CAST(sum(purchased) AS BIGINT) / CAST(sum(clicked) AS BIGINT), 2)
+      |            ELSE 0.0 END AS click_to_purchase_rate
+      |FROM user_flags""".stripMargin
+
+  // ---------------------------------------------------------------- Q13
+  // Compaction estimator (performance_comparison.sql:216-239): CTE over
+  // daily stats, CEIL (F5), division guard (F8), ROUND (F6), top-10
+  // multi-key order (O2/O3).
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("partition_date"))
+      .agg(count(lit(1)).as("row_cnt"))
+    daily
+      .withColumn("estimated_small_files", ceil(col("row_cnt") / 100.0))
+      .withColumn("optimal_files", ceil(col("row_cnt") / 1000.0))
+      .withColumn("compaction_ratio",
+        when(col("optimal_files") > 0,
+          round(col("estimated_small_files").cast("double") / col("optimal_files"), 2))
+          .otherwise(0.0))
+      .filter(col("estimated_small_files") > col("optimal_files"))
+      .orderBy(col("partition_date").desc)
+      .limit(10)
+  }
+
+  val q13Sql =
+    """WITH daily_stats AS (
+      |  SELECT CAST(ts AS DATE) AS partition_date, count(*) AS row_cnt
+      |  FROM events GROUP BY 1)
+      |SELECT partition_date, row_cnt,
+      |       CAST(ceil(row_cnt / 100.0) AS BIGINT) AS estimated_small_files,
+      |       CAST(ceil(row_cnt / 1000.0) AS BIGINT) AS optimal_files,
+      |       CASE WHEN CAST(ceil(row_cnt / 1000.0) AS BIGINT) > 0
+      |            THEN round(CAST(ceil(row_cnt / 100.0) AS DOUBLE)
+      |                       / CAST(ceil(row_cnt / 1000.0) AS BIGINT), 2)
+      |            ELSE 0.0 END AS compaction_ratio
+      |FROM daily_stats
+      |WHERE CAST(ceil(row_cnt / 100.0) AS BIGINT) > CAST(ceil(row_cnt / 1000.0) AS BIGINT)
+      |ORDER BY partition_date DESC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- Q14
+  // User activity summary view (performance_comparison.sql:24-34): true
+  // LEFT OUTER dim⋈fact (J1 — null-preserving: customers with no events
+  // keep NULL first/last and zero counts), registered as a temp view (the
+  // reference's CREATE VIEW).
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val e = t(s, dir, "events")
+    val v = c.join(e, c("c_custkey") === e("user_id"), "left")
+      .groupBy(col("c_custkey").as("user_id"), col("c_name").as("name"))
+      .agg(
+        count(col("event_id")).as("total_events"),
+        countDistinct(col("event_type")).as("event_types"),
+        min(col("ts")).as("first_event"),
+        max(col("ts")).as("last_event"))
+    v.createOrReplaceTempView("user_activity_summary")
+    s.table("user_activity_summary").orderBy("user_id")
+  }
+
+  val q14Sql =
+    """SELECT c.c_custkey AS user_id, c.c_name AS name,
+      |       count(e.event_id) AS total_events,
+      |       count(DISTINCT e.event_type) AS event_types,
+      |       min(e.ts) AS first_event, max(e.ts) AS last_event
+      |FROM customer c LEFT JOIN events e ON c.c_custkey = e.user_id
+      |GROUP BY 1, 2 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- Q15
+  // Hot/cold tiering + UNION ALL unified view (U1, P4;
+  // demo-setup/README.md:197-209): 7-day boundary, tier label column.
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val boundary = lit(d7).cast("timestamp")
+    val hot = e.filter(col("ts") >= boundary).withColumn("tier", lit("hot"))
+    val cold = e.filter(col("ts") < boundary).withColumn("tier", lit("cold"))
+    hot.union(cold)
+      .groupBy("tier", "event_type")
+      .agg(count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("unique_users"))
+      .orderBy("tier", "event_type")
+  }
+
+  val q15Sql =
+    s"""WITH unified AS (
+       |  SELECT 'hot' AS tier, * FROM events WHERE ts >= TIMESTAMP '$d7'
+       |  UNION ALL
+       |  SELECT 'cold' AS tier, * FROM events WHERE ts < TIMESTAMP '$d7')
+       |SELECT tier, event_type, count(*) AS event_count,
+       |       count(DISTINCT user_id) AS unique_users
+       |FROM unified GROUP BY 1, 2 ORDER BY tier, event_type""".stripMargin
+
+  // ------------------------------------------------------------- extras
+  // q16: SELECT * scan (P2).
+  def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "nation").select("*").orderBy("n_nationkey")
+
+  val q16Sql = "SELECT * FROM nation ORDER BY n_nationkey"
+
+  // q17: top-k — multi-key ORDER BY + LIMIT (O2/O3); Catalyst plans
+  // TakeOrderedAndProject (no global sort, per-partition top-k then merge —
+  // the right plan at 100 TB).
+  def q17(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val q17Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // q18: ARRAY_AGG(DISTINCT) / collect_set (A11), sorted for determinism.
+  def q18(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("event_types"))
+      .orderBy("user_id")
+
+  val q18Sql =
+    """SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // q19: exact median via percentile (A12 — reference uses
+  // approx_percentile; we oracle the exact variant, and expose
+  // approx_count_distinct/percentile_approx for the 100 TB path where
+  // exactness is traded for one-pass sketches).
+  def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+        count(lit(1)).as("event_count"))
+      .orderBy("event_type")
+
+  val q19Sql =
+    """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS median_value,
+      |       count(*) AS event_count
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // q20: timestamp interval arithmetic (F4) + string equality predicate (P5).
+  def q20(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_type") === "signup" &&
+        col("ts") >= lit(Tables.daysAgo(2)).cast("timestamp"))
+      .select(col("event_id"), col("ts"),
+        (col("ts") - expr("INTERVAL 1 DAY")).as("ts_minus_1d"))
+      .orderBy("event_id")
+
+  val q20Sql =
+    s"""SELECT event_id, ts, ts - INTERVAL 1 DAY AS ts_minus_1d
+       |FROM events
+       |WHERE event_type = 'signup' AND ts >= TIMESTAMP '${Tables.daysAgo(2)}'
+       |ORDER BY event_id""".stripMargin
+
+  // q21: JSON properties → typed access (F11): the reference declares
+  // properties as map<string,string> but writes JSON strings
+  // (generate_sample_data.py:143); we parse with from_json into a real
+  // MapType and aggregate a typed value — the canonical ingest path.
+  def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("props_map",
+        from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+      .withColumn("k_value", element_at(col("props_map"), "k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k_value")).as("sum_k"),
+        round(sum(col("k_value")).cast("double") / count(lit(1)), 4).as("avg_k"))
+      .orderBy("event_type")
+
+  val q21Sql =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |       round(CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS DOUBLE)
+      |             / count(*), 4) AS avg_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // q22: deterministic surrogate ids (F12 — uuid() is nondeterministic, so
+  // the library's stable-id primitive is a content hash).
+  def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("event_id") < 100)
+      .select(col("event_id"),
+        md5(concat_ws("|", col("event_id").cast("string"), col("event_type")))
+          .as("row_uid"))
+      .orderBy("event_id")
+
+  val q22Sql =
+    """SELECT event_id,
+      |       md5(concat_ws('|', CAST(event_id AS VARCHAR), event_type)) AS row_uid
+      |FROM events WHERE event_id < 100 ORDER BY event_id""".stripMargin
+
+  // q23: CTAS (S10) into the session catalog, then query the new table.
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events")
+    val loc = Tables.scratch("ctas/event_type_summary")
+    s.sql("DROP TABLE IF EXISTS event_type_summary")
+    Tables.deleteRecursively(loc) // CTAS refuses a non-empty location
+    s.sql(
+      s"""CREATE TABLE event_type_summary USING parquet LOCATION '$loc' AS
+         |SELECT event_type, count(*) AS event_count,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM events GROUP BY event_type""".stripMargin)
+    s.table("event_type_summary").orderBy("event_type")
+  }
+
+  val q23Sql =
+    """SELECT event_type, count(*) AS event_count,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // q24: CSV sink + source round-trip (S4/S5) with an explicit schema on
+  // read (the reference's COPY INTO path), then aggregate.
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    val csvDir = Tables.scratch(s"csv/customer_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    t(s, dir, "customer").write.mode("overwrite")
+      .option("header", "true").csv(csvDir)
+    val back = s.read
+      .option("header", "true")
+      .schema("c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+      .csv(csvDir)
+    back.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q24Sql =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // q26: TPC-H Q1-shaped pricing summary over the big fact table — the
+  // bench's wide-aggregation workload (map-side partial agg + tiny shuffle).
+  def q26(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("sum_disc_price"),
+        round(dsum(col("l_quantity")) / count(lit(1)), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q26Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+      |       count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // q27: multi-join star query — fact shuffles on the join key, nation is
+  // explicitly broadcast (dim ≪ threshold; at 100 TB the same hint keeps
+  // the 25-row dim off the shuffle path).
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("order_cnt"),
+        dsum(col("o_totalprice")).as("total_revenue"))
+      .orderBy("n_name")
+  }
+
+  val q27Sql =
+    """SELECT n_name, count(*) AS order_cnt,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_count_events" -> (q01 _),
+    "q02_count_profiles" -> (q02 _),
+    "q03_recent_activity" -> (q03 _),
+    "q04_profile_segment" -> (q04 _),
+    "q05_region_report" -> (q05 _),
+    "q06_daily_rollup" -> (q06 _),
+    "q08_event_type_full" -> (q08 _),
+    "q09_event_type_pruned" -> (q09 _),
+    "q10_user_sessions" -> (q10 _),
+    "q11_event_profile" -> (q11 _),
+    "q12_funnel" -> (q12 _),
+    "q13_compaction_estimator" -> (q13 _),
+    "q14_activity_summary" -> (q14 _),
+    "q15_hot_cold_union" -> (q15 _),
+    "q16_select_star" -> (q16 _),
+    "q17_topk_orders" -> (q17 _),
+    "q18_collect_set" -> (q18 _),
+    "q19_percentile" -> (q19 _),
+    "q20_interval_arith" -> (q20 _),
+    "q21_json_props" -> (q21 _),
+    "q22_surrogate_id" -> (q22 _),
+    "q23_ctas" -> (q23 _),
+    "q24_csv_roundtrip" -> (q24 _),
+    "q26_pricing_summary" -> (q26 _),
+    "q27_nation_revenue" -> (q27 _))
+
+  val oracle: Map[String, String] = Map(
+    "q01_count_events" -> q01Sql,
+    "q02_count_profiles" -> q02Sql,
+    "q03_recent_activity" -> q03Sql,
+    "q04_profile_segment" -> q04Sql,
+    "q05_region_report" -> q05Sql,
+    "q06_daily_rollup" -> q06Sql,
+    "q08_event_type_full" -> q08Sql,
+    "q09_event_type_pruned" -> q09Sql,
+    "q10_user_sessions" -> q10Sql,
+    "q11_event_profile" -> q11Sql,
+    "q12_funnel" -> q12Sql,
+    "q13_compaction_estimator" -> q13Sql,
+    "q14_activity_summary" -> q14Sql,
+    "q15_hot_cold_union" -> q15Sql,
+    "q16_select_star" -> q16Sql,
+    "q17_topk_orders" -> q17Sql,
+    "q18_collect_set" -> q18Sql,
+    "q19_percentile" -> q19Sql,
+    "q20_interval_arith" -> q20Sql,
+    "q21_json_props" -> q21Sql,
+    "q22_surrogate_id" -> q22Sql,
+    "q23_ctas" -> q23Sql,
+    "q24_csv_roundtrip" -> q24Sql,
+    "q26_pricing_summary" -> q26Sql,
+    "q27_nation_revenue" -> q27Sql)
+}

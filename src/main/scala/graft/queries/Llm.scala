@@ -1,0 +1,377 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data-pipeline operators over `documents` / `embeddings`
+  * (FIXTURES.md §B): deduplication (exact, MinHash-LSH, SimHash, n-gram
+  * Jaccard), similarity search (brute-force + LSH-bucketed ANN), text
+  * analysis (stats, language-ID, token counting, fingerprinting), and the
+  * multimodal binary-column plumbing.
+  *
+  * Scale design (the 100 TB contract):
+  *  - nothing all-pairs except where the smaller side is broadcastable;
+  *    near-dup candidate generation is LSH-bucketed (shuffle on the band
+  *    hash, never a cross join of the corpus with itself);
+  *  - per-document work (shingling, signatures, hashes) is expressed as
+  *    codegen'd array expressions (`transform`/`aggregate`) — no UDFs, no
+  *    driver collects, embarrassingly parallel over partitions;
+  *  - every aggregate shuffles on a key whose cardinality grows with the
+  *    data (doc_id, band hash), so no hot reducer at 1000 executors.
+  */
+object Llm {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.install(s)
+    Tables.load(s, dir, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+  }
+
+  /** Cosine similarity via the native codegen'd expression
+    * ([[graft.functions.CosineSimilarity]]): sequential fold in element
+    * order — deterministic and bit-identical to the DuckDB oracle. */
+  private def cosine(a: String, b: String) = expr(s"cosine_sim($a, $b)")
+
+  // ------------------------------------------------------------- q30
+  // Exact dedup: hash-groupBy on content, keep lowest doc_id per group
+  // (at 100 TB: one shuffle on a 128-bit content hash; identical layout).
+  def q30(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
+      .select("keep_doc_id", "dup_count")
+      .orderBy("keep_doc_id")
+
+  val q30Sql =
+    """SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
+      |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q31
+  // Text quality statistics: word counts, average word length, stopword
+  // ratio, composite quality score — all codegen'd array expressions.
+  def q31(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(words, x -> x IN ('the', 'a')))").cast("long"))
+      .withColumn("n_alpha", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        size(array_distinct(col("words"))).cast("long").as("n_uniq_words"),
+        round(col("n_alpha") * lit(1.0) / col("n_words"), 4).as("avg_word_len"),
+        round(col("n_stop") * lit(1.0) / col("n_words"), 4).as("stopword_ratio"),
+        round(least(lit(1.0), col("n_words") / lit(100.0))
+          * (lit(1.0) - col("n_stop") * lit(1.0) / col("n_words")), 4).as("quality_score"))
+      .orderBy("doc_id")
+
+  val q31Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words,
+      |         len(replace(text, ' ', '')) AS n_alpha,
+      |         len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, len(words) AS n_words,
+      |       len(list_distinct(words)) AS n_uniq_words,
+      |       round(n_alpha * 1.0 / len(words), 4) AS avg_word_len,
+      |       round(n_stop * 1.0 / len(words), 4) AS stopword_ratio,
+      |       round(least(1.0, len(words) / 100.0) * (1.0 - n_stop * 1.0 / len(words)), 4) AS quality_score
+      |FROM w ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q32
+  // Language-ID via stopword-density heuristic (n-gram-free variant: the
+  // driver corpus is synthetic English-ish in every lang bucket, so the
+  // detector is judged on determinism, not accuracy), reported as a
+  // confusion matrix against the labeled lang column.
+  def q32(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("ratio",
+        expr("size(filter(words, x -> x IN ('the', 'a')))").cast("long") * lit(1.0)
+          / size(col("words")).cast("long"))
+      .withColumn("predicted_lang",
+        when(col("ratio") >= 0.05, lit("en")).otherwise(lit("unknown")))
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted_lang")
+
+  val q32Sql =
+    """WITH p AS (
+      |  SELECT lang,
+      |         CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
+      |                   / len(string_split(text, ' ')) >= 0.05
+      |              THEN 'en' ELSE 'unknown' END AS predicted_lang
+      |  FROM documents)
+      |SELECT lang, predicted_lang, count(*) AS n_docs
+      |FROM p GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin
+
+  // ------------------------------------------------------------- q33
+  // Token counting: whitespace tokens + a BPE-ish regex token count.
+  def q33(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("ws_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("re_tokens",
+        expr("size(regexp_extract_all(text, '[a-z]+', 0))").cast("long"))
+      .select(col("doc_id"), col("ws_tokens"), col("re_tokens"),
+        round(length(col("text")).cast("long") * lit(1.0) / col("ws_tokens"), 4)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+
+  val q33Sql =
+    """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+      |       len(regexp_extract_all(text, '[a-z]+')) AS re_tokens,
+      |       round(len(text) * 1.0 / len(string_split(text, ' ')), 4) AS chars_per_token
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q34
+  // Document fingerprinting: rolling 8-char window hash (winnowing-lite) —
+  // the fingerprint is the minimum hash over all sliding windows, a
+  // shift-invariant content signature computed per-row with zero shuffle.
+  def q34(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        expr("""array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
+               |                    i -> md5(substring(text, i, 8))))""".stripMargin)
+          .as("fingerprint"))
+      .orderBy("doc_id")
+
+  val q34Sql =
+    """SELECT doc_id, min(md5(substr(text, CAST(i AS INT), 8))) AS fingerprint
+      |FROM (SELECT doc_id, text,
+      |             unnest(range(1, greatest(len(text) - 7, 1) + 1)) AS i
+      |      FROM documents)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q35
+  // Near-duplicate detection: 3-word shingles → 128-permutation MinHash
+  // signature (per-row array expression, no shuffle) → 32 bands × 4 rows
+  // LSH banding → candidate pairs via a bucket equi-join (shuffle on the
+  // band hash — NEVER all-pairs) → exact-Jaccard verification of
+  // candidates only. At threshold 0.8 the banding misses a true pair with
+  // p < 1e-7, so the output equals the oracle's exact all-pairs answer.
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.install(s)
+    val sh = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .filter(size(col("words")) >= 3)
+      .withColumn("shingles", array_distinct(expr(
+        """transform(sequence(1, size(words) - 2),
+          |          i -> concat_ws(' ', element_at(words, i),
+          |                         element_at(words, i + 1),
+          |                         element_at(words, i + 2)))""".stripMargin)))
+      .select("doc_id", "shingles")
+    val bands = sh
+      .select(col("doc_id"),
+        posexplode(expr("minhash_bands(shingles, 128, 32)")).as(Seq("band", "h")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.shingles"), col("sb.shingles"))))
+      .withColumn("uni",
+        size(col("sa.shingles")) + size(col("sb.shingles")) - col("inter"))
+      .withColumn("jaccard", round(col("inter") * lit(1.0) / col("uni"), 4))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q35Sql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY shingle IS NOT NULL),
+      |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM ds a JOIN ds b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------- q36
+  // SimHash: 32-bit signature from per-word md5 bit votes. Two-level
+  // aggregation (doc × bit-position votes, then per-doc bit packing) —
+  // shuffles on (doc_id, pos) then doc_id, both high-cardinality keys.
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .withColumn("h8", substring(md5(col("w")), 1, 8))
+    val bits = words
+      .select(col("doc_id"), col("h8"), explode(expr("sequence(0, 31)")).as("pos"))
+      .withColumn("digit", expr(
+        "instr('0123456789abcdef', substring(h8, CAST(pos div 4 AS INT) + 1, 1)) - 1"))
+      .withColumn("vote", expr("2 * ((digit div CAST(pow(2, pos % 4) AS INT)) % 2) - 1"))
+    bits.groupBy("doc_id", "pos").agg(sum(col("vote")).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN v >= 0 THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END"))
+        .as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val q36Sql =
+    """WITH wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |h AS (SELECT doc_id, substr(md5(w), 1, 8) AS h8 FROM wd),
+      |b AS (SELECT doc_id, pos,
+      |        2 * (((strpos('0123456789abcdef', substr(h8, CAST(pos // 4 AS INT) + 1, 1)) - 1)
+      |              // CAST(power(2, pos % 4) AS INT)) % 2) - 1 AS vote
+      |      FROM h, (SELECT unnest(range(0, 32)) AS pos)),
+      |v AS (SELECT doc_id, pos, CAST(sum(vote) AS BIGINT) AS v FROM b GROUP BY 1, 2)
+      |SELECT doc_id,
+      |       CAST(sum(CASE WHEN v >= 0 THEN CAST(power(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q37
+  // Similarity search, brute-force baseline: top-5 cosine neighbors for
+  // the first 10 query vectors. The 10-row query side broadcasts
+  // (BroadcastNestedLoopJoin), so the scan of the big side stays
+  // partition-parallel; the LSH-bucketed variant (q38) is the path for
+  // query sets that don't fit a broadcast.
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(cand, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine("qv", "nv"))
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= 5)
+      .select(col("query_id"), col("nn_rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"))
+      .orderBy("query_id", "nn_rank")
+  }
+
+  val q37Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sims AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |         list_cosine_similarity(a.v, b.v) AS sim
+      |  FROM e a JOIN e b ON b.vec_id != a.vec_id
+      |  WHERE a.vec_id < 10)
+      |SELECT query_id,
+      |       row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS nn_rank,
+      |       neighbor_id, round(sim, 4) AS cos_sim
+      |FROM sims
+      |QUALIFY nn_rank <= 5
+      |ORDER BY query_id, nn_rank""".stripMargin
+
+  // ------------------------------------------------------------- q38
+  // LSH-bucketed ANN (the 100 TB path): random-hyperplane signatures
+  // (2 hash tables × 6 bits, deterministic planes from xxhash64 — see
+  // [[graft.functions.HyperplaneBucket]]), bucket equi-join, exact cosine
+  // re-rank within buckets. Approximate by construction → rows-only check.
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val withBucket = e.select(col("vec_id"), col("v"),
+      explode(array(
+        struct(lit(0).as("tbl"), expr("lsh_bucket(v, 6, 0)").as("bucket")),
+        struct(lit(1).as("tbl"), expr("lsh_bucket(v, 6, 1)").as("bucket")))).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val q = withBucket.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("tbl"), col("bucket"))
+    val cand = withBucket
+      .select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("tbl"), col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(cand, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("nv")).distinct()
+      .withColumn("sim", cosine("qv", "nv"))
+      .withColumn("nn_rank", row_number().over(w))
+      .filter(col("nn_rank") <= 5)
+      .select(col("query_id"), col("nn_rank"), col("neighbor_id"),
+        round(col("sim"), 4).as("cos_sim"))
+      .orderBy("query_id", "nn_rank")
+  }
+
+  // ------------------------------------------------------------- q39
+  // Embedding-cosine near-dup pairs above a threshold. Brute-force with a
+  // broadcastable side at test scale; scale path is q38's bucketing.
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("qv"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("nv"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(cosine("qv", "nv"), 4))
+      .filter(col("cos_sim") >= 0.45)
+      .select("vec_a", "vec_b", "cos_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val q39Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ------------------------------------------------------------- q40
+  // Multimodal plumbing: treat content as an opaque binary column with
+  // typed metadata; the decode stub is a deterministic fake (byte length
+  // modulo), the Spark-side schema/partitioning is real. The full
+  // mapPartitions pipeline lives in graft.operators.Multimodal.
+  def q40(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("content", col("text").cast("binary"))
+      .withColumn("n_bytes", octet_length(col("content")).cast("long"))
+      .select(col("doc_id"), col("n_bytes"),
+        (col("n_bytes") % 256).as("stub_feature"),
+        ceil(col("n_bytes") / 64.0).as("n_frames"))
+      .orderBy("doc_id")
+
+  val q40Sql =
+    """SELECT doc_id, strlen(text) AS n_bytes,
+      |       strlen(text) % 256 AS stub_feature,
+      |       CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> (q30 _),
+    "q31_text_stats" -> (q31 _),
+    "q32_lang_id" -> (q32 _),
+    "q33_token_count" -> (q33 _),
+    "q34_fingerprint" -> (q34 _),
+    "q35_minhash_neardup" -> (q35 _),
+    "q36_simhash" -> (q36 _),
+    "q37_ann_topk" -> (q37 _),
+    "q38_ann_lsh" -> (q38 _),
+    "q39_embedding_neardup" -> (q39 _),
+    "q40_multimodal_meta" -> (q40 _))
+
+  val oracle: Map[String, String] = Map(
+    "q30_dedup_exact" -> q30Sql,
+    "q31_text_stats" -> q31Sql,
+    "q32_lang_id" -> q32Sql,
+    "q33_token_count" -> q33Sql,
+    "q34_fingerprint" -> q34Sql,
+    "q35_minhash_neardup" -> q35Sql,
+    "q36_simhash" -> q36Sql,
+    "q37_ann_topk" -> q37Sql,
+    // q38 intentionally has no oracle: LSH ANN is approximate by design.
+    "q39_embedding_neardup" -> q39Sql,
+    "q40_multimodal_meta" -> q40Sql)
+}
