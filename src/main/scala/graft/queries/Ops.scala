@@ -1,12 +1,158 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.table.SnapshotTable
 
-/** Table-layer and streaming operator queries (time travel, compaction,
-  * schema evolution, streaming ingest, MV refresh, governance). Filled by
-  * the snapshot-log milestone; see [[graft.table.SnapshotLog]].
+/** Table-layer, streaming, and governance operator queries. Each builds
+  * its table-under-test deterministically from the driver's `events` table
+  * in scratch space, so the DuckDB oracle can express the expected result
+  * directly against `events` — the snapshot-log machinery is what's under
+  * test, the data contract stays SQL-checkable.
   */
 object Ops {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracle: Map[String, String] = Map()
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+  private def tag(dir: String): String = dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Exact order-independent sum of the 2-decimal `value` column. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ------------------------------------------------------------- q07
+  // Time travel (T4/T5, reference performance_comparison.sql:129-131):
+  // snapshot v0 = events with event_id < 8000, v1 appends the rest; the
+  // query reads VERSION AS OF 0 — "the table as of yesterday" with a
+  // deterministic split standing in for wall-clock age.
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    val loc = Tables.scratch(s"snaptab/events_${tag(dir)}")
+    Tables.deleteRecursively(loc)
+    val e = ev(s, dir)
+    val t = SnapshotTable.create(s, loc, e.filter(col("event_id") < 8000))
+    t.append(e.filter(col("event_id") >= 8000))
+    t.readVersion(0).agg(count(lit(1)).as("events_1day_ago"))
+  }
+
+  val q07Sql =
+    "SELECT count(*) AS events_1day_ago FROM events WHERE event_id < 8000"
+
+  // ------------------------------------------------------------- q41
+  // Governance (G1/G2): row policy restricts customer to one segment,
+  // mask policy blanks the name column; the governed view is what an
+  // unprivileged reader sees.
+  def q41(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Governance
+    Governance.clearPolicies()
+    Governance.privileged = false
+    Governance.addRowPolicy(
+      Governance.RowPolicy("customer", "c_mktsegment = 'BUILDING'"))
+    Governance.addMaskPolicy(Governance.MaskPolicy("customer", "c_name"))
+    Governance.secureView(s, "customer", Tables.load(s, dir, "customer"))
+      .select(col("c_custkey").as("user_id"), col("c_name").as("name"),
+        col("c_mktsegment").as("segment"))
+      .orderBy("user_id")
+  }
+
+  val q41Sql =
+    """SELECT c_custkey AS user_id, '***MASKED***' AS name,
+      |       c_mktsegment AS segment
+      |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------- q42
+  // Streaming ingest + streaming aggregate (T1/T2/S8): the
+  // date-partitioned events layout is consumed as a file stream in
+  // micro-batches (maxFilesPerTrigger plays the Firehose buffer) and the
+  // grouped aggregate is maintained in streaming state; result must equal
+  // the batch recompute — which is exactly what the oracle checks.
+  def q42(s: SparkSession, dir: String): DataFrame = {
+    val pdir = Core.partitionedEventsDir(s, dir)
+    graft.streaming.Streams
+      .streamingAggregate(s, pdir, s"q42_mem_${tag(dir)}")
+      .select("event_type", "event_count", "total_value")
+      .orderBy("event_type")
+  }
+
+  val q42Sql =
+    """SELECT event_type, count(*) AS event_count,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------- q43
+  // Materialized-view refresh (T3): full recompute published through the
+  // snapshot-table committer (readers see old MV or new MV, never half).
+  def q43(s: SparkSession, dir: String): DataFrame = {
+    val mvDir = Tables.scratch(s"mv/daily_stats_${tag(dir)}")
+    Tables.deleteRecursively(mvDir)
+    graft.streaming.Streams.refreshMaterializedView(s, mvDir, {
+      ev(s, dir)
+        .groupBy(to_date(col("ts")).as("activity_date"))
+        .agg(count(lit(1)).as("event_count"),
+          countDistinct(col("user_id")).as("unique_users"))
+    }).orderBy("activity_date")
+  }
+
+  val q43Sql =
+    """SELECT CAST(ts AS DATE) AS activity_date, count(*) AS event_count,
+      |       count(DISTINCT user_id) AS unique_users
+      |FROM events GROUP BY 1 ORDER BY activity_date""".stripMargin
+
+  // ------------------------------------------------------------- q44
+  // Compaction (T7): seed the table as a small-files layout (the
+  // reference's 144-files/day problem), bin-pack to the target size, and
+  // verify the compacted table still holds the exact row multiset.
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    val loc = Tables.scratch(s"snaptab/compact_${tag(dir)}")
+    Tables.deleteRecursively(loc)
+    val t = SnapshotTable.create(s, loc, ev(s, dir).repartition(64))
+    t.compact(targetBytes = 8L * 1024 * 1024)
+    t.read().agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+  }
+
+  val q44Sql =
+    """SELECT count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events""".stripMargin
+
+  // ------------------------------------------------------------- q45
+  // Schema evolution (T8): v0 lacks the `bonus` column, v1 adds it
+  // (additive only, old files untouched); the merged read yields nulls
+  // for pre-evolution rows.
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    val loc = Tables.scratch(s"snaptab/evolve_${tag(dir)}")
+    Tables.deleteRecursively(loc)
+    val e = ev(s, dir)
+    val t = SnapshotTable.create(s, loc, e.filter(col("event_id") < 8000))
+    t.append(e.filter(col("event_id") >= 8000)
+      .withColumn("bonus", (col("value") * 2).cast("double")))
+    t.read().agg(
+      count(lit(1)).as("n_rows"),
+      count(col("bonus")).as("bonus_non_null"),
+      dsum(col("bonus")).as("bonus_total"))
+  }
+
+  val q45Sql =
+    """SELECT count(*) AS n_rows,
+      |       count(CASE WHEN event_id >= 8000 THEN 1 END) AS bonus_non_null,
+      |       CAST(sum(CASE WHEN event_id >= 8000
+      |                     THEN CAST(value * 2 AS DECIMAL(18,2)) END) AS DOUBLE) AS bonus_total
+      |FROM events""".stripMargin
+
+  // ------------------------------------------------------------ registry
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q07_time_travel" -> (q07 _),
+    "q41_governed_view" -> (q41 _),
+    "q42_streaming_agg" -> (q42 _),
+    "q43_mv_refresh" -> (q43 _),
+    "q44_compaction" -> (q44 _),
+    "q45_schema_evolution" -> (q45 _))
+
+  val oracle: Map[String, String] = Map(
+    "q07_time_travel" -> q07Sql,
+    "q41_governed_view" -> q41Sql,
+    "q42_streaming_agg" -> q42Sql,
+    "q43_mv_refresh" -> q43Sql,
+    "q44_compaction" -> q44Sql,
+    "q45_schema_evolution" -> q45Sql)
 }

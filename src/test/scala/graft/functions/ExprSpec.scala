@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class ExprSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("cosine_sim matches a hand-computed value and is symmetric") {
+    Registry.install(spark)
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))).toDF("a", "b")
+    val Array(row) = df.selectExpr("cosine_sim(a, b)", "cosine_sim(b, a)").collect()
+    val expected = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(row.getDouble(0) - expected) < 1e-12)
+    assert(row.getDouble(0) == row.getDouble(1))
+  }
+
+  test("cosine_sim of identical vectors is 1") {
+    Registry.install(spark)
+    val df = Seq(Tuple1(Array.tabulate(64)(i => i / 7.0 + 0.1))).toDF("a")
+    val sim = df.selectExpr("cosine_sim(a, a)").as[Double].head()
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+
+  test("minhash_bands: deterministic, band count respected, permutation-sensitive") {
+    Registry.install(spark)
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("a b c", "b c d", "c d e")),
+      (3L, Seq("x y z", "y z w", "z w v"))).toDF("id", "sh")
+    val out = df.selectExpr("id", "minhash_bands(sh, 128, 32) AS bands")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L).size == 32)
+    assert(out(1L) == out(2L)) // identical input → identical bands
+    assert(out(1L) != out(3L)) // different shingles → different bands
+  }
+
+  test("minhash band collision rate tracks Jaccard similarity") {
+    Registry.install(spark)
+    // ~90% overlapping shingle sets should collide in many bands;
+    // disjoint sets in none.
+    val near = (1 to 20).map(i => s"sh$i")
+    val df = Seq(
+      (1L, near), (2L, near.drop(2) ++ Seq("other1", "other2")),
+      (3L, (1 to 20).map(i => s"zz$i"))).toDF("id", "sh")
+    val out = df.selectExpr("id", "minhash_bands(sh, 128, 32) AS bands")
+      .as[(Long, Seq[Long])].collect().toMap
+    val nearCollisions = out(1L).zip(out(2L)).count { case (a, b) => a == b }
+    val farCollisions = out(1L).zip(out(3L)).count { case (a, b) => a == b }
+    assert(nearCollisions > 0)
+    assert(farCollisions == 0)
+  }
+
+  test("lsh_bucket: deterministic per table, within bit range") {
+    Registry.install(spark)
+    val v = Array.tabulate(64)(i => math.sin(i.toDouble))
+    val df = Seq(Tuple1(v), Tuple1(v)).toDF("v")
+    val buckets = df.selectExpr(
+      "lsh_bucket(v, 6, 0) AS b0", "lsh_bucket(v, 6, 1) AS b1")
+      .as[(Long, Long)].collect()
+    assert(buckets(0) == buckets(1)) // deterministic
+    assert(buckets(0)._1 >= 0 && buckets(0)._1 < 64) // 6 bits
+  }
+}

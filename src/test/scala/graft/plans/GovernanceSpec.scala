@@ -1,0 +1,58 @@
+package graft.plans
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** G1/G2 enforced through the SparkSessionExtensions-injected
+  * Rule[LogicalPlan] — a dedicated session proves the extension path that
+  * ad-hoc SQL cannot bypass. */
+class GovernanceSpec extends SparkFunSuite {
+
+  private lazy val governed: SparkSession = {
+    // getOrCreate() would hand back the shared (extension-less) suite
+    // session; clear active/default so a fresh session is instantiated on
+    // the same SparkContext with GraftExtensions applied, then restore.
+    val shared = graft.SparkSuite.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-governed")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf spark.sql.extensions is ignored when the SparkContext
+      // already exists; withExtensions applies programmatically
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    SparkSession.setDefaultSession(shared)
+    SparkSession.setActiveSession(shared)
+    s
+  }
+
+  test("row policy filters and mask policy blanks through plain SQL") {
+    Governance.clearPolicies()
+    Governance.privileged = false
+    Governance.addRowPolicy(Governance.RowPolicy("customer", "c_mktsegment = 'BUILDING'"))
+    Governance.addMaskPolicy(Governance.MaskPolicy("customer", "c_name"))
+    graft.Tables.load(governed, sf, "customer").createOrReplaceTempView("customer")
+    val out = governed.sql("SELECT c_custkey, c_name, c_mktsegment FROM customer").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getString(2) == "BUILDING"))
+    assert(out.forall(_.getString(1) == Governance.Masked))
+  }
+
+  test("privileged sessions bypass masking but not row policies") {
+    Governance.clearPolicies()
+    Governance.addRowPolicy(Governance.RowPolicy("customer", "c_mktsegment = 'BUILDING'"))
+    Governance.addMaskPolicy(Governance.MaskPolicy("customer", "c_name"))
+    Governance.privileged = true
+    try {
+      graft.Tables.load(governed, sf, "customer").createOrReplaceTempView("customer")
+      val out = governed.sql("SELECT c_custkey, c_name, c_mktsegment FROM customer").collect()
+      assert(out.forall(_.getString(2) == "BUILDING"))
+      assert(out.exists(_.getString(1) != Governance.Masked))
+    } finally Governance.privileged = false
+  }
+}

@@ -1,0 +1,40 @@
+package graft.plans
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class QualifySpec extends SparkFunSuite {
+
+  test("passthrough when no QUALIFY present") {
+    val sql = "SELECT a FROM t WHERE b > 1 ORDER BY a"
+    assert(Qualify.desugar(sql) == sql)
+  }
+
+  test("QUALIFY inside string literal or subquery is not rewritten") {
+    val s1 = "SELECT 'QUALIFY x' AS lit FROM t"
+    assert(Qualify.desugar(s1) == s1)
+    val s2 = "SELECT * FROM (SELECT a FROM t) x WHERE a > 1"
+    assert(Qualify.desugar(s2) == s2)
+  }
+
+  test("basic desugar moves predicate to outer query") {
+    val out = Qualify.desugar(
+      "SELECT a, row_number() OVER (ORDER BY a) AS rn FROM t QUALIFY rn <= 3 ORDER BY a")
+    assert(out.contains("__qualify WHERE rn <= 3"))
+    assert(out.trim.endsWith("ORDER BY a"))
+  }
+
+  test("QUALIFY rewrite is semantically equivalent to window + filter") {
+    val e = graft.Tables.load(spark, sf, "events")
+    e.createOrReplaceTempView("events")
+    val viaSql = spark.sql(Qualify.desugar(
+      """SELECT user_id, event_id,
+        |ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM events QUALIFY rn <= 3""".stripMargin))
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val viaDf = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).select("user_id", "event_id", "rn")
+    assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
+  }
+}

@@ -1,0 +1,38 @@
+package graft.streaming
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class StreamsSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  test("dynamic table incremental refresh equals batch recompute") {
+    val src = scratch("dyn-src")
+    graft.Tables.load(spark, sf, "events")
+      .repartition(6).write.parquet(src) // several files → several batches
+    val loc = scratch("dyn-table")
+    val dyn = new Streams.DynamicTable(spark, loc)
+    val result = dyn.refresh(src, "streams-spec")
+      .select($"user_id", $"event_count", $"total_value".cast("double"))
+    val expected = spark.read.parquet(src)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("event_count"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty)
+  }
+
+  test("materialized view refresh republishes atomically") {
+    val mv = scratch("mv-refresh")
+    val first = Streams.refreshMaterializedView(spark, mv, {
+      graft.Tables.load(spark, sf, "events").groupBy("event_type").count()
+    })
+    assert(first.count() == 5)
+    val second = Streams.refreshMaterializedView(spark, mv, {
+      graft.Tables.load(spark, sf, "events")
+        .filter(col("event_type") === "purchase").groupBy("event_type").count()
+    })
+    assert(second.count() == 1) // fully replaced, not appended
+    val t = graft.table.SnapshotTable.load(spark, mv)
+    assert(t.readVersion(0).count() == 5) // previous MV still time-travelable
+  }
+}

@@ -1,0 +1,79 @@
+package graft.table
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class SnapshotTableSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private def events = graft.Tables.load(spark, sf, "events")
+
+  test("create + append + time travel by version") {
+    val loc = scratch("snap-basic")
+    val t = SnapshotTable.create(spark, loc, events.filter($"event_id" < 500))
+    assert(t.latestVersion == 0)
+    t.append(events.filter($"event_id" >= 500))
+    assert(t.latestVersion == 1)
+    assert(t.readVersion(0).count() == 500)
+    assert(t.read().count() == events.count())
+  }
+
+  test("time travel by timestamp pins the right snapshot") {
+    val loc = scratch("snap-ts")
+    val t = SnapshotTable.create(spark, loc, events.limit(100))
+    val afterV0 = System.currentTimeMillis()
+    Thread.sleep(20)
+    t.append(events.limit(100)) // duplicate rows, v1 has 200
+    assert(t.readAsOf(afterV0).count() == 100)
+    assert(t.readAsOf(System.currentTimeMillis()).count() == 200)
+    intercept[IllegalArgumentException](t.readAsOf(0L))
+  }
+
+  test("concurrent appends both commit (ACID, optimistic retry)") {
+    val loc = scratch("snap-concurrent")
+    val t = SnapshotTable.create(spark, loc, events.limit(10))
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        SnapshotTable.load(spark, loc).append(events.limit(50 * i))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(t.latestVersion == 4)
+    assert(t.read().count() == 10 + 50 + 100 + 150 + 200)
+  }
+
+  test("compaction preserves the row multiset and reduces file count") {
+    val loc = scratch("snap-compact")
+    val t = SnapshotTable.create(spark, loc, events.repartition(32))
+    val before = t.read().groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val filesBefore = t.snapshot(t.latestVersion).files.size
+    t.compact(targetBytes = 64L * 1024 * 1024)
+    val after = t.read().groupBy("event_type").count().as[(String, Long)].collect().toMap
+    val filesAfter = t.snapshot(t.latestVersion).files.size
+    assert(before == after)
+    assert(filesAfter < filesBefore)
+    // pre-compaction snapshot still readable (time travel over compaction)
+    assert(t.readVersion(0).count() == events.count())
+  }
+
+  test("expireSnapshots drops old versions and orphaned files") {
+    val loc = scratch("snap-expire")
+    val t = SnapshotTable.create(spark, loc, events.limit(100).repartition(8))
+    t.compact(targetBytes = 64L * 1024 * 1024)
+    val oldFiles = t.snapshot(0).files.map(_.path)
+    t.expireSnapshots(keepLast = 1)
+    assert(t.versions == Seq(1))
+    assert(oldFiles.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(t.read().count() == 100)
+  }
+
+  test("additive schema evolution: old rows read null for new column") {
+    val loc = scratch("snap-evolve")
+    val t = SnapshotTable.create(spark, loc, events.limit(100))
+    t.append(events.limit(50).withColumn("extra", lit(7)))
+    val df = t.read()
+    assert(df.columns.contains("extra"))
+    assert(df.filter(col("extra").isNull).count() == 100)
+    assert(df.filter(col("extra") === 7).count() == 50)
+  }
+}
