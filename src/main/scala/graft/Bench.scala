@@ -31,6 +31,12 @@ object Bench {
         case c => c.toString
       } + "\""
 
+    // Warm the JVM/codegen/parquet-reader paths once so the first timed
+    // query doesn't absorb session startup (the reference benches against
+    // an already-running warehouse; same footing here).
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Tables.load(spark, sfDir, "region").count()
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

@@ -27,7 +27,7 @@ object Streams {
     * drains the backlog.
     */
   def streamingAggregate(spark: SparkSession, srcDir: String,
-      queryName: String, maxFilesPerTrigger: Int = 5): DataFrame = {
+      queryName: String, maxFilesPerTrigger: Int = 10): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(srcDir).schema
     val ckpt = Tables.scratch(s"ckpt/$queryName")
