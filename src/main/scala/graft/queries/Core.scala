@@ -542,8 +542,48 @@ object Core {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // q28: fact⋈fact⋈dim star join — lineitem shuffles against orders on the
+  // order key (sort-merge at scale), customer stays broadcastable; the
+  // bench's heavy-join workload (BASELINE "complex join" row).
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("line_cnt"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+      .orderBy("c_mktsegment", "o_orderpriority")
+  }
+
+  val q28Sql =
+    """SELECT c_mktsegment, o_orderpriority, count(*) AS line_cnt,
+      |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, o_orderpriority
+      |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
+
+  // q29: one-pass sketch aggregates for the 100 TB path — HyperLogLog
+  // distinct counts and quantile sketches replace their exact counterparts
+  // when a shuffle-heavy exact answer isn't worth the cost. Approximate by
+  // construction → rows-only check (no SQL oracle).
+  def q29(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+        count(lit(1)).as("event_count"))
+      .orderBy("event_type")
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_star_join" -> (q28 _),
+    "q29_approx_sketches" -> (q29 _),
     "q01_count_events" -> (q01 _),
     "q02_count_profiles" -> (q02 _),
     "q03_recent_activity" -> (q03 _),
@@ -571,6 +611,8 @@ object Core {
     "q27_nation_revenue" -> (q27 _))
 
   val oracle: Map[String, String] = Map(
+    "q28_star_join" -> q28Sql,
+    // q29 intentionally has no oracle: sketch outputs are approximate.
     "q01_count_events" -> q01Sql,
     "q02_count_profiles" -> q02Sql,
     "q03_recent_activity" -> q03Sql,

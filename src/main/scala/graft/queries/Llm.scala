@@ -348,8 +348,30 @@ object Llm {
       |       CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q47
+  // Multimodal decode pipeline: binary content → mapPartitions
+  // decode/featurize/frame-sample ([[graft.operators.Multimodal]], stub
+  // codec — deterministic, so the metadata outputs stay oracle-checkable).
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    val media = docs(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+    graft.operators.Multimodal.extractFeatures(media)
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), 2), 6).as("f1"))
+      .orderBy("doc_id")
+  }
+
+  val q47Sql =
+    """SELECT doc_id, strlen(text) AS n_bytes,
+      |       CAST(ceil(ceil(strlen(text) / 64.0) / 2.0) AS BIGINT) AS n_frames,
+      |       round((strlen(text) * 1 % 997) / 997.0, 6) AS f0,
+      |       round((strlen(text) * 2 % 997) / 997.0, 6) AS f1
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_multimodal_features" -> (q47 _),
     "q30_dedup_exact" -> (q30 _),
     "q31_text_stats" -> (q31 _),
     "q32_lang_id" -> (q32 _),
@@ -363,6 +385,7 @@ object Llm {
     "q40_multimodal_meta" -> (q40 _))
 
   val oracle: Map[String, String] = Map(
+    "q47_multimodal_features" -> q47Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_text_stats" -> q31Sql,
     "q32_lang_id" -> q32Sql,
