@@ -139,8 +139,31 @@ object Ops {
       |                     THEN CAST(value * 2 AS DECIMAL(18,2)) END) AS DOUBLE) AS bonus_total
       |FROM events""".stripMargin
 
+  // ------------------------------------------------------------- q48
+  // SQL-surface time travel (T4/S7): the same snapshot split as q07, but
+  // read through the DSv2 catalog with the reference's own syntax —
+  // `VERSION AS OF` — instead of the programmatic API.
+  def q48(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val loc = s"$wh/db/events_${tag(dir)}"
+    Tables.deleteRecursively(loc)
+    val e = ev(s, dir)
+    val t = SnapshotTable.create(s, loc, e.filter(col("event_id") < 8000))
+    t.append(e.filter(col("event_id") >= 8000))
+    s.sql(
+      s"""SELECT count(*) AS events_v0, 'VERSION AS OF 0' AS travel_mode
+         |FROM graft.db.events_${tag(dir)} VERSION AS OF 0""".stripMargin)
+  }
+
+  val q48Sql =
+    """SELECT count(*) AS events_v0, 'VERSION AS OF 0' AS travel_mode
+      |FROM events WHERE event_id < 8000""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_sql_time_travel" -> (q48 _),
     "q07_time_travel" -> (q07 _),
     "q41_governed_view" -> (q41 _),
     "q42_streaming_agg" -> (q42 _),
@@ -149,6 +172,7 @@ object Ops {
     "q45_schema_evolution" -> (q45 _))
 
   val oracle: Map[String, String] = Map(
+    "q48_sql_time_travel" -> q48Sql,
     "q07_time_travel" -> q07Sql,
     "q41_governed_view" -> q41Sql,
     "q42_streaming_agg" -> q42Sql,

@@ -1,0 +1,63 @@
+package graft.table
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+class GraftCatalogSpec extends SparkFunSuite {
+
+  private lazy val wh = {
+    val w = scratch("catalog-wh")
+    spark.conf.set("spark.sql.catalog.tt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.tt.warehouse", w)
+    w
+  }
+
+  private def makeTable(name: String): SnapshotTable = {
+    val e = graft.Tables.load(spark, sf, "events")
+    val t = SnapshotTable.create(spark, s"$wh/db/$name", e.filter(col("event_id") < 500))
+    t.append(e.filter(col("event_id") >= 500))
+    t
+  }
+
+  test("SELECT through the catalog reads the latest snapshot") {
+    makeTable("ev_latest")
+    assert(spark.sql("SELECT count(*) FROM tt.db.ev_latest").head().getLong(0) == 1000L)
+  }
+
+  test("VERSION AS OF pins an old snapshot") {
+    makeTable("ev_ver")
+    assert(spark.sql("SELECT count(*) FROM tt.db.ev_ver VERSION AS OF 0")
+      .head().getLong(0) == 500L)
+  }
+
+  test("TIMESTAMP AS OF resolves the snapshot committed before the instant") {
+    val e = graft.Tables.load(spark, sf, "events")
+    val t = SnapshotTable.create(spark, s"$wh/db/ev_ts", e.filter(col("event_id") < 500))
+    Thread.sleep(20)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(20)
+    t.append(e.filter(col("event_id") >= 500))
+    val ts = new java.sql.Timestamp(betweenMs)
+    val n = spark.sql(
+      s"SELECT count(*) FROM tt.db.ev_ts TIMESTAMP AS OF '$ts'").head().getLong(0)
+    assert(n == 500L)
+  }
+
+  test("predicates push down through the catalog scan") {
+    makeTable("ev_push")
+    val df = spark.sql(
+      "SELECT count(*) FROM tt.db.ev_push WHERE event_type = 'purchase'")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
+      s"filter not pushed:\n$scan")
+  }
+
+  test("listTables and dropTable round-trip") {
+    makeTable("ev_drop")
+    assert(spark.sql("SHOW TABLES IN tt.db").collect()
+      .exists(_.getString(1) == "ev_drop"))
+    spark.sql("DROP TABLE tt.db.ev_drop")
+    assert(!spark.sql("SHOW TABLES IN tt.db").collect()
+      .exists(_.getString(1) == "ev_drop"))
+  }
+}
