@@ -146,8 +146,11 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       val tmp = Files.createTempFile(snapDir, ".tmp-", ".json")
       Files.writeString(tmp, SnapshotTable.renderSnapshot(snap))
       try {
-        Files.move(tmp, snapDir.resolve(f"v${snap.version}%05d.json"),
-          StandardCopyOption.ATOMIC_MOVE)
+        // createLink is atomic create-if-absent (POSIX link()); a plain
+        // ATOMIC_MOVE would silently REPLACE an existing version file,
+        // letting a concurrent committer's snapshot be lost
+        Files.createLink(snapDir.resolve(f"v${snap.version}%05d.json"), tmp)
+        Files.deleteIfExists(tmp)
         return snap.version
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
