@@ -54,17 +54,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     SnapshotTable.load(spark, location(ident))
   }
 
-  private def parquetTable(ident: Identifier, snap: SnapshotTable.Snapshot): Table = {
-    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
-      .asInstanceOf[StructType]
-    ParquetTable(
-      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}@v${snap.version}",
-      spark,
-      new CaseInsensitiveStringMap(util.Map.of("mergeSchema", "true")),
-      snap.files.map(_.path),
-      Some(schema),
-      classOf[ParquetFileFormat])
-  }
+  private def parquetTable(ident: Identifier, snap: SnapshotTable.Snapshot): Table =
+    new GraftTable(
+      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
+      location(ident), snap)
 
   override def loadTable(ident: Identifier): Table = {
     val t = open(ident)
@@ -98,9 +91,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new java.io.File(s"${location(ident)}/_snapshots").isDirectory
 
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "use graft.table.SnapshotTable.create (SQL DDL out of scope)")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "partition transforms not supported yet")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val t = SnapshotTable.createEmpty(spark, location(ident), schema)
+    parquetTable(ident, t.snapshot(t.latestVersion))
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("use SnapshotTable.append with a wider schema")

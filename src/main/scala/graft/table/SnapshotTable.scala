@@ -81,6 +81,10 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
 
   // --------------------------------------------------------------- writes
 
+  /** Commit an empty snapshot carrying only a schema (SQL CREATE TABLE). */
+  private[table] def commitEmpty(schemaJson: String): Int =
+    commitWithRetry(base => base.files, schemaJson, "create")
+
   /** ACID append: stage new files, then commit (optimistic retry). */
   def append(df: DataFrame): Int = {
     val staged = stage(df)
@@ -179,6 +183,15 @@ object SnapshotTable {
     val t = new SnapshotTable(spark, location)
     require(t.latestVersion < 0, s"table already exists at $location")
     t.append(df)
+    t
+  }
+
+  /** Create an empty table with a declared schema (SQL CREATE TABLE). */
+  def createEmpty(spark: SparkSession, location: String,
+      schema: org.apache.spark.sql.types.StructType): SnapshotTable = {
+    val t = new SnapshotTable(spark, location)
+    require(t.latestVersion < 0, s"table already exists at $location")
+    t.commitEmpty(schema.json)
     t
   }
 

@@ -60,4 +60,20 @@ class GraftCatalogSpec extends SparkFunSuite {
     assert(!spark.sql("SHOW TABLES IN tt.db").collect()
       .exists(_.getString(1) == "ev_drop"))
   }
+
+  test("SQL CREATE TABLE + INSERT INTO + INSERT OVERWRITE commit snapshots") {
+    wh // force catalog registration
+    spark.sql("DROP TABLE IF EXISTS tt.db.sqldml")
+    spark.sql("CREATE TABLE tt.db.sqldml (id BIGINT, label STRING)")
+    spark.sql("INSERT INTO tt.db.sqldml VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO tt.db.sqldml VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM tt.db.sqldml").head().getLong(0) == 3L)
+    // each DML statement is one snapshot: create=0, insert=1, insert=2
+    assert(spark.sql("SELECT count(*) FROM tt.db.sqldml VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    spark.sql("INSERT OVERWRITE tt.db.sqldml VALUES (9, 'z')")
+    assert(spark.sql("SELECT count(*) FROM tt.db.sqldml").head().getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM tt.db.sqldml VERSION AS OF 2")
+      .head().getLong(0) == 3L) // pre-overwrite still travelable
+  }
 }
