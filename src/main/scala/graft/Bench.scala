@@ -56,6 +56,31 @@ object Bench {
     val nErr = results.count(_._4 != "OK")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"status":$status,"errors":$nErr,"sf":${jstr(sfDir)}}""")
+
+    // Reference-shaped report file (run_performance_tests.py:286-329):
+    // per-test name/status/seconds/rows + summary, timestamped filename.
+    val ts = java.time.LocalDateTime.now()
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+    val tests = results.map { case (n, sec, r, st) =>
+      s"""    {"test_name": ${jstr(n)}, "status": ${jstr(if (st == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": $sec, "row_count": $r}"""
+    }.mkString("[\n", ",\n", "\n  ]")
+    val report =
+      s"""{
+         |  "report_timestamp": ${jstr(ts)},
+         |  "sf_dir": ${jstr(sfDir)},
+         |  "test_results": $tests,
+         |  "summary": {
+         |    "total_tests": ${results.size},
+         |    "successful_tests": ${results.size - nErr},
+         |    "failed_tests": $nErr,
+         |    "total_execution_time_seconds": $total
+         |  }
+         |}""".stripMargin
+    val reportDir = java.nio.file.Paths.get(Tables.scratch("bench-reports"))
+    java.nio.file.Files.createDirectories(reportDir)
+    java.nio.file.Files.writeString(
+      reportDir.resolve(s"performance_report_$ts.json"), report)
+
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

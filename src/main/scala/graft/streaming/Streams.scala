@@ -55,6 +55,43 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Watermarked tumbling-window aggregate (the brief's Structured
+    * Streaming hardening beyond the reference's buffering-only windows):
+    * event-time windows on `ts` with a late-data watermark, state expired
+    * once the watermark passes — the shape of a production event rollup
+    * where state must not grow unboundedly. Append mode emits only
+    * finalized windows.
+    */
+  def windowedCounts(spark: SparkSession, srcDir: String, queryName: String,
+      windowLen: String = "1 day", watermark: String = "2 hours"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(srcDir).schema
+    val ckpt = Tables.scratch(s"ckpt/$queryName")
+    Tables.deleteRecursively(ckpt)
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 10).parquet(srcDir)
+    val withTs =
+      if (schema.fieldNames.contains("ts") &&
+          schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val agg = withTs
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("event_count"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("event_count"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** T2: a dynamic table — incremental refresh of a per-user aggregate via
     * foreachBatch merging each micro-batch into a snapshot table. The
     * merge recomputes only groups present in the batch (shuffle keyed by

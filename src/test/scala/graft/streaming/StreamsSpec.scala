@@ -21,6 +21,22 @@ class StreamsSpec extends SparkFunSuite {
     assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty)
   }
 
+  test("watermarked tumbling windows emit finalized windows matching batch") {
+    val src = scratch("win-src")
+    graft.Tables.load(spark, sf, "events")
+      .orderBy("ts").coalesce(1).write.parquet(src)
+    val out = Streams.windowedCounts(spark, src, "streams_windowed")
+    assert(out.count() > 0, "no finalized windows emitted")
+    // every emitted (window, event_type) row must equal the batch count
+    val batch = spark.read.parquet(src)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("expected"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("expected"))
+    val joined = out.join(batch, Seq("window_start", "event_type"), "left")
+    assert(joined.filter(col("expected").isNull ||
+      col("expected") =!= col("event_count")).count() == 0)
+  }
+
   test("materialized view refresh republishes atomically") {
     val mv = scratch("mv-refresh")
     val first = Streams.refreshMaterializedView(spark, mv, {
