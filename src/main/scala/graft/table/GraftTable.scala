@@ -34,16 +34,59 @@ class GraftTable(tableName: String, location: String,
     util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val inner = ParquetTable(
+  private def innerBuilder(files: Seq[SnapshotTable.DataFile],
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetTable(
       s"$tableName@v${snap.version}",
       spark,
       new CaseInsensitiveStringMap(util.Map.of("mergeSchema", "true")),
-      snap.files.map(_.path),
+      files.map(_.path),
       Some(schema()),
-      classOf[ParquetFileFormat])
-    inner.newScanBuilder(options)
-  }
+      classOf[ParquetFileFormat]).newScanBuilder(options)
+
+  /** Scan builder with manifest-stats file skipping: pushed filters first
+    * prune the snapshot's file list against per-file min/max stats
+    * ([[StatsPruning]] — metadata-only, conservative), then everything
+    * delegates to the stock parquet builder over the surviving files, so
+    * column pruning, row-group pushdown, and the vectorized reader are
+    * unchanged. Two pruning tiers, exactly like Iceberg: manifest stats
+    * (here) then parquet footers (inner scan).
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      import org.apache.spark.sql.catalyst.expressions.Expression
+      import org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+
+      private var inner: FileScanBuilder = _
+      private def ensureInner(files: Seq[SnapshotTable.DataFile]): Unit =
+        if (inner == null)
+          inner = innerBuilder(files, options).asInstanceOf[FileScanBuilder]
+
+      override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+        val sourceFilters = filters.flatMap(StatsPruning.fromCatalyst)
+        ensureInner(StatsPruning.prune(snap.files, sourceFilters))
+        inner.pushFilters(filters)
+      }
+
+      override def pushedFilters
+          : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+        ensureInner(snap.files)
+        inner.pushedFilters
+      }
+
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        ensureInner(snap.files)
+        inner.pruneColumns(requiredSchema)
+      }
+
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        ensureInner(snap.files)
+        inner.build()
+      }
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

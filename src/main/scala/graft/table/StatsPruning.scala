@@ -1,0 +1,131 @@
+package graft.table
+
+import org.apache.spark.sql.sources._
+
+/** Metadata-only file skipping from manifest min/max stats (the Iceberg
+  * manifest-stats technique, reference
+  * `aws-community-builders-presentation.md:183-197`): given the source
+  * filters Spark pushed into a scan, drop every data file whose recorded
+  * [min, max] range provably cannot satisfy them.
+  *
+  * Strictly conservative: a file is skipped only when a filter is
+  * IMPOSSIBLE over its stats range; missing stats (old snapshots,
+  * all-null files, unsupported types) keep the file. The surviving files
+  * still evaluate the full predicate row-by-row (parquet row-group
+  * pushdown + post-scan filter), so pruning can never change results.
+  */
+object StatsPruning {
+
+  def prune(files: Seq[SnapshotTable.DataFile],
+      filters: Seq[Filter]): Seq[SnapshotTable.DataFile] =
+    files.filter(f => filters.forall(satisfiable(f, _)))
+
+  /** Minimal catalyst→source translation for the comparison shapes the
+    * pruner understands (Spark's own translateFilter is protected[sql]).
+    * Unsupported shapes translate to None and therefore never prune. */
+  def fromCatalyst(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Filter] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def lit(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => other
+    }
+    e match {
+      case ce.EqualTo(a: ce.AttributeReference, ce.Literal(v, _)) => Some(EqualTo(a.name, lit(v)))
+      case ce.EqualTo(ce.Literal(v, _), a: ce.AttributeReference) => Some(EqualTo(a.name, lit(v)))
+      case ce.GreaterThan(a: ce.AttributeReference, ce.Literal(v, _)) => Some(GreaterThan(a.name, lit(v)))
+      case ce.GreaterThan(ce.Literal(v, _), a: ce.AttributeReference) => Some(LessThan(a.name, lit(v)))
+      case ce.GreaterThanOrEqual(a: ce.AttributeReference, ce.Literal(v, _)) => Some(GreaterThanOrEqual(a.name, lit(v)))
+      case ce.GreaterThanOrEqual(ce.Literal(v, _), a: ce.AttributeReference) => Some(LessThanOrEqual(a.name, lit(v)))
+      case ce.LessThan(a: ce.AttributeReference, ce.Literal(v, _)) => Some(LessThan(a.name, lit(v)))
+      case ce.LessThan(ce.Literal(v, _), a: ce.AttributeReference) => Some(GreaterThan(a.name, lit(v)))
+      case ce.LessThanOrEqual(a: ce.AttributeReference, ce.Literal(v, _)) => Some(LessThanOrEqual(a.name, lit(v)))
+      case ce.LessThanOrEqual(ce.Literal(v, _), a: ce.AttributeReference) => Some(GreaterThanOrEqual(a.name, lit(v)))
+      case ce.In(a: ce.AttributeReference, vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
+        Some(In(a.name, vs.map(l => lit(l.asInstanceOf[ce.Literal].value)).toArray))
+      case ce.And(l, r) =>
+        (fromCatalyst(l), fromCatalyst(r)) match {
+          case (Some(a), Some(b)) => Some(And(a, b))
+          case (Some(a), None) => Some(a) // conjunct alone is still a valid pruner
+          case (None, Some(b)) => Some(b)
+          case _ => None
+        }
+      case ce.Or(l, r) =>
+        for { a <- fromCatalyst(l); b <- fromCatalyst(r) } yield Or(a, b)
+      case _ => None
+    }
+  }
+
+  /** Can `filter` possibly hold for some row of `file`? */
+  private def satisfiable(file: SnapshotTable.DataFile, filter: Filter): Boolean =
+    filter match {
+      case EqualTo(c, v) => inRange(file, c, v, v)
+      case GreaterThan(c, v) => maxAbove(file, c, v, strict = true)
+      case GreaterThanOrEqual(c, v) => maxAbove(file, c, v, strict = false)
+      case LessThan(c, v) => minBelow(file, c, v, strict = true)
+      case LessThanOrEqual(c, v) => minBelow(file, c, v, strict = false)
+      case In(c, vs) => vs.exists(v => inRange(file, c, v, v))
+      case And(l, r) => satisfiable(file, l) && satisfiable(file, r)
+      case Or(l, r) => satisfiable(file, l) || satisfiable(file, r)
+      case _ => true // IsNull, StringContains, Not, … — never prune on these
+    }
+
+  // value could fall within [min, max]?
+  private def inRange(f: SnapshotTable.DataFile, col: String,
+      lo: Any, hi: Any): Boolean =
+    stats(f, col) match {
+      case None => true
+      case Some((mn, mx)) =>
+        (cmp(f, col, hi, mn), cmp(f, col, lo, mx)) match {
+          case (Some(a), Some(b)) => a >= 0 && b <= 0 // hi >= min && lo <= max
+          case _ => true
+        }
+    }
+
+  private def maxAbove(f: SnapshotTable.DataFile, col: String, v: Any,
+      strict: Boolean): Boolean =
+    stats(f, col).flatMap { case (_, mx) => cmp(f, col, v, mx) } match {
+      case Some(c) => if (strict) c < 0 else c <= 0 // v < max (or <=)
+      case None => true
+    }
+
+  private def minBelow(f: SnapshotTable.DataFile, col: String, v: Any,
+      strict: Boolean): Boolean =
+    stats(f, col).flatMap { case (mn, _) => cmp(f, col, v, mn) } match {
+      case Some(c) => if (strict) c > 0 else c >= 0 // v > min (or >=)
+      case None => true
+    }
+
+  private def stats(f: SnapshotTable.DataFile, col: String): Option[(String, String)] =
+    f.stats.get(col).map(cs => (cs.min, cs.max))
+
+  /** Compare a filter value against a recorded stat bound under the
+    * column's tagged type; None when not comparable (→ never prune). */
+  private def cmp(f: SnapshotTable.DataFile, col: String,
+      value: Any, bound: String): Option[Int] =
+    f.stats.get(col).flatMap { cs =>
+      try {
+        cs.typ match {
+          case "long" =>
+            val v = value match {
+              case n: Number => n.longValue()
+              case _ => return None
+            }
+            Some(java.lang.Long.compare(v, bound.toLong))
+          case "double" =>
+            val v = value match {
+              case n: Number => n.doubleValue()
+              case _ => return None
+            }
+            Some(java.lang.Double.compare(v, bound.toDouble))
+          case "string" =>
+            value match {
+              case s: String => Some(s.compareTo(bound))
+              case u: org.apache.spark.unsafe.types.UTF8String =>
+                Some(u.toString.compareTo(bound))
+              case _ => None
+            }
+          case _ => None
+        }
+      } catch { case _: NumberFormatException => None }
+    }
+}

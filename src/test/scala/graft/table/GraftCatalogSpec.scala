@@ -76,4 +76,35 @@ class GraftCatalogSpec extends SparkFunSuite {
     assert(spark.sql("SELECT count(*) FROM tt.db.sqldml VERSION AS OF 2")
       .head().getLong(0) == 3L) // pre-overwrite still travelable
   }
+
+  test("manifest stats skip files whose range cannot match the predicate") {
+    wh
+    val e = graft.Tables.load(spark, sf, "events")
+    val loc = s"$wh/db/ev_stats"
+    graft.Tables.deleteRecursively(loc)
+    val t = SnapshotTable.create(spark, loc,
+      e.filter(col("event_id") < 300).coalesce(1))
+    t.append(e.filter(col("event_id") >= 300 && col("event_id") < 600).coalesce(1))
+    t.append(e.filter(col("event_id") >= 600).coalesce(1))
+    assert(t.snapshot(t.latestVersion).files.size == 3)
+    // manifest stats were recorded
+    assert(t.snapshot(t.latestVersion).files.forall(_.stats.contains("event_id")))
+
+    def scannedFiles(sql: String): Int = {
+      val plan = spark.sql(sql).queryExecution.executedPlan
+      val scans = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+      }
+      scans.sum
+    }
+    assert(scannedFiles("SELECT * FROM tt.db.ev_stats") == 3)
+    assert(scannedFiles("SELECT * FROM tt.db.ev_stats WHERE event_id < 100") == 1)
+    assert(scannedFiles("SELECT * FROM tt.db.ev_stats WHERE event_id >= 600") == 1)
+    assert(scannedFiles("SELECT * FROM tt.db.ev_stats WHERE event_id BETWEEN 300 AND 400") == 1)
+    // correctness unaffected by skipping
+    assert(spark.sql("SELECT count(*) FROM tt.db.ev_stats WHERE event_id < 100")
+      .head().getLong(0) == 100L)
+  }
 }
