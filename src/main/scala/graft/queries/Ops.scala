@@ -161,8 +161,41 @@ object Ops {
     """SELECT count(*) AS events_v0, 'VERSION AS OF 0' AS travel_mode
       |FROM events WHERE event_id < 8000""".stripMargin
 
+  // ------------------------------------------------------------- q49
+  // Bench-metrics enrichment (J3/P8): the reference joins executed-query
+  // metrics against system tables by query_id
+  // (run_performance_tests.py:86-101, performance_comparison.sql:189-204);
+  // here the metrics table is built from in-process probe executions and
+  // joined to a broadcast catalog dimension. Result values are
+  // deterministic (row counts), so the join is fully oracle-checkable.
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = Seq(
+      ("count_events", "fact", Tables.load(s, dir, "events").count()),
+      ("count_customer", "dim", Tables.load(s, dir, "customer").count()),
+      ("count_documents", "corpus", Tables.load(s, dir, "documents").count()))
+    val metrics = probes.map { case (n, _, v) => (n, v, "SUCCESS") }
+      .toDF("query_name", "result_value", "status")
+    val catalog = probes.map { case (n, c, _) => (n, c) }
+      .toDF("query_name", "category")
+    metrics.join(broadcast(catalog), Seq("query_name"))
+      .select("query_name", "category", "result_value", "status")
+      .orderBy("query_name")
+  }
+
+  val q49Sql =
+    """SELECT query_name, category, result_value, status FROM (
+      |  SELECT 'count_events' AS query_name, 'fact' AS category,
+      |         (SELECT count(*) FROM events) AS result_value, 'SUCCESS' AS status
+      |  UNION ALL
+      |  SELECT 'count_customer', 'dim', (SELECT count(*) FROM customer), 'SUCCESS'
+      |  UNION ALL
+      |  SELECT 'count_documents', 'corpus', (SELECT count(*) FROM documents), 'SUCCESS')
+      |ORDER BY query_name""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_bench_metrics" -> (q49 _),
     "q48_sql_time_travel" -> (q48 _),
     "q07_time_travel" -> (q07 _),
     "q41_governed_view" -> (q41 _),
@@ -172,6 +205,7 @@ object Ops {
     "q45_schema_evolution" -> (q45 _))
 
   val oracle: Map[String, String] = Map(
+    "q49_bench_metrics" -> q49Sql,
     "q48_sql_time_travel" -> q48Sql,
     "q07_time_travel" -> q07Sql,
     "q41_governed_view" -> q41Sql,

@@ -103,11 +103,24 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * list in one atomic commit. Old files stay on disk for time travel
     * until [[expireSnapshots]] collects them.
     */
-  def compact(targetBytes: Long = 256L * 1024 * 1024): Int = {
+  def compact(targetBytes: Long = 256L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.col
     val base = snapshot(latestVersion)
     val totalBytes = base.files.map(f => Files.size(Paths.get(f.path))).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val staged = stage(read().repartition(nFiles))
+    val data = read()
+    // clusterBy = the reference's Z-order-style layout optimization
+    // (aws-community-builders-presentation.md:302-307 as
+    // repartitionByRange + in-file sort): files end up with disjoint
+    // clustered-column ranges, so the manifest min/max stats prune most
+    // files for point/range predicates on those columns.
+    val arranged =
+      if (clusterBy.nonEmpty)
+        data.repartitionByRange(nFiles, clusterBy.map(col): _*)
+          .sortWithinPartitions(clusterBy.map(col): _*)
+      else data.repartition(nFiles)
+    val staged = stage(arranged)
     commitWithRetry(_ => staged, base.schemaJson, "compact")
   }
 

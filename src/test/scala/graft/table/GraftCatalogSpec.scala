@@ -107,4 +107,30 @@ class GraftCatalogSpec extends SparkFunSuite {
     assert(spark.sql("SELECT count(*) FROM tt.db.ev_stats WHERE event_id < 100")
       .head().getLong(0) == 100L)
   }
+
+  test("clustered compaction makes stats ranges disjoint and prunable") {
+    wh
+    val e = graft.Tables.load(spark, sf, "events")
+    val loc = s"$wh/db/ev_cluster"
+    graft.Tables.deleteRecursively(loc)
+    // interleaved appends: every file covers the whole event_id range
+    val t = SnapshotTable.create(spark, loc,
+      e.filter(col("event_id") % 3 === 0).coalesce(1))
+    t.append(e.filter(col("event_id") % 3 === 1).coalesce(1))
+    t.append(e.filter(col("event_id") % 3 === 2).coalesce(1))
+    def scanned(sql: String): Int =
+      spark.sql(sql).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+      }.sum
+    // before clustering: no file can be skipped (all ranges overlap)
+    assert(scanned("SELECT * FROM tt.db.ev_cluster WHERE event_id < 50") == 3)
+    t.compact(targetBytes = 16L * 1024, clusterBy = Seq("event_id"))
+    val nFiles = t.snapshot(t.latestVersion).files.size
+    assert(nFiles > 1, "need multiple output files to show pruning")
+    val hit = scanned("SELECT * FROM tt.db.ev_cluster WHERE event_id < 50")
+    assert(hit < nFiles, s"expected pruning: $hit of $nFiles files scanned")
+    assert(spark.sql("SELECT count(*) FROM tt.db.ev_cluster").head().getLong(0) == e.count())
+  }
 }
