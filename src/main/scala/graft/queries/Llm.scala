@@ -348,6 +348,44 @@ object Llm {
       |       CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q50
+  // IVF ANN (the second scale path besides LSH): a k-means coarse
+  // quantizer (MLlib, fixed seed) partitions the corpus into cells; a
+  // query probes its 3 nearest cells and exact-reranks only their
+  // members. At 100 TB the cell assignment is a narrow shuffle on cell id
+  // and each probe touches ~nprobe/k of the corpus. Approximate by
+  // construction → rows-only check.
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = emb(s, dir).withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+    val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
+    import s.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "cv")
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cellRank = Window.partitionBy("query_id")
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probed = q.join(broadcast(centroids))
+      .withColumn("cell_sim", cosine("qv", "cv"))
+      .withColumn("cell_rank", row_number().over(cellRank))
+      .filter(col("cell_rank") <= 3)
+      .select("query_id", "qv", "cell")
+    val nnRank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", cosine("qv", "v"))
+      .withColumn("nn_rank", row_number().over(nnRank))
+      .filter(col("nn_rank") <= 5)
+      .select(col("query_id"), col("nn_rank"),
+        col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
+      .orderBy("query_id", "nn_rank")
+  }
+
   // ------------------------------------------------------------- q47
   // Multimodal decode pipeline: binary content → mapPartitions
   // decode/featurize/frame-sample ([[graft.operators.Multimodal]], stub
@@ -371,6 +409,7 @@ object Llm {
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_ann_ivf" -> (q50 _), // rows-only: IVF is approximate
     "q47_multimodal_features" -> (q47 _),
     "q30_dedup_exact" -> (q30 _),
     "q31_text_stats" -> (q31 _),
