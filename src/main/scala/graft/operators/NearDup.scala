@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reusable near-duplicate detection over a (id, text) corpus:
+  * word-shingling → MinHash signatures → LSH banding → bucket equi-join
+  * candidates → exact-Jaccard verification. The public API behind q35,
+  * parameterized for corpus-specific tuning.
+  *
+  * Scale contract: per-document work (shingles, signatures, band hashes)
+  * is a native one-pass expression ([[graft.functions.MinHashBands]]);
+  * the only corpus-wide operations are a shuffle keyed by (band, hash)
+  * and the candidate-pair verification join — never an all-pairs product.
+  * Banding theory: with r rows/band and b bands, a pair with Jaccard j
+  * collides in ≥1 band with p = 1-(1-j^r)^b; the defaults (b=32, r=4)
+  * give p ≈ 1-5e-8 at j=0.8.
+  */
+object NearDup {
+
+  /** Distinct word `n`-gram shingle sets per document. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs
+      .withColumn("__words", split(col(textCol), " "))
+      .filter(size(col("__words")) >= n)
+      .withColumn("shingles", array_distinct(expr(
+        s"""transform(sequence(1, size(__words) - ${n - 1}),
+           |          i -> concat_ws(' ', ${(0 until n)
+            .map(k => s"element_at(__words, i + $k)").mkString(", ")}))""".stripMargin)))
+      .select(col(idCol).as("doc_id"), col("shingles"))
+
+  /** Candidate pairs via MinHash-LSH banding (doc_a < doc_b, distinct). */
+  def candidates(spark: SparkSession, shingled: DataFrame,
+      numPerms: Int = 128, numBands: Int = 32): DataFrame = {
+    graft.functions.Registry.install(spark)
+    val bands = shingled.select(col("doc_id"),
+      posexplode(expr(s"minhash_bands(shingles, $numPerms, $numBands)"))
+        .as(Seq("band", "h")))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against a threshold. */
+  def verify(cand: DataFrame, shingled: DataFrame, threshold: Double): DataFrame =
+    cand
+      .join(shingled.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shingled.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("sa.shingles"), col("sb.shingles"))))
+      .withColumn("uni",
+        size(col("sa.shingles")) + size(col("sb.shingles")) - col("inter"))
+      .withColumn("jaccard", round(col("inter") * lit(1.0) / col("uni"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** Full pipeline: near-dup pairs with exact Jaccard >= threshold. */
+  def pairs(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      numPerms: Int = 128, numBands: Int = 32): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleSize)
+    verify(candidates(spark, sh, numPerms, numBands), sh, threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+}

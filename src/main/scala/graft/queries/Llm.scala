@@ -154,37 +154,9 @@ object Llm {
   // band hash — NEVER all-pairs) → exact-Jaccard verification of
   // candidates only. At threshold 0.8 the banding misses a true pair with
   // p < 1e-7, so the output equals the oracle's exact all-pairs answer.
-  def q35(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.Registry.install(s)
-    val sh = docs(s, dir)
-      .withColumn("words", split(col("text"), " "))
-      .filter(size(col("words")) >= 3)
-      .withColumn("shingles", array_distinct(expr(
-        """transform(sequence(1, size(words) - 2),
-          |          i -> concat_ws(' ', element_at(words, i),
-          |                         element_at(words, i + 1),
-          |                         element_at(words, i + 2)))""".stripMargin)))
-      .select("doc_id", "shingles")
-    val bands = sh
-      .select(col("doc_id"),
-        posexplode(expr("minhash_bands(shingles, 128, 32)")).as(Seq("band", "h")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("inter", size(array_intersect(col("sa.shingles"), col("sb.shingles"))))
-      .withColumn("uni",
-        size(col("sa.shingles")) + size(col("sb.shingles")) - col("inter"))
-      .withColumn("jaccard", round(col("inter") * lit(1.0) / col("uni"), 4))
-      .filter(col("jaccard") >= 0.8)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
-  }
+  def q35(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.pairs(s, docs(s, dir), "doc_id", "text",
+      shingleSize = 3, threshold = 0.8, numPerms = 128, numBands = 32)
 
   val q35Sql =
     """WITH words AS (
