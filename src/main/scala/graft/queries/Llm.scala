@@ -379,8 +379,76 @@ object Llm {
       |       round((strlen(text) * 2 % 997) / 997.0, 6) AS f1
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q51
+  // End-to-end corpus preparation — the pipeline a training-data run
+  // actually executes, composed from the library operators:
+  //   1. quality gate (stopword-density/length score, q31's formula),
+  //   2. language selection (labeled lang),
+  //   3. near-dup removal among survivors (MinHash-LSH candidates +
+  //      exact-Jaccard verify; greedy rule: drop the higher doc_id of
+  //      each verified pair),
+  //   4. token accounting for the kept set.
+  // Every stage is deterministic, so the whole pipeline is one SQL oracle.
+  def q51(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(words, x -> x IN ('the', 'a')))").cast("long"))
+      .withColumn("quality",
+        least(lit(1.0), col("n_words") / lit(100.0))
+          * (lit(1.0) - col("n_stop") * lit(1.0) / col("n_words")))
+    val filtered = base
+      .filter(col("lang") === "en" && col("quality") >= 0.3)
+      .select("doc_id", "text", "n_words")
+    val dupB = graft.operators.NearDup
+      .pairs(s, filtered, "doc_id", "text", shingleSize = 3, threshold = 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+    filtered.join(dupB, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("docs_kept"),
+        sum(col("n_words")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  val q51Sql =
+    """WITH base AS (
+      |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_words,
+      |         least(1.0, len(string_split(text, ' ')) / 100.0)
+      |           * (1.0 - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
+      |                    / len(string_split(text, ' '))) AS quality,
+      |         lang
+      |  FROM documents),
+      |filtered AS (
+      |  SELECT doc_id, text, n_words FROM base
+      |  WHERE lang = 'en' AND quality >= 0.3),
+      |words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      |  FROM filtered),
+      |sh AS (
+      |  SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY shingle IS NOT NULL),
+      |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM ds a JOIN ds b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |dup_b AS (
+      |  SELECT DISTINCT doc_b AS doc_id FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8)
+      |SELECT count(*) AS docs_kept,
+      |       CAST(sum(n_words) AS BIGINT) AS total_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM filtered WHERE doc_id NOT IN (SELECT doc_id FROM dup_b)""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_corpus_prep" -> (q51 _),
     "q50_ann_ivf" -> (q50 _), // rows-only: IVF is approximate
     "q47_multimodal_features" -> (q47 _),
     "q30_dedup_exact" -> (q30 _),
@@ -396,6 +464,7 @@ object Llm {
     "q40_multimodal_meta" -> (q40 _))
 
   val oracle: Map[String, String] = Map(
+    "q51_corpus_prep" -> q51Sql,
     "q47_multimodal_features" -> q47Sql,
     "q30_dedup_exact" -> q30Sql,
     "q31_text_stats" -> q31Sql,
