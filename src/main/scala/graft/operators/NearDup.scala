@@ -57,11 +57,18 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
 
-  /** Full pipeline: near-dup pairs with exact Jaccard >= threshold. */
+  /** Full pipeline: near-dup pairs with exact Jaccard >= threshold.
+    * The shingle sets feed four plan branches (both sides of the band
+    * self-join via the signatures, both sides of the verification join),
+    * so they are persisted once instead of recomputing the per-document
+    * shingling/minhash work per branch — on a cluster this is the
+    * standard LSH-job pattern (persist or checkpoint the signature set).
+    */
   def pairs(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8,
       numPerms: Int = 128, numBands: Int = 32): DataFrame = {
     val sh = shingles(docs, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verify(candidates(spark, sh, numPerms, numBands), sh, threshold)
       .orderBy("doc_a", "doc_b")
   }

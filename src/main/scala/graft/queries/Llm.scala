@@ -401,6 +401,9 @@ object Llm {
     val filtered = base
       .filter(col("lang") === "en" && col("quality") >= 0.3)
       .select("doc_id", "text", "n_words")
+      // reused by the near-dup pipeline AND the final anti-join; persist
+      // so the quality-scoring pass runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupB = graft.operators.NearDup
       .pairs(s, filtered, "doc_id", "text", shingleSize = 3, threshold = 0.8)
       .select(col("doc_b").as("doc_id")).distinct()
