@@ -2,7 +2,7 @@ package graft.table
 
 import java.util
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -57,7 +57,6 @@ class GraftTable(tableName: String, location: String,
         with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       import org.apache.spark.sql.catalyst.expressions.Expression
-      import org.apache.spark.sql.execution.datasources.DataSourceStrategy
       import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 
       private var inner: FileScanBuilder = _
