@@ -55,14 +55,30 @@ class GraftTable(tableName: String, location: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
         with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       import org.apache.spark.sql.catalyst.expressions.Expression
+      import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+      import org.apache.spark.sql.connector.read.SupportsPushDownAggregates
       import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 
       private var inner: FileScanBuilder = _
       private def ensureInner(files: Seq[SnapshotTable.DataFile]): Unit =
         if (inner == null)
           inner = innerBuilder(files, options).asInstanceOf[FileScanBuilder]
+
+      // footer-stats aggregate pushdown (COUNT/MIN/MAX answered from
+      // parquet metadata) — delegate to the parquet builder, which sees
+      // only the stats-pruned file set
+      override def supportCompletePushDown(agg: Aggregation): Boolean = {
+        ensureInner(snap.files)
+        inner.asInstanceOf[SupportsPushDownAggregates].supportCompletePushDown(agg)
+      }
+
+      override def pushAggregation(agg: Aggregation): Boolean = {
+        ensureInner(snap.files)
+        inner.asInstanceOf[SupportsPushDownAggregates].pushAggregation(agg)
+      }
 
       override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
         val sourceFilters = filters.flatMap(StatsPruning.fromCatalyst)

@@ -133,4 +133,16 @@ class GraftCatalogSpec extends SparkFunSuite {
     assert(hit < nFiles, s"expected pruning: $hit of $nFiles files scanned")
     assert(spark.sql("SELECT count(*) FROM tt.db.ev_cluster").head().getLong(0) == e.count())
   }
+
+  test("count(*) through the catalog pushes the aggregate to parquet metadata") {
+    makeTable("ev_agg")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = spark.sql("SELECT count(*) FROM tt.db.ev_agg")
+      assert(df.head().getLong(0) == 1000L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)]"),
+        s"aggregate not pushed:\n$plan")
+    } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+  }
 }
