@@ -40,10 +40,7 @@ object Llm {
   // Exact dedup: hash-groupBy on content, keep lowest doc_id per group
   // (at 100 TB: one shuffle on a 128-bit content hash; identical layout).
   def q30(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .groupBy("text")
-      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
-      .select("keep_doc_id", "dup_count")
+    graft.operators.Dedup.groups(docs(s, dir), "text", "doc_id")
       .orderBy("keep_doc_id")
 
   val q30Sql =
