@@ -124,6 +124,24 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     commitWithRetry(_ => staged, base.schemaJson, "compact")
   }
 
+  /** MERGE-style upsert: rows in `updates` replace current rows with the
+    * same key; unmatched update rows are inserted. One atomic snapshot
+    * swap — readers see the pre-merge or post-merge table, never a mix.
+    * Plan shape at scale: a single shuffle of both sides on the key
+    * columns (left-anti + union), no driver involvement; the rewrite is
+    * proportional to the whole table like any copy-on-write MERGE —
+    * partition-scoped merges can first narrow with a predicate.
+    */
+  def upsert(updates: DataFrame, keyCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    val current = read()
+    val merged = current
+      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
+      .localCheckpoint(true)
+    overwrite(merged)
+  }
+
   /** Expire all but the last `keepLast` snapshots and delete data files no
     * surviving snapshot references (orphan GC — reference T6). */
   def expireSnapshots(keepLast: Int): Unit = {

@@ -76,4 +76,18 @@ class SnapshotTableSpec extends SparkFunSuite {
     assert(df.filter(col("extra").isNull).count() == 100)
     assert(df.filter(col("extra") === 7).count() == 50)
   }
+
+  test("upsert replaces matched keys and inserts new ones atomically") {
+    val loc = scratch("snap-upsert")
+    val t = SnapshotTable.create(spark, loc, events.filter($"event_id" < 100))
+    val updates = events.filter($"event_id" >= 50 && $"event_id" < 120)
+      .withColumn("value", lit(999.99))
+    t.upsert(updates, Seq("event_id"))
+    val now = t.read()
+    assert(now.count() == 120) // 0..49 kept, 50..119 upserted
+    assert(now.filter($"event_id" >= 50 && $"value" === 999.99).count() == 70)
+    assert(now.filter($"event_id" < 50 && $"value" === 999.99).count() == 0)
+    // pre-merge snapshot still travelable
+    assert(t.readVersion(0).count() == 100)
+  }
 }
