@@ -140,6 +140,49 @@ object Streams {
     }
   }
 
+  /** Streaming ingest INTO a snapshot table (the reference's
+    * Firehose→Iceberg landing path with ACID semantics): each micro-batch
+    * commits one snapshot tagged with its batch id. Replayed batches after
+    * a checkpoint-recovery restart are detected by the tag and skipped, so
+    * the sink is exactly-once end-to-end (file-source offsets in the
+    * checkpoint + idempotent commit on the table side).
+    */
+  def streamIntoTable(spark: SparkSession, srcDir: String, tableLoc: String,
+      checkpointTag: String): graft.table.SnapshotTable = {
+    import graft.table.SnapshotTable
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(srcDir).schema
+    val ckpt = Tables.scratch(s"ckpt/ingest_$checkpointTag")
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 10).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tag = s"stream-batch-$batchId"
+        val exists = new java.io.File(s"$tableLoc/_snapshots").isDirectory
+        val replayed = exists && {
+          val t = SnapshotTable.load(batch.sparkSession, tableLoc)
+          t.versions.map(v => t.snapshot(v).operation).contains(tag)
+        }
+        if (!replayed) {
+          val data = batch.localCheckpoint(true)
+          if (exists) SnapshotTable.load(batch.sparkSession, tableLoc).append(data, tag)
+          else {
+            // first batch creates the table with the tagged snapshot
+            val t = new java.io.File(tableLoc)
+            t.mkdirs()
+            SnapshotTable.createEmpty(batch.sparkSession, tableLoc, data.schema)
+            SnapshotTable.load(batch.sparkSession, tableLoc).append(data, tag)
+          }
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    SnapshotTable.load(spark, tableLoc)
+  }
+
   /** T3: materialized-view refresh by full recompute + atomic publish. */
   def refreshMaterializedView(spark: SparkSession, mvDir: String,
       compute: => DataFrame): DataFrame = {

@@ -21,7 +21,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * reader/pushdown; the write keeps the log's ACID guarantees.
   */
 class GraftTable(tableName: String, location: String,
-    snap: SnapshotTable.Snapshot) extends Table with SupportsRead with SupportsWrite {
+    snap: SnapshotTable.Snapshot) extends Table
+    with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -103,6 +104,20 @@ class GraftTable(tableName: String, location: String,
       }
     }
 
+  /** SQL `DELETE FROM … WHERE …`: copy-on-write — keep rows NOT matching
+    * the predicate and swap the file list in one atomic snapshot. */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => GraftTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.not
+    val t = SnapshotTable.load(spark, location)
+    val cond = filters.flatMap(GraftTable.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    t.overwrite(t.read().filter(not(cond)).localCheckpoint(true))
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
@@ -117,4 +132,34 @@ class GraftTable(tableName: String, location: String,
           }
       }
     }
+}
+
+object GraftTable {
+  import org.apache.spark.sql.{Column, functions => F}
+  import org.apache.spark.sql.sources._
+
+  /** Source filter → Column condition for the delete path; None marks an
+    * unsupported shape (canDeleteWhere then refuses, Spark reports the
+    * delete as unsupported instead of deleting the wrong rows). */
+  private[table] def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(c, v) => Some(F.col(c) === F.lit(v))
+    case GreaterThan(c, v) => Some(F.col(c) > F.lit(v))
+    case GreaterThanOrEqual(c, v) => Some(F.col(c) >= F.lit(v))
+    case LessThan(c, v) => Some(F.col(c) < F.lit(v))
+    case LessThanOrEqual(c, v) => Some(F.col(c) <= F.lit(v))
+    case In(c, vs) => Some(F.col(c).isin(vs.toIndexedSeq: _*))
+    case IsNull(c) => Some(F.col(c).isNull)
+    case IsNotNull(c) => Some(F.col(c).isNotNull)
+    case Not(child) => filterToColumn(child).map(!_)
+    case And(l, r) =>
+      for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a && b
+    case Or(l, r) =>
+      for { a <- filterToColumn(l); b <- filterToColumn(r) } yield a || b
+    case StringStartsWith(c, v) => Some(F.col(c).startsWith(v))
+    case StringEndsWith(c, v) => Some(F.col(c).endsWith(v))
+    case StringContains(c, v) => Some(F.col(c).contains(v))
+    case AlwaysTrue() => Some(F.lit(true))
+    case AlwaysFalse() => Some(F.lit(false))
+    case _ => None
+  }
 }

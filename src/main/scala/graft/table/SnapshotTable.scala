@@ -85,10 +85,12 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
   private[table] def commitEmpty(schemaJson: String): Int =
     commitWithRetry(base => base.files, schemaJson, "create")
 
-  /** ACID append: stage new files, then commit (optimistic retry). */
-  def append(df: DataFrame): Int = {
+  /** ACID append: stage new files, then commit (optimistic retry).
+    * `operation` tags the snapshot (streaming sinks use it to record the
+    * micro-batch id for exactly-once replay detection). */
+  def append(df: DataFrame, operation: String = "append"): Int = {
     val staged = stage(df)
-    commitWithRetry(base => base.files ++ staged, df.schema.json, "append")
+    commitWithRetry(base => base.files ++ staged, df.schema.json, operation)
   }
 
   /** Replace the whole table content atomically (INSERT OVERWRITE). */

@@ -51,4 +51,28 @@ class StreamsSpec extends SparkFunSuite {
     val t = graft.table.SnapshotTable.load(spark, mv)
     assert(t.readVersion(0).count() == 5) // previous MV still time-travelable
   }
+
+  test("streaming ingest into a snapshot table is incremental and exactly-once") {
+    val events = graft.Tables.load(spark, sf, "events")
+    val src = scratch("ingest-src")
+    events.filter(col("event_id") < 600).repartition(3).write.parquet(src)
+    val loc = scratch("ingest-table")
+    graft.Tables.deleteRecursively(graft.Tables.scratch("ckpt/ingest_ingest-test"))
+
+    val t1 = Streams.streamIntoTable(spark, src, loc, "ingest-test")
+    assert(t1.read().count() == 600)
+    assert(t1.versions.map(t1.snapshot).exists(_.operation.startsWith("stream-batch-")))
+    val v1 = t1.versions
+
+    // same checkpoint, no new files → no new snapshots committed
+    val t2 = Streams.streamIntoTable(spark, src, loc, "ingest-test")
+    assert(t2.versions == v1)
+
+    // new source file → exactly the delta lands in a new tagged snapshot
+    events.filter(col("event_id") >= 600).coalesce(1)
+      .write.mode("append").parquet(src)
+    val t3 = Streams.streamIntoTable(spark, src, loc, "ingest-test")
+    assert(t3.read().count() == events.count())
+    assert(t3.versions.size == v1.size + 1)
+  }
 }

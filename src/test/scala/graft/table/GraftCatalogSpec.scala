@@ -145,4 +145,18 @@ class GraftCatalogSpec extends SparkFunSuite {
         s"aggregate not pushed:\n$plan")
     } finally spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
   }
+
+  test("SQL DELETE FROM removes matching rows in one snapshot") {
+    makeTable("ev_delete")
+    val before = spark.sql("SELECT count(*) FROM tt.db.ev_delete").head().getLong(0)
+    spark.sql("DELETE FROM tt.db.ev_delete WHERE event_type = 'purchase'")
+    val after = spark.sql("SELECT count(*) FROM tt.db.ev_delete").head().getLong(0)
+    assert(after < before)
+    assert(spark.sql(
+      "SELECT count(*) FROM tt.db.ev_delete WHERE event_type = 'purchase'")
+      .head().getLong(0) == 0L)
+    // pre-delete snapshot still travelable (version 1 = post-append)
+    assert(spark.sql("SELECT count(*) FROM tt.db.ev_delete VERSION AS OF 1")
+      .head().getLong(0) == before)
+  }
 }
