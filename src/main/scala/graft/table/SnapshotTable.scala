@@ -79,6 +79,18 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     readVersion(v.max)
   }
 
+  /** Table history as a DataFrame (version, committed_at, operation,
+    * n_files, n_rows) — the snapshot-metadata observability surface
+    * (reference `aws-community-builders-presentation.md:229-258`). */
+  def history(): DataFrame = {
+    import spark.implicits._
+    versions.map { v =>
+      val s = snapshot(v)
+      (s.version, new java.sql.Timestamp(s.timestampMs), s.operation,
+        s.files.size.toLong, s.files.map(_.rows).filter(_ >= 0).sum)
+    }.toDF("version", "committed_at", "operation", "n_files", "n_rows")
+  }
+
   // --------------------------------------------------------------- writes
 
   /** Commit an empty snapshot carrying only a schema (SQL CREATE TABLE). */

@@ -90,4 +90,15 @@ class SnapshotTableSpec extends SparkFunSuite {
     // pre-merge snapshot still travelable
     assert(t.readVersion(0).count() == 100)
   }
+
+  test("history lists every snapshot with operation and row counts") {
+    val loc = scratch("snap-history")
+    val t = SnapshotTable.create(spark, loc, events.limit(100))
+    t.append(events.limit(50))
+    t.compact()
+    val h = t.history().orderBy("version").collect()
+    assert(h.map(_.getAs[String]("operation")).toSeq ==
+      Seq("append", "append", "compact"))
+    assert(h.last.getAs[Long]("n_rows") == 150L)
+  }
 }
