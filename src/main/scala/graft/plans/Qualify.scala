@@ -21,7 +21,16 @@ package graft.plans
   */
 object Qualify {
 
-  /** Desugar a top-level QUALIFY clause; SQL without one passes through. */
+  /** Desugar a top-level QUALIFY clause; SQL without one passes through.
+    *
+    * Two Snowflake forms are supported:
+    *  - alias form (`QUALIFY event_rank <= 5`, the reference's usage):
+    *    the predicate references a select-list alias → plain outer filter;
+    *  - direct window form (`QUALIFY ROW_NUMBER() OVER (…) <= 5`): the
+    *    predicate itself contains a window function, which cannot appear
+    *    in a WHERE clause — it is hoisted into a projected boolean column
+    *    and filtered in the outer query, then dropped via `* EXCEPT`.
+    */
   def desugar(sql: String): String = {
     val qualifyPos = topLevelKeyword(sql, "QUALIFY")
     qualifyPos match {
@@ -35,7 +44,22 @@ object Qualify {
           .sorted.headOption.getOrElse(rest.length)
         val pred = rest.substring(0, tailStart).trim
         val tail = rest.substring(tailStart)
-        s"SELECT * FROM (\n$head\n) __qualify WHERE $pred\n$tail"
+        if (topLevelKeyword(pred, "OVER").isEmpty)
+          s"SELECT * FROM (\n$head\n) __qualify WHERE $pred\n$tail"
+        else {
+          // window expression in the predicate: it may reference base
+          // columns the select list does not project, so the condition is
+          // injected into the ORIGINAL select list (where those columns
+          // are in scope), filtered outside, and dropped via * EXCEPT
+          val fromPos = topLevelKeyword(head, "FROM").getOrElse(
+            throw new IllegalArgumentException(s"no top-level FROM in: $head"))
+          val injected = head.substring(0, fromPos).stripTrailing() +
+            s", ($pred) AS __qualify_cond\n" + head.substring(fromPos)
+          s"""SELECT * EXCEPT (__qualify_cond) FROM (
+             |$injected
+             |) __qualify WHERE __qualify_cond
+             |$tail""".stripMargin
+        }
     }
   }
 

@@ -37,4 +37,16 @@ class QualifySpec extends SparkFunSuite {
       .filter(col("rn") <= 3).select("user_id", "event_id", "rn")
     assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
   }
+
+  test("direct window form: QUALIFY ROW_NUMBER() OVER (...) <= k") {
+    val e = graft.Tables.load(spark, sf, "events")
+    e.createOrReplaceTempView("events")
+    val viaSql = spark.sql(Qualify.desugar(
+      """SELECT user_id, event_id FROM events
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) <= 2
+        |ORDER BY user_id, event_id""".stripMargin))
+    assert(viaSql.columns.toSeq == Seq("user_id", "event_id")) // helper column dropped
+    val counts = viaSql.groupBy("user_id").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) <= 2))
+  }
 }
