@@ -61,8 +61,19 @@ object Bench {
     // per-test name/status/seconds/rows + summary, timestamped filename.
     val ts = java.time.LocalDateTime.now()
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
+    // suite grouping mirrors the reference harness's --test-suite split
+    // (run_performance_tests.py:344-374) plus the pipeline extensions
+    def suite(n: String): String = n match {
+      case "q07_time_travel" | "q42_streaming_agg" | "q43_mv_refresh" |
+           "q44_compaction" | "q45_schema_evolution" | "q48_sql_time_travel" |
+           "q49_bench_metrics" => "maintenance"
+      case _ if n >= "q30" && n <= "q51" => "data_pipeline"
+      case _ if n.startsWith("q1") && n >= "q10" => "advanced"
+      case "q12_funnel" | "q13_compaction_estimator" => "advanced"
+      case _ => "basic"
+    }
     val tests = results.map { case (n, sec, r, st) =>
-      s"""    {"test_name": ${jstr(n)}, "status": ${jstr(if (st == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": $sec, "row_count": $r}"""
+      s"""    {"test_name": ${jstr(n)}, "suite": ${jstr(suite(n))}, "status": ${jstr(if (st == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": $sec, "row_count": $r}"""
     }.mkString("[\n", ",\n", "\n  ]")
     val report =
       s"""{
