@@ -159,4 +159,19 @@ class GraftCatalogSpec extends SparkFunSuite {
     assert(spark.sql("SELECT count(*) FROM tt.db.ev_delete VERSION AS OF 1")
       .head().getLong(0) == before)
   }
+
+  test("concurrent SQL INSERTs both commit (ACID through the SQL layer)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS tt.db.sqlconc")
+    spark.sql("CREATE TABLE tt.db.sqlconc (id BIGINT)")
+    val threads = (1 to 3).map { i =>
+      new Thread(() => {
+        spark.sql(s"INSERT INTO tt.db.sqlconc VALUES ($i), (${i * 10})")
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(spark.sql("SELECT count(*) FROM tt.db.sqlconc").head().getLong(0) == 6L)
+    assert(spark.sql("SELECT CAST(sum(id) AS BIGINT) FROM tt.db.sqlconc")
+      .head().getLong(0) == (1 + 10 + 2 + 20 + 3 + 30))
+  }
 }
