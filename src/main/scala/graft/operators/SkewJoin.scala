@@ -19,6 +19,13 @@ object SkewJoin {
 
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       saltFactor: Int = 16, joinType: String = "inner"): DataFrame = {
+    // right/full outer joins are rejected: the small side is exploded
+    // saltFactor×, so each of its unmatched keys would surface saltFactor
+    // null-extended rows instead of one — not identical to the plain join
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(normalized),
+      s"saltedJoin supports inner/left-ish joins only, got: $joinType")
     val saltCol = "__graft_salt"
     // uniform deterministic-enough salt per large-side row; any
     // distribution works — correctness never depends on salt values

@@ -373,14 +373,19 @@ object Core {
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
   // q18: ARRAY_AGG(DISTINCT) / collect_set (A11), sorted for determinism.
+  // Emitted as a comma-joined string (not an array column): the driver's
+  // pandas compare sorts every column and can't hash numpy arrays, so both
+  // sides serialize the set identically instead.
   def q18(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("user_id")
-      .agg(sort_array(collect_set(col("event_type"))).as("event_types"))
+      .agg(array_join(sort_array(collect_set(col("event_type"))), ",")
+        .as("event_types"))
       .orderBy("user_id")
 
   val q18Sql =
-    """SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types
+    """SELECT user_id,
+      |       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // q19: exact median via percentile (A12 — reference uses

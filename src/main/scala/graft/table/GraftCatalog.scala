@@ -90,17 +90,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     new java.io.File(s"${location(ident)}/_snapshots").isDirectory
 
+  /** `CREATE TABLE … PARTITIONED BY (col, …)` — identity transforms only
+    * (the reference's fact table is day-partitioned by definition,
+    * reference `main.tf:139-151`; bucket/truncate transforms are out of
+    * scope). Data lands in a Hive `col=value/` layout and partition values
+    * feed the manifest stats pruner. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty, "partition transforms not supported yet")
+    val pcols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      if (t.name() == "identity" && refs.length == 1 && refs(0).fieldNames().length == 1)
+        refs(0).fieldNames()(0)
+      else throw new UnsupportedOperationException(
+        s"only identity partition transforms are supported, got: $t")
+    }
+    pcols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
-    val t = SnapshotTable.createEmpty(spark, location(ident), schema)
+    val t = SnapshotTable.createEmpty(spark, location(ident), schema, pcols)
     parquetTable(ident, t.snapshot(t.latestVersion))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("use SnapshotTable.append with a wider schema")
+  /** `ALTER TABLE … ADD COLUMN(S)` (reference demos exactly this DDL,
+    * `aws-community-builders-presentation.md:124-128`): commits a
+    * schema-only snapshot over the unchanged file list — rows written
+    * before the column existed read as null (additive evolution, T8). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = open(ident)
+    val snap = t.snapshot(t.latestVersion)
+    var schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType]
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"nested column add not supported: ${add.fieldNames().mkString(".")}")
+        val name = add.fieldNames()(0)
+        require(!schema.fieldNames.contains(name), s"column $name already exists")
+        schema = schema.add(name, add.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported table change: $other")
+    }
+    t.commitSchema(schema.json)
+    parquetTable(ident, t.snapshot(t.latestVersion))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val exists = tableExists(ident)

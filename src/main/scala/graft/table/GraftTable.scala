@@ -35,15 +35,25 @@ class GraftTable(tableName: String, location: String,
     util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    snap.partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+
   private def innerBuilder(files: Seq[SnapshotTable.DataFile],
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    // partitioned tables carry their values in Hive directory names under
+    // data/; basePath lets the file index recover them as columns
+    val opts: util.Map[String, String] =
+      if (snap.partitionCols.isEmpty) util.Map.of("mergeSchema", "true")
+      else util.Map.of("mergeSchema", "true", "basePath", s"$location/data")
     ParquetTable(
       s"$tableName@v${snap.version}",
       spark,
-      new CaseInsensitiveStringMap(util.Map.of("mergeSchema", "true")),
+      new CaseInsensitiveStringMap(opts),
       files.map(_.path),
       Some(schema()),
       classOf[ParquetFileFormat]).newScanBuilder(options)
+  }
 
   /** Scan builder with manifest-stats file skipping: pushed filters first
     * prune the snapshot's file list against per-file min/max stats
@@ -105,17 +115,22 @@ class GraftTable(tableName: String, location: String,
     }
 
   /** SQL `DELETE FROM … WHERE …`: copy-on-write — keep rows NOT matching
-    * the predicate and swap the file list in one atomic snapshot. */
+    * the predicate and swap the file list in one atomic, conflict-checked
+    * snapshot. SQL DELETE removes only rows where the predicate is TRUE,
+    * so a row where it evaluates to NULL (e.g. `c = 5` with c null) is
+    * KEPT — hence `!coalesce(cond, false)` rather than `not(cond)`. */
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(f => GraftTable.filterToColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    import org.apache.spark.sql.functions.not
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     val t = SnapshotTable.load(spark, location)
+    val baseV = t.latestVersion
     val cond = filters.flatMap(GraftTable.filterToColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    t.overwrite(t.read().filter(not(cond)).localCheckpoint(true))
+    t.replace(baseV, t.readVersion(baseV).filter(not(coalesce(cond, lit(false)))),
+      "delete")
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

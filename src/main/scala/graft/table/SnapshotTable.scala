@@ -6,34 +6,43 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** A snapshot-log table: Iceberg-semantics capabilities (ACID append, time
-  * travel, compaction, snapshot expiration, additive schema evolution) over
-  * plain Parquet files — the multi-engine-readable layout the reference
-  * demos (its files stay scannable by DuckDB et al., reference
-  * `aws-community-builders-presentation.md:996-1039`).
+  * travel, compaction, snapshot expiration, additive schema evolution,
+  * identity partitioning) over plain Parquet files — the multi-engine-
+  * readable layout the reference demos (its files stay scannable by DuckDB
+  * et al., reference `aws-community-builders-presentation.md:996-1039`).
   *
   * Commit protocol (mirrors the reference's 4-step Iceberg commit,
   * `aws-community-builders-presentation.md:203-224`):
-  *   1. write new data files into an immutable staging dir under `data/`;
+  *   1. write new data files into immutable locations under `data/`;
   *   2. build the next snapshot: full file list + schema + operation;
   *   3. serialize to `_snapshots/.tmp-*`;
-  *   4. atomically rename to `_snapshots/v%05d.json` — the rename is the
+  *   4. atomically link to `_snapshots/v%05d.json` — the link is the
   *      commit point. A concurrent writer that loses the race gets
   *      `FileAlreadyExistsException`, re-reads the latest snapshot, and
-  *      retries on top of it (optimistic concurrency, last-writer-wins on
-  *      file-list merge).
+  *      retries on top of it (optimistic concurrency). Appends always
+  *      rebase; rewrite ops (compact) rebase only when their input file
+  *      set is still live, and copy-on-write ops (upsert/delete/migrate
+  *      via [[replace]]) abort with `ConcurrentModificationException` when
+  *      the base snapshot moved — Iceberg-style conflict validation, so a
+  *      concurrent commit is never silently dropped.
   *
   * Readers pin a snapshot once at scan creation (snapshot isolation):
   * `read`/`readVersion`/`readAsOf` resolve the file list from one JSON
   * document and never see a half-committed state.
   *
-  * Scale notes: the log holds file paths + counts only (O(files), like an
+  * Scale notes: the log holds file paths + stats only (O(files), like an
   * Iceberg manifest list); data moves through ordinary distributed
   * `df.write.parquet`, so a 1000-executor cluster writes in parallel and
-  * only the O(KB) pointer swap is centralized.
+  * only the O(KB) pointer swap is centralized. Per-file row counts,
+  * byte sizes, and min/max column stats are harvested from the parquet
+  * FOOTERS of the just-written files (a distributed metadata-only pass —
+  * never a second scan of the data), so every commit is single-pass over
+  * its payload, like Iceberg's write-task stats collection.
   */
 final class SnapshotTable private (val spark: SparkSession, val location: String) {
 
   private def snapDir: Path = Paths.get(location, "_snapshots")
+  private def dataDir: Path = Paths.get(location, "data")
 
   // ------------------------------------------------------------ snapshots
 
@@ -51,22 +60,34 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     SnapshotTable.parseSnapshot(
       Files.readString(snapDir.resolve(f"v$version%05d.json")))
 
+  /** Partition columns declared at table creation (identity transforms). */
+  def partitionCols: Seq[String] =
+    if (latestVersion >= 0) snapshot(latestVersion).partitionCols else Seq.empty
+
   // ---------------------------------------------------------------- reads
 
-  /** Read the latest snapshot (schema union across files → additive schema
-    * evolution: rows written before a column was added read as null). */
+  /** Read the latest snapshot. */
   def read(): DataFrame = readVersion(latestVersion)
 
-  /** Time travel by version (`VERSION AS OF`). */
+  /** Time travel by version (`VERSION AS OF`). The snapshot's declared
+    * schema is applied explicitly, so columns added by schema evolution /
+    * ALTER TABLE read as null from files written before the column existed
+    * (no mergeSchema footer sampling needed — the log owns the schema). */
   def readVersion(version: Int): DataFrame = {
     val snap = snapshot(version)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
     if (snap.files.isEmpty) {
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      spark.read.option("mergeSchema", "true").parquet(snap.files.map(_.path): _*)
+      val reader = spark.read.schema(schema)
+      // partitioned tables use a Hive layout under data/; basePath lets the
+      // file index recover partition values from the directory names
+      val withBase =
+        if (snap.partitionCols.nonEmpty) reader.option("basePath", dataDir.toString)
+        else reader
+      withBase.parquet(snap.files.map(_.path): _*)
     }
   }
 
@@ -94,36 +115,79 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
   // --------------------------------------------------------------- writes
 
   /** Commit an empty snapshot carrying only a schema (SQL CREATE TABLE). */
-  private[table] def commitEmpty(schemaJson: String): Int =
-    commitWithRetry(base => base.files, schemaJson, "create")
+  private[table] def commitEmpty(schemaJson: String,
+      partitionColsIfNew: Seq[String] = Seq.empty): Int =
+    commitWithRetry(base => base.files, _ => schemaJson, "create",
+      partitionColsIfNew)
 
-  /** ACID append: stage new files, then commit (optimistic retry).
+  /** Commit a schema-only change over the current file list (ALTER TABLE). */
+  private[table] def commitSchema(schemaJson: String): Int =
+    commitWithRetry(base => base.files, _ => schemaJson, "alter")
+
+  /** ACID append: stage new files, then commit (optimistic retry; appends
+    * always rebase cleanly over concurrent commits). The committed schema
+    * is the union of the table schema and the appended frame's schema —
+    * additive evolution, old rows read null for new columns.
     * `operation` tags the snapshot (streaming sinks use it to record the
     * micro-batch id for exactly-once replay detection). */
-  def append(df: DataFrame, operation: String = "append"): Int = {
-    val staged = stage(df)
-    commitWithRetry(base => base.files ++ staged, df.schema.json, operation)
+  def append(df: DataFrame, operation: String = "append",
+      partitionColsIfNew: Seq[String] = Seq.empty): Int = {
+    val pcols = if (latestVersion >= 0) partitionCols else partitionColsIfNew
+    val staged = stage(df, pcols)
+    commitWithRetry(
+      base => base.files ++ staged,
+      base => if (base.version < 0) df.schema.json
+              else SnapshotTable.unionSchema(base.schemaJson, df.schema),
+      operation, partitionColsIfNew)
   }
 
-  /** Replace the whole table content atomically (INSERT OVERWRITE). */
+  /** Replace the whole table content atomically (INSERT OVERWRITE —
+    * last-writer-wins by SQL semantics). */
   def overwrite(df: DataFrame): Int = {
-    val staged = stage(df)
-    commitWithRetry(_ => staged, df.schema.json, "overwrite")
+    val staged = stage(df, partitionCols)
+    commitWithRetry(_ => staged, _ => df.schema.json, "overwrite")
+  }
+
+  /** Copy-on-write overwrite validated against the snapshot the caller
+    * derived `df` from: if another writer committed after `baseVersion`,
+    * abort with `ConcurrentModificationException` instead of silently
+    * dropping their commit. upsert/DELETE/tier-migration go through here.
+    * The rewrite is staged to new files first and only then swapped in —
+    * write-then-swap, no driver/executor-memory materialization: the old
+    * files stay on disk (time travel) so the rewrite can stream from them
+    * while writing the replacement. */
+  def replace(baseVersion: Int, df: DataFrame,
+      operation: String = "overwrite"): Int = {
+    val staged = stage(df, partitionCols)
+    commitWithRetry(
+      base => {
+        if (base.version != baseVersion)
+          throw new java.util.ConcurrentModificationException(
+            s"table $location moved v$baseVersion -> v${base.version} during copy-on-write $operation")
+        staged
+      }, _ => df.schema.json, operation)
   }
 
   /** Bin-pack compaction (reference T7: target 128–256 MB files,
     * `aws-community-builders-presentation.md:302-307`): rewrite the current
     * file set into ceil(totalBytes / targetBytes) files and swap the file
     * list in one atomic commit. Old files stay on disk for time travel
-    * until [[expireSnapshots]] collects them.
+    * until [[expireSnapshots]] collects them. Concurrent appends are
+    * rebased over (their files survive the swap); if any compaction input
+    * file vanished (concurrent rewrite), the commit aborts instead of
+    * resurrecting or dropping rows.
     */
   def compact(targetBytes: Long = 256L * 1024 * 1024,
       clusterBy: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions.col
     val base = snapshot(latestVersion)
-    val totalBytes = base.files.map(f => Files.size(Paths.get(f.path))).sum
+    val inputs = base.files.map(_.path).toSet
+    // file sizes come from the manifest (recorded at stage time); fall back
+    // to a driver stat only for legacy manifests without byte counts
+    val totalBytes = base.files.map(f =>
+      if (f.bytes >= 0) f.bytes else Files.size(Paths.get(f.path))).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val data = read()
+    val data = readVersion(base.version)
     // clusterBy = the reference's Z-order-style layout optimization
     // (aws-community-builders-presentation.md:302-307 as
     // repartitionByRange + in-file sort): files end up with disjoint
@@ -134,26 +198,36 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         data.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else data.repartition(nFiles)
-    val staged = stage(arranged)
-    commitWithRetry(_ => staged, base.schemaJson, "compact")
+    val staged = stage(arranged, base.partitionCols)
+    commitWithRetry(
+      cur => {
+        val live = cur.files.map(_.path).toSet
+        if (!inputs.subsetOf(live))
+          throw new java.util.ConcurrentModificationException(
+            s"compaction inputs at $location were rewritten concurrently")
+        cur.files.filterNot(f => inputs(f.path)) ++ staged
+      },
+      cur => if (cur.version < 0) base.schemaJson else cur.schemaJson,
+      "compact")
   }
 
   /** MERGE-style upsert: rows in `updates` replace current rows with the
     * same key; unmatched update rows are inserted. One atomic snapshot
     * swap — readers see the pre-merge or post-merge table, never a mix.
     * Plan shape at scale: a single shuffle of both sides on the key
-    * columns (left-anti + union), no driver involvement; the rewrite is
-    * proportional to the whole table like any copy-on-write MERGE —
-    * partition-scoped merges can first narrow with a predicate.
+    * columns (left-anti + union), streamed from the old files into the
+    * staged replacement files; the rewrite is proportional to the whole
+    * table like any copy-on-write MERGE — partition-scoped merges can
+    * first narrow with a predicate.
     */
   def upsert(updates: DataFrame, keyCols: Seq[String]): Int = {
     import org.apache.spark.sql.functions.col
-    val current = read()
+    val baseV = latestVersion
+    val current = readVersion(baseV)
     val merged = current
       .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(updates, allowMissingColumns = true)
-      .localCheckpoint(true)
-    overwrite(merged)
+    replace(baseV, merged, "overwrite")
   }
 
   /** Expire all but the last `keepLast` snapshots and delete data files no
@@ -169,63 +243,85 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
 
   // ------------------------------------------------------------ internals
 
-  /** Write df into an immutable staging dir; return its file manifest with
-    * per-file row counts and min/max column stats (the Iceberg manifest
-    * trick: one cheap distributed pass over the new files at commit time
-    * buys metadata-only file skipping for every future query — at 100 TB
-    * the planner prunes from the O(files) manifest instead of opening
-    * footers). */
-  private def stage(df: DataFrame): Seq[SnapshotTable.DataFile] = {
-    import org.apache.spark.sql.functions._
-    val dir = Paths.get(location, "data", java.util.UUID.randomUUID.toString)
-    df.write.parquet(dir.toString)
-    val paths = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).toSeq.sorted
-    val statCols = df.schema.fields
-      .filter(f => SnapshotTable.statType(f.dataType).nonEmpty)
-      .take(8)
-    val statsByFile: Map[String, (Long, Map[String, SnapshotTable.ColStats])] =
-      if (statCols.isEmpty) Map.empty
-      else {
-        val aggs = count(lit(1)).as("__rows") +:
-          statCols.flatMap(f => Seq(
-            min(col(f.name)).cast("string").as(s"__min_${f.name}"),
-            max(col(f.name)).cast("string").as(s"__max_${f.name}")))
-        spark.read.parquet(dir.toString)
-          .groupBy(input_file_name().as("__file"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            val file = r.getString(0).stripPrefix("file://").stripPrefix("file:")
-            val stats = statCols.flatMap { f =>
-              val mn = r.getAs[String](s"__min_${f.name}")
-              val mx = r.getAs[String](s"__max_${f.name}")
-              if (mn == null || mx == null) None
-              else Some(f.name -> SnapshotTable.ColStats(
-                SnapshotTable.statType(f.dataType).get, mn, mx))
-            }.toMap
-            file -> (r.getAs[Long]("__rows"), stats)
-          }.toMap
+  /** Write df into immutable new files under `data/`; return their
+    * manifest entries. Row counts, byte sizes, and min/max column stats
+    * come from the parquet footers of the just-written files — a
+    * distributed metadata-only pass (O(files) footer reads, not a second
+    * O(data) scan), mirroring how Iceberg collects stats from write tasks.
+    *
+    * Partitioned tables (identity transforms) write a Hive
+    * `col=value/` layout via `partitionBy` and surface the partition
+    * values as min==max manifest stats, so partition pruning rides the
+    * same stats-pruning machinery as data-column range skipping.
+    */
+  private def stage(df: DataFrame,
+      pcols: Seq[String]): Seq[SnapshotTable.DataFile] = {
+    // INT64 micros timestamps: footer stats are usable (INT96 has none)
+    // and the files stay readable by other engines
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val paths: Seq[String] =
+      if (pcols.isEmpty) {
+        val dir = dataDir.resolve(java.util.UUID.randomUUID.toString)
+        df.write.parquet(dir.toString)
+        Files.list(dir).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(_.toString).toSeq.sorted
+      } else {
+        // write the Hive layout into a staging dir, then move each leaf
+        // file under data/<k>=<v>/ with a unique name — a same-filesystem
+        // rename per file (metadata-only), giving one shared basePath for
+        // partition-value recovery across all commits
+        val tmp = Paths.get(location, "_staging", java.util.UUID.randomUUID.toString)
+        df.write.partitionBy(pcols: _*).parquet(tmp.toString)
+        val staged = Files.walk(tmp).iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sorted
+        val uuid = java.util.UUID.randomUUID.toString.take(8)
+        val moved = staged.zipWithIndex.map { case (p, i) =>
+          val rel = tmp.relativize(p.getParent).toString
+          val destDir = dataDir.resolve(rel)
+          Files.createDirectories(destDir)
+          val dest = destDir.resolve(s"$uuid-$i-${p.getFileName}")
+          Files.move(p, dest)
+          dest.toString
+        }
+        graft.Tables.deleteRecursively(tmp.toString)
+        moved.sorted
       }
+    val statCols: Seq[(String, String)] = df.schema.fields.toSeq
+      .flatMap(f => SnapshotTable.statType(f.dataType).map(t => f.name -> t))
+      .take(8)
+    val schemaByName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val footer: Map[String, (Long, Long, Map[String, SnapshotTable.ColStats])] =
+      if (paths.isEmpty) Map.empty
+      else spark.sparkContext
+        .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+        .map(p => p -> SnapshotTable.footerStats(p, statCols))
+        .collect().toMap
     paths.map { p =>
-      val (rows, stats) = statsByFile.getOrElse(p, (-1L, Map.empty[String, SnapshotTable.ColStats]))
-      SnapshotTable.DataFile(p, rows, stats)
+      val (rows, bytes, stats) = footer.getOrElse(p, (-1L, -1L, Map.empty[String, SnapshotTable.ColStats]))
+      // partition values ride the stats map as min==max entries
+      val partStats = SnapshotTable.partitionValueStats(
+        dataDir.toString, p, pcols, schemaByName)
+      SnapshotTable.DataFile(p, rows, stats ++ partStats, bytes)
     }
   }
 
   private def commitWithRetry(
       nextFiles: SnapshotTable.Snapshot => Seq[SnapshotTable.DataFile],
-      schemaJson: String, operation: String, attempts: Int = 20): Int = {
+      nextSchema: SnapshotTable.Snapshot => String,
+      operation: String,
+      partitionColsIfNew: Seq[String] = Seq.empty,
+      attempts: Int = 20): Int = {
     var tries = 0
     while (true) {
       val baseV = latestVersion
       val base =
         if (baseV >= 0) snapshot(baseV)
-        else SnapshotTable.Snapshot(-1, 0L, schemaJson, Seq.empty, "none")
+        else SnapshotTable.Snapshot(-1, 0L, "", Seq.empty, "none", partitionColsIfNew)
       val snap = SnapshotTable.Snapshot(
-        baseV + 1, System.currentTimeMillis(), schemaJson,
-        nextFiles(base), operation)
+        baseV + 1, System.currentTimeMillis(), nextSchema(base),
+        nextFiles(base), operation, base.partitionCols)
       Files.createDirectories(snapDir)
       val tmp = Files.createTempFile(snapDir, ".tmp-", ".json")
       Files.writeString(tmp, SnapshotTable.renderSnapshot(snap))
@@ -253,43 +349,192 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
 object SnapshotTable {
 
   /** Per-column min/max, stored as strings with a type tag
-    * (`long` | `double` | `string`) for comparison at prune time. */
+    * (`long` | `double` | `string` | `ts` | `date`) for comparison at
+    * prune time. `ts` bounds are micros-since-epoch; `date` bounds are
+    * epoch days. */
   case class ColStats(typ: String, min: String, max: String)
 
   case class DataFile(path: String, rows: Long,
-      stats: Map[String, ColStats] = Map.empty)
+      stats: Map[String, ColStats] = Map.empty, bytes: Long = -1L)
 
   case class Snapshot(version: Int, timestampMs: Long, schemaJson: String,
-      files: Seq[DataFile], operation: String)
+      files: Seq[DataFile], operation: String,
+      partitionCols: Seq[String] = Seq.empty)
 
-  /** Stats-eligible types (timestamps excluded in v1: their string forms
-    * don't compare reliably across fraction lengths). */
+  /** Stats-eligible types. Timestamps/dates are stored as their integer
+    * representations (micros / epoch days) taken straight from the parquet
+    * footer statistics, so comparisons are exact. */
   private[table] def statType(dt: org.apache.spark.sql.types.DataType): Option[String] = {
     import org.apache.spark.sql.types._
     dt match {
       case LongType | IntegerType | ShortType | ByteType => Some("long")
       case DoubleType | FloatType => Some("double")
       case StringType => Some("string")
+      case TimestampType | TimestampNTZType => Some("ts")
+      case DateType => Some("date")
       case _ => None
     }
+  }
+
+  // string stats longer than this are dropped rather than truncated: a
+  // truncated max would be a LOWER value than the real max — an invalid
+  // bound that could wrongly prune files
+  private val MaxStringStat = 256
+
+  /** Read one parquet footer: (rowCount, fileBytes, min/max per requested
+    * column). Metadata-only — the data pages are never touched. Runs on
+    * executors (one task per file). Conservative: any column whose
+    * statistics are missing, truncated, or of an unexpected physical type
+    * simply gets no entry (→ never pruned on). */
+  private[table] def footerStats(path: String, statCols: Seq[(String, String)])
+      : (Long, Long, Map[String, ColStats]) = {
+    import org.apache.parquet.column.statistics._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val bytes = Files.size(Paths.get(path))
+      val wanted = statCols.toMap
+      // (min, max) accumulated across row groups; None marks a column with
+      // an unusable chunk (no stats where values exist) — drop it entirely
+      val acc = collection.mutable.Map[String, Option[(String, String)]]()
+      def extract(typ: String, st: Statistics[_]): Option[(String, String)] =
+        (typ, st) match {
+          case ("long", s: LongStatistics) => Some((s.getMin.toString, s.getMax.toString))
+          case ("long", s: IntStatistics) => Some((s.getMin.toString, s.getMax.toString))
+          case ("double", s: DoubleStatistics) => Some((s.getMin.toString, s.getMax.toString))
+          case ("double", s: FloatStatistics) => Some((s.getMin.toDouble.toString, s.getMax.toDouble.toString))
+          case ("ts", s: LongStatistics) => Some((s.getMin.toString, s.getMax.toString))
+          case ("date", s: IntStatistics) => Some((s.getMin.toString, s.getMax.toString))
+          case ("string", s: BinaryStatistics) =>
+            val mn = s.genericGetMin.toStringUsingUTF8
+            val mx = s.genericGetMax.toStringUsingUTF8
+            if (mn.length > MaxStringStat || mx.length > MaxStringStat) None
+            else Some((mn, mx))
+          case _ => None
+        }
+      def merge(typ: String, a: (String, String), b: (String, String)): (String, String) = {
+        def lt(x: String, y: String): Boolean = typ match {
+          case "long" | "ts" | "date" => x.toLong < y.toLong
+          case "double" => x.toDouble < y.toDouble
+          case _ =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(x)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+        }
+        (if (lt(a._1, b._1)) a._1 else b._1, if (lt(b._2, a._2)) a._2 else b._2)
+      }
+      for (b <- blocks; cc <- b.getColumns.asScala) {
+        val name = cc.getPath.toDotString
+        wanted.get(name).foreach { typ =>
+          val st = cc.getStatistics
+          if (st == null || st.isEmpty) acc(name) = None // stats missing for a chunk with values
+          else if (!st.hasNonNullValue) () // all-null chunk: nothing to merge, still prunable
+          else extract(typ, st) match {
+            case Some(mm) =>
+              acc.get(name) match {
+                case Some(Some(prev)) => acc(name) = Some(merge(typ, prev, mm))
+                case Some(None) => // already invalidated
+                case None => acc(name) = Some(mm)
+              }
+            case None => acc(name) = None
+          }
+        }
+      }
+      val stats = acc.toMap.collect { case (n, Some((mn, mx))) =>
+        n -> ColStats(wanted(n), mn, mx)
+      }
+      (rows, bytes, stats)
+    } finally reader.close()
+  }
+
+  /** Partition values parsed from a file's Hive-layout path, rendered as
+    * min==max stats entries in the column's stat encoding. */
+  private[table] def partitionValueStats(dataDir: String, file: String,
+      pcols: Seq[String],
+      types: Map[String, org.apache.spark.sql.types.DataType]): Map[String, ColStats] = {
+    if (pcols.isEmpty) return Map.empty
+    val rel = Paths.get(dataDir).relativize(Paths.get(file).getParent)
+    val kv = (0 until rel.getNameCount).map(rel.getName(_).toString)
+      .flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) => Some(k -> unescapePath(v))
+          case _ => None
+        }
+      }.toMap
+    pcols.flatMap { c =>
+      for {
+        raw <- kv.get(c)
+        if raw != "__HIVE_DEFAULT_PARTITION__" // null partition: no stats
+        dt <- types.get(c)
+        typ <- statType(dt)
+        enc <- encodePartitionValue(typ, raw)
+      } yield c -> ColStats(typ, enc, enc)
+    }.toMap
+  }
+
+  private def encodePartitionValue(typ: String, raw: String): Option[String] =
+    try {
+      typ match {
+        case "long" => Some(raw.toLong.toString)
+        case "double" => Some(raw.toDouble.toString)
+        case "string" => Some(raw)
+        case "date" => Some(java.time.LocalDate.parse(raw).toEpochDay.toString)
+        case "ts" => None // timestamp partition dirs are format-ambiguous; skip
+        case _ => None
+      }
+    } catch { case _: RuntimeException => None }
+
+  /** Undo Hive %XX path escaping (Spark's escapePathName). */
+  private def unescapePath(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Union of the committed table schema and an appended frame's schema:
+    * existing fields keep their position and type; new fields append. */
+  private[table] def unionSchema(baseJson: String,
+      df: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val base = DataType.fromJson(baseJson).asInstanceOf[StructType]
+    val known = base.fieldNames.toSet
+    val extra = df.fields.filterNot(f => known.contains(f.name))
+    if (extra.isEmpty) baseJson else StructType(base.fields ++ extra).json
   }
 
   private val SnapName = "v([0-9]{5})\\.json".r
 
   /** Create a new table at `location` with `df` as snapshot v0. */
-  def create(spark: SparkSession, location: String, df: DataFrame): SnapshotTable = {
+  def create(spark: SparkSession, location: String, df: DataFrame,
+      partitionCols: Seq[String] = Seq.empty): SnapshotTable = {
     val t = new SnapshotTable(spark, location)
     require(t.latestVersion < 0, s"table already exists at $location")
-    t.append(df)
+    t.append(df, partitionColsIfNew = partitionCols)
     t
   }
 
   /** Create an empty table with a declared schema (SQL CREATE TABLE). */
   def createEmpty(spark: SparkSession, location: String,
-      schema: org.apache.spark.sql.types.StructType): SnapshotTable = {
+      schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String] = Seq.empty): SnapshotTable = {
     val t = new SnapshotTable(spark, location)
     require(t.latestVersion < 0, s"table already exists at $location")
-    t.commitEmpty(schema.json)
+    t.commitEmpty(schema.json, partitionCols)
     t
   }
 
@@ -312,11 +557,16 @@ object SnapshotTable {
     root.put("timestampMs", s.timestampMs)
     root.put("schemaJson", s.schemaJson)
     root.put("operation", s.operation)
+    if (s.partitionCols.nonEmpty) {
+      val pc: ArrayNode = root.putArray("partitionCols")
+      s.partitionCols.foreach(pc.add)
+    }
     val arr: ArrayNode = root.putArray("files")
     s.files.foreach { f =>
       val o = arr.addObject()
       o.put("path", f.path)
       o.put("rows", f.rows)
+      if (f.bytes >= 0) o.put("bytes", f.bytes)
       if (f.stats.nonEmpty) {
         val st = o.putObject("stats")
         f.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
@@ -341,10 +591,15 @@ object SnapshotTable {
                 cn.get("max").asText())
             }.toMap
           } else Map.empty[String, ColStats]
-        DataFile(f.get("path").asText(), f.get("rows").asLong(), stats)
+        DataFile(f.get("path").asText(), f.get("rows").asLong(), stats,
+          if (f.has("bytes")) f.get("bytes").asLong() else -1L)
       }
       .toSeq
+    val pcols =
+      if (n.has("partitionCols"))
+        n.get("partitionCols").elements().asScala.map(_.asText()).toSeq
+      else Seq.empty
     Snapshot(n.get("version").asInt(), n.get("timestampMs").asLong(),
-      n.get("schemaJson").asText(), files, n.get("operation").asText())
+      n.get("schemaJson").asText(), files, n.get("operation").asText(), pcols)
   }
 }

@@ -101,7 +101,8 @@ object StatsPruning {
   /** Compare a filter value against a recorded stat bound under the
     * column's tagged type; None when not comparable (→ never prune). */
   private def cmp(f: SnapshotTable.DataFile, col: String,
-      value: Any, bound: String): Option[Int] =
+      value: Any, bound: String): Option[Int] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
     f.stats.get(col).flatMap { cs =>
       try {
         cs.typ match {
@@ -118,14 +119,40 @@ object StatsPruning {
             }
             Some(java.lang.Double.compare(v, bound.toDouble))
           case "string" =>
-            value match {
-              case s: String => Some(s.compareTo(bound))
-              case u: org.apache.spark.unsafe.types.UTF8String =>
-                Some(u.toString.compareTo(bound))
-              case _ => None
+            // UTF8String comparison = byte-wise over UTF-8 = code-point
+            // order: matches both Spark's string ordering and the parquet
+            // footer stats' unsigned-lexicographic min/max, where Java
+            // String.compareTo (UTF-16 code units) disagrees for
+            // supplementary characters and could wrongly prune
+            val s = value match {
+              case s: String => s
+              case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+              case _ => return None
             }
+            Some(org.apache.spark.unsafe.types.UTF8String.fromString(s)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(bound)))
+          case "ts" =>
+            // bounds are micros-since-epoch (parquet TIMESTAMP_MICROS)
+            val v = value match {
+              case n: Number => n.longValue() // catalyst timestamp literal
+              case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+              case i: java.time.Instant => DateTimeUtils.instantToMicros(i)
+              case l: java.time.LocalDateTime => DateTimeUtils.localDateTimeToMicros(l)
+              case _ => return None
+            }
+            Some(java.lang.Long.compare(v, bound.toLong))
+          case "date" =>
+            // bounds are epoch days (parquet DATE)
+            val v: Long = value match {
+              case n: Number => n.longValue() // catalyst date literal (days)
+              case d: java.sql.Date => DateTimeUtils.fromJavaDate(d).toLong
+              case d: java.time.LocalDate => d.toEpochDay
+              case _ => return None
+            }
+            Some(java.lang.Long.compare(v, bound.toLong))
           case _ => None
         }
       } catch { case _: NumberFormatException => None }
     }
+  }
 }

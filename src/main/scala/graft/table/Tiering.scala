@@ -17,19 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Tiering {
 
-  /** Move rows with ts < boundary from hot to cold; returns (hot, cold). */
+  /** Move rows with ts < boundary from hot to cold; returns (hot, cold).
+    * Rows with NULL ts stay hot (they'd otherwise vanish from both tiers —
+    * neither `ts < b` nor `ts >= b` holds for NULL). Both rewrites stream
+    * from the hot snapshot's files into newly staged files (the old files
+    * stay on disk for time travel, so there is no self-overwrite to break
+    * with a checkpoint), and the hot swap is conflict-checked against the
+    * snapshot the split was computed from. */
   def migrate(spark: SparkSession, hotLoc: String, coldLoc: String,
       boundary: String): (SnapshotTable, SnapshotTable) = {
     val hot = SnapshotTable.load(spark, hotLoc)
+    val baseV = hot.latestVersion
     val b = lit(boundary).cast("timestamp")
-    val current = hot.read()
-    val toCold = current.filter(col("ts") < b).localCheckpoint(true)
-    val keepHot = current.filter(col("ts") >= b).localCheckpoint(true)
+    val current = hot.readVersion(baseV)
+    val toCold = current.filter(col("ts") < b)
+    val keepHot = current.filter(col("ts") >= b || col("ts").isNull)
     val cold =
       if (new java.io.File(s"$coldLoc/_snapshots").isDirectory) {
         val c = SnapshotTable.load(spark, coldLoc); c.append(toCold); c
       } else SnapshotTable.create(spark, coldLoc, toCold)
-    hot.overwrite(keepHot)
+    hot.replace(baseV, keepHot, "overwrite")
     (hot, cold)
   }
 

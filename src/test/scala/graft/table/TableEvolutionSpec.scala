@@ -1,0 +1,169 @@
+package graft.table
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-3 table-layer behavior: SQL ALTER TABLE, identity-partitioned
+  * catalog tables, timestamp manifest stats, NULL-safe DELETE, and
+  * copy-on-write conflict validation. */
+class TableEvolutionSpec extends SparkFunSuite {
+  import spark.implicits._
+
+  private lazy val wh = {
+    val w = scratch("evolution-wh")
+    spark.conf.set("spark.sql.catalog.ev", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ev.warehouse", w)
+    w
+  }
+
+  private def scannedFiles(sql: String): Int =
+    spark.sql(sql).queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+          .fileIndex.inputFiles.length
+    }.sum
+
+  test("ALTER TABLE ADD COLUMN: old rows read null through SQL") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS ev.db.altered")
+    spark.sql("CREATE TABLE ev.db.altered (id BIGINT, label STRING)")
+    spark.sql("INSERT INTO ev.db.altered VALUES (1, 'a'), (2, 'b')")
+    // the reference's own evolution DDL shape
+    // (aws-community-builders-presentation.md:124-128)
+    spark.sql("ALTER TABLE ev.db.altered ADD COLUMN score DOUBLE")
+    val cols = spark.sql("SELECT * FROM ev.db.altered").columns.toSeq
+    assert(cols == Seq("id", "label", "score"))
+    assert(spark.sql("SELECT count(*) FROM ev.db.altered WHERE score IS NULL")
+      .head().getLong(0) == 2L)
+    spark.sql("INSERT INTO ev.db.altered VALUES (3, 'c', 9.5)")
+    assert(spark.sql("SELECT score FROM ev.db.altered WHERE id = 3")
+      .head().getDouble(0) == 9.5)
+    // pre-alter snapshot time-travels with the narrow schema
+    assert(spark.sql("SELECT * FROM ev.db.altered VERSION AS OF 1")
+      .columns.toSeq == Seq("id", "label"))
+  }
+
+  test("partitioned CREATE TABLE writes Hive layout and prunes partitions") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS ev.db.part_days")
+    spark.sql(
+      "CREATE TABLE ev.db.part_days (id BIGINT, day DATE, v DOUBLE) PARTITIONED BY (day)")
+    spark.sql(
+      """INSERT INTO ev.db.part_days VALUES
+        |(1, DATE '2024-01-01', 1.0), (2, DATE '2024-01-01', 2.0),
+        |(3, DATE '2024-01-02', 3.0), (4, DATE '2024-01-03', 4.0)""".stripMargin)
+    // Hive layout on disk
+    val t = SnapshotTable.load(spark, s"$wh/db/part_days")
+    assert(t.partitionCols == Seq("day"))
+    assert(t.snapshot(t.latestVersion).files.forall(_.path.contains("day=")))
+    // partition values are readable back as a column
+    assert(spark.sql("SELECT count(*) FROM ev.db.part_days WHERE day = DATE '2024-01-01'")
+      .head().getLong(0) == 2L)
+    // a day-equality scan reads only that partition's files
+    val total = t.snapshot(t.latestVersion).files.size
+    val hit = scannedFiles("SELECT * FROM ev.db.part_days WHERE day = DATE '2024-01-02'")
+    assert(total >= 3, s"expected >=3 partition files, got $total")
+    assert(hit < total, s"expected partition pruning: $hit of $total")
+    assert(spark.sql("SELECT sum(v) FROM ev.db.part_days WHERE day >= DATE '2024-01-02'")
+      .head().getDouble(0) == 7.0)
+  }
+
+  test("partitioned programmatic append + time travel keep partition values") {
+    val loc = scratch("part-prog")
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "bucket", "v")
+    val t = SnapshotTable.create(spark, loc, df, partitionCols = Seq("bucket"))
+    t.append(Seq((4L, "c", 4.0)).toDF("id", "bucket", "v"))
+    assert(t.read().count() == 4)
+    assert(t.read().filter($"bucket" === "a").count() == 2)
+    assert(t.readVersion(0).count() == 3)
+    // partition value stats recorded as min==max → prunable
+    val withA = t.snapshot(t.latestVersion).files
+      .filter(f => f.stats.get("bucket").exists(s => s.min == "a" && s.max == "a"))
+    assert(withA.nonEmpty)
+  }
+
+  test("timestamp manifest stats prune files on ts predicates") {
+    wh
+    val e = graft.Tables.load(spark, sf, "events")
+    val loc = s"$wh/db/ev_ts_stats"
+    graft.Tables.deleteRecursively(loc)
+    val t = SnapshotTable.create(spark, loc,
+      e.filter(col("ts") < "2024-01-10").coalesce(1))
+    t.append(e.filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-20").coalesce(1))
+    t.append(e.filter(col("ts") >= "2024-01-20").coalesce(1))
+    val files = t.snapshot(t.latestVersion).files
+    assert(files.size == 3)
+    assert(files.forall(_.stats.get("ts").exists(_.typ == "ts")),
+      s"ts stats missing: ${files.map(_.stats.keySet)}")
+    assert(scannedFiles("SELECT * FROM ev.db.ev_ts_stats") == 3)
+    assert(scannedFiles(
+      "SELECT * FROM ev.db.ev_ts_stats WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'") == 1)
+    assert(scannedFiles(
+      "SELECT * FROM ev.db.ev_ts_stats WHERE ts < TIMESTAMP '2024-01-05 00:00:00'") == 1)
+    // correctness unaffected
+    val n = spark.sql(
+      "SELECT count(*) FROM ev.db.ev_ts_stats WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'")
+      .head().getLong(0)
+    assert(n == e.filter(col("ts") >= "2024-01-25").count())
+  }
+
+  test("DELETE keeps rows where the predicate is NULL (SQL semantics)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS ev.db.del_nulls")
+    spark.sql("CREATE TABLE ev.db.del_nulls (id BIGINT, c BIGINT)")
+    spark.sql("INSERT INTO ev.db.del_nulls VALUES (1, 5), (2, 6), (3, NULL)")
+    spark.sql("DELETE FROM ev.db.del_nulls WHERE c = 5")
+    // row 3 (c NULL) must survive: DELETE removes only predicate-TRUE rows
+    assert(spark.sql("SELECT id FROM ev.db.del_nulls ORDER BY id")
+      .as[Long].collect().toSeq == Seq(2L, 3L))
+  }
+
+  test("compact rebases over a concurrent append instead of dropping it") {
+    val loc = scratch("compact-rebase")
+    val t = SnapshotTable.create(spark, loc, spark.range(100).toDF("id").repartition(4))
+    // simulate an append landing between compact's read and its commit:
+    // stage the rewrite against v0, append v1, then commit the compaction
+    val winner = SnapshotTable.load(spark, loc)
+    val appended = new Thread(() =>
+      winner.append(spark.range(100, 150).toDF("id")))
+    // compact() itself re-resolves the base inside the retry loop; with the
+    // append committed first, its files must survive the compaction swap
+    appended.start(); appended.join()
+    t.compact(targetBytes = 1L << 30)
+    assert(t.read().count() == 150)
+  }
+
+  test("copy-on-write replace aborts when the table moved underneath") {
+    val loc = scratch("cow-conflict")
+    val t = SnapshotTable.create(spark, loc, spark.range(10).toDF("id"))
+    val baseV = t.latestVersion
+    t.append(spark.range(10, 20).toDF("id")) // concurrent commit
+    intercept[java.util.ConcurrentModificationException] {
+      t.replace(baseV, spark.range(5).toDF("id"))
+    }
+    assert(t.read().count() == 20) // nothing lost
+  }
+
+  test("no localCheckpoint remains in the copy-on-write paths") {
+    // upsert / delete / migrate stage to files and swap — a table-sized
+    // block-manager copy would not survive executor loss at 100 TB
+    val srcs = Seq("SnapshotTable.scala", "GraftTable.scala", "Tiering.scala")
+      .map(f => java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"src/main/scala/graft/table/$f")))
+    assert(!srcs.exists(_.contains("localCheckpoint")))
+  }
+
+  test("tier migration keeps NULL-ts rows in the hot tier") {
+    val hotLoc = scratch("tier-null-hot")
+    val coldLoc = scratch("tier-null-cold")
+    val df = Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+      (2L, Some(java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))),
+      (3L, None)).toDF("id", "ts")
+    SnapshotTable.create(spark, hotLoc, df)
+    val (hot, cold) = Tiering.migrate(spark, hotLoc, coldLoc, "2024-01-15 00:00:00")
+    assert(cold.read().select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(hot.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
+}
