@@ -169,6 +169,70 @@ case class HyperplaneBucket(first: Expression, second: Expression, third: Expres
     copy(first = f, second = s, third = t)
 }
 
+/** fingerprint(text string, window int) → string.
+  *
+  * Winnowing-lite document fingerprint: the minimum md5 (hex) over every
+  * `window`-character sliding window of the text — shift-invariant, one
+  * tight loop per row. Replaces the `array_min(transform(sequence(…),
+  * i -> md5(substring(…))))` HOF formulation, whose per-window interpreted
+  * lambda dispatch runs at the ~4k evals/sec cliff documented above: one
+  * md5 per character of a 100 TB corpus must not pay a lambda each.
+  * Digests are compared as raw bytes (unsigned) — identical ordering to
+  * comparing the lowercase-hex strings, so results match the SQL form and
+  * the DuckDB oracle exactly.
+  */
+case class Fingerprint(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "fingerprint"
+
+  private lazy val window: Int =
+    right.eval(InternalRow.empty).asInstanceOf[Int]
+
+  // one digest instance per task deserialization; eval is single-threaded
+  // within a task
+  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(t: Any, w: Any): Any = {
+    val text = t.asInstanceOf[UTF8String]
+    val nChars = text.numChars()
+    val nWindows = math.max(nChars - window + 1, 1)
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < nWindows) {
+      // substringSQL is 1-based and character-indexed, like SQL SUBSTRING
+      val bytes = text.substringSQL(i + 1, window).getBytes
+      md5.reset()
+      val d = md5.digest(bytes)
+      if (best == null || unsignedLess(d, best)) best = d
+      i += 1
+    }
+    val hex = new java.lang.StringBuilder(32)
+    var j = 0
+    while (j < best.length) {
+      hex.append(Character.forDigit((best(j) >> 4) & 0xf, 16))
+      hex.append(Character.forDigit(best(j) & 0xf, 16))
+      j += 1
+    }
+    UTF8String.fromString(hex.toString)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Idempotent session registration of the graft SQL functions. */
 object Registry {
   def install(spark: SparkSession): Unit = {
@@ -179,5 +243,7 @@ object Registry {
       (es: Seq[Expression]) => MinHashBands(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("lsh_bucket",
       (es: Seq[Expression]) => HyperplaneBucket(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("fingerprint",
+      (es: Seq[Expression]) => Fingerprint(es(0), es(1)), "built-in")
   }
 }

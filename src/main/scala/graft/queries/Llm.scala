@@ -129,13 +129,15 @@ object Llm {
   // Document fingerprinting: rolling 8-char window hash (winnowing-lite) —
   // the fingerprint is the minimum hash over all sliding windows, a
   // shift-invariant content signature computed per-row with zero shuffle.
-  def q34(s: SparkSession, dir: String): DataFrame =
+  // Native expression (functions.Fingerprint): one tight md5 loop per row
+  // instead of an interpreted per-window lambda.
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.install(s)
     docs(s, dir)
       .select(col("doc_id"),
-        expr("""array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
-               |                    i -> md5(substring(text, i, 8))))""".stripMargin)
-          .as("fingerprint"))
+        expr("fingerprint(text, 8)").as("fingerprint"))
       .orderBy("doc_id")
+  }
 
   val q34Sql =
     """SELECT doc_id, min(md5(substr(text, CAST(i AS INT), 8))) AS fingerprint

@@ -193,6 +193,92 @@ object Ops {
       |  SELECT 'count_documents', 'corpus', (SELECT count(*) FROM documents), 'SUCCESS')
       |ORDER BY query_name""".stripMargin
 
+  // ------------------------------------------------------------- q52
+  // Warehouse-usage analysis (P8, reference
+  // performance_comparison.sql:179-193): per-query elapsed time, bytes
+  // scanned, and shuffle volume captured through a QueryExecutionListener
+  // into a query-history table, then rolled up by query type — the mirror
+  // of the reference's `account_usage.query_history` rollup. The full
+  // (nondeterministic) metrics are persisted to the history parquet; the
+  // query returns the deterministic rollup: per type, how many queries ran,
+  // whether all succeeded, and whether every metric was actually captured —
+  // flags that only come out true when the listener really recorded
+  // nonzero bytes/shuffle/timing for each probe.
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    import graft.metrics.QueryMetrics
+    val probes = Seq[(String, String, () => DataFrame)](
+      ("full_scan_count", "scan", () =>
+        ev(s, dir).agg(count(lit(1)).as("n"))),
+      ("recent_filter_count", "filter", () =>
+        ev(s, dir).filter(col("ts") >= lit(Tables.daysAgo(7)).cast("timestamp"))
+          .agg(count(lit(1)).as("n"))),
+      ("events_per_type", "aggregate", () =>
+        ev(s, dir).groupBy("event_type").agg(count(lit(1)).as("n"))),
+      ("profile_enrich", "join", () =>
+        ev(s, dir).join(
+            Tables.load(s, dir, "customer").hint("shuffle_hash"),
+            col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))))
+    val history = QueryMetrics.capture(s, probes)
+    val histLoc = Tables.scratch(s"metrics/query_history_${tag(dir)}")
+    history.write.mode("overwrite").parquet(histLoc)
+    s.read.parquet(histLoc)
+      .groupBy("query_type")
+      .agg(
+        countDistinct(col("query_name")).as("query_count"),
+        (count(when(col("status") === "SUCCESS", 1)) === countDistinct(col("query_name")))
+          .as("all_succeeded"),
+        (min(col("bytes_scanned")) > 0).as("bytes_recorded"),
+        (min(col("shuffle_bytes")) > 0).as("shuffle_recorded"),
+        (min(col("duration_ms")) > 0).as("timing_recorded"))
+      .orderBy("query_type")
+  }
+
+  // every probe scans parquet and ends in a grouped/global aggregate, so
+  // all four metric families must be present for every type
+  val q52Sql =
+    """SELECT * FROM (
+      |  SELECT 'aggregate' AS query_type, CAST(1 AS BIGINT) AS query_count,
+      |         true AS all_succeeded, true AS bytes_recorded,
+      |         true AS shuffle_recorded, true AS timing_recorded
+      |  UNION ALL SELECT 'filter', 1, true, true, true, true
+      |  UNION ALL SELECT 'join', 1, true, true, true, true
+      |  UNION ALL SELECT 'scan', 1, true, true, true, true)
+      |ORDER BY query_type""".stripMargin
+
+  // ------------------------------------------------------------- q53
+  // Storage-usage analysis (P8, reference
+  // performance_comparison.sql:195-205): per-table file count, row count,
+  // and storage presence read from the snapshot MANIFESTS only (filesDF —
+  // no data file is opened), mirroring `table_storage_metrics`' metadata-
+  // only rollup. Two layouts of the same events table demonstrate the
+  // small-files problem the reference frames storage analysis around.
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    def build(name: String, nParts: Int, compactTo: Option[Long]): DataFrame = {
+      val loc = Tables.scratch(s"snaptab/storage_${name}_${tag(dir)}")
+      Tables.deleteRecursively(loc)
+      val t = SnapshotTable.create(s, loc, ev(s, dir).repartition(nParts))
+      compactTo.foreach(target => t.compact(targetBytes = target))
+      t.filesDF().agg(
+        count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("n_rows"),
+        (min(col("bytes")) > 0).as("storage_recorded"))
+        .select(lit(name).as("table_name"), col("n_files"), col("n_rows"),
+          col("storage_recorded"))
+    }
+    build("events_standard", 8, None)
+      .unionByName(build("events_compacted", 8, Some(1L << 40)))
+      .orderBy("table_name")
+  }
+
+  val q53Sql =
+    """SELECT * FROM (
+      |  SELECT 'events_standard' AS table_name, CAST(8 AS BIGINT) AS n_files,
+      |         count(*) AS n_rows, true AS storage_recorded FROM events
+      |  UNION ALL
+      |  SELECT 'events_compacted', CAST(1 AS BIGINT), count(*), true FROM events)
+      |ORDER BY table_name""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_bench_metrics" -> (q49 _),
@@ -202,7 +288,9 @@ object Ops {
     "q42_streaming_agg" -> (q42 _),
     "q43_mv_refresh" -> (q43 _),
     "q44_compaction" -> (q44 _),
-    "q45_schema_evolution" -> (q45 _))
+    "q45_schema_evolution" -> (q45 _),
+    "q52_warehouse_usage" -> (q52 _),
+    "q53_storage_usage" -> (q53 _))
 
   val oracle: Map[String, String] = Map(
     "q49_bench_metrics" -> q49Sql,
@@ -212,5 +300,7 @@ object Ops {
     "q42_streaming_agg" -> q42Sql,
     "q43_mv_refresh" -> q43Sql,
     "q44_compaction" -> q44Sql,
-    "q45_schema_evolution" -> q45Sql)
+    "q45_schema_evolution" -> q45Sql,
+    "q52_warehouse_usage" -> q52Sql,
+    "q53_storage_usage" -> q53Sql)
 }

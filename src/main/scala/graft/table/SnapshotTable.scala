@@ -100,6 +100,17 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     readVersion(v.max)
   }
 
+  /** The current snapshot's manifest as a DataFrame (file path, row count,
+    * byte size) — the `table#files` metadata-table surface: storage
+    * analysis without touching any data file (the reference's
+    * `table_storage_metrics` rollup is metadata-only the same way,
+    * `performance_comparison.sql:195-205`). */
+  def filesDF(): DataFrame = {
+    import spark.implicits._
+    snapshot(latestVersion).files
+      .map(f => (f.path, f.rows, f.bytes)).toDF("file_path", "n_rows", "bytes")
+  }
+
   /** Table history as a DataFrame (version, committed_at, operation,
     * n_files, n_rows) — the snapshot-metadata observability surface
     * (reference `aws-community-builders-presentation.md:229-258`). */

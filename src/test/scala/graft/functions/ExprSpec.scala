@@ -51,6 +51,31 @@ class ExprSpec extends SparkFunSuite {
     assert(farCollisions == 0)
   }
 
+  test("fingerprint equals the HOF formulation on real documents") {
+    Registry.install(spark)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(100)
+    val mismatches = docs
+      .withColumn("native", expr("fingerprint(text, 8)"))
+      .withColumn("hof", expr(
+        """array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
+          |                    i -> md5(substring(text, i, 8))))""".stripMargin))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("fingerprint handles short and empty texts like the SQL form") {
+    Registry.install(spark)
+    val df = Seq("", "a", "exactly8", "nine char").toDF("text")
+    val rows = df.selectExpr(
+      "fingerprint(text, 8) AS native",
+      """array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
+        |                    i -> md5(substring(text, i, 8)))) AS hof""".stripMargin)
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("lsh_bucket: deterministic per table, within bit range") {
     Registry.install(spark)
     val v = Array.tabulate(64)(i => math.sin(i.toDouble))

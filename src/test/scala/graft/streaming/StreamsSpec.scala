@@ -12,12 +12,17 @@ class StreamsSpec extends SparkFunSuite {
       .repartition(6).write.parquet(src) // several files → several batches
     val loc = scratch("dyn-table")
     val dyn = new Streams.DynamicTable(spark, loc)
+    // full reference aggregate shape: count, sum, MAX(ts) last_seen,
+    // ARRAY_AGG(DISTINCT event_type) — all merged incrementally per batch
     val result = dyn.refresh(src, "streams-spec")
-      .select($"user_id", $"event_count", $"total_value".cast("double"))
+      .select($"user_id", $"event_count", $"total_value".cast("double"),
+        $"last_seen", array_join($"event_types", ",").as("event_types"))
     val expected = spark.read.parquet(src)
       .groupBy("user_id")
       .agg(count(lit(1)).as("event_count"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        max(col("ts")).as("last_seen"),
+        array_join(sort_array(collect_set(col("event_type"))), ",").as("event_types"))
     assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty)
   }
 
