@@ -9,6 +9,20 @@ import org.apache.spark.sql.SparkSession
   * 286-329`).
   */
 object Bench {
+
+  /** Suite grouping, mirroring the reference harness's --test-suite split
+    * (run_performance_tests.py:344-374) plus the pipeline extensions. */
+  def suite(n: String): String = n match {
+    case "q07_time_travel" | "q42_streaming_agg" | "q43_mv_refresh" |
+         "q44_compaction" | "q45_schema_evolution" | "q48_sql_time_travel" |
+         "q49_bench_metrics" | "q52_warehouse_usage" | "q53_storage_usage" |
+         "q54_multi_engine" | "q55_partitioned_table" => "maintenance"
+    case _ if n >= "q30" && n <= "q51" => "data_pipeline"
+    case _ if n.startsWith("q1") && n >= "q10" => "advanced"
+    case "q12_funnel" | "q13_compaction_estimator" => "advanced"
+    case _ => "basic"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,7 +51,14 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "region").count()
 
+    // suite selection mirrors the reference harness's --test-suite CLI
+    // (run_performance_tests.py:344-374): basic | advanced | maintenance |
+    // data_pipeline | all. Driver contract unchanged (no arg → all).
+    val suiteArg = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SUITE")).getOrElse("all")
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => suiteArg == "all" || suite(n) == suiteArg)
+    require(names.nonEmpty, s"unknown suite: $suiteArg")
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -61,17 +82,6 @@ object Bench {
     // per-test name/status/seconds/rows + summary, timestamped filename.
     val ts = java.time.LocalDateTime.now()
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
-    // suite grouping mirrors the reference harness's --test-suite split
-    // (run_performance_tests.py:344-374) plus the pipeline extensions
-    def suite(n: String): String = n match {
-      case "q07_time_travel" | "q42_streaming_agg" | "q43_mv_refresh" |
-           "q44_compaction" | "q45_schema_evolution" | "q48_sql_time_travel" |
-           "q49_bench_metrics" => "maintenance"
-      case _ if n >= "q30" && n <= "q51" => "data_pipeline"
-      case _ if n.startsWith("q1") && n >= "q10" => "advanced"
-      case "q12_funnel" | "q13_compaction_estimator" => "advanced"
-      case _ => "basic"
-    }
     val tests = results.map { case (n, sec, r, st) =>
       s"""    {"test_name": ${jstr(n)}, "suite": ${jstr(suite(n))}, "status": ${jstr(if (st == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": $sec, "row_count": $r}"""
     }.mkString("[\n", ",\n", "\n  ]")

@@ -233,6 +233,63 @@ case class Fingerprint(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** simhash32(words array<string>) → long.
+  *
+  * 32-bit SimHash signature: every word votes ±1 on each of 32 bit
+  * positions according to the bits of the first 8 hex chars of its md5;
+  * bit p of the result is 1 when the vote total is >= 0. Bit p's vote
+  * comes from hex digit p/4, bit p%4 — the exact layout of the SQL
+  * formulation (`instr('0123456789abcdef', substring(md5(w), p div 4 + 1,
+  * 1)) - 1` then `div 2^(p%4) % 2`), so results are bit-identical to the
+  * DuckDB oracle. Replaces a 32×-per-word explode + two shuffles
+  * (doc×pos, then doc) with one per-row loop and NO shuffle at all —
+  * the difference between a signature scan and a multi-TB exchange at
+  * corpus scale.
+  */
+case class SimHash32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash32"
+
+  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(arr: Any): Any = {
+    val words = arr.asInstanceOf[ArrayData]
+    val votes = new Array[Int](32)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i)
+      if (w != null) {
+        md5.reset()
+        val d = md5.digest(w.getBytes)
+        var pos = 0
+        while (pos < 32) {
+          // hex char index pos/4 → byte pos/8, high nibble for even chars
+          val c = pos >> 2
+          val b = d(c >> 1) & 0xff
+          val digit = if ((c & 1) == 0) b >> 4 else b & 0xf
+          votes(pos) += 2 * ((digit >> (pos & 3)) & 1) - 1
+          pos += 1
+        }
+      }
+      i += 1
+    }
+    var hash = 0L
+    var pos = 0
+    while (pos < 32) {
+      if (votes(pos) >= 0) hash |= 1L << pos
+      pos += 1
+    }
+    hash
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Idempotent session registration of the graft SQL functions. */
 object Registry {
   def install(spark: SparkSession): Unit = {
@@ -245,5 +302,7 @@ object Registry {
       (es: Seq[Expression]) => HyperplaneBucket(es(0), es(1), es(2)), "built-in")
     reg.createOrReplaceTempFunction("fingerprint",
       (es: Seq[Expression]) => Fingerprint(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash32",
+      (es: Seq[Expression]) => SimHash32(es(0)), "built-in")
   }
 }

@@ -180,25 +180,17 @@ object Llm {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------- q36
-  // SimHash: 32-bit signature from per-word md5 bit votes. Two-level
-  // aggregation (doc × bit-position votes, then per-doc bit packing) —
-  // shuffles on (doc_id, pos) then doc_id, both high-cardinality keys.
-  def q36(s: SparkSession, dir: String): DataFrame = {
-    val words = docs(s, dir)
+  // SimHash: 32-bit signature from per-word md5 bit votes, computed by
+  // the native one-pass [[graft.functions.SimHash32]] expression — one
+  // per-row loop over the distinct words, NO explode and NO shuffle
+  // (the old formulation exploded doc × 32 bit positions and shuffled
+  // twice; at corpus scale that is a multi-TB exchange for what is
+  // logically a scan). Bit layout matches the SQL oracle exactly.
+  def q36(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("w"))
-      .withColumn("h8", substring(md5(col("w")), 1, 8))
-    val bits = words
-      .select(col("doc_id"), col("h8"), explode(expr("sequence(0, 31)")).as("pos"))
-      .withColumn("digit", expr(
-        "instr('0123456789abcdef', substring(h8, CAST(pos div 4 AS INT) + 1, 1)) - 1"))
-      .withColumn("vote", expr("2 * ((digit div CAST(pow(2, pos % 4) AS INT)) % 2) - 1"))
-    bits.groupBy("doc_id", "pos").agg(sum(col("vote")).as("v"))
-      .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN v >= 0 THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END"))
-        .as("simhash"))
+        expr("simhash32(array_distinct(split(text, ' ')))").as("simhash"))
       .orderBy("doc_id")
-  }
 
   val q36Sql =
     """WITH wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -279,6 +279,71 @@ object Ops {
       |  SELECT 'events_compacted', CAST(1 AS BIGINT), count(*), true FROM events)
       |ORDER BY table_name""".stripMargin
 
+  // ------------------------------------------------------------- q54
+  // Multi-engine readability (S12, reference
+  // `aws-community-builders-presentation.md:996-1039`): graft writes plain
+  // parquet under `data/`, so ANY parquet engine can read a snapshot's
+  // files without graft's code. The oracle makes that literal: the DuckDB
+  // side of this check aggregates the graft-WRITTEN FILES directly (glob
+  // over the table's data dir) while Spark reads through the snapshot log —
+  // two engines, same files, same answer. Single-snapshot table, so the
+  // data glob is exactly the live file set.
+  // NOTE the oracle embeds the sf0.01 location — the scale the driver
+  // verifies at; run scripts/compare.py at sf0.01 to check locally.
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    val loc = Tables.scratch(s"snaptab/multiengine_${tag(dir)}")
+    Tables.deleteRecursively(loc)
+    val t = SnapshotTable.create(s, loc, ev(s, dir).repartition(4))
+    t.read().groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q54Sql = {
+    val loc = Tables.scratch("snaptab/multiengine__root_testdata_sf0_01")
+    s"""SELECT event_type, count(*) AS n_events,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM read_parquet('$loc/data/*/*.parquet')
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  // ------------------------------------------------------------- q55
+  // Partitioned fact table through the SQL catalog (reference
+  // `main.tf:139-151`: the user_events Iceberg table is day-partitioned by
+  // definition; Hive layout `generate_sample_data.py:106,135`): CREATE
+  // TABLE … PARTITIONED BY (day), append the events, query a day range —
+  // the scan prunes to the matching partitions' files via the manifest's
+  // partition-value stats.
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val name = s"events_days_${tag(dir)}"
+    Tables.deleteRecursively(s"$wh/db/$name")
+    s.sql(
+      s"""CREATE TABLE graft.db.$name
+         |  (event_id BIGINT, user_id BIGINT, event_type STRING,
+         |   day DATE, value DOUBLE)
+         |PARTITIONED BY (day)""".stripMargin)
+    ev(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"), col("value"))
+      .writeTo(s"graft.db.$name").append()
+    s.sql(
+      s"""SELECT day, count(*) AS n_events,
+         |       count(DISTINCT user_id) AS n_users
+         |FROM graft.db.$name
+         |WHERE day >= DATE '${Tables.daysAgo(7).take(10)}'
+         |GROUP BY day ORDER BY day""".stripMargin)
+  }
+
+  val q55Sql =
+    s"""SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+       |       count(DISTINCT user_id) AS n_users
+       |FROM events
+       |WHERE CAST(ts AS DATE) >= DATE '${Tables.daysAgo(7).take(10)}'
+       |GROUP BY 1 ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_bench_metrics" -> (q49 _),
@@ -290,7 +355,9 @@ object Ops {
     "q44_compaction" -> (q44 _),
     "q45_schema_evolution" -> (q45 _),
     "q52_warehouse_usage" -> (q52 _),
-    "q53_storage_usage" -> (q53 _))
+    "q53_storage_usage" -> (q53 _),
+    "q54_multi_engine" -> (q54 _),
+    "q55_partitioned_table" -> (q55 _))
 
   val oracle: Map[String, String] = Map(
     "q49_bench_metrics" -> q49Sql,
@@ -302,5 +369,7 @@ object Ops {
     "q44_compaction" -> q44Sql,
     "q45_schema_evolution" -> q45Sql,
     "q52_warehouse_usage" -> q52Sql,
-    "q53_storage_usage" -> q53Sql)
+    "q53_storage_usage" -> q53Sql,
+    "q54_multi_engine" -> q54Sql,
+    "q55_partitioned_table" -> q55Sql)
 }

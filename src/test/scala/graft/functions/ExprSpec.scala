@@ -76,6 +76,43 @@ class ExprSpec extends SparkFunSuite {
     rows.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
 
+  test("simhash32 equals the explode/vote SQL formulation on real documents") {
+    Registry.install(spark)
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(100)
+    // the two-shuffle formulation q36 used before the native expression:
+    // explode distinct words × 32 bit positions, vote by md5 hex digits,
+    // pack per-doc — must be bit-identical to the one-pass expression
+    val words = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+      .withColumn("h8", substring(md5(col("w")), 1, 8))
+    val sqlForm = words
+      .select(col("doc_id"), col("h8"), explode(expr("sequence(0, 31)")).as("pos"))
+      .withColumn("digit", expr(
+        "instr('0123456789abcdef', substring(h8, CAST(pos div 4 AS INT) + 1, 1)) - 1"))
+      .withColumn("vote", expr("2 * ((digit div CAST(pow(2, pos % 4) AS INT)) % 2) - 1"))
+      .groupBy("doc_id", "pos").agg(sum(col("vote")).as("v"))
+      .groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN v >= 0 THEN CAST(pow(2, pos) AS BIGINT) ELSE 0 END"))
+        .as("sql_hash"))
+    val native = docs.select(col("doc_id"),
+      expr("simhash32(array_distinct(split(text, ' ')))").as("native_hash"))
+    val mismatches = native.join(sqlForm, "doc_id")
+      .filter(col("native_hash") =!= col("sql_hash")).count()
+    assert(mismatches == 0)
+  }
+
+  test("simhash32: empty array gives all-ones hash, null elements skipped") {
+    Registry.install(spark)
+    // zero words → every vote total is 0 → every bit set (>= 0 rule)
+    val rows = Seq(Seq.empty[String], Seq("hello"))
+      .toDF("w").selectExpr("simhash32(w)").as[Long].collect()
+    assert(rows(0) == 0xFFFFFFFFL)
+    val withNull = spark.sql("SELECT simhash32(array('hello', NULL))").as[Long].head()
+    val without = spark.sql("SELECT simhash32(array('hello'))").as[Long].head()
+    assert(withNull == without)
+  }
+
   test("lsh_bucket: deterministic per table, within bit range") {
     Registry.install(spark)
     val v = Array.tabulate(64)(i => math.sin(i.toDouble))
