@@ -57,6 +57,42 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
 
+  /** Exact n-gram-Jaccard pairs via a shingle inverted-index join — the
+    * non-probabilistic sibling of [[pairs]]. Candidate generation is the
+    * classic inverted index: explode each document's distinct shingles
+    * and equi-join on the shingle, so the only corpus-wide shuffle is
+    * keyed by shingle (never an all-pairs product), then candidates are
+    * verified with the same exact array-intersect Jaccard as the LSH
+    * path. Unlike LSH this recalls EVERY pair above the threshold.
+    *
+    * Scale note: the inverted index is O(total shingle occurrences) and
+    * a shingle shared by d documents emits d·(d-1)/2 candidate rows, so
+    * stopword-heavy shingles dominate the join at corpus scale.
+    * `maxShingleDf` drops shingles appearing in more than that many
+    * documents before the pair join (the standard frequent-n-gram cut in
+    * web-scale dedup pipelines); pairs whose every common shingle is that
+    * frequent are then missed, which is why the default is exact/no-cap
+    * and the cap is an explicit scale/recall trade the caller opts into.
+    */
+  def exactPairs(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inverted = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val kept = maxShingleDf.fold(inverted) { cap =>
+      inverted.withColumn("__df",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+        .filter(col("__df") <= cap).drop("__df")
+    }
+    val cand = kept.as("a")
+      .join(kept.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verify(cand, sh, threshold).orderBy("doc_a", "doc_b")
+  }
+
   /** Full pipeline: near-dup pairs with exact Jaccard >= threshold.
     * The shingle sets feed four plan branches (both sides of the band
     * self-join via the signatures, both sides of the verification join),

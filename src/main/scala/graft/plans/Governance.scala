@@ -33,7 +33,16 @@ object Governance {
   // Session-wide policy registry (keyed by lowercase table name).
   @volatile private var rowPolicies: Map[String, RowPolicy] = Map.empty
   @volatile private var maskPolicies: Map[String, Seq[MaskPolicy]] = Map.empty
-  @volatile var privileged: Boolean = false
+
+  /** Privilege is a per-session runtime conf, not process-global state:
+    * two sessions sharing one JVM/SparkContext (the multi-tenant shape on
+    * a shared cluster) hold independent privilege levels, and the rule
+    * reads the conf of the session that is analyzing the query. */
+  val PrivilegedKey = "spark.graft.governance.privileged"
+  def privileged(spark: SparkSession): Boolean =
+    spark.conf.getOption(PrivilegedKey).exists(_.toBoolean)
+  def setPrivileged(spark: SparkSession, p: Boolean): Unit =
+    spark.conf.set(PrivilegedKey, p.toString)
 
   def addRowPolicy(p: RowPolicy): Unit =
     rowPolicies += (p.table.toLowerCase -> p)
@@ -44,8 +53,8 @@ object Governance {
 
   private[plans] def rowPolicy(table: String): Option[RowPolicy] =
     rowPolicies.get(table.toLowerCase)
-  private[plans] def masks(table: String): Seq[MaskPolicy] =
-    if (privileged) Seq.empty
+  private[plans] def masks(spark: SparkSession, table: String): Seq[MaskPolicy] =
+    if (privileged(spark)) Seq.empty
     else maskPolicies.getOrElse(table.toLowerCase, Seq.empty)
 
   /** Library-level enforcement: apply the registered policies for `table`
@@ -55,7 +64,7 @@ object Governance {
       case Some(p) => df.filter(expr(p.predicateSql))
       case None => df
     }
-    val maskCols = masks(table).map(_.column).toSet
+    val maskCols = masks(spark, table).map(_.column).toSet
     if (maskCols.isEmpty) filtered
     else filtered.select(filtered.columns.map { c =>
       if (maskCols.contains(c)) lit(Masked).as(c) else col(c)
@@ -74,12 +83,12 @@ class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
     plan.transformUpWithNewOutput {
       case s @ SubqueryAlias(ident, child)
           if s.getTagValue(applied).isEmpty && child.resolved &&
-            (rowPolicy(ident.name).isDefined || masks(ident.name).nonEmpty) =>
+            (rowPolicy(ident.name).isDefined || masks(spark, ident.name).nonEmpty) =>
         var inner: LogicalPlan = child
         rowPolicy(ident.name).foreach { p =>
           inner = Filter(spark.sessionState.sqlParser.parseExpression(p.predicateSql), inner)
         }
-        val maskCols = masks(ident.name).map(_.column).toSet
+        val maskCols = masks(spark, ident.name).map(_.column).toSet
         var mapping = Seq.empty[(org.apache.spark.sql.catalyst.expressions.Attribute,
           org.apache.spark.sql.catalyst.expressions.Attribute)]
         if (maskCols.nonEmpty) {

@@ -440,8 +440,42 @@ object Llm {
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM filtered WHERE doc_id NOT IN (SELECT doc_id FROM dup_b)""".stripMargin
 
+  // ------------------------------------------------------------- q56
+  // N-gram Jaccard near-dup, EXACT variant: shingle inverted-index join
+  // for candidates (shuffle keyed by shingle — never all-pairs), exact
+  // array-intersect verification. Complements q35: same semantics, no
+  // LSH approximation, full recall at any threshold — the lower 0.6
+  // threshold here surfaces pairs LSH banding at b=32/r=4 would catch
+  // only with p ≈ 0.99 rather than certainty.
+  def q56(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.exactPairs(s, docs(s, dir), "doc_id", "text",
+      shingleSize = 3, threshold = 0.6)
+
+  val q56Sql =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY shingle IS NOT NULL),
+      |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM ds a JOIN ds b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_ngram_jaccard" -> (q56 _),
     "q51_corpus_prep" -> (q51 _),
     "q50_ann_ivf" -> (q50 _), // rows-only: IVF is approximate
     "q47_multimodal_features" -> (q47 _),
@@ -458,6 +492,7 @@ object Llm {
     "q40_multimodal_meta" -> (q40 _))
 
   val oracle: Map[String, String] = Map(
+    "q56_ngram_jaccard" -> q56Sql,
     "q51_corpus_prep" -> q51Sql,
     "q47_multimodal_features" -> q47Sql,
     "q30_dedup_exact" -> q30Sql,

@@ -45,7 +45,7 @@ object Ops {
   def q41(s: SparkSession, dir: String): DataFrame = {
     import graft.plans.Governance
     Governance.clearPolicies()
-    Governance.privileged = false
+    Governance.setPrivileged(s, false)
     Governance.addRowPolicy(
       Governance.RowPolicy("customer", "c_mktsegment = 'BUILDING'"))
     Governance.addMaskPolicy(Governance.MaskPolicy("customer", "c_name"))

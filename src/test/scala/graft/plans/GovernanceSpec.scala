@@ -33,7 +33,7 @@ class GovernanceSpec extends SparkFunSuite {
 
   test("row policy filters and mask policy blanks through plain SQL") {
     Governance.clearPolicies()
-    Governance.privileged = false
+    Governance.setPrivileged(governed, false)
     Governance.addRowPolicy(Governance.RowPolicy("customer", "c_mktsegment = 'BUILDING'"))
     Governance.addMaskPolicy(Governance.MaskPolicy("customer", "c_name"))
     graft.Tables.load(governed, sf, "customer").createOrReplaceTempView("customer")
@@ -47,12 +47,28 @@ class GovernanceSpec extends SparkFunSuite {
     Governance.clearPolicies()
     Governance.addRowPolicy(Governance.RowPolicy("customer", "c_mktsegment = 'BUILDING'"))
     Governance.addMaskPolicy(Governance.MaskPolicy("customer", "c_name"))
-    Governance.privileged = true
+    Governance.setPrivileged(governed, true)
     try {
       graft.Tables.load(governed, sf, "customer").createOrReplaceTempView("customer")
       val out = governed.sql("SELECT c_custkey, c_name, c_mktsegment FROM customer").collect()
       assert(out.forall(_.getString(2) == "BUILDING"))
       assert(out.exists(_.getString(1) != Governance.Masked))
-    } finally Governance.privileged = false
+    } finally Governance.setPrivileged(governed, false)
+  }
+
+  test("privilege is per-session, not process-global") {
+    Governance.clearPolicies()
+    Governance.addMaskPolicy(Governance.MaskPolicy("customer", "c_name"))
+    val shared = graft.SparkSuite.spark
+    Governance.setPrivileged(governed, true)
+    Governance.setPrivileged(shared, false)
+    try {
+      val open = Governance.secureView(governed, "customer",
+        graft.Tables.load(governed, sf, "customer")).select("c_name").head().getString(0)
+      val masked = Governance.secureView(shared, "customer",
+        graft.Tables.load(shared, sf, "customer")).select("c_name").head().getString(0)
+      assert(open != Governance.Masked)
+      assert(masked == Governance.Masked)
+    } finally Governance.setPrivileged(governed, false)
   }
 }
