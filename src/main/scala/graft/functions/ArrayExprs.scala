@@ -290,6 +290,46 @@ case class SimHash32(child: Expression)
     copy(child = newChild)
 }
 
+/** interleave_bits(c0 int, c1 int[, c2 int[, c3 int]]) → long Morton code.
+  *
+  * Interleaves the low 16 bits of 2–4 integer codes into one long, the
+  * Z-order curve key: sorting by it gives every run of rows (hence every
+  * written file) a small hyper-rectangle in code space, so file-level
+  * min/max stats prune on EACH interleaved column independently —
+  * lexicographic range-clustering only ever prunes on the leading column.
+  * Nulls code as 0 and cluster with the minimum.
+  */
+case class InterleaveBits(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.size >= 2 && children.size <= 4,
+    "interleave_bits takes 2-4 columns")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "interleave_bits"
+
+  override def eval(input: InternalRow): Any = {
+    val n = children.size
+    var z = 0L
+    var c = 0
+    while (c < n) {
+      val v = children(c).eval(input)
+      val code = if (v == null) 0 else v.asInstanceOf[Int] & 0xffff
+      var bit = 0
+      while (bit < 16) {
+        z |= ((code >> bit) & 1L) << (bit * n + c)
+        bit += 1
+      }
+      c += 1
+    }
+    z
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
 /** Idempotent session registration of the graft SQL functions. */
 object Registry {
   def install(spark: SparkSession): Unit = {
@@ -304,5 +344,7 @@ object Registry {
       (es: Seq[Expression]) => Fingerprint(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash32",
       (es: Seq[Expression]) => SimHash32(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("interleave_bits",
+      (es: Seq[Expression]) => InterleaveBits(es), "built-in")
   }
 }

@@ -322,8 +322,14 @@ object Llm {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = emb(s, dir).withColumn("fv", array_to_vector(col("v")))
+    // The coarse quantizer trains on a BOUNDED sample, never the corpus:
+    // ~256 vectors per centroid is the standard IVF training budget, so
+    // the k-means cost stays constant as the corpus grows to 100 TB. The
+    // limit pushes into the scan (GlobalLimit, no corpus shuffle); only
+    // the cheap cell ASSIGNMENT pass touches every vector.
+    val trainSample = e.limit(256 * 16)
     val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(e)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(trainSample)
     val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
     import s.implicits._
     val centroids = model.clusterCenters.zipWithIndex

@@ -115,6 +115,31 @@ object Ops {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events""".stripMargin
 
+  // ------------------------------------------------------------- q57
+  // Z-order compaction (T7 + the reference's clustering-key layout): same
+  // rewrite as q44 but Morton-interleaved on (user_id, value), so the
+  // compacted files' min/max stats prune point/range predicates on EITHER
+  // column (ZOrderSpec proves the pruning; this query proves the rewrite
+  // preserves the exact row multiset through the verify gate). The user_id
+  // probe below reads through the z-ordered table, so the answer ALSO
+  // flows through the pruned layout.
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    val loc = Tables.scratch(s"snaptab/zorder_${tag(dir)}")
+    Tables.deleteRecursively(loc)
+    val t = SnapshotTable.create(s, loc, ev(s, dir).repartition(32))
+    t.compact(targetBytes = 4L * 1024 * 1024, zorderBy = Seq("user_id", "value"))
+    t.read().filter(col("user_id") < 50)
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"))
+  }
+
+  val q57Sql =
+    """SELECT count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events WHERE user_id < 50""".stripMargin
+
   // ------------------------------------------------------------- q45
   // Schema evolution (T8): v0 lacks the `bonus` column, v1 adds it
   // (additive only, old files untouched); the merged read yields nulls
@@ -357,7 +382,8 @@ object Ops {
     "q52_warehouse_usage" -> (q52 _),
     "q53_storage_usage" -> (q53 _),
     "q54_multi_engine" -> (q54 _),
-    "q55_partitioned_table" -> (q55 _))
+    "q55_partitioned_table" -> (q55 _),
+    "q57_zorder_compaction" -> (q57 _))
 
   val oracle: Map[String, String] = Map(
     "q49_bench_metrics" -> q49Sql,
@@ -371,5 +397,6 @@ object Ops {
     "q52_warehouse_usage" -> q52Sql,
     "q53_storage_usage" -> q53Sql,
     "q54_multi_engine" -> q54Sql,
-    "q55_partitioned_table" -> q55Sql)
+    "q55_partitioned_table" -> q55Sql,
+    "q57_zorder_compaction" -> q57Sql)
 }

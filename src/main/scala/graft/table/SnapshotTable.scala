@@ -189,7 +189,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * resurrecting or dropping rows.
     */
   def compact(targetBytes: Long = 256L * 1024 * 1024,
-      clusterBy: Seq[String] = Nil): Int = {
+      clusterBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions.col
     val base = snapshot(latestVersion)
     val inputs = base.files.map(_.path).toSet
@@ -204,8 +204,15 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     // repartitionByRange + in-file sort): files end up with disjoint
     // clustered-column ranges, so the manifest min/max stats prune most
     // files for point/range predicates on those columns.
+    // zorderBy = true multi-dimensional clustering: Morton-interleave the
+    // columns so file stats prune on each independently (see [[ZOrder]]);
+    // the code-space bounds come from the manifest stats of the files
+    // being compacted, so clustering adds no extra pass over the data.
     val arranged =
-      if (clusterBy.nonEmpty)
+      if (zorderBy.nonEmpty)
+        ZOrder.arrange(data, zorderBy,
+          zorderBy.map(c => c -> manifestBounds(base, data, c)).toMap, nFiles)
+      else if (clusterBy.nonEmpty)
         data.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else data.repartition(nFiles)
@@ -220,6 +227,29 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       },
       cur => if (cur.version < 0) base.schemaJson else cur.schemaJson,
       "compact")
+  }
+
+  /** Global [lo, hi] of column `c` in code-space units for Z-order
+    * scaling: folded from the manifest's per-file min/max when every live
+    * file carries numeric stats for `c` (zero data IO), else one
+    * column-pruned min/max aggregation over `data`. Manifest "ts" stats
+    * are micros and "date" stats epoch days; both are rescaled to match
+    * [[ZOrder]]'s cast (epoch seconds / epoch days). */
+  private def manifestBounds(base: SnapshotTable.Snapshot, data: DataFrame,
+      c: String): (Double, Double) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val ss = base.files.map(_.stats.get(c))
+    val numeric = ss.flatten.filter(s => s.typ != "string")
+    if (base.files.nonEmpty && numeric.size == base.files.size) {
+      val scale = if (numeric.head.typ == "ts") 1e-6 else 1.0
+      (numeric.map(_.min.toDouble).min * scale,
+        numeric.map(_.max.toDouble).max * scale)
+    } else {
+      val n = ZOrder.numeric(data, c)
+      val r = data.agg(min(n), max(n)).head()
+      (Option(r.get(0)).fold(0.0)(_.asInstanceOf[Double]),
+        Option(r.get(1)).fold(0.0)(_.asInstanceOf[Double]))
+    }
   }
 
   /** MERGE-style upsert: rows in `updates` replace current rows with the
