@@ -140,6 +140,48 @@ object Ops {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events WHERE user_id < 50""".stripMargin
 
+  // ------------------------------------------------------------- q58
+  // SQL MERGE INTO through the DSv2 row-level operation protocol
+  // (group-based copy-on-write): seed the catalog table with the first
+  // slice of events, merge a source that overlaps it — deletes every
+  // tenth overlapped row, updates the rest of the overlap, inserts the
+  // tail — and read the merged table back. The oracle recomputes the
+  // same three-way split directly over `events`.
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val name = s"events_merge_${tag(dir)}"
+    Tables.deleteRecursively(s"$wh/db/$name")
+    s.sql(
+      s"""CREATE TABLE graft.db.$name
+         |  (event_id BIGINT, user_id BIGINT, value DOUBLE)""".stripMargin)
+    val e = ev(s, dir)
+    e.filter(col("event_id") < 5000)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeTo(s"graft.db.$name").append()
+    e.filter(col("event_id") >= 4000)
+      .select(col("event_id"), col("user_id"), (col("value") * 2).as("value"))
+      .createOrReplaceTempView(s"merge_src_${tag(dir)}")
+    s.sql(
+      s"""MERGE INTO graft.db.$name t USING merge_src_${tag(dir)} s
+         |ON t.event_id = s.event_id
+         |WHEN MATCHED AND s.event_id % 10 = 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET value = s.value
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(
+      s"""SELECT count(*) AS n_rows,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM graft.db.$name""".stripMargin)
+  }
+
+  val q58Sql =
+    """SELECT count(*) AS n_rows,
+      |       CAST(sum(CAST(CASE WHEN event_id < 4000 THEN value
+      |                          ELSE value * 2 END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE NOT (event_id >= 4000 AND event_id < 5000 AND event_id % 10 = 0)""".stripMargin
+
   // ------------------------------------------------------------- q45
   // Schema evolution (T8): v0 lacks the `bonus` column, v1 adds it
   // (additive only, old files untouched); the merged read yields nulls
@@ -383,7 +425,8 @@ object Ops {
     "q53_storage_usage" -> (q53 _),
     "q54_multi_engine" -> (q54 _),
     "q55_partitioned_table" -> (q55 _),
-    "q57_zorder_compaction" -> (q57 _))
+    "q57_zorder_compaction" -> (q57 _),
+    "q58_sql_merge" -> (q58 _))
 
   val oracle: Map[String, String] = Map(
     "q49_bench_metrics" -> q49Sql,
@@ -398,5 +441,6 @@ object Ops {
     "q53_storage_usage" -> q53Sql,
     "q54_multi_engine" -> q54Sql,
     "q55_partitioned_table" -> q55Sql,
-    "q57_zorder_compaction" -> q57Sql)
+    "q57_zorder_compaction" -> q57Sql,
+    "q58_sql_merge" -> q58Sql)
 }

@@ -22,7 +22,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftTable(tableName: String, location: String,
     snap: SnapshotTable.Snapshot) extends Table
-    with SupportsRead with SupportsWrite with SupportsDelete {
+    with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -133,6 +134,88 @@ class GraftTable(tableName: String, location: String,
       "delete")
   }
 
+  /** SQL `UPDATE` / `MERGE INTO` via the DSv2 row-level operation
+    * protocol, group-based copy-on-write: Spark rewrites the command into
+    * a ReplaceData plan whose query computes the table's complete new
+    * contents from this operation's scan (carried rows ∪ updated rows ∪
+    * merge-inserted rows), and the write swaps the staged files in as one
+    * conflict-checked snapshot. Data writing is delegated to Spark's own
+    * parquet batch write into a staging directory — distributed,
+    * executor-side, no driver materialization — then the commit renames
+    * the files into `data/` and validates the base version is unchanged
+    * (a concurrent commit aborts the operation rather than being lost).
+    *
+    * v1 scope: no runtime group filtering (every UPDATE/MERGE rewrites
+    * the whole table — the refinement is a SupportsRuntimeGroupFiltering
+    * scan that confines the rewrite to matched files), and unpartitioned
+    * tables only (the staged replacement is written flat).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, PhysicalWriteInfo, RowLevelOperation, WriterCommitMessage}
+    if (snap.partitionCols.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"row-level ${info.command} on partitioned table $tableName is not yet supported")
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command()
+
+      // The operation's scan must surface EVERY current row: Spark pushes
+      // the UPDATE/MERGE condition into this scan only to let a
+      // group-filtering connector confine the rewrite to matched groups,
+      // and rows it filters out are DROPPED from the replacement. Without
+      // runtime group filtering the builder must accept no filter
+      // pushdown (and no manifest pruning) — plain full scan of the
+      // pinned snapshot; the condition still executes in the rewrite plan.
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new ScanBuilder
+            with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+          private lazy val inner = innerBuilder(snap.files, options)
+          override def pruneColumns(requiredSchema: StructType): Unit =
+            inner.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+              .pruneColumns(requiredSchema)
+          override def build(): org.apache.spark.sql.connector.read.Scan = inner.build()
+        }
+
+      override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
+        new WriteBuilder {
+          override def build(): Write = new Write {
+          override def toBatch: BatchWrite = {
+            val staging = java.nio.file.Paths.get(
+              location, "_staging", s"rowlevel-${java.util.UUID.randomUUID}")
+            // INT64 micros timestamps, same as the snapshot staging path
+            spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+            val inner = ParquetTable(
+              s"$tableName-rowlevel-staging", spark,
+              new CaseInsensitiveStringMap(util.Map.of("path", staging.toString)),
+              Seq(staging.toString), Some(writeInfo.schema()),
+              classOf[ParquetFileFormat])
+              .newWriteBuilder(writeInfo).build().toBatch
+            new BatchWrite {
+              // ReplaceData's query prepends a __row_operation column and
+              // (with no metadata projection) Spark's writing task hands
+              // rows through unprojected — keep the trailing data columns
+              override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+                new GraftTable.TrailingColumnsFactory(
+                  inner.createBatchWriterFactory(p), writeInfo.schema())
+              override def useCommitCoordinator(): Boolean = inner.useCommitCoordinator()
+              override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                inner.commit(messages) // finalize staged parquet files
+                SnapshotTable.load(spark, location).replaceWithStagedDir(
+                  snap.version, staging, info.command.toString.toLowerCase)
+                graft.Tables.deleteRecursively(staging.toString)
+              }
+              override def abort(messages: Array[WriterCommitMessage]): Unit = {
+                inner.abort(messages)
+                graft.Tables.deleteRecursively(staging.toString)
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
@@ -152,6 +235,42 @@ class GraftTable(tableName: String, location: String,
 object GraftTable {
   import org.apache.spark.sql.{Column, functions => F}
   import org.apache.spark.sql.sources._
+
+  /** Writer factory projecting each incoming row to its LAST
+    * `schema.length` fields before delegating: the row-level ReplaceData
+    * query prepends bookkeeping columns (`__row_operation`) that a
+    * replace-contents write must not persist. Codegen'd UnsafeProjection,
+    * built once per writer. */
+  private class TrailingColumnsFactory(
+      inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+      schema: StructType)
+      extends org.apache.spark.sql.connector.write.DataWriterFactory {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    import org.apache.spark.sql.connector.write.DataWriter
+
+    override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+      val w = inner.createWriter(partitionId, taskId)
+      new DataWriter[InternalRow] {
+        private var proj: UnsafeProjection = _
+        override def write(row: InternalRow): Unit = {
+          if (proj == null) {
+            val offset = row.numFields - schema.length
+            require(offset >= 0,
+              s"row-level write rows have ${row.numFields} fields, table has ${schema.length}")
+            proj = UnsafeProjection.create(schema.fields.toIndexedSeq.zipWithIndex.map {
+              case (f, i) =>
+                BoundReference(i + offset, f.dataType, f.nullable)
+            })
+          }
+          w.write(proj(row))
+        }
+        override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = w.commit()
+        override def abort(): Unit = w.abort()
+        override def close(): Unit = w.close()
+      }
+    }
+  }
 
   /** Source filter → Column condition for the delete path; None marks an
     * unsupported shape (canDeleteWhere then refuses, Spark reports the

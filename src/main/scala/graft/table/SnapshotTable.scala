@@ -329,10 +329,20 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         graft.Tables.deleteRecursively(tmp.toString)
         moved.sorted
       }
-    val statCols: Seq[(String, String)] = df.schema.fields.toSeq
+    manifestEntries(paths, df.schema, pcols)
+  }
+
+  /** Footer-stats manifest entries for already-written parquet files: row
+    * counts, byte sizes, and min/max stats from a distributed metadata-only
+    * footer pass, plus Hive partition values recovered from directory
+    * names as min==max stats. */
+  private def manifestEntries(paths: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      pcols: Seq[String]): Seq[SnapshotTable.DataFile] = {
+    val statCols: Seq[(String, String)] = schema.fields.toSeq
       .flatMap(f => SnapshotTable.statType(f.dataType).map(t => f.name -> t))
       .take(8)
-    val schemaByName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val schemaByName = schema.fields.map(f => f.name -> f.dataType).toMap
     val footer: Map[String, (Long, Long, Map[String, SnapshotTable.ColStats])] =
       if (paths.isEmpty) Map.empty
       else spark.sparkContext
@@ -346,6 +356,37 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         dataDir.toString, p, pcols, schemaByName)
       SnapshotTable.DataFile(p, rows, stats ++ partStats, bytes)
     }
+  }
+
+  /** Adopt parquet files an EXTERNAL writer staged under `stagedDir` (the
+    * DSv2 row-level UPDATE/MERGE write delegates the data writing to
+    * Spark's own parquet batch write) and commit them as the table's
+    * complete new content — write-then-swap, conflict-checked against
+    * `baseVersion` like [[replace]]. The files are renamed into `data/`
+    * (same-filesystem move, metadata-only) before the commit. */
+  private[table] def replaceWithStagedDir(baseVersion: Int,
+      stagedDir: java.nio.file.Path, operation: String): Int = {
+    val dest = dataDir.resolve(java.util.UUID.randomUUID.toString)
+    Files.createDirectories(dest)
+    val moved = Files.list(stagedDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
+      .map { p =>
+        val d = dest.resolve(p.getFileName)
+        Files.move(p, d)
+        d.toString
+      }
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(snapshot(baseVersion).schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val files = manifestEntries(moved, schema, Seq.empty)
+    commitWithRetry(
+      base => {
+        if (base.version != baseVersion)
+          throw new java.util.ConcurrentModificationException(
+            s"table $location moved v$baseVersion -> v${base.version} during row-level $operation")
+        files
+      }, base => base.schemaJson, operation)
   }
 
   private def commitWithRetry(

@@ -1,0 +1,74 @@
+package graft.table
+
+import graft.SparkFunSuite
+
+/** SQL UPDATE / MERGE INTO through the DSv2 row-level operation protocol
+  * (group-based copy-on-write). Every mutation must be a new snapshot —
+  * old versions stay readable — and concurrent-commit conflicts abort. */
+class RowLevelSpec extends SparkFunSuite {
+
+  // one warehouse for the suite: catalog instances are cached per name,
+  // so re-pointing spark.sql.catalog.rlx.warehouse after first use is a
+  // silent no-op
+  private lazy val wh: String = {
+    val w = scratch("rowlevel-wh")
+    spark.conf.set("spark.sql.catalog.rlx", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rlx.warehouse", w)
+    w
+  }
+
+  private def freshTable(name: String): String = {
+    val fq = s"rlx.db.$name"
+    graft.Tables.deleteRecursively(s"$wh/db/$name")
+    spark.sql(s"CREATE TABLE $fq (id BIGINT, v DOUBLE, tag STRING)")
+    spark.sql(
+      s"""INSERT INTO $fq VALUES
+         |  (1, 10.0, 'a'), (2, 20.0, 'a'), (3, 30.0, 'b'),
+         |  (4, 40.0, 'b'), (5, CAST(NULL AS DOUBLE), 'c')""".stripMargin)
+    fq
+  }
+
+  test("SQL UPDATE rewrites matching rows and keeps history") {
+    val t = freshTable("upd")
+    spark.sql(s"UPDATE $t SET v = v * 2, tag = 'hot' WHERE id >= 3")
+    val rows = spark.sql(s"SELECT id, v, tag FROM $t ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(rows(2).getDouble(1) == 60.0 && rows(2).getString(2) == "hot")
+    assert(rows(3).getDouble(1) == 80.0)
+    // id=5 matched (5 >= 3) but v was NULL: NULL * 2 = NULL, tag updated
+    assert(rows(4).isNullAt(1) && rows(4).getString(2) == "hot")
+    assert(rows(0).getDouble(1) == 10.0 && rows(0).getString(2) == "a")
+    // the update is a snapshot on top of the insert — time travel sees both
+    val v1 = spark.sql(s"SELECT v FROM $t VERSION AS OF 1 WHERE id = 3").head().getDouble(0)
+    assert(v1 == 30.0)
+  }
+
+  test("UPDATE with a predicate over a NULL column leaves NULL-predicate rows untouched") {
+    val t = freshTable("updnull")
+    // v = NULL on id=5: `v < 25` is NULL there, so the row must NOT update
+    spark.sql(s"UPDATE $t SET tag = 'cheap' WHERE v < 25.0")
+    val tags = spark.sql(s"SELECT id, tag FROM $t ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tags(1L) == "cheap" && tags(2L) == "cheap")
+    assert(tags(3L) == "b" && tags(5L) == "c")
+  }
+
+  test("SQL MERGE INTO updates matches, inserts the rest, deletes on demand") {
+    val t = freshTable("merge")
+    import spark.implicits._
+    Seq((2L, 200.0), (5L, 500.0), (6L, 600.0), (7L, 700.0))
+      .toDF("id", "v").createOrReplaceTempView("rl_src")
+    spark.sql(
+      s"""MERGE INTO $t g USING rl_src s ON g.id = s.id
+         |WHEN MATCHED AND g.id = 5 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (s.id, s.v, 'new')""".stripMargin)
+    val rows = spark.sql(s"SELECT id, v, tag FROM $t ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 6L, 7L))
+    assert(rows(1).getDouble(1) == 200.0 && rows(1).getString(2) == "a") // updated
+    assert(rows(4).getDouble(1) == 600.0 && rows(4).getString(2) == "new") // inserted
+    // three snapshots: create(0), insert(1), merge(2)
+    val hist = SnapshotTable.load(spark, s"$wh/db/merge")
+    assert(hist.latestVersion == 2)
+  }
+}
