@@ -34,7 +34,7 @@ class GraftTable(tableName: String, location: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
     snap.partitionCols.map(c =>
@@ -228,6 +228,11 @@ class GraftTable(tableName: String, location: String,
               if (overwrite || legacyOverwrite) t.overwrite(data) else t.append(data)
             }
           }
+        // `df.writeStream.toTable(...)`: exactly-once epoch-committed
+        // appends, idempotent across restarts (see GraftStreamingWrite)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftStreamingWrite(location, info.schema(), info.queryId())
       }
     }
 }

@@ -389,6 +389,31 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       }, base => base.schemaJson, operation)
   }
 
+  /** True if any snapshot was committed with `operation` — the replay
+    * check behind exactly-once streaming epochs. */
+  def hasOperation(operation: String): Boolean =
+    versions.exists(v => snapshot(v).operation == operation)
+
+  /** Append parquet files an EXTERNAL writer staged (the DSv2 streaming
+    * epoch write): rename them into `data/`, collect footer stats, commit
+    * as an append tagged `operation`. Schema union like [[append]]. */
+  private[table] def appendStagedFiles(stagedPaths: Seq[java.nio.file.Path],
+      schema: org.apache.spark.sql.types.StructType, operation: String): Int = {
+    val dest = dataDir.resolve(java.util.UUID.randomUUID.toString)
+    Files.createDirectories(dest)
+    val moved = stagedPaths.sortBy(_.toString).map { p =>
+      val d = dest.resolve(p.getFileName)
+      Files.move(p, d)
+      d.toString
+    }
+    val files = manifestEntries(moved, schema, Seq.empty)
+    commitWithRetry(
+      base => base.files ++ files,
+      base => if (base.version < 0) schema.json
+              else SnapshotTable.unionSchema(base.schemaJson, schema),
+      operation)
+  }
+
   private def commitWithRetry(
       nextFiles: SnapshotTable.Snapshot => Seq[SnapshotTable.DataFile],
       nextSchema: SnapshotTable.Snapshot => String,

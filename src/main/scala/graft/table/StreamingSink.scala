@@ -1,0 +1,101 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** Exactly-once Structured Streaming sink into a snapshot table —
+  * `df.writeStream.toTable("graft.db.t")`, no foreachBatch glue.
+  *
+  * Each epoch's writers stream rows through Spark's own parquet
+  * `OutputWriterFactory` (same codec/conf path as batch writes) into a
+  * per-epoch staging directory; the epoch commit renames the files into
+  * `data/` and appends them as one snapshot tagged
+  * `stream-<queryId>-epoch-<N>`. The tag is the idempotence token: a
+  * restarted query replaying epoch N finds the tag and skips the commit,
+  * so rows land exactly once (reference T1/S8 — the Firehose→Iceberg
+  * ingestion contract, `aws-community-builders-presentation.md:214-251`).
+  */
+class GraftStreamingWrite(location: String, schema: StructType,
+    queryId: String) extends StreamingWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def stagingDir(epochId: Long): java.nio.file.Path =
+    java.nio.file.Paths.get(location, "_staging", s"stream-$queryId-$epochId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val factory = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, schema)
+    val conf = new SerializableConfiguration(job.getConfiguration)
+    val staging = java.nio.file.Paths.get(location, "_staging").toString
+    new GraftStreamingWrite.EpochWriterFactory(
+      factory, conf, schema, staging, queryId)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val t = SnapshotTable.load(spark, location)
+    val tag = s"stream-$queryId-epoch-$epochId"
+    val dir = stagingDir(epochId)
+    if (!t.hasOperation(tag)) {
+      val staged = messages.toSeq
+        .collect { case m: GraftStreamingWrite.StagedFiles => m.paths }
+        .flatten.map(java.nio.file.Paths.get(_))
+        .filter(java.nio.file.Files.exists(_))
+      if (staged.nonEmpty) t.appendStagedFiles(staged, schema, tag)
+    }
+    graft.Tables.deleteRecursively(dir.toString)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    graft.Tables.deleteRecursively(stagingDir(epochId).toString)
+}
+
+object GraftStreamingWrite {
+
+  case class StagedFiles(paths: Seq[String]) extends WriterCommitMessage
+
+  /** Executor-side factory: one parquet file per (epoch, partition, task)
+    * under the epoch's staging dir. */
+  private class EpochWriterFactory(
+      factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+      conf: SerializableConfiguration, schema: StructType,
+      stagingRoot: String, queryId: String)
+      extends StreamingDataWriterFactory {
+
+    override def createWriter(partitionId: Int, taskId: Long,
+        epochId: Long): DataWriter[InternalRow] = {
+      val dir = java.nio.file.Paths.get(stagingRoot, s"stream-$queryId-$epochId")
+      java.nio.file.Files.createDirectories(dir)
+      val path = dir.resolve(
+        s"part-$partitionId-$taskId-${java.util.UUID.randomUUID}.parquet")
+      val attempt = new org.apache.hadoop.mapreduce.TaskAttemptID(
+        new org.apache.hadoop.mapreduce.TaskID(
+          new org.apache.hadoop.mapreduce.JobID(queryId.take(8), epochId.toInt),
+          org.apache.hadoop.mapreduce.TaskType.MAP, partitionId),
+        (taskId % Int.MaxValue).toInt)
+      val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+        conf.value, attempt)
+      val out = factory.newInstance(path.toString, schema, ctx)
+      new DataWriter[InternalRow] {
+        override def write(row: InternalRow): Unit = out.write(row)
+        override def commit(): WriterCommitMessage = {
+          out.close()
+          StagedFiles(Seq(path.toString))
+        }
+        override def abort(): Unit = {
+          out.close()
+          java.nio.file.Files.deleteIfExists(path)
+        }
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
