@@ -160,21 +160,55 @@ class GraftTable(tableName: String, location: String,
     () => new RowLevelOperation {
       override def command(): RowLevelOperation.Command = info.command()
 
-      // The operation's scan must surface EVERY current row: Spark pushes
-      // the UPDATE/MERGE condition into this scan only to let a
-      // group-filtering connector confine the rewrite to matched groups,
-      // and rows it filters out are DROPPED from the replacement. Without
-      // runtime group filtering the builder must accept no filter
-      // pushdown (and no manifest pruning) — plain full scan of the
-      // pinned snapshot; the condition still executes in the rewrite plan.
+      // The file set this operation's scan actually read — the groups the
+      // write swaps out. Files skipped by manifest-stats selection keep
+      // their place in the new snapshot untouched.
+      @volatile private var scannedFiles: Option[Seq[SnapshotTable.DataFile]] = None
+
+      // The operation's scan must surface EVERY row of the files it
+      // reads: Spark pushes the command condition into this scan only so
+      // a group-filtering connector can confine the rewrite, and any ROW
+      // the scan drops is silently lost from the replacement. So the
+      // pushed condition is used for manifest-stats FILE selection only —
+      // a file is skipped iff its min/max prove no row can match, and
+      // such files survive the commit unchanged — while nothing is pushed
+      // to the parquet reader (pushedFilters stays empty; the condition
+      // still executes in the rewrite plan). Static metadata group
+      // filtering: an UPDATE with a selective predicate over a clustered
+      // table rewrites a handful of files, not 100 TB.
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         new ScanBuilder
+            with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
             with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
-          private lazy val inner = innerBuilder(snap.files, options)
+          import org.apache.spark.sql.catalyst.expressions.Expression
+
+          private var files: Seq[SnapshotTable.DataFile] = snap.files
+          private var inner: ScanBuilder = _
+          private def ensureInner(): ScanBuilder = {
+            if (inner == null) inner = innerBuilder(files, options)
+            inner
+          }
+
+          override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+            require(inner == null, "filters pushed after scan was built")
+            files = StatsPruning.prune(snap.files,
+              filters.flatMap(StatsPruning.fromCatalyst))
+            filters // everything stays post-scan
+          }
+
+          override def pushedFilters
+              : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+            Array.empty
+
           override def pruneColumns(requiredSchema: StructType): Unit =
-            inner.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+            ensureInner()
+              .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
               .pruneColumns(requiredSchema)
-          override def build(): org.apache.spark.sql.connector.read.Scan = inner.build()
+
+          override def build(): org.apache.spark.sql.connector.read.Scan = {
+            scannedFiles = Some(files)
+            ensureInner().build()
+          }
         }
 
       override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
@@ -202,7 +236,8 @@ class GraftTable(tableName: String, location: String,
               override def commit(messages: Array[WriterCommitMessage]): Unit = {
                 inner.commit(messages) // finalize staged parquet files
                 SnapshotTable.load(spark, location).replaceWithStagedDir(
-                  snap.version, staging, info.command.toString.toLowerCase)
+                  snap.version, staging, info.command.toString.toLowerCase,
+                  scannedFiles.map(_.map(_.path).toSet))
                 graft.Tables.deleteRecursively(staging.toString)
               }
               override def abort(messages: Array[WriterCommitMessage]): Unit = {

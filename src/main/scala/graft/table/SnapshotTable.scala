@@ -365,7 +365,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * `baseVersion` like [[replace]]. The files are renamed into `data/`
     * (same-filesystem move, metadata-only) before the commit. */
   private[table] def replaceWithStagedDir(baseVersion: Int,
-      stagedDir: java.nio.file.Path, operation: String): Int = {
+      stagedDir: java.nio.file.Path, operation: String,
+      replacedPaths: Option[Set[String]] = None): Int = {
     val dest = dataDir.resolve(java.util.UUID.randomUUID.toString)
     Files.createDirectories(dest)
     val moved = Files.list(stagedDir).iterator().asScala
@@ -385,7 +386,12 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         if (base.version != baseVersion)
           throw new java.util.ConcurrentModificationException(
             s"table $location moved v$baseVersion -> v${base.version} during row-level $operation")
-        files
+        // None = full replace; Some(paths) = only the scanned (rewritten)
+        // files are swapped out, files the scan skipped survive untouched
+        replacedPaths match {
+          case Some(replaced) => base.files.filterNot(f => replaced(f.path)) ++ files
+          case None => files
+        }
       }, base => base.schemaJson, operation)
   }
 

@@ -53,6 +53,39 @@ class RowLevelSpec extends SparkFunSuite {
     assert(tags(3L) == "b" && tags(5L) == "c")
   }
 
+  test("UPDATE rewrites only files whose stats can match the predicate") {
+    val fq = "rlx.db.grouped"
+    graft.Tables.deleteRecursively(s"$wh/db/grouped")
+    spark.sql(s"CREATE TABLE $fq (event_id BIGINT, value DOUBLE)")
+    // range-partitioned insert → files with disjoint event_id ranges
+    graft.Tables.load(spark, sf, "events")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("value"))
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("event_id"))
+      .sortWithinPartitions("event_id")
+      .writeTo(fq).append()
+    val t = SnapshotTable.load(spark, s"$wh/db/grouped")
+    val before = t.snapshot(t.latestVersion).files.map(_.path).toSet
+    assert(before.size >= 8)
+    val expected = spark.table(fq).count()
+
+    spark.sql(s"UPDATE $fq SET value = 0.0 WHERE event_id < 100")
+    val after = t.snapshot(t.latestVersion).files.map(_.path).toSet
+    // most range-files can't contain event_id < 100 → they must survive
+    val surviving = before.intersect(after)
+    assert(surviving.size >= before.size - 2,
+      s"expected file-confined rewrite: kept ${surviving.size} of ${before.size}")
+    assert(after != before, "at least one file must be rewritten")
+    // content still exact
+    assert(spark.table(fq).count() == expected)
+    assert(spark.sql(s"SELECT count(*) FROM $fq WHERE event_id < 100 AND value <> 0.0")
+      .head().getLong(0) == 0)
+    assert(spark.sql(s"SELECT count(*) FROM $fq WHERE event_id >= 100 AND value = 0.0")
+      .head().getLong(0) ==
+      graft.Tables.load(spark, sf, "events")
+        .filter("event_id >= 100 AND value = 0.0").count())
+  }
+
   test("SQL MERGE INTO updates matches, inserts the rest, deletes on demand") {
     val t = freshTable("merge")
     import spark.implicits._
