@@ -17,7 +17,8 @@ object Bench {
          "q44_compaction" | "q45_schema_evolution" | "q48_sql_time_travel" |
          "q49_bench_metrics" | "q52_warehouse_usage" | "q53_storage_usage" |
          "q54_multi_engine" | "q55_partitioned_table" |
-         "q57_zorder_compaction" | "q58_sql_merge" => "maintenance"
+         "q57_zorder_compaction" | "q58_sql_merge" |
+         "q59_history_table" => "maintenance"
     case _ if n >= "q30" && n <= "q59" => "data_pipeline"
     case _ if n.startsWith("q1") && n >= "q10" => "advanced"
     case "q12_funnel" | "q13_compaction_estimator" => "advanced"

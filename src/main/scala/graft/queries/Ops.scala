@@ -182,6 +182,38 @@ object Ops {
       |FROM events
       |WHERE NOT (event_id >= 4000 AND event_id < 5000 AND event_id % 10 = 0)""".stripMargin
 
+  // ------------------------------------------------------------- q59
+  // Snapshot-log introspection through SQL metadata tables (the Iceberg
+  // `t.history` surface, reference
+  // `aws-community-builders-presentation.md:229-320`): CREATE + two
+  // INSERTs, then read the commit history back as a relation.
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val name = s"events_hist_${tag(dir)}"
+    Tables.deleteRecursively(s"$wh/db/$name")
+    s.sql(
+      s"""CREATE TABLE graft.db.$name
+         |  (event_id BIGINT, user_id BIGINT, value DOUBLE)""".stripMargin)
+    val e = ev(s, dir).select(col("event_id"), col("user_id"), col("value"))
+    e.filter(col("event_id") < 8000).writeTo(s"graft.db.$name").append()
+    e.filter(col("event_id") >= 8000).writeTo(s"graft.db.$name").append()
+    s.sql(
+      s"""SELECT version, operation, n_rows
+         |FROM graft.db.$name.history ORDER BY version""".stripMargin)
+  }
+
+  // history's n_rows is the SNAPSHOT total (table size as of that
+  // version), not the commit delta — hence cumulative counts here
+  val q59Sql =
+    """SELECT CAST(0 AS INTEGER) AS version, 'create' AS operation, CAST(0 AS BIGINT) AS n_rows
+      |UNION ALL
+      |SELECT 1, 'append', count(*) FROM events WHERE event_id < 8000
+      |UNION ALL
+      |SELECT 2, 'append', count(*) FROM events
+      |ORDER BY version""".stripMargin
+
   // ------------------------------------------------------------- q45
   // Schema evolution (T8): v0 lacks the `bonus` column, v1 adds it
   // (additive only, old files untouched); the merged read yields nulls
@@ -426,7 +458,8 @@ object Ops {
     "q54_multi_engine" -> (q54 _),
     "q55_partitioned_table" -> (q55 _),
     "q57_zorder_compaction" -> (q57 _),
-    "q58_sql_merge" -> (q58 _))
+    "q58_sql_merge" -> (q58 _),
+    "q59_history_table" -> (q59 _))
 
   val oracle: Map[String, String] = Map(
     "q49_bench_metrics" -> q49Sql,
@@ -442,5 +475,6 @@ object Ops {
     "q54_multi_engine" -> q54Sql,
     "q55_partitioned_table" -> q55Sql,
     "q57_zorder_compaction" -> q57Sql,
-    "q58_sql_merge" -> q58Sql)
+    "q58_sql_merge" -> q58Sql,
+    "q59_history_table" -> q59Sql)
 }

@@ -60,6 +60,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       location(ident), snap)
 
   override def loadTable(ident: Identifier): Table = {
+    // `cat.db.t.history` parses as Identifier([db, t], history): when the
+    // name is a metadata suffix and [db, t] is a real table, serve the
+    // snapshot-log metadata relation (MetadataTables)
+    if (ident.namespace().length >= 2) {
+      val parent = Identifier.of(
+        ident.namespace().dropRight(1), ident.namespace().last)
+      if (new java.io.File(s"${location(parent)}/_snapshots").isDirectory) {
+        val meta = MetadataTables.forKind(
+          s"$catalogName.${parent.namespace().mkString(".")}.${parent.name()}",
+          open(parent), ident.name())
+        if (meta.isDefined) return meta.get
+      }
+    }
     val t = open(ident)
     parquetTable(ident, t.snapshot(t.latestVersion))
   }

@@ -1,0 +1,75 @@
+package graft.table
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Iceberg-style SQL metadata tables: `SELECT * FROM cat.db.t.history`
+  * (also `.snapshots`, `.files`) inspects the snapshot log through plain
+  * SQL — the introspection surface the reference demos against Iceberg
+  * metadata (`aws-community-builders-presentation.md:229-320`).
+  *
+  * Snapshot logs are small (O(versions), O(files)), so the rows are
+  * materialized driver-side behind a DSv2 [[LocalScan]] — no job, no
+  * shuffle; predicates/projections apply above it like any local
+  * relation.
+  */
+object MetadataTables {
+
+  val historySchema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("committed_at", TimestampType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false)))
+
+  val filesSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("stats_json", StringType, nullable = false)))
+
+  /** Build the metadata table named `kind` over `t`, if `kind` is one of
+    * the supported suffixes. */
+  def forKind(name: String, t: SnapshotTable, kind: String): Option[Table] =
+    kind match {
+      case "history" | "snapshots" =>
+        val rows = t.versions.map { v =>
+          val s = t.snapshot(v)
+          InternalRow(s.version, s.timestampMs * 1000L,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s.operation),
+            s.files.size.toLong, s.files.map(_.rows).filter(_ >= 0).sum)
+        }
+        Some(new MetadataTable(s"$name.$kind", historySchema, rows))
+      case "files" =>
+        val snap = t.snapshot(t.latestVersion)
+        val rows = snap.files.map { f =>
+          val stats = f.stats.toSeq.sortBy(_._1).map { case (c, s) =>
+            s""""$c":{"type":"${s.typ}","min":"${s.min}","max":"${s.max}"}"""
+          }.mkString("{", ",", "}")
+          InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(f.path),
+            f.rows, f.bytes,
+            org.apache.spark.unsafe.types.UTF8String.fromString(stats))
+        }
+        Some(new MetadataTable(s"$name.files", filesSchema, rows))
+      case _ => None
+    }
+
+  private class MetadataTable(tableName: String, tableSchema: StructType,
+      rowData: Seq[InternalRow]) extends Table with SupportsRead {
+    override def name(): String = tableName
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.Set.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      () => new LocalScan {
+        override def rows(): Array[InternalRow] = rowData.toArray
+        override def readSchema(): StructType = tableSchema
+      }
+  }
+}
