@@ -85,11 +85,15 @@ object NearDup {
     val tokens = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val dfreq = tokens.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id")
+    // persisted: the prefix set feeds both sides of the candidate
+    // self-join, and without it the df-join + double window recompute
+    // per branch (same reasoning as the signature persist in [[pairs]])
     val prefix = tokens.join(dfreq, "shingle")
       .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
       .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
       .select("doc_id", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
