@@ -101,6 +101,48 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming sessionization: gap-based per-user sessions over event
+    * time via Spark's native `session_window` — the streaming sibling of
+    * q10's batch LAG-based session split. State is keyed by (user,
+    * session-window) and merged as windows overlap, expired once the
+    * watermark passes the gap, so state stays bounded by ACTIVE sessions
+    * regardless of stream length — the property a 100 TB/day clickstream
+    * needs. Append mode emits only closed sessions.
+    */
+  def sessionize(spark: SparkSession, srcDir: String, queryName: String,
+      gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(srcDir).schema
+    val ckpt = Tables.scratch(s"ckpt/$queryName")
+    Tables.deleteRecursively(ckpt)
+    val raw = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 10).parquet(srcDir)
+    val withTs =
+      if (schema.fieldNames.contains("ts") &&
+          schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val agg = withTs
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        // countDistinct is unsupported in streaming aggs; collect_set is
+        // mergeable across session-window merges and sized on emit
+        size(collect_set(col("event_type"))).cast("long").as("n_event_types"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("n_event_types"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** T2: a dynamic table — incremental refresh of a per-user aggregate via
     * foreachBatch merging each micro-batch into a snapshot table. The
     * merge recomputes only groups present in the batch (shuffle keyed by

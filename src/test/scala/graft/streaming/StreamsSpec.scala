@@ -42,6 +42,23 @@ class StreamsSpec extends SparkFunSuite {
       col("expected") =!= col("event_count")).count() == 0)
   }
 
+  test("streaming session windows match the batch session_window recompute") {
+    val src = scratch("sess-src")
+    graft.Tables.load(spark, sf, "events")
+      .orderBy("ts").coalesce(1).write.parquet(src)
+    val out = Streams.sessionize(spark, src, "streams_sessions")
+    assert(out.count() > 0, "no closed sessions emitted")
+    val batch = spark.read.parquet(src)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("expected"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("expected"))
+    // every emitted (session_start, user) must agree with batch exactly
+    val joined = out.join(batch, Seq("session_start", "user_id"), "left")
+    assert(joined.filter(col("expected").isNull ||
+      col("expected") =!= col("n_events")).count() == 0)
+  }
+
   test("materialized view refresh republishes atomically") {
     val mv = scratch("mv-refresh")
     val first = Streams.refreshMaterializedView(spark, mv, {
