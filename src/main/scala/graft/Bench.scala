@@ -70,6 +70,12 @@ object Bench {
           (-1L, s"ERROR:${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // operators that persist intermediates (NearDup signatures/prefix
+      // sets, corpus prep) would otherwise accumulate cached blocks
+      // across all ~50 queries and thrash the block manager — measured
+      // 6× slowdown on late queries. Each query keeps its caches only
+      // while IT runs.
+      spark.sqlContext.clearCache()
       (name, sec, rows, status)
     }
     val qs = results.map { case (n, sec, _, _) => s"${jstr(n)}:$sec" }.mkString("{", ",", "}")

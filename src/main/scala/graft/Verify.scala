@@ -32,6 +32,7 @@ object Verify {
           else col(f.name)
         }.toSeq: _*)
         ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        spark.sqlContext.clearCache() // don't accumulate operator caches across queries
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
