@@ -42,11 +42,10 @@ class GraftTable(tableName: String, location: String,
 
   private def innerBuilder(files: Seq[SnapshotTable.DataFile],
       options: CaseInsensitiveStringMap): ScanBuilder = {
-    // partitioned tables carry their values in Hive directory names under
-    // data/; basePath lets the file index recover them as columns
-    val opts: util.Map[String, String] =
-      if (snap.partitionCols.isEmpty) util.Map.of("mergeSchema", "true")
-      else util.Map.of("mergeSchema", "true", "basePath", s"$location/data")
+    // partition source columns are stored in the data files (stage()
+    // writes them alongside the __gp_ directory keys), so the scan needs
+    // no directory-based partition recovery
+    val opts: util.Map[String, String] = util.Map.of("mergeSchema", "true")
     ParquetTable(
       s"$tableName@v${snap.version}",
       spark,
@@ -145,18 +144,20 @@ class GraftTable(tableName: String, location: String,
     * the files into `data/` and validates the base version is unchanged
     * (a concurrent commit aborts the operation rather than being lost).
     *
-    * v1 scope: no runtime group filtering (every UPDATE/MERGE rewrites
-    * the whole table — the refinement is a SupportsRuntimeGroupFiltering
-    * scan that confines the rewrite to matched files), and unpartitioned
-    * tables only (the staged replacement is written flat).
+    * The operation scan confines the rewrite statically: pushed command
+    * conditions select files via manifest stats (a skipped file provably
+    * holds no matching row and survives unchanged). Partitioned tables
+    * work too — partition source columns are stored in the data files,
+    * so the flat replacement files stay self-describing and their
+    * partition stats come from the parquet footers.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, PhysicalWriteInfo, RowLevelOperation, WriterCommitMessage}
-    if (snap.partitionCols.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"row-level ${info.command} on partitioned table $tableName is not yet supported")
+    // works on partitioned tables too: partition source columns live in
+    // the data files, so the flat replacement files are self-describing
+    // and their partition-column min/max comes from the parquet footers
     () => new RowLevelOperation {
       override def command(): RowLevelOperation.Command = info.command()
 

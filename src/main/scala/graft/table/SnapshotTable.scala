@@ -98,14 +98,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     if (added.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else {
-      val reader = spark.read.schema(schema)
-      val withBase =
-        if (snapshot(to).partitionCols.nonEmpty)
-          reader.option("basePath", dataDir.toString)
-        else reader
-      withBase.parquet(added.map(_.path): _*)
-    }
+    else spark.read.schema(schema).parquet(added.map(_.path): _*)
   }
 
   /** Time travel by version (`VERSION AS OF`). The snapshot's declared
@@ -120,13 +113,10 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      val reader = spark.read.schema(schema)
-      // partitioned tables use a Hive layout under data/; basePath lets the
-      // file index recover partition values from the directory names
-      val withBase =
-        if (snap.partitionCols.nonEmpty) reader.option("basePath", dataDir.toString)
-        else reader
-      withBase.parquet(snap.files.map(_.path): _*)
+      // partition source columns are stored in the data files themselves
+      // (stage() keeps them alongside the __gp_ dir keys), so every read
+      // is a plain file-list read with the declared schema
+      spark.read.schema(schema).parquet(snap.files.map(_.path): _*)
     }
   }
 
@@ -347,12 +337,20 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map(_.toString).toSeq.sorted
       } else {
-        // write the Hive layout into a staging dir, then move each leaf
-        // file under data/<k>=<v>/ with a unique name — a same-filesystem
-        // rename per file (metadata-only), giving one shared basePath for
-        // partition-value recovery across all commits
+        // Hive-style directory layout for humans and layout-aware tools,
+        // BUT the partition source columns are also written INTO the data
+        // files (Iceberg's identity-partition design): the dirs are keyed
+        // by a `__gp_<col>` alias so `partitionBy` doesn't consume the
+        // real column. Readers then never need directory-based partition
+        // recovery — every file is self-describing, so flat rewrite files
+        // (row-level UPDATE/MERGE/DELETE, streaming epochs) coexist with
+        // partitioned inserts in one table.
         val tmp = Paths.get(location, "_staging", java.util.UUID.randomUUID.toString)
-        df.write.partitionBy(pcols: _*).parquet(tmp.toString)
+        val dirCols = pcols.map(c => s"__gp_$c")
+        val withDirKeys = pcols.zip(dirCols).foldLeft(df) { case (d, (c, dc)) =>
+          d.withColumn(dc, org.apache.spark.sql.functions.col(c))
+        }
+        withDirKeys.write.partitionBy(dirCols: _*).parquet(tmp.toString)
         val staged = Files.walk(tmp).iterator().asScala
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
           .toSeq.sorted
@@ -614,6 +612,10 @@ object SnapshotTable {
     val kv = (0 until rel.getNameCount).map(rel.getName(_).toString)
       .flatMap { seg =>
         seg.split("=", 2) match {
+          // dirs are keyed `__gp_<col>=<value>` (see stage()); map back
+          // to the real column name
+          case Array(k, v) if k.startsWith("__gp_") =>
+            Some(k.stripPrefix("__gp_") -> unescapePath(v))
           case Array(k, v) => Some(k -> unescapePath(v))
           case _ => None
         }

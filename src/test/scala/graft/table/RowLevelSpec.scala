@@ -86,6 +86,25 @@ class RowLevelSpec extends SparkFunSuite {
         .filter("event_id >= 100 AND value = 0.0").count())
   }
 
+  test("UPDATE and DELETE work on partitioned tables (in-file partition columns)") {
+    val fq = "rlx.db.parted"
+    graft.Tables.deleteRecursively(s"$wh/db/parted")
+    spark.sql(s"CREATE TABLE $fq (id BIGINT, day DATE, v DOUBLE) PARTITIONED BY (day)")
+    spark.sql(
+      s"""INSERT INTO $fq VALUES
+         |  (1, DATE '2024-01-01', 1.0), (2, DATE '2024-01-02', 2.0),
+         |  (3, DATE '2024-01-02', 3.0), (4, DATE '2024-01-03', 4.0)""".stripMargin)
+    spark.sql(s"UPDATE $fq SET v = v + 10 WHERE day = DATE '2024-01-02'")
+    spark.sql(s"DELETE FROM $fq WHERE v >= 13.0")
+    val rows = spark.sql(s"SELECT id, day, v FROM $fq ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    assert(rows(1).getDouble(2) == 12.0) // updated in place
+    assert(rows(0).getDouble(2) == 1.0 && rows(2).getDouble(2) == 4.0)
+    // the day column survives the rewrite (it lives in the data files)
+    assert(spark.sql(s"SELECT count(*) FROM $fq WHERE day = DATE '2024-01-02'")
+      .head().getLong(0) == 1)
+  }
+
   test("SQL MERGE INTO updates matches, inserts the rest, deletes on demand") {
     val t = freshTable("merge")
     import spark.implicits._
