@@ -34,7 +34,8 @@ class GraftTable(tableName: String, location: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
 
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
     snap.partitionCols.map(c =>
@@ -253,15 +254,34 @@ class GraftTable(tableName: String, location: String,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
       private var overwrite = false
+      // INSERT OVERWRITE … PARTITION(day=…) / df.writeTo.overwrite(cond):
+      // replace only the rows matching the filter, carry the rest
+      private var overwriteCond: Option[org.apache.spark.sql.Column] = None
       override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        require(filters.forall(f => GraftTable.filterToColumn(f).isDefined),
+          s"unsupported overwrite filter: ${filters.mkString(", ")}")
+        val nonTrivial = filters
+          .filterNot(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue])
+        val cond = nonTrivial.flatMap(GraftTable.filterToColumn)
+          .reduceOption(_ && _)
+        if (cond.isEmpty) overwrite = true else overwriteCond = cond
+        this
+      }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit = {
               val t = SnapshotTable.load(data.sparkSession, location)
-              if (overwrite || legacyOverwrite) t.overwrite(data) else t.append(data)
+              if (overwrite || legacyOverwrite) t.overwrite(data)
+              else overwriteCond match {
+                case Some(cond) => t.replaceWhere(cond, data)
+                case None => t.append(data)
+              }
             }
           }
         // `df.writeStream.toTable(...)`: exactly-once epoch-committed
@@ -318,6 +338,7 @@ object GraftTable {
     * delete as unsupported instead of deleting the wrong rows). */
   private[table] def filterToColumn(f: Filter): Option[Column] = f match {
     case EqualTo(c, v) => Some(F.col(c) === F.lit(v))
+    case EqualNullSafe(c, v) => Some(F.col(c) <=> F.lit(v))
     case GreaterThan(c, v) => Some(F.col(c) > F.lit(v))
     case GreaterThanOrEqual(c, v) => Some(F.col(c) >= F.lit(v))
     case LessThan(c, v) => Some(F.col(c) < F.lit(v))

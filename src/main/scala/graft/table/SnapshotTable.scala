@@ -208,6 +208,19 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       }, _ => df.schema.json, operation)
   }
 
+  /** Scoped overwrite (INSERT OVERWRITE … PARTITION / replaceWhere):
+    * rows matching `cond` are replaced by `df`, everything else is
+    * carried over — one conflict-checked commit. NULL-predicate rows are
+    * carried (only rows where `cond` is TRUE are replaced), matching SQL
+    * overwrite semantics. */
+  def replaceWhere(cond: org.apache.spark.sql.Column, df: DataFrame,
+      operation: String = "overwrite"): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val baseV = latestVersion
+    val kept = readVersion(baseV).filter(not(coalesce(cond, lit(false))))
+    replace(baseV, kept.unionByName(df, allowMissingColumns = true), operation)
+  }
+
   /** Bin-pack compaction (reference T7: target 128–256 MB files,
     * `aws-community-builders-presentation.md:302-307`): rewrite the current
     * file set into ceil(totalBytes / targetBytes) files and swap the file

@@ -105,6 +105,25 @@ class RowLevelSpec extends SparkFunSuite {
       .head().getLong(0) == 1)
   }
 
+  test("INSERT OVERWRITE PARTITION replaces only the targeted partition") {
+    val fq = "rlx.db.partow"
+    graft.Tables.deleteRecursively(s"$wh/db/partow")
+    spark.sql(s"CREATE TABLE $fq (id BIGINT, day DATE, v DOUBLE) PARTITIONED BY (day)")
+    spark.sql(
+      s"""INSERT INTO $fq VALUES
+         |  (1, DATE '2024-01-01', 1.0), (2, DATE '2024-01-02', 2.0),
+         |  (3, DATE '2024-01-02', 3.0)""".stripMargin)
+    spark.sql(
+      s"INSERT OVERWRITE $fq PARTITION (day = DATE '2024-01-02') (id, v) VALUES (9, 99.0)")
+    val rows = spark.sql(s"SELECT id, day, v FROM $fq ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 9L))
+    assert(rows(0).getDouble(2) == 1.0) // untouched partition carried over
+    assert(rows(1).getDate(1).toString == "2024-01-02" && rows(1).getDouble(2) == 99.0)
+    // full overwrite still truncates
+    spark.sql(s"INSERT OVERWRITE $fq VALUES (7, DATE '2024-02-01', 7.0)")
+    assert(spark.table(fq).count() == 1)
+  }
+
   test("SQL MERGE INTO updates matches, inserts the rest, deletes on demand") {
     val t = freshTable("merge")
     import spark.implicits._
