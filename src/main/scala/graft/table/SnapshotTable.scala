@@ -322,6 +322,15 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val dead = drop.flatMap(v => snapshot(v).files.map(_.path)).toSet -- live
     dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
     drop.foreach(v => Files.deleteIfExists(snapDir.resolve(f"v$v%05d.json")))
+    // orphan sweep: staging dirs survive only if a writer crashed between
+    // staging and commit/abort — anything older than an hour is garbage
+    val staging = Paths.get(location, "_staging")
+    if (Files.isDirectory(staging)) {
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      Files.list(staging).iterator().asScala
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach(p => graft.Tables.deleteRecursively(p.toString))
+    }
   }
 
   // ------------------------------------------------------------ internals
@@ -363,7 +372,15 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         val withDirKeys = pcols.zip(dirCols).foldLeft(df) { case (d, (c, dc)) =>
           d.withColumn(dc, org.apache.spark.sql.functions.col(c))
         }
-        withDirKeys.write.partitionBy(dirCols: _*).parquet(tmp.toString)
+        // hash-distribute by the partition values (Iceberg's default write
+        // distribution): each partition value lands in one task, so an
+        // append writes one file per partition instead of tasks×partitions
+        // small files — the exact problem the reference demos compaction
+        // for. A pathologically hot partition serializes into one task;
+        // compact(clusterBy/zorderBy) is the rebalance for that.
+        withDirKeys
+          .repartition(dirCols.map(org.apache.spark.sql.functions.col): _*)
+          .write.partitionBy(dirCols: _*).parquet(tmp.toString)
         val staged = Files.walk(tmp).iterator().asScala
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
           .toSeq.sorted
