@@ -154,8 +154,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     exists
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("rename not supported")
+  /** ALTER TABLE … RENAME TO: move the table directory, then rewrite the
+    * manifests' absolute data-file paths to the new prefix (metadata-only
+    * — no data is copied; the dir move is one filesystem rename). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    import java.nio.file.{Files, Paths}
+    val from = location(oldIdent)
+    val to = location(newIdent)
+    if (!new java.io.File(s"$from/_snapshots").isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(oldIdent)
+    require(!new java.io.File(to).exists(), s"rename target exists: $to")
+    Files.createDirectories(Paths.get(to).getParent)
+    Files.move(Paths.get(from), Paths.get(to))
+    val snaps = Paths.get(to, "_snapshots")
+    import scala.jdk.CollectionConverters._
+    Files.list(snaps).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .foreach { p =>
+        val rewritten = Files.readString(p).replace(s"$from/", s"$to/")
+        Files.writeString(p, rewritten)
+      }
+  }
 
   // ------------------------------------------------- SupportsNamespaces
   override def listNamespaces(): Array[Array[String]] = {
