@@ -113,6 +113,27 @@ class ExprSpec extends SparkFunSuite {
     assert(withNull == without)
   }
 
+  test("interleave_bits: exact bit layout, 2-4 columns, nulls code as 0") {
+    Registry.install(spark)
+    def one(sql: String): Long = spark.sql(s"SELECT $sql").as[Long].head()
+    // two columns: c0's bits land on even positions, c1's on odd
+    assert(one("interleave_bits(65535, 0)") == 0x55555555L)
+    assert(one("interleave_bits(0, 65535)") == 0xAAAAAAAAL)
+    assert(one("interleave_bits(65535, 65535)") == 0xFFFFFFFFL)
+    // three columns: stride 3
+    assert(one("interleave_bits(1, 0, 0)") == 1L)
+    assert(one("interleave_bits(0, 1, 0)") == 2L)
+    assert(one("interleave_bits(0, 0, 1)") == 4L)
+    // only the low 16 bits participate
+    assert(one("interleave_bits(65536, 0)") == 0L)
+    // nulls cluster with the minimum
+    assert(one("interleave_bits(CAST(NULL AS INT), 9)") == one("interleave_bits(0, 9)"))
+    // monotone along each axis with the other fixed → the curve preserves
+    // per-dimension ordering inside a fixed cell of the other dimension
+    val zs = (0 until 16).map(i => one(s"interleave_bits($i, 7)"))
+    assert(zs == zs.sorted)
+  }
+
   test("lsh_bucket: deterministic per table, within bit range") {
     Registry.install(spark)
     val v = Array.tabulate(64)(i => math.sin(i.toDouble))
