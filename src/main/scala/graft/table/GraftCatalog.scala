@@ -30,7 +30,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[SnapshotTable]] API (the commit protocol owns atomicity; SQL DML is
   * out of scope this milestone).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
+
+  /** `CALL graft.system.compact/expire_snapshots/rollback(…)` — the
+    * Iceberg-style SQL maintenance surface (see [[Procedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    Procedures.load(warehouse, ident.name())
+      .filter(_ => ident.namespace().sameElements(Array("system")))
+      .getOrElse(throw new RuntimeException(
+        s"unknown procedure: ${ident.namespace().mkString(".")}.${ident.name()}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Procedures.names.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   private var catalogName: String = _
   private var warehouse: String = _

@@ -1,0 +1,109 @@
+package graft.table
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL maintenance procedures — the Iceberg `CALL catalog.system.…` UX
+  * for the snapshot-table maintenance jobs (reference T6/T7,
+  * `aws-community-builders-presentation.md:229-320`):
+  *
+  *   CALL graft.system.compact(table => 'db.t', target_bytes => …, zorder_by => 'a,b')
+  *   CALL graft.system.expire_snapshots(table => 'db.t', keep_last => 3)
+  *   CALL graft.system.rollback(table => 'db.t', version => 2)
+  *
+  * Each returns a one-row result relation (driver-local LocalScan).
+  */
+object Procedures {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def resultScan(schema: StructType, row: InternalRow): util.Iterator[Scan] =
+    util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+    }).iterator()
+
+  private def param(name: String, dt: DataType) =
+    ProcedureParameter.in(name, dt).build()
+  private def paramWithDefault(name: String, dt: DataType, default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  /** `table` arg ("db.t") → loaded SnapshotTable via the catalog's
+    * warehouse layout. */
+  private def open(warehouse: String, table: String): SnapshotTable = {
+    val loc = (warehouse +: table.split('.').toSeq).mkString("/")
+    SnapshotTable.load(spark, loc)
+  }
+
+  abstract class GraftProcedure(procName: String) extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  final class Compact(warehouse: String) extends GraftProcedure("compact") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      paramWithDefault("target_bytes", LongType, (256L * 1024 * 1024).toString),
+      paramWithDefault("zorder_by", StringType, "''"))
+    private val outSchema = StructType(Seq(
+      StructField("version", IntegerType), StructField("n_files", LongType)))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val t = open(warehouse, input.getUTF8String(0).toString)
+      val zorder = Option(input.getUTF8String(2)).map(_.toString).getOrElse("")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val v = t.compact(targetBytes = input.getLong(1), zorderBy = zorder)
+      resultScan(outSchema,
+        InternalRow(v, t.snapshot(v).files.size.toLong))
+    }
+  }
+
+  final class ExpireSnapshots(warehouse: String)
+      extends GraftProcedure("expire_snapshots") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      paramWithDefault("keep_last", IntegerType, "1"))
+    private val outSchema = StructType(Seq(
+      StructField("kept_versions", IntegerType)))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val t = open(warehouse, input.getUTF8String(0).toString)
+      t.expireSnapshots(input.getInt(1))
+      resultScan(outSchema, InternalRow(t.versions.size))
+    }
+  }
+
+  final class Rollback(warehouse: String) extends GraftProcedure("rollback") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("version", IntegerType))
+    private val outSchema = StructType(Seq(
+      StructField("restored_version", IntegerType),
+      StructField("new_version", IntegerType)))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val t = open(warehouse, input.getUTF8String(0).toString)
+      val target = input.getInt(1)
+      val v = t.rollbackTo(target)
+      resultScan(outSchema, InternalRow(target, v))
+    }
+  }
+
+  def load(warehouse: String, name: String): Option[UnboundProcedure] =
+    name match {
+      case "compact" => Some(new Compact(warehouse))
+      case "expire_snapshots" => Some(new ExpireSnapshots(warehouse))
+      case "rollback" => Some(new Rollback(warehouse))
+      case _ => None
+    }
+
+  val names: Seq[String] = Seq("compact", "expire_snapshots", "rollback")
+
+  /** Output of name()/description() for UTF8String-safe literals. */
+  private[table] def utf8(s: String): UTF8String = UTF8String.fromString(s)
+}

@@ -208,6 +208,15 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       }, _ => df.schema.json, operation)
   }
 
+  /** Roll the table back to `version` by committing a NEW snapshot that
+    * reuses that version's files and schema — history is preserved (the
+    * bad commits stay inspectable/travelable), readers atomically see the
+    * old content. Metadata-only: no data is read or written. */
+  def rollbackTo(version: Int): Int = {
+    val target = snapshot(version)
+    commitWithRetry(_ => target.files, _ => target.schemaJson, "rollback")
+  }
+
   /** Scoped overwrite (INSERT OVERWRITE … PARTITION / replaceWhere):
     * rows matching `cond` are replaced by `df`, everything else is
     * carried over — one conflict-checked commit. NULL-predicate rows are
