@@ -56,6 +56,28 @@ class GraftTable(tableName: String, location: String,
       classOf[ParquetFileFormat]).newScanBuilder(options)
   }
 
+  /** The file set a scan starts from: the pinned snapshot's files, or —
+    * when the reader passed `since_version` (incremental read,
+    * `spark.read.option("since_version", v).table(...)`) — only the files
+    * appended after that version, with the same appends-only guard as
+    * [[SnapshotTable.appendsSince]]. */
+  private def scanFiles(options: CaseInsensitiveStringMap): Seq[SnapshotTable.DataFile] =
+    Option(options.get("since_version")) match {
+      case None => snap.files
+      case Some(v) =>
+        val t = SnapshotTable.load(spark, location)
+        val since = v.toInt
+        val range = t.versions.filter(x => x > since && x <= snap.version)
+        val rewrites = range.map(t.snapshot)
+          .filterNot(s => s.operation == "append" || s.operation == "create" ||
+            s.operation.startsWith("stream-"))
+        require(rewrites.isEmpty,
+          s"incremental read since v$since crosses non-append commits: " +
+            rewrites.map(s => s"v${s.version}=${s.operation}").mkString(", "))
+        val base = t.snapshot(since).files.map(_.path).toSet
+        snap.files.filterNot(f => base(f.path))
+    }
+
   /** Scan builder with manifest-stats file skipping: pushed filters first
     * prune the snapshot's file list against per-file min/max stats
     * ([[StatsPruning]] — metadata-only, conservative), then everything
@@ -74,6 +96,7 @@ class GraftTable(tableName: String, location: String,
       import org.apache.spark.sql.connector.read.SupportsPushDownAggregates
       import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 
+      private val baseFiles = scanFiles(options)
       private var inner: FileScanBuilder = _
       private def ensureInner(files: Seq[SnapshotTable.DataFile]): Unit =
         if (inner == null)
@@ -83,34 +106,34 @@ class GraftTable(tableName: String, location: String,
       // parquet metadata) — delegate to the parquet builder, which sees
       // only the stats-pruned file set
       override def supportCompletePushDown(agg: Aggregation): Boolean = {
-        ensureInner(snap.files)
+        ensureInner(baseFiles)
         inner.asInstanceOf[SupportsPushDownAggregates].supportCompletePushDown(agg)
       }
 
       override def pushAggregation(agg: Aggregation): Boolean = {
-        ensureInner(snap.files)
+        ensureInner(baseFiles)
         inner.asInstanceOf[SupportsPushDownAggregates].pushAggregation(agg)
       }
 
       override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
         val sourceFilters = filters.flatMap(StatsPruning.fromCatalyst)
-        ensureInner(StatsPruning.prune(snap.files, sourceFilters))
+        ensureInner(StatsPruning.prune(baseFiles, sourceFilters))
         inner.pushFilters(filters)
       }
 
       override def pushedFilters
           : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
-        ensureInner(snap.files)
+        ensureInner(baseFiles)
         inner.pushedFilters
       }
 
       override def pruneColumns(requiredSchema: StructType): Unit = {
-        ensureInner(snap.files)
+        ensureInner(baseFiles)
         inner.pruneColumns(requiredSchema)
       }
 
       override def build(): org.apache.spark.sql.connector.read.Scan = {
-        ensureInner(snap.files)
+        ensureInner(baseFiles)
         inner.build()
       }
     }

@@ -34,4 +34,21 @@ class IncrementalReadSpec extends SparkFunSuite {
     // ranges before the rewrite still answer
     assert(t.appendsSince(0, 2).count() == a1 + a2)
   }
+
+  test("since_version reader option gives incremental reads through the catalog") {
+    val wh = scratch("incr-cat-wh")
+    spark.conf.set("spark.sql.catalog.icx", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.icx.warehouse", wh)
+    spark.sql("CREATE TABLE icx.db.t (id BIGINT)")
+    spark.sql("INSERT INTO icx.db.t VALUES (1), (2)")
+    spark.sql("INSERT INTO icx.db.t VALUES (3)")
+    val incr = spark.read.option("since_version", "1").table("icx.db.t")
+    assert(incr.as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet == Set(3L))
+    // nothing new after the latest version
+    assert(spark.read.option("since_version", "2").table("icx.db.t").count() == 0)
+    // predicates still prune within the incremental file set
+    assert(spark.read.option("since_version", "0").table("icx.db.t")
+      .filter("id > 1").count() == 2)
+  }
 }
