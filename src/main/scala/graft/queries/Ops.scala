@@ -387,10 +387,11 @@ object Ops {
   // over the table's data dir) while Spark reads through the snapshot log —
   // two engines, same files, same answer. Single-snapshot table, so the
   // data glob is exactly the live file set.
-  // NOTE the oracle embeds the sf0.01 location — the scale the driver
-  // verifies at; run scripts/compare.py at sf0.01 to check locally.
+  // The scratch location is deliberately NOT scale-tagged: the query
+  // rebuilds the table from the run's own input before the oracle reads
+  // the files, so the check is valid at every scale factor.
   def q54(s: SparkSession, dir: String): DataFrame = {
-    val loc = Tables.scratch(s"snaptab/multiengine_${tag(dir)}")
+    val loc = Tables.scratch("snaptab/multiengine")
     Tables.deleteRecursively(loc)
     val t = SnapshotTable.create(s, loc, ev(s, dir).repartition(4))
     t.read().groupBy("event_type")
@@ -399,7 +400,7 @@ object Ops {
   }
 
   val q54Sql = {
-    val loc = Tables.scratch("snaptab/multiengine__root_testdata_sf0_01")
+    val loc = Tables.scratch("snaptab/multiengine")
     s"""SELECT event_type, count(*) AS n_events,
        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
        |FROM read_parquet('$loc/data/*/*.parquet')
