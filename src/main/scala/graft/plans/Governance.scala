@@ -79,10 +79,25 @@ class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val applied = TreeNodeTag[Boolean]("graft.governance.applied")
 
+  /** Policies attach to TABLE references only: the alias must wrap a
+    * scan-shaped subtree (leaf relation, optionally under views /
+    * projections / filters). A derived subquery that merely shares a
+    * policied table's name is left alone — applying the policy there
+    * would inject predicates over columns the subquery may not have. */
+  private def isScanSubtree(p: LogicalPlan): Boolean = p match {
+    case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+    case v: org.apache.spark.sql.catalyst.plans.logical.View => isScanSubtree(v.child)
+    case prj: org.apache.spark.sql.catalyst.plans.logical.Project => isScanSubtree(prj.child)
+    case f: Filter => isScanSubtree(f.child)
+    case a: SubqueryAlias => isScanSubtree(a.child)
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUpWithNewOutput {
       case s @ SubqueryAlias(ident, child)
           if s.getTagValue(applied).isEmpty && child.resolved &&
+            isScanSubtree(child) &&
             (rowPolicy(ident.name).isDefined || masks(spark, ident.name).nonEmpty) =>
         var inner: LogicalPlan = child
         rowPolicy(ident.name).foreach { p =>

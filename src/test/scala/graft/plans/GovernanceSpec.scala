@@ -56,6 +56,17 @@ class GovernanceSpec extends SparkFunSuite {
     } finally Governance.setPrivileged(governed, false)
   }
 
+  test("a derived subquery sharing a policied table's name is left alone") {
+    Governance.clearPolicies()
+    Governance.addRowPolicy(Governance.RowPolicy("customer", "c_mktsegment = 'BUILDING'"))
+    // the policy predicate references c_mktsegment, which this subquery
+    // does not have — applying it would fail analysis; the rule must skip
+    val out = governed.sql(
+      "SELECT x FROM (SELECT id * 2 AS x FROM (SELECT 21 AS id) GROUP BY id) AS customer")
+      .collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(42))
+  }
+
   test("privilege is per-session, not process-global") {
     Governance.clearPolicies()
     Governance.addMaskPolicy(Governance.MaskPolicy("customer", "c_name"))
