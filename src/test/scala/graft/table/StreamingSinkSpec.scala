@@ -52,4 +52,34 @@ class StreamingSinkSpec extends SparkFunSuite {
       "SELECT count(*) FROM ssx.db.sink WHERE event_type = 'purchase'")
       .head().getLong(0) == direct)
   }
+
+  test("streaming sink into a PARTITIONED table keeps partition columns queryable") {
+    val wh = scratch("streamsink-part-wh")
+    spark.conf.set("spark.sql.catalog.spx", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spx.warehouse", wh)
+    val src = scratch("streamsink-part-src")
+    graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"), col("value"))
+      .repartition(4).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    spark.sql(
+      """CREATE TABLE spx.db.psink
+        |  (event_id BIGINT, user_id BIGINT, event_type STRING, day DATE, value DOUBLE)
+        |PARTITIONED BY (day)""".stripMargin)
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .writeStream
+      .option("checkpointLocation", scratch("streamsink-part-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("spx.db.psink")
+      .awaitTermination()
+    val expected = spark.read.parquet(src)
+    assert(spark.table("spx.db.psink").count() == expected.count())
+    // the partition column is in the streamed (flat) files, so day
+    // predicates answer correctly
+    val d = expected.select(max("day")).head().getDate(0).toString
+    assert(spark.sql(s"SELECT count(*) FROM spx.db.psink WHERE day = DATE '$d'")
+      .head().getLong(0) == expected.filter(col("day") === d).count())
+  }
 }
