@@ -16,6 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.compact(table => 'db.t', target_bytes => …, zorder_by => 'a,b')
   *   CALL graft.system.expire_snapshots(table => 'db.t', keep_last => 3)
   *   CALL graft.system.rollback(table => 'db.t', version => 2)
+  *   CALL graft.system.remove_orphans(table => 'db.t', grace_ms => 0)
   *
   * Each returns a one-row result relation (driver-local LocalScan).
   */
@@ -79,6 +80,20 @@ object Procedures {
     }
   }
 
+  final class RemoveOrphans(warehouse: String)
+      extends GraftProcedure("remove_orphans") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      paramWithDefault("grace_ms", LongType, (3600L * 1000).toString))
+    private val outSchema = StructType(Seq(
+      StructField("removed_files", LongType)))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val t = open(warehouse, input.getUTF8String(0).toString)
+      val removed = t.removeOrphans(input.getLong(1))
+      resultScan(outSchema, InternalRow(removed.size.toLong))
+    }
+  }
+
   final class Rollback(warehouse: String) extends GraftProcedure("rollback") {
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
@@ -99,10 +114,12 @@ object Procedures {
       case "compact" => Some(new Compact(warehouse))
       case "expire_snapshots" => Some(new ExpireSnapshots(warehouse))
       case "rollback" => Some(new Rollback(warehouse))
+      case "remove_orphans" => Some(new RemoveOrphans(warehouse))
       case _ => None
     }
 
-  val names: Seq[String] = Seq("compact", "expire_snapshots", "rollback")
+  val names: Seq[String] =
+    Seq("compact", "expire_snapshots", "rollback", "remove_orphans")
 
   /** Output of name()/description() for UTF8String-safe literals. */
   private[table] def utf8(s: String): UTF8String = UTF8String.fromString(s)

@@ -208,6 +208,26 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       }, _ => df.schema.json, operation)
   }
 
+  /** Delete data files under `data/` that NO snapshot references —
+    * leftovers of writers that crashed after staging files into place but
+    * before their commit won (or lost a commit race). Only files older
+    * than `graceMs` are touched: a concurrent writer's just-moved files
+    * are unreferenced for the instant before its snapshot lands, and the
+    * grace window keeps them safe. Returns the deleted paths. */
+  def removeOrphans(graceMs: Long = 3600L * 1000): Seq[String] = {
+    val referenced = versions.flatMap(v => snapshot(v).files.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val orphans = Files.walk(dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .filterNot(p => referenced(p.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+      .map(_.toString).toList
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphans
+  }
+
   /** Roll the table back to `version` by committing a NEW snapshot that
     * reuses that version's files and schema — history is preserved (the
     * bad commits stay inspectable/travelable), readers atomically see the

@@ -41,6 +41,24 @@ class ProceduresSpec extends SparkFunSuite {
     assert(spark.sql("SELECT count(*) FROM prx.db.r VERSION AS OF 2").head().getLong(0) == 3)
   }
 
+  test("CALL system.remove_orphans deletes unreferenced data files only") {
+    graft.Tables.deleteRecursively(s"$wh/db/o")
+    spark.sql("CREATE TABLE prx.db.o (id BIGINT)")
+    spark.sql("INSERT INTO prx.db.o VALUES (1), (2)")
+    // plant an orphan: a parquet file in data/ no snapshot references
+    val orphanDir = java.nio.file.Paths.get(s"$wh/db/o/data/orphaned")
+    java.nio.file.Files.createDirectories(orphanDir)
+    spark.range(3).write.parquet(s"$orphanDir/junk")
+    val res = spark.sql(
+      "CALL prx.system.remove_orphans(table => 'db.o', grace_ms => 0)").head()
+    assert(res.getLong(0) >= 1)
+    // live data untouched, orphan parquet gone
+    assert(spark.table("prx.db.o").count() == 2)
+    val remaining = java.nio.file.Files.walk(orphanDir).iterator()
+    import scala.jdk.CollectionConverters._
+    assert(!remaining.asScala.exists(_.toString.endsWith(".parquet")))
+  }
+
   test("CALL system.expire_snapshots trims history and deletes dead files") {
     graft.Tables.deleteRecursively(s"$wh/db/e")
     spark.sql("CREATE TABLE prx.db.e (id BIGINT)")
