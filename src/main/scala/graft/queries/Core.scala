@@ -499,6 +499,30 @@ object Core {
       |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // q60: JSON sink + source round-trip (the Firehose-style line-JSON
+  // interchange format next to q24's CSV): write the dim table as
+  // newline-delimited JSON, read it back with an explicit schema, and
+  // aggregate — schema'd reads keep types exact so the oracle (DuckDB
+  // read over the original parquet) matches bit-for-bit.
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    val jsonDir = Tables.scratch(s"json/customer_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    t(s, dir, "customer").write.mode("overwrite").json(jsonDir)
+    val back = s.read
+      .schema("c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+      .json(jsonDir)
+    back.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q60Sql =
+    """SELECT c_mktsegment, count(*) AS n_customers,
+      |       count(DISTINCT c_nationkey) AS n_nations,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // q26: TPC-H Q1-shaped pricing summary over the big fact table — the
   // bench's wide-aggregation workload (map-side partial agg + tiny shuffle).
   def q26(s: SparkSession, dir: String): DataFrame =
@@ -612,6 +636,7 @@ object Core {
     "q22_surrogate_id" -> (q22 _),
     "q23_ctas" -> (q23 _),
     "q24_csv_roundtrip" -> (q24 _),
+    "q60_json_roundtrip" -> (q60 _),
     "q26_pricing_summary" -> (q26 _),
     "q27_nation_revenue" -> (q27 _))
 
@@ -641,6 +666,7 @@ object Core {
     "q22_surrogate_id" -> q22Sql,
     "q23_ctas" -> q23Sql,
     "q24_csv_roundtrip" -> q24Sql,
+    "q60_json_roundtrip" -> q60Sql,
     "q26_pricing_summary" -> q26Sql,
     "q27_nation_revenue" -> q27Sql)
 }

@@ -72,7 +72,8 @@ object Streams {
     * finalized windows.
     */
   def windowedCounts(spark: SparkSession, srcDir: String, queryName: String,
-      windowLen: String = "1 day", watermark: String = "2 hours"): DataFrame = {
+      windowLen: String = "1 day", watermark: String = "2 hours",
+      slide: Option[String] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(srcDir).schema
     val ckpt = Tables.scratch(s"ckpt/$queryName")
@@ -84,9 +85,14 @@ object Streams {
           schema("ts").dataType == org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw
+    // slide < windowLen → overlapping (sliding) windows: each event lands
+    // in windowLen/slide windows; state per open window, same watermark
+    // expiry — the rolling-aggregate shape (e.g. 7-day rolling dailies)
+    val win = slide.fold(window(col("ts"), windowLen))(sl =>
+      window(col("ts"), windowLen, sl))
     val agg = withTs
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(win, col("event_type"))
       .agg(count(lit(1)).as("event_count"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("event_count"))

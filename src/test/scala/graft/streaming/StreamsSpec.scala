@@ -42,6 +42,25 @@ class StreamsSpec extends SparkFunSuite {
       col("expected") =!= col("event_count")).count() == 0)
   }
 
+  test("sliding windows emit overlapping finalized windows matching batch") {
+    val src = scratch("slide-src")
+    graft.Tables.load(spark, sf, "events")
+      .orderBy("ts").coalesce(1).write.parquet(src)
+    val out = Streams.windowedCounts(spark, src, "streams_sliding",
+      windowLen = "2 days", slide = Some("1 day"))
+    assert(out.count() > 0)
+    val batch = spark.read.parquet(src)
+      .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("expected"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("expected"))
+    val joined = out.join(batch, Seq("window_start", "event_type"), "left")
+    assert(joined.filter(col("expected").isNull ||
+      col("expected") =!= col("event_count")).count() == 0)
+    // sliding → strictly more window rows than tumbling at the same length
+    assert(out.select("window_start").distinct().count() >
+      spark.read.parquet(src).select(to_date(col("ts"))).distinct().count() / 2)
+  }
+
   test("streaming session windows match the batch session_window recompute") {
     val src = scratch("sess-src")
     graft.Tables.load(spark, sf, "events")
