@@ -29,8 +29,15 @@ object QueryMetrics {
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
     // AQE hides the real operators behind AdaptiveSparkPlanExec and
-    // leaf-like QueryStageExec wrappers; walk through them explicitly
+    // leaf-like QueryStageExec wrappers; walk through them explicitly.
+    // A reused exchange points back at an already-counted subtree — its
+    // scans/shuffles did the work ONCE — so each physical node is summed
+    // at most once (identity-tracked, since case-class equality would
+    // conflate genuinely distinct but equal-shaped nodes).
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     def walk(p: SparkPlan): Seq[SparkPlan] = {
+      if (!seen.add(p)) return Seq.empty
       val inner = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case s: QueryStageExec => Seq(s.plan)

@@ -34,15 +34,21 @@ object Governance {
   @volatile private var rowPolicies: Map[String, RowPolicy] = Map.empty
   @volatile private var maskPolicies: Map[String, Seq[MaskPolicy]] = Map.empty
 
-  /** Privilege is a per-session runtime conf, not process-global state:
-    * two sessions sharing one JVM/SparkContext (the multi-tenant shape on
-    * a shared cluster) hold independent privilege levels, and the rule
-    * reads the conf of the session that is analyzing the query. */
-  val PrivilegedKey = "spark.graft.governance.privileged"
+  /** Privilege is per-session but NOT a runtime conf: a conf key could be
+    * flipped by any SQL user via `SET ...=true`, silently disabling masks.
+    * This registry is keyed by session identity and mutable only through
+    * [[setPrivileged]] (an API call the SQL surface cannot reach); weak keys
+    * let closed sessions drop out without an explicit deregistration hook.
+    * Two sessions sharing one JVM/SparkContext (the multi-tenant shape on a
+    * shared cluster) still hold independent privilege levels. */
+  private val privilegedSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
   def privileged(spark: SparkSession): Boolean =
-    spark.conf.getOption(PrivilegedKey).exists(_.toBoolean)
+    Option(privilegedSessions.get(spark)).exists(_.booleanValue)
   def setPrivileged(spark: SparkSession, p: Boolean): Unit =
-    spark.conf.set(PrivilegedKey, p.toString)
+    if (p) privilegedSessions.put(spark, java.lang.Boolean.TRUE)
+    else privilegedSessions.remove(spark)
 
   def addRowPolicy(p: RowPolicy): Unit =
     rowPolicies += (p.table.toLowerCase -> p)

@@ -46,11 +46,18 @@ object MetadataTables {
         }
         Some(new MetadataTable(s"$name.$kind", historySchema, rows))
       case "files" =>
+        // string min/max are raw data values (up to 256 chars) — quotes and
+        // backslashes are legal in them, so the JSON is built through the
+        // mapper rather than interpolation
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val snap = t.snapshot(t.latestVersion)
         val rows = snap.files.map { f =>
-          val stats = f.stats.toSeq.sortBy(_._1).map { case (c, s) =>
-            s""""$c":{"type":"${s.typ}","min":"${s.min}","max":"${s.max}"}"""
-          }.mkString("{", ",", "}")
+          val root = mapper.createObjectNode()
+          f.stats.toSeq.sortBy(_._1).foreach { case (c, s) =>
+            val o = root.putObject(c)
+            o.put("type", s.typ); o.put("min", s.min); o.put("max", s.max)
+          }
+          val stats = mapper.writeValueAsString(root)
           InternalRow(
             org.apache.spark.unsafe.types.UTF8String.fromString(f.path),
             f.rows, f.bytes,

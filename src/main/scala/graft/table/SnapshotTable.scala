@@ -215,15 +215,33 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * are unreferenced for the instant before its snapshot lands, and the
     * grace window keeps them safe. Returns the deleted paths. */
   def removeOrphans(graceMs: Long = 3600L * 1000): Seq[String] = {
-    val referenced = versions.flatMap(v => snapshot(v).files.map(_.path)).toSet
+    // Canonicalize BOTH sides of the membership test: a symlinked or
+    // differently-spelled warehouse root (relative vs absolute, `..`
+    // segments) would otherwise make every live file compare unequal to
+    // its manifest entry and be deleted as an orphan.
+    def canonical(p: Path): String =
+      try p.toRealPath().toString
+      catch { case _: java.io.IOException => p.toAbsolutePath.normalize.toString }
+    val referenced =
+      versions.flatMap(v => snapshot(v).files.map(f => canonical(Paths.get(f.path)))).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     if (!Files.isDirectory(dataDir)) return Seq.empty
-    val orphans = Files.walk(dataDir).iterator().asScala
+    val onDisk = Files.walk(dataDir).iterator().asScala
       .filter(p => Files.isRegularFile(p))
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .filterNot(p => referenced(p.toString))
+      .toList
+    val (live, orphans0) = onDisk.partition(p => referenced(canonical(p)))
+    // Last-ditch guard against normalization divergence this canonical()
+    // didn't cover: snapshots reference files, yet not one of them matched
+    // anything under data/. Deleting would destroy the whole table.
+    if (referenced.nonEmpty && live.isEmpty && orphans0.nonEmpty)
+      throw new IllegalStateException(
+        s"remove_orphans aborted for $location: ${referenced.size} manifest entries matched " +
+          s"ZERO of ${onDisk.size} files under $dataDir — path normalization divergence; " +
+          "deleting would remove every live data file")
+    val orphans = orphans0
       .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-      .map(_.toString).toList
+      .map(_.toString)
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     orphans
   }

@@ -14,10 +14,12 @@ import org.apache.spark.util.SerializableConfiguration
   * `OutputWriterFactory` (same codec/conf path as batch writes) into a
   * per-epoch staging directory; the epoch commit renames the files into
   * `data/` and appends them as one snapshot tagged
-  * `stream-<queryId>-epoch-<N>`. The tag is the idempotence token: a
-  * restarted query replaying epoch N finds the tag and skips the commit,
-  * so rows land exactly once (reference T1/S8 — the Firehose→Iceberg
-  * ingestion contract, `aws-community-builders-presentation.md:214-251`).
+  * `stream-<queryId>-epoch-<N>`. Idempotence: a restarted query replaying
+  * epoch N skips the commit if either the tagged snapshot still exists or
+  * the per-query high-water epoch in `_sink-state/` (durable across
+  * snapshot expiry) already covers N — rows land exactly once
+  * (reference T1/S8 — the Firehose→Iceberg ingestion contract,
+  * `aws-community-builders-presentation.md:214-251`).
   */
 class GraftStreamingWrite(location: String, schema: StructType,
     queryId: String) extends StreamingWrite {
@@ -26,6 +28,32 @@ class GraftStreamingWrite(location: String, schema: StructType,
 
   private def stagingDir(epochId: Long): java.nio.file.Path =
     java.nio.file.Paths.get(location, "_staging", s"stream-$queryId-$epochId")
+
+  /** Durable replay marker. The epoch tag in the snapshot log is enough
+    * while the tagged snapshot exists, but expire_snapshots may collect it;
+    * if another commit then lands before a query restart, the replayed
+    * epoch would re-append its batch. The high-water epoch therefore also
+    * persists in a per-query side file under `_sink-state/` that snapshot
+    * expiry never touches. Epochs are committed serially per query, so a
+    * plain REPLACE_EXISTING move of the monotone maximum is race-free. */
+  private def stateFile: java.nio.file.Path =
+    java.nio.file.Paths.get(location, "_sink-state", s"$queryId")
+
+  private def lastCommittedEpoch: Long =
+    try {
+      if (java.nio.file.Files.exists(stateFile))
+        new String(java.nio.file.Files.readAllBytes(stateFile), "UTF-8").trim.toLong
+      else -1L
+    } catch { case _: NumberFormatException => -1L }
+
+  private def recordEpoch(epochId: Long): Unit = {
+    java.nio.file.Files.createDirectories(stateFile.getParent)
+    val tmp = stateFile.resolveSibling(s"$queryId.tmp")
+    java.nio.file.Files.write(tmp, epochId.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, stateFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
@@ -44,13 +72,14 @@ class GraftStreamingWrite(location: String, schema: StructType,
     val t = SnapshotTable.load(spark, location)
     val tag = s"stream-$queryId-epoch-$epochId"
     val dir = stagingDir(epochId)
-    if (!t.hasOperation(tag)) {
+    if (epochId > lastCommittedEpoch && !t.hasOperation(tag)) {
       val staged = messages.toSeq
         .collect { case m: GraftStreamingWrite.StagedFiles => m.paths }
         .flatten.map(java.nio.file.Paths.get(_))
         .filter(java.nio.file.Files.exists(_))
       if (staged.nonEmpty) t.appendStagedFiles(staged, schema, tag)
     }
+    recordEpoch(math.max(epochId, lastCommittedEpoch))
     graft.Tables.deleteRecursively(dir.toString)
   }
 

@@ -67,6 +67,20 @@ class GovernanceSpec extends SparkFunSuite {
     assert(out.map(_.getInt(0)).toSeq == Seq(42))
   }
 
+  test("SQL SET cannot grant privilege — masks stay on") {
+    Governance.clearPolicies()
+    Governance.setPrivileged(governed, false)
+    Governance.addMaskPolicy(Governance.MaskPolicy("customer", "c_name"))
+    graft.Tables.load(governed, sf, "customer").createOrReplaceTempView("customer")
+    // the old conf-based gate could be flipped by any SQL user; privilege
+    // now lives in an API-only registry this SET must not reach
+    governed.sql("SET spark.graft.governance.privileged=true")
+    try {
+      val out = governed.sql("SELECT c_name FROM customer").collect()
+      assert(out.forall(_.getString(0) == Governance.Masked))
+    } finally governed.sql("RESET spark.graft.governance.privileged")
+  }
+
   test("privilege is per-session, not process-global") {
     Governance.clearPolicies()
     Governance.addMaskPolicy(Governance.MaskPolicy("customer", "c_name"))

@@ -67,6 +67,20 @@ class SnapshotTableSpec extends SparkFunSuite {
     assert(t.read().count() == 100)
   }
 
+  test("removeOrphans through a symlinked table root deletes nothing live") {
+    val loc = scratch("snap-orphan-link")
+    val t = SnapshotTable.create(spark, loc, events.limit(100))
+    t.append(events.limit(50))
+    val link = java.nio.file.Paths.get(scratch("snap-orphan-alias"))
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Paths.get(loc))
+    // opened via the alias, every manifest path spells the real root while
+    // walk() yields the symlinked spelling — canonicalization must align them
+    val viaLink = SnapshotTable.load(spark, link.toString)
+    assert(viaLink.removeOrphans(graceMs = 0).isEmpty)
+    assert(t.read().count() == 150)
+  }
+
   test("additive schema evolution: old rows read null for new column") {
     val loc = scratch("snap-evolve")
     val t = SnapshotTable.create(spark, loc, events.limit(100))

@@ -53,6 +53,40 @@ class StreamingSinkSpec extends SparkFunSuite {
       .head().getLong(0) == direct)
   }
 
+  test("replay stays exactly-once after the epoch snapshots are expired") {
+    import org.apache.spark.sql.types._
+    val loc = scratch("streamsink-exp-table")
+    val seed = spark.range(0).selectExpr("id AS event_id")
+    val t = SnapshotTable.create(spark, loc, seed)
+    val schema = StructType(Seq(StructField("event_id", LongType)))
+    val w = new GraftStreamingWrite(loc, schema, "q-exp-test")
+    // a replayed epoch's executors re-stage their files from scratch, so
+    // each delivery plants a fresh staged parquet before commit()
+    def stagedMsg(epoch: Long): GraftStreamingWrite.StagedFiles = {
+      val tmp = scratch(s"streamsink-exp-tmp-$epoch-${System.nanoTime()}")
+      spark.range(5).selectExpr("id AS event_id").coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      val dir = java.nio.file.Paths.get(loc, "_staging", s"stream-q-exp-test-$epoch")
+      java.nio.file.Files.createDirectories(dir)
+      val dest = dir.resolve(s"part-${java.util.UUID.randomUUID}.parquet")
+      java.nio.file.Files.copy(part, dest)
+      GraftStreamingWrite.StagedFiles(Seq(dest.toString))
+    }
+    w.commit(0, Array(stagedMsg(0)))
+    assert(t.read().count() == 5)
+    // land an unrelated commit, then expire everything before it: the
+    // snapshot log no longer witnesses epoch 0 anywhere
+    t.append(spark.range(1).selectExpr("900001 + id AS event_id"))
+    t.expireSnapshots(keepLast = 1)
+    assert(!t.versions.map(v => t.snapshot(v).operation).exists(_.startsWith("stream-")))
+    // first-delivery replay of epoch 0 must be recognized via the durable
+    // sink-state high-water mark and commit nothing
+    w.commit(0, Array(stagedMsg(0)))
+    assert(t.read().count() == 6)
+  }
+
   test("streaming sink into a PARTITIONED table keeps partition columns queryable") {
     val wh = scratch("streamsink-part-wh")
     spark.conf.set("spark.sql.catalog.spx", classOf[GraftCatalog].getName)
