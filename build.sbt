@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the full 58-query bench in one JVM sits near the old 8g
+  // ceiling late in the run (old-gen full of not-yet-collected shuffle and
+  // broadcast state), and the resulting GC pressure made late maintenance
+  // queries 5-30× slower run-to-run. The bench host has 125 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -9,7 +9,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
   ADDOPENS="$ADDOPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 exec java $ADDOPENS \
-  -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -Xmx${SPARK_DRIVER_MEM:-16g} \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \

@@ -59,10 +59,11 @@ object Bench {
     val suiteArg = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_SUITE")).getOrElse("all")
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => suiteArg == "all" || suite(n) == suiteArg)
+      .filter(n => suiteArg == "all" || suite(n) == suiteArg || n == suiteArg)
     require(names.nonEmpty, s"unknown suite: $suiteArg")
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      System.err.println(s"[bench] start $name @${java.time.LocalTime.now}")
       val t0 = System.nanoTime()
       val (rows, status) =
         try { (fn(spark, sfDir).count(), "OK") }
@@ -91,8 +92,20 @@ object Bench {
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$nErr,"sf":${jstr(sfDir)}}"""
     }
     val full = mkLine(identity)
-    // fallback: "q01_count_events" → "q01" if the full names ever overflow
-    println(if (full.length <= 1850) full else mkLine(_.takeWhile(_ != '_')))
+    // fallback: "q01_count_events" → "q01" if the full names ever overflow;
+    // only usable when the prefixes stay unique (duplicate JSON keys would
+    // silently drop timings in most parsers), and if even the short line
+    // overflows, drop the per-query map rather than ship an unparseable line
+    val shortKeys = names.map(_.takeWhile(_ != '_'))
+    val short =
+      if (shortKeys.distinct.size == shortKeys.size) mkLine(_.takeWhile(_ != '_'))
+      else full
+    val minimal =
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":{},"errors":$nErr,"sf":${jstr(sfDir)}}"""
+    println(
+      if (full.length <= 1850) full
+      else if (short.length <= 1850) short
+      else minimal)
 
     // Reference-shaped report file (run_performance_tests.py:286-329):
     // per-test name/status/seconds/rows + summary, timestamped filename.

@@ -34,21 +34,35 @@ object Governance {
   @volatile private var rowPolicies: Map[String, RowPolicy] = Map.empty
   @volatile private var maskPolicies: Map[String, Seq[MaskPolicy]] = Map.empty
 
-  /** Privilege is per-session but NOT a runtime conf: a conf key could be
-    * flipped by any SQL user via `SET ...=true`, silently disabling masks.
-    * This registry is keyed by session identity and mutable only through
-    * [[setPrivileged]] (an API call the SQL surface cannot reach); weak keys
-    * let closed sessions drop out without an explicit deregistration hook.
+  /** Privilege is per-session but NOT a boolean conf: a plain conf key could
+    * be flipped by any SQL user via `SET ...=true`, silently disabling masks.
+    * Instead [[setPrivileged]] (an API call the SQL surface cannot reach)
+    * mints an unguessable token, registers it here, and stores it in the
+    * session conf. Lookup requires conf token ∈ registry, so:
+    *  - an unprivileged user cannot enable masks-off without guessing a
+    *    random UUID (SET of an arbitrary value fails the registry check);
+    *  - session CLONES keep privilege — Spark clones sessions for
+    *    structured-streaming micro-batches and some exec paths, and
+    *    `cloneSession()` copies the conf, carrying the token along (a
+    *    session-object-identity registry silently dropped privilege there);
+    *  - `RESET`/un-set loses privilege — fail-closed.
     * Two sessions sharing one JVM/SparkContext (the multi-tenant shape on a
     * shared cluster) still hold independent privilege levels. */
-  private val privilegedSessions =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private val TokenKey = "graft.governance.token"
+  private val privilegedTokens =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
   def privileged(spark: SparkSession): Boolean =
-    Option(privilegedSessions.get(spark)).exists(_.booleanValue)
+    spark.conf.getOption(TokenKey).exists(privilegedTokens.contains)
   def setPrivileged(spark: SparkSession, p: Boolean): Unit =
-    if (p) privilegedSessions.put(spark, java.lang.Boolean.TRUE)
-    else privilegedSessions.remove(spark)
+    if (p) {
+      val token = java.util.UUID.randomUUID().toString
+      privilegedTokens.add(token)
+      spark.conf.set(TokenKey, token)
+    } else {
+      spark.conf.getOption(TokenKey).foreach(privilegedTokens.remove)
+      spark.conf.unset(TokenKey)
+    }
 
   def addRowPolicy(p: RowPolicy): Unit =
     rowPolicies += (p.table.toLowerCase -> p)

@@ -39,12 +39,20 @@ class GraftStreamingWrite(location: String, schema: StructType,
   private def stateFile: java.nio.file.Path =
     java.nio.file.Paths.get(location, "_sink-state", s"$queryId")
 
-  private def lastCommittedEpoch: Long =
-    try {
+  private def lastCommittedEpoch: Long = {
+    def read(): Long =
       if (java.nio.file.Files.exists(stateFile))
         new String(java.nio.file.Files.readAllBytes(stateFile), "UTF-8").trim.toLong
       else -1L
-    } catch { case _: NumberFormatException => -1L }
+    // A corrupt or transiently unreadable side file must not abort an
+    // otherwise-healthy epoch: retry once, then fall back to -1 and let
+    // the snapshot tag alone prove idempotence.
+    try read() catch {
+      case _: NumberFormatException => -1L
+      case _: java.io.IOException =>
+        try read() catch { case _: Exception => -1L }
+    }
+  }
 
   private def recordEpoch(epochId: Long): Unit = {
     java.nio.file.Files.createDirectories(stateFile.getParent)
@@ -73,10 +81,19 @@ class GraftStreamingWrite(location: String, schema: StructType,
     val tag = s"stream-$queryId-epoch-$epochId"
     val dir = stagingDir(epochId)
     if (epochId > lastCommittedEpoch && !t.hasOperation(tag)) {
-      val staged = messages.toSeq
+      val declared = messages.toSeq
         .collect { case m: GraftStreamingWrite.StagedFiles => m.paths }
         .flatten.map(java.nio.file.Paths.get(_))
-        .filter(java.nio.file.Files.exists(_))
+      val staged = declared.filter(java.nio.file.Files.exists(_))
+      // Writers declared files that are gone (e.g. a staging sweep raced a
+      // delayed first commit). Recording the epoch anyway would durably mark
+      // it committed and skip the post-crash replay that could still recover
+      // the batch — fail the commit instead so Spark retries and re-stages.
+      if (staged.size != declared.size)
+        throw new IllegalStateException(
+          s"epoch $epochId of query $queryId: ${declared.size - staged.size} " +
+            s"of ${declared.size} staged file(s) missing from ${dir}; " +
+            "failing the commit so the batch is re-staged")
       if (staged.nonEmpty) t.appendStagedFiles(staged, schema, tag)
     }
     recordEpoch(math.max(epochId, lastCommittedEpoch))

@@ -81,6 +81,26 @@ class GovernanceSpec extends SparkFunSuite {
     } finally governed.sql("RESET spark.graft.governance.privileged")
   }
 
+  test("privilege travels with the session conf (clone behavior), and a guessed token grants nothing") {
+    Governance.clearPolicies()
+    Governance.addMaskPolicy(Governance.MaskPolicy("customer", "c_name"))
+    Governance.setPrivileged(governed, true)
+    try {
+      // Spark clones sessions for streaming micro-batches by copying the
+      // conf; a session carrying the minted token stays privileged
+      val clone = governed.newSession()
+      clone.conf.set("graft.governance.token",
+        governed.conf.get("graft.governance.token"))
+      assert(Governance.privileged(clone))
+      // but a token an attacker invents is not in the registry
+      val attacker = governed.newSession()
+      attacker.conf.set("graft.governance.token",
+        java.util.UUID.randomUUID().toString)
+      assert(!Governance.privileged(attacker))
+    } finally Governance.setPrivileged(governed, false)
+    assert(!Governance.privileged(governed))
+  }
+
   test("privilege is per-session, not process-global") {
     Governance.clearPolicies()
     Governance.addMaskPolicy(Governance.MaskPolicy("customer", "c_name"))

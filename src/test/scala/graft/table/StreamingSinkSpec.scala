@@ -87,6 +87,26 @@ class StreamingSinkSpec extends SparkFunSuite {
     assert(t.read().count() == 6)
   }
 
+  test("a commit whose declared staged files vanished fails instead of marking the epoch done") {
+    import org.apache.spark.sql.types._
+    val loc = scratch("streamsink-gone-table")
+    val t = SnapshotTable.create(spark, loc,
+      spark.range(0).selectExpr("id AS event_id"))
+    val schema = StructType(Seq(StructField("event_id", LongType)))
+    val w = new GraftStreamingWrite(loc, schema, "q-gone-test")
+    val gone = java.nio.file.Paths.get(loc, "_staging",
+      "stream-q-gone-test-0", "part-vanished.parquet").toString
+    // e.g. a staging sweep deleted the dir before a delayed first commit:
+    // recording the epoch would durably skip a recoverable batch
+    intercept[IllegalStateException] {
+      w.commit(0, Array(GraftStreamingWrite.StagedFiles(Seq(gone))))
+    }
+    assert(t.read().count() == 0)
+    // a genuinely empty epoch still advances the high-water mark
+    w.commit(0, Array.empty)
+    assert(t.read().count() == 0)
+  }
+
   test("streaming sink into a PARTITIONED table keeps partition columns queryable") {
     val wh = scratch("streamsink-part-wh")
     spark.conf.set("spark.sql.catalog.spx", classOf[GraftCatalog].getName)
