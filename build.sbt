@@ -30,9 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the full 58-query bench in one JVM sits near the old 8g
-  // ceiling late in the run (old-gen full of not-yet-collected shuffle and
-  // broadcast state), and the resulting GC pressure made late maintenance
-  // queries 5-30× slower run-to-run. The bench host has 125 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 48g default: the full 58-query bench in one JVM degrades late queries
+  // when old-gen fills with not-yet-collected shuffle/broadcast/codegen
+  // state (measured 28-51× inflation on q56 at 16g vs an isolated run at
+  // identical config). The bench host has 125 GiB; give the single bench
+  // JVM real headroom so GC pressure never dominates the timings.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -77,6 +77,15 @@ object Bench {
       // 6× slowdown on late queries. Each query keeps its caches only
       // while IT runs.
       spark.sqlContext.clearCache()
+      // memory-format streaming sinks (q42/q43/q46) register temp views
+      // that clearCache() does NOT touch — their sink state lives in the
+      // block manager until the view is dropped. Drop every temp view the
+      // query left behind, then sweep RDDs persisted outside the SQL cache
+      // manager, so each query starts from an empty block manager.
+      spark.sessionState.catalog.listLocalTempViews("*")
+        .foreach(id => spark.catalog.dropTempView(id.table))
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       (name, sec, rows, status)
     }
     // The driver captures only the LAST ~2000 chars of stdout and parses the

@@ -54,8 +54,14 @@ object Governance {
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
   def privileged(spark: SparkSession): Boolean =
     spark.conf.getOption(TokenKey).exists(privilegedTokens.contains)
+  /** Registry size, exposed for the accretion regression test only. */
+  private[graft] def tokenCount: Int = privilegedTokens.size()
   def setPrivileged(spark: SparkSession, p: Boolean): Unit =
     if (p) {
+      // retire the session's previous token first: re-privileging must not
+      // accrete registry entries (each would stay a valid mask-bypass
+      // secret forever, and the set would grow without bound)
+      spark.conf.getOption(TokenKey).foreach(privilegedTokens.remove)
       val token = java.util.UUID.randomUUID().toString
       privilegedTokens.add(token)
       spark.conf.set(TokenKey, token)

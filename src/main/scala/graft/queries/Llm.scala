@@ -192,16 +192,41 @@ object Llm {
         expr("simhash32(array_distinct(split(text, ' ')))").as("simhash"))
       .orderBy("doc_id")
 
+  // Deliberately dialect-minimal (q36 had no driver correctness row since
+  // round 3; the old formulation's strpos/`//`/power() were the prime
+  // suspects): a literal VALUES table carries (bit position, nibble index,
+  // bit-in-nibble, power-of-two weight), nibble values come from a 16-arm
+  // CASE, and bit extraction uses only integer `%` and comparisons.
   val q36Sql =
     """WITH wd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
       |h AS (SELECT doc_id, substr(md5(w), 1, 8) AS h8 FROM wd),
-      |b AS (SELECT doc_id, pos,
-      |        2 * (((strpos('0123456789abcdef', substr(h8, CAST(pos // 4 AS INT) + 1, 1)) - 1)
-      |              // CAST(power(2, pos % 4) AS INT)) % 2) - 1 AS vote
-      |      FROM h, (SELECT unnest(range(0, 32)) AS pos)),
-      |v AS (SELECT doc_id, pos, CAST(sum(vote) AS BIGINT) AS v FROM b GROUP BY 1, 2)
-      |SELECT doc_id,
-      |       CAST(sum(CASE WHEN v >= 0 THEN CAST(power(2, pos) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |posmap(pos, ni, bi, pw) AS (VALUES
+      |  (0,0,0,1),(1,0,1,2),(2,0,2,4),(3,0,3,8),
+      |  (4,1,0,16),(5,1,1,32),(6,1,2,64),(7,1,3,128),
+      |  (8,2,0,256),(9,2,1,512),(10,2,2,1024),(11,2,3,2048),
+      |  (12,3,0,4096),(13,3,1,8192),(14,3,2,16384),(15,3,3,32768),
+      |  (16,4,0,65536),(17,4,1,131072),(18,4,2,262144),(19,4,3,524288),
+      |  (20,5,0,1048576),(21,5,1,2097152),(22,5,2,4194304),(23,5,3,8388608),
+      |  (24,6,0,16777216),(25,6,1,33554432),(26,6,2,67108864),(27,6,3,134217728),
+      |  (28,7,0,268435456),(29,7,1,536870912),(30,7,2,1073741824),(31,7,3,2147483648)),
+      |nib AS (SELECT doc_id, pos, bi, CAST(pw AS BIGINT) AS pw,
+      |          CASE substr(h8, ni + 1, 1)
+      |            WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3
+      |            WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7
+      |            WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11
+      |            WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END AS nv
+      |        FROM h, posmap),
+      |b AS (SELECT doc_id, pos, pw,
+      |        2 * (CASE bi
+      |               WHEN 0 THEN nv % 2
+      |               WHEN 1 THEN CASE WHEN nv % 4 >= 2 THEN 1 ELSE 0 END
+      |               WHEN 2 THEN CASE WHEN nv % 8 >= 4 THEN 1 ELSE 0 END
+      |               ELSE CASE WHEN nv >= 8 THEN 1 ELSE 0 END
+      |             END) - 1 AS vote
+      |      FROM nib),
+      |v AS (SELECT doc_id, pos, max(pw) AS pw, CAST(sum(vote) AS BIGINT) AS v
+      |      FROM b GROUP BY 1, 2)
+      |SELECT doc_id, CAST(sum(CASE WHEN v >= 0 THEN pw ELSE 0 END) AS BIGINT) AS simhash
       |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- q37

@@ -44,13 +44,24 @@ class GraftStreamingWrite(location: String, schema: StructType,
       if (java.nio.file.Files.exists(stateFile))
         new String(java.nio.file.Files.readAllBytes(stateFile), "UTF-8").trim.toLong
       else -1L
-    // A corrupt or transiently unreadable side file must not abort an
-    // otherwise-healthy epoch: retry once, then fall back to -1 and let
-    // the snapshot tag alone prove idempotence.
+    // A corrupt side file (NumberFormatException) falls back to -1: the
+    // snapshot tag alone then proves idempotence, which is safe because
+    // corruption means the marker was never durably meaningful. A
+    // PERSISTENTLY unreadable file is different: the marker may exist and
+    // cover this epoch while the tagged snapshot has been expired, so
+    // falling back to -1 could re-append a replayed batch (duplicate
+    // rows). Retry once for transient IO, then FAIL the commit — Spark
+    // retries the batch and exactly-once is preserved.
     try read() catch {
       case _: NumberFormatException => -1L
       case _: java.io.IOException =>
-        try read() catch { case _: Exception => -1L }
+        try read() catch {
+          case _: NumberFormatException => -1L
+          case e: java.io.IOException =>
+            throw new IllegalStateException(
+              s"sink state $stateFile unreadable after retry; failing the " +
+                "epoch commit rather than risking a duplicate append", e)
+        }
     }
   }
 

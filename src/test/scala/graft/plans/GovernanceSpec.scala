@@ -101,6 +101,26 @@ class GovernanceSpec extends SparkFunSuite {
     assert(!Governance.privileged(governed))
   }
 
+  test("re-privileging a session does not accrete registry tokens") {
+    Governance.setPrivileged(governed, false)
+    val base = Governance.tokenCount
+    Governance.setPrivileged(governed, true)
+    try {
+      val one = Governance.tokenCount
+      assert(one == base + 1)
+      // each re-privilege must retire the prior token: a growing registry
+      // is unbounded memory AND a pile of forever-valid mask-bypass secrets
+      val firstToken = governed.conf.get("graft.governance.token")
+      (1 to 5).foreach(_ => Governance.setPrivileged(governed, true))
+      assert(Governance.tokenCount == one)
+      // and the retired token no longer grants privilege
+      val replayer = governed.newSession()
+      replayer.conf.set("graft.governance.token", firstToken)
+      assert(!Governance.privileged(replayer))
+    } finally Governance.setPrivileged(governed, false)
+    assert(Governance.tokenCount == base)
+  }
+
   test("privilege is per-session, not process-global") {
     Governance.clearPolicies()
     Governance.addMaskPolicy(Governance.MaskPolicy("customer", "c_name"))

@@ -107,6 +107,35 @@ class StreamingSinkSpec extends SparkFunSuite {
     assert(t.read().count() == 0)
   }
 
+  test("a persistently unreadable sink-state file fails the commit (no duplicate-append risk)") {
+    import org.apache.spark.sql.types._
+    val loc = scratch("streamsink-io-table")
+    val t = SnapshotTable.create(spark, loc,
+      spark.range(0).selectExpr("id AS event_id"))
+    val schema = StructType(Seq(StructField("event_id", LongType)))
+    val w = new GraftStreamingWrite(loc, schema, "q-io-test")
+    // a directory where the side file should be makes every read attempt
+    // throw IOException — the persistent-failure shape. Falling back to -1
+    // here could re-append a replayed epoch whose tag was expired; the
+    // commit must fail instead so Spark retries the batch.
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(loc, "_sink-state", "q-io-test"))
+    intercept[IllegalStateException] { w.commit(0, Array.empty) }
+    assert(t.read().count() == 0)
+
+    // corruption (unparseable content) still falls back to the tag-only
+    // check rather than wedging the stream forever
+    val loc2 = scratch("streamsink-corrupt-table")
+    val t2 = SnapshotTable.create(spark, loc2,
+      spark.range(0).selectExpr("id AS event_id"))
+    val w2 = new GraftStreamingWrite(loc2, schema, "q-corrupt-test")
+    val sf2 = java.nio.file.Paths.get(loc2, "_sink-state", "q-corrupt-test")
+    java.nio.file.Files.createDirectories(sf2.getParent)
+    java.nio.file.Files.write(sf2, "not-a-number".getBytes("UTF-8"))
+    w2.commit(0, Array.empty)
+    assert(t2.read().count() == 0)
+  }
+
   test("streaming sink into a PARTITIONED table keeps partition columns queryable") {
     val wh = scratch("streamsink-part-wh")
     spark.conf.set("spark.sql.catalog.spx", classOf[GraftCatalog].getName)
