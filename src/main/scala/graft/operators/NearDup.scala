@@ -18,17 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Distinct word `n`-gram shingle sets per document. */
+  /** Distinct word `n`-gram shingle sets per document (docs with fewer
+    * than `n` words are dropped). Native one-pass expression
+    * ([[graft.functions.WordShingles]]) — the former
+    * `transform(sequence(...))` formulation paid an interpreted lambda
+    * per shingle of the corpus. */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame =
+      n: Int = 3): DataFrame = {
+    graft.functions.Registry.install(docs.sparkSession)
     docs
-      .withColumn("__words", split(col(textCol), " "))
-      .filter(size(col("__words")) >= n)
-      .withColumn("shingles", array_distinct(expr(
-        s"""transform(sequence(1, size(__words) - ${n - 1}),
-           |          i -> concat_ws(' ', ${(0 until n)
-            .map(k => s"element_at(__words, i + $k)").mkString(", ")}))""".stripMargin)))
+      .withColumn("shingles", expr(s"word_shingles($textCol, $n)"))
+      .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("doc_id"), col("shingles"))
+  }
 
   /** Candidate pairs via MinHash-LSH banding (doc_a < doc_b, distinct). */
   def candidates(spark: SparkSession, shingled: DataFrame,
@@ -79,9 +81,16 @@ object NearDup {
   def exactPairs(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = shingles(docs, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verify(exactCandidates(sh, threshold), sh, threshold).orderBy("doc_a", "doc_b")
+  }
+
+  /** PPJoin candidate generation for [[exactPairs]]: prefix-filter join
+    * plus the companion length filter. Package-visible so specs can
+    * measure candidate volume directly. */
+  private[graft] def exactCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tokens = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val dfreq = tokens.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id")
@@ -92,14 +101,20 @@ object NearDup {
       .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
       .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select("doc_id", "shingle")
+      .select("doc_id", "shingle", "n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = prefix.as("a")
+    // PPJoin length filter: J(a,b) ≥ t forces |∩| ≥ t·max(|a|,|b|) while
+    // |∩| ≤ min(|a|,|b|), so min ≥ t·max — pairs with a hopeless size
+    // ratio never reach exact verification. The epsilon keeps the
+    // exclusion conservative under FP (0.8·35 = 28.000000000000004 must
+    // not reject min = 28); a spared borderline pair just gets verified.
+    prefix.as("a")
       .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")).cast("double") >=
+            greatest(col("a.n"), col("b.n")) * lit(threshold) - lit(1e-9))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verify(cand, sh, threshold).orderBy("doc_a", "doc_b")
   }
 
   /** Full pipeline: near-dup pairs with exact Jaccard >= threshold.

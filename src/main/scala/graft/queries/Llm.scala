@@ -23,8 +23,16 @@ import graft.Tables
   */
 object Llm {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
+  // Registry.install on BOTH loaders: a query must not depend on an
+  // earlier query having registered the native functions — q36 resolved
+  // `simhash32` only after a Registry-installing query had run in the
+  // same session, which held in the bench (registry installed up front)
+  // but not in Verify's iteration order, so its correctness row was
+  // silently missing from rounds 3-6.
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.install(s)
     Tables.load(s, dir, "documents")
+  }
   private def emb(s: SparkSession, dir: String): DataFrame = {
     graft.functions.Registry.install(s)
     Tables.load(s, dir, "embeddings")

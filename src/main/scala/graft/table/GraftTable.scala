@@ -84,7 +84,13 @@ class GraftTable(tableName: String, location: String,
     * delegates to the stock parquet builder over the surviving files, so
     * column pruning, row-group pushdown, and the vectorized reader are
     * unchanged. Two pruning tiers, exactly like Iceberg: manifest stats
-    * (here) then parquet footers (inner scan).
+    * (here) then parquet footers (inner scan). The built scan is wrapped
+    * in [[GraftRuntimeFilterScan]] (DSv2 `SupportsRuntimeV2Filtering`),
+    * adding a THIRD, runtime tier: dynamic-partition-pruning IN filters
+    * from a joined dimension re-prune the file list when the qualifying
+    * keys only exist at execution time. Pushed state is recorded so the
+    * runtime re-prune can rebuild an identically-configured scan over
+    * the smaller file list.
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
@@ -97,44 +103,66 @@ class GraftTable(tableName: String, location: String,
       import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 
       private val baseFiles = scanFiles(options)
+      private var staticFiles = baseFiles
+      private var catalystFilters: Seq[Expression] = Seq.empty
+      private var requiredSchema: Option[StructType] = None
+      private var aggPushed = false
       private var inner: FileScanBuilder = _
+      private def mkBuilder(files: Seq[SnapshotTable.DataFile]): FileScanBuilder =
+        innerBuilder(files, options).asInstanceOf[FileScanBuilder]
       private def ensureInner(files: Seq[SnapshotTable.DataFile]): Unit =
-        if (inner == null)
-          inner = innerBuilder(files, options).asInstanceOf[FileScanBuilder]
+        if (inner == null) inner = mkBuilder(files)
 
       // footer-stats aggregate pushdown (COUNT/MIN/MAX answered from
       // parquet metadata) — delegate to the parquet builder, which sees
       // only the stats-pruned file set
       override def supportCompletePushDown(agg: Aggregation): Boolean = {
-        ensureInner(baseFiles)
+        ensureInner(staticFiles)
         inner.asInstanceOf[SupportsPushDownAggregates].supportCompletePushDown(agg)
       }
 
       override def pushAggregation(agg: Aggregation): Boolean = {
-        ensureInner(baseFiles)
-        inner.asInstanceOf[SupportsPushDownAggregates].pushAggregation(agg)
+        ensureInner(staticFiles)
+        val ok = inner.asInstanceOf[SupportsPushDownAggregates].pushAggregation(agg)
+        aggPushed ||= ok
+        ok
       }
 
       override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-        val sourceFilters = filters.flatMap(StatsPruning.fromCatalyst)
-        ensureInner(StatsPruning.prune(baseFiles, sourceFilters))
+        catalystFilters = filters
+        staticFiles = StatsPruning.prune(baseFiles, filters.flatMap(StatsPruning.fromCatalyst))
+        ensureInner(staticFiles)
         inner.pushFilters(filters)
       }
 
       override def pushedFilters
           : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
-        ensureInner(baseFiles)
+        ensureInner(staticFiles)
         inner.pushedFilters
       }
 
       override def pruneColumns(requiredSchema: StructType): Unit = {
-        ensureInner(baseFiles)
+        ensureInner(staticFiles)
+        this.requiredSchema = Some(requiredSchema)
         inner.pruneColumns(requiredSchema)
       }
 
       override def build(): org.apache.spark.sql.connector.read.Scan = {
-        ensureInner(baseFiles)
-        inner.build()
+        ensureInner(staticFiles)
+        val scan = inner.build()
+        // aggregate-pushdown scans emit agg results, not table columns —
+        // runtime key filters don't apply, keep the stock scan
+        if (aggPushed) scan
+        else {
+          val filterable = (snap.partitionCols ++
+            snap.files.flatMap(_.stats.keys)).distinct
+          new GraftRuntimeFilterScan(scan, staticFiles, filterable, files => {
+            val b = mkBuilder(files)
+            if (catalystFilters.nonEmpty) b.pushFilters(catalystFilters)
+            requiredSchema.foreach(b.pruneColumns)
+            b.build()
+          })
+        }
       }
     }
 

@@ -16,9 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   1. write new data files into immutable locations under `data/`;
   *   2. build the next snapshot: full file list + schema + operation;
   *   3. serialize to `_snapshots/.tmp-*`;
-  *   4. atomically link to `_snapshots/v%05d.json` — the link is the
-  *      commit point. A concurrent writer that loses the race gets
-  *      `FileAlreadyExistsException`, re-reads the latest snapshot, and
+  *   4. atomically publish at `_snapshots/v%05d.json` — the commit point,
+  *      isolated behind [[CommitPrimitive]] (POSIX hard link here; S3
+  *      conditional PUT / lock table at cloud scale — see its scaladoc).
+  *      A concurrent writer that loses the race observes publish=false,
+  *      re-reads the latest snapshot, and
   *      retries on top of it (optimistic concurrency). Appends always
   *      rebase; rewrite ops (compact) rebase only when their input file
   *      set is still live, and copy-on-write ops (upsert/delete/migrate
@@ -550,24 +552,17 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         baseV + 1, System.currentTimeMillis(), nextSchema(base),
         nextFiles(base), operation, base.partitionCols)
       Files.createDirectories(snapDir)
-      val tmp = Files.createTempFile(snapDir, ".tmp-", ".json")
-      Files.writeString(tmp, SnapshotTable.renderSnapshot(snap))
-      try {
-        // createLink is atomic create-if-absent (POSIX link()); a plain
-        // ATOMIC_MOVE would silently REPLACE an existing version file,
-        // letting a concurrent committer's snapshot be lost
-        Files.createLink(snapDir.resolve(f"v${snap.version}%05d.json"), tmp)
-        Files.deleteIfExists(tmp)
+      // the commit point: atomic publish-if-absent of the version file
+      // ([[CommitPrimitive]] — hard link here, conditional PUT on S3)
+      if (CommitPrimitive.active.publish(
+          snapDir.resolve(f"v${snap.version}%05d.json"),
+          SnapshotTable.renderSnapshot(snap)))
         return snap.version
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
-          tries += 1
-          if (tries >= attempts)
-            throw new IllegalStateException(
-              s"commit to $location lost $attempts races, giving up")
-        // retry on top of the newly committed snapshot
-      }
+      tries += 1
+      if (tries >= attempts)
+        throw new IllegalStateException(
+          s"commit to $location lost $attempts races, giving up")
+      // retry on top of the newly committed snapshot
     }
     -1 // unreachable
   }

@@ -134,6 +134,36 @@ class ExprSpec extends SparkFunSuite {
     assert(zs == zs.sorted)
   }
 
+  test("word_shingles equals the HOF formulation on real documents") {
+    Registry.install(spark)
+    val hof =
+      """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+        |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+        |                      element_at(split(text, ' '), i + 1),
+        |                      element_at(split(text, ' '), i + 2))))""".stripMargin
+    val mismatches = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .withColumn("native", expr("word_shingles(text, 3)"))
+      .withColumn("hof", expr(hof))
+      .filter(col("native") =!= col("hof")) // same elements, same order
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("word_shingles: short texts empty, duplicates collapsed, empty tokens kept") {
+    Registry.install(spark)
+    import scala.jdk.CollectionConverters._
+    def one(text: String, n: Int): Seq[String] =
+      spark.sql(s"SELECT word_shingles('$text', $n)")
+        .head().getList[String](0).asScala.toSeq
+    assert(one("one two", 3).isEmpty) // fewer than n words
+    assert(one("a b c d", 3) == Seq("a b c", "b c d"))
+    assert(one("a b a b a b", 2) == Seq("a b", "b a")) // distinct, first-occurrence order
+    // consecutive spaces tokenize as empty strings, like split(text, ' ')
+    assert(one("a  b", 2) == Seq("a ", " b"))
+  }
+
   test("lsh_bucket: deterministic per table, within bit range") {
     Registry.install(spark)
     val v = Array.tabulate(64)(i => math.sin(i.toDouble))

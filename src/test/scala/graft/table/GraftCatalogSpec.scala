@@ -94,7 +94,7 @@ class GraftCatalogSpec extends SparkFunSuite {
       val plan = spark.sql(sql).queryExecution.executedPlan
       val scans = plan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+          RuntimeFiltering.unwrap(b.scan).asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
             .fileIndex.inputFiles.length
       }
       scans.sum
@@ -121,7 +121,7 @@ class GraftCatalogSpec extends SparkFunSuite {
     def scanned(sql: String): Int =
       spark.sql(sql).queryExecution.executedPlan.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+          RuntimeFiltering.unwrap(b.scan).asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
             .fileIndex.inputFiles.length
       }.sum
     // before clustering: no file can be skipped (all ranges overlap)

@@ -115,4 +115,55 @@ class SnapshotTableSpec extends SparkFunSuite {
       Seq("append", "append", "compact"))
     assert(h.last.getAs[Long]("n_rows") == 150L)
   }
+
+  test("PosixHardLink publish: exactly one concurrent writer wins a version") {
+    val dir = java.nio.file.Paths.get(scratch("commit-prim"))
+    java.nio.file.Files.createDirectories(dir)
+    val dest = dir.resolve("v00042.json")
+    val wins = new java.util.concurrent.atomic.AtomicInteger
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        if (CommitPrimitive.PosixHardLink.publish(dest, s"writer-$i")) wins.incrementAndGet()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() == 1)
+    // loser temp files are cleaned up; only the version file remains
+    import scala.jdk.CollectionConverters._
+    val left = java.nio.file.Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(left == Seq("v00042.json"))
+  }
+
+  test("commit seam: injected races rebase and lose no snapshot") {
+    val loc = scratch("snap-seam")
+    val t = SnapshotTable.create(spark, loc, events.limit(10))
+    // between this writer's base-read and its publish, a competitor
+    // commits twice — the exact interleaving an object-store conditional
+    // PUT must surface. The mock injects the competitor at the commit
+    // point, scoped to this table's directory only.
+    var injected = 0
+    val inCompetitor = new java.lang.ThreadLocal[java.lang.Boolean] {
+      override def initialValue(): java.lang.Boolean = false
+    }
+    val racy = new CommitPrimitive {
+      override def publish(dest: java.nio.file.Path, content: String): Boolean = {
+        if (injected < 2 && !inCompetitor.get() && dest.startsWith(loc)) {
+          injected += 1
+          inCompetitor.set(true)
+          try SnapshotTable.load(spark, loc).append(events.limit(5))
+          finally inCompetitor.set(false)
+          CommitPrimitive.PosixHardLink.publish(dest, content) // now loses
+        } else CommitPrimitive.PosixHardLink.publish(dest, content)
+      }
+    }
+    CommitPrimitive.withPrimitive(racy) {
+      t.append(events.limit(100))
+    }
+    // v0 create + 2 competitor appends + our append (after 2 rebases)
+    assert(injected == 2)
+    assert(t.latestVersion == 3)
+    assert(t.read().count() == 10 + 5 + 5 + 100)
+    assert(t.history().orderBy("version").collect()
+      .map(_.getAs[String]("operation")).toSeq == Seq.fill(4)("append"))
+  }
 }

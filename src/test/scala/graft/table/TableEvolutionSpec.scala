@@ -19,7 +19,7 @@ class TableEvolutionSpec extends SparkFunSuite {
   private def scannedFiles(sql: String): Int =
     spark.sql(sql).queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-        b.scan.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+        RuntimeFiltering.unwrap(b.scan).asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
           .fileIndex.inputFiles.length
     }.sum
 
