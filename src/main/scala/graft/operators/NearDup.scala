@@ -91,14 +91,16 @@ object NearDup {
     * measure candidate volume directly. */
   private[graft] def exactCandidates(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tokens = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // n (the doc's set size) rides along from size(shingles) — computing
+    // it with a count-over-window would add a second Window pass
+    val tokens = sh.select(col("doc_id"), size(col("shingles")).as("n"),
+      explode(col("shingles")).as("shingle"))
     val dfreq = tokens.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id")
     // persisted: the prefix set feeds both sides of the candidate
-    // self-join, and without it the df-join + double window recompute
-    // per branch (same reasoning as the signature persist in [[pairs]])
+    // self-join, and without it the df-join + window recompute per
+    // branch (same reasoning as the signature persist in [[pairs]])
     val prefix = tokens.join(dfreq, "shingle")
-      .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
       .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
       .select("doc_id", "shingle", "n")

@@ -60,6 +60,17 @@ private[table] class GraftRuntimeFilterScan(
     }
   }
 
+  // scan equality drives exchange/scan reuse in the planner (ParquetScan
+  // is a case class; reference equality here would silently disable reuse
+  // for self-joins over graft tables). Two wrappers are interchangeable
+  // iff their CURRENT delegates are — a runtime-filtered wrapper stops
+  // being equal to an unfiltered one, which is exactly right.
+  override def equals(other: Any): Boolean = other match {
+    case g: GraftRuntimeFilterScan => delegate == g.delegateScan
+    case _ => false
+  }
+  override def hashCode(): Int = delegate.hashCode()
+
   // without this, DataSourceV2Relation falls back to defaultSizeInBytes
   // (effectively "huge") and the planner would never broadcast the other
   // side of a join against a graft table
