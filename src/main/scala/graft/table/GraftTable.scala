@@ -229,6 +229,16 @@ class GraftTable(tableName: String, location: String,
       // still executes in the rewrite plan). Static metadata group
       // filtering: an UPDATE with a selective predicate over a clustered
       // table rewrites a handful of files, not 100 TB.
+      //
+      // On PARTITIONED tables the scan additionally implements runtime
+      // group filtering (SupportsRuntimeV2Filtering): Spark's
+      // RowLevelOperationRuntimeGroupFiltering plans one IN-subquery per
+      // filter attribute over the MATCHING rows, so a MERGE whose ON
+      // condition references the source — invisible to static pruning —
+      // rewrites only the partitions the source actually touches.
+      // Restricted to partition columns: each attribute's value list is
+      // driver-collected, so only bounded-cardinality keys qualify
+      // (Iceberg bounds the same list by file count via `_file`).
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         new ScanBuilder
             with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -236,9 +246,17 @@ class GraftTable(tableName: String, location: String,
           import org.apache.spark.sql.catalyst.expressions.Expression
 
           private var files: Seq[SnapshotTable.DataFile] = snap.files
+          private var requiredSchema: Option[StructType] = None
           private var inner: ScanBuilder = _
+          private def mk(fs: Seq[SnapshotTable.DataFile]): ScanBuilder = {
+            val b = innerBuilder(fs, options)
+            requiredSchema.foreach(
+              b.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+                .pruneColumns)
+            b
+          }
           private def ensureInner(): ScanBuilder = {
-            if (inner == null) inner = innerBuilder(files, options)
+            if (inner == null) inner = mk(files)
             inner
           }
 
@@ -253,14 +271,24 @@ class GraftTable(tableName: String, location: String,
               : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
             Array.empty
 
-          override def pruneColumns(requiredSchema: StructType): Unit =
+          override def pruneColumns(requiredSchema: StructType): Unit = {
+            this.requiredSchema = Some(requiredSchema)
             ensureInner()
               .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
               .pruneColumns(requiredSchema)
+          }
 
           override def build(): org.apache.spark.sql.connector.read.Scan = {
             scannedFiles = Some(files)
-            ensureInner().build()
+            val scan = ensureInner().build()
+            if (snap.partitionCols.isEmpty) scan
+            else new GraftRuntimeFilterScan(scan, files, snap.partitionCols,
+              pruned => {
+                // the write swaps out exactly the groups the scan read —
+                // the runtime-pruned set, not the static one
+                scannedFiles = Some(pruned)
+                mk(pruned).build()
+              })
           }
         }
 

@@ -142,4 +142,49 @@ class RowLevelSpec extends SparkFunSuite {
     val hist = SnapshotTable.load(spark, s"$wh/db/merge")
     assert(hist.latestVersion == 2)
   }
+
+  test("MERGE on a partitioned table rewrites only the partitions the source touches") {
+    import org.apache.spark.sql.functions._
+    val fq = "rlx.db.merge_dpp"
+    graft.Tables.deleteRecursively(s"$wh/db/merge_dpp")
+    spark.sql(
+      s"""CREATE TABLE $fq (event_id BIGINT, day DATE, value DOUBLE)
+         |PARTITIONED BY (day)""".stripMargin)
+    graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), to_date(col("ts")).as("day"), col("value"))
+      .writeTo(fq).append()
+    val t = SnapshotTable.load(spark, s"$wh/db/merge_dpp")
+    val before = t.snapshot(t.latestVersion).files.map(_.path).toSet
+    val nDays = t.snapshot(t.latestVersion).files
+      .flatMap(_.stats.get("day").map(_.min)).distinct.size
+    assert(nDays >= 25, s"expected ~30 day partitions, got $nDays")
+
+    // source keys live in exactly two days; the ON condition references
+    // the source, so STATIC pruning sees nothing — only the runtime
+    // group filter can confine the rewrite. The source is materialized as
+    // a standalone LocalRelation: a temp view derived from the target
+    // table would carry a lazy table reference that DPP subquery
+    // planning cannot resolve.
+    import graft.SparkSuite.spark.implicits._
+    val ids = spark.table(fq)
+      .filter(col("day").isin("2024-01-03", "2024-01-04"))
+      .select("event_id").limit(20)
+      .as[Long].collect().toSeq
+    ids.map(id => (id, -1.0)).toDF("event_id", "nv")
+      .createOrReplaceTempView("rl_dpp_src")
+    val expectedUpdated = ids.size.toLong
+    spark.sql(
+      s"""MERGE INTO $fq g USING rl_dpp_src s ON g.event_id = s.event_id
+         |WHEN MATCHED THEN UPDATE SET value = s.nv""".stripMargin)
+
+    assert(spark.table(fq).filter(col("value") === -1.0).count() == expectedUpdated)
+    assert(spark.table(fq).count() == graft.Tables.load(spark, sf, "events").count())
+    val after = SnapshotTable.load(spark, s"$wh/db/merge_dpp")
+    val survivors = after.snapshot(after.latestVersion).files.map(_.path).toSet
+    val untouched = (before intersect survivors).size
+    // without runtime group filtering every file is rewritten (untouched
+    // = 0); with it the ~28 non-matching days' files keep their paths
+    assert(untouched > before.size / 2,
+      s"runtime group filter did not confine the MERGE: $untouched of ${before.size} files survived")
+  }
 }
