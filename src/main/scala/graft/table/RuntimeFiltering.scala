@@ -28,7 +28,8 @@ private[table] class GraftRuntimeFilterScan(
     files: Seq[SnapshotTable.DataFile],
     attrs: Seq[String],
     rebuild: Seq[SnapshotTable.DataFile] => Scan)
-    extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+    extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics
+    with org.apache.spark.sql.internal.connector.SupportsMetadata {
 
   @volatile private var delegate: Scan = initial
   @volatile private[graft] var currentFiles: Seq[SnapshotTable.DataFile] = files
@@ -70,6 +71,15 @@ private[table] class GraftRuntimeFilterScan(
     case _ => false
   }
   override def hashCode(): Int = delegate.hashCode()
+
+  // EXPLAIN renders scan detail (PushedFilters, ReadSchema, file counts)
+  // through this internal trait — without the delegation, wrapping would
+  // strip that from every graft plan's formatted output
+  override def getMetaData(): Map[String, String] = delegate match {
+    case m: org.apache.spark.sql.internal.connector.SupportsMetadata =>
+      m.getMetaData() + ("RuntimeFilterFiles" -> s"${currentFiles.size}/${files.size}")
+    case _ => Map.empty
+  }
 
   // without this, DataSourceV2Relation falls back to defaultSizeInBytes
   // (effectively "huge") and the planner would never broadcast the other

@@ -94,6 +94,14 @@ class PartitionPruningSpec extends SparkFunSuite {
     val direct = graft.Tables.load(spark, sf, "events")
       .filter(to_date(col("ts")).isin("2024-01-05", "2024-01-06")).count()
     assert(g.currentFiles.map(_.rows).sum == direct)
+
+    // formatted EXPLAIN keeps the inner scan's pushdown detail through
+    // the wrapper (SupportsMetadata delegation)
+    val explained = spark.table("rfx.db.ev_rt")
+      .filter(col("day") === java.sql.Date.valueOf("2024-01-05"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PushedFilters"), s"no PushedFilters in:\n$explained")
   }
 
   test("star join against a filtered dim triggers DPP on the graft scan") {
