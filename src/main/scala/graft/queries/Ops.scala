@@ -98,6 +98,29 @@ object Ops {
       |       count(DISTINCT user_id) AS unique_users
       |FROM events GROUP BY 1 ORDER BY activity_date""".stripMargin
 
+  // ------------------------------------------------------------- q61
+  // Streaming stateful dedup (flatMapGroupsWithState): the documents
+  // corpus arrives as a multi-file stream, one micro-batch per file, and
+  // custom per-hash state suppresses every re-sighting of already-seen
+  // content across batches. The count of emitted (first-seen) documents
+  // must equal the batch distinct-content count — order-insensitive, so
+  // the oracle checks it exactly even though WHICH duplicate id survives
+  // depends on arrival order.
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = Tables.scratch(s"streamdocs/${tag(dir)}")
+    Tables.deleteRecursively(srcDir)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .repartition(4)
+      .write.parquet(srcDir)
+    graft.streaming.Streams
+      .dedupStream(s, srcDir, s"q61_mem_${tag(dir)}")
+      .agg(count(lit(1)).as("n_unique"))
+  }
+
+  val q61Sql =
+    "SELECT count(DISTINCT text) AS n_unique FROM documents"
+
   // ------------------------------------------------------------- q44
   // Compaction (T7): seed the table as a small-files layout (the
   // reference's 144-files/day problem), bin-pack to the target size, and
@@ -460,7 +483,8 @@ object Ops {
     "q55_partitioned_table" -> (q55 _),
     "q57_zorder_compaction" -> (q57 _),
     "q58_sql_merge" -> (q58 _),
-    "q59_history_table" -> (q59 _))
+    "q59_history_table" -> (q59 _),
+    "q61_stateful_dedup" -> (q61 _))
 
   val oracle: Map[String, String] = Map(
     "q49_bench_metrics" -> q49Sql,
@@ -477,5 +501,6 @@ object Ops {
     "q55_partitioned_table" -> q55Sql,
     "q57_zorder_compaction" -> q57Sql,
     "q58_sql_merge" -> q58Sql,
-    "q59_history_table" -> q59Sql)
+    "q59_history_table" -> q59Sql,
+    "q61_stateful_dedup" -> q61Sql)
 }

@@ -149,6 +149,64 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming cross-batch exact dedup with CUSTOM state
+    * (`flatMapGroupsWithState` — the KeyValueGroupedDataset escape hatch
+    * for state machines the built-in windowed aggregates can't express):
+    * documents arrive in micro-batches; a document is emitted the FIRST
+    * time its content hash is seen across the whole stream and suppressed
+    * on every later sighting, in the same batch or any later one. This is
+    * the streaming sibling of [[graft.operators.Dedup]] — the dedup an
+    * ingestion pipeline needs when the corpus arrives continuously and
+    * re-crawls repeat earlier content.
+    *
+    * Scale: state is one (hash → kept id) entry per DISTINCT document,
+    * partitioned across the state store by the 64-hex-char hash (the
+    * shuffle key — same layout as the batch operator), so memory per
+    * state partition is bounded by distinct content, not stream length.
+    * State timeout is deliberately NoTimeout: under
+    * `ProcessingTimeTimeout`, `FlatMapGroupsWithStateExec
+    * .shouldRunAnotherBatch` is unconditionally true (a wall-clock
+    * timeout can fire at any instant), so a bounded drain — AvailableNow
+    * termination, or `processAllAvailable` — never completes; both were
+    * measured spinning thousands of empty batches. A continuous 24/7
+    * deployment that needs a retention horizon on state should bound it
+    * with the state-TTL support of Spark 4's `transformWithState`
+    * processor API rather than timeout-driven expiry here.
+    */
+  def dedupStream(spark: SparkSession, srcDir: String, queryName: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(srcDir).schema
+    val ckpt = Tables.scratch(s"ckpt/$queryName")
+    Tables.deleteRecursively(ckpt)
+    val keyed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        sha2(col("text"), 256).as("content_hash"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+    val firstSeen = keyed.flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (hash: String, docs: Iterator[(Long, String)], state: GroupState[Long]) => {
+        if (state.exists) Iterator.empty // seen in an earlier batch
+        else {
+          val keep = docs.map(_._1).min // deterministic within the batch
+          state.update(keep)
+          Iterator.single((keep, hash))
+        }
+      }).toDF("keep_doc_id", "content_hash")
+    val q = firstSeen.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** T2: a dynamic table — incremental refresh of a per-user aggregate via
     * foreachBatch merging each micro-batch into a snapshot table. The
     * merge recomputes only groups present in the batch (shuffle keyed by

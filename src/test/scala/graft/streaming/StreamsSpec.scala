@@ -116,4 +116,33 @@ class StreamsSpec extends SparkFunSuite {
     assert(t3.read().count() == events.count())
     assert(t3.versions.size == v1.size + 1)
   }
+
+  test("stateful streaming dedup suppresses duplicates across micro-batches") {
+    import spark.implicits._
+    val src = scratch("statefuldedup-src")
+    // duplicates deliberately land in SEPARATE files; maxFilesPerTrigger=1
+    // forces one batch per file, so suppression can only come from the
+    // cross-batch flatMapGroupsWithState state, not in-batch grouping
+    Seq((1L, "alpha text"), (2L, "beta text"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(src)
+    Seq((3L, "alpha text"), (4L, "gamma text"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    val out = Streams.dedupStream(spark, src, "sd_crossbatch")
+      .select("keep_doc_id").as[Long].collect().toSet
+    assert(out.size == 3, s"expected one survivor per distinct text, got $out")
+    assert(out.contains(2L) && out.contains(4L))
+    assert((out.contains(1L) || out.contains(3L)) && !(out.contains(1L) && out.contains(3L)),
+      s"exactly one of the duplicate pair must survive: $out")
+  }
+
+  test("stateful streaming dedup equals batch distinct count on the corpus") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val src = scratch("statefuldedup-corpus")
+    docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .repartition(4).write.parquet(src)
+    val emitted = Streams.dedupStream(spark, src, "sd_corpus").count()
+    val distinct = docs.select("text").distinct().count()
+    assert(emitted == distinct)
+  }
 }
