@@ -143,6 +143,23 @@ class RowLevelSpec extends SparkFunSuite {
     assert(hist.latestVersion == 2)
   }
 
+  test("DELETE with a subquery condition routes through the row-level rewrite") {
+    val t = freshTable("delsubq")
+    import spark.implicits._
+    // canDeleteWhere refuses non-static filters, so Spark falls back to
+    // the group-based row-level DELETE (ReplaceData) instead of the
+    // metadata-only path
+    Seq(2L, 4L).toDF("del_id").createOrReplaceTempView("rl_del_src")
+    spark.sql(s"DELETE FROM $t WHERE id IN (SELECT del_id FROM rl_del_src)")
+    val rows = spark.sql(s"SELECT id, v FROM $t ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L))
+    assert(rows(1).getDouble(1) == 30.0)
+    // the delete is one new snapshot; the pre-delete version still reads
+    val hist = SnapshotTable.load(spark, s"$wh/db/delsubq")
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF ${hist.latestVersion - 1}")
+      .head().getLong(0) == 5)
+  }
+
   test("MERGE on a partitioned table rewrites only the partitions the source touches") {
     import org.apache.spark.sql.functions._
     val fq = "rlx.db.merge_dpp"
