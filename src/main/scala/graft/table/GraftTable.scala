@@ -156,12 +156,30 @@ class GraftTable(tableName: String, location: String,
         else {
           val filterable = (snap.partitionCols ++
             snap.files.flatMap(_.stats.keys)).distinct
-          new GraftRuntimeFilterScan(scan, staticFiles, filterable, files => {
+          val rebuild = (files: Seq[SnapshotTable.DataFile]) => {
             val b = mkBuilder(files)
             if (catalystFilters.nonEmpty) b.pushFilters(catalystFilters)
             requiredSchema.foreach(b.pruneColumns)
             b.build()
-          })
+          }
+          // storage-partitioned join (governed by the v2 bucketing conf,
+          // default ON in Spark 4, same gate as Iceberg): report
+          // KeyGroupedPartitioning so same-partitioned tables join with
+          // no shuffle. Composes with runtime filtering — a runtime IN
+          // filter drops whole key groups and re-plans the rest.
+          val spj = spark.conf
+            .getOption("spark.sql.sources.v2.bucketing.enabled")
+            .exists(_.toBoolean) && snap.partitionCols.nonEmpty
+          val keyed =
+            if (spj) KeyGroupedScan.fileKeys(staticFiles, snap.partitionCols, schema())
+            else None
+          keyed match {
+            case Some(keys) =>
+              new GraftKeyGroupedScan(scan, snap.partitionCols, keys,
+                staticFiles, filterable, rebuild)
+            case None =>
+              new GraftRuntimeFilterScan(scan, staticFiles, filterable, rebuild)
+          }
         }
       }
     }

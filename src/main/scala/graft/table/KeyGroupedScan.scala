@@ -1,0 +1,163 @@
+package graft.table
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, Statistics, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Storage-partitioned join (SPJ) support: when
+  * `spark.sql.sources.v2.bucketing.enabled` is on and the table is
+  * identity-partitioned, the scan reports `KeyGroupedPartitioning` over
+  * the partition columns and plans ONE input partition per partition
+  * value (each implementing `HasPartitionKey`). Two graft tables
+  * partitioned the same way then join WITHOUT any shuffle — Spark's
+  * `EnsureRequirements` recognizes the co-partitioning, the DSv2 feature
+  * Iceberg uses to make fact-fact joins feasible at 100 TB (a shuffle of
+  * two 100 TB sides is the single most expensive operation a join can
+  * incur; co-located reads eliminate it entirely).
+  *
+  * The per-file partition value comes from the manifest stats: identity
+  * partitioning writes one value per file, so min == max for every
+  * partition column. Files violating that (pre-partitioning snapshots)
+  * make [[KeyGroupedScan.fileKeys]] return None and the table falls back
+  * to the ordinary runtime-filterable scan — reporting a wrong grouping
+  * would produce wrong join results, so eligibility is all-or-nothing.
+  */
+private[table] object KeyGroupedScan {
+
+  /** file path (URI-path form) → partition-key values, or None when any
+    * file cannot be keyed (missing stats or min != max). */
+  def fileKeys(files: Seq[SnapshotTable.DataFile], partCols: Seq[String],
+      schema: StructType): Option[Map[String, Seq[Any]]] = {
+    val types = partCols.map(c => schema.find(_.name == c).map(_.dataType))
+    if (types.exists(_.isEmpty)) return None
+    val entries = files.map { f =>
+      val vals = partCols.zip(types.map(_.get)).map { case (c, dt) =>
+        f.stats.get(c) match {
+          case Some(cs) if cs.min == cs.max => internalValue(cs.min, dt)
+          case _ => None
+        }
+      }
+      if (vals.exists(_.isEmpty)) return None
+      normalize(f.path) -> vals.map(_.get)
+    }
+    Some(entries.toMap)
+  }
+
+  def normalize(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** A FilePartition (so the stock parquet reader factory consumes it
+    * unchanged) that also carries its partition-key row for SPJ
+    * grouping. Top-level on purpose: input partitions are serialized
+    * into tasks, and an inner class would drag the whole scan along. */
+  private[table] class KeyedFilePartition(index: Int,
+      files: Array[PartitionedFile], key: InternalRow)
+      extends FilePartition(index, files) with HasPartitionKey {
+    override def partitionKey(): InternalRow = key
+  }
+
+  /** Stats bound → catalyst internal value under the column's type; the
+    * same tagged representations [[StatsPruning]] compares (dates are
+    * epoch days, timestamps micros). */
+  private def internalValue(bound: String, dt: DataType): Option[Any] = try {
+    dt match {
+      case LongType => Some(bound.toLong)
+      case IntegerType => Some(bound.toInt)
+      case ShortType => Some(bound.toShort)
+      case ByteType => Some(bound.toByte)
+      case DoubleType => Some(bound.toDouble)
+      case FloatType => Some(bound.toFloat)
+      case StringType => Some(UTF8String.fromString(bound))
+      case DateType => Some(bound.toInt)
+      case TimestampType | TimestampNTZType => Some(bound.toLong)
+      case _ => None
+    }
+  } catch { case _: NumberFormatException => None }
+}
+
+private[table] class GraftKeyGroupedScan(
+    inner: Scan, partCols: Seq[String], keys: Map[String, Seq[Any]],
+    files: Seq[SnapshotTable.DataFile], attrs: Seq[String],
+    rebuild: Seq[SnapshotTable.DataFile] => Scan)
+    extends Scan with SupportsReportPartitioning with GraftRuntimeFilterable
+    with SupportsReportStatistics
+    with org.apache.spark.sql.internal.connector.SupportsMetadata {
+
+  @volatile private var delegate: Scan = inner
+  @volatile private[graft] var currentFiles: Seq[SnapshotTable.DataFile] = files
+  @volatile private var cachedGroups: Array[InputPartition] = _
+
+  private[graft] def innerScan: Scan = delegate
+
+  private def grouped: Array[InputPartition] = {
+    if (cachedGroups == null) {
+      val allFiles = delegate.toBatch.planInputPartitions().flatMap {
+        case fp: FilePartition => fp.files
+        case other => throw new IllegalStateException(
+          s"unexpected input partition ${other.getClass} under key-grouped scan")
+      }
+      cachedGroups = allFiles
+        .groupBy(pf => keys(KeyGroupedScan.normalize(pf.filePath.toString)))
+        .toSeq
+        .sortBy(_._1.mkString(" ")) // deterministic partition order
+        .zipWithIndex
+        .map { case ((keyVals, fs), i) =>
+          new KeyGroupedScan.KeyedFilePartition(i, fs,
+            new GenericInternalRow(keyVals.toArray)): InputPartition
+        }
+        .toArray
+    }
+    cachedGroups
+  }
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      partCols.map(c => Expressions.identity(c)
+        : org.apache.spark.sql.connector.expressions.Expression).toArray,
+      grouped.length)
+
+  // SPJ and DPP compose (as in Iceberg): a runtime IN filter from a
+  // joined dim prunes whole files -- hence whole key groups -- and the
+  // partitions are re-planned from the pruned set; BatchScanExec
+  // re-groups the filtered partitions by key after calling filter().
+  override def filterAttributes(): Array[NamedReference] =
+    RuntimeFiltering.visibleAttrs(attrs, inner.readSchema())
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    RuntimeFiltering.pruneFiles(currentFiles, predicates).foreach { pruned =>
+      currentFiles = pruned
+      delegate = rebuild(pruned)
+      cachedGroups = null
+    }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = grouped
+    override def createReaderFactory(): PartitionReaderFactory =
+      delegate.toBatch.createReaderFactory()
+  }
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String =
+    s"GraftKeyGroupedScan(${partCols.mkString(",")}; " +
+      s"${currentFiles.size}/${files.size} files) " + inner.description()
+
+  override def getMetaData(): Map[String, String] = inner match {
+    case m: org.apache.spark.sql.internal.connector.SupportsMetadata =>
+      m.getMetaData() + ("KeyGroupedBy" -> partCols.mkString(", "))
+    case _ => Map.empty
+  }
+
+  override def estimateStatistics(): Statistics = delegate match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+}

@@ -6,6 +6,7 @@ import org.apache.spark.sql.connector.read.{Batch, Scan, Statistics, SupportsRep
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types.StructType
 
+
 /** Runtime (dynamic-partition-pruning) filtering for graft scans — the
   * DSv2 seam Iceberg uses for star joins at scale: when a graft table is
   * joined to a filtered dimension, Spark's `PartitionPruning` rule plans
@@ -28,7 +29,7 @@ private[table] class GraftRuntimeFilterScan(
     files: Seq[SnapshotTable.DataFile],
     attrs: Seq[String],
     rebuild: Seq[SnapshotTable.DataFile] => Scan)
-    extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics
+    extends Scan with GraftRuntimeFilterable with SupportsReportStatistics
     with org.apache.spark.sql.internal.connector.SupportsMetadata {
 
   @volatile private var delegate: Scan = initial
@@ -42,24 +43,14 @@ private[table] class GraftRuntimeFilterScan(
     s"GraftRuntimeFilterScan(${currentFiles.size}/${files.size} files) " +
       delegate.description()
 
-  // only columns still in the read schema: Spark resolves these against
-  // the scan relation's (pruned) output, and an unresolvable reference
-  // is an analysis error rather than a skipped optimization
-  override def filterAttributes(): Array[NamedReference] = {
-    val visible = initial.readSchema().fieldNames.toSet
-    attrs.filter(visible).map(Expressions.column).toArray
-  }
+  override def filterAttributes(): Array[NamedReference] =
+    RuntimeFiltering.visibleAttrs(attrs, initial.readSchema())
 
-  override def filter(predicates: Array[Predicate]): Unit = {
-    val sourceFilters = predicates.toSeq.flatMap(RuntimeFiltering.v2ToSource)
-    if (sourceFilters.nonEmpty) {
-      val pruned = StatsPruning.prune(currentFiles, sourceFilters)
-      if (pruned.size < currentFiles.size) {
-        currentFiles = pruned
-        delegate = rebuild(pruned)
-      }
+  override def filter(predicates: Array[Predicate]): Unit =
+    RuntimeFiltering.pruneFiles(currentFiles, predicates).foreach { pruned =>
+      currentFiles = pruned
+      delegate = rebuild(pruned)
     }
-  }
 
   // scan equality drives exchange/scan reuse in the planner (ParquetScan
   // is a case class; reference equality here would silently disable reuse
@@ -93,13 +84,43 @@ private[table] class GraftRuntimeFilterScan(
   }
 }
 
+/** Common surface of the graft scans that accept DSv2 runtime filters —
+  * the plain wrapper and the key-grouped (SPJ) scan. Specs drive runtime
+  * pruning through this trait without caring which concrete scan the
+  * bucketing conf selected. */
+private[graft] trait GraftRuntimeFilterable extends SupportsRuntimeV2Filtering {
+  private[graft] def currentFiles: Seq[SnapshotTable.DataFile]
+}
+
 private[graft] object RuntimeFiltering {
 
-  /** The statically-planned scan under a runtime-filter wrapper (specs
+  /** The statically-planned scan under a graft scan wrapper (specs
     * inspect `FileScan.fileIndex`; pass-through for other scans). */
   def unwrap(s: Scan): Scan = s match {
     case g: GraftRuntimeFilterScan => g.delegateScan
+    case k: GraftKeyGroupedScan => k.innerScan
     case other => other
+  }
+
+  /** Visible (readable) filter attributes: pruning-eligible columns that
+    * survived column pruning — Spark resolves these against the scan
+    * relation's output, and an unresolvable reference is an analysis
+    * error rather than a skipped optimization. */
+  def visibleAttrs(attrs: Seq[String], readSchema: StructType): Array[NamedReference] = {
+    val visible = readSchema.fieldNames.toSet
+    attrs.filter(visible).map(Expressions.column).toArray
+  }
+
+  /** Translate runtime predicates and prune `files`; Some(pruned) only
+    * when the file list actually shrank. */
+  def pruneFiles(files: Seq[SnapshotTable.DataFile],
+      predicates: Array[Predicate]): Option[Seq[SnapshotTable.DataFile]] = {
+    val sourceFilters = predicates.toSeq.flatMap(v2ToSource)
+    if (sourceFilters.isEmpty) None
+    else {
+      val pruned = StatsPruning.prune(files, sourceFilters)
+      if (pruned.size < files.size) Some(pruned) else None
+    }
   }
 
   /** Translate the runtime V2 predicates Spark hands to `filter()` into

@@ -72,7 +72,7 @@ class PartitionPruningSpec extends SparkFunSuite {
     val Seq(scan) = df.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
     }
-    val g = scan.asInstanceOf[GraftRuntimeFilterScan]
+    val g = scan.asInstanceOf[GraftRuntimeFilterable]
     assert(g.filterAttributes().map(_.fieldNames.mkString).toSet.contains("day"))
     val before = g.toBatch.planInputPartitions().length
     val total = g.currentFiles.size
@@ -130,7 +130,7 @@ class PartitionPruningSpec extends SparkFunSuite {
         : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
       p.collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-            if b.scan.isInstanceOf[GraftRuntimeFilterScan] => Seq(b)
+            if b.scan.isInstanceOf[GraftRuntimeFilterable] => Seq(b)
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           scansIn(a.executedPlan)
         case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
@@ -141,7 +141,7 @@ class PartitionPruningSpec extends SparkFunSuite {
     assert(scans.exists(_.runtimeFilters.nonEmpty),
       "no dynamic-pruning filter was planned on the graft scan")
     // ...and execution actually shrank the file list to the two days
-    val g = scans.head.scan.asInstanceOf[GraftRuntimeFilterScan]
+    val g = scans.head.scan.asInstanceOf[GraftRuntimeFilterable]
     val Seq(allFiles) = Seq(SnapshotTable.load(spark,
       s"${spark.conf.get("spark.sql.catalog.dpx.warehouse")}/db/ev_star"))
       .map(t => t.snapshot(t.latestVersion).files.size)
