@@ -162,14 +162,22 @@ class GraftTable(tableName: String, location: String,
             requiredSchema.foreach(b.pruneColumns)
             b.build()
           }
-          // storage-partitioned join (governed by the v2 bucketing conf,
-          // default ON in Spark 4, same gate as Iceberg): report
-          // KeyGroupedPartitioning so same-partitioned tables join with
-          // no shuffle. Composes with runtime filtering — a runtime IN
-          // filter drops whole key groups and re-plans the rest.
+          // storage-partitioned join: report KeyGroupedPartitioning so
+          // same-partitioned tables join with no shuffle. Composes with
+          // runtime filtering — a runtime IN filter drops whole key
+          // groups and re-plans the rest. Needs BOTH the standard v2
+          // bucketing conf (default ON in Spark 4) and the graft opt-in:
+          // key-grouped planning caps scan parallelism at one task per
+          // partition VALUE, which is wrong for plain scans of huge
+          // tables — Iceberg gates its SPJ behind the same kind of
+          // separate preserve-data-grouping switch for this reason.
           val spj = spark.conf
             .getOption("spark.sql.sources.v2.bucketing.enabled")
-            .exists(_.toBoolean) && snap.partitionCols.nonEmpty
+            .exists(_.toBoolean) &&
+            spark.conf
+              .getOption("spark.sql.graft.planning.preserveDataGrouping")
+              .exists(_.toBoolean) &&
+            snap.partitionCols.nonEmpty
           val keyed =
             if (spj) KeyGroupedScan.fileKeys(staticFiles, snap.partitionCols, schema())
             else None

@@ -11,15 +11,21 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Storage-partitioned join (SPJ) support: when
-  * `spark.sql.sources.v2.bucketing.enabled` is on and the table is
-  * identity-partitioned, the scan reports `KeyGroupedPartitioning` over
-  * the partition columns and plans ONE input partition per partition
-  * value (each implementing `HasPartitionKey`). Two graft tables
-  * partitioned the same way then join WITHOUT any shuffle — Spark's
+  * `spark.sql.sources.v2.bucketing.enabled` (Spark's switch, default on)
+  * AND `spark.sql.graft.planning.preserveDataGrouping` (the graft
+  * opt-in, off by default) are set and the table is identity-
+  * partitioned, the scan reports `KeyGroupedPartitioning` over the
+  * partition columns and plans ONE input partition per partition value
+  * (each implementing `HasPartitionKey`). Two graft tables partitioned
+  * the same way then join WITHOUT any shuffle — Spark's
   * `EnsureRequirements` recognizes the co-partitioning, the DSv2 feature
   * Iceberg uses to make fact-fact joins feasible at 100 TB (a shuffle of
   * two 100 TB sides is the single most expensive operation a join can
-  * incur; co-located reads eliminate it entirely).
+  * incur; co-located reads eliminate it entirely). The separate opt-in
+  * exists because per-key planning caps SCAN parallelism at the
+  * partition-value count — right for a co-partitioned join, wrong for a
+  * plain huge-table scan — mirroring Iceberg's preserve-data-grouping
+  * switch.
   *
   * The per-file partition value comes from the manifest stats: identity
   * partitioning writes one value per file, so min == max for every

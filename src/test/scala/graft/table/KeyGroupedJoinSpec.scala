@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
 class KeyGroupedJoinSpec extends SparkFunSuite {
 
   // newSession() clones the conf but shares the SparkContext, so the
-  // bucketing flag is visible only to this suite
+  // grouping flags are visible only to this suite
   private lazy val s2: SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.graft.planning.preserveDataGrouping", "true")
     s
   }
 
