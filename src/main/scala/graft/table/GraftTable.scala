@@ -154,8 +154,16 @@ class GraftTable(tableName: String, location: String,
         // runtime key filters don't apply, keep the stock scan
         if (aggPushed) scan
         else {
-          val filterable = (snap.partitionCols ++
-            snap.files.flatMap(_.stats.keys)).distinct
+          // Runtime-filterable attributes are the PARTITION columns only,
+          // same rule as the row-level scan below: each attribute's DPP
+          // value list is driver-collected, so only bounded-cardinality
+          // keys qualify. Advertising every stats-bearing data column
+          // (previous behavior) invites a runtime IN over a
+          // high-cardinality join key — the list is then the join-key
+          // domain and pruneFiles is O(files × values) on the driver.
+          // Iceberg exposes partition-derived fields only, for the same
+          // reason.
+          val filterable = snap.partitionCols
           val rebuild = (files: Seq[SnapshotTable.DataFile]) => {
             val b = mkBuilder(files)
             if (catalystFilters.nonEmpty) b.pushFilters(catalystFilters)

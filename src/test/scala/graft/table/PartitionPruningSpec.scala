@@ -104,6 +104,45 @@ class PartitionPruningSpec extends SparkFunSuite {
     assert(explained.contains("PushedFilters"), s"no PushedFilters in:\n$explained")
   }
 
+  test("runtime filterAttributes are bounded to partition columns") {
+    import graft.SparkSuite.spark.implicits._
+    mkDayTable("hcx", "ev_hc")
+
+    // every data file carries min/max stats for user_id/event_id/value,
+    // but none of those may be advertised as runtime-filterable: a DPP
+    // IN-list over a high-cardinality join key is driver-collected and
+    // can be the whole key domain
+    val Seq(scan) = spark.table("hcx.db.ev_hc").queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    val attrs = scan.asInstanceOf[GraftRuntimeFilterable]
+      .filterAttributes().map(_.fieldNames.mkString).toSet
+    assert(attrs == Set("day"), s"expected partition columns only, got $attrs")
+
+    // a join keyed on user_id against a filtered dim therefore plans NO
+    // runtime-filter subquery on the graft scan
+    val dimPath = scratch("hcx-dim")
+    (1L to 100L).map(u => (u, if (u <= 3) "keep" else "drop"))
+      .toDF("d_user", "d_flag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter($"d_flag" === "keep")
+    val joined = spark.table("hcx.db.ev_hc").join(dim, $"user_id" === $"d_user")
+    joined.collect()
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[GraftRuntimeFilterable] => Seq(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansIn(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansIn(s.plan)
+      }.flatten
+    val scans = scansIn(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no graft scan in the join plan")
+    assert(scans.forall(_.runtimeFilters.isEmpty),
+      "a runtime-filter subquery was planned on a high-cardinality key")
+  }
+
   test("star join against a filtered dim triggers DPP on the graft scan") {
     import graft.SparkSuite.spark.implicits._
     mkDayTable("dpx", "ev_star")
