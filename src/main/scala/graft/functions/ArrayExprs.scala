@@ -19,6 +19,36 @@ import org.apache.spark.unsafe.types.UTF8String
   * it sits inside the pair-scoring inner loop of ANN/near-dup joins.
   */
 
+/** Shared analysis-time guard for the user-callable graft functions whose
+  * tuning parameters (shingle size, permutation/band counts, LSH bits…)
+  * are read ONCE via `eval(InternalRow.empty)` and baked into the per-row
+  * loop: such an argument must be a foldable integer, or evaluation would
+  * hit an unbound attribute (column argument) or bake in
+  * `null.asInstanceOf[Int] == 0` (NULL literal) and silently emit bogus
+  * results. Failing in `checkInputDataTypes` turns both into a clear
+  * AnalysisException at plan time instead.
+  */
+private[functions] object ExprChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.IntegerType
+
+  def foldableInt(e: Expression, fn: String, arg: String,
+      minValue: Int = 1): TypeCheckResult =
+    if (!e.foldable || e.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$fn: $arg must be a foldable INT literal, got ${e.sql}")
+    else e.eval(InternalRow.empty) match {
+      case null => TypeCheckResult.TypeCheckFailure(
+        s"$fn: $arg must not be NULL")
+      case v: Int if v < minValue => TypeCheckResult.TypeCheckFailure(
+        s"$fn: $arg must be >= $minValue, got $v")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
+
+  def all(checks: TypeCheckResult*): TypeCheckResult =
+    checks.find(!_.isSuccess).getOrElse(TypeCheckResult.TypeCheckSuccess)
+}
+
 /** cosine_sim(array<double>, array<double>) → double.
   *
   * Sequential fold in element order, `dot / (sqrt(nx) * sqrt(ny))` — the
@@ -84,6 +114,12 @@ case class MinHashBands(first: Expression, second: Expression, third: Expression
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_bands"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.all(
+      ExprChecks.foldableInt(second, prettyName, "numPerms"),
+      ExprChecks.foldableInt(third, prettyName, "numBands"))
+
   private lazy val numPerms: Int =
     second.eval(InternalRow.empty).asInstanceOf[Int]
   private lazy val numBands: Int =
@@ -141,6 +177,12 @@ case class HyperplaneBucket(first: Expression, second: Expression, third: Expres
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_bucket"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.all(
+      ExprChecks.foldableInt(second, prettyName, "numBits"),
+      ExprChecks.foldableInt(third, prettyName, "table", minValue = 0))
+
   private lazy val numBits: Int = second.eval(InternalRow.empty).asInstanceOf[Int]
   private lazy val table: Int = third.eval(InternalRow.empty).asInstanceOf[Int]
 
@@ -186,6 +228,10 @@ case class Fingerprint(left: Expression, right: Expression)
 
   override def dataType: DataType = org.apache.spark.sql.types.StringType
   override def prettyName: String = "fingerprint"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.foldableInt(right, prettyName, "window")
 
   private lazy val window: Int =
     right.eval(InternalRow.empty).asInstanceOf[Int]
@@ -308,6 +354,10 @@ case class WordShingles(left: Expression, right: Expression)
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.foldableInt(right, prettyName, "n")
 
   private lazy val n: Int = right.eval(InternalRow.empty).asInstanceOf[Int]
 

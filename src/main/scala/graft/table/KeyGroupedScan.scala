@@ -153,6 +153,23 @@ private[table] class GraftKeyGroupedScan(
     s"GraftKeyGroupedScan(${partCols.mkString(",")}; " +
       s"${currentFiles.size}/${files.size} files) " + inner.description()
 
+  // Same equality contract as GraftRuntimeFilterScan (reference equality
+  // would silently disable scan/exchange/subquery reuse for SPJ
+  // self-joins): keyed on the immutable construction state — initial
+  // scan, grouping columns, file fingerprint — so the hash never mutates
+  // while the object sits in a planner reuse map.
+  private val fingerprint: Seq[String] = files.map(_.path)
+  private[table] def initialScan: Scan = inner
+  private[table] def groupCols: Seq[String] = partCols
+  private[table] def fileFingerprint: Seq[String] = fingerprint
+  override def equals(other: Any): Boolean = other match {
+    case g: GraftKeyGroupedScan =>
+      inner == g.initialScan && partCols == g.groupCols &&
+        fingerprint == g.fileFingerprint
+    case _ => false
+  }
+  override def hashCode(): Int = (inner, partCols).hashCode()
+
   override def getMetaData(): Map[String, String] = inner match {
     case m: org.apache.spark.sql.internal.connector.SupportsMetadata =>
       m.getMetaData() + ("KeyGroupedBy" -> partCols.mkString(", "))

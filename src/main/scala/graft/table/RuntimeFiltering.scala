@@ -52,16 +52,27 @@ private[table] class GraftRuntimeFilterScan(
       delegate = rebuild(pruned)
     }
 
-  // scan equality drives exchange/scan reuse in the planner (ParquetScan
+  // Scan equality drives exchange/scan reuse in the planner (ParquetScan
   // is a case class; reference equality here would silently disable reuse
-  // for self-joins over graft tables). Two wrappers are interchangeable
-  // iff their CURRENT delegates are — a runtime-filtered wrapper stops
-  // being equal to an unfiltered one, which is exactly right.
+  // for self-joins over graft tables). Keyed on the IMMUTABLE
+  // construction state — the statically-built scan plus the file-list
+  // fingerprint — never the mutable runtime-filtered delegate: scan
+  // objects sit as keys in hash-based reuse maps, and a key whose
+  // hashCode changes when filter() fires mid-execution degrades those
+  // maps to missed lookups. Construction-keyed equality cannot cause
+  // INCORRECT reuse either: reuse decisions compare whole plan nodes, and
+  // BatchScanExec's own equality includes its runtimeFilters, so two
+  // same-table scans under different runtime filters still compare
+  // unequal at the plan level.
+  private val fingerprint: Seq[String] = files.map(_.path)
+  private[table] def initialScan: Scan = initial
+  private[table] def fileFingerprint: Seq[String] = fingerprint
   override def equals(other: Any): Boolean = other match {
-    case g: GraftRuntimeFilterScan => delegate == g.delegateScan
+    case g: GraftRuntimeFilterScan =>
+      initial == g.initialScan && fingerprint == g.fileFingerprint
     case _ => false
   }
-  override def hashCode(): Int = delegate.hashCode()
+  override def hashCode(): Int = initial.hashCode()
 
   // EXPLAIN renders scan detail (PushedFilters, ReadSchema, file counts)
   // through this internal trait — without the delegation, wrapping would

@@ -174,4 +174,39 @@ class ExprSpec extends SparkFunSuite {
     assert(buckets(0) == buckets(1)) // deterministic
     assert(buckets(0)._1 >= 0 && buckets(0)._1 < 64) // 6 bits
   }
+
+  test("parameter arguments must be foldable positive ints (analysis error)") {
+    Registry.install(spark)
+    val docs = graft.Tables.load(spark, sf, "documents").limit(1)
+    // a COLUMN as the tuning parameter: clear analysis failure, not an
+    // unbound-attribute eval crash
+    val colArg = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.selectExpr("word_shingles(text, CAST(doc_id AS INT))").collect()
+    }
+    assert(colArg.getMessage.contains("foldable"), colArg.getMessage)
+    // a NULL literal: clear analysis failure, not n=0 emitting bogus
+    // empty-string shingles
+    val nullArg = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.selectExpr("word_shingles(text, CAST(NULL AS INT))").collect()
+    }
+    assert(nullArg.getMessage.contains("NULL"), nullArg.getMessage)
+    // zero / negative: out of range
+    val zeroArg = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.selectExpr("word_shingles(text, 0)").collect()
+    }
+    assert(zeroArg.getMessage.contains(">= 1"), zeroArg.getMessage)
+    // same guard on the other parameterized functions
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.selectExpr("minhash_bands(word_shingles(text, 3), CAST(doc_id AS INT), 16)")
+        .collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT lsh_bucket(array(1.0d, 2.0d), 4, -1)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.selectExpr("fingerprint(text, CAST(NULL AS INT))").collect()
+    }
+    // table 0 stays valid for lsh_bucket
+    spark.sql("SELECT lsh_bucket(array(1.0d, 2.0d), 4, 0)").collect()
+  }
 }
