@@ -169,24 +169,62 @@ object Streams {
     * timeout can fire at any instant), so a bounded drain — AvailableNow
     * termination, or `processAllAvailable` — never completes; both were
     * measured spinning thousands of empty batches. A continuous 24/7
-    * deployment that needs a retention horizon on state should bound it
-    * with the state-TTL support of Spark 4's `transformWithState`
-    * processor API rather than timeout-driven expiry here.
+    * deployment that needs a retention horizon on state should use
+    * [[dedupStreamTtl]] (Spark 4 `transformWithState` with state TTL).
+    *
+    * Sink: the first-seen stream lands in a graft SNAPSHOT TABLE through
+    * the exactly-once DSv2 streaming sink ([[graft.table
+    * .GraftStreamingWrite]] — one epoch-tagged snapshot per micro-batch,
+    * idempotent across restarts), at `<warehouse>/db/<name>`. Never a
+    * memory sink: at ingestion scale the first-seen stream is one row per
+    * DISTINCT document, and materializing that on the driver's block
+    * manager is the scale-killer the table sink exists to avoid. Each
+    * call is a one-shot bounded drain into a FRESH table (checkpoint and
+    * output location are reset); a resumable 24/7 deployment keeps its
+    * own checkpoint and table and uses the TTL variant.
     */
-  def dedupStream(spark: SparkSession, srcDir: String, queryName: String,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
+  def dedupStream(spark: SparkSession, srcDir: String, name: String,
+      maxFilesPerTrigger: Int = 1,
+      warehouse: Option[String] = None): DataFrame = {
+    import graft.table.{GraftCatalog, SnapshotTable}
+    val firstSeen = firstSeenStream(spark, srcDir, maxFilesPerTrigger)
+    val ckpt = Tables.scratch(s"ckpt/$name")
+    Tables.deleteRecursively(ckpt)
+    val wh = warehouse.getOrElse(Tables.scratch(s"dedupwh/$name"))
+    val loc = s"$wh/db/$name"
+    Tables.deleteRecursively(loc)
+    // catalog name keyed by the warehouse: Spark caches catalog instances
+    // per name, so a reused name would pin the first warehouse forever
+    val cat = s"dedup_${Integer.toHexString(wh.hashCode & Int.MaxValue)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE TABLE $cat.db.`$name` (keep_doc_id BIGINT, content_hash STRING)")
+    firstSeen.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"$cat.db.`$name`")
+      .awaitTermination()
+    SnapshotTable.load(spark, loc).read()
+  }
+
+  /** The shared first-seen state machine of the dedup streams: documents
+    * keyed by content hash, one (keep_doc_id, content_hash) row emitted
+    * per distinct content, suppression across micro-batches via
+    * flatMapGroupsWithState (see [[dedupStream]] for the state-layout and
+    * timeout rationale). */
+  private def firstSeenStream(spark: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = spark.read.parquet(srcDir).schema
-    val ckpt = Tables.scratch(s"ckpt/$queryName")
-    Tables.deleteRecursively(ckpt)
     val keyed = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
       .select(col("doc_id").cast("long").as("doc_id"),
         sha2(col("text"), 256).as("content_hash"))
       .as[(Long, String)]
       .groupByKey(_._2)
-    val firstSeen = keyed.flatMapGroupsWithState(
+    keyed.flatMapGroupsWithState(
       OutputMode.Append(), GroupStateTimeout.NoTimeout())(
       (hash: String, docs: Iterator[(Long, String)], state: GroupState[Long]) => {
         if (state.exists) Iterator.empty // seen in an earlier batch
@@ -196,15 +234,101 @@ object Streams {
           Iterator.single((keep, hash))
         }
       }).toDF("keep_doc_id", "content_hash")
-    val q = firstSeen.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+  }
+
+  /** TTL-bounded CONTINUOUS streaming dedup — the 24/7 sibling of
+    * [[dedupStream]], built on Spark 4's `transformWithState` processor
+    * API: per-hash state carries a processing-time TTL, so a deployment
+    * that runs forever holds state only for content seen within the
+    * retention horizon instead of accumulating one entry per distinct
+    * document for all time. A re-sighting WITHIN the TTL is suppressed;
+    * after the TTL expires the hash's state is evicted and the content is
+    * treated as new again (the standard retention trade: bounded state,
+    * duplicates separated by more than the horizon pass through).
+    *
+    * Unlike the one-shot [[dedupStream]], this RESUMES: an existing
+    * checkpoint, state store, and output table are picked up, so
+    * successive calls model successive drains of a long-lived pipeline.
+    *
+    * Drain termination: `TransformWithStateExecBase.shouldRunAnotherBatch`
+    * is unconditionally true in ProcessingTime time mode (the same
+    * never-terminating-drain trap as fMGWS's ProcessingTimeTimeout, still
+    * TODO'd upstream as SPARK-50180), so this query disables no-data
+    * micro-batches for its run: nothing here needs them — no timers are
+    * registered, TTL expiry is enforced on state READ and physically
+    * cleaned up during later batch commits — and with them enabled an
+    * AvailableNow drain spins empty batches forever.
+    */
+  def dedupStreamTtl(spark: SparkSession, srcDir: String, name: String,
+      ttl: java.time.Duration, maxFilesPerTrigger: Int = 1,
+      warehouse: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.table.{GraftCatalog, SnapshotTable}
+    val schema = spark.read.parquet(srcDir).schema
+    val ckpt = Tables.scratch(s"ckpt/$name") // kept across calls: resumable
+    val wh = warehouse.getOrElse(Tables.scratch(s"dedupwh/$name"))
+    val loc = s"$wh/db/$name"
+    val cat = s"dedup_${Integer.toHexString(wh.hashCode & Int.MaxValue)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    if (!new java.io.File(s"$loc/_snapshots").isDirectory)
+      spark.sql(s"CREATE TABLE $cat.db.`$name` (keep_doc_id BIGINT, content_hash STRING)")
+    val firstSeen = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        sha2(col("text"), 256).as("content_hash"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .transformWithState(new Streams.FirstSeenTtlProcessor(ttl.toMillis),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+      .toDF("keep_doc_id", "content_hash")
+    // transformWithState requires the RocksDB state store provider; both
+    // conf flips are scoped to this drain and restored after
+    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      firstSeen.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.`$name`")
+        .awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+    SnapshotTable.load(spark, loc).read()
+  }
+
+  /** First-seen state machine with per-entry TTL for [[dedupStreamTtl]]:
+    * state reads return nothing once an entry's TTL lapsed (expiry is
+    * enforced on read; physical cleanup rides later batch commits), so an
+    * expired hash re-emits exactly like new content. */
+  private class FirstSeenTtlProcessor(ttlMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (Long, String), (Long, String)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    @transient private var seen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(hash: String, docs: Iterator[(Long, String)],
+        timers: TimerValues): Iterator[(Long, String)] = {
+      if (seen.exists()) Iterator.empty // seen within the TTL horizon
+      else {
+        val keep = docs.map(_._1).min
+        seen.update(keep)
+        Iterator.single((keep, hash))
+      }
+    }
   }
 
   /** T2: a dynamic table — incremental refresh of a per-user aggregate via

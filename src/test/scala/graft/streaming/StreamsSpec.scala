@@ -127,12 +127,23 @@ class StreamsSpec extends SparkFunSuite {
       .toDF("doc_id", "text").coalesce(1).write.parquet(src)
     Seq((3L, "alpha text"), (4L, "gamma text"))
       .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
-    val out = Streams.dedupStream(spark, src, "sd_crossbatch")
+    val wh = scratch("statefuldedup-wh")
+    val out = Streams.dedupStream(spark, src, "sd_crossbatch",
+        warehouse = Some(wh))
       .select("keep_doc_id").as[Long].collect().toSet
     assert(out.size == 3, s"expected one survivor per distinct text, got $out")
     assert(out.contains(2L) && out.contains(4L))
     assert((out.contains(1L) || out.contains(3L)) && !(out.contains(1L) && out.contains(3L)),
       s"exactly one of the duplicate pair must survive: $out")
+
+    // the dedup output is a graft snapshot TABLE written through the
+    // exactly-once streaming sink: epoch-tagged snapshots, one per
+    // micro-batch that emitted rows — never a driver-side memory sink
+    val t = graft.table.SnapshotTable.load(spark, s"$wh/db/sd_crossbatch")
+    val epochTags = t.versions.map(v => t.snapshot(v).operation)
+      .filter(_.startsWith("stream-"))
+    assert(epochTags.nonEmpty, "no epoch-tagged snapshots on the dedup table")
+    assert(epochTags.distinct.size == epochTags.size)
   }
 
   test("stateful streaming dedup equals batch distinct count on the corpus") {
@@ -144,5 +155,40 @@ class StreamsSpec extends SparkFunSuite {
     val emitted = Streams.dedupStream(spark, src, "sd_corpus").count()
     val distinct = docs.select("text").distinct().count()
     assert(emitted == distinct)
+  }
+
+  test("TTL dedup: suppressed within the horizon, evicted and re-emitted after") {
+    import spark.implicits._
+    val src = scratch("ttldedup-src")
+    val wh = scratch("ttldedup-wh")
+    val ttl = java.time.Duration.ofSeconds(3)
+
+    // drain 1: two distinct documents
+    Seq((1L, "alpha text"), (2L, "beta text"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(src)
+    val out1 = Streams.dedupStreamTtl(spark, src, "sd_ttl", ttl,
+      warehouse = Some(wh))
+    assert(out1.count() == 2)
+
+    // drain 2, well within the TTL: a duplicate is suppressed by state
+    // RESUMED from the previous drain's checkpoint; fresh content emits
+    Seq((3L, "alpha text"), (4L, "gamma text"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    val out2 = Streams.dedupStreamTtl(spark, src, "sd_ttl", ttl,
+      warehouse = Some(wh))
+      .select("keep_doc_id").as[Long].collect().toSet
+    assert(out2 == Set(1L, 2L, 4L), s"duplicate not suppressed within TTL: $out2")
+
+    // drain 3, after the TTL horizon: the expired hash is treated as new
+    // again — bounded state means duplicates separated by more than the
+    // horizon pass through (the retention trade, by design)
+    Thread.sleep(ttl.toMillis + 1500)
+    Seq((9L, "alpha text"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
+    val out3 = Streams.dedupStreamTtl(spark, src, "sd_ttl", ttl,
+      warehouse = Some(wh))
+      .select("keep_doc_id").as[Long].collect().toSet
+    assert(out3.contains(9L), s"expired hash was not re-emitted: $out3")
+    assert(out3 == Set(1L, 2L, 4L, 9L), s"unexpected rows: $out3")
   }
 }
