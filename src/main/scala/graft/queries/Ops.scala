@@ -102,7 +102,11 @@ object Ops {
   // Streaming stateful dedup (flatMapGroupsWithState): the documents
   // corpus arrives as a multi-file stream, one micro-batch per file, and
   // custom per-hash state suppresses every re-sighting of already-seen
-  // content across batches. The count of emitted (first-seen) documents
+  // content across batches. The first-seen stream lands in a graft
+  // snapshot TABLE through the exactly-once streaming sink (one
+  // epoch-tagged snapshot per micro-batch — files→table, the reference's
+  // ingest premise; never a driver-side memory sink), and the count reads
+  // back from that table. The count of emitted (first-seen) documents
   // must equal the batch distinct-content count — order-insensitive, so
   // the oracle checks it exactly even though WHICH duplicate id survives
   // depends on arrival order.
@@ -114,7 +118,7 @@ object Ops {
       .repartition(4)
       .write.parquet(srcDir)
     graft.streaming.Streams
-      .dedupStream(s, srcDir, s"q61_mem_${tag(dir)}")
+      .dedupStream(s, srcDir, s"q61_dedup_${tag(dir)}")
       .agg(count(lit(1)).as("n_unique"))
   }
 
@@ -467,6 +471,66 @@ object Ops {
        |WHERE CAST(ts AS DATE) >= DATE '${Tables.daysAgo(7).take(10)}'
        |GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------- q62
+  // Storage-partitioned join (SPJ), end-to-end: two graft tables
+  // identity-partitioned on the same key (`day`) join WITHOUT any shuffle
+  // — each scan reports KeyGroupedPartitioning, EnsureRequirements
+  // recognizes the co-partitioning, and the join (plus the day-grouped
+  // aggregate above it) runs exchange-free. At 100 TB the shuffle of two
+  // fact tables is the single most expensive step a join can take;
+  // co-located reads eliminate it entirely (the DSv2 feature Iceberg uses
+  // for fact-fact joins). KeyGroupedJoinSpec asserts this exact query
+  // plans ZERO ShuffleExchange nodes. The planner flags live on a CLONED
+  // session: key-grouped planning caps scan parallelism at the
+  // partition-value count — right for this join, wrong for the plain
+  // huge-table scans the rest of the registry runs.
+  // Output is unordered (the verify compare sorts rows); an ORDER BY here
+  // would add a range exchange that has nothing to do with the join.
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.graft.planning.preserveDataGrouping", "true")
+    val wh = Tables.scratch(s"warehouse/spj_${tag(dir)}")
+    s2.conf.set("spark.sql.catalog.spj", classOf[graft.table.GraftCatalog].getName)
+    s2.conf.set("spark.sql.catalog.spj.warehouse", wh)
+    def mk(name: String, parity: Int): Unit = {
+      Tables.deleteRecursively(s"$wh/db/$name")
+      s2.sql(
+        s"""CREATE TABLE spj.db.$name
+           |  (event_id BIGINT, user_id BIGINT, day DATE, value DOUBLE)
+           |PARTITIONED BY (day)""".stripMargin)
+      Tables.load(s2, dir, "events")
+        .filter(col("event_id") % 2 === parity)
+        .select(col("event_id"), col("user_id"),
+          to_date(col("ts")).as("day"), col("value"))
+        .writeTo(s"spj.db.$name").append()
+    }
+    val (ta, tb) = (s"ev_even_${tag(dir)}", s"ev_odd_${tag(dir)}")
+    mk(ta, 0)
+    mk(tb, 1)
+    val a = s2.table(s"spj.db.$ta")
+      .select(col("day"), col("user_id"), col("value").as("value_a"))
+    val b = s2.table(s"spj.db.$tb")
+      .select(col("day"), col("user_id"), col("value").as("value_b"))
+    a.join(b, Seq("day", "user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("value_a").cast("decimal(18,2)") +
+          col("value_b").cast("decimal(18,2)")).cast("double").as("pair_value"))
+  }
+
+  val q62Sql =
+    """WITH a AS (SELECT CAST(ts AS DATE) AS day, user_id,
+      |                  CAST(value AS DECIMAL(18,2)) AS value_a
+      |           FROM events WHERE event_id % 2 = 0),
+      |     b AS (SELECT CAST(ts AS DATE) AS day, user_id,
+      |                  CAST(value AS DECIMAL(18,2)) AS value_b
+      |           FROM events WHERE event_id % 2 = 1)
+      |SELECT day, count(*) AS n_pairs,
+      |       CAST(sum(value_a + value_b) AS DOUBLE) AS pair_value
+      |FROM a JOIN b USING (day, user_id)
+      |GROUP BY day""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_bench_metrics" -> (q49 _),
@@ -484,7 +548,8 @@ object Ops {
     "q57_zorder_compaction" -> (q57 _),
     "q58_sql_merge" -> (q58 _),
     "q59_history_table" -> (q59 _),
-    "q61_stateful_dedup" -> (q61 _))
+    "q61_stateful_dedup" -> (q61 _),
+    "q62_spj_join" -> (q62 _))
 
   val oracle: Map[String, String] = Map(
     "q49_bench_metrics" -> q49Sql,
@@ -502,5 +567,6 @@ object Ops {
     "q57_zorder_compaction" -> q57Sql,
     "q58_sql_merge" -> q58Sql,
     "q59_history_table" -> q59Sql,
-    "q61_stateful_dedup" -> q61Sql)
+    "q61_stateful_dedup" -> q61Sql,
+    "q62_spj_join" -> q62Sql)
 }

@@ -278,6 +278,15 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * rebased over (their files survive the swap); if any compaction input
     * file vanished (concurrent rewrite), the commit aborts instead of
     * resurrecting or dropping rows.
+    *
+    * On a partitioned table this is also the SPJ RE-KEY path: every
+    * rewritten file goes through the identity-partitioned staging layout
+    * (one partition value per file, min==max manifest stats), so a table
+    * whose key-grouped planning was disabled by flat rewrite files — a
+    * row-level UPDATE/MERGE or a streaming epoch writes files spanning
+    * partition values, and [[KeyGroupedScan.fileKeys]] is deliberately
+    * all-or-nothing — becomes storage-partitioned-join eligible again
+    * after one compaction (KeyGroupedJoinSpec proves the round trip).
     */
   def compact(targetBytes: Long = 256L * 1024 * 1024,
       clusterBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil): Int = {
@@ -554,9 +563,9 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       Files.createDirectories(snapDir)
       // the commit point: atomic publish-if-absent of the version file
       // ([[CommitPrimitive]] — hard link here, conditional PUT on S3)
-      if (CommitPrimitive.active.publish(
-          snapDir.resolve(f"v${snap.version}%05d.json"),
-          SnapshotTable.renderSnapshot(snap)))
+      val dest = snapDir.resolve(f"v${snap.version}%05d.json")
+      if (CommitPrimitive.forDest(dest).publish(
+          dest, SnapshotTable.renderSnapshot(snap)))
         return snap.version
       tries += 1
       if (tries >= attempts)

@@ -70,6 +70,67 @@ class KeyGroupedJoinSpec extends SparkFunSuite {
         agg.queryExecution.executedPlan)
   }
 
+  test("q62 (registry SPJ query) plans zero shuffle exchanges end-to-end") {
+    // the registry entry itself — the exact query the driver verifies —
+    // must be exchange-free: scans report KeyGroupedPartitioning, the
+    // join is co-partitioned, the day-grouped aggregate reuses the
+    // grouping, and the (unordered) output adds no range exchange
+    val df = graft.queries.Ops.q62(spark, sf)
+    df.collect()
+    val nShuffles = shuffles(df.queryExecution.executedPlan)
+    assert(nShuffles == 0,
+      s"q62 expected a fully exchange-free plan, found $nShuffles:\n" +
+        df.queryExecution.executedPlan)
+  }
+
+  test("compaction restores key-grouped scans after non-keyable rewrite files") {
+    val wh = scratch("spj-rekey-wh")
+    s2.conf.set("spark.sql.catalog.spjz", classOf[GraftCatalog].getName)
+    s2.conf.set("spark.sql.catalog.spjz.warehouse", wh)
+    mkTable(s2, "spjz", "ev_r")
+    val loc = s"$wh/db/ev_r"
+
+    def scan(): org.apache.spark.sql.connector.read.Scan = {
+      val Seq(sc) = s2.table("spjz.db.ev_r").queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }
+      sc
+    }
+    val baseCount = s2.table("spjz.db.ev_r").count()
+    val baseSum = s2.table("spjz.db.ev_r")
+      .agg(sum(col("value").cast("decimal(18,2)"))).head().getDecimal(0)
+    assert(scan().isInstanceOf[GraftKeyGroupedScan],
+      "freshly written partitioned table should plan key-grouped")
+
+    // a row-level UPDATE writes FLAT replacement files spanning many days
+    // (min != max on the partition column) — eligibility is deliberately
+    // all-or-nothing, so the whole table drops out of key-grouped planning
+    s2.sql("UPDATE spjz.db.ev_r SET value = value + 1.0 WHERE event_id % 7 = 0")
+    assert(!scan().isInstanceOf[GraftKeyGroupedScan],
+      "flat rewrite files must disable key-grouped planning")
+
+    // compact() rewrites every file through the identity-partitioned
+    // staging layout → the evolved table regains SPJ
+    SnapshotTable.load(s2, loc).compact()
+    assert(scan().isInstanceOf[GraftKeyGroupedScan],
+      "compaction should restore key-grouped eligibility")
+
+    // rows survived the whole journey (update applied once, nothing lost)
+    assert(s2.table("spjz.db.ev_r").count() == baseCount)
+    val updated = s2.table("spjz.db.ev_r")
+      .agg(sum(col("value").cast("decimal(18,2)"))).head().getDecimal(0)
+    val nUpdated = s2.table("spjz.db.ev_r")
+      .filter(col("event_id") % 7 === 0).count()
+    assert(updated.subtract(baseSum).doubleValue() == nUpdated.toDouble)
+
+    // and the re-keyed table joins shuffle-free against a co-partitioned one
+    val joined = s2.table("spjz.db.ev_r").select(col("day"), col("event_id"))
+      .join(s2.table("spjz.db.ev_r").select(col("day"), col("value")), "day")
+      .groupBy("day").count()
+    joined.collect()
+    assert(shuffles(joined.queryExecution.executedPlan) == 0)
+  }
+
   test("SPJ off → same join still correct (runtime-filter scan path)") {
     val wh = scratch("spj-off-wh")
     spark.conf.set("spark.sql.catalog.spjy", classOf[GraftCatalog].getName)
