@@ -277,8 +277,12 @@ object Llm {
   // LSH-bucketed ANN (the 100 TB path): random-hyperplane signatures
   // (deterministic planes from xxhash64 — see
   // [[graft.functions.HyperplaneBucket]]), bucket equi-join, exact cosine
-  // re-rank within buckets. Approximate by construction → rows-only check;
-  // AnnRecallSpec pins recall@5 vs the exact baseline.
+  // re-rank within buckets. Approximate by construction, so the DRIVER
+  // row is the quantified quality contract instead of the neighbor list:
+  // q38 emits recall@5 of the LSH path against the exact q37 baseline
+  // (both fully deterministic — seeded hyperplanes, fixed data), reduced
+  // to (k, n_queries, recall_ok) so the DuckDB oracle checks it exactly.
+  // AnnRecallSpec additionally pins the raw pair sets.
   //
   // Parameter model: a pair at cosine s collides per hyperplane with
   // p = 1 − arccos(s)/π, per table with p^bits, in ≥1 of L tables with
@@ -291,7 +295,27 @@ object Llm {
   private val LshBits = 4
   private val LshTables = 8
 
-  def q38(s: SparkSession, dir: String): DataFrame = {
+  /** recall@k summary of an approximate top-k against the exact baseline:
+    * one row (k, n_queries, recall_ok), every column computed from the
+    * data — k from the baseline's rows-per-query, n_queries from its
+    * distinct queries, recall_ok from the hit fraction vs `floor`. The
+    * floors match AnnRecallSpec's: well under the observed recalls, so
+    * they catch structural regressions (bucketing gone wrong degrades to
+    * near-zero overlap) without flaking on parameter nudges. */
+  private def recallSummary(approx: DataFrame, exact: DataFrame,
+      floor: Double): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        (count(lit(1)) / countDistinct(col("query_id"))).cast("long").as("k"),
+        countDistinct(col("query_id")).as("n_queries"),
+        ((count(col("hit")).cast("double") / count(lit(1))) >= floor)
+          .as("recall_ok"))
+
+  /** The LSH candidate path itself (bucket equi-join + exact re-rank),
+    * shared by q38's recall summary and AnnRecallSpec. */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val withBucket = e.select(col("vec_id"), col("v"),
       explode(array((0 until LshTables).map(i =>
@@ -314,6 +338,12 @@ object Llm {
         round(col("sim"), 4).as("cos_sim"))
       .orderBy("query_id", "nn_rank")
   }
+
+  def q38(s: SparkSession, dir: String): DataFrame =
+    recallSummary(lshTopK(s, dir), q37(s, dir), floor = 0.3)
+
+  val q38Sql =
+    "SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries, true AS recall_ok"
 
   // ------------------------------------------------------------- q39
   // Embedding-cosine near-dup pairs above a threshold. Brute-force with a
@@ -363,8 +393,10 @@ object Llm {
   // query probes its 4 nearest cells and exact-reranks only their
   // members. At 100 TB the cell assignment is a narrow shuffle on cell id
   // and each probe touches ~nprobe/k of the corpus. Approximate by
-  // construction → rows-only check.
-  def q50(s: SparkSession, dir: String): DataFrame = {
+  // construction → like q38, the driver row is the recall@5 summary
+  // against the exact baseline (deterministic: seeded k-means, fixed
+  // data), exactly checkable by the oracle.
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = emb(s, dir).withColumn("fv", array_to_vector(col("v")))
@@ -400,6 +432,12 @@ object Llm {
         col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
       .orderBy("query_id", "nn_rank")
   }
+
+  def q50(s: SparkSession, dir: String): DataFrame =
+    recallSummary(ivfTopK(s, dir), q37(s, dir), floor = 0.4)
+
+  val q50Sql =
+    "SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries, true AS recall_ok"
 
   // ------------------------------------------------------------- q47
   // Multimodal decode pipeline: binary content → mapPartitions
@@ -529,7 +567,7 @@ object Llm {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_ngram_jaccard" -> (q56 _),
     "q51_corpus_prep" -> (q51 _),
-    "q50_ann_ivf" -> (q50 _), // rows-only: IVF is approximate
+    "q50_ann_ivf" -> (q50 _),
     "q47_multimodal_features" -> (q47 _),
     "q30_dedup_exact" -> (q30 _),
     "q31_text_stats" -> (q31 _),
@@ -555,7 +593,8 @@ object Llm {
     "q35_minhash_neardup" -> q35Sql,
     "q36_simhash" -> q36Sql,
     "q37_ann_topk" -> q37Sql,
-    // q38 intentionally has no oracle: LSH ANN is approximate by design.
+    "q38_ann_lsh" -> q38Sql,
+    "q50_ann_ivf" -> q50Sql,
     "q39_embedding_neardup" -> q39Sql,
     "q40_multimodal_meta" -> q40Sql)
 }

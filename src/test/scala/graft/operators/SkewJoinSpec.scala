@@ -27,7 +27,8 @@ class SkewJoinSpec extends SparkFunSuite {
   }
 
   test("IVF ANN returns ranked neighbors per query") {
-    val rows = graft.queries.Llm.q50(spark, sf).collect()
+    // the candidate path (q50's registry row is the recall summary)
+    val rows = graft.queries.Llm.ivfTopK(spark, sf).collect()
     assert(rows.nonEmpty)
     val perQuery = rows.groupBy(_.getAs[Long]("query_id"))
     assert(perQuery.values.forall(_.length <= 5))

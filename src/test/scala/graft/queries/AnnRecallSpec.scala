@@ -8,19 +8,18 @@ import graft.SparkFunSuite
   * check that keeps "approximate" from silently degrading to "random". */
 class AnnRecallSpec extends SparkFunSuite {
 
-  private def pairs(name: String): Set[(Long, Long)] =
-    Llm.queries(name)(spark, sf)
-      .select("query_id", "neighbor_id")
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
 
   test("LSH and IVF ANN recall@5 against the exact baseline") {
-    val exact = pairs("q37_ann_topk")
+    val exact = pairs(Llm.queries("q37_ann_topk")(spark, sf))
     assert(exact.size == 50) // 10 queries × top-5
 
-    val lsh = pairs("q38_ann_lsh")
-    val ivf = pairs("q50_ann_ivf")
+    val lsh = pairs(Llm.lshTopK(spark, sf))
+    val ivf = pairs(Llm.ivfTopK(spark, sf))
     val lshRecall = exact.intersect(lsh).size.toDouble / exact.size
     val ivfRecall = exact.intersect(ivf).size.toDouble / exact.size
 
@@ -29,5 +28,14 @@ class AnnRecallSpec extends SparkFunSuite {
     // structural regressions without flaking on parameter nudges
     assert(lshRecall >= 0.3, f"LSH recall@5 degraded: $lshRecall%.2f")
     assert(ivfRecall >= 0.4, f"IVF recall@5 degraded: $ivfRecall%.2f")
+  }
+
+  test("q38/q50 driver rows report the same recall contract (recall_ok = true)") {
+    Seq("q38_ann_lsh", "q50_ann_ivf").foreach { name =>
+      val row = Llm.queries(name)(spark, sf).head()
+      assert(row.getAs[Long]("k") == 5L, s"$name k")
+      assert(row.getAs[Long]("n_queries") == 10L, s"$name n_queries")
+      assert(row.getAs[Boolean]("recall_ok"), s"$name recall below floor")
+    }
   }
 }
