@@ -54,16 +54,67 @@ object CommitPrimitive {
     }
   }
 
-  // Process-wide active strategy. The sandbox always runs PosixHardLink;
-  // specs swap in race-injecting wrappers (scoped to their own table
-  // paths, so concurrently running suites are unaffected).
-  @volatile private[table] var active: CommitPrimitive = PosixHardLink
+  /** Object-store CAS simulation: conditional PUT with `If-None-Match: *`
+    * (S3 since 2024; GCS/ADLS natively via `x-goog-if-generation-match:
+    * 0` / `If-None-Match: *`). The winner is decided by an atomic
+    * put-if-absent on the store's KEY SPACE — an in-process map standing
+    * in for the object store's metadata CAS — and only the winner
+    * materializes the payload at `dest`; every loser sees a deterministic
+    * false with no partial state, the losing-writer path a concurrent
+    * committer rebases from. The decision point needs NO filesystem
+    * atomicity (no link(), no rename-without-replace), which is the whole
+    * point: S3 offers neither, and this primitive proves the commit
+    * protocol above is correct with only a conditional PUT underneath.
+    * A `dest` that already exists on disk (published before this
+    * primitive was installed) loses like any conditional PUT against an
+    * existing object. */
+  final class InMemoryCas extends CommitPrimitive {
+    private val store = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    override def publish(dest: Path, content: String): Boolean = {
+      if (Files.exists(dest)) return false
+      val won = store.putIfAbsent(dest.toAbsolutePath.toString, content) == null
+      if (won) {
+        // winner-only materialization: no loser ever touches `dest`
+        val tmp = Files.createTempFile(dest.getParent, ".cas-", ".json")
+        try {
+          Files.writeString(tmp, content)
+          Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } finally Files.deleteIfExists(tmp)
+      }
+      won
+    }
+  }
 
-  /** Run `body` with `p` as the commit primitive, restoring after. Test
-    * seam — see SnapshotTableSpec's commit-race cases. */
-  private[graft] def withPrimitive[A](p: CommitPrimitive)(body: => A): A = {
-    val prev = active
-    active = p
-    try body finally active = prev
+  // Per-location override registry. The default everywhere is
+  // PosixHardLink; specs register race-injecting wrappers for THEIR OWN
+  // table locations only, so every other concurrent commit in the JVM
+  // (other tables, concurrently running suites) keeps the production
+  // strategy — a process-wide mutable primitive would route them all
+  // through the injected mock on nothing but naming convention.
+  private val overrides =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitPrimitive]()
+
+  /** The primitive governing a commit publishing `dest`: the override
+    * registered for the deepest enclosing location, else the POSIX
+    * default. */
+  private[table] def forDest(dest: Path): CommitPrimitive = {
+    val p = dest.toAbsolutePath.toString
+    var best: String = null
+    overrides.forEach { (loc, _) =>
+      if (p.startsWith(loc) && (best == null || loc.length > best.length))
+        best = loc
+    }
+    if (best == null) PosixHardLink else overrides.get(best)
+  }
+
+  /** Run `body` with `p` as the commit primitive for commits UNDER
+    * `location` only, restoring after. Test seam — see
+    * SnapshotTableSpec's commit-race cases. */
+  private[graft] def withPrimitive[A](location: String, p: CommitPrimitive)(
+      body: => A): A = {
+    val key = java.nio.file.Paths.get(location).toAbsolutePath.toString
+    require(overrides.putIfAbsent(key, p) == null,
+      s"commit primitive already overridden for $key")
+    try body finally overrides.remove(key)
   }
 }

@@ -116,54 +116,95 @@ class SnapshotTableSpec extends SparkFunSuite {
     assert(h.last.getAs[Long]("n_rows") == 150L)
   }
 
-  test("PosixHardLink publish: exactly one concurrent writer wins a version") {
-    val dir = java.nio.file.Paths.get(scratch("commit-prim"))
-    java.nio.file.Files.createDirectories(dir)
-    val dest = dir.resolve("v00042.json")
-    val wins = new java.util.concurrent.atomic.AtomicInteger
-    val threads = (1 to 8).map { i =>
-      new Thread(() => {
-        if (CommitPrimitive.PosixHardLink.publish(dest, s"writer-$i")) wins.incrementAndGet()
-      })
+  // the commit-primitive CONTRACT suite: both strategies — the POSIX
+  // hard-link default and the in-memory CAS simulating an object store's
+  // conditional PUT — must give exactly-one-winner semantics at the
+  // commit point and drive the same rebase-and-retry protocol above it
+  private def primitives: Seq[(String, () => CommitPrimitive)] = Seq(
+    "PosixHardLink" -> (() => CommitPrimitive.PosixHardLink),
+    "InMemoryCas (S3 conditional-PUT simulation)" ->
+      (() => new CommitPrimitive.InMemoryCas))
+
+  primitives.foreach { case (label, mk) =>
+    test(s"$label publish: exactly one concurrent writer wins a version") {
+      val prim = mk()
+      val dir = java.nio.file.Paths.get(scratch(s"commit-prim-${label.take(7)}"))
+      java.nio.file.Files.createDirectories(dir)
+      val dest = dir.resolve("v00042.json")
+      val wins = new java.util.concurrent.atomic.AtomicInteger
+      val losses = new java.util.concurrent.atomic.AtomicInteger
+      val threads = (1 to 8).map { i =>
+        new Thread(() => {
+          if (prim.publish(dest, s"writer-$i")) wins.incrementAndGet()
+          else losses.incrementAndGet() // deterministic losing-writer path
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(wins.get() == 1)
+      assert(losses.get() == 7)
+      // loser temp files are cleaned up; only the version file remains
+      import scala.jdk.CollectionConverters._
+      val left = java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString).toSeq
+      assert(left == Seq("v00042.json"))
+      // a later writer against the published version also loses (the
+      // conditional-PUT-against-existing-object path)
+      assert(!prim.publish(dest, "late-writer"))
     }
-    threads.foreach(_.start()); threads.foreach(_.join())
-    assert(wins.get() == 1)
-    // loser temp files are cleaned up; only the version file remains
-    import scala.jdk.CollectionConverters._
-    val left = java.nio.file.Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSeq
-    assert(left == Seq("v00042.json"))
+
+    test(s"$label commit seam: injected races rebase and lose no snapshot") {
+      val prim = mk()
+      val loc = scratch(s"snap-seam-${label.take(7)}")
+      val t = SnapshotTable.create(spark, loc, events.limit(10))
+      // between this writer's base-read and its publish, a competitor
+      // commits twice — the exact interleaving an object-store conditional
+      // PUT must surface. The mock injects the competitor at the commit
+      // point; withPrimitive scopes it to this table's location only.
+      var injected = 0
+      val inCompetitor = new java.lang.ThreadLocal[java.lang.Boolean] {
+        override def initialValue(): java.lang.Boolean = false
+      }
+      val racy = new CommitPrimitive {
+        override def publish(dest: java.nio.file.Path, content: String): Boolean = {
+          if (injected < 2 && !inCompetitor.get()) {
+            injected += 1
+            inCompetitor.set(true)
+            try SnapshotTable.load(spark, loc).append(events.limit(5))
+            finally inCompetitor.set(false)
+            prim.publish(dest, content) // now loses
+          } else prim.publish(dest, content)
+        }
+      }
+      CommitPrimitive.withPrimitive(loc, racy) {
+        t.append(events.limit(100))
+      }
+      // v0 create + 2 competitor appends + our append (after 2 rebases)
+      assert(injected == 2)
+      assert(t.latestVersion == 3)
+      assert(t.read().count() == 10 + 5 + 5 + 100)
+      assert(t.history().orderBy("version").collect()
+        .map(_.getAs[String]("operation")).toSeq == Seq.fill(4)("append"))
+    }
   }
 
-  test("commit seam: injected races rebase and lose no snapshot") {
-    val loc = scratch("snap-seam")
+  test("withPrimitive overrides are scoped: other locations keep the default") {
+    val loc = scratch("snap-scope-a")
+    val other = scratch("snap-scope-b")
     val t = SnapshotTable.create(spark, loc, events.limit(10))
-    // between this writer's base-read and its publish, a competitor
-    // commits twice — the exact interleaving an object-store conditional
-    // PUT must surface. The mock injects the competitor at the commit
-    // point, scoped to this table's directory only.
-    var injected = 0
-    val inCompetitor = new java.lang.ThreadLocal[java.lang.Boolean] {
-      override def initialValue(): java.lang.Boolean = false
-    }
-    val racy = new CommitPrimitive {
+    val tOther = SnapshotTable.create(spark, other, events.limit(10))
+    var calls = 0
+    val counting = new CommitPrimitive {
       override def publish(dest: java.nio.file.Path, content: String): Boolean = {
-        if (injected < 2 && !inCompetitor.get() && dest.startsWith(loc)) {
-          injected += 1
-          inCompetitor.set(true)
-          try SnapshotTable.load(spark, loc).append(events.limit(5))
-          finally inCompetitor.set(false)
-          CommitPrimitive.PosixHardLink.publish(dest, content) // now loses
-        } else CommitPrimitive.PosixHardLink.publish(dest, content)
+        calls += 1
+        CommitPrimitive.PosixHardLink.publish(dest, content)
       }
     }
-    CommitPrimitive.withPrimitive(racy) {
-      t.append(events.limit(100))
+    CommitPrimitive.withPrimitive(loc, counting) {
+      t.append(events.limit(5))      // through the override
+      tOther.append(events.limit(5)) // other table: default primitive
     }
-    // v0 create + 2 competitor appends + our append (after 2 rebases)
-    assert(injected == 2)
-    assert(t.latestVersion == 3)
-    assert(t.read().count() == 10 + 5 + 5 + 100)
-    assert(t.history().orderBy("version").collect()
-      .map(_.getAs[String]("operation")).toSeq == Seq.fill(4)("append"))
+    assert(calls == 1, s"override leaked to another location ($calls calls)")
+    t.append(events.limit(5)) // restored after the scope
+    assert(calls == 1)
   }
 }
