@@ -31,7 +31,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * out of scope this milestone).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
+
+  /** The `bucket` transform function (see [[BucketFunction]]): Spark
+    * resolves scan-reported bucket transforms through the table's catalog
+    * to validate SPJ compatibility (and to evaluate them when shuffling
+    * one join side to the other's bucketing); without this, a
+    * key-grouped bucket partitioning would be silently discarded. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket") BucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
 
   /** `CALL graft.system.compact/expire_snapshots/rollback(…)` — the
     * Iceberg-style SQL maintenance surface (see [[Procedures]]). */
@@ -118,22 +132,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     new java.io.File(s"${location(ident)}/_snapshots").isDirectory
 
-  /** `CREATE TABLE … PARTITIONED BY (col, …)` — identity transforms only
-    * (the reference's fact table is day-partitioned by definition,
-    * reference `main.tf:139-151`; bucket/truncate transforms are out of
-    * scope). Data lands in a Hive `col=value/` layout and partition values
-    * feed the manifest stats pruner. */
+  /** `CREATE TABLE … PARTITIONED BY (col, …)` — identity transforms (the
+    * reference's fact table is day-partitioned by definition, reference
+    * `main.tf:139-151`) and `bucket(n, col)` hash transforms (the layout
+    * that makes storage-partitioned joins possible on high-cardinality
+    * keys; truncate/days remain out of scope). Data lands in a Hive
+    * `col=value/` (or `bN_col=id/`) layout and partition values feed the
+    * manifest stats pruner / SPJ key grouping. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val pcols = partitions.toSeq.map { t =>
       val refs = t.references()
-      if (t.name() == "identity" && refs.length == 1 && refs(0).fieldNames().length == 1)
-        refs(0).fieldNames()(0)
-      else throw new UnsupportedOperationException(
-        s"only identity partition transforms are supported, got: $t")
+      val singleCol = refs.length == 1 && refs(0).fieldNames().length == 1
+      t.name() match {
+        case "identity" if singleCol => refs(0).fieldNames()(0)
+        case "bucket" if singleCol =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value().isInstanceOf[Number] =>
+              l.value().asInstanceOf[Number].intValue()
+          }.getOrElse(throw new UnsupportedOperationException(
+            s"bucket transform needs a literal bucket count: $t"))
+          require(n > 0, s"bucket count must be positive, got $n")
+          PartitionFields.Bucket(n, refs(0).fieldNames()(0)).name
+        case _ => throw new UnsupportedOperationException(
+          s"only identity and bucket partition transforms are supported, got: $t")
+      }
     }
-    pcols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c not in schema"))
+    pcols.map(PartitionFields.parse).foreach { f =>
+      val field = schema.fields.find(_.name == f.source).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column ${f.source} not in schema"))
+      f match {
+        case PartitionFields.Bucket(_, c) =>
+          require(PartitionFields.bucketableType(field.dataType),
+            s"bucket column $c must be int/bigint/string, got ${field.dataType.simpleString}")
+        case _ => ()
+      }
+    }
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
     val t = SnapshotTable.createEmpty(spark, location(ident), schema, pcols)

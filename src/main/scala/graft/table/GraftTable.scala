@@ -37,9 +37,13 @@ class GraftTable(tableName: String, location: String,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE)
 
-  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
-    snap.partitionCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    snap.partitionCols.map(PartitionFields.parse).map {
+      case PartitionFields.Identity(c) => Expressions.identity(c)
+      case PartitionFields.Bucket(n, c) => Expressions.bucket(n, c)
+    }.toArray
+  }
 
   private def innerBuilder(files: Seq[SnapshotTable.DataFile],
       options: CaseInsensitiveStringMap): ScanBuilder = {

@@ -13,38 +13,50 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Storage-partitioned join (SPJ) support: when
   * `spark.sql.sources.v2.bucketing.enabled` (Spark's switch, default on)
   * AND `spark.sql.graft.planning.preserveDataGrouping` (the graft
-  * opt-in, off by default) are set and the table is identity-
-  * partitioned, the scan reports `KeyGroupedPartitioning` over the
-  * partition columns and plans ONE input partition per partition value
-  * (each implementing `HasPartitionKey`). Two graft tables partitioned
-  * the same way then join WITHOUT any shuffle — Spark's
-  * `EnsureRequirements` recognizes the co-partitioning, the DSv2 feature
-  * Iceberg uses to make fact-fact joins feasible at 100 TB (a shuffle of
-  * two 100 TB sides is the single most expensive operation a join can
-  * incur; co-located reads eliminate it entirely). The separate opt-in
-  * exists because per-key planning caps SCAN parallelism at the
+  * opt-in, off by default) are set and the table is partitioned
+  * (identity or `bucket(n, col)` — [[PartitionFields]]), the scan
+  * reports `KeyGroupedPartitioning` over the partition transforms and
+  * plans ONE input partition per partition value (each implementing
+  * `HasPartitionKey`). Two graft tables partitioned the same way then
+  * join WITHOUT any shuffle — Spark's `EnsureRequirements` recognizes
+  * the co-partitioning, the DSv2 feature Iceberg uses to make fact-fact
+  * joins feasible at 100 TB (a shuffle of two 100 TB sides is the single
+  * most expensive operation a join can incur; co-located reads eliminate
+  * it entirely). Bucket transforms extend this to HIGH-CARDINALITY join
+  * keys, resolved through the catalog's FunctionCatalog `bucket`
+  * function for compatibility checking. The separate opt-in exists
+  * because per-key planning caps SCAN parallelism at the
   * partition-value count — right for a co-partitioned join, wrong for a
   * plain huge-table scan — mirroring Iceberg's preserve-data-grouping
   * switch.
   *
-  * The per-file partition value comes from the manifest stats: identity
-  * partitioning writes one value per file, so min == max for every
-  * partition column. Files violating that (pre-partitioning snapshots)
-  * make [[KeyGroupedScan.fileKeys]] return None and the table falls back
-  * to the ordinary runtime-filterable scan — reporting a wrong grouping
-  * would produce wrong join results, so eligibility is all-or-nothing.
+  * The per-file partition value comes from the manifest stats: the
+  * partitioned write layout produces one value per file, so min == max
+  * for every partition field. Files violating that (pre-partitioning
+  * snapshots, flat rewrite files) make [[KeyGroupedScan.fileKeys]]
+  * return None and the table falls back to the ordinary
+  * runtime-filterable scan — reporting a wrong grouping would produce
+  * wrong join results, so eligibility is all-or-nothing ([[SnapshotTable
+  * .compact]] is the re-key path that restores it).
   */
 private[table] object KeyGroupedScan {
 
   /** file path (URI-path form) → partition-key values, or None when any
-    * file cannot be keyed (missing stats or min != max). */
+    * file cannot be keyed (missing stats or min != max). Identity fields
+    * key by the column value under the column's type; bucket fields by
+    * the bucket id (IntegerType — the bound bucket function's result
+    * type, which is what the planner compares key rows under). */
   def fileKeys(files: Seq[SnapshotTable.DataFile], partCols: Seq[String],
       schema: StructType): Option[Map[String, Seq[Any]]] = {
-    val types = partCols.map(c => schema.find(_.name == c).map(_.dataType))
+    val fields = partCols.map(PartitionFields.parse)
+    val types: Seq[Option[DataType]] = fields.map {
+      case PartitionFields.Identity(c) => schema.find(_.name == c).map(_.dataType)
+      case PartitionFields.Bucket(_, _) => Some(IntegerType)
+    }
     if (types.exists(_.isEmpty)) return None
     val entries = files.map { f =>
-      val vals = partCols.zip(types.map(_.get)).map { case (c, dt) =>
-        f.stats.get(c) match {
+      val vals = fields.zip(types.map(_.get)).map { case (field, dt) =>
+        f.stats.get(field.name) match {
           case Some(cs) if cs.min == cs.max => internalValue(cs.min, dt)
           case _ => None
         }
@@ -124,8 +136,12 @@ private[table] class GraftKeyGroupedScan(
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      partCols.map(c => Expressions.identity(c)
-        : org.apache.spark.sql.connector.expressions.Expression).toArray,
+      partCols.map(PartitionFields.parse).map {
+        case PartitionFields.Identity(c) => Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Expression
+        case PartitionFields.Bucket(n, c) => Expressions.bucket(n, c)
+          : org.apache.spark.sql.connector.expressions.Expression
+      }.toArray,
       grouped.length)
 
   // SPJ and DPP compose (as in Iceberg): a runtime IN filter from a

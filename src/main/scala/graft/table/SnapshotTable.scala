@@ -426,9 +426,18 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         // (row-level UPDATE/MERGE/DELETE, streaming epochs) coexist with
         // partitioned inserts in one table.
         val tmp = Paths.get(location, "_staging", java.util.UUID.randomUUID.toString)
-        val dirCols = pcols.map(c => s"__gp_$c")
-        val withDirKeys = pcols.zip(dirCols).foldLeft(df) { case (d, (c, dc)) =>
-          d.withColumn(dc, org.apache.spark.sql.functions.col(c))
+        val fields = pcols.map(PartitionFields.parse)
+        val dirCols = fields.map(f => s"__gp_${f.dirKey}")
+        // identity fields key dirs by the raw value; bucket fields by
+        // pmod(hash(col), n) — Spark's own Murmur3, codegen'd, the exact
+        // function the FunctionCatalog `bucket` surface mirrors
+        val withDirKeys = fields.zip(dirCols).foldLeft(df) { case (d, (f, dc)) =>
+          import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+          f match {
+            case PartitionFields.Identity(c) => d.withColumn(dc, col(c))
+            case PartitionFields.Bucket(n, c) =>
+              d.withColumn(dc, pmod(hash(col(c)), lit(n)))
+          }
         }
         // hash-distribute by the partition values (Iceberg's default write
         // distribution): each partition value lands in one task, so an
@@ -701,14 +710,25 @@ object SnapshotTable {
           case _ => None
         }
       }.toMap
-    pcols.flatMap { c =>
-      for {
-        raw <- kv.get(c)
-        if raw != "__HIVE_DEFAULT_PARTITION__" // null partition: no stats
-        dt <- types.get(c)
-        typ <- statType(dt)
-        enc <- encodePartitionValue(typ, raw)
-      } yield c -> ColStats(typ, enc, enc)
+    pcols.map(PartitionFields.parse).flatMap { f =>
+      kv.get(f.dirKey)
+        .filter(_ != "__HIVE_DEFAULT_PARTITION__") // null partition: no stats
+        .flatMap { raw =>
+          f match {
+            case PartitionFields.Identity(c) =>
+              for {
+                dt <- types.get(c)
+                typ <- statType(dt)
+                enc <- encodePartitionValue(typ, raw)
+              } yield f.name -> ColStats(typ, enc, enc)
+            case PartitionFields.Bucket(_, _) =>
+              // the field's stats entry is the bucket id itself, keyed by
+              // the serialized field name — inert to data-column pruning,
+              // read by KeyGroupedScan.fileKeys for SPJ grouping
+              encodePartitionValue("long", raw)
+                .map(enc => f.name -> ColStats("long", enc, enc))
+          }
+        }
     }.toMap
   }
 

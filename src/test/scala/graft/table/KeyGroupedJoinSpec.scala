@@ -131,6 +131,57 @@ class KeyGroupedJoinSpec extends SparkFunSuite {
     assert(shuffles(joined.queryExecution.executedPlan) == 0)
   }
 
+  test("bucket-partitioned tables join on a high-cardinality key with zero shuffles") {
+    val wh = scratch("spj-bucket-wh")
+    s2.conf.set("spark.sql.catalog.spjb", classOf[GraftCatalog].getName)
+    s2.conf.set("spark.sql.catalog.spjb.warehouse", wh)
+    def mkBucketed(name: String): Unit = {
+      s2.sql(
+        s"""CREATE TABLE spjb.db.$name
+           |  (event_id BIGINT, user_id BIGINT, value DOUBLE)
+           |PARTITIONED BY (bucket(8, user_id))""".stripMargin)
+      graft.Tables.load(s2, sf, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeTo(s"spjb.db.$name").append()
+    }
+    mkBucketed("ev_a")
+    mkBucketed("ev_b")
+
+    // the write laid out one file per bucket id; the manifest carries the
+    // id as min==max stats under the serialized field name
+    val t = SnapshotTable.load(s2, s"$wh/db/ev_a")
+    val buckets = t.snapshot(t.latestVersion).files
+      .flatMap(_.stats.get("bucket(8,user_id)").map(_.min.toInt)).distinct.sorted
+    assert(buckets.nonEmpty && buckets.forall(b => b >= 0 && b < 8),
+      s"bucket ids out of range: $buckets")
+
+    // identity partitioning can't do this join shuffle-free — user_id is
+    // high-cardinality — but same-bucketed tables can: scans report
+    // KeyGroupedPartitioning over bucket(8, user_id), resolved through
+    // the catalog's FunctionCatalog, and the join co-locates
+    val agg = s2.table("spjb.db.ev_a").as("a")
+      .join(s2.table("spjb.db.ev_b").as("b"), "user_id")
+      .groupBy("user_id").count()
+    val rows = agg.collect()
+    val expected = graft.Tables.load(s2, sf, "events")
+      .groupBy("user_id").count()
+      .agg(sum(col("count") * col("count"))).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == expected)
+    val nShuffles = shuffles(agg.queryExecution.executedPlan)
+    assert(nShuffles == 0,
+      s"expected a shuffle-free bucketed join, found $nShuffles exchanges:\n" +
+        agg.queryExecution.executedPlan)
+
+    // write layout matches the function-catalog bucket function exactly
+    val probe = s2.table("spjb.db.ev_a")
+      .select(col("user_id"), expr("pmod(hash(user_id), 8)").as("expect"))
+      .limit(100).collect()
+    probe.foreach { r =>
+      assert(BucketFunction.bucketId(java.lang.Long.valueOf(r.getLong(0)), 8)
+        == r.getInt(1), s"bucketId drifted from pmod(hash, n) for ${r.getLong(0)}")
+    }
+  }
+
   test("SPJ off → same join still correct (runtime-filter scan path)") {
     val wh = scratch("spj-off-wh")
     spark.conf.set("spark.sql.catalog.spjy", classOf[GraftCatalog].getName)
