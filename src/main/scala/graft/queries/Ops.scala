@@ -531,6 +531,45 @@ object Ops {
       |FROM a JOIN b USING (day, user_id)
       |GROUP BY day""".stripMargin
 
+  // ------------------------------------------------------------- q63
+  // Table-to-table streaming pipeline: readStream FROM a graft table
+  // (snapshot versions as micro-batch offsets — the Iceberg streaming-
+  // read / Snowflake table-stream shape, each appended file consumed
+  // exactly once) INTO a second graft table through the exactly-once
+  // epoch-committed sink. The verified result reads the DESTINATION
+  // table, so the row counts prove the whole source→sink contract:
+  // nothing lost, nothing doubled.
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val (src, dst) = (s"ev_streamsrc_${tag(dir)}", s"ev_streamdst_${tag(dir)}")
+    Tables.deleteRecursively(s"$wh/db/$src")
+    Tables.deleteRecursively(s"$wh/db/$dst")
+    val ckpt = Tables.scratch(s"ckpt/q63_${tag(dir)}")
+    Tables.deleteRecursively(ckpt)
+    s.sql(s"CREATE TABLE graft.db.$src (event_id BIGINT, event_type STRING, value DOUBLE)")
+    s.sql(s"CREATE TABLE graft.db.$dst (event_id BIGINT, event_type STRING, value DOUBLE)")
+    val e = ev(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    e.filter(col("event_id") < 8000).writeTo(s"graft.db.$src").append()
+    e.filter(col("event_id") >= 8000).writeTo(s"graft.db.$src").append()
+    s.readStream.table(s"graft.db.$src")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"graft.db.$dst")
+      .awaitTermination()
+    s.sql(
+      s"""SELECT event_type, count(*) AS n_events,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM graft.db.$dst GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q63Sql =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_bench_metrics" -> (q49 _),
@@ -549,7 +588,8 @@ object Ops {
     "q58_sql_merge" -> (q58 _),
     "q59_history_table" -> (q59 _),
     "q61_stateful_dedup" -> (q61 _),
-    "q62_spj_join" -> (q62 _))
+    "q62_spj_join" -> (q62 _),
+    "q63_streaming_pipeline" -> (q63 _))
 
   val oracle: Map[String, String] = Map(
     "q49_bench_metrics" -> q49Sql,
@@ -568,5 +608,6 @@ object Ops {
     "q58_sql_merge" -> q58Sql,
     "q59_history_table" -> q59Sql,
     "q61_stateful_dedup" -> q61Sql,
-    "q62_spj_join" -> q62Sql)
+    "q62_spj_join" -> q62Sql,
+    "q63_streaming_pipeline" -> q63Sql)
 }

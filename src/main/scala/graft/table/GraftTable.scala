@@ -35,7 +35,7 @@ class GraftTable(tableName: String, location: String,
   override def capabilities(): util.Set[TableCapability] =
     util.Set.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
     import org.apache.spark.sql.connector.expressions.Expressions
@@ -193,12 +193,28 @@ class GraftTable(tableName: String, location: String,
           val keyed =
             if (spj) KeyGroupedScan.fileKeys(staticFiles, snap.partitionCols, schema())
             else None
+          // `spark.readStream.table(...)`: version-offset micro-batch
+          // source over append snapshots (see GraftMicroBatchStream) —
+          // shares this scan's pushed filters and pruned columns via the
+          // same rebuild closure, so streaming reads get manifest
+          // pruning and column pruning like batch reads
+          val mkStream = () => new GraftMicroBatchStream(location,
+            Option(options.get("stream_from_version")).map(_.toInt).getOrElse(-1),
+            catalystFilters, rebuild)
           keyed match {
             case Some(keys) =>
               new GraftKeyGroupedScan(scan, snap.partitionCols, keys,
-                staticFiles, filterable, rebuild)
+                staticFiles, filterable, rebuild) {
+                override def toMicroBatchStream(checkpointLocation: String)
+                    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+                  mkStream()
+              }
             case None =>
-              new GraftRuntimeFilterScan(scan, staticFiles, filterable, rebuild)
+              new GraftRuntimeFilterScan(scan, staticFiles, filterable, rebuild) {
+                override def toMicroBatchStream(checkpointLocation: String)
+                    : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+                  mkStream()
+              }
           }
         }
       }
