@@ -388,30 +388,40 @@ object Llm {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- q50
-  // IVF ANN (the second scale path besides LSH): a k-means coarse
-  // quantizer (MLlib, fixed seed) partitions the corpus into cells; a
-  // query probes its 4 nearest cells and exact-reranks only their
-  // members. At 100 TB the cell assignment is a narrow shuffle on cell id
-  // and each probe touches ~nprobe/k of the corpus. Approximate by
-  // construction → like q38, the driver row is the recall@5 summary
-  // against the exact baseline (deterministic: seeded k-means, fixed
-  // data), exactly checkable by the oracle.
+  // IVF ANN (the second scale path besides LSH): a spherical k-means
+  // coarse quantizer partitions the corpus into cells; a query probes its
+  // 4 nearest cells and exact-reranks only their members. At 100 TB the
+  // cell assignment is one codegen'd projection over the corpus (argmax
+  // of 16 broadcast-literal cosine_sim columns — no shuffle, no ML
+  // pipeline) and each probe touches ~nprobe/k of the corpus.
+  // Approximate by construction → like q38, the driver row is the
+  // recall@5 summary against the exact baseline (deterministic:
+  // index-seeded Lloyd, fixed data), exactly checkable by the oracle.
+  private val IvfCells = 16
+
   def ivfTopK(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = emb(s, dir).withColumn("fv", array_to_vector(col("v")))
-    // The coarse quantizer trains on a BOUNDED sample, never the corpus:
-    // ~256 vectors per centroid is the standard IVF training budget, so
-    // the k-means cost stays constant as the corpus grows to 100 TB. The
-    // limit pushes into the scan (GlobalLimit, no corpus shuffle); only
-    // the cheap cell ASSIGNMENT pass touches every vector.
-    val trainSample = e.limit(256 * 16)
-    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(trainSample)
-    val assigned = model.transform(e).select(col("vec_id"), col("v"), col("cell"))
+    val e = emb(s, dir)
+    // The coarse quantizer trains on a BOUNDED driver-side sample, never
+    // the corpus: ~256 vectors per centroid is the standard IVF training
+    // budget, so training cost stays CONSTANT as the corpus grows to
+    // 100 TB (the limit pushes into the scan — GlobalLimit, ~2 MB
+    // collected). Lloyd's on 4096×64 doubles is microseconds on the
+    // driver; the previous MLlib pipeline spent ~2 s of distributed-job
+    // scheduling on the same 4096 rows. Only the cell ASSIGNMENT pass
+    // touches every vector, and it is a single whole-stage-codegen
+    // projection (cosine_sim is a doGenCode expression).
+    val sample = e.select(col("v")).limit(256 * IvfCells).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cents = Llm.lloyd(sample, k = IvfCells, iters = 5)
+    val cellSims = array(cents.map(c =>
+      call_function("cosine_sim", col("v"), typedlit(c.toSeq))): _*)
+    val assigned = e
+      .withColumn("cell",
+        (array_position(cellSims, array_max(cellSims)) - 1).cast("int"))
+      .select(col("vec_id"), col("v"), col("cell"))
     import s.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "cv")
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cv")
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val cellRank = Window.partitionBy("query_id")
@@ -431,6 +441,43 @@ object Llm {
       .select(col("query_id"), col("nn_rank"),
         col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
       .orderBy("query_id", "nn_rank")
+  }
+
+  /** Deterministic spherical k-means (cosine metric, mean update) on a
+    * driver-side sample: initial centroids are k index-strided sample
+    * vectors, so fixed data order → fixed cells, no RNG. Metric-
+    * consistent with the probe and re-rank (both cosine), unlike a
+    * Euclidean quantizer under a cosine query. */
+  private def lloyd(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dim = sample(0).length
+    var cents = Array.tabulate(k)(i => sample(i * (sample.length / k)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestS = Double.NegativeInfinity; var c = 0
+        while (c < k) {
+          val sim = cos(v, cents(c))
+          if (sim > bestS) { bestS = sim; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+    }
+    cents
   }
 
   def q50(s: SparkSession, dir: String): DataFrame =
