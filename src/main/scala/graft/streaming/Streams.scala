@@ -262,46 +262,49 @@ object Streams {
   def dedupStreamTtl(spark: SparkSession, srcDir: String, name: String,
       ttl: java.time.Duration, maxFilesPerTrigger: Int = 1,
       warehouse: Option[String] = None): DataFrame = {
-    import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import graft.table.{GraftCatalog, SnapshotTable}
-    val schema = spark.read.parquet(srcDir).schema
-    val ckpt = Tables.scratch(s"ckpt/$name") // kept across calls: resumable
-    val wh = warehouse.getOrElse(Tables.scratch(s"dedupwh/$name"))
-    val loc = s"$wh/db/$name"
-    val cat = s"dedup_${Integer.toHexString(wh.hashCode & Int.MaxValue)}"
-    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-    if (!new java.io.File(s"$loc/_snapshots").isDirectory)
-      spark.sql(s"CREATE TABLE $cat.db.`$name` (keep_doc_id BIGINT, content_hash STRING)")
-    val firstSeen = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
-      .select(col("doc_id").cast("long").as("doc_id"),
-        sha2(col("text"), 256).as("content_hash"))
-      .as[(Long, String)]
-      .groupByKey(_._2)
-      .transformWithState(new Streams.FirstSeenTtlProcessor(ttl.toMillis),
-        TimeMode.ProcessingTime(), OutputMode.Append())
-      .toDF("keep_doc_id", "content_hash")
-    // transformWithState requires the RocksDB state store provider; both
-    // conf flips are scoped to this drain and restored after
-    val prevProvider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
-    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    // the two conf flips this query needs (RocksDB provider for
+    // transformWithState; no-data micro-batches off for drain
+    // termination) live on a CLONED session, so a stream STARTING
+    // concurrently on the caller's session never inherits them
+    val s2 = spark.newSession()
+    import s2.implicits._
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // toTable resolves its catalog through SparkSession.ACTIVE, not the
+    // DataFrame's own session — pin the clone as active for the drain or
+    // the `dedup_*` catalog registered on it is invisible to resolution
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(s2)
     try {
+      val schema = s2.read.parquet(srcDir).schema
+      val ckpt = Tables.scratch(s"ckpt/$name") // kept across calls: resumable
+      val wh = warehouse.getOrElse(Tables.scratch(s"dedupwh/$name"))
+      val loc = s"$wh/db/$name"
+      val cat = s"dedup_${Integer.toHexString(wh.hashCode & Int.MaxValue)}"
+      s2.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      if (!new java.io.File(s"$loc/_snapshots").isDirectory)
+        s2.sql(s"CREATE TABLE $cat.db.`$name` (keep_doc_id BIGINT, content_hash STRING)")
+      val firstSeen = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          sha2(col("text"), 256).as("content_hash"))
+        .as[(Long, String)]
+        .groupByKey(_._2)
+        .transformWithState(new Streams.FirstSeenTtlProcessor(ttl.toMillis),
+          TimeMode.ProcessingTime(), OutputMode.Append())
+        .toDF("keep_doc_id", "content_hash")
       firstSeen.writeStream
         .outputMode("append")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .toTable(s"$cat.db.`$name`")
         .awaitTermination()
-    } finally {
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass", prevProvider)
-      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
-    }
-    SnapshotTable.load(spark, loc).read()
+      SnapshotTable.load(spark, loc).read()
+    } finally prevActive.foreach(SparkSession.setActiveSession)
   }
 
   /** First-seen state machine with per-entry TTL for [[dedupStreamTtl]]:
