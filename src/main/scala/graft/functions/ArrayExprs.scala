@@ -115,10 +115,25 @@ case class MinHashBands(first: Expression, second: Expression, third: Expression
   override def prettyName: String = "minhash_bands"
 
   override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    ExprChecks.all(
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    val each = ExprChecks.all(
       ExprChecks.foldableInt(second, prettyName, "numPerms"),
       ExprChecks.foldableInt(third, prettyName, "numBands"))
+    if (!each.isSuccess) each
+    else {
+      // the banding relation, not just each value: numBands > numPerms
+      // makes rowsPerBand 0 (every band hash 0 → every document collides
+      // in every bucket, silently degrading the LSH join to all-pairs);
+      // a non-divisible split silently ignores trailing permutations
+      val perms = second.eval(InternalRow.empty).asInstanceOf[Int]
+      val bands = third.eval(InternalRow.empty).asInstanceOf[Int]
+      if (perms % bands != 0)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: numPerms ($perms) must be a multiple of numBands ($bands)")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+  }
 
   private lazy val numPerms: Int =
     second.eval(InternalRow.empty).asInstanceOf[Int]

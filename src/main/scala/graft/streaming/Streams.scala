@@ -193,9 +193,7 @@ object Streams {
     val wh = warehouse.getOrElse(Tables.scratch(s"dedupwh/$name"))
     val loc = s"$wh/db/$name"
     Tables.deleteRecursively(loc)
-    // catalog name keyed by the warehouse: Spark caches catalog instances
-    // per name, so a reused name would pin the first warehouse forever
-    val cat = s"dedup_${Integer.toHexString(wh.hashCode & Int.MaxValue)}"
+    val cat = Streams.dedupCatalogName(wh)
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     spark.sql(s"CREATE TABLE $cat.db.`$name` (keep_doc_id BIGINT, content_hash STRING)")
@@ -283,7 +281,7 @@ object Streams {
       val ckpt = Tables.scratch(s"ckpt/$name") // kept across calls: resumable
       val wh = warehouse.getOrElse(Tables.scratch(s"dedupwh/$name"))
       val loc = s"$wh/db/$name"
-      val cat = s"dedup_${Integer.toHexString(wh.hashCode & Int.MaxValue)}"
+      val cat = Streams.dedupCatalogName(wh)
       s2.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
       s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       if (!new java.io.File(s"$loc/_snapshots").isDirectory)
@@ -304,8 +302,20 @@ object Streams {
         .toTable(s"$cat.db.`$name`")
         .awaitTermination()
       SnapshotTable.load(spark, loc).read()
-    } finally prevActive.foreach(SparkSession.setActiveSession)
+    } finally prevActive match {
+      // a no-op foreach here would LEAK the conf-flipped clone as the
+      // thread's active session when the caller had none (fresh thread)
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None => SparkSession.clearActiveSession()
+    }
   }
+
+  /** Catalog name keyed by the FULL warehouse path (sanitized, injective
+    * up to sanitization): Spark caches catalog instances per name, so a
+    * name that merely hashed the path could collide across warehouses
+    * and permanently pin the first one for both. */
+  private def dedupCatalogName(warehouse: String): String =
+    "dedup_" + warehouse.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** First-seen state machine with per-entry TTL for [[dedupStreamTtl]]:
     * state reads return nothing once an entry's TTL lapsed (expiry is

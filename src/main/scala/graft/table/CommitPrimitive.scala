@@ -101,7 +101,10 @@ object CommitPrimitive {
     val p = dest.toAbsolutePath.toString
     var best: String = null
     overrides.forEach { (loc, _) =>
-      if (p.startsWith(loc) && (best == null || loc.length > best.length))
+      // path-boundary match: an override for /wh/db/ev must not capture
+      // /wh/db/ev_backup
+      val within = p == loc || p.startsWith(loc + java.io.File.separator)
+      if (within && (best == null || loc.length > best.length))
         best = loc
     }
     if (best == null) PosixHardLink else overrides.get(best)

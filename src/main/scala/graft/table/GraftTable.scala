@@ -69,17 +69,8 @@ class GraftTable(tableName: String, location: String,
     Option(options.get("since_version")) match {
       case None => snap.files
       case Some(v) =>
-        val t = SnapshotTable.load(spark, location)
-        val since = v.toInt
-        val range = t.versions.filter(x => x > since && x <= snap.version)
-        val rewrites = range.map(t.snapshot)
-          .filterNot(s => s.operation == "append" || s.operation == "create" ||
-            s.operation.startsWith("stream-"))
-        require(rewrites.isEmpty,
-          s"incremental read since v$since crosses non-append commits: " +
-            rewrites.map(s => s"v${s.version}=${s.operation}").mkString(", "))
-        val base = t.snapshot(since).files.map(_.path).toSet
-        snap.files.filterNot(f => base(f.path))
+        SnapshotTable.load(spark, location)
+          .deltaFileList(v.toInt, snap.version, "incremental read")
     }
 
   /** Scan builder with manifest-stats file skipping: pushed filters first

@@ -84,16 +84,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
   def appendsSince(sinceVersion: Int, toVersion: Int = -1): DataFrame = {
     val to = if (toVersion < 0) latestVersion else toVersion
     require(to >= sinceVersion, s"empty version range v$sinceVersion..v$to")
-    val range = versions.filter(v => v > sinceVersion && v <= to)
-    val rewrites = range.map(snapshot)
-      .filterNot(s => s.operation == "append" || s.operation == "create" ||
-        s.operation.startsWith("stream-"))
-    require(rewrites.isEmpty,
-      s"incremental read v$sinceVersion..v$to crosses non-append commits: " +
-        rewrites.map(s => s"v${s.version}=${s.operation}").mkString(", ") +
-        " — read the full snapshot instead")
-    val baseFiles = snapshot(sinceVersion).files.map(_.path).toSet
-    val added = snapshot(to).files.filterNot(f => baseFiles(f.path))
+    val added = deltaFileList(sinceVersion, to, "incremental read")
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(snapshot(to).schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -101,6 +92,30 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(added.map(_.path): _*)
+  }
+
+  /** THE appends-only delta algorithm, shared verbatim by every
+    * incremental surface — [[appendsSince]], the `since_version` batch
+    * reader option, and the streaming source's version offsets — so the
+    * guard semantics can never drift between them: files added in
+    * `(since, to]`, refused when the range contains a rewrite commit
+    * (compact / overwrite / delete / update / merge — rewritten survivors
+    * would surface as "new" rows). `since = -1` means everything up to
+    * `to`. */
+  private[table] def deltaFileList(since: Int, to: Int,
+      what: String): Seq[SnapshotTable.DataFile] = {
+    val range = versions.filter(v => v > since && v <= to)
+    val rewrites = range.map(snapshot)
+      .filterNot(s => s.operation == "append" || s.operation == "create" ||
+        s.operation.startsWith("stream-"))
+    require(rewrites.isEmpty,
+      s"$what v$since..v$to of $location crosses non-append commits: " +
+        rewrites.map(s => s"v${s.version}=${s.operation}").mkString(", ") +
+        " — read the full snapshot instead")
+    val base =
+      if (since < 0) Set.empty[String]
+      else snapshot(since).files.map(_.path).toSet
+    snapshot(to).files.filterNot(f => base(f.path))
   }
 
   /** Time travel by version (`VERSION AS OF`). The snapshot's declared

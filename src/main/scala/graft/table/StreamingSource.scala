@@ -54,23 +54,12 @@ private[table] class GraftMicroBatchStream(
 
   override def stop(): Unit = ()
 
-  /** Files appended in `(start, end]`, with the appends-only guard of
-    * [[SnapshotTable.appendsSince]]. */
-  private def deltaFiles(start: Int, end: Int): Seq[SnapshotTable.DataFile] = {
-    if (end <= start) return Seq.empty
-    val t = table
-    val range = t.versions.filter(v => v > start && v <= end)
-    val rewrites = range.map(t.snapshot)
-      .filterNot(s => s.operation == "append" || s.operation == "create" ||
-        s.operation.startsWith("stream-"))
-    require(rewrites.isEmpty,
-      s"streaming read v$start..v$end of $location crosses non-append " +
-        s"commits: ${rewrites.map(s => s"v${s.version}=${s.operation}").mkString(", ")}" +
-        " — restart the stream from the current snapshot")
-    val base = if (start < 0) Set.empty[String]
-               else t.snapshot(start).files.map(_.path).toSet
-    t.snapshot(end).files.filterNot(f => base(f.path))
-  }
+  /** Files appended in `(start, end]` — [[SnapshotTable.deltaFileList]],
+    * the one appends-only delta algorithm every incremental surface
+    * shares. */
+  private def deltaFiles(start: Int, end: Int): Seq[SnapshotTable.DataFile] =
+    if (end <= start) Seq.empty
+    else table.deltaFileList(start, end, "streaming read")
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val delta = deltaFiles(

@@ -200,6 +200,16 @@ class ExprSpec extends SparkFunSuite {
       docs.selectExpr("minhash_bands(word_shingles(text, 3), CAST(doc_id AS INT), 16)")
         .collect()
     }
+    // the banding RELATION too: numBands > numPerms would make
+    // rowsPerBand 0 (all-zero hashes → every doc in every bucket), and a
+    // non-divisible split silently drops trailing permutations
+    val rel = intercept[org.apache.spark.sql.AnalysisException] {
+      docs.selectExpr("minhash_bands(word_shingles(text, 3), 4, 8)").collect()
+    }
+    assert(rel.getMessage.contains("multiple"), rel.getMessage)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.selectExpr("minhash_bands(word_shingles(text, 3), 64, 24)").collect()
+    }
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT lsh_bucket(array(1.0d, 2.0d), 4, -1)").collect()
     }

@@ -157,38 +157,54 @@ class StreamsSpec extends SparkFunSuite {
     assert(emitted == distinct)
   }
 
-  test("TTL dedup: suppressed within the horizon, evicted and re-emitted after") {
+  test("TTL dedup: duplicates suppressed within the horizon (resumed state)") {
     import spark.implicits._
-    val src = scratch("ttldedup-src")
-    val wh = scratch("ttldedup-wh")
-    val ttl = java.time.Duration.ofSeconds(3)
+    val src = scratch("ttlsupp-src")
+    val wh = scratch("ttlsupp-wh")
+    // generous horizon: the assertion must not race two full streaming
+    // drains (cloned session + RocksDB startup + query lifecycle each)
+    // against the wall clock on a loaded machine
+    val ttl = java.time.Duration.ofMinutes(5)
 
-    // drain 1: two distinct documents
     Seq((1L, "alpha text"), (2L, "beta text"))
       .toDF("doc_id", "text").coalesce(1).write.parquet(src)
-    val out1 = Streams.dedupStreamTtl(spark, src, "sd_ttl", ttl,
+    val out1 = Streams.dedupStreamTtl(spark, src, "sd_ttl_supp", ttl,
       warehouse = Some(wh))
     assert(out1.count() == 2)
 
-    // drain 2, well within the TTL: a duplicate is suppressed by state
-    // RESUMED from the previous drain's checkpoint; fresh content emits
+    // drain 2, within the TTL: a duplicate is suppressed by state RESUMED
+    // from the previous drain's checkpoint; fresh content emits
     Seq((3L, "alpha text"), (4L, "gamma text"))
       .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
-    val out2 = Streams.dedupStreamTtl(spark, src, "sd_ttl", ttl,
+    val out2 = Streams.dedupStreamTtl(spark, src, "sd_ttl_supp", ttl,
       warehouse = Some(wh))
       .select("keep_doc_id").as[Long].collect().toSet
     assert(out2 == Set(1L, 2L, 4L), s"duplicate not suppressed within TTL: $out2")
+  }
 
-    // drain 3, after the TTL horizon: the expired hash is treated as new
-    // again — bounded state means duplicates separated by more than the
-    // horizon pass through (the retention trade, by design)
+  test("TTL dedup: expired state is evicted and the hash re-emits") {
+    import spark.implicits._
+    val src = scratch("ttlevict-src")
+    val wh = scratch("ttlevict-wh")
+    // tiny horizon: eviction only needs the sleep to EXCEED the TTL,
+    // which no scheduler delay can invalidate
+    val ttl = java.time.Duration.ofSeconds(2)
+
+    Seq((1L, "alpha text"), (2L, "beta text"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(src)
+    assert(Streams.dedupStreamTtl(spark, src, "sd_ttl_evict", ttl,
+      warehouse = Some(wh)).count() == 2)
+
+    // after the horizon: the expired hash is treated as new again —
+    // bounded state means duplicates separated by more than the horizon
+    // pass through (the retention trade, by design)
     Thread.sleep(ttl.toMillis + 1500)
     Seq((9L, "alpha text"))
       .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(src)
-    val out3 = Streams.dedupStreamTtl(spark, src, "sd_ttl", ttl,
+    val out = Streams.dedupStreamTtl(spark, src, "sd_ttl_evict", ttl,
       warehouse = Some(wh))
       .select("keep_doc_id").as[Long].collect().toSet
-    assert(out3.contains(9L), s"expired hash was not re-emitted: $out3")
-    assert(out3 == Set(1L, 2L, 4L, 9L), s"unexpected rows: $out3")
+    assert(out.contains(9L), s"expired hash was not re-emitted: $out")
+    assert(out == Set(1L, 2L, 9L), s"unexpected rows: $out")
   }
 }

@@ -189,7 +189,9 @@ class SnapshotTableSpec extends SparkFunSuite {
 
   test("withPrimitive overrides are scoped: other locations keep the default") {
     val loc = scratch("snap-scope-a")
-    val other = scratch("snap-scope-b")
+    // deliberately a RAW-PREFIX sibling of loc: the override must match on
+    // path boundaries, not startsWith (…/snap-scope-a vs …/snap-scope-a-sib)
+    val other = scratch("snap-scope-a-sib")
     val t = SnapshotTable.create(spark, loc, events.limit(10))
     val tOther = SnapshotTable.create(spark, other, events.limit(10))
     var calls = 0
