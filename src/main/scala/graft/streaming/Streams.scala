@@ -184,7 +184,7 @@ object Streams {
     * own checkpoint and table and uses the TTL variant.
     */
   def dedupStream(spark: SparkSession, srcDir: String, name: String,
-      maxFilesPerTrigger: Int = 1,
+      maxFilesPerTrigger: Int = 1, statePartitions: Int = 8,
       warehouse: Option[String] = None): DataFrame = {
     import graft.table.{GraftCatalog, SnapshotTable}
     val firstSeen = firstSeenStream(spark, srcDir, maxFilesPerTrigger)
@@ -197,12 +197,20 @@ object Streams {
     spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     spark.sql(s"CREATE TABLE $cat.db.`$name` (keep_doc_id BIGINT, content_hash STRING)")
-    firstSeen.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .toTable(s"$cat.db.`$name`")
-      .awaitTermination()
+    // one state shard per shuffle partition is CHECKPOINTED every
+    // micro-batch — size the shard count explicitly (same rationale as
+    // streamingAggregate): at scale it's the state parallelism knob,
+    // locally it cuts per-batch fsync 4x vs the session default
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      firstSeen.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.`$name`")
+        .awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     SnapshotTable.load(spark, loc).read()
   }
 
