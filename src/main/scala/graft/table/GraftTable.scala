@@ -191,6 +191,7 @@ class GraftTable(tableName: String, location: String,
           // pruning and column pruning like batch reads
           val mkStream = () => new GraftMicroBatchStream(location,
             Option(options.get("stream_from_version")).map(_.toInt).getOrElse(-1),
+            Option(options.get("maxFilesPerTrigger")).map(_.toInt),
             catalystFilters, rebuild)
           keyed match {
             case Some(keys) =>

@@ -82,6 +82,45 @@ class StreamingSourceSpec extends SparkFunSuite {
     assert(seen == expected)
   }
 
+  test("maxFilesPerTrigger bounds every micro-batch, splitting mid-version") {
+    val wh = mkCatalog("srcm")
+    val events = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    spark.sql(
+      """CREATE TABLE srcm.db.rl
+        |  (event_id BIGINT, event_type STRING, value DOUBLE)""".stripMargin)
+    // one append committing SEVERAL files: admission control must split
+    // inside the version, not just between versions
+    events.filter(col("event_id") < 600).repartition(4)
+      .writeTo("srcm.db.rl").append()
+    events.filter(col("event_id") >= 600).repartition(3)
+      .writeTo("srcm.db.rl").append()
+    val nFiles = {
+      val t = SnapshotTable.load(spark, s"$wh/db/rl")
+      t.snapshot(t.latestVersion).files.size
+    }
+    assert(nFiles == 7, s"expected 7 files, got $nFiles")
+
+    var total = 0L
+    var batches = 0
+    spark.readStream
+      .option("maxFilesPerTrigger", "2")
+      .table("srcm.db.rl")
+      .writeStream
+      .option("checkpointLocation", scratch("srcm-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count()
+        if (n > 0) { total += n; batches += 1 }
+        ()
+      }
+      .start()
+      .awaitTermination()
+    assert(total == events.count(), s"rate-limited drain read $total rows")
+    // 7 files at <=2 per batch -> at least 4 non-empty batches
+    assert(batches >= 4, s"backlog not split into bounded batches: $batches")
+  }
+
   test("a non-append commit in the offset range fails the stream clearly") {
     val wh = mkCatalog("srcr")
     val events = graft.Tables.load(spark, sf, "events")
