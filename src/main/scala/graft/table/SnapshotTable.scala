@@ -58,9 +58,18 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
 
   def latestVersion: Int = versions.lastOption.getOrElse(-1)
 
+  // Snapshot documents are IMMUTABLE once published (the commit primitive
+  // is publish-if-absent; expiry deletes version files, never rewrites
+  // them), so parsing memoizes per instance: metadata-heavy paths — a
+  // streaming trigger walking version deltas, history(), commit rebases —
+  // parse each version once instead of once per access.
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, SnapshotTable.Snapshot]()
+
   def snapshot(version: Int): SnapshotTable.Snapshot =
-    SnapshotTable.parseSnapshot(
-      Files.readString(snapDir.resolve(f"v$version%05d.json")))
+    snapCache.computeIfAbsent(version, v =>
+      SnapshotTable.parseSnapshot(
+        Files.readString(snapDir.resolve(f"v$v%05d.json"))))
 
   /** Partition columns declared at table creation (identity transforms). */
   def partitionCols: Seq[String] =
