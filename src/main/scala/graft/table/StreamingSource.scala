@@ -54,8 +54,16 @@ private[table] class GraftMicroBatchStream(
     // pattern).
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
+  require(maxFilesPerTrigger.forall(_ > 0),
+    s"maxFilesPerTrigger must be positive, got ${maxFilesPerTrigger.getOrElse(0)}" +
+      " (0 would silently read nothing forever)")
+
   private def spark: SparkSession = SparkSession.active
-  private def table: SnapshotTable = SnapshotTable.load(spark, location)
+  // one handle for the stream's lifetime: versions() re-lists the
+  // directory (new commits visible), while the instance's snapshot-parse
+  // memo actually accumulates across triggers (snapshot documents are
+  // immutable)
+  private lazy val table: SnapshotTable = SnapshotTable.load(spark, location)
 
   // the scan whose partitions the CURRENT batch planned; its reader
   // factory is file-list independent (reads any FilePartition), so the
@@ -68,70 +76,65 @@ private[table] class GraftMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
-  /** Unconsumed work after `o`, one entry per snapshot version:
-    * (version, files of its delta already consumed, the delta — sorted
-    * for a stable sub-version order). Deltas are per single version step
-    * so an offset can land mid-version. */
-  private def remaining(t: SnapshotTable, o: GraftStreamOffset)
-      : Seq[(Int, Int, Seq[SnapshotTable.DataFile])] = {
-    val vs = t.versions
+  /** Unconsumed work after `o`, bounded by version `untilV`, one entry
+    * per snapshot version: (version, files of its delta already consumed,
+    * the delta — sorted for a stable sub-version order). LAZY on purpose:
+    * a rate-limited trigger forces only the versions its file budget
+    * reaches, so an N-version catch-up costs O(backlog consumed), not
+    * O(N²) manifest parses — and versions beyond the bound are never
+    * touched at all (a rewrite commit past the drain cap must not kill an
+    * in-flight run that will never read it). Deltas are per single
+    * version step so an offset can land mid-version. */
+  private def remaining(t: SnapshotTable, o: GraftStreamOffset, untilV: Int)
+      : LazyList[(Int, Int, Seq[SnapshotTable.DataFile])] = {
+    val vs = t.versions.filter(_ <= untilV)
     val head =
       if (o.v >= 0 && o.files != Int.MaxValue && vs.contains(o.v)) {
         val prev = vs.filter(_ < o.v).lastOption.getOrElse(-1)
         val d = t.deltaFileList(prev, o.v, "streaming read").sortBy(_.path)
-        if (o.files < d.size) Seq((o.v, o.files, d)) else Seq.empty
-      } else Seq.empty
-    var prev = o.v
-    head ++ vs.filter(_ > o.v).map { v =>
-      val d = t.deltaFileList(prev, v, "streaming read").sortBy(_.path)
-      prev = v
-      (v, 0, d)
+        if (o.files < d.size) LazyList((o.v, o.files, d)) else LazyList.empty
+      } else LazyList.empty
+    val after = vs.filter(_ > o.v)
+    head #::: (o.v +: after).to(LazyList).zip(after).map { case (prev, v) =>
+      (v, 0, t.deltaFileList(prev, v, "streaming read").sortBy(_.path))
     }
   }
 
-  // end bound captured when an AvailableNow drain starts: appends
-  // committed DURING the drain are left for the next run
-  @volatile private var availableNowCap: Option[GraftStreamOffset] = None
+  // Version bound captured when an AvailableNow drain starts: commits
+  // landing DURING the drain — appends for the next run, rewrites that
+  // must not fail this one — are beyond the cap and never touched.
+  // Version-granular is exact: snapshots are immutable, so nothing can
+  // extend a version the cap already covers. No history walk, no delta
+  // computation — a rewrite commit ANYWHERE in history (even before the
+  // stream's checkpoint or stream_from_version) must not crash prepare.
+  @volatile private var availableNowCap: Option[Int] = None
 
-  override def prepareForTriggerAvailableNow(): Unit = {
-    val t = table
-    val end = remaining(t, GraftStreamOffset(-1, Int.MaxValue)).lastOption
-      .map { case (v, _, delta) => GraftStreamOffset(v, delta.size) }
-      .getOrElse(GraftStreamOffset(-1, Int.MaxValue))
-    availableNowCap = Some(end)
-  }
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.latestVersion)
 
-  private def lessThan(a: GraftStreamOffset, b: GraftStreamOffset): Boolean =
-    a.v < b.v || (a.v == b.v && a.files < b.files)
-
-  /** Cap `end` at the drain bound, never regressing below `start`. */
-  private def capped(start: GraftStreamOffset,
-      end: GraftStreamOffset): GraftStreamOffset =
-    availableNowCap match {
-      case Some(cap) if lessThan(cap, end) =>
-        if (lessThan(cap, start)) start else cap
-      case _ => end
-    }
+  private def versionBound(t: SnapshotTable): Int =
+    availableNowCap.getOrElse(t.latestVersion)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val o = GraftStreamOffset.of(start)
-    val work = remaining(table, o)
-    if (work.isEmpty) return o
+    val t = table
+    val work = remaining(t, o, versionBound(t))
     limit match {
       case m: ReadMaxFiles =>
         var budget = m.maxFiles()
         var end = o
-        work.foreach { case (v, consumed, delta) =>
-          if (budget > 0) {
-            val take = math.min(delta.size - consumed, budget)
-            end = GraftStreamOffset(v, consumed + take)
-            budget -= take
-          }
+        val it = work.iterator
+        while (budget > 0 && it.hasNext) {
+          val (v, consumed, delta) = it.next()
+          val take = math.min(delta.size - consumed, budget)
+          end = GraftStreamOffset(v, consumed + take)
+          budget -= take
         }
-        capped(o, end)
+        end
       case _: ReadAllAvailable =>
-        val (v, _, delta) = work.last
-        capped(o, GraftStreamOffset(v, delta.size))
+        work.lastOption.fold(o) { case (v, _, delta) =>
+          GraftStreamOffset(v, delta.size)
+        }
       case other => throw new UnsupportedOperationException(
         s"read limit not supported by graft streaming source: $other")
     }
@@ -150,10 +153,11 @@ private[table] class GraftMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = GraftStreamOffset.of(start)
     val e = GraftStreamOffset.of(end)
-    val files = remaining(table, s).flatMap { case (v, consumed, delta) =>
+    // bounded by the batch's own end version — versions beyond it (new
+    // appends, rewrites) are invisible to this batch by construction
+    val files = remaining(table, s, e.v).flatMap { case (v, consumed, delta) =>
       if (v < e.v) delta.drop(consumed)
-      else if (v == e.v) delta.slice(consumed, e.files)
-      else Seq.empty
+      else delta.slice(consumed, e.files)
     }
     // same two-tier pruning as the batch scan: the pushed filters first
     // drop delta files whose manifest min/max cannot match

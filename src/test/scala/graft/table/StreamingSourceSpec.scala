@@ -151,6 +151,38 @@ class StreamingSourceSpec extends SparkFunSuite {
       s"expected the appends-only guard, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("a rewrite commit BEFORE the stream start does not fail the stream") {
+    val wh = mkCatalog("srch")
+    val events = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    spark.sql(
+      """CREATE TABLE srch.db.hist
+        |  (event_id BIGINT, event_type STRING, value DOUBLE)""".stripMargin)
+    events.filter(col("event_id") < 500).writeTo("srch.db.hist").append()
+    // historical rewrite: versions before the tail point contain a
+    // compact — the documented pattern is to restart the stream from the
+    // current snapshot, which must WORK, not crash at drain start
+    SnapshotTable.load(spark, s"$wh/db/hist").compact()
+    val atSetup = SnapshotTable.load(spark, s"$wh/db/hist").latestVersion
+    events.filter(col("event_id") >= 500).writeTo("srch.db.hist").append()
+
+    var seen = 0L
+    spark.readStream
+      .option("stream_from_version", atSetup.toString)
+      .option("maxFilesPerTrigger", "1")
+      .table("srch.db.hist")
+      .writeStream
+      .option("checkpointLocation", scratch("srch-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen += b.count(); ()
+      }
+      .start()
+      .awaitTermination()
+    assert(seen == events.filter(col("event_id") >= 500).count(),
+      s"tail past a compacted history read $seen rows")
+  }
+
   test("stream_from_version tails only future appends") {
     val wh = mkCatalog("srct")
     val events = graft.Tables.load(spark, sf, "events")
