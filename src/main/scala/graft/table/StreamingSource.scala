@@ -181,11 +181,11 @@ private[table] class GraftMicroBatchStream(
   * delta); `files = Int.MaxValue` marks the version fully consumed (also
   * how pre-admission-control checkpoints without a `files` field parse,
   * preserving their semantics). */
-private[table] case class GraftStreamOffset(v: Int, files: Int) extends Offset {
+private[graft] case class GraftStreamOffset(v: Int, files: Int) extends Offset {
   override def json(): String = s"""{"version":$v,"files":$files}"""
 }
 
-private[table] object GraftStreamOffset {
+private[graft] object GraftStreamOffset {
   private val Re =
     """\{\s*"version"\s*:\s*(-?\d+)\s*(?:,\s*"files"\s*:\s*(\d+)\s*)?\}""".r
 

@@ -71,4 +71,40 @@ class PropertySpec extends SparkFunSuite {
       out(0).length == 16 && out(0) == out(1)
     }, n = 15)
   }
+
+  test("property: partition fields round-trip through their serialized form") {
+    import graft.table.PartitionFields
+    val field = Gen.oneOf(
+      ident.map(PartitionFields.Identity(_): PartitionFields.Field),
+      Gen.zip(Gen.choose(1, 4096), ident)
+        .map { case (n, c) => PartitionFields.Bucket(n, c): PartitionFields.Field })
+    check(Prop.forAll(field) { f =>
+      PartitionFields.parse(f.name) == f &&
+        !f.dirKey.exists("(),".contains(_)) // dir keys never need path escaping
+    })
+  }
+
+  test("property: bucket ids are in range and match pmod(hash(col), n)") {
+    import graft.table.BucketFunction
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(24, Gen.long), Gen.choose(1, 256)) { (vs, n) =>
+      val got = vs.map(v => BucketFunction.bucketId(java.lang.Long.valueOf(v), n))
+      val expected = vs.toDF("v")
+        .selectExpr(s"pmod(hash(v), $n)").collect().map(_.getInt(0)).toList
+      got.forall(b => b >= 0 && b < n) && got == expected
+    }, n = 10)
+  }
+
+  test("property: graft stream offsets round-trip through JSON") {
+    import graft.table.GraftStreamOffset
+    check(Prop.forAll(Gen.choose(-1, Int.MaxValue), Gen.choose(0, Int.MaxValue)) {
+      (v, f) =>
+        val o = GraftStreamOffset(v, f)
+        GraftStreamOffset.fromJson(o.json()) == o
+    })
+    // pre-admission-control checkpoints (no files field) parse as
+    // version-fully-consumed
+    assert(GraftStreamOffset.fromJson("""{"version":7}""") ==
+      GraftStreamOffset(7, Int.MaxValue))
+  }
 }
