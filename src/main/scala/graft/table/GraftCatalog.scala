@@ -41,10 +41,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.namespace().isEmpty && ident.name() == "bucket") BucketFunction
+    else if (ident.namespace().isEmpty && ident.name() == "truncate") TruncateFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      Array(Identifier.of(Array.empty, "bucket"),
+        Identifier.of(Array.empty, "truncate"))
     else Array.empty
 
   /** `CALL graft.system.compact/expire_snapshots/rollback(…)` — the
@@ -144,19 +147,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val pcols = partitions.toSeq.map { t =>
       val refs = t.references()
       val singleCol = refs.length == 1 && refs(0).fieldNames().length == 1
+      def width(kind: String): Int = {
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new UnsupportedOperationException(
+          s"$kind transform needs a literal width: $t"))
+        require(n > 0, s"$kind width must be positive, got $n")
+        n
+      }
       t.name() match {
         case "identity" if singleCol => refs(0).fieldNames()(0)
         case "bucket" if singleCol =>
-          val n = t.arguments().collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_]
-                if l.value().isInstanceOf[Number] =>
-              l.value().asInstanceOf[Number].intValue()
-          }.getOrElse(throw new UnsupportedOperationException(
-            s"bucket transform needs a literal bucket count: $t"))
-          require(n > 0, s"bucket count must be positive, got $n")
-          PartitionFields.Bucket(n, refs(0).fieldNames()(0)).name
+          PartitionFields.Bucket(width("bucket"), refs(0).fieldNames()(0)).name
+        case "truncate" if singleCol =>
+          PartitionFields.Truncate(width("truncate"), refs(0).fieldNames()(0)).name
         case _ => throw new UnsupportedOperationException(
-          s"only identity and bucket partition transforms are supported, got: $t")
+          s"only identity, bucket, and truncate partition transforms are supported, got: $t")
       }
     }
     pcols.map(PartitionFields.parse).foreach { f =>
@@ -164,10 +172,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new IllegalArgumentException(
           s"partition column ${f.source} not in schema"))
       f match {
-        case PartitionFields.Bucket(_, c) =>
-          require(PartitionFields.bucketableType(field.dataType),
-            s"bucket column $c must be int/bigint/string, got ${field.dataType.simpleString}")
-        case _ => ()
+        case PartitionFields.Identity(_) => ()
+        case _ => require(PartitionFields.bucketableType(field.dataType),
+          s"${f.name}: source must be int/bigint/string, got ${field.dataType.simpleString}")
       }
     }
     if (tableExists(ident))

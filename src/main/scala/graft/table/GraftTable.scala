@@ -42,6 +42,8 @@ class GraftTable(tableName: String, location: String,
     snap.partitionCols.map(PartitionFields.parse).map {
       case PartitionFields.Identity(c) => Expressions.identity(c)
       case PartitionFields.Bucket(n, c) => Expressions.bucket(n, c)
+      case PartitionFields.Truncate(w, c) => Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(c))
     }.toArray
   }
 
@@ -174,13 +176,24 @@ class GraftTable(tableName: String, location: String,
           // partition VALUE, which is wrong for plain scans of huge
           // tables — Iceberg gates its SPJ behind the same kind of
           // separate preserve-data-grouping switch for this reason.
+          // identity and bucket only: Spark special-cases bucket when
+          // resolving v2 transforms (numBuckets extracted, children =
+          // [col]), but a GENERIC transform like truncate keeps its
+          // literal as an expression leaf, which can never satisfy a
+          // ClusteredDistribution — key-grouped planning would cap scan
+          // parallelism at the group count and buy nothing (verified
+          // empirically: EnsureRequirements still inserts exchanges)
+          val spjCapable = snap.partitionCols.map(PartitionFields.parse).forall {
+            case PartitionFields.Truncate(_, _) => false
+            case _ => true
+          }
           val spj = spark.conf
             .getOption("spark.sql.sources.v2.bucketing.enabled")
             .exists(_.toBoolean) &&
             spark.conf
               .getOption("spark.sql.graft.planning.preserveDataGrouping")
               .exists(_.toBoolean) &&
-            snap.partitionCols.nonEmpty
+            spjCapable && snap.partitionCols.nonEmpty
           val keyed =
             if (spj) KeyGroupedScan.fileKeys(staticFiles, snap.partitionCols, schema())
             else None

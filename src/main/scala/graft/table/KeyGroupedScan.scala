@@ -52,6 +52,9 @@ private[table] object KeyGroupedScan {
     val types: Seq[Option[DataType]] = fields.map {
       case PartitionFields.Identity(c) => schema.find(_.name == c).map(_.dataType)
       case PartitionFields.Bucket(_, _) => Some(IntegerType)
+      // truncate keys carry the source column's type (prefix / floored
+      // multiple)
+      case PartitionFields.Truncate(_, c) => schema.find(_.name == c).map(_.dataType)
     }
     if (types.exists(_.isEmpty)) return None
     val entries = files.map { f =>
@@ -140,6 +143,9 @@ private[table] class GraftKeyGroupedScan(
         case PartitionFields.Identity(c) => Expressions.identity(c)
           : org.apache.spark.sql.connector.expressions.Expression
         case PartitionFields.Bucket(n, c) => Expressions.bucket(n, c)
+          : org.apache.spark.sql.connector.expressions.Expression
+        case PartitionFields.Truncate(w, c) => Expressions.apply("truncate",
+          Expressions.literal(w), Expressions.column(c))
           : org.apache.spark.sql.connector.expressions.Expression
       }.toArray,
       grouped.length)

@@ -43,15 +43,35 @@ private[graft] object PartitionFields {
     def dirKey: String = s"b${n}_$source"
   }
 
+  /** Iceberg's truncate transform: strings → the first `w` characters,
+    * ints/longs → the value floored to a multiple of `w` (`v - pmod(v,
+    * w)`). Groups a high-cardinality ORDERED domain into contiguous
+    * ranges — a LAYOUT transform: each file holds one truncated group,
+    * so the source column's footer min/max are tight and predicates on
+    * it prune files (bucket's hash destroys order and prunes nothing).
+    * NOT storage-partitioned-join eligible on stock Spark: the planner
+    * special-cases only bucket when resolving v2 transforms; a generic
+    * transform keeps its width literal as an expression leaf, which can
+    * never satisfy a ClusteredDistribution, so graft excludes truncate
+    * fields from key-grouped planning (parallelism cap with no shuffle
+    * win). */
+  final case class Truncate(w: Int, source: String) extends Field {
+    def name: String = s"truncate($w,$source)"
+    def dirKey: String = s"t${w}_$source"
+  }
+
   private val BucketRe = """bucket\((\d+)\s*,\s*([^)]+)\)""".r
+  private val TruncateRe = """truncate\((\d+)\s*,\s*([^)]+)\)""".r
 
   def parse(s: String): Field = s match {
     case BucketRe(n, c) => Bucket(n.toInt, c.trim)
+    case TruncateRe(w, c) => Truncate(w.toInt, c.trim)
     case c => Identity(c)
   }
 
-  /** Source types the bucket transform accepts (must stay in sync with
-    * [[BucketFunction.bucketId]]'s per-type hash mirror). */
+  /** Source types bucket/truncate accept (must stay in sync with
+    * [[BucketFunction.bucketId]] / [[TruncateFunction]]'s per-type
+    * mirrors). */
   def bucketableType(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | StringType => true
     case _ => false
@@ -116,5 +136,48 @@ private[graft] object BucketFunction
         s"bucket source type not supported: ${other.getClass.getSimpleName}")
     }
     Math.floorMod(h, n)
+  }
+}
+
+/** DSv2 FunctionCatalog surface of the truncate transform (same role as
+  * [[BucketFunction]]: resolution makes the scan-reported transform
+  * SPJ-checkable, and `produceResult` mirrors the write layout —
+  * strings → first-`w`-chars prefix via `substring`, ints/longs →
+  * `v - pmod(v, w)` floor multiple, both exactly what the staging
+  * expression computes). */
+private[graft] object TruncateFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+
+  override def name(): String = "truncate"
+  override def description(): String =
+    "truncate(w, col): width-w prefix (string) / floor-to-multiple (int, bigint)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 2,
+      s"truncate takes (width, col), got ${inputType.simpleString}")
+    val dt = inputType(1).dataType
+    require(PartitionFields.bucketableType(dt),
+      s"truncate source type not supported: ${dt.simpleString} (int/bigint/string)")
+    new ScalarFunction[Any] {
+      override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+      override def resultType(): DataType = dt
+      override def name(): String = "truncate"
+      override def canonicalName(): String = s"graft.truncate(${dt.simpleString})"
+      override def produceResult(input: InternalRow): Any = {
+        val w = input.getInt(0)
+        if (input.isNullAt(1)) null
+        else dt match {
+          case IntegerType =>
+            val v = input.getInt(1); v - Math.floorMod(v, w)
+          case LongType =>
+            val v = input.getLong(1); v - Math.floorMod(v, w.toLong)
+          case StringType =>
+            // substring semantics, like the staging expression
+            input.getUTF8String(1).substringSQL(1, w)
+          case _ => throw new IllegalStateException(s"unreachable: $dt")
+        }
+      }
+    }
   }
 }

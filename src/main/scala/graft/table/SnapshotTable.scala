@@ -456,11 +456,18 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         // pmod(hash(col), n) — Spark's own Murmur3, codegen'd, the exact
         // function the FunctionCatalog `bucket` surface mirrors
         val withDirKeys = fields.zip(dirCols).foldLeft(df) { case (d, (f, dc)) =>
-          import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+          import org.apache.spark.sql.functions.{col, hash, lit, pmod, substring}
           f match {
             case PartitionFields.Identity(c) => d.withColumn(dc, col(c))
             case PartitionFields.Bucket(n, c) =>
               d.withColumn(dc, pmod(hash(col(c)), lit(n)))
+            case PartitionFields.Truncate(w, c) =>
+              val dir = df.schema(c).dataType match {
+                case org.apache.spark.sql.types.StringType =>
+                  substring(col(c), 1, w)
+                case _ => col(c) - pmod(col(c), lit(w))
+              }
+              d.withColumn(dc, dir)
           }
         }
         // hash-distribute by the partition values (Iceberg's default write
@@ -739,16 +746,25 @@ object SnapshotTable {
         .filter(_ != "__HIVE_DEFAULT_PARTITION__") // null partition: no stats
         .flatMap { raw =>
           f match {
+            // identity and truncate dir values carry the SOURCE column's
+            // type (truncate of a string/int is a string/int); keyed by
+            // the serialized field name — for identity that IS the
+            // column (pruning applies), for transforms it is inert to
+            // data-column pruning and read by KeyGroupedScan.fileKeys
             case PartitionFields.Identity(c) =>
               for {
                 dt <- types.get(c)
                 typ <- statType(dt)
                 enc <- encodePartitionValue(typ, raw)
               } yield f.name -> ColStats(typ, enc, enc)
+            case PartitionFields.Truncate(_, c) =>
+              for {
+                dt <- types.get(c)
+                typ <- statType(dt)
+                enc <- encodePartitionValue(typ, raw)
+              } yield f.name -> ColStats(typ, enc, enc)
             case PartitionFields.Bucket(_, _) =>
-              // the field's stats entry is the bucket id itself, keyed by
-              // the serialized field name — inert to data-column pruning,
-              // read by KeyGroupedScan.fileKeys for SPJ grouping
+              // the bucket id itself
               encodePartitionValue("long", raw)
                 .map(enc => f.name -> ColStats("long", enc, enc))
           }

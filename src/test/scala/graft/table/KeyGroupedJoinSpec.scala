@@ -182,6 +182,55 @@ class KeyGroupedJoinSpec extends SparkFunSuite {
     }
   }
 
+  test("truncate partitioning: prefix-clustered layout prunes, stays SPJ-ineligible") {
+    val wh = scratch("spj-trunc-wh")
+    s2.conf.set("spark.sql.catalog.spjt", classOf[GraftCatalog].getName)
+    s2.conf.set("spark.sql.catalog.spjt.warehouse", wh)
+    s2.sql(
+      """CREATE TABLE spjt.db.ev_t
+        |  (event_id BIGINT, event_type STRING, value DOUBLE)
+        |PARTITIONED BY (truncate(3, event_type))""".stripMargin)
+    graft.Tables.load(s2, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeTo("spjt.db.ev_t").append()
+
+    // one file per 3-char prefix group; manifest stats carry the prefix
+    // under the serialized field name
+    val t = SnapshotTable.load(s2, s"$wh/db/ev_t")
+    val files = t.snapshot(t.latestVersion).files
+    val prefixes = files
+      .flatMap(_.stats.get("truncate(3,event_type)").map(_.min)).distinct
+    assert(prefixes.nonEmpty && prefixes.forall(_.length <= 3), s"$prefixes")
+
+    // the LAYOUT is the point: files are clustered by prefix, so the
+    // source column's own footer stats are tight and an equality
+    // predicate prunes to the matching prefix group's file(s)
+    def scanned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          RuntimeFiltering.unwrap(b.scan)
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+      }.sum
+    val all = scanned(s2.table("spjt.db.ev_t"))
+    val one = scanned(s2.table("spjt.db.ev_t")
+      .filter(col("event_type") === "purchase"))
+    assert(one < all, s"prefix clustering should prune files: $one of $all")
+
+    // SPJ-ineligible by design (Spark special-cases only bucket; a
+    // generic transform's width literal can never satisfy a clustered
+    // distribution): the scan must stay on the runtime-filter path
+    // rather than capping parallelism at the prefix-group count
+    val Seq(scan) = s2.table("spjt.db.ev_t").queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    assert(!scan.isInstanceOf[GraftKeyGroupedScan])
+
+    // correctness through the truncated layout
+    assert(s2.table("spjt.db.ev_t").count() ==
+      graft.Tables.load(s2, sf, "events").count())
+  }
+
   test("SPJ off → same join still correct (runtime-filter scan path)") {
     val wh = scratch("spj-off-wh")
     spark.conf.set("spark.sql.catalog.spjy", classOf[GraftCatalog].getName)
