@@ -364,7 +364,7 @@ case class SimHash32(child: Expression)
   * did).
   */
 case class WordShingles(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
@@ -376,10 +376,28 @@ case class WordShingles(left: Expression, right: Expression)
 
   private lazy val n: Int = right.eval(InternalRow.empty).asInstanceOf[Int]
 
-  override def nullSafeEval(t: Any, nn: Any): Any = {
-    // limit -1 keeps trailing empty tokens — identical tokenization to
-    // Spark's split(text, ' ') (consecutive/trailing spaces yield "")
-    val words = t.asInstanceOf[UTF8String].toString.split(" ", -1)
+  override def nullSafeEval(t: Any, nn: Any): Any =
+    WordShingles.compute(t.asInstanceOf[UTF8String], n)
+
+  // static-invoke codegen: the shingling loop runs as one static call
+  // from inside the generated whole-stage loop (no per-row virtual eval
+  // dispatch, no codegen fallback barrier around the projection); `n` is
+  // analysis-checked foldable and baked in as a constant
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.WordShingles.compute($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordShingles {
+  /** The per-row shingling kernel (shared by eval and generated code).
+    * limit -1 keeps trailing empty tokens — identical tokenization to
+    * Spark's split(text, ' ') (consecutive/trailing spaces yield ""). */
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val words = text.toString.split(" ", -1)
     if (words.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](words.length * 2)
     val sb = new java.lang.StringBuilder
@@ -401,10 +419,6 @@ case class WordShingles(left: Expression, right: Expression)
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
 }
 
 /** interleave_bits(c0 int, c1 int[, c2 int[, c3 int]]) → long Morton code.

@@ -175,6 +175,23 @@ class ExprSpec extends SparkFunSuite {
     assert(buckets(0)._1 >= 0 && buckets(0)._1 < 64) // 6 bits
   }
 
+  test("word_shingles and cosine_sim compile under codegen-only mode (no fallback)") {
+    // CODEGEN_ONLY + fallback off: a doGenCode that emits uncompilable
+    // Java fails the query instead of silently degrading to interpreted
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    Registry.install(s2)
+    val shingled = graft.Tables.load(s2, sf, "documents").limit(50)
+      .selectExpr("size(word_shingles(text, 3)) AS n")
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(shingled > 0)
+    import s2.implicits._
+    val sim = Seq((Array(1.0, 0.0), Array(1.0, 0.0))).toDF("a", "b")
+      .selectExpr("cosine_sim(a, b)").head().getDouble(0)
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+
   test("parameter arguments must be foldable positive ints (analysis error)") {
     Registry.install(spark)
     val docs = graft.Tables.load(spark, sf, "documents").limit(1)
