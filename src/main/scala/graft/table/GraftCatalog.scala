@@ -137,25 +137,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** `CREATE TABLE … PARTITIONED BY (col, …)` — identity transforms (the
     * reference's fact table is day-partitioned by definition, reference
-    * `main.tf:139-151`) and `bucket(n, col)` hash transforms (the layout
+    * `main.tf:139-151`), `bucket(n, col)` hash transforms (the layout
     * that makes storage-partitioned joins possible on high-cardinality
-    * keys; truncate/days remain out of scope). Data lands in a Hive
-    * `col=value/` (or `bN_col=id/`) layout and partition values feed the
-    * manifest stats pruner / SPJ key grouping. */
+    * keys), and `truncate(w, col)` range transforms (prefix-clustered,
+    * stats-prunable layout; time transforms like days() remain out of
+    * scope). Data lands in a Hive `col=value/` (or `bN_col=id/` /
+    * `tW_col=prefix/`) layout and partition values feed the manifest
+    * stats pruner / SPJ key grouping. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val pcols = partitions.toSeq.map { t =>
       val refs = t.references()
       val singleCol = refs.length == 1 && refs(0).fieldNames().length == 1
       def width(kind: String): Int = {
-        val n = t.arguments().collectFirst {
+        val num = t.arguments().collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_]
-              if l.value().isInstanceOf[Number] =>
-            l.value().asInstanceOf[Number].intValue()
+              if l.value().isInstanceOf[Number] => l.value().asInstanceOf[Number]
         }.getOrElse(throw new UnsupportedOperationException(
           s"$kind transform needs a literal width: $t"))
-        require(n > 0, s"$kind width must be positive, got $n")
-        n
+        // exact int only: Number.intValue() would silently WRAP a long
+        // (truncate(2^32+1, c) becoming truncate(1, c)) or floor a
+        // fraction into a wrong table layout
+        val asLong = num.longValue()
+        require(num.doubleValue() == asLong.toDouble &&
+            asLong > 0 && asLong <= Int.MaxValue,
+          s"$kind width must be a positive INT, got $num")
+        asLong.toInt
       }
       t.name() match {
         case "identity" if singleCol => refs(0).fieldNames()(0)

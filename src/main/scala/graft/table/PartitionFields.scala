@@ -166,6 +166,10 @@ private[graft] object TruncateFunction
       override def canonicalName(): String = s"graft.truncate(${dt.simpleString})"
       override def produceResult(input: InternalRow): Any = {
         val w = input.getInt(0)
+        // user-callable through the catalog: w=0 would surface as a raw
+        // ArithmeticException (floorMod by zero) mid-query, negative w
+        // as silent values matching no write layout
+        require(w > 0, s"truncate width must be positive, got $w")
         if (input.isNullAt(1)) null
         else dt match {
           case IntegerType =>

@@ -462,8 +462,13 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
             case PartitionFields.Bucket(n, c) =>
               d.withColumn(dc, pmod(hash(col(c)), lit(n)))
             case PartitionFields.Truncate(w, c) =>
-              val dir = df.schema(c).dataType match {
-                case org.apache.spark.sql.types.StringType =>
+              // resolve the source type case-insensitively, like col(c)
+              // does (df.schema(c) is case-sensitive and would fail a
+              // differently-cased append that identity/bucket accept)
+              val dt = df.schema.fields
+                .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+              val dir = dt match {
+                case Some(org.apache.spark.sql.types.StringType) =>
                   substring(col(c), 1, w)
                 case _ => col(c) - pmod(col(c), lit(w))
               }

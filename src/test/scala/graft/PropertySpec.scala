@@ -77,7 +77,9 @@ class PropertySpec extends SparkFunSuite {
     val field = Gen.oneOf(
       ident.map(PartitionFields.Identity(_): PartitionFields.Field),
       Gen.zip(Gen.choose(1, 4096), ident)
-        .map { case (n, c) => PartitionFields.Bucket(n, c): PartitionFields.Field })
+        .map { case (n, c) => PartitionFields.Bucket(n, c): PartitionFields.Field },
+      Gen.zip(Gen.choose(1, 4096), ident)
+        .map { case (w, c) => PartitionFields.Truncate(w, c): PartitionFields.Field })
     check(Prop.forAll(field) { f =>
       PartitionFields.parse(f.name) == f &&
         !f.dirKey.exists("(),".contains(_)) // dir keys never need path escaping
