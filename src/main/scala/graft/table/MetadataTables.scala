@@ -9,9 +9,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Iceberg-style SQL metadata tables: `SELECT * FROM cat.db.t.history`
-  * (also `.snapshots`, `.files`) inspects the snapshot log through plain
-  * SQL — the introspection surface the reference demos against Iceberg
-  * metadata (`aws-community-builders-presentation.md:229-320`).
+  * (also `.snapshots`, `.files`, `.partitions`) inspects the snapshot log
+  * through plain SQL — the introspection surface the reference demos
+  * against Iceberg metadata
+  * (`aws-community-builders-presentation.md:229-320`).
   *
   * Snapshot logs are small (O(versions), O(files)), so the rows are
   * materialized driver-side behind a DSv2 [[LocalScan]] — no job, no
@@ -32,6 +33,12 @@ object MetadataTables {
     StructField("row_count", LongType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
     StructField("stats_json", StringType, nullable = false)))
+
+  val partitionsSchema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
 
   /** Build the metadata table named `kind` over `t`, if `kind` is one of
     * the supported suffixes. */
@@ -64,6 +71,32 @@ object MetadataTables {
             org.apache.spark.unsafe.types.UTF8String.fromString(stats))
         }
         Some(new MetadataTable(s"$name.files", filesSchema, rows))
+      case "partitions" if t.partitionCols.nonEmpty =>
+        // per-partition file/row/byte rollup (Iceberg's `t.partitions`,
+        // the small-files diagnosis surface): group the live file list by
+        // its partition-field values from the manifest stats; files whose
+        // value cannot be keyed (flat rewrite files spanning partitions)
+        // roll up under the sentinel below — visible, not miscounted
+        val snap = t.snapshot(t.latestVersion)
+        val fields = snap.partitionCols.map(PartitionFields.parse)
+        val rows = snap.files
+          .groupBy { f =>
+            fields.map { fd =>
+              f.stats.get(fd.name) match {
+                case Some(s) if s.min == s.max => s"${fd.name}=${s.min}"
+                case _ => s"${fd.name}=<multiple>"
+              }
+            }.mkString("/")
+          }
+          .toSeq.sortBy(_._1)
+          .map { case (part, fs) =>
+            InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(part),
+              fs.size.toLong,
+              fs.map(_.rows).filter(_ >= 0).sum,
+              fs.map(_.bytes).filter(_ >= 0).sum)
+          }
+        Some(new MetadataTable(s"$name.partitions", partitionsSchema, rows))
       case _ => None
     }
 

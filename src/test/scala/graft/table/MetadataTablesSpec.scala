@@ -35,4 +35,42 @@ class MetadataTablesSpec extends SparkFunSuite {
     // the base table itself still resolves normally
     assert(spark.sql("SELECT count(*) FROM mtx.db.t").head().getLong(0) == 3)
   }
+
+  test("partitions metadata table rolls up files per partition value") {
+    import org.apache.spark.sql.functions._
+    val wh = scratch("meta-part-wh")
+    spark.conf.set("spark.sql.catalog.mtp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mtp.warehouse", wh)
+    spark.sql(
+      """CREATE TABLE mtp.db.ev (event_id BIGINT, event_type STRING, day DATE)
+        |PARTITIONED BY (day)""".stripMargin)
+    graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), to_date(col("ts")).as("day"))
+      .writeTo("mtp.db.ev").append()
+
+    val parts = spark.sql(
+      "SELECT partition, n_files, n_rows, size_bytes FROM mtp.db.ev.partitions")
+      .collect()
+    assert(parts.length >= 25, s"expected ~30 day partitions, got ${parts.length}")
+    assert(parts.forall(r => r.getString(0).startsWith("day=") &&
+      r.getLong(1) >= 1 && r.getLong(3) > 0))
+    // the rollup accounts for every row exactly once
+    assert(parts.map(_.getLong(2)).sum ==
+      graft.Tables.load(spark, sf, "events").count())
+    // flat rewrite files spanning partitions surface under the sentinel
+    spark.sql("UPDATE mtp.db.ev SET event_id = event_id WHERE event_id % 9 = 0")
+    val after = spark.sql(
+      "SELECT partition, n_rows FROM mtp.db.ev.partitions").collect()
+    assert(after.exists(_.getString(0).contains("<multiple>")),
+      s"rewrite files not surfaced: ${after.map(_.getString(0)).mkString(",")}")
+    assert(after.map(_.getLong(1)).sum ==
+      graft.Tables.load(spark, sf, "events").count())
+
+    // unpartitioned tables have no partitions metadata table
+    spark.sql("CREATE TABLE mtp.db.flat (id BIGINT)")
+    spark.sql("INSERT INTO mtp.db.flat VALUES (1)")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM mtp.db.flat.partitions").collect()
+    }
+  }
 }
