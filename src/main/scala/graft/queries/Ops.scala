@@ -536,9 +536,13 @@ object Ops {
   // (snapshot versions as micro-batch offsets — the Iceberg streaming-
   // read / Snowflake table-stream shape, each appended file consumed
   // exactly once) INTO a second graft table through the exactly-once
-  // epoch-committed sink. The verified result reads the DESTINATION
-  // table, so the row counts prove the whole source→sink contract:
-  // nothing lost, nothing doubled.
+  // epoch-committed sink. A COMPACTION is deliberately interleaved
+  // between the source's two appends and the stream rides over it via
+  // option("skip_rewrites", "compact") — streaming reads and routine
+  // maintenance must coexist (a compact preserves the row multiset, so
+  // skipping its version loses nothing). The verified result reads the
+  // DESTINATION table, so the row counts prove the whole source→sink
+  // contract: nothing lost, nothing doubled, compaction notwithstanding.
   def q63(s: SparkSession, dir: String): DataFrame = {
     val wh = Tables.scratch("warehouse/graft-catalog")
     s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
@@ -552,8 +556,11 @@ object Ops {
     s.sql(s"CREATE TABLE graft.db.$dst (event_id BIGINT, event_type STRING, value DOUBLE)")
     val e = ev(s, dir).select(col("event_id"), col("event_type"), col("value"))
     e.filter(col("event_id") < 8000).writeTo(s"graft.db.$src").append()
+    graft.table.SnapshotTable.load(s, s"$wh/db/$src").compact()
     e.filter(col("event_id") >= 8000).writeTo(s"graft.db.$src").append()
-    s.readStream.table(s"graft.db.$src")
+    s.readStream
+      .option("skip_rewrites", "compact")
+      .table(s"graft.db.$src")
       .writeStream
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

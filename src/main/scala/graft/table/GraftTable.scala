@@ -203,8 +203,9 @@ class GraftTable(tableName: String, location: String,
           // same rebuild closure, so streaming reads get manifest
           // pruning and column pruning like batch reads
           val mkStream = () => new GraftMicroBatchStream(location,
-            Option(options.get("stream_from_version")).map(_.toInt).getOrElse(-1),
-            Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+            GraftTable.intOption(options, "stream_from_version").getOrElse(-1),
+            GraftTable.intOption(options, "maxFilesPerTrigger"),
+            GraftTable.skipRewrites(options),
             catalystFilters, rebuild)
           keyed match {
             case Some(keys) =>
@@ -434,6 +435,34 @@ class GraftTable(tableName: String, location: String,
 object GraftTable {
   import org.apache.spark.sql.{Column, functions => F}
   import org.apache.spark.sql.sources._
+
+  /** Integer reader option with the option NAME in the failure — a typo
+    * like `maxFilesPerTrigger=2k` should say which option was bad, not
+    * surface a bare NumberFormatException at stream construction. */
+  private[table] def intOption(options: CaseInsensitiveStringMap,
+      name: String): Option[Int] =
+    Option(options.get(name)).map { v =>
+      try v.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"option $name must be an integer, got '$v'")
+      }
+    }
+
+  /** `option("skip_rewrites", "compact")`: rewrite operations the
+    * streaming source may treat as row-multiset-preserving and skip.
+    * Only `compact` qualifies — overwrite/delete/update/merge change the
+    * multiset and may never be skipped, so anything else is rejected at
+    * stream construction rather than silently dropping data. */
+  private[table] def skipRewrites(options: CaseInsensitiveStringMap): Set[String] = {
+    val ops = Option(options.get("skip_rewrites")).toSeq
+      .flatMap(_.split(',')).map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+    val bad = ops -- Set("compact")
+    require(bad.isEmpty,
+      s"option skip_rewrites supports only 'compact' (the one rewrite that " +
+        s"preserves the row multiset); got: ${bad.mkString(", ")}")
+    ops
+  }
 
   /** Writer factory projecting each incoming row to its LAST
     * `schema.length` fields before delegating: the row-level ReplaceData

@@ -110,21 +110,54 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * `(since, to]`, refused when the range contains a rewrite commit
     * (compact / overwrite / delete / update / merge — rewritten survivors
     * would surface as "new" rows). `since = -1` means everything up to
-    * `to`. */
-  private[table] def deltaFileList(since: Int, to: Int,
-      what: String): Seq[SnapshotTable.DataFile] = {
+    * `to`.
+    *
+    * `skipOps` (streaming `option("skip_rewrites", "compact")`) lets the
+    * caller declare specific rewrite operations ROW-MULTISET-PRESERVING:
+    * a pure compaction rewrites surviving rows into fewer files without
+    * adding or dropping any, so a consumer that already saw every row up
+    * to the compaction's predecessor loses nothing by skipping it — the
+    * Iceberg `streaming-skip-overwrite-snapshots` shape, required for
+    * streaming reads to coexist with routine maintenance. Skipped
+    * versions contribute an EMPTY delta; the walk then becomes per
+    * version step (append deltas vs their immediate predecessor) instead
+    * of the endpoint set-diff, because a compaction in the range makes
+    * endpoint membership lie (compacted files look "added"). Overwrite /
+    * delete / update / merge change the multiset and always fail. */
+  private[table] def deltaFileList(since: Int, to: Int, what: String,
+      skipOps: Set[String] = Set.empty): Seq[SnapshotTable.DataFile] = {
     val range = versions.filter(v => v > since && v <= to)
-    val rewrites = range.map(snapshot)
-      .filterNot(s => s.operation == "append" || s.operation == "create" ||
-        s.operation.startsWith("stream-"))
+    def isAppend(s: SnapshotTable.Snapshot): Boolean =
+      s.operation == "append" || s.operation == "create" ||
+        s.operation.startsWith("stream-")
+    val snaps = range.map(snapshot)
+    val rewrites = snaps.filterNot(s => isAppend(s) || skipOps(s.operation))
     require(rewrites.isEmpty,
       s"$what v$since..v$to of $location crosses non-append commits: " +
         rewrites.map(s => s"v${s.version}=${s.operation}").mkString(", ") +
         " — read the full snapshot instead")
-    val base =
-      if (since < 0) Set.empty[String]
-      else snapshot(since).files.map(_.path).toSet
-    snapshot(to).files.filterNot(f => base(f.path))
+    if (snaps.forall(isAppend)) {
+      // appends-only fast path: endpoint set-diff equals the union of the
+      // per-step deltas and parses only the two endpoint snapshots
+      val base =
+        if (since < 0) Set.empty[String]
+        else snapshot(since).files.map(_.path).toSet
+      snapshot(to).files.filterNot(f => base(f.path))
+    } else {
+      // a skipped rewrite is in range: walk version by version so the
+      // compacted files (present at `to`, absent at `since`) never
+      // surface as "new" rows
+      (since +: range).zip(range).flatMap { case (prev, v) =>
+        val s = snapshot(v)
+        if (!isAppend(s)) Seq.empty
+        else {
+          val base =
+            if (prev < 0) Set.empty[String]
+            else snapshot(prev).files.map(_.path).toSet
+          s.files.filterNot(f => base(f.path))
+        }
+      }
+    }
   }
 
   /** Time travel by version (`VERSION AS OF`). The snapshot's declared

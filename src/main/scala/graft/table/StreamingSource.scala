@@ -29,10 +29,18 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
   * stock parquet scan over the delta list — no snapshot diffing beyond
   * per-version manifest reads, no full-table rescans, and the delta is
   * manifest-stats pruned against the query's pushed filters before
-  * planning. Non-append commits (compact/overwrite/delete) in the
+  * planning. Non-append commits (overwrite/delete/update/merge) in the
   * offset range fail the stream with a clear error instead of silently
-  * double-reading rewritten rows; expire_snapshots that collects a
-  * checkpointed version fails the restart the same way.
+  * double-reading rewritten rows. Pure COMPACTION is different: it
+  * preserves the row multiset, so `option("skip_rewrites", "compact")`
+  * lets a 24/7 stream ride over routine maintenance (the Iceberg
+  * `streaming-skip-overwrite-snapshots` shape) — the compact version
+  * contributes an empty micro-batch and the stream continues with the
+  * next append; the pre-compaction files it still needs remain on disk
+  * until snapshot expiration. Without the option, compaction in the
+  * unconsumed range fails the stream (the conservative default).
+  * expire_snapshots that collects a checkpointed version fails the
+  * restart with the recovery path in the message.
   *
   * `option("stream_from_version", v)` starts a NEW stream at version `v`
   * (exclusive) — `-1` (default) streams the table from the beginning,
@@ -42,6 +50,7 @@ private[table] class GraftMicroBatchStream(
     location: String,
     fromVersion: Int,
     maxFilesPerTrigger: Option[Int],
+    skipOps: Set[String],
     catalystFilters: Seq[Expression],
     rebuild: Seq[SnapshotTable.DataFile] => Scan)
     // SupportsTriggerAvailableNow (not just SupportsAdmissionControl):
@@ -65,10 +74,21 @@ private[table] class GraftMicroBatchStream(
   // immutable)
   private lazy val table: SnapshotTable = SnapshotTable.load(spark, location)
 
-  // the scan whose partitions the CURRENT batch planned; its reader
-  // factory is file-list independent (reads any FilePartition), so the
-  // latest one serves createReaderFactory
-  @volatile private var lastScan: Scan = _
+  /** Resolve the checkpointed/offset snapshot range, converting a missing
+    * snapshot document (expire_snapshots collected a version the
+    * checkpoint still references) into an actionable error instead of a
+    * raw NoSuchFileException: the recovery path is a NEW checkpoint
+    * starting at the current version. */
+  private def resolvingOffsets[A](o: GraftStreamOffset)(body: => A): A =
+    try body catch {
+      case e: java.nio.file.NoSuchFileException =>
+        throw new IllegalStateException(
+          s"graft streaming source on $location cannot resolve offset v${o.v}: " +
+            s"a snapshot in the unconsumed range is gone (${e.getMessage}) — " +
+            "expire_snapshots collected history the checkpoint still needs. " +
+            "Recover by restarting with a NEW checkpoint location and " +
+            "option(\"stream_from_version\", <version to resume after>).", e)
+    }
 
   override def initialOffset(): Offset =
     GraftStreamOffset(fromVersion, Int.MaxValue) // v fully consumed
@@ -91,12 +111,13 @@ private[table] class GraftMicroBatchStream(
     val head =
       if (o.v >= 0 && o.files != Int.MaxValue && vs.contains(o.v)) {
         val prev = vs.filter(_ < o.v).lastOption.getOrElse(-1)
-        val d = t.deltaFileList(prev, o.v, "streaming read").sortBy(_.path)
+        val d = t.deltaFileList(prev, o.v, "streaming read", skipOps)
+          .sortBy(_.path)
         if (o.files < d.size) LazyList((o.v, o.files, d)) else LazyList.empty
       } else LazyList.empty
     val after = vs.filter(_ > o.v)
     head #::: (o.v +: after).to(LazyList).zip(after).map { case (prev, v) =>
-      (v, 0, t.deltaFileList(prev, v, "streaming read").sortBy(_.path))
+      (v, 0, t.deltaFileList(prev, v, "streaming read", skipOps).sortBy(_.path))
     }
   }
 
@@ -118,6 +139,7 @@ private[table] class GraftMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val o = GraftStreamOffset.of(start)
     val t = table
+    resolvingOffsets(o) {
     val work = remaining(t, o, versionBound(t))
     limit match {
       case m: ReadMaxFiles =>
@@ -138,6 +160,7 @@ private[table] class GraftMicroBatchStream(
       case other => throw new UnsupportedOperationException(
         s"read limit not supported by graft streaming source: $other")
     }
+    }
   }
 
   override def latestOffset(): Offset =
@@ -155,26 +178,31 @@ private[table] class GraftMicroBatchStream(
     val e = GraftStreamOffset.of(end)
     // bounded by the batch's own end version — versions beyond it (new
     // appends, rewrites) are invisible to this batch by construction
-    val files = remaining(table, s, e.v).flatMap { case (v, consumed, delta) =>
-      if (v < e.v) delta.drop(consumed)
-      else delta.slice(consumed, e.files)
+    val files = resolvingOffsets(s) {
+      remaining(table, s, e.v).flatMap { case (v, consumed, delta) =>
+        if (v < e.v) delta.drop(consumed)
+        else delta.slice(consumed, e.files)
+      }.toList
     }
     // same two-tier pruning as the batch scan: the pushed filters first
     // drop delta files whose manifest min/max cannot match
     val pruned = StatsPruning.prune(files,
       catalystFilters.flatMap(StatsPruning.fromCatalyst))
     if (pruned.isEmpty) Array.empty
-    else {
-      val scan = rebuild(pruned)
-      lastScan = scan
-      scan.toBatch.planInputPartitions()
-    }
+    else rebuild(pruned).toBatch.planInputPartitions()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val scan = if (lastScan != null) lastScan else rebuild(Seq.empty)
-    scan.toBatch.createReaderFactory()
-  }
+  // Derived ONCE from a scan over an empty file list, so the factory's
+  // file-list independence is structural rather than an ordering
+  // assumption on "the scan the last planInputPartitions built": the
+  // parquet reader factory carries only schema/filter/conf state and
+  // reads whatever FilePartition it is handed — the rebuild closure
+  // captures the SAME pushed filters and pruned columns every batch's
+  // scan is built with, so this factory matches every batch's partitions.
+  private lazy val readerFactory: PartitionReaderFactory =
+    rebuild(Seq.empty).toBatch.createReaderFactory()
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
 }
 
 /** Offset = (snapshot version, files consumed within that version's

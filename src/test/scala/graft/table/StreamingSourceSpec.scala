@@ -183,6 +183,158 @@ class StreamingSourceSpec extends SparkFunSuite {
       s"tail past a compacted history read $seen rows")
   }
 
+  test("skip_rewrites=compact rides over routine compaction, nothing lost or doubled") {
+    val wh = mkCatalog("srcc")
+    val events = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    spark.sql(
+      """CREATE TABLE srcc.db.cmp
+        |  (event_id BIGINT, event_type STRING, value DOUBLE)""".stripMargin)
+    events.filter(col("event_id") < 500).writeTo("srcc.db.cmp").append()
+
+    val ckpt = scratch("srcc-ckpt")
+    val ids = scala.collection.mutable.ListBuffer[Long]()
+    def drain(): Unit =
+      spark.readStream
+        .option("skip_rewrites", "compact")
+        .table("srcc.db.cmp")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = b.select("event_id").collect().map(_.getLong(0))
+          ids.synchronized { ids ++= got }
+          ()
+        }
+        .start()
+        .awaitTermination()
+
+    drain()
+    assert(ids.size == 500, s"first drain read ${ids.size} rows")
+
+    // routine maintenance between drains: a pure compact rewrites the
+    // whole file set but preserves the row multiset — the stream must
+    // skip it and keep consuming appends on either side of it
+    SnapshotTable.load(spark, s"$wh/db/cmp").compact()
+    events.filter(col("event_id") >= 500).writeTo("srcc.db.cmp").append()
+    drain()
+
+    val expected = events.select("event_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sorted.toSeq == expected.toSeq,
+      s"compaction-skipping drain lost or doubled rows: got ${ids.size}, want ${expected.length}")
+
+    // and an overwrite must STILL fail — skip_rewrites only covers compact
+    SnapshotTable.load(spark, s"$wh/db/cmp")
+      .overwrite(events.filter(col("event_id") < 10))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("non-append")),
+      s"overwrite must keep failing under skip_rewrites=compact: ${messages(e).mkString(" | ")}")
+  }
+
+  test("skip_rewrites=compact under a file budget: compact mid-drain versions stay bounded") {
+    val wh = mkCatalog("srck")
+    val events = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    spark.sql(
+      """CREATE TABLE srck.db.b
+        |  (event_id BIGINT, event_type STRING, value DOUBLE)""".stripMargin)
+    events.filter(col("event_id") < 300).repartition(3).writeTo("srck.db.b").append()
+    SnapshotTable.load(spark, s"$wh/db/b").compact()
+    events.filter(col("event_id") >= 300).repartition(3).writeTo("srck.db.b").append()
+
+    var total = 0L
+    var batches = 0
+    spark.readStream
+      .option("skip_rewrites", "compact")
+      .option("maxFilesPerTrigger", "2")
+      .table("srck.db.b")
+      .writeStream
+      .option("checkpointLocation", scratch("srck-ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = b.count()
+        if (n > 0) { total += n; batches += 1 }
+        ()
+      }
+      .start()
+      .awaitTermination()
+    assert(total == events.count(),
+      s"rate-limited drain over a compacted log read $total rows")
+    assert(batches >= 3, s"expected bounded batches around the skipped compact: $batches")
+  }
+
+  test("bad streaming options are named: skip_rewrites values and non-integer limits") {
+    mkCatalog("srcb")
+    spark.sql("CREATE TABLE srcb.db.o (event_id BIGINT)")
+
+    def startFails(opt: (String, String)): Throwable = intercept[Exception] {
+      spark.readStream.option(opt._1, opt._2).table("srcb.db.o")
+        .writeStream
+        .option("checkpointLocation", scratch(s"srcb-${opt._1}-${opt._2.filter(_.isLetterOrDigit)}"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) => b.count(); () }
+        .start()
+        .awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
+    val badLimit = startFails("maxFilesPerTrigger" -> "2k")
+    assert(messages(badLimit).exists(m =>
+      m.contains("maxFilesPerTrigger") && m.contains("2k")), messages(badLimit).mkString(" | "))
+
+    val badSkip = startFails("skip_rewrites" -> "overwrite")
+    assert(messages(badSkip).exists(m =>
+      m.contains("skip_rewrites") && m.contains("overwrite")), messages(badSkip).mkString(" | "))
+  }
+
+  test("expire_snapshots past the checkpoint fails restart with the recovery path") {
+    val wh = mkCatalog("srce")
+    val events = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    spark.sql(
+      """CREATE TABLE srce.db.ex
+        |  (event_id BIGINT, event_type STRING, value DOUBLE)""".stripMargin)
+    events.filter(col("event_id") < 200).writeTo("srce.db.ex").append()
+
+    val ckpt = scratch("srce-ckpt")
+    def drain(): Unit =
+      spark.readStream.table("srce.db.ex")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) => b.count(); () }
+        .start()
+        .awaitTermination()
+    drain()
+
+    // several appends, then expire history INCLUDING the checkpointed
+    // version: the restart must say what happened and how to recover,
+    // not throw a raw NoSuchFileException
+    events.filter(col("event_id") >= 200 && col("event_id") < 400)
+      .writeTo("srce.db.ex").append()
+    events.filter(col("event_id") >= 400).writeTo("srce.db.ex").append()
+    SnapshotTable.load(spark, s"$wh/db/ex").expireSnapshots(keepLast = 1)
+
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("expire_snapshots") && m.contains("stream_from_version")),
+      s"expected the recovery hint, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("q63 (registry pipeline) matches the batch aggregate with a compaction interleaved") {
+    val df = graft.queries.Ops.q63(spark, sf)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = graft.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want, s"q63 rows diverged from batch: got $got want $want")
+  }
+
   test("stream_from_version tails only future appends") {
     val wh = mkCatalog("srct")
     val events = graft.Tables.load(spark, sf, "events")
