@@ -64,48 +64,93 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Drain an append-mode stream into a graft snapshot table through the
+    * exactly-once DSv2 streaming sink and return the landed table — the
+    * scale-correct sink for every unbounded-output streaming operator
+    * here: at 100 TB/day the emitted stream (closed sessions, finalized
+    * windows, first-seen docs) is itself large, and a driver-side memory
+    * sink would be the bottleneck the distributed sink exists to avoid.
+    *
+    * Isolation: the drain runs on a CLONED session — the state-shard
+    * sizing conf and the catalog registration never leak to (or race
+    * with) the caller's session — and the clone is pinned ACTIVE for the
+    * drain because `toTable` resolves its catalog through
+    * `SparkSession.active`, not the frame's own session. One state shard
+    * per shuffle partition is CHECKPOINTED every micro-batch, so the
+    * shard count is sized explicitly: at scale it's the state-parallelism
+    * knob, locally it cuts per-batch fsync 4× vs the session default.
+    * Each call is a one-shot bounded drain into a FRESH table (checkpoint
+    * and output location reset). */
+  private def drainToTable(spark: SparkSession, name: String,
+      warehouse: Option[String], statePartitions: Int, columnsDdl: String)
+      (mkStream: SparkSession => DataFrame): DataFrame = {
+    import graft.table.{GraftCatalog, SnapshotTable}
+    val ckpt = Tables.scratch(s"ckpt/$name")
+    Tables.deleteRecursively(ckpt)
+    val wh = warehouse.getOrElse(Tables.scratch(s"streamwh/$name"))
+    val loc = s"$wh/db/$name"
+    Tables.deleteRecursively(loc)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val cat = warehouseCatalogName(wh)
+    s2.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(s2)
+    try {
+      s2.sql(s"CREATE TABLE $cat.db.`$name` ($columnsDdl)")
+      mkStream(s2).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.db.`$name`")
+        .awaitTermination()
+    } finally prevActive match {
+      // a no-op foreach here would LEAK the conf-flipped clone as the
+      // thread's active session when the caller had none (fresh thread)
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None => SparkSession.clearActiveSession()
+    }
+    SnapshotTable.load(spark, loc).read()
+  }
+
   /** Watermarked tumbling-window aggregate (the brief's Structured
     * Streaming hardening beyond the reference's buffering-only windows):
     * event-time windows on `ts` with a late-data watermark, state expired
     * once the watermark passes — the shape of a production event rollup
     * where state must not grow unboundedly. Append mode emits only
-    * finalized windows.
+    * finalized windows, landed in a graft snapshot table through the
+    * exactly-once sink (one epoch-tagged snapshot per emitting batch):
+    * the finalized-window stream grows with the data, so it belongs in a
+    * table, never a driver memory sink.
     */
   def windowedCounts(spark: SparkSession, srcDir: String, queryName: String,
       windowLen: String = "1 day", watermark: String = "2 hours",
-      slide: Option[String] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(srcDir).schema
-    val ckpt = Tables.scratch(s"ckpt/$queryName")
-    Tables.deleteRecursively(ckpt)
-    val raw = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 10).parquet(srcDir)
-    val withTs =
-      if (schema.fieldNames.contains("ts") &&
-          schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
-    // slide < windowLen → overlapping (sliding) windows: each event lands
-    // in windowLen/slide windows; state per open window, same watermark
-    // expiry — the rolling-aggregate shape (e.g. 7-day rolling dailies)
-    val win = slide.fold(window(col("ts"), windowLen))(sl =>
-      window(col("ts"), windowLen, sl))
-    val agg = withTs
-      .withWatermark("ts", watermark)
-      .groupBy(win, col("event_type"))
-      .agg(count(lit(1)).as("event_count"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("event_count"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+      slide: Option[String] = None, warehouse: Option[String] = None,
+      statePartitions: Int = 8): DataFrame =
+    drainToTable(spark, queryName, warehouse, statePartitions,
+      "window_start TIMESTAMP, event_type STRING, event_count BIGINT") { s2 =>
+      val schema = s2.read.parquet(srcDir).schema
+      val raw = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 10).parquet(srcDir)
+      val withTs =
+        if (schema.fieldNames.contains("ts") &&
+            schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      // slide < windowLen → overlapping (sliding) windows: each event lands
+      // in windowLen/slide windows; state per open window, same watermark
+      // expiry — the rolling-aggregate shape (e.g. 7-day rolling dailies)
+      val win = slide.fold(window(col("ts"), windowLen))(sl =>
+        window(col("ts"), windowLen, sl))
+      withTs
+        .withWatermark("ts", watermark)
+        .groupBy(win, col("event_type"))
+        .agg(count(lit(1)).as("event_count"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("event_count"))
+    }
 
   /** Streaming sessionization: gap-based per-user sessions over event
     * time via Spark's native `session_window` — the streaming sibling of
@@ -113,41 +158,36 @@ object Streams {
     * session-window) and merged as windows overlap, expired once the
     * watermark passes the gap, so state stays bounded by ACTIVE sessions
     * regardless of stream length — the property a 100 TB/day clickstream
-    * needs. Append mode emits only closed sessions.
+    * needs. Append mode emits only closed sessions, landed in a graft
+    * snapshot table through the exactly-once sink: a day of clickstream
+    * closes one row per session, which must never accumulate on the
+    * driver's block manager.
     */
   def sessionize(spark: SparkSession, srcDir: String, queryName: String,
-      gap: String = "30 minutes", watermark: String = "2 hours"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(srcDir).schema
-    val ckpt = Tables.scratch(s"ckpt/$queryName")
-    Tables.deleteRecursively(ckpt)
-    val raw = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 10).parquet(srcDir)
-    val withTs =
-      if (schema.fieldNames.contains("ts") &&
-          schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
-    val agg = withTs
-      .withWatermark("ts", watermark)
-      .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        // countDistinct is unsupported in streaming aggs; collect_set is
-        // mergeable across session-window merges and sized on emit
-        size(collect_set(col("event_type"))).cast("long").as("n_event_types"))
-      .select(col("session_window.start").as("session_start"),
-        col("session_window.end").as("session_end"),
-        col("user_id"), col("n_events"), col("n_event_types"))
-    val q = agg.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+      gap: String = "30 minutes", watermark: String = "2 hours",
+      warehouse: Option[String] = None, statePartitions: Int = 8): DataFrame =
+    drainToTable(spark, queryName, warehouse, statePartitions,
+      "session_start TIMESTAMP, session_end TIMESTAMP, user_id BIGINT, " +
+        "n_events BIGINT, n_event_types BIGINT") { s2 =>
+      val schema = s2.read.parquet(srcDir).schema
+      val raw = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 10).parquet(srcDir)
+      val withTs =
+        if (schema.fieldNames.contains("ts") &&
+            schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      withTs
+        .withWatermark("ts", watermark)
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          // countDistinct is unsupported in streaming aggs; collect_set is
+          // mergeable across session-window merges and sized on emit
+          size(collect_set(col("event_type"))).cast("long").as("n_event_types"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events"), col("n_event_types"))
+    }
 
   /** Streaming cross-batch exact dedup with CUSTOM state
     * (`flatMapGroupsWithState` — the KeyValueGroupedDataset escape hatch
@@ -185,34 +225,10 @@ object Streams {
     */
   def dedupStream(spark: SparkSession, srcDir: String, name: String,
       maxFilesPerTrigger: Int = 1, statePartitions: Int = 8,
-      warehouse: Option[String] = None): DataFrame = {
-    import graft.table.{GraftCatalog, SnapshotTable}
-    val firstSeen = firstSeenStream(spark, srcDir, maxFilesPerTrigger)
-    val ckpt = Tables.scratch(s"ckpt/$name")
-    Tables.deleteRecursively(ckpt)
-    val wh = warehouse.getOrElse(Tables.scratch(s"dedupwh/$name"))
-    val loc = s"$wh/db/$name"
-    Tables.deleteRecursively(loc)
-    val cat = Streams.dedupCatalogName(wh)
-    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-    spark.sql(s"CREATE TABLE $cat.db.`$name` (keep_doc_id BIGINT, content_hash STRING)")
-    // one state shard per shuffle partition is CHECKPOINTED every
-    // micro-batch — size the shard count explicitly (same rationale as
-    // streamingAggregate): at scale it's the state parallelism knob,
-    // locally it cuts per-batch fsync 4x vs the session default
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
-      firstSeen.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .toTable(s"$cat.db.`$name`")
-        .awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    SnapshotTable.load(spark, loc).read()
-  }
+      warehouse: Option[String] = None): DataFrame =
+    drainToTable(spark, name, warehouse, statePartitions,
+      "keep_doc_id BIGINT, content_hash STRING")(
+      s2 => firstSeenStream(s2, srcDir, maxFilesPerTrigger))
 
   /** The shared first-seen state machine of the dedup streams: documents
     * keyed by content hash, one (keep_doc_id, content_hash) row emitted
@@ -289,7 +305,7 @@ object Streams {
       val ckpt = Tables.scratch(s"ckpt/$name") // kept across calls: resumable
       val wh = warehouse.getOrElse(Tables.scratch(s"dedupwh/$name"))
       val loc = s"$wh/db/$name"
-      val cat = Streams.dedupCatalogName(wh)
+      val cat = Streams.warehouseCatalogName(wh)
       s2.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
       s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       if (!new java.io.File(s"$loc/_snapshots").isDirectory)
@@ -322,8 +338,8 @@ object Streams {
     * up to sanitization): Spark caches catalog instances per name, so a
     * name that merely hashed the path could collide across warehouses
     * and permanently pin the first one for both. */
-  private def dedupCatalogName(warehouse: String): String =
-    "dedup_" + warehouse.replaceAll("[^a-zA-Z0-9]", "_")
+  private def warehouseCatalogName(warehouse: String): String =
+    "gwh_" + warehouse.replaceAll("[^a-zA-Z0-9]", "_")
 
   /** First-seen state machine with per-entry TTL for [[dedupStreamTtl]]:
     * state reads return nothing once an entry's TTL lapsed (expiry is
@@ -364,8 +380,20 @@ object Streams {
     * `ARRAY_AGG(DISTINCT event_type)`. Every component is mergeable
     * across batches (sum/sum/greatest/array-union), which is what makes
     * the refresh incremental instead of a recompute.
+    *
+    * Refresh I/O is incremental too: each batch reads back only the
+    * CURRENT rows of the users it touched (a `user_id IN (...)` read over
+    * the MV, file-pruned by manifest stats), merges the delta into them,
+    * and commits through [[SnapshotTable.replaceWhere]] — untouched files
+    * keep their place in the new snapshot by reference, so a 1-user batch
+    * on a bucketed MV rewrites O(1) files, not O(users). `partitionCols`
+    * (e.g. `Seq("bucket(16,user_id)")`) clusters the MV's files by user
+    * so the stats split actually bites; the touched-user list is bounded
+    * by the batch's group-key cardinality (the same bound that makes the
+    * aggregate itself feasible), never by table size.
     */
-  final class DynamicTable(spark: SparkSession, location: String) {
+  final class DynamicTable(spark: SparkSession, location: String,
+      partitionCols: Seq[String] = Seq.empty, maxFilesPerTrigger: Int = 5) {
     import graft.table.SnapshotTable
 
     def refresh(srcDir: String, name: String): DataFrame = {
@@ -375,7 +403,7 @@ object Streams {
       Tables.deleteRecursively(ckpt)
       Tables.deleteRecursively(location)
       val raw = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 5).parquet(srcDir)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
       val emptyArr = array().cast("array<string>")
       val q = raw.writeStream
         .outputMode("update")
@@ -391,27 +419,38 @@ object Streams {
               sum(col("value").cast("decimal(18,2)")).as("total_value"),
               max(col("ts")).as("last_seen"),
               sort_array(collect_set(col("event_type"))).as("event_types"))
-          val merged =
+            .persist() // read twice: touched-id collect + the merge join
+          try {
             if (new java.io.File(s"$location/_snapshots").isDirectory) {
-              val cur = SnapshotTable.load(spark, location).read()
-              cur.join(delta, Seq("user_id"), "full")
-                .select(col("user_id"),
-                  (coalesce(cur("event_count"), lit(0L)) +
-                    coalesce(delta("event_count"), lit(0L))).as("event_count"),
-                  (coalesce(cur("total_value"), lit(java.math.BigDecimal.ZERO)) +
-                    coalesce(delta("total_value"), lit(java.math.BigDecimal.ZERO)))
-                    .as("total_value"),
-                  // greatest skips nulls → the non-null side wins
-                  greatest(cur("last_seen"), delta("last_seen")).as("last_seen"),
-                  array_sort(array_distinct(concat(
-                    coalesce(cur("event_types"), emptyArr),
-                    coalesce(delta("event_types"), emptyArr)))).as("event_types"))
-            } else delta
-          // the staged rewrite streams from the previous snapshot's files
-          // (still on disk) into new files — no checkpoint materialization
-          if (new java.io.File(s"$location/_snapshots").isDirectory)
-            SnapshotTable.load(spark, location).overwrite(merged)
-          else SnapshotTable.create(spark, location, merged)
+              // touched group keys, bounded by the batch's user
+              // cardinality — the replace predicate AND the merge scope
+              val touched = delta.select("user_id").collect().map(_.get(0))
+              if (touched.nonEmpty) {
+                val t = SnapshotTable.load(spark, location)
+                val cond = col("user_id").isin(touched.toIndexedSeq: _*)
+                val cur = t.read().filter(cond)
+                val merged = cur.join(delta, Seq("user_id"), "full")
+                  .select(col("user_id"),
+                    (coalesce(cur("event_count"), lit(0L)) +
+                      coalesce(delta("event_count"), lit(0L))).as("event_count"),
+                    // pin the sum's decimal type: + widens precision per
+                    // refresh, and untouched files keep the ORIGINAL type
+                    // now that they're carried by reference
+                    (coalesce(cur("total_value"), lit(java.math.BigDecimal.ZERO)) +
+                      coalesce(delta("total_value"), lit(java.math.BigDecimal.ZERO)))
+                      .cast("decimal(28,2)").as("total_value"),
+                    // greatest skips nulls → the non-null side wins
+                    greatest(cur("last_seen"), delta("last_seen")).as("last_seen"),
+                    array_sort(array_distinct(concat(
+                      coalesce(cur("event_types"), emptyArr),
+                      coalesce(delta("event_types"), emptyArr)))).as("event_types"))
+                // swap only the files that might hold a touched user; the
+                // rest of the MV carries over by reference (no read, no
+                // rewrite) — O(touched files) I/O per refresh
+                t.replaceWhere(cond, merged, "dynamic-refresh")
+              }
+            } else SnapshotTable.create(spark, location, delta, partitionCols)
+          } finally delta.unpersist()
           ()
         }
         .start()

@@ -318,13 +318,50 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * rows matching `cond` are replaced by `df`, everything else is
     * carried over — one conflict-checked commit. NULL-predicate rows are
     * carried (only rows where `cond` is TRUE are replaced), matching SQL
-    * overwrite semantics. */
+    * overwrite semantics.
+    *
+    * I/O is proportional to the files that might MATCH, not the table:
+    * manifest min/max stats split the base file list, files that provably
+    * hold no matching row keep their place in the new snapshot untouched
+    * (never read, never rewritten), and only possibly-matching files are
+    * rewritten (their non-matching rows carried into new files) — the
+    * Iceberg overwrite-by-filter shape. A partition-scoped or
+    * clustered-key replace on a 100 TB table therefore rewrites the
+    * touched partitions only; an unprunable predicate degrades to the
+    * full copy-on-write rewrite, never to a wrong answer. */
   def replaceWhere(cond: org.apache.spark.sql.Column, df: DataFrame,
       operation: String = "overwrite"): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val baseV = latestVersion
-    val kept = readVersion(baseV).filter(not(coalesce(cond, lit(false))))
-    replace(baseV, kept.unionByName(df, allowMissingColumns = true), operation)
+    val base = snapshot(baseV)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // resolve the predicate against the table schema (an analyzed dummy
+    // filter — Column→Expression is private[sql]) so the stats split sees
+    // plain attribute/literal comparisons; unsupported shapes yield no
+    // pruner and every file is conservatively rewritten
+    val pred = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.flatMap(StatsPruning.fromCatalyst).toSeq
+    val rewrite = StatsPruning.prune(base.files, pred)
+    val rewriteSet = rewrite.map(_.path).toSet
+    val replacement =
+      if (rewrite.isEmpty) df
+      else spark.read.schema(schema).parquet(rewrite.map(_.path): _*)
+        .filter(not(coalesce(cond, lit(false))))
+        .unionByName(df, allowMissingColumns = true)
+    val staged = stage(replacement, partitionCols)
+    commitWithRetry(
+      cur => {
+        if (cur.version != baseV)
+          throw new java.util.ConcurrentModificationException(
+            s"table $location moved v$baseV -> v${cur.version} during scoped $operation")
+        cur.files.filterNot(f => rewriteSet(f.path)) ++ staged
+      },
+      cur => SnapshotTable.unionSchema(cur.schemaJson, replacement.schema),
+      operation)
   }
 
   /** Bin-pack compaction (reference T7: target 128–256 MB files,

@@ -22,26 +22,37 @@ object StatsPruning {
 
   /** Minimal catalyst→source translation for the comparison shapes the
     * pruner understands (Spark's own translateFilter is protected[sql]).
-    * Unsupported shapes translate to None and therefore never prune. */
+    * Unsupported shapes translate to None and therefore never prune.
+    * Attribute leaves may be RESOLVED (pushed scan filters) or UNRESOLVED
+    * (a bare `Column` built with `col(...)` that never went through the
+    * analyzer — the `replaceWhere` predicate path); both carry the column
+    * name, which is all stats lookup needs. */
   def fromCatalyst(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Filter] = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
     def lit(v: Any): Any = v match {
       case u: org.apache.spark.unsafe.types.UTF8String => u.toString
       case other => other
     }
+    object Attr {
+      def unapply(x: ce.Expression): Option[String] = x match {
+        case a: ce.AttributeReference => Some(a.name)
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+        case _ => None
+      }
+    }
     e match {
-      case ce.EqualTo(a: ce.AttributeReference, ce.Literal(v, _)) => Some(EqualTo(a.name, lit(v)))
-      case ce.EqualTo(ce.Literal(v, _), a: ce.AttributeReference) => Some(EqualTo(a.name, lit(v)))
-      case ce.GreaterThan(a: ce.AttributeReference, ce.Literal(v, _)) => Some(GreaterThan(a.name, lit(v)))
-      case ce.GreaterThan(ce.Literal(v, _), a: ce.AttributeReference) => Some(LessThan(a.name, lit(v)))
-      case ce.GreaterThanOrEqual(a: ce.AttributeReference, ce.Literal(v, _)) => Some(GreaterThanOrEqual(a.name, lit(v)))
-      case ce.GreaterThanOrEqual(ce.Literal(v, _), a: ce.AttributeReference) => Some(LessThanOrEqual(a.name, lit(v)))
-      case ce.LessThan(a: ce.AttributeReference, ce.Literal(v, _)) => Some(LessThan(a.name, lit(v)))
-      case ce.LessThan(ce.Literal(v, _), a: ce.AttributeReference) => Some(GreaterThan(a.name, lit(v)))
-      case ce.LessThanOrEqual(a: ce.AttributeReference, ce.Literal(v, _)) => Some(LessThanOrEqual(a.name, lit(v)))
-      case ce.LessThanOrEqual(ce.Literal(v, _), a: ce.AttributeReference) => Some(GreaterThanOrEqual(a.name, lit(v)))
-      case ce.In(a: ce.AttributeReference, vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
-        Some(In(a.name, vs.map(l => lit(l.asInstanceOf[ce.Literal].value)).toArray))
+      case ce.EqualTo(Attr(a), ce.Literal(v, _)) => Some(EqualTo(a, lit(v)))
+      case ce.EqualTo(ce.Literal(v, _), Attr(a)) => Some(EqualTo(a, lit(v)))
+      case ce.GreaterThan(Attr(a), ce.Literal(v, _)) => Some(GreaterThan(a, lit(v)))
+      case ce.GreaterThan(ce.Literal(v, _), Attr(a)) => Some(LessThan(a, lit(v)))
+      case ce.GreaterThanOrEqual(Attr(a), ce.Literal(v, _)) => Some(GreaterThanOrEqual(a, lit(v)))
+      case ce.GreaterThanOrEqual(ce.Literal(v, _), Attr(a)) => Some(LessThanOrEqual(a, lit(v)))
+      case ce.LessThan(Attr(a), ce.Literal(v, _)) => Some(LessThan(a, lit(v)))
+      case ce.LessThan(ce.Literal(v, _), Attr(a)) => Some(GreaterThan(a, lit(v)))
+      case ce.LessThanOrEqual(Attr(a), ce.Literal(v, _)) => Some(LessThanOrEqual(a, lit(v)))
+      case ce.LessThanOrEqual(ce.Literal(v, _), Attr(a)) => Some(GreaterThanOrEqual(a, lit(v)))
+      case ce.In(Attr(a), vs) if vs.forall(_.isInstanceOf[ce.Literal]) =>
+        Some(In(a, vs.map(l => lit(l.asInstanceOf[ce.Literal].value)).toArray))
       case ce.And(l, r) =>
         (fromCatalyst(l), fromCatalyst(r)) match {
           case (Some(a), Some(b)) => Some(And(a, b))

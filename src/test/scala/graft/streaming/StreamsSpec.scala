@@ -26,12 +26,62 @@ class StreamsSpec extends SparkFunSuite {
     assert(result.exceptAll(expected).isEmpty && expected.exceptAll(result).isEmpty)
   }
 
+  test("dynamic table refresh rewrites only the files of touched users") {
+    val src = scratch("dyninc-src")
+    val events = graft.Tables.load(spark, sf, "events")
+    val hot = events.select("user_id").limit(1).collect()(0).get(0)
+    // file 1: everything except the hot user's late events; file 2: ONLY
+    // the hot user — with maxFilesPerTrigger=1 the second refresh batch
+    // touches exactly one group key
+    events.filter(col("user_id") =!= hot)
+      .coalesce(1).write.parquet(src)
+    events.filter(col("user_id") === hot)
+      .coalesce(1).write.mode("append").parquet(src)
+    val loc = scratch("dyninc-mv")
+    // identity-partitioned MV: one file per user, min==max user stats, so
+    // the replace predicate prunes exactly
+    val dyn = new Streams.DynamicTable(spark, loc,
+      partitionCols = Seq("user_id"), maxFilesPerTrigger = 1)
+    val result = dyn.refresh(src, "streams-inc")
+
+    val t = graft.table.SnapshotTable.load(spark, loc)
+    val vFinal = t.latestVersion
+    assert(vFinal >= 1, "expected at least two refresh commits")
+    val prev = t.snapshot(vFinal - 1).files.map(_.path).toSet
+    val fin = t.snapshot(vFinal).files.map(_.path).toSet
+    // the single-user batch carries every untouched user's file BY
+    // REFERENCE: nothing from the previous snapshot may be dropped except
+    // the touched user's file(s)
+    val dropped = prev -- fin
+    assert(dropped.size <= 1,
+      s"1-user refresh rewrote ${dropped.size} of ${prev.size} files")
+    assert((fin -- prev).nonEmpty, "no new file for the touched user")
+
+    // and the merged MV still equals the batch recompute over the source
+    val expected = spark.read.parquet(src)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("event_count"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    val got = result.select($"user_id", $"event_count", $"total_value".cast("double"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("watermarked tumbling windows emit finalized windows matching batch") {
     val src = scratch("win-src")
     graft.Tables.load(spark, sf, "events")
       .orderBy("ts").coalesce(1).write.parquet(src)
-    val out = Streams.windowedCounts(spark, src, "streams_windowed")
+    val wh = scratch("win-wh")
+    val out = Streams.windowedCounts(spark, src, "streams_windowed",
+      warehouse = Some(wh))
     assert(out.count() > 0, "no finalized windows emitted")
+    // finalized windows land in a graft snapshot TABLE through the
+    // exactly-once streaming sink (epoch-tagged snapshots) — never a
+    // driver-side memory sink
+    val t = graft.table.SnapshotTable.load(spark, s"$wh/db/streams_windowed")
+    val tags = t.versions.map(v => t.snapshot(v).operation)
+      .filter(_.startsWith("stream-"))
+    assert(tags.nonEmpty, "no epoch-tagged snapshots on the windowed table")
+    assert(tags.distinct.size == tags.size)
     // every emitted (window, event_type) row must equal the batch count
     val batch = spark.read.parquet(src)
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -65,8 +115,14 @@ class StreamsSpec extends SparkFunSuite {
     val src = scratch("sess-src")
     graft.Tables.load(spark, sf, "events")
       .orderBy("ts").coalesce(1).write.parquet(src)
-    val out = Streams.sessionize(spark, src, "streams_sessions")
+    val wh = scratch("sess-wh")
+    val out = Streams.sessionize(spark, src, "streams_sessions",
+      warehouse = Some(wh))
     assert(out.count() > 0, "no closed sessions emitted")
+    // closed sessions land in a snapshot table via the exactly-once sink
+    val t = graft.table.SnapshotTable.load(spark, s"$wh/db/streams_sessions")
+    assert(t.versions.map(v => t.snapshot(v).operation)
+      .exists(_.startsWith("stream-")), "no epoch-tagged session snapshots")
     val batch = spark.read.parquet(src)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("expected"))
@@ -161,6 +217,11 @@ class StreamsSpec extends SparkFunSuite {
     import spark.implicits._
     val src = scratch("ttlsupp-src")
     val wh = scratch("ttlsupp-wh")
+    // the checkpoint + state store persist BETWEEN the two drains of this
+    // test (that is the resume being tested) — but a previous TEST RUN's
+    // state inside the TTL horizon would suppress this run's docs, so
+    // start from a clean checkpoint
+    graft.Tables.deleteRecursively(graft.Tables.scratch("ckpt/sd_ttl_supp"))
     // generous horizon: the assertion must not race two full streaming
     // drains (cloned session + RocksDB startup + query lifecycle each)
     // against the wall clock on a loaded machine
@@ -186,6 +247,7 @@ class StreamsSpec extends SparkFunSuite {
     import spark.implicits._
     val src = scratch("ttlevict-src")
     val wh = scratch("ttlevict-wh")
+    graft.Tables.deleteRecursively(graft.Tables.scratch("ckpt/sd_ttl_evict"))
     // tiny horizon: eviction only needs the sleep to EXCEED the TTL,
     // which no scheduler delay can invalidate
     val ttl = java.time.Duration.ofSeconds(2)
