@@ -473,23 +473,33 @@ object Ops {
 
   // ------------------------------------------------------------- q62
   // Storage-partitioned join (SPJ), end-to-end: two graft tables
-  // identity-partitioned on the same key (`day`) join WITHOUT any shuffle
-  // — each scan reports KeyGroupedPartitioning, EnsureRequirements
-  // recognizes the co-partitioning, and the join (plus the day-grouped
-  // aggregate above it) runs exchange-free. At 100 TB the shuffle of two
-  // fact tables is the single most expensive step a join can take;
-  // co-located reads eliminate it entirely (the DSv2 feature Iceberg uses
-  // for fact-fact joins). KeyGroupedJoinSpec asserts this exact query
-  // plans ZERO ShuffleExchange nodes. The planner flags live on a CLONED
-  // session: key-grouped planning caps scan parallelism at the
-  // partition-value count — right for this join, wrong for the plain
-  // huge-table scans the rest of the registry runs.
+  // partitioned `(day, bucket(8, user_id))` — the canonical Iceberg
+  // fact-table layout — join on (day, user_id) WITHOUT any shuffle: each
+  // scan reports KeyGroupedPartitioning over its transforms,
+  // EnsureRequirements recognizes the co-partitioning (the bucket
+  // transform resolved through the catalog's FunctionCatalog), and the
+  // SORT-MERGE join plus the (day, user)-grouped aggregate above it run
+  // exchange-free. Broadcast is disabled on the cloned session: at bench
+  // scale a BroadcastHashJoin would be shuffle-free without exercising
+  // SPJ at all, and the 100 TB shape this query exists to prove is the
+  // sort-merge join of two fact tables whose shuffle co-location comes
+  // from STORAGE, not from an exchange. KeyGroupedJoinSpec asserts this
+  // exact query plans ZERO ShuffleExchange nodes and exactly one
+  // SortMergeJoin. The planner flags live on a CLONED session:
+  // key-grouped planning caps scan parallelism at the partition-value
+  // count — right for this join, wrong for the plain huge-table scans
+  // the rest of the registry runs.
   // Output is unordered (the verify compare sorts rows); an ORDER BY here
   // would add a range exchange that has nothing to do with the join.
   def q62(s: SparkSession, dir: String): DataFrame = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     s2.conf.set("spark.sql.graft.planning.preserveDataGrouping", "true")
+    // broadcast OFF: at bench scale the dims fit the broadcast threshold
+    // and a BroadcastHashJoin would be shuffle-free without exercising
+    // SPJ at all — this query exists to run the SORT-MERGE join over
+    // co-partitioned scans, the shape that matters at 100 TB
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val wh = Tables.scratch(s"warehouse/spj_${tag(dir)}")
     s2.conf.set("spark.sql.catalog.spj", classOf[graft.table.GraftCatalog].getName)
     s2.conf.set("spark.sql.catalog.spj.warehouse", wh)
@@ -498,7 +508,7 @@ object Ops {
       s2.sql(
         s"""CREATE TABLE spj.db.$name
            |  (event_id BIGINT, user_id BIGINT, day DATE, value DOUBLE)
-           |PARTITIONED BY (day)""".stripMargin)
+           |PARTITIONED BY (day, bucket(8, user_id))""".stripMargin)
       Tables.load(s2, dir, "events")
         .filter(col("event_id") % 2 === parity)
         .select(col("event_id"), col("user_id"),
@@ -513,7 +523,7 @@ object Ops {
     val b = s2.table(s"spj.db.$tb")
       .select(col("day"), col("user_id"), col("value").as("value_b"))
     a.join(b, Seq("day", "user_id"))
-      .groupBy("day")
+      .groupBy("day", "user_id")
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("value_a").cast("decimal(18,2)") +
           col("value_b").cast("decimal(18,2)")).cast("double").as("pair_value"))
@@ -526,10 +536,10 @@ object Ops {
       |     b AS (SELECT CAST(ts AS DATE) AS day, user_id,
       |                  CAST(value AS DECIMAL(18,2)) AS value_b
       |           FROM events WHERE event_id % 2 = 1)
-      |SELECT day, count(*) AS n_pairs,
+      |SELECT day, user_id, count(*) AS n_pairs,
       |       CAST(sum(value_a + value_b) AS DOUBLE) AS pair_value
       |FROM a JOIN b USING (day, user_id)
-      |GROUP BY day""".stripMargin
+      |GROUP BY day, user_id""".stripMargin
 
   // ------------------------------------------------------------- q63
   // Table-to-table streaming pipeline: readStream FROM a graft table

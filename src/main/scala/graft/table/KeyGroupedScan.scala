@@ -116,6 +116,16 @@ private[table] class GraftKeyGroupedScan(
 
   private[graft] def innerScan: Scan = delegate
 
+  /** One keyed partition PER FILE, not per key: Spark's own
+    * `DataSourceV2ScanExecBase.groupPartitions` merges same-key splits
+    * into one task when it needs fully-clustered input, and — under
+    * `spark.sql.sources.v2.bucketing.{pushPartValues,
+    * partiallyClusteredDistribution}.enabled` — deliberately KEEPS them
+    * split, replicating the other join side over the splits, so a hot
+    * partition value runs as many tasks as it has files instead of one
+    * straggler (the SPJ skew mitigation; Iceberg reports per-task-group
+    * keyed splits for the same reason). Emitting pre-merged groups here
+    * would make that choice for Spark and cap the hot key at one task. */
   private def grouped: Array[InputPartition] = {
     if (cachedGroups == null) {
       val allFiles = delegate.toBatch.planInputPartitions().flatMap {
@@ -124,12 +134,13 @@ private[table] class GraftKeyGroupedScan(
           s"unexpected input partition ${other.getClass} under key-grouped scan")
       }
       cachedGroups = allFiles
-        .groupBy(pf => keys(KeyGroupedScan.normalize(pf.filePath.toString)))
-        .toSeq
-        .sortBy(_._1.mkString(" ")) // deterministic partition order
+        .map(pf => keys(KeyGroupedScan.normalize(pf.filePath.toString)) -> pf)
+        .sortBy { case (keyVals, pf) =>
+          (keyVals.mkString(" "), pf.filePath.toString) // deterministic order
+        }
         .zipWithIndex
-        .map { case ((keyVals, fs), i) =>
-          new KeyGroupedScan.KeyedFilePartition(i, fs,
+        .map { case ((keyVals, pf), i) =>
+          new KeyGroupedScan.KeyedFilePartition(i, Array(pf),
             new GenericInternalRow(keyVals.toArray)): InputPartition
         }
         .toArray

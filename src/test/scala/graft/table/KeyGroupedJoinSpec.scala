@@ -14,13 +14,27 @@ import org.apache.spark.sql.functions._
 class KeyGroupedJoinSpec extends SparkFunSuite {
 
   // newSession() clones the conf but shares the SparkContext, so the
-  // grouping flags are visible only to this suite
+  // grouping flags are visible only to this suite. Broadcast joins are
+  // DISABLED: at test scale every dim fits under the broadcast threshold
+  // and a BroadcastHashJoin would make "zero shuffles" true without ever
+  // exercising the co-partitioned join path — the assertions below must
+  // prove a SORT-MERGE join over key-grouped scans needs no exchange.
   private lazy val s2: SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     s.conf.set("spark.sql.graft.planning.preserveDataGrouping", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     s
   }
+
+  private def sortMergeJoins(plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    plan.collect {
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => 1
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        sortMergeJoins(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        sortMergeJoins(s.plan)
+    }.sum
 
   private def mkTable(s: SparkSession, cat: String, name: String): Unit = {
     s.sql(
@@ -64,10 +78,14 @@ class KeyGroupedJoinSpec extends SparkFunSuite {
       .groupBy("day").count()
     val rows = agg.collect()
     assert(rows.length >= 25)
-    val nShuffles = shuffles(agg.queryExecution.executedPlan)
+    val plan = agg.queryExecution.executedPlan
+    val nShuffles = shuffles(plan)
     assert(nShuffles == 0,
-      s"expected a shuffle-free storage-partitioned join, found $nShuffles exchanges:\n" +
-        agg.queryExecution.executedPlan)
+      s"expected a shuffle-free storage-partitioned join, found $nShuffles exchanges:\n$plan")
+    // and it IS the co-partitioned sort-merge path — broadcast is off in
+    // this session, so the zero-shuffle claim can't be satisfied trivially
+    assert(sortMergeJoins(plan) == 1,
+      s"expected a sort-merge join over key-grouped scans:\n$plan")
   }
 
   test("q62 (registry SPJ query) plans zero shuffle exchanges end-to-end") {
@@ -229,6 +247,82 @@ class KeyGroupedJoinSpec extends SparkFunSuite {
     // correctness through the truncated layout
     assert(s2.table("spjt.db.ev_t").count() ==
       graft.Tables.load(s2, sf, "events").count())
+  }
+
+  test("partially-clustered SPJ: a hot partition runs >1 task, still zero shuffles") {
+    // the skew story: key-grouped planning normally caps each partition
+    // VALUE at one task, so at 100× a hot day becomes one straggler.
+    // With pushPartValues + partiallyClusteredDistribution Spark keeps
+    // the larger side's same-key splits as separate tasks and replicates
+    // the smaller side's groups over them — possible only because the
+    // scan reports one keyed partition per FILE and lets Spark decide
+    // the grouping.
+    val s3 = spark.newSession()
+    s3.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s3.conf.set("spark.sql.graft.planning.preserveDataGrouping", "true")
+    s3.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s3.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    s3.conf.set(
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+    val wh = scratch("spj-skew-wh")
+    s3.conf.set("spark.sql.catalog.spjs", classOf[GraftCatalog].getName)
+    s3.conf.set("spark.sql.catalog.spjs.warehouse", wh)
+
+    val ev = graft.Tables.load(s3, sf, "events")
+      .select(col("event_id"), to_date(col("ts")).as("day"), col("value"))
+    val hotDay = ev.groupBy("day").count().orderBy(desc("count"))
+      .head().getDate(0)
+    def mk(name: String): Unit = s3.sql(
+      s"""CREATE TABLE spjs.db.$name
+         |  (event_id BIGINT, day DATE, value DOUBLE)
+         |PARTITIONED BY (day)""".stripMargin)
+    mk("ev_big"); mk("ev_small")
+    ev.writeTo("spjs.db.ev_big").append()
+    // extra appends land extra FILES in the hot partition only (each
+    // append writes one file per partition value it contains) — the
+    // 10:1-ish skewed layout a hot key produces at scale
+    (1 to 3).foreach { _ =>
+      ev.filter(col("day") === hotDay).writeTo("spjs.db.ev_big").append()
+    }
+    ev.writeTo("spjs.db.ev_small").append()
+
+    // assert on the JOIN plan itself: under partial clustering the same
+    // key deliberately spans multiple output partitions, so an aggregate
+    // ABOVE the join correctly needs its own exchange — the claim here is
+    // that the join itself runs co-located and split
+    val joined = s3.table("spjs.db.ev_big").select("day").as("a")
+      .join(s3.table("spjs.db.ev_small").select("day").as("b"), "day")
+    val n = joined.collect().length.toLong
+    // correctness: per-day rows = bigRows(day) * smallRows(day), where
+    // big has 4× the hot day's rows and small is the plain table
+    val expected = {
+      val big = ev.groupBy("day").count()
+        .withColumn("big_count", when(col("day") === hotDay, col("count") * 4)
+          .otherwise(col("count")))
+      big.agg(sum(col("big_count") * col("count"))).head().getLong(0)
+    }
+    assert(n == expected, s"partially-clustered join returned $n of $expected rows")
+
+    val plan = joined.queryExecution.executedPlan
+    assert(shuffles(plan) == 0,
+      s"expected a shuffle-free partially-clustered join, found exchanges:\n$plan")
+    assert(sortMergeJoins(plan) == 1,
+      s"expected the sort-merge SPJ path:\n$plan")
+    // the hot key must NOT collapse to one task: scan RDDs carry more
+    // partitions than there are distinct days
+    val nDays = ev.select("day").distinct().count()
+    def scanPartsOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] =
+      p.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b.inputRDD.getNumPartitions)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scanPartsOf(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scanPartsOf(s.plan)
+      }.flatten
+    val scanParts = scanPartsOf(plan)
+    assert(scanParts.nonEmpty && scanParts.forall(_ > nDays),
+      s"hot partition still a single task: scan partitions $scanParts vs $nDays days")
   }
 
   test("SPJ off → same join still correct (runtime-filter scan path)") {
