@@ -598,16 +598,35 @@ object Core {
 
   // q29: one-pass sketch aggregates for the 100 TB path — HyperLogLog
   // distinct counts and quantile sketches replace their exact counterparts
-  // when a shuffle-heavy exact answer isn't worth the cost. Approximate by
-  // construction → rows-only check (no SQL oracle).
+  // when a shuffle-heavy exact answer isn't worth the cost. The sketches
+  // are approximate by construction, so the emitted rows are the
+  // recall@5-style ASSERTION shape (same device as q38/q50): exact values
+  // plus bounded-error booleans the oracle can hash-check — HLL within
+  // its configured 1% rsd against a 5% bound, the quantile sketch's
+  // median inside the exact [p45, p55] band (rank error at accuracy 1000
+  // is ≤0.1%). A sketch regression flips a boolean and fails the hash.
   def q29(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+        countDistinct(col("user_id")).as("exact_users"),
+        expr("percentile(value, array(0.45, 0.55))").as("band"),
         count(lit(1)).as("event_count"))
+      .select(col("event_type"), col("event_count"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("hll_within_5pct"),
+        (col("approx_median") >= col("band")(0) &&
+          col("approx_median") <= col("band")(1)).as("median_in_band"))
       .orderBy("event_type")
+
+  val q29Sql =
+    """SELECT event_type, count(*) AS event_count,
+      |       count(DISTINCT user_id) AS exact_users,
+      |       TRUE AS hll_within_5pct,
+      |       TRUE AS median_in_band
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -642,7 +661,9 @@ object Core {
 
   val oracle: Map[String, String] = Map(
     "q28_star_join" -> q28Sql,
-    // q29 intentionally has no oracle: sketch outputs are approximate.
+    // q29's sketches are approximate, but its EMITTED rows are exact
+    // values + bounded-error booleans, so it hash-checks like any other
+    "q29_approx_sketches" -> q29Sql,
     "q01_count_events" -> q01Sql,
     "q02_count_profiles" -> q02Sql,
     "q03_recent_activity" -> q03Sql,
