@@ -190,26 +190,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     parquetTable(ident, t.snapshot(t.latestVersion))
   }
 
-  /** `ALTER TABLE … ADD COLUMN(S)` (reference demos exactly this DDL,
-    * `aws-community-builders-presentation.md:124-128`): commits a
-    * schema-only snapshot over the unchanged file list — rows written
-    * before the column existed read as null (additive evolution, T8). */
+  /** `ALTER TABLE … ADD COLUMN(S) / RENAME COLUMN / DROP COLUMN(S)`
+    * (reference demos the ADD shape,
+    * `aws-community-builders-presentation.md:124-128`): each commits a
+    * schema-only snapshot over the unchanged file list. ADD: old rows
+    * read null (additive evolution, T8). RENAME: metadata-only via the
+    * snapshot rename log — old files keep their physical column name and
+    * reads resolve it per file generation ([[SnapshotTable.renameColumn]]).
+    * DROP: the column leaves the declared schema; its bytes stay for time
+    * travel. ADD refuses names any earlier generation used (an old file
+    * could still store values under it — resurrection guard). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = open(ident)
-    val snap = t.snapshot(t.latestVersion)
-    var schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
-      .asInstanceOf[StructType]
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           s"nested column add not supported: ${add.fieldNames().mkString(".")}")
         val name = add.fieldNames()(0)
+        val snap = t.snapshot(t.latestVersion)
+        val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+          .asInstanceOf[StructType]
         require(!schema.fieldNames.contains(name), s"column $name already exists")
-        schema = schema.add(name, add.dataType(), nullable = true)
+        require(!t.historicalNames.contains(name),
+          s"cannot add column $name: a previous schema generation used that " +
+            "name and old data files may still store values under it")
+        t.commitSchema(schema.add(name, add.dataType(), nullable = true).json)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          s"nested column rename not supported: ${rn.fieldNames().mkString(".")}")
+        t.renameColumn(rn.fieldNames()(0), rn.newName())
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          s"nested column drop not supported: ${del.fieldNames().mkString(".")}")
+        t.dropColumn(del.fieldNames()(0))
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other")
     }
-    t.commitSchema(schema.json)
     parquetTable(ident, t.snapshot(t.latestVersion))
   }
 

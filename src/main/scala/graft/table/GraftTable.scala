@@ -27,6 +27,11 @@ class GraftTable(tableName: String, location: String,
 
   private def spark: SparkSession = SparkSession.active
 
+  // live files still storing pre-rename column names → reads must go
+  // through the generation-mapped path; compaction clears this
+  private lazy val renameMappingActive: Boolean =
+    SnapshotTable.needsRenameMapping(snap)
+
   override def name(): String = tableName
 
   override def schema(): StructType =
@@ -89,7 +94,8 @@ class GraftTable(tableName: String, location: String,
     * runtime re-prune can rebuild an identically-configured scan over
     * the smaller file list.
     */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (renameMappingActive) return renameAwareScanBuilder(options)
     new ScanBuilder
         with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -186,7 +192,7 @@ class GraftTable(tableName: String, location: String,
           val spjCapable = snap.partitionCols.map(PartitionFields.parse).forall {
             case PartitionFields.Truncate(_, _) => false
             case _ => true
-          }
+          } && !renameMappingActive
           val spj = spark.conf
             .getOption("spark.sql.sources.v2.bucketing.enabled")
             .exists(_.toBoolean) &&
@@ -223,6 +229,66 @@ class GraftTable(tableName: String, location: String,
               }
           }
         }
+      }
+    }
+  }
+
+  /** Scan builder for tables whose live files span RENAME COLUMN schema
+    * generations (see [[RenameRead]]): one stock parquet scan per
+    * generation, each requesting the generation's LOCAL names in the
+    * declared columns' positions, unioned by partition dispatch. Filters
+    * prune files via manifest stats (old-generation stats are keyed by
+    * old names and conservatively survive) but are all reported back as
+    * post-scan — Spark re-evaluates them above the union, trading
+    * row-group pushdown on not-yet-compacted files for correctness.
+    * Aggregate pushdown, runtime filtering, and SPJ stay off until
+    * compaction normalizes the generations. */
+  private def renameAwareScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      import org.apache.spark.sql.catalyst.expressions.Expression
+
+      private val baseFiles = scanFiles(options)
+      private var staticFiles = baseFiles
+      private var required: StructType = schema()
+
+      override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+        staticFiles = StatsPruning.prune(baseFiles,
+          filters.flatMap(StatsPruning.fromCatalyst))
+        filters // every filter re-evaluated above the generation union
+      }
+
+      override def pushedFilters
+          : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+        Array.empty
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val declaredFull = schema()
+        val gs = RenameRead.groups(staticFiles, declaredFull.fieldNames.toSeq,
+          snap.renames)
+        val scans = gs.map { case (localNames, fs) =>
+          val localByDeclared = declaredFull.fieldNames.zip(localNames).toMap
+          val localFull = StructType(declaredFull.fields.zip(localNames).map {
+            case (f, n) => f.copy(name = n)
+          })
+          val localRequired = StructType(required.fields.map(f =>
+            f.copy(name = localByDeclared(f.name))))
+          val b = ParquetTable(
+            s"$tableName@v${snap.version}",
+            spark,
+            new CaseInsensitiveStringMap(util.Map.of("mergeSchema", "true")),
+            fs.map(_.path),
+            Some(localFull),
+            classOf[ParquetFileFormat]).newScanBuilder(options)
+          b.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+            .pruneColumns(localRequired)
+          b.build()
+        }
+        new RenameUnionScan(scans, required)
       }
     }
 
@@ -267,6 +333,19 @@ class GraftTable(tableName: String, location: String,
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, PhysicalWriteInfo, RowLevelOperation, WriterCommitMessage}
+    // The operation scan below reads files with the DECLARED schema; a
+    // live pre-rename file would surface nulls for the renamed column and
+    // the copy-on-write rewrite would persist them — refuse loudly.
+    // UPDATE/MERGE fail here (analysis time); DELETE is allowed THROUGH
+    // the builder because the optimizer's metadata-only conversion
+    // (OptimizeMetadataOnlyDeleteFromTable → deleteWhere, which rewrites
+    // via the rename-aware readVersion path) runs before scan pushdown —
+    // a DELETE that cannot convert fails when its scan actually builds.
+    def refuse(): Unit = require(!renameMappingActive,
+      s"$tableName has live files written before a RENAME COLUMN; run " +
+        "CALL system.compact to rewrite them under the current names " +
+        "before UPDATE/MERGE/row-level DELETE")
+    if (info.command() != RowLevelOperation.Command.DELETE) refuse()
     // works on partitioned tables too: partition source columns live in
     // the data files, so the flat replacement files are self-describing
     // and their partition-column min/max comes from the parquet footers
@@ -339,6 +418,7 @@ class GraftTable(tableName: String, location: String,
           }
 
           override def build(): org.apache.spark.sql.connector.read.Scan = {
+            refuse() // a DELETE that didn't convert to metadata-only
             scannedFiles = Some(files)
             val scan = ensureInner().build()
             if (snap.partitionCols.isEmpty) scan

@@ -97,10 +97,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(snapshot(to).schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    if (added.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(added.map(_.path): _*)
+    readFileList(added, schema, snapshot(to).renames)
   }
 
   /** THE appends-only delta algorithm, shared verbatim by every
@@ -127,9 +124,11 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
   private[table] def deltaFileList(since: Int, to: Int, what: String,
       skipOps: Set[String] = Set.empty): Seq[SnapshotTable.DataFile] = {
     val range = versions.filter(v => v > since && v <= to)
+    // "alter" (ADD/RENAME/DROP COLUMN) commits the SAME file list with a
+    // new schema — no rows move, so it is append-family for delta purposes
     def isAppend(s: SnapshotTable.Snapshot): Boolean =
       s.operation == "append" || s.operation == "create" ||
-        s.operation.startsWith("stream-")
+        s.operation == "alter" || s.operation.startsWith("stream-")
     val snaps = range.map(snapshot)
     val rewrites = snaps.filterNot(s => isAppend(s) || skipOps(s.operation))
     require(rewrites.isEmpty,
@@ -168,15 +167,37 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val snap = snapshot(version)
     val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    if (snap.files.isEmpty) {
-      spark.createDataFrame(
+    readFileList(snap.files, schema, snap.renames)
+  }
+
+  /** Read a file list under a declared schema, resolving RENAME COLUMN
+    * history: files are grouped by their schema generation's local names
+    * ([[SnapshotTable.fileLocalNames]]), each group is read with its own
+    * file-local schema (same types/positions, generation's names) and
+    * positionally re-labeled to the declared names, and the groups union.
+    * One group (the common case — no renames, or every file rewritten
+    * since) is a single plain read; a freshly renamed 100 TB table reads
+    * as (number of schema generations) co-planned scans, which
+    * compaction collapses back to one. */
+  private[table] def readFileList(files: Seq[SnapshotTable.DataFile],
+      schema: org.apache.spark.sql.types.StructType,
+      renames: Seq[SnapshotTable.Rename]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else {
-      // partition source columns are stored in the data files themselves
-      // (stage() keeps them alongside the __gp_ dir keys), so every read
-      // is a plain file-list read with the declared schema
-      spark.read.schema(schema).parquet(snap.files.map(_.path): _*)
-    }
+    // partition source columns are stored in the data files themselves
+    // (stage() keeps them alongside the __gp_ dir keys), so every read
+    // is a plain file-list read with the declared schema
+    val declared = schema.fieldNames.toSeq
+    val groups = files
+      .groupBy(f => SnapshotTable.fileLocalNames(declared, f.schemaVersion, renames))
+      .toSeq.sortBy(_._1.mkString(","))
+    groups.map { case (localNames, fs) =>
+      val localSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.zip(localNames).map { case (f, n) => f.copy(name = n) })
+      spark.read.schema(localSchema).parquet(fs.map(_.path): _*)
+        .toDF(declared: _*)
+    }.reduce(_.unionAll(_))
   }
 
   /** Time travel by timestamp (`TIMESTAMP AS OF`): latest snapshot whose
@@ -222,6 +243,70 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
   /** Commit a schema-only change over the current file list (ALTER TABLE). */
   private[table] def commitSchema(schemaJson: String): Int =
     commitWithRetry(base => base.files, _ => schemaJson, "alter")
+
+  /** ALTER TABLE … RENAME COLUMN — metadata-only (Iceberg T8 beyond ADD):
+    * commits the renamed schema plus a [[SnapshotTable.Rename]] log entry;
+    * no data file is touched. Files written before this commit physically
+    * store the old parquet column name, and every read path resolves each
+    * file's local names through the log ([[readFileList]]); files written
+    * after — including a compaction's rewrites, which therefore NORMALIZE
+    * the table back to single-generation reads — store the new name.
+    *
+    * Guards: partition source columns cannot be renamed (directory keys
+    * and manifest stats key on them), and the new name must never have
+    * been used by ANY schema generation — an old file could physically
+    * store a column under it, which would silently bleed stale values
+    * into the renamed column (Iceberg avoids this with field IDs; the
+    * name-mapped design refuses instead). */
+  def renameColumn(oldName: String, newName: String): Int = {
+    val base = snapshot(latestVersion)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(schema.fieldNames.contains(oldName), s"no such column: $oldName")
+    require(!schema.fieldNames.contains(newName),
+      s"column $newName already exists")
+    val psrc = partitionCols.map(PartitionFields.parse).map(_.source)
+    require(!psrc.contains(oldName),
+      s"cannot rename partition source column $oldName")
+    require(!historicalNames.contains(newName),
+      s"cannot rename to $newName: a previous schema generation used that " +
+        "name and old data files may still store it — pick a fresh name")
+    val renamed = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    commitWithRetry(b => b.files, _ => renamed.json, "alter",
+      nextRenames = (b, v) =>
+        b.renames :+ SnapshotTable.Rename(v, newName, oldName))
+  }
+
+  /** ALTER TABLE … DROP COLUMN — metadata-only: the column leaves the
+    * declared schema; data files keep their bytes (time travel still sees
+    * them) and explicit-schema reads simply never request the column.
+    * Re-ADDing a dropped name is refused ([[historicalNames]] guard): old
+    * files still store values under it, which would resurrect. */
+  def dropColumn(name: String): Int = {
+    val base = snapshot(latestVersion)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(schema.fieldNames.contains(name), s"no such column: $name")
+    val psrc = partitionCols.map(PartitionFields.parse).map(_.source)
+    require(!psrc.contains(name), s"cannot drop partition source column $name")
+    require(schema.fields.length > 1, "cannot drop the last column")
+    val narrowed = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == name))
+    commitWithRetry(b => b.files, _ => narrowed.json, "alter")
+  }
+
+  /** Every column name any schema generation has used (declared schemas
+    * across all live snapshots, plus both sides of the rename log) — the
+    * set a new or renamed column's name must avoid so a stale physical
+    * column can never alias into it. */
+  private[table] def historicalNames: Set[String] =
+    versions.flatMap { v =>
+      val s = snapshot(v)
+      org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq ++
+        s.renames.flatMap(r => Seq(r.newName, r.oldName))
+    }.toSet
 
   /** ACID append: stage new files, then commit (optimistic retry; appends
     * always rebase cleanly over concurrent commits). The committed schema
@@ -500,6 +585,10 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     */
   private def stage(df: DataFrame,
       pcols: Seq[String]): Seq[SnapshotTable.DataFile] = {
+    // the schema generation these files are written under — the rename
+    // log classifies files by it (a rename committed LATER has a higher
+    // version, so these files correctly resolve to their written names)
+    val schemaGen = latestVersion
     // INT64 micros timestamps: footer stats are usable (INT96 has none)
     // and the files stay readable by other engines
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
@@ -569,7 +658,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         graft.Tables.deleteRecursively(tmp.toString)
         moved.sorted
       }
-    manifestEntries(paths, df.schema, pcols)
+    manifestEntries(paths, df.schema, pcols, schemaGen)
   }
 
   /** Footer-stats manifest entries for already-written parquet files: row
@@ -578,7 +667,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * names as min==max stats. */
   private def manifestEntries(paths: Seq[String],
       schema: org.apache.spark.sql.types.StructType,
-      pcols: Seq[String]): Seq[SnapshotTable.DataFile] = {
+      pcols: Seq[String], schemaVersion: Int): Seq[SnapshotTable.DataFile] = {
     val statCols: Seq[(String, String)] = schema.fields.toSeq
       .flatMap(f => SnapshotTable.statType(f.dataType).map(t => f.name -> t))
       .take(8)
@@ -594,7 +683,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       // partition values ride the stats map as min==max entries
       val partStats = SnapshotTable.partitionValueStats(
         dataDir.toString, p, pcols, schemaByName)
-      SnapshotTable.DataFile(p, rows, stats ++ partStats, bytes)
+      SnapshotTable.DataFile(p, rows, stats ++ partStats, bytes, schemaVersion)
     }
   }
 
@@ -620,7 +709,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val schema = org.apache.spark.sql.types.DataType
       .fromJson(snapshot(baseVersion).schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val files = manifestEntries(moved, schema, Seq.empty)
+    val files = manifestEntries(moved, schema, Seq.empty, baseVersion)
     commitWithRetry(
       base => {
         if (base.version != baseVersion)
@@ -652,7 +741,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       Files.move(p, d)
       d.toString
     }
-    val files = manifestEntries(moved, schema, Seq.empty)
+    val files = manifestEntries(moved, schema, Seq.empty, latestVersion)
     commitWithRetry(
       base => base.files ++ files,
       base => if (base.version < 0) schema.json
@@ -665,7 +754,9 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       nextSchema: SnapshotTable.Snapshot => String,
       operation: String,
       partitionColsIfNew: Seq[String] = Seq.empty,
-      attempts: Int = 20): Int = {
+      attempts: Int = 20,
+      nextRenames: (SnapshotTable.Snapshot, Int) => Seq[SnapshotTable.Rename] =
+        (b, _) => b.renames): Int = {
     var tries = 0
     while (true) {
       val baseV = latestVersion
@@ -674,7 +765,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         else SnapshotTable.Snapshot(-1, 0L, "", Seq.empty, "none", partitionColsIfNew)
       val snap = SnapshotTable.Snapshot(
         baseV + 1, System.currentTimeMillis(), nextSchema(base),
-        nextFiles(base), operation, base.partitionCols)
+        nextFiles(base), operation, base.partitionCols,
+        nextRenames(base, baseV + 1))
       Files.createDirectories(snapDir)
       // the commit point: atomic publish-if-absent of the version file
       // ([[CommitPrimitive]] — hard link here, conditional PUT on S3)
@@ -700,12 +792,50 @@ object SnapshotTable {
     * epoch days. */
   case class ColStats(typ: String, min: String, max: String)
 
+  /** `schemaVersion` = the snapshot version whose schema the file was
+    * written under (-1 for legacy manifests): the key that makes RENAME
+    * COLUMN a metadata-only operation — a file predating a rename
+    * physically stores the OLD parquet column name, and the read path
+    * resolves each file's local names through the rename log
+    * ([[fileLocalNames]]). */
   case class DataFile(path: String, rows: Long,
-      stats: Map[String, ColStats] = Map.empty, bytes: Long = -1L)
+      stats: Map[String, ColStats] = Map.empty, bytes: Long = -1L,
+      schemaVersion: Int = -1)
+
+  /** One RENAME COLUMN event: at snapshot `atVersion`, `oldName` became
+    * `newName`. Files with schemaVersion < atVersion store `oldName`. */
+  case class Rename(atVersion: Int, newName: String, oldName: String)
 
   case class Snapshot(version: Int, timestampMs: Long, schemaJson: String,
       files: Seq[DataFile], operation: String,
-      partitionCols: Seq[String] = Seq.empty)
+      partitionCols: Seq[String] = Seq.empty,
+      renames: Seq[Rename] = Seq.empty)
+
+  /** The file-local column names for a file written at `schemaVersion`,
+    * one per declared column: inverse-apply every rename NEWER than the
+    * file, newest first (a→b→c chain resolves c back to a for a file
+    * older than both). Identity when the rename log is empty or the file
+    * postdates every rename. */
+  private[table] def fileLocalNames(declared: Seq[String], schemaVersion: Int,
+      renames: Seq[Rename]): Seq[String] = {
+    val newerFirst = renames.filter(_.atVersion > schemaVersion)
+      .sortBy(-_.atVersion)
+    declared.map { c =>
+      newerFirst.foldLeft(c)((n, r) => if (n == r.newName) r.oldName else n)
+    }
+  }
+
+  /** True when at least one live file stores a column under a name the
+    * declared schema no longer uses — i.e. reads need the rename-mapping
+    * path. Compaction rewrites every file under the current names, so a
+    * renamed table returns to the plain fast paths after one compact. */
+  private[table] def needsRenameMapping(snap: Snapshot): Boolean =
+    snap.renames.nonEmpty && {
+      val declared = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      snap.files.exists(f =>
+        fileLocalNames(declared, f.schemaVersion, snap.renames) != declared)
+    }
 
   /** Stats-eligible types. Timestamps/dates are stored as their integer
     * representations (micros / epoch days) taken straight from the parquet
@@ -931,12 +1061,20 @@ object SnapshotTable {
       val pc: ArrayNode = root.putArray("partitionCols")
       s.partitionCols.foreach(pc.add)
     }
+    if (s.renames.nonEmpty) {
+      val rn: ArrayNode = root.putArray("renames")
+      s.renames.foreach { r =>
+        val o = rn.addObject()
+        o.put("v", r.atVersion); o.put("new", r.newName); o.put("old", r.oldName)
+      }
+    }
     val arr: ArrayNode = root.putArray("files")
     s.files.foreach { f =>
       val o = arr.addObject()
       o.put("path", f.path)
       o.put("rows", f.rows)
       if (f.bytes >= 0) o.put("bytes", f.bytes)
+      if (f.schemaVersion >= 0) o.put("sv", f.schemaVersion)
       if (f.stats.nonEmpty) {
         val st = o.putObject("stats")
         f.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
@@ -962,14 +1100,22 @@ object SnapshotTable {
             }.toMap
           } else Map.empty[String, ColStats]
         DataFile(f.get("path").asText(), f.get("rows").asLong(), stats,
-          if (f.has("bytes")) f.get("bytes").asLong() else -1L)
+          if (f.has("bytes")) f.get("bytes").asLong() else -1L,
+          if (f.has("sv")) f.get("sv").asInt() else -1)
       }
       .toSeq
     val pcols =
       if (n.has("partitionCols"))
         n.get("partitionCols").elements().asScala.map(_.asText()).toSeq
       else Seq.empty
+    val renames =
+      if (n.has("renames"))
+        n.get("renames").elements().asScala.map(r =>
+          Rename(r.get("v").asInt(), r.get("new").asText(), r.get("old").asText()))
+          .toSeq
+      else Seq.empty
     Snapshot(n.get("version").asInt(), n.get("timestampMs").asLong(),
-      n.get("schemaJson").asText(), files, n.get("operation").asText(), pcols)
+      n.get("schemaJson").asText(), files, n.get("operation").asText(), pcols,
+      renames)
   }
 }

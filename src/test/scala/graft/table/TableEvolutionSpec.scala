@@ -43,6 +43,118 @@ class TableEvolutionSpec extends SparkFunSuite {
       .columns.toSeq == Seq("id", "label"))
   }
 
+  test("ALTER TABLE RENAME COLUMN: metadata-only, old files readable, compact normalizes") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS ev.db.renamed")
+    spark.sql("CREATE TABLE ev.db.renamed (id BIGINT, amount DOUBLE)")
+    spark.sql("INSERT INTO ev.db.renamed VALUES (1, 10.0), (2, 20.0)")
+    val filesBefore = {
+      val t = SnapshotTable.load(spark, s"$wh/db/renamed")
+      t.snapshot(t.latestVersion).files.map(_.path).toSet
+    }
+
+    spark.sql("ALTER TABLE ev.db.renamed RENAME COLUMN amount TO total")
+
+    // metadata-only: not one data file changed
+    val t = SnapshotTable.load(spark, s"$wh/db/renamed")
+    assert(t.snapshot(t.latestVersion).files.map(_.path).toSet == filesBefore)
+
+    // pre-rename files read their values under the NEW name
+    assert(spark.sql("SELECT * FROM ev.db.renamed").columns.toSeq == Seq("id", "total"))
+    assert(spark.sql("SELECT sum(total) FROM ev.db.renamed").head().getDouble(0) == 30.0)
+    assert(spark.sql("SELECT total FROM ev.db.renamed WHERE id = 2")
+      .head().getDouble(0) == 20.0)
+
+    // writes after the rename use the new name; both generations union
+    spark.sql("INSERT INTO ev.db.renamed VALUES (3, 30.0)")
+    assert(spark.sql("SELECT sum(total) FROM ev.db.renamed").head().getDouble(0) == 60.0)
+    assert(spark.sql("SELECT count(*) FROM ev.db.renamed WHERE total > 15.0")
+      .head().getLong(0) == 2L)
+
+    // time travel BEFORE the rename sees the old column name and values
+    val pre = spark.sql("SELECT * FROM ev.db.renamed VERSION AS OF 1")
+    assert(pre.columns.toSeq == Seq("id", "amount"))
+    assert(pre.agg(sum(col("amount"))).head().getDouble(0) == 30.0)
+
+    // chained rename: total -> grand_total resolves through both hops
+    spark.sql("ALTER TABLE ev.db.renamed RENAME COLUMN total TO grand_total")
+    assert(spark.sql("SELECT sum(grand_total) FROM ev.db.renamed")
+      .head().getDouble(0) == 60.0)
+
+    // UPDATE is refused while pre-rename files are live, with the fix named
+    val e = intercept[Exception] {
+      spark.sql("UPDATE ev.db.renamed SET grand_total = 0 WHERE id = 1")
+    }
+    assert(e.getMessage.contains("compact"), e.getMessage)
+
+    // compaction rewrites every file under the current names: the plain
+    // fast paths (and row-level ops) come back, values unchanged
+    SnapshotTable.load(spark, s"$wh/db/renamed").compact()
+    val tc = SnapshotTable.load(spark, s"$wh/db/renamed")
+    assert(!SnapshotTable.needsRenameMapping(tc.snapshot(tc.latestVersion)))
+    assert(spark.sql("SELECT sum(grand_total) FROM ev.db.renamed")
+      .head().getDouble(0) == 60.0)
+    spark.sql("UPDATE ev.db.renamed SET grand_total = 99.0 WHERE id = 1")
+    assert(spark.sql("SELECT grand_total FROM ev.db.renamed WHERE id = 1")
+      .head().getDouble(0) == 99.0)
+
+    // resurrection guard: names any generation used are off limits
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ev.db.renamed RENAME COLUMN grand_total TO amount")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ev.db.renamed ADD COLUMN amount DOUBLE")
+    }
+  }
+
+  test("RENAME COLUMN: programmatic reads, incremental reads, and DELETE stay correct") {
+    val loc = scratch("rename-prog")
+    val t = SnapshotTable.create(spark, loc,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    t.renameColumn("v", "score")
+    t.append(Seq((3L, 3.0)).toDF("id", "score"))
+
+    assert(t.read().columns.toSeq == Seq("id", "score"))
+    assert(t.read().agg(sum(col("score"))).head().getDouble(0) == 6.0)
+
+    // incremental read crossing the alter commit: no rows move, so the
+    // appends-only delta is exactly the new file, under the new name
+    val delta = t.appendsSince(0)
+    assert(delta.columns.toSeq == Seq("id", "score"))
+    assert(delta.select("id").as[Long].collect().toSeq == Seq(3L))
+
+    // DELETE rewrites through the rename-aware read path
+    val cat = "evr"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse",
+      loc.stripSuffix("/rename-prog"))
+    spark.sql(s"DELETE FROM $cat.`rename-prog` WHERE score = 1.0")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+
+    // partition source columns cannot be renamed
+    val ploc = scratch("rename-part")
+    val pt = SnapshotTable.create(spark, ploc,
+      Seq((1L, "a")).toDF("id", "grp"), partitionCols = Seq("grp"))
+    intercept[IllegalArgumentException] { pt.renameColumn("grp", "g2") }
+  }
+
+  test("ALTER TABLE DROP COLUMN: schema-only, time travel keeps the column") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS ev.db.dropped")
+    spark.sql("CREATE TABLE ev.db.dropped (id BIGINT, junk STRING, keep DOUBLE)")
+    spark.sql("INSERT INTO ev.db.dropped VALUES (1, 'x', 1.5), (2, 'y', 2.5)")
+    spark.sql("ALTER TABLE ev.db.dropped DROP COLUMN junk")
+    assert(spark.sql("SELECT * FROM ev.db.dropped").columns.toSeq == Seq("id", "keep"))
+    assert(spark.sql("SELECT sum(keep) FROM ev.db.dropped").head().getDouble(0) == 4.0)
+    // the bytes are still there for time travel
+    assert(spark.sql("SELECT junk FROM ev.db.dropped VERSION AS OF 1")
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("x", "y"))
+    // re-adding the dropped name would resurrect old values — refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ev.db.dropped ADD COLUMN junk STRING")
+    }
+  }
+
   test("partitioned CREATE TABLE writes Hive layout and prunes partitions") {
     wh
     spark.sql("DROP TABLE IF EXISTS ev.db.part_days")
