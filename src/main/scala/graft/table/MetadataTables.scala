@@ -26,7 +26,9 @@ object MetadataTables {
     StructField("committed_at", TimestampType, nullable = false),
     StructField("operation", StringType, nullable = false),
     StructField("n_files", LongType, nullable = false),
-    StructField("n_rows", LongType, nullable = false)))
+    // null when any file lacks recorded row counts (legacy manifests):
+    // an unknown must read as unknown, not as a silent undercount
+    StructField("n_rows", LongType, nullable = true)))
 
   val filesSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
@@ -37,8 +39,15 @@ object MetadataTables {
   val partitionsSchema: StructType = StructType(Seq(
     StructField("partition", StringType, nullable = false),
     StructField("n_files", LongType, nullable = false),
-    StructField("n_rows", LongType, nullable = false),
-    StructField("size_bytes", LongType, nullable = false)))
+    // null when any grouped file lacks recorded row/byte stats — see
+    // historySchema.n_rows
+    StructField("n_rows", LongType, nullable = true),
+    StructField("size_bytes", LongType, nullable = true)))
+
+  /** Sum that propagates UNKNOWN: any negative (unrecorded) entry makes
+    * the rollup null rather than silently undercounting. */
+  private def sumOrNull(xs: Seq[Long]): Any =
+    if (xs.exists(_ < 0)) null else xs.sum
 
   /** Build the metadata table named `kind` over `t`, if `kind` is one of
     * the supported suffixes. */
@@ -49,7 +58,7 @@ object MetadataTables {
           val s = t.snapshot(v)
           InternalRow(s.version, s.timestampMs * 1000L,
             org.apache.spark.unsafe.types.UTF8String.fromString(s.operation),
-            s.files.size.toLong, s.files.map(_.rows).filter(_ >= 0).sum)
+            s.files.size.toLong, sumOrNull(s.files.map(_.rows)))
         }
         Some(new MetadataTable(s"$name.$kind", historySchema, rows))
       case "files" =>
@@ -71,17 +80,21 @@ object MetadataTables {
             org.apache.spark.unsafe.types.UTF8String.fromString(stats))
         }
         Some(new MetadataTable(s"$name.files", filesSchema, rows))
-      case "partitions" if t.partitionCols.nonEmpty =>
+      case "partitions" =>
         // per-partition file/row/byte rollup (Iceberg's `t.partitions`,
         // the small-files diagnosis surface): group the live file list by
         // its partition-field values from the manifest stats; files whose
         // value cannot be keyed (flat rewrite files spanning partitions)
-        // roll up under the sentinel below — visible, not miscounted
+        // roll up under the sentinel below — visible, not miscounted.
+        // An UNPARTITIONED table still answers with a single whole-table
+        // rollup row (Iceberg's shape), so storage tooling needn't
+        // special-case it.
         val snap = t.snapshot(t.latestVersion)
         val fields = snap.partitionCols.map(PartitionFields.parse)
         val rows = snap.files
           .groupBy { f =>
-            fields.map { fd =>
+            if (fields.isEmpty) "<unpartitioned>"
+            else fields.map { fd =>
               f.stats.get(fd.name) match {
                 case Some(s) if s.min == s.max => s"${fd.name}=${s.min}"
                 case _ => s"${fd.name}=<multiple>"
@@ -93,10 +106,16 @@ object MetadataTables {
             InternalRow(
               org.apache.spark.unsafe.types.UTF8String.fromString(part),
               fs.size.toLong,
-              fs.map(_.rows).filter(_ >= 0).sum,
-              fs.map(_.bytes).filter(_ >= 0).sum)
+              sumOrNull(fs.map(_.rows)),
+              sumOrNull(fs.map(_.bytes)))
           }
-        Some(new MetadataTable(s"$name.partitions", partitionsSchema, rows))
+        val out =
+          if (rows.nonEmpty) rows
+          else Seq(InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              if (fields.isEmpty) "<unpartitioned>" else "<empty>"),
+            0L, 0L, 0L))
+        Some(new MetadataTable(s"$name.partitions", partitionsSchema, out))
       case _ => None
     }
 

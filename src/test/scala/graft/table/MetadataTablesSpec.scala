@@ -66,11 +66,42 @@ class MetadataTablesSpec extends SparkFunSuite {
     assert(after.map(_.getLong(1)).sum ==
       graft.Tables.load(spark, sf, "events").count())
 
-    // unpartitioned tables have no partitions metadata table
+    // an unpartitioned table answers with a single whole-table rollup row
+    // (Iceberg's shape) instead of refusing
     spark.sql("CREATE TABLE mtp.db.flat (id BIGINT)")
-    spark.sql("INSERT INTO mtp.db.flat VALUES (1)")
-    intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql("SELECT * FROM mtp.db.flat.partitions").collect()
-    }
+    spark.sql("INSERT INTO mtp.db.flat VALUES (1), (2)")
+    val flat = spark.sql(
+      "SELECT partition, n_files, n_rows FROM mtp.db.flat.partitions").collect()
+    assert(flat.length == 1 && flat(0).getString(0) == "<unpartitioned>")
+    assert(flat(0).getLong(2) == 2L)
+  }
+
+  test("rollups surface unknown stats as null, never an undercount") {
+    import java.nio.file.{Files, Paths}
+    val wh = scratch("meta-unknown-wh")
+    spark.conf.set("spark.sql.catalog.mtu", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mtu.warehouse", wh)
+    spark.sql("CREATE TABLE mtu.db.legacy (id BIGINT)")
+    spark.sql("INSERT INTO mtu.db.legacy VALUES (1), (2), (3)")
+
+    // degrade the manifest to a legacy shape: row count unrecorded (-1)
+    val snapDir = Paths.get(s"$wh/db/legacy/_snapshots")
+    import scala.jdk.CollectionConverters._
+    Files.list(snapDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .foreach { p =>
+        val doc = Files.readString(p)
+        Files.writeString(p, doc.replaceAll("\"rows\"\\s*:\\s*\\d+", "\"rows\" : -1"))
+      }
+
+    // an unknown input makes the rollup NULL — a silent partial sum would
+    // read as "this partition has 0 rows", which is a lie
+    val part = spark.sql(
+      "SELECT n_files, n_rows FROM mtu.db.legacy.partitions").head()
+    assert(part.getLong(0) >= 1)
+    assert(part.isNullAt(1), s"expected null n_rows, got ${part.get(1)}")
+    val hist = spark.sql(
+      "SELECT n_rows FROM mtu.db.legacy.history ORDER BY version DESC").head()
+    assert(hist.isNullAt(0), s"expected null history n_rows, got ${hist.get(0)}")
   }
 }
