@@ -38,11 +38,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * to validate SPJ compatibility (and to evaluate them when shuffling
     * one join side to the other's bucketing); without this, a
     * key-grouped bucket partitioning would be silently discarded. */
+  private val WidthTrunc = """truncate_(\d{1,9})""".r
+
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.namespace().isEmpty && ident.name() == "bucket") BucketFunction
     else if (ident.namespace().isEmpty && ident.name() == "truncate") TruncateFunction
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    else ident.name() match {
+      // the SPJ-eligible width-baked spelling the key-grouped scan
+      // reports (see WidthTruncateFunction)
+      case WidthTrunc(w) if ident.namespace().isEmpty =>
+        new WidthTruncateFunction(w.toInt)
+      case _ =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)

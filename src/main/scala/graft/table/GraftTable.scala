@@ -182,17 +182,15 @@ class GraftTable(tableName: String, location: String,
           // partition VALUE, which is wrong for plain scans of huge
           // tables — Iceberg gates its SPJ behind the same kind of
           // separate preserve-data-grouping switch for this reason.
-          // identity and bucket only: Spark special-cases bucket when
-          // resolving v2 transforms (numBuckets extracted, children =
-          // [col]), but a GENERIC transform like truncate keeps its
-          // literal as an expression leaf, which can never satisfy a
-          // ClusteredDistribution — key-grouped planning would cap scan
-          // parallelism at the group count and buy nothing (verified
-          // empirically: EnsureRequirements still inserts exchanges)
-          val spjCapable = snap.partitionCols.map(PartitionFields.parse).forall {
-            case PartitionFields.Truncate(_, _) => false
-            case _ => true
-          } && !renameMappingActive
+          // All three transforms are SPJ-capable: identity and bucket
+          // natively (Spark special-cases bucket's width literal out of
+          // the transform children), truncate via the width-baked
+          // truncate_<w>(col) function name the key-grouped scan reports
+          // (see KeyGroupedScan.outputPartitioning — the generic 2-arg
+          // spelling keeps its literal as an expression leaf, which can
+          // never satisfy a clustered distribution). Rename mappings
+          // gate SPJ off until compaction normalizes generations.
+          val spjCapable = !renameMappingActive
           val spj = spark.conf
             .getOption("spark.sql.sources.v2.bucketing.enabled")
             .exists(_.toBoolean) &&

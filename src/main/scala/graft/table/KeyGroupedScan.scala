@@ -153,10 +153,17 @@ private[table] class GraftKeyGroupedScan(
       partCols.map(PartitionFields.parse).map {
         case PartitionFields.Identity(c) => Expressions.identity(c)
           : org.apache.spark.sql.connector.expressions.Expression
-        case PartitionFields.Bucket(n, c) => Expressions.bucket(n, c)
+        // width-baked name (truncate_3(col), NOT truncate(3, col)): the
+        // generic translation keeps a literal argument as an expression
+        // leaf, and a non-attribute leaf can never satisfy a clustered
+        // distribution — baking the width into the FunctionCatalog name
+        // leaves the column as the only child, making truncate
+        // co-partitioning SPJ-checkable exactly like bucket (whose
+        // literal Spark special-cases out of the children)
+        case PartitionFields.Truncate(w, c) =>
+          Expressions.apply(s"truncate_$w", Expressions.column(c))
           : org.apache.spark.sql.connector.expressions.Expression
-        case PartitionFields.Truncate(w, c) => Expressions.apply("truncate",
-          Expressions.literal(w), Expressions.column(c))
+        case PartitionFields.Bucket(n, c) => Expressions.bucket(n, c)
           : org.apache.spark.sql.connector.expressions.Expression
       }.toArray,
       grouped.length)

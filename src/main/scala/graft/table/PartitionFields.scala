@@ -49,12 +49,18 @@ private[graft] object PartitionFields {
     * ranges — a LAYOUT transform: each file holds one truncated group,
     * so the source column's footer min/max are tight and predicates on
     * it prune files (bucket's hash destroys order and prunes nothing).
-    * NOT storage-partitioned-join eligible on stock Spark: the planner
-    * special-cases only bucket when resolving v2 transforms; a generic
-    * transform keeps its width literal as an expression leaf, which can
-    * never satisfy a ClusteredDistribution, so graft excludes truncate
-    * fields from key-grouped planning (parallelism cap with no shuffle
-    * win). */
+    *
+    * ALSO storage-partitioned-join eligible, via a width-baked function
+    * name: Spark's generic-transform translation keeps a `truncate(w,
+    * col)` width literal as an expression LEAF, and a leaf that is not an
+    * attribute can never satisfy a ClusteredDistribution (only bucket's
+    * literal is special-cased out of the children) — so the key-grouped
+    * scan reports the transform as `truncate_w(col)` instead, resolved
+    * through the catalog's FunctionCatalog to a single-argument function
+    * whose width lives in its name and canonicalName. The translated
+    * TransformExpression then has one attribute child and co-partitioned
+    * truncate tables sort-merge join with zero shuffles, exactly like
+    * bucket (rows with equal source values share a truncated prefix). */
   final case class Truncate(w: Int, source: String) extends Field {
     def name: String = s"truncate($w,$source)"
     def dirKey: String = s"t${w}_$source"
@@ -153,6 +159,26 @@ private[graft] object TruncateFunction
   override def description(): String =
     "truncate(w, col): width-w prefix (string) / floor-to-multiple (int, bigint)"
 
+  /** The truncation kernel both function surfaces and the write layout
+    * share: width-`w` prefix for strings, floor-to-multiple for ints. */
+  private[table] def truncate(dt: DataType, w: Int, input: InternalRow,
+      at: Int): Any = {
+    // w=0 would surface as a raw ArithmeticException (floorMod by zero)
+    // mid-query, negative w as silent values matching no write layout
+    require(w > 0, s"truncate width must be positive, got $w")
+    if (input.isNullAt(at)) null
+    else dt match {
+      case IntegerType =>
+        val v = input.getInt(at); v - Math.floorMod(v, w)
+      case LongType =>
+        val v = input.getLong(at); v - Math.floorMod(v, w.toLong)
+      case StringType =>
+        // substring semantics, like the staging expression
+        input.getUTF8String(at).substringSQL(1, w)
+      case _ => throw new IllegalStateException(s"unreachable: $dt")
+    }
+  }
+
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.length == 2,
       s"truncate takes (width, col), got ${inputType.simpleString}")
@@ -164,24 +190,42 @@ private[graft] object TruncateFunction
       override def resultType(): DataType = dt
       override def name(): String = "truncate"
       override def canonicalName(): String = s"graft.truncate(${dt.simpleString})"
-      override def produceResult(input: InternalRow): Any = {
-        val w = input.getInt(0)
-        // user-callable through the catalog: w=0 would surface as a raw
-        // ArithmeticException (floorMod by zero) mid-query, negative w
-        // as silent values matching no write layout
-        require(w > 0, s"truncate width must be positive, got $w")
-        if (input.isNullAt(1)) null
-        else dt match {
-          case IntegerType =>
-            val v = input.getInt(1); v - Math.floorMod(v, w)
-          case LongType =>
-            val v = input.getLong(1); v - Math.floorMod(v, w.toLong)
-          case StringType =>
-            // substring semantics, like the staging expression
-            input.getUTF8String(1).substringSQL(1, w)
-          case _ => throw new IllegalStateException(s"unreachable: $dt")
-        }
-      }
+      override def produceResult(input: InternalRow): Any =
+        TruncateFunction.truncate(dt, input.getInt(0), input, 1)
+    }
+  }
+}
+
+/** The WIDTH-BAKED truncate function surface, `truncate_<w>(col)` — the
+  * SPJ-eligible spelling of the truncate transform (see
+  * [[PartitionFields.Truncate]]): one attribute argument, width in the
+  * name, so Spark's generic-transform translation yields a
+  * TransformExpression whose only leaf is the column and key-grouped
+  * co-partitioning can satisfy a clustered distribution. `canonicalName`
+  * carries width AND input type: two scans are SPJ-compatible iff they
+  * truncate the same way. */
+private[graft] final class WidthTruncateFunction(w: Int)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+
+  override def name(): String = s"truncate_$w"
+  override def description(): String =
+    s"truncate_$w(col): width-$w prefix (string) / floor-to-multiple (int, bigint)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"truncate_$w takes (col), got ${inputType.simpleString}")
+    val dt = inputType(0).dataType
+    require(PartitionFields.bucketableType(dt),
+      s"truncate source type not supported: ${dt.simpleString} (int/bigint/string)")
+    new ScalarFunction[Any] {
+      override def inputTypes(): Array[DataType] = Array(dt)
+      override def resultType(): DataType = dt
+      override def name(): String = s"truncate_$w"
+      override def canonicalName(): String =
+        s"graft.truncate_$w(${dt.simpleString})"
+      override def produceResult(input: InternalRow): Any =
+        TruncateFunction.truncate(dt, w, input, 0)
     }
   }
 }

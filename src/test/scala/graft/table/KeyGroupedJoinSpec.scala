@@ -200,7 +200,7 @@ class KeyGroupedJoinSpec extends SparkFunSuite {
     }
   }
 
-  test("truncate partitioning: prefix-clustered layout prunes, stays SPJ-ineligible") {
+  test("truncate partitioning: prefix layout prunes AND joins shuffle-free via truncate_w") {
     val wh = scratch("spj-trunc-wh")
     s2.conf.set("spark.sql.catalog.spjt", classOf[GraftCatalog].getName)
     s2.conf.set("spark.sql.catalog.spjt.warehouse", wh)
@@ -235,14 +235,30 @@ class KeyGroupedJoinSpec extends SparkFunSuite {
       .filter(col("event_type") === "purchase"))
     assert(one < all, s"prefix clustering should prune files: $one of $all")
 
-    // SPJ-ineligible by design (Spark special-cases only bucket; a
-    // generic transform's width literal can never satisfy a clustered
-    // distribution): the scan must stay on the runtime-filter path
-    // rather than capping parallelism at the prefix-group count
-    val Seq(scan) = s2.table("spjt.db.ev_t").queryExecution.executedPlan.collect {
-      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
-    }
-    assert(!scan.isInstanceOf[GraftKeyGroupedScan])
+    // SPJ: the generic truncate(3, col) spelling keeps its width literal
+    // as an expression leaf and can never satisfy a clustered
+    // distribution, so the scan reports the width-baked truncate_3(col)
+    // function (resolved through the catalog) — co-partitioned truncate
+    // tables then sort-merge join with zero shuffles, like bucket
+    s2.sql(
+      """CREATE TABLE spjt.db.ev_t2
+        |  (event_id BIGINT, event_type STRING, value DOUBLE)
+        |PARTITIONED BY (truncate(3, event_type))""".stripMargin)
+    graft.Tables.load(s2, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .writeTo("spjt.db.ev_t2").append()
+    val joined = s2.table("spjt.db.ev_t").select(col("event_type"), col("event_id"))
+      .join(s2.table("spjt.db.ev_t2").select(col("event_type"), col("value")),
+        "event_type")
+    val n = joined.collect().length.toLong
+    val expected = graft.Tables.load(s2, sf, "events")
+      .groupBy("event_type").count()
+      .agg(sum(col("count") * col("count"))).head().getLong(0)
+    assert(n == expected, s"truncate SPJ join returned $n of $expected rows")
+    val plan = joined.queryExecution.executedPlan
+    assert(shuffles(plan) == 0,
+      s"expected a shuffle-free truncate-partitioned join:\n$plan")
+    assert(sortMergeJoins(plan) == 1, s"expected the sort-merge SPJ path:\n$plan")
 
     // correctness through the truncated layout
     assert(s2.table("spjt.db.ev_t").count() ==
