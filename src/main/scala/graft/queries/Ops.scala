@@ -473,12 +473,14 @@ object Ops {
 
   // ------------------------------------------------------------- q62
   // Storage-partitioned join (SPJ), end-to-end: two graft tables
-  // partitioned `(day, bucket(8, user_id))` — the canonical Iceberg
-  // fact-table layout — join on (day, user_id) WITHOUT any shuffle: each
-  // scan reports KeyGroupedPartitioning over its transforms,
-  // EnsureRequirements recognizes the co-partitioning (the bucket
-  // transform resolved through the catalog's FunctionCatalog), and the
-  // SORT-MERGE join plus the (day, user)-grouped aggregate above it run
+  // bucketed `bucket(8, user_id)` join on (day, user_id) WITHOUT any
+  // shuffle: each scan reports KeyGroupedPartitioning over its bucket
+  // transform (resolved through the catalog's FunctionCatalog),
+  // EnsureRequirements recognizes the co-partitioning — the bucket
+  // covers a SUBSET of the join keys, sound because same-bucket rows
+  // contain every (day, user) pair, accepted under the public
+  // requireAllClusterKeysForCoPartition=false conf — and the SORT-MERGE
+  // join plus the (day, user)-grouped aggregate above it run
   // exchange-free. Broadcast is disabled on the cloned session: at bench
   // scale a BroadcastHashJoin would be shuffle-free without exercising
   // SPJ at all, and the 100 TB shape this query exists to prove is the
@@ -500,6 +502,11 @@ object Ops {
     // SPJ at all — this query exists to run the SORT-MERGE join over
     // co-partitioned scans, the shape that matters at 100 TB
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the tables are bucketed on user_id ONLY — a subset of the join keys
+    // (day, user_id). Same-bucket rows still contain every (day, user)
+    // pair, so co-partitioning is sound; Spark only accepts subset
+    // clustering when this (public) conf relaxes the all-keys requirement
+    s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     val wh = Tables.scratch(s"warehouse/spj_${tag(dir)}")
     s2.conf.set("spark.sql.catalog.spj", classOf[graft.table.GraftCatalog].getName)
     s2.conf.set("spark.sql.catalog.spj.warehouse", wh)
@@ -508,7 +515,7 @@ object Ops {
       s2.sql(
         s"""CREATE TABLE spj.db.$name
            |  (event_id BIGINT, user_id BIGINT, day DATE, value DOUBLE)
-           |PARTITIONED BY (day, bucket(8, user_id))""".stripMargin)
+           |PARTITIONED BY (bucket(8, user_id))""".stripMargin)
       Tables.load(s2, dir, "events")
         .filter(col("event_id") % 2 === parity)
         .select(col("event_id"), col("user_id"),
