@@ -52,6 +52,23 @@ object Bench {
     // an already-running warehouse; same footing here).
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.load(spark, sfDir, "region").count()
+    // Warm the snapshot-table WRITE path too (staging, footer-stats
+    // harvest, commit primitive, compaction swap): these driver-heavy
+    // code paths run interpreted until C2 compiles them, and measured
+    // cold-vs-warm differences on the write-family queries are ~2.5×
+    // (see README "Write-path bench drift"). A running warehouse has
+    // them long since compiled; one tiny untimed round trip here puts
+    // every timed query on the same footing.
+    locally {
+      val loc = Tables.scratch("bench-warmup-table")
+      Tables.deleteRecursively(loc)
+      val t = graft.table.SnapshotTable.create(spark, loc,
+        spark.range(2000).selectExpr("id", "id % 7 AS k", "rand(42) AS v"))
+      t.append(spark.range(2000, 3000).selectExpr("id", "id % 7 AS k", "rand(43) AS v"))
+      t.compact(targetBytes = 1L << 20)
+      t.read().count()
+      Tables.deleteRecursively(loc)
+    }
 
     // suite selection mirrors the reference harness's --test-suite CLI
     // (run_performance_tests.py:344-374): basic | advanced | maintenance |
