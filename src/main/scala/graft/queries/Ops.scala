@@ -471,6 +471,44 @@ object Ops {
        |WHERE CAST(ts AS DATE) >= DATE '${Tables.daysAgo(7).take(10)}'
        |GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------- q64
+  // days(ts) TIME-TRANSFORM partitioning (Iceberg's fact-table idiom,
+  // the layout the reference's day-partitioned user_events table IS):
+  // partition directly on the event timestamp — no materialized `day`
+  // column — one file per calendar day, date-typed partition stats in
+  // the manifest. The verifying query filters a ts RANGE: day slicing
+  // makes every file's ts footer stats tight, so the range prunes to the
+  // matching days' files before any data is read.
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val name = s"events_tdays_${tag(dir)}"
+    Tables.deleteRecursively(s"$wh/db/$name")
+    s.sql(
+      s"""CREATE TABLE graft.db.$name
+         |  (event_id BIGINT, user_id BIGINT, event_type STRING,
+         |   ts TIMESTAMP, value DOUBLE)
+         |PARTITIONED BY (days(ts))""".stripMargin)
+    ev(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .writeTo(s"graft.db.$name").append()
+    s.sql(
+      s"""SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM graft.db.$name
+         |WHERE ts >= TIMESTAMP '${Tables.daysAgo(7)}'
+         |GROUP BY 1 ORDER BY day""".stripMargin)
+  }
+
+  val q64Sql =
+    s"""SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM events
+       |WHERE ts >= TIMESTAMP '${Tables.daysAgo(7)}'
+       |GROUP BY 1 ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------- q62
   // Storage-partitioned join (SPJ), end-to-end: two graft tables
   // bucketed `bucket(8, user_id)` join on (day, user_id) WITHOUT any
@@ -613,7 +651,8 @@ object Ops {
     "q59_history_table" -> (q59 _),
     "q61_stateful_dedup" -> (q61 _),
     "q62_spj_join" -> (q62 _),
-    "q63_streaming_pipeline" -> (q63 _))
+    "q63_streaming_pipeline" -> (q63 _),
+    "q64_days_transform" -> (q64 _))
 
   val oracle: Map[String, String] = Map(
     "q49_bench_metrics" -> q49Sql,
@@ -633,5 +672,6 @@ object Ops {
     "q59_history_table" -> q59Sql,
     "q61_stateful_dedup" -> q61Sql,
     "q62_spj_join" -> q62Sql,
-    "q63_streaming_pipeline" -> q63Sql)
+    "q63_streaming_pipeline" -> q63Sql,
+    "q64_days_transform" -> q64Sql)
 }

@@ -49,6 +49,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // reports (see WidthTruncateFunction)
       case WidthTrunc(w) if ident.namespace().isEmpty =>
         new WidthTruncateFunction(w.toInt)
+      case u @ ("days" | "months" | "years") if ident.namespace().isEmpty =>
+        new TimeUnitFunction(u)
       case _ =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     }
@@ -148,11 +150,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * reference's fact table is day-partitioned by definition, reference
     * `main.tf:139-151`), `bucket(n, col)` hash transforms (the layout
     * that makes storage-partitioned joins possible on high-cardinality
-    * keys), and `truncate(w, col)` range transforms (prefix-clustered,
-    * stats-prunable layout; time transforms like days() remain out of
-    * scope). Data lands in a Hive `col=value/` (or `bN_col=id/` /
-    * `tW_col=prefix/`) layout and partition values feed the manifest
-    * stats pruner / SPJ key grouping. */
+    * keys), `truncate(w, col)` range transforms (prefix-clustered,
+    * stats-prunable layout), and `days/months/years(ts)` time transforms
+    * (Iceberg's fact-table idiom: partition directly on the timestamp,
+    * no materialized day column). Data lands in a Hive `col=value/` (or
+    * `bN_col=id/` / `tW_col=prefix/` / `d_col=date/`) layout and
+    * partition values feed the manifest stats pruner / SPJ key
+    * grouping. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val pcols = partitions.toSeq.map { t =>
@@ -179,8 +183,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           PartitionFields.Bucket(width("bucket"), refs(0).fieldNames()(0)).name
         case "truncate" if singleCol =>
           PartitionFields.Truncate(width("truncate"), refs(0).fieldNames()(0)).name
+        case u @ ("days" | "months" | "years") if singleCol =>
+          PartitionFields.TimeUnit(u, refs(0).fieldNames()(0)).name
         case _ => throw new UnsupportedOperationException(
-          s"only identity, bucket, and truncate partition transforms are supported, got: $t")
+          s"only identity, bucket, truncate, and days/months/years partition " +
+            s"transforms are supported, got: $t")
       }
     }
     pcols.map(PartitionFields.parse).foreach { f =>
@@ -189,6 +196,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"partition column ${f.source} not in schema"))
       f match {
         case PartitionFields.Identity(_) => ()
+        case PartitionFields.TimeUnit(u, _) =>
+          require(PartitionFields.timeSourceType(field.dataType),
+            s"${f.name}: source must be timestamp/date, got ${field.dataType.simpleString}")
         case _ => require(PartitionFields.bucketableType(field.dataType),
           s"${f.name}: source must be int/bigint/string, got ${field.dataType.simpleString}")
       }

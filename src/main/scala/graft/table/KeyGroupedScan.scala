@@ -55,6 +55,9 @@ private[table] object KeyGroupedScan {
       // truncate keys carry the source column's type (prefix / floored
       // multiple)
       case PartitionFields.Truncate(_, c) => schema.find(_.name == c).map(_.dataType)
+      // days keys are dates; months/years their since-1970 ordinals
+      case PartitionFields.TimeUnit("days", _) => Some(DateType)
+      case PartitionFields.TimeUnit(_, _) => Some(IntegerType)
     }
     if (types.exists(_.isEmpty)) return None
     val entries = files.map { f =>
@@ -164,6 +167,12 @@ private[table] class GraftKeyGroupedScan(
           Expressions.apply(s"truncate_$w", Expressions.column(c))
           : org.apache.spark.sql.connector.expressions.Expression
         case PartitionFields.Bucket(n, c) => Expressions.bucket(n, c)
+          : org.apache.spark.sql.connector.expressions.Expression
+        case PartitionFields.TimeUnit("days", c) => Expressions.days(c)
+          : org.apache.spark.sql.connector.expressions.Expression
+        case PartitionFields.TimeUnit("months", c) => Expressions.months(c)
+          : org.apache.spark.sql.connector.expressions.Expression
+        case PartitionFields.TimeUnit(_, c) => Expressions.years(c)
           : org.apache.spark.sql.connector.expressions.Expression
       }.toArray,
       grouped.length)

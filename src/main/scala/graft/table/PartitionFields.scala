@@ -66,12 +66,27 @@ private[graft] object PartitionFields {
     def dirKey: String = s"t${w}_$source"
   }
 
+  /** Iceberg's time transforms — the fact-table layout the reference's
+    * day-partitioned events table IS, expressed as a transform instead of
+    * a materialized `day` column: `days(ts)` keys a partition per
+    * calendar day (UTC), `months(ts)` per month since epoch, `years(ts)`
+    * per year since 1970. Each file then holds one time slice, so ts
+    * footer stats are tight and range predicates prune files; SPJ works
+    * through the FunctionCatalog `days`/`months`/`years` functions (one
+    * attribute child, like bucket). */
+  final case class TimeUnit(unit: String, source: String) extends Field {
+    def name: String = s"$unit($source)"
+    def dirKey: String = s"${unit.take(1)}_$source"
+  }
+
   private val BucketRe = """bucket\((\d+)\s*,\s*([^)]+)\)""".r
   private val TruncateRe = """truncate\((\d+)\s*,\s*([^)]+)\)""".r
+  private val TimeRe = """(days|months|years)\(([^)]+)\)""".r
 
   def parse(s: String): Field = s match {
     case BucketRe(n, c) => Bucket(n.toInt, c.trim)
     case TruncateRe(w, c) => Truncate(w.toInt, c.trim)
+    case TimeRe(u, c) => TimeUnit(u, c.trim)
     case c => Identity(c)
   }
 
@@ -80,6 +95,12 @@ private[graft] object PartitionFields {
     * mirrors). */
   def bucketableType(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** Source types the time transforms accept. */
+  def timeSourceType(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | DateType => true
     case _ => false
   }
 }
@@ -192,6 +213,53 @@ private[graft] object TruncateFunction
       override def canonicalName(): String = s"graft.truncate(${dt.simpleString})"
       override def produceResult(input: InternalRow): Any =
         TruncateFunction.truncate(dt, input.getInt(0), input, 1)
+    }
+  }
+}
+
+/** DSv2 FunctionCatalog surface of the `days`/`months`/`years` time
+  * transforms (same role as [[BucketFunction]]): resolution makes the
+  * scan-reported transform SPJ-checkable — one attribute child, so a
+  * clustered distribution over the source column is satisfiable — and
+  * `produceResult` mirrors the write layout in UTC (the engine pins
+  * sessions to UTC; see Tables/Bench builders). `days` returns the
+  * calendar date (epoch days), `months` months-since-1970, `years`
+  * years-since-1970 — Iceberg's value spaces. */
+private[graft] final class TimeUnitFunction(unit: String)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+
+  override def name(): String = unit
+  override def description(): String =
+    s"$unit(col): UTC ${unit.dropRight(1)} ordinal of a timestamp/date"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.length == 1,
+      s"$unit takes (col), got ${inputType.simpleString}")
+    val dt = inputType(0).dataType
+    require(PartitionFields.timeSourceType(dt),
+      s"$unit source must be timestamp/date, got ${dt.simpleString}")
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] = Array(dt)
+      override def resultType(): DataType =
+        if (unit == "days") DateType else IntegerType
+      override def name(): String = unit
+      override def canonicalName(): String = s"graft.$unit(${dt.simpleString})"
+      override def produceResult(input: InternalRow): Integer = {
+        if (input.isNullAt(0)) return null
+        val epochDay: Long = dt match {
+          case DateType => input.getInt(0).toLong
+          case _ => Math.floorDiv(input.getLong(0), 86_400_000_000L) // micros/day
+        }
+        unit match {
+          case "days" => Integer.valueOf(epochDay.toInt)
+          case "months" =>
+            val d = java.time.LocalDate.ofEpochDay(epochDay)
+            Integer.valueOf((d.getYear - 1970) * 12 + d.getMonthValue - 1)
+          case "years" =>
+            Integer.valueOf(java.time.LocalDate.ofEpochDay(epochDay).getYear - 1970)
+        }
+      }
     }
   }
 }

@@ -615,7 +615,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         // pmod(hash(col), n) — Spark's own Murmur3, codegen'd, the exact
         // function the FunctionCatalog `bucket` surface mirrors
         val withDirKeys = fields.zip(dirCols).foldLeft(df) { case (d, (f, dc)) =>
-          import org.apache.spark.sql.functions.{col, hash, lit, pmod, substring}
+          import org.apache.spark.sql.functions.{col, hash, lit, month, pmod, substring, to_date, year}
           f match {
             case PartitionFields.Identity(c) => d.withColumn(dc, col(c))
             case PartitionFields.Bucket(n, c) =>
@@ -632,6 +632,15 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
                 case _ => col(c) - pmod(col(c), lit(w))
               }
               d.withColumn(dc, dir)
+            // time transforms (sessions are pinned UTC, so to_date/year/
+            // month agree with the FunctionCatalog mirrors' floorDiv)
+            case PartitionFields.TimeUnit("days", c) =>
+              d.withColumn(dc, to_date(col(c)))
+            case PartitionFields.TimeUnit("months", c) =>
+              d.withColumn(dc,
+                (year(col(c)) - lit(1970)) * lit(12) + month(col(c)) - lit(1))
+            case PartitionFields.TimeUnit(_, c) => // years
+              d.withColumn(dc, year(col(c)) - lit(1970))
           }
         }
         // hash-distribute by the partition values (Iceberg's default write
@@ -972,6 +981,12 @@ object SnapshotTable {
               // the bucket id itself
               encodePartitionValue("long", raw)
                 .map(enc => f.name -> ColStats("long", enc, enc))
+            case PartitionFields.TimeUnit(unit, _) =>
+              // days dirs carry a date ("2024-01-07" → epoch days);
+              // months/years carry their since-1970 ordinal
+              val typ = if (unit == "days") "date" else "long"
+              encodePartitionValue(typ, raw)
+                .map(enc => f.name -> ColStats(typ, enc, enc))
           }
         }
     }.toMap

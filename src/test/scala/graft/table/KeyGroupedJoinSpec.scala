@@ -341,6 +341,64 @@ class KeyGroupedJoinSpec extends SparkFunSuite {
       s"hot partition still a single task: scan partitions $scanParts vs $nDays days")
   }
 
+  test("days(ts) time transform: one slice per day, ts predicates prune, SPJ joins shuffle-free") {
+    val wh = scratch("spj-days-wh")
+    s2.conf.set("spark.sql.catalog.spjd", classOf[GraftCatalog].getName)
+    s2.conf.set("spark.sql.catalog.spjd.warehouse", wh)
+    def mk(name: String): Unit = {
+      s2.sql(
+        s"""CREATE TABLE spjd.db.$name
+           |  (event_id BIGINT, ts TIMESTAMP, value DOUBLE)
+           |PARTITIONED BY (days(ts))""".stripMargin)
+      graft.Tables.load(s2, sf, "events")
+        .select(col("event_id"), col("ts"), col("value"))
+        .writeTo(s"spjd.db.$name").append()
+    }
+    mk("ev_a"); mk("ev_b")
+
+    // layout: one file per calendar day, date-typed partition stats
+    val t = SnapshotTable.load(s2, s"$wh/db/ev_a")
+    val files = t.snapshot(t.latestVersion).files
+    val nDays = graft.Tables.load(s2, sf, "events")
+      .select(to_date(col("ts"))).distinct().count()
+    assert(files.size == nDays, s"expected $nDays day files, got ${files.size}")
+    assert(files.forall(_.path.contains("d_ts=")))
+    assert(files.forall(_.stats.get("days(ts)").exists(s =>
+      s.typ == "date" && s.min == s.max)))
+
+    // correctness + day-sliced footer stats make ts range predicates prune
+    assert(s2.table("spjd.db.ev_a").count() ==
+      graft.Tables.load(s2, sf, "events").count())
+    def scanned(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          RuntimeFiltering.unwrap(b.scan)
+            .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScan]
+            .fileIndex.inputFiles.length
+      }.sum
+    val cutoff = graft.Tables.load(s2, sf, "events")
+      .agg(max(col("ts"))).head().getTimestamp(0)
+    val hit = scanned(s2.table("spjd.db.ev_a")
+      .filter(col("ts") >= java.sql.Timestamp.from(
+        cutoff.toInstant.minus(java.time.Duration.ofDays(3)))))
+    assert(hit < files.size, s"day slicing should prune ts ranges: $hit of ${files.size}")
+
+    // SPJ: days(ts) resolved through the FunctionCatalog has one
+    // attribute child, so a ts equi-join over co-partitioned day slices
+    // sort-merge joins with zero shuffles
+    val joined = s2.table("spjd.db.ev_a").select(col("ts"), col("event_id"))
+      .join(s2.table("spjd.db.ev_b").select(col("ts"), col("value")), "ts")
+    val n = joined.collect().length.toLong
+    val expected = graft.Tables.load(s2, sf, "events")
+      .groupBy("ts").count()
+      .agg(sum(col("count") * col("count"))).head().getLong(0)
+    assert(n == expected, s"days SPJ join returned $n of $expected rows")
+    val plan = joined.queryExecution.executedPlan
+    assert(shuffles(plan) == 0,
+      s"expected a shuffle-free days-partitioned join:\n$plan")
+    assert(sortMergeJoins(plan) == 1, s"expected the sort-merge SPJ path:\n$plan")
+  }
+
   test("SPJ off → same join still correct (runtime-filter scan path)") {
     val wh = scratch("spj-off-wh")
     spark.conf.set("spark.sql.catalog.spjy", classOf[GraftCatalog].getName)

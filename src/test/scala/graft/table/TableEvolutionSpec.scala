@@ -195,6 +195,48 @@ class TableEvolutionSpec extends SparkFunSuite {
     assert(withA.nonEmpty)
   }
 
+  test("months/years time transforms partition by their since-1970 ordinals") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS ev.db.by_month")
+    spark.sql(
+      """CREATE TABLE ev.db.by_month (id BIGINT, ts TIMESTAMP, v DOUBLE)
+        |PARTITIONED BY (months(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO ev.db.by_month VALUES
+        |(1, TIMESTAMP '2024-01-05 00:00:00', 1.0),
+        |(2, TIMESTAMP '2024-01-25 12:00:00', 2.0),
+        |(3, TIMESTAMP '2024-02-02 08:00:00', 3.0),
+        |(4, TIMESTAMP '2023-12-31 23:59:59', 4.0)""".stripMargin)
+    val t = SnapshotTable.load(spark, s"$wh/db/by_month")
+    val files = t.snapshot(t.latestVersion).files
+    // three distinct months → three files, ordinal = (y-1970)*12 + m-1
+    assert(files.size == 3, s"expected 3 month files, got ${files.size}")
+    val ordinals = files.flatMap(_.stats.get("months(ts)").map(_.min.toInt)).sorted
+    assert(ordinals == Seq((2023 - 1970) * 12 + 11, (2024 - 1970) * 12 + 0,
+      (2024 - 1970) * 12 + 1), s"month ordinals: $ordinals")
+    assert(spark.sql("SELECT sum(v) FROM ev.db.by_month").head().getDouble(0) == 10.0)
+
+    // years(ts) on a DATE column too
+    spark.sql("DROP TABLE IF EXISTS ev.db.by_year")
+    spark.sql(
+      """CREATE TABLE ev.db.by_year (id BIGINT, d DATE)
+        |PARTITIONED BY (years(d))""".stripMargin)
+    spark.sql(
+      "INSERT INTO ev.db.by_year VALUES (1, DATE '2023-06-01'), (2, DATE '2024-06-01')")
+    val ty = SnapshotTable.load(spark, s"$wh/db/by_year")
+    val yOrd = ty.snapshot(ty.latestVersion).files
+      .flatMap(_.stats.get("years(d)").map(_.min.toInt)).sorted
+    assert(yOrd == Seq(53, 54), s"year ordinals: $yOrd")
+    assert(spark.sql("SELECT count(*) FROM ev.db.by_year").head().getLong(0) == 2)
+
+    // a non-temporal source column is refused at CREATE time
+    intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE ev.db.bad_days (id BIGINT, name STRING)
+          |PARTITIONED BY (days(name))""".stripMargin)
+    }
+  }
+
   test("timestamp manifest stats prune files on ts predicates") {
     wh
     val e = graft.Tables.load(spark, sf, "events")
