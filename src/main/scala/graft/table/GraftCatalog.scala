@@ -242,6 +242,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(del.fieldNames().length == 1,
           s"nested column drop not supported: ${del.fieldNames().mkString(".")}")
         t.dropColumn(del.fieldNames()(0))
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1,
+          s"nested column type change not supported: ${upd.fieldNames().mkString(".")}")
+        t.widenColumn(upd.fieldNames()(0), upd.newDataType())
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other")
     }

@@ -296,6 +296,40 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     commitWithRetry(b => b.files, _ => narrowed.json, "alter")
   }
 
+  /** ALTER TABLE … ALTER COLUMN … TYPE — WIDENING only, metadata-only
+    * (Iceberg's int→long / float→double promotion): the declared schema
+    * gets the wider type; data files keep their narrower physical type,
+    * which Spark's vectorized parquet reader upcasts natively when the
+    * requested schema is wider (verified: int32 read as BIGINT, float as
+    * DOUBLE). Narrowing or cross-family changes are refused — they would
+    * corrupt or fail reads. Partition source columns are refused too:
+    * bucket hashes ints and longs differently, so widening one would
+    * silently divorce the write layout from the planner's function. */
+  def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    val base = snapshot(latestVersion)
+    val schema = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+    val field = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no such column: $name"))
+    val ok = (field.dataType, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(ok, s"only widening promotions are supported " +
+      s"(tinyint→smallint→int→bigint, float→double); " +
+      s"got ${field.dataType.simpleString} → ${to.simpleString} for $name")
+    val psrc = partitionCols.map(PartitionFields.parse).map(_.source)
+    require(!psrc.contains(name),
+      s"cannot change the type of partition source column $name")
+    val widened = StructType(schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    commitWithRetry(b => b.files, _ => widened.json, "alter")
+  }
+
   /** Every column name any schema generation has used (declared schemas
     * across all live snapshots, plus both sides of the rename log) — the
     * set a new or renamed column's name must avoid so a stale physical

@@ -195,6 +195,51 @@ class TableEvolutionSpec extends SparkFunSuite {
     assert(withA.nonEmpty)
   }
 
+  test("ALTER COLUMN TYPE widens int->bigint / float->double, metadata-only") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS ev.db.widen")
+    spark.sql("CREATE TABLE ev.db.widen (id INT, ratio FLOAT)")
+    spark.sql("INSERT INTO ev.db.widen VALUES (1, 1.5), (2, 2.5)")
+    val filesBefore = {
+      val t = SnapshotTable.load(spark, s"$wh/db/widen")
+      t.snapshot(t.latestVersion).files.map(_.path).toSet
+    }
+    spark.sql("ALTER TABLE ev.db.widen ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE ev.db.widen ALTER COLUMN ratio TYPE DOUBLE")
+    // metadata-only: the narrow files are read upcast, untouched on disk
+    val t = SnapshotTable.load(spark, s"$wh/db/widen")
+    assert(t.snapshot(t.latestVersion).files.map(_.path).toSet == filesBefore)
+    val schema = spark.table("ev.db.widen").schema
+    assert(schema("id").dataType.simpleString == "bigint")
+    assert(schema("ratio").dataType.simpleString == "double")
+    assert(spark.sql("SELECT sum(id) FROM ev.db.widen").head().getLong(0) == 3L)
+    // values beyond int range land fine post-widening
+    spark.sql(s"INSERT INTO ev.db.widen VALUES (${Long.MaxValue - 1}, 9.5)")
+    assert(spark.sql("SELECT max(id) FROM ev.db.widen").head().getLong(0) ==
+      Long.MaxValue - 1)
+    // old + new generations aggregate together
+    assert(spark.sql("SELECT count(*) FROM ev.db.widen WHERE ratio > 2.0")
+      .head().getLong(0) == 2L)
+    // time travel before the widening keeps the narrow schema
+    assert(spark.sql("SELECT * FROM ev.db.widen VERSION AS OF 1")
+      .schema("id").dataType.simpleString == "int")
+    // narrowing and cross-family changes are refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ev.db.widen ALTER COLUMN id TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ev.db.widen ALTER COLUMN ratio TYPE STRING")
+    }
+    // partition source columns are off limits (bucket hashes differ by type)
+    spark.sql("DROP TABLE IF EXISTS ev.db.widen_part")
+    spark.sql(
+      """CREATE TABLE ev.db.widen_part (id INT, v DOUBLE)
+        |PARTITIONED BY (bucket(4, id))""".stripMargin)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ev.db.widen_part ALTER COLUMN id TYPE BIGINT")
+    }
+  }
+
   test("months/years time transforms partition by their since-1970 ordinals") {
     wh
     spark.sql("DROP TABLE IF EXISTS ev.db.by_month")
