@@ -74,13 +74,16 @@ class GraftTable(tableName: String, location: String,
     * when the reader passed `since_version` (incremental read,
     * `spark.read.option("since_version", v).table(...)`) — only the files
     * appended after that version, with the same appends-only guard as
-    * [[SnapshotTable.appendsSince]]. */
+    * [[SnapshotTable.appendsSince]]. `option("skip_rewrites", "compact")`
+    * treats pure compactions as empty deltas, exactly like the streaming
+    * source (one shared algorithm, one shared option). */
   private def scanFiles(options: CaseInsensitiveStringMap): Seq[SnapshotTable.DataFile] =
     Option(options.get("since_version")) match {
       case None => snap.files
-      case Some(v) =>
+      case Some(_) =>
         SnapshotTable.load(spark, location)
-          .deltaFileList(v.toInt, snap.version, "incremental read")
+          .deltaFileList(GraftTable.intOption(options, "since_version").get,
+            snap.version, "incremental read", GraftTable.skipRewrites(options))
     }
 
   /** Scan builder with manifest-stats file skipping: pushed filters first

@@ -79,7 +79,9 @@ class PropertySpec extends SparkFunSuite {
       Gen.zip(Gen.choose(1, 4096), ident)
         .map { case (n, c) => PartitionFields.Bucket(n, c): PartitionFields.Field },
       Gen.zip(Gen.choose(1, 4096), ident)
-        .map { case (w, c) => PartitionFields.Truncate(w, c): PartitionFields.Field })
+        .map { case (w, c) => PartitionFields.Truncate(w, c): PartitionFields.Field },
+      Gen.zip(Gen.oneOf("days", "months", "years"), ident)
+        .map { case (u, c) => PartitionFields.TimeUnit(u, c): PartitionFields.Field })
     check(Prop.forAll(field) { f =>
       PartitionFields.parse(f.name) == f &&
         !f.dirKey.exists("(),".contains(_)) // dir keys never need path escaping

@@ -50,5 +50,17 @@ class IncrementalReadSpec extends SparkFunSuite {
     // predicates still prune within the incremental file set
     assert(spark.read.option("since_version", "0").table("icx.db.t")
       .filter("id > 1").count() == 2)
+
+    // skip_rewrites=compact: a routine compaction between the checkpoint
+    // and now is an empty delta — same option, same shared algorithm as
+    // the streaming source; without it the range refuses
+    SnapshotTable.load(spark, s"$wh/db/t").compact()
+    spark.sql("INSERT INTO icx.db.t VALUES (4)")
+    intercept[Exception] {
+      spark.read.option("since_version", "2").table("icx.db.t").count()
+    }
+    assert(spark.read.option("since_version", "2")
+      .option("skip_rewrites", "compact").table("icx.db.t")
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet == Set(4L))
   }
 }
