@@ -605,6 +605,8 @@ object Core {
   // its configured 1% rsd against a 5% bound, the quantile sketch's
   // median inside the exact [p45, p55] band (rank error at accuracy 1000
   // is ≤0.1%). A sketch regression flips a boolean and fails the hash.
+  // The timed plan deliberately includes the exact aggregates (they ARE
+  // the oracle); a pure sketch-throughput number would be untestable.
   def q29(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy("event_type")

@@ -341,6 +341,10 @@ object Streams {
   private def warehouseCatalogName(warehouse: String): String =
     "gwh_" + warehouse.replaceAll("[^a-zA-Z0-9]", "_")
 
+  /** Largest touched-key IN predicate a dynamic-table refresh will build
+    * before degrading to a full rewrite (see [[DynamicTable.refresh]]). */
+  private val MaxTouchedIn = 4096
+
   /** First-seen state machine with per-entry TTL for [[dedupStreamTtl]]:
     * state reads return nothing once an entry's TTL lapsed (expiry is
     * enforced on read; physical cleanup rides later batch commits), so an
@@ -423,11 +427,19 @@ object Streams {
           try {
             if (new java.io.File(s"$location/_snapshots").isDirectory) {
               // touched group keys, bounded by the batch's user
-              // cardinality — the replace predicate AND the merge scope
-              val touched = delta.select("user_id").collect().map(_.get(0))
+              // cardinality — the replace predicate AND the merge scope.
+              // A very wide batch (first catch-up batch touching most
+              // users) would build a pathological N-thousand-literal IN
+              // that costs more to evaluate than it saves, so past the
+              // bound the refresh degrades to the full rewrite the IN
+              // would have amounted to anyway.
+              val touched = delta.select("user_id")
+                .limit(MaxTouchedIn + 1).collect().map(_.get(0))
               if (touched.nonEmpty) {
                 val t = SnapshotTable.load(spark, location)
-                val cond = col("user_id").isin(touched.toIndexedSeq: _*)
+                val cond =
+                  if (touched.length > MaxTouchedIn) lit(true)
+                  else col("user_id").isin(touched.toIndexedSeq: _*)
                 val cur = t.read().filter(cond)
                 val merged = cur.join(delta, Seq("user_id"), "full")
                   .select(col("user_id"),

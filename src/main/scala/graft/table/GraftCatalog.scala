@@ -55,10 +55,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     }
 
+  // truncate_<w> is an infinite width-indexed family resolved on demand;
+  // the listing shows the enumerable functions
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      Array(Identifier.of(Array.empty, "bucket"),
-        Identifier.of(Array.empty, "truncate"))
+      Array("bucket", "truncate", "days", "months", "years")
+        .map(Identifier.of(Array.empty, _))
     else Array.empty
 
   /** `CALL graft.system.compact/expire_snapshots/rollback(…)` — the
@@ -220,35 +222,74 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * travel. ADD refuses names any earlier generation used (an old file
     * could still store values under it — resurrection guard). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.types._
     val t = open(ident)
+    // fold EVERY change into one schema + rename batch, validating as we
+    // go, and commit ONCE at the end: a multi-change ALTER (e.g. ADD
+    // COLUMNS (x, y) where y is invalid) either fully applies or commits
+    // nothing — never a half-altered table
+    val psrc = t.partitionCols.map(PartitionFields.parse).map(_.source)
+    val historical = t.historicalNames
+    def single(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"nested column $what not supported: ${fieldNames.mkString(".")}")
+      fieldNames(0)
+    }
+    var schema = org.apache.spark.sql.types.DataType
+      .fromJson(t.snapshot(t.latestVersion).schemaJson).asInstanceOf[StructType]
+    var renamed = Seq.empty[(String, String)]
     changes.foreach {
       case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1,
-          s"nested column add not supported: ${add.fieldNames().mkString(".")}")
-        val name = add.fieldNames()(0)
-        val snap = t.snapshot(t.latestVersion)
-        val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
-          .asInstanceOf[StructType]
+        val name = single(add.fieldNames(), "add")
         require(!schema.fieldNames.contains(name), s"column $name already exists")
-        require(!t.historicalNames.contains(name),
+        require(!historical.contains(name),
           s"cannot add column $name: a previous schema generation used that " +
             "name and old data files may still store values under it")
-        t.commitSchema(schema.add(name, add.dataType(), nullable = true).json)
+        schema = schema.add(name, add.dataType(), nullable = true)
       case rn: TableChange.RenameColumn =>
-        require(rn.fieldNames().length == 1,
-          s"nested column rename not supported: ${rn.fieldNames().mkString(".")}")
-        t.renameColumn(rn.fieldNames()(0), rn.newName())
+        val oldName = single(rn.fieldNames(), "rename")
+        val newName = rn.newName()
+        require(schema.fieldNames.contains(oldName), s"no such column: $oldName")
+        require(!schema.fieldNames.contains(newName),
+          s"column $newName already exists")
+        require(!psrc.contains(oldName),
+          s"cannot rename partition source column $oldName")
+        require(!historical.contains(newName),
+          s"cannot rename to $newName: a previous schema generation used that " +
+            "name and old data files may still store it — pick a fresh name")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == oldName) f.copy(name = newName) else f))
+        renamed :+= (newName -> oldName)
       case del: TableChange.DeleteColumn =>
-        require(del.fieldNames().length == 1,
-          s"nested column drop not supported: ${del.fieldNames().mkString(".")}")
-        t.dropColumn(del.fieldNames()(0))
+        val name = single(del.fieldNames(), "drop")
+        require(schema.fieldNames.contains(name), s"no such column: $name")
+        require(!psrc.contains(name), s"cannot drop partition source column $name")
+        require(schema.fields.length > 1, "cannot drop the last column")
+        schema = StructType(schema.fields.filterNot(_.name == name))
       case upd: TableChange.UpdateColumnType =>
-        require(upd.fieldNames().length == 1,
-          s"nested column type change not supported: ${upd.fieldNames().mkString(".")}")
-        t.widenColumn(upd.fieldNames()(0), upd.newDataType())
+        val name = single(upd.fieldNames(), "type change")
+        val field = schema.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $name"))
+        val to = upd.newDataType()
+        val ok = (field.dataType, to) match {
+          case (a, b) if a == b => false
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType) => true
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case _ => false
+        }
+        require(ok, s"only widening promotions are supported " +
+          s"(tinyint→smallint→int→bigint, float→double); " +
+          s"got ${field.dataType.simpleString} → ${to.simpleString} for $name")
+        require(!psrc.contains(name),
+          s"cannot change the type of partition source column $name")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = to) else f))
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other")
     }
+    t.commitEvolution(schema.json, renamed)
     parquetTable(ident, t.snapshot(t.latestVersion))
   }
 

@@ -187,12 +187,11 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     // partition source columns are stored in the data files themselves
     // (stage() keeps them alongside the __gp_ dir keys), so every read
-    // is a plain file-list read with the declared schema
+    // is a plain file-list read with the declared schema. Grouping is
+    // shared with the DSv2 scan path (RenameRead.groups) so generation
+    // resolution can never diverge between the two.
     val declared = schema.fieldNames.toSeq
-    val groups = files
-      .groupBy(f => SnapshotTable.fileLocalNames(declared, f.schemaVersion, renames))
-      .toSeq.sortBy(_._1.mkString(","))
-    groups.map { case (localNames, fs) =>
+    RenameRead.groups(files, declared, renames).map { case (localNames, fs) =>
       val localSchema = org.apache.spark.sql.types.StructType(
         schema.fields.zip(localNames).map { case (f, n) => f.copy(name = n) })
       spark.read.schema(localSchema).parquet(fs.map(_.path): _*)
@@ -244,6 +243,16 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
   private[table] def commitSchema(schemaJson: String): Int =
     commitWithRetry(base => base.files, _ => schemaJson, "alter")
 
+  /** One atomic ALTER commit for a BATCH of schema changes: the final
+    * schema plus every rename the batch performed (logged at the commit's
+    * version, in batch order) land in a single snapshot — a multi-change
+    * ALTER either fully applies or not at all. */
+  private[table] def commitEvolution(schemaJson: String,
+      renamed: Seq[(String, String)]): Int =
+    commitWithRetry(b => b.files, _ => schemaJson, "alter",
+      nextRenames = (b, v) =>
+        b.renames ++ renamed.map { case (n, o) => SnapshotTable.Rename(v, n, o) })
+
   /** ALTER TABLE … RENAME COLUMN — metadata-only (Iceberg T8 beyond ADD):
     * commits the renamed schema plus a [[SnapshotTable.Rename]] log entry;
     * no data file is touched. Files written before this commit physically
@@ -273,9 +282,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         "name and old data files may still store it — pick a fresh name")
     val renamed = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
-    commitWithRetry(b => b.files, _ => renamed.json, "alter",
-      nextRenames = (b, v) =>
-        b.renames :+ SnapshotTable.Rename(v, newName, oldName))
+    commitEvolution(renamed.json, Seq(newName -> oldName))
   }
 
   /** ALTER TABLE … DROP COLUMN — metadata-only: the column leaves the
@@ -468,7 +475,11 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val rewriteSet = rewrite.map(_.path).toSet
     val replacement =
       if (rewrite.isEmpty) df
-      else spark.read.schema(schema).parquet(rewrite.map(_.path): _*)
+      // readFileList, not a bare schema'd read: rewrite files may predate
+      // a RENAME COLUMN and store the old physical name — reading them
+      // with the declared name would null the renamed column in every
+      // carried row and stage the nulls permanently
+      else readFileList(rewrite, schema, base.renames)
         .filter(not(coalesce(cond, lit(false))))
         .unionByName(df, allowMissingColumns = true)
     val staged = stage(replacement, partitionCols)
@@ -861,8 +872,13 @@ object SnapshotTable {
     * postdates every rename. */
   private[table] def fileLocalNames(declared: Seq[String], schemaVersion: Int,
       renames: Seq[Rename]): Seq[String] = {
-    val newerFirst = renames.filter(_.atVersion > schemaVersion)
-      .sortBy(-_.atVersion)
+    // inverse-apply strictly newest-first; within one version (a batch
+    // ALTER that chained a→b, b→c in a single commit) later log entries
+    // are newer, so the index breaks the tie
+    val newerFirst = renames.zipWithIndex
+      .filter(_._1.atVersion > schemaVersion)
+      .sortBy { case (r, i) => (-r.atVersion, -i) }
+      .map(_._1)
     declared.map { c =>
       newerFirst.foldLeft(c)((n, r) => if (n == r.newName) r.oldName else n)
     }

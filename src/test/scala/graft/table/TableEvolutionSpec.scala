@@ -138,6 +138,39 @@ class TableEvolutionSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] { pt.renameColumn("grp", "g2") }
   }
 
+  test("scoped overwrite after RENAME COLUMN carries pre-rename rows intact") {
+    // regression: replaceWhere used to read the rewrite files with the
+    // DECLARED schema, nulling the renamed column in every carried row
+    val loc = scratch("rename-rw")
+    val t = SnapshotTable.create(spark, loc,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "amount"))
+    t.renameColumn("amount", "total")
+    // replace ONLY id=2; ids 1 and 3 live in a pre-rename file and must
+    // carry their values under the new name, not null
+    t.replaceWhere(col("id") === 2L, Seq((2L, 99.0)).toDF("id", "total"))
+    val got = t.read().orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)), s"got $got")
+  }
+
+  test("multi-change ALTER is atomic: a failing change commits nothing") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS ev.db.atomic_alter")
+    spark.sql("CREATE TABLE ev.db.atomic_alter (id BIGINT, v DOUBLE)")
+    val before = SnapshotTable.load(spark, s"$wh/db/atomic_alter").latestVersion
+    // second column collides → the WHOLE statement must fail with no commit
+    intercept[Exception] {
+      spark.sql("ALTER TABLE ev.db.atomic_alter ADD COLUMNS (x INT, v INT)")
+    }
+    val t = SnapshotTable.load(spark, s"$wh/db/atomic_alter")
+    assert(t.latestVersion == before, "failed ALTER must not commit")
+    assert(!spark.table("ev.db.atomic_alter").columns.contains("x"))
+    // and a valid multi-add lands as ONE snapshot
+    spark.sql("ALTER TABLE ev.db.atomic_alter ADD COLUMNS (x INT, y INT)")
+    assert(SnapshotTable.load(spark, s"$wh/db/atomic_alter").latestVersion == before + 1)
+    assert(spark.table("ev.db.atomic_alter").columns.toSeq == Seq("id", "v", "x", "y"))
+  }
+
   test("ALTER TABLE DROP COLUMN: schema-only, time travel keeps the column") {
     wh
     spark.sql("DROP TABLE IF EXISTS ev.db.dropped")
