@@ -509,6 +509,32 @@ object Ops {
        |WHERE ts >= TIMESTAMP '${Tables.daysAgo(7)}'
        |GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------- q65
+  // Dynamic table (T2) through the registry: the Snowflake TARGET_LAG
+  // refresh loop as availableNow micro-batches, each batch merged into a
+  // snapshot table incrementally — only the groups the batch touched are
+  // recomputed and only their files rewritten
+  // ([[graft.streaming.Streams.DynamicTable]] via the file-confined
+  // replaceWhere). The verified rows read the refreshed MV, so the
+  // counts prove the incremental merge equals the full recompute.
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.scratch(s"dyn_src_${tag(dir)}")
+    Tables.deleteRecursively(src)
+    ev(s, dir).repartition(6).write.parquet(src)
+    val loc = Tables.scratch(s"dyn_mv_${tag(dir)}")
+    val dyn = new graft.streaming.Streams.DynamicTable(s, loc)
+    dyn.refresh(src, s"q65_${tag(dir)}")
+      .select(col("user_id"), col("event_count"),
+        col("total_value").cast("double").as("total_value"),
+        size(col("event_types")).cast("long").as("n_event_types"))
+  }
+
+  val q65Sql =
+    """SELECT user_id, count(*) AS event_count,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       count(DISTINCT event_type) AS n_event_types
+      |FROM events GROUP BY user_id""".stripMargin
+
   // ------------------------------------------------------------- q62
   // Storage-partitioned join (SPJ), end-to-end: two graft tables
   // bucketed `bucket(8, user_id)` join on (day, user_id) WITHOUT any
@@ -652,7 +678,8 @@ object Ops {
     "q61_stateful_dedup" -> (q61 _),
     "q62_spj_join" -> (q62 _),
     "q63_streaming_pipeline" -> (q63 _),
-    "q64_days_transform" -> (q64 _))
+    "q64_days_transform" -> (q64 _),
+    "q65_dynamic_table" -> (q65 _))
 
   val oracle: Map[String, String] = Map(
     "q49_bench_metrics" -> q49Sql,
@@ -673,5 +700,6 @@ object Ops {
     "q61_stateful_dedup" -> q61Sql,
     "q62_spj_join" -> q62Sql,
     "q63_streaming_pipeline" -> q63Sql,
-    "q64_days_transform" -> q64Sql)
+    "q64_days_transform" -> q64Sql,
+    "q65_dynamic_table" -> q65Sql)
 }
