@@ -138,6 +138,27 @@ class TableEvolutionSpec extends SparkFunSuite {
     intercept[IllegalArgumentException] { pt.renameColumn("grp", "g2") }
   }
 
+  test("RENAME COLUMN on a partitioned table: layout intact, compact normalizes") {
+    val loc = scratch("rename-part-compact")
+    val t = SnapshotTable.create(spark, loc,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+        .toDF("id", "grp", "amount"),
+      partitionCols = Seq("grp"))
+    t.renameColumn("amount", "total")
+    t.append(Seq((4L, "b", 40.0)).toDF("id", "grp", "total"))
+    // mixed generations read correctly, partition filter still prunes
+    assert(t.read().agg(sum(col("total"))).head().getDouble(0) == 100.0)
+    assert(t.read().filter(col("grp") === "a")
+      .agg(sum(col("total"))).head().getDouble(0) == 40.0)
+    // compaction restages through the partitioned layout under the NEW
+    // names: single-generation reads return, per-partition files remain
+    t.compact()
+    val snap = t.snapshot(t.latestVersion)
+    assert(!SnapshotTable.needsRenameMapping(snap))
+    assert(snap.files.forall(_.path.contains("grp=")))
+    assert(t.read().agg(sum(col("total"))).head().getDouble(0) == 100.0)
+  }
+
   test("scoped overwrite after RENAME COLUMN carries pre-rename rows intact") {
     // regression: replaceWhere used to read the rewrite files with the
     // DECLARED schema, nulling the renamed column in every carried row
