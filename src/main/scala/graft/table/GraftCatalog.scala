@@ -49,7 +49,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // reports (see WidthTruncateFunction)
       case WidthTrunc(w) if ident.namespace().isEmpty =>
         new WidthTruncateFunction(w.toInt)
-      case u @ ("days" | "months" | "years") if ident.namespace().isEmpty =>
+      case u @ ("hours" | "days" | "months" | "years") if ident.namespace().isEmpty =>
         new TimeUnitFunction(u)
       case _ =>
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
@@ -59,7 +59,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // the listing shows the enumerable functions
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      Array("bucket", "truncate", "days", "months", "years")
+      Array("bucket", "truncate", "hours", "days", "months", "years")
         .map(Identifier.of(Array.empty, _))
     else Array.empty
 
@@ -185,11 +185,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           PartitionFields.Bucket(width("bucket"), refs(0).fieldNames()(0)).name
         case "truncate" if singleCol =>
           PartitionFields.Truncate(width("truncate"), refs(0).fieldNames()(0)).name
-        case u @ ("days" | "months" | "years") if singleCol =>
+        case u @ ("hours" | "days" | "months" | "years") if singleCol =>
           PartitionFields.TimeUnit(u, refs(0).fieldNames()(0)).name
         case _ => throw new UnsupportedOperationException(
-          s"only identity, bucket, truncate, and days/months/years partition " +
-            s"transforms are supported, got: $t")
+          s"only identity, bucket, truncate, and hours/days/months/years " +
+            s"partition transforms are supported, got: $t")
       }
     }
     pcols.map(PartitionFields.parse).foreach { f =>
@@ -201,6 +201,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case PartitionFields.TimeUnit(u, _) =>
           require(PartitionFields.timeSourceType(field.dataType),
             s"${f.name}: source must be timestamp/date, got ${field.dataType.simpleString}")
+          require(u != "hours" ||
+              field.dataType != org.apache.spark.sql.types.DateType,
+            s"${f.name}: hours of a DATE is degenerate — use days instead")
         case _ => require(PartitionFields.bucketableType(field.dataType),
           s"${f.name}: source must be int/bigint/string, got ${field.dataType.simpleString}")
       }

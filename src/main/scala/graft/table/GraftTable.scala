@@ -49,6 +49,7 @@ class GraftTable(tableName: String, location: String,
       case PartitionFields.Bucket(n, c) => Expressions.bucket(n, c)
       case PartitionFields.Truncate(w, c) => Expressions.apply("truncate",
         Expressions.literal(w), Expressions.column(c))
+      case PartitionFields.TimeUnit("hours", c) => Expressions.hours(c)
       case PartitionFields.TimeUnit("days", c) => Expressions.days(c)
       case PartitionFields.TimeUnit("months", c) => Expressions.months(c)
       case PartitionFields.TimeUnit(_, c) => Expressions.years(c)

@@ -168,6 +168,8 @@ private[table] class GraftKeyGroupedScan(
           : org.apache.spark.sql.connector.expressions.Expression
         case PartitionFields.Bucket(n, c) => Expressions.bucket(n, c)
           : org.apache.spark.sql.connector.expressions.Expression
+        case PartitionFields.TimeUnit("hours", c) => Expressions.hours(c)
+          : org.apache.spark.sql.connector.expressions.Expression
         case PartitionFields.TimeUnit("days", c) => Expressions.days(c)
           : org.apache.spark.sql.connector.expressions.Expression
         case PartitionFields.TimeUnit("months", c) => Expressions.months(c)

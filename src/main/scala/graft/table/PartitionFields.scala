@@ -68,12 +68,13 @@ private[graft] object PartitionFields {
 
   /** Iceberg's time transforms — the fact-table layout the reference's
     * day-partitioned events table IS, expressed as a transform instead of
-    * a materialized `day` column: `days(ts)` keys a partition per
-    * calendar day (UTC), `months(ts)` per month since epoch, `years(ts)`
-    * per year since 1970. Each file then holds one time slice, so ts
-    * footer stats are tight and range predicates prune files; SPJ works
-    * through the FunctionCatalog `days`/`months`/`years` functions (one
-    * attribute child, like bucket). */
+    * a materialized `day` column: `hours(ts)` keys a partition per hour
+    * since epoch, `days(ts)` per calendar day (UTC), `months(ts)` per
+    * month since epoch, `years(ts)` per year since 1970. Each file then
+    * holds one time slice, so ts footer stats are tight and range
+    * predicates prune files; SPJ works through the FunctionCatalog
+    * `hours`/`days`/`months`/`years` functions (one attribute child,
+    * like bucket). */
   final case class TimeUnit(unit: String, source: String) extends Field {
     def name: String = s"$unit($source)"
     def dirKey: String = s"${unit.take(1)}_$source"
@@ -81,7 +82,7 @@ private[graft] object PartitionFields {
 
   private val BucketRe = """bucket\((\d+)\s*,\s*([^)]+)\)""".r
   private val TruncateRe = """truncate\((\d+)\s*,\s*([^)]+)\)""".r
-  private val TimeRe = """(days|months|years)\(([^)]+)\)""".r
+  private val TimeRe = """(hours|days|months|years)\(([^)]+)\)""".r
 
   def parse(s: String): Field = s match {
     case BucketRe(n, c) => Bucket(n.toInt, c.trim)
@@ -239,6 +240,8 @@ private[graft] final class TimeUnitFunction(unit: String)
     val dt = inputType(0).dataType
     require(PartitionFields.timeSourceType(dt),
       s"$unit source must be timestamp/date, got ${dt.simpleString}")
+    require(unit != "hours" || dt != DateType,
+      "hours of a DATE is degenerate — use days(col) instead")
     new ScalarFunction[Integer] {
       override def inputTypes(): Array[DataType] = Array(dt)
       override def resultType(): DataType =
@@ -247,6 +250,9 @@ private[graft] final class TimeUnitFunction(unit: String)
       override def canonicalName(): String = s"graft.$unit(${dt.simpleString})"
       override def produceResult(input: InternalRow): Integer = {
         if (input.isNullAt(0)) return null
+        if (unit == "hours")
+          return Integer.valueOf(
+            Math.floorDiv(input.getLong(0), 3_600_000_000L).toInt)
         val epochDay: Long = dt match {
           case DateType => input.getInt(0).toLong
           case _ => Math.floorDiv(input.getLong(0), 86_400_000_000L) // micros/day

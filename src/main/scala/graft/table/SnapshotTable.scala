@@ -679,6 +679,10 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
               d.withColumn(dc, dir)
             // time transforms (sessions are pinned UTC, so to_date/year/
             // month agree with the FunctionCatalog mirrors' floorDiv)
+            case PartitionFields.TimeUnit("hours", c) =>
+              // floor division via pmod: timestamp→long is epoch seconds
+              val sec = col(c).cast("long")
+              d.withColumn(dc, ((sec - pmod(sec, lit(3600))) / 3600).cast("int"))
             case PartitionFields.TimeUnit("days", c) =>
               d.withColumn(dc, to_date(col(c)))
             case PartitionFields.TimeUnit("months", c) =>

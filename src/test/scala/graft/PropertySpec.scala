@@ -80,7 +80,7 @@ class PropertySpec extends SparkFunSuite {
         .map { case (n, c) => PartitionFields.Bucket(n, c): PartitionFields.Field },
       Gen.zip(Gen.choose(1, 4096), ident)
         .map { case (w, c) => PartitionFields.Truncate(w, c): PartitionFields.Field },
-      Gen.zip(Gen.oneOf("days", "months", "years"), ident)
+      Gen.zip(Gen.oneOf("hours", "days", "months", "years"), ident)
         .map { case (u, c) => PartitionFields.TimeUnit(u, c): PartitionFields.Field })
     check(Prop.forAll(field) { f =>
       PartitionFields.parse(f.name) == f &&

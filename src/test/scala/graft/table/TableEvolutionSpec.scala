@@ -328,11 +328,35 @@ class TableEvolutionSpec extends SparkFunSuite {
     assert(yOrd == Seq(53, 54), s"year ordinals: $yOrd")
     assert(spark.sql("SELECT count(*) FROM ev.db.by_year").head().getLong(0) == 2)
 
-    // a non-temporal source column is refused at CREATE time
+    // hours(ts): one slice per epoch hour
+    spark.sql("DROP TABLE IF EXISTS ev.db.by_hour")
+    spark.sql(
+      """CREATE TABLE ev.db.by_hour (id BIGINT, ts TIMESTAMP)
+        |PARTITIONED BY (hours(ts))""".stripMargin)
+    spark.sql(
+      """INSERT INTO ev.db.by_hour VALUES
+        |(1, TIMESTAMP '2024-01-01 05:10:00'),
+        |(2, TIMESTAMP '2024-01-01 05:50:00'),
+        |(3, TIMESTAMP '2024-01-01 06:05:00')""".stripMargin)
+    val th = SnapshotTable.load(spark, s"$wh/db/by_hour")
+    val hFiles = th.snapshot(th.latestVersion).files
+    assert(hFiles.size == 2, s"expected 2 hour files, got ${hFiles.size}")
+    val hOrd = hFiles.flatMap(_.stats.get("hours(ts)").map(_.min.toLong)).sorted
+    val base = java.time.Instant.parse("2024-01-01T05:00:00Z").getEpochSecond / 3600
+    assert(hOrd == Seq(base, base + 1), s"hour ordinals: $hOrd vs base $base")
+    assert(spark.sql("SELECT count(*) FROM ev.db.by_hour").head().getLong(0) == 3)
+
+    // a non-temporal source column is refused at CREATE time, as is
+    // hours() of a DATE
     intercept[Exception] {
       spark.sql(
         """CREATE TABLE ev.db.bad_days (id BIGINT, name STRING)
           |PARTITIONED BY (days(name))""".stripMargin)
+    }
+    intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE ev.db.bad_hours (id BIGINT, d DATE)
+          |PARTITIONED BY (hours(d))""".stripMargin)
     }
   }
 
