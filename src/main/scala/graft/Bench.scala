@@ -94,11 +94,12 @@ object Bench {
       // 6× slowdown on late queries. Each query keeps its caches only
       // while IT runs.
       spark.sqlContext.clearCache()
-      // memory-format streaming sinks (q42/q43/q46) register temp views
-      // that clearCache() does NOT touch — their sink state lives in the
-      // block manager until the view is dropped. Drop every temp view the
-      // query left behind, then sweep RDDs persisted outside the SQL cache
-      // manager, so each query starts from an empty block manager.
+      // any temp view a query registers survives clearCache() — its state
+      // lives in the block manager until the view is dropped. Drop every
+      // temp view the query left behind, then sweep RDDs persisted outside
+      // the SQL cache manager, so each query starts from an empty block
+      // manager. (No registry query uses a memory sink anymore; this stays
+      // as a guard against regressions.)
       spark.sessionState.catalog.listLocalTempViews("*")
         .foreach(id => spark.catalog.dropTempView(id.table))
       spark.sparkContext.getPersistentRDDs.values

@@ -65,11 +65,13 @@ object Ops {
   // date-partitioned events layout is consumed as a file stream in
   // micro-batches (maxFilesPerTrigger plays the Firehose buffer) and the
   // grouped aggregate is maintained in streaming state; result must equal
-  // the batch recompute — which is exactly what the oracle checks.
+  // the batch recompute — which is exactly what the oracle checks. The
+  // complete-mode result lands in a graft snapshot table through the
+  // sink's truncate path, on a cloned session (no caller conf flips).
   def q42(s: SparkSession, dir: String): DataFrame = {
     val pdir = Core.partitionedEventsDir(s, dir)
     graft.streaming.Streams
-      .streamingAggregate(s, pdir, s"q42_mem_${tag(dir)}")
+      .streamingAggregate(s, pdir, s"q42_agg_${tag(dir)}")
       .select("event_type", "event_count", "total_value")
       .orderBy("event_type")
   }

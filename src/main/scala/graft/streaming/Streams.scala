@@ -24,52 +24,40 @@ object Streams {
   /** T1+T2 (complete-mode variant): ingest a parquet directory as a file
     * stream in micro-batches and maintain a grouped aggregate in the
     * streaming state store; returns the final aggregate after availableNow
-    * drains the backlog.
+    * drains the backlog. Complete-mode output lands in a graft snapshot
+    * table (each epoch swaps the full recomputed result through the
+    * sink's truncate path) on a CLONED session — the state-shard sizing
+    * and nanos confs never touch the caller's session.
     */
   def streamingAggregate(spark: SparkSession, srcDir: String,
       queryName: String, maxFilesPerTrigger: Int = 10,
-      statePartitions: Int = 8): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(srcDir).schema
-    val ckpt = Tables.scratch(s"ckpt/$queryName")
-    Tables.deleteRecursively(ckpt)
-    val raw = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(srcDir)
-    val withTs =
-      if (schema.fieldNames.contains("ts") &&
-          schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
-    val agg = withTs.groupBy("event_type")
-      .agg(count(lit(1)).as("event_count"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-    // the state store creates (and checkpoints) one partition per shuffle
-    // partition EVERY micro-batch; size it to the group-key cardinality,
-    // not the session default — at scale this is the state-shard count,
-    // here it cuts per-batch fsync 4× for a 5-group aggregate
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    try {
-      val q = agg.writeStream
-        .format("memory")
-        .queryName(queryName)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    spark.table(queryName)
-  }
+      statePartitions: Int = 8, warehouse: Option[String] = None): DataFrame =
+    drainToTable(spark, queryName, warehouse, statePartitions,
+      "event_type STRING, event_count BIGINT, total_value DOUBLE",
+      outputMode = "complete") { s2 =>
+      val schema = s2.read.parquet(srcDir).schema
+      val raw = s2.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(srcDir)
+      val withTs =
+        if (schema.fieldNames.contains("ts") &&
+            schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      withTs.groupBy("event_type")
+        .agg(count(lit(1)).as("event_count"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    }
 
-  /** Drain an append-mode stream into a graft snapshot table through the
-    * exactly-once DSv2 streaming sink and return the landed table — the
-    * scale-correct sink for every unbounded-output streaming operator
-    * here: at 100 TB/day the emitted stream (closed sessions, finalized
-    * windows, first-seen docs) is itself large, and a driver-side memory
-    * sink would be the bottleneck the distributed sink exists to avoid.
+  /** Drain a stream into a graft snapshot table through the exactly-once
+    * DSv2 streaming sink and return the landed table — the scale-correct
+    * sink for every streaming operator here: at 100 TB/day the emitted
+    * stream (closed sessions, finalized windows, first-seen docs) is
+    * itself large, and a driver-side memory sink would be the bottleneck
+    * the distributed sink exists to avoid. `outputMode` "append" commits
+    * each epoch's rows as an append snapshot; "complete" swaps the whole
+    * file list per epoch (the sink's truncate path).
     *
     * Isolation: the drain runs on a CLONED session — the state-shard
     * sizing conf and the catalog registration never leak to (or race
@@ -82,7 +70,8 @@ object Streams {
     * Each call is a one-shot bounded drain into a FRESH table (checkpoint
     * and output location reset). */
   private def drainToTable(spark: SparkSession, name: String,
-      warehouse: Option[String], statePartitions: Int, columnsDdl: String)
+      warehouse: Option[String], statePartitions: Int, columnsDdl: String,
+      outputMode: String = "append")
       (mkStream: SparkSession => DataFrame): DataFrame = {
     import graft.table.{GraftCatalog, SnapshotTable}
     val ckpt = Tables.scratch(s"ckpt/$name")
@@ -101,7 +90,7 @@ object Streams {
     try {
       s2.sql(s"CREATE TABLE $cat.db.`$name` ($columnsDdl)")
       mkStream(s2).writeStream
-        .outputMode("append")
+        .outputMode(outputMode)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .toTable(s"$cat.db.`$name`")

@@ -509,10 +509,13 @@ class GraftTable(tableName: String, location: String,
             }
           }
         // `df.writeStream.toTable(...)`: exactly-once epoch-committed
-        // appends, idempotent across restarts (see GraftStreamingWrite)
+        // appends, idempotent across restarts (see GraftStreamingWrite).
+        // Complete mode rides the builder's truncate() flag: each epoch
+        // then swaps the whole file list instead of appending.
         override def toStreaming
             : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new GraftStreamingWrite(location, info.schema(), info.queryId())
+          new GraftStreamingWrite(location, info.schema(), info.queryId(),
+            truncate = overwrite)
       }
     }
 }

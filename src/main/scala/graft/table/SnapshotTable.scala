@@ -807,6 +807,25 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       operation)
   }
 
+  /** Replace the table's ENTIRE content with parquet files an external
+    * writer staged (the DSv2 streaming COMPLETE-mode epoch write: each
+    * epoch re-emits the full aggregate result, so the epoch commit swaps
+    * the whole file list instead of appending). Same rename-into-`data/`
+    * + footer-stats path as [[appendStagedFiles]]; an empty staged set is
+    * a legitimate complete-mode result and commits an empty snapshot. */
+  private[table] def replaceStagedFiles(stagedPaths: Seq[java.nio.file.Path],
+      schema: org.apache.spark.sql.types.StructType, operation: String): Int = {
+    val dest = dataDir.resolve(java.util.UUID.randomUUID.toString)
+    Files.createDirectories(dest)
+    val moved = stagedPaths.sortBy(_.toString).map { p =>
+      val d = dest.resolve(p.getFileName)
+      Files.move(p, d)
+      d.toString
+    }
+    val files = manifestEntries(moved, schema, Seq.empty, latestVersion)
+    commitWithRetry(_ => files, _ => schema.json, operation)
+  }
+
   private def commitWithRetry(
       nextFiles: SnapshotTable.Snapshot => Seq[SnapshotTable.DataFile],
       nextSchema: SnapshotTable.Snapshot => String,

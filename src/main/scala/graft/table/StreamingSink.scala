@@ -22,7 +22,7 @@ import org.apache.spark.util.SerializableConfiguration
   * `aws-community-builders-presentation.md:214-251`).
   */
 class GraftStreamingWrite(location: String, schema: StructType,
-    queryId: String) extends StreamingWrite {
+    queryId: String, truncate: Boolean = false) extends StreamingWrite {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -105,7 +105,11 @@ class GraftStreamingWrite(location: String, schema: StructType,
           s"epoch $epochId of query $queryId: ${declared.size - staged.size} " +
             s"of ${declared.size} staged file(s) missing from ${dir}; " +
             "failing the commit so the batch is re-staged")
-      if (staged.nonEmpty) t.appendStagedFiles(staged, schema, tag)
+      // COMPLETE output mode (builder's truncate()): the epoch carries the
+      // full recomputed result, so swap the whole file list — an empty
+      // result is a legitimate complete-mode epoch and still commits
+      if (truncate) t.replaceStagedFiles(staged, schema, tag)
+      else if (staged.nonEmpty) t.appendStagedFiles(staged, schema, tag)
     }
     recordEpoch(math.max(epochId, lastCommittedEpoch))
     graft.Tables.deleteRecursively(dir.toString)
