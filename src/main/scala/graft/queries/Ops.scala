@@ -524,7 +524,12 @@ object Ops {
     Tables.deleteRecursively(src)
     ev(s, dir).repartition(6).write.parquet(src)
     val loc = Tables.scratch(s"dyn_mv_${tag(dir)}")
-    val dyn = new graft.streaming.Streams.DynamicTable(s, loc)
+    // bucket(16,user_id): the MV's files cluster by user hash, so each
+    // refresh batch's touched-key IN pins its bucket ids and replaceWhere
+    // rewrites O(touched buckets) files, not the whole MV — the
+    // incremental path this operator exists for, now registry-exercised
+    val dyn = new graft.streaming.Streams.DynamicTable(s, loc,
+      partitionCols = Seq("bucket(16,user_id)"))
     dyn.refresh(src, s"q65_${tag(dir)}")
       .select(col("user_id"), col("event_count"),
         col("total_value").cast("double").as("total_value"),

@@ -390,12 +390,16 @@ object Streams {
     import graft.table.SnapshotTable
 
     def refresh(srcDir: String, name: String): DataFrame = {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = spark.read.parquet(srcDir).schema
+      // the whole refresh runs on a CLONED session: the nanos conf and
+      // any planning state of the drain never leak to (or race with)
+      // queries on the caller's session
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s2.read.parquet(srcDir).schema
       val ckpt = Tables.scratch(s"ckpt/dyn_$name")
       Tables.deleteRecursively(ckpt)
       Tables.deleteRecursively(location)
-      val raw = spark.readStream.schema(schema)
+      val raw = s2.readStream.schema(schema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
       val emptyArr = array().cast("array<string>")
       val q = raw.writeStream
@@ -403,6 +407,7 @@ object Streams {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+          val sb = rawBatch.sparkSession // the micro-batch's cloned session
           val batch =
             if (rawBatch.schema("ts").dataType == org.apache.spark.sql.types.LongType)
               rawBatch.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -425,13 +430,27 @@ object Streams {
               val touched = delta.select("user_id")
                 .limit(MaxTouchedIn + 1).collect().map(_.get(0))
               if (touched.nonEmpty) {
-                val t = SnapshotTable.load(spark, location)
+                val t = SnapshotTable.load(sb, location)
+                // NULL-SAFE replace scope: a plain IN evaluates to NULL
+                // for the MV's null-keyed row — excluded from the merge
+                // read yet NOT replaced by replaceWhere (only cond=TRUE
+                // rows are), which would duplicate the null-user group.
+                // A null key gets an explicit IS NULL disjunct instead.
+                val (nullKeys, keys) = touched.partition(_ == null)
                 val cond =
                   if (touched.length > MaxTouchedIn) lit(true)
-                  else col("user_id").isin(touched.toIndexedSeq: _*)
+                  else Seq(
+                    Option.when(keys.nonEmpty)(
+                      col("user_id").isin(keys.toIndexedSeq: _*)),
+                    Option.when(nullKeys.nonEmpty)(col("user_id").isNull)
+                  ).flatten.reduce(_ || _)
                 val cur = t.read().filter(cond)
-                val merged = cur.join(delta, Seq("user_id"), "full")
-                  .select(col("user_id"),
+                // null-safe join key (<=>): the delta's null-key group
+                // must MERGE with the MV's null-key row, not append a
+                // second partial row beside it
+                val merged = cur
+                  .join(delta, cur("user_id") <=> delta("user_id"), "full")
+                  .select(coalesce(cur("user_id"), delta("user_id")).as("user_id"),
                     (coalesce(cur("event_count"), lit(0L)) +
                       coalesce(delta("event_count"), lit(0L))).as("event_count"),
                     // pin the sum's decimal type: + widens precision per
@@ -447,10 +466,13 @@ object Streams {
                       coalesce(delta("event_types"), emptyArr)))).as("event_types"))
                 // swap only the files that might hold a touched user; the
                 // rest of the MV carries over by reference (no read, no
-                // rewrite) — O(touched files) I/O per refresh
+                // rewrite) — O(touched files) I/O per refresh. On a
+                // bucket-partitioned MV the touched-key IN pins the
+                // bucket ids (StatsPruning.bucketDerived), so the replace
+                // is file-confined even under hash layout.
                 t.replaceWhere(cond, merged, "dynamic-refresh")
               }
-            } else SnapshotTable.create(spark, location, delta, partitionCols)
+            } else SnapshotTable.create(sb, location, delta, partitionCols)
           } finally delta.unpersist()
           ()
         }

@@ -471,7 +471,11 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       .filter(cond).queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
       }.flatMap(StatsPruning.fromCatalyst).toSeq
-    val rewrite = StatsPruning.prune(base.files, pred)
+    // bucket transforms: a key-equality/IN predicate pins the touched
+    // bucket ids, letting a hash-partitioned table prune by partition
+    // value where min/max ranges cannot (hash destroys value order)
+    val bucketPred = StatsPruning.bucketDerived(partitionCols, schema, pred)
+    val rewrite = StatsPruning.prune(base.files, pred ++ bucketPred)
     val rewriteSet = rewrite.map(_.path).toSet
     val replacement =
       if (rewrite.isEmpty) df

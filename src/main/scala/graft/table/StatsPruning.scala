@@ -41,6 +41,7 @@ object StatsPruning {
       }
     }
     e match {
+      case ce.IsNull(Attr(a)) => Some(IsNull(a))
       case ce.EqualTo(Attr(a), ce.Literal(v, _)) => Some(EqualTo(a, lit(v)))
       case ce.EqualTo(ce.Literal(v, _), Attr(a)) => Some(EqualTo(a, lit(v)))
       case ce.GreaterThan(Attr(a), ce.Literal(v, _)) => Some(GreaterThan(a, lit(v)))
@@ -66,7 +67,55 @@ object StatsPruning {
     }
   }
 
-  /** Can `filter` possibly hold for some row of `file`? */
+  /** Derive bucket-partition pruning filters implied by `filters`: for a
+    * table bucketed `bucket(n, c)`, an equality / IN / IS NULL constraint
+    * on `c` pins matching rows to a COMPUTABLE set of bucket ids (the
+    * write layout's own `pmod(hash(v), n)`), and every bucketed file
+    * carries its bucket id as a min==max manifest stat under the
+    * transform's name — so a key-scoped replaceWhere or scan prunes to
+    * O(touched buckets) files even though the hash destroys value order
+    * and plain min/max ranges prune nothing. Conservative: any filter
+    * shape that doesn't pin the bucket set derives nothing (no pruning),
+    * and the derived filter is ANDed alongside the originals, so rows
+    * are never lost — only provably-bucket-mismatched files skipped. */
+  def bucketDerived(pcols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      filters: Seq[Filter]): Seq[Filter] =
+    pcols.map(PartitionFields.parse).collect {
+      case b @ PartitionFields.Bucket(n, c) =>
+        val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        // coerce a filter literal to the COLUMN's type before hashing:
+        // Murmur3 hashes int and long differently, so an Integer literal
+        // against a bigint column must hash as long (the write layout
+        // hashes the column value)
+        def bid(v: Any): Option[Int] = {
+          val coerced: Option[Any] = (dt, v) match {
+            case (Some(org.apache.spark.sql.types.LongType), x: Number) =>
+              Some(java.lang.Long.valueOf(x.longValue()))
+            case (Some(org.apache.spark.sql.types.IntegerType), x: Number) =>
+              Some(java.lang.Integer.valueOf(x.intValue()))
+            case (Some(org.apache.spark.sql.types.StringType), x) =>
+              Some(org.apache.spark.unsafe.types.UTF8String.fromString(x.toString))
+            case _ => None
+          }
+          coerced.map(BucketFunction.bucketId(_, n))
+        }
+        // bucket ids a filter confines column c to; None = unconstrained
+        def ids(f: Filter): Option[Set[Int]] = f match {
+          case EqualTo(`c`, v) => bid(v).map(Set(_))
+          case In(`c`, vs) =>
+            val bs = vs.toSeq.map(bid)
+            if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+          case IsNull(`c`) => Some(Set(BucketFunction.bucketId(null, n)))
+          case And(l, r) =>
+            (ids(l) ++ ids(r)).reduceOption(_ intersect _)
+          case Or(l, r) => for { a <- ids(l); b <- ids(r) } yield a union b
+          case _ => None
+        }
+        val constrained = filters.flatMap(ids)
+        constrained.reduceOption(_ intersect _).map(set =>
+          In(b.name, set.toArray.map(Integer.valueOf(_): Any)))
+    }.flatten
   private def satisfiable(file: SnapshotTable.DataFile, filter: Filter): Boolean =
     filter match {
       case EqualTo(c, v) => inRange(file, c, v, v)

@@ -66,6 +66,76 @@ class StreamsSpec extends SparkFunSuite {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("bucketed dynamic table: a 1-user refresh rewrites only its bucket's files") {
+    val src = scratch("dynbucket-src")
+    val events = graft.Tables.load(spark, sf, "events")
+    val hot = events.select("user_id").limit(1).collect()(0).get(0)
+    events.filter(col("user_id") =!= hot).coalesce(1).write.parquet(src)
+    events.filter(col("user_id") === hot)
+      .coalesce(1).write.mode("append").parquet(src)
+    val loc = scratch("dynbucket-mv")
+    // HASH layout (the 100 TB shape — identity per user is a non-starter
+    // at millions of keys): pruning must come from the bucket-derived
+    // partition-value stats, since hash destroys min/max value order
+    val dyn = new Streams.DynamicTable(spark, loc,
+      partitionCols = Seq("bucket(8,user_id)"), maxFilesPerTrigger = 1)
+    val result = dyn.refresh(src, "streams-bucket-inc")
+
+    val t = graft.table.SnapshotTable.load(spark, loc)
+    val vFinal = t.latestVersion
+    assert(vFinal >= 1, "expected at least two refresh commits")
+    val prev = t.snapshot(vFinal - 1).files
+    val fin = t.snapshot(vFinal).files.map(_.path).toSet
+    // the 1-user batch may rewrite ONLY files of that user's bucket —
+    // every other bucket's file must carry over by reference. (dropped
+    // may even be EMPTY: per-file user_id min/max can prove the hot id
+    // absent from its bucket file, in which case the merge appends.)
+    val dropped = prev.filterNot(f => fin(f.path))
+    val hotBucket = graft.table.BucketFunction.bucketId(hot, 8)
+    assert(dropped.forall(f =>
+      f.stats.get("bucket(8,user_id)").exists(s => s.min.toInt == hotBucket)),
+      s"refresh rewrote files outside bucket $hotBucket: " +
+        dropped.map(f => f.stats.get("bucket(8,user_id)")).mkString(", "))
+    assert(dropped.size < prev.size,
+      s"refresh rewrote all ${prev.size} files — no bucket confinement")
+    assert((fin -- prev.map(_.path)).nonEmpty, "no new file for the touched user")
+
+    val expected = spark.read.parquet(src)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("event_count"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    val got = result.select($"user_id", $"event_count", $"total_value".cast("double"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("dynamic table accumulates a NULL-key group instead of duplicating it") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    def rows(vs: (java.lang.Long, String, Double)*) = spark.createDataFrame(
+      spark.sparkContext.parallelize(vs.map { case (u, e, v) =>
+        org.apache.spark.sql.Row(u, e, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), v)
+      }), schema)
+    val src = scratch("dynnull-src")
+    // null-keyed rows arrive in BOTH batches (maxFilesPerTrigger=1): the
+    // second refresh must MERGE into the MV's null row, not append a
+    // duplicate partial row beside it
+    rows((null, "click", 1.0), (7L, "view", 2.0)).coalesce(1).write.parquet(src)
+    rows((null, "view", 3.0), (null, "click", 4.0))
+      .coalesce(1).write.mode("append").parquet(src)
+    val loc = scratch("dynnull-mv")
+    val dyn = new Streams.DynamicTable(spark, loc, maxFilesPerTrigger = 1)
+    val result = dyn.refresh(src, "streams-null-key")
+    val nullRows = result.filter(col("user_id").isNull)
+    assert(nullRows.count() == 1,
+      s"null-key group duplicated: ${nullRows.collect().mkString("; ")}")
+    val r = nullRows.collect()(0)
+    assert(r.getAs[Long]("event_count") == 3L,
+      s"null-key counts not accumulated: $r")
+    assert(result.count() == 2)
+  }
+
   test("watermarked tumbling windows emit finalized windows matching batch") {
     val src = scratch("win-src")
     graft.Tables.load(spark, sf, "events")

@@ -46,6 +46,51 @@ class StatsPruningSpec extends AnyFunSuite {
     assert(keeps(EqualTo("id", "not-a-number")))  // type mismatch → keep
   }
 
+  test("bucketDerived pins bucket ids from key equality/IN/IS NULL shapes") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("user_id", LongType)))
+    val pcols = Seq("bucket(8,user_id)")
+    def derived(fs: Filter*): Seq[Filter] =
+      StatsPruning.bucketDerived(pcols, schema, fs)
+    val b7 = BucketFunction.bucketId(java.lang.Long.valueOf(7L), 8)
+    val b9 = BucketFunction.bucketId(java.lang.Long.valueOf(9L), 8)
+    val bNull = BucketFunction.bucketId(null, 8)
+
+    derived(EqualTo("user_id", 7L)) match {
+      case Seq(In("bucket(8,user_id)", vs)) => assert(vs.toSet == Set(b7))
+      case other => fail(s"unexpected: $other")
+    }
+    // Integer literal against a bigint column must hash as LONG
+    derived(EqualTo("user_id", 7)) match {
+      case Seq(In("bucket(8,user_id)", vs)) => assert(vs.toSet == Set(b7))
+      case other => fail(s"unexpected: $other")
+    }
+    derived(In("user_id", Array(7L, 9L))) match {
+      case Seq(In("bucket(8,user_id)", vs)) => assert(vs.toSet == Set(b7, b9))
+      case other => fail(s"unexpected: $other")
+    }
+    // the null-safe replace shape: IS NULL OR IN — nulls hash to a real
+    // bucket (seed), so the union is still a finite pinned set
+    derived(Or(IsNull("user_id"), In("user_id", Array(7L)))) match {
+      case Seq(In("bucket(8,user_id)", vs)) => assert(vs.toSet == Set(b7, bNull))
+      case other => fail(s"unexpected: $other")
+    }
+    // range shapes pin nothing (hash destroys order) → no derived filter
+    assert(derived(GreaterThan("user_id", 7L)).isEmpty)
+    // Or with an unconstrained side pins nothing
+    assert(derived(Or(EqualTo("user_id", 7L), GreaterThan("user_id", 0L))).isEmpty)
+
+    // end-to-end: the derived filter prunes other buckets' files via the
+    // min==max partition-value stat, where user_id ranges cannot
+    val inB7 = file("bucket(8,user_id)" ->
+      SnapshotTable.ColStats("long", b7.toString, b7.toString))
+    val other = file("bucket(8,user_id)" ->
+      SnapshotTable.ColStats("long", ((b7 + 1) % 8).toString, ((b7 + 1) % 8).toString))
+    val kept = StatsPruning.prune(Seq(inB7, other),
+      derived(EqualTo("user_id", 7L)))
+    assert(kept == Seq(inB7))
+  }
+
   test("fromCatalyst translates comparisons and flips literal-first forms") {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.LongType
