@@ -479,5 +479,7 @@ object Registry {
       (es: Seq[Expression]) => InterleaveBits(es), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       (es: Seq[Expression]) => WordShingles(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("image_meta",
+      (es: Seq[Expression]) => ImageMetaExpr(es(0)), "built-in")
   }
 }

@@ -8,9 +8,13 @@ import org.apache.spark.sql.types._
   * opaque `binary` column plus typed metadata, and per-item decode /
   * feature-extraction / frame-sampling runs as `mapPartitions` over the
   * binary payloads — the Spark-side schema, batching, and partitioning are
-  * real; the codec itself is a clearly-marked deterministic STUB (this
-  * container has no image/audio libraries; swap [[StubCodec]] for a real
-  * decoder on a cluster that does).
+  * real. Container METADATA extraction is real too:
+  * [[graft.functions.ImageMetaExpr]] parses PNG/JPEG/GIF format and pixel
+  * dimensions straight off the header bytes (no codec library needed —
+  * q66 oracle-checks it). Only the DEEP decode (pixel data → feature
+  * vector) is a clearly-marked deterministic STUB: this container has no
+  * image/audio libraries; swap [[StubCodec]] for a real decoder on a
+  * cluster that does.
   *
   * Scale design: decode is embarrassingly parallel per partition — no
   * shuffle is introduced (verified by MultimodalSpec asserting the plan is

@@ -500,6 +500,45 @@ object Llm {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- q66
+  // REAL multimodal metadata: the fixture writer emits actual container
+  // bytes (PNG signature+IHDR / JPEG APP0-then-SOF0 segments / GIF89a
+  // descriptor) keyed deterministically by doc_id, and the native
+  // [[graft.functions.ImageMetaExpr]] parses format and pixel dimensions
+  // back OFF THE BYTES — no codec library, pure header arithmetic. The
+  // oracle recomputes the expected dimensions from doc_id, so a parser
+  // that misreads any header (endianness, segment walk, offsets) hash-
+  // mismatches. Decode runs per-row inside the scan projection: no
+  // shuffle, no driver collect, payload bytes never leave the executor.
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mediaDir = Tables.scratch(s"media/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+    ids.map { id =>
+      val fmt = (id % 3) match {
+        case 0 => "png"; case 1 => "jpeg"; case _ => "gif"
+      }
+      (id, graft.functions.ImageMeta.encode(fmt,
+        1 + (id % 640).toInt, 1 + (id % 480).toInt))
+    }.toDF("doc_id", "content")
+      .write.mode("overwrite").parquet(mediaDir)
+    s.read.parquet(mediaDir)
+      .select(col("doc_id"), expr("image_meta(content)").as("m"))
+      .select(col("doc_id"),
+        col("m.format").as("format"),
+        col("m.width").cast("long").as("width"),
+        col("m.height").cast("long").as("height"))
+      .orderBy("doc_id")
+  }
+
+  val q66Sql =
+    """SELECT doc_id,
+      |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+      |            WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+      |       CAST(1 + doc_id % 640 AS BIGINT) AS width,
+      |       CAST(1 + doc_id % 480 AS BIGINT) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val q47Sql =
     """SELECT doc_id, strlen(text) AS n_bytes,
       |       CAST(ceil(ceil(strlen(text) / 64.0) / 2.0) AS BIGINT) AS n_frames,
@@ -626,7 +665,8 @@ object Llm {
     "q37_ann_topk" -> (q37 _),
     "q38_ann_lsh" -> (q38 _),
     "q39_embedding_neardup" -> (q39 _),
-    "q40_multimodal_meta" -> (q40 _))
+    "q40_multimodal_meta" -> (q40 _),
+    "q66_image_meta" -> (q66 _))
 
   val oracle: Map[String, String] = Map(
     "q56_ngram_jaccard" -> q56Sql,
@@ -643,5 +683,6 @@ object Llm {
     "q38_ann_lsh" -> q38Sql,
     "q50_ann_ivf" -> q50Sql,
     "q39_embedding_neardup" -> q39Sql,
-    "q40_multimodal_meta" -> q40Sql)
+    "q40_multimodal_meta" -> q40Sql,
+    "q66_image_meta" -> q66Sql)
 }

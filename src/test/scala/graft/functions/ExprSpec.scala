@@ -22,6 +22,46 @@ class ExprSpec extends SparkFunSuite {
     assert(math.abs(sim - 1.0) < 1e-12)
   }
 
+  test("image_meta parses real container headers and nulls corrupt bytes") {
+    Registry.install(spark)
+    // round-trip through the fixture encoder for each container
+    val fixtures = Seq(
+      ("png", 640, 480), ("jpeg", 1, 1), ("jpeg", 1920, 1080),
+      ("gif", 320, 200), ("png", 65535, 1))
+    val enc = fixtures.map { case (f, w, h) => (f, w, h, ImageMeta.encode(f, w, h)) }
+    val got = enc.toDF("f", "w", "h", "content")
+      .selectExpr("f", "w", "h", "image_meta(content) AS m")
+      .selectExpr("f", "w", "h", "m.format", "m.width", "m.height")
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(3) == r.getString(0), s"format mismatch: $r")
+      assert(r.getInt(4) == r.getInt(1) && r.getInt(5) == r.getInt(2),
+        s"dimensions mismatch: $r")
+    }
+
+    // a PROGRESSIVE jpeg (SOF2) and one with extra leading segments must
+    // parse through the segment walk, not a fixed offset
+    val base = ImageMeta.encode("jpeg", 123, 45)
+    val progressive = base.clone(); progressive(21) = 0xc2.toByte // SOF0→SOF2
+    val comment = Array(0xff, 0xfe, 0x00, 0x05, 'h', 'i', '!').map(_.toByte)
+    val shifted = base.take(2) ++ comment ++ base.drop(2) // COM before APP0
+    val special = Seq(Tuple1(progressive), Tuple1(shifted)).toDF("content")
+      .selectExpr("image_meta(content) AS m")
+      .selectExpr("m.width", "m.height").collect()
+    special.foreach(r => assert(r.getInt(0) == 123 && r.getInt(1) == 45, r))
+
+    // corrupt/unknown content yields NULL, never an exception
+    val bad = Seq(
+      Array.empty[Byte],
+      "plain text, no magic".getBytes("UTF-8"),
+      ImageMeta.encode("png", 10, 10).take(12), // truncated before IHDR
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte), // SOI then EOI, no frame
+      Array(0xff, 0xd8, 0x00, 0x00).map(_.toByte)) // lost marker alignment
+    val nulls = bad.map(Tuple1(_)).toDF("content")
+      .selectExpr("image_meta(content) AS m").collect()
+    nulls.foreach(r => assert(r.isNullAt(0), s"expected NULL meta, got $r"))
+  }
+
   test("minhash_bands: deterministic, band count respected, permutation-sensitive") {
     Registry.install(spark)
     val df = Seq(
