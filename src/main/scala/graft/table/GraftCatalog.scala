@@ -241,7 +241,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     var schema = org.apache.spark.sql.types.DataType
       .fromJson(t.snapshot(t.latestVersion).schemaJson).asInstanceOf[StructType]
     var renamed = Seq.empty[(String, String)]
+    var propSet = Map.empty[String, String]
+    var propUnset = Set.empty[String]
     changes.foreach {
+      case sp: TableChange.SetProperty =>
+        // retention floors are validated the same way the API path does
+        if (sp.property() == SnapshotTable.MinSnapshotsToKeep)
+          require(sp.value().trim.matches("\\d+") && sp.value().trim.toInt >= 1,
+            s"${sp.property()} must be a positive integer, got '${sp.value()}'")
+        if (sp.property() == SnapshotTable.MaxSnapshotAgeMs)
+          require(sp.value().trim.matches("\\d+"),
+            s"${sp.property()} must be a non-negative integer, got '${sp.value()}'")
+        propSet += sp.property() -> sp.value()
+      case rp: TableChange.RemoveProperty =>
+        propUnset += rp.property()
       case add: TableChange.AddColumn =>
         val name = single(add.fieldNames(), "add")
         require(!schema.fieldNames.contains(name), s"column $name already exists")
@@ -292,7 +305,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other")
     }
-    t.commitEvolution(schema.json, renamed)
+    t.commitEvolution(schema.json, renamed, propSet, propUnset)
     parquetTable(ident, t.snapshot(t.latestVersion))
   }
 

@@ -245,13 +245,17 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
 
   /** One atomic ALTER commit for a BATCH of schema changes: the final
     * schema plus every rename the batch performed (logged at the commit's
-    * version, in batch order) land in a single snapshot — a multi-change
-    * ALTER either fully applies or not at all. */
+    * version, in batch order) plus any property set/unset land in a
+    * single snapshot — a multi-change ALTER either fully applies or not
+    * at all. */
   private[table] def commitEvolution(schemaJson: String,
-      renamed: Seq[(String, String)]): Int =
+      renamed: Seq[(String, String)],
+      propSet: Map[String, String] = Map.empty,
+      propUnset: Set[String] = Set.empty): Int =
     commitWithRetry(b => b.files, _ => schemaJson, "alter",
       nextRenames = (b, v) =>
-        b.renames ++ renamed.map { case (n, o) => SnapshotTable.Rename(v, n, o) })
+        b.renames ++ renamed.map { case (n, o) => SnapshotTable.Rename(v, n, o) },
+      nextProperties = b => (b.properties ++ propSet) -- propUnset)
 
   /** ALTER TABLE … RENAME COLUMN — metadata-only (Iceberg T8 beyond ADD):
     * commits the renamed schema plus a [[SnapshotTable.Rename]] log entry;
@@ -599,11 +603,54 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     replace(baseV, merged, "overwrite")
   }
 
+  /** Current table properties (carried forward by every commit). */
+  def properties: Map[String, String] =
+    if (latestVersion >= 0) snapshot(latestVersion).properties else Map.empty
+
+  /** ALTER TABLE … SET/UNSET TBLPROPERTIES: one metadata-only commit
+    * merging `set` and dropping `unset`. Retention floors
+    * ([[SnapshotTable.MinSnapshotsToKeep]] /
+    * [[SnapshotTable.MaxSnapshotAgeMs]]) are validated here so a typo'd
+    * policy fails at ALTER time, not silently at the next expiration. */
+  def setProperties(set: Map[String, String],
+      unset: Set[String] = Set.empty): Int = {
+    set.get(SnapshotTable.MinSnapshotsToKeep).foreach(v =>
+      require(v.trim.matches("\\d+") && v.trim.toInt >= 1,
+        s"${SnapshotTable.MinSnapshotsToKeep} must be a positive integer, got '$v'"))
+    set.get(SnapshotTable.MaxSnapshotAgeMs).foreach(v =>
+      require(v.trim.matches("\\d+"),
+        s"${SnapshotTable.MaxSnapshotAgeMs} must be a non-negative integer, got '$v'"))
+    commitWithRetry(b => b.files, b => b.schemaJson, "alter",
+      nextProperties = b => (b.properties ++ set) -- unset)
+  }
+
   /** Expire all but the last `keepLast` snapshots and delete data files no
-    * surviving snapshot references (orphan GC — reference T6). */
+    * surviving snapshot references (orphan GC — reference T6).
+    *
+    * RETENTION GUARD: the table's policy properties put a floor under any
+    * maintenance call (Iceberg's expiration shape) —
+    * `history.expire.min-snapshots-to-keep` raises `keepLast`, and
+    * `history.expire.max-snapshot-age-ms` keeps every snapshot younger
+    * than the horizon regardless of count. A 24/7 stream whose checkpoint
+    * trails by less than the policy floor therefore survives routine
+    * expiration; collecting past the floor requires explicitly lowering
+    * the policy first, and a checkpoint orphaned ANYWAY (no policy, or a
+    * deliberate override) still fails its restart with the descriptive
+    * recovery error in the streaming source. */
   def expireSnapshots(keepLast: Int): Unit = {
+    val props = properties
+    val floorKeep = props.get(SnapshotTable.MinSnapshotsToKeep)
+      .map(_.trim.toInt).getOrElse(1)
+    val minAgeMs = props.get(SnapshotTable.MaxSnapshotAgeMs)
+      .map(_.trim.toLong).getOrElse(0L)
+    val now = System.currentTimeMillis()
     val all = versions
-    val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    val byCount = all.splitAt(
+      math.max(0, all.size - math.max(keepLast, floorKeep)))._1
+    // commit timestamps are monotone across versions, so the age floor
+    // keeps a clean suffix — no gaps in the surviving history
+    val drop = byCount.filter(v => now - snapshot(v).timestampMs >= minAgeMs)
+    val keep = all.filterNot(drop.contains)
     val live = keep.flatMap(v => snapshot(v).files.map(_.path)).toSet
     val dead = drop.flatMap(v => snapshot(v).files.map(_.path)).toSet -- live
     dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
@@ -837,7 +884,9 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       partitionColsIfNew: Seq[String] = Seq.empty,
       attempts: Int = 20,
       nextRenames: (SnapshotTable.Snapshot, Int) => Seq[SnapshotTable.Rename] =
-        (b, _) => b.renames): Int = {
+        (b, _) => b.renames,
+      nextProperties: SnapshotTable.Snapshot => Map[String, String] =
+        b => b.properties): Int = {
     var tries = 0
     while (true) {
       val baseV = latestVersion
@@ -847,7 +896,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       val snap = SnapshotTable.Snapshot(
         baseV + 1, System.currentTimeMillis(), nextSchema(base),
         nextFiles(base), operation, base.partitionCols,
-        nextRenames(base, baseV + 1))
+        nextRenames(base, baseV + 1), nextProperties(base))
       Files.createDirectories(snapDir)
       // the commit point: atomic publish-if-absent of the version file
       // ([[CommitPrimitive]] — hard link here, conditional PUT on S3)
@@ -890,7 +939,15 @@ object SnapshotTable {
   case class Snapshot(version: Int, timestampMs: Long, schemaJson: String,
       files: Seq[DataFile], operation: String,
       partitionCols: Seq[String] = Seq.empty,
-      renames: Seq[Rename] = Seq.empty)
+      renames: Seq[Rename] = Seq.empty,
+      properties: Map[String, String] = Map.empty)
+
+  /** Retention-policy table properties (Iceberg's names): expiration may
+    * never collect below these floors, no matter what a maintenance job
+    * passes — the guard that keeps routine `expire_snapshots` from
+    * collecting versions a 24/7 streaming checkpoint still needs. */
+  val MinSnapshotsToKeep = "history.expire.min-snapshots-to-keep"
+  val MaxSnapshotAgeMs = "history.expire.max-snapshot-age-ms"
 
   /** The file-local column names for a file written at `schemaVersion`,
     * one per declared column: inverse-apply every rename NEWER than the
@@ -1160,6 +1217,10 @@ object SnapshotTable {
         o.put("v", r.atVersion); o.put("new", r.newName); o.put("old", r.oldName)
       }
     }
+    if (s.properties.nonEmpty) {
+      val pr = root.putObject("properties")
+      s.properties.toSeq.sortBy(_._1).foreach { case (k, v) => pr.put(k, v) }
+    }
     val arr: ArrayNode = root.putArray("files")
     s.files.foreach { f =>
       val o = arr.addObject()
@@ -1206,8 +1267,13 @@ object SnapshotTable {
           Rename(r.get("v").asInt(), r.get("new").asText(), r.get("old").asText()))
           .toSeq
       else Seq.empty
+    val props =
+      if (n.has("properties")) {
+        val pr = n.get("properties")
+        pr.fieldNames().asScala.map(k => k -> pr.get(k).asText()).toMap
+      } else Map.empty[String, String]
     Snapshot(n.get("version").asInt(), n.get("timestampMs").asLong(),
       n.get("schemaJson").asText(), files, n.get("operation").asText(), pcols,
-      renames)
+      renames, props)
   }
 }

@@ -67,6 +67,42 @@ class SnapshotTableSpec extends SparkFunSuite {
     assert(t.read().count() == 100)
   }
 
+  test("retention properties floor expiration (count and age)") {
+    val loc = scratch("snap-retain")
+    val t = SnapshotTable.create(spark, loc, events.limit(50))
+    (1 to 4).foreach(i => t.append(events.limit(10 * i)))
+    assert(t.versions.size == 5)
+
+    // count floor: min-snapshots-to-keep overrides a lower keepLast
+    t.setProperties(Map(SnapshotTable.MinSnapshotsToKeep -> "4"))
+    t.expireSnapshots(keepLast = 1)
+    // the property commit added a version; 4 must survive
+    assert(t.versions.size == 4, s"count floor ignored: ${t.versions}")
+
+    // age floor: everything is younger than an hour → nothing collectable
+    t.setProperties(Map(SnapshotTable.MaxSnapshotAgeMs -> "3600000"))
+    val before = t.versions
+    t.expireSnapshots(keepLast = 1)
+    assert(t.versions == before, "age floor ignored")
+
+    // floors lifted → expiration collects as asked; properties survive
+    // expiry (they live in the retained snapshot)
+    t.setProperties(Map(SnapshotTable.MaxSnapshotAgeMs -> "0",
+      SnapshotTable.MinSnapshotsToKeep -> "1"))
+    t.expireSnapshots(keepLast = 1)
+    assert(t.versions.size == 1)
+    assert(t.properties(SnapshotTable.MinSnapshotsToKeep) == "1")
+    assert(t.read().count() == 150) // 50 + 10+20+30+40 accumulated appends
+
+    // malformed policies fail at SET time, not at the next expiration
+    intercept[IllegalArgumentException] {
+      t.setProperties(Map(SnapshotTable.MinSnapshotsToKeep -> "0"))
+    }
+    intercept[IllegalArgumentException] {
+      t.setProperties(Map(SnapshotTable.MaxSnapshotAgeMs -> "5 days"))
+    }
+  }
+
   test("removeOrphans through a symlinked table root deletes nothing live") {
     val loc = scratch("snap-orphan-link")
     val t = SnapshotTable.create(spark, loc, events.limit(100))

@@ -326,6 +326,49 @@ class StreamingSourceSpec extends SparkFunSuite {
       s"expected the recovery hint, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("retention floor: a stream checkpointed within the policy survives expire") {
+    val wh = mkCatalog("srcf")
+    val events = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    spark.sql(
+      """CREATE TABLE srcf.db.ex
+        |  (event_id BIGINT, event_type STRING, value DOUBLE)""".stripMargin)
+    events.filter(col("event_id") < 200).writeTo("srcf.db.ex").append()
+
+    val ckpt = scratch("srcf-ckpt")
+    var total = 0L
+    def drain(): Unit =
+      spark.readStream.table("srcf.db.ex")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          total += b.count(); ()
+        }
+        .start()
+        .awaitTermination()
+    drain()
+
+    // policy floor via SQL TBLPROPERTIES: the same maintenance call that
+    // orphaned the checkpoint in the guard-less spec above now CANNOT
+    // collect the versions the checkpoint still needs
+    spark.sql(
+      """ALTER TABLE srcf.db.ex SET TBLPROPERTIES
+        |  ('history.expire.min-snapshots-to-keep' = '10')""".stripMargin)
+    events.filter(col("event_id") >= 200 && col("event_id") < 400)
+      .writeTo("srcf.db.ex").append()
+    events.filter(col("event_id") >= 400).writeTo("srcf.db.ex").append()
+    val t = SnapshotTable.load(spark, s"$wh/db/ex")
+    val before = t.versions.size
+    t.expireSnapshots(keepLast = 1)
+    assert(t.versions.size == before,
+      s"expire collected below the 10-snapshot floor: ${t.versions.size} of $before")
+
+    drain() // restart rides the retained history and reads the new appends
+    assert(total == events.count(),
+      s"stream lost rows across the guarded expire: $total of ${events.count()}")
+  }
+
   test("q63 (registry pipeline) matches the batch aggregate with a compaction interleaved") {
     val df = graft.queries.Ops.q63(spark, sf)
     val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toMap
