@@ -217,7 +217,7 @@ class GraftTable(tableName: String, location: String,
             GraftTable.intOption(options, "stream_from_version").getOrElse(-1),
             GraftTable.intOption(options, "maxFilesPerTrigger"),
             GraftTable.skipRewrites(options),
-            catalystFilters, rebuild)
+            catalystFilters, rebuild, plannedVersion = snap.version)
           keyed match {
             case Some(keys) =>
               new GraftKeyGroupedScan(scan, snap.partitionCols, keys,

@@ -52,7 +52,12 @@ private[table] class GraftMicroBatchStream(
     maxFilesPerTrigger: Option[Int],
     skipOps: Set[String],
     catalystFilters: Seq[Expression],
-    rebuild: Seq[SnapshotTable.DataFile] => Scan)
+    rebuild: Seq[SnapshotTable.DataFile] => Scan,
+    // the snapshot version whose schema this stream's scan was planned
+    // against — ALTERs at or below it are already baked into the scan
+    // (rename-aware read groups, current types); ALTERs ABOVE it landed
+    // while the stream was running and may invalidate the captured plan
+    plannedVersion: Int = Int.MaxValue)
     // SupportsTriggerAvailableNow (not just SupportsAdmissionControl):
     // a source with only admission control gets wrapped in Spark's
     // AvailableNowDataStreamWrapper, whose latestOffset IGNORES the read
@@ -117,8 +122,44 @@ private[table] class GraftMicroBatchStream(
       } else LazyList.empty
     val after = vs.filter(_ > o.v)
     head #::: (o.v +: after).to(LazyList).zip(after).map { case (prev, v) =>
+      assertBenignAlter(t, prev, v)
       (v, 0, t.deltaFileList(prev, v, "streaming read", skipOps).sortBy(_.path))
     }
+  }
+
+  /** An in-range ALTER is safe for a RUNNING stream only when it appends
+    * columns (or touches nothing but properties): the stream's scan and
+    * rebuild closure were planned against the schema at start, so files
+    * appended AFTER a RENAME store the new physical column name and the
+    * captured scan would silently read the renamed column as all-null in
+    * every later micro-batch; a type widening would read the wrong
+    * physical type. Fail the stream loudly instead — the recovery is a
+    * restart, which replans against the altered schema (renameAware scan
+    * + generation-dispatched reads make restarted streams correct). */
+  private def assertBenignAlter(t: SnapshotTable, prev: Int, v: Int): Unit = {
+    if (v <= plannedVersion) return // already baked into this stream's scan
+    val s = t.snapshot(v)
+    if (s.operation != "alter" || prev < 0) return
+    val p = t.snapshot(prev)
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val ps = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+    val ns = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+    val renamed = s.renames.size > p.renames.size
+    val columnAddingOnly = !renamed && ns.fields.length >= ps.fields.length &&
+      ns.fields.take(ps.fields.length).zip(ps.fields).forall {
+        case (n, o) => n.name == o.name && n.dataType == o.dataType
+      }
+    if (!columnAddingOnly)
+      throw new IllegalStateException(
+        s"graft streaming source on $location: ALTER at v$v in the unconsumed " +
+          "range renames columns, changes types, or drops fields — a running " +
+          "stream's scan was planned against the pre-ALTER schema and would " +
+          "read altered columns wrongly (e.g. a renamed column as all-null). " +
+          "Recover by replanning against the new schema: for a RENAME, run " +
+          "CALL system.compact to normalize live files to the current names, " +
+          "then restart the stream with option(\"skip_rewrites\", \"compact\") " +
+          "so the checkpoint rides over that compaction. Only column-adding " +
+          "ALTERs are safe mid-stream.")
   }
 
   // Version bound captured when an AvailableNow drain starts: commits

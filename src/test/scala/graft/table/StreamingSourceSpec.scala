@@ -326,6 +326,69 @@ class StreamingSourceSpec extends SparkFunSuite {
       s"expected the recovery hint, got: ${messages(e).mkString(" | ")}")
   }
 
+  test("mid-stream RENAME fails the running stream; ADD COLUMN rides through") {
+    val wh = mkCatalog("srcg")
+    val events = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    spark.sql(
+      """CREATE TABLE srcg.db.ex
+        |  (event_id BIGINT, event_type STRING, value DOUBLE)""".stripMargin)
+    events.filter(col("event_id") < 200).writeTo("srcg.db.ex").append()
+
+    // CONTINUOUS stream (default trigger): an AvailableNow drain caps its
+    // version range at start and never sees a late ALTER — the hazard is
+    // a 24/7 stream whose captured scan outlives the schema
+    var total = 0L
+    val ckpt = scratch("srcg-ckpt")
+    val q = spark.readStream.table("srcg.db.ex")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        total += b.count(); ()
+      }
+      .start()
+    q.processAllAvailable()
+    assert(total == 200)
+
+    // column-adding ALTER mid-stream: benign, the stream keeps reading
+    // (new column invisible to the captured scan, old columns unchanged)
+    spark.sql("ALTER TABLE srcg.db.ex ADD COLUMN note STRING")
+    events.filter(col("event_id") >= 200 && col("event_id") < 400)
+      .writeTo("srcg.db.ex").append()
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, s"ADD COLUMN killed the stream: ${q.exception}")
+    assert(total == 400, s"rows lost across mid-stream ADD COLUMN: $total")
+
+    // RENAME mid-stream: files appended after it store the NEW physical
+    // name while the captured scan requests the old one — the stream
+    // must fail loudly, never silently null the column
+    spark.sql("ALTER TABLE srcg.db.ex RENAME COLUMN value TO amount")
+    events.filter(col("event_id") >= 400)
+      .withColumnRenamed("value", "amount").writeTo("srcg.db.ex").append()
+    val e = intercept[Exception] { q.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("ALTER") && m.contains("compact")),
+      s"expected the mid-stream ALTER guard, got: ${messages(e).mkString(" | ")}")
+
+    // the recovery path the error message promises: compact normalizes
+    // live files to the renamed schema, then a restart (riding over the
+    // compaction) replans and reads everything
+    SnapshotTable.load(spark, s"$wh/db/ex").compact(targetBytes = 64L * 1024 * 1024)
+    var total2 = 0L
+    spark.readStream.option("skip_rewrites", "compact").table("srcg.db.ex")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        total2 += b.count(); ()
+      }
+      .start()
+      .awaitTermination()
+    assert(total + total2 == events.count(),
+      s"restart lost rows: $total + $total2 != ${events.count()}")
+  }
+
   test("retention floor: a stream checkpointed within the policy survives expire") {
     val wh = mkCatalog("srcf")
     val events = graft.Tables.load(spark, sf, "events")
