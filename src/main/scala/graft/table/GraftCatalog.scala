@@ -233,6 +233,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // nothing — never a half-altered table
     val psrc = t.partitionCols.map(PartitionFields.parse).map(_.source)
     val historical = t.historicalNames
+    val validatedAt = t.latestVersion // every guard below reads this snapshot
     def single(fieldNames: Array[String], what: String): String = {
       require(fieldNames.length == 1,
         s"nested column $what not supported: ${fieldNames.mkString(".")}")
@@ -305,7 +306,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other")
     }
-    t.commitEvolution(schema.json, renamed, propSet, propUnset)
+    t.commitEvolution(schema.json, renamed, propSet, propUnset, validatedAt)
     parquetTable(ident, t.snapshot(t.latestVersion))
   }
 

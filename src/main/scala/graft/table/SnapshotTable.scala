@@ -239,20 +239,34 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     commitWithRetry(base => base.files, _ => schemaJson, "create",
       partitionColsIfNew)
 
-  /** Commit a schema-only change over the current file list (ALTER TABLE). */
-  private[table] def commitSchema(schemaJson: String): Int =
-    commitWithRetry(base => base.files, _ => schemaJson, "alter")
-
   /** One atomic ALTER commit for a BATCH of schema changes: the final
     * schema plus every rename the batch performed (logged at the commit's
     * version, in batch order) plus any property set/unset land in a
     * single snapshot — a multi-change ALTER either fully applies or not
-    * at all. */
+    * at all.
+    *
+    * `validatedAt` = the snapshot version the caller validated the batch
+    * against. ALTER commits the FINAL schema, not a delta, so a retry on
+    * top of a concurrently moved base would silently clobber the other
+    * writer's schema change (ADD x racing ADD y keeps one) while its
+    * guards (historicalNames, partition sources) ran against a stale
+    * snapshot — abort with ConcurrentModificationException instead, like
+    * replaceWhere, and let the caller re-validate. */
   private[table] def commitEvolution(schemaJson: String,
       renamed: Seq[(String, String)],
       propSet: Map[String, String] = Map.empty,
-      propUnset: Set[String] = Set.empty): Int =
-    commitWithRetry(b => b.files, _ => schemaJson, "alter",
+      propUnset: Set[String] = Set.empty,
+      validatedAt: Int): Int =
+    commitWithRetry(
+      b => {
+        if (b.version != validatedAt)
+          throw new java.util.ConcurrentModificationException(
+            s"table $location moved v$validatedAt -> v${b.version} during " +
+              "ALTER — re-validate the schema change against the current " +
+              "snapshot and retry")
+        b.files
+      },
+      _ => schemaJson, "alter",
       nextRenames = (b, v) =>
         b.renames ++ renamed.map { case (n, o) => SnapshotTable.Rename(v, n, o) },
       nextProperties = b => (b.properties ++ propSet) -- propUnset)
@@ -286,7 +300,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         "name and old data files may still store it — pick a fresh name")
     val renamed = org.apache.spark.sql.types.StructType(schema.fields.map(f =>
       if (f.name == oldName) f.copy(name = newName) else f))
-    commitEvolution(renamed.json, Seq(newName -> oldName))
+    commitEvolution(renamed.json, Seq(newName -> oldName),
+      validatedAt = base.version)
   }
 
   /** ALTER TABLE … DROP COLUMN — metadata-only: the column leaves the
@@ -304,7 +319,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     require(schema.fields.length > 1, "cannot drop the last column")
     val narrowed = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == name))
-    commitWithRetry(b => b.files, _ => narrowed.json, "alter")
+    commitEvolution(narrowed.json, Seq.empty, validatedAt = base.version)
   }
 
   /** ALTER TABLE … ALTER COLUMN … TYPE — WIDENING only, metadata-only
@@ -338,7 +353,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       s"cannot change the type of partition source column $name")
     val widened = StructType(schema.fields.map(f =>
       if (f.name == name) f.copy(dataType = to) else f))
-    commitWithRetry(b => b.files, _ => widened.json, "alter")
+    commitEvolution(widened.json, Seq.empty, validatedAt = base.version)
   }
 
   /** Every column name any schema generation has used (declared schemas
@@ -731,8 +746,15 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
             // time transforms (sessions are pinned UTC, so to_date/year/
             // month agree with the FunctionCatalog mirrors' floorDiv)
             case PartitionFields.TimeUnit("hours", c) =>
-              // floor division via pmod: timestamp→long is epoch seconds
-              val sec = col(c).cast("long")
+              // floor division via pmod: timestamp→long is epoch seconds.
+              // TIMESTAMP_NTZ has no direct cast to LONG — route it
+              // through TIMESTAMP first (sessions are pinned UTC, so the
+              // resulting hour ordinal matches the FunctionCatalog
+              // mirror's floorDiv over the NTZ's raw micros exactly)
+              val ntz = df.schema.fields
+                .find(_.name.equalsIgnoreCase(c))
+                .exists(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+              val sec = (if (ntz) col(c).cast("timestamp") else col(c)).cast("long")
               d.withColumn(dc, ((sec - pmod(sec, lit(3600))) / 3600).cast("int"))
             case PartitionFields.TimeUnit("days", c) =>
               d.withColumn(dc, to_date(col(c)))

@@ -67,6 +67,30 @@ class SnapshotTableSpec extends SparkFunSuite {
     assert(t.read().count() == 100)
   }
 
+  test("a concurrently moved base aborts an ALTER instead of clobbering it") {
+    import org.apache.spark.sql.types._
+    val loc = scratch("snap-conc-alter")
+    val t = SnapshotTable.create(spark, loc, events.limit(10))
+    val v0 = t.latestVersion
+    val base = DataType.fromJson(t.snapshot(v0).schemaJson).asInstanceOf[StructType]
+    // two ALTERs validated against the SAME snapshot: each commits the
+    // FINAL schema, so letting the second rebase would silently drop the
+    // first one's column while keeping its own
+    val withX = base.add("x_new", IntegerType, nullable = true)
+    val withY = base.add("y_new", IntegerType, nullable = true)
+    assert(t.commitEvolution(withX.json, Seq.empty, validatedAt = v0) == v0 + 1)
+    intercept[java.util.ConcurrentModificationException] {
+      t.commitEvolution(withY.json, Seq.empty, validatedAt = v0)
+    }
+    // the winner's schema change survived intact
+    val finalSchema = DataType.fromJson(t.snapshot(t.latestVersion).schemaJson)
+      .asInstanceOf[StructType]
+    assert(finalSchema.fieldNames.contains("x_new"))
+    assert(!finalSchema.fieldNames.contains("y_new"))
+    // an ALTER validated against the CURRENT snapshot still lands
+    assert(t.renameColumn("x_new", "x_renamed") == v0 + 2)
+  }
+
   test("retention properties floor expiration (count and age)") {
     val loc = scratch("snap-retain")
     val t = SnapshotTable.create(spark, loc, events.limit(50))

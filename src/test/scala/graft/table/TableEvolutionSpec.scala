@@ -360,6 +360,40 @@ class TableEvolutionSpec extends SparkFunSuite {
     }
   }
 
+  test("time transforms accept TIMESTAMP_NTZ sources (hours included)") {
+    wh
+    // hours(ntz) used to pass CREATE then fail the first append with a
+    // raw cast error (NTZ has no direct cast to LONG) — every transform
+    // must write the same ordinals the FunctionCatalog mirror computes
+    // from the NTZ's raw micros
+    for ((unit, expect) <- Seq(
+        "hours" -> Seq(
+          java.time.Instant.parse("2024-01-01T05:00:00Z").getEpochSecond / 3600,
+          java.time.Instant.parse("2024-01-01T06:00:00Z").getEpochSecond / 3600),
+        "days" -> Seq(java.time.LocalDate.parse("2024-01-01").toEpochDay),
+        "months" -> Seq(((2024 - 1970) * 12 + 0).toLong),
+        "years" -> Seq((2024 - 1970).toLong))) {
+      spark.sql(s"DROP TABLE IF EXISTS ev.db.ntz_$unit")
+      spark.sql(
+        s"""CREATE TABLE ev.db.ntz_$unit (id BIGINT, ts TIMESTAMP_NTZ)
+           |PARTITIONED BY ($unit(ts))""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO ev.db.ntz_$unit VALUES
+           |(1, TIMESTAMP_NTZ '2024-01-01 05:10:00'),
+           |(2, TIMESTAMP_NTZ '2024-01-01 06:05:00')""".stripMargin)
+      val t = SnapshotTable.load(spark, s"$wh/db/ntz_$unit")
+      val files = t.snapshot(t.latestVersion).files
+      // date-typed stats ("days") store epoch days; the rest are longs
+      val ords = files
+        .flatMap(_.stats.get(s"$unit(ts)").map(_.min.toLong))
+        .distinct.sorted
+      assert(ords == expect.sorted,
+        s"$unit(TIMESTAMP_NTZ) ordinals: $ords, expected $expect")
+      assert(spark.sql(s"SELECT count(*) FROM ev.db.ntz_$unit")
+        .head().getLong(0) == 2)
+    }
+  }
+
   test("timestamp manifest stats prune files on ts predicates") {
     wh
     val e = graft.Tables.load(spark, sf, "events")
