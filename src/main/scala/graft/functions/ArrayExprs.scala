@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the similarity/dedup hot paths.
@@ -421,6 +421,57 @@ object WordShingles {
   }
 }
 
+/** intersect_size(a array<string>, b array<string>) → int, REQUIRING both
+  * arrays sorted ascending (Spark's UTF8String binary order — what
+  * `array_sort` produces): one merge walk, no per-pair hash set.
+  *
+  * The near-dup VERIFY hot path computes |a ∩ b| once per CANDIDATE PAIR
+  * — at corpus scale that is orders of magnitude more evaluations than
+  * rows. Spark's `array_intersect` builds a hash set of one side per
+  * evaluation and materializes the intersection ARRAY just to take its
+  * size (measured: the verify join dominated q56 end-to-end, 20 s of a
+  * 27 s pipeline at 371 k candidates). Sorting each document's shingle
+  * set ONCE (per doc, not per pair) converts every pair evaluation into
+  * an allocation-free two-pointer walk.
+  */
+case class IntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IntersectSize.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  // static-invoke codegen, same shape as word_shingles: the merge walk
+  // runs as one static call inside the whole-stage loop
+  override def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.IntersectSize.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntersectSize {
+  /** Two-pointer intersection count over ascending (UTF8String binary
+    * order) string arrays — the kernel shared by eval and codegen. */
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+}
+
 /** interleave_bits(c0 int, c1 int[, c2 int[, c3 int]]) → long Morton code.
   *
   * Interleaves the low 16 bits of 2–4 integer codes into one long, the
@@ -481,5 +532,7 @@ object Registry {
       (es: Seq[Expression]) => WordShingles(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("image_meta",
       (es: Seq[Expression]) => ImageMetaExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("intersect_size",
+      (es: Seq[Expression]) => IntersectSize(es(0), es(1)), "built-in")
   }
 }
