@@ -399,6 +399,76 @@ class KeyGroupedJoinSpec extends SparkFunSuite {
     assert(sortMergeJoins(plan) == 1, s"expected the sort-merge SPJ path:\n$plan")
   }
 
+  test("SPJ with disjoint partition coverage: missing key groups stay shuffle-free and correct") {
+    // the real 100 TB case after replaceWhere/delete or sparse ingest:
+    // one side simply has NO files for some bucket values. Spark aligns
+    // the mismatched partition-value sets only when pushPartValues is on
+    // (the side missing a value gets an empty group instead of the whole
+    // join degrading to a shuffle).
+    val s4 = spark.newSession()
+    s4.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s4.conf.set("spark.sql.graft.planning.preserveDataGrouping", "true")
+    s4.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s4.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    val wh = scratch("spj-sparse-wh")
+    s4.conf.set("spark.sql.catalog.spjp", classOf[GraftCatalog].getName)
+    s4.conf.set("spark.sql.catalog.spjp.warehouse", wh)
+
+    val ev = graft.Tables.load(s4, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        expr("pmod(hash(user_id), 8)").as("b"))
+    def mk(name: String, cond: org.apache.spark.sql.Column): Unit = {
+      s4.sql(
+        s"""CREATE TABLE spjp.db.$name
+           |  (event_id BIGINT, user_id BIGINT, value DOUBLE)
+           |PARTITIONED BY (bucket(8, user_id))""".stripMargin)
+      ev.filter(cond).select("event_id", "user_id", "value")
+        .writeTo(s"spjp.db.$name").append()
+    }
+    // A covers buckets 0-3 only, B covers 2-5: each side misses groups
+    // the other has, and both miss 6-7 entirely
+    mk("ev_lo", col("b") < 4)
+    mk("ev_hi", col("b") >= 2 && col("b") < 6)
+    def liveBuckets(name: String): Seq[Int] = {
+      val t = SnapshotTable.load(s4, s"$wh/db/$name")
+      t.snapshot(t.latestVersion).files
+        .flatMap(_.stats.get("bucket(8,user_id)").map(_.min.toInt))
+    }
+    val aBuckets = liveBuckets("ev_lo")
+    val bBuckets = liveBuckets("ev_hi")
+    assert(aBuckets.toSet == Set(0, 1, 2, 3) && bBuckets.toSet == Set(2, 3, 4, 5),
+      s"fixture coverage drifted: $aBuckets vs $bBuckets")
+
+    // INNER join: only buckets 2-3 can match
+    val inner = s4.table("spjp.db.ev_lo").select(col("user_id"), col("event_id"))
+      .join(s4.table("spjp.db.ev_hi").select(col("user_id"), col("value")),
+        "user_id")
+    val nInner = inner.collect().length.toLong
+    val expInner = ev.filter(col("b") >= 2 && col("b") < 4)
+      .groupBy("user_id").count()
+      .agg(sum(col("count") * col("count"))).head().getLong(0)
+    assert(nInner == expInner, s"sparse inner join: $nInner of $expInner rows")
+    val innerPlan = inner.queryExecution.executedPlan
+    assert(shuffles(innerPlan) == 0,
+      s"expected shuffle-free inner join over disjoint coverage:\n$innerPlan")
+    assert(sortMergeJoins(innerPlan) == 1, s"expected the SMJ SPJ path:\n$innerPlan")
+
+    // LEFT join: buckets 0-1 rows survive with NULL right side — the
+    // missing right groups must yield nulls, not dropped rows
+    val left = s4.table("spjp.db.ev_lo").select(col("user_id"), col("event_id"))
+      .join(s4.table("spjp.db.ev_hi").select(col("user_id"), col("value")),
+        Seq("user_id"), "left")
+    val rows = left.collect()
+    val unmatched = rows.count(_.isNullAt(2)).toLong
+    val expUnmatched = ev.filter(col("b") < 2).count()
+    assert(unmatched == expUnmatched,
+      s"left join lost unmatched-bucket rows: $unmatched of $expUnmatched")
+    assert(rows.length.toLong == expInner + expUnmatched)
+    val leftPlan = left.queryExecution.executedPlan
+    assert(shuffles(leftPlan) == 0,
+      s"expected shuffle-free left join over disjoint coverage:\n$leftPlan")
+  }
+
   test("SPJ off → same join still correct (runtime-filter scan path)") {
     val wh = scratch("spj-off-wh")
     spark.conf.set("spark.sql.catalog.spjy", classOf[GraftCatalog].getName)
