@@ -154,9 +154,11 @@ class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
 }
 
-/** `SparkSessionExtensions` hook: injects [[GovernanceRule]] at resolution. */
+/** `SparkSessionExtensions` hook: injects [[GovernanceRule]] at resolution
+  * and the QUALIFY-desugaring delegating parser ([[QualifyParser]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(sp => new GovernanceRule(sp))
+    ext.injectParser((_, delegate) => new QualifyParser(delegate))
   }
 }

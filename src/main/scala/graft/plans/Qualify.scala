@@ -91,3 +91,40 @@ object Qualify {
 
   private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 }
+
+/** Parser-level QUALIFY: a delegating `ParserInterface` injected via
+  * [[GraftExtensions]] that runs [[Qualify.desugar]] on every statement
+  * before handing it to Spark's parser — `spark.sql("… QUALIFY …")` then
+  * works directly on an extensions-enabled session, no pre-processing
+  * call. Dual-path by design, like governance (rule vs `secureView`):
+  * the TEXT desugar stays the library API for sessions built without
+  * extensions, and both surfaces share the one scanner, so their
+  * semantics cannot drift. Statements without a top-level QUALIFY pass
+  * through byte-identical ([[Qualify.desugar]] returns its input), so
+  * the wrapper costs one keyword scan per statement. */
+class QualifyParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+    extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+  import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.{DataType, StructType}
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(Qualify.desugar(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(Qualify.desugar(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -38,6 +38,39 @@ class QualifySpec extends SparkFunSuite {
     assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
   }
 
+  test("parser path: QUALIFY SQL runs directly on an extensions session") {
+    // the injectParser route — no explicit desugar call anywhere: the
+    // delegating parser rewrites at parse time, so spark.sql() accepts
+    // the Snowflake dialect as-is on a GraftExtensions session
+    val shared = graft.SparkSuite.spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-qualify-parser")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+    org.apache.spark.sql.SparkSession.setActiveSession(shared)
+
+    graft.Tables.load(s, sf, "events").createOrReplaceTempView("qp_events")
+    val out = s.sql(
+      """SELECT user_id, event_id,
+        |ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |FROM qp_events QUALIFY rn <= 3""".stripMargin)
+    val counts = out.groupBy("user_id").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) <= 3))
+    // a QUALIFY inside a string literal survives the parser untouched
+    val lit = s.sql("SELECT 'QUALIFY x' AS l").head().getString(0)
+    assert(lit == "QUALIFY x")
+    // and plain statements (DDL included) pass through the delegate
+    assert(s.sql("SELECT 1 + 1").head().getInt(0) == 2)
+  }
+
   test("direct window form: QUALIFY ROW_NUMBER() OVER (...) <= k") {
     val e = graft.Tables.load(spark, sf, "events")
     e.createOrReplaceTempView("events")
