@@ -122,10 +122,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     parquetTable(ident, t.snapshot(t.latestVersion))
   }
 
-  /** `VERSION AS OF v` */
+  /** `VERSION AS OF v` — a numeric string pins that snapshot version; any
+    * other string is a REF name (branch → its head, tag → its pinned
+    * version), so `SELECT … FROM t VERSION AS OF 'audit'` reads a branch
+    * without new syntax (Iceberg reads branches the same way). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = open(ident)
-    parquetTable(ident, t.snapshot(version.toInt))
+    val snap = version.trim match {
+      case v if v.matches("-?\\d+") => t.snapshot(v.toInt)
+      case name => t.resolveRef(name)
+    }
+    parquetTable(ident, snap)
   }
 
   /** `TIMESTAMP AS OF ts` — Spark passes microseconds since epoch. */

@@ -307,7 +307,10 @@ class GraftTable(tableName: String, location: String,
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
-    val t = SnapshotTable.load(spark, location)
+    // under spark.wap.branch the delete reads AND rewrites the branch
+    // chain — self-contained here (no planner scan of main involved)
+    val t0 = SnapshotTable.load(spark, location)
+    val t = GraftTable.wapBranch(spark).map(t0.branch).getOrElse(t0)
     val baseV = t.latestVersion
     val cond = filters.flatMap(GraftTable.filterToColumn)
       .reduceOption(_ && _)
@@ -351,6 +354,13 @@ class GraftTable(tableName: String, location: String,
         "CALL system.compact to rewrite them under the current names " +
         "before UPDATE/MERGE/row-level DELETE")
     if (info.command() != RowLevelOperation.Command.DELETE) refuse()
+    // A row-level operation's scan was planned against MAIN's head; under
+    // spark.wap.branch its rewrite would have to read the branch instead —
+    // refuse loudly rather than silently reading one chain and committing
+    // to another. Branch writers use INSERT/DELETE/the table API.
+    require(GraftTable.wapBranch(spark).isEmpty,
+      s"UPDATE/MERGE INTO $tableName do not support spark.wap.branch — " +
+        "unset it or stage the change with INSERT/DELETE on the branch")
     // works on partitioned tables too: partition source columns live in
     // the data files, so the flat replacement files are self-describing
     // and their partition-column min/max comes from the parquet footers
@@ -500,7 +510,12 @@ class GraftTable(tableName: String, location: String,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit = {
-              val t = SnapshotTable.load(data.sparkSession, location)
+              // write-audit-publish: with spark.wap.branch set, every
+              // batch write lands on that branch's chain (Iceberg's WAP
+              // conf) — main readers see nothing until fast_forward
+              val t0 = SnapshotTable.load(data.sparkSession, location)
+              val t = GraftTable.wapBranch(data.sparkSession)
+                .map(t0.branch).getOrElse(t0)
               if (overwrite || legacyOverwrite) t.overwrite(data)
               else overwriteCond match {
                 case Some(cond) => t.replaceWhere(cond, data)
@@ -513,9 +528,15 @@ class GraftTable(tableName: String, location: String,
         // Complete mode rides the builder's truncate() flag: each epoch
         // then swaps the whole file list instead of appending.
         override def toStreaming
-            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          // exactly-once epoch tracking is keyed to the MAIN chain; a
+          // branch-routed stream would need per-ref epoch state — refuse
+          // rather than silently ignoring the WAP conf
+          require(GraftTable.wapBranch(SparkSession.active).isEmpty,
+            s"streaming writes to $tableName do not support spark.wap.branch")
           new GraftStreamingWrite(location, info.schema(), info.queryId(),
             truncate = overwrite)
+        }
       }
     }
 }
@@ -523,6 +544,11 @@ class GraftTable(tableName: String, location: String,
 object GraftTable {
   import org.apache.spark.sql.{Column, functions => F}
   import org.apache.spark.sql.sources._
+
+  /** The write-audit-publish branch this session's writes should land on
+    * (Iceberg's `spark.wap.branch` conf), if set and non-empty. */
+  private[table] def wapBranch(s: SparkSession): Option[String] =
+    s.conf.getOption("spark.wap.branch").map(_.trim).filter(_.nonEmpty)
 
   /** Integer reader option with the option NAME in the failure — a typo
     * like `maxFilesPerTrigger=2k` should say which option was bad, not

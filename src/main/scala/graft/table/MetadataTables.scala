@@ -44,6 +44,12 @@ object MetadataTables {
     StructField("n_rows", LongType, nullable = true),
     StructField("size_bytes", LongType, nullable = true)))
 
+  val refsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    // branch → its head version; tag → the pinned version
+    StructField("version", IntegerType, nullable = false)))
+
   /** Sum that propagates UNKNOWN: any negative (unrecorded) entry makes
     * the rollup null rather than silently undercounting. */
   private def sumOrNull(xs: Seq[Long]): Any =
@@ -116,6 +122,15 @@ object MetadataTables {
               if (fields.isEmpty) "<unpartitioned>" else "<empty>"),
             0L, 0L, 0L))
         Some(new MetadataTable(s"$name.partitions", partitionsSchema, out))
+      case "refs" =>
+        // `SELECT * FROM cat.db.t.refs` — branches and tags (Iceberg's
+        // `t.refs` shape), sorted by name for deterministic output
+        val rows = t.refs.toSeq.sortBy(_._1).map { case (n, (typ, v)) =>
+          InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(n),
+            org.apache.spark.unsafe.types.UTF8String.fromString(typ), v)
+        }
+        Some(new MetadataTable(s"$name.refs", refsSchema, rows))
       case _ => None
     }
 

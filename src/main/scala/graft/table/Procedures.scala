@@ -109,17 +109,91 @@ object Procedures {
     }
   }
 
+  /** `CALL graft.system.create_branch(table => 'db.t', name => 'audit')`
+    * — the staging step of write-audit-publish; `version` branches from an
+    * older snapshot (default: head). */
+  final class CreateBranch(warehouse: String)
+      extends GraftProcedure("create_branch") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("name", StringType),
+      paramWithDefault("version", IntegerType, "-1"))
+    private val outSchema = StructType(Seq(
+      StructField("branch", StringType),
+      StructField("based_on_version", IntegerType)))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val t = open(warehouse, input.getUTF8String(0).toString)
+      val name = input.getUTF8String(1).toString
+      t.createBranch(name, input.getInt(2))
+      resultScan(outSchema, InternalRow(utf8(name), t.branch(name).latestVersion))
+    }
+  }
+
+  /** `CALL graft.system.create_tag(table => 'db.t', name => 'release-1')`
+    * — pin a snapshot against expiration (immutable). */
+  final class CreateTag(warehouse: String) extends GraftProcedure("create_tag") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("name", StringType),
+      paramWithDefault("version", IntegerType, "-1"))
+    private val outSchema = StructType(Seq(
+      StructField("tag", StringType),
+      StructField("pinned_version", IntegerType)))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val t = open(warehouse, input.getUTF8String(0).toString)
+      val name = input.getUTF8String(1).toString
+      t.createTag(name, input.getInt(2))
+      resultScan(outSchema, InternalRow(utf8(name), t.tagVersion(name)))
+    }
+  }
+
+  /** `CALL graft.system.fast_forward(table => 'db.t', branch => 'audit')`
+    * — the publish step: main atomically adopts the branch head. */
+  final class FastForward(warehouse: String)
+      extends GraftProcedure("fast_forward") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("branch", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("published_version", IntegerType)))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val t = open(warehouse, input.getUTF8String(0).toString)
+      val v = t.fastForward(input.getUTF8String(1).toString)
+      resultScan(outSchema, InternalRow(v))
+    }
+  }
+
+  /** `CALL graft.system.drop_ref(table => 'db.t', name => 'audit')`. */
+  final class DropRef(warehouse: String) extends GraftProcedure("drop_ref") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("name", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("dropped", StringType)))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val t = open(warehouse, input.getUTF8String(0).toString)
+      val name = input.getUTF8String(1).toString
+      t.dropRef(name)
+      resultScan(outSchema, InternalRow(utf8(name)))
+    }
+  }
+
   def load(warehouse: String, name: String): Option[UnboundProcedure] =
     name match {
       case "compact" => Some(new Compact(warehouse))
       case "expire_snapshots" => Some(new ExpireSnapshots(warehouse))
       case "rollback" => Some(new Rollback(warehouse))
       case "remove_orphans" => Some(new RemoveOrphans(warehouse))
+      case "create_branch" => Some(new CreateBranch(warehouse))
+      case "create_tag" => Some(new CreateTag(warehouse))
+      case "fast_forward" => Some(new FastForward(warehouse))
+      case "drop_ref" => Some(new DropRef(warehouse))
       case _ => None
     }
 
   val names: Seq[String] =
-    Seq("compact", "expire_snapshots", "rollback", "remove_orphans")
+    Seq("compact", "expire_snapshots", "rollback", "remove_orphans",
+      "create_branch", "create_tag", "fast_forward", "drop_ref")
 
   /** Output of name()/description() for UTF8String-safe literals. */
   private[table] def utf8(s: String): UTF8String = UTF8String.fromString(s)

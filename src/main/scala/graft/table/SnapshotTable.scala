@@ -41,10 +41,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * never a second scan of the data), so every commit is single-pass over
   * its payload, like Iceberg's write-task stats collection.
   */
-final class SnapshotTable private (val spark: SparkSession, val location: String) {
+final class SnapshotTable private (val spark: SparkSession, val location: String,
+    val ref: Option[String] = None) {
 
-  private def snapDir: Path = Paths.get(location, "_snapshots")
+  // A branch instance shares the table's data/ directory (its commits
+  // stage files exactly like main's) but keeps its snapshot chain under
+  // _refs/<name>/ — same document format, same commit primitive, so every
+  // ACID property holds per-ref.
+  private def snapDir: Path = ref match {
+    case Some(name) => Paths.get(location, "_refs", name)
+    case None => Paths.get(location, "_snapshots")
+  }
   private def dataDir: Path = Paths.get(location, "data")
+
+  private def requireMain(op: String): Unit = require(ref.isEmpty,
+    s"$op runs on the main table only, not on branch '${ref.getOrElse("")}'")
 
   // ------------------------------------------------------------ snapshots
 
@@ -256,7 +267,12 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       renamed: Seq[(String, String)],
       propSet: Map[String, String] = Map.empty,
       propUnset: Set[String] = Set.empty,
-      validatedAt: Int): Int =
+      validatedAt: Int): Int = {
+    // Branches are data-only: a schema change on a branch would either
+    // diverge from what main's readers plan with or smuggle an ALTER into
+    // main through fast_forward (whose file re-stamping assumes every
+    // branch file stores the current column names) — refuse at the source.
+    requireMain("ALTER (schema evolution)")
     commitWithRetry(
       b => {
         if (b.version != validatedAt)
@@ -270,6 +286,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       nextRenames = (b, v) =>
         b.renames ++ renamed.map { case (n, o) => SnapshotTable.Rename(v, n, o) },
       nextProperties = b => (b.properties ++ propSet) -- propUnset)
+  }
 
   /** ALTER TABLE … RENAME COLUMN — metadata-only (Iceberg T8 beyond ADD):
     * commits the renamed schema plus a [[SnapshotTable.Rename]] log entry;
@@ -423,11 +440,20 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     // differently-spelled warehouse root (relative vs absolute, `..`
     // segments) would otherwise make every live file compare unequal to
     // its manifest entry and be deleted as an orphan.
+    requireMain("remove_orphans")
     def canonical(p: Path): String =
       try p.toRealPath().toString
       catch { case _: java.io.IOException => p.toAbsolutePath.normalize.toString }
+    // live = every file any snapshot references, on main OR on a branch
+    // chain (branch commits stage into the same data/ directory)
+    val branchFiles = refs.collect { case (n, ("branch", _)) => n }
+      .flatMap { n =>
+        val b = branch(n)
+        b.versions.flatMap(v => b.snapshot(v).files.map(_.path))
+      }
     val referenced =
-      versions.flatMap(v => snapshot(v).files.map(f => canonical(Paths.get(f.path)))).toSet
+      (versions.flatMap(v => snapshot(v).files.map(_.path)) ++ branchFiles)
+        .map(f => canonical(Paths.get(f))).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     if (!Files.isDirectory(dataDir)) return Seq.empty
     val onDisk = Files.walk(dataDir).iterator().asScala
@@ -457,6 +483,145 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
   def rollbackTo(version: Int): Int = {
     val target = snapshot(version)
     commitWithRetry(_ => target.files, _ => target.schemaJson, "rollback")
+  }
+
+  // ----------------------------------------------------------------- refs
+
+  private def refsDir: Path = Paths.get(location, "_refs")
+  private def tagFile(name: String): Path = refsDir.resolve(s"$name.tag.json")
+  private def branchDir(name: String): Path = refsDir.resolve(name)
+
+  /** Create branch `name` at `atVersion` (default: current head) — the
+    * Iceberg branching model's mutable ref, and the isolation primitive
+    * of write-audit-publish: writers commit to the branch's own snapshot
+    * chain while every main reader keeps seeing the unchanged head, then
+    * [[fastForward]] publishes the audited state as one atomic commit.
+    *
+    * The seed snapshot is a copy of main's `atVersion` document placed in
+    * the branch chain (operation `branch`), so the branch is immediately
+    * readable and its first commit rebases on the seed like any other.
+    * Creation is atomic via the same publish-if-absent commit primitive —
+    * two racing `create_branch` calls resolve to exactly one winner. */
+  def createBranch(name: String, atVersion: Int = -1): Unit = {
+    requireMain("create_branch")
+    SnapshotTable.validateRefName(name, location)
+    val v = if (atVersion < 0) latestVersion else atVersion
+    require(v >= 0, s"cannot branch an empty table at $location")
+    val seed = snapshot(v).copy(operation = "branch")
+    require(!Files.exists(tagFile(name)),
+      s"ref '$name' already exists at $location")
+    Files.createDirectories(branchDir(name))
+    val dest = branchDir(name).resolve(f"v$v%05d.json")
+    require(CommitPrimitive.forDest(dest).publish(
+        dest, SnapshotTable.renderSnapshot(seed)),
+      s"ref '$name' already exists at $location")
+  }
+
+  /** Create immutable tag `name` pinning `atVersion` (default: head).
+    * Expiration never collects a tagged version ([[expireSnapshots]]), so
+    * a tag is a durable audit/repro point ("the corpus release we trained
+    * on") that routine maintenance cannot erode. Tags cannot be re-pointed
+    * — drop and recreate to move one. */
+  def createTag(name: String, atVersion: Int = -1): Unit = {
+    requireMain("create_tag")
+    SnapshotTable.validateRefName(name, location)
+    val v = if (atVersion < 0) latestVersion else atVersion
+    require(versions.contains(v), s"no snapshot v$v at $location")
+    require(!Files.isDirectory(branchDir(name)),
+      s"ref '$name' already exists at $location")
+    Files.createDirectories(refsDir)
+    require(CommitPrimitive.forDest(tagFile(name)).publish(
+        tagFile(name), s"""{"version":$v}"""),
+      s"ref '$name' already exists at $location (tags are immutable)")
+  }
+
+  /** Open branch `name` as a [[SnapshotTable]] whose commits land on the
+    * branch chain. Data-path operations (append, overwrite, replaceWhere,
+    * compact, rollback) all work; schema evolution is refused on branches
+    * (see [[commitEvolution]]) so a published branch never smuggles in a
+    * schema change that main's readers didn't plan for. */
+  def branch(name: String): SnapshotTable = {
+    requireMain("branch")
+    val b = new SnapshotTable(spark, location, Some(name))
+    require(b.latestVersion >= 0, s"no branch '$name' at $location")
+    b
+  }
+
+  /** The version a tag pins. */
+  def tagVersion(name: String): Int = {
+    require(Files.exists(tagFile(name)), s"no tag '$name' at $location")
+    val node = SnapshotTable.mapper.readTree(Files.readString(tagFile(name)))
+    node.get("version").asInt
+  }
+
+  /** All refs: name -> (type `branch`|`tag`, head / pinned version). */
+  def refs: Map[String, (String, Int)] = {
+    if (!Files.isDirectory(refsDir)) return Map.empty
+    Files.list(refsDir).iterator().asScala.flatMap { p =>
+      val fn = p.getFileName.toString
+      if (Files.isDirectory(p)) {
+        val b = new SnapshotTable(spark, location, Some(fn))
+        Some(fn -> ("branch", b.latestVersion))
+      } else if (fn.endsWith(".tag.json")) {
+        val name = fn.stripSuffix(".tag.json")
+        Some(name -> ("tag", tagVersion(name)))
+      } else None
+    }.toMap
+  }
+
+  /** Resolve a ref name to the snapshot a read should pin: a branch's
+    * head, or a tag's pinned version — `VERSION AS OF 'name'` routes
+    * here when the version string is not numeric. */
+  def resolveRef(name: String): SnapshotTable.Snapshot =
+    if (Files.isDirectory(branchDir(name))) {
+      val b = branch(name)
+      b.snapshot(b.latestVersion)
+    } else snapshot(tagVersion(name))
+
+  /** Drop a branch (chain and all) or a tag. Data files that only the
+    * dropped ref referenced become orphans and are reclaimed by the next
+    * [[removeOrphans]] sweep — never deleted here, so a concurrent reader
+    * holding the ref's snapshot finishes its scan. */
+  def dropRef(name: String): Unit = {
+    requireMain("drop_ref")
+    if (Files.isDirectory(branchDir(name)))
+      graft.Tables.deleteRecursively(branchDir(name).toString)
+    else if (Files.exists(tagFile(name))) Files.delete(tagFile(name))
+    else throw new IllegalArgumentException(s"no ref '$name' at $location")
+  }
+
+  /** Publish branch `name`: commit its head state onto main as one atomic
+    * snapshot — the "publish" step of write-audit-publish. A pure pointer
+    * advance like Iceberg's `fast_forward`: it requires that main has NOT
+    * moved since the branch was created (the branch head is a strict
+    * descendant of main's head), and aborts with
+    * `ConcurrentModificationException` otherwise — a concurrent main
+    * commit is never silently overwritten. Metadata-only: the branch's
+    * data files are already in place under `data/`.
+    *
+    * Files written on the branch are re-stamped to the publish version:
+    * their branch-chain `schemaVersion` stamps would otherwise collide
+    * with main's numbering and mis-resolve against renames main commits
+    * LATER. Safe because branches cannot alter schema — every branch file
+    * physically stores the current column names. */
+  def fastForward(name: String): Int = {
+    requireMain("fast_forward")
+    val b = branch(name)
+    val seedV = b.versions.head
+    val head = b.snapshot(b.latestVersion)
+    val seedPaths = b.snapshot(seedV).files.map(_.path).toSet
+    commitWithRetry(
+      base => {
+        if (base.version != seedV)
+          throw new java.util.ConcurrentModificationException(
+            s"table $location moved v$seedV -> v${base.version} since branch " +
+              s"'$name' was created — fast_forward must be a pure pointer " +
+              "advance; recreate the branch from the current head and replay")
+        head.files.map(f =>
+          if (seedPaths(f.path)) f else f.copy(schemaVersion = base.version + 1))
+      },
+      _ => head.schemaJson, "fast_forward",
+      nextProperties = _ => head.properties)
   }
 
   /** Scoped overwrite (INSERT OVERWRITE … PARTITION / replaceWhere):
@@ -629,6 +794,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * policy fails at ALTER time, not silently at the next expiration. */
   def setProperties(set: Map[String, String],
       unset: Set[String] = Set.empty): Int = {
+    requireMain("ALTER TBLPROPERTIES")
     set.get(SnapshotTable.MinSnapshotsToKeep).foreach(v =>
       require(v.trim.matches("\\d+") && v.trim.toInt >= 1,
         s"${SnapshotTable.MinSnapshotsToKeep} must be a positive integer, got '$v'"))
@@ -653,6 +819,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * deliberate override) still fails its restart with the descriptive
     * recovery error in the streaming source. */
   def expireSnapshots(keepLast: Int): Unit = {
+    requireMain("expire_snapshots")
     val props = properties
     val floorKeep = props.get(SnapshotTable.MinSnapshotsToKeep)
       .map(_.trim.toInt).getOrElse(1)
@@ -663,10 +830,23 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val byCount = all.splitAt(
       math.max(0, all.size - math.max(keepLast, floorKeep)))._1
     // commit timestamps are monotone across versions, so the age floor
-    // keeps a clean suffix — no gaps in the surviving history
-    val drop = byCount.filter(v => now - snapshot(v).timestampMs >= minAgeMs)
+    // keeps a clean suffix — no gaps in the surviving history. Tagged
+    // versions are pinned no matter their age/position: a tag's whole
+    // point is surviving routine maintenance.
+    val allRefs = refs
+    val tagged = allRefs.collect { case (_, ("tag", v)) => v }.toSet
+    val drop = byCount.filterNot(tagged)
+      .filter(v => now - snapshot(v).timestampMs >= minAgeMs)
     val keep = all.filterNot(drop.contains)
-    val live = keep.flatMap(v => snapshot(v).files.map(_.path)).toSet
+    // data files any BRANCH chain references are live too — a branch's
+    // commits are invisible to main's version list but its files share
+    // this table's data/ directory
+    val branchLive = allRefs.collect { case (n, ("branch", _)) => n }
+      .flatMap { n =>
+        val b = branch(n)
+        b.versions.flatMap(v => b.snapshot(v).files.map(_.path))
+      }.toSet
+    val live = keep.flatMap(v => snapshot(v).files.map(_.path)).toSet ++ branchLive
     val dead = drop.flatMap(v => snapshot(v).files.map(_.path)).toSet -- live
     dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
     drop.foreach(v => Files.deleteIfExists(snapDir.resolve(f"v$v%05d.json")))
@@ -1189,6 +1369,15 @@ object SnapshotTable {
   }
 
   private val SnapName = "v([0-9]{5})\\.json".r
+
+  /** Ref names live in the filesystem namespace under `_refs/`, so the
+    * charset is restricted up front — and `main` is reserved so
+    * `VERSION AS OF 'main'`-style strings can never shadow the table. */
+  private[table] def validateRefName(name: String, location: String): Unit =
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9_.-]*")
+        && !name.endsWith(".tag.json") && name != "main",
+      s"invalid ref name '$name' for $location (letters, digits, '_', '-', " +
+        "'.'; must not be 'main')")
 
   /** Create a new table at `location` with `df` as snapshot v0. */
   def create(spark: SparkSession, location: String, df: DataFrame,
