@@ -665,6 +665,57 @@ object Ops {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------- q67
+  // Write-audit-publish (reference README's "audit before the business
+  // sees it" promise, Iceberg's spark.wap.branch workflow): main is seeded
+  // with the first 7000 events; the late slice is staged on an `audit`
+  // branch (all its writes routed by spark.wap.branch on a CLONED session
+  // — the caller's session is never mutated); the audit step runs a DELETE
+  // on the branch chain removing every 'error' event; fast_forward then
+  // publishes the audited state as one atomic main commit. The result
+  // reads MAIN after publish, plus the pre-publish main row count captured
+  // while the branch was still staging — proving isolation (7000, i.e.
+  // untouched by both the staged insert and the audit delete).
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val name = s"ev_wap_${tag(dir)}"
+    Tables.deleteRecursively(s"$wh/db/$name")
+    s.sql(s"CREATE TABLE graft.db.$name (event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)")
+    val e = ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    e.filter(col("event_id") < 7000).writeTo(s"graft.db.$name").append()
+    s.sql(s"CALL graft.system.create_branch(table => 'db.$name', name => 'audit')")
+
+    // stage + audit on a cloned session scoped to the branch
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s2.conf.set("spark.wap.branch", "audit")
+    Tables.load(s2, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .filter(col("event_id") >= 7000)
+      .createOrReplaceTempView("staged_events")
+    s2.sql(s"INSERT INTO graft.db.$name SELECT * FROM staged_events")
+    s2.sql(s"DELETE FROM graft.db.$name WHERE event_type = 'error'")
+
+    // main is still the untouched seed while the branch holds the audit
+    val mainPrePublish = s.table(s"graft.db.$name").count()
+    s.sql(s"CALL graft.system.fast_forward(table => 'db.$name', branch => 'audit')")
+    s.sql(
+      s"""SELECT event_type, count(*) AS n_events,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         |       $mainPrePublish AS main_rows_pre_publish
+         |FROM graft.db.$name GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q67Sql =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       (SELECT count(*) FROM events WHERE event_id < 7000) AS main_rows_pre_publish
+      |FROM events WHERE event_type <> 'error'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_bench_metrics" -> (q49 _),
@@ -686,7 +737,8 @@ object Ops {
     "q62_spj_join" -> (q62 _),
     "q63_streaming_pipeline" -> (q63 _),
     "q64_days_transform" -> (q64 _),
-    "q65_dynamic_table" -> (q65 _))
+    "q65_dynamic_table" -> (q65 _),
+    "q67_wap_publish" -> (q67 _))
 
   val oracle: Map[String, String] = Map(
     "q49_bench_metrics" -> q49Sql,
@@ -708,5 +760,6 @@ object Ops {
     "q62_spj_join" -> q62Sql,
     "q63_streaming_pipeline" -> q63Sql,
     "q64_days_transform" -> q64Sql,
-    "q65_dynamic_table" -> q65Sql)
+    "q65_dynamic_table" -> q65Sql,
+    "q67_wap_publish" -> q67Sql)
 }

@@ -357,10 +357,14 @@ class GraftTable(tableName: String, location: String,
     // A row-level operation's scan was planned against MAIN's head; under
     // spark.wap.branch its rewrite would have to read the branch instead —
     // refuse loudly rather than silently reading one chain and committing
-    // to another. Branch writers use INSERT/DELETE/the table API.
-    require(GraftTable.wapBranch(spark).isEmpty,
+    // to another. Branch writers use INSERT/DELETE/the table API. DELETE
+    // gets the same deferred treatment as the rename guard: the
+    // metadata-only conversion rewrites it through branch-aware
+    // deleteWhere, so only a DELETE whose scan actually builds refuses.
+    def refuseWap(): Unit = require(GraftTable.wapBranch(spark).isEmpty,
       s"UPDATE/MERGE INTO $tableName do not support spark.wap.branch — " +
         "unset it or stage the change with INSERT/DELETE on the branch")
+    if (info.command() != RowLevelOperation.Command.DELETE) refuseWap()
     // works on partitioned tables too: partition source columns live in
     // the data files, so the flat replacement files are self-describing
     // and their partition-column min/max comes from the parquet footers
@@ -434,6 +438,7 @@ class GraftTable(tableName: String, location: String,
 
           override def build(): org.apache.spark.sql.connector.read.Scan = {
             refuse() // a DELETE that didn't convert to metadata-only
+            refuseWap() // same: group-based rewrite would read main's scan
             scannedFiles = Some(files)
             val scan = ensureInner().build()
             if (snap.partitionCols.isEmpty) scan
