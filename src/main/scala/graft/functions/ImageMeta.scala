@@ -1,7 +1,7 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,19 +19,33 @@ import org.apache.spark.unsafe.types.UTF8String
   *    width(2 BE) (ITU T.81 §B.2.2). APP/quantization/comment segments of
   *    any length are skipped by their declared size, so real camera files
   *    with EXIF blocks parse the same as minimal fixtures;
-  *  - GIF: "GIF87a"/"GIF89a", then little-endian width/height at 6/8.
+  *  - GIF: "GIF87a"/"GIF89a", then little-endian width/height at 6/8;
+  *  - WebP: RIFF container ("RIFF" size "WEBP"), then the first chunk
+  *    decides the flavor — "VP8 " lossy (3-byte frame tag, 9D 01 2A sync
+  *    code, then 14-bit LE width/height), "VP8L" lossless (0x2F
+  *    signature byte, then width-1/height-1 as consecutive 14-bit fields
+  *    of a 32-bit LE word), "VP8X" extended (24-bit LE canvas
+  *    width-1/height-1 after the 4 flag bytes);
+  *  - BMP: "BM" file header, then a BITMAPINFOHEADER-or-later DIB header
+  *    (size ≥ 40) with signed LE32 width at 18 / height at 22 — a
+  *    negative height is the top-down layout flag, so its magnitude is
+  *    the pixel height.
   *
   * Anything else — truncated headers, unknown magic, a JPEG with no frame
   * header — yields NULL, never an exception: corrupt media in a 100 TB
   * crawl is data, not an error. Per-row, no shuffle; the expression runs
-  * inside the scan's projection, so a metadata-only pipeline (filter by
-  * dimensions, group by format) never moves the payload bytes.
+  * inside the scan's projection with REAL `doGenCode` (a static-invoke
+  * kernel, same shape as [[IntersectSize]]), so a metadata-only pipeline
+  * (filter by dimensions, group by format) stays inside whole-stage
+  * codegen and never moves the payload bytes.
   */
-case class ImageMetaExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class ImageMetaExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ImageMeta.schema
   override def prettyName: String = "image_meta"
+
+  // corrupt/unknown bytes parse to NULL even when the input is non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -42,12 +56,17 @@ case class ImageMetaExpr(child: Expression)
         s"$prettyName expects binary content, got ${child.dataType.simpleString}")
 
   override def nullSafeEval(input: Any): Any =
-    ImageMeta.parse(input.asInstanceOf[Array[Byte]]) match {
-      case null => null
-      case (fmt, w, h) =>
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](UTF8String.fromString(fmt), w, h))
-    }
+    ImageMeta.parseRow(input.asInstanceOf[Array[Byte]])
+
+  // static-invoke codegen: the header walk runs as one static call inside
+  // the whole-stage loop; the kernel itself decides post-call nullness
+  // (unrecognized bytes → null row → null result)
+  override def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ImageMeta.parseRow($c);
+      ${ev.isNull} = ${ev.value} == null;""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -67,9 +86,22 @@ object ImageMeta {
   private def be32(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
       ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le24(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
 
   private val PngSig =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** The eval/codegen kernel: parsed struct as an InternalRow, or null. */
+  def parseRow(b: Array[Byte]): InternalRow = parse(b) match {
+    case null => null
+    case (fmt, w, h) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(fmt), w, h))
+  }
 
   /** (format, width, height) or null when unrecognized/corrupt. */
   def parse(b: Array[Byte]): (String, Int, Int) = {
@@ -80,6 +112,10 @@ object ImageMeta {
     } else if (isGif(b)) {
       val w = le16(b, 6); val h = le16(b, 8)
       if (w > 0 && h > 0) ("gif", w, h) else null
+    } else if (isWebp(b)) {
+      parseWebp(b)
+    } else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+      parseBmp(b)
     } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
       parseJpeg(b)
     } else null
@@ -93,6 +129,53 @@ object ImageMeta {
   private def isGif(b: Array[Byte]): Boolean =
     b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
+
+  private def isWebp(b: Array[Byte]): Boolean =
+    b.length >= 16 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
+
+  /** First RIFF chunk after "WEBP" picks the bitstream flavor; all three
+    * carry dimensions in their first payload bytes (WebP container spec):
+    * lossy "VP8 " = frame tag(3) + sync 9D 01 2A + 14-bit LE w/h;
+    * lossless "VP8L" = 0x2F + (w-1 | (h-1)<<14) packed LE32;
+    * extended "VP8X" = flags(4) + 24-bit LE (w-1)/(h-1) canvas size. */
+  private def parseWebp(b: Array[Byte]): (String, Int, Int) = {
+    if (b.length < 20) return null // need the first chunk's tag + size
+    val tag = new String(b, 12, 4, "US-ASCII")
+    tag match {
+      case "VP8 " => // payload at 20: frame tag(3), sync code(3), dims
+        if (b.length < 30) return null
+        if ((b(23) & 0xff) != 0x9d || (b(24) & 0xff) != 0x01 ||
+            (b(25) & 0xff) != 0x2a) return null
+        val w = le16(b, 26) & 0x3fff
+        val h = le16(b, 28) & 0x3fff
+        if (w > 0 && h > 0) ("webp", w, h) else null
+      case "VP8L" => // payload at 20: 0x2F signature, packed dims LE32
+        if (b.length < 25) return null
+        if ((b(20) & 0xff) != 0x2f) return null
+        val bits = le32(b, 21)
+        val w = (bits & 0x3fff) + 1
+        val h = ((bits >>> 14) & 0x3fff) + 1
+        ("webp", w, h)
+      case "VP8X" => // payload at 20: flags(4), 24-bit LE canvas dims - 1
+        if (b.length < 30) return null
+        val w = le24(b, 24) + 1
+        val h = le24(b, 27) + 1
+        ("webp", w, h)
+      case _ => null
+    }
+  }
+
+  /** BITMAPINFOHEADER and later (V4/V5 — DIB size ≥ 40): signed LE32
+    * dimensions; |height| because negative flags top-down row order. */
+  private def parseBmp(b: Array[Byte]): (String, Int, Int) = {
+    if (b.length < 26) return null
+    val dibSize = le32(b, 14)
+    if (dibSize < 40) return null // core/OS2 headers out of scope
+    val w = le32(b, 18)
+    val h = le32(b, 22)
+    if (w > 0 && h != 0 && h != Int.MinValue) ("bmp", w, math.abs(h)) else null
+  }
 
   /** Segment walk to the first frame header (SOFn). Markers C4 (Huffman
     * table), C8 (reserved), CC (arithmetic conditioning) sit inside the
@@ -129,15 +212,21 @@ object ImageMeta {
   /** Minimal-but-real container bytes for tests/fixtures: actual PNG
     * signature + IHDR (+ IEND), a JPEG with an APP0 segment BEFORE the
     * SOF0 (so parsers must really walk segments), a GIF89a logical screen
-    * descriptor + trailer. Deterministic for a given (format, w, h). */
+    * descriptor + trailer, a lossy-WebP RIFF container with a real VP8
+    * keyframe header, a BMP with a BITMAPINFOHEADER. Deterministic for a
+    * given (format, w, h). */
   def encode(format: String, width: Int, height: Int): Array[Byte] = {
-    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
-      s"fixture dimensions out of range: ${width}x$height")
+    // lossy WebP carries 14-bit dimensions; the other containers 16-bit
+    val cap = if (format == "webp") 0x3fff else 0xffff
+    require(width > 0 && width <= cap && height > 0 && height <= cap,
+      s"fixture dimensions out of range for $format: ${width}x$height")
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
     def wbe16(v: Int): Unit = { w8(v >> 8); w8(v) }
     def wbe32(v: Int): Unit = { w8(v >> 24); w8(v >> 16); w8(v >> 8); w8(v) }
     def wle16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def wle24(v: Int): Unit = { w8(v); w8(v >> 8); w8(v >> 16) }
+    def wle32(v: Int): Unit = { w8(v); w8(v >> 8); w8(v >> 16); w8(v >> 24) }
     format match {
       case "png" =>
         out.write(PngSig)
@@ -160,6 +249,27 @@ object ImageMeta {
         wle16(width); wle16(height)
         w8(0); w8(0); w8(0) // no GCT, bg 0, square pixels
         w8(0x3b) // trailer
+      case "webp" =>
+        // lossy VP8 : 10-byte payload = frame tag + sync + dims
+        val payload = 10
+        out.write("RIFF".getBytes("US-ASCII"))
+        wle32(4 + 8 + payload) // "WEBP" + chunk header + payload
+        out.write("WEBP".getBytes("US-ASCII"))
+        out.write("VP8 ".getBytes("US-ASCII"))
+        wle32(payload)
+        w8(0); w8(0); w8(0) // keyframe frame tag (version 0, show_frame 0)
+        w8(0x9d); w8(0x01); w8(0x2a) // sync code
+        wle16(width); wle16(height) // 14-bit dims, scale bits 0
+      case "bmp" =>
+        val rowBytes = ((width * 3 + 3) / 4) * 4 // 24bpp rows, 4-byte aligned
+        out.write("BM".getBytes("US-ASCII"))
+        wle32(14 + 40 + rowBytes * height) // declared file size
+        wle16(0); wle16(0); wle32(14 + 40) // reserved, pixel offset
+        wle32(40) // BITMAPINFOHEADER
+        wle32(width); wle32(height)
+        wle16(1); wle16(24) // planes, bpp
+        wle32(0); wle32(rowBytes * height) // BI_RGB, image size
+        wle32(2835); wle32(2835); wle32(0); wle32(0) // 72 dpi, no palette
       case other =>
         throw new IllegalArgumentException(s"unknown fixture format: $other")
     }

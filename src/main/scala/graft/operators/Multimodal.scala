@@ -9,8 +9,8 @@ import org.apache.spark.sql.types._
   * feature-extraction / frame-sampling runs as `mapPartitions` over the
   * binary payloads — the Spark-side schema, batching, and partitioning are
   * real. Container METADATA extraction is real too:
-  * [[graft.functions.ImageMetaExpr]] parses PNG/JPEG/GIF format and pixel
-  * dimensions straight off the header bytes (no codec library needed —
+  * [[graft.functions.ImageMetaExpr]] parses PNG/JPEG/GIF/WebP/BMP format
+  * and pixel dimensions straight off the header bytes (no codec library —
   * q66 oracle-checks it). Only the DEEP decode (pixel data → feature
   * vector) is a clearly-marked deterministic STUB: this container has no
   * image/audio libraries; swap [[StubCodec]] for a real decoder on a

@@ -503,7 +503,8 @@ object Llm {
   // ------------------------------------------------------------- q66
   // REAL multimodal metadata: the fixture writer emits actual container
   // bytes (PNG signature+IHDR / JPEG APP0-then-SOF0 segments / GIF89a
-  // descriptor) keyed deterministically by doc_id, and the native
+  // descriptor / RIFF-WEBP VP8 keyframe / BMP BITMAPINFOHEADER) keyed
+  // deterministically by doc_id, and the native
   // [[graft.functions.ImageMetaExpr]] parses format and pixel dimensions
   // back OFF THE BYTES — no codec library, pure header arithmetic. The
   // oracle recomputes the expected dimensions from doc_id, so a parser
@@ -515,8 +516,9 @@ object Llm {
     val mediaDir = Tables.scratch(s"media/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
     ids.map { id =>
-      val fmt = (id % 3) match {
-        case 0 => "png"; case 1 => "jpeg"; case _ => "gif"
+      val fmt = (id % 5) match {
+        case 0 => "png"; case 1 => "jpeg"; case 2 => "gif"
+        case 3 => "webp"; case _ => "bmp"
       }
       (id, graft.functions.ImageMeta.encode(fmt,
         1 + (id % 640).toInt, 1 + (id % 480).toInt))
@@ -533,8 +535,9 @@ object Llm {
 
   val q66Sql =
     """SELECT doc_id,
-      |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
-      |            WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+      |       CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png'
+      |            WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+      |            WHEN 3 THEN 'webp' ELSE 'bmp' END AS format,
       |       CAST(1 + doc_id % 640 AS BIGINT) AS width,
       |       CAST(1 + doc_id % 480 AS BIGINT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin

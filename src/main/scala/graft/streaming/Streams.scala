@@ -492,35 +492,46 @@ object Streams {
   def streamIntoTable(spark: SparkSession, srcDir: String, tableLoc: String,
       checkpointTag: String): graft.table.SnapshotTable = {
     import graft.table.SnapshotTable
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(srcDir).schema
-    val ckpt = Tables.scratch(s"ckpt/ingest_$checkpointTag")
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 10).parquet(srcDir)
-      .writeStream
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val tag = s"stream-batch-$batchId"
-        val exists = new java.io.File(s"$tableLoc/_snapshots").isDirectory
-        val replayed = exists && {
-          val t = SnapshotTable.load(batch.sparkSession, tableLoc)
-          t.versions.map(v => t.snapshot(v).operation).contains(tag)
-        }
-        if (!replayed) {
-          if (exists) SnapshotTable.load(batch.sparkSession, tableLoc).append(batch, tag)
-          else {
-            // first batch creates the table with the tagged snapshot
-            val t = new java.io.File(tableLoc)
-            t.mkdirs()
-            SnapshotTable.createEmpty(batch.sparkSession, tableLoc, batch.schema)
-            SnapshotTable.load(batch.sparkSession, tableLoc).append(batch, tag)
+    // Isolation: nanos-as-long is flipped on a CLONED session (pinned
+    // active for the drain, like drainToTable) — the caller's confs are
+    // never touched by this entry point.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(s2)
+    try {
+      val schema = s2.read.parquet(srcDir).schema
+      val ckpt = Tables.scratch(s"ckpt/ingest_$checkpointTag")
+      val q = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 10).parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val tag = s"stream-batch-$batchId"
+          val exists = new java.io.File(s"$tableLoc/_snapshots").isDirectory
+          val replayed = exists && {
+            val t = SnapshotTable.load(batch.sparkSession, tableLoc)
+            t.versions.map(v => t.snapshot(v).operation).contains(tag)
           }
+          if (!replayed) {
+            if (exists) SnapshotTable.load(batch.sparkSession, tableLoc).append(batch, tag)
+            else {
+              // first batch creates the table with the tagged snapshot
+              val t = new java.io.File(tableLoc)
+              t.mkdirs()
+              SnapshotTable.createEmpty(batch.sparkSession, tableLoc, batch.schema)
+              SnapshotTable.load(batch.sparkSession, tableLoc).append(batch, tag)
+            }
+          }
+          ()
         }
-        ()
-      }
-      .start()
-    q.awaitTermination()
+        .start()
+      q.awaitTermination()
+    } finally prevActive match {
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None => SparkSession.clearActiveSession()
+    }
     SnapshotTable.load(spark, tableLoc)
   }
 

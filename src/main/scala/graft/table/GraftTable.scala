@@ -362,8 +362,15 @@ class GraftTable(tableName: String, location: String,
     // metadata-only conversion rewrites it through branch-aware
     // deleteWhere, so only a DELETE whose scan actually builds refuses.
     def refuseWap(): Unit = require(GraftTable.wapBranch(spark).isEmpty,
-      s"UPDATE/MERGE INTO $tableName do not support spark.wap.branch — " +
-        "unset it or stage the change with INSERT/DELETE on the branch")
+      if (info.command() == RowLevelOperation.Command.DELETE)
+        s"DELETE FROM $tableName under spark.wap.branch supports only " +
+          "predicates convertible to a metadata-only delete (no " +
+          "subqueries or untranslatable filters) — simplify the " +
+          "predicate, or unset spark.wap.branch and run the DELETE on main"
+      else
+        s"${info.command()} on $tableName does not support " +
+          "spark.wap.branch — unset it or stage the change with " +
+          "INSERT/DELETE on the branch")
     if (info.command() != RowLevelOperation.Command.DELETE) refuseWap()
     // works on partitioned tables too: partition source columns live in
     // the data files, so the flat replacement files are self-describing

@@ -27,7 +27,9 @@ class ExprSpec extends SparkFunSuite {
     // round-trip through the fixture encoder for each container
     val fixtures = Seq(
       ("png", 640, 480), ("jpeg", 1, 1), ("jpeg", 1920, 1080),
-      ("gif", 320, 200), ("png", 65535, 1))
+      ("gif", 320, 200), ("png", 65535, 1),
+      ("webp", 800, 600), ("webp", 1, 1), ("webp", 16383, 16383),
+      ("bmp", 1024, 768), ("bmp", 1, 1), ("bmp", 65535, 65535))
     val enc = fixtures.map { case (f, w, h) => (f, w, h, ImageMeta.encode(f, w, h)) }
     val got = enc.toDF("f", "w", "h", "content")
       .selectExpr("f", "w", "h", "image_meta(content) AS m")
@@ -50,16 +52,83 @@ class ExprSpec extends SparkFunSuite {
       .selectExpr("m.width", "m.height").collect()
     special.foreach(r => assert(r.getInt(0) == 123 && r.getInt(1) == 45, r))
 
-    // corrupt/unknown content yields NULL, never an exception
+    // a LOSSLESS (VP8L) and an EXTENDED (VP8X) webp must parse too —
+    // hand-built since the fixture encoder emits the lossy flavor
+    def riff(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit =
+        o.write(Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte))
+      o.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + payload.length)
+      o.write("WEBP".getBytes("US-ASCII")); o.write(tag.getBytes("US-ASCII"))
+      le32(payload.length); o.write(payload)
+      o.toByteArray
+    }
+    val vp8lBits = (99 - 1) | ((77 - 1) << 14) // 99x77
+    val vp8l = riff("VP8L", Array[Byte](0x2f,
+      (vp8lBits & 0xff).toByte, ((vp8lBits >> 8) & 0xff).toByte,
+      ((vp8lBits >> 16) & 0xff).toByte, ((vp8lBits >> 24) & 0xff).toByte, 0))
+    val vp8x = riff("VP8X", Array[Byte](0, 0, 0, 0, // flags + reserved
+      ((300 - 1) & 0xff).toByte, ((300 - 1) >> 8).toByte, 0, // 24-bit LE w-1
+      ((200 - 1) & 0xff).toByte, ((200 - 1) >> 8).toByte, 0)) // 24-bit LE h-1
+    val flavors = Seq(Tuple1(vp8l), Tuple1(vp8x)).toDF("content")
+      .selectExpr("image_meta(content) AS m")
+      .selectExpr("m.format", "m.width", "m.height").collect()
+    assert(flavors(0).getString(0) == "webp" &&
+      flavors(0).getInt(1) == 99 && flavors(0).getInt(2) == 77, flavors(0))
+    assert(flavors(1).getString(0) == "webp" &&
+      flavors(1).getInt(1) == 300 && flavors(1).getInt(2) == 200, flavors(1))
+
+    // a TOP-DOWN bmp (negative height) reports the magnitude
+    val topDown = ImageMeta.encode("bmp", 64, 32)
+    val negH = -32
+    topDown(22) = (negH & 0xff).toByte; topDown(23) = ((negH >> 8) & 0xff).toByte
+    topDown(24) = ((negH >> 16) & 0xff).toByte; topDown(25) = ((negH >> 24) & 0xff).toByte
+    val td = Seq(Tuple1(topDown)).toDF("content")
+      .selectExpr("image_meta(content) AS m")
+      .selectExpr("m.format", "m.width", "m.height").head()
+    assert(td.getString(0) == "bmp" && td.getInt(1) == 64 && td.getInt(2) == 32, td)
+
+    // corrupt/unknown content yields NULL, never an exception — at least
+    // one corrupt case per supported container
+    val badVp8 = ImageMeta.encode("webp", 10, 10)
+    badVp8(24) = 0x00 // break the VP8 keyframe sync code
+    val coreBmp = ImageMeta.encode("bmp", 10, 10)
+    coreBmp(14) = 12; coreBmp(15) = 0 // BITMAPCOREHEADER: out of scope
     val bad = Seq(
       Array.empty[Byte],
       "plain text, no magic".getBytes("UTF-8"),
       ImageMeta.encode("png", 10, 10).take(12), // truncated before IHDR
       Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte), // SOI then EOI, no frame
-      Array(0xff, 0xd8, 0x00, 0x00).map(_.toByte)) // lost marker alignment
+      Array(0xff, 0xd8, 0x00, 0x00).map(_.toByte), // lost marker alignment
+      "GIF89a".getBytes("US-ASCII"), // truncated before the descriptor
+      ImageMeta.encode("webp", 10, 10).take(18), // truncated RIFF chunk
+      riff("ALPH", Array[Byte](0, 0, 0, 0, 0, 0, 0, 0, 0, 0)), // no bitstream chunk first
+      badVp8,
+      ImageMeta.encode("bmp", 10, 10).take(20), // truncated DIB header
+      coreBmp)
     val nulls = bad.map(Tuple1(_)).toDF("content")
       .selectExpr("image_meta(content) AS m").collect()
     nulls.foreach(r => assert(r.isNullAt(0), s"expected NULL meta, got $r"))
+  }
+
+  test("image_meta compiles under codegen-only mode (no fallback)") {
+    // the expression claims real doGenCode — CODEGEN_ONLY with fallback
+    // off fails the query if the emitted Java doesn't compile, and the
+    // mixed valid/corrupt input exercises the post-call null branch
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    Registry.install(s2)
+    import s2.implicits._
+    val rows = Seq(
+      ImageMeta.encode("png", 12, 34), ImageMeta.encode("webp", 56, 78),
+      ImageMeta.encode("bmp", 9, 9), "not an image".getBytes("UTF-8"))
+      .map(Tuple1(_)).toDF("content")
+      .selectExpr("image_meta(content) AS m")
+      .selectExpr("m.format", "m.width").collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+    assert(rows.filter(!_.isNullAt(0)).map(_.getString(0)).toSet ==
+      Set("png", "webp", "bmp"))
   }
 
   test("minhash_bands: deterministic, band count respected, permutation-sensitive") {

@@ -271,6 +271,32 @@ class StreamsSpec extends SparkFunSuite {
     assert(t3.versions.size == v1.size + 1)
   }
 
+  test("streamIntoTable leaves the caller session's confs untouched") {
+    val events = graft.Tables.load(spark, sf, "events")
+    val src = scratch("ingest-isolation-src")
+    events.filter(col("event_id") < 100).coalesce(1).write.parquet(src)
+    val loc = scratch("ingest-isolation-table")
+    graft.Tables.deleteRecursively(graft.Tables.scratch("ckpt/ingest_ingest-isolation"))
+    // a FRESH caller session whose confs are at their defaults — if the
+    // entry point flips nanosAsLong (or anything else) on the caller
+    // instead of a clone, the before/after compare catches it
+    val caller = spark.newSession()
+    val watched = Seq(
+      "spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.parquet.outputTimestampType",
+      "spark.sql.shuffle.partitions")
+    val before = watched.map(k => k -> caller.conf.get(k)).toMap
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    val t = Streams.streamIntoTable(caller, src, loc, "ingest-isolation")
+    assert(t.read().count() == 100)
+    watched.foreach { k =>
+      assert(caller.conf.get(k) == before(k),
+        s"streamIntoTable mutated caller conf $k: ${before(k)} -> ${caller.conf.get(k)}")
+    }
+    assert(org.apache.spark.sql.SparkSession.getActiveSession == prevActive,
+      "streamIntoTable leaked a different active session")
+  }
+
   test("stateful streaming dedup suppresses duplicates across micro-batches") {
     import spark.implicits._
     val src = scratch("statefuldedup-src")

@@ -172,19 +172,27 @@ class WapSpec extends SparkFunSuite {
   test("dropRef removes a branch; its files become orphans, not instant deletes") {
     val loc = scratch("wap-dropref")
     val t = SnapshotTable.create(spark, loc, events.limit(20))
+    val mainFiles = t.snapshot(t.latestVersion).files.map(_.path).toSet
     t.createBranch("wip")
     t.branch("wip").append(events.limit(5))
-    val branchFiles = {
+    val branchOnly = {
       val b = t.branch("wip")
-      b.snapshot(b.latestVersion).files.map(_.path)
+      b.snapshot(b.latestVersion).files.map(_.path).toSet -- mainFiles
     }
+    assert(branchOnly.nonEmpty)
     t.dropRef("wip")
     assert(t.refs.isEmpty)
     intercept[IllegalArgumentException](t.branch("wip"))
     // never deleted inline — a concurrent reader finishes its scan; the
     // next orphan sweep reclaims the branch-only files
-    assert(branchFiles.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
-    val removed = t.removeOrphans(graceMs = 0)
+    assert(branchOnly.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    val removed = t.removeOrphans(graceMs = 0).toSet
+    // the sweep reclaimed exactly the former branch-only files: gone from
+    // disk, reported removed, and main's files survived untouched
+    assert(branchOnly.subsetOf(removed),
+      s"sweep missed ${branchOnly -- removed}")
+    assert(branchOnly.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(mainFiles.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
     assert(t.read().count() == 20)
   }
 
@@ -235,6 +243,35 @@ class WapSpec extends SparkFunSuite {
       .head().getLong(0) == 6)
     spark.sql("CALL wap.system.drop_ref(table => 'db.w', name => 'audit')")
     assert(spark.sql("SELECT count(*) FROM wap.db.w.refs").head().getLong(0) == 1)
+  }
+
+  test("non-convertible DELETE under spark.wap.branch refuses at scan build") {
+    // the refusal the routing test does NOT cover: a DELETE whose
+    // predicate cannot convert to a metadata-only delete (IN-subquery)
+    // reaches the deferred build()-time refuseWap — the guard that
+    // depends on the optimizer rule ordering, pinned here against it
+    // silently reading main's scan and committing to the branch
+    graft.Tables.deleteRecursively(s"$wh/db/nc")
+    spark.sql("CREATE TABLE wap.db.nc (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO wap.db.nc VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    spark.sql("CALL wap.system.create_branch(table => 'db.nc', name => 'audit')")
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      val ex = intercept[Exception] {
+        spark.sql(
+          "DELETE FROM wap.db.nc WHERE id IN (SELECT id FROM wap.db.nc WHERE v > 1.5)")
+      }
+      def chain(e: Throwable): Seq[Throwable] =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(chain(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("spark.wap.branch") &&
+        c.getMessage.contains("metadata-only")),
+        s"wrong failure: $ex")
+    } finally spark.conf.unset("spark.wap.branch")
+    // both chains unchanged by the refused DELETE
+    val t = SnapshotTable.load(spark, s"$wh/db/nc")
+    assert(spark.table("wap.db.nc").count() == 3)
+    assert(t.branch("audit").read().count() == 3)
   }
 
   test("streaming writes refuse spark.wap.branch instead of ignoring it") {
