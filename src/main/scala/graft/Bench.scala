@@ -25,9 +25,24 @@ object Bench {
     case _ => "basic"
   }
 
+  /** Queries whose elapsed time is dominated by commit machinery
+    * (snapshot JSON, DSv2 write planning, streaming epochs) or by
+    * cache-sensitive joins rather than steady-state scan throughput.
+    * Measured run-to-run swing is ~2× (see README "Bench variance
+    * protocol"), so these report the MEDIAN of `reps` timed runs;
+    * every run is a full rebuild (the queries delete + recreate their
+    * scratch tables per invocation, so reps are independent).
+    */
+  val writeFamily: Set[String] = Set(
+    "q42_streaming_agg", "q44_compaction", "q56_ngram_jaccard",
+    "q57_zorder_compaction", "q58_sql_merge", "q61_stateful_dedup",
+    "q63_streaming_pipeline", "q65_dynamic_table", "q67_wap_publish")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_REPS=1 disables the median protocol for quick local runs.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -78,32 +93,42 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => suiteArg == "all" || suite(n) == suiteArg || n == suiteArg)
     require(names.nonEmpty, s"unknown suite: $suiteArg")
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      System.err.println(s"[bench] start $name @${java.time.LocalTime.now}")
-      val t0 = System.nanoTime()
-      val (rows, status) =
-        try { (fn(spark, sfDir).count(), "OK") }
-        catch { case e: Throwable =>
-          (-1L, s"ERROR:${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // operators that persist intermediates (NearDup signatures/prefix
-      // sets, corpus prep) would otherwise accumulate cached blocks
-      // across all ~50 queries and thrash the block manager — measured
-      // 6× slowdown on late queries. Each query keeps its caches only
-      // while IT runs.
+    // operators that persist intermediates (NearDup signatures/prefix
+    // sets, corpus prep) would otherwise accumulate cached blocks
+    // across all ~50 queries and thrash the block manager — measured
+    // 6× slowdown on late queries. Each query keeps its caches only
+    // while IT runs. Any temp view a query registers survives
+    // clearCache() — its state lives in the block manager until the
+    // view is dropped, so drop those too, then sweep RDDs persisted
+    // outside the SQL cache manager.
+    def sweepCaches(): Unit = {
       spark.sqlContext.clearCache()
-      // any temp view a query registers survives clearCache() — its state
-      // lives in the block manager until the view is dropped. Drop every
-      // temp view the query left behind, then sweep RDDs persisted outside
-      // the SQL cache manager, so each query starts from an empty block
-      // manager. (No registry query uses a memory sink anymore; this stays
-      // as a guard against regressions.)
       spark.sessionState.catalog.listLocalTempViews("*")
         .foreach(id => spark.catalog.dropTempView(id.table))
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+    }
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      val n = if (writeFamily(name)) reps else 1
+      System.err.println(s"[bench] start $name x$n @${java.time.LocalTime.now}")
+      val runs = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        val (rows, status) =
+          try { (fn(spark, sfDir).count(), "OK") }
+          catch { case e: Throwable =>
+            (-1L, s"ERROR:${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        sweepCaches()
+        (sec, rows, status)
+      }
+      // median elapsed for the write family (n>1); the rows/status pair
+      // comes from the worst run so an intermittent failure is never
+      // hidden by two green reps.
+      val sec = runs.map(_._1).sorted.apply(runs.size / 2)
+      val (rows, status) = runs.find(_._3 != "OK")
+        .map(r => (r._2, r._3)).getOrElse((runs.head._2, runs.head._3))
       (name, sec, rows, status)
     }
     // The driver captures only the LAST ~2000 chars of stdout and parses the
