@@ -16,12 +16,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read the
-    * raw int64 nanos via the legacy conf and convert to microsecond
-    * TimestampType — lossless here (the driver data has no sub-µs parts),
-    * and identical to what the DuckDB oracle sees (it truncates ns→µs on
-    * read too).
+  /** The driver fixtures have shipped two physical encodings for their
+    * timestamp columns across regenerations, and `load` normalizes both
+    * to session-zone `TimestampType` so every downstream operator
+    * (watermarks, `days(ts)` partition transforms, window functions)
+    * sees one type:
+    *
+    *   - parquet TIMESTAMP(NANOS): Spark's reader rejects it
+    *     ([PARQUET_TYPE_ILLEGAL]), so we read the raw int64 nanos via
+    *     the legacy conf and convert to microsecond TimestampType —
+    *     lossless here (the driver data has no sub-µs parts), identical
+    *     to what the DuckDB oracle sees (it truncates ns→µs too).
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
+    *     TIMESTAMP_NTZ; we cast to TimestampType, which under the
+    *     UTC-pinned session preserves the wall-clock value — exactly the
+    *     naive value the DuckDB oracle reads.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -29,10 +38,16 @@ object Tables {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.NanoTsFilterPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.NanoTsFilterPushdown
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events" && raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        d.withColumn(f.name, col(f.name).cast(org.apache.spark.sql.types.TimestampType))
+      else d
+    }
   }
 
   /** Register every test table as a temp view (names per FIXTURES.md §B). */

@@ -716,6 +716,50 @@ object Ops {
       |FROM events WHERE event_type <> 'error'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------- q68
+  // Retention floors through SQL (X56, reference retention policy surface:
+  // Iceberg's `history.expire.min-snapshots-to-keep` table property): five
+  // appends build a create+5 version chain; ALTER TABLE SET TBLPROPERTIES
+  // pins a floor of 4 snapshots (itself one more metadata commit);
+  // `expire_snapshots(keep_last => 1)` then asks for aggressive collection
+  // and the floor must win — the history readback shows exactly 4
+  // surviving versions, and the table's data is untouched (expiration
+  // drops old SNAPSHOTS, never current rows). The floor is what keeps a
+  // routine maintenance job from collecting versions a 24/7 streaming
+  // checkpoint still needs to replay.
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val name = s"ev_retain_${tag(dir)}"
+    Tables.deleteRecursively(s"$wh/db/$name")
+    s.sql(s"CREATE TABLE graft.db.$name (event_id BIGINT, event_type STRING, value DOUBLE)")
+    val e = ev(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    // five slices covering ALL events at any sf → versions v1..v5
+    val cuts = Seq(2000L, 4000L, 6000L, 8000L)
+    val slices = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+    slices.foreach { case (lo, hi) =>
+      e.filter(col("event_id") >= lo && col("event_id") < hi)
+        .writeTo(s"graft.db.$name").append()
+    }
+    // v6: the floor, set through plain SQL DDL (validated, metadata-only)
+    s.sql(s"ALTER TABLE graft.db.$name SET TBLPROPERTIES " +
+      s"('${SnapshotTable.MinSnapshotsToKeep}'='4')")
+    s.sql(s"CALL graft.system.expire_snapshots(table => 'db.$name', keep_last => 1)")
+    s.sql(
+      s"""SELECT (SELECT CAST(count(*) AS BIGINT) FROM graft.db.$name.history)
+         |         AS kept_versions,
+         |       count(*) AS n_rows,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM graft.db.$name""".stripMargin)
+  }
+
+  // the floor (4) beats keep_last => 1; data survives expiration in full
+  val q68Sql =
+    """SELECT CAST(4 AS BIGINT) AS kept_versions, count(*) AS n_rows,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_bench_metrics" -> (q49 _),
@@ -738,7 +782,8 @@ object Ops {
     "q63_streaming_pipeline" -> (q63 _),
     "q64_days_transform" -> (q64 _),
     "q65_dynamic_table" -> (q65 _),
-    "q67_wap_publish" -> (q67 _))
+    "q67_wap_publish" -> (q67 _),
+    "q68_retention_floor" -> (q68 _))
 
   val oracle: Map[String, String] = Map(
     "q49_bench_metrics" -> q49Sql,
@@ -761,5 +806,6 @@ object Ops {
     "q63_streaming_pipeline" -> q63Sql,
     "q64_days_transform" -> q64Sql,
     "q65_dynamic_table" -> q65Sql,
-    "q67_wap_publish" -> q67Sql)
+    "q67_wap_publish" -> q67Sql,
+    "q68_retention_floor" -> q68Sql)
 }

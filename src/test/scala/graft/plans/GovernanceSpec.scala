@@ -166,6 +166,66 @@ class GovernanceSpec extends SparkFunSuite {
     assert(Governance.tokenCount == base)
   }
 
+  test("policies apply to streaming reads (readStream.table) by an unprivileged session") {
+    // Pins the resolution-rule injection point for the STREAMING read
+    // path: `readStream.table` resolves to a StreamingRelationV2 leaf
+    // under a SubqueryAlias, so GovernanceRule must wrap it exactly like
+    // a batch scan — a stream is not a mask bypass, and the enforcement
+    // must survive Spark's per-micro-batch session cloning (the clone
+    // carries the conf token, see the clone-behavior test below).
+    Governance.clearPolicies()
+    Governance.setPrivileged(governed, false)
+    val wh = scratch("gov-stream-wh")
+    governed.conf.set("spark.sql.catalog.govst",
+      classOf[graft.table.GraftCatalog].getName)
+    governed.conf.set("spark.sql.catalog.govst.warehouse", wh)
+    governed.sql(
+      "CREATE TABLE govst.db.gpeople (id BIGINT, name STRING, segment STRING)")
+    governed.sql(
+      """INSERT INTO govst.db.gpeople VALUES
+        |(1, 'ada', 'A'), (2, 'bob', 'B'), (3, 'cec', 'A')""".stripMargin)
+    Governance.addRowPolicy(Governance.RowPolicy("gpeople", "segment = 'A'"))
+    Governance.addMaskPolicy(Governance.MaskPolicy("gpeople", "name"))
+    try {
+      // the governed rows land in a real executor-side file sink — never
+      // a driver-side collect, so what's in the sink is what the policy
+      // let THROUGH the stream
+      val out = scratch("gov-stream-out")
+      governed.readStream.table("govst.db.gpeople")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", scratch("gov-stream-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val sunk = governed.read.parquet(out)
+        .select("id", "name", "segment").orderBy("id").collect()
+      assert(sunk.map(_.getLong(0)).toSeq == Seq(1L, 3L),
+        s"row policy not applied to streaming read: ${sunk.mkString(";")}")
+      assert(sunk.forall(_.getString(1) == Governance.Masked),
+        s"mask not applied to streaming read: ${sunk.mkString(";")}")
+
+      // privileged session: same stream shape, unmasked (still filtered)
+      Governance.setPrivileged(governed, true)
+      val out2 = scratch("gov-stream-out2")
+      governed.readStream.table("govst.db.gpeople")
+        .writeStream
+        .format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", scratch("gov-stream-ckpt2"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val priv = governed.read.parquet(out2)
+        .select("id", "name").orderBy("id").collect()
+      assert(priv.map(_.getString(1)).toSeq == Seq("ada", "cec"))
+    } finally {
+      Governance.setPrivileged(governed, false)
+      Governance.clearPolicies()
+    }
+  }
+
   test("privilege is per-session, not process-global") {
     Governance.clearPolicies()
     Governance.addMaskPolicy(Governance.MaskPolicy("customer", "c_name"))
