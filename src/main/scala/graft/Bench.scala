@@ -36,7 +36,8 @@ object Bench {
   val writeFamily: Set[String] = Set(
     "q42_streaming_agg", "q44_compaction", "q56_ngram_jaccard",
     "q57_zorder_compaction", "q58_sql_merge", "q61_stateful_dedup",
-    "q63_streaming_pipeline", "q65_dynamic_table", "q67_wap_publish")
+    "q63_streaming_pipeline", "q64_days_transform", "q65_dynamic_table",
+    "q67_wap_publish", "q68_retention_floor")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Untimed (non-gating) scale probe: evidence that the 100×-design claims
+  * bend the right way before a real cluster ever runs this code.
+  *
+  * Builds a 10× bench-scale dataset ("sf1") in scratch from the driver's
+  * sf0.1 fixtures, then runs the four most expensive registry queries at
+  * BOTH scales, reporting elapsed seconds and shuffle-write bytes per
+  * query. Expectations (VERDICT r11 task 7):
+  *   - q62 (SPJ join), q65 (dynamic table), q61 (stateful dedup): input
+  *     grows 10× → elapsed and shuffle should grow ≈linearly (the plans
+  *     are partition-parallel with no cross-key state).
+  *   - q56 (n-gram Jaccard PPJoin): candidate generation is bounded
+  *     quadratic WITHIN similar groups; the probe corpus replicates the
+  *     sf0.1 near-dup structure 10× without creating cross-copy dups, so
+  *     a healthy plan grows ≈linearly too — superlinear blowup here means
+  *     the prefix/length filters stopped pruning.
+  *
+  * Construction keeps the driver data as the only source of content:
+  *   - events ×10: event_id/user_id shifted per copy (user cardinality
+  *     grows 10×, the natural "more traffic, more users" scale shape);
+  *     timestamps untouched (same window, denser traffic).
+  *   - documents ×10: doc_id shifted; each copy's text runs through a
+  *     DISTINCT `translate` vowel→consonant substitution, so within-copy
+  *     near-dup pairs survive verbatim while cross-copy pairs are
+  *     dissimilar — output pair count scales linearly by construction.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 scripts/run.sh graft.ScaleProbe
+  */
+object ScaleProbe {
+
+  // ten pairwise-distinct lowercase substitution targets for 'aeiou'
+  // (copy 0 is the identity = the original corpus)
+  private val subst = Seq(
+    "aeiou", "bcdfg", "hjklm", "npqrs", "tvwxz",
+    "cdfgb", "jklmh", "pqrsn", "vwxzt", "dfgbc")
+
+  private val probeQueries =
+    Seq("q62_spj_join", "q65_dynamic_table", "q61_stateful_dedup",
+      "q56_ngram_jaccard")
+
+  def buildSf1(spark: SparkSession, base: String, out: String): Unit = {
+    val done = new java.io.File(s"$out/_PROBE_READY")
+    if (done.exists()) return
+    Tables.deleteRecursively(out)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val ev = Tables.load(spark, base, "events")
+    val copiesEv = (0 until 10).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+    }
+    copiesEv.reduce(_ unionAll _)
+      .repartition(32)
+      .write.parquet(s"$out/events.parquet")
+    val docs = Tables.load(spark, base, "documents")
+    val copiesDoc = (0 until 10).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text", translate(col("text"), "aeiou", subst(i)))
+    }
+    copiesDoc.reduce(_ unionAll _)
+      .repartition(16)
+      .write.parquet(s"$out/documents.parquet")
+    done.createNewFile()
+    ()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.warehouse.dir", Tables.scratch("warehouse"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf1 = Tables.scratch("sf1")
+    System.err.println(s"[probe] building 10x dataset at $sf1 from $base")
+    buildSf1(spark, base, sf1)
+
+    // stage-level shuffle-write accounting; queries that clone sessions
+    // still share the one SparkContext, so the listener sees every stage
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null)
+          shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    })
+
+    def sweep(): Unit = {
+      spark.sqlContext.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    case class Probe(q: String, dir: String, rows: Long, sec: Double,
+        shuffleMb: Double)
+
+    val results = for (dir <- Seq(base, sf1); q <- probeQueries) yield {
+      sweep()
+      // let queued listener events settle so the previous query's stages
+      // don't leak into this query's counter (the bus is async and
+      // private[spark]; a short quiesce is accurate enough for a probe)
+      Thread.sleep(1000)
+      shuffleWrite.set(0L)
+      System.err.println(s"[probe] $q @ $dir")
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(q)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      Probe(q, dir, rows, sec, shuffleWrite.get() / 1e6)
+    }
+
+    println("| query | scale | rows | elapsed_s | shuffle_write_MB |")
+    println("|---|---|---|---|---|")
+    results.foreach { r =>
+      val scale = if (r.dir == base) "sf0.1" else "sf1 (10x)"
+      println(f"| ${r.q} | $scale | ${r.rows} | ${r.sec}%.1f | ${r.shuffleMb}%.1f |")
+    }
+    // elapsed ratios, the number the README table quotes
+    probeQueries.foreach { q =>
+      val a = results.find(r => r.q == q && r.dir == base).get
+      val b = results.find(r => r.q == q && r.dir != base).get
+      println(f"RATIO $q elapsed=${b.sec / a.sec}%.1fx shuffle=${
+        if (a.shuffleMb > 0) b.shuffleMb / a.shuffleMb else Double.NaN}%.1fx rows=${
+        if (a.rows > 0) b.rows.toDouble / a.rows else Double.NaN}%.1fx")
+    }
+    spark.stop()
+  }
+}
