@@ -85,6 +85,40 @@ object Bench {
       t.read().count()
       Tables.deleteRecursively(loc)
     }
+    // Warm the two remaining cold paths the table round trip doesn't
+    // reach — both measured as the swingiest write-family queries when
+    // their first timed run also absorbed C2 compilation:
+    //  - MERGE INTO row-level rewrite machinery (q58);
+    //  - the PPJoin shingle/prefix expression pipeline (q56).
+    locally {
+      val wh = Tables.scratch("bench-warmup-wh")
+      Tables.deleteRecursively(s"$wh/db/warm")
+      spark.conf.set("spark.sql.catalog.benchwarm",
+        classOf[graft.table.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.benchwarm.warehouse", wh)
+      spark.sql("CREATE TABLE benchwarm.db.warm (id BIGINT, v DOUBLE)")
+      // deterministic source values: MERGE refuses non-deterministic
+      // expressions (rand) in its source plan
+      spark.range(500).selectExpr("id", "CAST(id % 97 AS DOUBLE) / 10 AS v")
+        .writeTo("benchwarm.db.warm").append()
+      spark.range(250, 750).selectExpr("id", "CAST(id % 89 AS DOUBLE) / 10 AS v")
+        .createOrReplaceTempView("warm_src")
+      spark.sql(
+        """MERGE INTO benchwarm.db.warm t USING warm_src s ON t.id = s.id
+          |WHEN MATCHED AND s.id % 10 = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      spark.catalog.dropTempView("warm_src")
+      Tables.deleteRecursively(s"$wh/db/warm")
+
+      val warmDocs = spark.range(40).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 30), " +
+          "x -> concat('w', CAST((id * 31 + x * 7) % 50 AS STRING)))) AS text")
+      graft.operators.NearDup.exactPairs(spark, warmDocs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.6).count()
+      spark.sqlContext.clearCache()
+    }
 
     // suite selection mirrors the reference harness's --test-suite CLI
     // (run_performance_tests.py:344-374): basic | advanced | maintenance |
@@ -109,9 +143,16 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // the two swingiest write-family queries (measured 70-85% median
+    // spread at reps=3: small absolute times where JIT/GC noise
+    // dominates) get extra reps so the median lands on warm steady state
+    val extraReps = Set("q56_ngram_jaccard", "q58_sql_merge")
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val n = if (writeFamily(name)) reps else 1
+      val n =
+        if (extraReps(name)) math.max(reps, if (reps > 1) 5 else 1)
+        else if (writeFamily(name)) reps
+        else 1
       System.err.println(s"[bench] start $name x$n @${java.time.LocalTime.now}")
       val runs = (1 to n).map { _ =>
         val t0 = System.nanoTime()
@@ -130,7 +171,7 @@ object Bench {
       val sec = runs.map(_._1).sorted.apply(runs.size / 2)
       val (rows, status) = runs.find(_._3 != "OK")
         .map(r => (r._2, r._3)).getOrElse((runs.head._2, runs.head._3))
-      (name, sec, rows, status)
+      (name, sec, rows, status, runs.map(_._1))
     }
     // The driver captures only the LAST ~2000 chars of stdout and parses the
     // JSON line from that tail; sbt then appends its own "[success] ..." line
@@ -141,7 +182,7 @@ object Bench {
     val total = results.map(_._2).sum
     val nErr = results.count(_._4 != "OK")
     def mkLine(key: String => String): String = {
-      val qs = results.map { case (n, sec, _, _) => f"${jstr(key(n))}%s:$sec%.2f" }.mkString("{", ",", "}")
+      val qs = results.map { case (n, sec, _, _, _) => f"${jstr(key(n))}%s:$sec%.2f" }.mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"errors":$nErr,"sf":${jstr(sfDir)}}"""
     }
     val full = mkLine(identity)
@@ -164,8 +205,15 @@ object Bench {
     // per-test name/status/seconds/rows + summary, timestamped filename.
     val ts = java.time.LocalDateTime.now()
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
-    val tests = results.map { case (n, sec, r, st) =>
-      s"""    {"test_name": ${jstr(n)}, "suite": ${jstr(suite(n))}, "status": ${jstr(if (st == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": $sec, "row_count": $r}"""
+    val tests = results.map { case (n, sec, r, st, reps) =>
+      // rep_seconds (present when the median protocol ran >1 rep) makes
+      // a spiky rep visible in the report instead of vanishing into the
+      // median — the diagnosability half of the variance protocol
+      val repsJson =
+        if (reps.size > 1)
+          reps.map(x => f"$x%.3f").mkString(""", "rep_seconds": [""", ", ", "]")
+        else ""
+      s"""    {"test_name": ${jstr(n)}, "suite": ${jstr(suite(n))}, "status": ${jstr(if (st == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": $sec, "row_count": $r$repsJson}"""
     }.mkString("[\n", ",\n", "\n  ]")
     val report =
       s"""{

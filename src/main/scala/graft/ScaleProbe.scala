@@ -53,7 +53,7 @@ object ScaleProbe {
       ev.withColumn("event_id", col("event_id") + lit(i * 10000000L))
         .withColumn("user_id", col("user_id") + lit(i * 1000000L))
     }
-    copiesEv.reduce(_ unionAll _)
+    copiesEv.reduce(_ union _)
       .repartition(32)
       .write.parquet(s"$out/events.parquet")
     val docs = Tables.load(spark, base, "documents")
@@ -61,7 +61,7 @@ object ScaleProbe {
       docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
         .withColumn("text", translate(col("text"), "aeiou", subst(i)))
     }
-    copiesDoc.reduce(_ unionAll _)
+    copiesDoc.reduce(_ union _)
       .repartition(16)
       .write.parquet(s"$out/documents.parquet")
     done.createNewFile()
