@@ -41,10 +41,11 @@ object ScaleProbe {
 
   private val probeQueries =
     Seq("q62_spj_join", "q65_dynamic_table", "q61_stateful_dedup",
-      "q56_ngram_jaccard")
+      "q56_ngram_jaccard", "q35_minhash_neardup", "q37_ann_topk",
+      "q50_ann_ivf")
 
   def buildSf1(spark: SparkSession, base: String, out: String): Unit = {
-    val done = new java.io.File(s"$out/_PROBE_READY")
+    val done = new java.io.File(s"$out/_PROBE_READY_V2")
     if (done.exists()) return
     Tables.deleteRecursively(out)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
@@ -64,6 +65,20 @@ object ScaleProbe {
     copiesDoc.reduce(_ union _)
       .repartition(16)
       .write.parquet(s"$out/documents.parquet")
+    // embeddings ×10: ids shifted; copies >0 get a small deterministic
+    // per-copy, per-dimension offset so the vector distribution stays
+    // realistic but copies are not exact duplicates of the base set
+    // (q37's query vectors are vec_id < 10, i.e. copy 0 — the candidate
+    // pool grows 10×, which is the brute-force cost that matters)
+    val embT = Tables.load(spark, base, "embeddings")
+    val copiesEmb = (0 until 10).map { i =>
+      embT.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> x + CAST(($i * 7 + j) % 13 AS FLOAT) / 100.0)"))
+    }
+    copiesEmb.reduce(_ union _)
+      .repartition(16)
+      .write.parquet(s"$out/embeddings.parquet")
     done.createNewFile()
     ()
   }
