@@ -7,10 +7,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 /** Untimed (non-gating) scale probe: evidence that the 100×-design claims
   * bend the right way before a real cluster ever runs this code.
   *
-  * Builds a 10× bench-scale dataset ("sf1") in scratch from the driver's
-  * sf0.1 fixtures, then runs the four most expensive registry queries at
-  * BOTH scales, reporting elapsed seconds and shuffle-write bytes per
-  * query. Expectations (VERDICT r11 task 7):
+  * Builds a ×10 (default) or ×100 (`args(0)`) bench-scale dataset in
+  * scratch from the driver's sf0.1 fixtures, then runs the most
+  * scale-sensitive registry queries at BOTH scales, reporting elapsed
+  * seconds and shuffle-write bytes per query. Expectations (VERDICT r11
+  * task 7):
   *   - q62 (SPJ join), q65 (dynamic table), q61 (stateful dedup): input
   *     grows 10× → elapsed and shuffle should grow ≈linearly (the plans
   *     are partition-parallel with no cross-key state).
@@ -33,24 +34,34 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   */
 object ScaleProbe {
 
-  // ten pairwise-distinct lowercase substitution targets for 'aeiou'
-  // (copy 0 is the identity = the original corpus)
-  private val subst = Seq(
-    "aeiou", "bcdfg", "hjklm", "npqrs", "tvwxz",
-    "cdfgb", "jklmh", "pqrsn", "vwxzt", "dfgbc")
+  /** Pairwise-distinct lowercase substitution target for 'aeiou', copy i
+    * (copy 0 is the identity = the original corpus). Two base-20 digits
+    * of i pick start + stride through the consonant pool, giving distinct
+    * mappings for hundreds of copies; duplicate chars WITHIN a target are
+    * harmless (they merge two vowels — deterministic, still decorrelates
+    * the copies from each other).
+    */
+  private val cons = "bcdfghjklmnpqrstvwxz"
+  private def substFor(i: Int): String =
+    if (i == 0) "aeiou"
+    else (0 until 5).map(j => cons((i + j * (1 + i / 20)) % 20)).mkString
 
-  private val probeQueries =
-    Seq("q62_spj_join", "q65_dynamic_table", "q61_stateful_dedup",
-      "q56_ngram_jaccard", "q35_minhash_neardup", "q37_ann_topk",
-      "q50_ann_ivf")
+  private def probeQueries(factor: Int): Seq[String] =
+    if (factor <= 10)
+      Seq("q62_spj_join", "q65_dynamic_table", "q61_stateful_dedup",
+        "q56_ngram_jaccard", "q35_minhash_neardup", "q37_ann_topk",
+        "q50_ann_ivf")
+    else // 100×: the scan/join-bound subset (streaming-machinery queries
+         // would measure micro-batch count, not data-path scaling)
+      Seq("q62_spj_join", "q35_minhash_neardup", "q56_ngram_jaccard")
 
-  def buildSf1(spark: SparkSession, base: String, out: String): Unit = {
+  def build(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     val done = new java.io.File(s"$out/_PROBE_READY_V2")
     if (done.exists()) return
     Tables.deleteRecursively(out)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     val ev = Tables.load(spark, base, "events")
-    val copiesEv = (0 until 10).map { i =>
+    val copiesEv = (0 until factor).map { i =>
       ev.withColumn("event_id", col("event_id") + lit(i * 10000000L))
         .withColumn("user_id", col("user_id") + lit(i * 1000000L))
     }
@@ -58,20 +69,20 @@ object ScaleProbe {
       .repartition(32)
       .write.parquet(s"$out/events.parquet")
     val docs = Tables.load(spark, base, "documents")
-    val copiesDoc = (0 until 10).map { i =>
+    val copiesDoc = (0 until factor).map { i =>
       docs.withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
-        .withColumn("text", translate(col("text"), "aeiou", subst(i)))
+        .withColumn("text", translate(col("text"), "aeiou", substFor(i)))
     }
     copiesDoc.reduce(_ union _)
       .repartition(16)
       .write.parquet(s"$out/documents.parquet")
-    // embeddings ×10: ids shifted; copies >0 get a small deterministic
+    // embeddings ×factor: ids shifted; copies >0 get a small deterministic
     // per-copy, per-dimension offset so the vector distribution stays
     // realistic but copies are not exact duplicates of the base set
     // (q37's query vectors are vec_id < 10, i.e. copy 0 — the candidate
-    // pool grows 10×, which is the brute-force cost that matters)
+    // pool grows ×factor, which is the brute-force cost that matters)
     val embT = Tables.load(spark, base, "embeddings")
-    val copiesEmb = (0 until 10).map { i =>
+    val copiesEmb = (0 until factor).map { i =>
       embT.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
         .withColumn("embedding", expr(
           s"transform(embedding, (x, j) -> x + CAST(($i * 7 + j) % 13 AS FLOAT) / 100.0)"))
@@ -97,9 +108,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val sf1 = Tables.scratch("sf1")
-    System.err.println(s"[probe] building 10x dataset at $sf1 from $base")
-    buildSf1(spark, base, sf1)
+    // optional first arg: scale factor over the base dir (default 10;
+    // 100 runs the scan/join-bound subset on a ×100 dataset)
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val sf1 = Tables.scratch(s"sfx$factor")
+    System.err.println(s"[probe] building ${factor}x dataset at $sf1 from $base")
+    build(spark, base, sf1, factor)
 
     // stage-level shuffle-write accounting; queries that clone sessions
     // still share the one SparkContext, so the listener sees every stage
@@ -122,7 +136,8 @@ object ScaleProbe {
     case class Probe(q: String, dir: String, rows: Long, sec: Double,
         shuffleMb: Double)
 
-    val results = for (dir <- Seq(base, sf1); q <- probeQueries) yield {
+    val qs = probeQueries(factor)
+    val results = for (dir <- Seq(base, sf1); q <- qs) yield {
       sweep()
       // let queued listener events settle so the previous query's stages
       // don't leak into this query's counter (the bus is async and
@@ -140,11 +155,11 @@ object ScaleProbe {
     println("| query | scale | rows | elapsed_s | shuffle_write_MB |")
     println("|---|---|---|---|---|")
     results.foreach { r =>
-      val scale = if (r.dir == base) "sf0.1" else "sf1 (10x)"
+      val scale = if (r.dir == base) "base" else s"${factor}x"
       println(f"| ${r.q} | $scale | ${r.rows} | ${r.sec}%.1f | ${r.shuffleMb}%.1f |")
     }
     // elapsed ratios, the number the README table quotes
-    probeQueries.foreach { q =>
+    qs.foreach { q =>
       val a = results.find(r => r.q == q && r.dir == base).get
       val b = results.find(r => r.q == q && r.dir != base).get
       println(f"RATIO $q elapsed=${b.sec / a.sec}%.1fx shuffle=${
