@@ -39,6 +39,43 @@ object Bench {
     "q63_streaming_pipeline", "q64_days_transform", "q65_dynamic_table",
     "q67_wap_publish", "q68_retention_floor")
 
+  /** The two swingiest write-family queries (measured 70–85 % median
+    * spread at reps=3: small absolute times where JIT/GC noise dominates)
+    * get extra reps so the median lands on warm steady state, plus a
+    * dedicated warmup of their cold paths (MERGE rewrite, PPJoin
+    * shingle pipeline).
+    */
+  val extraReps: Set[String] = Set("q56_ngram_jaccard", "q58_sql_merge")
+  private val extraWarmup = extraReps
+
+  /** Drop everything a query may have left in the block manager so the
+    * next measurement starts clean. Operators that persist intermediates
+    * (NearDup signatures/prefix sets, corpus prep) would otherwise
+    * accumulate cached blocks across queries and thrash the block
+    * manager — measured 6× slowdown on late queries. Any temp view a
+    * query registers survives `clearCache()` — its state lives in the
+    * block manager until the view is dropped, so drop those too, then
+    * sweep RDDs persisted outside the SQL cache manager. Shared by
+    * [[Bench]] and [[ScaleProbe]].
+    */
+  def sweepCaches(spark: SparkSession): Unit = {
+    spark.sqlContext.clearCache()
+    spark.sessionState.catalog.listLocalTempViews("*")
+      .foreach(id => spark.catalog.dropTempView(id.table))
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  /** True median: middle element for odd n, mean of the two middles for
+    * even n (REPS is user-settable — an upper-middle pick would bias
+    * even-rep runs high).
+    */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -63,6 +100,15 @@ object Bench {
         case c => c.toString
       } + "\""
 
+    // suite selection mirrors the reference harness's --test-suite CLI
+    // (run_performance_tests.py:344-374): basic | advanced | maintenance |
+    // data_pipeline | all. Driver contract unchanged (no arg → all).
+    val suiteArg = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SUITE")).getOrElse("all")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => suiteArg == "all" || suite(n) == suiteArg || n == suiteArg)
+    require(names.nonEmpty, s"unknown suite: $suiteArg")
+
     // Warm the JVM/codegen/parquet-reader paths once so the first timed
     // query doesn't absorb session startup (the reference benches against
     // an already-running warehouse; same footing here).
@@ -74,8 +120,10 @@ object Bench {
     // cold-vs-warm differences on the write-family queries are ~2.5×
     // (see README "Write-path bench drift"). A running warehouse has
     // them long since compiled; one tiny untimed round trip here puts
-    // every timed query on the same footing.
-    locally {
+    // every timed query on the same footing. Skipped when the selected
+    // suite contains no write-family query — scan-bound runs shouldn't
+    // pay write-path warmup.
+    if (names.exists(writeFamily)) locally {
       val loc = Tables.scratch("bench-warmup-table")
       Tables.deleteRecursively(loc)
       val t = graft.table.SnapshotTable.create(spark, loc,
@@ -90,7 +138,8 @@ object Bench {
     // their first timed run also absorbed C2 compilation:
     //  - MERGE INTO row-level rewrite machinery (q58);
     //  - the PPJoin shingle/prefix expression pipeline (q56).
-    locally {
+    // Only when a query needing them is actually selected.
+    if (names.exists(extraWarmup)) locally {
       val wh = Tables.scratch("bench-warmup-wh")
       Tables.deleteRecursively(s"$wh/db/warm")
       spark.conf.set("spark.sql.catalog.benchwarm",
@@ -120,33 +169,6 @@ object Bench {
       spark.sqlContext.clearCache()
     }
 
-    // suite selection mirrors the reference harness's --test-suite CLI
-    // (run_performance_tests.py:344-374): basic | advanced | maintenance |
-    // data_pipeline | all. Driver contract unchanged (no arg → all).
-    val suiteArg = args.headOption
-      .orElse(sys.env.get("SPARK_GRAFT_SUITE")).getOrElse("all")
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => suiteArg == "all" || suite(n) == suiteArg || n == suiteArg)
-    require(names.nonEmpty, s"unknown suite: $suiteArg")
-    // operators that persist intermediates (NearDup signatures/prefix
-    // sets, corpus prep) would otherwise accumulate cached blocks
-    // across all ~50 queries and thrash the block manager — measured
-    // 6× slowdown on late queries. Each query keeps its caches only
-    // while IT runs. Any temp view a query registers survives
-    // clearCache() — its state lives in the block manager until the
-    // view is dropped, so drop those too, then sweep RDDs persisted
-    // outside the SQL cache manager.
-    def sweepCaches(): Unit = {
-      spark.sqlContext.clearCache()
-      spark.sessionState.catalog.listLocalTempViews("*")
-        .foreach(id => spark.catalog.dropTempView(id.table))
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
-    // the two swingiest write-family queries (measured 70-85% median
-    // spread at reps=3: small absolute times where JIT/GC noise
-    // dominates) get extra reps so the median lands on warm steady state
-    val extraReps = Set("q56_ngram_jaccard", "q58_sql_merge")
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val n =
@@ -162,13 +184,13 @@ object Bench {
             (-1L, s"ERROR:${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")
           }
         val sec = (System.nanoTime() - t0) / 1e9
-        sweepCaches()
+        sweepCaches(spark)
         (sec, rows, status)
       }
       // median elapsed for the write family (n>1); the rows/status pair
       // comes from the worst run so an intermittent failure is never
       // hidden by two green reps.
-      val sec = runs.map(_._1).sorted.apply(runs.size / 2)
+      val sec = median(runs.map(_._1))
       val (rows, status) = runs.find(_._3 != "OK")
         .map(r => (r._2, r._3)).getOrElse((runs.head._2, runs.head._3))
       (name, sec, rows, status, runs.map(_._1))

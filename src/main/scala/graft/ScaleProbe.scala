@@ -56,8 +56,13 @@ object ScaleProbe {
       Seq("q62_spj_join", "q35_minhash_neardup", "q56_ngram_jaccard")
 
   def build(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
-    val done = new java.io.File(s"$out/_PROBE_READY_V2")
-    if (done.exists()) return
+    // the ready-marker records WHICH base built the cached dataset: a
+    // probe re-run with a different SPARK_GRAFT_SF_DIR must rebuild, not
+    // silently compare against a dataset scaled from another base
+    val done = new java.io.File(s"$out/_PROBE_READY_V3")
+    if (done.exists() &&
+        new String(java.nio.file.Files.readAllBytes(done.toPath)) == base)
+      return
     Tables.deleteRecursively(out)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     val ev = Tables.load(spark, base, "events")
@@ -83,14 +88,15 @@ object ScaleProbe {
     // pool grows ×factor, which is the brute-force cost that matters)
     val embT = Tables.load(spark, base, "embeddings")
     val copiesEmb = (0 until factor).map { i =>
-      embT.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
-        .withColumn("embedding", expr(
-          s"transform(embedding, (x, j) -> x + CAST(($i * 7 + j) % 13 AS FLOAT) / 100.0)"))
+      val shifted = embT.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+      if (i == 0) shifted // copy 0 IS the base set — q37's query vectors
+      else shifted.withColumn("embedding", expr(
+        s"transform(embedding, (x, j) -> x + CAST(($i * 7 + j) % 13 AS FLOAT) / 100.0)"))
     }
     copiesEmb.reduce(_ union _)
       .repartition(16)
       .write.parquet(s"$out/embeddings.parquet")
-    done.createNewFile()
+    java.nio.file.Files.write(done.toPath, base.getBytes)
     ()
   }
 
@@ -127,11 +133,7 @@ object ScaleProbe {
       }
     })
 
-    def sweep(): Unit = {
-      spark.sqlContext.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    def sweep(): Unit = Bench.sweepCaches(spark)
 
     case class Probe(q: String, dir: String, rows: Long, sec: Double,
         shuffleMb: Double)

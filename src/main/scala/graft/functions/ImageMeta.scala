@@ -261,14 +261,21 @@ object ImageMeta {
         w8(0x9d); w8(0x01); w8(0x2a) // sync code
         wle16(width); wle16(height) // 14-bit dims, scale bits 0
       case "bmp" =>
-        val rowBytes = ((width * 3 + 3) / 4) * 4 // 24bpp rows, 4-byte aligned
+        // size fields in Long: 65535×65535 at 24bpp is ~12.9 GB of pixel
+        // data, which wraps negative in Int math. A u32-unrepresentable
+        // size is written as 0 — legal for biSizeImage with BI_RGB, and
+        // the sloppy-but-conventional choice for bfSize (parsers,
+        // including ours, derive geometry from the info header).
+        val rowBytes = ((width.toLong * 3 + 3) / 4) * 4 // 24bpp, 4-byte aligned
+        val pixelBytes = rowBytes * height
+        def szOrZero(v: Long): Int = if (v <= 0xFFFFFFFFL) v.toInt else 0
         out.write("BM".getBytes("US-ASCII"))
-        wle32(14 + 40 + rowBytes * height) // declared file size
+        wle32(szOrZero(14 + 40 + pixelBytes)) // declared file size
         wle16(0); wle16(0); wle32(14 + 40) // reserved, pixel offset
         wle32(40) // BITMAPINFOHEADER
         wle32(width); wle32(height)
         wle16(1); wle16(24) // planes, bpp
-        wle32(0); wle32(rowBytes * height) // BI_RGB, image size
+        wle32(0); wle32(szOrZero(pixelBytes)) // BI_RGB, image size
         wle32(2835); wle32(2835); wle32(0); wle32(0) // 72 dpi, no palette
       case other =>
         throw new IllegalArgumentException(s"unknown fixture format: $other")
