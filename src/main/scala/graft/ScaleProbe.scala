@@ -42,7 +42,7 @@ object ScaleProbe {
     * the copies from each other).
     */
   private val cons = "bcdfghjklmnpqrstvwxz"
-  private def substFor(i: Int): String =
+  private[graft] def substFor(i: Int): String =
     if (i == 0) "aeiou"
     else (0 until 5).map(j => cons((i + j * (1 + i / 20)) % 20)).mkString
 

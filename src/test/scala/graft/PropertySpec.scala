@@ -111,4 +111,15 @@ class PropertySpec extends SparkFunSuite {
     assert(GraftStreamOffset.fromJson("""{"version":7}""") ==
       GraftStreamOffset(7, Int.MaxValue))
   }
+
+  test("property: scale-probe substitution targets are pairwise distinct") {
+    // the probe's linear-scaling claim for near-dup queries rests on
+    // copies being decorrelated: two copies sharing a substitution would
+    // be full cross-copy near-dups and quadratically inflate pair counts
+    val targets = (0 until 200).map(ScaleProbe.substFor)
+    assert(targets.distinct.size == targets.size,
+      s"colliding substitutions: ${targets.groupBy(identity).filter(_._2.size > 1).keys}")
+    // and every target is 5 lowercase letters (tokenizers must not split)
+    assert(targets.forall(t => t.length == 5 && t.forall(c => c >= 'a' && c <= 'z')))
+  }
 }
