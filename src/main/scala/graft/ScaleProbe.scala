@@ -56,12 +56,14 @@ object ScaleProbe {
       Seq("q62_spj_join", "q35_minhash_neardup", "q56_ngram_jaccard")
 
   def build(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
-    // the ready-marker records WHICH base built the cached dataset: a
-    // probe re-run with a different SPARK_GRAFT_SF_DIR must rebuild, not
-    // silently compare against a dataset scaled from another base
-    val done = new java.io.File(s"$out/_PROBE_READY_V3")
+    // the ready-marker records WHICH base built the cached dataset — path
+    // AND content fingerprint: the driver regenerates /root/testdata
+    // between rounds, so a probe re-run after regeneration must rebuild
+    // rather than compare fresh base data against stale scaled data
+    val fp = base + "\n" + Tables.fingerprint(base)
+    val done = new java.io.File(s"$out/_PROBE_READY_V4")
     if (done.exists() &&
-        new String(java.nio.file.Files.readAllBytes(done.toPath)) == base)
+        new String(java.nio.file.Files.readAllBytes(done.toPath)) == fp)
       return
     Tables.deleteRecursively(out)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
@@ -96,7 +98,7 @@ object ScaleProbe {
     copiesEmb.reduce(_ union _)
       .repartition(16)
       .write.parquet(s"$out/embeddings.parquet")
-    java.nio.file.Files.write(done.toPath, base.getBytes)
+    java.nio.file.Files.write(done.toPath, fp.getBytes)
     ()
   }
 

@@ -68,6 +68,27 @@ object Tables {
     s"$d 00:00:00"
   }
 
+  /** Fingerprint of a fixture directory (relative name, size, mtime of
+    * every parquet file): the driver regenerates /root/testdata between
+    * rounds (two timestamp encodings shipped already), so any scratch
+    * dataset derived from the fixtures must record WHAT it was built
+    * from, not just which path — a cache keyed on path alone would
+    * silently pair stale derived data with fresh fixtures.
+    */
+  def fingerprint(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) s"$dir|missing"
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+        .toSeq.sorted.mkString(s"$dir|", ",", "")
+    }
+  }
+
   /** Scratch space for operator outputs (partitioned layouts, snapshot
     * tables, CTAS warehouses, streaming checkpoints). Kept under the
     * repo's own target/ so nothing outside /root/repo is touched.

@@ -23,7 +23,11 @@ object QueryMetrics {
       rows_scanned: Long, bytes_scanned: Long, shuffle_bytes: Long,
       status: String)
 
-  private def metricsOf(qe: org.apache.spark.sql.execution.QueryExecution)
+  /** (rows scanned, bytes scanned, shuffle bytes) off an executed plan's
+    * SQLMetrics. Public: [[graft.Bench]] records these per query so bench
+    * drift is attributable — a real plan regression moves bytes, JVM/GC
+    * drift does not (round-13 scan-family attribution, README). */
+  def planMetrics(qe: org.apache.spark.sql.execution.QueryExecution)
       : (Long, Long, Long) = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -71,7 +75,7 @@ object QueryMetrics {
         try { df.collect(); "SUCCESS" }
         catch { case _: Throwable => "ERROR" }
       val durMs = (System.nanoTime() - t0) / 1e6
-      val (rows, bytes, shuffle) = metricsOf(df.queryExecution)
+      val (rows, bytes, shuffle) = planMetrics(df.queryExecution)
       Rec(name, typ, durMs, rows, bytes, shuffle, status)
     }.toDF()
   }

@@ -8,13 +8,16 @@ import org.apache.spark.sql.types._
   * opaque `binary` column plus typed metadata, and per-item decode /
   * feature-extraction / frame-sampling runs as `mapPartitions` over the
   * binary payloads — the Spark-side schema, batching, and partitioning are
-  * real. Container METADATA extraction is real too:
-  * [[graft.functions.ImageMetaExpr]] parses PNG/JPEG/GIF/WebP/BMP format
-  * and pixel dimensions straight off the header bytes (no codec library —
-  * q66 oracle-checks it). Only the DEEP decode (pixel data → feature
-  * vector) is a clearly-marked deterministic STUB: this container has no
-  * image/audio libraries; swap [[StubCodec]] for a real decoder on a
-  * cluster that does.
+  * real. Container METADATA extraction is real
+  * ([[graft.functions.ImageMetaExpr]] parses PNG/JPEG/GIF/WebP/BMP headers,
+  * q66 oracle-checks it), and so is the DEEP decode for the formats whose
+  * pixel layer needs no codec library: [[PixelCodec]] reconstructs actual
+  * pixels from 24bpp BMP and 8-bit PNG (full filter set, Inflater) and the
+  * features — exact channel sums, means, luma histogram — come from those
+  * pixels (q47 oracle-checks the sums bit-for-bit). Formats that need an
+  * entropy decoder (JPEG/WebP/GIF) fall back to the clearly-labeled
+  * deterministic [[StubCodec]], flagged per-row in the `decoder` column;
+  * swap it for a real codec on a cluster that has one.
   *
   * Scale design: decode is embarrassingly parallel per partition — no
   * shuffle is introduced (verified by MultimodalSpec asserting the plan is
@@ -24,10 +27,10 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** STUB decoder — deterministic stand-in for an image/audio codec.
-    * Derives pseudo-features purely from byte length and content so tests
-    * and oracles are reproducible. A real deployment replaces exactly this
-    * object (the mapPartitions plumbing above it is production-shaped).
+  /** STUB decoder — deterministic stand-in for codec-bound formats
+    * (JPEG/WebP/GIF pixel layers need Huffman/VP8/LZW decoders). Derives
+    * pseudo-features purely from byte length so tests and oracles stay
+    * reproducible; rows that went through it carry `decoder = "stub"`.
     */
   object StubCodec {
     val FeatureDim = 4
@@ -45,13 +48,31 @@ object Multimodal {
         .toSeq
   }
 
+  /** Luma histogram bin count (BT.601 luma bucketed into equal ranges). */
+  val LumaBins = 4
+
   val featureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("n_frames", LongType, nullable = false),
+    // "bmp" | "png" = real pixel decode; "stub" = labeled fallback
+    StructField("decoder", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sum_r", LongType, nullable = true),
+    StructField("sum_g", LongType, nullable = true),
+    StructField("sum_b", LongType, nullable = true),
+    StructField("mean_r", DoubleType, nullable = true),
+    StructField("mean_g", DoubleType, nullable = true),
+    StructField("mean_b", DoubleType, nullable = true),
+    StructField("luma_hist", ArrayType(LongType, containsNull = false), nullable = true),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
-  /** Decode+featurize a (doc_id, content: binary) DataFrame partition-wise. */
+  /** Decode+featurize a (doc_id, content: binary) DataFrame partition-wise.
+    * BMP/PNG payloads yield REAL pixel features (exact channel sums,
+    * means, luma histogram, plus a normalized feature vector); everything
+    * else gets the labeled stub vector with null pixel columns.
+    */
   def extractFeatures(in: DataFrame, idCol: String = "doc_id",
       contentCol: String = "content", frameStride: Int = 2): DataFrame = {
     val src = in.select(col(idCol).cast("long"), col(contentCol))
@@ -60,8 +81,26 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        val frames = StubCodec.sampleFrames(bytes, frameStride)
-        Row(id, bytes.length.toLong, frames.size.toLong, StubCodec.features(bytes))
+        val frames = StubCodec.sampleFrames(bytes, frameStride).size.toLong
+        PixelCodec.decode(bytes) match {
+          case Some(img) =>
+            val f = PixelCodec.features(img, LumaBins)
+            val n = img.width.toLong * img.height
+            val fmt = if (bytes(0) == 'B') "bmp" else "png"
+            val vec = Array(
+              f.sumR.toDouble / n / 255.0,
+              f.sumG.toDouble / n / 255.0,
+              f.sumB.toDouble / n / 255.0) ++
+              f.lumaHist.map(_.toDouble / n)
+            Row(id, bytes.length.toLong, frames, fmt,
+              img.width, img.height, f.sumR, f.sumG, f.sumB,
+              f.sumR.toDouble / n, f.sumG.toDouble / n, f.sumB.toDouble / n,
+              f.lumaHist.toSeq, vec)
+          case None =>
+            Row(id, bytes.length.toLong, frames, "stub",
+              null, null, null, null, null, null, null, null, null,
+              StubCodec.features(bytes))
+        }
       }
     }
   }

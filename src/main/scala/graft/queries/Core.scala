@@ -162,16 +162,23 @@ object Core {
       .orderBy(col("event_count").desc, col("event_type"))
   }
 
-  /** One-time rewrite of events into a date-partitioned layout (S3). */
+  /** One-time rewrite of events into a date-partitioned layout (S3).
+    * Cached per source FINGERPRINT, not just per path: the driver
+    * regenerates the fixtures between rounds, and a stale layout built
+    * from the previous generation would silently diverge from the oracle.
+    */
   def partitionedEventsDir(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val pdir = Tables.scratch(s"events_by_day/$tag")
-    val marker = java.nio.file.Paths.get(pdir, "_SUCCESS")
-    if (!java.nio.file.Files.exists(marker)) {
+    val marker = java.nio.file.Paths.get(pdir, "_GRAFT_SOURCE")
+    val fp = Tables.fingerprint(dir)
+    if (!java.nio.file.Files.exists(marker) ||
+        new String(java.nio.file.Files.readAllBytes(marker)) != fp) {
       t(s, dir, "events")
         .withColumn("event_date", to_date(col("ts")))
         .repartition(col("event_date"))
         .write.mode("overwrite").partitionBy("event_date").parquet(pdir)
+      java.nio.file.Files.write(marker, fp.getBytes)
     }
     pdir
   }

@@ -487,16 +487,49 @@ object Llm {
     "SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries, true AS recall_ok"
 
   // ------------------------------------------------------------- q47
-  // Multimodal decode pipeline: binary content → mapPartitions
-  // decode/featurize/frame-sample ([[graft.operators.Multimodal]], stub
-  // codec — deterministic, so the metadata outputs stay oracle-checkable).
+  // Multimodal deep decode — REAL pixels, no codec library: the fixture
+  // writer emits deterministic gradient images keyed by doc_id (24bpp BMP
+  // — bottom-up AND top-down — and 8-bit PNG — RGB and RGBA, row filters
+  // cycling through all five types), [[graft.operators.PixelCodec]]
+  // reconstructs the actual pixel array (BMP row arithmetic; PNG via
+  // Inflater + full filter reconstruction), and the features are exact
+  // per-channel sums off those pixels. Gradient coefficients are chosen
+  // so no channel value crosses 255 (no mod wraparound), which gives the
+  // sums a closed form the DuckDB oracle recomputes bit-for-bit — a
+  // decoder that misreads row order, stride padding, BGR order, a PNG
+  // filter, or the alpha layout hash-mismatches. JPEG payloads (entropy-
+  // coded; needs a codec library) take the labeled stub fallback with
+  // NULL pixel columns — exactly the per-row `decoder` contract a mixed
+  // 100 TB crawl needs.
   def q47(s: SparkSession, dir: String): DataFrame = {
-    val media = docs(s, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("content"))
-    graft.operators.Multimodal.extractFeatures(media)
-      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
-        round(element_at(col("features"), 1), 6).as("f0"),
-        round(element_at(col("features"), 2), 6).as("f1"))
+    import s.implicits._
+    val mediaDir = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+    ids.map { id =>
+      val w = 3 + (id % 6).toInt
+      val h = 2 + (id % 5).toInt
+      val br = (id % 97).toInt
+      val bg = ((id * 3) % 89).toInt
+      val bb = ((id * 7) % 83).toInt
+      // max channel value 96+3*7+5*5 = 142 < 255: no wraparound, so the
+      // oracle's closed-form sums are exact
+      def px(x: Int, y: Int): (Int, Int, Int) =
+        (br + 3 * x + 5 * y, bg + 5 * x + 2 * y, bb + 2 * x + 7 * y)
+      val bytes = (id % 3).toInt match {
+        case 0 => graft.operators.PixelCodec.encodeBmp(w, h, px,
+          topDown = id % 6 == 3)
+        case 1 => graft.operators.PixelCodec.encodePng(w, h, px,
+          withAlpha = id % 6 == 4)
+        case _ => graft.functions.ImageMeta.encode("jpeg", w, h)
+      }
+      (id, bytes)
+    }.toDF("doc_id", "content")
+      .write.mode("overwrite").parquet(mediaDir)
+    graft.operators.Multimodal.extractFeatures(s.read.parquet(mediaDir))
+      .select(col("doc_id"), col("decoder"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
       .orderBy("doc_id")
   }
 
@@ -542,12 +575,29 @@ object Llm {
       |       CAST(1 + doc_id % 480 AS BIGINT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // closed-form expected sums: w=3+id%6, h=2+id%5; over the w×h grid
+  // sum(x) = h*w*(w-1)/2 and sum(y) = w*h*(h-1)/2, so e.g.
+  // sum_r = w*h*(id%97) + 3*sum(x) + 5*sum(y) (no mod wraparound by
+  // construction). JPEG rows (id%3=2) are the labeled stub: NULLs.
   val q47Sql =
-    """SELECT doc_id, strlen(text) AS n_bytes,
-      |       CAST(ceil(ceil(strlen(text) / 64.0) / 2.0) AS BIGINT) AS n_frames,
-      |       round((strlen(text) * 1 % 997) / 997.0, 6) AS f0,
-      |       round((strlen(text) * 2 % 997) / 997.0, 6) AS f1
-      |FROM documents ORDER BY doc_id""".stripMargin
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h,
+      |         doc_id % 97 AS br, (doc_id * 3) % 89 AS bg,
+      |         (doc_id * 7) % 83 AS bb
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'bmp'
+      |            WHEN 1 THEN 'png' ELSE 'stub' END AS decoder,
+      |       CASE WHEN doc_id % 3 = 2 THEN NULL ELSE CAST(w AS BIGINT) END AS width,
+      |       CASE WHEN doc_id % 3 = 2 THEN NULL ELSE CAST(h AS BIGINT) END AS height,
+      |       CASE WHEN doc_id % 3 = 2 THEN NULL ELSE
+      |         CAST(w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) AS BIGINT) END AS sum_r,
+      |       CASE WHEN doc_id % 3 = 2 THEN NULL ELSE
+      |         CAST(w*h*bg + 5*(h*w*(w-1)//2) + 2*(w*h*(h-1)//2) AS BIGINT) END AS sum_g,
+      |       CASE WHEN doc_id % 3 = 2 THEN NULL ELSE
+      |         CAST(w*h*bb + 2*(h*w*(w-1)//2) + 7*(w*h*(h-1)//2) AS BIGINT) END AS sum_b
+      |FROM g ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- q51
   // End-to-end corpus preparation — the pipeline a training-data run

@@ -59,4 +59,45 @@ class TablesLoadSpec extends SparkFunSuite {
       s"ts filter not pushed: $scan")
     assert(q.count() == 400)
   }
+
+  // The r12 fixture regeneration switched EVERY timestamp column — not
+  // just events.ts — to TIMESTAMP(MICROS, isAdjustedToUTC=false), so the
+  // TPC-H date predicates the scan-bound bench family depends on
+  // (q26 l_shipdate, q27/q28 o_orderdate) also go through the NTZ→TZ
+  // cast in Tables.load. These pin scan-eligibility per table.
+  test("orders.o_orderdate predicate pushes under the NTZ encoding") {
+    val dir = scratch("load-push-orders")
+    spark.sql(
+      s"""SELECT id AS o_orderkey,
+         |       TIMESTAMP_NTZ '1995-01-01 00:00:00' + make_interval(0,0,0,id) AS o_orderdate
+         |FROM range(1000)""".stripMargin)
+      .write.parquet(s"$dir/orders.parquet")
+    assert(spark.read.parquet(s"$dir/orders.parquet")
+      .schema("o_orderdate").dataType == TimestampNTZType)
+    val q = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1995-02-01 00:00:00").cast("timestamp"))
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"o_orderdate filter not pushed: $scan")
+    assert(q.count() == 1000 - 31)
+  }
+
+  test("lineitem.l_shipdate predicate pushes under the NTZ encoding") {
+    val dir = scratch("load-push-lineitem")
+    spark.sql(
+      s"""SELECT id AS l_orderkey,
+         |       TIMESTAMP_NTZ '1998-01-01 00:00:00' + make_interval(0,0,0,id) AS l_shipdate
+         |FROM range(1000)""".stripMargin)
+      .write.parquet(s"$dir/lineitem.parquet")
+    assert(spark.read.parquet(s"$dir/lineitem.parquet")
+      .schema("l_shipdate").dataType == TimestampNTZType)
+    val q = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scan.contains("LessThanOrEqual(l_shipdate"),
+      s"l_shipdate filter not pushed: $scan")
+    assert(q.count() == 245)
+  }
 }

@@ -8,12 +8,39 @@ class MultimodalSpec extends SparkFunSuite {
   private def media = graft.Tables.load(spark, sf, "documents")
     .select(col("doc_id"), col("text").cast("binary").as("content"))
 
-  test("feature extraction is deterministic and fixed-width") {
+  test("non-media payloads take the labeled stub path, deterministically") {
     val a = Multimodal.extractFeatures(media).collect()
     val b = Multimodal.extractFeatures(media).collect()
     assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
-    assert(a.forall(_.getSeq[Double](3).length == Multimodal.StubCodec.FeatureDim))
+    // text bytes are not decodable images → every row is labeled stub
+    assert(a.forall(_.getString(3) == "stub"))
+    assert(a.forall(_.isNullAt(4))) // no fake width
+    assert(a.forall(_.getSeq[Double](13).length == Multimodal.StubCodec.FeatureDim))
     assert(a.forall(r => r.getLong(2) > 0)) // every doc yields frames
+  }
+
+  test("BMP/PNG payloads yield REAL pixel features") {
+    import spark.implicits._
+    def px(x: Int, y: Int): (Int, Int, Int) = (40 + x, 50 + y, 60 + x + y)
+    val rows = Seq(
+      (1L, PixelCodec.encodeBmp(4, 3, px)),
+      (2L, PixelCodec.encodePng(4, 3, px)),
+      (3L, "not an image".getBytes("UTF-8")))
+    val out = Multimodal.extractFeatures(rows.toDF("doc_id", "content"))
+      .orderBy("doc_id").collect()
+    // hand-computed sums over the 4x3 grid: sum(x)=3*(0+1+2+3)=18, sum(y)=4*(0+1+2)=12
+    val n = 12L
+    val (sr, sg, sb) = (40 * n + 18, 50 * n + 12, 60 * n + 18 + 12)
+    for (i <- 0 to 1) {
+      val r = out(i)
+      assert(r.getString(3) == (if (i == 0) "bmp" else "png"))
+      assert(r.getInt(4) == 4 && r.getInt(5) == 3)
+      assert(r.getLong(6) == sr && r.getLong(7) == sg && r.getLong(8) == sb)
+      assert(math.abs(r.getDouble(9) - sr.toDouble / n) < 1e-12)
+      assert(r.getSeq[Long](12).sum == n) // luma hist covers every pixel
+      assert(r.getSeq[Double](13).length == 3 + Multimodal.LumaBins)
+    }
+    assert(out(2).getString(3) == "stub" && out(2).isNullAt(6))
   }
 
   test("decode pipeline introduces no shuffle") {

@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import graft.operators.PixelCodec._
+
+/** Round-trip + adversarial coverage for the zero-dependency pixel codec,
+  * including an INDEPENDENT cross-check: the JDK's own ImageIO readers
+  * (java.desktop ships PNG and BMP decoders) decode our encoder's bytes
+  * and must see the same pixels our decoder reconstructs — so encoder and
+  * decoder cannot share a compensating bug.
+  */
+class PixelCodecSpec extends SparkFunSuite {
+
+  private def grad(x: Int, y: Int): (Int, Int, Int) =
+    (10 + 3 * x + 5 * y, 20 + 5 * x + 2 * y, 30 + 2 * x + 7 * y)
+
+  private def expectedRgb(w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = grad(x, y)
+      out((y * w + x) * 3) = r.toByte
+      out((y * w + x) * 3 + 1) = g.toByte
+      out((y * w + x) * 3 + 2) = b.toByte
+    }
+    out
+  }
+
+  private def imageIoRgb(bytes: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not decode the fixture bytes")
+    val out = new Array[Byte](img.getWidth * img.getHeight * 3)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val argb = img.getRGB(x, y)
+      val i = (y * img.getWidth + x) * 3
+      out(i) = ((argb >> 16) & 0xff).toByte
+      out(i + 1) = ((argb >> 8) & 0xff).toByte
+      out(i + 2) = (argb & 0xff).toByte
+    }
+    out
+  }
+
+  test("BMP bottom-up round-trips exactly (incl. stride padding widths)") {
+    // widths 3..6 cover all four stride paddings (9→12, 12, 15→16, 18→20)
+    for (w <- 3 to 6) {
+      val bytes = encodeBmp(w, 5, grad)
+      val img = decode(bytes).get
+      assert(img.width == w && img.height == 5)
+      assert(img.rgb.sameElements(expectedRgb(w, 5)), s"pixel mismatch at w=$w")
+      assert(imageIoRgb(bytes).sameElements(img.rgb),
+        s"ImageIO disagrees with PixelCodec at w=$w")
+    }
+  }
+
+  test("BMP top-down decodes to the same pixels as bottom-up") {
+    val up = decode(encodeBmp(5, 4, grad)).get
+    val down = decode(encodeBmp(5, 4, grad, topDown = true)).get
+    assert(up.rgb.sameElements(down.rgb))
+  }
+
+  test("PNG RGB round-trips exactly through all five row filters") {
+    // height 7 > 5 → filter types 0..4 all appear (encoder cycles y % 5)
+    val bytes = encodePng(6, 7, grad)
+    val img = decode(bytes).get
+    assert(img.width == 6 && img.height == 7)
+    assert(img.rgb.sameElements(expectedRgb(6, 7)))
+    assert(imageIoRgb(bytes).sameElements(img.rgb),
+      "ImageIO disagrees with PixelCodec on the PNG bytes")
+  }
+
+  test("PNG RGBA decodes with alpha dropped") {
+    val bytes = encodePng(4, 6, grad, withAlpha = true)
+    val img = decode(bytes).get
+    assert(img.rgb.sameElements(expectedRgb(4, 6)))
+    assert(imageIoRgb(bytes).sameElements(img.rgb))
+  }
+
+  test("1x1 and single-row/column edge shapes round-trip") {
+    for ((w, h) <- Seq((1, 1), (1, 5), (5, 1))) {
+      assert(decode(encodeBmp(w, h, grad)).get.rgb.sameElements(expectedRgb(w, h)))
+      assert(decode(encodePng(w, h, grad)).get.rgb.sameElements(expectedRgb(w, h)))
+    }
+  }
+
+  test("malformed payloads decode to None, never throw") {
+    val png = encodePng(4, 4, grad)
+    val bmp = encodeBmp(4, 4, grad)
+    assert(decode(null) == None)
+    assert(decode(Array[Byte](1, 2, 3)) == None)
+    assert(decode(bmp.take(30)) == None) // truncated header
+    assert(decode(bmp.take(60)) == None) // header ok, pixels missing
+    assert(decode(png.take(40)) == None) // truncated mid-IHDR-chunk
+    // corrupt the zlib stream: IDAT payload bytes flipped
+    val corrupt = png.clone()
+    val idat = {
+      var i = 8; var at = -1
+      while (at < 0 && i + 8 < corrupt.length) {
+        if (corrupt(i + 4) == 'I' && corrupt(i + 5) == 'D' &&
+            corrupt(i + 6) == 'A' && corrupt(i + 7) == 'T') at = i
+        else i += 1
+      }
+      at
+    }
+    for (j <- idat + 8 until math.min(idat + 16, corrupt.length))
+      corrupt(j) = (~corrupt(j)).toByte
+    assert(decode(corrupt) == None)
+    // the q66 header-only fixtures (no pixel payload) must hit the stub
+    assert(decode(graft.functions.ImageMeta.encode("bmp", 8, 8)) == None)
+    assert(decode(graft.functions.ImageMeta.encode("png", 8, 8)) == None)
+    assert(decode(graft.functions.ImageMeta.encode("jpeg", 8, 8)) == None)
+    // hostile header: claims 65535x65535, carries 0 pixel bytes
+    val hostile = bmp.clone()
+    hostile(18) = -1; hostile(19) = -1; hostile(22) = -1; hostile(23) = -1
+    assert(decode(hostile) == None)
+  }
+
+  test("features: exact channel sums and luma histogram") {
+    val img = decode(encodePng(3, 2, grad)).get
+    val f = features(img, bins = 4)
+    // reference computation straight off the generator definition
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Long](4)
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val (r, g, b) = grad(x, y)
+      sr += r; sg += g; sb += b
+      hist(((299 * r + 587 * g + 114 * b) / 1000) * 4 / 256) += 1
+    }
+    assert(f.sumR == sr && f.sumG == sg && f.sumB == sb)
+    assert(f.lumaHist.sameElements(hist))
+    assert(f.lumaHist.sum == 6) // every pixel lands in exactly one bin
+  }
+}
