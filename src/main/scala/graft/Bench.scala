@@ -41,7 +41,7 @@ object Bench {
     "q42_streaming_agg", "q44_compaction", "q56_ngram_jaccard",
     "q57_zorder_compaction", "q58_sql_merge", "q61_stateful_dedup",
     "q63_streaming_pipeline", "q64_days_transform", "q65_dynamic_table",
-    "q67_wap_publish", "q68_retention_floor")
+    "q67_wap_publish", "q68_retention_floor", "q69_governed_stream")
 
   /** The two swingiest write-family queries (measured 70–85 % median
     * spread at reps=3: small absolute times where JIT/GC noise dominates)

@@ -150,8 +150,16 @@ object ScaleProbe {
       shuffleWrite.set(0L)
       System.err.println(s"[probe] $q @ $dir")
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(q)(spark, dir).count()
+      val df = SparkEntry.queries(q)(spark, dir)
+      val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      // approximate-path queries carry their own quality contract; a
+      // probe that only counted rows would let recall silently collapse
+      // at scale (the IVF cell count now grows with √N — this is the
+      // evidence it keeps recall while doing so)
+      if (df.columns.contains("recall_ok"))
+        println(s"RECALL $q @ ${if (dir == base) "base" else s"${factor}x"}: " +
+          s"recall_ok=${df.select("recall_ok").head().getBoolean(0)}")
       Thread.sleep(1000)
       Probe(q, dir, rows, sec, shuffleWrite.get() / 1e6)
     }

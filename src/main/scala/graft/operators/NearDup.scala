@@ -90,16 +90,45 @@ object NearDup {
   def exactPairs(spark: SparkSession, docs: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3,
       threshold: Double = 0.8): DataFrame = {
+    // The whole exact pipeline runs on HASHED token sets (sorted
+    // array<long>, [[graft.functions.Hash64Sorted]]): postings and
+    // candidate join keys are 8-byte longs instead of ~24-byte strings,
+    // and the verification payload — the term that dominated shuffle at
+    // 100× corpus scale once the verify join outgrows broadcast — is ~3×
+    // smaller. Jaccard over the hashed sets equals Jaccard over the
+    // string sets modulo 64-bit collisions (~1e-13 per doc).
     val sh = shingles(docs, idCol, textCol, shingleSize)
+      .withColumn("shingles", expr("hash64_sorted(shingles)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verify(exactCandidates(sh, threshold), sh, threshold).orderBy("doc_a", "doc_b")
   }
 
+  /** Document-frequency cap above which a token's posting list takes the
+    * histogram-filtered hot path in [[exactCandidates]]. At the driver
+    * corpus (sf0.1) the max shingle df is 25, so base-scale plans never
+    * enter it. Note the df-ascending prefix ordering already SELF-HEALS
+    * against frequency skew — as a token's df grows it sorts later and
+    * falls out of every prefix (measured on the 100× probe: zero hot
+    * tokens in any prefix even with every token replicated 100×) — so
+    * this path is insurance for the corpus shape the ordering can't fix:
+    * template docs whose ENTIRE vocabulary is frequent, where hot tokens
+    * are the only prefix material left. */
+  private[graft] val HotDf = 64
+
+  /** Bucket count for the per-doc token histograms on the hot path:
+    * byte buckets, so 256 costs a 256-byte posting payload. Needs to sit
+    * WELL above the typical token count per doc (~52 at the driver
+    * corpus) — at k near the token count, hash-collision noise lifts
+    * Σmin to the overlap requirement and the bound stops pruning. */
+  private[graft] val HistBuckets = 256
+
   /** PPJoin candidate generation for [[exactPairs]]: prefix-filter join
     * plus the companion length filter. Package-visible so specs can
     * measure candidate volume directly. */
-  private[graft] def exactCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def exactCandidates(sh: DataFrame, threshold: Double,
+      hotDf: Int = HotDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.Registry.install(sh.sparkSession)
     // n (the doc's set size) rides along from size(shingles) — computing
     // it with a count-over-window would add a second Window pass
     val tokens = sh.select(col("doc_id"), size(col("shingles")).as("n"),
@@ -112,7 +141,7 @@ object NearDup {
     val prefix = tokens.join(dfreq, "shingle")
       .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
       .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select("doc_id", "shingle", "n", "rn")
+      .select("doc_id", "shingle", "n", "rn", "df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // PPJoin length filter: J(a,b) ≥ t forces |∩| ≥ t·max(|a|,|b|) while
     // |∩| ≤ min(|a|,|b|), so min ≥ t·max — pairs with a hopeless size
@@ -130,16 +159,41 @@ object NearDup {
     // low-threshold join (q56 runs t=0.45, where the prefix alone keeps
     // over half of each doc) sheds most spurious matches here, BEFORE
     // the distinct shuffle and the per-pair verification.
-    prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
-          least(col("a.n"), col("b.n")).cast("double") >=
-            greatest(col("a.n"), col("b.n")) * lit(threshold) - lit(1e-9) &&
-          (lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")))
-            .cast("double") >=
-            (col("a.n") + col("b.n")) * lit(threshold / (1 + threshold)) - lit(1e-9))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val joinCond =
+      col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n"), col("b.n")).cast("double") >=
+          greatest(col("a.n"), col("b.n")) * lit(threshold) - lit(1e-9) &&
+        (lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")))
+          .cast("double") >=
+          (col("a.n") + col("b.n")) * lit(threshold / (1 + threshold)) - lit(1e-9)
+    val pair = Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+
+    // DF-AWARE HOT-TOKEN BOUND: a token with document frequency d fans
+    // its posting list into O(d²) match events, and at 100× replication
+    // the frequent tokens dominate candidate shuffle (measured ~12×
+    // above linear on the scale probe before this split). Tokens with
+    // df > hotDf therefore join with an EXTRA exact pruning condition:
+    // each hot posting carries its doc's token histogram
+    // ([[graft.functions.TokenHistogram]]), and a match event survives
+    // only if Σᵢ min(histA[i], histB[i]) — a provable upper bound on
+    // |A ∩ B| — reaches the threshold's overlap requirement
+    // α = t/(1+t)·(n_a+n_b). Pairs sharing a cold token are found by the
+    // cold join unconditionally; pairs sharing ONLY hot tokens pass the
+    // histogram test whenever they truly qualify (the bound never
+    // undercounts), so the split loses no pairs: exactness holds, while
+    // dissimilar docs that merely share template/stopword shingles die
+    // BEFORE the distinct shuffle instead of at verification.
+    val cold = prefix.filter(col("df") <= hotDf)
+    val coldCand = cold.as("a").join(cold.as("b"), joinCond).select(pair: _*)
+    val hists = sh.select(col("doc_id"),
+      expr(s"token_histogram(shingles, $HistBuckets)").as("hist"))
+    val hot = prefix.filter(col("df") > hotDf).join(hists, "doc_id")
+    val hotCand = hot.as("a")
+      .join(hot.as("b"), joinCond &&
+        expr("overlap_bound(a.hist, b.hist)").cast("double") >=
+          (col("a.n") + col("b.n")) * lit(threshold / (1 + threshold)) - lit(1e-9))
+      .select(pair: _*)
+    coldCand.union(hotCand).distinct()
   }
 
   /** Full pipeline: near-dup pairs with exact Jaccard >= threshold.

@@ -397,22 +397,40 @@ object Llm {
   // Approximate by construction → like q38, the driver row is the
   // recall@5 summary against the exact baseline (deterministic:
   // index-seeded Lloyd, fixed data), exactly checkable by the oracle.
-  private val IvfCells = 16
+  //
+  // PARAMETER POLICY (not a fixed k): cells = clamp(16, ⌈√N⌉, 1024) —
+  // the standard IVF sizing, so each cell holds ~√N vectors and a probe
+  // touches ~nprobe·√N of the corpus instead of a fixed 1/16. The 1024
+  // cap bounds BOTH the driver-side training sample (64 vectors/cell →
+  // ≤ 64 k vectors ≈ 32 MB, still constant as the corpus grows past
+  // cap²) and the centroid-literal projection the assignment pass
+  // codegens. nprobe defaults to cells/4 (the probed fraction that held
+  // recall at the fixed-16 configuration) and is caller-settable.
+  private val IvfMinCells = 16
+  private val IvfMaxCells = 1024
 
-  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfCells(n: Long): Int =
+    math.min(n, math.min(IvfMaxCells.toLong,
+      math.max(IvfMinCells.toLong,
+        math.ceil(math.sqrt(n.toDouble)).toLong))).toInt.max(1)
+
+  def ivfTopK(s: SparkSession, dir: String, nprobeArg: Int = 0): DataFrame = {
     val e = emb(s, dir)
+    // one metadata-cheap count decides the cell budget
+    val cells = ivfCells(e.count())
+    val nprobe = if (nprobeArg > 0) nprobeArg else math.max(4, (cells + 3) / 4)
     // The coarse quantizer trains on a BOUNDED driver-side sample, never
-    // the corpus: ~256 vectors per centroid is the standard IVF training
-    // budget, so training cost stays CONSTANT as the corpus grows to
-    // 100 TB (the limit pushes into the scan — GlobalLimit, ~2 MB
-    // collected). Lloyd's on 4096×64 doubles is microseconds on the
-    // driver; the previous MLlib pipeline spent ~2 s of distributed-job
-    // scheduling on the same 4096 rows. Only the cell ASSIGNMENT pass
-    // touches every vector, and it is a single whole-stage-codegen
-    // projection (cosine_sim is a doGenCode expression).
-    val sample = e.select(col("v")).limit(256 * IvfCells).collect()
+    // the corpus: ≥64 vectors per centroid (capped at 64 k rows), so
+    // training cost stays sublinear-then-CONSTANT as the corpus grows to
+    // 100 TB (the limit pushes into the scan — GlobalLimit). Lloyd's on
+    // ≤64k×64 doubles is milliseconds on the driver; the previous MLlib
+    // pipeline spent ~2 s of distributed-job scheduling on the same
+    // rows. Only the cell ASSIGNMENT pass touches every vector, and it
+    // is a single whole-stage-codegen projection (cosine_sim is a
+    // doGenCode expression).
+    val sample = e.select(col("v")).limit(math.min(64 * cells, 65536)).collect()
       .map(_.getSeq[Double](0).toArray)
-    val cents = Llm.lloyd(sample, k = IvfCells, iters = 5)
+    val cents = Llm.lloyd(sample, k = cells, iters = 5)
     val cellSims = array(cents.map(c =>
       call_function("cosine_sim", col("v"), typedlit(c.toSeq))): _*)
     val assigned = e
@@ -429,7 +447,7 @@ object Llm {
     val probed = q.join(broadcast(centroids))
       .withColumn("cell_sim", cosine("qv", "cv"))
       .withColumn("cell_rank", row_number().over(cellRank))
-      .filter(col("cell_rank") <= 4)
+      .filter(col("cell_rank") <= nprobe)
       .select("query_id", "qv", "cell")
     val nnRank = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("vec_id"))

@@ -726,7 +726,10 @@ object Ops {
   // surviving versions, and the table's data is untouched (expiration
   // drops old SNAPSHOTS, never current rows). The floor is what keeps a
   // routine maintenance job from collecting versions a 24/7 streaming
-  // checkpoint still needs to replay.
+  // checkpoint still needs to replay. NOTE: floor-beats-explicit is a
+  // DELIBERATE divergence from Apache Iceberg, where an explicit
+  // retain_last overrides the property default — rationale in
+  // [[graft.table.SnapshotTable.expireSnapshots]].
   def q68(s: SparkSession, dir: String): DataFrame = {
     val wh = Tables.scratch("warehouse/graft-catalog")
     s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
@@ -760,6 +763,87 @@ object Ops {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events""".stripMargin
 
+  // ------------------------------------------------------------- q69
+  // Governance over STREAMING reads, driver-visible (G1/G2 × T1; the
+  // sbt-side pin is GovernanceSpec's streaming case): an UNPRIVILEGED
+  // extension-injected session drains a policied catalog table through
+  // `readStream.table` → parquet sink, and what lands in the sink is what
+  // the row policy + mask let THROUGH the stream — never a driver-side
+  // collect. The oracle recomputes the governed view from the raw
+  // customer table, so a streaming path that leaked an unmasked name or
+  // an out-of-segment row hash-mismatches. Enforcement must survive
+  // Spark's per-micro-batch session cloning (the clone carries the
+  // governance token — fail-closed the other way: a clone NEVER gains
+  // privilege).
+  private lazy val governedSession
+      : java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession] =
+    new java.util.concurrent.ConcurrentHashMap()
+
+  /** An extension-injected (GovernanceRule-active) session on the caller's
+    * SparkContext, cached per caller: `spark.sql.extensions` is a static
+    * conf, ignored once the context exists, so the governed session is
+    * built programmatically via `withExtensions`. */
+  private def governedFor(s: SparkSession): SparkSession =
+    governedSession.computeIfAbsent(s, caller => {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val g = SparkSession.builder()
+        .master(caller.sparkContext.master)
+        .appName("graft-governed")
+        .config("spark.sql.shuffle.partitions",
+          caller.conf.get("spark.sql.shuffle.partitions"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      SparkSession.setDefaultSession(caller)
+      SparkSession.setActiveSession(caller)
+      g
+    })
+
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Governance
+    val g = governedFor(s)
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    g.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    g.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val name = s"gov_customer_${tag(dir)}"
+    Tables.deleteRecursively(s"$wh/db/$name")
+    g.sql(s"CREATE TABLE graft.db.$name (user_id BIGINT, name STRING, segment STRING)")
+    Tables.load(g, dir, "customer")
+      .select(col("c_custkey").cast("long").as("user_id"),
+        col("c_name").as("name"), col("c_mktsegment").as("segment"))
+      .writeTo(s"graft.db.$name").append()
+    Governance.clearPolicies()
+    Governance.setPrivileged(g, false)
+    Governance.addRowPolicy(Governance.RowPolicy(name, "segment = 'BUILDING'"))
+    Governance.addMaskPolicy(Governance.MaskPolicy(name, "name"))
+    val out = Tables.scratch(s"gov-stream/out_${tag(dir)}")
+    val ckpt = Tables.scratch(s"gov-stream/ckpt_${tag(dir)}")
+    Tables.deleteRecursively(out)
+    Tables.deleteRecursively(ckpt)
+    try {
+      g.readStream.table(s"graft.db.$name")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally Governance.clearPolicies() // never leak policies across queries
+    // read the sink back on the CALLER's (ungoverned) session: the rows
+    // on disk, not a re-application of the policy, are what's checked
+    s.read.parquet(out).select("user_id", "name", "segment").orderBy("user_id")
+  }
+
+  val q69Sql =
+    """SELECT c_custkey AS user_id, '***MASKED***' AS name,
+      |       c_mktsegment AS segment
+      |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY user_id""".stripMargin
+
   // ------------------------------------------------------------ registry
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_bench_metrics" -> (q49 _),
@@ -783,7 +867,8 @@ object Ops {
     "q64_days_transform" -> (q64 _),
     "q65_dynamic_table" -> (q65 _),
     "q67_wap_publish" -> (q67 _),
-    "q68_retention_floor" -> (q68 _))
+    "q68_retention_floor" -> (q68 _),
+    "q69_governed_stream" -> (q69 _))
 
   val oracle: Map[String, String] = Map(
     "q49_bench_metrics" -> q49Sql,
@@ -807,5 +892,6 @@ object Ops {
     "q64_days_transform" -> q64Sql,
     "q65_dynamic_table" -> q65Sql,
     "q67_wap_publish" -> q67Sql,
-    "q68_retention_floor" -> q68Sql)
+    "q68_retention_floor" -> q68Sql,
+    "q69_governed_stream" -> q69Sql)
 }

@@ -809,10 +809,20 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * surviving snapshot references (orphan GC — reference T6).
     *
     * RETENTION GUARD: the table's policy properties put a floor under any
-    * maintenance call (Iceberg's expiration shape) —
+    * maintenance call —
     * `history.expire.min-snapshots-to-keep` raises `keepLast`, and
     * `history.expire.max-snapshot-age-ms` keeps every snapshot younger
-    * than the horizon regardless of count. A 24/7 stream whose checkpoint
+    * than the horizon regardless of count.
+    *
+    * DELIBERATE DIVERGENCE from Apache Iceberg (whose property name this
+    * borrows): in Iceberg an explicit `retain_last` argument OVERRIDES
+    * the property default; here the policy floor wins over any explicit
+    * argument — `max(keepLast, floor)`. The property is a protective
+    * control set by the table owner (the 24/7-streaming-checkpoint
+    * contract below); letting a routine maintenance call override it
+    * would make the guard advisory. Collecting below the floor requires
+    * lowering the property first — one deliberate ALTER, never a typo'd
+    * keep_last. q68 pins this floor-wins behavior in the oracle. A 24/7 stream whose checkpoint
     * trails by less than the policy floor therefore survives routine
     * expiration; collecting past the floor requires explicitly lowering
     * the policy first, and a checkpoint orphaned ANYWAY (no policy, or a

@@ -301,6 +301,32 @@ class ExprSpec extends SparkFunSuite {
     assert(math.abs(sim - 1.0) < 1e-12)
   }
 
+  test("hash64_sorted/intersect_size-long/token_histogram compile codegen-only and agree with eval") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    Registry.install(s2)
+    // hashed intersection equals string intersection on real documents
+    // (the exactness contract of the hashed near-dup pipeline)
+    val rows = graft.Tables.load(s2, sf, "documents").limit(30)
+      .selectExpr("doc_id", "array_sort(word_shingles(text, 3)) AS sh")
+      .selectExpr("doc_id", "sh", "hash64_sorted(sh) AS hs")
+    val both = rows.as("a").crossJoin(rows.as("b"))
+      .selectExpr(
+        "intersect_size(a.sh, b.sh) AS str_inter",
+        "intersect_size(a.hs, b.hs) AS long_inter",
+        "overlap_bound(token_histogram(a.sh, 256), token_histogram(b.sh, 256)) AS bound_str",
+        "overlap_bound(token_histogram(a.hs, 256), token_histogram(b.hs, 256)) AS bound_long")
+      .collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getInt(0) == r.getInt(1)),
+      "hashed-long intersection diverged from string intersection")
+    assert(both.forall(r => r.getInt(2) >= r.getInt(0)),
+      "string-histogram bound undercut a true intersection")
+    assert(both.forall(r => r.getInt(3) >= r.getInt(1)),
+      "long-histogram bound undercut a true intersection")
+  }
+
   test("parameter arguments must be foldable positive ints (analysis error)") {
     Registry.install(spark)
     val docs = graft.Tables.load(spark, sf, "documents").limit(1)

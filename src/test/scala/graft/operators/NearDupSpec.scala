@@ -63,6 +63,57 @@ class NearDupSpec extends SparkFunSuite {
     sh.unpersist()
   }
 
+  test("hot-token path is exact: hotDf=1 routes EVERY pair through the histogram bound") {
+    // df > 1 for every token any two docs share, so with hotDf = 1 the
+    // cold join can emit nothing — all candidates must survive the
+    // overlap_bound filter. Equality with the naive all-pairs oracle
+    // proves the bound never drops a qualifying pair.
+    val sh = NearDup.shingles(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val viaHot = NearDup.verify(NearDup.exactCandidates(sh, 0.8, hotDf = 1), sh, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val expected = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", size(array_intersect(col("a.shingles"), col("b.shingles"))))
+      .withColumn("uni",
+        size(col("a.shingles")) + size(col("b.shingles")) - col("inter"))
+      .filter(col("inter") * lit(1.0) / col("uni") >= 0.8 - 1e-9)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaHot == expected)
+    assert(viaHot.nonEmpty)
+    sh.unpersist()
+  }
+
+  test("histogram bound prunes dissimilar docs sharing only a hot token") {
+    // docs 1-8 all contain the shingle "x1 x2 x3" (df=8 > hotDf=2) but are
+    // otherwise disjoint; docs 7 and 8 are identical. The hot join's
+    // overlap_bound must kill the 1-vs-2..6 template pairs BEFORE the
+    // distinct shuffle while keeping the true (7,8) pair.
+    val mk = (i: Int) => s"x1 x2 x3 " + (1 to 12).map(j => s"w${i}_$j").mkString(" ")
+    val corpus = ((1 to 6).map(i => (i.toLong, mk(i))) ++
+      Seq((7L, mk(7)), (8L, mk(7)))).toDF("doc_id", "text")
+    val sh = NearDup.shingles(corpus, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = NearDup.exactCandidates(sh, 0.8, hotDf = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((7L, 8L)), "true duplicate pair must survive")
+    assert(!cands.exists(p => p._1 <= 6 && p._2 <= 6),
+      s"template-only pairs must die at the histogram bound, got $cands")
+    sh.unpersist()
+  }
+
+  test("token_histogram/overlap_bound kernel: Σmin upper-bounds the true intersection") {
+    graft.functions.Registry.install(spark)
+    val rows = spark.sql(
+      """SELECT overlap_bound(token_histogram(array('a','b','c','d'), 8),
+        |                     token_histogram(array('c','d','e'), 8)) AS bound,
+        |       overlap_bound(token_histogram(array('a','b'), 8),
+        |                     token_histogram(array('x','y'), 8)) AS disjoint
+        |""".stripMargin).head()
+    assert(rows.getInt(0) >= 2) // true overlap {c,d} = 2; bound can exceed, never undercut
+    assert(rows.getInt(1) <= 2 && rows.getInt(1) >= 0)
+  }
+
   test("length filter keeps FP-borderline pairs (0.8 of 35 is not 29)") {
     // |a| = 28, |b| = 35: 0.8·35 = 28.000000000000004 in IEEE double —
     // a ceil-based filter would wrongly reject this exact-boundary pair

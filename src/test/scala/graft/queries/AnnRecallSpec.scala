@@ -30,6 +30,16 @@ class AnnRecallSpec extends SparkFunSuite {
     assert(ivfRecall >= 0.4, f"IVF recall@5 degraded: $ivfRecall%.2f")
   }
 
+  test("IVF cell policy: clamp(16, ceil(sqrt(N)), 1024), never above N") {
+    assert(Llm.ivfCells(0) == 1) // degenerate corpus still trains
+    assert(Llm.ivfCells(10) == 10) // cells can never exceed the corpus
+    assert(Llm.ivfCells(50) == 16) // floor
+    assert(Llm.ivfCells(500) == 23) // ceil(sqrt(500))
+    assert(Llm.ivfCells(5000) == 71)
+    assert(Llm.ivfCells(500000) == 708)
+    assert(Llm.ivfCells(10000000) == 1024) // budget cap
+  }
+
   test("q38/q50 driver rows report the same recall contract (recall_ok = true)") {
     Seq("q38_ann_lsh", "q50_ann_ivf").foreach { name =>
       val row = Llm.queries(name)(spark, sf).head()
