@@ -208,7 +208,13 @@ object NearDup {
       numPerms: Int = 128, numBands: Int = 32): DataFrame = {
     val sh = shingles(docs, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verify(candidates(spark, sh, numPerms, numBands), sh, threshold)
+    // candidates come from MinHash signatures over the STRING shingles
+    // (keeps signature values stable); verification — the join that drags
+    // a token set per candidate through an exchange at scale — runs on
+    // the hashed-long sets, same payload cut as [[exactPairs]] (Jaccard
+    // identical modulo 64-bit collisions, so the pair set is unchanged)
+    val hsh = sh.withColumn("shingles", expr("hash64_sorted(shingles)"))
+    verify(candidates(spark, sh, numPerms, numBands), hsh, threshold)
       .orderBy("doc_a", "doc_b")
   }
 }
