@@ -130,6 +130,12 @@ object Bench {
     // the full scan it exists to beat). Amortize it here, untimed.
     if (names.contains("q09_event_type_pruned"))
       graft.queries.Core.partitionedEventsDir(spark, sfDir)
+    // q47/q66's media fixtures are likewise one-time builds
+    // (fingerprint-cached): one untimed invocation builds them so the
+    // timed runs measure decode/header-parse, not fixture encoding
+    Seq("q47_multimodal_features", "q66_image_meta").filter(names.contains)
+      .foreach { n => SparkEntry.queries(n)(spark, sfDir).count(); () }
+    sweepCaches(spark)
     // Warm the snapshot-table WRITE path too (staging, footer-stats
     // harvest, commit primitive, compaction swap): these driver-heavy
     // code paths run interpreted until C2 compiles them, and measured

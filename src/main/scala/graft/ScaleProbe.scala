@@ -153,15 +153,18 @@ object ScaleProbe {
       val df = SparkEntry.queries(q)(spark, dir)
       val rows = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      val p = Probe(q, dir, rows, sec, shuffleWrite.get() / 1e6)
       // approximate-path queries carry their own quality contract; a
       // probe that only counted rows would let recall silently collapse
       // at scale (the IVF cell count now grows with √N — this is the
-      // evidence it keeps recall while doing so)
+      // evidence it keeps recall while doing so). head() re-executes the
+      // query, so it runs AFTER the shuffle counter is read — the next
+      // iteration's sweep+quiesce+reset absorbs its stages.
       if (df.columns.contains("recall_ok"))
         println(s"RECALL $q @ ${if (dir == base) "base" else s"${factor}x"}: " +
           s"recall_ok=${df.select("recall_ok").head().getBoolean(0)}")
-      Thread.sleep(1000)
-      Probe(q, dir, rows, sec, shuffleWrite.get() / 1e6)
+      p
     }
 
     println("| query | scale | rows | elapsed_s | shuffle_write_MB |")

@@ -80,13 +80,35 @@ object Tables {
     if (!java.nio.file.Files.exists(root)) s"$dir|missing"
     else {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala
-        .filter(p => java.nio.file.Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
-          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
-        .toSeq.sorted.mkString(s"$dir|", ",", "")
+      // Files.walk streams hold open DirectoryStreams — close them
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { walk =>
+        walk.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => s"${root.relativize(p)}:${java.nio.file.Files.size(p)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}")
+          .toSeq.sorted.mkString(s"$dir|", ",", "")
+      }
     }
+  }
+
+  /** Run `build` once per source-fixture GENERATION: a marker inside
+    * `out` records [[fingerprint]] of `srcDir` plus the caller's
+    * `version` tag, and the build re-runs when the fixtures were
+    * regenerated, the GENERATOR changed (bump `version` with the code),
+    * or it never ran. Returns `out`. Callers' builds must tolerate a
+    * half-written `out` (use overwrite modes) — the marker is written
+    * last. */
+  def cachedDerived(srcDir: String, out: String, version: String = "v1")(
+      build: => Unit): String = {
+    val marker = java.nio.file.Paths.get(out, "_GRAFT_SOURCE")
+    val fp = version + "\n" + fingerprint(srcDir)
+    if (!java.nio.file.Files.exists(marker) ||
+        new String(java.nio.file.Files.readAllBytes(marker)) != fp) {
+      build
+      java.nio.file.Files.write(marker, fp.getBytes)
+    }
+    out
   }
 
   /** Scratch space for operator outputs (partitioned layouts, snapshot
@@ -104,8 +126,9 @@ object Tables {
     val root = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val all = scala.util.Using.resource(java.nio.file.Files.walk(root))(
+        _.iterator().asScala.toSeq)
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 }

@@ -440,6 +440,20 @@ case class IntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "intersect_size"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.StringType
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) |
+           (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<string> or two array<long> " +
+          s"arguments, got ${l.simpleString} and ${r.simpleString}")
+    }
+  }
+
   private def longElems: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
@@ -518,6 +532,16 @@ case class Hash64Sorted(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hash64_sorted"
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"$prettyName expects array<string>, got ${other.simpleString}")
+    }
+
   override def nullSafeEval(arr: Any): Any =
     Hash64Sorted.compute(arr.asInstanceOf[ArrayData])
 
@@ -567,14 +591,22 @@ case class TokenHistogram(left: Expression, right: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def prettyName: String = "token_histogram"
 
+  // docs with more tokens than a byte bucket can count yield NULL (see
+  // the kernels) — consumers must treat a NULL sketch as "no bound"
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     ExprChecks.all(
       ExprChecks.foldableInt(right, prettyName, "k"),
-      if (left.dataType.isInstanceOf[ArrayType]) org.apache.spark.sql.catalyst
-        .analysis.TypeCheckResult.TypeCheckSuccess
-      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-        .TypeCheckFailure(s"$prettyName expects array<string> tokens"))
+      left.dataType match {
+        case ArrayType(org.apache.spark.sql.types.StringType, _) |
+             ArrayType(LongType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"$prettyName expects array<string> or array<long> tokens, got ${other.simpleString}")
+      })
 
   private lazy val k: Int = right.eval(InternalRow.empty).asInstanceOf[Int]
 
@@ -587,8 +619,10 @@ case class TokenHistogram(left: Expression, right: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val kernel = if (longElems) "computeLong" else "compute"
-    nullSafeCodeGen(ctx, ev, (a, _) =>
-      s"${ev.value} = graft.functions.TokenHistogram.$kernel($a, $k);")
+    // the kernel decides post-call nullness (oversized doc → null sketch)
+    nullSafeCodeGen(ctx, ev, (a, _) => s"""
+      ${ev.value} = graft.functions.TokenHistogram.$kernel($a, $k);
+      ${ev.isNull} = ${ev.value} == null;""")
   }
 
   override protected def withNewChildrenInternal(
@@ -597,15 +631,24 @@ case class TokenHistogram(left: Expression, right: Expression)
 }
 
 object TokenHistogram {
+  /** Byte counts can only represent 0..255; a doc with more than 255
+    * tokens could overflow a bucket, and a clamped count would UNDERCUT
+    * the bound (min(255, 255) < true min when both sides exceed 255 in a
+    * bucket) — exactly the silent pair-drop the bound must never cause.
+    * Such docs yield NULL: no sketch, no filter, the pair goes straight
+    * to exact verification. */
+  private val MaxCountable = 255
+
   def compute(arr: ArrayData, k: Int): Array[Byte] = {
+    val n = arr.numElements()
+    if (n > MaxCountable) return null
     val counts = new Array[Byte](k)
     var i = 0
-    val n = arr.numElements()
     while (i < n) {
       // UTF8String.hashCode is murmur over the bytes — deterministic for
       // a given string, which is all the doc-vs-doc comparison needs
       val b = java.lang.Math.floorMod(arr.getUTF8String(i).hashCode, k)
-      if (counts(b) != -1) counts(b) = (counts(b) + 1).toByte // saturate at 255
+      counts(b) = (counts(b) + 1).toByte // cannot overflow: n <= 255
       i += 1
     }
     counts
@@ -613,13 +656,14 @@ object TokenHistogram {
 
   /** Same bucketing over hashed-long token sets ([[Hash64Sorted]]). */
   def computeLong(arr: ArrayData, k: Int): Array[Byte] = {
+    val n = arr.numElements()
+    if (n > MaxCountable) return null
     val counts = new Array[Byte](k)
     var i = 0
-    val n = arr.numElements()
     while (i < n) {
       val h = arr.getLong(i)
       val b = java.lang.Math.floorMod((h ^ (h >>> 32)).toInt, k)
-      if (counts(b) != -1) counts(b) = (counts(b) + 1).toByte
+      counts(b) = (counts(b) + 1).toByte
       i += 1
     }
     counts
@@ -636,6 +680,16 @@ case class OverlapBound(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "overlap_bound"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.BinaryType
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two binary sketches " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString} given)")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any =
     OverlapBound.compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])

@@ -12,12 +12,13 @@ import org.apache.spark.sql.types._
   * ([[graft.functions.ImageMetaExpr]] parses PNG/JPEG/GIF/WebP/BMP headers,
   * q66 oracle-checks it), and so is the DEEP decode for the formats whose
   * pixel layer needs no codec library: [[PixelCodec]] reconstructs actual
-  * pixels from 24bpp BMP and 8-bit PNG (full filter set, Inflater) and the
-  * features — exact channel sums, means, luma histogram — come from those
-  * pixels (q47 oracle-checks the sums bit-for-bit). Formats that need an
-  * entropy decoder (JPEG/WebP/GIF) fall back to the clearly-labeled
-  * deterministic [[StubCodec]], flagged per-row in the `decoder` column;
-  * swap it for a real codec on a cluster that has one.
+  * pixels from 24bpp BMP, 8-bit PNG (full filter set, Inflater), and GIF
+  * (LZW, palette, interlace), and the features — exact channel sums,
+  * means, luma histogram — come from those pixels (q47 oracle-checks the
+  * sums bit-for-bit). Formats that genuinely need an entropy/transform
+  * codec (JPEG, WebP) fall back to the clearly-labeled deterministic
+  * [[StubCodec]], flagged per-row in the `decoder` column; swap it for a
+  * real codec on a cluster that has one.
   *
   * Scale design: decode is embarrassingly parallel per partition — no
   * shuffle is introduced (verified by MultimodalSpec asserting the plan is
@@ -86,7 +87,10 @@ object Multimodal {
           case Some(img) =>
             val f = PixelCodec.features(img, LumaBins)
             val n = img.width.toLong * img.height
-            val fmt = if (bytes(0) == 'B') "bmp" else "png"
+            val fmt =
+              if (bytes(0) == 'B') "bmp"
+              else if (bytes(0) == 'G') "gif"
+              else "png"
             val vec = Array(
               f.sumR.toDouble / n / 255.0,
               f.sumG.toDouble / n / 255.0,

@@ -185,13 +185,24 @@ object NearDup {
     // BEFORE the distinct shuffle instead of at verification.
     val cold = prefix.filter(col("df") <= hotDf)
     val coldCand = cold.as("a").join(cold.as("b"), joinCond).select(pair: _*)
-    val hists = sh.select(col("doc_id"),
-      expr(s"token_histogram(shingles, $HistBuckets)").as("hist"))
-    val hot = prefix.filter(col("df") > hotDf).join(hists, "doc_id")
+    // sketches only for docs that actually carry hot prefix postings (a
+    // left-semi first): at the driver corpus the hot partition is EMPTY
+    // and AQE collapses the whole branch without a corpus-wide sketch
+    // pass. A doc too large for the byte sketch gets a NULL histogram
+    // (TokenHistogram kernels) — coalesce(…, true) passes such match
+    // events straight to exact verification: no bound, never a drop.
+    val hotPost = prefix.filter(col("df") > hotDf)
+    val hists = sh
+      .join(hotPost.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        expr(s"token_histogram(shingles, $HistBuckets)").as("hist"))
+    val hot = hotPost.join(hists, "doc_id")
     val hotCand = hot.as("a")
       .join(hot.as("b"), joinCond &&
-        expr("overlap_bound(a.hist, b.hist)").cast("double") >=
-          (col("a.n") + col("b.n")) * lit(threshold / (1 + threshold)) - lit(1e-9))
+        coalesce(
+          expr("overlap_bound(a.hist, b.hist)").cast("double") >=
+            (col("a.n") + col("b.n")) * lit(threshold / (1 + threshold)) - lit(1e-9),
+          lit(true)))
       .select(pair: _*)
     coldCand.union(hotCand).distinct()
   }

@@ -1,7 +1,7 @@
 package graft.operators
 
-/** Zero-dependency pixel decode for the two formats whose pixel layer is
-  * pure byte arithmetic + DEFLATE — no codec library required:
+/** Zero-dependency pixel decode for the formats whose pixel layer is
+  * pure byte/bit arithmetic + DEFLATE — no codec library required:
   *
   *  - BMP: uncompressed 24bpp BI_RGB (BITMAPINFOHEADER or later), both
   *    bottom-up (positive biHeight) and top-down (negative) row orders,
@@ -11,8 +11,13 @@ package graft.operators
   *    with `java.util.zip.Inflater` (zlib stream, exactly what the PNG
   *    spec mandates), and every row filter — None/Sub/Up/Average/Paeth
   *    (PNG spec §9) — is reconstructed. Alpha is dropped on output.
+  *  - GIF: 87a/89a, global/local color tables, extension blocks skipped,
+  *    full-frame images (animation frames/tiles out of scope), LZW pixel
+  *    stream decoded from scratch (variable 3..12-bit codes, LSB-first,
+  *    clear/end, KwKwK case, 4096-entry dictionary), interlace
+  *    de-woven. Palette lookup is exact, so GIF features are exact.
   *
-  * JPEG/WebP/GIF pixel layers need entropy decoders (Huffman/VP8/LZW)
+  * JPEG and WebP pixel layers need transform codecs (DCT+Huffman / VP8)
   * that are out of scope without a codec library; those formats fall back
   * to [[Multimodal.StubCodec]], labeled per-row via the `decoder` column.
   *
@@ -46,10 +51,13 @@ object PixelCodec {
   // ------------------------------------------------------------- decode
 
   def decode(b: Array[Byte]): Option[PixelImage] = {
-    if (b == null || b.length < 8) None
+    if (b == null || b.length < 13) None
     else if (b(0) == 'B' && b(1) == 'M') decodeBmp(b)
     else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
       decodePng(b)
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      decodeGif(b)
     else None
   }
 
@@ -187,6 +195,171 @@ object PixelCodec {
     Some(PixelImage(w, h, out))
   }
 
+  /** GIF87a/89a: logical screen descriptor + global/local color table,
+    * extensions skipped by their sub-block lengths, first full-frame
+    * image decoded via GIF-variant LZW (variable 3..12-bit codes,
+    * LSB-first packing, clear/end codes, 4096-entry dictionary cap —
+    * GIF89a spec appendix F). Interlaced images are de-interlaced by the
+    * standard 4-pass row map. Palette indices map to exact RGB, so GIF
+    * joins BMP/PNG on the REAL-decode path (LZW is pure bit arithmetic —
+    * no codec library). */
+  private def decodeGif(b: Array[Byte]): Option[PixelImage] = {
+    val w = le16(b, 6); val h = le16(b, 8)
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+    val packed = b(10) & 0xff
+    var i = 13
+    val gct: Array[Byte] =
+      if ((packed & 0x80) != 0) {
+        val size = 3 * (1 << ((packed & 7) + 1))
+        if (i + size > b.length) return None
+        val t = java.util.Arrays.copyOfRange(b, i, i + size); i += size; t
+      } else null
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x21 => // extension: label + sub-blocks until a 0 terminator
+          i += 2
+          while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+          i += 1
+        case 0x2c => // image descriptor
+          if (i + 10 > b.length) return None
+          val left = le16(b, i + 1); val top = le16(b, i + 3)
+          val iw = le16(b, i + 5); val ih = le16(b, i + 7)
+          val p2 = b(i + 9) & 0xff
+          if (left != 0 || top != 0 || iw != w || ih != h) return None // frames/tiles out of scope
+          val interlaced = (p2 & 0x40) != 0
+          i += 10
+          val palette: Array[Byte] =
+            if ((p2 & 0x80) != 0) {
+              val size = 3 * (1 << ((p2 & 7) + 1))
+              if (i + size > b.length) return None
+              val t = java.util.Arrays.copyOfRange(b, i, i + size); i += size; t
+            } else gct
+          if (palette == null) return None
+          if (i >= b.length) return None
+          val minCodeSize = b(i) & 0xff; i += 1
+          if (minCodeSize < 2 || minCodeSize > 11) return None
+          // concatenate the data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < b.length && (b(i) & 0xff) != 0) {
+            val len = b(i) & 0xff
+            if (i + 1 + len > b.length) return None
+            data.write(b, i + 1, len); i += 1 + len
+          }
+          val indices = lzwDecode(data.toByteArray, minCodeSize, w * h)
+            .getOrElse(return None)
+          val out = new Array[Byte](w * h * 3)
+          val nColors = palette.length / 3
+          var y = 0
+          var src = 0
+          while (y < h) {
+            val destRow = if (interlaced) deinterlaceRow(y, h) else y
+            var x = 0
+            while (x < w) {
+              val idx = indices(src)
+              if (idx >= nColors) return None
+              val o = (destRow * w + x) * 3
+              out(o) = palette(idx * 3)
+              out(o + 1) = palette(idx * 3 + 1)
+              out(o + 2) = palette(idx * 3 + 2)
+              x += 1; src += 1
+            }
+            y += 1
+          }
+          return Some(PixelImage(w, h, out))
+        case 0x3b => return None // trailer before any image data
+        case _ => return None // lost block alignment
+      }
+    }
+    None
+  }
+
+  /** Interlace pass order: rows 0,8,16… then 4,12…, 2,6,10…, 1,3,5… */
+  private def deinterlaceRow(seq: Int, h: Int): Int = {
+    val p1 = (h + 7) / 8
+    val p2 = (h + 3) / 8
+    val p3 = (h + 1) / 4
+    if (seq < p1) seq * 8
+    else if (seq < p1 + p2) 4 + (seq - p1) * 8
+    else if (seq < p1 + p2 + p3) 2 + (seq - p1 - p2) * 4
+    else 1 + (seq - p1 - p2 - p3) * 2
+  }
+
+  /** GIF-variant LZW: returns exactly `expected` indices or None. */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+      expected: Int): Option[Array[Int]] = {
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val MaxDict = 4096
+    val prefix = new Array[Int](MaxDict)
+    val suffix = new Array[Int](MaxDict)
+    val stack = new Array[Int](MaxDict)
+    val out = new Array[Int](expected)
+    var outLen = 0
+    var dictSize = end + 1
+    var codeSize = minCodeSize + 1
+    var prev = -1
+    var bitPos = 0
+    val totalBits = data.length * 8
+
+    def emit(code: Int): Boolean = { // expand a code onto out; false = corrupt
+      var c = code
+      var sp = 0
+      while (c >= clear) { // walk the prefix chain (literals are < clear)
+        if (sp >= MaxDict || c >= dictSize) return false
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      if (outLen + sp + 1 > expected) return false
+      out(outLen) = c; outLen += 1
+      while (sp > 0) { sp -= 1; out(outLen) = stack(sp); outLen += 1 }
+      true
+    }
+    def firstChar(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+
+    while (outLen < expected) {
+      if (bitPos + codeSize > totalBits) return None // truncated stream
+      // LSB-first variable-width read
+      var code = 0
+      var j = 0
+      while (j < codeSize) {
+        val bit = (data((bitPos + j) >> 3) >> ((bitPos + j) & 7)) & 1
+        code |= bit << j
+        j += 1
+      }
+      bitPos += codeSize
+      if (code == clear) {
+        dictSize = end + 1; codeSize = minCodeSize + 1; prev = -1
+      } else if (code == end) {
+        return if (outLen == expected) Some(out) else None
+      } else if (prev == -1) {
+        if (code >= clear) return None // first code must be a literal
+        out(outLen) = code; outLen += 1
+        prev = code
+      } else {
+        if (code > dictSize) return None
+        if (code == dictSize) { // the KwKwK case: prev's expansion + its first char
+          if (dictSize < MaxDict) {
+            prefix(dictSize) = prev; suffix(dictSize) = firstChar(prev)
+            dictSize += 1
+          } else return None
+          if (!emit(code)) return None
+        } else {
+          if (!emit(code)) return None
+          if (dictSize < MaxDict) {
+            prefix(dictSize) = prev; suffix(dictSize) = firstChar(code)
+            dictSize += 1
+          }
+        }
+        if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
   // ----------------------------------------------------------- features
 
   /** Exact channel sums + BT.601 luma histogram over decoded pixels. */
@@ -242,6 +415,89 @@ object PixelCodec {
       y += 1
     }
     b
+  }
+
+  /** Real GIF89a bytes with an actual LZW-coded pixel stream: a global
+    * color table built from the image's distinct colors (≤ 256 required)
+    * and the spec-compliant "uncompressed LZW" coding — every index is
+    * emitted as a literal code, with a CLEAR code inserted before the
+    * dictionary would force a code-width increase (the GIF spec allows
+    * CLEAR anywhere, so ANY conformant decoder — including ours and
+    * ImageIO's — reads it; the trick only costs compression ratio). */
+  def encodeGif(width: Int, height: Int,
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0 && width.toLong * height <= MaxPixels)
+    val paletteIx = new java.util.LinkedHashMap[Int, Int]()
+    val indices = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = px(x, y)
+        val key = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+        var ix = paletteIx.getOrDefault(key, -1)
+        if (ix < 0) { ix = paletteIx.size(); paletteIx.put(key, ix) }
+        indices(y * width + x) = ix
+        x += 1
+      }
+      y += 1
+    }
+    require(paletteIx.size() <= 256, s"GIF fixture needs ≤256 colors, got ${paletteIx.size()}")
+    // table size = 2^(field+1) ≥ max(2, #colors)
+    var bits = 1
+    while ((1 << bits) < paletteIx.size()) bits += 1
+    val tableSize = 1 << bits
+    val minCodeSize = math.max(2, bits)
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wle16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    wle16(width); wle16(height)
+    w8(0x80 | 0x70 | (bits - 1)); w8(0); w8(0) // GCT present, colorRes 7
+    val it = paletteIx.keySet().iterator()
+    var written = 0
+    while (it.hasNext) {
+      val c = it.next()
+      w8(c >> 16); w8(c >> 8); w8(c); written += 1
+    }
+    while (written < tableSize) { w8(0); w8(0); w8(0); written += 1 }
+    w8(0x2c); wle16(0); wle16(0); wle16(width); wle16(height); w8(0)
+    w8(minCodeSize)
+
+    // LZW literal stream with width-capping CLEARs, LSB-first bit packing
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val codeSize = minCodeSize + 1
+    // after a CLEAR the first literal adds no dict entry and each later
+    // one adds one: dictSize = 2^m+1+k after k literals, and decoders
+    // widen the code at dictSize == 2^(m+1), i.e. k = 2^m-1 — so at most
+    // 2^m-2 literals may sit between CLEARs for the width to stay fixed
+    val literalsPerClear = (1 << minCodeSize) - 2
+    val bitBuf = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0
+    def putCode(c: Int): Unit = {
+      acc |= c.toLong << accBits; accBits += codeSize
+      while (accBits >= 8) { bitBuf.write((acc & 0xff).toInt); acc >>= 8; accBits -= 8 }
+    }
+    putCode(clear)
+    var n = 0
+    var sinceClear = 0
+    while (n < indices.length) {
+      if (sinceClear == literalsPerClear) { putCode(clear); sinceClear = 0 }
+      putCode(indices(n)); sinceClear += 1; n += 1
+    }
+    putCode(end)
+    if (accBits > 0) bitBuf.write((acc & 0xff).toInt)
+    val data = bitBuf.toByteArray
+    var off = 0
+    while (off < data.length) {
+      val len = math.min(255, data.length - off)
+      w8(len); out.write(data, off, len); off += len
+    }
+    w8(0) // block terminator
+    w8(0x3b) // trailer
+    out.toByteArray
   }
 
   /** Real PNG bytes: correct chunk CRC32s, genuine zlib IDAT. Row filter

@@ -169,18 +169,13 @@ object Core {
     */
   def partitionedEventsDir(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    val pdir = Tables.scratch(s"events_by_day/$tag")
-    val marker = java.nio.file.Paths.get(pdir, "_GRAFT_SOURCE")
-    val fp = Tables.fingerprint(dir)
-    if (!java.nio.file.Files.exists(marker) ||
-        new String(java.nio.file.Files.readAllBytes(marker)) != fp) {
+    Tables.cachedDerived(dir, Tables.scratch(s"events_by_day/$tag")) {
       t(s, dir, "events")
         .withColumn("event_date", to_date(col("ts")))
         .repartition(col("event_date"))
-        .write.mode("overwrite").partitionBy("event_date").parquet(pdir)
-      java.nio.file.Files.write(marker, fp.getBytes)
+        .write.mode("overwrite").partitionBy("event_date")
+        .parquet(Tables.scratch(s"events_by_day/$tag"))
     }
-    pdir
   }
 
   val q09Sql =

@@ -102,6 +102,22 @@ class NearDupSpec extends SparkFunSuite {
     sh.unpersist()
   }
 
+  test("oversized docs (no byte sketch) still pair exactly via the null-sketch pass-through") {
+    // 300 words → 298 shingles > 255: the byte histogram cannot count
+    // them, so token_histogram yields NULL and the hot join's
+    // coalesce(..., true) must route the pair to exact verification
+    // instead of silently dropping it (a clamped sketch would reject:
+    // Σmin ≤ 256·255 can sit below α for big docs)
+    val words = (1 to 300).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, words), (2L, words)).toDF("doc_id", "text")
+    val sh = NearDup.shingles(corpus, "doc_id", "text")
+      .withColumn("shingles", expr("hash64_sorted(shingles)"))
+    val got = NearDup.verify(NearDup.exactCandidates(sh, 0.8, hotDf = 1), sh, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)),
+      s"oversized identical docs must survive the hot path, got $got")
+  }
+
   test("token_histogram/overlap_bound kernel: Σmin upper-bounds the true intersection") {
     graft.functions.Registry.install(spark)
     val rows = spark.sql(

@@ -81,6 +81,45 @@ class PixelCodecSpec extends SparkFunSuite {
     }
   }
 
+  test("GIF round-trips exactly, and ImageIO agrees") {
+    for ((w, h) <- Seq((4, 3), (6, 7), (1, 1), (5, 1), (1, 5))) {
+      val bytes = encodeGif(w, h, grad)
+      val img = decode(bytes).get
+      assert(img.width == w && img.height == h)
+      assert(img.rgb.sameElements(expectedRgb(w, h)), s"pixel mismatch at ${w}x$h")
+      assert(imageIoRgb(bytes).sameElements(img.rgb),
+        s"ImageIO disagrees with PixelCodec on the GIF bytes at ${w}x$h")
+    }
+    // few-color image exercises the tiny-palette/min-code-size path
+    val twoColor = decode(encodeGif(8, 8, (x, y) =>
+      if ((x + y) % 2 == 0) (255, 0, 0) else (0, 0, 255))).get
+    assert((0 until 64).forall { i =>
+      val r = twoColor.rgb(i * 3) & 0xff
+      r == 255 || r == 0
+    })
+  }
+
+  test("GIF: real compressed LZW from ImageIO's own writer decodes identically") {
+    // our encoder uses the uncompressed-LZW trick; ImageIO writes REAL
+    // growing-dictionary LZW — feeding its output through our decoder
+    // proves the full variable-width/KwKwK path, not just literals
+    val img = new java.awt.image.BufferedImage(23, 17,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 17; x <- 0 until 23) {
+      val (r, g, b) = grad(x % 12, y % 9) // repeated tiles → LZW matches
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", buf))
+    val ours = decode(buf.toByteArray)
+    assert(ours.isDefined, "our decoder rejected an ImageIO-written GIF")
+    assert(ours.get.width == 23 && ours.get.height == 17)
+    // GIF is lossless for <=256-color images: pixels must match exactly
+    val ref = imageIoRgb(buf.toByteArray)
+    assert(ours.get.rgb.sameElements(ref),
+      "our LZW decode disagrees with ImageIO on ImageIO's own bytes")
+  }
+
   test("malformed payloads decode to None, never throw") {
     val png = encodePng(4, 4, grad)
     val bmp = encodeBmp(4, 4, grad)
@@ -107,6 +146,11 @@ class PixelCodecSpec extends SparkFunSuite {
     assert(decode(graft.functions.ImageMeta.encode("bmp", 8, 8)) == None)
     assert(decode(graft.functions.ImageMeta.encode("png", 8, 8)) == None)
     assert(decode(graft.functions.ImageMeta.encode("jpeg", 8, 8)) == None)
+    assert(decode(graft.functions.ImageMeta.encode("gif", 8, 8)) == None)
+    // truncated GIF: cut inside the LZW sub-blocks
+    val gif = encodeGif(6, 6, grad)
+    assert(decode(gif.take(gif.length - 8)) == None)
+    assert(decode(gif.take(20)) == None)
     // hostile header: claims 65535x65535, carries 0 pixel bytes
     val hostile = bmp.clone()
     hostile(18) = -1; hostile(19) = -1; hostile(22) = -1; hostile(23) = -1
