@@ -308,8 +308,11 @@ class ExprSpec extends SparkFunSuite {
     Registry.install(s2)
     // hashed intersection equals string intersection on real documents
     // (the exactness contract of the hashed near-dup pipeline)
+    // ≤255 tokens keeps the byte sketches non-NULL (oversized docs get a
+    // NULL histogram by design — covered in NearDupSpec)
     val rows = graft.Tables.load(s2, sf, "documents").limit(30)
       .selectExpr("doc_id", "array_sort(word_shingles(text, 3)) AS sh")
+      .where("size(sh) BETWEEN 1 AND 255")
       .selectExpr("doc_id", "sh", "hash64_sorted(sh) AS hs")
     val both = rows.as("a").crossJoin(rows.as("b"))
       .selectExpr(
