@@ -29,7 +29,8 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   /** STUB decoder — deterministic stand-in for codec-bound formats
-    * (JPEG/WebP/GIF pixel layers need Huffman/VP8/LZW decoders). Derives
+    * (JPEG and WebP pixel layers need DCT+Huffman / VP8 transform
+    * codecs; BMP/PNG/GIF decode for real via [[PixelCodec]]). Derives
     * pseudo-features purely from byte length so tests and oracles stay
     * reproducible; rows that went through it carry `decoder = "stub"`.
     */
@@ -56,7 +57,7 @@ object Multimodal {
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("n_frames", LongType, nullable = false),
-    // "bmp" | "png" = real pixel decode; "stub" = labeled fallback
+    // "bmp" | "png" | "gif" = real pixel decode; "stub" = labeled fallback
     StructField("decoder", StringType, nullable = false),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
@@ -70,9 +71,11 @@ object Multimodal {
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
   /** Decode+featurize a (doc_id, content: binary) DataFrame partition-wise.
-    * BMP/PNG payloads yield REAL pixel features (exact channel sums,
+    * BMP/PNG/GIF payloads yield REAL pixel features (exact channel sums,
     * means, luma histogram, plus a normalized feature vector); everything
-    * else gets the labeled stub vector with null pixel columns.
+    * else gets the labeled stub vector with null pixel columns. NULL
+    * content is data, not an error (routine in a mixed crawl): such rows
+    * take the stub path with zero bytes.
     */
   def extractFeatures(in: DataFrame, idCol: String = "doc_id",
       contentCol: String = "content", frameStride: Int = 2): DataFrame = {
@@ -81,7 +84,9 @@ object Multimodal {
     src.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
+        val bytes =
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)
         val frames = StubCodec.sampleFrames(bytes, frameStride).size.toLong
         PixelCodec.decode(bytes) match {
           case Some(img) =>

@@ -169,12 +169,12 @@ object Core {
     */
   def partitionedEventsDir(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    Tables.cachedDerived(dir, Tables.scratch(s"events_by_day/$tag")) {
+    val pdir = Tables.scratch(s"events_by_day/$tag")
+    Tables.cachedDerived(dir, pdir) {
       t(s, dir, "events")
         .withColumn("event_date", to_date(col("ts")))
         .repartition(col("event_date"))
-        .write.mode("overwrite").partitionBy("event_date")
-        .parquet(Tables.scratch(s"events_by_day/$tag"))
+        .write.mode("overwrite").partitionBy("event_date").parquet(pdir)
     }
   }
 

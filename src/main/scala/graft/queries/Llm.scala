@@ -524,8 +524,8 @@ object Llm {
     import s.implicits._
     // fixture build is a one-time layout step (fingerprint-cached, like
     // q09's partitioned rewrite) — the timed query measures DECODE
-    val mediaDir = Tables.cachedDerived(dir,
-      Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"),
+    val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out47,
       version = "v2-bmp-png-gif-jpeg") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
@@ -548,8 +548,7 @@ object Llm {
         }
         (id, bytes)
       }.toDF("doc_id", "content")
-        .write.mode("overwrite")
-        .parquet(Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}") + "/data")
+        .write.mode("overwrite").parquet(s"$out47/data")
     }
     graft.operators.Multimodal.extractFeatures(s.read.parquet(s"$mediaDir/data"))
       .select(col("doc_id"), col("decoder"),
@@ -574,8 +573,8 @@ object Llm {
     import s.implicits._
     // one-time fixture build, fingerprint-cached (see q47): the timed
     // query measures the header-parse scan, not the fixture write
-    val mediaDir = Tables.cachedDerived(dir,
-      Tables.scratch(s"media/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")) {
+    val out66 = Tables.scratch(s"media/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out66) {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val fmt = (id % 5) match {
@@ -585,8 +584,7 @@ object Llm {
         (id, graft.functions.ImageMeta.encode(fmt,
           1 + (id % 640).toInt, 1 + (id % 480).toInt))
       }.toDF("doc_id", "content")
-        .write.mode("overwrite")
-        .parquet(Tables.scratch(s"media/${dir.replaceAll("[^a-zA-Z0-9]", "_")}") + "/data")
+        .write.mode("overwrite").parquet(s"$out66/data")
     }
     s.read.parquet(s"$mediaDir/data")
       .select(col("doc_id"), expr("image_meta(content)").as("m"))

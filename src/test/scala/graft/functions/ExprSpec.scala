@@ -309,10 +309,12 @@ class ExprSpec extends SparkFunSuite {
     // hashed intersection equals string intersection on real documents
     // (the exactness contract of the hashed near-dup pipeline)
     // ≤255 tokens keeps the byte sketches non-NULL (oversized docs get a
-    // NULL histogram by design — covered in NearDupSpec)
-    val rows = graft.Tables.load(s2, sf, "documents").limit(30)
+    // NULL histogram by design — covered in NearDupSpec); filter BEFORE
+    // limit so a fixture regeneration can't shrink the sample to nothing
+    val rows = graft.Tables.load(s2, sf, "documents")
       .selectExpr("doc_id", "array_sort(word_shingles(text, 3)) AS sh")
       .where("size(sh) BETWEEN 1 AND 255")
+      .limit(30)
       .selectExpr("doc_id", "sh", "hash64_sorted(sh) AS hs")
     val both = rows.as("a").crossJoin(rows.as("b"))
       .selectExpr(

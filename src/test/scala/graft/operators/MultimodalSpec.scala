@@ -43,6 +43,17 @@ class MultimodalSpec extends SparkFunSuite {
     assert(out(2).getString(3) == "stub" && out(2).isNullAt(6))
   }
 
+  test("NULL content is data, not an error (stub path, zero bytes)") {
+    import spark.implicits._
+    val rows = Seq((1L, Some("real".getBytes("UTF-8"))), (2L, None))
+      .toDF("doc_id", "content")
+    val out = Multimodal.extractFeatures(rows).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(1).getString(3) == "stub")
+    assert(out(1).getLong(1) == 0L) // n_bytes
+    assert(out(1).getLong(2) == 0L) // no frames from no bytes
+  }
+
   test("decode pipeline introduces no shuffle") {
     val plan = Multimodal.extractFeatures(media)
       .queryExecution.executedPlan.toString
