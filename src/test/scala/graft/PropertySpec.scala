@@ -112,6 +112,56 @@ class PropertySpec extends SparkFunSuite {
       GraftStreamOffset(7, Int.MaxValue))
   }
 
+  test("property: pixel codecs round-trip random images, and ImageIO agrees") {
+    import graft.operators.PixelCodec
+    // random dims and a random color generator: every encoder/decoder
+    // pair must reproduce the exact pixels, and the JDK's independent
+    // readers must see the same ones (no compensating-bug pairs)
+    val dimGen = Gen.choose(1, 20)
+    val seedGen = Gen.choose(0, 1000000)
+    def pxFor(seed: Int): (Int, Int) => (Int, Int, Int) = (x, y) => {
+      val h = seed * 31 + x * 131 + y * 17
+      ((h & 0xff), ((h >> 8) & 0xff), ((h >> 16) & 0xff))
+    }
+    def imageIoRgb(bytes: Array[Byte]): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val out = new Array[Byte](img.getWidth * img.getHeight * 3)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val argb = img.getRGB(x, y)
+        val i = (y * img.getWidth + x) * 3
+        out(i) = ((argb >> 16) & 0xff).toByte
+        out(i + 1) = ((argb >> 8) & 0xff).toByte
+        out(i + 2) = (argb & 0xff).toByte
+      }
+      out
+    }
+    check(Prop.forAll(dimGen, dimGen, seedGen, Gen.choose(0, 2)) {
+      (w, h, seed, fmt) =>
+        // GIF needs ≤256 distinct colors, so its generator is quantized
+        val px: (Int, Int) => (Int, Int, Int) =
+          if (fmt == 2) (x, y) => {
+            val t = pxFor(seed)(x, y); (t._1 & 0xf0, t._2 & 0xf0, 0)
+          }
+          else pxFor(seed)
+        val bytes = fmt match {
+          case 0 => PixelCodec.encodeBmp(w, h, px, topDown = seed % 2 == 0)
+          case 1 => PixelCodec.encodePng(w, h, px, withAlpha = seed % 2 == 0)
+          case _ => PixelCodec.encodeGif(w, h, px)
+        }
+        val img = PixelCodec.decode(bytes).get
+        val expected = new Array[Byte](w * h * 3)
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r, g, b) = px(x, y)
+          expected((y * w + x) * 3) = r.toByte
+          expected((y * w + x) * 3 + 1) = g.toByte
+          expected((y * w + x) * 3 + 2) = b.toByte
+        }
+        img.width == w && img.height == h &&
+          img.rgb.sameElements(expected) &&
+          imageIoRgb(bytes).sameElements(expected)
+    }, n = 60)
+  }
+
   test("property: scale-probe substitution targets are pairwise distinct") {
     // the probe's linear-scaling claim for near-dup queries rests on
     // copies being decorrelated: two copies sharing a substitution would
