@@ -1,0 +1,149 @@
+package graft.operators
+
+/** Zero-dependency audio decode: RIFF/WAVE containers with integer PCM
+  * payloads — pure byte arithmetic, no codec library.
+  *
+  *  - Container: `RIFF....WAVE` with a chunk walk (`fmt `, `data`;
+  *    anything else — `LIST`, `fact`, `cue ` — skipped by its declared
+  *    size, word-aligned as the RIFF spec requires).
+  *  - Formats: PCM (wFormatTag 1) and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+  *    wrapping PCM; 8-bit unsigned and 16-bit signed little-endian
+  *    samples, any channel count ≥ 1, any sample rate ≥ 1.
+  *  - Output: interleaved samples normalized to signed ints (8-bit is
+  *    stored unsigned in WAV: 128 maps to 0), so features are exact
+  *    integers an oracle can recompute in closed form.
+  *
+  * Compressed audio (MP3/AAC/FLAC/μ-law…) needs an entropy codec and
+  * falls back to the labeled stub path, same contract as WebP on the
+  * image side. Anything malformed decodes to None, never an exception —
+  * corrupt media in a 100 TB crawl is data, not an error.
+  *
+  * Reference capability: multimodal columns over binary payloads
+  * (BASELINE.md north star; audio is carried like images — opaque
+  * binary + typed metadata).
+  */
+object AudioCodec {
+
+  /** Decoded clip: interleaved signed samples, frame-major
+    * (frame 0 ch 0, frame 0 ch 1, …). */
+  final case class PcmClip(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      samples: Array[Int]) {
+    def frames: Int = samples.length / channels
+  }
+
+  /** Exact integer features per channel + clip-level counts. Sums and
+    * sums-of-squares are exact (oracle-checkable bit-for-bit); RMS and
+    * other derived stats follow from them downstream. */
+  final case class PcmFeatures(sumByChannel: Array[Long],
+      sumSqByChannel: Array[Long], peakAbs: Int)
+
+  /** Cap on decoded samples (guards a hostile header against a tiny
+    * payload before any allocation): 64 M samples ≈ 256 MB of ints. */
+  private val MaxSamples = 1 << 26
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
+      b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+
+  def decode(b: Array[Byte]): Option[PcmClip] = {
+    if (b == null || b.length < 44) return None
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+    var fmtTag = -1
+    var channels = 0
+    var sampleRate = 0
+    var bits = 0
+    var dataOff = -1
+    var dataLen = 0
+    var i = 12
+    while (i + 8 <= b.length && (dataOff < 0 || fmtTag < 0)) {
+      val size = le32(b, i + 4)
+      if (size < 0 || i + 8 + size.toLong > b.length) return None
+      if (tag(b, i, "fmt ")) {
+        if (size < 16) return None
+        fmtTag = le16(b, i + 8)
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+        // EXTENSIBLE: the real format lives in SubFormat's first word
+        if (fmtTag == 0xfffe) {
+          if (size < 40) return None
+          fmtTag = le16(b, i + 32)
+        }
+      } else if (tag(b, i, "data")) {
+        dataOff = i + 8
+        dataLen = size
+      }
+      i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    if (fmtTag != 1 || dataOff < 0) return None // non-PCM → stub path
+    if (channels < 1 || sampleRate < 1 || (bits != 8 && bits != 16)) return None
+    val bytesPer = bits / 8
+    val n = dataLen / (bytesPer * channels) * channels // whole frames only
+    if (n <= 0 || n > MaxSamples) return None
+    val out = new Array[Int](n)
+    var s = 0
+    while (s < n) {
+      out(s) =
+        if (bits == 8) (b(dataOff + s) & 0xff) - 128 // WAV 8-bit is unsigned
+        else le16(b, dataOff + s * 2).toShort.toInt
+      s += 1
+    }
+    Some(PcmClip(sampleRate, channels, bits, out))
+  }
+
+  /** Exact per-channel sums / sums-of-squares + clip peak. */
+  def features(clip: PcmClip): PcmFeatures = {
+    val sums = new Array[Long](clip.channels)
+    val sumSq = new Array[Long](clip.channels)
+    var peak = 0
+    var i = 0
+    while (i < clip.samples.length) {
+      val v = clip.samples(i)
+      val c = i % clip.channels
+      sums(c) += v
+      sumSq(c) += v.toLong * v
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      i += 1
+    }
+    PcmFeatures(sums, sumSq, peak)
+  }
+
+  // ------------------------------------------------------------- encode
+
+  /** Real RIFF/WAVE bytes (fixtures + round-trip tests): canonical
+    * 44-byte header, 16-bit signed LE PCM, interleaved `samples`
+    * (frame-major, length must be a multiple of `channels`). */
+  def encodeWav(sampleRate: Int, channels: Int, samples: Array[Int]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && samples.length % channels == 0)
+    require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue))
+    val dataLen = samples.length * 2
+    val b = new Array[Byte](44 + dataLen)
+    def wtag(i: Int, t: String): Unit = {
+      var k = 0
+      while (k < 4) { b(i + k) = t.charAt(k).toByte; k += 1 }
+    }
+    def wle16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    def wle32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    wtag(0, "RIFF"); wle32(4, 36 + dataLen); wtag(8, "WAVE")
+    wtag(12, "fmt "); wle32(16, 16)
+    wle16(20, 1); wle16(22, channels); wle32(24, sampleRate)
+    wle32(28, sampleRate * channels * 2) // byte rate
+    wle16(32, channels * 2); wle16(34, 16) // block align, bits
+    wtag(36, "data"); wle32(40, dataLen)
+    var s = 0
+    while (s < samples.length) {
+      wle16(44 + s * 2, samples(s))
+      s += 1
+    }
+    b
+  }
+}

@@ -1,0 +1,612 @@
+package graft.operators
+
+/** From-scratch baseline JPEG (ITU-T T.81) codec — no codec library.
+  *
+  * Decoder: baseline sequential DCT, 8-bit precision. The full pixel
+  * path is implemented from the public spec: marker/segment walk
+  * (SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOF1/SOS), canonical Huffman decode
+  * (T.81 F.16: mincode/maxcode/valptr), DC prediction + EXTEND sign
+  * recovery (F.12), AC run-length with ZRL/EOB, zigzag→natural
+  * reorder, dequantization, double-precision separable IDCT (A.3.3),
+  * byte-stuffing (FF 00) and restart-marker handling, chroma
+  * upsampling by sample replication for any h/v in 1..4 (covers
+  * 4:4:4, 4:2:2, 4:4:0, 4:2:0), and JFIF YCbCr→RGB (single-component
+  * scans decode as grayscale). Progressive (SOF2) and arithmetic
+  * coding return None → the labeled stub path, like any other
+  * malformed/unsupported payload: corrupt media in a 100 TB crawl is
+  * data, not an error.
+  *
+  * Encoder (fixtures + round-trip tests): baseline sequential, quant
+  * tables all-ones, grayscale or 4:4:4 YCbCr, double-precision FDCT.
+  * Huffman tables are generated, not Annex-K: all 12 DC categories at
+  * code length 4 and all 162 (run,size) AC symbols at length 8 — a
+  * valid canonical table any conformant decoder (ours, ImageIO's)
+  * accepts; the only cost is compression ratio, irrelevant for
+  * fixtures. With all-ones quant tables an image whose 8×8 blocks are
+  * each CONSTANT round-trips bit-exactly through ANY conformant
+  * decoder: a constant block's FDCT is DC-only (AC terms are
+  * mathematically zero) and the DC value 8·(v−128) is an exact
+  * integer, so there is no quantization or IDCT rounding anywhere —
+  * which is what lets q47's JPEG rows keep a closed-form DuckDB
+  * oracle while exercising the real entropy/transform path
+  * (multi-block images also exercise cross-block DC prediction).
+  *
+  * Reference capability: multimodal feature extraction over binary
+  * columns (BASELINE.md north star).
+  */
+object JpegCodec {
+  import PixelCodec.PixelImage
+
+  private val MaxPixels = 1 << 26 // keep in step with PixelCodec
+
+  /** Corrupt/unsupported stream sentinel — cheap, stackless. */
+  private final class Corrupt extends RuntimeException(null, null, false, false)
+  private def corrupt(): Nothing = throw new Corrupt
+
+  /** Zigzag scan position → natural (row-major) index, T.81 fig. A.6. */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  private val CosT = Array.tabulate(8, 8)((x, u) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val Cn = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  // ------------------------------------------------------------- decode
+
+  /** Canonical Huffman table in T.81 F.16 DECODE form. */
+  private final class HuffTable(bits: Array[Int], val huffval: Array[Byte]) {
+    val mincode = new Array[Int](17)
+    val maxcode = new Array[Int](17) // -1 = no codes of this length
+    val valptr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l) > 0) {
+          valptr(l) = k
+          mincode(l) = code
+          code += bits(l); k += bits(l)
+          maxcode(l) = code - 1
+        } else maxcode(l) = -1
+        code <<= 1
+        l += 1
+      }
+      if (k != huffval.length) corrupt()
+    }
+  }
+
+  /** Entropy-segment bit reader: MSB-first, FF00 byte-stuffing; any
+    * other marker ends the segment (reading past it is corrupt). */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var cnt = 0
+
+    def nextBit(): Int = {
+      if (cnt == 0) {
+        if (pos >= b.length) corrupt()
+        var v = b(pos) & 0xff; pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) corrupt()
+          if ((b(pos) & 0xff) == 0) pos += 1 // stuffed data FF
+          else corrupt() // real marker inside entropy data
+        }
+        acc = v; cnt = 8
+      }
+      cnt -= 1
+      (acc >> cnt) & 1
+    }
+
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+
+    def decode(t: HuffTable): Int = { // T.81 F.16
+      var code = nextBit()
+      var l = 1
+      while (t.maxcode(l) < code || t.maxcode(l) == -1) {
+        l += 1
+        if (l > 16) corrupt()
+        code = (code << 1) | nextBit()
+      }
+      t.huffval(t.valptr(l) + code - t.mincode(l)) & 0xff
+    }
+
+    /** Byte-align and consume an RSTn marker (T.81 §B.2.1.2). */
+    def restart(): Unit = {
+      cnt = 0
+      if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff) corrupt()
+      val m = b(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) corrupt()
+      pos += 2
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int = // T.81 F.12
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private final class Component(val id: Int, val h: Int, val v: Int, val tq: Int) {
+    var dcTable: HuffTable = null
+    var acTable: HuffTable = null
+    var pred = 0
+    var plane: Array[Byte] = null // pw × ph samples
+    var pw = 0
+    var ph = 0
+  }
+
+  def decode(b: Array[Byte]): Option[PixelImage] = {
+    if (b == null || b.length < 4 ||
+        (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    try decodeImpl(b)
+    catch {
+      case _: Corrupt => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private def decodeImpl(b: Array[Byte]): Option[PixelImage] = {
+    val qt = new Array[Array[Int]](4) // zigzag order, as stored in DQT
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var width = 0
+    var height = 0
+    var restartInterval = 0
+
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) corrupt()
+      while (i + 1 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1 // fill bytes
+      val m = b(i + 1) & 0xff
+      if (m == 0xd9) return None // EOI before any scan completed
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
+      else {
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) corrupt()
+        val seg = i + 4 // first payload byte
+        val segEnd = i + 2 + len
+        m match {
+          case 0xdb => // DQT: one or more tables
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              if (pq > 1 || tq > 3) corrupt()
+              val t = new Array[Int](64)
+              p += 1
+              var k = 0
+              while (k < 64) {
+                t(k) = if (pq == 0) b(p) & 0xff else be16(b, p)
+                p += 1 + pq
+                k += 1
+              }
+              qt(tq) = t
+            }
+          case 0xc4 => // DHT: one or more tables
+            var p = seg
+            while (p < segEnd) {
+              val tc = (b(p) & 0xff) >> 4
+              val th = b(p) & 0x0f
+              if (tc > 1 || th > 3) corrupt()
+              val bits = new Array[Int](17)
+              var total = 0
+              var l = 1
+              while (l <= 16) { bits(l) = b(p + l) & 0xff; total += bits(l); l += 1 }
+              if (total > 256 || p + 17 + total > segEnd) corrupt()
+              val vals = java.util.Arrays.copyOfRange(b, p + 17, p + 17 + total)
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTables(th) = t else acTables(th) = t
+              p += 17 + total
+            }
+          case 0xdd => // DRI
+            restartInterval = be16(b, seg)
+          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 ext. sequential Huffman
+            if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
+            height = be16(b, seg + 1)
+            width = be16(b, seg + 3)
+            val nf = b(seg + 5) & 0xff
+            if (width <= 0 || height <= 0 || (nf != 1 && nf != 3)) return None
+            if (width.toLong * height > MaxPixels) return None
+            comps = Array.tabulate(nf) { c =>
+              val p = seg + 6 + c * 3
+              val hv = b(p + 1) & 0xff
+              val comp = new Component(b(p) & 0xff, hv >> 4, hv & 0x0f, b(p + 2) & 0x0f)
+              if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4) corrupt()
+              comp
+            }
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+              0xcd | 0xce | 0xcf =>
+            return None // progressive / hierarchical / arithmetic: stub path
+          case 0xda => // SOS → entropy-coded data follows
+            if (comps == null) corrupt()
+            val ns = b(seg) & 0xff
+            if (ns != comps.length) return None // non-interleaved multi-scan: out of scope
+            var p = seg + 1
+            var c = 0
+            while (c < ns) {
+              val cs = b(p) & 0xff
+              val comp = comps.find(_.id == cs).getOrElse(corrupt())
+              val tt = b(p + 1) & 0xff
+              comp.dcTable = dcTables(tt >> 4)
+              comp.acTable = acTables(tt & 0x0f)
+              if (comp.dcTable == null || comp.acTable == null || qt(comp.tq) == null)
+                corrupt()
+              p += 2
+              c += 1
+            }
+            decodeScan(b, segEnd, comps, width, height, qt, restartInterval)
+            return Some(toRgb(comps, width, height))
+          case _ => // APPn / COM / anything else with a length field
+        }
+        i = segEnd
+      }
+    }
+    None
+  }
+
+  /** Interleaved baseline scan: all MCUs, restart-interval aware. */
+  private def decodeScan(b: Array[Byte], start: Int, comps: Array[Component],
+      width: Int, height: Int, qt: Array[Array[Int]], ri: Int): Unit = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    for (c <- comps) {
+      c.pw = mcusX * c.h * 8
+      c.ph = mcusY * c.v * 8
+      if (c.pw.toLong * c.ph > 4L * MaxPixels) corrupt()
+      c.plane = new Array[Byte](c.pw * c.ph)
+      c.pred = 0
+    }
+    val r = new BitReader(b, start)
+    val coef = new Array[Int](64)
+    val pix = new Array[Int](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+        r.restart()
+        comps.foreach(_.pred = 0)
+      }
+      val my = mcu / mcusX
+      val mx = mcu % mcusX
+      for (c <- comps) {
+        val q = qt(c.tq)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            java.util.Arrays.fill(coef, 0)
+            // DC: category + EXTENDed diff against the running predictor
+            val s = r.decode(c.dcTable)
+            if (s > 15) corrupt()
+            c.pred += extend(r.receive(s), s)
+            coef(0) = c.pred * q(0)
+            // AC: run/size symbols, ZRL (F0) and EOB (00)
+            var k = 1
+            var done = false
+            while (!done && k < 64) {
+              val rs = r.decode(c.acTable)
+              val run = rs >> 4
+              val size = rs & 0x0f
+              if (size == 0) {
+                if (run == 15) k += 16 else done = true
+              } else {
+                k += run
+                if (k > 63) corrupt()
+                coef(ZigZag(k)) = extend(r.receive(size), size) * q(k)
+                k += 1
+              }
+            }
+            idct(coef, pix)
+            // place the 8×8 block into the component plane
+            val ox = (mx * c.h + bx) * 8
+            val oy = (my * c.v + by) * 8
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              val rowOff = (oy + y) * c.pw + ox
+              while (x < 8) {
+                c.plane(rowOff + x) = pix(y * 8 + x).toByte
+                x += 1
+              }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      mcu += 1
+    }
+  }
+
+  /** Double-precision separable IDCT (T.81 A.3.3), +128 level shift,
+    * clamp to 0..255. `coef` natural order, `out` row-major samples. */
+  private def idct(coef: Array[Int], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) { // horizontal pass: frequency v → spatial x
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += Cn(v) * coef(u * 8 + v) * CosT(x)(v); v += 1 }
+        tmp(u * 8 + x) = s
+        x += 1
+      }
+      u += 1
+    }
+    var y = 0
+    while (y < 8) { // vertical pass: frequency u → spatial y
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var uu = 0
+        while (uu < 8) { s += Cn(uu) * tmp(uu * 8 + x) * CosT(y)(uu); uu += 1 }
+        val v = math.round(s / 4.0).toInt + 128
+        out(y * 8 + x) = if (v < 0) 0 else if (v > 255) 255 else v
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Component planes → interleaved RGB: replication upsampling for
+    * subsampled chroma, JFIF YCbCr→RGB (3 comps) or gray fan-out (1). */
+  private def toRgb(comps: Array[Component], width: Int, height: Int): PixelImage = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val out = new Array[Byte](width * height * 3)
+    def sample(c: Component, x: Int, y: Int): Int =
+      c.plane((y * c.v / vmax) * c.pw + (x * c.h / hmax)) & 0xff
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        if (comps.length == 1) {
+          val g = sample(comps(0), x, y).toByte
+          out(o) = g; out(o + 1) = g; out(o + 2) = g
+        } else {
+          val yy = sample(comps(0), x, y)
+          val cb = sample(comps(1), x, y) - 128
+          val cr = sample(comps(2), x, y) - 128
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          out(o) = clamp(yy + 1.402 * cr)
+          out(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp(yy + 1.772 * cb)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PixelImage(width, height, out)
+  }
+
+  // ------------------------------------------------------------- encode
+
+  /** Generated canonical Huffman spec: `lens(sym)` / `codes(sym)`. */
+  private final class EncTable(val bits: Array[Int], val vals: Array[Int]) {
+    val lens = new Array[Int](256)
+    val codes = new Array[Int](256)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        var n = 0
+        while (n < bits(l)) {
+          lens(vals(k)) = l; codes(vals(k)) = code
+          code += 1; k += 1; n += 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  // all 12 DC size categories at code length 4 (12 ≤ 2^4, no all-ones
+  // code since 11 < 15) — any conformant decoder accepts this DHT
+  private val EncDc = {
+    val bits = new Array[Int](17); bits(4) = 12
+    new EncTable(bits, Array.tabulate(12)(identity))
+  }
+  // all 162 baseline AC symbols at code length 8: (run 0..15, size 1..10)
+  // + EOB (0x00) + ZRL (0xF0); 161 < 255 so no all-ones code
+  private val EncAc = {
+    val bits = new Array[Int](17); bits(8) = 162
+    val vals = (0x00 +: 0xf0 +: (for {
+      run <- 0 to 15; size <- 1 to 10
+    } yield (run << 4) | size)).toArray
+    new EncTable(bits, vals)
+  }
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def finish(): Unit = if (n > 0) put(0xff, 8 - n) // pad with 1-bits
+  }
+
+  private def sizeCat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** FDCT + quantize (all-ones table) one level-shifted 8×8 block. */
+  private def fdctQuant(s: Array[Double], coef: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var u = 0
+    while (u < 8) { // vertical pass: spatial y → frequency u
+      var x = 0
+      while (x < 8) {
+        var t = 0.0
+        var y = 0
+        while (y < 8) { t += s(y * 8 + x) * CosT(y)(u); y += 1 }
+        tmp(u * 8 + x) = t
+        x += 1
+      }
+      u += 1
+    }
+    var uu = 0
+    while (uu < 8) {
+      var v = 0
+      while (v < 8) {
+        var t = 0.0
+        var x = 0
+        while (x < 8) { t += tmp(uu * 8 + x) * CosT(x)(v); x += 1 }
+        coef(uu * 8 + v) = math.round(0.25 * Cn(uu) * Cn(v) * t).toInt
+        v += 1
+      }
+      uu += 1
+    }
+  }
+
+  private def encodeBlock(w: BitWriter, coef: Array[Int], pred: Int): Int = {
+    val diff = coef(0) - pred
+    val s = sizeCat(diff)
+    w.put(EncDc.codes(s), EncDc.lens(s))
+    if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      val v = coef(ZigZag(k))
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { w.put(EncAc.codes(0xf0), 8); run -= 16 }
+        val sz = sizeCat(v)
+        val sym = (run << 4) | sz
+        w.put(EncAc.codes(sym), EncAc.lens(sym))
+        w.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) w.put(EncAc.codes(0x00), 8) // EOB
+    coef(0)
+  }
+
+  /** Real baseline JPEG bytes: grayscale (1 component) when `gray`,
+    * else YCbCr 4:4:4. Quant tables all-ones; edge blocks pad by edge
+    * replication. Block-constant inputs round-trip bit-exactly (see
+    * object doc); arbitrary inputs round-trip within IDCT/quantization
+    * rounding like any quality-100 JPEG. */
+  def encodeJpeg(width: Int, height: Int, px: (Int, Int) => (Int, Int, Int),
+      gray: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
+      width.toLong * height <= MaxPixels)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wbe16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); wbe16(16) // APP0 / JFIF
+    out.write("JFIF".getBytes("US-ASCII")); w8(0)
+    w8(1); w8(1); w8(0); wbe16(1); wbe16(1); w8(0); w8(0)
+    marker(0xdb); wbe16(2 + 1 + 64) // DQT table 0: all ones, 8-bit
+    w8(0)
+    var k = 0
+    while (k < 64) { w8(1); k += 1 }
+    val nf = if (gray) 1 else 3
+    marker(0xc0); wbe16(8 + 3 * nf) // SOF0
+    w8(8); wbe16(height); wbe16(width); w8(nf)
+    var c = 0
+    while (c < nf) { w8(c + 1); w8(0x11); w8(0); c += 1 } // 1×1 sampling, qt 0
+    def dht(tc: Int, t: EncTable): Unit = {
+      marker(0xc4); wbe16(2 + 17 + t.vals.length)
+      w8(tc << 4)
+      var l = 1
+      while (l <= 16) { w8(t.bits(l)); l += 1 }
+      t.vals.foreach(w8)
+    }
+    dht(0, EncDc)
+    dht(1, EncAc)
+    marker(0xda); wbe16(6 + 2 * nf) // SOS
+    w8(nf)
+    c = 0
+    while (c < nf) { w8(c + 1); w8(0x00); c += 1 } // DC table 0, AC table 0
+    w8(0); w8(63); w8(0) // Ss, Se, AhAl
+
+    // planes: gray → BT.601 integer luma of (r,g,b); color → JFIF YCbCr
+    val planes = Array.fill(nf)(new Array[Double](width * height))
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = px(x, y)
+        val o = y * width + x
+        if (gray)
+          planes(0)(o) = ((299 * (r & 0xff) + 587 * (g & 0xff) +
+            114 * (b & 0xff)) / 1000).toDouble - 128.0
+        else {
+          planes(0)(o) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+          planes(1)(o) = -0.168736 * r - 0.331264 * g + 0.5 * b
+          planes(2)(o) = 0.5 * r - 0.418688 * g - 0.081312 * b
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val w = new BitWriter(out)
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    val preds = new Array[Int](nf)
+    val mcusX = (width + 7) / 8
+    val mcusY = (height + 7) / 8
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        c = 0
+        while (c < nf) {
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 8) {
+              val sx = math.min(mx * 8 + bx, width - 1) // edge replication
+              val sy = math.min(my * 8 + by, height - 1)
+              block(by * 8 + bx) = planes(c)(sy * width + sx)
+              bx += 1
+            }
+            by += 1
+          }
+          fdctQuant(block, coef)
+          preds(c) = encodeBlock(w, coef, preds(c))
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+    w.finish()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+}

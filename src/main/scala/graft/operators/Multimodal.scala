@@ -10,15 +10,15 @@ import org.apache.spark.sql.types._
   * binary payloads — the Spark-side schema, batching, and partitioning are
   * real. Container METADATA extraction is real
   * ([[graft.functions.ImageMetaExpr]] parses PNG/JPEG/GIF/WebP/BMP headers,
-  * q66 oracle-checks it), and so is the DEEP decode for the formats whose
-  * pixel layer needs no codec library: [[PixelCodec]] reconstructs actual
-  * pixels from 24bpp BMP, 8-bit PNG (full filter set, Inflater), and GIF
-  * (LZW, palette, interlace), and the features — exact channel sums,
-  * means, luma histogram — come from those pixels (q47 oracle-checks the
-  * sums bit-for-bit). Formats that genuinely need an entropy/transform
-  * codec (JPEG, WebP) fall back to the clearly-labeled deterministic
-  * [[StubCodec]], flagged per-row in the `decoder` column; swap it for a
-  * real codec on a cluster that has one.
+  * q66 oracle-checks it), and so is the DEEP decode for four of the five
+  * formats: [[PixelCodec]] reconstructs actual pixels from 24bpp BMP,
+  * 8-bit PNG (full filter set, Inflater), GIF (LZW, palette, interlace),
+  * and baseline JPEG (from-scratch T.81 Huffman+IDCT — [[JpegCodec]]),
+  * and the features — exact channel sums, means, luma histogram — come
+  * from those pixels (q47 oracle-checks the sums bit-for-bit). Only WebP
+  * (VP8/VP8L transform codec) falls back to the clearly-labeled
+  * deterministic [[StubCodec]], flagged per-row in the `decoder` column;
+  * swap it for a real codec on a cluster that has one.
   *
   * Scale design: decode is embarrassingly parallel per partition — no
   * shuffle is introduced (verified by MultimodalSpec asserting the plan is
@@ -29,8 +29,8 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   /** STUB decoder — deterministic stand-in for codec-bound formats
-    * (JPEG and WebP pixel layers need DCT+Huffman / VP8 transform
-    * codecs; BMP/PNG/GIF decode for real via [[PixelCodec]]). Derives
+    * (WebP's pixel layer needs a VP8/VP8L transform codec;
+    * BMP/PNG/GIF/JPEG decode for real via [[PixelCodec]]). Derives
     * pseudo-features purely from byte length so tests and oracles stay
     * reproducible; rows that went through it carry `decoder = "stub"`.
     */
@@ -57,7 +57,7 @@ object Multimodal {
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("n_frames", LongType, nullable = false),
-    // "bmp" | "png" | "gif" = real pixel decode; "stub" = labeled fallback
+    // "bmp" | "png" | "gif" | "jpeg" = real pixel decode; "stub" = fallback
     StructField("decoder", StringType, nullable = false),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
@@ -71,7 +71,7 @@ object Multimodal {
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
   /** Decode+featurize a (doc_id, content: binary) DataFrame partition-wise.
-    * BMP/PNG/GIF payloads yield REAL pixel features (exact channel sums,
+    * BMP/PNG/GIF/JPEG payloads yield REAL pixel features (exact channel sums,
     * means, luma histogram, plus a normalized feature vector); everything
     * else gets the labeled stub vector with null pixel columns. NULL
     * content is data, not an error (routine in a mixed crawl): such rows
@@ -95,6 +95,7 @@ object Multimodal {
             val fmt =
               if (bytes(0) == 'B') "bmp"
               else if (bytes(0) == 'G') "gif"
+              else if ((bytes(0) & 0xff) == 0xff) "jpeg"
               else "png"
             val vec = Array(
               f.sumR.toDouble / n / 255.0,
@@ -109,6 +110,62 @@ object Multimodal {
             Row(id, bytes.length.toLong, frames, "stub",
               null, null, null, null, null, null, null, null, null,
               StubCodec.features(bytes))
+        }
+      }
+    }
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    // "pcm16" | "pcm8" = real RIFF/WAVE decode; "stub" = labeled fallback
+    StructField("decoder", StringType, nullable = false),
+    StructField("sample_rate", LongType, nullable = true),
+    StructField("channels", LongType, nullable = true),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("duration_us", LongType, nullable = true),
+    StructField("peak_abs", LongType, nullable = true),
+    StructField("sum_ch0", LongType, nullable = true),
+    StructField("sum_ch1", LongType, nullable = true),
+    StructField("sumsq_ch0", LongType, nullable = true),
+    StructField("sumsq_ch1", LongType, nullable = true)))
+
+  /** Decode+featurize a (doc_id, content: binary) DataFrame of AUDIO
+    * payloads partition-wise, mirroring [[extractFeatures]] for images:
+    * RIFF/WAVE integer PCM decodes for real ([[AudioCodec]] — exact
+    * per-channel sums / sums-of-squares, peak, duration), everything
+    * else (compressed codecs, corrupt bytes, NULL content) takes the
+    * labeled stub path with NULL audio columns. Exchange-free: decode
+    * is per-row inside mapPartitions, payloads never leave the executor,
+    * and the output is fixed-width so downstream columnar ops stay
+    * narrow. Channels beyond the first two report through ch0/ch1 only
+    * (sum columns are a fixed-width projection; the full per-channel
+    * vector is available from [[AudioCodec.features]] where needed). */
+  def extractAudioFeatures(in: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame = {
+    val src = in.select(col(idCol).cast("long"), col(contentCol))
+    implicit val enc = Encoders.row(audioFeatureSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes =
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)
+        AudioCodec.decode(bytes) match {
+          case Some(clip) =>
+            val f = AudioCodec.features(clip)
+            val frames = clip.frames.toLong
+            Row(id, bytes.length.toLong,
+              if (clip.bitsPerSample == 8) "pcm8" else "pcm16",
+              clip.sampleRate.toLong, clip.channels.toLong, frames,
+              frames * 1000000L / clip.sampleRate, f.peakAbs.toLong,
+              f.sumByChannel(0),
+              if (clip.channels > 1) f.sumByChannel(1) else null,
+              f.sumSqByChannel(0),
+              if (clip.channels > 1) f.sumSqByChannel(1) else null)
+          case None =>
+            Row(id, bytes.length.toLong, "stub",
+              null, null, null, null, null, null, null, null, null)
         }
       }
     }

@@ -17,8 +17,9 @@ package graft.operators
   *    clear/end, KwKwK case, 4096-entry dictionary), interlace
   *    de-woven. Palette lookup is exact, so GIF features are exact.
   *
-  * JPEG and WebP pixel layers need transform codecs (DCT+Huffman / VP8)
-  * that are out of scope without a codec library; those formats fall back
+  * JPEG decodes for real too — the baseline DCT+Huffman codec is
+  * implemented from scratch in [[JpegCodec]] (this object dispatches to
+  * it). WebP's VP8/VP8L pixel layer remains out of scope; it falls back
   * to [[Multimodal.StubCodec]], labeled per-row via the `decoder` column.
   *
   * Anything malformed decodes to None, never an exception — corrupt media
@@ -58,6 +59,8 @@ object PixelCodec {
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       decodeGif(b)
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+      JpegCodec.decode(b)
     else None
   }
 

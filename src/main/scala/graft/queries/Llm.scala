@@ -517,16 +517,21 @@ object Llm {
   // gives the sums a closed form the DuckDB oracle recomputes bit-for-bit
   // — a decoder that misreads row order, stride padding, BGR order, a PNG
   // filter, the LZW code stream, or the alpha layout hash-mismatches.
-  // JPEG payloads (DCT + Huffman; needs a codec library) take the labeled
-  // stub fallback with NULL pixel columns — exactly the per-row `decoder`
-  // contract a mixed 100 TB crawl needs.
+  // JPEG payloads are REAL baseline JPEGs too ([[graft.operators
+  // .JpegCodec]], a from-scratch T.81 Huffman+IDCT decoder): grayscale,
+  // multi-MCU, per-8×8-block-constant gradients — with all-ones quant
+  // tables a block-constant image is DC-only, so the entropy decode, DC
+  // prediction chain, dequant, and IDCT reproduce the pixels EXACTLY and
+  // the closed-form oracle still holds bit-for-bit. Only WebP remains on
+  // the labeled stub fallback — the per-row `decoder` contract a mixed
+  // 100 TB crawl needs.
   def q47(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // fixture build is a one-time layout step (fingerprint-cached, like
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v2-bmp-png-gif-jpeg") {
+      version = "v3-real-jpeg") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -544,7 +549,16 @@ object Llm {
           case 1 => graft.operators.PixelCodec.encodePng(w, h, px,
             withAlpha = id % 8 == 5)
           case 2 => graft.operators.PixelCodec.encodeGif(w, h, px)
-          case _ => graft.functions.ImageMeta.encode("jpeg", w, h)
+          case _ =>
+            // real baseline JPEG: (1+id%3)×(1+id%2) MCUs of grayscale,
+            // constant per 8×8 block (v = br + 7·bx + 11·by ≤ 121 < 255)
+            // → DC-only blocks, bit-exact round-trip, closed-form sums
+            graft.operators.JpegCodec.encodeJpeg(
+              8 * (1 + (id % 3).toInt), 8 * (1 + (id % 2).toInt),
+              (x, y) => {
+                val v = br + 7 * (x / 8) + 11 * (y / 8)
+                (v, v, v)
+              }, gray = true)
         }
         (id, bytes)
       }.toDF("doc_id", "content")
@@ -604,29 +618,39 @@ object Llm {
       |       CAST(1 + doc_id % 480 AS BIGINT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  // closed-form expected sums: w=3+id%6, h=2+id%5; over the w×h grid
-  // sum(x) = h*w*(w-1)/2 and sum(y) = w*h*(h-1)/2, so e.g.
+  // closed-form expected sums. BMP/PNG/GIF rows: w=3+id%6, h=2+id%5; over
+  // the w×h grid sum(x) = h*w*(w-1)/2 and sum(y) = w*h*(h-1)/2, so e.g.
   // sum_r = w*h*(id%97) + 3*sum(x) + 5*sum(y) (no mod wraparound by
-  // construction). JPEG rows (id%4=3) are the labeled stub: NULLs.
+  // construction). JPEG rows (id%4=3): wb×hb MCUs (wb=1+id%3, hb=1+id%2)
+  // of grayscale constant per block v = br + 7·bx + 11·by, so each
+  // channel sums to 64·(wb·hb·br + 7·hb·Σbx + 11·wb·Σby) — a decoder
+  // that misreads the Huffman stream, the DC prediction chain, dequant,
+  // the IDCT, or the MCU raster order hash-mismatches.
   val q47Sql =
     """WITH g AS (
       |  SELECT doc_id,
       |         3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h,
+      |         1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
       |         doc_id % 97 AS br, (doc_id * 3) % 89 AS bg,
       |         (doc_id * 7) % 83 AS bb
-      |  FROM documents)
-      |SELECT doc_id,
-      |       CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'bmp'
-      |            WHEN 1 THEN 'png' WHEN 2 THEN 'gif' ELSE 'stub' END AS decoder,
-      |       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE CAST(w AS BIGINT) END AS width,
-      |       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE CAST(h AS BIGINT) END AS height,
-      |       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE
-      |         CAST(w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) AS BIGINT) END AS sum_r,
-      |       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE
-      |         CAST(w*h*bg + 5*(h*w*(w-1)//2) + 2*(w*h*(h-1)//2) AS BIGINT) END AS sum_g,
-      |       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE
-      |         CAST(w*h*bb + 2*(h*w*(w-1)//2) + 7*(w*h*(h-1)//2) AS BIGINT) END AS sum_b
-      |FROM g ORDER BY doc_id""".stripMargin
+      |  FROM documents),
+      |j AS (
+      |  SELECT doc_id,
+      |         64 * (wb*hb*br + 7*(hb*(wb*(wb-1)//2)) + 11*(wb*(hb*(hb-1)//2)))
+      |           AS jsum
+      |  FROM g)
+      |SELECT g.doc_id,
+      |       CASE CAST(g.doc_id % 4 AS INT) WHEN 0 THEN 'bmp'
+      |            WHEN 1 THEN 'png' WHEN 2 THEN 'gif' ELSE 'jpeg' END AS decoder,
+      |       CAST(CASE WHEN g.doc_id % 4 = 3 THEN 8*wb ELSE w END AS BIGINT) AS width,
+      |       CAST(CASE WHEN g.doc_id % 4 = 3 THEN 8*hb ELSE h END AS BIGINT) AS height,
+      |       CAST(CASE WHEN g.doc_id % 4 = 3 THEN jsum ELSE
+      |         w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END AS BIGINT) AS sum_r,
+      |       CAST(CASE WHEN g.doc_id % 4 = 3 THEN jsum ELSE
+      |         w*h*bg + 5*(h*w*(w-1)//2) + 2*(w*h*(h-1)//2) END AS BIGINT) AS sum_g,
+      |       CAST(CASE WHEN g.doc_id % 4 = 3 THEN jsum ELSE
+      |         w*h*bb + 2*(h*w*(w-1)//2) + 7*(w*h*(h-1)//2) END AS BIGINT) AS sum_b
+      |FROM g JOIN j ON g.doc_id = j.doc_id ORDER BY g.doc_id""".stripMargin
 
   // ------------------------------------------------------------- q51
   // End-to-end corpus preparation — the pipeline a training-data run

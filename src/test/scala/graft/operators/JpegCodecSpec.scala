@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.SparkFunSuite
+import graft.operators.PixelCodec._
+
+/** Round-trip + adversarial coverage for the from-scratch baseline JPEG
+  * codec, with the same INDEPENDENT cross-check discipline as
+  * PixelCodecSpec: the JDK's own ImageIO JPEG reader/writer (java.desktop)
+  * must agree with our decoder — on our encoder's bytes (exactly, for
+  * DC-only block-constant images; within IDCT-rounding tolerance
+  * otherwise) and on ImageIO's OWN encoded bytes (which exercise the
+  * standard Annex-K Huffman tables, real quant tables, and 4:2:0 chroma
+  * subsampling — none of which our fixture encoder emits).
+  */
+class JpegCodecSpec extends SparkFunSuite {
+
+  /** Per-8×8-block-constant grayscale gradient (the q47 fixture shape):
+    * with all-ones quant tables every block is DC-only → bit-exact. */
+  private def blockGray(base: Int)(x: Int, y: Int): (Int, Int, Int) = {
+    val v = base + 7 * (x / 8) + 11 * (y / 8)
+    (v, v, v)
+  }
+
+  private def imageIoRgb(bytes: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not decode the JPEG bytes")
+    val gray = img.getColorModel.getNumComponents == 1
+    val out = new Array[Byte](img.getWidth * img.getHeight * 3)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+      val i = (y * img.getWidth + x) * 3
+      if (gray) {
+        // getRGB on TYPE_BYTE_GRAY converts linear-gray→sRGB (a gamma
+        // curve, not the JPEG sample values) — read the raw raster
+        val v = img.getRaster.getSample(x, y, 0).toByte
+        out(i) = v; out(i + 1) = v; out(i + 2) = v
+      } else {
+        val argb = img.getRGB(x, y)
+        out(i) = ((argb >> 16) & 0xff).toByte
+        out(i + 1) = ((argb >> 8) & 0xff).toByte
+        out(i + 2) = (argb & 0xff).toByte
+      }
+    }
+    out
+  }
+
+  private def maxAbsDiff(a: Array[Byte], b: Array[Byte]): Int = {
+    assert(a.length == b.length, s"pixel buffers differ: ${a.length} vs ${b.length}")
+    a.indices.foldLeft(0)((m, i) => math.max(m, math.abs((a(i) & 0xff) - (b(i) & 0xff))))
+  }
+
+  test("block-constant grayscale round-trips bit-exactly (multi-MCU DC chain)") {
+    // 3×2 MCUs: exercises cross-block DC-diff prediction and MCU raster
+    // order; every value is exact, so ImageIO must agree exactly too
+    for (base <- Seq(0, 40, 96)) {
+      val bytes = JpegCodec.encodeJpeg(24, 16, blockGray(base), gray = true)
+      val img = decode(bytes).get
+      assert(img.width == 24 && img.height == 16)
+      for (y <- 0 until 16; x <- 0 until 24) {
+        val want = base + 7 * (x / 8) + 11 * (y / 8)
+        val got = img.rgb((y * 24 + x) * 3) & 0xff
+        assert(got == want, s"base=$base pixel ($x,$y): got $got want $want")
+        assert((img.rgb((y * 24 + x) * 3 + 1) & 0xff) == want)
+        assert((img.rgb((y * 24 + x) * 3 + 2) & 0xff) == want)
+      }
+      assert(imageIoRgb(bytes).sameElements(img.rgb),
+        s"ImageIO disagrees with JpegCodec on DC-only bytes (base=$base)")
+    }
+  }
+
+  test("non-multiple-of-8 shapes round-trip exactly when blocks stay constant") {
+    // 10×6 → one 2×1-MCU row with edge replication; constant image is
+    // still DC-only after padding, so decode is exact at every shape
+    for ((w, h) <- Seq((10, 6), (1, 1), (8, 3), (3, 8), (17, 9))) {
+      val bytes = JpegCodec.encodeJpeg(w, h, (_, _) => (77, 77, 77), gray = true)
+      val img = decode(bytes).get
+      assert(img.width == w && img.height == h)
+      assert(img.rgb.forall(b => (b & 0xff) == 77), s"non-constant at ${w}x$h")
+      assert(imageIoRgb(bytes).sameElements(img.rgb))
+    }
+  }
+
+  test("arbitrary grayscale: our decode within quantization rounding; ImageIO agrees") {
+    val rnd = new scala.util.Random(47)
+    val w = 19; val h = 13
+    val px = Array.fill(h, w)(rnd.nextInt(256))
+    val bytes = JpegCodec.encodeJpeg(w, h,
+      (x, y) => (px(y)(x), px(y)(x), px(y)(x)), gray = true)
+    val img = decode(bytes).get
+    // all-ones quant: only coefficient rounding (±0.5 each) survives —
+    // worst-case spatial accumulation is a few levels
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w)
+      worst = math.max(worst,
+        math.abs((img.rgb((y * w + x) * 3) & 0xff) - px(y)(x)))
+    assert(worst <= 5, s"quality-100 round-trip drifted by $worst levels")
+    // ImageIO decodes the SAME coefficients: only IDCT rounding can differ
+    assert(maxAbsDiff(imageIoRgb(bytes), img.rgb) <= 2,
+      "ImageIO and JpegCodec disagree beyond IDCT rounding on identical bytes")
+  }
+
+  test("color 4:4:4: block-constant round-trip within color-convert rounding") {
+    val bytes = JpegCodec.encodeJpeg(16, 16, (x, y) =>
+      if (x < 8 && y < 8) (200, 30, 60)
+      else if (x >= 8 && y < 8) (10, 180, 90)
+      else (50, 60, 220))
+    val img = decode(bytes).get
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val want = if (x < 8 && y < 8) (200, 30, 60)
+        else if (x >= 8 && y < 8) (10, 180, 90) else (50, 60, 220)
+      val o = (y * 16 + x) * 3
+      // RGB→YCbCr→RGB double-rounds: ±2 per channel is the honest bound
+      assert(math.abs((img.rgb(o) & 0xff) - want._1) <= 2)
+      assert(math.abs((img.rgb(o + 1) & 0xff) - want._2) <= 2)
+      assert(math.abs((img.rgb(o + 2) & 0xff) - want._3) <= 2)
+    }
+    assert(maxAbsDiff(imageIoRgb(bytes), img.rgb) <= 2)
+  }
+
+  test("ImageIO-encoded grayscale decodes like ImageIO reads it back") {
+    // standard Annex-K Huffman + real quant tables — none of which our
+    // encoder writes, so this proves the general decode path
+    val rnd = new scala.util.Random(66)
+    val img = new java.awt.image.BufferedImage(21, 14,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 14; x <- 0 until 21)
+      // raster write: setRGB on TYPE_BYTE_GRAY would gamma-convert
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", buf))
+    val ours = decode(buf.toByteArray)
+    assert(ours.isDefined, "our decoder rejected an ImageIO-written grayscale JPEG")
+    assert(ours.get.width == 21 && ours.get.height == 14)
+    assert(maxAbsDiff(imageIoRgb(buf.toByteArray), ours.get.rgb) <= 2,
+      "grayscale decode diverges from ImageIO beyond IDCT rounding")
+  }
+
+  test("ImageIO-encoded color (4:2:0 subsampling) decodes within upsampling tolerance") {
+    // smooth gradient: libjpeg-style triangular upsampling vs our sample
+    // replication differ by at most ~the local chroma slope; the Y plane
+    // and overall structure must match closely
+    val img = new java.awt.image.BufferedImage(24, 18,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 18; x <- 0 until 24)
+      img.setRGB(x, y, ((40 + 3 * x) << 16) | ((60 + 2 * y) << 8) | (80 + x + y))
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", buf))
+    val ours = decode(buf.toByteArray)
+    assert(ours.isDefined, "our decoder rejected an ImageIO-written color JPEG")
+    assert(ours.get.width == 24 && ours.get.height == 18)
+    val ref = imageIoRgb(buf.toByteArray)
+    assert(maxAbsDiff(ref, ours.get.rgb) <= 12,
+      "4:2:0 decode diverges from ImageIO beyond upsampling-filter tolerance")
+    val mean = ours.get.rgb.indices.map(i =>
+      math.abs((ref(i) & 0xff) - (ours.get.rgb(i) & 0xff))).sum.toDouble /
+      ours.get.rgb.length
+    assert(mean <= 2.0, f"mean channel divergence $mean%.2f > 2.0")
+  }
+
+  test("progressive, truncated, and corrupt JPEG payloads decode to None") {
+    val good = JpegCodec.encodeJpeg(24, 16, blockGray(40), gray = true)
+    assert(decode(good.take(good.length / 2)) == None) // truncated entropy data
+    assert(decode(good.take(20)) == None) // truncated in the header walk
+    assert(JpegCodec.decode(Array[Byte](0xff.toByte, 0xd8.toByte)) == None)
+    // progressive (SOF2) must take the labeled stub path, not misdecode
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x336699)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val buf = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(buf)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    assert(decode(buf.toByteArray) == None,
+      "progressive JPEG must fall back to the labeled stub, not misdecode")
+    // flip bytes inside the entropy segment: must be None or a valid-size
+    // image, never a throw
+    val corrupt = good.clone()
+    for (j <- good.length - 30 until good.length - 10)
+      corrupt(j) = (~corrupt(j)).toByte
+    decode(corrupt) match {
+      case Some(i) => assert(i.width == 24 && i.height == 16)
+      case None => // fine: corruption detected
+    }
+  }
+
+  test("features off decoded JPEG pixels are exact for DC-only fixtures") {
+    val bytes = JpegCodec.encodeJpeg(16, 8, blockGray(50), gray = true)
+    val f = features(decode(bytes).get, bins = 4)
+    // blocks (bx,by) ∈ {0,1}×{0}: values 50 and 57, 64 pixels each
+    assert(f.sumR == 64L * (50 + 57) && f.sumG == f.sumR && f.sumB == f.sumR)
+    assert(f.lumaHist.sum == 128)
+  }
+}

@@ -19,13 +19,14 @@ class MultimodalSpec extends SparkFunSuite {
     assert(a.forall(r => r.getLong(2) > 0)) // every doc yields frames
   }
 
-  test("BMP/PNG payloads yield REAL pixel features") {
+  test("BMP/PNG/JPEG payloads yield REAL pixel features") {
     import spark.implicits._
     def px(x: Int, y: Int): (Int, Int, Int) = (40 + x, 50 + y, 60 + x + y)
     val rows = Seq(
       (1L, PixelCodec.encodeBmp(4, 3, px)),
       (2L, PixelCodec.encodePng(4, 3, px)),
-      (3L, "not an image".getBytes("UTF-8")))
+      (3L, "not an image".getBytes("UTF-8")),
+      (4L, JpegCodec.encodeJpeg(8, 8, (_, _) => (90, 90, 90), gray = true)))
     val out = Multimodal.extractFeatures(rows.toDF("doc_id", "content"))
       .orderBy("doc_id").collect()
     // hand-computed sums over the 4x3 grid: sum(x)=3*(0+1+2+3)=18, sum(y)=4*(0+1+2)=12
@@ -41,6 +42,11 @@ class MultimodalSpec extends SparkFunSuite {
       assert(r.getSeq[Double](13).length == 3 + Multimodal.LumaBins)
     }
     assert(out(2).getString(3) == "stub" && out(2).isNullAt(6))
+    // constant 8×8 grayscale JPEG is DC-only → exact sums (64·90 per channel)
+    assert(out(3).getString(3) == "jpeg")
+    assert(out(3).getInt(4) == 8 && out(3).getInt(5) == 8)
+    assert(out(3).getLong(6) == 64L * 90 && out(3).getLong(7) == 64L * 90 &&
+      out(3).getLong(8) == 64L * 90)
   }
 
   test("NULL content is data, not an error (stub path, zero bytes)") {
