@@ -756,7 +756,92 @@ object Llm {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------ registry
+  // ------------------------------------------------------------- q70
+  // Audio modality, same discipline as q47: REAL decode, no codec
+  // library. The fixture writer emits actual RIFF/WAVE 16-bit PCM bytes
+  // (deterministic per-channel ramps keyed by doc_id; every 7th doc is a
+  // non-audio payload exercising the labeled stub fallback), and
+  // [[graft.operators.AudioCodec]] walks the container and reconstructs
+  // the interleaved samples. Features are exact integers — per-channel
+  // sums and sums-of-squares, peak, integer-exact duration_us (sample
+  // rates chosen to divide 1e6) — so the DuckDB oracle recomputes them
+  // in closed form and a decoder that misreads the chunk walk, the
+  // sample width, signedness, or channel interleave hash-mismatches.
+  // Scale: decode is exchange-free mapPartitions, like the image path.
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // one-time fixture build, fingerprint-cached (see q47): the timed
+    // query measures DECODE, not the fixture write
+    val out70 = Tables.scratch(s"media70/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out70, version = "v1-wav") {
+      val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      ids.map { id =>
+        val bytes =
+          if (id % 7 == 3) // compressed-codec stand-in → labeled stub path
+            ("ID3" + "not audio our codec can decode " * 3).getBytes("US-ASCII")
+          else {
+            // rates all divide 1e6 → duration_us is an exact integer
+            val rate = (id % 3).toInt match {
+              case 0 => 8000; case 1 => 10000; case _ => 20000
+            }
+            val ch = 1 + (id % 2).toInt
+            val n = 100 + (id % 50).toInt
+            // channel c, frame i → -500 + 7c + 13i (monotone ramp: peak
+            // and the channel sums have closed forms; |v| ≤ 1444 « 2^15)
+            val samples = Array.tabulate(n * ch) { k =>
+              -500 + 7 * (k % ch) + 13 * (k / ch)
+            }
+            graft.operators.AudioCodec.encodeWav(rate, ch, samples)
+          }
+        (id, bytes)
+      }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out70/data")
+    }
+    graft.operators.Multimodal
+      .extractAudioFeatures(s.read.parquet(s"$mediaDir/data"))
+      .select("doc_id", "decoder", "sample_rate", "channels", "n_frames",
+        "duration_us", "peak_abs", "sum_ch0", "sum_ch1", "sumsq_ch0",
+        "sumsq_ch1")
+      .orderBy("doc_id")
+  }
+
+  // closed forms over the ramp v(c,i) = a_c + 13i with a_c = -500 + 7c:
+  // sum_c  = n·a_c + 13·S1,            S1 = n(n-1)/2
+  // ssq_c  = n·a_c² + 26·a_c·S1 + 169·S2,  S2 = (n-1)n(2n-1)/6
+  // peak   = max(|a_0|, a_{ch-1} + 13(n-1)) = max(500, 7(ch-1)+13(n-1)-500)
+  val q70Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         CASE CAST(doc_id % 3 AS INT)
+      |           WHEN 0 THEN 8000 WHEN 1 THEN 10000 ELSE 20000 END AS rate,
+      |         1 + doc_id % 2 AS ch, 100 + doc_id % 50 AS n
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, rate, ch, n,
+      |         n*(n-1)//2 AS s1, (n-1)*n*(2*n-1)//6 AS s2,
+      |         doc_id % 7 = 3 AS stub
+      |  FROM g)
+      |SELECT doc_id,
+      |       CASE WHEN stub THEN 'stub' ELSE 'pcm16' END AS decoder,
+      |       CAST(CASE WHEN stub THEN NULL ELSE rate END AS BIGINT) AS sample_rate,
+      |       CAST(CASE WHEN stub THEN NULL ELSE ch END AS BIGINT) AS channels,
+      |       CAST(CASE WHEN stub THEN NULL ELSE n END AS BIGINT) AS n_frames,
+      |       CAST(CASE WHEN stub THEN NULL
+      |            ELSE n * (1000000 // rate) END AS BIGINT) AS duration_us,
+      |       CAST(CASE WHEN stub THEN NULL
+      |            ELSE GREATEST(500, 7*(ch-1) + 13*(n-1) - 500) END AS BIGINT) AS peak_abs,
+      |       CAST(CASE WHEN stub THEN NULL
+      |            ELSE n*(-500) + 13*s1 END AS BIGINT) AS sum_ch0,
+      |       CAST(CASE WHEN stub OR ch = 1 THEN NULL
+      |            ELSE n*(-493) + 13*s1 END AS BIGINT) AS sum_ch1,
+      |       CAST(CASE WHEN stub THEN NULL
+      |            ELSE n*250000 + 26*(-500)*s1 + 169*s2 END AS BIGINT) AS sumsq_ch0,
+      |       CAST(CASE WHEN stub OR ch = 1 THEN NULL
+      |            ELSE n*243049 + 26*(-493)*s1 + 169*s2 END AS BIGINT) AS sumsq_ch1
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_audio_features" -> (q70 _),
     "q56_ngram_jaccard" -> (q56 _),
     "q51_corpus_prep" -> (q51 _),
     "q50_ann_ivf" -> (q50 _),
@@ -775,6 +860,7 @@ object Llm {
     "q66_image_meta" -> (q66 _))
 
   val oracle: Map[String, String] = Map(
+    "q70_audio_features" -> q70Sql,
     "q56_ngram_jaccard" -> q56Sql,
     "q51_corpus_prep" -> q51Sql,
     "q47_multimodal_features" -> q47Sql,

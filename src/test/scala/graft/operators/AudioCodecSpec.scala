@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkFunSuite
+
+/** Round-trip + adversarial coverage for the zero-dependency WAV/PCM
+  * codec, cross-checked against the JDK's own javax.sound.sampled WAV
+  * reader/writer (java.desktop) — same discipline as PixelCodecSpec:
+  * encoder and decoder cannot share a compensating bug because ImageIO's
+  * sibling API independently reads our bytes and writes bytes we read.
+  */
+class AudioCodecSpec extends SparkFunSuite {
+
+  private def ramp(n: Int, ch: Int): Array[Int] =
+    Array.tabulate(n * ch)(k => -500 + 7 * (k % ch) + 13 * (k / ch))
+
+  /** Interleaved 16-bit samples as javax.sound reads them. */
+  private def javaSoundSamples(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian)
+    val raw = in.readAllBytes()
+    val samples = Array.tabulate(raw.length / 2)(i =>
+      ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt)
+    (fmt.getSampleRate.toInt, fmt.getChannels, samples)
+  }
+
+  test("16-bit mono and stereo round-trip exactly; javax.sound agrees") {
+    for (ch <- 1 to 2) {
+      val samples = ramp(120, ch)
+      val bytes = AudioCodec.encodeWav(10000, ch, samples)
+      val clip = AudioCodec.decode(bytes).get
+      assert(clip.sampleRate == 10000 && clip.channels == ch)
+      assert(clip.bitsPerSample == 16 && clip.frames == 120)
+      assert(clip.samples.sameElements(samples))
+      val (jr, jc, js) = javaSoundSamples(bytes)
+      assert(jr == 10000 && jc == ch)
+      assert(js.sameElements(samples), s"javax.sound disagrees at ch=$ch")
+    }
+  }
+
+  test("javax.sound-written 8-bit unsigned WAV decodes to centered samples") {
+    // 8-bit WAV stores unsigned bytes; our decoder centers them at 0
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val raw = Array.tabulate[Byte](64)(i => (i * 4).toByte) // 0,4,…,252
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, raw.length)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val clip = AudioCodec.decode(buf.toByteArray).get
+    assert(clip.bitsPerSample == 8 && clip.sampleRate == 8000 && clip.channels == 1)
+    assert(clip.samples.sameElements(raw.map(b => (b & 0xff) - 128)))
+  }
+
+  test("WAVE_FORMAT_EXTENSIBLE wrapping PCM decodes like plain PCM") {
+    val plain = AudioCodec.encodeWav(8000, 2, ramp(50, 2))
+    // rebuild with a 40-byte EXTENSIBLE fmt chunk around the same data
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wle16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def wle32(v: Int): Unit = { w8(v); w8(v >> 8); w8(v >> 16); w8(v >> 24) }
+    def wtag(t: String): Unit = t.foreach(c => w8(c))
+    val dataLen = plain.length - 44
+    wtag("RIFF"); wle32(4 + 48 + 8 + dataLen); wtag("WAVE")
+    wtag("fmt "); wle32(40)
+    wle16(0xfffe); wle16(2); wle32(8000) // EXTENSIBLE, stereo
+    wle32(8000 * 4); wle16(4); wle16(16)
+    wle16(22); wle16(16); wle32(0x3) // cbSize, valid bits, channel mask
+    wle16(1); wle16(0) // SubFormat: PCM GUID (first word = 0x0001)
+    out.write(Array.fill[Byte](12)(0)) // rest of the GUID
+    wtag("data"); wle32(dataLen)
+    out.write(plain, 44, dataLen)
+    val clip = AudioCodec.decode(out.toByteArray).get
+    assert(clip.channels == 2 && clip.samples.sameElements(ramp(50, 2)))
+  }
+
+  test("chunk walk skips unknown chunks and honors word alignment") {
+    val plain = AudioCodec.encodeWav(8000, 1, ramp(10, 1))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(plain, 0, 12) // RIFF….WAVE
+    // odd-sized junk chunk BEFORE fmt: the walk must pad to even
+    out.write("LIST".getBytes("US-ASCII"))
+    out.write(Array[Byte](3, 0, 0, 0)) // size 3 (odd)
+    out.write(Array[Byte](9, 9, 9, 0)) // 3 payload + 1 pad
+    out.write(plain, 12, plain.length - 12)
+    val bytes = out.toByteArray
+    // fix the RIFF size (not that our walk validates it against b.length)
+    val clip = AudioCodec.decode(bytes)
+    assert(clip.isDefined, "chunk walk lost alignment at an odd-size chunk")
+    assert(clip.get.samples.sameElements(ramp(10, 1)))
+  }
+
+  test("features: exact per-channel sums, sums-of-squares, peak") {
+    val n = 120
+    val clip = AudioCodec.decode(AudioCodec.encodeWav(8000, 2, ramp(n, 2))).get
+    val f = AudioCodec.features(clip)
+    for (c <- 0 to 1) {
+      val a = -500 + 7 * c
+      val s1 = n.toLong * (n - 1) / 2
+      val s2 = (n - 1).toLong * n * (2 * n - 1) / 6
+      assert(f.sumByChannel(c) == n.toLong * a + 13 * s1, s"sum ch$c")
+      assert(f.sumSqByChannel(c) ==
+        n.toLong * a * a + 26L * a * s1 + 169 * s2, s"sumsq ch$c")
+    }
+    assert(f.peakAbs == math.max(500, 7 + 13 * (n - 1) - 500))
+  }
+
+  test("malformed and non-PCM payloads decode to None, never throw") {
+    val good = AudioCodec.encodeWav(8000, 1, ramp(20, 1))
+    assert(AudioCodec.decode(null) == None)
+    assert(AudioCodec.decode("ID3 not audio".getBytes("US-ASCII")) == None)
+    assert(AudioCodec.decode(good.take(40)) == None) // truncated header
+    assert(AudioCodec.decode(good.take(50)) == None) // data chunk overruns
+    val nonPcm = good.clone()
+    nonPcm(20) = 85 // wFormatTag = 0x0055 (MP3) → stub path
+    assert(AudioCodec.decode(nonPcm) == None)
+    val hostile = good.clone() // data size claims 2 GB
+    hostile(40) = -1; hostile(41) = -1; hostile(42) = -1; hostile(43) = 0x7f
+    assert(AudioCodec.decode(hostile) == None)
+  }
+}

@@ -60,10 +60,32 @@ class MultimodalSpec extends SparkFunSuite {
     assert(out(1).getLong(2) == 0L) // no frames from no bytes
   }
 
+  test("audio: WAV payloads yield REAL PCM features, others take the stub") {
+    import spark.implicits._
+    val samples = Array.tabulate(40)(i => 100 - 3 * i) // mono ramp
+    val rows = Seq(
+      (1L, Some(AudioCodec.encodeWav(8000, 1, samples))),
+      (2L, Some("ID3 compressed audio".getBytes("UTF-8"))),
+      (3L, None))
+    val out = Multimodal.extractAudioFeatures(rows.toDF("doc_id", "content"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(2) == "pcm16")
+    assert(out(0).getLong(3) == 8000L && out(0).getLong(4) == 1L)
+    assert(out(0).getLong(5) == 40L && out(0).getLong(6) == 5000L) // 40/8000 s
+    assert(out(0).getLong(8) == samples.map(_.toLong).sum)
+    assert(out(0).isNullAt(9)) // mono: no ch1
+    assert(out(0).getLong(10) == samples.map(s => s.toLong * s).sum)
+    assert(out(1).getString(2) == "stub" && out(1).isNullAt(3))
+    assert(out(2).getString(2) == "stub" && out(2).getLong(1) == 0L)
+  }
+
   test("decode pipeline introduces no shuffle") {
     val plan = Multimodal.extractFeatures(media)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    val audioPlan = Multimodal.extractAudioFeatures(media)
+      .queryExecution.executedPlan.toString
+    assert(!audioPlan.contains("Exchange"), s"unexpected shuffle in:\n$audioPlan")
   }
 
   test("frame sampling honors the stride") {
