@@ -23,7 +23,7 @@ object Bench {
     case "q60_json_roundtrip" | "q61_stateful_dedup" |
          "q62_spj_join" | "q63_streaming_pipeline" | "q65_dynamic_table" |
          "q66_image_meta" | "q69_governed_stream" |
-         "q70_audio_features" => "data_pipeline"
+         "q70_audio_features" | "q71_video_frames" => "data_pipeline"
     case _ if n >= "q30" && n <= "q59" => "data_pipeline"
     case _ if n.startsWith("q1") && n >= "q10" => "advanced"
     case "q12_funnel" | "q13_compaction_estimator" => "advanced"

@@ -170,4 +170,53 @@ object Multimodal {
       }
     }
   }
+
+  val videoFrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    // "dib" = real AVI/DIB frame decode; "stub" = labeled fallback row
+    StructField("decoder", StringType, nullable = false),
+    StructField("total_frames", LongType, nullable = true),
+    StructField("frame_idx", LongType, nullable = true),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("sum_r", LongType, nullable = true),
+    StructField("sum_g", LongType, nullable = true),
+    StructField("sum_b", LongType, nullable = true)))
+
+  /** Frame-sample a (doc_id, content: binary) DataFrame of VIDEO
+    * payloads partition-wise: AVI containers with uncompressed 24bpp
+    * DIB frames decode for real ([[VideoCodec]]), emitting one row per
+    * SAMPLED frame (indices 0, stride, 2·stride, …) with exact channel
+    * sums off the actual pixels; compressed video / corrupt bytes /
+    * NULL content emit a single labeled stub row. Exchange-free and
+    * allocation-bounded: only every `stride`-th frame is materialized,
+    * one clip at a time per executor thread — the "sample k frames,
+    * featurize, never hold the whole clip" shape a 100 TB video corpus
+    * requires. */
+  def sampleVideoFrames(in: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content", stride: Int = 2): DataFrame = {
+    val src = in.select(col(idCol).cast("long"), col(contentCol))
+    implicit val enc = Encoders.row(videoFrameSchema)
+    src.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes =
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)
+        VideoCodec.decodeSampled(bytes, stride) match {
+          case Some(clip) =>
+            clip.sampledIdx.iterator.zip(clip.frames.iterator).map {
+              case (idx, frame) =>
+                val f = PixelCodec.features(frame, LumaBins)
+                Row(id, "dib", clip.totalFrames.toLong, idx.toLong,
+                  frame.width.toLong, frame.height.toLong,
+                  f.sumR, f.sumG, f.sumB)
+            }
+          case None =>
+            Iterator.single(Row(id, "stub", null, null, null, null,
+              null, null, null))
+        }
+      }
+    }
+  }
 }

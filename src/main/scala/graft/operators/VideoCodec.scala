@@ -1,0 +1,203 @@
+package graft.operators
+
+/** Zero-dependency video decode: AVI (RIFF) containers carrying
+  * UNCOMPRESSED 24bpp DIB frames — pure byte arithmetic, no codec
+  * library, same contract as the image/audio side.
+  *
+  *  - Container: `RIFF....AVI ` with the standard LIST tree — `hdrl`
+  *    (main `avih` header, per-stream `strl` with `strh`/`strf`) and
+  *    `movi` (the frame chunks). The walk is tag-driven and skips
+  *    unknown chunks by their declared (word-aligned) sizes, so `idx1`
+  *    indexes, `JUNK` padding, and extra streams don't derail it.
+  *  - Frames: `NNdb` / `NNdc` chunks of the first video stream whose
+  *    `strf` BITMAPINFOHEADER declares BI_RGB 24bpp — decoded with the
+  *    same bottom-up/stride-padded/BGR row arithmetic as BMP. A `dc`
+  *    chunk with an actual compressed payload (size ≠ the DIB raster
+  *    size) → None: compressed video (MJPEG/H.264/…) is the labeled
+  *    stub path, like WebP and MP3.
+  *  - Frame SAMPLING is first-class: [[decodeSampled]] walks the movi
+  *    chunks and materializes only every `stride`-th frame, so a
+  *    100-frame clip sampled at stride 10 allocates 10 frames — the
+  *    shape a training-data pipeline needs (sample k frames per clip,
+  *    featurize, never hold the whole clip).
+  *
+  * Anything malformed decodes to None, never an exception — corrupt
+  * media in a 100 TB crawl is data, not an error.
+  *
+  * Reference capability: multimodal columns over binary payloads
+  * (BASELINE.md north star; video rides the same opaque-binary lane).
+  */
+object VideoCodec {
+  import PixelCodec.PixelImage
+
+  /** Sampled clip: total frame count in the container, the sampled
+    * frames (indices 0, stride, 2·stride, …), and geometry. */
+  final case class VideoClip(width: Int, height: Int, totalFrames: Int,
+      sampledIdx: Array[Int], frames: Array[PixelImage])
+
+  private val MaxPixels = 1 << 26 // per frame, in step with PixelCodec
+  private val MaxSampledFrames = 4096
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
+      b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+
+  def decodeSampled(b: Array[Byte], stride: Int): Option[VideoClip] = {
+    if (b == null || b.length < 24 || stride < 1) return None
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return None
+    var w = 0
+    var h = 0
+    var topDown = false
+    var moviOff = -1
+    var moviEnd = -1
+
+    // pass 1: find the video stream geometry (strf) and the movi LIST.
+    // LIST payloads nest, so recurse into hdrl/strl lists.
+    def walk(from: Int, to: Int): Boolean = { // false = lost alignment
+      var i = from
+      while (i + 8 <= to) {
+        val size = le32(b, i + 4)
+        if (size < 0 || i + 8 + size.toLong > to) return false
+        if (tag(b, i, "LIST")) {
+          if (size < 4) return false
+          if (tag(b, i + 8, "movi")) { moviOff = i + 12; moviEnd = i + 8 + size }
+          else if (!walk(i + 12, i + 8 + size)) return false
+        } else if (tag(b, i, "strf") && w == 0 && size >= 40) {
+          // BITMAPINFOHEADER of the FIRST stream that looks like video;
+          // only BI_RGB 24bpp qualifies for the real-decode path
+          val bw = le32(b, i + 8 + 4)
+          val bh = le32(b, i + 8 + 8)
+          val bpp = le16(b, i + 8 + 14)
+          val compression = le32(b, i + 8 + 16)
+          if (bw > 0 && bh != 0 && bh != Int.MinValue && bpp == 24 &&
+              compression == 0) {
+            w = bw; h = math.abs(bh); topDown = bh < 0
+          }
+        }
+        i += 8 + size + (size & 1)
+      }
+      true
+    }
+    if (!walk(12, b.length)) return None
+    if (w <= 0 || h <= 0 || moviOff < 0) return None
+    if (w.toLong * h > MaxPixels) return None
+
+    val rasterStride = ((w * 3 + 3) / 4) * 4
+    val rasterSize = rasterStride * h
+    val idx = new scala.collection.mutable.ArrayBuffer[Int]()
+    val frames = new scala.collection.mutable.ArrayBuffer[PixelImage]()
+    var total = 0
+    var i = moviOff
+    while (i + 8 <= moviEnd) {
+      val size = le32(b, i + 4)
+      if (size < 0 || i + 8 + size.toLong > moviEnd) return None
+      // frame chunk ids are '<2-digit stream>db'/'dc' ('00db', '01dc', …)
+      val isFrame = b(i) >= '0' && b(i) <= '9' && b(i + 1) >= '0' &&
+        b(i + 1) <= '9' && b(i + 2) == 'd' && (b(i + 3) == 'b' || b(i + 3) == 'c')
+      if (isFrame) {
+        if (size != rasterSize) return None // compressed payload → stub path
+        if (total % stride == 0) {
+          if (frames.length >= MaxSampledFrames) return None
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            val srcRow = if (topDown) y else h - 1 - y // DIB default: bottom-up
+            var x = 0
+            var src = i + 8 + srcRow * rasterStride
+            var dst = y * w * 3
+            while (x < w) {
+              rgb(dst) = b(src + 2) // BGR on disk
+              rgb(dst + 1) = b(src + 1)
+              rgb(dst + 2) = b(src)
+              x += 1; src += 3; dst += 3
+            }
+            y += 1
+          }
+          idx += total
+          frames += PixelImage(w, h, rgb)
+        }
+        total += 1
+      }
+      i += 8 + size + (size & 1)
+    }
+    if (total == 0) return None
+    Some(VideoClip(w, h, total, idx.toArray, frames.toArray))
+  }
+
+  // ------------------------------------------------------------- encode
+
+  /** Real AVI bytes (fixtures + round-trip tests): one 'vids'/'DIB '
+    * stream, `nFrames` uncompressed 24bpp bottom-up DIB frames from
+    * `px(frame, x, y)`, spec-correct hdrl/strl headers and an idx1
+    * index (which the decoder must skip over). */
+  def encodeAvi(width: Int, height: Int, nFrames: Int,
+      px: (Int, Int, Int) => (Int, Int, Int), fps: Int = 10): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0 && fps > 0 &&
+      width.toLong * height <= MaxPixels)
+    val rasterStride = ((width * 3 + 3) / 4) * 4
+    val rasterSize = rasterStride * height
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wle16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def wle32(v: Int): Unit = { w8(v); w8(v >> 8); w8(v >> 16); w8(v >> 24) }
+    def wtag(t: String): Unit = t.foreach(c => w8(c))
+
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviSize = 4 + nFrames * (8 + rasterSize)
+    val idx1Size = nFrames * 16
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+
+    wtag("RIFF"); wle32(riffSize); wtag("AVI ")
+    wtag("LIST"); wle32(hdrlSize); wtag("hdrl")
+    wtag("avih"); wle32(56)
+    wle32(1000000 / fps) // µs per frame
+    wle32(rasterSize * fps); wle32(0); wle32(0x10) // maxBytesPerSec, pad, HASINDEX
+    wle32(nFrames); wle32(0); wle32(1); wle32(rasterSize)
+    wle32(width); wle32(height)
+    wle32(0); wle32(0); wle32(0); wle32(0) // reserved
+    wtag("LIST"); wle32(4 + (8 + 56) + (8 + 40)); wtag("strl")
+    wtag("strh"); wle32(56)
+    wtag("vids"); wtag("DIB ")
+    wle32(0); wle16(0); wle16(0); wle32(0) // flags, prio, lang, initFrames
+    wle32(1); wle32(fps) // scale, rate
+    wle32(0); wle32(nFrames); wle32(rasterSize)
+    wle32(-1); wle32(0) // quality, sampleSize
+    wle16(0); wle16(0); wle16(width); wle16(height) // rcFrame
+    wtag("strf"); wle32(40)
+    wle32(40); wle32(width); wle32(height)
+    wle16(1); wle16(24); wle32(0); wle32(rasterSize) // planes, bpp, BI_RGB
+    wle32(2835); wle32(2835); wle32(0); wle32(0)
+    wtag("LIST"); wle32(moviSize); wtag("movi")
+    var f = 0
+    while (f < nFrames) {
+      wtag("00db"); wle32(rasterSize)
+      var row = height - 1 // bottom-up
+      while (row >= 0) {
+        var x = 0
+        var written = 0
+        while (x < width) {
+          val (r, g, bl) = px(f, x, row)
+          w8(bl); w8(g); w8(r)
+          written += 3; x += 1
+        }
+        while (written < rasterStride) { w8(0); written += 1 }
+        row -= 1
+      }
+      f += 1
+    }
+    wtag("idx1"); wle32(idx1Size)
+    var off = 4 // offsets are relative to the 'movi' tag
+    f = 0
+    while (f < nFrames) {
+      wtag("00db"); wle32(0x10); wle32(off); wle32(rasterSize) // AVIIF_KEYFRAME
+      off += 8 + rasterSize
+      f += 1
+    }
+    out.toByteArray
+  }
+}

@@ -840,7 +840,81 @@ object Llm {
       |            ELSE n*243049 + 26*(-493)*s1 + 169*s2 END AS BIGINT) AS sumsq_ch1
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q71
+  // Video modality: REAL container decode + first-class frame SAMPLING.
+  // The fixture writer emits actual AVI bytes (RIFF hdrl/strl/movi/idx1
+  // tree, uncompressed 24bpp DIB frames — [[graft.operators.VideoCodec]]),
+  // with per-frame gradients keyed by (doc_id, frame); every 5th doc is
+  // a non-AVI payload exercising the labeled stub row. The operator
+  // samples every 2nd frame and computes exact channel sums off the
+  // decoded pixels, so the DuckDB oracle recomputes each sampled frame's
+  // sums in closed form — a decoder that misreads the LIST tree, the
+  // DIB row order/stride, BGR, or the sampling arithmetic
+  // hash-mismatches. Scale: one clip at a time per executor thread,
+  // only sampled frames materialized, no shuffle.
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // one-time fixture build, fingerprint-cached (see q47): the timed
+    // query measures DECODE + sampling, not the fixture write
+    val out71 = Tables.scratch(s"media71/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out71, version = "v1-avi") {
+      val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      ids.map { id =>
+        val bytes =
+          if (id % 5 == 4) // compressed-codec stand-in → labeled stub row
+            ("MOOV not a container we decode " * 3).getBytes("US-ASCII")
+          else {
+            val nf = 3 + (id % 4).toInt
+            val w = 4 + (id % 3).toInt
+            val h = 3 + (id % 2).toInt
+            val br = (id % 80).toInt
+            val bg = ((id * 3) % 70).toInt
+            val bb = ((id * 7) % 60).toInt
+            // frame f gradient: base walks 9/6/4 per frame; max channel
+            // value 79+45+15+15 = 154 < 255 → closed-form sums exact
+            graft.operators.VideoCodec.encodeAvi(w, h, nf, (f, x, y) =>
+              (br + 9 * f + 3 * x + 5 * y,
+               bg + 6 * f + 5 * x + 2 * y,
+               bb + 4 * f + 2 * x + 7 * y))
+          }
+        (id, bytes)
+      }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out71/data")
+    }
+    graft.operators.Multimodal
+      .sampleVideoFrames(s.read.parquet(s"$mediaDir/data"), stride = 2)
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  // closed forms per sampled frame f ∈ {0,2,4} ∩ [0,nf): over the w×h
+  // grid Sx = h·w(w-1)/2, Sy = w·h(h-1)/2, so
+  // sum_r = w·h·(br+9f) + 3·Sx + 5·Sy (and per-channel analogues)
+  val q71Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 3 + doc_id % 4 AS nf,
+      |         4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+      |         doc_id % 80 AS br, (doc_id * 3) % 70 AS bg,
+      |         (doc_id * 7) % 60 AS bb
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, nf, w, h, br, bg, bb,
+      |         h*(w*(w-1)//2) AS sx, w*(h*(h-1)//2) AS sy,
+      |         unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS f
+      |  FROM g WHERE doc_id % 5 <> 4)
+      |SELECT doc_id, 'dib' AS decoder,
+      |       CAST(nf AS BIGINT) AS total_frames, CAST(f AS BIGINT) AS frame_idx,
+      |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+      |       CAST(w*h*(br + 9*f) + 3*sx + 5*sy AS BIGINT) AS sum_r,
+      |       CAST(w*h*(bg + 6*f) + 5*sx + 2*sy AS BIGINT) AS sum_g,
+      |       CAST(w*h*(bb + 4*f) + 2*sx + 7*sy AS BIGINT) AS sum_b
+      |FROM fr
+      |UNION ALL
+      |SELECT doc_id, 'stub', NULL, NULL, NULL, NULL, NULL, NULL, NULL
+      |FROM g WHERE doc_id % 5 = 4
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_video_frames" -> (q71 _),
     "q70_audio_features" -> (q70 _),
     "q56_ngram_jaccard" -> (q56 _),
     "q51_corpus_prep" -> (q51 _),
@@ -860,6 +934,7 @@ object Llm {
     "q66_image_meta" -> (q66 _))
 
   val oracle: Map[String, String] = Map(
+    "q71_video_frames" -> q71Sql,
     "q70_audio_features" -> q70Sql,
     "q56_ngram_jaccard" -> q56Sql,
     "q51_corpus_prep" -> q51Sql,

@@ -79,6 +79,25 @@ class MultimodalSpec extends SparkFunSuite {
     assert(out(2).getString(2) == "stub" && out(2).getLong(1) == 0L)
   }
 
+  test("video: AVI payloads emit one row per SAMPLED frame, others a stub row") {
+    import spark.implicits._
+    def px(f: Int, x: Int, y: Int): (Int, Int, Int) = (10 + 9 * f, 20, 30)
+    val rows = Seq(
+      (1L, Some(VideoCodec.encodeAvi(4, 3, 5, px))),
+      (2L, Some("MOOV compressed".getBytes("UTF-8"))),
+      (3L, None))
+    val out = Multimodal.sampleVideoFrames(rows.toDF("doc_id", "content"),
+      stride = 2).orderBy("doc_id", "frame_idx").collect()
+    assert(out.length == 5) // frames 0,2,4 + two stub rows
+    val frames = out.filter(_.getString(1) == "dib")
+    assert(frames.map(_.getLong(3)).sameElements(Array(0L, 2L, 4L)))
+    assert(frames.forall(_.getLong(2) == 5L)) // total_frames
+    // constant frame f: sum_r = 12·(10+9f) exactly
+    for ((r, f) <- frames.zip(Seq(0, 2, 4)))
+      assert(r.getLong(6) == 12L * (10 + 9 * f) && r.getLong(7) == 12L * 20)
+    assert(out.filter(_.getString(1) == "stub").forall(_.isNullAt(3)))
+  }
+
   test("decode pipeline introduces no shuffle") {
     val plan = Multimodal.extractFeatures(media)
       .queryExecution.executedPlan.toString
@@ -86,6 +105,9 @@ class MultimodalSpec extends SparkFunSuite {
     val audioPlan = Multimodal.extractAudioFeatures(media)
       .queryExecution.executedPlan.toString
     assert(!audioPlan.contains("Exchange"), s"unexpected shuffle in:\n$audioPlan")
+    val videoPlan = Multimodal.sampleVideoFrames(media)
+      .queryExecution.executedPlan.toString
+    assert(!videoPlan.contains("Exchange"), s"unexpected shuffle in:\n$videoPlan")
   }
 
   test("frame sampling honors the stride") {

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkFunSuite
+
+/** Round-trip + adversarial coverage for the zero-dependency AVI/DIB
+  * video codec. There is no JDK AVI reader to cross-check against, but
+  * each DIB frame raster is byte-identical to a BMP pixel array — so
+  * every frame is cross-checked against the ImageIO-anchored BMP path
+  * (PixelCodec.encodeBmp of the same generator → ImageIO decode), which
+  * ties the AVI row/stride/BGR arithmetic to an independent decoder.
+  */
+class VideoCodecSpec extends SparkFunSuite {
+
+  private def px(f: Int, x: Int, y: Int): (Int, Int, Int) =
+    (10 + 9 * f + 3 * x + 5 * y, 20 + 6 * f + 5 * x + 2 * y,
+      30 + 4 * f + 2 * x + 7 * y)
+
+  private def imageIoBmpRgb(w: Int, h: Int, f: Int): Array[Byte] = {
+    val bmp = PixelCodec.encodeBmp(w, h, (x, y) => px(f, x, y))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    assert(img != null)
+    val out = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = img.getRGB(x, y)
+      val i = (y * w + x) * 3
+      out(i) = ((argb >> 16) & 0xff).toByte
+      out(i + 1) = ((argb >> 8) & 0xff).toByte
+      out(i + 2) = (argb & 0xff).toByte
+    }
+    out
+  }
+
+  test("all frames round-trip exactly at stride 1; ImageIO-anchored BMP agrees") {
+    // width 5 → DIB rows pad 15 → 16 bytes (stride arithmetic exercised)
+    val bytes = VideoCodec.encodeAvi(5, 4, 5, px)
+    val clip = VideoCodec.decodeSampled(bytes, 1).get
+    assert(clip.width == 5 && clip.height == 4 && clip.totalFrames == 5)
+    assert(clip.sampledIdx.sameElements(0 until 5))
+    for (f <- 0 until 5)
+      assert(clip.frames(f).rgb.sameElements(imageIoBmpRgb(5, 4, f)),
+        s"frame $f diverges from the ImageIO-anchored BMP raster")
+  }
+
+  test("sampling materializes exactly every stride-th frame, in order") {
+    val bytes = VideoCodec.encodeAvi(4, 3, 7, px)
+    val s2 = VideoCodec.decodeSampled(bytes, 2).get
+    assert(s2.totalFrames == 7)
+    assert(s2.sampledIdx.sameElements(Array(0, 2, 4, 6)))
+    // each sampled frame is the RIGHT frame, not an off-by-one neighbor
+    for ((idx, i) <- s2.sampledIdx.zipWithIndex)
+      assert(s2.frames(i).rgb.sameElements(imageIoBmpRgb(4, 3, idx)),
+        s"sampled position $i should hold frame $idx")
+    val s10 = VideoCodec.decodeSampled(bytes, 10).get
+    assert(s10.sampledIdx.sameElements(Array(0)) && s10.frames.length == 1)
+  }
+
+  test("the walk skips idx1 and survives injected JUNK/odd-size chunks") {
+    val plain = VideoCodec.encodeAvi(4, 3, 3, px)
+    // splice a 5-byte JUNK chunk (odd → pad) right after 'AVI '
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(plain, 0, 12)
+    out.write("JUNK".getBytes("US-ASCII"))
+    out.write(Array[Byte](5, 0, 0, 0))
+    out.write(Array[Byte](1, 2, 3, 4, 5, 0)) // 5 payload + 1 pad
+    out.write(plain, 12, plain.length - 12)
+    val clip = VideoCodec.decodeSampled(out.toByteArray, 1)
+    assert(clip.isDefined, "walk lost alignment at an odd-size JUNK chunk")
+    assert(clip.get.totalFrames == 3)
+    assert(clip.get.frames(2).rgb.sameElements(imageIoBmpRgb(4, 3, 2)))
+  }
+
+  test("compressed, truncated, and hostile payloads decode to None, never throw") {
+    val good = VideoCodec.encodeAvi(4, 3, 3, px)
+    assert(VideoCodec.decodeSampled(null, 1) == None)
+    assert(VideoCodec.decodeSampled("MOOV nope".getBytes("US-ASCII"), 1) == None)
+    assert(VideoCodec.decodeSampled(good.take(40), 1) == None) // no movi
+    assert(VideoCodec.decodeSampled(good.take(good.length - 20), 1) == None)
+    assert(VideoCodec.decodeSampled(good, 0) == None) // bad stride
+    // a 'dc' chunk whose size ≠ the DIB raster = compressed → stub path
+    val compressed = good.clone()
+    val moviAt = {
+      var i = 12; var at = -1
+      while (at < 0 && i + 12 < compressed.length) {
+        if (compressed(i) == 'L' && compressed(i + 8) == 'm' &&
+            compressed(i + 9) == 'o' && compressed(i + 10) == 'v') at = i
+        else i += 1
+      }
+      at
+    }
+    assert(moviAt > 0)
+    compressed(moviAt + 16) = (compressed(moviAt + 16) - 1).toByte // shrink frame 0
+    assert(VideoCodec.decodeSampled(compressed, 1) == None)
+    // hostile strf: claims 30000x30000 frames over a tiny payload
+    val hostile = good.clone()
+    val strfAt = {
+      var i = 12; var at = -1
+      while (at < 0 && i + 4 < hostile.length) {
+        if (hostile(i) == 's' && hostile(i + 1) == 't' && hostile(i + 2) == 'r' &&
+            hostile(i + 3) == 'f') at = i
+        else i += 1
+      }
+      at
+    }
+    hostile(strfAt + 12) = 0x30; hostile(strfAt + 13) = 0x75 // biWidth 30000
+    hostile(strfAt + 16) = 0x30; hostile(strfAt + 17) = 0x75 // biHeight 30000
+    assert(VideoCodec.decodeSampled(hostile, 1) == None)
+  }
+}
