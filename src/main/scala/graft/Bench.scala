@@ -141,7 +141,8 @@ object Bench {
     // q47/q66's media fixtures are likewise one-time builds
     // (fingerprint-cached): one untimed invocation builds them so the
     // timed runs measure decode/header-parse, not fixture encoding
-    Seq("q47_multimodal_features", "q66_image_meta").filter(names.contains)
+    Seq("q47_multimodal_features", "q66_image_meta", "q70_audio_features",
+        "q71_video_frames").filter(names.contains)
       .foreach { n => warmup(n) { SparkEntry.queries(n)(spark, sfDir).count(); () } }
     sweepCaches(spark)
     // Warm the snapshot-table WRITE path too (staging, footer-stats

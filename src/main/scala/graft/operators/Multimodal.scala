@@ -10,15 +10,17 @@ import org.apache.spark.sql.types._
   * binary payloads — the Spark-side schema, batching, and partitioning are
   * real. Container METADATA extraction is real
   * ([[graft.functions.ImageMetaExpr]] parses PNG/JPEG/GIF/WebP/BMP headers,
-  * q66 oracle-checks it), and so is the DEEP decode for four of the five
-  * formats: [[PixelCodec]] reconstructs actual pixels from 24bpp BMP,
-  * 8-bit PNG (full filter set, Inflater), GIF (LZW, palette, interlace),
-  * and baseline JPEG (from-scratch T.81 Huffman+IDCT — [[JpegCodec]]),
-  * and the features — exact channel sums, means, luma histogram — come
-  * from those pixels (q47 oracle-checks the sums bit-for-bit). Only WebP
-  * (VP8/VP8L transform codec) falls back to the clearly-labeled
-  * deterministic [[StubCodec]], flagged per-row in the `decoder` column;
-  * swap it for a real codec on a cluster that has one.
+  * q66 oracle-checks it), and so is the DEEP decode for all five
+  * container formats: [[PixelCodec]] reconstructs actual pixels from
+  * 24bpp BMP, 8-bit PNG (full filter set, Inflater), GIF (LZW, palette,
+  * interlace), baseline JPEG (from-scratch T.81 Huffman+IDCT —
+  * [[JpegCodec]]), and lossless WebP (from-scratch VP8L prefix codes +
+  * transforms — [[WebpCodec]]), and the features — exact channel sums,
+  * means, luma histogram — come from those pixels (q47 oracle-checks the
+  * sums bit-for-bit). Transform-codec payloads our from-scratch decoders
+  * don't cover (lossy-VP8 WebP, progressive JPEG) fall back to the
+  * clearly-labeled deterministic [[StubCodec]], flagged per-row in the
+  * `decoder` column; swap it for a real codec on a cluster that has one.
   *
   * Scale design: decode is embarrassingly parallel per partition — no
   * shuffle is introduced (verified by MultimodalSpec asserting the plan is
@@ -28,9 +30,9 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** STUB decoder — deterministic stand-in for codec-bound formats
-    * (WebP's pixel layer needs a VP8/VP8L transform codec;
-    * BMP/PNG/GIF/JPEG decode for real via [[PixelCodec]]). Derives
+  /** STUB decoder — deterministic stand-in for codec-bound payloads
+    * (lossy-VP8 WebP, progressive JPEG, compressed audio/video;
+    * BMP/PNG/GIF/JPEG/VP8L decode for real via [[PixelCodec]]). Derives
     * pseudo-features purely from byte length so tests and oracles stay
     * reproducible; rows that went through it carry `decoder = "stub"`.
     */
@@ -57,7 +59,7 @@ object Multimodal {
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("n_frames", LongType, nullable = false),
-    // "bmp" | "png" | "gif" | "jpeg" = real pixel decode; "stub" = fallback
+    // "bmp"|"png"|"gif"|"jpeg"|"webp" = real pixel decode; "stub" = fallback
     StructField("decoder", StringType, nullable = false),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
@@ -96,6 +98,7 @@ object Multimodal {
               if (bytes(0) == 'B') "bmp"
               else if (bytes(0) == 'G') "gif"
               else if ((bytes(0) & 0xff) == 0xff) "jpeg"
+              else if (bytes(0) == 'R') "webp"
               else "png"
             val vec = Array(
               f.sumR.toDouble / n / 255.0,

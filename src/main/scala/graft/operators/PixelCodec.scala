@@ -61,6 +61,9 @@ object PixelCodec {
       decodeGif(b)
     else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
       JpegCodec.decode(b)
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b.length > 11 && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')
+      WebpCodec.decode(b) // VP8L lossless decodes; VP8 lossy → None (stub)
     else None
   }
 

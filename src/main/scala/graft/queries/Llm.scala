@@ -522,16 +522,18 @@ object Llm {
   // multi-MCU, per-8×8-block-constant gradients — with all-ones quant
   // tables a block-constant image is DC-only, so the entropy decode, DC
   // prediction chain, dequant, and IDCT reproduce the pixels EXACTLY and
-  // the closed-form oracle still holds bit-for-bit. Only WebP remains on
-  // the labeled stub fallback — the per-row `decoder` contract a mixed
-  // 100 TB crawl needs.
+  // the closed-form oracle still holds bit-for-bit. WebP rows are REAL
+  // too ([[graft.operators.WebpCodec]], from-scratch VP8L: canonical
+  // prefix codes + transforms — lossless, so the gradient sums hold
+  // bit-for-bit). All five container formats decode real pixels; the
+  // per-row `decoder` label stays (q70/q71 exercise the stub contract).
   def q47(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // fixture build is a one-time layout step (fingerprint-cached, like
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v3-real-jpeg") {
+      version = "v4-five-formats") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -543,13 +545,13 @@ object Llm {
         // oracle's closed-form sums are exact
         def px(x: Int, y: Int): (Int, Int, Int) =
           (br + 3 * x + 5 * y, bg + 5 * x + 2 * y, bb + 2 * x + 7 * y)
-        val bytes = (id % 4).toInt match {
+        val bytes = (id % 5).toInt match {
           case 0 => graft.operators.PixelCodec.encodeBmp(w, h, px,
-            topDown = id % 8 == 4)
+            topDown = (id / 5) % 2 == 1)
           case 1 => graft.operators.PixelCodec.encodePng(w, h, px,
-            withAlpha = id % 8 == 5)
+            withAlpha = (id / 5) % 2 == 1)
           case 2 => graft.operators.PixelCodec.encodeGif(w, h, px)
-          case _ =>
+          case 3 =>
             // real baseline JPEG: (1+id%3)×(1+id%2) MCUs of grayscale,
             // constant per 8×8 block (v = br + 7·bx + 11·by ≤ 121 < 255)
             // → DC-only blocks, bit-exact round-trip, closed-form sums
@@ -559,6 +561,9 @@ object Llm {
                 val v = br + 7 * (x / 8) + 11 * (y / 8)
                 (v, v, v)
               }, gray = true)
+          case _ => // real lossless WebP (VP8L): bit-exact gradient
+            graft.operators.WebpCodec.encodeWebpLossless(w, h, px,
+              subtractGreen = (id / 5) % 2 == 1)
         }
         (id, bytes)
       }.toDF("doc_id", "content")
@@ -618,14 +623,15 @@ object Llm {
       |       CAST(1 + doc_id % 480 AS BIGINT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  // closed-form expected sums. BMP/PNG/GIF rows: w=3+id%6, h=2+id%5; over
-  // the w×h grid sum(x) = h*w*(w-1)/2 and sum(y) = w*h*(h-1)/2, so e.g.
-  // sum_r = w*h*(id%97) + 3*sum(x) + 5*sum(y) (no mod wraparound by
-  // construction). JPEG rows (id%4=3): wb×hb MCUs (wb=1+id%3, hb=1+id%2)
-  // of grayscale constant per block v = br + 7·bx + 11·by, so each
-  // channel sums to 64·(wb·hb·br + 7·hb·Σbx + 11·wb·Σby) — a decoder
-  // that misreads the Huffman stream, the DC prediction chain, dequant,
-  // the IDCT, or the MCU raster order hash-mismatches.
+  // closed-form expected sums. BMP/PNG/GIF/WebP rows: w=3+id%6, h=2+id%5;
+  // over the w×h grid sum(x) = h*w*(w-1)/2 and sum(y) = w*h*(h-1)/2, so
+  // e.g. sum_r = w*h*(id%97) + 3*sum(x) + 5*sum(y) (no mod wraparound by
+  // construction; WebP is lossless so the same formula holds). JPEG rows
+  // (id%5=3): wb×hb MCUs (wb=1+id%3, hb=1+id%2) of grayscale constant
+  // per block v = br + 7·bx + 11·by, so each channel sums to
+  // 64·(wb·hb·br + 7·hb·Σbx + 11·wb·Σby) — a decoder that misreads the
+  // Huffman stream, the DC prediction chain, dequant, the IDCT, the MCU
+  // raster order, or the VP8L prefix/transform layers hash-mismatches.
   val q47Sql =
     """WITH g AS (
       |  SELECT doc_id,
@@ -640,15 +646,16 @@ object Llm {
       |           AS jsum
       |  FROM g)
       |SELECT g.doc_id,
-      |       CASE CAST(g.doc_id % 4 AS INT) WHEN 0 THEN 'bmp'
-      |            WHEN 1 THEN 'png' WHEN 2 THEN 'gif' ELSE 'jpeg' END AS decoder,
-      |       CAST(CASE WHEN g.doc_id % 4 = 3 THEN 8*wb ELSE w END AS BIGINT) AS width,
-      |       CAST(CASE WHEN g.doc_id % 4 = 3 THEN 8*hb ELSE h END AS BIGINT) AS height,
-      |       CAST(CASE WHEN g.doc_id % 4 = 3 THEN jsum ELSE
+      |       CASE CAST(g.doc_id % 5 AS INT) WHEN 0 THEN 'bmp'
+      |            WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
+      |            WHEN 3 THEN 'jpeg' ELSE 'webp' END AS decoder,
+      |       CAST(CASE WHEN g.doc_id % 5 = 3 THEN 8*wb ELSE w END AS BIGINT) AS width,
+      |       CAST(CASE WHEN g.doc_id % 5 = 3 THEN 8*hb ELSE h END AS BIGINT) AS height,
+      |       CAST(CASE WHEN g.doc_id % 5 = 3 THEN jsum ELSE
       |         w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END AS BIGINT) AS sum_r,
-      |       CAST(CASE WHEN g.doc_id % 4 = 3 THEN jsum ELSE
+      |       CAST(CASE WHEN g.doc_id % 5 = 3 THEN jsum ELSE
       |         w*h*bg + 5*(h*w*(w-1)//2) + 2*(w*h*(h-1)//2) END AS BIGINT) AS sum_g,
-      |       CAST(CASE WHEN g.doc_id % 4 = 3 THEN jsum ELSE
+      |       CAST(CASE WHEN g.doc_id % 5 = 3 THEN jsum ELSE
       |         w*h*bb + 2*(h*w*(w-1)//2) + 7*(w*h*(h-1)//2) END AS BIGINT) AS sum_b
       |FROM g JOIN j ON g.doc_id = j.doc_id ORDER BY g.doc_id""".stripMargin
 
