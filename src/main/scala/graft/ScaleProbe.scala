@@ -50,7 +50,8 @@ object ScaleProbe {
     if (factor <= 10)
       Seq("q62_spj_join", "q65_dynamic_table", "q61_stateful_dedup",
         "q56_ngram_jaccard", "q35_minhash_neardup", "q37_ann_topk",
-        "q50_ann_ivf", "q30_dedup_exact", "q47_multimodal_features")
+        "q50_ann_ivf", "q30_dedup_exact", "q47_multimodal_features",
+        "q71_video_frames")
     else // 100×: the scan/join-bound subset (streaming-machinery queries
          // would measure micro-batch count, not data-path scaling)
       Seq("q62_spj_join", "q35_minhash_neardup", "q56_ngram_jaccard")

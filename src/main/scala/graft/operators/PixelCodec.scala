@@ -17,10 +17,12 @@ package graft.operators
   *    clear/end, KwKwK case, 4096-entry dictionary), interlace
   *    de-woven. Palette lookup is exact, so GIF features are exact.
   *
-  * JPEG decodes for real too — the baseline DCT+Huffman codec is
-  * implemented from scratch in [[JpegCodec]] (this object dispatches to
-  * it). WebP's VP8/VP8L pixel layer remains out of scope; it falls back
-  * to [[Multimodal.StubCodec]], labeled per-row via the `decoder` column.
+  * JPEG and lossless WebP decode for real too — the baseline T.81
+  * DCT+Huffman codec is implemented from scratch in [[JpegCodec]] and
+  * the VP8L prefix-code/transform layer in [[WebpCodec]] (this object
+  * dispatches to both). Only genuinely transform-codec payloads
+  * (lossy-VP8 WebP, progressive JPEG) fall back to
+  * [[Multimodal.StubCodec]], labeled per-row via the `decoder` column.
   *
   * Anything malformed decodes to None, never an exception — corrupt media
   * in a 100 TB crawl is data, not an error.

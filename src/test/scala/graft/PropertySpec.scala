@@ -135,7 +135,7 @@ class PropertySpec extends SparkFunSuite {
       }
       out
     }
-    check(Prop.forAll(dimGen, dimGen, seedGen, Gen.choose(0, 2)) {
+    check(Prop.forAll(dimGen, dimGen, seedGen, Gen.choose(0, 3)) {
       (w, h, seed, fmt) =>
         // GIF needs ≤256 distinct colors, so its generator is quantized
         val px: (Int, Int) => (Int, Int, Int) =
@@ -146,7 +146,9 @@ class PropertySpec extends SparkFunSuite {
         val bytes = fmt match {
           case 0 => PixelCodec.encodeBmp(w, h, px, topDown = seed % 2 == 0)
           case 1 => PixelCodec.encodePng(w, h, px, withAlpha = seed % 2 == 0)
-          case _ => PixelCodec.encodeGif(w, h, px)
+          case 2 => PixelCodec.encodeGif(w, h, px)
+          case _ => graft.operators.WebpCodec.encodeWebpLossless(w, h, px,
+            subtractGreen = seed % 2 == 0)
         }
         val img = PixelCodec.decode(bytes).get
         val expected = new Array[Byte](w * h * 3)
@@ -158,8 +160,10 @@ class PropertySpec extends SparkFunSuite {
         }
         img.width == w && img.height == h &&
           img.rgb.sameElements(expected) &&
-          imageIoRgb(bytes).sameElements(expected)
-    }, n = 60)
+          // no JDK WebP reader: VP8L skips the ImageIO cross-check and
+          // relies on WebpCodecSpec's hand-crafted spec streams instead
+          (fmt == 3 || imageIoRgb(bytes).sameElements(expected))
+    }, n = 80)
   }
 
   test("property: scale-probe substitution targets are pairwise distinct") {

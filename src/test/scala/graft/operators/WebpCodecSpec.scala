@@ -208,6 +208,15 @@ class WebpCodecSpec extends SparkFunSuite {
       assert(rgbAt(img.get, x, 0) == want(x), s"palette pixel $x")
   }
 
+  test("image_meta header parse agrees with our VP8L container writer") {
+    // the metadata parser and the pixel codec are independent byte
+    // walkers — they must see the same geometry in the same bytes
+    val bytes = encodeWebpLossless(9, 7, grad)
+    assert(graft.functions.ImageMeta.parse(bytes) == (("webp", 9, 7)))
+    assert(graft.functions.ImageMeta.parse(
+      encodeWebpLossless(1, 1, grad)) == (("webp", 1, 1)))
+  }
+
   test("features dispatch: Multimodal labels lossless WebP rows 'webp'") {
     import spark.implicits._
     val rows = Seq(
