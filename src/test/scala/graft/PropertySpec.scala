@@ -166,6 +166,35 @@ class PropertySpec extends SparkFunSuite {
     }, n = 80)
   }
 
+  test("property: corrupt media bytes never throw in any codec") {
+    import graft.operators.{PixelCodec, JpegCodec, WebpCodec, AudioCodec, VideoCodec}
+    // the 100 TB contract: corrupt media is DATA — every decoder returns
+    // None (or a structurally valid result) on arbitrary mutations of
+    // valid payloads, never an exception. Mutations hit header, tables,
+    // and entropy regions alike.
+    val px = (x: Int, y: Int) => (10 + x, 20 + y, 30 + x + y)
+    val valid: Seq[Array[Byte]] = Seq(
+      PixelCodec.encodeBmp(6, 5, px),
+      PixelCodec.encodePng(6, 5, px),
+      PixelCodec.encodeGif(6, 5, px),
+      JpegCodec.encodeJpeg(16, 16, px, gray = true),
+      WebpCodec.encodeWebpLossless(6, 5, px),
+      AudioCodec.encodeWav(8000, 2, Array.tabulate(40)(i => i * 7 - 100)),
+      VideoCodec.encodeAvi(4, 3, 3, (f, x, y) => px(x + f, y)))
+    check(Prop.forAll(Gen.choose(0, valid.size - 1), Gen.choose(0, 1000000),
+      Gen.choose(1, 6)) { (which, seed, nFlips) =>
+      val b = valid(which).clone()
+      val rnd = new scala.util.Random(seed)
+      for (_ <- 0 until nFlips)
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      // decode through every entry point: must return, not throw
+      PixelCodec.decode(b)
+      AudioCodec.decode(b)
+      VideoCodec.decodeSampled(b, 2)
+      true
+    }, n = 200)
+  }
+
   test("property: scale-probe substitution targets are pairwise distinct") {
     // the probe's linear-scaling claim for near-dup queries rests on
     // copies being decorrelated: two copies sharing a substitution would
