@@ -1,20 +1,23 @@
 package graft.operators
 
-/** From-scratch baseline JPEG (ITU-T T.81) codec — no codec library.
+/** From-scratch JPEG (ITU-T T.81) codec — no codec library.
   *
-  * Decoder: baseline sequential DCT, 8-bit precision. The full pixel
-  * path is implemented from the public spec: marker/segment walk
-  * (SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOF1/SOS), canonical Huffman decode
-  * (T.81 F.16: mincode/maxcode/valptr), DC prediction + EXTEND sign
-  * recovery (F.12), AC run-length with ZRL/EOB, zigzag→natural
-  * reorder, dequantization, double-precision separable IDCT (A.3.3),
-  * byte-stuffing (FF 00) and restart-marker handling, chroma
-  * upsampling by sample replication for any h/v in 1..4 (covers
-  * 4:4:4, 4:2:2, 4:4:0, 4:2:0), and JFIF YCbCr→RGB (single-component
-  * scans decode as grayscale). Progressive (SOF2) and arithmetic
-  * coding return None → the labeled stub path, like any other
-  * malformed/unsupported payload: corrupt media in a 100 TB crawl is
-  * data, not an error.
+  * Decoder: baseline/extended sequential AND progressive DCT, 8-bit
+  * precision. The full pixel path is implemented from the public spec:
+  * marker/segment walk (SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOF1/SOF2/SOS),
+  * canonical Huffman decode (T.81 F.16: mincode/maxcode/valptr), DC
+  * prediction + EXTEND sign recovery (F.12), AC run-length with
+  * ZRL/EOB, zigzag→natural reorder, dequantization, double-precision
+  * separable IDCT (A.3.3), byte-stuffing (FF 00) and restart-marker
+  * handling, chroma upsampling by sample replication for any h/v in
+  * 1..4 (covers 4:4:4, 4:2:2, 4:4:0, 4:2:0), and JFIF YCbCr→RGB
+  * (single-component scans decode as grayscale). Progressive frames
+  * (Annex G) accumulate coefficients across the scan script — DC
+  * first/refinement, per-band AC first/refinement with EOB-run coding
+  * and successive-approximation correction bits — and reconstruct at
+  * EOI. Arithmetic coding and hierarchical frames return None → the
+  * labeled stub path, like any other malformed/unsupported payload:
+  * corrupt media in a 100 TB crawl is data, not an error.
   *
   * Encoder (fixtures + round-trip tests): baseline sequential, quant
   * tables all-ones, grayscale or 4:4:4 YCbCr, double-precision FDCT.
@@ -142,6 +145,15 @@ object JpegCodec {
     var plane: Array[Byte] = null // pw × ph samples
     var pw = 0
     var ph = 0
+    // progressive state: coefficient buffer in natural order, one 64-entry
+    // block per (bw × bh) MCU-padded grid slot; nbw/nbh is the
+    // NON-interleaved grid (ceil(componentSize/8)) single-component scans
+    // traverse (T.81 A.2.2)
+    var coefs: Array[Int] = null
+    var bw = 0
+    var bh = 0
+    var nbw = 0
+    var nbh = 0
   }
 
   def decode(b: Array[Byte]): Option[PixelImage] = {
@@ -166,15 +178,22 @@ object JpegCodec {
     var width = 0
     var height = 0
     var restartInterval = 0
+    var progressive = false
+    var progScans = 0 // progressive scans successfully processed
 
     var i = 2
-    while (i + 3 < b.length) {
+    while (i + 1 < b.length) { // EOI can be the final two bytes
       if ((b(i) & 0xff) != 0xff) corrupt()
       while (i + 1 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1 // fill bytes
+      if (i + 1 >= b.length) corrupt()
       val m = b(i + 1) & 0xff
-      if (m == 0xd9) return None // EOI before any scan completed
+      if (m == 0xd9) // EOI: reconstruct a progressive frame, else give up
+        return if (progressive && progScans > 0)
+          Some(finishProgressive(comps, width, height, qt))
+        else None
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
       else {
+        if (i + 4 > b.length) corrupt()
         val len = be16(b, i + 2)
         if (len < 2 || i + 2 + len > b.length) corrupt()
         val seg = i + 4 // first payload byte
@@ -214,8 +233,9 @@ object JpegCodec {
             }
           case 0xdd => // DRI
             restartInterval = be16(b, seg)
-          case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 ext. sequential Huffman
+          case 0xc0 | 0xc1 | 0xc2 => // SOF0 baseline / SOF1 ext. seq. / SOF2 progressive
             if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
+            progressive = m == 0xc2
             height = be16(b, seg + 1)
             width = be16(b, seg + 3)
             val nf = b(seg + 5) & 0xff
@@ -228,14 +248,15 @@ object JpegCodec {
               if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4) corrupt()
               comp
             }
-          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
               0xcd | 0xce | 0xcf =>
-            return None // progressive / hierarchical / arithmetic: stub path
+            return None // hierarchical / arithmetic coding: stub path
           case 0xda => // SOS → entropy-coded data follows
             if (comps == null) corrupt()
             val ns = b(seg) & 0xff
-            if (ns != comps.length) return None // non-interleaved multi-scan: out of scope
+            if (ns < 1 || ns > comps.length) corrupt()
             var p = seg + 1
+            val scanComps = new Array[Component](ns)
             var c = 0
             while (c < ns) {
               val cs = b(p) & 0xff
@@ -243,19 +264,259 @@ object JpegCodec {
               val tt = b(p + 1) & 0xff
               comp.dcTable = dcTables(tt >> 4)
               comp.acTable = acTables(tt & 0x0f)
-              if (comp.dcTable == null || comp.acTable == null || qt(comp.tq) == null)
-                corrupt()
+              if (qt(comp.tq) == null) corrupt()
+              scanComps(c) = comp
               p += 2
               c += 1
             }
-            decodeScan(b, segEnd, comps, width, height, qt, restartInterval)
-            return Some(toRgb(comps, width, height))
+            val ss = b(p) & 0xff
+            val se = b(p + 1) & 0xff
+            val ah = (b(p + 2) & 0xff) >> 4
+            val al = b(p + 2) & 0x0f
+            if (!progressive) {
+              if (ns != comps.length) return None // non-interleaved sequential: out of scope
+              scanComps.foreach(sc =>
+                if (sc.dcTable == null || sc.acTable == null) corrupt())
+              decodeScan(b, segEnd, comps, width, height, qt, restartInterval)
+              return Some(toRgb(comps, width, height))
+            } else {
+              if (comps(0).coefs == null) allocProgressive(comps, width, height)
+              i = processProgressiveScan(b, segEnd, comps, scanComps,
+                ss, se, ah, al, restartInterval, width, height)
+              progScans += 1
+            }
           case _ => // APPn / COM / anything else with a length field
         }
-        i = segEnd
+        if (!(m == 0xda && progressive)) i = segEnd
       }
     }
     None
+  }
+
+  // ----------------------------------------------- progressive (SOF2)
+
+  private def allocProgressive(comps: Array[Component], width: Int,
+      height: Int): Unit = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    for (c <- comps) {
+      c.bw = mcusX * c.h
+      c.bh = mcusY * c.v
+      val compW = (width * c.h + hmax - 1) / hmax
+      val compH = (height * c.v + vmax - 1) / vmax
+      c.nbw = (compW + 7) / 8
+      c.nbh = (compH + 7) / 8
+      if (c.bw.toLong * c.bh * 64 > 8L * MaxPixels) corrupt()
+      c.coefs = new Array[Int](c.bw * c.bh * 64)
+    }
+  }
+
+  /** One progressive scan (T.81 Annex G): DC first/refine (interleaved
+    * MCU order for multi-component scans, the component's own block grid
+    * for single-component ones), AC first/refine with EOB-run coding
+    * and successive-approximation correction bits. Returns the byte
+    * position after the scan's entropy data. */
+  private def processProgressiveScan(b: Array[Byte], start: Int,
+      frameComps: Array[Component], scanComps: Array[Component],
+      ss: Int, se: Int, ah: Int, al: Int, ri: Int,
+      width: Int, height: Int): Int = {
+    if (se > 63 || ss > se || al > 13) corrupt()
+    if (ss == 0 && se != 0) corrupt() // DC scans cover exactly band 0
+    if (ss > 0 && scanComps.length != 1) corrupt() // AC scans: one component
+    val r = new BitReader(b, start)
+    scanComps.foreach(_.pred = 0)
+    var eobrun = 0
+    if (ss == 0 && scanComps.length > 1) {
+      // interleaved DC scan over the MCU grid
+      scanComps.foreach(c => if (ah == 0 && c.dcTable == null) corrupt())
+      val hmax = frameComps.map(_.h).max
+      val vmax = frameComps.map(_.v).max
+      val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+      var mcu = 0
+      val n = mcusX * mcusY
+      while (mcu < n) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          r.restart()
+          scanComps.foreach(_.pred = 0)
+        }
+        val my = mcu / mcusX
+        val mx = mcu % mcusX
+        for (c <- scanComps) {
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              decodeDcProg(r, c,
+                ((my * c.v + by) * c.bw + (mx * c.h + bx)) * 64, ah, al)
+              bx += 1
+            }
+            by += 1
+          }
+        }
+        mcu += 1
+      }
+    } else {
+      // single-component scan: the component's own block grid (MCU = 1
+      // block, T.81 A.2.2); covers DC and AC bands
+      val c = scanComps(0)
+      if (ss == 0 && ah == 0 && c.dcTable == null) corrupt()
+      if (ss > 0 && c.acTable == null) corrupt()
+      var blk = 0
+      val n = c.nbw * c.nbh
+      while (blk < n) {
+        if (ri > 0 && blk > 0 && blk % ri == 0) {
+          r.restart()
+          c.pred = 0
+          eobrun = 0
+        }
+        val base = ((blk / c.nbw) * c.bw + (blk % c.nbw)) * 64
+        if (ss == 0) decodeDcProg(r, c, base, ah, al)
+        else eobrun =
+          if (ah == 0) acFirst(r, c, base, ss, se, al, eobrun)
+          else acRefine(r, c, base, ss, se, al, eobrun)
+        blk += 1
+      }
+    }
+    r.pos
+  }
+
+  private def decodeDcProg(r: BitReader, c: Component, base: Int,
+      ah: Int, al: Int): Unit =
+    if (ah == 0) { // first pass: baseline DC diff, scaled by 2^Al
+      val s = r.decode(c.dcTable)
+      if (s > 15) corrupt()
+      c.pred += extend(r.receive(s), s)
+      c.coefs(base) = c.pred << al
+    } else { // refinement: one appended magnitude bit
+      if (r.nextBit() == 1) c.coefs(base) |= 1 << al
+    }
+
+  /** AC first pass (G.1.2.2): run/size symbols with EOBn run coding. */
+  private def acFirst(r: BitReader, c: Component, base: Int,
+      ss: Int, se: Int, al: Int, eobrun: Int): Int = {
+    if (eobrun > 0) return eobrun - 1
+    var k = ss
+    while (k <= se) {
+      val rs = r.decode(c.acTable)
+      val run = rs >> 4
+      val s = rs & 0x0f
+      if (s != 0) {
+        k += run
+        if (k > 63) corrupt()
+        c.coefs(base + ZigZag(k)) = extend(r.receive(s), s) << al
+        k += 1
+      } else {
+        if (run != 15) {
+          var e = (1 << run) - 1
+          if (run > 0) e += r.receive(run)
+          return e
+        }
+        k += 16 // ZRL
+      }
+    }
+    0
+  }
+
+  /** AC refinement pass (G.1.2.3): correction bits for known-nonzero
+    * coefficients, ±2^Al for newly nonzero ones, EOB-run aware. */
+  private def acRefine(r: BitReader, c: Component, base: Int,
+      ss: Int, se: Int, al: Int, eobrunIn: Int): Int = {
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var eobrun = eobrunIn
+    var k = ss
+    if (eobrun == 0) {
+      var ended = false
+      while (k <= se && !ended) {
+        val rs = r.decode(c.acTable)
+        var run = rs >> 4
+        val s = rs & 0x0f
+        var newval = 0
+        if (s != 0) {
+          if (s != 1) corrupt() // refinement writes magnitude-1 coefs only
+          newval = if (r.nextBit() == 1) p1 else m1
+        } else if (run != 15) {
+          eobrun = 1 << run
+          if (run > 0) eobrun += r.receive(run)
+          ended = true
+        } // run == 15 → ZRL: skip 16 zero-history coefficients below
+        if (!ended) {
+          // advance over nonzero-history coefficients (appending their
+          // correction bits) and `run` still-zero ones
+          var stop = false
+          while (!stop && k <= se) {
+            val z = base + ZigZag(k)
+            val cur = c.coefs(z)
+            if (cur != 0) {
+              if (r.nextBit() == 1 && (cur & p1) == 0)
+                c.coefs(z) = cur + (if (cur >= 0) p1 else m1)
+              k += 1
+            } else if (run == 0) stop = true // newval lands here
+            else {
+              run -= 1
+              k += 1
+            }
+          }
+          if (newval != 0 && k <= se) c.coefs(base + ZigZag(k)) = newval
+          k += 1
+        }
+      }
+    }
+    if (eobrun > 0) { // rest of the band: correction bits only
+      while (k <= se) {
+        val z = base + ZigZag(k)
+        val cur = c.coefs(z)
+        if (cur != 0 && r.nextBit() == 1 && (cur & p1) == 0)
+          c.coefs(z) = cur + (if (cur >= 0) p1 else m1)
+        k += 1
+      }
+      eobrun -= 1
+    }
+    eobrun
+  }
+
+  /** Dequantize + IDCT every accumulated block, then color-convert. */
+  private def finishProgressive(comps: Array[Component], width: Int,
+      height: Int, qt: Array[Array[Int]]): PixelImage = {
+    val dq = new Array[Int](64)
+    val pix = new Array[Int](64)
+    for (c <- comps) {
+      val q = qt(c.tq)
+      if (q == null) corrupt()
+      c.pw = c.bw * 8
+      c.ph = c.bh * 8
+      c.plane = new Array[Byte](c.pw * c.ph)
+      var by = 0
+      while (by < c.bh) {
+        var bx = 0
+        while (bx < c.bw) {
+          val base = (by * c.bw + bx) * 64
+          var k = 0
+          while (k < 64) {
+            val n = ZigZag(k)
+            dq(n) = c.coefs(base + n) * q(k)
+            k += 1
+          }
+          idct(dq, pix)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            val rowOff = (by * 8 + y) * c.pw + bx * 8
+            while (x < 8) {
+              c.plane(rowOff + x) = pix(y * 8 + x).toByte
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    toRgb(comps, width, height)
   }
 
   /** Interleaved baseline scan: all MCUs, restart-interval aware. */

@@ -156,15 +156,7 @@ class JpegCodecSpec extends SparkFunSuite {
     assert(mean <= 2.0, f"mean channel divergence $mean%.2f > 2.0")
   }
 
-  test("progressive, truncated, and corrupt JPEG payloads decode to None") {
-    val good = JpegCodec.encodeJpeg(24, 16, blockGray(40), gray = true)
-    assert(decode(good.take(good.length / 2)) == None) // truncated entropy data
-    assert(decode(good.take(20)) == None) // truncated in the header walk
-    assert(JpegCodec.decode(Array[Byte](0xff.toByte, 0xd8.toByte)) == None)
-    // progressive (SOF2) must take the labeled stub path, not misdecode
-    val img = new java.awt.image.BufferedImage(16, 16,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x336699)
+  private def imageIoProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
     val param = writer.getDefaultWriteParam
     param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
@@ -173,8 +165,55 @@ class JpegCodecSpec extends SparkFunSuite {
     writer.setOutput(ios)
     writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
     ios.close(); writer.dispose()
-    assert(decode(buf.toByteArray) == None,
-      "progressive JPEG must fall back to the labeled stub, not misdecode")
+    buf.toByteArray
+  }
+
+  test("progressive grayscale (SOF2) decodes like ImageIO reads it back") {
+    // ImageIO's progressive writer emits the full Annex-G scan script:
+    // interleaved DC first + refinement, per-band AC first + refinement
+    // passes with EOB runs — all exercised here against its own reader
+    val rnd = new scala.util.Random(99)
+    val img = new java.awt.image.BufferedImage(21, 14,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 14; x <- 0 until 21)
+      img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+    val bytes = imageIoProgressive(img)
+    val ours = decode(bytes)
+    assert(ours.isDefined, "our decoder rejected an ImageIO progressive JPEG")
+    assert(ours.get.width == 21 && ours.get.height == 14)
+    assert(maxAbsDiff(imageIoRgb(bytes), ours.get.rgb) <= 2,
+      "progressive decode diverges from ImageIO beyond IDCT rounding")
+  }
+
+  test("progressive color (4:2:0) decodes within upsampling tolerance") {
+    val img = new java.awt.image.BufferedImage(24, 18,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 18; x <- 0 until 24)
+      img.setRGB(x, y, ((40 + 3 * x) << 16) | ((60 + 2 * y) << 8) | (80 + x + y))
+    val bytes = imageIoProgressive(img)
+    val ours = decode(bytes)
+    assert(ours.isDefined, "our decoder rejected an ImageIO progressive color JPEG")
+    val ref = imageIoRgb(bytes)
+    assert(maxAbsDiff(ref, ours.get.rgb) <= 12,
+      "progressive 4:2:0 decode diverges beyond upsampling-filter tolerance")
+    val mean = ours.get.rgb.indices.map(i =>
+      math.abs((ref(i) & 0xff) - (ours.get.rgb(i) & 0xff))).sum.toDouble /
+      ours.get.rgb.length
+    assert(mean <= 2.0, f"mean channel divergence $mean%.2f > 2.0")
+  }
+
+  test("truncated and corrupt JPEG payloads decode to None, never throw") {
+    val good = JpegCodec.encodeJpeg(24, 16, blockGray(40), gray = true)
+    assert(decode(good.take(good.length / 2)) == None) // truncated entropy data
+    assert(decode(good.take(20)) == None) // truncated in the header walk
+    assert(JpegCodec.decode(Array[Byte](0xff.toByte, 0xd8.toByte)) == None)
+    // truncated progressive: cut mid-scan → None, not a partial misdecode
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.getRaster.setSample(x, y, 0, (x * 16 + y) % 256)
+    val prog = imageIoProgressive(img)
+    assert(decode(prog.take(prog.length / 2)) == None)
     // flip bytes inside the entropy segment: must be None or a valid-size
     // image, never a throw
     val corrupt = good.clone()
