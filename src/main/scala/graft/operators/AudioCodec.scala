@@ -7,8 +7,11 @@ package graft.operators
   *    anything else — `LIST`, `fact`, `cue ` — skipped by its declared
   *    size, word-aligned as the RIFF spec requires).
   *  - Formats: PCM (wFormatTag 1) and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
-  *    wrapping PCM; 8-bit unsigned and 16-bit signed little-endian
-  *    samples, any channel count ≥ 1, any sample rate ≥ 1.
+  *    wrapping PCM; 8-bit unsigned and 16/24/32-bit signed
+  *    little-endian samples, any channel count ≥ 1, any sample
+  *    rate ≥ 1. (Sums stay exact in Long at any width; sums-of-squares
+  *    are exact for ≤16-bit always and for wider samples at realistic
+  *    levels/lengths.)
   *  - Output: interleaved samples normalized to signed ints (8-bit is
   *    stored unsigned in WAV: 128 maps to 0), so features are exact
   *    integers an oracle can recompute in closed form.
@@ -81,16 +84,23 @@ object AudioCodec {
       i += 8 + size + (size & 1) // RIFF chunks are word-aligned
     }
     if (fmtTag != 1 || dataOff < 0) return None // non-PCM → stub path
-    if (channels < 1 || sampleRate < 1 || (bits != 8 && bits != 16)) return None
+    if (channels < 1 || sampleRate < 1 ||
+        (bits != 8 && bits != 16 && bits != 24 && bits != 32)) return None
     val bytesPer = bits / 8
     val n = dataLen / (bytesPer * channels) * channels // whole frames only
     if (n <= 0 || n > MaxSamples) return None
     val out = new Array[Int](n)
     var s = 0
     while (s < n) {
-      out(s) =
-        if (bits == 8) (b(dataOff + s) & 0xff) - 128 // WAV 8-bit is unsigned
-        else le16(b, dataOff + s * 2).toShort.toInt
+      val o = dataOff + s * bytesPer
+      out(s) = bits match {
+        case 8 => (b(o) & 0xff) - 128 // WAV 8-bit is unsigned
+        case 16 => le16(b, o).toShort.toInt
+        case 24 => // sign-extend the 24-bit LE value
+          (((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+            ((b(o + 2) & 0xff) << 16)) << 8) >> 8
+        case _ => le32(b, o)
+      }
       s += 1
     }
     Some(PcmClip(sampleRate, channels, bits, out))

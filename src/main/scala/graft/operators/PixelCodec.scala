@@ -6,11 +6,14 @@ package graft.operators
   *  - BMP: uncompressed 24bpp BI_RGB (BITMAPINFOHEADER or later), both
   *    bottom-up (positive biHeight) and top-down (negative) row orders,
   *    4-byte-aligned row stride, BGR byte order (MS BMP spec).
-  *  - PNG: 8-bit-depth truecolor (color type 2) and truecolor+alpha
-  *    (type 6), non-interlaced. IDAT chunks are concatenated, inflated
-  *    with `java.util.zip.Inflater` (zlib stream, exactly what the PNG
-  *    spec mandates), and every row filter — None/Sub/Up/Average/Paeth
-  *    (PNG spec §9) — is reconstructed. Alpha is dropped on output.
+  *  - PNG: all five color types — grayscale (1/2/4/8/16-bit), truecolor
+  *    (8/16), palette (1/2/4/8, PLTE), gray+alpha and RGBA (8/16) — in
+  *    both non-interlaced and Adam7-interlaced layouts. IDAT chunks are
+  *    concatenated, inflated with `java.util.zip.Inflater` (zlib
+  *    stream, exactly what the PNG spec mandates), and every row
+  *    filter — None/Sub/Up/Average/Paeth (PNG spec §9) — is
+  *    reconstructed per pass. Alpha is dropped on output; 16-bit
+  *    samples downscale to their high byte.
   *  - GIF: 87a/89a, global/local color tables, extension blocks skipped,
   *    full-frame images (animation frames/tiles out of scope), LZW pixel
   *    stream decoded from scratch (variable 3..12-bit codes, LSB-first,
@@ -114,7 +117,15 @@ object PixelCodec {
     Some(PixelImage(w, h, out))
   }
 
-  /** 8-bit color type 2 (RGB) / 6 (RGBA), non-interlaced. */
+  /** Adam7 pass origins/steps: (x0, y0, xStep, yStep) per pass. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** All five color types (gray / RGB / palette / gray+alpha / RGBA),
+    * bit depths 1/2/4/8/16 where the spec allows them, Adam7 interlace.
+    * 16-bit samples downscale to their high byte (what ImageIO's 8-bit
+    * view shows); alpha is dropped; palette indices resolve via PLTE. */
   private def decodePng(b: Array[Byte]): Option[PixelImage] = {
     if (b.length < 33) return None
     // IHDR is mandated first: length 13, type at 12
@@ -122,16 +133,29 @@ object PixelCodec {
         b(14) != 'D' || b(15) != 'R') return None
     val w = be32(b, 16)
     val h = be32(b, 20)
-    val bitDepth = b(24) & 0xff
+    val depth = b(24) & 0xff
     val colorType = b(25) & 0xff
     val interlace = b(28) & 0xff
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
-    if (bitDepth != 8 || (colorType != 2 && colorType != 6) || interlace != 0)
-      return None
-    val bpp = if (colorType == 6) 4 else 3
+    if (interlace > 1) return None
+    val channels = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // truecolor
+      case 3 => 1 // palette indices
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // RGBA
+      case _ => return None
+    }
+    val depthOk = colorType match {
+      case 0 => Set(1, 2, 4, 8, 16)(depth)
+      case 3 => Set(1, 2, 4, 8)(depth)
+      case _ => depth == 8 || depth == 16
+    }
+    if (!depthOk) return None
 
-    // walk chunks, concatenating IDAT payloads
+    // walk chunks: concatenate IDAT, capture PLTE for palette images
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
     var i = 8 + 8 + 13 + 4 // past IHDR
     var sawEnd = false
     while (!sawEnd && i + 8 <= b.length) {
@@ -139,14 +163,34 @@ object PixelCodec {
       if (len < 0 || i + 8 + len.toLong + 4 > b.length) return None
       val typ = new String(b, i + 4, 4, "US-ASCII")
       if (typ == "IDAT") idat.write(b, i + 8, len)
-      else if (typ == "IEND") sawEnd = true
+      else if (typ == "PLTE") {
+        if (len % 3 != 0 || len > 768) return None
+        palette = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + len)
+      } else if (typ == "IEND") sawEnd = true
       i += 8 + len + 4
     }
     if (idat.size() == 0) return None
+    if (colorType == 3 && palette == null) return None
 
-    // inflate the zlib stream to filtered scanlines
-    val rowBytes = 1 + w * bpp
-    val raw = new Array[Byte](rowBytes * h)
+    val bitsPerPx = channels * depth
+    def rowBytesFor(pixels: Int): Int = (pixels * bitsPerPx + 7) / 8
+    // filtering operates on BYTES with bpp = the filter stride (≥1 byte)
+    val fbpp = math.max(1, bitsPerPx / 8)
+
+    // total inflated size across passes (one pass unless Adam7)
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, xs, ys) = p
+      (if (w > x0) (w - x0 + xs - 1) / xs else 0,
+        if (h > y0) (h - y0 + ys - 1) / ys else 0)
+    }
+    val rawLen = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else (1L + rowBytesFor(pw)) * ph
+    }.sum
+    if (rawLen <= 0 || rawLen > 64L * MaxPixels) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -161,44 +205,92 @@ object PixelCodec {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
 
-    // unfilter (PNG spec §9: a = left, b = above, c = upper-left; all
-    // arithmetic on the RECONSTRUCTED bytes of this and the prior row)
-    val line = new Array[Int](w * bpp) // reconstructed current row
-    val prior = new Array[Int](w * bpp)
     val out = new Array[Byte](w * h * 3)
-    var y = 0
-    while (y < h) {
-      val f = raw(y * rowBytes) & 0xff
-      var x = 0
-      while (x < w * bpp) {
-        val v = raw(y * rowBytes + 1 + x) & 0xff
-        val a = if (x >= bpp) line(x - bpp) else 0
-        val up = prior(x)
-        val c = if (x >= bpp) prior(x - bpp) else 0
-        val recon = f match {
-          case 0 => v
-          case 1 => v + a
-          case 2 => v + up
-          case 3 => v + ((a + up) >> 1)
-          case 4 => // Paeth predictor
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up)
-            val pc = math.abs(p - c)
-            v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
-          case _ => return None // unknown filter type
+    var rawOff = 0
+    for (p <- passes) {
+      val (x0, y0, xs, ys) = p
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val rowBytes = rowBytesFor(pw)
+        val line = new Array[Int](rowBytes) // reconstructed bytes, this row
+        val prior = new Array[Int](rowBytes)
+        java.util.Arrays.fill(prior, 0)
+        var y = 0
+        while (y < ph) {
+          val f = raw(rawOff) & 0xff
+          var x = 0
+          while (x < rowBytes) {
+            val v = raw(rawOff + 1 + x) & 0xff
+            val a = if (x >= fbpp) line(x - fbpp) else 0
+            val up = prior(x)
+            val c = if (x >= fbpp) prior(x - fbpp) else 0
+            val recon = f match {
+              case 0 => v
+              case 1 => v + a
+              case 2 => v + up
+              case 3 => v + ((a + up) >> 1)
+              case 4 => // Paeth predictor
+                val pr = a + up - c
+                val pa = math.abs(pr - a); val pb = math.abs(pr - up)
+                val pc = math.abs(pr - c)
+                v + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+              case _ => return None // unknown filter type
+            }
+            line(x) = recon & 0xff
+            x += 1
+          }
+          // emit this pass-row's pixels into the full-resolution output
+          var px = 0
+          while (px < pw) {
+            val ox = x0 + px * xs
+            val oy = y0 + y * ys
+            val o = (oy * w + ox) * 3
+            if (depth >= 8) {
+              val step = depth / 8 // bytes per sample; take the high byte
+              val base = px * channels * step
+              colorType match {
+                case 0 =>
+                  val g = line(base).toByte
+                  out(o) = g; out(o + 1) = g; out(o + 2) = g
+                case 2 =>
+                  out(o) = line(base).toByte
+                  out(o + 1) = line(base + step).toByte
+                  out(o + 2) = line(base + 2 * step).toByte
+                case 3 =>
+                  val idx = line(base)
+                  if (idx * 3 + 2 >= palette.length) return None
+                  out(o) = palette(idx * 3)
+                  out(o + 1) = palette(idx * 3 + 1)
+                  out(o + 2) = palette(idx * 3 + 2)
+                case 4 =>
+                  val g = line(base).toByte
+                  out(o) = g; out(o + 1) = g; out(o + 2) = g
+                case _ =>
+                  out(o) = line(base).toByte
+                  out(o + 1) = line(base + step).toByte
+                  out(o + 2) = line(base + 2 * step).toByte
+              }
+            } else { // sub-byte depths: gray (type 0) or palette (type 3)
+              val bitPos = px * depth
+              val sample = (line(bitPos >> 3) >> (8 - depth - (bitPos & 7))) &
+                ((1 << depth) - 1)
+              if (colorType == 3) {
+                if (sample * 3 + 2 >= palette.length) return None
+                out(o) = palette(sample * 3)
+                out(o + 1) = palette(sample * 3 + 1)
+                out(o + 2) = palette(sample * 3 + 2)
+              } else { // gray: scale to full 0..255 range (spec: replicate)
+                val g = (sample * 255 / ((1 << depth) - 1)).toByte
+                out(o) = g; out(o + 1) = g; out(o + 2) = g
+              }
+            }
+            px += 1
+          }
+          System.arraycopy(line, 0, prior, 0, rowBytes)
+          rawOff += 1 + rowBytes
+          y += 1
         }
-        line(x) = recon & 0xff
-        x += 1
       }
-      var px = 0
-      while (px < w) {
-        out((y * w + px) * 3) = line(px * bpp).toByte
-        out((y * w + px) * 3 + 1) = line(px * bpp + 1).toByte
-        out((y * w + px) * 3 + 2) = line(px * bpp + 2).toByte
-        px += 1
-      }
-      System.arraycopy(line, 0, prior, 0, line.length)
-      y += 1
     }
     Some(PixelImage(w, h, out))
   }
@@ -511,49 +603,64 @@ object PixelCodec {
   /** Real PNG bytes: correct chunk CRC32s, genuine zlib IDAT. Row filter
     * types cycle through all five (y % 5) so a decoder that skips filter
     * reconstruction cannot round-trip these. `withAlpha` writes color
-    * type 6 with a deterministic alpha channel (dropped on decode). */
+    * type 6 with a deterministic alpha channel (dropped on decode);
+    * `interlaced` writes the Adam7 seven-pass layout (each pass filtered
+    * independently, as the spec requires). */
   def encodePng(width: Int, height: Int,
-      px: (Int, Int) => (Int, Int, Int), withAlpha: Boolean = false): Array[Byte] = {
+      px: (Int, Int) => (Int, Int, Int), withAlpha: Boolean = false,
+      interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && width.toLong * height <= MaxPixels)
     val bpp = if (withAlpha) 4 else 3
-    // raw scanlines with per-row filters applied (encoder side of §9)
-    val raw = new Array[Byte]((1 + width * bpp) * height)
-    val cur = new Array[Int](width * bpp)
-    val prior = new Array[Int](width * bpp)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        val (r, g, b) = px(x, y)
-        cur(x * bpp) = r & 0xff; cur(x * bpp + 1) = g & 0xff
-        cur(x * bpp + 2) = b & 0xff
-        if (withAlpha) cur(x * bpp + 3) = (255 - ((x + y) % 7)) & 0xff
-        x += 1
-      }
-      val f = y % 5
-      raw(y * (1 + width * bpp)) = f.toByte
-      var i = 0
-      while (i < width * bpp) {
-        val a = if (i >= bpp) cur(i - bpp) else 0
-        val up = prior(i)
-        val c = if (i >= bpp) prior(i - bpp) else 0
-        val filtered = f match {
-          case 0 => cur(i)
-          case 1 => cur(i) - a
-          case 2 => cur(i) - up
-          case 3 => cur(i) - ((a + up) >> 1)
-          case 4 =>
-            val p = a + up - c
-            val pa = math.abs(p - a); val pb = math.abs(p - up)
-            val pc = math.abs(p - c)
-            cur(i) - (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+    // raw scanlines with per-row filters applied (encoder side of §9),
+    // one stretch per pass (one pass unless Adam7)
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlaced) Adam7 else Array((0, 0, 1, 1))
+    val rawBuf = new java.io.ByteArrayOutputStream()
+    for (p <- passes) {
+      val (x0, y0, xs, ys) = p
+      val pw = if (width > x0) (width - x0 + xs - 1) / xs else 0
+      val ph = if (height > y0) (height - y0 + ys - 1) / ys else 0
+      if (pw > 0 && ph > 0) {
+        val cur = new Array[Int](pw * bpp)
+        val prior = new Array[Int](pw * bpp)
+        java.util.Arrays.fill(prior, 0)
+        var y = 0
+        while (y < ph) {
+          var i = 0
+          while (i < pw) {
+            val (r, g, b) = px(x0 + i * xs, y0 + y * ys)
+            cur(i * bpp) = r & 0xff; cur(i * bpp + 1) = g & 0xff
+            cur(i * bpp + 2) = b & 0xff
+            if (withAlpha) cur(i * bpp + 3) = (255 - ((i + y) % 7)) & 0xff
+            i += 1
+          }
+          val f = y % 5
+          rawBuf.write(f)
+          i = 0
+          while (i < pw * bpp) {
+            val a = if (i >= bpp) cur(i - bpp) else 0
+            val up = prior(i)
+            val c = if (i >= bpp) prior(i - bpp) else 0
+            val filtered = f match {
+              case 0 => cur(i)
+              case 1 => cur(i) - a
+              case 2 => cur(i) - up
+              case 3 => cur(i) - ((a + up) >> 1)
+              case 4 =>
+                val pr = a + up - c
+                val pa = math.abs(pr - a); val pb = math.abs(pr - up)
+                val pc = math.abs(pr - c)
+                cur(i) - (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c)
+            }
+            rawBuf.write(filtered & 0xff)
+            i += 1
+          }
+          System.arraycopy(cur, 0, prior, 0, cur.length)
+          y += 1
         }
-        raw(y * (1 + width * bpp) + 1 + i) = filtered.toByte
-        i += 1
       }
-      System.arraycopy(cur, 0, prior, 0, cur.length)
-      y += 1
     }
+    val raw = rawBuf.toByteArray
     // zlib-deflate the scanlines (PNG mandates the zlib wrapper, which is
     // java.util.zip.Deflater's default mode)
     val deflater = new java.util.zip.Deflater()
@@ -584,6 +691,7 @@ object PixelCodec {
     ihdr(6) = (height >> 8).toByte; ihdr(7) = height.toByte
     ihdr(8) = 8 // bit depth
     ihdr(9) = (if (withAlpha) 6 else 2).toByte // color type
+    ihdr(12) = (if (interlaced) 1 else 0).toByte // Adam7 flag
     chunk("IHDR", ihdr)
     chunk("IDAT", zipped.toByteArray)
     chunk("IEND", Array.emptyByteArray)

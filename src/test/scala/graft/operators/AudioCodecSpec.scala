@@ -91,6 +91,29 @@ class AudioCodecSpec extends SparkFunSuite {
     assert(clip.get.samples.sameElements(ramp(10, 1)))
   }
 
+  test("javax.sound-written 24-bit PCM decodes with exact sign extension") {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 24, 1, 3, 8000f, false)
+    // 24-bit LE frames, including negative values near the rails
+    val vals = Array(0, 1, -1, 8388607, -8388608, 123456, -654321, 42)
+    val raw = new Array[Byte](vals.length * 3)
+    for ((v, i) <- vals.zipWithIndex) {
+      raw(i * 3) = v.toByte
+      raw(i * 3 + 1) = (v >> 8).toByte
+      raw(i * 3 + 2) = (v >> 16).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, vals.length)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val clip = AudioCodec.decode(buf.toByteArray).get
+    assert(clip.bitsPerSample == 24 && clip.channels == 1)
+    assert(clip.samples.sameElements(vals),
+      s"24-bit decode mismatch: ${clip.samples.toSeq} vs ${vals.toSeq}")
+  }
+
   test("features: exact per-channel sums, sums-of-squares, peak") {
     val n = 120
     val clip = AudioCodec.decode(AudioCodec.encodeWav(8000, 2, ramp(n, 2))).get

@@ -74,6 +74,71 @@ class PixelCodecSpec extends SparkFunSuite {
     assert(imageIoRgb(bytes).sameElements(img.rgb))
   }
 
+  test("PNG Adam7 interlace round-trips exactly, and ImageIO agrees") {
+    // dims straddling the pass grid (not multiples of 8) exercise the
+    // empty-pass and partial-pass arithmetic; filters cycle per pass
+    for ((w, h) <- Seq((11, 9), (8, 8), (3, 2), (1, 1), (16, 5))) {
+      val bytes = encodePng(w, h, grad, interlaced = true)
+      val img = decode(bytes)
+      assert(img.isDefined, s"interlaced decode failed at ${w}x$h")
+      assert(img.get.rgb.sameElements(expectedRgb(w, h)),
+        s"Adam7 pixel mismatch at ${w}x$h")
+      assert(imageIoRgb(bytes).sameElements(img.get.rgb),
+        s"ImageIO disagrees on the interlaced bytes at ${w}x$h")
+    }
+  }
+
+  test("PNG grayscale / palette / 16-bit variants decode like ImageIO") {
+    import java.awt.image.BufferedImage
+    def write(img: BufferedImage): Array[Byte] = {
+      val buf = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", buf))
+      buf.toByteArray
+    }
+    // 8-bit grayscale (color type 0): raster read avoids the
+    // linear-gray→sRGB getRGB conversion
+    val gray = new BufferedImage(9, 7, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 7; x <- 0 until 9)
+      gray.getRaster.setSample(x, y, 0, (x * 29 + y * 57) % 256)
+    val gImg = decode(write(gray))
+    assert(gImg.isDefined, "gray PNG rejected")
+    for (y <- 0 until 7; x <- 0 until 9) {
+      val want = gray.getRaster.getSample(x, y, 0)
+      assert((gImg.get.rgb((y * 9 + x) * 3) & 0xff) == want, s"gray ($x,$y)")
+      assert((gImg.get.rgb((y * 9 + x) * 3 + 1) & 0xff) == want)
+    }
+    // palette (color type 3, PLTE): TYPE_BYTE_INDEXED writes indexed PNG
+    val pal = new BufferedImage(8, 6, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val (r, g, b) = grad(x, y)
+      pal.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val pBytes = write(pal)
+    val pImg = decode(pBytes)
+    assert(pImg.isDefined, "palette PNG rejected")
+    assert(imageIoRgb(pBytes).sameElements(pImg.get.rgb),
+      "palette decode disagrees with ImageIO on the same bytes")
+    // 16-bit grayscale: our decode keeps the high byte
+    val g16 = new BufferedImage(6, 5, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 5; x <- 0 until 6)
+      g16.getRaster.setSample(x, y, 0, (x * 9157 + y * 12891) % 65536)
+    val g16Img = decode(write(g16))
+    assert(g16Img.isDefined, "16-bit gray PNG rejected")
+    for (y <- 0 until 5; x <- 0 until 6) {
+      val want = g16.getRaster.getSample(x, y, 0) >> 8
+      assert((g16Img.get.rgb((y * 6 + x) * 3) & 0xff) == want, s"g16 ($x,$y)")
+    }
+    // 1-bit (TYPE_BYTE_BINARY): sub-byte depth with bit-packed scanlines
+    val bw = new BufferedImage(10, 4, BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 4; x <- 0 until 10)
+      bw.setRGB(x, y, if ((x + y) % 3 == 0) 0xffffff else 0)
+    val bwBytes = write(bw)
+    val bwImg = decode(bwBytes)
+    assert(bwImg.isDefined, "1-bit PNG rejected")
+    assert(imageIoRgb(bwBytes).sameElements(bwImg.get.rgb),
+      "1-bit decode disagrees with ImageIO on the same bytes")
+  }
+
   test("1x1 and single-row/column edge shapes round-trip") {
     for ((w, h) <- Seq((1, 1), (1, 5), (5, 1))) {
       assert(decode(encodeBmp(w, h, grad)).get.rgb.sameElements(expectedRgb(w, h)))
