@@ -176,7 +176,7 @@ object Multimodal {
 
   val videoFrameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    // "dib" = real AVI/DIB frame decode; "stub" = labeled fallback row
+    // "dib" (AVI) | "gif" (animated GIF) = real decode; "stub" = fallback
     StructField("decoder", StringType, nullable = false),
     StructField("total_frames", LongType, nullable = true),
     StructField("frame_idx", LongType, nullable = true),
@@ -188,10 +188,11 @@ object Multimodal {
 
   /** Frame-sample a (doc_id, content: binary) DataFrame of VIDEO
     * payloads partition-wise: AVI containers with uncompressed 24bpp
-    * DIB frames decode for real ([[VideoCodec]]), emitting one row per
-    * SAMPLED frame (indices 0, stride, 2·stride, …) with exact channel
-    * sums off the actual pixels; compressed video / corrupt bytes /
-    * NULL content emit a single labeled stub row. Exchange-free and
+    * DIB frames AND animated GIFs (full-canvas opaque frames) decode
+    * for real ([[VideoCodec]]), emitting one row per SAMPLED frame
+    * (indices 0, stride, 2·stride, …) with exact channel sums off the
+    * actual pixels; compressed video / compositing-dependent GIFs /
+    * corrupt bytes / NULL content emit a single labeled stub row. Exchange-free and
     * allocation-bounded: only every `stride`-th frame is materialized,
     * one clip at a time per executor thread — the "sample k frames,
     * featurize, never hold the whole clip" shape a 100 TB video corpus
@@ -211,7 +212,7 @@ object Multimodal {
             clip.sampledIdx.iterator.zip(clip.frames.iterator).map {
               case (idx, frame) =>
                 val f = PixelCodec.features(frame, LumaBins)
-                Row(id, "dib", clip.totalFrames.toLong, idx.toLong,
+                Row(id, clip.container, clip.totalFrames.toLong, idx.toLong,
                   frame.width.toLong, frame.height.toLong,
                   f.sumR, f.sumG, f.sumB)
             }

@@ -20,12 +20,12 @@ package graft.operators
   *    clear/end, KwKwK case, 4096-entry dictionary), interlace
   *    de-woven. Palette lookup is exact, so GIF features are exact.
   *
-  * JPEG and lossless WebP decode for real too — the baseline T.81
-  * DCT+Huffman codec is implemented from scratch in [[JpegCodec]] and
-  * the VP8L prefix-code/transform layer in [[WebpCodec]] (this object
-  * dispatches to both). Only genuinely transform-codec payloads
-  * (lossy-VP8 WebP, progressive JPEG) fall back to
-  * [[Multimodal.StubCodec]], labeled per-row via the `decoder` column.
+  * JPEG (baseline AND progressive) and lossless WebP decode for real
+  * too — the T.81 DCT+Huffman codec is implemented from scratch in
+  * [[JpegCodec]] and the VP8L prefix-code/transform layer in
+  * [[WebpCodec]] (this object dispatches to both). Only genuinely
+  * codec-bound payloads (lossy-VP8 WebP, arithmetic-coded JPEG) fall
+  * back to [[Multimodal.StubCodec]], labeled per-row via `decoder`.
   *
   * Anything malformed decodes to None, never an exception — corrupt media
   * in a 100 TB crawl is data, not an error.
@@ -374,7 +374,7 @@ object PixelCodec {
   }
 
   /** Interlace pass order: rows 0,8,16… then 4,12…, 2,6,10…, 1,3,5… */
-  private def deinterlaceRow(seq: Int, h: Int): Int = {
+  private[operators] def deinterlaceRow(seq: Int, h: Int): Int = {
     val p1 = (h + 7) / 8
     val p2 = (h + 3) / 8
     val p3 = (h + 1) / 4
@@ -385,7 +385,7 @@ object PixelCodec {
   }
 
   /** GIF-variant LZW: returns exactly `expected` indices or None. */
-  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+  private[operators] def lzwDecode(data: Array[Byte], minCodeSize: Int,
       expected: Int): Option[Array[Int]] = {
     val clear = 1 << minCodeSize
     val end = clear + 1

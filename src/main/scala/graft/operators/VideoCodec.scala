@@ -31,9 +31,11 @@ object VideoCodec {
   import PixelCodec.PixelImage
 
   /** Sampled clip: total frame count in the container, the sampled
-    * frames (indices 0, stride, 2·stride, …), and geometry. */
+    * frames (indices 0, stride, 2·stride, …), geometry, and the
+    * container kind ("dib" for AVI/DIB, "gif" for animated GIF). */
   final case class VideoClip(width: Int, height: Int, totalFrames: Int,
-      sampledIdx: Array[Int], frames: Array[PixelImage])
+      sampledIdx: Array[Int], frames: Array[PixelImage],
+      container: String = "dib")
 
   private val MaxPixels = 1 << 26 // per frame, in step with PixelCodec
   private val MaxSampledFrames = 4096
@@ -49,6 +51,9 @@ object VideoCodec {
 
   def decodeSampled(b: Array[Byte], stride: Int): Option[VideoClip] = {
     if (b == null || b.length < 24 || stride < 1) return None
+    if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      return decodeGifSampled(b, stride)
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return None
     var w = 0
     var h = 0
@@ -127,6 +132,143 @@ object VideoCodec {
     }
     if (total == 0) return None
     Some(VideoClip(w, h, total, idx.toArray, frames.toArray))
+  }
+
+  /** Animated GIF as a frame-sampled video source. Supported subset:
+    * every frame is a FULL-canvas opaque image (left/top 0, frame size =
+    * logical screen size, no GCE transparency flag) — then each frame is
+    * standalone-renderable regardless of disposal method and sampling
+    * needs no compositing. Anything needing composition (partial frames,
+    * transparency) → None, the labeled stub path. Non-sampled frames are
+    * skipped at the CONTAINER level (sub-block walk, no LZW work), so
+    * stride-k sampling of an n-frame GIF decodes only n/k frames. */
+  private def decodeGifSampled(b: Array[Byte], stride: Int): Option[VideoClip] = {
+    val w = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+    val h = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+    val packed = b(10) & 0xff
+    var i = 13
+    val gct: Array[Byte] =
+      if ((packed & 0x80) != 0) {
+        val size = 3 * (1 << ((packed & 7) + 1))
+        if (i + size > b.length) return None
+        val t = java.util.Arrays.copyOfRange(b, i, i + size); i += size; t
+      } else null
+    val idx = new scala.collection.mutable.ArrayBuffer[Int]()
+    val frames = new scala.collection.mutable.ArrayBuffer[PixelImage]()
+    var total = 0
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x21 => // extension
+          if (i + 1 >= b.length) return None
+          val label = b(i + 1) & 0xff
+          if (label == 0xf9) { // graphic control: transparency needs compositing
+            if (i + 4 >= b.length) return None
+            if ((b(i + 3) & 1) != 0) return None
+          }
+          i += 2
+          while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+          i += 1
+        case 0x2c => // image descriptor
+          if (i + 10 > b.length) return None
+          val left = (b(i + 1) & 0xff) | ((b(i + 2) & 0xff) << 8)
+          val top = (b(i + 3) & 0xff) | ((b(i + 4) & 0xff) << 8)
+          val iw = (b(i + 5) & 0xff) | ((b(i + 6) & 0xff) << 8)
+          val ih = (b(i + 7) & 0xff) | ((b(i + 8) & 0xff) << 8)
+          val p2 = b(i + 9) & 0xff
+          if (left != 0 || top != 0 || iw != w || ih != h) return None
+          val interlaced = (p2 & 0x40) != 0
+          i += 10
+          val palette: Array[Byte] =
+            if ((p2 & 0x80) != 0) {
+              val size = 3 * (1 << ((p2 & 7) + 1))
+              if (i + size > b.length) return None
+              val t = java.util.Arrays.copyOfRange(b, i, i + size); i += size; t
+            } else gct
+          if (palette == null) return None
+          if (i >= b.length) return None
+          val minCodeSize = b(i) & 0xff; i += 1
+          if (minCodeSize < 2 || minCodeSize > 11) return None
+          val sampled = total % stride == 0
+          if (sampled && frames.length >= MaxSampledFrames) return None
+          val data = if (sampled) new java.io.ByteArrayOutputStream() else null
+          while (i < b.length && (b(i) & 0xff) != 0) {
+            val len = b(i) & 0xff
+            if (i + 1 + len > b.length) return None
+            if (sampled) data.write(b, i + 1, len)
+            i += 1 + len
+          }
+          if (i >= b.length) return None
+          i += 1 // sub-block terminator
+          if (sampled) {
+            val indices = PixelCodec.lzwDecode(data.toByteArray, minCodeSize,
+              w * h).getOrElse(return None)
+            val rgb = new Array[Byte](w * h * 3)
+            val nColors = palette.length / 3
+            var y = 0
+            var src = 0
+            while (y < h) {
+              val destRow = if (interlaced) PixelCodec.deinterlaceRow(y, h) else y
+              var x = 0
+              while (x < w) {
+                val ci = indices(src)
+                if (ci >= nColors) return None
+                val o = (destRow * w + x) * 3
+                rgb(o) = palette(ci * 3)
+                rgb(o + 1) = palette(ci * 3 + 1)
+                rgb(o + 2) = palette(ci * 3 + 2)
+                x += 1; src += 1
+              }
+              y += 1
+            }
+            idx += total
+            frames += PixelImage(w, h, rgb)
+          }
+          total += 1
+        case 0x3b =>
+          return if (total == 0) None
+          else Some(VideoClip(w, h, total, idx.toArray, frames.toArray, "gif"))
+        case _ => return None // lost block alignment
+      }
+    }
+    None // no trailer
+  }
+
+  /** Real animated-GIF bytes (fixtures + tests): GIF89a, every frame a
+    * full-canvas opaque image with its own LOCAL color table and an
+    * uncompressed-LZW pixel stream (same spec-compliant trick as
+    * [[PixelCodec.encodeGif]]), GCE per frame with no transparency. */
+  def encodeGifAnim(width: Int, height: Int, nFrames: Int,
+      px: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0 &&
+      width.toLong * height <= MaxPixels)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wle16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    wle16(width); wle16(height)
+    w8(0); w8(0); w8(0) // no global color table
+    var f = 0
+    while (f < nFrames) {
+      // one single-frame encode gives us descriptor+local-table+LZW;
+      // strip its 13-byte header and trailing 0x3b trailer, then flip
+      // the "global" table bits into the local-table form
+      val one = PixelCodec.encodeGif(width, height, (x, y) => px(f, x, y))
+      val gctPacked = one(10) & 0xff
+      val tableBytes = 3 * (1 << ((gctPacked & 7) + 1))
+      // graphic control extension: no transparency, disposal 1
+      w8(0x21); w8(0xf9); w8(4); w8(0x04); wle16(5); w8(0); w8(0)
+      w8(0x2c); wle16(0); wle16(0); wle16(width); wle16(height)
+      w8(0x80 | (gctPacked & 7)) // local color table, same size bits
+      out.write(one, 13, tableBytes) // the palette
+      // the image payload: skip the original descriptor (10 bytes after
+      // the table) and copy through to (but not including) the trailer
+      val payloadStart = 13 + tableBytes + 10
+      out.write(one, payloadStart, one.length - payloadStart - 1)
+      f += 1
+    }
+    w8(0x3b)
+    out.toByteArray
   }
 
   // ------------------------------------------------------------- encode

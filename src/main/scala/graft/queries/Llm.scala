@@ -848,23 +848,27 @@ object Llm {
       |FROM f ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- q71
-  // Video modality: REAL container decode + first-class frame SAMPLING.
-  // The fixture writer emits actual AVI bytes (RIFF hdrl/strl/movi/idx1
-  // tree, uncompressed 24bpp DIB frames — [[graft.operators.VideoCodec]]),
-  // with per-frame gradients keyed by (doc_id, frame); every 5th doc is
-  // a non-AVI payload exercising the labeled stub row. The operator
-  // samples every 2nd frame and computes exact channel sums off the
-  // decoded pixels, so the DuckDB oracle recomputes each sampled frame's
-  // sums in closed form — a decoder that misreads the LIST tree, the
-  // DIB row order/stride, BGR, or the sampling arithmetic
-  // hash-mismatches. Scale: one clip at a time per executor thread,
-  // only sampled frames materialized, no shuffle.
+  // Video modality: REAL container decode + first-class frame SAMPLING,
+  // over TWO container families. Even docs carry actual AVI bytes (RIFF
+  // hdrl/strl/movi/idx1 tree, uncompressed 24bpp DIB frames); odd docs
+  // carry actual animated GIFs (GCE + per-frame local color tables +
+  // LZW pixel streams — [[graft.operators.VideoCodec]]); both use the
+  // same per-frame gradient keyed by (doc_id, frame), and every 5th doc
+  // is a non-video payload exercising the labeled stub row. The
+  // operator samples every 2nd frame and computes exact channel sums
+  // off the decoded pixels, so the DuckDB oracle recomputes each
+  // sampled frame's sums in closed form — a decoder that misreads the
+  // LIST tree, the DIB row order/stride, BGR, the GIF block walk, the
+  // LZW stream, or the sampling arithmetic hash-mismatches. Scale: one
+  // clip at a time per executor thread, only sampled frames
+  // materialized (GIF skips non-sampled frames at the container level,
+  // no LZW work), no shuffle.
   def q71(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // one-time fixture build, fingerprint-cached (see q47): the timed
     // query measures DECODE + sampling, not the fixture write
     val out71 = Tables.scratch(s"media71/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val mediaDir = Tables.cachedDerived(dir, out71, version = "v1-avi") {
+    val mediaDir = Tables.cachedDerived(dir, out71, version = "v2-avi-gif") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val bytes =
@@ -879,10 +883,12 @@ object Llm {
             val bb = ((id * 7) % 60).toInt
             // frame f gradient: base walks 9/6/4 per frame; max channel
             // value 79+45+15+15 = 154 < 255 → closed-form sums exact
-            graft.operators.VideoCodec.encodeAvi(w, h, nf, (f, x, y) =>
+            val px = (f: Int, x: Int, y: Int) =>
               (br + 9 * f + 3 * x + 5 * y,
                bg + 6 * f + 5 * x + 2 * y,
-               bb + 4 * f + 2 * x + 7 * y))
+               bb + 4 * f + 2 * x + 7 * y)
+            if (id % 2 == 0) graft.operators.VideoCodec.encodeAvi(w, h, nf, px)
+            else graft.operators.VideoCodec.encodeGifAnim(w, h, nf, px)
           }
         (id, bytes)
       }.toDF("doc_id", "content")
@@ -908,7 +914,8 @@ object Llm {
       |         h*(w*(w-1)//2) AS sx, w*(h*(h-1)//2) AS sy,
       |         unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS f
       |  FROM g WHERE doc_id % 5 <> 4)
-      |SELECT doc_id, 'dib' AS decoder,
+      |SELECT doc_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'dib' ELSE 'gif' END AS decoder,
       |       CAST(nf AS BIGINT) AS total_frames, CAST(f AS BIGINT) AS frame_idx,
       |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
       |       CAST(w*h*(br + 9*f) + 3*sx + 5*sy AS BIGINT) AS sum_r,

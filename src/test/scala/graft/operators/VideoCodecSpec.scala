@@ -69,6 +69,56 @@ class VideoCodecSpec extends SparkFunSuite {
     assert(clip.get.frames(2).rgb.sameElements(imageIoBmpRgb(4, 3, 2)))
   }
 
+  test("animated GIF samples frames exactly; ImageIO's frame reader agrees") {
+    val bytes = VideoCodec.encodeGifAnim(6, 4, 5, px)
+    val clip = VideoCodec.decodeSampled(bytes, 2).get
+    assert(clip.container == "gif")
+    assert(clip.totalFrames == 5 && clip.sampledIdx.sameElements(Array(0, 2, 4)))
+    // independent cross-check: ImageIO's GIF reader pulls frame k directly
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    assert(reader.getNumImages(true) == 5)
+    for ((fi, pos) <- clip.sampledIdx.zipWithIndex) {
+      val ref = reader.read(fi)
+      for (y <- 0 until 4; x <- 0 until 6) {
+        val argb = ref.getRGB(x, y)
+        val o = (y * 6 + x) * 3
+        assert((clip.frames(pos).rgb(o) & 0xff) == ((argb >> 16) & 0xff) &&
+          (clip.frames(pos).rgb(o + 1) & 0xff) == ((argb >> 8) & 0xff) &&
+          (clip.frames(pos).rgb(o + 2) & 0xff) == (argb & 0xff),
+          s"frame $fi pixel ($x,$y) disagrees with ImageIO")
+      }
+    }
+    reader.dispose()
+    // skipped frames cost no LZW work but still count toward total
+    val s5 = VideoCodec.decodeSampled(bytes, 5).get
+    assert(s5.totalFrames == 5 && s5.frames.length == 1)
+  }
+
+  test("GIFs needing composition take the stub path, single-frame GIFs still decode") {
+    // transparency flag in the GCE → compositing → None
+    val anim = VideoCodec.encodeGifAnim(4, 3, 2, px)
+    val gceAt = {
+      var i = 13; var at = -1
+      while (at < 0 && i + 1 < anim.length) {
+        if ((anim(i) & 0xff) == 0x21 && (anim(i + 1) & 0xff) == 0xf9) at = i
+        else i += 1
+      }
+      at
+    }
+    assert(gceAt > 0)
+    val transparent = anim.clone()
+    transparent(gceAt + 3) = (transparent(gceAt + 3) | 1).toByte
+    assert(VideoCodec.decodeSampled(transparent, 1) == None)
+    // a plain single-frame GIF is a 1-frame video (and a still image)
+    val still = PixelCodec.encodeGif(4, 3, (x, y) => px(0, x, y))
+    val clip = VideoCodec.decodeSampled(still, 1).get
+    assert(clip.totalFrames == 1 && clip.container == "gif")
+    assert(clip.frames(0).rgb.sameElements(
+      PixelCodec.decode(still).get.rgb))
+  }
+
   test("compressed, truncated, and hostile payloads decode to None, never throw") {
     val good = VideoCodec.encodeAvi(4, 3, 3, px)
     assert(VideoCodec.decodeSampled(null, 1) == None)
