@@ -23,7 +23,8 @@ object Bench {
     case "q60_json_roundtrip" | "q61_stateful_dedup" |
          "q62_spj_join" | "q63_streaming_pipeline" | "q65_dynamic_table" |
          "q66_image_meta" | "q69_governed_stream" |
-         "q70_audio_features" | "q71_video_frames" => "data_pipeline"
+         "q70_audio_features" | "q71_video_frames" |
+         "q72_image_resize" => "data_pipeline"
     case _ if n >= "q30" && n <= "q59" => "data_pipeline"
     case _ if n.startsWith("q1") && n >= "q10" => "advanced"
     case "q12_funnel" | "q13_compaction_estimator" => "advanced"
@@ -142,7 +143,7 @@ object Bench {
     // (fingerprint-cached): one untimed invocation builds them so the
     // timed runs measure decode/header-parse, not fixture encoding
     Seq("q47_multimodal_features", "q66_image_meta", "q70_audio_features",
-        "q71_video_frames").filter(names.contains)
+        "q71_video_frames", "q72_image_resize").filter(names.contains)
       .foreach { n => warmup(n) { SparkEntry.queries(n)(spark, sfDir).count(); () } }
     sweepCaches(spark)
     // Warm the snapshot-table WRITE path too (staging, footer-stats

@@ -174,6 +174,66 @@ object Multimodal {
     }
   }
 
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    // any real-decode format label, or "stub" for undecodable payloads
+    StructField("decoder", StringType, nullable = false),
+    StructField("in_width", LongType, nullable = true),
+    StructField("in_height", LongType, nullable = true),
+    StructField("out_width", LongType, nullable = true),
+    StructField("out_height", LongType, nullable = true),
+    StructField("sum_r", LongType, nullable = true),
+    StructField("sum_g", LongType, nullable = true),
+    StructField("sum_b", LongType, nullable = true),
+    // the resized image itself, re-encoded as a real PNG
+    StructField("content", BinaryType, nullable = true)))
+
+  /** Decode → exact 2× box downscale → re-encode (real PNG bytes) a
+    * (doc_id, content: binary) DataFrame partition-wise: the "resize"
+    * verb of the multimodal contract. Any format [[PixelCodec]] decodes
+    * (BMP/PNG/GIF/JPEG/VP8L) resizes; the output carries the resized
+    * PNG plus exact channel sums of the RESIZED pixels, so a
+    * closed-form oracle can pin the whole decode→resample→rounding
+    * chain. Undecodable payloads emit a labeled stub row with NULL
+    * geometry/content. Exchange-free like the other media operators;
+    * output payloads are ~4× smaller than inputs, so a resize stage
+    * SHRINKS the bytes a downstream shuffle would move. */
+  def resizeImages(in: DataFrame, idCol: String = "doc_id",
+      contentCol: String = "content"): DataFrame = {
+    val src = in.select(col(idCol).cast("long"), col(contentCol))
+    implicit val enc = Encoders.row(resizeSchema)
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes =
+          if (r.isNullAt(1)) Array.emptyByteArray
+          else r.getAs[Array[Byte]](1)
+        PixelCodec.decode(bytes) match {
+          case Some(img) =>
+            val small = PixelCodec.resizeBox2(img)
+            val f = PixelCodec.features(small, LumaBins)
+            val fmt =
+              if (bytes(0) == 'B') "bmp"
+              else if (bytes(0) == 'G') "gif"
+              else if ((bytes(0) & 0xff) == 0xff) "jpeg"
+              else if (bytes(0) == 'R') "webp"
+              else "png"
+            val png = PixelCodec.encodePng(small.width, small.height,
+              (x, y) => {
+                val o = (y * small.width + x) * 3
+                (small.rgb(o) & 0xff, small.rgb(o + 1) & 0xff,
+                  small.rgb(o + 2) & 0xff)
+              })
+            Row(id, fmt, img.width.toLong, img.height.toLong,
+              small.width.toLong, small.height.toLong,
+              f.sumR, f.sumG, f.sumB, png)
+          case None =>
+            Row(id, "stub", null, null, null, null, null, null, null, null)
+        }
+      }
+    }
+  }
+
   val videoFrameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     // "dib" (AVI) | "gif" (animated GIF) = real decode; "stub" = fallback

@@ -481,6 +481,46 @@ object PixelCodec {
     PixelFeatures(img.width, img.height, sr, sg, sb, hist)
   }
 
+  /** Exact 2× box downscale: each output channel is the truncating
+    * integer mean of its 2×2 source block (odd edges average the 1–2
+    * available pixels). Output dims are ceil(w/2) × ceil(h/2). Integer
+    * arithmetic only, so resized-image features stay oracle-exact. */
+  def resizeBox2(img: PixelImage): PixelImage = {
+    val ow = (img.width + 1) / 2
+    val oh = (img.height + 1) / 2
+    val out = new Array[Byte](ow * oh * 3)
+    var oy = 0
+    while (oy < oh) {
+      var ox = 0
+      while (ox < ow) {
+        var c = 0
+        while (c < 3) {
+          var sum = 0
+          var n = 0
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val sx = ox * 2 + dx
+              val sy = oy * 2 + dy
+              if (sx < img.width && sy < img.height) {
+                sum += img.rgb((sy * img.width + sx) * 3 + c) & 0xff
+                n += 1
+              }
+              dx += 1
+            }
+            dy += 1
+          }
+          out((oy * ow + ox) * 3 + c) = (sum / n).toByte
+          c += 1
+        }
+        ox += 1
+      }
+      oy += 1
+    }
+    PixelImage(ow, oh, out)
+  }
+
   // ------------------------------------------------------------- encode
 
   /** Real 24bpp BMP bytes with pixel payload; `topDown` writes the

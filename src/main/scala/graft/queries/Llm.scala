@@ -927,7 +927,88 @@ object Llm {
       |FROM g WHERE doc_id % 5 = 4
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ------------------------------------------------------------- q72
+  // The "resize" verb of the multimodal contract: decode → exact 2× box
+  // downscale → re-encode as real PNG, exchange-free. Fixtures rotate
+  // the four LOSSLESS container formats (BMP/PNG/GIF/WebP-VP8L) with
+  // even-dimension gradients, so every 2×2 block is full and the
+  // truncating integer mean has a closed form the DuckDB oracle
+  // recomputes: slopes (3,5)/(5,2)/(2,7) per input axis become
+  // (6,10)/(10,4)/(4,14) per output axis with constant rounding offsets
+  // (+4/+3/+4). A resampler that misweights the box, mixes rows, or
+  // rounds differently hash-mismatches. Every 7th doc is a non-image
+  // payload exercising the labeled stub row.
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out72 = Tables.scratch(s"media72/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out72, version = "v1-resize") {
+      val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      ids.map { id =>
+        val bytes =
+          if (id % 7 == 5) "not an image at all".getBytes("US-ASCII")
+          else {
+            val w = 4 + 2 * (id % 3).toInt
+            val h = 2 + 2 * (id % 2).toInt
+            val br = (id % 97).toInt
+            val bg = ((id * 3) % 89).toInt
+            val bb = ((id * 7) % 83).toInt
+            def px(x: Int, y: Int): (Int, Int, Int) =
+              (br + 3 * x + 5 * y, bg + 5 * x + 2 * y, bb + 2 * x + 7 * y)
+            (id % 4).toInt match {
+              case 0 => graft.operators.PixelCodec.encodeBmp(w, h, px,
+                topDown = (id / 4) % 2 == 1)
+              case 1 => graft.operators.PixelCodec.encodePng(w, h, px,
+                interlaced = (id / 4) % 2 == 1)
+              case 2 => graft.operators.PixelCodec.encodeGif(w, h, px)
+              case _ => graft.operators.WebpCodec.encodeWebpLossless(w, h, px,
+                subtractGreen = (id / 4) % 2 == 1)
+            }
+          }
+        (id, bytes)
+      }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out72/data")
+    }
+    graft.operators.Multimodal
+      .resizeImages(s.read.parquet(s"$mediaDir/data"))
+      .select("doc_id", "decoder", "in_width", "in_height",
+        "out_width", "out_height", "sum_r", "sum_g", "sum_b")
+      .orderBy("doc_id")
+  }
+
+  // closed forms: ow=2+id%3, oh=1+id%2; Si = oh·ow(ow-1)/2,
+  // Sj = ow·oh(oh-1)/2; resized channel bases gain the truncating
+  // rounding offsets derived above
+  val q72Sql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         4 + 2*(doc_id % 3) AS w, 2 + 2*(doc_id % 2) AS h,
+      |         2 + doc_id % 3 AS ow, 1 + doc_id % 2 AS oh,
+      |         doc_id % 97 AS br, (doc_id * 3) % 89 AS bg,
+      |         (doc_id * 7) % 83 AS bb,
+      |         doc_id % 7 = 5 AS stub
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, w, h, ow, oh, br, bg, bb, stub,
+      |         oh*(ow*(ow-1)//2) AS si, ow*(oh*(oh-1)//2) AS sj
+      |  FROM g)
+      |SELECT doc_id,
+      |       CASE WHEN stub THEN 'stub'
+      |            WHEN doc_id % 4 = 0 THEN 'bmp' WHEN doc_id % 4 = 1 THEN 'png'
+      |            WHEN doc_id % 4 = 2 THEN 'gif' ELSE 'webp' END AS decoder,
+      |       CAST(CASE WHEN stub THEN NULL ELSE w END AS BIGINT) AS in_width,
+      |       CAST(CASE WHEN stub THEN NULL ELSE h END AS BIGINT) AS in_height,
+      |       CAST(CASE WHEN stub THEN NULL ELSE ow END AS BIGINT) AS out_width,
+      |       CAST(CASE WHEN stub THEN NULL ELSE oh END AS BIGINT) AS out_height,
+      |       CAST(CASE WHEN stub THEN NULL
+      |            ELSE ow*oh*(br+4) + 6*si + 10*sj END AS BIGINT) AS sum_r,
+      |       CAST(CASE WHEN stub THEN NULL
+      |            ELSE ow*oh*(bg+3) + 10*si + 4*sj END AS BIGINT) AS sum_g,
+      |       CAST(CASE WHEN stub THEN NULL
+      |            ELSE ow*oh*(bb+4) + 4*si + 14*sj END AS BIGINT) AS sum_b
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_image_resize" -> (q72 _),
     "q71_video_frames" -> (q71 _),
     "q70_audio_features" -> (q70 _),
     "q56_ngram_jaccard" -> (q56 _),
@@ -948,6 +1029,7 @@ object Llm {
     "q66_image_meta" -> (q66 _))
 
   val oracle: Map[String, String] = Map(
+    "q72_image_resize" -> q72Sql,
     "q71_video_frames" -> q71Sql,
     "q70_audio_features" -> q70Sql,
     "q56_ngram_jaccard" -> q56Sql,

@@ -98,6 +98,37 @@ class MultimodalSpec extends SparkFunSuite {
     assert(out.filter(_.getString(1) == "stub").forall(_.isNullAt(3)))
   }
 
+  test("resize: exact 2x box downscale, output is a real decodable PNG") {
+    import spark.implicits._
+    def px(x: Int, y: Int): (Int, Int, Int) = (40 + 4 * x, 60 + 8 * y, 100)
+    val rows = Seq(
+      (1L, Some(PixelCodec.encodeBmp(6, 4, px))),
+      (2L, Some("not an image".getBytes("UTF-8"))),
+      (3L, None))
+    val out = Multimodal.resizeImages(rows.toDF("doc_id", "content"))
+      .orderBy("doc_id").collect()
+    val r0 = out(0)
+    assert(r0.getString(1) == "bmp")
+    assert(r0.getLong(2) == 6 && r0.getLong(3) == 4) // in dims
+    assert(r0.getLong(4) == 3 && r0.getLong(5) == 2) // out dims
+    // resized pixel (i,j) = (42+8i, 64+16j, 100): slopes double, offsets
+    // are the truncating means of the in-block deltas (4/2, 8/2... here
+    // r offset = (0+4+0+4)/4 = 2, g offset = (0+0+8+8)/4 = 4)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (j <- 0 until 2; i <- 0 until 3) {
+      sr += 42 + 8 * i; sg += 64 + 16 * j; sb += 100
+    }
+    assert(r0.getLong(6) == sr && r0.getLong(7) == sg && r0.getLong(8) == sb)
+    // the content column is a REAL PNG: decode it and re-derive the sums
+    val png = r0.getAs[Array[Byte]](9)
+    val re = PixelCodec.decode(png)
+    assert(re.isDefined, "resized output is not a decodable PNG")
+    val f = PixelCodec.features(re.get)
+    assert(f.sumR == sr && f.sumG == sg && f.sumB == sb)
+    assert(out(1).getString(1) == "stub" && out(1).isNullAt(9))
+    assert(out(2).getString(1) == "stub")
+  }
+
   test("decode pipeline introduces no shuffle") {
     val plan = Multimodal.extractFeatures(media)
       .queryExecution.executedPlan.toString
