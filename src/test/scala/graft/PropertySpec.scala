@@ -166,6 +166,81 @@ class PropertySpec extends SparkFunSuite {
     }, n = 80)
   }
 
+  test("property: block-constant JPEGs round-trip bit-exactly at any shape") {
+    import graft.operators.{JpegCodec, PixelCodec}
+    // all-ones quant + per-8x8-block-constant image → DC-only blocks →
+    // exact decode for ANY dims/base (the q47 oracle's foundation)
+    check(Prop.forAll(Gen.choose(1, 40), Gen.choose(1, 25),
+      Gen.choose(0, 200)) { (w, h, base) =>
+      val px = (x: Int, y: Int) => {
+        val v = base + 5 * (x / 8) + 3 * (y / 8)
+        (v, v, v)
+      }
+      val img = PixelCodec.decode(JpegCodec.encodeJpeg(w, h, px, gray = true)).get
+      img.width == w && img.height == h &&
+        (0 until h).forall(y => (0 until w).forall { x =>
+          (img.rgb((y * w + x) * 3) & 0xff) == base + 5 * (x / 8) + 3 * (y / 8)
+        })
+    }, n = 40)
+  }
+
+  test("property: WAV PCM round-trips exactly for random samples") {
+    import graft.operators.AudioCodec
+    check(Prop.forAll(Gen.choose(1, 200), Gen.choose(1, 3),
+      Gen.choose(0, 1000000)) { (frames, ch, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val samples = Array.fill(frames * ch)(rnd.nextInt(65536) - 32768)
+      val clip = AudioCodec.decode(
+        AudioCodec.encodeWav(8000 + seed % 40000, ch, samples)).get
+      clip.channels == ch && clip.frames == frames &&
+        clip.samples.sameElements(samples)
+    }, n = 60)
+  }
+
+  test("property: video frame sampling returns exactly the right frames") {
+    import graft.operators.VideoCodec
+    // both containers, random frame counts and strides: sampled indices
+    // must be 0, s, 2s, … and each sampled frame must be the RIGHT one
+    check(Prop.forAll(Gen.choose(1, 12), Gen.choose(1, 13),
+      Gen.choose(0, 1), Gen.choose(0, 150)) { (nf, stride, kind, base) =>
+      val px = (f: Int, x: Int, y: Int) =>
+        (base / 2 + 7 * f + x, 10 + y, 20 + f)
+      val bytes =
+        if (kind == 0) VideoCodec.encodeAvi(5, 4, nf, px)
+        else VideoCodec.encodeGifAnim(5, 4, nf, px)
+      val clip = VideoCodec.decodeSampled(bytes, stride).get
+      val wantIdx = (0 until nf by stride).toArray
+      clip.totalFrames == nf && clip.sampledIdx.sameElements(wantIdx) &&
+        clip.frames.zip(wantIdx).forall { case (frame, fi) =>
+          // spot-check a pixel that encodes the frame index
+          (frame.rgb(2) & 0xff) == 20 + fi &&
+            (frame.rgb(0) & 0xff) == base / 2 + 7 * fi
+        }
+    }, n = 60)
+  }
+
+  test("property: resizeBox2 equals the naive per-block reference") {
+    import graft.operators.PixelCodec
+    check(Prop.forAll(Gen.choose(1, 17), Gen.choose(1, 13),
+      Gen.choose(0, 1000000)) { (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rgb = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val img = PixelCodec.PixelImage(w, h, rgb)
+      val small = PixelCodec.resizeBox2(img)
+      val ow = (w + 1) / 2
+      val oh = (h + 1) / 2
+      small.width == ow && small.height == oh &&
+        (0 until oh).forall(j => (0 until ow).forall { i =>
+          (0 until 3).forall { c =>
+            val xs = Seq(2 * i, 2 * i + 1).filter(_ < w)
+            val ys = Seq(2 * j, 2 * j + 1).filter(_ < h)
+            val vals = for (y <- ys; x <- xs) yield rgb((y * w + x) * 3 + c) & 0xff
+            (small.rgb((j * ow + i) * 3 + c) & 0xff) == vals.sum / vals.size
+          }
+        })
+    }, n = 60)
+  }
+
   test("property: corrupt media bytes never throw in any codec") {
     import graft.operators.{PixelCodec, JpegCodec, WebpCodec, AudioCodec, VideoCodec}
     // the 100 TB contract: corrupt media is DATA — every decoder returns
