@@ -1,0 +1,341 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators a production LLM training-data pipeline runs
+  * between raw crawl and tokenized shards — the stages published pipelines
+  * (C4, Gopher/MassiveText, RefinedWeb) describe: PII redaction,
+  * repetition-based quality filtering, segment-level exact dedup,
+  * benchmark decontamination, stratified source sampling, and sequence
+  * packing. Complements [[Llm]] (dedup / similarity / multimodal): these
+  * are the FILTER / REWRITE / LAYOUT stages around those.
+  *
+  * Scale design (the 100 TB contract):
+  *  - every per-document transform (regex redaction, n-gram construction,
+  *    chunking) is a codegen'd built-in (`regexp_replace`, `transform`,
+  *    `slice`) — embarrassingly parallel, zero shuffle;
+  *  - every shuffle key grows with the data (segment text, shingle,
+  *    (doc_id, word)) — no hot reducer at 1000 executors;
+  *  - the one deliberately small side (the decontamination benchmark set)
+  *    is explicitly `broadcast()`;
+  *  - sequence packing windows per source shard — the only per-key serial
+  *    scan, keyed by a column whose cardinality the pipeline owner
+  *    controls (salt source → source×shard to cap partition size).
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.install(s)
+    Tables.load(s, dir, "documents")
+  }
+
+  // ------------------------------------------------------------- q73
+  // PII redaction (the C4/CCNet-style scrub): emails, IPv4 addresses, and
+  // phone numbers replaced by typed placeholder tokens, with per-doc match
+  // counts for the curation report. The driver corpus carries no PII, so
+  // the query plants a deterministic PII suffix per doc (same closed form
+  // in the oracle) and redacts it — the oracle checks the actual regex
+  // rewrite, not an identity pass. Patterns stay in the dialect subset
+  // where java.util.regex and RE2 (DuckDB) agree: character classes,
+  // bounded repetition, no backrefs/lookaround. Order matters and is
+  // pinned: emails first (their domains contain dots an IP pattern could
+  // nibble), then IPs, then phones. Per-row regexp_replace is codegen'd;
+  // zero shuffle at any scale.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  private val PhoneRe = "\\+1-555-\\d{4}"
+
+  def q73(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("pii_text", expr(
+        """concat(text, ' contact user', doc_id, '@mail.example.com or 10.',
+          |doc_id % 200, '.', (doc_id * 3) % 250, '.7 call +1-555-',
+          |lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))""".stripMargin))
+      .select(
+        col("doc_id"),
+        // DataFrame-API regexp functions take the pattern verbatim — no
+        // second unescaping pass through the SQL string-literal parser.
+        size(regexp_extract_all(col("pii_text"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("pii_text"), lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ips"),
+        size(regexp_extract_all(col("pii_text"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(regexp_replace(col("pii_text"),
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+
+  val q73Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         text || ' contact user' || doc_id || '@mail.example.com or 10.'
+      |           || (doc_id % 200) || '.' || ((doc_id * 3) % 250)
+      |           || '.7 call +1-555-'
+      |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii_text
+      |  FROM documents)
+      |SELECT doc_id,
+      |       len(regexp_extract_all(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+      |       len(regexp_extract_all(pii_text, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ips,
+      |       len(regexp_extract_all(pii_text, '\+1-555-\d{4}')) AS n_phones,
+      |       regexp_replace(regexp_replace(regexp_replace(pii_text,
+      |         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |         '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+      |         '\+1-555-\d{4}', '<PHONE>', 'g') AS redacted
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q74
+  // Repetition-based quality filter (Gopher §A1 "repetition" rules,
+  // token-level variant): duplicate-word fraction, top-word fraction, and
+  // top-bigram fraction per document; a doc whose most frequent bigram
+  // covers too much of it is boilerplate/template text. Mode-of-array has
+  // no codegen'd closed form, so the counts go through two hash
+  // aggregations keyed (doc_id, gram) → doc_id — both keys grow with the
+  // data, map-side partial agg collapses the duplicates early.
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("bigrams", expr(
+        """CASE WHEN size(words) < 2 THEN array()
+          |ELSE transform(sequence(1, size(words) - 1),
+          |  i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))
+          |END""".stripMargin))
+    def topFrac(gram: String, out: String) = base
+      .select(col("doc_id"), explode(col(gram)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(round(max("c") * lit(1.0) / sum("c"), 4).as(out))
+    base
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        round(lit(1.0) - size(array_distinct(col("words"))) * lit(1.0)
+          / size(col("words")), 4).as("dup_word_frac"))
+      .join(topFrac("words", "top_word_frac"), "doc_id")
+      .join(topFrac("bigrams", "top_bigram_frac"), "doc_id")
+      .withColumn("flagged",
+        (col("top_word_frac") > 0.2 || col("top_bigram_frac") > 0.18)
+          .cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val q74Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |wc AS (
+      |  SELECT doc_id, w, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(words) AS w FROM d) GROUP BY 1, 2),
+      |wtop AS (
+      |  SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_word_frac
+      |  FROM wc GROUP BY doc_id),
+      |bg AS (
+      |  SELECT doc_id, words[i] || ' ' || words[i + 1] AS g
+      |  FROM (SELECT doc_id, words, unnest(range(1, len(words))) AS i FROM d)),
+      |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |btop AS (
+      |  SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac
+      |  FROM bc GROUP BY doc_id)
+      |SELECT d.doc_id, len(words) AS n_words,
+      |       round(1.0 - len(list_distinct(words)) * 1.0 / len(words), 4)
+      |         AS dup_word_frac,
+      |       top_word_frac, top_bigram_frac,
+      |       CAST(top_word_frac > 0.2 OR top_bigram_frac > 0.18 AS INT)
+      |         AS flagged
+      |FROM d JOIN wtop ON d.doc_id = wtop.doc_id
+      |       JOIN btop ON d.doc_id = btop.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q75
+  // Segment-level exact dedup (the RefinedWeb/CCNet move): cut every doc
+  // into 10-word segments, dedup segments GLOBALLY keeping the first
+  // occurrence (lowest doc_id, then position), and reassemble each doc
+  // from its surviving segments. One shuffle keyed by segment text (at
+  // 100 TB: key on sha2(segment) — 32 bytes instead of the text), one
+  // window over it, one reassembly agg keyed doc_id. LEFT join keeps
+  // fully-deduplicated docs visible as empty rows — the curation report
+  // needs them counted, not silently dropped.
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_segments",
+        ceil(size(col("words")) / lit(10.0)).cast("long"))
+    val segs = d.select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, CAST(ceil(size(words) / 10.0) AS INT) - 1),
+            |  k -> array_join(slice(words, k * 10 + 1, 10), ' '))""".stripMargin))
+          .as(Seq("seg_idx", "segment")))
+    val kept = segs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("segment").orderBy("doc_id", "seg_idx")))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(seg_idx, segment))), x -> x.segment), ' ')")
+          .as("dedup_text"))
+    d.select("doc_id", "n_segments")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+      .orderBy("doc_id")
+  }
+
+  val q75Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |s AS (
+      |  SELECT doc_id, i AS seg_idx,
+      |         array_to_string(words[(i * 10 + 1):(i * 10 + 10)], ' ') AS segment
+      |  FROM (SELECT doc_id, words,
+      |               unnest(range(0, CAST(ceil(len(words) / 10.0) AS INT))) AS i
+      |        FROM d)),
+      |r AS (
+      |  SELECT doc_id, seg_idx, segment,
+      |         row_number() OVER (PARTITION BY segment
+      |                            ORDER BY doc_id, seg_idx) AS rn
+      |  FROM s),
+      |k AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |         string_agg(segment, ' ' ORDER BY seg_idx) AS dedup_text
+      |  FROM r WHERE rn = 1 GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(ceil(len(words) / 10.0) AS BIGINT) AS n_segments,
+      |       coalesce(k.n_kept, 0) AS n_kept,
+      |       coalesce(k.dedup_text, '') AS dedup_text
+      |FROM d LEFT JOIN k ON d.doc_id = k.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q76
+  // Benchmark decontamination (the GPT-3/PaLM appendix step): flag corpus
+  // docs sharing any word 5-gram with a held-out benchmark set. The
+  // benchmark side (here: every 97th doc stands in for the eval suite) is
+  // tiny by construction, so it is explicitly `broadcast()` — the corpus
+  // side never shuffles for the join; the only exchange is the per-doc
+  // hit count keyed doc_id. At 100 TB the same plan holds: eval suites
+  // are MBs against TBs of corpus.
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(
+          """CASE WHEN size(words) < 5 THEN array()
+            |ELSE transform(sequence(1, size(words) - 4),
+            |  i -> array_join(slice(words, i, 5), ' '))
+            |END""".stripMargin)).as("shingle"))
+    val evalSet = sh.filter(col("doc_id") % 97 === 0)
+      .select("shingle").distinct()
+    val hits = sh.filter(col("doc_id") % 97 =!= 0)
+      .dropDuplicates("doc_id", "shingle")
+      .join(broadcast(evalSet), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs(s, dir).filter(col("doc_id") % 97 =!= 0).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val q76Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (
+      |  SELECT doc_id, array_to_string(words[i:(i + 4)], ' ') AS shingle
+      |  FROM (SELECT doc_id, words, unnest(range(1, len(words) - 3)) AS i
+      |        FROM d WHERE len(words) >= 5)),
+      |e AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+      |c AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+      |h AS (
+      |  SELECT doc_id, count(*) AS n_hits
+      |  FROM c JOIN e USING (shingle) GROUP BY doc_id)
+      |SELECT documents.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+      |       CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+      |FROM documents LEFT JOIN h ON documents.doc_id = h.doc_id
+      |WHERE documents.doc_id % 97 <> 0
+      |ORDER BY documents.doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q77
+  // Stratified source sampling (data-mixture construction): each source
+  // gets a deterministic keep-rate; membership is a pure arithmetic hash
+  // of doc_id (Knuth multiplicative, mod 1000) so the sample is
+  // reproducible on any engine with 64-bit integers — no RNG state, no
+  // engine-specific hash. Per-row filter, zero shuffle; the SAME rows are
+  // sampled on every rerun and every engine, which is what makes a data
+  // mixture auditable.
+  def q77(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("src_num", expr("CAST(substring(source, 4) AS INT)"))
+      .withColumn("rate_permille", lit(150) + lit(100) * (col("src_num") % 8))
+      .withColumn("bucket", (col("doc_id") * lit(2654435761L)) % 1000)
+      .filter(col("bucket") < col("rate_permille"))
+      .select(col("doc_id"), col("source"),
+        col("bucket").cast("long").as("bucket"),
+        col("rate_permille").cast("long").as("rate_permille"))
+      .orderBy("doc_id")
+
+  val q77Sql =
+    """SELECT doc_id, source,
+      |       (doc_id * 2654435761) % 1000 AS bucket,
+      |       CAST(150 + 100 * (CAST(substr(source, 4) AS INT) % 8) AS BIGINT)
+      |         AS rate_permille
+      |FROM documents
+      |WHERE (doc_id * 2654435761) % 1000
+      |      < 150 + 100 * (CAST(substr(source, 4) AS INT) % 8)
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q78
+  // Sequence packing (tokenizer-shard layout): assign docs to fixed
+  // 2048-token training sequences by cumulative token count within each
+  // source, in doc_id order — a doc belongs to the sequence where it
+  // STARTS (docs straddling a boundary continue into the next window,
+  // exactly how packed pretraining shards work). One window per source
+  // partition + one agg keyed (source, seq_id). The serial scan is per
+  // source shard — at 100 TB the pipeline owner salts source into
+  // source×shard keys to cap partition size; the closed form is unchanged
+  // because the cumsum restarts per key.
+  def q78(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum", sum("tokens").over(w))
+      .withColumn("seq_id", expr("(cum - tokens) DIV 2048"))
+      .groupBy("source", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("seq_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "seq_id")
+  }
+
+  val q78Sql =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, tokens,
+      |         sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT source, (cum - tokens) // 2048 AS seq_id,
+      |       count(*) AS n_docs, sum(tokens) AS seq_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY source, (cum - tokens) // 2048
+      |ORDER BY source, seq_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_pii_redact" -> (q73 _),
+    "q74_repetition_quality" -> (q74 _),
+    "q75_segment_dedup" -> (q75 _),
+    "q76_decontamination" -> (q76 _),
+    "q77_stratified_sample" -> (q77 _),
+    "q78_sequence_pack" -> (q78 _))
+
+  val oracle: Map[String, String] = Map(
+    "q73_pii_redact" -> q73Sql,
+    "q74_repetition_quality" -> q74Sql,
+    "q75_segment_dedup" -> q75Sql,
+    "q76_decontamination" -> q76Sql,
+    "q77_stratified_sample" -> q77Sql,
+    "q78_sequence_pack" -> q78Sql)
+}
