@@ -24,12 +24,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++ graft.queries.Llm.queries ++
-      graft.queries.Ops.queries ++ graft.queries.Pipeline.queries
+      graft.queries.Ops.queries ++ graft.queries.Pipeline.queries ++
+      graft.queries.Temporal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (approximate LSH ANN) → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracle ++ graft.queries.Llm.oracle ++
-      graft.queries.Ops.oracle ++ graft.queries.Pipeline.oracle
+      graft.queries.Ops.oracle ++ graft.queries.Pipeline.oracle ++
+      graft.queries.Temporal.oracle
 }
