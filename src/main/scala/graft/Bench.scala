@@ -26,7 +26,8 @@ object Bench {
          "q70_audio_features" | "q71_video_frames" |
          "q72_image_resize" => "data_pipeline"
     case _ if n >= "q73" && n <= "q78_z" => "data_pipeline"
-    case "q79_asof_join" | "q80_range_join" => "advanced"
+    case "q79_asof_join" | "q80_range_join" | "q81_sessionize" |
+         "q82_retention_cohorts" => "advanced"
     case _ if n >= "q30" && n <= "q59" => "data_pipeline"
     case _ if n.startsWith("q1") && n >= "q10" => "advanced"
     case "q12_funnel" | "q13_compaction_estimator" => "advanced"

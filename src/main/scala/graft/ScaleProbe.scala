@@ -51,7 +51,14 @@ object ScaleProbe {
       Seq("q62_spj_join", "q65_dynamic_table", "q61_stateful_dedup",
         "q56_ngram_jaccard", "q35_minhash_neardup", "q37_ann_topk",
         "q50_ann_ivf", "q30_dedup_exact", "q47_multimodal_features",
-        "q71_video_frames")
+        "q71_video_frames",
+        // corpus-curation + temporal-join additions: every one shuffles
+        // on a key that grows with the data (segment text, shingle,
+        // (doc_id, gram), (source, seq), user_id) — the probe checks the
+        // growth is ≈linear, not quadratic
+        "q74_repetition_quality", "q75_segment_dedup",
+        "q76_decontamination", "q78_sequence_pack",
+        "q79_asof_join", "q80_range_join")
     else // 100×: the scan/join-bound subset (streaming-machinery queries
          // would measure micro-batch count, not data-path scaling)
       Seq("q62_spj_join", "q35_minhash_neardup", "q56_ngram_jaccard")

@@ -421,6 +421,118 @@ object WordShingles {
   }
 }
 
+/** word_ngrams(text string, n int) → array<string> of ALL word n-grams in
+  * order WITH multiplicity — the counting sibling of [[WordShingles]]
+  * (which dedups for set-similarity): repetition-quality metrics (q74 top
+  * n-gram fraction) need every occurrence. Same rationale as
+  * word_shingles: a `transform(sequence(...), ...)` HOF pays interpreted
+  * lambda dispatch per GRAM of the corpus (measured: q74's bigram
+  * construction dominated the query, ~8 s of 9 at sf0.1); this is one
+  * static call per row inside whole-stage codegen. Texts with fewer than
+  * `n` words yield an empty array.
+  */
+case class WordNgrams(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.foldableInt(right, prettyName, "n")
+
+  private lazy val n: Int = right.eval(InternalRow.empty).asInstanceOf[Int]
+
+  override def nullSafeEval(t: Any, nn: Any): Any =
+    WordNgrams.compute(t.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.WordNgrams.compute($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordNgrams {
+  /** Same tokenization as split(text, ' ') with limit -1 (trailing empty
+    * tokens kept), same gram text as WordShingles — minus the dedup. */
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(words(i + k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** top_gram_frac(text string, n int) → double: the fraction of the
+  * document's word n-grams taken by its most frequent n-gram (Gopher-style
+  * repetition metric). Mode-of-ngrams is a PER-DOCUMENT statistic — the
+  * explode → groupBy(doc_id, gram) → groupBy(doc_id) spelling shuffles the
+  * whole corpus twice to compute something each row can answer alone; this
+  * expression runs a per-row count inside whole-stage codegen, zero
+  * exchanges (measured: q74 dropped from 4 exchanges + 3 joins to a single
+  * scan). Returns 0.0 for texts with fewer than `n` words.
+  */
+case class TopGramFrac(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "top_gram_frac"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    ExprChecks.foldableInt(right, prettyName, "n")
+
+  private lazy val n: Int = right.eval(InternalRow.empty).asInstanceOf[Int]
+
+  override def nullSafeEval(t: Any, nn: Any): Any =
+    TopGramFrac.compute(t.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.functions.TopGramFrac.compute($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TopGramFrac {
+  /** Counts over the [[WordNgrams]] kernel's output (same tokenization and
+    * gram text — the two functions agree by construction). */
+  def compute(text: UTF8String, n: Int): Double = {
+    val grams = WordNgrams.compute(text, n)
+    val total = grams.numElements()
+    if (total == 0) return 0.0
+    val counts = new java.util.HashMap[Any, Integer](total * 2)
+    var max = 0
+    var i = 0
+    while (i < total) {
+      val g = grams.array(i)
+      val c = counts.merge(g, 1, (a, b) => a + b)
+      if (c > max) max = c
+      i += 1
+    }
+    max.toDouble / total
+  }
+}
+
 /** intersect_size(a array<string>, b array<string>) → int, REQUIRING both
   * arrays sorted ascending (Spark's UTF8String binary order — what
   * `array_sort` produces): one merge walk, no per-pair hash set.
@@ -773,6 +885,10 @@ object Registry {
       (es: Seq[Expression]) => InterleaveBits(es), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       (es: Seq[Expression]) => WordShingles(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      (es: Seq[Expression]) => WordNgrams(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("top_gram_frac",
+      (es: Seq[Expression]) => TopGramFrac(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("image_meta",
       (es: Seq[Expression]) => ImageMetaExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("intersect_size",

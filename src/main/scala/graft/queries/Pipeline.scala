@@ -91,35 +91,26 @@ object Pipeline {
   // Repetition-based quality filter (Gopher §A1 "repetition" rules,
   // token-level variant): duplicate-word fraction, top-word fraction, and
   // top-bigram fraction per document; a doc whose most frequent bigram
-  // covers too much of it is boilerplate/template text. Mode-of-array has
-  // no codegen'd closed form, so the counts go through two hash
-  // aggregations keyed (doc_id, gram) → doc_id — both keys grow with the
-  // data, map-side partial agg collapses the duplicates early.
-  def q74(s: SparkSession, dir: String): DataFrame = {
-    val base = docs(s, dir)
+  // covers too much of it is boilerplate/template text. Mode-of-ngrams is
+  // a PER-DOCUMENT statistic, so it runs as a native codegen'd expression
+  // ([[graft.functions.TopGramFrac]]) — single scan, zero exchanges
+  // before the final sort. Two rejected spellings, both measured at
+  // sf0.1: explode → groupBy(doc_id, gram) ×2 → 3 joins shuffled the
+  // corpus twice (9 s); transform(sequence(...)) bigrams paid an
+  // interpreted lambda per gram (half of that 9 s).
+  def q74(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .withColumn("words", split(col("text"), " "))
-      .withColumn("bigrams", expr(
-        """CASE WHEN size(words) < 2 THEN array()
-          |ELSE transform(sequence(1, size(words) - 1),
-          |  i -> concat(element_at(words, i), ' ', element_at(words, i + 1)))
-          |END""".stripMargin))
-    def topFrac(gram: String, out: String) = base
-      .select(col("doc_id"), explode(col(gram)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(round(max("c") * lit(1.0) / sum("c"), 4).as(out))
-    base
       .select(col("doc_id"),
         size(col("words")).cast("long").as("n_words"),
         round(lit(1.0) - size(array_distinct(col("words"))) * lit(1.0)
-          / size(col("words")), 4).as("dup_word_frac"))
-      .join(topFrac("words", "top_word_frac"), "doc_id")
-      .join(topFrac("bigrams", "top_bigram_frac"), "doc_id")
+          / size(col("words")), 4).as("dup_word_frac"),
+        round(expr("top_gram_frac(text, 1)"), 4).as("top_word_frac"),
+        round(expr("top_gram_frac(text, 2)"), 4).as("top_bigram_frac"))
       .withColumn("flagged",
         (col("top_word_frac") > 0.2 || col("top_bigram_frac") > 0.18)
           .cast("int"))
       .orderBy("doc_id")
-  }
 
   val q74Sql =
     """WITH d AS (
@@ -216,18 +207,15 @@ object Pipeline {
   // hit count keyed doc_id. At 100 TB the same plan holds: eval suites
   // are MBs against TBs of corpus.
   def q76(s: SparkSession, dir: String): DataFrame = {
+    // word_shingles dedups per doc natively (codegen'd), so (doc_id,
+    // shingle) pairs are unique by construction — no dropDuplicates
+    // exchange needed before the join.
     val sh = docs(s, dir)
-      .withColumn("words", split(col("text"), " "))
       .select(col("doc_id"),
-        explode(expr(
-          """CASE WHEN size(words) < 5 THEN array()
-            |ELSE transform(sequence(1, size(words) - 4),
-            |  i -> array_join(slice(words, i, 5), ' '))
-            |END""".stripMargin)).as("shingle"))
+        explode(expr("word_shingles(text, 5)")).as("shingle"))
     val evalSet = sh.filter(col("doc_id") % 97 === 0)
       .select("shingle").distinct()
     val hits = sh.filter(col("doc_id") % 97 =!= 0)
-      .dropDuplicates("doc_id", "shingle")
       .join(broadcast(evalSet), "shingle")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     docs(s, dir).filter(col("doc_id") % 97 =!= 0).select("doc_id")

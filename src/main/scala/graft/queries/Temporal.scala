@@ -82,11 +82,97 @@ object Temporal {
       |GROUP BY p.event_id, p.user_id
       |ORDER BY p.event_id""".stripMargin
 
+  // ------------------------------------------------------------- q81
+  // Gap-based sessionization (30-min inactivity gap): the lag/cumsum
+  // rewrite — flag rows that open a session (no predecessor within the
+  // gap), running-sum the flags into session ordinals, aggregate. One
+  // shuffle on user_id; ties broken by event_id so the fold is
+  // deterministic under timestamp collisions. Same shape Structured
+  // Streaming uses for session windows; this is the batch formulation.
+  def q81(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("new_session").over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val q81Sql =
+    """WITH l AS (
+      |  SELECT user_id, event_id, ts,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                                 ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, ts,
+      |         CASE WHEN prev_us IS NULL
+      |                   OR epoch_us(ts) - prev_us > 1800000000 THEN 1
+      |              ELSE 0 END AS new_session
+      |  FROM l),
+      |x AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS session_idx
+      |  FROM f)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |       min(ts) AS session_start, max(ts) AS session_end,
+      |       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+      |FROM x GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  // ------------------------------------------------------------- q82
+  // Retention cohort matrix: users cohorted by first-activity date,
+  // counted on each later active day by day offset. Three aggregations,
+  // each keyed by something that grows with the data (user×day, user,
+  // cohort×offset) — the standard product-analytics rollup at any scale.
+  def q82(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val userDays = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = userDays.groupBy("user_id").agg(min("day").as("cohort_day"))
+    userDays.join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .filter(col("day_offset") <= 14)
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val q82Sql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+      |SELECT c.cohort_day, CAST(ud.day - c.cohort_day AS BIGINT) AS day_offset,
+      |       count(DISTINCT ud.user_id) AS n_users
+      |FROM ud JOIN c ON ud.user_id = c.user_id
+      |WHERE ud.day - c.cohort_day <= 14
+      |GROUP BY c.cohort_day, CAST(ud.day - c.cohort_day AS BIGINT)
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_asof_join" -> (q79 _),
-    "q80_range_join" -> (q80 _))
+    "q80_range_join" -> (q80 _),
+    "q81_sessionize" -> (q81 _),
+    "q82_retention_cohorts" -> (q82 _))
 
   val oracle: Map[String, String] = Map(
     "q79_asof_join" -> q79Sql,
-    "q80_range_join" -> q80Sql)
+    "q80_range_join" -> q80Sql,
+    "q81_sessionize" -> q81Sql,
+    "q82_retention_cohorts" -> q82Sql)
 }

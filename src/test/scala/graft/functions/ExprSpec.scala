@@ -375,5 +375,63 @@ class ExprSpec extends SparkFunSuite {
     }
     // table 0 stays valid for lsh_bucket
     spark.sql("SELECT lsh_bucket(array(1.0d, 2.0d), 4, 0)").collect()
+    // the new parameterized text functions share the guard
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.selectExpr("word_ngrams(text, 0)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.selectExpr("top_gram_frac(text, CAST(doc_id AS INT))").collect()
+    }
+  }
+
+  test("word_ngrams equals the HOF formulation WITH multiplicity on real documents") {
+    Registry.install(spark)
+    val hof =
+      """transform(sequence(1, size(split(text, ' ')) - 1),
+        |  i -> concat_ws(' ', element_at(split(text, ' '), i),
+        |                      element_at(split(text, ' '), i + 1)))""".stripMargin
+    val mismatches = graft.Tables.load(spark, sf, "documents")
+      .select(col("text")).limit(200)
+      .filter(size(split(col("text"), " ")) >= 2)
+      .withColumn("native", expr("word_ngrams(text, 2)"))
+      .withColumn("hof", expr(hof))
+      .filter(col("native") =!= col("hof")) // duplicates kept, order kept
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("top_gram_frac equals the explode/count formulation, handles edges") {
+    Registry.install(spark)
+    // oracle per doc: max gram count / total gram count
+    val docs200 = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    val viaAgg = docs200
+      .select(col("doc_id"), explode(expr("word_ngrams(text, 2)")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max("c") * lit(1.0) / sum("c")).as("want"))
+    val mismatches = docs200
+      .withColumn("got", expr("top_gram_frac(text, 2)"))
+      .join(viaAgg, "doc_id")
+      .filter(abs(col("got") - col("want")) > 1e-12)
+      .count()
+    assert(mismatches == 0)
+    // edges: all-identical doc → 1.0; all-distinct → 1/n; short text → 0.0
+    val r = spark.sql(
+      """SELECT top_gram_frac('x x x x', 1) AS a,
+        |       top_gram_frac('a b c d', 1) AS b,
+        |       top_gram_frac('one', 2) AS c""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.25 && r.getDouble(2) == 0.0)
+  }
+
+  test("word_ngrams and top_gram_frac compile under codegen-only mode (no fallback)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.codegen.fallback", "false")
+    s2.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    Registry.install(s2)
+    val n = graft.Tables.load(s2, sf, "documents").limit(50)
+      .selectExpr("size(word_ngrams(text, 2)) AS n", "top_gram_frac(text, 2) AS f")
+      .agg(sum(col("n")), max(col("f"))).head()
+    assert(n.getLong(0) > 0 && n.getDouble(1) > 0.0 && n.getDouble(1) <= 1.0)
   }
 }

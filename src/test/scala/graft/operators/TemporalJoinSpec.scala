@@ -61,6 +61,47 @@ class TemporalJoinSpec extends SparkFunSuite {
     assert(out(1).getAs[Long]("n_in_window") == 0L) // empty window kept as 0
   }
 
+  test("q81 sessions: exact 30-min gap does NOT split; >30min does") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // replicate q81's core on a controlled frame via the same expressions
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:30:00")),  // exactly 30 min: same session
+      (3L, 1L, ts("2024-01-01 01:00:00.000001")), // 30min+1us: new session
+      (4L, 2L, ts("2024-01-01 05:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("new_session").over(run))
+      .select("event_id", "session_idx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sess(1L) == 1L && sess(2L) == 1L) // same session across exact gap
+    assert(sess(3L) == 2L)                   // split on gap + 1us
+    assert(sess(4L) == 1L)                   // per-user ordinals restart
+  }
+
+  test("q81/q82 at sf0.001: session event counts cover all events; cohort day-0 is max") {
+    val q81 = graft.queries.Temporal.q81(spark, sf)
+    val n = graft.Tables.load(spark, sf, "events").count()
+    assert(q81.agg(sum("n_events")).head().getLong(0) == n)
+    assert(q81.filter(col("duration_us") < 0).count() == 0)
+    val q82 = graft.queries.Temporal.q82(spark, sf).collect()
+    q82.groupBy(_.getAs[java.sql.Date]("cohort_day")).foreach { case (_, g) =>
+      val byOff = g.map(r => r.getAs[Long]("day_offset") -> r.getAs[Long]("n_users")).toMap
+      assert(byOff.keys.forall(_ >= 0))
+      // day-0 row exists and no later offset exceeds the cohort size
+      assert(byOff.contains(0L))
+      assert(byOff.values.forall(_ <= byOff(0L)))
+    }
+  }
+
   test("q79/q80 run at sf0.001 and annotate every event exactly once") {
     val q79 = graft.queries.Temporal.q79(spark, sf)
     val n = graft.Tables.load(spark, sf, "events").count()
