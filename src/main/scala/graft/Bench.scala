@@ -26,6 +26,7 @@ object Bench {
          "q70_audio_features" | "q71_video_frames" |
          "q72_image_resize" => "data_pipeline"
     case _ if n >= "q73" && n <= "q78_z" => "data_pipeline"
+    case "q83_dedup_clusters" => "data_pipeline"
     case "q79_asof_join" | "q80_range_join" | "q81_sessionize" |
          "q82_retention_cohorts" => "advanced"
     case _ if n >= "q30" && n <= "q59" => "data_pipeline"

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge list by iterative min-label
+  * propagation — the cluster-resolution step after near-dup pair
+  * generation: pairs say "these two docs duplicate each other", components
+  * say "this is the dedup GROUP, keep one representative".
+  *
+  * Each round every node takes the minimum label among itself and its
+  * neighbors; at fixpoint every node carries the minimum node id of its
+  * component (deterministic — no tie-breaking needed). Convergence takes
+  * O(component diameter) rounds; near-dup graphs are unions of small
+  * dense clusters, so diameters are tiny and the loop exits after 2-3
+  * rounds on real corpora. Each round is one equi-join + one aggregation,
+  * both keyed by node id — the standard scalable formulation (the
+  * large-star/small-star optimization would cut rounds for
+  * pathological chain-shaped graphs; with a `maxIter` bound the plain
+  * propagation is the simpler correct choice). `localCheckpoint` cuts the
+  * growing lineage each round so the plan doesn't re-execute prior
+  * iterations.
+  */
+object ConnectedComponents {
+
+  /** Labels every node appearing in `pairs` with its component's minimum
+    * node id. Output: (node, component) — one row per distinct node.
+    * Throws if the propagation hasn't converged after `maxIter` rounds
+    * (a silent non-fixpoint would return WRONG labels, not approximate
+    * ones).
+    */
+  def labels(pairs: DataFrame, a: String, b: String, maxIter: Int = 25)
+      : DataFrame = {
+    val edges = pairs.select(col(a).as("s"), col(b).as("d"))
+      .union(pairs.select(col(b).as("s"), col(a).as("d")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("s").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      // each node's best neighbor label this round
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("node", "d")
+          .withColumnRenamed("component", "nbr"), "d")
+        .groupBy(col("s").as("node"))
+        .agg(min("nbr").as("nbr"))
+      val next = labels.join(viaNbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nbr"), col("component")))
+            .as("component"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("component", "old"), "node")
+        .filter(col("component") =!= col("old"))
+        .isEmpty
+      labels = next
+      it += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxIter rounds")
+    labels
+  }
+}

@@ -311,7 +311,56 @@ object Pipeline {
       |FROM c GROUP BY source, (cum - tokens) // 2048
       |ORDER BY source, seq_id""".stripMargin
 
+  // ------------------------------------------------------------- q83
+  // Dedup cluster resolution: near-dup PAIRS (q35's MinHash-LSH pipeline,
+  // same parameters) resolved into components by iterative min-label
+  // propagation ([[graft.operators.ConnectedComponents]]) — the step that
+  // turns "a≈b, b≈c" into "keep one of {a,b,c}". Every doc in a pair gets
+  // its component's minimum doc_id as cluster_id; the oracle recomputes
+  // the same fixpoint with a recursive CTE over the exact all-pairs
+  // Jaccard graph.
+  def q83(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.NearDup.pairs(s, docs(s, dir), "doc_id",
+      "text", shingleSize = 3, threshold = 0.8, numPerms = 128,
+      numBands = 32)
+    graft.operators.ConnectedComponents.labels(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val q83Sql =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY shingle IS NOT NULL),
+      |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM ds a JOIN ds b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT s AS node, s AS r FROM edges
+      |  UNION
+      |  SELECT e.s AS node, reach.r FROM edges e
+      |  JOIN reach ON reach.node = e.d)
+      |SELECT node AS doc_id, min(r) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_dedup_clusters" -> (q83 _),
     "q73_pii_redact" -> (q73 _),
     "q74_repetition_quality" -> (q74 _),
     "q75_segment_dedup" -> (q75 _),
@@ -320,6 +369,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q83_dedup_clusters" -> q83Sql,
     "q73_pii_redact" -> q73Sql,
     "q74_repetition_quality" -> q74Sql,
     "q75_segment_dedup" -> q75Sql,

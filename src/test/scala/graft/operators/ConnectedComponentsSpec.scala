@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkFunSuite
+
+/** Min-label propagation semantics: chains (the diameter-bound case),
+  * disjoint components, and the convergence guard. */
+class ConnectedComponentsSpec extends SparkFunSuite {
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.labels(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain collapses to one component labeled by its minimum") {
+    // 5-4-3-2-1: worst diameter per node count; min must travel the chain
+    val got = cc(Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint components keep distinct minima; edge order irrelevant") {
+    val got = cc(Seq((10L, 20L), (2L, 7L), (7L, 5L), (20L, 30L)))
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      2L -> 2L, 5L -> 2L, 7L -> 2L))
+  }
+
+  test("self-loops and duplicate/reversed edges are harmless") {
+    val got = cc(Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("maxIter guard throws on non-convergence instead of wrong labels") {
+    import spark.implicits._
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.labels(chain, "a", "b", maxIter = 2)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+}
