@@ -52,16 +52,21 @@ object ScaleProbe {
         "q56_ngram_jaccard", "q35_minhash_neardup", "q37_ann_topk",
         "q50_ann_ivf", "q30_dedup_exact", "q47_multimodal_features",
         "q71_video_frames",
-        // corpus-curation + temporal-join additions: every one shuffles
-        // on a key that grows with the data (segment text, shingle,
-        // (doc_id, gram), (source, seq), user_id) — the probe checks the
-        // growth is ≈linear, not quadratic
+        // corpus-curation + temporal-join additions. q75/q76/q79/q80
+        // shuffle on data-growing keys (segment text, shingle, user_id) —
+        // the probe checks that growth is ≈linear. q74 is a zero-exchange
+        // scan (native top_gram_frac): its signal is rows/elapsed, not
+        // shuffle. q78 windows per constant-cardinality `source`, so its
+        // watched risk is PARTITION-SIZE growth (the serial per-source
+        // scan lengthens with data — the salting note in Pipeline.q78).
         "q74_repetition_quality", "q75_segment_dedup",
         "q76_decontamination", "q78_sequence_pack",
         "q79_asof_join", "q80_range_join")
     else // 100×: the scan/join-bound subset (streaming-machinery queries
          // would measure micro-batch count, not data-path scaling)
-      Seq("q62_spj_join", "q35_minhash_neardup", "q56_ngram_jaccard")
+      Seq("q62_spj_join", "q35_minhash_neardup", "q56_ngram_jaccard",
+        "q74_repetition_quality", "q75_segment_dedup",
+        "q76_decontamination", "q79_asof_join", "q80_range_join")
 
   def build(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     // the ready-marker records WHICH base built the cached dataset — path

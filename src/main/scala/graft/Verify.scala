@@ -19,11 +19,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (driver always runs the full set): a
-    // comma-separated allowlist of query names.
+    // comma-separated allowlist of query names. The oracle dump below is
+    // filtered to the SAME set — otherwise compare.py would "validate"
+    // the skipped queries against whatever stale parquet a previous run
+    // left in outDir and report them green without running them.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         // The reference's timestamps are NTZ (Snowflake TIMESTAMP_NTZ,
@@ -56,6 +59,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

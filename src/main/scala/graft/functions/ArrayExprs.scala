@@ -393,30 +393,21 @@ case class WordShingles(left: Expression, right: Expression)
 }
 
 object WordShingles {
-  /** The per-row shingling kernel (shared by eval and generated code).
-    * limit -1 keeps trailing empty tokens — identical tokenization to
-    * Spark's split(text, ' ') (consecutive/trailing spaces yield ""). */
+  /** First-occurrence-order dedup over the ONE shared gram kernel
+    * ([[WordNgrams.compute]] — tokenization with limit -1, trailing empty
+    * tokens kept, identical to split(text, ' ')). The two functions agree
+    * by construction because this IS the other kernel plus a set. */
   def compute(text: UTF8String, n: Int): GenericArrayData = {
-    val words = text.toString.split(" ", -1)
-    if (words.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](words.length * 2)
-    val sb = new java.lang.StringBuilder
+    val grams = WordNgrams.compute(text, n)
+    val total = grams.numElements()
+    val seen = new java.util.LinkedHashSet[Any](total * 2)
     var i = 0
-    while (i <= words.length - n) {
-      sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(words(i + k))
-        k += 1
-      }
-      seen.add(sb.toString)
-      i += 1
-    }
+    while (i < total) { seen.add(grams.array(i)); i += 1 }
+    if (seen.size == total) return grams // no dups: reuse the array
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var j = 0
-    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
   }
 }

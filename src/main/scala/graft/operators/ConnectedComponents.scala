@@ -55,9 +55,15 @@ object ConnectedComponents {
       converged = next.join(labels.withColumnRenamed("component", "old"), "node")
         .filter(col("component") =!= col("old"))
         .isEmpty
+      // `next` is materialized (eager localCheckpoint) and the convergence
+      // check has run: release the superseded round's blocks — without
+      // this the loop holds up to maxIter persisted copies of the label
+      // set in the block manager at once
+      labels.unpersist()
       labels = next
       it += 1
     }
+    edges.unpersist()
     require(converged,
       s"connected components did not converge in $maxIter rounds")
     labels

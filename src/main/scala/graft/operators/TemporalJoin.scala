@@ -31,28 +31,38 @@ object TemporalJoin {
     *
     * Output: all `left` columns plus `right`'s `carry` columns, null when
     * no right row precedes.
+    *
+    * The carry columns travel as ONE struct: the running `last` must pick
+    * the most recent right ROW atomically. Per-column `last(_, ignore
+    * nulls)` would skip a NULL field in the newest row and backfill it
+    * from an OLDER row — a chimera of two right rows that no real as-of
+    * join (or the DuckDB ASOF oracle) produces. The struct itself is
+    * non-null exactly on right rows, so ignoreNulls skips left rows only;
+    * its FIELDS may be null and are carried as-is.
     */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
       time: String, carry: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val carryType = org.apache.spark.sql.types.StructType(
+      carry.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
     // side=0 sorts right rows before left rows at equal (key, time):
     // a right row AT the left row's time is matched (inclusive as-of).
     val l = left.withColumn("__side", lit(1))
-      .select((leftCols.map(col) :+ col("__side")) ++
-        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+      .select(leftCols.map(col) :+ col("__side") :+
+        lit(null).cast(carryType).as("__r"): _*)
     val r = right.withColumn("__side", lit(0))
-      .select((leftCols.map(c =>
+      .select(leftCols.map(c =>
         if (c == key || c == time) col(c)
-        else lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__side")) ++
-        carry.map(c => col(c).as(s"__r_$c")): _*)
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__side") :+
+        struct(carry.map(col): _*).as("__r"): _*)
     val w = Window.partitionBy(key).orderBy(col(time), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
-      .select((leftCols.map(col) :+ col("__side")) ++
-        carry.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w)
-          .as(s"asof_$c")): _*)
+      .withColumn("__r_last", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select(leftCols.map(col) ++
+        carry.map(c => col(s"__r_last.$c").as(s"asof_$c")): _*)
   }
 
   /** For each `right` row (the "anchor"), count `left` rows with the same

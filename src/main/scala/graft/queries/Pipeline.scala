@@ -131,11 +131,13 @@ object Pipeline {
       |SELECT d.doc_id, len(words) AS n_words,
       |       round(1.0 - len(list_distinct(words)) * 1.0 / len(words), 4)
       |         AS dup_word_frac,
-      |       top_word_frac, top_bigram_frac,
-      |       CAST(top_word_frac > 0.2 OR top_bigram_frac > 0.18 AS INT)
+      |       top_word_frac,
+      |       coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+      |       CAST(top_word_frac > 0.2
+      |            OR coalesce(top_bigram_frac, 0.0) > 0.18 AS INT)
       |         AS flagged
       |FROM d JOIN wtop ON d.doc_id = wtop.doc_id
-      |       JOIN btop ON d.doc_id = btop.doc_id
+      |       LEFT JOIN btop ON d.doc_id = btop.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
   // ------------------------------------------------------------- q75

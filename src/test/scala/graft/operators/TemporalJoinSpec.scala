@@ -32,6 +32,21 @@ class TemporalJoinSpec extends SparkFunSuite {
     assert(out(3).isNullAt(out(3).fieldIndex("asof_v")))
   }
 
+  test("asofBackward: NULL field in the newest right row carries as NULL (no backfill from older rows)") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, ts("2024-01-01 00:10:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, ts("2024-01-01 00:01:00"), Option(5.0)),
+      (1L, ts("2024-01-01 00:05:00"), Option.empty[Double]) // newest: v IS NULL
+    ).toDF("k", "t", "v")
+    val out = TemporalJoin.asofBackward(left, right, "k", "t", Seq("t", "v"))
+      .collect().head
+    // the 00:05 row wins atomically: its timestamp AND its null value —
+    // per-column last(ignoreNulls) would produce a 00:05/5.0 chimera
+    assert(out.getAs[Timestamp]("asof_t") == ts("2024-01-01 00:05:00"))
+    assert(out.isNullAt(out.fieldIndex("asof_v")))
+  }
+
   test("asofBackward: carries the latest of several right rows") {
     import spark.implicits._
     val left = Seq((1L, 1L, ts("2024-01-01 00:10:00"))).toDF("id", "k", "t")
