@@ -25,7 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++ graft.queries.Llm.queries ++
       graft.queries.Ops.queries ++ graft.queries.Pipeline.queries ++
-      graft.queries.Temporal.queries
+      graft.queries.Temporal.queries ++ graft.queries.Rel.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -33,5 +33,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracle ++ graft.queries.Llm.oracle ++
       graft.queries.Ops.oracle ++ graft.queries.Pipeline.oracle ++
-      graft.queries.Temporal.oracle
+      graft.queries.Temporal.oracle ++ graft.queries.Rel.oracle
 }

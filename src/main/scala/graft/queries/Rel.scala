@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational-completeness operators beyond the reference's declared query
+  * corpus — the SQL surface a user switching engines reaches for next:
+  * PIVOT, ROLLUP subtotals, semi/anti joins, and set operations. Each is
+  * the built-in Catalyst operator (pivot → one hash agg with conditional
+  * counters, rollup → Expand + hash agg, semi/anti → LeftSemi/LeftAnti
+  * join, set ops → hash aggregate/join) — no driver-side reshaping, so the
+  * 100 TB story is the same as any GROUP BY/JOIN: one shuffle keyed by
+  * something that grows with the data.
+  */
+object Rel {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ------------------------------------------------------------- q84
+  // PIVOT: order counts per market segment, one column per order
+  // priority. The value list is pinned explicitly — Spark then plans ONE
+  // aggregation pass with conditional counters (an unpinned pivot would
+  // first run a distinct scan to discover values, a second job).
+  private val Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def q84(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderpriority", Priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L, Priorities)
+      .orderBy("c_mktsegment")
+
+  val q84Sql =
+    """SELECT c_mktsegment,
+      |       count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+      |       count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+      |       count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+      |       count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+      |       count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------------- q85
+  // ROLLUP: event counts by (event_type, day) with per-type subtotals and
+  // a grand total in one pass (Catalyst Expand: each input row fans into
+  // its grouping sets before ONE hash agg — not three scans). The NULL
+  // markers are unambiguous because both grouping columns are non-null in
+  // the data.
+  def q85(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .rollup("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  val q85Sql =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |       count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM events
+      |GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+      |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+
+  // ------------------------------------------------------------- q86
+  // Semi/anti joins: per segment, customers WITH at least one order
+  // (LeftSemi — no fan-out, the probe side never duplicates) and WITHOUT
+  // any (LeftAnti), reported side by side. The idiomatic plan for
+  // EXISTS / NOT EXISTS — a plain join + distinct would shuffle the
+  // orders fan-out just to throw it away.
+  def q86(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    val orders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    val withO = customer.join(orders, Seq("c_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("with_orders"))
+    val withoutO = customer.join(orders, Seq("c_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("without_orders"))
+    withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+        coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q86Sql =
+    """SELECT c_mktsegment,
+      |       count(CASE WHEN EXISTS (SELECT 1 FROM orders
+      |                               WHERE o_custkey = c_custkey)
+      |             THEN 1 END) AS with_orders,
+      |       count(CASE WHEN NOT EXISTS (SELECT 1 FROM orders
+      |                                   WHERE o_custkey = c_custkey)
+      |             THEN 1 END) AS without_orders
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ------------------------------------------------------------- q87
+  // Set operations with SQL DISTINCT semantics: users who viewed AND
+  // purchased (INTERSECT), viewed but NEVER purchased (EXCEPT), plus
+  // UNION cardinality — the audience-overlap shapes. Catalyst plans
+  // intersect/except as semi/anti joins over pre-aggregated sides.
+  def q87(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def users(typ: String) =
+      ev.filter(col("event_type") === typ).select("user_id")
+    val both = users("view").intersect(users("purchase")).count()
+    val viewOnly = users("view").except(users("purchase")).count()
+    val either = users("view").union(users("purchase")).distinct().count()
+    val s2 = ev.sparkSession
+    import s2.implicits._
+    Seq(("view_and_purchase", both), ("view_never_purchase", viewOnly),
+      ("view_or_purchase", either))
+      .toDF("audience", "n_users").orderBy("audience")
+  }
+
+  val q87Sql =
+    """SELECT 'view_and_purchase' AS audience, count(*) AS n_users FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'view'
+      |  INTERSECT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT 'view_never_purchase', count(*) FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'view'
+      |  EXCEPT
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |UNION ALL
+      |SELECT 'view_or_purchase', count(*) FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'view'
+      |  UNION
+      |  SELECT user_id FROM events WHERE event_type = 'purchase')
+      |ORDER BY audience""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_pivot" -> (q84 _),
+    "q85_rollup" -> (q85 _),
+    "q86_semi_anti" -> (q86 _),
+    "q87_set_ops" -> (q87 _))
+
+  val oracle: Map[String, String] = Map(
+    "q84_pivot" -> q84Sql,
+    "q85_rollup" -> q85Sql,
+    "q86_semi_anti" -> q86Sql,
+    "q87_set_ops" -> q87Sql)
+}
