@@ -26,7 +26,7 @@ object Bench {
          "q70_audio_features" | "q71_video_frames" |
          "q72_image_resize" => "data_pipeline"
     case _ if n >= "q73" && n <= "q78_z" => "data_pipeline"
-    case "q83_dedup_clusters" => "data_pipeline"
+    case "q83_dedup_clusters" | "q88_stream_stream_join" => "data_pipeline"
     case "q79_asof_join" | "q80_range_join" | "q81_sessionize" |
          "q82_retention_cohorts" | "q84_pivot" | "q85_rollup" |
          "q86_semi_anti" | "q87_set_ops" => "advanced"
@@ -48,7 +48,8 @@ object Bench {
     "q42_streaming_agg", "q44_compaction", "q56_ngram_jaccard",
     "q57_zorder_compaction", "q58_sql_merge", "q61_stateful_dedup",
     "q63_streaming_pipeline", "q64_days_transform", "q65_dynamic_table",
-    "q67_wap_publish", "q68_retention_floor", "q69_governed_stream")
+    "q67_wap_publish", "q68_retention_floor", "q69_governed_stream",
+    "q88_stream_stream_join")
 
   /** The two swingiest write-family queries (measured 70–85 % median
     * spread at reps=3: small absolute times where JIT/GC noise dominates)

@@ -665,6 +665,68 @@ object Ops {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------- q88
+  // Watermarked stream-stream interval join (the Structured Streaming
+  // operator the rest of the streaming surface didn't yet exercise):
+  // purchases and views stream from the SAME graft table (a streaming
+  // self-join), watermarked on both sides, joined per user within the
+  // 24-hours-before-purchase window, and the joined ROWS land in a
+  // second graft table through the exactly-once sink; the verified result
+  // aggregates the DESTINATION. Both watermarks + the two-sided time
+  // bound are what let Spark evict join state at 100 TB (state holds only
+  // rows younger than watermark - 24 h per side); under AvailableNow on
+  // a single staged file the whole source is one micro-batch, so the
+  // watermark drops nothing and the result is exactly the batch oracle.
+  def q88(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val (src, dst) = (s"ev_ssjsrc_${tag(dir)}", s"ev_ssjdst_${tag(dir)}")
+    Tables.deleteRecursively(s"$wh/db/$src")
+    Tables.deleteRecursively(s"$wh/db/$dst")
+    val ckpt = Tables.scratch(s"ckpt/q88_${tag(dir)}")
+    Tables.deleteRecursively(ckpt)
+    s.sql(s"CREATE TABLE graft.db.$src (event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING)")
+    s.sql(s"CREATE TABLE graft.db.$dst (purchase_id BIGINT, user_id BIGINT, view_ts TIMESTAMP)")
+    ev(s, dir).select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .writeTo(s"graft.db.$src").append()
+    graft.table.SnapshotTable.load(s, s"$wh/db/$src").compact()
+
+    val st = s.readStream.option("skip_rewrites", "compact").table(s"graft.db.$src")
+    val purchases = st.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("pts"))
+      .withWatermark("pts", "48 hours")
+    val views = st.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("vts"))
+      .withWatermark("vts", "48 hours")
+    purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("vts") >= col("pts") - expr("INTERVAL 24 HOURS") &&
+          col("vts") < col("pts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("vts").as("view_ts"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"graft.db.$dst")
+      .awaitTermination()
+    s.sql(
+      s"""SELECT purchase_id, user_id, count(*) AS n_recent_views
+         |FROM graft.db.$dst GROUP BY purchase_id, user_id
+         |ORDER BY purchase_id""".stripMargin)
+  }
+
+  val q88Sql =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |       count(*) AS n_recent_views
+      |FROM events p JOIN events v
+      |  ON v.user_id = p.user_id
+      | AND p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts < p.ts
+      |GROUP BY p.event_id, p.user_id
+      |ORDER BY purchase_id""".stripMargin
+
   // ------------------------------------------------------------- q67
   // Write-audit-publish (reference README's "audit before the business
   // sees it" promise, Iceberg's spark.wap.branch workflow): main is seeded
@@ -864,6 +926,7 @@ object Ops {
     "q61_stateful_dedup" -> (q61 _),
     "q62_spj_join" -> (q62 _),
     "q63_streaming_pipeline" -> (q63 _),
+    "q88_stream_stream_join" -> (q88 _),
     "q64_days_transform" -> (q64 _),
     "q65_dynamic_table" -> (q65 _),
     "q67_wap_publish" -> (q67 _),
@@ -889,6 +952,7 @@ object Ops {
     "q61_stateful_dedup" -> q61Sql,
     "q62_spj_join" -> q62Sql,
     "q63_streaming_pipeline" -> q63Sql,
+    "q88_stream_stream_join" -> q88Sql,
     "q64_days_transform" -> q64Sql,
     "q65_dynamic_table" -> q65Sql,
     "q67_wap_publish" -> q67Sql,
