@@ -133,15 +133,97 @@ object Rel {
       |  SELECT user_id FROM events WHERE event_type = 'purchase')
       |ORDER BY audience""".stripMargin
 
+  // ------------------------------------------------------------- q89
+  // Explicit window frames (the reference's windows all use the default
+  // frame): daily event totals with a 7-row trailing moving average and a
+  // running cumulative sum. ROWS frames are position-based, so the result
+  // is engine-portable as long as the ordering is total (day is unique
+  // after the aggregate).
+  def q89(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mov = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("day"), col("n_events"),
+        round(avg("n_events").over(mov), 4).as("ma7"),
+        sum("n_events").over(cum).as("running_total"))
+      .orderBy("day")
+  }
+
+  val q89Sql =
+    """WITH d AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1)
+      |SELECT day, n_events,
+      |       round(avg(n_events) OVER (ORDER BY day
+      |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+      |       sum(n_events) OVER (ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS running_total
+      |FROM d ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------- q90
+  // Ranking suite beyond ROW_NUMBER (the only ranker the reference uses):
+  // percent_rank and ntile quartiles of customers by account balance per
+  // segment. The ordering is made TOTAL with the custkey tie-break —
+  // ntile assigns positionally, so under ties its split would otherwise
+  // be engine-dependent.
+  def q90(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  val q90Sql =
+    """SELECT c_custkey, c_mktsegment, c_acctbal,
+      |       round(percent_rank() OVER (PARTITION BY c_mktsegment
+      |         ORDER BY c_acctbal DESC, c_custkey), 6) AS pct_rank,
+      |       ntile(4) OVER (PARTITION BY c_mktsegment
+      |         ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  // ------------------------------------------------------------- q91
+  // UNPIVOT (melt): the q84 wide pivot folded back to long form. The
+  // oracle is the DIRECT long-form aggregation, so the compare pins the
+  // pivot→unpivot roundtrip as the identity it should be (zero-filled
+  // cells are dropped on both sides).
+  def q91(s: SparkSession, dir: String): DataFrame =
+    q84(s, dir)
+      .unpivot(Array(col("c_mktsegment")),
+        Priorities.map(col).toArray, "o_orderpriority", "n_orders")
+      .filter(col("n_orders") > 0)
+      .orderBy("c_mktsegment", "o_orderpriority")
+
+  val q91Sql =
+    """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, o_orderpriority
+      |HAVING count(*) > 0
+      |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_pivot" -> (q84 _),
     "q85_rollup" -> (q85 _),
     "q86_semi_anti" -> (q86 _),
-    "q87_set_ops" -> (q87 _))
+    "q87_set_ops" -> (q87 _),
+    "q89_window_frames" -> (q89 _),
+    "q90_rank_suite" -> (q90 _),
+    "q91_unpivot" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
     "q84_pivot" -> q84Sql,
     "q85_rollup" -> q85Sql,
     "q86_semi_anti" -> q86Sql,
-    "q87_set_ops" -> q87Sql)
+    "q87_set_ops" -> q87Sql,
+    "q89_window_frames" -> q89Sql,
+    "q90_rank_suite" -> q90Sql,
+    "q91_unpivot" -> q91Sql)
 }

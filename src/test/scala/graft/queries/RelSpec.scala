@@ -36,6 +36,38 @@ class RelSpec extends SparkFunSuite {
       r.getAs[Long]("without_orders")).sum == total)
   }
 
+  test("q89 frames: running_total ends at the event count; ma7 bounded by window extremes") {
+    val rows = Rel.q89(spark, sf).collect()
+    val n = graft.Tables.load(spark, sf, "events").count()
+    assert(rows.last.getAs[Long]("running_total") == n)
+    val counts = rows.map(_.getAs[Long]("n_events"))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val win = counts.slice(math.max(0, i - 6), i + 1)
+      assert(r.getAs[Double]("ma7") >= win.min - 1e-9 &&
+        r.getAs[Double]("ma7") <= win.max + 1e-9)
+    }
+  }
+
+  test("q90 ranks: quartiles balanced within 1, pct_rank monotone in balance order") {
+    val rows = Rel.q90(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, g) =>
+      val sizes = g.groupBy(_.getAs[Int]("quartile")).view.mapValues(_.length).values
+      assert(sizes.max - sizes.min <= 1) // ntile balance property
+      val ordered = g.sortBy(r =>
+        (-r.getAs[Double]("c_acctbal"), r.getAs[Long]("c_custkey")))
+      assert(ordered.map(_.getAs[Double]("pct_rank")).sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true
+      })
+    }
+  }
+
+  test("q91 unpivot inverts q84's pivot: totals agree") {
+    val long = Rel.q91(spark, sf).collect()
+    val wide = Rel.q84(spark, sf).collect()
+    val wideTotal = wide.map(r => (1 to 5).map(i => r.getLong(i)).sum).sum
+    assert(long.map(_.getAs[Long]("n_orders")).sum == wideTotal)
+  }
+
   test("q87 inclusion-exclusion holds: |A∪B| = |A\\B| + |B|") {
     val got = Rel.q87(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
