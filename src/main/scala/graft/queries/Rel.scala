@@ -209,7 +209,66 @@ object Rel {
       |HAVING count(*) > 0
       |ORDER BY c_mktsegment, o_orderpriority""".stripMargin
 
+  // ------------------------------------------------------------- q92
+  // Correlated scalar subquery: each customer's maximum order value,
+  // written as the subquery a SQL user would write — Catalyst
+  // decorrelates it (RewriteCorrelatedScalarSubquery) into a left outer
+  // join over a pre-aggregated orders side, which is exactly the plan
+  // you'd hand-write at 100 TB. Customers with no orders surface as NULL.
+  def q92(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |       (SELECT max(o_totalprice) FROM orders_v
+        |        WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer_v ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q92Sql =
+    """SELECT c_custkey, c_mktsegment,
+      |       (SELECT max(o_totalprice) FROM orders
+      |        WHERE o_custkey = c_custkey) AS max_order
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------- q93
+  // Recursive CTE (new in Spark 4.x): a dense date spine generated
+  // recursively, left-joined to the sparse daily purchase counts — the
+  // gap-filling calendar every reporting layer needs (days with zero
+  // purchases MUST appear). The spine is tiny and driver-independent;
+  // the fact side stays a normal aggregate.
+  def q93(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events_v")
+    s.sql(
+      """WITH RECURSIVE spine (day) AS (
+        |  SELECT DATE '2024-01-01'
+        |  UNION ALL
+        |  SELECT date_add(day, 1) FROM spine WHERE day < DATE '2024-01-30'
+        |),
+        |daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases
+        |  FROM events_v WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT spine.day, coalesce(daily.n_purchases, 0) AS n_purchases
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day
+        |ORDER BY spine.day""".stripMargin)
+  }
+
+  val q93Sql =
+    """WITH RECURSIVE spine (day) AS (
+      |  SELECT DATE '2024-01-01' AS day
+      |  UNION ALL
+      |  SELECT day + 1 FROM spine WHERE day < DATE '2024-01-30'
+      |),
+      |daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT spine.day, coalesce(daily.n_purchases, 0) AS n_purchases
+      |FROM spine LEFT JOIN daily ON spine.day = daily.day
+      |ORDER BY spine.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_correlated_subquery" -> (q92 _),
+    "q93_recursive_cte" -> (q93 _),
     "q84_pivot" -> (q84 _),
     "q85_rollup" -> (q85 _),
     "q86_semi_anti" -> (q86 _),
@@ -219,6 +278,8 @@ object Rel {
     "q91_unpivot" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q92_correlated_subquery" -> q92Sql,
+    "q93_recursive_cte" -> q93Sql,
     "q84_pivot" -> q84Sql,
     "q85_rollup" -> q85Sql,
     "q86_semi_anti" -> q86Sql,
