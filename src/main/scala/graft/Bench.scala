@@ -78,6 +78,12 @@ object Bench {
       .foreach(id => spark.catalog.dropTempView(id.table))
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // unload terminated streaming queries' state-store providers: they
+    // hold full join/agg state in executor memory until the maintenance
+    // tick (60 s) evicts them, so each streaming query would otherwise
+    // run against the previous ones' residue (providers reload lazily —
+    // this is pure hygiene, not a behavior change)
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
   }
 
   /** True median: middle element for odd n, mean of the two middles for
