@@ -26,7 +26,8 @@ object Bench {
          "q70_audio_features" | "q71_video_frames" |
          "q72_image_resize" => "data_pipeline"
     case _ if n >= "q73" && n <= "q78_z" => "data_pipeline"
-    case "q83_dedup_clusters" | "q88_stream_stream_join" => "data_pipeline"
+    case "q83_dedup_clusters" | "q88_stream_stream_join" |
+         "q94_bm25_search" => "data_pipeline"
     case "q79_asof_join" | "q80_range_join" | "q81_sessionize" |
          "q82_retention_cohorts" | "q84_pivot" | "q85_rollup" |
          "q86_semi_anti" | "q87_set_ops" | "q89_window_frames" |

@@ -361,8 +361,81 @@ object Pipeline {
       |SELECT node AS doc_id, min(r) AS cluster_id
       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q94
+  // BM25 text retrieval: score every document against a fixed query
+  // ("data fast spark"), return the top 20. Corpus statistics (N, avgdl,
+  // per-term document frequency) reduce to ONE broadcast row — the only
+  // exchange beyond the final top-k; per-doc term frequencies are array
+  // expressions on the scan. Same shape at 100 TB: stats are a scalar
+  // subquery (one tiny shuffle), scoring is embarrassingly parallel, and
+  // the top-k is TakeOrderedAndProject (no global sort materialization).
+  // k1 = 1.2, b = 0.75 (the standard Robertson parameters); ties broken
+  // by doc_id so the cut at rank 20 is deterministic.
+  private val QueryTerms = Seq("data", "fast", "spark")
+
+  def q94(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("dl", size(col("words")).cast("double"))
+    val withTf = QueryTerms.zipWithIndex.foldLeft(d) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i",
+        expr(s"size(filter(words, x -> x = '$t'))").cast("double"))
+    }
+    val stats = withTf.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"),
+      sum((col("tf0") > 0).cast("int")).cast("double").as("df0"),
+      sum((col("tf1") > 0).cast("int")).cast("double").as("df1"),
+      sum((col("tf2") > 0).cast("int")).cast("double").as("df2"))
+    val scored = withTf.crossJoin(broadcast(stats))
+      .withColumn("score", QueryTerms.indices.map { i =>
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+        idf * (col(s"tf$i") * lit(2.2)) /
+          (col(s"tf$i") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      }.reduce(_ + _))
+      .filter(col("score") > 0)
+    scored
+      .select(col("doc_id"), round(col("score"), 4).as("bm25"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q94Sql =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, dl,
+      |         CAST(len(list_filter(words, x -> x = 'data')) AS DOUBLE) AS tf0,
+      |         CAST(len(list_filter(words, x -> x = 'fast')) AS DOUBLE) AS tf1,
+      |         CAST(len(list_filter(words, x -> x = 'spark')) AS DOUBLE) AS tf2
+      |  FROM d),
+      |st AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+      |         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+      |         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+      |         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+      |  FROM tf),
+      |sc AS (
+      |  SELECT doc_id,
+      |         ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+      |           * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |       + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+      |           * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |       + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+      |           * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |           AS score
+      |  FROM tf, st)
+      |SELECT doc_id, round(score, 4) AS bm25
+      |FROM sc WHERE score > 0
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_dedup_clusters" -> (q83 _),
+    "q94_bm25_search" -> (q94 _),
     "q73_pii_redact" -> (q73 _),
     "q74_repetition_quality" -> (q74 _),
     "q75_segment_dedup" -> (q75 _),
@@ -372,6 +445,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "q83_dedup_clusters" -> q83Sql,
+    "q94_bm25_search" -> q94Sql,
     "q73_pii_redact" -> q73Sql,
     "q74_repetition_quality" -> q74Sql,
     "q75_segment_dedup" -> q75Sql,

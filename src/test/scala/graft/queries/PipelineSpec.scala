@@ -64,6 +64,21 @@ class PipelineSpec extends SparkFunSuite {
     assert(exploded.count() == rows.map(_.getAs[Long]("n_kept")).sum)
   }
 
+  test("q94 BM25: top-20 ordered desc, positive scores, hits contain a query term") {
+    val rows = Pipeline.q94(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // every scored doc really contains at least one query term
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val texts = graft.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .select("text").collect().map(_.getString(0))
+    assert(texts.forall(t => t.split(" ")
+      .exists(Set("data", "fast", "spark").contains)))
+  }
+
   test("q76 eval docs are excluded and hit counts require shared 5-grams") {
     val rows = Pipeline.q76(spark, sf).collect()
     assert(rows.nonEmpty)
