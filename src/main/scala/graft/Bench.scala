@@ -32,7 +32,7 @@ object Bench {
          "q82_retention_cohorts" | "q84_pivot" | "q85_rollup" |
          "q86_semi_anti" | "q87_set_ops" | "q89_window_frames" |
          "q90_rank_suite" | "q91_unpivot" | "q92_correlated_subquery" |
-         "q93_recursive_cte" => "advanced"
+         "q93_recursive_cte" | "q95_bitmap_distinct" => "advanced"
     case _ if n >= "q30" && n <= "q59" => "data_pipeline"
     case _ if n.startsWith("q1") && n >= "q10" => "advanced"
     case "q12_funnel" | "q13_compaction_estimator" => "advanced"

@@ -890,5 +890,8 @@ object Registry {
       (es: Seq[Expression]) => OverlapBound(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("hash64_sorted",
       (es: Seq[Expression]) => Hash64Sorted(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("bitmap_distinct",
+      (es: Seq[Expression]) =>
+        BitmapDistinct(es(0)).toAggregateExpression(), "built-in")
   }
 }

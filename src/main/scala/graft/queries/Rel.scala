@@ -266,7 +266,30 @@ object Rel {
       |FROM spine LEFT JOIN daily ON spine.day = daily.day
       |ORDER BY spine.day""".stripMargin
 
+  // ------------------------------------------------------------- q95
+  // Bitmap distinct-count ([[graft.functions.BitmapDistinct]], the
+  // TypedImperativeAggregate exemplar): exact distinct users per event
+  // type through a mergeable bitmap buffer — partial aggregation ORs
+  // bitmaps map-side, so the shuffle carries one bitmap per group instead
+  // of one row per distinct (user, group) pair. EXACT, so the oracle is
+  // plain count(DISTINCT) — a bitmap bug is a hash mismatch, not a
+  // tolerance judgment.
+  def q95(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.install(s)
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(expr("bitmap_distinct(user_id)").as("distinct_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val q95Sql =
+    """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+      |       count(*) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_bitmap_distinct" -> (q95 _),
     "q92_correlated_subquery" -> (q92 _),
     "q93_recursive_cte" -> (q93 _),
     "q84_pivot" -> (q84 _),
@@ -278,6 +301,7 @@ object Rel {
     "q91_unpivot" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q95_bitmap_distinct" -> q95Sql,
     "q92_correlated_subquery" -> q92Sql,
     "q93_recursive_cte" -> q93Sql,
     "q84_pivot" -> q84Sql,
