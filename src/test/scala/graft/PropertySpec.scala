@@ -270,6 +270,41 @@ class PropertySpec extends SparkFunSuite {
     }, n = 200)
   }
 
+  test("property: word_shingles == first-occurrence-distinct(word_ngrams) on random texts") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val word: Gen[String] = Gen.choose(1, 4)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf("ab".toSeq)).map(_.mkString))
+    val text: Gen[String] = Gen.choose(0, 12)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    check(Prop.forAll(text, Gen.choose(1, 4)) { (t, n) =>
+      val u = UTF8String.fromString(t)
+      val grams = graft.functions.WordNgrams.compute(u, n)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString)
+      val shingles = graft.functions.WordShingles.compute(u, n)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString)
+      // the dedup relationship the two kernels promise by construction
+      shingles.toSeq == grams.toSeq.distinct &&
+        // gram count: max(words - n + 1, 0) with multiplicity
+        grams.length == math.max(t.split(" ", -1).length - n + 1, 0)
+    }, n = 200)
+  }
+
+  test("property: top_gram_frac is in [1/grams, 1] and 1.0 iff all grams equal") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val word: Gen[String] = Gen.oneOf("x", "y", "z")
+    val text: Gen[String] = Gen.choose(1, 20)
+      .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    check(Prop.forAll(text, Gen.choose(1, 3)) { (t, n) =>
+      val u = UTF8String.fromString(t)
+      val grams = graft.functions.WordNgrams.compute(u, n)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString)
+      val f = graft.functions.TopGramFrac.compute(u, n)
+      if (grams.isEmpty) f == 0.0
+      else f >= 1.0 / grams.length - 1e-12 && f <= 1.0 &&
+        ((f == 1.0) == grams.toSet.size.==(1))
+    }, n = 200)
+  }
+
   test("property: scale-probe substitution targets are pairwise distinct") {
     // the probe's linear-scaling claim for near-dup queries rests on
     // copies being decorrelated: two copies sharing a substitution would
