@@ -700,7 +700,18 @@ object Ops {
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
       .writeTo(s"graft.db.$src").append()
 
-    val st = s.readStream.table(s"graft.db.$src")
+    // run the STREAM on a cloned session with fewer shuffle partitions
+    // (X68 pattern — caller session untouched): a stream-stream join
+    // maintains TWO state stores per shuffle partition, and at 32
+    // partitions the per-partition state-file machinery dominates a
+    // 400 k-row batch (measured ~10 s isolated at 32 partitions → ~6 s
+    // at 8). At production volume you'd size partitions UP — this is the
+    // partitions-track-data-volume knob, exercised downward.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val st = s2.readStream.table(s"graft.db.$src")
     val purchases = st.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("pts"))
