@@ -61,7 +61,14 @@ object ScaleProbe {
         // scan lengthens with data — the salting note in Pipeline.q78).
         "q74_repetition_quality", "q75_segment_dedup",
         "q76_decontamination", "q78_sequence_pack",
-        "q79_asof_join", "q80_range_join")
+        "q79_asof_join", "q80_range_join",
+        // q83: iterative CC — rounds scale with component diameter, which
+        // the decorrelated-copy construction keeps constant, so elapsed
+        // should stay ≈flat per round and rows exactly linear. q88:
+        // streaming join state is per-user; 10× users ⇒ linear state,
+        // pairs linear. q94/q95: scan-bound; rows pin the contract.
+        "q83_dedup_clusters", "q88_stream_stream_join",
+        "q94_bm25_search", "q95_bitmap_distinct")
     else // 100×: the scan/join-bound subset (streaming-machinery queries
          // would measure micro-batch count, not data-path scaling)
       Seq("q62_spj_join", "q35_minhash_neardup", "q56_ngram_jaccard",
