@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** bitmap_distinct(id bigint) → bigint: EXACT distinct count over a
   * bounded non-negative id domain, accumulated in a bitmap — the classic
@@ -32,6 +33,26 @@ case class BitmapDistinct(
   extends TypedImperativeAggregate[java.util.BitSet] {
 
   override def children: Seq[Expression] = Seq(child)
+
+  // integral children only, validated at ANALYSIS time — a non-integral
+  // id would otherwise surface as a raw ClassCastException mid-job with
+  // no mention of the function or its contract (ImplicitCastInputTypes
+  // is off-limits here: AbstractDataType is private[sql])
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"bitmap_distinct: id must be an integral type, got ${dt.simpleString}")
+    }
+
+  // width-specific extractor resolved once at plan time, not per row
+  private lazy val toLong: Any => Long = child.dataType match {
+    case LongType => v => v.asInstanceOf[Long]
+    case IntegerType => v => v.asInstanceOf[Int].toLong
+    case ShortType => v => v.asInstanceOf[Short].toLong
+    case ByteType => v => v.asInstanceOf[Byte].toLong
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
   override def prettyName: String = "bitmap_distinct"
@@ -42,7 +63,7 @@ case class BitmapDistinct(
   override def update(buf: java.util.BitSet, input: InternalRow): java.util.BitSet = {
     val v = child.eval(input)
     if (v != null) {
-      val id = v.asInstanceOf[Long]
+      val id = toLong(v)
       if (id < 0 || id > Int.MaxValue)
         throw new IllegalArgumentException(
           s"bitmap_distinct: id $id outside the bitmap domain [0, 2^31)")

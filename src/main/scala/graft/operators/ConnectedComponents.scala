@@ -29,6 +29,16 @@ object ConnectedComponents {
     * (a silent non-fixpoint would return WRONG labels, not approximate
     * ones).
     */
+  /** The RDD a localCheckpointed Dataset persisted: `Dataset.unpersist`
+    * only uncaches SQL CacheManager entries, which a localCheckpoint
+    * never registers — the blocks live on the checkpointed RDD inside the
+    * plan's LogicalRDD leaf, and releasing them means unpersisting THAT.
+    */
+  private def checkpointedRdd(df: DataFrame) =
+    df.queryExecution.logical.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   def labels(pairs: DataFrame, a: String, b: String, maxIter: Int = 25)
       : DataFrame = {
     val edges = pairs.select(col(a).as("s"), col(b).as("d"))
@@ -59,11 +69,11 @@ object ConnectedComponents {
       // check has run: release the superseded round's blocks — without
       // this the loop holds up to maxIter persisted copies of the label
       // set in the block manager at once
-      labels.unpersist()
+      checkpointedRdd(labels).foreach(_.unpersist(blocking = false))
       labels = next
       it += 1
     }
-    edges.unpersist()
+    checkpointedRdd(edges).foreach(_.unpersist(blocking = false))
     require(converged,
       s"connected components did not converge in $maxIter rounds")
     labels

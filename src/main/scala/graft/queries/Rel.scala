@@ -56,13 +56,17 @@ object Rel {
     t(s, dir, "events")
       .withColumn("day", to_date(col("ts")))
       .rollup("event_type", "day")
+      // DECIMAL(18,2) accumulate: a raw double sum is order-dependent and
+      // the grand-total row sums the whole table — the repo-wide device
+      // for cross-engine-exact value sums (same as Ops.dsum)
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("total_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
       .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
 
   val q85Sql =
-    """SELECT event_type, CAST(ts AS DATE) AS day,
-      |       count(*) AS n_events, round(sum(value), 2) AS total_value
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events
       |GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
       |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
@@ -101,19 +105,23 @@ object Rel {
   // Set operations with SQL DISTINCT semantics: users who viewed AND
   // purchased (INTERSECT), viewed but NEVER purchased (EXCEPT), plus
   // UNION cardinality — the audience-overlap shapes. Catalyst plans
-  // intersect/except as semi/anti joins over pre-aggregated sides.
+  // intersect/except as semi/anti joins over pre-aggregated sides. The
+  // three branches stay in ONE lazy plan (no driver-side count() jobs):
+  // the plan guard and the bench's plan metrics see the real joins, and
+  // the scans are shareable by the optimizer.
   def q87(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     def users(typ: String) =
       ev.filter(col("event_type") === typ).select("user_id")
-    val both = users("view").intersect(users("purchase")).count()
-    val viewOnly = users("view").except(users("purchase")).count()
-    val either = users("view").union(users("purchase")).distinct().count()
-    val s2 = ev.sparkSession
-    import s2.implicits._
-    Seq(("view_and_purchase", both), ("view_never_purchase", viewOnly),
-      ("view_or_purchase", either))
-      .toDF("audience", "n_users").orderBy("audience")
+    def branch(label: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(label).as("audience"), col("n_users"))
+    branch("view_and_purchase", users("view").intersect(users("purchase")))
+      .unionAll(branch("view_never_purchase",
+        users("view").except(users("purchase"))))
+      .unionAll(branch("view_or_purchase",
+        users("view").union(users("purchase")).distinct()))
+      .orderBy("audience")
   }
 
   val q87Sql =

@@ -32,6 +32,19 @@ class BitmapDistinctSpec extends SparkFunSuite {
     assert(got == Map("a" -> 1L, "b" -> 0L))
   }
 
+  test("non-integral id is an analysis error, not a mid-job cast crash") {
+    import spark.implicits._
+    Registry.install(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("abc").toDF("v").agg(expr("bitmap_distinct(v)")).collect()
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // integer (narrower integral) children are accepted and exact
+    val n = spark.range(100).selectExpr("CAST(id % 7 AS INT) AS v")
+      .agg(expr("bitmap_distinct(v)")).head().getLong(0)
+    assert(n == 7L)
+  }
+
   test("out-of-range id fails loudly instead of wrapping") {
     import spark.implicits._
     Registry.install(spark)

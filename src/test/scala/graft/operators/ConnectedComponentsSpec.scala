@@ -29,6 +29,21 @@ class ConnectedComponentsSpec extends SparkFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("superseded rounds' checkpoint blocks are released (≤1 net persisted RDD)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // 9-node chain: 8+ propagation rounds, each localCheckpointing a new
+    // label set — without the RDD-level unpersist this leaks one
+    // persisted RDD per round (Dataset.unpersist is a no-op on
+    // localCheckpoints: nothing is registered with the SQL CacheManager)
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = ConnectedComponents.labels(chain, "a", "b")
+    assert(out.collect().forall(_.getLong(1) == 1L)) // still readable
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"persisted RDDs grew by ${after - before} (checkpoint leak)")
+  }
+
   test("maxIter guard throws on non-convergence instead of wrong labels") {
     import spark.implicits._
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("a", "b")

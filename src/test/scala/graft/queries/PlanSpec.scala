@@ -23,9 +23,14 @@ class PlanSpec extends SparkFunSuite {
 
   test("no query plans a cartesian product; nested-loop only where approved") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
+    // planning only — skip entries whose BUILDERS execute a streaming
+    // drain (q42, q88): the returned plan is just the destination-table
+    // readback, so running the whole stream buys no plan coverage here
+    // (the streaming plans themselves are exercised by StreamsSpec/q88's
+    // oracle row, not by this guard)
+    val streamOnBuild = Set("q42_streaming_agg", "q88_stream_stream_join")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      // planning only — skip the streaming entry, which executes on build
-      if (name != "q42_streaming_agg") {
+      if (!streamOnBuild(name)) {
         val plan =
           try fn(spark, sf).queryExecution.executedPlan.toString
           catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }

@@ -76,7 +76,11 @@ class RelSpec extends SparkFunSuite {
       .select("user_id").distinct().count()
     assert(got("view_or_purchase") ==
       got("view_never_purchase") + purchasers)
-    assert(got("view_and_purchase") + got("view_never_purchase") ==
-      got("view_or_purchase") - purchasers + got("view_and_purchase"))
+    // the partition identity on the OTHER side: viewers split exactly
+    // into those who also purchased and those who never did
+    val viewers = graft.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(got("view_and_purchase") + got("view_never_purchase") == viewers)
   }
 }
