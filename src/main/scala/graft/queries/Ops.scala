@@ -742,6 +742,43 @@ object Ops {
          |ORDER BY purchase_id""".stripMargin)
   }
 
+  // ------------------------------------------------------------- q96
+  // Zero-copy clone (Snowflake `CREATE TABLE … CLONE`, the reference
+  // platform's flagship dev/test workflow): seed a table with the first
+  // 9000 events, `CALL graft.system.clone`, then diverge the CLONE with
+  // the remaining events. The verified result reads BOTH tables after the
+  // divergence — source frozen at 9000 rows, clone at the full count —
+  // proving clone-point isolation; CloneSpec pins the zero-copy part
+  // (every cloned file is a hard link) and GC safety on either side.
+  def q96(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val (src, dst) = (s"ev_clonesrc_${tag(dir)}", s"ev_clonedst_${tag(dir)}")
+    Tables.deleteRecursively(s"$wh/db/$src")
+    Tables.deleteRecursively(s"$wh/db/$dst")
+    s.sql(s"CREATE TABLE graft.db.$src (event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)")
+    ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .filter(col("event_id") < 9000)
+      .writeTo(s"graft.db.$src").append()
+    s.sql(s"CALL graft.system.clone(table => 'db.$src', target => 'db.$dst')")
+    ev(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .filter(col("event_id") >= 9000)
+      .createOrReplaceTempView("clone_late_events")
+    s.sql(s"INSERT INTO graft.db.$dst SELECT * FROM clone_late_events")
+    s.sql(
+      s"""SELECT 'clone' AS tbl, count(*) AS n_rows FROM graft.db.$dst
+         |UNION ALL
+         |SELECT 'source', count(*) FROM graft.db.$src
+         |ORDER BY tbl""".stripMargin)
+  }
+
+  val q96Sql =
+    """SELECT 'clone' AS tbl, count(*) AS n_rows FROM events
+      |UNION ALL
+      |SELECT 'source', count(*) FROM events WHERE event_id < 9000
+      |ORDER BY tbl""".stripMargin
+
   val q88Sql =
     """SELECT p.event_id AS purchase_id, p.user_id,
       |       count(*) AS n_recent_views
@@ -952,6 +989,7 @@ object Ops {
     "q62_spj_join" -> (q62 _),
     "q63_streaming_pipeline" -> (q63 _),
     "q88_stream_stream_join" -> (q88 _),
+    "q96_zero_copy_clone" -> (q96 _),
     "q64_days_transform" -> (q64 _),
     "q65_dynamic_table" -> (q65 _),
     "q67_wap_publish" -> (q67 _),
@@ -978,6 +1016,7 @@ object Ops {
     "q62_spj_join" -> q62Sql,
     "q63_streaming_pipeline" -> q63Sql,
     "q88_stream_stream_join" -> q88Sql,
+    "q96_zero_copy_clone" -> q96Sql,
     "q64_days_transform" -> q64Sql,
     "q65_dynamic_table" -> q65Sql,
     "q67_wap_publish" -> q67Sql,

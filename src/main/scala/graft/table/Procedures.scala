@@ -94,6 +94,28 @@ object Procedures {
     }
   }
 
+  /** `CALL graft.system.clone(table => 'db.t', target => 'db.t2')` —
+    * zero-copy clone (Snowflake `CREATE TABLE … CLONE`): metadata + hard
+    * links only, no data bytes copied; the clone is fully independent
+    * afterwards (see [[SnapshotTable.cloneTo]]). */
+  final class CloneTable(warehouse: String) extends GraftProcedure("clone") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("target", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("cloned_files", IntegerType),
+      StructField("cloned_rows", LongType)))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val src = open(warehouse, input.getUTF8String(0).toString)
+      val targetLoc = (warehouse +:
+        input.getUTF8String(1).toString.split('.').toSeq).mkString("/")
+      val t = src.cloneTo(targetLoc)
+      val snap = t.snapshot(t.latestVersion)
+      resultScan(outSchema,
+        InternalRow(snap.files.size, snap.files.map(_.rows).sum))
+    }
+  }
+
   final class Rollback(warehouse: String) extends GraftProcedure("rollback") {
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
@@ -183,6 +205,7 @@ object Procedures {
       case "compact" => Some(new Compact(warehouse))
       case "expire_snapshots" => Some(new ExpireSnapshots(warehouse))
       case "rollback" => Some(new Rollback(warehouse))
+      case "clone" => Some(new CloneTable(warehouse))
       case "remove_orphans" => Some(new RemoveOrphans(warehouse))
       case "create_branch" => Some(new CreateBranch(warehouse))
       case "create_tag" => Some(new CreateTag(warehouse))
@@ -192,7 +215,7 @@ object Procedures {
     }
 
   val names: Seq[String] =
-    Seq("compact", "expire_snapshots", "rollback", "remove_orphans",
+    Seq("compact", "expire_snapshots", "rollback", "clone", "remove_orphans",
       "create_branch", "create_tag", "fast_forward", "drop_ref")
 
   /** Output of name()/description() for UTF8String-safe literals. */

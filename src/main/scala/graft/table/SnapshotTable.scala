@@ -485,6 +485,52 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     commitWithRetry(_ => target.files, _ => target.schemaJson, "rollback")
   }
 
+  /** Zero-copy clone (Snowflake `CREATE TABLE … CLONE`): a NEW independent
+    * table at `target` whose v0 is this table's CURRENT snapshot — schema,
+    * partition spec, table properties, and per-file stats carried — with
+    * every live data file HARD-LINKED into the clone's own data dir: zero
+    * bytes copied, O(files) metadata ops. POSIX link counts give shared-
+    * file ownership for free — either table's compaction / expiration /
+    * orphan GC unlinks only ITS directory entry, and the inode lives
+    * until both sides have dropped it (on S3 the same shape is metadata
+    * pointers plus catalog-tracked ownership; hard links are the POSIX
+    * spelling). The clone's history and refs start fresh at v0 — time
+    * travel does not cross the clone point, matching Snowflake.
+    *
+    * Refused while a RENAME COLUMN mapping is active on live files (their
+    * `schemaVersion` markers are source-version-relative and would corrupt
+    * under the clone's restarted version counter) — same remedy as the
+    * streaming-read restriction: compact, then clone. After that guard the
+    * carried files are all current-generation, so they re-base to
+    * schemaVersion 0 with an empty rename log.
+    */
+  def cloneTo(target: String): SnapshotTable = {
+    val snap = snapshot(latestVersion)
+    require(!SnapshotTable.needsRenameMapping(snap),
+      s"clone of $location: a RENAME COLUMN mapping is active on live " +
+        "files — run CALL system.compact to rewrite them under the " +
+        "current names, then clone")
+    val t = new SnapshotTable(spark, target)
+    require(t.latestVersion < 0, s"table already exists at $target")
+    val srcData = dataDir
+    val destData = Paths.get(target, "data")
+    val files = snap.files.map { f =>
+      val p = Paths.get(f.path)
+      val dest =
+        if (p.startsWith(srcData)) destData.resolve(srcData.relativize(p))
+        else destData.resolve(
+          s"cloned-${java.util.UUID.randomUUID}").resolve(p.getFileName)
+      Files.createDirectories(dest.getParent)
+      Files.createLink(dest, p)
+      f.copy(path = dest.toString, schemaVersion = 0)
+    }
+    t.commitWithRetry(_ => files, _ => snap.schemaJson, "clone",
+      snap.partitionCols,
+      nextRenames = (_, _) => Seq.empty,
+      nextProperties = _ => snap.properties)
+    t
+  }
+
   // ----------------------------------------------------------------- refs
 
   private def refsDir: Path = Paths.get(location, "_refs")
