@@ -779,6 +779,43 @@ object Ops {
       |SELECT 'source', count(*) FROM events WHERE event_id < 9000
       |ORDER BY tbl""".stripMargin
 
+  // ------------------------------------------------------------- q97
+  // In-place migration (`CALL graft.system.add_files` — the reference
+  // demo's core story: existing S3 parquet becomes a governed table
+  // without rewriting a byte): the first 8000 events sit as a RAW parquet
+  // directory; an empty table is declared over that schema; add_files
+  // adopts the files (footer stats harvested, hard-linked, zero rewrite);
+  // the late slice then arrives through the NORMAL committer. The
+  // verified aggregate reads the table — adopted and written files
+  // answering one query together is the whole migration promise.
+  def q97(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val name = s"ev_migrate_${tag(dir)}"
+    Tables.deleteRecursively(s"$wh/db/$name")
+    val raw = Tables.scratch(s"rawmigrate/${tag(dir)}")
+    Tables.deleteRecursively(raw)
+    val cols = Seq("event_id", "user_id", "event_type", "value")
+    ev(s, dir).select(cols.map(col): _*).filter(col("event_id") < 8000)
+      .repartition(4)
+      .write.parquet(raw)
+    s.sql(s"CREATE TABLE graft.db.$name (event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)")
+    s.sql(s"CALL graft.system.add_files(table => 'db.$name', source_dir => '$raw')")
+    ev(s, dir).select(cols.map(col): _*).filter(col("event_id") >= 8000)
+      .createOrReplaceTempView("migrate_late_events")
+    s.sql(s"INSERT INTO graft.db.$name SELECT * FROM migrate_late_events")
+    s.sql(
+      s"""SELECT event_type, count(*) AS n_events,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM graft.db.$name GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  val q97Sql =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val q88Sql =
     """SELECT p.event_id AS purchase_id, p.user_id,
       |       count(*) AS n_recent_views
@@ -990,6 +1027,7 @@ object Ops {
     "q63_streaming_pipeline" -> (q63 _),
     "q88_stream_stream_join" -> (q88 _),
     "q96_zero_copy_clone" -> (q96 _),
+    "q97_add_files_migrate" -> (q97 _),
     "q64_days_transform" -> (q64 _),
     "q65_dynamic_table" -> (q65 _),
     "q67_wap_publish" -> (q67 _),
@@ -1017,6 +1055,7 @@ object Ops {
     "q63_streaming_pipeline" -> q63Sql,
     "q88_stream_stream_join" -> q88Sql,
     "q96_zero_copy_clone" -> q96Sql,
+    "q97_add_files_migrate" -> q97Sql,
     "q64_days_transform" -> q64Sql,
     "q65_dynamic_table" -> q65Sql,
     "q67_wap_publish" -> q67Sql,

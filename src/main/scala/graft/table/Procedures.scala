@@ -116,6 +116,27 @@ object Procedures {
     }
   }
 
+  /** `CALL graft.system.add_files(table => 'db.t', source_dir => '/path')`
+    * — in-place migration: adopt existing parquet into the table, footer
+    * stats harvested, no data rewrite (see [[SnapshotTable.addFiles]]). */
+  final class AddFiles(warehouse: String) extends GraftProcedure("add_files") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("source_dir", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("added_files", IntegerType),
+      StructField("added_rows", LongType),
+      StructField("new_version", IntegerType)))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val t = open(warehouse, input.getUTF8String(0).toString)
+      val before = t.snapshot(t.latestVersion).files.map(_.path).toSet
+      val v = t.addFiles(input.getUTF8String(1).toString)
+      val added = t.snapshot(v).files.filterNot(f => before(f.path))
+      resultScan(outSchema,
+        InternalRow(added.size, added.map(_.rows).sum, v))
+    }
+  }
+
   final class Rollback(warehouse: String) extends GraftProcedure("rollback") {
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
@@ -206,6 +227,7 @@ object Procedures {
       case "expire_snapshots" => Some(new ExpireSnapshots(warehouse))
       case "rollback" => Some(new Rollback(warehouse))
       case "clone" => Some(new CloneTable(warehouse))
+      case "add_files" => Some(new AddFiles(warehouse))
       case "remove_orphans" => Some(new RemoveOrphans(warehouse))
       case "create_branch" => Some(new CreateBranch(warehouse))
       case "create_tag" => Some(new CreateTag(warehouse))
@@ -215,8 +237,9 @@ object Procedures {
     }
 
   val names: Seq[String] =
-    Seq("compact", "expire_snapshots", "rollback", "clone", "remove_orphans",
-      "create_branch", "create_tag", "fast_forward", "drop_ref")
+    Seq("compact", "expire_snapshots", "rollback", "clone", "add_files",
+      "remove_orphans", "create_branch", "create_tag", "fast_forward",
+      "drop_ref")
 
   /** Output of name()/description() for UTF8String-safe literals. */
   private[table] def utf8(s: String): UTF8String = UTF8String.fromString(s)

@@ -485,6 +485,60 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     commitWithRetry(_ => target.files, _ => target.schemaJson, "rollback")
   }
 
+  /** In-place migration (Iceberg's `add_files` — the reference demo's
+    * core premise: existing S3 parquet becomes a governed table without
+    * rewriting a byte): adopt every parquet file under `sourceDir` into
+    * the table as ONE append snapshot. Row counts, byte sizes, and
+    * min/max pruning stats are harvested in the same distributed
+    * footer-only pass normal appends use, so adopted files prune exactly
+    * like written ones. Each file is hard-linked into `data/` — the table
+    * owns its own directory entries, the source directory stays intact
+    * (the [[cloneTo]] ownership model).
+    *
+    * Contract: the files physically store the table's current schema
+    * (the migration premise — the table was DECLARED over this layout);
+    * the first file's schema is checked against the declared columns and
+    * a mismatch refuses loudly. Partitioned tables are refused — adopted
+    * files carry no partition-directory keys, and silently unprunable
+    * files would betray the partition spec's promise.
+    */
+  def addFiles(sourceDir: String): Int = {
+    val snap = snapshot(latestVersion)
+    require(snap.partitionCols.isEmpty,
+      s"add_files into $location: table is partitioned by " +
+        s"${snap.partitionCols.mkString(",")} — adopted files carry no " +
+        "partition keys; migrate into an unpartitioned table and compact " +
+        "into the partition spec")
+    val src = Paths.get(sourceDir)
+    require(Files.isDirectory(src), s"add_files: $sourceDir is not a directory")
+    val found = Files.walk(src).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.toString)
+    require(found.nonEmpty, s"add_files: no parquet files under $sourceDir")
+    val declared = org.apache.spark.sql.types.DataType
+      .fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val fileSchema = spark.read.parquet(found.head.toString).schema
+    declared.fields.foreach { f =>
+      val g = fileSchema.find(_.name == f.name)
+      require(g.exists(_.dataType == f.dataType),
+        s"add_files: declared column ${f.name}: ${f.dataType.simpleString} " +
+          s"not stored by ${found.head} (file has ${
+            g.map(_.dataType.simpleString).getOrElse("no such column")})")
+    }
+    val destDir = dataDir.resolve(
+      s"added-${java.util.UUID.randomUUID.toString.take(8)}")
+    Files.createDirectories(destDir)
+    val linked = found.zipWithIndex.map { case (p, i) =>
+      val d = destDir.resolve(s"$i-${p.getFileName}")
+      Files.createLink(d, p)
+      d.toString
+    }
+    val entries = manifestEntries(linked, declared, Seq.empty, latestVersion)
+    commitWithRetry(base => base.files ++ entries,
+      base => base.schemaJson, "add_files")
+  }
+
   /** Zero-copy clone (Snowflake `CREATE TABLE … CLONE`): a NEW independent
     * table at `target` whose v0 is this table's CURRENT snapshot — schema,
     * partition spec, table properties, and per-file stats carried — with

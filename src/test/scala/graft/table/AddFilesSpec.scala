@@ -1,0 +1,76 @@
+package graft.table
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** add_files (in-place migration) invariants: adopted content equals the
+  * source, the source directory survives untouched, stats are harvested
+  * (adopted files prune), and the two refusal contracts fire loudly. */
+class AddFilesSpec extends SparkFunSuite {
+
+  private def rawDir(name: String, n: Int = 500): String = {
+    val raw = scratch(s"addfiles/$name")
+    graft.Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .limit(n).repartition(3)
+      .write.parquet(raw)
+    raw
+  }
+
+  private def emptyTable(name: String): SnapshotTable =
+    SnapshotTable.createEmpty(spark, scratch(s"addfiles/tab_$name"),
+      graft.Tables.load(spark, sf, "events")
+        .select("event_id", "user_id", "event_type", "value").schema)
+
+  test("adopted files read back exactly; source dir intact; stats harvested") {
+    val raw = rawDir("a")
+    val t = emptyTable("a")
+    t.addFiles(raw)
+    val want = spark.read.parquet(raw)
+    assert(t.read().count() == want.count())
+    assert(t.read().agg(sum("event_id")).head.getLong(0) ==
+      want.agg(sum("event_id")).head.getLong(0))
+    // source untouched (hard links, not moves)
+    assert(Files.walk(Paths.get(raw)).iterator().asScala
+      .count(_.toString.endsWith(".parquet")) == 3)
+    // footer stats really harvested: rows known, min/max present
+    val snap = t.snapshot(t.latestVersion)
+    assert(snap.operation == "add_files")
+    assert(snap.files.forall(_.rows > 0))
+    assert(snap.files.forall(_.stats.contains("event_id")))
+  }
+
+  test("migrated table keeps living: normal appends coexist with adopted files") {
+    val t = emptyTable("b")
+    t.addFiles(rawDir("b", 300))
+    import spark.implicits._
+    t.append(Seq((9999901L, 1L, "extra", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value"))
+    assert(t.read().count() == 301)
+  }
+
+  test("schema mismatch refuses loudly at the declared column") {
+    val raw = scratch("addfiles/c_raw")
+    graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("value").cast("string").as("value"))
+      .limit(10).write.parquet(raw)
+    val t = emptyTable("c")
+    val e = intercept[IllegalArgumentException] { t.addFiles(raw) }
+    // names the first declared column the file fails to store
+    assert(e.getMessage.contains("add_files: declared column"), e.getMessage)
+  }
+
+  test("partitioned tables refuse adoption (no partition keys to carry)") {
+    val loc = scratch("addfiles/tab_d")
+    val t = SnapshotTable.create(spark, loc,
+      graft.Tables.load(spark, sf, "events")
+        .select("event_id", "user_id", "event_type", "value").limit(50),
+      partitionCols = Seq("event_type"))
+    val e = intercept[IllegalArgumentException] {
+      t.addFiles(rawDir("d", 50))
+    }
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+  }
+}
