@@ -136,10 +136,14 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       skipOps: Set[String] = Set.empty): Seq[SnapshotTable.DataFile] = {
     val range = versions.filter(v => v > since && v <= to)
     // "alter" (ADD/RENAME/DROP COLUMN) commits the SAME file list with a
-    // new schema — no rows move, so it is append-family for delta purposes
+    // new schema — no rows move, so it is append-family for delta purposes.
+    // "add_files" (in-place migration) only ADDS files; "clone" is the
+    // clone's CREATE snapshot — both are append-family, or a migrated /
+    // cloned table could never be streamed or incrementally read.
     def isAppend(s: SnapshotTable.Snapshot): Boolean =
       s.operation == "append" || s.operation == "create" ||
-        s.operation == "alter" || s.operation.startsWith("stream-")
+        s.operation == "alter" || s.operation == "add_files" ||
+        s.operation == "clone" || s.operation.startsWith("stream-")
     val snaps = range.map(snapshot)
     val rewrites = snaps.filterNot(s => isAppend(s) || skipOps(s.operation))
     require(rewrites.isEmpty,
@@ -511,8 +515,16 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         "into the partition spec")
     val src = Paths.get(sourceDir)
     require(Files.isDirectory(src), s"add_files: $sourceDir is not a directory")
+    // skip hidden/temp path segments ('_temporary/…', '.…'), exactly like
+    // Spark's own directory reader — a crashed or speculative committer
+    // leaves aborted task attempts there, and adopting them would
+    // double-count rows the committed files already carry
     val found = Files.walk(src).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .filterNot(p => src.relativize(p).iterator().asScala.exists { seg =>
+        val s = seg.toString
+        s.startsWith("_") || s.startsWith(".")
+      })
       .toSeq.sortBy(_.toString)
     require(found.nonEmpty, s"add_files: no parquet files under $sourceDir")
     val declared = org.apache.spark.sql.types.DataType
@@ -534,9 +546,20 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       Files.createLink(d, p)
       d.toString
     }
-    val entries = manifestEntries(linked, declared, Seq.empty, latestVersion)
-    commitWithRetry(base => base.files ++ entries,
-      base => base.schemaJson, "add_files")
+    // stamp the adopted files with the VALIDATED snapshot's version and
+    // abort if the schema (or rename log) moved under us: the schema check
+    // above ran against `snap`, and a concurrent RENAME would make the
+    // adopted entries' schemaVersion claim post-rename names they don't
+    // store (same hazard replaceWithStagedDir guards). Concurrent pure
+    // APPENDS are benign and ride through the retry.
+    val entries = manifestEntries(linked, declared, Seq.empty, snap.version)
+    commitWithRetry(base => {
+      if (base.schemaJson != snap.schemaJson || base.renames != snap.renames)
+        throw new java.util.ConcurrentModificationException(
+          s"add_files into $location: schema changed concurrently " +
+            s"(validated v${snap.version}); re-run against the new schema")
+      base.files ++ entries
+    }, base => base.schemaJson, "add_files")
   }
 
   /** Zero-copy clone (Snowflake `CREATE TABLE … CLONE`): a NEW independent
@@ -568,16 +591,26 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     require(t.latestVersion < 0, s"table already exists at $target")
     val srcData = dataDir
     val destData = Paths.get(target, "data")
+    // link into a temp dir, then one atomic move to data/ — a clone that
+    // dies mid-loop leaves only an unreferenced temp dir, and a retry
+    // starts clean instead of tripping FileAlreadyExists on the partial
+    // links. A pre-existing data/ with NO committed snapshot is exactly
+    // such debris (the latestVersion guard above already held) — clear it.
+    val tmpData = Paths.get(target, s".clone-tmp-${java.util.UUID.randomUUID}")
+    Files.createDirectories(tmpData) // even an empty table moves a data/ dir
     val files = snap.files.map { f =>
       val p = Paths.get(f.path)
       val dest =
-        if (p.startsWith(srcData)) destData.resolve(srcData.relativize(p))
-        else destData.resolve(
+        if (p.startsWith(srcData)) tmpData.resolve(srcData.relativize(p))
+        else tmpData.resolve(
           s"cloned-${java.util.UUID.randomUUID}").resolve(p.getFileName)
       Files.createDirectories(dest.getParent)
       Files.createLink(dest, p)
-      f.copy(path = dest.toString, schemaVersion = 0)
+      f.copy(path = destData.resolve(tmpData.relativize(dest)).toString,
+        schemaVersion = 0)
     }
+    graft.Tables.deleteRecursively(destData.toString)
+    Files.move(tmpData, destData)
     t.commitWithRetry(_ => files, _ => snap.schemaJson, "clone",
       snap.partitionCols,
       nextRenames = (_, _) => Seq.empty,

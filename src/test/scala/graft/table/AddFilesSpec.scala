@@ -51,6 +51,32 @@ class AddFilesSpec extends SparkFunSuite {
     assert(t.read().count() == 301)
   }
 
+  test("hidden/temp committer debris under the source dir is NOT adopted") {
+    val raw = rawDir("e", 200)
+    // a crashed committer's leftover: same rows again under _temporary
+    val tmp = Paths.get(raw, "_temporary", "0")
+    Files.createDirectories(tmp)
+    graft.Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value").limit(200)
+      .coalesce(1).write.parquet(tmp.resolve("attempt_1").toString)
+    val t = emptyTable("e")
+    t.addFiles(raw)
+    assert(t.read().count() == 200) // not 400 — debris skipped like Spark does
+  }
+
+  test("adopted commits are append-family: incremental reads cross them") {
+    val t = emptyTable("f")
+    t.addFiles(rawDir("f", 150))
+    val v1 = t.latestVersion
+    import spark.implicits._
+    t.append(Seq((9999904L, 1L, "extra", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value"))
+    // from-the-beginning delta crosses the add_files commit…
+    assert(t.appendsSince(-1).count() == 151)
+    // …and the post-migration delta is exactly the appended row
+    assert(t.appendsSince(v1).count() == 1)
+  }
+
   test("schema mismatch refuses loudly at the declared column") {
     val raw = scratch("addfiles/c_raw")
     graft.Tables.load(spark, sf, "events")

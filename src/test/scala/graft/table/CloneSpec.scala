@@ -73,6 +73,22 @@ class CloneSpec extends SparkFunSuite {
     assert(clone.refs.isEmpty) // fresh history, no carried refs
   }
 
+  test("clone v0 is append-family (incremental reads work) and a partial-failure retry starts clean") {
+    val src = mkTable("src6", 200)
+    // debris from a hypothetical earlier clone attempt that died mid-link:
+    // a data/ dir with junk but NO committed snapshot
+    val target = scratch("clone/dst6")
+    Files.createDirectories(Paths.get(target, "data"))
+    Files.writeString(Paths.get(target, "data", "stale.parquet"), "junk")
+    val clone = src.cloneTo(target) // retry must not trip on the debris
+    assert(clone.read().count() == 200)
+    import spark.implicits._
+    clone.append(Seq((9999905L, 1L, "extra", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value"))
+    // from-the-beginning incremental read crosses the clone's v0
+    assert(clone.appendsSince(-1).count() == 201)
+  }
+
   test("clone refuses while a rename mapping is active; compact-then-clone works") {
     val src = mkTable("src5", 100)
     src.renameColumn("value", "amount")
