@@ -73,7 +73,11 @@ object ScaleProbe {
          // would measure micro-batch count, not data-path scaling)
       Seq("q62_spj_join", "q35_minhash_neardup", "q56_ngram_jaccard",
         "q74_repetition_quality", "q75_segment_dedup",
-        "q76_decontamination", "q79_asof_join", "q80_range_join")
+        "q76_decontamination", "q79_asof_join", "q80_range_join",
+        // iterative CC at the second decade: rounds track component
+        // diameter (constant by construction), so elapsed should stay
+        // ≈flat while rows go exactly 100×
+        "q83_dedup_clusters")
 
   def build(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     // the ready-marker records WHICH base built the cached dataset — path
