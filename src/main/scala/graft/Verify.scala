@@ -23,7 +23,12 @@ object Verify {
     // filtered to the SAME set — otherwise compare.py would "validate"
     // the skipped queries against whatever stale parquet a previous run
     // left in outDir and report them green without running them.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // a BLANK value means unset (an empty allowlist would select zero
+    // queries, dump an empty oracle file, and let compare.py report a
+    // fully-green 0/0 round — the exact silent-green hazard the filtered
+    // dump exists to prevent)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").filter(_.trim.nonEmpty)
+      .map(_.split(",").toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     selected.foreach { case (name, fn) =>

@@ -57,14 +57,15 @@ object ConnectedComponents {
           .withColumnRenamed("component", "nbr"), "d")
         .groupBy(col("s").as("node"))
         .agg(min("nbr").as("nbr"))
+      // carry the pre-update label as `old` through the checkpoint: the
+      // convergence signal then comes from a cheap filter over the
+      // checkpointed result instead of a second full join per round
       val next = labels.join(viaNbr, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("component").as("old"),
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("component"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("component", "old"), "node")
-        .filter(col("component") =!= col("old"))
-        .isEmpty
+      converged = next.filter(col("component") =!= col("old")).isEmpty
       // `next` is materialized (eager localCheckpoint) and the convergence
       // check has run: release the superseded round's blocks — without
       // this the loop holds up to maxIter persisted copies of the label
@@ -76,6 +77,6 @@ object ConnectedComponents {
     checkpointedRdd(edges).foreach(_.unpersist(blocking = false))
     require(converged,
       s"connected components did not converge in $maxIter rounds")
-    labels
+    labels.select("node", "component") // shed the convergence carry column
   }
 }

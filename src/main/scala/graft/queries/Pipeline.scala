@@ -257,7 +257,13 @@ object Pipeline {
     docs(s, dir)
       .withColumn("src_num", expr("CAST(substring(source, 4) AS INT)"))
       .withColumn("rate_permille", lit(150) + lit(100) * (col("src_num") % 8))
-      .withColumn("bucket", (col("doc_id") * lit(2654435761L)) % 1000)
+      // reduce BEFORE the Knuth multiply: doc_id % 1000003 (prime) keeps
+      // the product under 2^52, so the arithmetic is overflow-free on any
+      // 64-bit engine — an unreduced doc_id near 2^63/2654435761 would
+      // WRAP in Spark's non-ANSI multiply but ERROR in DuckDB, breaking
+      // the any-engine reproducibility this sampler exists for
+      .withColumn("bucket",
+        ((col("doc_id") % 1000003L) * lit(2654435761L)) % 1000)
       .filter(col("bucket") < col("rate_permille"))
       .select(col("doc_id"), col("source"),
         col("bucket").cast("long").as("bucket"),
@@ -266,11 +272,11 @@ object Pipeline {
 
   val q77Sql =
     """SELECT doc_id, source,
-      |       (doc_id * 2654435761) % 1000 AS bucket,
+      |       ((doc_id % 1000003) * 2654435761) % 1000 AS bucket,
       |       CAST(150 + 100 * (CAST(substr(source, 4) AS INT) % 8) AS BIGINT)
       |         AS rate_permille
       |FROM documents
-      |WHERE (doc_id * 2654435761) % 1000
+      |WHERE ((doc_id % 1000003) * 2654435761) % 1000
       |      < 150 + 100 * (CAST(substr(source, 4) AS INT) % 8)
       |ORDER BY doc_id""".stripMargin
 
