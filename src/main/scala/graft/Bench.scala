@@ -20,7 +20,8 @@ object Bench {
          "q57_zorder_compaction" | "q58_sql_merge" |
          "q59_history_table" | "q64_days_transform" |
          "q67_wap_publish" | "q68_retention_floor" |
-         "q96_zero_copy_clone" | "q97_add_files_migrate" => "maintenance"
+         "q96_zero_copy_clone" | "q97_add_files_migrate" |
+         "q98_catalog_view" => "maintenance"
     case "q60_json_roundtrip" | "q61_stateful_dedup" |
          "q62_spj_join" | "q63_streaming_pipeline" | "q65_dynamic_table" |
          "q66_image_meta" | "q69_governed_stream" |
@@ -54,7 +55,7 @@ object Bench {
     "q63_streaming_pipeline", "q64_days_transform", "q65_dynamic_table",
     "q67_wap_publish", "q68_retention_floor", "q69_governed_stream",
     "q88_stream_stream_join", "q96_zero_copy_clone",
-    "q97_add_files_migrate")
+    "q97_add_files_migrate", "q98_catalog_view")
 
   /** The two swingiest write-family queries (measured 70–85 % median
     * spread at reps=3: small absolute times where JIT/GC noise dominates)

@@ -158,6 +158,9 @@ class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * and the QUALIFY-desugaring delegating parser ([[QualifyParser]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // view substitution runs before governance so a policied table inside
+    // a view body still gets wrapped by the governance rule's own pass
+    ext.injectResolutionRule(sp => new GraftViewRule(sp))
     ext.injectResolutionRule(sp => new GovernanceRule(sp))
     ext.injectParser((_, delegate) => new QualifyParser(delegate))
   }

@@ -816,6 +816,47 @@ object Ops {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------- q98
+  // Persisted catalog views (Snowflake CREATE VIEW): the definition is
+  // stored in the warehouse (`CALL graft.system.create_view`, analyzed at
+  // create time) and resolved on read by the extension-injected
+  // [[graft.plans.GraftViewRule]] — stock Spark 4.1 ships the ViewCatalog
+  // API but never calls loadView, so resolution rides our rule, the same
+  // road Iceberg's extensions take. The verified read goes through the
+  // VIEW after a post-create append to the base table — a warehouse view
+  // replans live, so the late rows MUST appear.
+  def q98(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.Governance
+    val g = governedFor(s)
+    Governance.clearPolicies()
+    Governance.setPrivileged(g, true)
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    g.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    g.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val name = s"ev_viewbase_${tag(dir)}"
+    Tables.deleteRecursively(s"$wh/db/$name")
+    g.sql(s"CREATE TABLE graft.db.$name (event_id BIGINT, event_type STRING, value DOUBLE)")
+    Tables.load(g, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_id") < 9000)
+      .writeTo(s"graft.db.$name").append()
+    g.sql(s"CALL graft.system.create_view(view => 'db.v_$name', replace => true, " +
+      s"sql_text => 'SELECT event_type, count(*) AS n_events, " +
+      s"CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+      s"FROM graft.db.$name GROUP BY event_type')")
+    // live replanning: rows appended AFTER the view definition must show
+    Tables.load(g, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(col("event_id") >= 9000)
+      .writeTo(s"graft.db.$name").append()
+    g.sql(s"SELECT * FROM graft.db.v_$name ORDER BY event_type")
+  }
+
+  val q98Sql =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val q88Sql =
     """SELECT p.event_id AS purchase_id, p.user_id,
       |       count(*) AS n_recent_views
@@ -1028,6 +1069,7 @@ object Ops {
     "q88_stream_stream_join" -> (q88 _),
     "q96_zero_copy_clone" -> (q96 _),
     "q97_add_files_migrate" -> (q97 _),
+    "q98_catalog_view" -> (q98 _),
     "q64_days_transform" -> (q64 _),
     "q65_dynamic_table" -> (q65 _),
     "q67_wap_publish" -> (q67 _),
@@ -1056,6 +1098,7 @@ object Ops {
     "q88_stream_stream_join" -> q88Sql,
     "q96_zero_copy_clone" -> q96Sql,
     "q97_add_files_migrate" -> q97Sql,
+    "q98_catalog_view" -> q98Sql,
     "q64_days_transform" -> q64Sql,
     "q65_dynamic_table" -> q65Sql,
     "q67_wap_publish" -> q67Sql,

@@ -31,7 +31,133 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * out of scope this milestone).
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog {
+    with ProcedureCatalog with FunctionCatalog with ViewCatalog {
+
+  // ------------------------------------------------------------ views
+  // Persisted catalog views (Spark 4 ViewCatalog — the Snowflake
+  // CREATE VIEW surface): each view is one JSON document under
+  // `<warehouse>/<ns…>/_views/<name>.json` holding the defining SQL, the
+  // capture context (catalog + namespace the SQL resolves under), the
+  // analyzed schema, and properties. Resolution happens in Spark's
+  // analyzer via loadView — the view body replans against the CURRENT
+  // table state on every read, so a view over a graft table tracks
+  // appends/compactions like any warehouse view.
+
+  private def viewsDir(namespace: Array[String]): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      (warehouse +: namespace.toSeq).mkString("/"), "_views")
+  private def viewFile(ident: Identifier): java.nio.file.Path =
+    viewsDir(ident.namespace()).resolve(s"${ident.name()}.json")
+
+  private val viewMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val dir = viewsDir(namespace.toArray)
+    if (!java.nio.file.Files.isDirectory(dir)) Array.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .map(p => Identifier.of(namespace.toArray,
+          p.getFileName.toString.stripSuffix(".json")))
+        .toArray
+    }
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    java.nio.file.Files.exists(viewFile(ident))
+
+  override def loadView(ident: Identifier): View = {
+    val f = viewFile(ident)
+    if (!java.nio.file.Files.exists(f))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val root = viewMapper.readTree(java.nio.file.Files.readString(f))
+    def arr(field: String): Array[String] = {
+      val n = root.get(field)
+      (0 until n.size()).map(n.get(_).asText()).toArray
+    }
+    import scala.jdk.CollectionConverters._
+    val props = root.get("properties").properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+    new View {
+      override def name(): String =
+        (catalogName +: ident.namespace().toSeq :+ ident.name()).mkString(".")
+      override def query(): String = root.get("sql").asText()
+      override def currentCatalog(): String = root.get("currentCatalog").asText()
+      override def currentNamespace(): Array[String] = arr("currentNamespace")
+      override def schema(): StructType =
+        org.apache.spark.sql.types.DataType
+          .fromJson(root.get("schemaJson").asText()).asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] = arr("queryColumnNames")
+      override def columnAliases(): Array[String] = arr("columnAliases")
+      override def columnComments(): Array[String] = arr("columnComments")
+      override def properties(): java.util.Map[String, String] = {
+        val m = new java.util.HashMap[String, String]()
+        props.foreach { case (k, v) => m.put(k, v) }
+        m
+      }
+    }
+  }
+
+  private def writeView(info: ViewInfo, replace: Boolean): View = {
+    val f = viewFile(info.ident)
+    if (!replace && java.nio.file.Files.exists(f))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(info.ident)
+    java.nio.file.Files.createDirectories(f.getParent)
+    val root = viewMapper.createObjectNode()
+    root.put("sql", info.sql)
+    root.put("currentCatalog", info.currentCatalog)
+    root.put("schemaJson", info.schema.json)
+    def putArr(field: String, vs: Array[String]): Unit = {
+      val a = root.putArray(field)
+      vs.foreach(a.add)
+    }
+    putArr("currentNamespace", info.currentNamespace)
+    putArr("queryColumnNames", info.queryColumnNames)
+    putArr("columnAliases", info.columnAliases)
+    putArr("columnComments", info.columnComments)
+    val p = root.putObject("properties")
+    info.properties.forEach((k, v) => { p.put(k, v); () })
+    java.nio.file.Files.writeString(f, viewMapper.writeValueAsString(root))
+    loadView(info.ident)
+  }
+
+  override def createView(info: ViewInfo): View = writeView(info, replace = false)
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    if (!orCreate && !viewExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(info.ident)
+    writeView(info, replace = true)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident)
+    val props = new java.util.HashMap[String, String](v.properties())
+    changes.foreach {
+      case s: ViewChange.SetProperty => props.put(s.property(), s.value())
+      case r: ViewChange.RemoveProperty => props.remove(r.property())
+      case other => throw new IllegalArgumentException(
+        s"unsupported view change: $other")
+    }
+    writeView(new ViewInfo(ident, v.query(), v.currentCatalog(),
+      v.currentNamespace(), v.schema(), v.queryColumnNames(),
+      v.columnAliases(), v.columnComments(), props), replace = true)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    java.nio.file.Files.deleteIfExists(viewFile(ident))
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
+    if (viewExists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(to)
+    java.nio.file.Files.createDirectories(viewFile(to).getParent)
+    java.nio.file.Files.move(viewFile(from), viewFile(to))
+  }
 
   /** The `bucket` transform function (see [[BucketFunction]]): Spark
     * resolves scan-reported bucket transforms through the table's catalog
@@ -67,7 +193,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * Iceberg-style SQL maintenance surface (see [[Procedures]]). */
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    Procedures.load(warehouse, ident.name())
+    Procedures.load(warehouse, ident.name(), this)
       .filter(_ => ident.namespace().sameElements(Array("system")))
       .getOrElse(throw new RuntimeException(
         s"unknown procedure: ${ident.namespace().mkString(".")}.${ident.name()}"))

@@ -94,6 +94,57 @@ object Procedures {
     }
   }
 
+  /** `CALL graft.system.create_view(view => 'db.v', sql_text => '…',
+    * replace => false)` — persist a catalog view ([[GraftCatalog]]'s
+    * ViewCatalog store). The defining SQL is ANALYZED here (through the
+    * session's full extension stack, QUALIFY included) so a broken
+    * definition fails at create time, not first read; reads resolve via
+    * [[graft.plans.GraftViewRule]] and replan live. Table references in
+    * the SQL must be fully qualified (`graft.db.t`) — the stored text is
+    * re-parsed in whatever session reads the view. */
+  final class CreateView(warehouse: String, cat: GraftCatalog)
+      extends GraftProcedure("create_view") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("view", StringType),
+      param("sql_text", StringType),
+      paramWithDefault("replace", BooleanType, "false"))
+    private val outSchema = StructType(Seq(
+      StructField("view", StringType),
+      StructField("n_columns", IntegerType)))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val viewName = input.getUTF8String(0).toString
+      val sqlText = input.getUTF8String(1).toString
+      val replace = input.getBoolean(2)
+      val schema = spark.sql(sqlText).schema // analysis-time validation
+      val parts = viewName.split('.')
+      val ident = org.apache.spark.sql.connector.catalog.Identifier
+        .of(parts.init, parts.last)
+      val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+        ident, sqlText, cat.name(), parts.init, schema,
+        schema.fieldNames, Array.empty, Array.empty,
+        new util.HashMap[String, String]())
+      if (replace) cat.replaceView(info, true) else cat.createView(info)
+      resultScan(outSchema,
+        InternalRow(utf8(viewName), schema.fields.length))
+    }
+  }
+
+  /** `CALL graft.system.drop_view(view => 'db.v')`. */
+  final class DropView(warehouse: String, cat: GraftCatalog)
+      extends GraftProcedure("drop_view") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("view", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("dropped", BooleanType)))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split('.')
+      val dropped = cat.dropView(
+        org.apache.spark.sql.connector.catalog.Identifier
+          .of(parts.init, parts.last))
+      resultScan(outSchema, InternalRow(dropped))
+    }
+  }
+
   /** `CALL graft.system.clone(table => 'db.t', target => 'db.t2')` —
     * zero-copy clone (Snowflake `CREATE TABLE … CLONE`): metadata + hard
     * links only, no data bytes copied; the clone is fully independent
@@ -221,8 +272,11 @@ object Procedures {
     }
   }
 
-  def load(warehouse: String, name: String): Option[UnboundProcedure] =
+  def load(warehouse: String, name: String,
+      cat: GraftCatalog = null): Option[UnboundProcedure] =
     name match {
+      case "create_view" if cat != null => Some(new CreateView(warehouse, cat))
+      case "drop_view" if cat != null => Some(new DropView(warehouse, cat))
       case "compact" => Some(new Compact(warehouse))
       case "expire_snapshots" => Some(new ExpireSnapshots(warehouse))
       case "rollback" => Some(new Rollback(warehouse))
@@ -239,7 +293,7 @@ object Procedures {
   val names: Seq[String] =
     Seq("compact", "expire_snapshots", "rollback", "clone", "add_files",
       "remove_orphans", "create_branch", "create_tag", "fast_forward",
-      "drop_ref")
+      "drop_ref", "create_view", "drop_view")
 
   /** Output of name()/description() for UTF8String-safe literals. */
   private[table] def utf8(s: String): UTF8String = UTF8String.fromString(s)

@@ -1,0 +1,98 @@
+package graft.table
+
+import graft.SparkFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** Persisted catalog views: procedure DDL (`CALL graft.system.create_view
+  * / drop_view`), resolution through [[graft.plans.GraftViewRule]] on an
+  * extension session, fresh-session persistence, and the live-replanning
+  * contract (a view over a graft table tracks subsequent appends). Stock
+  * Spark's own `CREATE VIEW` refuses v2 catalogs (probed — see
+  * GraftViewRule scaladoc), which is why DDL rides the procedure surface.
+  */
+class ViewCatalogSpec extends SparkFunSuite {
+
+  private def extSession(): SparkSession = {
+    val shared = graft.SparkSuite.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-views")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    SparkSession.setDefaultSession(shared)
+    SparkSession.setActiveSession(s)
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse",
+      graft.Tables.scratch("warehouse/graft-catalog"))
+    graft.plans.Governance.clearPolicies()
+    graft.plans.Governance.setPrivileged(s, true)
+    s
+  }
+
+  test("create_view / read / replace / drop; persists into a fresh catalog instance") {
+    val s = extSession()
+    s.sql("CALL graft.system.drop_view(view => 'db.v_spec')")
+    s.sql("CREATE TABLE IF NOT EXISTS graft.db.v_base (id BIGINT, v DOUBLE)")
+    s.sql("DELETE FROM graft.db.v_base WHERE true")
+    s.sql("INSERT INTO graft.db.v_base VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    s.sql("CALL graft.system.create_view(view => 'db.v_spec', " +
+      "sql_text => 'SELECT id, v * 2 AS dv FROM graft.db.v_base WHERE id > 1')")
+    assert(s.sql("SELECT * FROM graft.db.v_spec").count() == 2)
+    assert(s.sql("SELECT sum(dv) AS s FROM graft.db.v_spec").head.getDouble(0) == 12.0)
+    // live replanning: the view tracks base-table appends
+    s.sql("INSERT INTO graft.db.v_base VALUES (4, 4.5)")
+    assert(s.sql("SELECT * FROM graft.db.v_spec").count() == 3)
+    // replace changes the definition
+    s.sql("CALL graft.system.create_view(view => 'db.v_spec', " +
+      "sql_text => 'SELECT id FROM graft.db.v_base', replace => true)")
+    assert(s.sql("SELECT * FROM graft.db.v_spec").columns.toSeq == Seq("id"))
+    // a FRESH catalog instance (new session) still resolves it
+    val s2 = extSession()
+    assert(s2.sql("SELECT * FROM graft.db.v_spec").count() == 4)
+    assert(s2.sql("SELECT * FROM graft.db.v_spec").columns.toSeq == Seq("id"))
+    s.sql("CALL graft.system.drop_view(view => 'db.v_spec')")
+    intercept[Exception] { s2.sql("SELECT * FROM graft.db.v_spec").collect() }
+  }
+
+  test("create_view validates the definition at create time, not first read") {
+    val s = extSession()
+    val e = intercept[Exception] {
+      s.sql("CALL graft.system.create_view(view => 'db.v_bad', " +
+        "sql_text => 'SELECT no_such_col FROM graft.db.v_base')")
+    }
+    assert(e.getMessage.contains("no_such_col"), e.getMessage)
+    // nothing persisted
+    intercept[Exception] { s.sql("SELECT * FROM graft.db.v_bad").collect() }
+  }
+
+  test("views compose: a view over a view resolves; direct self-reference refuses") {
+    val s = extSession()
+    s.sql("CALL graft.system.create_view(view => 'db.v_a', " +
+      "sql_text => 'SELECT id FROM graft.db.v_base WHERE id > 1', replace => true)")
+    s.sql("CALL graft.system.create_view(view => 'db.v_b', " +
+      "sql_text => 'SELECT count(*) AS n FROM graft.db.v_a', replace => true)")
+    assert(s.sql("SELECT n FROM graft.db.v_b").head.getLong(0) >= 2)
+    // direct self-reference: the rule refuses instead of looping
+    val cat = s.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[GraftCatalog]
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+    cat.dropView(Identifier.of(Array("db"), "v_self"))
+    cat.createView(new ViewInfo(Identifier.of(Array("db"), "v_self"),
+      "SELECT * FROM graft.db.v_self", "graft", Array("db"),
+      new org.apache.spark.sql.types.StructType(), Array.empty, Array.empty,
+      Array.empty, new java.util.HashMap[String, String]()))
+    val e = intercept[Exception] {
+      s.sql("SELECT * FROM graft.db.v_self").collect()
+    }
+    assert(e.getMessage.contains("references itself"), e.getMessage)
+    s.sql("CALL graft.system.drop_view(view => 'db.v_a')")
+    s.sql("CALL graft.system.drop_view(view => 'db.v_b')")
+    cat.dropView(Identifier.of(Array("db"), "v_self"))
+  }
+}
