@@ -46,8 +46,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def viewsDir(namespace: Array[String]): java.nio.file.Path =
     java.nio.file.Paths.get(
       (warehouse +: namespace.toSeq).mkString("/"), "_views")
+  // lowercase on disk: Spark SQL identifiers are case-insensitive, so
+  // `V_Daily` and `v_daily` must address the SAME view document on every
+  // filesystem (a case-sensitive store would resolve them differently on
+  // Linux vs macOS)
   private def viewFile(ident: Identifier): java.nio.file.Path =
-    viewsDir(ident.namespace()).resolve(s"${ident.name()}.json")
+    viewsDir(ident.namespace()).resolve(
+      s"${ident.name().toLowerCase(java.util.Locale.ROOT)}.json")
 
   private val viewMapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -56,11 +61,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!java.nio.file.Files.isDirectory(dir)) Array.empty
     else {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(dir).iterator().asScala
+      val listing = java.nio.file.Files.list(dir)
+      try listing.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".json"))
         .map(p => Identifier.of(namespace.toArray,
           p.getFileName.toString.stripSuffix(".json")))
         .toArray
+      finally listing.close()
     }
   }
 
@@ -119,7 +126,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     putArr("columnComments", info.columnComments)
     val p = root.putObject("properties")
     info.properties.forEach((k, v) => { p.put(k, v); () })
-    java.nio.file.Files.writeString(f, viewMapper.writeValueAsString(root))
+    // write-temp-then-atomic-move: a concurrent loadView must never see a
+    // half-written document (plain truncate-and-write would expose one)
+    val tmp = f.resolveSibling(s".${f.getFileName}.tmp-${
+      java.util.UUID.randomUUID.toString.take(8)}")
+    java.nio.file.Files.writeString(tmp, viewMapper.writeValueAsString(root))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     loadView(info.ident)
   }
 

@@ -115,6 +115,27 @@ object Procedures {
       val viewName = input.getUTF8String(0).toString
       val sqlText = input.getUTF8String(1).toString
       val replace = input.getBoolean(2)
+      // STATIC checks before the analysis run: every table reference must
+      // be fully qualified into THIS catalog (an unqualified name would
+      // validate against the creator's temp views / current database and
+      // then resolve differently — or not at all — at read time), and the
+      // definition must not reference the view itself (under replace the
+      // analysis check would resolve the self-reference to the OLD
+      // definition and "validate" a permanently unreadable view).
+      val selfParts = (cat.name() +: viewName.split('.').toSeq)
+        .map(_.toLowerCase(java.util.Locale.ROOT))
+      spark.sessionState.sqlParser.parsePlan(sqlText).foreach {
+        case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+          val parts = r.multipartIdentifier
+          require(parts.length >= 3 &&
+              parts.head.equalsIgnoreCase(cat.name()),
+            s"create_view: reference '${parts.mkString(".")}' must be " +
+              s"fully qualified as ${cat.name()}.<ns>.<table> — the stored " +
+              "SQL is re-parsed in whatever session reads the view")
+          require(parts.map(_.toLowerCase(java.util.Locale.ROOT)) != selfParts,
+            s"create_view: definition of $viewName references itself")
+        case _ =>
+      }
       val schema = spark.sql(sqlText).schema // analysis-time validation
       val parts = viewName.split('.')
       val ident = org.apache.spark.sql.connector.catalog.Identifier
@@ -273,10 +294,10 @@ object Procedures {
   }
 
   def load(warehouse: String, name: String,
-      cat: GraftCatalog = null): Option[UnboundProcedure] =
+      cat: GraftCatalog): Option[UnboundProcedure] =
     name match {
-      case "create_view" if cat != null => Some(new CreateView(warehouse, cat))
-      case "drop_view" if cat != null => Some(new DropView(warehouse, cat))
+      case "create_view" => Some(new CreateView(warehouse, cat))
+      case "drop_view" => Some(new DropView(warehouse, cat))
       case "compact" => Some(new Compact(warehouse))
       case "expire_snapshots" => Some(new ExpireSnapshots(warehouse))
       case "rollback" => Some(new Rollback(warehouse))

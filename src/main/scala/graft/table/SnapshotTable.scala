@@ -519,23 +519,31 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     // Spark's own directory reader — a crashed or speculative committer
     // leaves aborted task attempts there, and adopting them would
     // double-count rows the committed files already carry
-    val found = Files.walk(src).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .filterNot(p => src.relativize(p).iterator().asScala.exists { seg =>
-        val s = seg.toString
-        s.startsWith("_") || s.startsWith(".")
-      })
-      .toSeq.sortBy(_.toString)
+    val walk = Files.walk(src)
+    val found =
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .filterNot(p => src.relativize(p).iterator().asScala.exists { seg =>
+          val s = seg.toString
+          s.startsWith("_") || s.startsWith(".")
+        })
+        .toSeq.sortBy(_.toString)
+      finally walk.close()
     require(found.nonEmpty, s"add_files: no parquet files under $sourceDir")
     val declared = org.apache.spark.sql.types.DataType
       .fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val fileSchema = spark.read.parquet(found.head.toString).schema
+    // EVERY file's footer participates via mergeSchema: a mixed-schema
+    // directory (a column's type changed mid-migration) fails HERE as a
+    // merge conflict or a declared-column mismatch — before any link or
+    // commit, not as a mid-scan conversion error after adoption
+    val fileSchema = spark.read.option("mergeSchema", "true")
+      .parquet(found.map(_.toString): _*).schema
     declared.fields.foreach { f =>
       val g = fileSchema.find(_.name == f.name)
       require(g.exists(_.dataType == f.dataType),
         s"add_files: declared column ${f.name}: ${f.dataType.simpleString} " +
-          s"not stored by ${found.head} (file has ${
+          s"not stored under $sourceDir (files have ${
             g.map(_.dataType.simpleString).getOrElse("no such column")})")
     }
     val destDir = dataDir.resolve(
@@ -591,26 +599,26 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     require(t.latestVersion < 0, s"table already exists at $target")
     val srcData = dataDir
     val destData = Paths.get(target, "data")
-    // link into a temp dir, then one atomic move to data/ — a clone that
-    // dies mid-loop leaves only an unreferenced temp dir, and a retry
-    // starts clean instead of tripping FileAlreadyExists on the partial
-    // links. A pre-existing data/ with NO committed snapshot is exactly
-    // such debris (the latestVersion guard above already held) — clear it.
-    val tmpData = Paths.get(target, s".clone-tmp-${java.util.UUID.randomUUID}")
-    Files.createDirectories(tmpData) // even an empty table moves a data/ dir
+    // link under a UNIQUE subdir of data/ — NOTHING is ever deleted here,
+    // so a clone racing another clone (or its own earlier crashed
+    // attempt) can't destroy committed files: a crashed attempt's links
+    // are unreferenced debris inside data/, which remove_orphans sweeps
+    // like any orphan, and a retry uses a fresh subdir (no
+    // FileAlreadyExists). Two racing clones both link; the snapshot CAS
+    // decides whose manifest becomes v0 and the loser's commit lands
+    // after it (both file sets exist — consistent either way).
+    val linkRoot = destData.resolve(
+      s"clone-${java.util.UUID.randomUUID.toString.take(8)}")
     val files = snap.files.map { f =>
       val p = Paths.get(f.path)
       val dest =
-        if (p.startsWith(srcData)) tmpData.resolve(srcData.relativize(p))
-        else tmpData.resolve(
+        if (p.startsWith(srcData)) linkRoot.resolve(srcData.relativize(p))
+        else linkRoot.resolve(
           s"cloned-${java.util.UUID.randomUUID}").resolve(p.getFileName)
       Files.createDirectories(dest.getParent)
       Files.createLink(dest, p)
-      f.copy(path = destData.resolve(tmpData.relativize(dest)).toString,
-        schemaVersion = 0)
+      f.copy(path = dest.toString, schemaVersion = 0)
     }
-    graft.Tables.deleteRecursively(destData.toString)
-    Files.move(tmpData, destData)
     t.commitWithRetry(_ => files, _ => snap.schemaJson, "clone",
       snap.partitionCols,
       nextRenames = (_, _) => Seq.empty,

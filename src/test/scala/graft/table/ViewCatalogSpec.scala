@@ -60,6 +60,40 @@ class ViewCatalogSpec extends SparkFunSuite {
     intercept[Exception] { s2.sql("SELECT * FROM graft.db.v_spec").collect() }
   }
 
+  test("identifiers are case-insensitive: create V_Daily, read v_daily") {
+    val s = extSession()
+    s.sql("CALL graft.system.create_view(view => 'db.V_Daily', " +
+      "sql_text => 'SELECT id FROM graft.db.v_base', replace => true)")
+    assert(s.sql("SELECT * FROM graft.db.v_daily").columns.toSeq == Seq("id"))
+    assert(s.sql("SELECT * FROM graft.db.V_DAILY").count() ==
+      s.sql("SELECT * FROM graft.db.v_base").count())
+    s.sql("CALL graft.system.drop_view(view => 'db.v_daily')")
+    intercept[Exception] { s.sql("SELECT * FROM graft.db.V_Daily").collect() }
+  }
+
+  test("unqualified references and self-references refuse at CREATE time") {
+    val s = extSession()
+    // temp view would satisfy the creator's analysis but break every reader
+    graft.Tables.load(s, sf, "events").createOrReplaceTempView("tmp_events")
+    val unq = intercept[Exception] {
+      s.sql("CALL graft.system.create_view(view => 'db.v_unq', " +
+        "sql_text => 'SELECT count(*) AS n FROM tmp_events')")
+    }
+    assert(unq.getMessage.contains("fully qualified"), unq.getMessage)
+    // replace-with-self-reference: the analysis check alone would resolve
+    // the self-ref against the OLD definition and "validate" it
+    s.sql("CALL graft.system.create_view(view => 'db.v_rs', " +
+      "sql_text => 'SELECT id FROM graft.db.v_base', replace => true)")
+    val self = intercept[Exception] {
+      s.sql("CALL graft.system.create_view(view => 'db.v_rs', " +
+        "sql_text => 'SELECT id FROM graft.db.v_rs WHERE id > 0', replace => true)")
+    }
+    assert(self.getMessage.contains("references itself"), self.getMessage)
+    // the OLD definition survived the refused replace
+    assert(s.sql("SELECT * FROM graft.db.v_rs").columns.toSeq == Seq("id"))
+    s.sql("CALL graft.system.drop_view(view => 'db.v_rs')")
+  }
+
   test("create_view validates the definition at create time, not first read") {
     val s = extSession()
     val e = intercept[Exception] {
