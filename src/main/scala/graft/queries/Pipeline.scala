@@ -313,8 +313,8 @@ object Pipeline {
       |         sum(tokens) OVER (PARTITION BY source ORDER BY doc_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       |  FROM t)
-      |SELECT source, (cum - tokens) // 2048 AS seq_id,
-      |       count(*) AS n_docs, sum(tokens) AS seq_tokens,
+      |SELECT source, CAST((cum - tokens) // 2048 AS BIGINT) AS seq_id,
+      |       count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS seq_tokens,
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM c GROUP BY source, (cum - tokens) // 2048
       |ORDER BY source, seq_id""".stripMargin

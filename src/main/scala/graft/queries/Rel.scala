@@ -168,9 +168,9 @@ object Rel {
       |SELECT day, n_events,
       |       round(avg(n_events) OVER (ORDER BY day
       |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
-      |       sum(n_events) OVER (ORDER BY day
+      |       CAST(sum(n_events) OVER (ORDER BY day
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |         AS running_total
+      |         AS BIGINT) AS running_total
       |FROM d ORDER BY day""".stripMargin
 
   // ------------------------------------------------------------- q90

@@ -123,10 +123,10 @@ object Temporal {
       |  FROM l),
       |x AS (
       |  SELECT user_id, ts,
-      |         sum(new_session) OVER (PARTITION BY user_id
+      |         CAST(sum(new_session) OVER (PARTITION BY user_id
       |           ORDER BY ts, event_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      |           AS session_idx
+      |           AS BIGINT) AS session_idx
       |  FROM f)
       |SELECT user_id, session_idx, count(*) AS n_events,
       |       min(ts) AS session_start, max(ts) AS session_end,
