@@ -68,7 +68,14 @@ object ScaleProbe {
         // streaming join state is per-user; 10× users ⇒ linear state,
         // pairs linear. q94/q95: scan-bound; rows pin the contract.
         "q83_dedup_clusters", "q88_stream_stream_join",
-        "q94_bm25_search", "q95_bitmap_distinct")
+        "q94_bm25_search", "q95_bitmap_distinct",
+        // q39: EXACT threshold join — Θ(N²) cosines by problem statement
+        // (see EmbeddingJoin's scaladoc for why LSH can't prune at
+        // τ=0.45), so elapsed is EXPECTED ≈quadratic at 10×; the probe's
+        // signals are (a) shuffle grows ≈linearly (N·b rows, never the
+        // pair count) and (b) it completes with bounded task memory —
+        // the layout claims, not the compute bound
+        "q39_embedding_neardup")
     else // 100×: the scan/join-bound subset (streaming-machinery queries
          // would measure micro-batch count, not data-path scaling)
       Seq("q62_spj_join", "q35_minhash_neardup", "q56_ngram_jaccard",

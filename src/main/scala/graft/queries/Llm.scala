@@ -346,18 +346,15 @@ object Llm {
     "SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries, true AS recall_ok"
 
   // ------------------------------------------------------------- q39
-  // Embedding-cosine near-dup pairs above a threshold. Brute-force with a
-  // broadcastable side at test scale; scale path is q38's bucketing.
-  def q39(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("qv"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("nv"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", round(cosine("qv", "nv"), 4))
-      .filter(col("cos_sim") >= 0.45)
-      .select("vec_a", "vec_b", "cos_sim")
+  // Embedding-cosine near-dup pairs above a threshold — exact, via the
+  // block-replicated equi-join ([[graft.operators.EmbeddingJoin]]): same
+  // Θ(N²) cosine count as the all-pairs oracle, but laid out as uniform
+  // hash-join tasks with bounded memory and N·b shuffle rows instead of a
+  // BroadcastNestedLoopJoin (why LSH banding can't do better at τ = 0.45
+  // is measured and documented on the operator).
+  def q39(s: SparkSession, dir: String): DataFrame =
+    graft.operators.EmbeddingJoin.exactPairs(emb(s, dir), "vec_id", "v", 0.45)
       .orderBy("vec_a", "vec_b")
-  }
 
   val q39Sql =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

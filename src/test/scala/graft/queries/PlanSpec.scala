@@ -12,13 +12,14 @@ import graft.SparkFunSuite
 class PlanSpec extends SparkFunSuite {
 
   // brute-force scorers: nested-loop with a broadcast side is the intended
-  // plan (q37/q39 small-side broadcast; q50's centroid probe is 16 rows;
+  // plan (q37 small-side broadcast; q50's centroid probe is 16 rows;
   // q38/q50 embed the exact q37 baseline for their recall summaries);
   // q94's broadcast side is the ONE-row corpus-stats aggregate (N, avgdl,
   // per-term df) every scored row needs — a scalar-broadcast join, not a
-  // pairwise product
+  // pairwise product. q39 is NOT on this list: its exact all-pairs join
+  // is a block-replicated equi-join (EmbeddingJoin) with no nested loop.
   private val nestedLoopAllowed = Set(
-    "q37_ann_topk", "q38_ann_lsh", "q39_embedding_neardup", "q50_ann_ivf",
+    "q37_ann_topk", "q38_ann_lsh", "q50_ann_ivf",
     "q94_bm25_search")
 
   test("no query plans a cartesian product; nested-loop only where approved") {
