@@ -296,7 +296,32 @@ object Rel {
       |       count(*) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------------------------------- q99
+  // CUBE: event counts by (event_type, month) with subtotals along BOTH
+  // axes plus the grand total — the same single Expand + hash-agg plan as
+  // ROLLUP (q85), just with all four grouping sets, so the 100 TB cost is
+  // one shuffle at 4× the input rows (Expand fan-out), not four scans.
+  // The explicit GROUPING SETS API is pinned equivalent in RelSpec
+  // (cube == groupingSets({(t,m),(t),(m),()})); NULL markers are
+  // unambiguous because both grouping columns are non-null in the data.
+  def q99(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("month", month(col("ts")).cast("long"))
+      .cube("event_type", "month")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("month").asc_nulls_first)
+
+  val q99Sql =
+    """SELECT event_type, month(ts) AS month, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY CUBE(event_type, month(ts))
+      |ORDER BY event_type NULLS FIRST, month NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_cube" -> (q99 _),
     "q95_bitmap_distinct" -> (q95 _),
     "q92_correlated_subquery" -> (q92 _),
     "q93_recursive_cte" -> (q93 _),
@@ -309,6 +334,7 @@ object Rel {
     "q91_unpivot" -> (q91 _))
 
   val oracle: Map[String, String] = Map(
+    "q99_cube" -> q99Sql,
     "q95_bitmap_distinct" -> q95Sql,
     "q92_correlated_subquery" -> q92Sql,
     "q93_recursive_cte" -> q93Sql,

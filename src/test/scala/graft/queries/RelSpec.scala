@@ -29,6 +29,33 @@ class RelSpec extends SparkFunSuite {
     assert(subtotals == dayRows.toMap)
   }
 
+  test("q99 cube: both margins add up; cube == explicit GROUPING SETS") {
+    val rows = Rel.q99(spark, sf).collect()
+    val n = graft.Tables.load(spark, sf, "events").count()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1 && grand.head.getAs[Long]("n_events") == n)
+    // each margin's subtotals sum to the grand total (additivity BOTH ways
+    // — the property ROLLUP only has for one axis)
+    val typeMargin = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(_.getAs[Long]("n_events")).sum
+    val monthMargin = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+      .map(_.getAs[Long]("n_events")).sum
+    assert(typeMargin == n && monthMargin == n)
+    // the cube operator is exactly the four explicit grouping sets
+    val ev = graft.Tables.load(spark, sf, "events")
+      .withColumn("month", month(col("ts")).cast("long"))
+    val viaSets = ev.groupingSets(
+        Seq(Seq(col("event_type"), col("month")), Seq(col("event_type")),
+          Seq(col("month")), Seq.empty),
+        col("event_type"), col("month"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("total_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("month").asc_nulls_first)
+      .collect()
+    assert(viaSets.toSeq == rows.toSeq)
+  }
+
   test("q86 semi + anti partition the customer table") {
     val rows = Rel.q86(spark, sf).collect()
     val total = graft.Tables.load(spark, sf, "customer").count()
