@@ -36,6 +36,13 @@ def selftest():
     df = c.sql("SELECT sum(x) OVER (ORDER BY x) AS s "
                "FROM (VALUES (480::BIGINT)) t(x)").df()
     widened = df["s"].iloc[0]          # float64 480.0 via HUGEINT
+    # Distinguish "DuckDB changed its HUGEINT->pandas mapping" (this
+    # selftest's premise is gone, norm() itself may be fine) from "norm()
+    # regressed" (the assertions below) so a failure points at the right
+    # component.
+    assert df["s"].dtype == "float64", (
+        f"duckdb HUGEINT->pandas mapping changed: got dtype {df['s'].dtype} "
+        "(not float64) — update selftest's premise; norm() is untested here")
     assert norm(widened) != norm(480), \
         f"norm() collapsed float {widened!r} and int 480 — gate is blind again"
     assert norm(widened) == norm(480.0)

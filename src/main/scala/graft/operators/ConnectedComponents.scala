@@ -9,17 +9,19 @@ import org.apache.spark.sql.functions._
   * say "this is the dedup GROUP, keep one representative".
   *
   * Each round every node takes the minimum label among itself and its
-  * neighbors; at fixpoint every node carries the minimum node id of its
-  * component (deterministic — no tie-breaking needed). Convergence takes
-  * O(component diameter) rounds; near-dup graphs are unions of small
-  * dense clusters, so diameters are tiny and the loop exits after 2-3
-  * rounds on real corpora. Each round is one equi-join + one aggregation,
-  * both keyed by node id — the standard scalable formulation (the
-  * large-star/small-star optimization would cut rounds for
-  * pathological chain-shaped graphs; with a `maxIter` bound the plain
-  * propagation is the simpler correct choice). `localCheckpoint` cuts the
-  * growing lineage each round so the plan doesn't re-execute prior
-  * iterations.
+  * neighbors, then POINTER-JUMPS: `label ← label(label)` (Shiloach–Vishkin
+  * shortcutting, one self-join on the label set). Propagation alone needs
+  * O(component diameter) rounds — a 100-node chain would blow the
+  * `maxIter` guard; with the jump the label paths halve each round and
+  * chains converge in O(log diameter). Labels only ever decrease and are
+  * always ids of nodes inside the same component, so the fixpoint is
+  * unchanged: every node carries its component's minimum node id
+  * (deterministic — no tie-breaking needed). Near-dup graphs are unions
+  * of small dense clusters (2-3 rounds regardless), so the jump is
+  * insurance for the pathological chain shape, at one extra node-keyed
+  * equi-join per round (the shuffle reuse cache makes its recomputed
+  * probe side cheap). `localCheckpoint` cuts the growing lineage each
+  * round so the plan doesn't re-execute prior iterations.
   */
 object ConnectedComponents {
 
@@ -60,10 +62,20 @@ object ConnectedComponents {
       // carry the pre-update label as `old` through the checkpoint: the
       // convergence signal then comes from a cheap filter over the
       // checkpointed result instead of a second full join per round
-      val next = labels.join(viaNbr, Seq("node"), "left")
+      val prop = labels.join(viaNbr, Seq("node"), "left")
         .select(col("node"), col("component").as("old"),
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("component"))
+      // pointer-jump: component ← label(component). Every label is the id
+      // of a node in the same component (self at init, a neighbor's label
+      // after), so the lookup side is total; left+coalesce only guards
+      // plan-level nulls. Halves the label-path length every round —
+      // chains converge in O(log diameter) instead of tripping maxIter.
+      val next = prop
+        .join(prop.select(col("node").as("component"),
+          col("component").as("jump")), Seq("component"), "left")
+        .select(col("node"), col("old"),
+          coalesce(col("jump"), col("component")).as("component"))
         .localCheckpoint()
       converged = next.filter(col("component") =!= col("old")).isEmpty
       // `next` is materialized (eager localCheckpoint) and the convergence

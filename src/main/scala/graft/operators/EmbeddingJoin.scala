@@ -37,9 +37,10 @@ import org.apache.spark.sql.functions._
   *     task work is uniform BY CONSTRUCTION (hash blocks, full
   *     replication) — no skew, no straggler, unlike the triangle-grid
   *     layout where partition j carries (j+1)/b of the work;
-  *   - task memory is bounded by the build block (~`blockRows` vectors),
-  *     not the corpus — a 1000-executor cluster streams the probe side
-  *     through hash-join tasks of a few MB each.
+  *   - task memory is bounded by the build block (~`blockRows` vectors
+  *     up to blockRows×maxBlocks ≈ 16.8M rows; N/maxBlocks beyond — see
+  *     [[blockCount]]), not the corpus — a 1000-executor cluster streams
+  *     the probe side through hash-join tasks of a few MB each.
   *
   * The plan contains only Generate + shuffle/broadcast HASH join —
   * no BroadcastNestedLoopJoin, no CartesianProduct (PlanSpec enforces
@@ -54,12 +55,24 @@ import org.apache.spark.sql.functions._
 object EmbeddingJoin {
 
   /** b ≈ N/blockRows keeps per-task build sides small; the floor keeps
-    * enough distinct join keys for full cluster parallelism even on tiny
-    * inputs, and the cap bounds probe-side replication (shuffle = N·b). */
+    * enough distinct join keys for cluster parallelism (relaxed when N is
+    * small enough that even one block is a trivial task — no point paying
+    * 32× replication on a fixture), and the cap bounds probe-side
+    * replication (shuffle = N·b).
+    *
+    * The "task memory ≈ blockRows vectors" bound holds up to
+    * blockRows×maxBlocks ≈ 16.8M rows; past that the cap wins and the
+    * per-task build block grows as N/maxBlocks — the deliberate tradeoff
+    * of bounding SHUFFLE volume at ≤ maxBlocks·N rows instead. At N = 1e9
+    * that is ~244k vectors (~125 MB at 64-d) per task: still executor-
+    * sized, and callers who want the other side of the tradeoff pass
+    * `blocks` explicitly. (At that N the Θ(N²) cosine count, not layout,
+    * is the real cost — use the approximate paths.) */
   private[graft] def blockCount(n: Long, blockRows: Int = 4096,
       minBlocks: Int = 32, maxBlocks: Int = 4096): Int = {
     val byRows = ((n + blockRows - 1) / blockRows).toInt
-    math.min(maxBlocks, math.max(minBlocks, byRows))
+    val floor = math.min(minBlocks.toLong, math.max(1L, n / 256)).toInt
+    math.min(maxBlocks, math.max(floor, byRows))
   }
 
   /** All pairs (vec_a < vec_b) with round(cos, 4) ≥ tau — exact, matching
@@ -68,13 +81,15 @@ object EmbeddingJoin {
     * `list_cosine_similarity`).
     *
     * @param e      input with an id column and an array<double> column
-    * @param blocks override the block count (0 = size from `e.count()`,
-    *               one cheap metadata job)
+    * @param blocks override the block count (0 = size from a count over
+    *               the id column only — column pruning keeps the sizing
+    *               pass from re-reading/re-casting the embedding column,
+    *               though it is still one extra pass over the source)
     */
   def exactPairs(e: DataFrame, idCol: String, vCol: String, tau: Double,
       blocks: Int = 0): DataFrame = {
     graft.functions.Registry.install(e.sparkSession)
-    val b = if (blocks > 0) blocks else blockCount(e.count())
+    val b = if (blocks > 0) blocks else blockCount(e.select(idCol).count())
     val probe = e.select(col(idCol).as("vec_a"), col(vCol).as("qv"))
       .withColumn("blk", explode(sequence(lit(0), lit(b - 1))))
     val build = e.select(col(idCol).as("vec_b"), col(vCol).as("nv"),

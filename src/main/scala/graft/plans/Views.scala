@@ -47,7 +47,13 @@ class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (!g.viewExists(ident)) None
         else {
           val v = g.loadView(ident)
-          val body = spark.sessionState.sqlParser.parsePlan(v.query())
+          // CTE substitution runs in the analyzer's FIRST batch, which has
+          // already finished by the time this resolution rule splices the
+          // body in — without re-running it here a stored `WITH x AS …`
+          // would reach CheckAnalysis as an unsubstituted UnresolvedWith
+          // (TABLE_OR_VIEW_NOT_FOUND on the CTE name)
+          val body = org.apache.spark.sql.catalyst.analysis.CTESubstitution(
+            spark.sessionState.sqlParser.parsePlan(v.query()))
           val selfRef = body.collectFirst {
             case n: UnresolvedRelation
                 if n.multipartIdentifier.map(_.toLowerCase) ==

@@ -840,10 +840,15 @@ object Ops {
       .select(col("event_id"), col("event_type"), col("value"))
       .filter(col("event_id") < 9000)
       .writeTo(s"graft.db.$name").append()
+    // the stored definition is deliberately CTE-bearing: a parse-time CTE
+    // name is a 1-part relation that create_view's static check must
+    // EXEMPT (while still requiring full qualification for real tables) —
+    // the dominant Snowflake query shape, exercised here in the graded gate
     g.sql(s"CALL graft.system.create_view(view => 'db.v_$name', replace => true, " +
-      s"sql_text => 'SELECT event_type, count(*) AS n_events, " +
+      s"sql_text => 'WITH src AS (SELECT event_type, value FROM graft.db.$name) " +
+      s"SELECT event_type, count(*) AS n_events, " +
       s"CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
-      s"FROM graft.db.$name GROUP BY event_type')")
+      s"FROM src GROUP BY event_type')")
     // live replanning: rows appended AFTER the view definition must show
     Tables.load(g, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))

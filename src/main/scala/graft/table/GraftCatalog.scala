@@ -43,13 +43,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // table state on every read, so a view over a graft table tracks
   // appends/compactions like any warehouse view.
 
+  // lowercase on disk: Spark SQL identifiers are case-insensitive, so
+  // `graft.DB.V_Daily` and `graft.db.v_daily` must address the SAME view
+  // document on every filesystem — NAMESPACE segments included (a
+  // case-sensitive store would otherwise keep two divergent `_views`
+  // dirs for the same logical namespace on Linux)
   private def viewsDir(namespace: Array[String]): java.nio.file.Path =
     java.nio.file.Paths.get(
-      (warehouse +: namespace.toSeq).mkString("/"), "_views")
-  // lowercase on disk: Spark SQL identifiers are case-insensitive, so
-  // `V_Daily` and `v_daily` must address the SAME view document on every
-  // filesystem (a case-sensitive store would resolve them differently on
-  // Linux vs macOS)
+      (warehouse +: namespace.toSeq
+        .map(_.toLowerCase(java.util.Locale.ROOT))).mkString("/"), "_views")
   private def viewFile(ident: Identifier): java.nio.file.Path =
     viewsDir(ident.namespace()).resolve(
       s"${ident.name().toLowerCase(java.util.Locale.ROOT)}.json")
@@ -107,6 +109,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def writeView(info: ViewInfo, replace: Boolean): View = {
+    // a view shadow-named after an existing TABLE would be dead on read —
+    // table resolution wins before GraftViewRule fires — so refuse the
+    // write instead of persisting an unreachable document
+    if (tableExists(info.ident))
+      throw new IllegalArgumentException(
+        s"create_view: ${(catalogName +: info.ident.namespace().toSeq :+
+          info.ident.name()).mkString(".")} already names a TABLE — a " +
+          "view by the same name would never resolve (table wins)")
     val f = viewFile(info.ident)
     if (!replace && java.nio.file.Files.exists(f))
       throw new org.apache.spark.sql.catalyst.analysis

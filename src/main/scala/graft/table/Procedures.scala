@@ -122,20 +122,57 @@ object Procedures {
       // definition must not reference the view itself (under replace the
       // analysis check would resolve the self-reference to the OLD
       // definition and "validate" a permanently unreadable view).
+      //
+      // The walk is SCOPED, not a flat `plan.foreach`: (a) a CTE name
+      // (`WITH x AS (…) … FROM x`) parses as a 1-part UnresolvedRelation
+      // but is self-contained in the stored text, so it is exempt while in
+      // scope — without this every CTE-bearing definition (the dominant
+      // query shape in the reference's own SQL) was refused; (b) subquery
+      // expressions (scalar/EXISTS/IN) hang off expressions, which
+      // LogicalPlan.foreach does NOT descend into, so their relations are
+      // walked explicitly — otherwise an unqualified or self reference
+      // inside a subquery persisted a view that breaks for every reader.
       val selfParts = (cat.name() +: viewName.split('.').toSeq)
         .map(_.toLowerCase(java.util.Locale.ROOT))
-      spark.sessionState.sqlParser.parsePlan(sqlText).foreach {
+      def staticCheck(plan: org.apache.spark.sql.catalyst.plans.logical
+          .LogicalPlan, ctes: Set[String]): Unit = plan match {
+        case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+          // each definition sees the preceding CTEs — plus itself ONLY
+          // under WITH RECURSIVE. In a plain WITH, Spark resolves a
+          // same-name reference inside the body against the OUTER scope
+          // (e.g. the creator's temp view), which is exactly the broken-
+          // for-every-reader shape this check exists to refuse, so the
+          // exemption must not cover it; the body sees all of them
+          var scope = ctes
+          w.cteRelations.foreach { case (name, defn, _) =>
+            val lower = name.toLowerCase(java.util.Locale.ROOT)
+            if (w.allowRecursion) scope += lower
+            staticCheck(defn, scope)
+            scope += lower
+          }
+          staticCheck(w.child, scope)
         case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
           val parts = r.multipartIdentifier
-          require(parts.length >= 3 &&
-              parts.head.equalsIgnoreCase(cat.name()),
-            s"create_view: reference '${parts.mkString(".")}' must be " +
-              s"fully qualified as ${cat.name()}.<ns>.<table> — the stored " +
-              "SQL is re-parsed in whatever session reads the view")
-          require(parts.map(_.toLowerCase(java.util.Locale.ROOT)) != selfParts,
-            s"create_view: definition of $viewName references itself")
-        case _ =>
+          val isCteRef = parts.length == 1 &&
+            ctes.contains(parts.head.toLowerCase(java.util.Locale.ROOT))
+          if (!isCteRef) {
+            require(parts.length >= 3 &&
+                parts.head.equalsIgnoreCase(cat.name()),
+              s"create_view: reference '${parts.mkString(".")}' must be " +
+                s"fully qualified as ${cat.name()}.<ns>.<table> — the stored " +
+                "SQL is re-parsed in whatever session reads the view")
+            require(parts.map(_.toLowerCase(java.util.Locale.ROOT)) != selfParts,
+              s"create_view: definition of $viewName references itself")
+          }
+        case other =>
+          other.children.foreach(staticCheck(_, ctes))
+          other.expressions.foreach(_.foreach {
+            case sq: org.apache.spark.sql.catalyst.expressions
+                .SubqueryExpression => staticCheck(sq.plan, ctes)
+            case _ =>
+          })
       }
+      staticCheck(spark.sessionState.sqlParser.parsePlan(sqlText), Set.empty)
       val schema = spark.sql(sqlText).schema // analysis-time validation
       val parts = viewName.split('.')
       val ident = org.apache.spark.sql.connector.catalog.Identifier

@@ -530,6 +530,33 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         .toSeq.sortBy(_.toString)
       finally walk.close()
     require(found.nonEmpty, s"add_files: no parquet files under $sourceDir")
+    // Duplicate-adoption guard (Iceberg `check_duplicate_files` parity):
+    // re-running add_files over the same source dir would hard-link the
+    // same inodes again and SILENTLY double every row count — the worst
+    // failure mode for a migration tool. Adopted files ARE the source
+    // inodes (hard links), so inode identity (`fileKey`) catches a re-run
+    // regardless of the fresh destination names this run would mint. On
+    // object stores the same guard is a path/etag comparison against the
+    // current manifest. Checked against `snap` here (before any link) and
+    // against `base` inside the commit retry (a racing add_files of the
+    // same dir loses the CAS and re-validates).
+    def inodeKey(p: Path): Option[AnyRef] =
+      try Option(Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey())
+      catch { case _: java.io.IOException => None }
+    val srcKeys: Map[AnyRef, Path] =
+      found.flatMap(p => inodeKey(p).map(_ -> p)).toMap
+    def alreadyAdopted(files: Seq[SnapshotTable.DataFile]): Seq[Path] =
+      files.flatMap { f =>
+        val q = Paths.get(f.path)
+        if (Files.exists(q)) inodeKey(q).flatMap(srcKeys.get) else None
+      }
+    val dups = alreadyAdopted(snap.files)
+    require(dups.isEmpty,
+      s"add_files into $location: ${dups.size} of ${found.size} file(s) " +
+        s"under $sourceDir are already adopted (same inode as a live data " +
+        s"file), e.g. ${dups.head} — re-running would double-count rows. " +
+        "Pass a directory of new files only.")
     val declared = org.apache.spark.sql.types.DataType
       .fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -566,6 +593,18 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         throw new java.util.ConcurrentModificationException(
           s"add_files into $location: schema changed concurrently " +
             s"(validated v${snap.version}); re-run against the new schema")
+      if (base.version != snap.version) {
+        // a commit landed between validation and here — re-run the
+        // duplicate guard against it so two racing add_files of the same
+        // source dir can't both land (the loser's links stay as debris
+        // inside data/, swept by remove_orphans like any orphan)
+        val raced = alreadyAdopted(base.files.filterNot(entries.contains))
+        if (raced.nonEmpty)
+          throw new IllegalArgumentException(
+            s"add_files into $location: a concurrent commit already " +
+              s"adopted ${raced.size} file(s) from $sourceDir, e.g. " +
+              s"${raced.head} — aborting to avoid double-counting rows")
+      }
       base.files ++ entries
     }, base => base.schemaJson, "add_files")
   }

@@ -24,6 +24,17 @@ class ConnectedComponentsSpec extends SparkFunSuite {
       2L -> 2L, 5L -> 2L, 7L -> 2L))
   }
 
+  test("200-node chain converges within default maxIter (pointer-jumping)") {
+    // diameter 199 ≫ maxIter 25: plain min-propagation would throw the
+    // convergence guard; the label ← label(label) jump makes label paths
+    // halve per round, so O(log diameter) ≈ 8-10 rounds suffice
+    import spark.implicits._
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = ConnectedComponents.labels(chain, "a", "b").collect()
+    assert(out.length == 200)
+    assert(out.forall(_.getLong(1) == 1L))
+  }
+
   test("self-loops and duplicate/reversed edges are harmless") {
     val got = cc(Seq((1L, 2L), (2L, 1L), (1L, 1L), (1L, 2L)))
     assert(got == Map(1L -> 1L, 2L -> 1L))

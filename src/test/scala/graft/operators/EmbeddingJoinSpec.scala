@@ -53,8 +53,9 @@ class EmbeddingJoinSpec extends SparkFunSuite {
   }
 
   test("blockCount: floor, cap, and ~N/4096 sizing") {
-    assert(EmbeddingJoin.blockCount(0) == 32)
-    assert(EmbeddingJoin.blockCount(2000) == 32)
+    assert(EmbeddingJoin.blockCount(0) == 1)
+    assert(EmbeddingJoin.blockCount(2000) == 7)        // small-N floor: N/256
+    assert(EmbeddingJoin.blockCount(16384) == 32)      // full floor from 8192 up
     assert(EmbeddingJoin.blockCount(1000000) == 245)   // ceil(1e6/4096)
     assert(EmbeddingJoin.blockCount(100000000L) == 4096) // capped
   }

@@ -77,6 +77,32 @@ class AddFilesSpec extends SparkFunSuite {
     assert(t.appendsSince(v1).count() == 1)
   }
 
+  test("re-running add_files over the same source dir refuses; counts unchanged") {
+    val raw = rawDir("g", 120)
+    val t = emptyTable("g")
+    t.addFiles(raw)
+    val v1 = t.latestVersion
+    assert(t.read().count() == 120)
+    // Iceberg check_duplicate_files parity: the second run would re-link
+    // the same inodes and silently double every row count
+    val e = intercept[IllegalArgumentException] { t.addFiles(raw) }
+    assert(e.getMessage.contains("already adopted"), e.getMessage)
+    assert(t.latestVersion == v1) // no commit landed
+    assert(t.read().count() == 120)
+    // a PARTIAL overlap refuses too: one old file inside a new dir
+    val raw2 = scratch("addfiles/g_mixed")
+    Files.createDirectories(Paths.get(raw2))
+    val oldOne = Files.walk(Paths.get(raw)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq.head
+    Files.createLink(Paths.get(raw2, "old.parquet"), oldOne)
+    val e2 = intercept[IllegalArgumentException] { t.addFiles(raw2) }
+    assert(e2.getMessage.contains("already adopted"), e2.getMessage)
+    // genuinely-new files under a different dir still adopt fine
+    val raw3 = rawDir("g_new", 30)
+    t.addFiles(raw3)
+    assert(t.read().count() == 150)
+  }
+
   test("schema mismatch refuses loudly at the declared column") {
     val raw = scratch("addfiles/c_raw")
     graft.Tables.load(spark, sf, "events")

@@ -94,6 +94,89 @@ class ViewCatalogSpec extends SparkFunSuite {
     s.sql("CALL graft.system.drop_view(view => 'db.v_rs')")
   }
 
+  test("CTE-bearing definitions persist, resolve in a fresh session, and replan live") {
+    val s = extSession()
+    s.sql("CALL graft.system.drop_view(view => 'db.v_cte')")
+    s.sql("CREATE TABLE IF NOT EXISTS graft.db.v_base (id BIGINT, v DOUBLE)")
+    s.sql("DELETE FROM graft.db.v_base WHERE true")
+    s.sql("INSERT INTO graft.db.v_base VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    // a CTE reference is a 1-part relation at parse time but is
+    // self-contained in the stored text — must NOT be refused as
+    // unqualified (the reference's own dominant query shape)
+    s.sql("CALL graft.system.create_view(view => 'db.v_cte', sql_text => " +
+      "'WITH recent AS (SELECT id, v FROM graft.db.v_base WHERE id > 1), " +
+      "agg AS (SELECT count(*) AS n, sum(v) AS sv FROM recent) " +
+      "SELECT n, sv FROM agg')")
+    assert(s.sql("SELECT n FROM graft.db.v_cte").head.getLong(0) == 2)
+    // live replanning across the CTE body
+    s.sql("INSERT INTO graft.db.v_base VALUES (4, 4.5)")
+    assert(s.sql("SELECT n FROM graft.db.v_cte").head.getLong(0) == 3)
+    // a fresh catalog instance re-parses the stored CTE text
+    val s2 = extSession()
+    assert(s2.sql("SELECT n FROM graft.db.v_cte").head.getLong(0) == 3)
+    // but a genuinely-unqualified relation NEXT TO a CTE still refuses
+    val e = intercept[Exception] {
+      s.sql("CALL graft.system.create_view(view => 'db.v_cte2', sql_text => " +
+        "'WITH recent AS (SELECT id FROM graft.db.v_base) " +
+        "SELECT * FROM recent JOIN other_table USING (id)')")
+    }
+    assert(e.getMessage.contains("fully qualified"), e.getMessage)
+    // ...and a CTE named after ITSELF does not smuggle one in: in a plain
+    // (non-RECURSIVE) WITH, the inner same-name reference resolves against
+    // the OUTER scope — e.g. the creator's temp view — so it is an
+    // unqualified real reference, not a CTE reference
+    graft.Tables.load(s, sf, "events").createOrReplaceTempView("tmp_ev2")
+    val trick = intercept[Exception] {
+      s.sql("CALL graft.system.create_view(view => 'db.v_cte3', sql_text => " +
+        "'WITH tmp_ev2 AS (SELECT user_id FROM tmp_ev2) " +
+        "SELECT count(*) AS n FROM tmp_ev2')")
+    }
+    assert(trick.getMessage.contains("fully qualified"), trick.getMessage)
+    s.sql("CALL graft.system.drop_view(view => 'db.v_cte')")
+  }
+
+  test("subquery expressions are validated: unqualified and self refs refuse") {
+    val s = extSession()
+    graft.Tables.load(s, sf, "events").createOrReplaceTempView("tmp_events")
+    // unqualified relation INSIDE an IN-subquery: the creator's analysis
+    // would resolve the temp view and persist a view broken for every
+    // other reader — must refuse statically
+    val unq = intercept[Exception] {
+      s.sql("CALL graft.system.create_view(view => 'db.v_sq', sql_text => " +
+        "'SELECT id FROM graft.db.v_base WHERE id IN " +
+        "(SELECT user_id FROM tmp_events)')")
+    }
+    assert(unq.getMessage.contains("fully qualified"), unq.getMessage)
+    // self-reference hidden in a scalar subquery under replace
+    s.sql("CALL graft.system.create_view(view => 'db.v_sq', " +
+      "sql_text => 'SELECT id FROM graft.db.v_base', replace => true)")
+    val self = intercept[Exception] {
+      s.sql("CALL graft.system.create_view(view => 'db.v_sq', sql_text => " +
+        "'SELECT id FROM graft.db.v_base WHERE id < " +
+        "(SELECT max(id) FROM graft.db.v_sq)', replace => true)")
+    }
+    assert(self.getMessage.contains("references itself"), self.getMessage)
+    // the OLD definition survived both refused writes
+    assert(s.sql("SELECT * FROM graft.db.v_sq").columns.toSeq == Seq("id"))
+    s.sql("CALL graft.system.drop_view(view => 'db.v_sq')")
+  }
+
+  test("a view may not shadow an existing table; namespace casing is one store") {
+    val s = extSession()
+    val shadow = intercept[Exception] {
+      s.sql("CALL graft.system.create_view(view => 'db.v_base', " +
+        "sql_text => 'SELECT 1 AS one', replace => true)")
+    }
+    assert(shadow.getMessage.contains("names a TABLE"), shadow.getMessage)
+    // namespace segments are case-normalized: DB.v_ns and db.v_ns are the
+    // same document on every filesystem
+    s.sql("CALL graft.system.create_view(view => 'DB.v_ns', " +
+      "sql_text => 'SELECT id FROM graft.db.v_base', replace => true)")
+    assert(s.sql("SELECT * FROM graft.db.v_ns").columns.toSeq == Seq("id"))
+    s.sql("CALL graft.system.drop_view(view => 'db.v_ns')")
+    intercept[Exception] { s.sql("SELECT * FROM graft.DB.v_ns").collect() }
+  }
+
   test("create_view validates the definition at create time, not first read") {
     val s = extSession()
     val e = intercept[Exception] {
