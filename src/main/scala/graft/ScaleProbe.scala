@@ -221,6 +221,36 @@ object ScaleProbe {
         if (a.shuffleMb > 0) b.shuffleMb / a.shuffleMb else Double.NaN}%.1fx rows=${
         if (a.rows > 0) b.rows.toDouble / a.rows else Double.NaN}%.1fx")
     }
+
+    // pathological-SHAPE probe (default factor only): iterative CC on a
+    // single chain, the worst diameter per node count. Plain min-label
+    // propagation needs `diameter` rounds — a 1M-node chain would need
+    // 1e6 of them; the adaptive pointer-jump (label ← label(label) from
+    // round 4 on) doubles label reach per round, so convergence is
+    // ~3 + log2(diameter) rounds. Healthy signal: both sizes converge
+    // under maxIter=40 and elapsed grows ≈linearly ×10 (per-round cost is
+    // linear in nodes, rounds grow by log(10) ≈ +3).
+    if (factor <= 10) {
+      val chain = for (n <- Seq(100000L, 1000000L)) yield {
+        sweep()
+        Thread.sleep(1000)
+        shuffleWrite.set(0L)
+        System.err.println(s"[probe] cc_chain n=$n")
+        val edges = spark.range(1, n)
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        val t0 = System.nanoTime()
+        val labeled = graft.operators.ConnectedComponents
+          .labels(edges, "a", "b", maxIter = 40)
+        val ok = labeled.filter(col("component") === 1).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000)
+        require(ok == n, s"cc_chain: $ok of $n nodes labeled with the min")
+        println(f"| cc_chain (diameter ${n - 1}) | n=$n | $ok | $sec%.1f | ${
+          shuffleWrite.get() / 1e6}%.1f |")
+        sec
+      }
+      println(f"RATIO cc_chain elapsed=${chain(1) / chain(0)}%.1fx at 10x diameter")
+    }
     spark.stop()
   }
 }

@@ -135,6 +135,15 @@ class ViewCatalogSpec extends SparkFunSuite {
     s.sql("CALL graft.system.drop_view(view => 'db.v_cte')")
   }
 
+  test("WITH RECURSIVE view bodies round-trip through the read path") {
+    val s = extSession()
+    s.sql("CALL graft.system.create_view(view => 'db.v_rec', replace => true, " +
+      "sql_text => 'WITH RECURSIVE seq (n) AS (SELECT 1 UNION ALL " +
+      "SELECT n + 1 FROM seq WHERE n < 5) SELECT max(n) AS m FROM seq')")
+    assert(s.sql("SELECT m FROM graft.db.v_rec").head.getInt(0) == 5)
+    s.sql("CALL graft.system.drop_view(view => 'db.v_rec')")
+  }
+
   test("subquery expressions are validated: unqualified and self refs refuse") {
     val s = extSession()
     graft.Tables.load(s, sf, "events").createOrReplaceTempView("tmp_events")
