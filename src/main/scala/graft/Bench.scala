@@ -270,30 +270,53 @@ object Bench {
     // The driver captures only the LAST ~2000 chars of stdout and parses the
     // JSON line from that tail; sbt then appends its own "[success] ..." line
     // (~80 chars). Rounds 2 and 3 shipped rows+status maps inline and the
-    // line's head fell off the buffer → "parsed": null. Keep this line to the
-    // contract minimum (per-query seconds only, 2 decimals); the full
-    // rows/status detail lives in the report file written below.
+    // line's head fell off the buffer → "parsed": null. Budget the line to
+    // 1850 chars; the full rows/status detail lives in the report file below.
+    //
+    // Per-query bytes ride along as two compact arrays ALIGNED WITH THE
+    // `queries` MAP ORDER (sorted names): "scan_mb" (parquet bytes read off
+    // the executed plan's scan metrics) and "shuf_mb" (shuffle bytes
+    // written). These are plan-determined — bit-stable across reruns while
+    // elapsed seconds swing ~10× under machine load — so a round-over-round
+    // reader can tell data/plan drift from JVM noise without a rerun
+    // (VERDICT r14 task 4: q45 read 18× slower purely from load; the bytes
+    // columns decide such cases from the artifact alone). Dropped first if
+    // the line would overflow the driver's tail buffer.
     val total = results.map(_._2).sum
     val nErr = results.count(_._4 != "OK")
-    def mkLine(key: String => String): String = {
-      val qs = results.map { case (n, sec, _, _, _, _) => s"${jstr(key(n))}:${jnum(sec, 2)}" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs,"errors":$nErr,"sf":${jstr(sfDir)}}"""
+    // MB with one decimal under 10 (so a small query's 10× byte drift is
+    // still visible), integral above, bare "0" under 50 KB (sub-rounding
+    // values would all print "0.0" anyway; collapsing them is what keeps
+    // 2×97 entries inside the 1850-char budget — measured 1885 vs 1735)
+    def jmb(bytes: Long): String = {
+      val mb = bytes / 1e6
+      if (mb < 0.05) "0" else if (mb < 9.95) jnum(mb, 1) else jnum(mb, 0)
     }
-    val full = mkLine(identity)
-    // fallback: "q01_count_events" → "q01" if the full names ever overflow;
-    // only usable when the prefixes stay unique (duplicate JSON keys would
-    // silently drop timings in most parsers), and if even the short line
-    // overflows, drop the per-query map rather than ship an unparseable line
-    val shortKeys = names.map(_.takeWhile(_ != '_'))
-    val short =
-      if (shortKeys.distinct.size == shortKeys.size) mkLine(_.takeWhile(_ != '_'))
-      else full
-    val minimal =
-      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":{},"errors":$nErr,"sf":${jstr(sfDir)}}"""
-    println(
-      if (full.length <= 1850) full
-      else if (short.length <= 1850) short
-      else minimal)
+    def mkLine(key: String => String, withBytes: Boolean): String = {
+      val qs = results.map { case (n, sec, _, _, _, _) => s"${jstr(key(n))}:${jnum(sec, 2)}" }.mkString("{", ",", "}")
+      val extra =
+        if (!withBytes) ""
+        else {
+          val scan = results.map(_._6._2).map(jmb).mkString("[", ",", "]")
+          val shuf = results.map(_._6._3).map(jmb).mkString("[", ",", "]")
+          s""","scan_mb":$scan,"shuf_mb":$shuf"""
+        }
+      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs$extra,"errors":$nErr,"sf":${jstr(sfDir)}}"""
+    }
+    // fallback ladder: "q01_count_events" → "q01" if the full names overflow
+    // (only when the prefixes stay unique — duplicate JSON keys would
+    // silently drop timings in most parsers); bytes arrays dropped next; if
+    // even the bare short line overflows, drop the per-query map rather than
+    // ship an unparseable line
+    val shortOk = names.map(_.takeWhile(_ != '_')).distinct.size == names.size
+    def shortKey(n: String): String = n.takeWhile(_ != '_')
+    val candidates = Seq(
+      mkLine(identity, withBytes = true),
+      if (shortOk) mkLine(shortKey, withBytes = true) else "",
+      mkLine(identity, withBytes = false),
+      if (shortOk) mkLine(shortKey, withBytes = false) else "",
+      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":{},"errors":$nErr,"sf":${jstr(sfDir)}}""")
+    println(candidates.find(l => l.nonEmpty && l.length <= 1850).getOrElse(candidates.last))
 
     // Reference-shaped report file (run_performance_tests.py:286-329):
     // per-test name/status/seconds/rows + summary, timestamped filename.

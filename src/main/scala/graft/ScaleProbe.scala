@@ -69,6 +69,19 @@ object ScaleProbe {
         // pairs linear. q94/q95: scan-bound; rows pin the contract.
         "q83_dedup_clusters", "q88_stream_stream_join",
         "q94_bm25_search", "q95_bitmap_distinct",
+        // round-13/14 registry tail (VERDICT r14 task 6). Expected shapes:
+        // q96 clone — the CLONE call is metadata-only (hard links), so
+        //   growth tracks the divergence INSERT's committer write, ≈linear;
+        // q97 add_files — adoption cost is per-FILE footer harvesting (the
+        //   raw dir stays 4 files at both scales), so growth is again the
+        //   late-slice INSERT, ≈linear;
+        // q98 catalog view — create_view analyzes a constant-size
+        //   definition; the read replans over 10× base data, ≈linear;
+        // q99 CUBE — 2^2 grouping-set expansion of a fixed-cardinality
+        //   (event_type × month) key space: shuffle stays tiny/flat while
+        //   the scan grows linearly.
+        "q96_zero_copy_clone", "q97_add_files_migrate",
+        "q98_catalog_view", "q99_cube",
         // q39: EXACT threshold join — Θ(N²) cosines by problem statement
         // (see EmbeddingJoin's scaladoc for why LSH can't prune at
         // τ=0.45), so elapsed is EXPECTED ≈quadratic at 10×; the probe's
