@@ -48,13 +48,19 @@ object Bench {
     * protocol"), so these report the MEDIAN of `reps` timed runs;
     * every run is a full rebuild (the queries delete + recreate their
     * scratch tables per invocation, so reps are independent).
+    *
+    * q83 rides along for a different reason: iterative connected
+    * components runs on checkpointed RDDs, so its scan/shuf byte columns
+    * report 0 and the byte-drift adjudication the arrays enable for
+    * scan-bearing queries can't see it — the median is the only
+    * load-robust signal it has (VERDICT r15 task 1).
     */
   val writeFamily: Set[String] = Set(
     "q42_streaming_agg", "q44_compaction", "q56_ngram_jaccard",
     "q57_zorder_compaction", "q58_sql_merge", "q61_stateful_dedup",
     "q63_streaming_pipeline", "q64_days_transform", "q65_dynamic_table",
     "q67_wap_publish", "q68_retention_floor", "q69_governed_stream",
-    "q88_stream_stream_join", "q96_zero_copy_clone",
+    "q83_dedup_clusters", "q88_stream_stream_join", "q96_zero_copy_clone",
     "q97_add_files_migrate", "q98_catalog_view")
 
   /** The two swingiest write-family queries (measured 70–85 % median
@@ -219,6 +225,18 @@ object Bench {
       spark.sqlContext.clearCache()
     }
 
+    // 1-minute /proc/loadavg at timed-loop start and end: the cheap load
+    // indicator for the byte-OPAQUE queries (q83 CC on checkpointed RDDs,
+    // q23 CTAS, q48, q88 streaming — their scan/shuf columns read 0, so
+    // byte drift can't adjudicate them). README "Bench variance protocol"
+    // has the discount rule: either reading ≳ CPU count means elapsed
+    // numbers from that run carry machine-load inflation, not plan drift.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val loadStart = loadavg()
+
     // A single-query invocation (`runMain graft.Bench q26_pricing_summary`)
     // is an attribution run — always apply the median protocol there, even
     // for scan-bound queries the full run times once (the full run keeps
@@ -264,9 +282,14 @@ object Bench {
       val sec = median(runs.map(_._1))
       val (rows, status) = runs.find(_._3 != "OK")
         .map(r => (r._2, r._3)).getOrElse((runs.head._2, runs.head._3))
-      val bytes = runs.find(_._3 == "OK").map(_._4).getOrElse((0L, 0L, 0L))
+      // None (→ JSON null in the summary arrays) when no rep succeeded: a
+      // bare 0 would be indistinguishable from a genuinely sub-50KB query,
+      // and a byte-drift reader could misread a transient error as a real
+      // scan collapse — the exact ambiguity the arrays exist to remove
+      val bytes = runs.find(_._3 == "OK").map(_._4)
       (name, sec, rows, status, runs.map(_._1), bytes)
     }
+    val loadEnd = loadavg()
     // The driver captures only the LAST ~2000 chars of stdout and parses the
     // JSON line from that tail; sbt then appends its own "[success] ..." line
     // (~80 chars). Rounds 2 and 3 shipped rows+status maps inline and the
@@ -297,11 +320,16 @@ object Bench {
       val extra =
         if (!withBytes) ""
         else {
-          val scan = results.map(_._6._2).map(jmb).mkString("[", ",", "]")
-          val shuf = results.map(_._6._3).map(jmb).mkString("[", ",", "]")
+          val scan = results.map(_._6.map(b => jmb(b._2)).getOrElse("null"))
+            .mkString("[", ",", "]")
+          val shuf = results.map(_._6.map(b => jmb(b._3)).getOrElse("null"))
+            .mkString("[", ",", "]")
           s""","scan_mb":$scan,"shuf_mb":$shuf"""
         }
-      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs$extra,"errors":$nErr,"sf":${jstr(sfDir)}}"""
+      // "load":[start,end] — 1-min /proc/loadavg at timed-loop start/end;
+      // ~20 chars, the load indicator for byte-opaque queries
+      val load = s""","load":[${jnum(loadStart, 1)},${jnum(loadEnd, 1)}]"""
+      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs$extra$load,"errors":$nErr,"sf":${jstr(sfDir)}}"""
     }
     // fallback ladder: "q01_count_events" → "q01" if the full names overflow
     // (only when the prefixes stay unique — duplicate JSON keys would
@@ -315,14 +343,17 @@ object Bench {
       if (shortOk) mkLine(shortKey, withBytes = true) else "",
       mkLine(identity, withBytes = false),
       if (shortOk) mkLine(shortKey, withBytes = false) else "",
-      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":{},"errors":$nErr,"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":{},"load":[${jnum(loadStart, 1)},${jnum(loadEnd, 1)}],"errors":$nErr,"sf":${jstr(sfDir)}}""")
     println(candidates.find(l => l.nonEmpty && l.length <= 1850).getOrElse(candidates.last))
 
     // Reference-shaped report file (run_performance_tests.py:286-329):
     // per-test name/status/seconds/rows + summary, timestamped filename.
     val ts = java.time.LocalDateTime.now()
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
-    val tests = results.map { case (n, sec, r, st, reps, (mRows, mBytes, mShuffle)) =>
+    val tests = results.map { case (n, sec, r, st, reps, bytesOpt) =>
+      // the report keeps numeric 0s for errored queries — its adjacent
+      // status field disambiguates them (unlike the summary arrays)
+      val (mRows, mBytes, mShuffle) = bytesOpt.getOrElse((0L, 0L, 0L))
       // rep_seconds (present when the median protocol ran >1 rep) makes
       // a spiky rep visible in the report instead of vanishing into the
       // median — the diagnosability half of the variance protocol

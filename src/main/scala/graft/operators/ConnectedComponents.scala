@@ -42,8 +42,16 @@ object ConnectedComponents {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
+  /** Diagnostic hook: called after each round with (round index, elapsed
+    * seconds, whether the pointer-jump join ran, converged) — the bench
+    * attribution instrument behind the README's q83 round-cost table.
+    * Default is a no-op; the hot loop shape is unchanged.
+    */
+  type RoundProbe = (Int, Double, Boolean, Boolean) => Unit
+
   def labels(pairs: DataFrame, a: String, b: String, maxIter: Int = 25,
-      jumpAfter: Int = 3): DataFrame = {
+      jumpAfter: Int = 3,
+      onRound: RoundProbe = (_, _, _, _) => ()): DataFrame = {
     val edges = pairs.select(col(a).as("s"), col(b).as("d"))
       .union(pairs.select(col(b).as("s"), col(a).as("d")))
       .distinct()
@@ -54,6 +62,7 @@ object ConnectedComponents {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
+      val roundT0 = System.nanoTime()
       // each node's best neighbor label this round
       val viaNbr = edges
         .join(labels.withColumnRenamed("node", "d")
@@ -91,6 +100,8 @@ object ConnectedComponents {
       // set in the block manager at once
       checkpointedRdd(labels).foreach(_.unpersist(blocking = false))
       labels = next
+      onRound(it, (System.nanoTime() - roundT0) / 1e9, it >= jumpAfter,
+        converged)
       it += 1
     }
     checkpointedRdd(edges).foreach(_.unpersist(blocking = false))

@@ -162,6 +162,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // a view body still gets wrapped by the governance rule's own pass
     ext.injectResolutionRule(sp => new GraftViewRule(sp))
     ext.injectResolutionRule(sp => new GovernanceRule(sp))
-    ext.injectParser((_, delegate) => new QualifyParser(delegate))
+    ext.injectParser((sp, delegate) => new QualifyParser(delegate, Some(sp)))
   }
 }

@@ -101,16 +101,31 @@ object Qualify {
   * extensions, and both surfaces share the one scanner, so their
   * semantics cannot drift. Statements without a top-level QUALIFY pass
   * through byte-identical ([[Qualify.desugar]] returns its input), so
-  * the wrapper costs one keyword scan per statement. */
-class QualifyParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterface)
+  * the wrapper costs one keyword scan per statement.
+  *
+  * Since round 16 the same wrapper also desugars graft-catalog view DDL
+  * (`CREATE [OR REPLACE] VIEW cat.ns.v AS …` / `DROP VIEW cat.ns.v`) to
+  * the `create_view`/`drop_view` procedure calls — see [[ViewDdl]]; the
+  * rewrite fires only on statements (parsePlan), never on parseQuery,
+  * and only when the identifier's catalog part names a GraftCatalog in
+  * `session` (absent a session, DDL passes through untouched). */
+class QualifyParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterface,
+    session: Option[org.apache.spark.sql.SparkSession] = None)
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
+
+  private def isGraftCatalog(name: String): Boolean =
+    session.exists { sp =>
+      try sp.sessionState.catalogManager.catalog(name)
+        .isInstanceOf[graft.table.GraftCatalog]
+      catch { case _: Exception => false }
+    }
   import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
   import org.apache.spark.sql.catalyst.expressions.Expression
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   import org.apache.spark.sql.types.{DataType, StructType}
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(Qualify.desugar(sqlText))
+    delegate.parsePlan(Qualify.desugar(ViewDdl.desugar(sqlText, isGraftCatalog)))
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(Qualify.desugar(sqlText))
   override def parseExpression(sqlText: String): Expression =

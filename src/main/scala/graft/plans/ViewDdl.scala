@@ -1,0 +1,79 @@
+package graft.plans
+
+/** Native SQL spelling for persisted-catalog-view DDL.
+  *
+  * The reference's own view DDL (`demo-setup/performance-tests/
+  * performance_comparison.sql:24-34`) is
+  * `CREATE OR REPLACE VIEW user_activity_summary AS SELECT …` — but stock
+  * Spark 4.1's `ResolveSessionCatalog` refuses `CREATE VIEW` on a v2
+  * catalog (probed; see [[GraftViewRule]]), so until round 16 graft view
+  * DDL could only be typed as `CALL graft.system.create_view(...)`. This
+  * desugar closes the spelling gap the same way QUALIFY did
+  * ([[Qualify]]): the extension parser rewrites
+  *
+  * {{{ CREATE [OR REPLACE] VIEW cat.ns.v AS <body> }}}
+  *
+  * into the procedure call
+  *
+  * {{{ CALL cat.system.create_view(view => 'ns.v', sql_text => '<body>',
+  *     replace => true|false) }}}
+  *
+  * and `DROP VIEW [IF EXISTS] cat.ns.v` into `CALL cat.system.drop_view`.
+  * Everything create_view enforces — full qualification of every table
+  * reference (CTE-scoped), self-reference refusal, analysis-time
+  * validation — applies unchanged: the spelling is sugar over the one
+  * validated path, so the two surfaces cannot drift.
+  *
+  * The rewrite fires only when the view identifier has ≥3 parts AND its
+  * first part names a registered [[graft.table.GraftCatalog]] in the
+  * session (checked via the `isGraftCatalog` callback) — 1/2-part names,
+  * TEMPORARY/GLOBAL views, `IF NOT EXISTS`, and column-list forms all
+  * pass through untouched to stock Spark, whose behavior for them is
+  * already correct (session-catalog views work; v2-catalog forms get
+  * Spark's own refusal). `DROP VIEW` through this spelling is idempotent
+  * (the procedure reports `dropped=false` rather than erroring), which
+  * matches the `IF EXISTS` reading; plain DROP VIEW on a missing graft
+  * view likewise reports false — callers needing a hard error can test
+  * the returned flag.
+  */
+object ViewDdl {
+
+  // Statement-anchored, case-insensitive, dot-all (view bodies span
+  // lines). Identifier: plain or backquoted segments joined by dots; a
+  // column list or TEMPORARY/GLOBAL/IF NOT EXISTS keyword makes the
+  // pattern not match → pass-through by construction.
+  private val CreateRe =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+""" +
+      """((?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+)){2,})\s+AS\s+(.+)$""").r
+  private val DropRe =
+    ("""(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?""" +
+      """((?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+)){2,})\s*;?\s*$""").r
+
+  private def parts(ident: String): Seq[String] =
+    ident.split('.').toSeq.map(_.trim).map { seg =>
+      if (seg.startsWith("`") && seg.endsWith("`") && seg.length >= 2)
+        seg.substring(1, seg.length - 1)
+      else seg
+    }
+
+  private def quote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Rewrite graft-catalog view DDL to its procedure call; anything else
+    * passes through byte-identical. */
+  def desugar(sql: String, isGraftCatalog: String => Boolean): String =
+    sql match {
+      case CreateRe(orReplace, ident, body) =>
+        val p = parts(ident)
+        if (!isGraftCatalog(p.head)) sql
+        else {
+          val replace = orReplace != null
+          s"CALL ${p.head}.system.create_view(view => ${quote(p.tail.mkString("."))}, " +
+            s"sql_text => ${quote(body.trim.stripSuffix(";"))}, replace => $replace)"
+        }
+      case DropRe(ident) =>
+        val p = parts(ident)
+        if (!isGraftCatalog(p.head)) sql
+        else s"CALL ${p.head}.system.drop_view(view => ${quote(p.tail.mkString("."))})"
+      case _ => sql
+    }
+}

@@ -843,12 +843,16 @@ object Ops {
     // the stored definition is deliberately CTE-bearing: a parse-time CTE
     // name is a 1-part relation that create_view's static check must
     // EXEMPT (while still requiring full qualification for real tables) —
-    // the dominant Snowflake query shape, exercised here in the graded gate
-    g.sql(s"CALL graft.system.create_view(view => 'db.v_$name', replace => true, " +
-      s"sql_text => 'WITH src AS (SELECT event_type, value FROM graft.db.$name) " +
+    // the dominant Snowflake query shape, exercised here in the graded
+    // gate. DDL is typed in the reference's own NATIVE spelling
+    // (performance_comparison.sql:24-34) — the extension parser desugars
+    // it to the create_view procedure ([[graft.plans.ViewDdl]]), so the
+    // full validation path (qualification, self-ref, analysis) still runs
+    g.sql(s"CREATE OR REPLACE VIEW graft.db.v_$name AS " +
+      s"WITH src AS (SELECT event_type, value FROM graft.db.$name) " +
       s"SELECT event_type, count(*) AS n_events, " +
       s"CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
-      s"FROM src GROUP BY event_type')")
+      s"FROM src GROUP BY event_type")
     // live replanning: rows appended AFTER the view definition must show
     Tables.load(g, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))

@@ -225,13 +225,17 @@ object Procedures {
     }
   }
 
-  /** `CALL graft.system.add_files(table => 'db.t', source_dir => '/path')`
-    * — in-place migration: adopt existing parquet into the table, footer
-    * stats harvested, no data rewrite (see [[SnapshotTable.addFiles]]). */
+  /** `CALL graft.system.add_files(table => 'db.t', source_dir => '/path',
+    * check_duplicate_files => true)` — in-place migration: adopt existing
+    * parquet into the table, footer stats harvested, no data rewrite;
+    * `check_duplicate_files => false` (Iceberg signature parity) opts out
+    * of the re-adoption refusal for a deliberate duplicate
+    * (see [[SnapshotTable.addFiles]]). */
   final class AddFiles(warehouse: String) extends GraftProcedure("add_files") {
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
-      param("source_dir", StringType))
+      param("source_dir", StringType),
+      paramWithDefault("check_duplicate_files", BooleanType, "true"))
     private val outSchema = StructType(Seq(
       StructField("added_files", IntegerType),
       StructField("added_rows", LongType),
@@ -239,7 +243,8 @@ object Procedures {
     override def call(input: InternalRow): util.Iterator[Scan] = {
       val t = open(warehouse, input.getUTF8String(0).toString)
       val before = t.snapshot(t.latestVersion).files.map(_.path).toSet
-      val v = t.addFiles(input.getUTF8String(1).toString)
+      val v = t.addFiles(input.getUTF8String(1).toString,
+        checkDuplicateFiles = input.getBoolean(2))
       val added = t.snapshot(v).files.filterNot(f => before(f.path))
       resultScan(outSchema,
         InternalRow(added.size, added.map(_.rows).sum, v))

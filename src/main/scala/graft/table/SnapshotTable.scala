@@ -505,8 +505,20 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * a mismatch refuses loudly. Partitioned tables are refused — adopted
     * files carry no partition-directory keys, and silently unprunable
     * files would betray the partition spec's promise.
+    *
+    * `checkDuplicateFiles = false` (Iceberg `add_files` procedure-
+    * signature parity) skips the duplicate-adoption guard for the rare
+    * deliberate re-adoption — a source dir whose files were REWRITTEN in
+    * place under the same paths (new inodes would pass the guard anyway;
+    * the knob exists for filesystems/copies that preserve identity) or a
+    * knowingly-duplicated backfill. Default stays the refusal: silent
+    * row-doubling is the worst migration failure mode. On object stores
+    * there are no inodes — the same guard becomes a path/etag comparison
+    * against the current manifest (the manifest already records the
+    * adopted object's path; an etag column is the S3 spelling of
+    * `fileKey`), with identical semantics and the same opt-out.
     */
-  def addFiles(sourceDir: String): Int = {
+  def addFiles(sourceDir: String, checkDuplicateFiles: Boolean = true): Int = {
     val snap = snapshot(latestVersion)
     require(snap.partitionCols.isEmpty,
       s"add_files into $location: table is partitioned by " +
@@ -551,12 +563,13 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         val q = Paths.get(f.path)
         if (Files.exists(q)) inodeKey(q).flatMap(srcKeys.get) else None
       }
-    val dups = alreadyAdopted(snap.files)
+    val dups = if (checkDuplicateFiles) alreadyAdopted(snap.files) else Seq.empty
     require(dups.isEmpty,
       s"add_files into $location: ${dups.size} of ${found.size} file(s) " +
         s"under $sourceDir are already adopted (same inode as a live data " +
         s"file), e.g. ${dups.head} — re-running would double-count rows. " +
-        "Pass a directory of new files only.")
+        "Pass a directory of new files only, or set " +
+        "check_duplicate_files => false for a deliberate re-adoption.")
     val declared = org.apache.spark.sql.types.DataType
       .fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -598,7 +611,10 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         // duplicate guard against it so two racing add_files of the same
         // source dir can't both land (the loser's links stay as debris
         // inside data/, swept by remove_orphans like any orphan)
-        val raced = alreadyAdopted(base.files.filterNot(entries.contains))
+        val raced =
+          if (checkDuplicateFiles)
+            alreadyAdopted(base.files.filterNot(entries.contains))
+          else Seq.empty
         if (raced.nonEmpty)
           throw new IllegalArgumentException(
             s"add_files into $location: a concurrent commit already " +

@@ -103,6 +103,35 @@ class AddFilesSpec extends SparkFunSuite {
     assert(t.read().count() == 150)
   }
 
+  test("check_duplicate_files => false permits a deliberate re-adoption") {
+    val raw = rawDir("h", 80)
+    val t = emptyTable("h")
+    t.addFiles(raw)
+    assert(t.read().count() == 80)
+    // default refuses (guarded path unchanged by the knob's existence)
+    intercept[IllegalArgumentException] { t.addFiles(raw) }
+    // explicit opt-out re-adopts: rows double, which is now the CALLER's
+    // stated intent (Iceberg's check_duplicate_files => false semantics)
+    t.addFiles(raw, checkDuplicateFiles = false)
+    assert(t.read().count() == 160)
+    // the procedure surface carries the same knob
+    val wh = scratch("addfiles/wh_h")
+    spark.conf.set("spark.sql.catalog.afknob",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.afknob.warehouse", wh)
+    spark.sql("CREATE TABLE afknob.db.mig (event_id BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE)")
+    spark.sql(s"CALL afknob.system.add_files(table => 'db.mig', source_dir => '$raw')")
+    val again = intercept[Exception] {
+      spark.sql(s"CALL afknob.system.add_files(table => 'db.mig', source_dir => '$raw')")
+    }
+    assert(again.getMessage.contains("already adopted"), again.getMessage)
+    val r = spark.sql(s"CALL afknob.system.add_files(table => 'db.mig', " +
+      s"source_dir => '$raw', check_duplicate_files => false)").collect()
+    assert(r.head.getLong(1) == 80)
+    assert(spark.sql("SELECT count(*) FROM afknob.db.mig").head.getLong(0) == 160)
+  }
+
   test("schema mismatch refuses loudly at the declared column") {
     val raw = scratch("addfiles/c_raw")
     graft.Tables.load(spark, sf, "events")

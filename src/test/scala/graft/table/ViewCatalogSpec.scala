@@ -186,6 +186,58 @@ class ViewCatalogSpec extends SparkFunSuite {
     intercept[Exception] { s.sql("SELECT * FROM graft.DB.v_ns").collect() }
   }
 
+  test("native CREATE [OR REPLACE] VIEW / DROP VIEW spelling desugars to the procedures") {
+    val s = extSession()
+    s.sql("CREATE TABLE IF NOT EXISTS graft.db.v_base (id BIGINT, v DOUBLE)")
+    s.sql("DELETE FROM graft.db.v_base WHERE true")
+    s.sql("INSERT INTO graft.db.v_base VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    s.sql("CALL graft.system.drop_view(view => 'db.v_native')")
+    // the reference's own DDL spelling (performance_comparison.sql:24-34),
+    // typed verbatim against the graft catalog — multi-line, CTE-bearing
+    s.sql(
+      """CREATE VIEW graft.db.v_native AS
+        |WITH recent AS (SELECT id, v FROM graft.db.v_base WHERE id > 1)
+        |SELECT count(*) AS n, sum(v) AS sv FROM recent""".stripMargin)
+    assert(s.sql("SELECT n FROM graft.db.v_native").head.getLong(0) == 2)
+    // plain CREATE on an existing view refuses (no OR REPLACE)
+    intercept[Exception] {
+      s.sql("CREATE VIEW graft.db.v_native AS SELECT id FROM graft.db.v_base")
+    }
+    // OR REPLACE swaps the definition
+    s.sql("CREATE OR REPLACE VIEW graft.db.v_native AS " +
+      "SELECT id FROM graft.db.v_base")
+    assert(s.sql("SELECT * FROM graft.db.v_native").columns.toSeq == Seq("id"))
+    assert(s.sql("SELECT * FROM graft.db.v_native").count() == 3)
+    s.sql("DROP VIEW graft.db.v_native")
+    intercept[Exception] { s.sql("SELECT * FROM graft.db.v_native").collect() }
+    // IF EXISTS on a missing view is a no-op, not an error
+    s.sql("DROP VIEW IF EXISTS graft.db.v_native")
+  }
+
+  test("native spelling still refuses unqualified bodies; non-graft DDL passes through") {
+    val s = extSession()
+    graft.Tables.load(s, sf, "events").createOrReplaceTempView("tmp_nat")
+    // the desugar routes through create_view, so the static qualification
+    // check applies to the native spelling identically
+    val e = intercept[Exception] {
+      s.sql("CREATE OR REPLACE VIEW graft.db.v_natq AS " +
+        "SELECT count(*) AS n FROM tmp_nat")
+    }
+    assert(e.getMessage.contains("fully qualified"), e.getMessage)
+    intercept[Exception] { s.sql("SELECT * FROM graft.db.v_natq").collect() }
+    // 1-part names keep stock Spark behavior: a session-catalog temp view
+    s.sql("CREATE OR REPLACE TEMPORARY VIEW v_session_tmp AS SELECT 1 AS one")
+    assert(s.sql("SELECT one FROM v_session_tmp").head.getInt(0) == 1)
+    s.catalog.dropTempView("v_session_tmp")
+    // a 3-part name whose catalog is NOT a GraftCatalog passes through to
+    // stock Spark (which refuses v2-catalog CREATE VIEW itself) — the
+    // desugar must not have swallowed the statement into a bogus CALL
+    val notGraft = intercept[Exception] {
+      s.sql("CREATE VIEW spark_catalog.nodb.v_x AS SELECT 1 AS one")
+    }
+    assert(!notGraft.getMessage.contains("create_view"), notGraft.getMessage)
+  }
+
   test("create_view validates the definition at create time, not first read") {
     val s = extSession()
     val e = intercept[Exception] {
