@@ -15,9 +15,12 @@ package graft.operators
   * (Annex G) accumulate coefficients across the scan script — DC
   * first/refinement, per-band AC first/refinement with EOB-run coding
   * and successive-approximation correction bits — and reconstruct at
-  * EOI. Arithmetic coding and hierarchical frames return None → the
-  * labeled stub path, like any other malformed/unsupported payload:
-  * corrupt media in a 100 TB crawl is data, not an error.
+  * EOI. ARITHMETIC-coded sequential frames (SOF9) decode for real
+  * since round 16: the QM coder ([[QmCoder]]) plus the F.2.4 DC/AC
+  * statistical model, DAC conditioning parsed with spec defaults.
+  * Hierarchical frames and progressive-arithmetic (SOF10) return
+  * None → the labeled stub path, like any other malformed/unsupported
+  * payload: corrupt media in a 100 TB crawl is data, not an error.
   *
   * Encoder (fixtures + round-trip tests): baseline sequential, quant
   * tables all-ones, grayscale or 4:4:4 YCbCr, double-precision FDCT.
@@ -141,6 +144,8 @@ object JpegCodec {
   private final class Component(val id: Int, val h: Int, val v: Int, val tq: Int) {
     var dcTable: HuffTable = null
     var acTable: HuffTable = null
+    var dcSel = 0 // DC entropy-table/conditioning-table id from SOS
+    var acSel = 0 // AC id
     var pred = 0
     var plane: Array[Byte] = null // pw × ph samples
     var pw = 0
@@ -179,7 +184,13 @@ object JpegCodec {
     var height = 0
     var restartInterval = 0
     var progressive = false
+    var arithCoded = false // SOF9: sequential DCT, arithmetic entropy
     var progScans = 0 // progressive scans successfully processed
+    // DAC conditioning (T.81 B.2.4.3): DC bounds L/U and AC Kx per
+    // table id; spec defaults when no DAC segment appears
+    val dcL = Array.fill(4)(0)
+    val dcU = Array.fill(4)(1)
+    val acK = Array.fill(4)(5)
 
     var i = 2
     while (i + 1 < b.length) { // EOI can be the final two bytes
@@ -233,9 +244,27 @@ object JpegCodec {
             }
           case 0xdd => // DRI
             restartInterval = be16(b, seg)
-          case 0xc0 | 0xc1 | 0xc2 => // SOF0 baseline / SOF1 ext. seq. / SOF2 progressive
+          case 0xcc => // DAC: arithmetic conditioning (Tc/Tb, Cs) pairs
+            var p = seg
+            while (p + 1 < segEnd) {
+              val tc = (b(p) & 0xff) >> 4
+              val tb = b(p) & 0x0f
+              val cs = b(p + 1) & 0xff
+              if (tb > 3) corrupt()
+              if (tc == 0) { // DC: Cs packs U (high nibble) over L (low)
+                dcL(tb) = cs & 0x0f
+                dcU(tb) = cs >> 4
+                if (dcL(tb) > dcU(tb)) corrupt()
+              } else if (tc == 1) { // AC: Cs is Kx (1..63)
+                if (cs < 1 || cs > 63) corrupt()
+                acK(tb) = cs
+              } else corrupt()
+              p += 2
+            }
+          case 0xc0 | 0xc1 | 0xc2 | 0xc9 => // SOF0/1 seq. / SOF2 prog. / SOF9 arith seq.
             if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
             progressive = m == 0xc2
+            arithCoded = m == 0xc9
             height = be16(b, seg + 1)
             width = be16(b, seg + 3)
             val nf = b(seg + 5) & 0xff
@@ -248,9 +277,12 @@ object JpegCodec {
               if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4) corrupt()
               comp
             }
-          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xca | 0xcb |
               0xcd | 0xce | 0xcf =>
-            return None // hierarchical / arithmetic coding: stub path
+            // hierarchical frames and PROGRESSIVE-arithmetic (SOF10)
+            // remain the labeled stub path; sequential arithmetic (SOF9)
+            // is real since round 16
+            return None
           case 0xda => // SOS → entropy-coded data follows
             if (comps == null) corrupt()
             val ns = b(seg) & 0xff
@@ -262,6 +294,8 @@ object JpegCodec {
               val cs = b(p) & 0xff
               val comp = comps.find(_.id == cs).getOrElse(corrupt())
               val tt = b(p + 1) & 0xff
+              comp.dcSel = tt >> 4
+              comp.acSel = tt & 0x0f
               comp.dcTable = dcTables(tt >> 4)
               comp.acTable = acTables(tt & 0x0f)
               if (qt(comp.tq) == null) corrupt()
@@ -273,6 +307,12 @@ object JpegCodec {
             val se = b(p + 1) & 0xff
             val ah = (b(p + 2) & 0xff) >> 4
             val al = b(p + 2) & 0x0f
+            if (arithCoded) {
+              if (ns != comps.length) return None // interleaved only, like SOF0
+              decodeArithScan(b, segEnd, comps, width, height, qt,
+                restartInterval, dcL, dcU, acK)
+              return Some(toRgb(comps, width, height))
+            }
             if (!progressive) {
               if (ns != comps.length) return None // non-interleaved sequential: out of scope
               scanComps.foreach(sc =>
@@ -596,6 +636,149 @@ object JpegCodec {
     }
   }
 
+  /** Interleaved sequential scan with ARITHMETIC entropy coding (SOF9,
+    * T.81 §F.2.4): a [[QmCoder.Decoder]] drives the spec's DC/AC
+    * statistical model — per-table adaptive statistics areas (64 DC /
+    * 256 AC bins), DC conditioned on the previous diff's magnitude
+    * class (DAC bounds L/U), AC as an EOB/run/magnitude decision tree
+    * per zigzag position with the fixed equiprobable sign state and the
+    * Kx low/high-spectral split for large magnitudes. Restart markers
+    * re-initialize the QM decoder and reset every statistics bin,
+    * context, and DC predictor (F.1.4.1). Coefficient layout, dequant,
+    * IDCT, and plane placement are shared with the Huffman path —
+    * identical quantized coefficients MUST produce identical pixels,
+    * which is what the JpegCodecSpec cross-check pins. */
+  private def decodeArithScan(b: Array[Byte], start: Int,
+      comps: Array[Component], width: Int, height: Int,
+      qt: Array[Array[Int]], ri: Int,
+      dcL: Array[Int], dcU: Array[Int], acK: Array[Int]): Unit = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    for (c <- comps) {
+      c.pw = mcusX * c.h * 8
+      c.ph = mcusY * c.v * 8
+      if (c.pw.toLong * c.ph > 4L * MaxPixels) corrupt()
+      c.plane = new Array[Byte](c.pw * c.ph)
+      c.pred = 0
+    }
+    val dcStats = Array.fill(4)(new QmCoder.Stats(64))
+    val acStats = Array.fill(4)(new QmCoder.Stats(256))
+    val dcCtx = new Array[Int](comps.length)
+    var dec = new QmCoder.Decoder(b, start, b.length)
+    val coef = new Array[Int](64)
+    val pix = new Array[Int](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+        dec = new QmCoder.Decoder(b, dec.posAfterRestart(), b.length)
+        dcStats.foreach(_.reset())
+        acStats.foreach(_.reset())
+        java.util.Arrays.fill(dcCtx, 0)
+        comps.foreach(_.pred = 0)
+      }
+      val my = mcu / mcusX
+      val mx = mcu % mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val q = qt(c.tq)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            java.util.Arrays.fill(coef, 0)
+            // ---- DC (F.2.4.1), conditioned on the previous diff class
+            val st = dcStats(c.dcSel)
+            val ctx = dcCtx(ci)
+            if (dec.decode(st, ctx) != 0) {
+              val sign = dec.decode(st, ctx + 1)
+              var m = dec.decode(st, ctx + 2 + sign)
+              var xst = ctx + 2 + sign
+              if (m != 0) {
+                xst = 20 // X1 bin (Table F.4)
+                while (dec.decode(st, xst) != 0) {
+                  m <<= 1
+                  if (m == 0x8000) corrupt()
+                  xst += 1
+                }
+              }
+              // conditioning class for this component's NEXT block,
+              // from the magnitude CATEGORY (F.1.4.4.1.2)
+              dcCtx(ci) =
+                if (m < ((1 << dcL(c.dcSel)) >> 1)) 0
+                else if (m > ((1 << dcU(c.dcSel)) >> 1)) 12 + sign * 4
+                else 4 + sign * 4
+              var v = m
+              var mm = m
+              val mb = xst + 14 // magnitude-bit bins trail the X bins
+              while ({ mm >>= 1; mm != 0 })
+                if (dec.decode(st, mb) != 0) v |= mm
+              v += 1
+              c.pred += (if (sign != 0) -v else v)
+            } else dcCtx(ci) = 0
+            coef(0) = c.pred * q(0)
+            // ---- AC (F.2.4.2): 3 bins per zigzag position (EOB, run,
+            // magnitude), sign equiprobable, Kx splits the big-magnitude
+            // category bins into low/high spectral bands
+            val ast = acStats(c.acSel)
+            var k = 1
+            while (k <= 63) {
+              var s3 = 3 * (k - 1)
+              if (dec.decode(ast, s3) != 0) k = 64 // EOB
+              else {
+                while (dec.decode(ast, s3 + 1) == 0) {
+                  s3 += 3
+                  k += 1
+                  if (k > 63) corrupt()
+                }
+                val sign = dec.decodeFixed()
+                var st2 = s3 + 2
+                var m = dec.decode(ast, st2)
+                if (m != 0 && dec.decode(ast, st2) != 0) {
+                  m = 2
+                  st2 = if (k <= acK(c.acSel)) 189 else 217
+                  while (dec.decode(ast, st2) != 0) {
+                    m <<= 1
+                    if (m == 0x8000) corrupt()
+                    st2 += 1
+                  }
+                }
+                var v = m
+                var mm = m
+                val mb = st2 + 14
+                while ({ mm >>= 1; mm != 0 })
+                  if (dec.decode(ast, mb) != 0) v |= mm
+                v += 1
+                coef(ZigZag(k)) = (if (sign != 0) -v else v) * q(k)
+                k += 1
+              }
+            }
+            idct(coef, pix)
+            val ox = (mx * c.h + bx) * 8
+            val oy = (my * c.v + by) * 8
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              val rowOff = (oy + y) * c.pw + ox
+              while (x < 8) {
+                c.plane(rowOff + x) = pix(y * 8 + x).toByte
+                x += 1
+              }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+  }
+
   /** Double-precision separable IDCT (T.81 A.3.3), +128 level shift,
     * clamp to 0..255. `coef` natural order, `out` row-major samples. */
   private def idct(coef: Array[Int], out: Array[Int]): Unit = {
@@ -774,13 +957,19 @@ object JpegCodec {
     coef(0)
   }
 
-  /** Real baseline JPEG bytes: grayscale (1 component) when `gray`,
+  /** Real sequential JPEG bytes: grayscale (1 component) when `gray`,
     * else YCbCr 4:4:4. Quant tables all-ones; edge blocks pad by edge
     * replication. Block-constant inputs round-trip bit-exactly (see
     * object doc); arbitrary inputs round-trip within IDCT/quantization
-    * rounding like any quality-100 JPEG. */
+    * rounding like any quality-100 JPEG.
+    *
+    * `arith = true` emits SOF9 — the SAME quantized coefficients coded
+    * with the QM arithmetic coder ([[QmCoder.Encoder]] + the T.81
+    * F.1.4 DC/AC statistical model, default DAC conditioning L=0 U=1
+    * Kx=5) instead of Huffman: the two spellings of one image MUST
+    * decode to identical pixels, the cross-check JpegCodecSpec pins. */
   def encodeJpeg(width: Int, height: Int, px: (Int, Int) => (Int, Int, Int),
-      gray: Boolean = false): Array[Byte] = {
+      gray: Boolean = false, arith: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
       width.toLong * height <= MaxPixels)
     val out = new java.io.ByteArrayOutputStream()
@@ -796,19 +985,27 @@ object JpegCodec {
     var k = 0
     while (k < 64) { w8(1); k += 1 }
     val nf = if (gray) 1 else 3
-    marker(0xc0); wbe16(8 + 3 * nf) // SOF0
+    marker(if (arith) 0xc9 else 0xc0); wbe16(8 + 3 * nf) // SOF9 / SOF0
     w8(8); wbe16(height); wbe16(width); w8(nf)
     var c = 0
     while (c < nf) { w8(c + 1); w8(0x11); w8(0); c += 1 } // 1×1 sampling, qt 0
-    def dht(tc: Int, t: EncTable): Unit = {
-      marker(0xc4); wbe16(2 + 17 + t.vals.length)
-      w8(tc << 4)
-      var l = 1
-      while (l <= 16) { w8(t.bits(l)); l += 1 }
-      t.vals.foreach(w8)
+    if (arith) {
+      // DAC: spell the (default) conditioning explicitly — DC table 0
+      // L=0/U=1, AC table 0 Kx=5
+      marker(0xcc); wbe16(2 + 4)
+      w8(0x00); w8(0x10) // Tc=0 Tb=0, Cs = U<<4 | L
+      w8(0x10); w8(5) // Tc=1 Tb=0, Cs = Kx
+    } else {
+      def dht(tc: Int, t: EncTable): Unit = {
+        marker(0xc4); wbe16(2 + 17 + t.vals.length)
+        w8(tc << 4)
+        var l = 1
+        while (l <= 16) { w8(t.bits(l)); l += 1 }
+        t.vals.foreach(w8)
+      }
+      dht(0, EncDc)
+      dht(1, EncAc)
     }
-    dht(0, EncDc)
-    dht(1, EncAc)
     marker(0xda); wbe16(6 + 2 * nf) // SOS
     w8(nf)
     c = 0
@@ -835,10 +1032,17 @@ object JpegCodec {
       }
       y += 1
     }
-    val w = new BitWriter(out)
     val block = new Array[Double](64)
     val coef = new Array[Int](64)
     val preds = new Array[Int](nf)
+    // Huffman state
+    val w = if (arith) null else new BitWriter(out)
+    // arithmetic state: one shared conditioning table (id 0), per-
+    // component DC context, mirroring decodeArithScan exactly
+    val enc = if (arith) new QmCoder.Encoder(out) else null
+    val dcSt = if (arith) new QmCoder.Stats(64) else null
+    val acSt = if (arith) new QmCoder.Stats(256) else null
+    val dcCtxs = new Array[Int](nf)
     val mcusX = (width + 7) / 8
     val mcusY = (height + 7) / 8
     var my = 0
@@ -859,15 +1063,97 @@ object JpegCodec {
             by += 1
           }
           fdctQuant(block, coef)
-          preds(c) = encodeBlock(w, coef, preds(c))
+          if (arith) {
+            encodeBlockArith(enc, dcSt, acSt, coef, preds, dcCtxs, c)
+            preds(c) = coef(0)
+          } else preds(c) = encodeBlock(w, coef, preds(c))
           c += 1
         }
         mx += 1
       }
       my += 1
     }
-    w.finish()
+    if (arith) enc.finish() else w.finish()
     marker(0xd9) // EOI
     out.toByteArray
+  }
+
+  /** One block through the T.81 F.1.4 arithmetic statistical model —
+    * the exact encoding mirror of [[decodeArithScan]]'s per-block walk
+    * (default conditioning L=0, U=1, Kx=5, the DAC values the header
+    * spells). */
+  private def encodeBlockArith(enc: QmCoder.Encoder, dcSt: QmCoder.Stats,
+      acSt: QmCoder.Stats, coef: Array[Int], preds: Array[Int],
+      dcCtxs: Array[Int], ci: Int): Unit = {
+    // ---- DC diff
+    val diff = coef(0) - preds(ci)
+    val ctx = dcCtxs(ci)
+    if (diff == 0) {
+      enc.encode(dcSt, ctx, 0)
+      dcCtxs(ci) = 0
+    } else {
+      enc.encode(dcSt, ctx, 1)
+      val sign = if (diff < 0) 1 else 0
+      enc.encode(dcSt, ctx + 1, sign)
+      val v = math.abs(diff) - 1
+      var m = 0
+      if (v == 0) enc.encode(dcSt, ctx + 2 + sign, 0)
+      else {
+        enc.encode(dcSt, ctx + 2 + sign, 1)
+        m = 1
+        var xst = 20
+        while (2 * m <= v) { enc.encode(dcSt, xst, 1); m <<= 1; xst += 1 }
+        enc.encode(dcSt, xst, 0)
+        var mm = m
+        val mb = xst + 14
+        while ({ mm >>= 1; mm != 0 })
+          enc.encode(dcSt, mb, if ((v & mm) != 0) 1 else 0)
+      }
+      // default L=0 / U=1 classification, identical to the decode side
+      dcCtxs(ci) =
+        if (m < ((1 << 0) >> 1)) 0
+        else if (m > ((1 << 1) >> 1)) 12 + sign * 4
+        else 4 + sign * 4
+    }
+    // ---- AC run/EOB tree
+    var kend = 63
+    while (kend >= 1 && coef(ZigZag(kend)) == 0) kend -= 1
+    var k = 1
+    while (k <= 63) {
+      var s3 = 3 * (k - 1)
+      if (k > kend) { enc.encode(acSt, s3, 1); k = 64 } // EOB
+      else {
+        enc.encode(acSt, s3, 0)
+        while (coef(ZigZag(k)) == 0) {
+          enc.encode(acSt, s3 + 1, 0)
+          s3 += 3
+          k += 1
+        }
+        enc.encode(acSt, s3 + 1, 1)
+        val cv = coef(ZigZag(k))
+        val sign = if (cv < 0) 1 else 0
+        enc.encodeFixed(sign)
+        val v = math.abs(cv) - 1
+        var st2 = s3 + 2
+        if (v == 0) enc.encode(acSt, st2, 0)
+        else {
+          enc.encode(acSt, st2, 1)
+          var m = 1
+          if (v < 2) enc.encode(acSt, st2, 0) // magnitude 2
+          else {
+            enc.encode(acSt, st2, 1)
+            m = 2
+            st2 = if (k <= 5) 189 else 217 // default Kx = 5
+            while (2 * m <= v) { enc.encode(acSt, st2, 1); m <<= 1; st2 += 1 }
+            enc.encode(acSt, st2, 0)
+          }
+          var mm = m
+          val mb = st2 + 14
+          while ({ mm >>= 1; mm != 0 })
+            enc.encode(acSt, mb, if ((v & mm) != 0) 1 else 0)
+        }
+        k += 1
+      }
+    }
   }
 }

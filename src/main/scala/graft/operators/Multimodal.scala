@@ -17,9 +17,10 @@ import org.apache.spark.sql.types._
   * [[JpegCodec]]), and lossless WebP (from-scratch VP8L prefix codes +
   * transforms — [[WebpCodec]]), and the features — exact channel sums,
   * means, luma histogram — come from those pixels (q47 oracle-checks the
-  * sums bit-for-bit; JPEG covers baseline AND progressive scan scripts).
-  * Transform-codec payloads our from-scratch decoders don't cover
-  * (lossy-VP8 WebP, arithmetic-coded JPEG) fall back to the
+  * sums bit-for-bit; JPEG covers baseline, progressive, AND — since
+  * round 16 — arithmetic-coded sequential (SOF9, [[QmCoder]]) scan
+  * scripts). Transform-codec payloads our from-scratch decoders don't
+  * cover (lossy-VP8 WebP, progressive-arithmetic JPEG) fall back to the
   * clearly-labeled deterministic [[StubCodec]], flagged per-row in the
   * `decoder` column; swap it for a real codec on a cluster that has one.
   *
@@ -32,8 +33,8 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   /** STUB decoder — deterministic stand-in for codec-bound payloads
-    * (lossy-VP8 WebP, arithmetic-coded JPEG, compressed audio/video;
-    * BMP/PNG/GIF/JPEG/VP8L decode for real via [[PixelCodec]]). Derives
+    * (lossy-VP8 WebP, compressed audio/video; BMP/PNG/GIF/JPEG incl.
+    * SOF9-arithmetic/VP8L decode for real via [[PixelCodec]]). Derives
     * pseudo-features purely from byte length so tests and oracles stay
     * reproducible; rows that went through it carry `decoder = "stub"`.
     */

@@ -225,6 +225,105 @@ class JpegCodecSpec extends SparkFunSuite {
     }
   }
 
+  test("arithmetic (SOF9): block-constant grayscale round-trips bit-exactly") {
+    for (base <- Seq(0, 40, 96)) {
+      val bytes = JpegCodec.encodeJpeg(24, 16, blockGray(base), gray = true,
+        arith = true)
+      val img = decode(bytes).get
+      assert(img.width == 24 && img.height == 16)
+      for (y <- 0 until 16; x <- 0 until 24) {
+        val want = base + 7 * (x / 8) + 11 * (y / 8)
+        val got = img.rgb((y * 24 + x) * 3) & 0xff
+        assert(got == want, s"($x,$y): $got != $want (base $base)")
+      }
+      // INDEPENDENT conformance: the JDK's ImageIO JPEG reader decodes
+      // SOF9 — its pixels must equal the closed form bit-for-bit, which
+      // pins our QM coder's interval orientation, byte alignment, Table
+      // D.3 transcription, and the whole DC/AC statistical model against
+      // an implementation we didn't write (encoder-side proof; ImageIO
+      // cannot ENCODE arithmetic, so the decoder side rides the
+      // Huffman-spelling equality test below)
+      val io = imageIoRgb(bytes)
+      assert(java.util.Arrays.equals(io, img.rgb),
+        s"ImageIO disagrees with our SOF9 decode (base $base)")
+    }
+  }
+
+  test("arithmetic (SOF9): arbitrary gray + color decode IDENTICALLY to the Huffman spelling") {
+    // same pixels through both entropy spellings: quantized coefficients
+    // and the whole downstream pipeline are shared, so the decoded pixel
+    // buffers must be BIT-IDENTICAL — a single wrong arithmetic decision
+    // desynchronizes the QM decoder and scrambles everything after it
+    val rnd = new scala.util.Random(123)
+    for (trial <- 1 to 6) {
+      val w = 8 + rnd.nextInt(40)
+      val h = 8 + rnd.nextInt(24)
+      val px0 = Array.tabulate(h, w)((_, _) =>
+        (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      // mix of smooth gradients (long zero runs, small magnitudes) and
+      // pure noise (large magnitudes, every category bin)
+      def px(x: Int, y: Int): (Int, Int, Int) =
+        if (trial % 2 == 0) px0(y)(x)
+        else ((x * 3 + y * 5) % 256, (x * 7 + y * 2) % 256, (x + y * 11) % 256)
+      for (gray <- Seq(true, false)) {
+        val hj = decode(JpegCodec.encodeJpeg(w, h, px, gray = gray)).get
+        val aj = decode(JpegCodec.encodeJpeg(w, h, px, gray = gray,
+          arith = true)).get
+        assert(aj.width == hj.width && aj.height == hj.height)
+        assert(java.util.Arrays.equals(aj.rgb, hj.rgb),
+          s"trial $trial gray=$gray ${w}x$h: arith pixels != huffman pixels")
+      }
+    }
+  }
+
+  test("arithmetic (SOF9): ImageIO agrees on arbitrary gray and color streams") {
+    // arbitrary content drives every model path (all magnitude
+    // categories, runs, EOBs, both signs, DC context transitions) —
+    // ImageIO's independent arithmetic decoder must agree with ours on
+    // the same bytes to within IDCT/color-convert rounding, same
+    // tolerances as the Huffman cross-checks above
+    val rnd = new scala.util.Random(911)
+    val w = 21; val h = 14
+    val px = Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    val gbytes = JpegCodec.encodeJpeg(w, h,
+      (x, y) => { val v = px(y)(x)._1; (v, v, v) }, gray = true, arith = true)
+    assert(maxAbsDiff(imageIoRgb(gbytes), decode(gbytes).get.rgb) <= 2,
+      "gray SOF9: ImageIO and JpegCodec disagree beyond IDCT rounding")
+    val cbytes = JpegCodec.encodeJpeg(w, h, (x, y) => px(y)(x), arith = true)
+    assert(maxAbsDiff(imageIoRgb(cbytes), decode(cbytes).get.rgb) <= 3,
+      "color SOF9: ImageIO and JpegCodec disagree beyond convert rounding")
+  }
+
+  test("arithmetic (SOF9): adaptive coder beats our fixed-table Huffman on size") {
+    // not a gate on ratio — just evidence the statistics actually adapt
+    // (a broken estimation state machine still round-trips but bloats)
+    val huff = JpegCodec.encodeJpeg(64, 64, blockGray(30), gray = true)
+    val ari = JpegCodec.encodeJpeg(64, 64, blockGray(30), gray = true,
+      arith = true)
+    assert(ari.length < huff.length,
+      s"arith ${ari.length} B not smaller than huffman ${huff.length} B")
+  }
+
+  test("arithmetic (SOF9): truncated/corrupt payloads never throw") {
+    val good = JpegCodec.encodeJpeg(24, 16, blockGray(40), gray = true,
+      arith = true)
+    // truncation inside the entropy segment: the QM decoder zero-fills
+    // (F.2.2.5) — result is a well-formed image or None, never a throw
+    for (cut <- Seq(20, good.length / 2, good.length - 3)) {
+      JpegCodec.decode(good.take(cut)) match {
+        case Some(i) => assert(i.width == 24 && i.height == 16)
+        case None =>
+      }
+    }
+    val corrupt = good.clone()
+    for (j <- good.length - 20 until good.length - 5)
+      corrupt(j) = (~corrupt(j)).toByte
+    JpegCodec.decode(corrupt) match {
+      case Some(i) => assert(i.width == 24 && i.height == 16)
+      case None =>
+    }
+  }
+
   test("features off decoded JPEG pixels are exact for DC-only fixtures") {
     val bytes = JpegCodec.encodeJpeg(16, 8, blockGray(50), gray = true)
     val f = features(decode(bytes).get, bins = 4)
