@@ -20,6 +20,9 @@ package graft.operators
   *    100-frame clip sampled at stride 10 allocates 10 frames — the
   *    shape a training-data pipeline needs (sample k frames per clip,
   *    featurize, never hold the whole clip).
+  *  - Animated GIF rides the same entry point, including (round 16)
+  *    full GIF89a COMPOSITING — partial frames, transparency, disposal
+  *    methods — see [[decodeGifSampled]].
   *
   * Anything malformed decodes to None, never an exception — corrupt
   * media in a 100 TB crawl is data, not an error.
@@ -134,15 +137,221 @@ object VideoCodec {
     Some(VideoClip(w, h, total, idx.toArray, frames.toArray))
   }
 
-  /** Animated GIF as a frame-sampled video source. Supported subset:
-    * every frame is a FULL-canvas opaque image (left/top 0, frame size =
-    * logical screen size, no GCE transparency flag) — then each frame is
-    * standalone-renderable regardless of disposal method and sampling
-    * needs no compositing. Anything needing composition (partial frames,
-    * transparency) → None, the labeled stub path. Non-sampled frames are
-    * skipped at the CONTAINER level (sub-block walk, no LZW work), so
-    * stride-k sampling of an n-frame GIF decodes only n/k frames. */
-  private def decodeGifSampled(b: Array[Byte], stride: Int): Option[VideoClip] = {
+  /** Animated GIF as a frame-sampled video source, in two tiers:
+    *
+    *  - STANDALONE fast path: every frame is a full-canvas opaque image
+    *    (left/top 0, frame size = logical screen size, no GCE
+    *    transparency) — each frame renders independently, so non-sampled
+    *    frames are skipped at the CONTAINER level (sub-block walk, no
+    *    LZW work): stride-k sampling of an n-frame GIF decodes n/k
+    *    frames.
+    *  - COMPOSITED path (round 16 — closes the r15 stub): partial
+    *    frames, GCE transparency, and disposal methods 2 (restore to
+    *    background) / 3 (restore to previous) render against a
+    *    maintained canvas per the GIF89a semantics — transparent pixels
+    *    leave the canvas untouched, disposal applies AFTER the frame is
+    *    displayed, "background" is the logical-screen background color
+    *    (black when no global table). Frame N depends on frames < N, so
+    *    EVERY frame's LZW stream must decode regardless of stride — the
+    *    honest cost of composited GIFs, bounded by a total-pixel-work
+    *    cap (≈256 M composite pixel ops) beyond which the payload takes
+    *    the labeled stub path rather than unbounded CPU.
+    *
+    * A cheap structure-only pre-scan (no LZW) picks the tier. */
+  private def decodeGifSampled(b: Array[Byte], stride: Int): Option[VideoClip] =
+    gifNeedsCompositing(b) match {
+      case None => None // malformed block structure
+      case Some(true) => decodeGifComposited(b, stride)
+      case Some(false) => decodeGifStandalone(b, stride)
+    }
+
+  /** Structure-only walk: does any frame need canvas composition
+    * (partial placement, transparency, disposal 2/3)? None = malformed. */
+  private def gifNeedsCompositing(b: Array[Byte]): Option[Boolean] = {
+    val w = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+    val h = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+    val packed = b(10) & 0xff
+    var i = 13
+    if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1))
+    var needs = false
+    var sawFrame = false
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x21 =>
+          if (i + 1 >= b.length) return None
+          if ((b(i + 1) & 0xff) == 0xf9) {
+            if (i + 4 >= b.length) return None
+            val flags = b(i + 3) & 0xff
+            if ((flags & 1) != 0 || ((flags >> 2) & 7) >= 2) needs = true
+          }
+          i += 2
+          while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+          i += 1
+        case 0x2c =>
+          if (i + 10 > b.length) return None
+          val left = (b(i + 1) & 0xff) | ((b(i + 2) & 0xff) << 8)
+          val top = (b(i + 3) & 0xff) | ((b(i + 4) & 0xff) << 8)
+          val iw = (b(i + 5) & 0xff) | ((b(i + 6) & 0xff) << 8)
+          val ih = (b(i + 7) & 0xff) | ((b(i + 8) & 0xff) << 8)
+          if (left != 0 || top != 0 || iw != w || ih != h) needs = true
+          val p2 = b(i + 9) & 0xff
+          i += 10
+          if ((p2 & 0x80) != 0) i += 3 * (1 << ((p2 & 7) + 1))
+          if (i >= b.length) return None
+          i += 1 // min code size
+          while (i < b.length && (b(i) & 0xff) != 0) {
+            val len = b(i) & 0xff
+            if (i + 1 + len > b.length) return None
+            i += 1 + len
+          }
+          if (i >= b.length) return None
+          i += 1
+          sawFrame = true
+        case 0x3b => return if (sawFrame) Some(needs) else None
+        case _ => return None
+      }
+    }
+    None // no trailer
+  }
+
+  /** GIF89a canvas composition: decode EVERY frame's indices, blit onto
+    * the canvas honoring transparency, snapshot sampled frames, then
+    * apply the frame's disposal. */
+  private def decodeGifComposited(b: Array[Byte], stride: Int): Option[VideoClip] = {
+    val w = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+    val h = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+    val packed = b(10) & 0xff
+    val bgIndex = b(11) & 0xff
+    var i = 13
+    val gct: Array[Byte] =
+      if ((packed & 0x80) != 0) {
+        val size = 3 * (1 << ((packed & 7) + 1))
+        if (i + size > b.length) return None
+        val t = java.util.Arrays.copyOfRange(b, i, i + size); i += size; t
+      } else null
+    // background color: logical-screen background index into the global
+    // table when present and in range, else black — the opaque-RGB
+    // reading of the spec (we have no alpha channel to hand through)
+    val bg = new Array[Byte](3)
+    if (gct != null && bgIndex < gct.length / 3)
+      System.arraycopy(gct, bgIndex * 3, bg, 0, 3)
+    val canvas = new Array[Byte](w * h * 3)
+    var p = 0
+    while (p < canvas.length) { // init to background
+      canvas(p) = bg(0); canvas(p + 1) = bg(1); canvas(p + 2) = bg(2)
+      p += 3
+    }
+    val idx = new scala.collection.mutable.ArrayBuffer[Int]()
+    val frames = new scala.collection.mutable.ArrayBuffer[PixelImage]()
+    var total = 0
+    var work = 0L // composite pixel ops — the CPU bound
+    var disposal = 0
+    var transIdx = -1
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x21 =>
+          if (i + 1 >= b.length) return None
+          if ((b(i + 1) & 0xff) == 0xf9) {
+            if (i + 5 >= b.length) return None
+            val flags = b(i + 3) & 0xff
+            disposal = (flags >> 2) & 7
+            transIdx = if ((flags & 1) != 0) b(i + 6) & 0xff else -1
+          }
+          i += 2
+          while (i < b.length && (b(i) & 0xff) != 0) i += 1 + (b(i) & 0xff)
+          i += 1
+        case 0x2c =>
+          if (i + 10 > b.length) return None
+          val left = (b(i + 1) & 0xff) | ((b(i + 2) & 0xff) << 8)
+          val top = (b(i + 3) & 0xff) | ((b(i + 4) & 0xff) << 8)
+          val iw = (b(i + 5) & 0xff) | ((b(i + 6) & 0xff) << 8)
+          val ih = (b(i + 7) & 0xff) | ((b(i + 8) & 0xff) << 8)
+          if (iw <= 0 || ih <= 0 || left + iw > w || top + ih > h) return None
+          val p2 = b(i + 9) & 0xff
+          val interlaced = (p2 & 0x40) != 0
+          i += 10
+          val palette: Array[Byte] =
+            if ((p2 & 0x80) != 0) {
+              val size = 3 * (1 << ((p2 & 7) + 1))
+              if (i + size > b.length) return None
+              val t = java.util.Arrays.copyOfRange(b, i, i + size); i += size; t
+            } else gct
+          if (palette == null) return None
+          if (i >= b.length) return None
+          val minCodeSize = b(i) & 0xff; i += 1
+          if (minCodeSize < 2 || minCodeSize > 11) return None
+          work += iw.toLong * ih
+          if (work > (1L << 28)) return None // CPU bound → stub path
+          val data = new java.io.ByteArrayOutputStream()
+          while (i < b.length && (b(i) & 0xff) != 0) {
+            val len = b(i) & 0xff
+            if (i + 1 + len > b.length) return None
+            data.write(b, i + 1, len)
+            i += 1 + len
+          }
+          if (i >= b.length) return None
+          i += 1 // sub-block terminator
+          val indices = PixelCodec.lzwDecode(data.toByteArray, minCodeSize,
+            iw * ih).getOrElse(return None)
+          val nColors = palette.length / 3
+          // disposal 3 restores the pre-draw canvas afterwards
+          val saved = if (disposal == 3) canvas.clone() else null
+          var row = 0
+          var src = 0
+          while (row < ih) {
+            val destRow = top +
+              (if (interlaced) PixelCodec.deinterlaceRow(row, ih) else row)
+            var x = 0
+            while (x < iw) {
+              val ci = indices(src)
+              if (ci >= nColors) return None
+              if (ci != transIdx) { // transparent: canvas shows through
+                val o = (destRow * w + left + x) * 3
+                canvas(o) = palette(ci * 3)
+                canvas(o + 1) = palette(ci * 3 + 1)
+                canvas(o + 2) = palette(ci * 3 + 2)
+              }
+              x += 1; src += 1
+            }
+            row += 1
+          }
+          if (total % stride == 0) {
+            if (frames.length >= MaxSampledFrames) return None
+            idx += total
+            frames += PixelImage(w, h, canvas.clone())
+          }
+          // disposal applies AFTER display
+          disposal match {
+            case 2 => // restore the frame REGION to background
+              var ry = 0
+              while (ry < ih) {
+                var rx = 0
+                val base = ((top + ry) * w + left) * 3
+                while (rx < iw) {
+                  canvas(base + rx * 3) = bg(0)
+                  canvas(base + rx * 3 + 1) = bg(1)
+                  canvas(base + rx * 3 + 2) = bg(2)
+                  rx += 1
+                }
+                ry += 1
+              }
+            case 3 => System.arraycopy(saved, 0, canvas, 0, canvas.length)
+            case _ => // 0/1: leave the canvas as displayed
+          }
+          disposal = 0
+          transIdx = -1
+          total += 1
+        case 0x3b =>
+          return if (total == 0) None
+          else Some(VideoClip(w, h, total, idx.toArray, frames.toArray, "gif"))
+        case _ => return None
+      }
+    }
+    None // no trailer
+  }
+
+  private def decodeGifStandalone(b: Array[Byte], stride: Int): Option[VideoClip] = {
     val w = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
     val h = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
     if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
@@ -266,6 +475,73 @@ object VideoCodec {
       val payloadStart = 13 + tableBytes + 10
       out.write(one, payloadStart, one.length - payloadStart - 1)
       f += 1
+    }
+    w8(0x3b)
+    out.toByteArray
+  }
+
+  /** One frame of a COMPOSITED animated-GIF fixture: placed at
+    * (left, top), sized fw×fh, with `disposal` (0/1 leave, 2 restore-
+    * background, 3 restore-previous) and an optional transparent
+    * SENTINEL color — pixels px returns as `transparentColor` are coded
+    * with the GCE transparent index (the canvas shows through). The
+    * sentinel must be a color the frame doesn't otherwise use. */
+  final case class GifFrame(left: Int, top: Int, fw: Int, fh: Int,
+      disposal: Int, px: (Int, Int) => (Int, Int, Int),
+      transparentColor: Option[(Int, Int, Int)] = None)
+
+  /** Real composited animated-GIF bytes (fixtures + tests): partial
+    * placement, per-frame disposal, and GCE transparency — the feature
+    * set [[decodeGifSampled]]'s composited tier renders. Reuses the
+    * single-frame GIF encoder per frame (its palette includes the
+    * sentinel color, whose local index becomes the GCE transparent
+    * index), then patches the descriptor's placement. */
+  def encodeGifAnimComposited(width: Int, height: Int,
+      frames: Seq[GifFrame], bgIndexColor: Option[(Int, Int, Int)] = None)
+      : Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty)
+    frames.foreach { f =>
+      require(f.left >= 0 && f.top >= 0 && f.fw > 0 && f.fh > 0 &&
+        f.left + f.fw <= width && f.top + f.fh <= height &&
+        f.disposal >= 0 && f.disposal <= 3)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wle16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    wle16(width); wle16(height)
+    bgIndexColor match {
+      case Some((r, g, bl)) =>
+        // 2-entry global table just to carry the background color at
+        // index 0 (logical-screen background index = 0)
+        w8(0x80); w8(0); w8(0)
+        w8(r); w8(g); w8(bl); w8(0); w8(0); w8(0)
+      case None =>
+        w8(0); w8(0); w8(0) // no global table → background is black
+    }
+    frames.foreach { f =>
+      val one = PixelCodec.encodeGif(f.fw, f.fh, f.px)
+      val gctPacked = one(10) & 0xff
+      val tableBytes = 3 * (1 << ((gctPacked & 7) + 1))
+      // locate the sentinel color inside the per-frame palette
+      val transIdx = f.transparentColor.map { case (r, g, bl) =>
+        val n = tableBytes / 3
+        val found = (0 until n).find(ci =>
+          (one(13 + ci * 3) & 0xff) == r && (one(13 + ci * 3 + 1) & 0xff) == g &&
+            (one(13 + ci * 3 + 2) & 0xff) == bl)
+        found.getOrElse(throw new IllegalArgumentException(
+          s"transparent sentinel ($r,$g,$bl) not present in frame"))
+      }
+      // GCE: disposal + optional transparency
+      w8(0x21); w8(0xf9); w8(4)
+      w8((f.disposal << 2) | (if (transIdx.isDefined) 1 else 0))
+      wle16(5); w8(transIdx.getOrElse(0)); w8(0)
+      // descriptor with the real placement; local color table follows
+      w8(0x2c); wle16(f.left); wle16(f.top); wle16(f.fw); wle16(f.fh)
+      w8(0x80 | (gctPacked & 7))
+      out.write(one, 13, tableBytes)
+      val payloadStart = 13 + tableBytes + 10
+      out.write(one, payloadStart, one.length - payloadStart - 1)
     }
     w8(0x3b)
     out.toByteArray

@@ -863,7 +863,10 @@ object Llm {
   // hdrl/strl/movi/idx1 tree, uncompressed 24bpp DIB frames); odd docs
   // carry actual animated GIFs (GCE + per-frame local color tables +
   // LZW pixel streams — [[graft.operators.VideoCodec]]); both use the
-  // same per-frame gradient keyed by (doc_id, frame), and every 5th doc
+  // same per-frame gradient keyed by (doc_id, frame); doc_id%10=3 docs
+  // are COMPOSITED GIFs (round 16: partial frames over a maintained
+  // canvas — the GIF89a disposal/placement semantics rendering for
+  // real), and every 5th doc
   // is a non-video payload exercising the labeled stub row. The
   // operator samples every 2nd frame and computes exact channel sums
   // off the decoded pixels, so the DuckDB oracle recomputes each
@@ -878,19 +881,38 @@ object Llm {
     // one-time fixture build, fingerprint-cached (see q47): the timed
     // query measures DECODE + sampling, not the fixture write
     val out71 = Tables.scratch(s"media71/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val mediaDir = Tables.cachedDerived(dir, out71, version = "v2-avi-gif") {
+    val mediaDir = Tables.cachedDerived(dir, out71,
+      version = "v3-avi-gif-composited") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
+        val nf = 3 + (id % 4).toInt
+        val br = (id % 80).toInt
+        val bg = ((id * 3) % 70).toInt
+        val bb = ((id * 7) % 60).toInt
         val bytes =
           if (id % 5 == 4) // compressed-codec stand-in → labeled stub row
             ("MOOV not a container we decode " * 3).getBytes("US-ASCII")
-          else {
-            val nf = 3 + (id % 4).toInt
+          else if (id % 10 == 3) {
+            // COMPOSITED animated GIF (round 16): an 8×4 static base
+            // canvas, then one 1×1 overlay per subsequent frame at
+            // (j−1, 2) painting base+Δ (Δ = 40/50/60), disposal 1 —
+            // sampled frame f shows EXACTLY f overlays, so each channel
+            // sum is the base-canvas closed form plus Δ·f. Positions are
+            // distinct (nf ≤ 6 < canvas width), so no repaint ambiguity;
+            // max channel 79+21+15+40 = 155 < 255
+            import graft.operators.VideoCodec.GifFrame
+            def base(x: Int, y: Int): (Int, Int, Int) =
+              (br + 3 * x + 5 * y, bg + 5 * x + 2 * y, bb + 2 * x + 7 * y)
+            val frames = GifFrame(0, 0, 8, 4, 1, (x, y) => base(x, y)) +:
+              (1 until nf).map { j =>
+                val (r0, g0, b0) = base(j - 1, 2)
+                GifFrame(j - 1, 2, 1, 1, 1,
+                  (_, _) => (r0 + 40, g0 + 50, b0 + 60))
+              }
+            graft.operators.VideoCodec.encodeGifAnimComposited(8, 4, frames)
+          } else {
             val w = 4 + (id % 3).toInt
             val h = 3 + (id % 2).toInt
-            val br = (id % 80).toInt
-            val bg = ((id * 3) % 70).toInt
-            val bb = ((id * 7) % 60).toInt
             // frame f gradient: base walks 9/6/4 per frame; max channel
             // value 79+45+15+15 = 154 < 255 → closed-form sums exact
             val px = (f: Int, x: Int, y: Int) =>
@@ -911,11 +933,16 @@ object Llm {
 
   // closed forms per sampled frame f ∈ {0,2,4} ∩ [0,nf): over the w×h
   // grid Sx = h·w(w-1)/2, Sy = w·h(h-1)/2, so
-  // sum_r = w·h·(br+9f) + 3·Sx + 5·Sy (and per-channel analogues)
+  // sum_r = w·h·(br+9f) + 3·Sx + 5·Sy (and per-channel analogues).
+  // Composited docs (doc_id%10=3) are fixed 8×4: the base canvas sum
+  // plus Δ·f from the f overlays painted so far (Δ = 40/50/60) — the
+  // oracle that breaks if disposal/placement/transparency compositing
+  // renders anything but the accumulated canvas.
   val q71Sql =
     """WITH g AS (
       |  SELECT doc_id, 3 + doc_id % 4 AS nf,
-      |         4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+      |         CASE WHEN doc_id % 10 = 3 THEN 8 ELSE 4 + doc_id % 3 END AS w,
+      |         CASE WHEN doc_id % 10 = 3 THEN 4 ELSE 3 + doc_id % 2 END AS h,
       |         doc_id % 80 AS br, (doc_id * 3) % 70 AS bg,
       |         (doc_id * 7) % 60 AS bb
       |  FROM documents),
@@ -928,9 +955,15 @@ object Llm {
       |       CASE WHEN doc_id % 2 = 0 THEN 'dib' ELSE 'gif' END AS decoder,
       |       CAST(nf AS BIGINT) AS total_frames, CAST(f AS BIGINT) AS frame_idx,
       |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-      |       CAST(w*h*(br + 9*f) + 3*sx + 5*sy AS BIGINT) AS sum_r,
-      |       CAST(w*h*(bg + 6*f) + 5*sx + 2*sy AS BIGINT) AS sum_g,
-      |       CAST(w*h*(bb + 4*f) + 2*sx + 7*sy AS BIGINT) AS sum_b
+      |       CAST(CASE WHEN doc_id % 10 = 3
+      |            THEN w*h*br + 3*sx + 5*sy + 40*f
+      |            ELSE w*h*(br + 9*f) + 3*sx + 5*sy END AS BIGINT) AS sum_r,
+      |       CAST(CASE WHEN doc_id % 10 = 3
+      |            THEN w*h*bg + 5*sx + 2*sy + 50*f
+      |            ELSE w*h*(bg + 6*f) + 5*sx + 2*sy END AS BIGINT) AS sum_g,
+      |       CAST(CASE WHEN doc_id % 10 = 3
+      |            THEN w*h*bb + 2*sx + 7*sy + 60*f
+      |            ELSE w*h*(bb + 4*f) + 2*sx + 7*sy END AS BIGINT) AS sum_b
       |FROM fr
       |UNION ALL
       |SELECT doc_id, 'stub', NULL, NULL, NULL, NULL, NULL, NULL, NULL

@@ -96,8 +96,11 @@ class VideoCodecSpec extends SparkFunSuite {
     assert(s5.totalFrames == 5 && s5.frames.length == 1)
   }
 
-  test("GIFs needing composition take the stub path, single-frame GIFs still decode") {
-    // transparency flag in the GCE → compositing → None
+  test("single-frame GIFs decode as 1-frame clips; flipped-transparency bit composites") {
+    // flipping the transparency bit on an otherwise-standalone GIF now
+    // routes it through the COMPOSITED tier (round 16) instead of the
+    // stub: transparent index 0 pixels show the background (black — no
+    // global table), everything else decodes normally
     val anim = VideoCodec.encodeGifAnim(4, 3, 2, px)
     val gceAt = {
       var i = 13; var at = -1
@@ -110,13 +113,112 @@ class VideoCodecSpec extends SparkFunSuite {
     assert(gceAt > 0)
     val transparent = anim.clone()
     transparent(gceAt + 3) = (transparent(gceAt + 3) | 1).toByte
-    assert(VideoCodec.decodeSampled(transparent, 1) == None)
+    val composited = VideoCodec.decodeSampled(transparent, 1).get
+    assert(composited.totalFrames == 2)
+    val plain = VideoCodec.decodeSampled(anim, 1).get
+    // frame 0: identical except palette-index-0 pixels, which are black
+    val f0 = composited.frames(0).rgb
+    val p0 = plain.frames(0).rgb
+    var holes = 0
+    for (i <- f0.indices by 3) {
+      val isHole = f0(i) == 0 && f0(i + 1) == 0 && f0(i + 2) == 0 &&
+        !(p0(i) == 0 && p0(i + 1) == 0 && p0(i + 2) == 0)
+      if (isHole) holes += 1
+      else assert(f0(i) == p0(i) && f0(i + 1) == p0(i + 1) && f0(i + 2) == p0(i + 2))
+    }
+    assert(holes >= 1, "no transparent hole rendered — index 0 must exist in a 4x3 gradient")
     // a plain single-frame GIF is a 1-frame video (and a still image)
     val still = PixelCodec.encodeGif(4, 3, (x, y) => px(0, x, y))
     val clip = VideoCodec.decodeSampled(still, 1).get
     assert(clip.totalFrames == 1 && clip.container == "gif")
     assert(clip.frames(0).rgb.sameElements(
       PixelCodec.decode(still).get.rgb))
+  }
+
+  private def rgbAt(f: graft.operators.PixelCodec.PixelImage, x: Int, y: Int): (Int, Int, Int) = {
+    val o = (y * f.width + x) * 3
+    ((f.rgb(o) & 0xff), (f.rgb(o + 1) & 0xff), (f.rgb(o + 2) & 0xff))
+  }
+
+  test("composited GIF: partial frames accumulate on the canvas (disposal 1)") {
+    import VideoCodec.GifFrame
+    // frame 0: full 8x6 canvas of solid base color; frames 1..3: a 2x2
+    // rect marching right along the top, disposal 1 (leave) — frame k
+    // shows ALL rects 1..k
+    val base = (10, 20, 30)
+    val rect = (200, 100, 50)
+    val frames = GifFrame(0, 0, 8, 6, 1, (_, _) => base) +:
+      (1 to 3).map(k => GifFrame(2 * (k - 1), 0, 2, 2, 1, (_, _) => rect))
+    val bytes = VideoCodec.encodeGifAnimComposited(8, 6, frames)
+    val clip = VideoCodec.decodeSampled(bytes, 1).get
+    assert(clip.totalFrames == 4 && clip.container == "gif")
+    // frame 3 (index 3): rects at x∈[0,6) y∈[0,2) all painted; below them base
+    val last = clip.frames(3)
+    for (x <- 0 until 6) assert(rgbAt(last, x, 0) == rect, s"x=$x")
+    assert(rgbAt(last, 6, 0) == base)
+    assert(rgbAt(last, 0, 3) == base)
+    // frame 1 shows only the FIRST rect
+    val f1 = clip.frames(1)
+    assert(rgbAt(f1, 0, 0) == rect && rgbAt(f1, 2, 0) == base)
+    // sampling at stride 3 still reflects full history (frames 0 and 3)
+    val s3 = VideoCodec.decodeSampled(bytes, 3).get
+    assert(s3.sampledIdx.sameElements(Array(0, 3)))
+    assert(s3.frames(1).rgb.sameElements(last.rgb))
+  }
+
+  test("composited GIF: disposal 2 restores the region to the background color") {
+    import VideoCodec.GifFrame
+    val bgc = (7, 14, 21)
+    val base = (100, 110, 120)
+    val flash = (250, 10, 10)
+    val frames = Seq(
+      GifFrame(0, 0, 6, 4, 1, (_, _) => base),
+      GifFrame(1, 1, 2, 2, 2, (_, _) => flash), // disposal 2: restore bg AFTER display
+      GifFrame(4, 0, 1, 1, 1, (_, _) => flash))
+    val bytes = VideoCodec.encodeGifAnimComposited(6, 4, frames,
+      bgIndexColor = Some(bgc))
+    val clip = VideoCodec.decodeSampled(bytes, 1).get
+    // while displayed (frame 1), the flash rect is visible over base
+    assert(rgbAt(clip.frames(1), 1, 1) == flash)
+    assert(rgbAt(clip.frames(1), 0, 0) == base)
+    // frame 2: the flashed region was restored to the BACKGROUND color
+    // (not to base — disposal 2 is restore-to-background, not undo)
+    assert(rgbAt(clip.frames(2), 1, 1) == bgc)
+    assert(rgbAt(clip.frames(2), 0, 0) == base)
+    assert(rgbAt(clip.frames(2), 4, 0) == flash)
+  }
+
+  test("composited GIF: disposal 3 restores the pre-frame canvas") {
+    import VideoCodec.GifFrame
+    val base = (60, 70, 80)
+    val flash = (240, 240, 0)
+    val frames = Seq(
+      GifFrame(0, 0, 5, 5, 1, (_, _) => base),
+      GifFrame(0, 0, 5, 5, 3, (_, _) => flash), // full-canvas flash, then undo
+      GifFrame(0, 0, 1, 1, 1, (_, _) => flash))
+    val bytes = VideoCodec.encodeGifAnimComposited(5, 5, frames)
+    val clip = VideoCodec.decodeSampled(bytes, 1).get
+    assert(rgbAt(clip.frames(1), 2, 2) == flash) // displayed
+    assert(rgbAt(clip.frames(2), 2, 2) == base) // restored, then 1px painted
+    assert(rgbAt(clip.frames(2), 0, 0) == flash)
+  }
+
+  test("composited GIF: transparent pixels leave the canvas showing through") {
+    import VideoCodec.GifFrame
+    val base = (0, 128, 0)
+    val ring = (200, 0, 200)
+    val hole = (1, 2, 3) // sentinel, not otherwise used
+    val frames = Seq(
+      GifFrame(0, 0, 6, 6, 1, (_, _) => base),
+      // 3x3 overlay whose center pixel is transparent
+      GifFrame(1, 1, 3, 3, 1,
+        (x, y) => if (x == 1 && y == 1) hole else ring,
+        transparentColor = Some(hole)))
+    val bytes = VideoCodec.encodeGifAnimComposited(6, 6, frames)
+    val clip = VideoCodec.decodeSampled(bytes, 1).get
+    assert(rgbAt(clip.frames(1), 1, 1) == ring)
+    assert(rgbAt(clip.frames(1), 2, 2) == base, "transparent center must show the canvas")
+    assert(rgbAt(clip.frames(1), 3, 3) == ring)
   }
 
   test("compressed, truncated, and hostile payloads decode to None, never throw") {
