@@ -15,12 +15,15 @@ package graft.operators
   * (Annex G) accumulate coefficients across the scan script — DC
   * first/refinement, per-band AC first/refinement with EOB-run coding
   * and successive-approximation correction bits — and reconstruct at
-  * EOI. ARITHMETIC-coded sequential frames (SOF9) decode for real
-  * since round 16: the QM coder ([[QmCoder]]) plus the F.2.4 DC/AC
-  * statistical model, DAC conditioning parsed with spec defaults.
-  * Hierarchical frames and progressive-arithmetic (SOF10) return
-  * None → the labeled stub path, like any other malformed/unsupported
-  * payload: corrupt media in a 100 TB crawl is data, not an error.
+  * EOI. ARITHMETIC-coded frames decode for real since round 16 — both
+  * sequential (SOF9: the QM coder [[QmCoder]] plus the F.2.4 DC/AC
+  * statistical model, DAC conditioning parsed with spec defaults) and
+  * PROGRESSIVE (SOF10: the G.2 scan-script models — DC first/refine,
+  * AC first/refine with previous-stage EOB gating), both
+  * ImageIO-cross-checked. Hierarchical/differential/lossless frames
+  * return None → the labeled stub path, like any other
+  * malformed/unsupported payload: corrupt media in a 100 TB crawl is
+  * data, not an error.
   *
   * Encoder (fixtures + round-trip tests): baseline sequential, quant
   * tables all-ones, grayscale or 4:4:4 YCbCr, double-precision FDCT.
@@ -261,10 +264,12 @@ object JpegCodec {
               } else corrupt()
               p += 2
             }
-          case 0xc0 | 0xc1 | 0xc2 | 0xc9 => // SOF0/1 seq. / SOF2 prog. / SOF9 arith seq.
+          case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca =>
+            // SOF0/1 sequential, SOF2 progressive (Huffman),
+            // SOF9 sequential / SOF10 progressive (arithmetic)
             if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
-            progressive = m == 0xc2
-            arithCoded = m == 0xc9
+            progressive = m == 0xc2 || m == 0xca
+            arithCoded = m == 0xc9 || m == 0xca
             height = be16(b, seg + 1)
             width = be16(b, seg + 3)
             val nf = b(seg + 5) & 0xff
@@ -277,11 +282,11 @@ object JpegCodec {
               if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4) corrupt()
               comp
             }
-          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xca | 0xcb |
+          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xcb |
               0xcd | 0xce | 0xcf =>
-            // hierarchical frames and PROGRESSIVE-arithmetic (SOF10)
-            // remain the labeled stub path; sequential arithmetic (SOF9)
-            // is real since round 16
+            // hierarchical / differential / lossless frames remain the
+            // labeled stub path; both arithmetic DCT frame types (SOF9
+            // sequential, SOF10 progressive) are real since round 16
             return None
           case 0xda => // SOS → entropy-coded data follows
             if (comps == null) corrupt()
@@ -307,7 +312,7 @@ object JpegCodec {
             val se = b(p + 1) & 0xff
             val ah = (b(p + 2) & 0xff) >> 4
             val al = b(p + 2) & 0x0f
-            if (arithCoded) {
+            if (arithCoded && !progressive) {
               if (ns != comps.length) return None // interleaved only, like SOF0
               decodeArithScan(b, segEnd, comps, width, height, qt,
                 restartInterval, dcL, dcU, acK)
@@ -321,8 +326,13 @@ object JpegCodec {
               return Some(toRgb(comps, width, height))
             } else {
               if (comps(0).coefs == null) allocProgressive(comps, width, height)
-              i = processProgressiveScan(b, segEnd, comps, scanComps,
-                ss, se, ah, al, restartInterval, width, height)
+              i =
+                if (arithCoded)
+                  processProgressiveArithScan(b, segEnd, comps, scanComps,
+                    ss, se, ah, al, restartInterval, width, height,
+                    dcL, dcU, acK)
+                else processProgressiveScan(b, segEnd, comps, scanComps,
+                  ss, se, ah, al, restartInterval, width, height)
               progScans += 1
             }
           case _ => // APPn / COM / anything else with a length field
@@ -634,6 +644,197 @@ object JpegCodec {
       }
       mcu += 1
     }
+  }
+
+  /** One PROGRESSIVE scan with ARITHMETIC entropy coding (SOF10, T.81
+    * §G.2): same coefficient-accumulation discipline as the Huffman
+    * progressive path ([[processProgressiveScan]]), with the QM coder
+    * driving the four scan kinds —
+    *  - DC first: the sequential DC model on point-transformed values
+    *    (prediction in the `>> Al` domain, result `<< Al`);
+    *  - DC refinement: ONE equiprobable decision per block (the
+    *    appended magnitude bit);
+    *  - AC first: the sequential AC decision tree over [Ss, Se], values
+    *    `<< Al` (no cross-block EOB runs — arithmetic EOB is a per-
+    *    position decision, unlike Huffman's EOBn);
+    *  - AC refinement: per position, an EOB decision only beyond the
+    *    previous stage's end-of-block index; correction bits for
+    *    known-nonzero coefficients in the position's third bin; newly
+    *    significant coefficients via the run bin + equiprobable sign.
+    * Statistics areas reset per scan and at restart markers (F.1.4.1).
+    * Returns the byte position after the scan's entropy data. */
+  private def processProgressiveArithScan(b: Array[Byte], start: Int,
+      frameComps: Array[Component], scanComps: Array[Component],
+      ss: Int, se: Int, ah: Int, al: Int, ri: Int,
+      width: Int, height: Int,
+      dcL: Array[Int], dcU: Array[Int], acK: Array[Int]): Int = {
+    if (se > 63 || ss > se || al > 13) corrupt()
+    if (ss == 0 && se != 0) corrupt()
+    if (ss > 0 && scanComps.length != 1) corrupt()
+    val dcStats = Array.fill(4)(new QmCoder.Stats(64))
+    val acStats = Array.fill(4)(new QmCoder.Stats(256))
+    val dcCtx = new Array[Int](scanComps.length)
+    var dec = new QmCoder.Decoder(b, start, b.length)
+
+    def restartReset(): Unit = {
+      dec = new QmCoder.Decoder(b, dec.posAfterRestart(), b.length)
+      dcStats.foreach(_.reset())
+      acStats.foreach(_.reset())
+      java.util.Arrays.fill(dcCtx, 0)
+      scanComps.foreach(_.pred = 0)
+    }
+
+    def decodeDcFirst(c: Component, ci: Int, base: Int): Unit = {
+      val st = dcStats(c.dcSel)
+      val ctx = dcCtx(ci)
+      if (dec.decode(st, ctx) != 0) {
+        val sign = dec.decode(st, ctx + 1)
+        var m = dec.decode(st, ctx + 2 + sign)
+        var xst = ctx + 2 + sign
+        if (m != 0) {
+          xst = 20
+          while (dec.decode(st, xst) != 0) {
+            m <<= 1
+            if (m == 0x8000) corrupt()
+            xst += 1
+          }
+        }
+        dcCtx(ci) =
+          if (m < ((1 << dcL(c.dcSel)) >> 1)) 0
+          else if (m > ((1 << dcU(c.dcSel)) >> 1)) 12 + sign * 4
+          else 4 + sign * 4
+        var v = m
+        var mm = m
+        val mb = xst + 14
+        while ({ mm >>= 1; mm != 0 }) if (dec.decode(st, mb) != 0) v |= mm
+        v += 1
+        c.pred += (if (sign != 0) -v else v)
+      } else dcCtx(ci) = 0
+      c.coefs(base) = c.pred << al
+    }
+
+    def decodeAcFirstBlock(c: Component, base: Int): Unit = {
+      val ast = acStats(c.acSel)
+      var k = ss
+      var done = false
+      while (!done && k <= se) {
+        var s3 = 3 * (k - 1)
+        if (dec.decode(ast, s3) != 0) done = true // EOB
+        else {
+          while (dec.decode(ast, s3 + 1) == 0) {
+            s3 += 3
+            k += 1
+            if (k > se) corrupt()
+          }
+          val sign = dec.decodeFixed()
+          var st2 = s3 + 2
+          var m = dec.decode(ast, st2)
+          if (m != 0 && dec.decode(ast, st2) != 0) {
+            m = 2
+            st2 = if (k <= acK(c.acSel)) 189 else 217
+            while (dec.decode(ast, st2) != 0) {
+              m <<= 1
+              if (m == 0x8000) corrupt()
+              st2 += 1
+            }
+          }
+          var v = m
+          var mm = m
+          val mb = st2 + 14
+          while ({ mm >>= 1; mm != 0 }) if (dec.decode(ast, mb) != 0) v |= mm
+          v += 1
+          c.coefs(base + ZigZag(k)) = (if (sign != 0) -v else v) << al
+          k += 1
+        }
+      }
+    }
+
+    def decodeAcRefineBlock(c: Component, base: Int): Unit = {
+      val ast = acStats(c.acSel)
+      val p1 = 1 << al
+      val m1 = -p1
+      // previous-stage end-of-block: last position with nonzero history
+      var kex = se
+      while (kex >= 1 && c.coefs(base + ZigZag(kex)) == 0) kex -= 1
+      var k = ss
+      var ended = false
+      while (!ended && k <= se) {
+        var s3 = 3 * (k - 1)
+        if (k > kex && dec.decode(ast, s3) != 0) ended = true // EOB
+        else {
+          var placed = false
+          while (!placed) {
+            val z = base + ZigZag(k)
+            val cur = c.coefs(z)
+            if (cur != 0) { // correction bit for a known coefficient
+              if (dec.decode(ast, s3 + 2) != 0)
+                c.coefs(z) = cur + (if (cur < 0) m1 else p1)
+              placed = true
+            } else if (dec.decode(ast, s3 + 1) != 0) { // newly significant
+              c.coefs(z) = if (dec.decodeFixed() != 0) m1 else p1
+              placed = true
+            } else {
+              s3 += 3
+              k += 1
+              if (k > se) corrupt()
+            }
+          }
+          k += 1
+        }
+      }
+    }
+
+    if (ss == 0 && scanComps.length > 1) {
+      // interleaved DC scan over the MCU grid
+      val hmax = frameComps.map(_.h).max
+      val vmax = frameComps.map(_.v).max
+      val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+      scanComps.foreach(_.pred = 0)
+      var mcu = 0
+      val n = mcusX * mcusY
+      while (mcu < n) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) restartReset()
+        val my = mcu / mcusX
+        val mx = mcu % mcusX
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              val base = ((my * c.v + by) * c.bw + (mx * c.h + bx)) * 64
+              if (ah == 0) decodeDcFirst(c, ci, base)
+              else if (dec.decodeFixed() != 0) c.coefs(base) |= 1 << al
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // single-component scan over the component's own block grid
+      val c = scanComps(0)
+      c.pred = 0
+      var blk = 0
+      val n = c.nbw * c.nbh
+      while (blk < n) {
+        if (ri > 0 && blk > 0 && blk % ri == 0) restartReset()
+        val base = ((blk / c.nbw) * c.bw + (blk % c.nbw)) * 64
+        if (ss == 0) {
+          if (ah == 0) decodeDcFirst(c, 0, base)
+          else if (dec.decodeFixed() != 0) c.coefs(base) |= 1 << al
+        } else {
+          if (ah == 0) decodeAcFirstBlock(c, base)
+          else decodeAcRefineBlock(c, base)
+        }
+        blk += 1
+      }
+    }
+    dec.endPos
   }
 
   /** Interleaved sequential scan with ARITHMETIC entropy coding (SOF9,
@@ -1078,15 +1279,172 @@ object JpegCodec {
     out.toByteArray
   }
 
-  /** One block through the T.81 F.1.4 arithmetic statistical model —
-    * the exact encoding mirror of [[decodeArithScan]]'s per-block walk
-    * (default conditioning L=0, U=1, Kx=5, the DAC values the header
-    * spells). */
-  private def encodeBlockArith(enc: QmCoder.Encoder, dcSt: QmCoder.Stats,
-      acSt: QmCoder.Stats, coef: Array[Int], preds: Array[Int],
-      dcCtxs: Array[Int], ci: Int): Unit = {
-    // ---- DC diff
-    val diff = coef(0) - preds(ci)
+  /** Real PROGRESSIVE arithmetic JPEG bytes (SOF10): the standard
+    * four-kind scan script — interleaved DC first (Al=1), per-component
+    * AC first over the full band (Al=1), DC refinement (Ah=1, one
+    * equiprobable bit per block), per-component AC refinement — each
+    * scan its own QM entropy segment with fresh statistics. Point
+    * transforms follow G.1.2.1: DC is an arithmetic right shift (floor;
+    * the refinement ORs the true bit back — two's complement makes the
+    * pair exact), AC is division truncating toward zero (the refinement
+    * ADDS toward larger magnitude). Same quantized coefficients as the
+    * other spellings, so decoded pixels must be bit-identical to the
+    * SOF0/SOF9 decode of the same image — the cross-check the spec
+    * pins, alongside ImageIO's independent SOF10 decode. */
+  def encodeJpegProgArith(width: Int, height: Int,
+      px: (Int, Int) => (Int, Int, Int), gray: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
+      width.toLong * height <= MaxPixels)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wbe16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    marker(0xd8)
+    marker(0xe0); wbe16(16)
+    out.write("JFIF".getBytes("US-ASCII")); w8(0)
+    w8(1); w8(1); w8(0); wbe16(1); wbe16(1); w8(0); w8(0)
+    marker(0xdb); wbe16(2 + 1 + 64)
+    w8(0)
+    var k = 0
+    while (k < 64) { w8(1); k += 1 }
+    val nf = if (gray) 1 else 3
+    marker(0xca); wbe16(8 + 3 * nf) // SOF10
+    w8(8); wbe16(height); wbe16(width); w8(nf)
+    var c = 0
+    while (c < nf) { w8(c + 1); w8(0x11); w8(0); c += 1 }
+    marker(0xcc); wbe16(2 + 4) // DAC, spec defaults spelled out
+    w8(0x00); w8(0x10)
+    w8(0x10); w8(5)
+
+    // planes → per-block quantized coefficients, MCU raster order
+    val planes = Array.fill(nf)(new Array[Double](width * height))
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = px(x, y)
+        val o = y * width + x
+        if (gray)
+          planes(0)(o) = ((299 * (r & 0xff) + 587 * (g & 0xff) +
+            114 * (b & 0xff)) / 1000).toDouble - 128.0
+        else {
+          planes(0)(o) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+          planes(1)(o) = -0.168736 * r - 0.331264 * g + 0.5 * b
+          planes(2)(o) = 0.5 * r - 0.418688 * g - 0.081312 * b
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val mcusX = (width + 7) / 8
+    val mcusY = (height + 7) / 8
+    val blocks = Array.fill(nf, mcusX * mcusY)(new Array[Int](64))
+    val blockBuf = new Array[Double](64)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        c = 0
+        while (c < nf) {
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 8) {
+              val sx = math.min(mx * 8 + bx, width - 1)
+              val sy = math.min(my * 8 + by, height - 1)
+              blockBuf(by * 8 + bx) = planes(c)(sy * width + sx)
+              bx += 1
+            }
+            by += 1
+          }
+          fdctQuant(blockBuf, blocks(c)(my * mcusX + mx))
+          c += 1
+        }
+        mx += 1
+      }
+      my += 1
+    }
+
+    def sos(compIds: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda); wbe16(6 + 2 * compIds.length)
+      w8(compIds.length)
+      compIds.foreach { id => w8(id); w8(0x00) }
+      w8(ss); w8(se); w8((ah << 4) | al)
+    }
+    val nBlocks = mcusX * mcusY
+
+    // --- scan 1: DC first, interleaved, Al = 1 (values floor-shifted)
+    sos((1 to nf), 0, 0, 0, 1)
+    locally {
+      val enc = new QmCoder.Encoder(out)
+      val dcSt = new QmCoder.Stats(64)
+      val dcCtxs = new Array[Int](nf)
+      val preds = new Array[Int](nf)
+      var blk = 0
+      while (blk < nBlocks) {
+        c = 0
+        while (c < nf) {
+          val v = blocks(c)(blk)(0) >> 1
+          encodeDcDiffArith(enc, dcSt, dcCtxs, c, v - preds(c))
+          preds(c) = v
+          c += 1
+        }
+        blk += 1
+      }
+      enc.finish()
+    }
+    // --- scans 2..: AC first per component, Al = 1 (truncating divide)
+    c = 0
+    while (c < nf) {
+      sos(Seq(c + 1), 1, 63, 0, 1)
+      val enc = new QmCoder.Encoder(out)
+      val acSt = new QmCoder.Stats(256)
+      var blk = 0
+      while (blk < nBlocks) {
+        val coefs = blocks(c)(blk)
+        encodeAcTree(enc, acSt, kk => coefs(ZigZag(kk)) / 2, 1, 63)
+        blk += 1
+      }
+      enc.finish()
+      c += 1
+    }
+    // --- DC refinement: the true bit 0, equiprobable
+    sos((1 to nf), 0, 0, 1, 0)
+    locally {
+      val enc = new QmCoder.Encoder(out)
+      var blk = 0
+      while (blk < nBlocks) {
+        c = 0
+        while (c < nf) {
+          enc.encodeFixed(blocks(c)(blk)(0) & 1)
+          c += 1
+        }
+        blk += 1
+      }
+      enc.finish()
+    }
+    // --- AC refinement per component, Ah = 1, Al = 0
+    c = 0
+    while (c < nf) {
+      sos(Seq(c + 1), 1, 63, 1, 0)
+      val enc = new QmCoder.Encoder(out)
+      val acSt = new QmCoder.Stats(256)
+      var blk = 0
+      while (blk < nBlocks) {
+        encodeAcRefineBlock(enc, acSt, blocks(c)(blk), al = 0)
+        blk += 1
+      }
+      enc.finish()
+      c += 1
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** DC diff through the F.1.4 conditioning model (shared by the
+    * sequential block encoder and the progressive DC-first scan). */
+  private def encodeDcDiffArith(enc: QmCoder.Encoder, dcSt: QmCoder.Stats,
+      dcCtxs: Array[Int], ci: Int, diff: Int): Unit = {
     val ctx = dcCtxs(ci)
     if (diff == 0) {
       enc.encode(dcSt, ctx, 0)
@@ -1109,28 +1467,86 @@ object JpegCodec {
         while ({ mm >>= 1; mm != 0 })
           enc.encode(dcSt, mb, if ((v & mm) != 0) 1 else 0)
       }
-      // default L=0 / U=1 classification, identical to the decode side
-      dcCtxs(ci) =
+      dcCtxs(ci) = // default L=0 / U=1 classification
         if (m < ((1 << 0) >> 1)) 0
         else if (m > ((1 << 1) >> 1)) 12 + sign * 4
         else 4 + sign * 4
     }
-    // ---- AC run/EOB tree
-    var kend = 63
-    while (kend >= 1 && coef(ZigZag(kend)) == 0) kend -= 1
+  }
+
+  /** One block of the G.2 AC successive-approximation refinement scan:
+    * EOB decisions only beyond the previous stage's end-of-block,
+    * correction bits for already-significant coefficients, run bin +
+    * equiprobable sign for newly significant ones. */
+  private def encodeAcRefineBlock(enc: QmCoder.Encoder, acSt: QmCoder.Stats,
+      coefs: Array[Int], al: Int): Unit = {
+    val ah = al + 1
+    var ke = 63
+    while (ke >= 1 && (math.abs(coefs(ZigZag(ke))) >> al) == 0) ke -= 1
+    var kex = 63
+    while (kex >= 1 && (math.abs(coefs(ZigZag(kex))) >> ah) == 0) kex -= 1
     var k = 1
-    while (k <= 63) {
+    var ended = false
+    while (!ended && k <= 63) {
       var s3 = 3 * (k - 1)
-      if (k > kend) { enc.encode(acSt, s3, 1); k = 64 } // EOB
+      if (k > kex && k > ke) { enc.encode(acSt, s3, 1); ended = true } // EOB
+      else {
+        if (k > kex) enc.encode(acSt, s3, 0)
+        var placed = false
+        while (!placed) {
+          val cv = coefs(ZigZag(k))
+          val magNow = math.abs(cv) >> al
+          if ((math.abs(cv) >> ah) != 0) { // known coefficient: its Al bit
+            enc.encode(acSt, s3 + 2, magNow & 1)
+            placed = true
+          } else if (magNow != 0) { // newly significant (magnitude is 1)
+            enc.encode(acSt, s3 + 1, 1)
+            enc.encodeFixed(if (cv < 0) 1 else 0)
+            placed = true
+          } else {
+            enc.encode(acSt, s3 + 1, 0)
+            s3 += 3
+            k += 1
+          }
+        }
+        k += 1
+      }
+    }
+  }
+
+  /** One block through the T.81 F.1.4 arithmetic statistical model —
+    * the exact encoding mirror of [[decodeArithScan]]'s per-block walk
+    * (default conditioning L=0, U=1, Kx=5, the DAC values the header
+    * spells). */
+  private def encodeBlockArith(enc: QmCoder.Encoder, dcSt: QmCoder.Stats,
+      acSt: QmCoder.Stats, coef: Array[Int], preds: Array[Int],
+      dcCtxs: Array[Int], ci: Int): Unit = {
+    // ---- DC diff through the conditioning model
+    encodeDcDiffArith(enc, dcSt, dcCtxs, ci, coef(0) - preds(ci))
+    // ---- AC run/EOB tree over the full band
+    encodeAcTree(enc, acSt, k => coef(ZigZag(k)), 1, 63)
+  }
+
+  /** The F.1.4 AC decision tree over band [kFrom, kTo] of `get`
+    * (zigzag-position-indexed values): shared by the sequential block
+    * encoder and the progressive AC-first scans. */
+  private def encodeAcTree(enc: QmCoder.Encoder, acSt: QmCoder.Stats,
+      get: Int => Int, kFrom: Int, kTo: Int): Unit = {
+    var kend = kTo
+    while (kend >= kFrom && get(kend) == 0) kend -= 1
+    var k = kFrom
+    while (k <= kTo) {
+      var s3 = 3 * (k - 1)
+      if (k > kend) { enc.encode(acSt, s3, 1); k = kTo + 1 } // EOB
       else {
         enc.encode(acSt, s3, 0)
-        while (coef(ZigZag(k)) == 0) {
+        while (get(k) == 0) {
           enc.encode(acSt, s3 + 1, 0)
           s3 += 3
           k += 1
         }
         enc.encode(acSt, s3 + 1, 1)
-        val cv = coef(ZigZag(k))
+        val cv = get(k)
         val sign = if (cv < 0) 1 else 0
         enc.encodeFixed(sign)
         val v = math.abs(cv) - 1

@@ -18,9 +18,9 @@ import org.apache.spark.sql.types._
   * transforms — [[WebpCodec]]), and the features — exact channel sums,
   * means, luma histogram — come from those pixels (q47 oracle-checks the
   * sums bit-for-bit; JPEG covers baseline, progressive, AND — since
-  * round 16 — arithmetic-coded sequential (SOF9, [[QmCoder]]) scan
-  * scripts). Transform-codec payloads our from-scratch decoders don't
-  * cover (lossy-VP8 WebP, progressive-arithmetic JPEG) fall back to the
+  * round 16 — BOTH arithmetic-coded frame types, sequential SOF9 and
+  * progressive SOF10 ([[QmCoder]])). Transform-codec payloads our
+  * from-scratch decoders don't cover (lossy-VP8 WebP) fall back to the
   * clearly-labeled deterministic [[StubCodec]], flagged per-row in the
   * `decoder` column; swap it for a real codec on a cluster that has one.
   *

@@ -522,19 +522,20 @@ object Llm {
   // the closed-form oracle still holds bit-for-bit. WebP rows are REAL
   // too ([[graft.operators.WebpCodec]], from-scratch VP8L: canonical
   // prefix codes + transforms — lossless, so the gradient sums hold
-  // bit-for-bit). The SIXTH rotation slot (round 16) is ARITHMETIC-coded
-  // JPEG (SOF9): the same DC-only closed form entropy-coded through the
-  // from-scratch T.81 QM coder ([[graft.operators.QmCoder]]) — the
-  // "lossy codec" class decoding for real, ImageIO-cross-checked. All
-  // six container formats decode real pixels; the per-row `decoder`
-  // label stays (q70/q71 exercise the stub contract).
+  // bit-for-bit). Rotation slots 6 and 7 (round 16) are the ARITHMETIC
+  // JPEG frame types — sequential SOF9 and progressive SOF10 — the same
+  // DC-only closed form entropy-coded through the from-scratch T.81 QM
+  // coder ([[graft.operators.QmCoder]]): the "lossy codec" class
+  // decoding for real, both ImageIO-cross-checked. All seven rotation
+  // slots decode real pixels; the per-row `decoder` label stays
+  // (q70/q71 exercise the stub contract).
   def q47(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // fixture build is a one-time layout step (fingerprint-cached, like
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v5-six-formats") {
+      version = "v6-seven-formats") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -546,30 +547,33 @@ object Llm {
         // oracle's closed-form sums are exact
         def px(x: Int, y: Int): (Int, Int, Int) =
           (br + 3 * x + 5 * y, bg + 5 * x + 2 * y, bb + 2 * x + 7 * y)
-        // real sequential JPEG, Huffman (SOF0) or ARITHMETIC (SOF9)
-        // entropy: (1+id%3)×(1+id%2) MCUs of grayscale, constant per 8×8
-        // block (v = br + 7·bx + 11·by ≤ 121 < 255) → DC-only blocks,
-        // bit-exact round-trip, closed-form sums
-        def jpeg(arith: Boolean): Array[Byte] =
-          graft.operators.JpegCodec.encodeJpeg(
-            8 * (1 + (id % 3).toInt), 8 * (1 + (id % 2).toInt),
-            (x, y) => {
-              val v = br + 7 * (x / 8) + 11 * (y / 8)
-              (v, v, v)
-            }, gray = true, arith = arith)
-        val bytes = (id % 6).toInt match {
+        // real JPEG in THREE entropy spellings — Huffman SOF0, sequential
+        // arithmetic SOF9, progressive arithmetic SOF10 — all the same
+        // (1+id%3)×(1+id%2) MCUs of grayscale, constant per 8×8 block
+        // (v = br + 7·bx + 11·by ≤ 121 < 255) → DC-only blocks,
+        // bit-exact round-trip, one closed form for all three
+        val jw = 8 * (1 + (id % 3).toInt)
+        val jh = 8 * (1 + (id % 2).toInt)
+        val jpx = (x: Int, y: Int) => {
+          val v = br + 7 * (x / 8) + 11 * (y / 8)
+          (v, v, v)
+        }
+        val bytes = (id % 7).toInt match {
           case 0 => graft.operators.PixelCodec.encodeBmp(w, h, px,
-            topDown = (id / 6) % 2 == 1)
+            topDown = (id / 7) % 2 == 1)
           case 1 => graft.operators.PixelCodec.encodePng(w, h, px,
-            withAlpha = (id / 6) % 2 == 1)
+            withAlpha = (id / 7) % 2 == 1)
           case 2 => graft.operators.PixelCodec.encodeGif(w, h, px)
-          case 3 => jpeg(arith = false)
+          case 3 => graft.operators.JpegCodec.encodeJpeg(jw, jh, jpx, gray = true)
           case 4 => // real lossless WebP (VP8L): bit-exact gradient
             graft.operators.WebpCodec.encodeWebpLossless(w, h, px,
-              subtractGreen = (id / 6) % 2 == 1)
-          case _ => // sixth format (round 16): arithmetic-coded JPEG,
-            // the QM coder + T.81 F.1.4 model decoding for real
-            jpeg(arith = true)
+              subtractGreen = (id / 7) % 2 == 1)
+          case 5 => // round 16: sequential ARITHMETIC JPEG (QM coder)
+            graft.operators.JpegCodec.encodeJpeg(jw, jh, jpx, gray = true,
+              arith = true)
+          case _ => // round 16: PROGRESSIVE arithmetic JPEG (SOF10)
+            graft.operators.JpegCodec.encodeJpegProgArith(jw, jh, jpx,
+              gray = true)
         }
         (id, bytes)
       }.toDF("doc_id", "content")
@@ -647,7 +651,7 @@ object Llm {
       |         1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
       |         doc_id % 97 AS br, (doc_id * 3) % 89 AS bg,
       |         (doc_id * 7) % 83 AS bb,
-      |         CAST(doc_id % 6 AS INT) AS fmt
+      |         CAST(doc_id % 7 AS INT) AS fmt
       |  FROM documents),
       |j AS (
       |  SELECT doc_id,
@@ -659,13 +663,13 @@ object Llm {
       |            WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
       |            WHEN 3 THEN 'jpeg' WHEN 4 THEN 'webp'
       |            ELSE 'jpeg' END AS decoder,
-      |       CAST(CASE WHEN g.fmt IN (3, 5) THEN 8*wb ELSE w END AS BIGINT) AS width,
-      |       CAST(CASE WHEN g.fmt IN (3, 5) THEN 8*hb ELSE h END AS BIGINT) AS height,
-      |       CAST(CASE WHEN g.fmt IN (3, 5) THEN jsum ELSE
+      |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN 8*wb ELSE w END AS BIGINT) AS width,
+      |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN 8*hb ELSE h END AS BIGINT) AS height,
+      |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum ELSE
       |         w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END AS BIGINT) AS sum_r,
-      |       CAST(CASE WHEN g.fmt IN (3, 5) THEN jsum ELSE
+      |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum ELSE
       |         w*h*bg + 5*(h*w*(w-1)//2) + 2*(w*h*(h-1)//2) END AS BIGINT) AS sum_g,
-      |       CAST(CASE WHEN g.fmt IN (3, 5) THEN jsum ELSE
+      |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum ELSE
       |         w*h*bb + 2*(h*w*(w-1)//2) + 7*(w*h*(h-1)//2) END AS BIGINT) AS sum_b
       |FROM g JOIN j ON g.doc_id = j.doc_id ORDER BY g.doc_id""".stripMargin
 

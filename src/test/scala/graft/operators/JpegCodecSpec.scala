@@ -294,6 +294,59 @@ class JpegCodecSpec extends SparkFunSuite {
       "color SOF9: ImageIO and JpegCodec disagree beyond convert rounding")
   }
 
+  test("progressive arithmetic (SOF10): decodes IDENTICALLY to the sequential spellings") {
+    // the four-kind scan script (DC first/refine, AC first/refine)
+    // accumulates the SAME quantized coefficients the sequential
+    // spellings code in one pass — decoded pixels must be bit-identical;
+    // any error in a point transform (DC floor-shift+OR vs AC
+    // truncate+add), the refinement EOB gating, or a context offset
+    // scrambles the stream from that decision on
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 4) {
+      val w = 8 + rnd.nextInt(33)
+      val h = 8 + rnd.nextInt(17)
+      val px0 = Array.tabulate(h, w)((_, _) =>
+        (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      def px(x: Int, y: Int): (Int, Int, Int) =
+        if (trial % 2 == 0) px0(y)(x)
+        else ((x * 5 + y * 3) % 256, (x * 2 + y * 7) % 256, (x * 11 + y) % 256)
+      for (gray <- Seq(true, false)) {
+        val seqBytes = JpegCodec.encodeJpeg(w, h, px, gray = gray)
+        val prog = JpegCodec.encodeJpegProgArith(w, h, px, gray = gray)
+        val sj = decode(seqBytes).get
+        val pj = decode(prog).get
+        assert(pj.width == sj.width && pj.height == sj.height)
+        assert(java.util.Arrays.equals(pj.rgb, sj.rgb),
+          s"trial $trial gray=$gray ${w}x$h: SOF10 pixels != sequential pixels")
+      }
+    }
+  }
+
+  test("progressive arithmetic (SOF10): block-constant exact; ImageIO agrees") {
+    val bytes = JpegCodec.encodeJpegProgArith(24, 16, blockGray(40), gray = true)
+    val img = decode(bytes).get
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val want = 40 + 7 * (x / 8) + 11 * (y / 8)
+      assert((img.rgb((y * 24 + x) * 3) & 0xff) == want, s"($x,$y)")
+    }
+    // INDEPENDENT conformance: the JDK reader decodes SOF10 (probed) —
+    // bit-for-bit on the DC-only fixture, IDCT-rounding tolerance on
+    // arbitrary content, pinning the whole progressive scan script and
+    // both point transforms against an implementation we didn't write
+    assert(java.util.Arrays.equals(imageIoRgb(bytes), img.rgb),
+      "ImageIO disagrees with our SOF10 decode on the DC-only fixture")
+    val rnd = new scala.util.Random(31337)
+    val w = 20; val h = 12
+    val px = Array.fill(h, w)((rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+    val g = JpegCodec.encodeJpegProgArith(w, h,
+      (x, y) => { val v = px(y)(x)._1; (v, v, v) }, gray = true)
+    assert(maxAbsDiff(imageIoRgb(g), decode(g).get.rgb) <= 2,
+      "gray SOF10: ImageIO and JpegCodec disagree beyond IDCT rounding")
+    val cb = JpegCodec.encodeJpegProgArith(w, h, (x, y) => px(y)(x))
+    assert(maxAbsDiff(imageIoRgb(cb), decode(cb).get.rgb) <= 3,
+      "color SOF10: ImageIO and JpegCodec disagree beyond convert rounding")
+  }
+
   test("arithmetic (SOF9): adaptive coder beats our fixed-table Huffman on size") {
     // not a gate on ratio — just evidence the statistics actually adapt
     // (a broken estimation state machine still round-trips but bloats)
