@@ -6,12 +6,17 @@ package graft.operators
   *  - Container: `RIFF....WAVE` with a chunk walk (`fmt `, `data`;
   *    anything else — `LIST`, `fact`, `cue ` — skipped by its declared
   *    size, word-aligned as the RIFF spec requires).
-  *  - Formats: PCM (wFormatTag 1) and WAVE_FORMAT_EXTENSIBLE (0xFFFE)
-  *    wrapping PCM; 8-bit unsigned and 16/24/32-bit signed
-  *    little-endian samples, any channel count ≥ 1, any sample
-  *    rate ≥ 1. (Sums stay exact in Long at any width; sums-of-squares
-  *    are exact for ≤16-bit always and for wider samples at realistic
-  *    levels/lengths.)
+  *  - Formats: PCM (wFormatTag 1), IEEE-float PCM (wFormatTag 3,
+  *    32-bit — round 16), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping
+  *    either; 8-bit unsigned and 16/24/32-bit signed little-endian
+  *    integer samples, any channel count ≥ 1, any sample rate ≥ 1.
+  *    (Sums stay exact in Long at any width; sums-of-squares are exact
+  *    for ≤16-bit always and for wider samples at realistic
+  *    levels/lengths.) Float samples are mapped to 24-bit ints
+  *    deterministically (`rint(f · 8388607)`, clamped) so the
+  *    integer-feature contract — and the closed-form oracles built on
+  *    it — hold for float payloads too; fixtures whose floats are
+  *    exact k/8388607 lattice points round-trip bit-exactly.
   *  - Output: interleaved samples normalized to signed ints (8-bit is
   *    stored unsigned in WAV: 128 maps to 0), so features are exact
   *    integers an oracle can recompute in closed form.
@@ -28,9 +33,10 @@ package graft.operators
 object AudioCodec {
 
   /** Decoded clip: interleaved signed samples, frame-major
-    * (frame 0 ch 0, frame 0 ch 1, …). */
+    * (frame 0 ch 0, frame 0 ch 1, …). `float` marks an IEEE-float
+    * source (samples then carry the deterministic 24-bit mapping). */
   final case class PcmClip(sampleRate: Int, channels: Int, bitsPerSample: Int,
-      samples: Array[Int]) {
+      samples: Array[Int], float: Boolean = false) {
     def frames: Int = samples.length / channels
   }
 
@@ -83,9 +89,12 @@ object AudioCodec {
       }
       i += 8 + size + (size & 1) // RIFF chunks are word-aligned
     }
-    if (fmtTag != 1 || dataOff < 0) return None // non-PCM → stub path
-    if (channels < 1 || sampleRate < 1 ||
-        (bits != 8 && bits != 16 && bits != 24 && bits != 32)) return None
+    val isFloat = fmtTag == 3
+    if ((fmtTag != 1 && !isFloat) || dataOff < 0) return None // else → stub path
+    if (channels < 1 || sampleRate < 1) return None
+    if (isFloat && bits != 32) return None // float64 stays on the stub path
+    if (!isFloat &&
+        bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
     val bytesPer = bits / 8
     val n = dataLen / (bytesPer * channels) * channels // whole frames only
     if (n <= 0 || n > MaxSamples) return None
@@ -93,17 +102,29 @@ object AudioCodec {
     var s = 0
     while (s < n) {
       val o = dataOff + s * bytesPer
-      out(s) = bits match {
-        case 8 => (b(o) & 0xff) - 128 // WAV 8-bit is unsigned
-        case 16 => le16(b, o).toShort.toInt
-        case 24 => // sign-extend the 24-bit LE value
-          (((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
-            ((b(o + 2) & 0xff) << 16)) << 8) >> 8
-        case _ => le32(b, o)
-      }
+      out(s) =
+        if (isFloat) {
+          // [-1,1] float → 24-bit int, round-half-even, clamped: keeps
+          // the exact-integer feature contract for float payloads
+          val f = java.lang.Float.intBitsToFloat(le32(b, o))
+          if (f.isNaN) 0
+          else {
+            val v = math.rint(f.toDouble * 8388607.0)
+            if (v > 8388607.0) 8388607
+            else if (v < -8388608.0) -8388608
+            else v.toInt
+          }
+        } else bits match {
+          case 8 => (b(o) & 0xff) - 128 // WAV 8-bit is unsigned
+          case 16 => le16(b, o).toShort.toInt
+          case 24 => // sign-extend the 24-bit LE value
+            (((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+              ((b(o + 2) & 0xff) << 16)) << 8) >> 8
+          case _ => le32(b, o)
+        }
       s += 1
     }
-    Some(PcmClip(sampleRate, channels, bits, out))
+    Some(PcmClip(sampleRate, channels, bits, out, float = isFloat))
   }
 
   /** Exact per-channel sums / sums-of-squares + clip peak. */
@@ -125,6 +146,38 @@ object AudioCodec {
   }
 
   // ------------------------------------------------------------- encode
+
+  /** Real IEEE-float RIFF/WAVE bytes (fixtures + round-trip tests):
+    * canonical header with wFormatTag 3, 32-bit LE floats, interleaved
+    * frame-major. Floats on the k/8388607 lattice round-trip to exact
+    * ints through [[decode]]'s deterministic mapping. */
+  def encodeWavFloat(sampleRate: Int, channels: Int,
+      samples: Array[Float]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && samples.length % channels == 0)
+    val dataLen = samples.length * 4
+    val b = new Array[Byte](44 + dataLen)
+    def wtag(i: Int, t: String): Unit = {
+      var k = 0
+      while (k < 4) { b(i + k) = t.charAt(k).toByte; k += 1 }
+    }
+    def wle16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    def wle32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    wtag(0, "RIFF"); wle32(4, 36 + dataLen); wtag(8, "WAVE")
+    wtag(12, "fmt "); wle32(16, 16)
+    wle16(20, 3); wle16(22, channels); wle32(24, sampleRate) // IEEE float
+    wle32(28, sampleRate * channels * 4)
+    wle16(32, channels * 4); wle16(34, 32)
+    wtag(36, "data"); wle32(40, dataLen)
+    var s = 0
+    while (s < samples.length) {
+      wle32(44 + s * 4, java.lang.Float.floatToIntBits(samples(s)))
+      s += 1
+    }
+    b
+  }
 
   /** Real RIFF/WAVE bytes (fixtures + round-trip tests): canonical
     * 44-byte header, 16-bit signed LE PCM, interleaved `samples`

@@ -123,7 +123,7 @@ object Multimodal {
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
-    // "pcm8"|"pcm16"|"pcm24"|"pcm32" = real decode; "stub" = fallback
+    // "pcm8"|"pcm16"|"pcm24"|"pcm32"|"pcmf32" = real decode; "stub" = fallback
     StructField("decoder", StringType, nullable = false),
     StructField("sample_rate", LongType, nullable = true),
     StructField("channels", LongType, nullable = true),
@@ -160,7 +160,8 @@ object Multimodal {
           case Some(clip) =>
             val f = AudioCodec.features(clip)
             val frames = clip.frames.toLong
-            Row(id, bytes.length.toLong, s"pcm${clip.bitsPerSample}",
+            Row(id, bytes.length.toLong,
+              if (clip.float) "pcmf32" else s"pcm${clip.bitsPerSample}",
               clip.sampleRate.toLong, clip.channels.toLong, frames,
               frames * 1000000L / clip.sampleRate, f.peakAbs.toLong,
               f.sumByChannel(0),

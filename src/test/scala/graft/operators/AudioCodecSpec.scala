@@ -114,6 +114,77 @@ class AudioCodecSpec extends SparkFunSuite {
       s"24-bit decode mismatch: ${clip.samples.toSeq} vs ${vals.toSeq}")
   }
 
+  test("IEEE-float WAV (wFormatTag 3) decodes via the deterministic 24-bit mapping") {
+    // lattice floats k/8388607 map back to exactly k
+    val ks = Array(-8388608, -8388607, -4194303, -1, 0, 1, 2, 999999, 8388607)
+    val fs = ks.map(k => (k.toDouble / 8388607.0).toFloat)
+    val clip = AudioCodec.decode(AudioCodec.encodeWavFloat(16000, 1, fs)).get
+    assert(clip.float && clip.bitsPerSample == 32 && clip.channels == 1)
+    // float32 has 24 significand bits, so |k| ≤ 2^23 lattice points are
+    // represented exactly and rint recovers k bit-for-bit (-8388608
+    // clamps up from the float below -1.0)
+    assert(clip.samples.sameElements(ks), clip.samples.mkString(","))
+    // NaN → 0; out-of-range clamps to the rail
+    val weird = AudioCodec.decode(AudioCodec.encodeWavFloat(16000, 1,
+      Array(Float.NaN, 1.5f, -2f, Float.PositiveInfinity))).get
+    assert(weird.samples.sameElements(Array(0, 8388607, -8388608, 8388607)))
+    // stereo interleave preserved
+    val st = AudioCodec.decode(AudioCodec.encodeWavFloat(8000, 2,
+      Array(0.5f, -0.5f, 0.25f, -0.25f))).get
+    assert(st.channels == 2 && st.frames == 2)
+    assert(st.samples(0) > 0 && st.samples(1) < 0 &&
+      st.samples(0) == -st.samples(1))
+    // the feature path stays exact-integer over the mapped samples
+    val f = AudioCodec.features(clip)
+    assert(f.sumByChannel(0) == ks.map(_.toLong).sum && f.peakAbs == 8388608)
+  }
+
+  test("javax.sound reads our float WAV; EXTENSIBLE-wrapped float decodes; float64 stubs") {
+    val fs = Array.tabulate(32)(i => ((i - 16) / 20.0).toFloat)
+    val bytes = AudioCodec.encodeWavFloat(22050, 1, fs)
+    // independent read: the JDK's WAV parser agrees on the format geometry
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    assert(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT)
+    assert(fmt.getSampleRate.toInt == 22050 && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 32)
+    val raw = in.readAllBytes()
+    assert(raw.length == fs.length * 4)
+    // and the payload bytes are bit-identical to what we encoded
+    (0 until fs.length).foreach { i =>
+      val bits = (raw(4 * i) & 0xff) | ((raw(4 * i + 1) & 0xff) << 8) |
+        ((raw(4 * i + 2) & 0xff) << 16) | ((raw(4 * i + 3) & 0xff) << 24)
+      assert(java.lang.Float.intBitsToFloat(bits) == fs(i))
+    }
+    // EXTENSIBLE (0xFFFE) wrapping the float subformat decodes too
+    val ext = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w8(v: Int): Unit = out.write(v & 0xff)
+      def wle16(v: Int): Unit = { w8(v); w8(v >> 8) }
+      def wle32(v: Int): Unit = { w8(v); w8(v >> 8); w8(v >> 16); w8(v >> 24) }
+      def wtag(t: String): Unit = t.foreach(c => w8(c))
+      val dataLen = fs.length * 4
+      wtag("RIFF"); wle32(4 + (8 + 40) + (8 + dataLen)); wtag("WAVE")
+      wtag("fmt "); wle32(40)
+      wle16(0xfffe); wle16(1); wle32(22050)
+      wle32(22050 * 4); wle16(4); wle16(32)
+      wle16(22); wle16(32); wle32(0x4) // cbSize, validBits, channel mask
+      wle16(3); wle16(0) // SubFormat GUID head: IEEE float
+      wle32(0x00100000); wle32(0xaa000080); wle32(0x719b3800)
+      wtag("data"); wle32(dataLen)
+      fs.foreach(f => wle32(java.lang.Float.floatToIntBits(f)))
+      out.toByteArray
+    }
+    val eclip = AudioCodec.decode(ext).get
+    assert(eclip.float && eclip.samples.sameElements(
+      AudioCodec.decode(bytes).get.samples))
+    // float64 (bits=64 under tag 3) is NOT decoded — labeled stub path
+    val f64 = bytes.clone()
+    f64(34) = 64.toByte // bits field
+    assert(AudioCodec.decode(f64) == None)
+  }
+
   test("features: exact per-channel sums, sums-of-squares, peak") {
     val n = 120
     val clip = AudioCodec.decode(AudioCodec.encodeWav(8000, 2, ramp(n, 2))).get
