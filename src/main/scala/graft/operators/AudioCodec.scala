@@ -7,8 +7,11 @@ package graft.operators
   *    anything else — `LIST`, `fact`, `cue ` — skipped by its declared
   *    size, word-aligned as the RIFF spec requires).
   *  - Formats: PCM (wFormatTag 1), IEEE-float PCM (wFormatTag 3,
-  *    32-bit — round 16), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping
-  *    either; 8-bit unsigned and 16/24/32-bit signed little-endian
+  *    32-bit — round 16), G.711 A-law/µ-law (wFormatTags 6/7 — round
+  *    16, expanded to 16-bit linear by the standard segmented
+  *    formulas, JDK-codec-cross-checked on every code point), and
+  *    WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping any of them;
+  *    8-bit unsigned and 16/24/32-bit signed little-endian
   *    integer samples, any channel count ≥ 1, any sample rate ≥ 1.
   *    (Sums stay exact in Long at any width; sums-of-squares are exact
   *    for ≤16-bit always and for wider samples at realistic
@@ -33,11 +36,14 @@ package graft.operators
 object AudioCodec {
 
   /** Decoded clip: interleaved signed samples, frame-major
-    * (frame 0 ch 0, frame 0 ch 1, …). `float` marks an IEEE-float
-    * source (samples then carry the deterministic 24-bit mapping). */
+    * (frame 0 ch 0, frame 0 ch 1, …). `encoding` names the source
+    * sample coding — "pcm" integers, "float" (samples carry the
+    * deterministic 24-bit mapping), or the G.711 companded pair
+    * "ulaw"/"alaw" (samples are the standard 16-bit linear expansion). */
   final case class PcmClip(sampleRate: Int, channels: Int, bitsPerSample: Int,
-      samples: Array[Int], float: Boolean = false) {
+      samples: Array[Int], encoding: String = "pcm") {
     def frames: Int = samples.length / channels
+    def float: Boolean = encoding == "float"
   }
 
   /** Exact integer features per channel + clip-level counts. Sums and
@@ -89,12 +95,20 @@ object AudioCodec {
       }
       i += 8 + size + (size & 1) // RIFF chunks are word-aligned
     }
-    val isFloat = fmtTag == 3
-    if ((fmtTag != 1 && !isFloat) || dataOff < 0) return None // else → stub path
-    if (channels < 1 || sampleRate < 1) return None
-    if (isFloat && bits != 32) return None // float64 stays on the stub path
-    if (!isFloat &&
-        bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
+    val encoding = fmtTag match {
+      case 1 => "pcm"
+      case 3 => "float"
+      case 6 => "alaw"
+      case 7 => "ulaw"
+      case _ => return None // compressed codecs → stub path
+    }
+    if (dataOff < 0 || channels < 1 || sampleRate < 1) return None
+    encoding match {
+      case "float" => if (bits != 32) return None // float64 → stub path
+      case "alaw" | "ulaw" => if (bits != 8) return None
+      case _ =>
+        if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
+    }
     val bytesPer = bits / 8
     val n = dataLen / (bytesPer * channels) * channels // whole frames only
     if (n <= 0 || n > MaxSamples) return None
@@ -102,8 +116,8 @@ object AudioCodec {
     var s = 0
     while (s < n) {
       val o = dataOff + s * bytesPer
-      out(s) =
-        if (isFloat) {
+      out(s) = encoding match {
+        case "float" =>
           // [-1,1] float → 24-bit int, round-half-even, clamped: keeps
           // the exact-integer feature contract for float payloads
           val f = java.lang.Float.intBitsToFloat(le32(b, o))
@@ -114,7 +128,9 @@ object AudioCodec {
             else if (v < -8388608.0) -8388608
             else v.toInt
           }
-        } else bits match {
+        case "ulaw" => ulawToLinear(b(o) & 0xff)
+        case "alaw" => alawToLinear(b(o) & 0xff)
+        case _ => bits match {
           case 8 => (b(o) & 0xff) - 128 // WAV 8-bit is unsigned
           case 16 => le16(b, o).toShort.toInt
           case 24 => // sign-extend the 24-bit LE value
@@ -122,9 +138,32 @@ object AudioCodec {
               ((b(o + 2) & 0xff) << 16)) << 8) >> 8
           case _ => le32(b, o)
         }
+      }
       s += 1
     }
-    Some(PcmClip(sampleRate, channels, bits, out, float = isFloat))
+    Some(PcmClip(sampleRate, channels, bits, out, encoding))
+  }
+
+  /** ITU-T G.711 µ-law byte → 16-bit linear (the standard segmented
+    * expansion: 4-bit mantissa biased by 0x84, 3-bit segment shift,
+    * complemented on the wire). Pure formula — no table to transcribe;
+    * javax.sound's own ULAW→PCM16 converter must agree byte-for-byte. */
+  private[operators] def ulawToLinear(u0: Int): Int = {
+    val u = ~u0 & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law byte → 16-bit linear (even-bit-inverted wire
+    * form, 4-bit mantissa, segmented; sign bit SET means positive). */
+  private[operators] def alawToLinear(a0: Int): Int = {
+    val a = a0 ^ 0x55
+    var t = (a & 0x0f) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
   }
 
   /** Exact per-channel sums / sums-of-squares + clip peak. */

@@ -161,7 +161,11 @@ object Multimodal {
             val f = AudioCodec.features(clip)
             val frames = clip.frames.toLong
             Row(id, bytes.length.toLong,
-              if (clip.float) "pcmf32" else s"pcm${clip.bitsPerSample}",
+              clip.encoding match {
+                case "float" => "pcmf32"
+                case "ulaw" | "alaw" => clip.encoding
+                case _ => s"pcm${clip.bitsPerSample}"
+              },
               clip.sampleRate.toLong, clip.channels.toLong, frames,
               frames * 1000000L / clip.sampleRate, f.peakAbs.toLong,
               f.sumByChannel(0),

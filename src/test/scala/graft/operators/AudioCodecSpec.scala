@@ -185,6 +185,48 @@ class AudioCodecSpec extends SparkFunSuite {
     assert(AudioCodec.decode(f64) == None)
   }
 
+  test("G.711 mu-law and A-law decode to the standard expansion; JDK codec agrees on all 256 codes") {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    def compandedWav(fmtTag: Int, codes: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w8(v: Int): Unit = out.write(v & 0xff)
+      def wle16(v: Int): Unit = { w8(v); w8(v >> 8) }
+      def wle32(v: Int): Unit = { w8(v); w8(v >> 8); w8(v >> 16); w8(v >> 24) }
+      def wtag(t: String): Unit = t.foreach(c => w8(c))
+      wtag("RIFF"); wle32(4 + (8 + 16) + (8 + codes.length)); wtag("WAVE")
+      wtag("fmt "); wle32(16)
+      wle16(fmtTag); wle16(1); wle32(8000)
+      wle32(8000); wle16(1); wle16(8)
+      wtag("data"); wle32(codes.length)
+      out.write(codes)
+      out.toByteArray
+    }
+    val codes = Array.tabulate[Byte](256)(_.toByte) // every code point
+    for ((enc, fmtTag, jenc) <- Seq(
+        ("ulaw", 7, AudioFormat.Encoding.ULAW),
+        ("alaw", 6, AudioFormat.Encoding.ALAW))) {
+      val bytes = compandedWav(fmtTag, codes)
+      val clip = AudioCodec.decode(bytes).get
+      assert(clip.encoding == enc && clip.frames == 256 && clip.channels == 1)
+      // independent expansion: the JDK's own G.711 codec converts the
+      // same stream to 16-bit linear — must agree on ALL 256 code points
+      val src = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(src.getFormat.getEncoding == jenc, s"$enc tag not recognized")
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val conv = AudioSystem.getAudioInputStream(target, src)
+      val raw = conv.readAllBytes()
+      val js = Array.tabulate(raw.length / 2)(i =>
+        ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt)
+      assert(js.length == 256, s"$enc: JDK emitted ${js.length} samples")
+      (0 until 256).foreach { i =>
+        assert(clip.samples(i) == js(i),
+          s"$enc code $i: ours ${clip.samples(i)} vs JDK ${js(i)}")
+      }
+    }
+  }
+
   test("features: exact per-channel sums, sums-of-squares, peak") {
     val n = 120
     val clip = AudioCodec.decode(AudioCodec.encodeWav(8000, 2, ramp(n, 2))).get
