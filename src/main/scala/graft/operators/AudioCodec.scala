@@ -218,6 +218,29 @@ object AudioCodec {
     b
   }
 
+  /** Real G.711 µ-law RIFF/WAVE bytes (fixtures): canonical header
+    * with wFormatTag 7, mono, the 8-bit code stream as given. */
+  def encodeWavUlaw(sampleRate: Int, codes: Array[Byte]): Array[Byte] = {
+    require(sampleRate > 0 && codes.nonEmpty)
+    val b = new Array[Byte](44 + codes.length)
+    def wtag(i: Int, t: String): Unit = {
+      var k = 0
+      while (k < 4) { b(i + k) = t.charAt(k).toByte; k += 1 }
+    }
+    def wle16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    def wle32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    wtag(0, "RIFF"); wle32(4, 36 + codes.length); wtag(8, "WAVE")
+    wtag(12, "fmt "); wle32(16, 16)
+    wle16(20, 7); wle16(22, 1); wle32(24, sampleRate) // µ-law, mono
+    wle32(28, sampleRate); wle16(32, 1); wle16(34, 8)
+    wtag(36, "data"); wle32(40, codes.length)
+    System.arraycopy(codes, 0, b, 44, codes.length)
+    b
+  }
+
   /** Real RIFF/WAVE bytes (fixtures + round-trip tests): canonical
     * 44-byte header, 16-bit signed LE PCM, interleaved `samples`
     * (frame-major, length must be a multiple of `channels`). */

@@ -779,9 +779,12 @@ object Llm {
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------------- q70
   // Audio modality, same discipline as q47: REAL decode, no codec
-  // library. The fixture writer emits actual RIFF/WAVE 16-bit PCM bytes
-  // (deterministic per-channel ramps keyed by doc_id; every 7th doc is a
-  // non-audio payload exercising the labeled stub fallback), and
+  // library. The fixture writer emits actual RIFF/WAVE bytes in THREE
+  // sample codings — 16-bit PCM, IEEE-float32 (round 16; identical
+  // sample values on the k/8388607 lattice), and G.711 µ-law (round 16;
+  // deterministic code bytes, oracle recomputes the standard expansion)
+  // — deterministic per-channel ramps keyed by doc_id; every 7th doc is
+  // a non-audio payload exercising the labeled stub fallback — and
   // [[graft.operators.AudioCodec]] walks the container and reconstructs
   // the interleaved samples. Features are exact integers — per-channel
   // sums and sums-of-squares, peak, integer-exact duration_us (sample
@@ -794,7 +797,8 @@ object Llm {
     // one-time fixture build, fingerprint-cached (see q47): the timed
     // query measures DECODE, not the fixture write
     val out70 = Tables.scratch(s"media70/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val mediaDir = Tables.cachedDerived(dir, out70, version = "v1-wav") {
+    val mediaDir = Tables.cachedDerived(dir, out70,
+      version = "v2-wav-float-g711") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val bytes =
@@ -805,14 +809,30 @@ object Llm {
             val rate = (id % 3).toInt match {
               case 0 => 8000; case 1 => 10000; case _ => 20000
             }
-            val ch = 1 + (id % 2).toInt
             val n = 100 + (id % 50).toInt
-            // channel c, frame i → -500 + 7c + 13i (monotone ramp: peak
-            // and the channel sums have closed forms; |v| ≤ 1444 « 2^15)
-            val samples = Array.tabulate(n * ch) { k =>
-              -500 + 7 * (k % ch) + 13 * (k / ch)
+            (id % 5).toInt match {
+              case 2 =>
+                // round 16: G.711 µ-law, mono — deterministic code bytes,
+                // the oracle recomputes the standard segmented expansion
+                // per sample
+                graft.operators.AudioCodec.encodeWavUlaw(rate,
+                  Array.tabulate[Byte](n)(i => ((id + 7L * i) % 256).toByte))
+              case slot =>
+                val ch = 1 + (id % 2).toInt
+                // channel c, frame i → -500 + 7c + 13i (monotone ramp:
+                // peak and the channel sums have closed forms;
+                // |v| ≤ 1444 « 2^15)
+                val samples = Array.tabulate(n * ch) { k =>
+                  -500 + 7 * (k % ch) + 13 * (k / ch)
+                }
+                if (slot == 1)
+                  // round 16: IEEE-float container, SAME sample values —
+                  // k/8388607 lattice floats decode back to exactly k,
+                  // so every closed form is shared with the pcm16 rows
+                  graft.operators.AudioCodec.encodeWavFloat(rate, ch,
+                    samples.map(v => (v.toDouble / 8388607.0).toFloat))
+                else graft.operators.AudioCodec.encodeWav(rate, ch, samples)
             }
-            graft.operators.AudioCodec.encodeWav(rate, ch, samples)
           }
         (id, bytes)
       }.toDF("doc_id", "content")
@@ -830,36 +850,65 @@ object Llm {
   // sum_c  = n·a_c + 13·S1,            S1 = n(n-1)/2
   // ssq_c  = n·a_c² + 26·a_c·S1 + 169·S2,  S2 = (n-1)n(2n-1)/6
   // peak   = max(|a_0|, a_{ch-1} + 13(n-1)) = max(500, 7(ch-1)+13(n-1)-500)
+  // µ-law rows (slot 2): the oracle recomputes the G.711 expansion per
+  // sample — uu = 255−code, t = ((uu%16)·8+132)·2^((uu/16)%8), value =
+  // sign(uu≥128) ? 132−t : t−132 — and aggregates; a decoder whose
+  // segment/bias/sign arithmetic is off by anything hash-mismatches.
+  // Float rows (slot 1) share every closed form with pcm16: the fixture
+  // floats are k/8388607 lattice points that decode back to exactly k.
   val q70Sql =
     """WITH g AS (
       |  SELECT doc_id,
       |         CASE CAST(doc_id % 3 AS INT)
       |           WHEN 0 THEN 8000 WHEN 1 THEN 10000 ELSE 20000 END AS rate,
-      |         1 + doc_id % 2 AS ch, 100 + doc_id % 50 AS n
+      |         CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 1 + doc_id % 2 END AS ch,
+      |         100 + doc_id % 50 AS n,
+      |         doc_id % 7 = 3 AS stub,
+      |         CAST(doc_id % 5 AS INT) AS slot
       |  FROM documents),
       |f AS (
-      |  SELECT doc_id, rate, ch, n,
-      |         n*(n-1)//2 AS s1, (n-1)*n*(2*n-1)//6 AS s2,
-      |         doc_id % 7 = 3 AS stub
-      |  FROM g)
-      |SELECT doc_id,
-      |       CASE WHEN stub THEN 'stub' ELSE 'pcm16' END AS decoder,
+      |  SELECT doc_id, rate, ch, n, stub, slot,
+      |         n*(n-1)//2 AS s1, (n-1)*n*(2*n-1)//6 AS s2
+      |  FROM g),
+      |uv AS (
+      |  SELECT doc_id, 255 - CAST((doc_id + 7*i) % 256 AS INT) AS uu
+      |  FROM (SELECT doc_id, unnest(range(CAST(n AS BIGINT))) AS i
+      |        FROM f WHERE NOT stub AND slot = 2)),
+      |ue AS (
+      |  SELECT doc_id,
+      |         CASE WHEN uu >= 128
+      |           THEN 132 - ((uu % 16)*8 + 132) * CAST(POW(2, (uu // 16) % 8) AS BIGINT)
+      |           ELSE ((uu % 16)*8 + 132) * CAST(POW(2, (uu // 16) % 8) AS BIGINT) - 132
+      |         END AS v
+      |  FROM uv),
+      |ua AS (
+      |  SELECT doc_id, sum(v) AS us, sum(v*v) AS usq, max(abs(v)) AS upk
+      |  FROM ue GROUP BY 1)
+      |SELECT f.doc_id,
+      |       CASE WHEN stub THEN 'stub'
+      |            WHEN slot = 1 THEN 'pcmf32'
+      |            WHEN slot = 2 THEN 'ulaw'
+      |            ELSE 'pcm16' END AS decoder,
       |       CAST(CASE WHEN stub THEN NULL ELSE rate END AS BIGINT) AS sample_rate,
       |       CAST(CASE WHEN stub THEN NULL ELSE ch END AS BIGINT) AS channels,
       |       CAST(CASE WHEN stub THEN NULL ELSE n END AS BIGINT) AS n_frames,
       |       CAST(CASE WHEN stub THEN NULL
       |            ELSE n * (1000000 // rate) END AS BIGINT) AS duration_us,
       |       CAST(CASE WHEN stub THEN NULL
+      |            WHEN slot = 2 THEN upk
       |            ELSE GREATEST(500, 7*(ch-1) + 13*(n-1) - 500) END AS BIGINT) AS peak_abs,
       |       CAST(CASE WHEN stub THEN NULL
+      |            WHEN slot = 2 THEN us
       |            ELSE n*(-500) + 13*s1 END AS BIGINT) AS sum_ch0,
       |       CAST(CASE WHEN stub OR ch = 1 THEN NULL
       |            ELSE n*(-493) + 13*s1 END AS BIGINT) AS sum_ch1,
       |       CAST(CASE WHEN stub THEN NULL
+      |            WHEN slot = 2 THEN usq
       |            ELSE n*250000 + 26*(-500)*s1 + 169*s2 END AS BIGINT) AS sumsq_ch0,
       |       CAST(CASE WHEN stub OR ch = 1 THEN NULL
       |            ELSE n*243049 + 26*(-493)*s1 + 169*s2 END AS BIGINT) AS sumsq_ch1
-      |FROM f ORDER BY doc_id""".stripMargin
+      |FROM f LEFT JOIN ua ON f.doc_id = ua.doc_id
+      |ORDER BY f.doc_id""".stripMargin
 
   // ------------------------------------------------------------- q71
   // Video modality: REAL container decode + first-class frame SAMPLING,
