@@ -193,10 +193,11 @@ object ScaleProbe {
       Thread.sleep(1000)
       shuffleWrite.set(0L)
       System.err.println(s"[probe] $q @ $dir")
-      // queries with a fingerprint-cached one-time fixture build (q47's
-      // media set) get one untimed invocation first, so the measured run
-      // scales the DECODE path, not the fixture write
-      if (q == "q47_multimodal_features") {
+      // queries with a fingerprint-cached one-time fixture build (the
+      // media sets) get one untimed invocation first, so the measured
+      // run scales the DECODE path, not the fixture write — the same
+      // amortization Bench's warmup block applies
+      if (q == "q47_multimodal_features" || q == "q71_video_frames") {
         SparkEntry.queries(q)(spark, dir).count()
         sweep()
         Thread.sleep(1000)
