@@ -187,7 +187,8 @@ object JpegCodec {
     var height = 0
     var restartInterval = 0
     var progressive = false
-    var arithCoded = false // SOF9: sequential DCT, arithmetic entropy
+    var arithCoded = false // SOF9/SOF10: arithmetic entropy
+    var lossless = false // SOF3: predictive lossless
     var progScans = 0 // progressive scans successfully processed
     // DAC conditioning (T.81 B.2.4.3): DC bounds L/U and AC Kx per
     // table id; spec defaults when no DAC segment appears
@@ -264,12 +265,14 @@ object JpegCodec {
               } else corrupt()
               p += 2
             }
-          case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca =>
+          case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca | 0xc3 =>
             // SOF0/1 sequential, SOF2 progressive (Huffman),
-            // SOF9 sequential / SOF10 progressive (arithmetic)
+            // SOF9 sequential / SOF10 progressive (arithmetic),
+            // SOF3 lossless (predictive, Huffman)
             if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
             progressive = m == 0xc2 || m == 0xca
             arithCoded = m == 0xc9 || m == 0xca
+            lossless = m == 0xc3
             height = be16(b, seg + 1)
             width = be16(b, seg + 3)
             val nf = b(seg + 5) & 0xff
@@ -282,11 +285,12 @@ object JpegCodec {
               if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4) corrupt()
               comp
             }
-          case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xcb |
+          case 0xc5 | 0xc6 | 0xc7 | 0xcb |
               0xcd | 0xce | 0xcf =>
-            // hierarchical / differential / lossless frames remain the
-            // labeled stub path; both arithmetic DCT frame types (SOF9
-            // sequential, SOF10 progressive) are real since round 16
+            // hierarchical / differential frames and ARITHMETIC lossless
+            // (SOF11) remain the labeled stub path; Huffman lossless
+            // (SOF3) and both arithmetic DCT frame types (SOF9/SOF10)
+            // are real since round 16
             return None
           case 0xda => // SOS → entropy-coded data follows
             if (comps == null) corrupt()
@@ -303,7 +307,7 @@ object JpegCodec {
               comp.acSel = tt & 0x0f
               comp.dcTable = dcTables(tt >> 4)
               comp.acTable = acTables(tt & 0x0f)
-              if (qt(comp.tq) == null) corrupt()
+              if (!lossless && qt(comp.tq) == null) corrupt() // SOF3 has no DQT
               scanComps(c) = comp
               p += 2
               c += 1
@@ -312,6 +316,16 @@ object JpegCodec {
             val se = b(p + 1) & 0xff
             val ah = (b(p + 2) & 0xff) >> 4
             val al = b(p + 2) & 0x0f
+            if (lossless) {
+              // SOF3: grayscale only (3-component lossless carries no
+              // implied color transform — out of scope), 1×1 sampling,
+              // Ss selects the predictor, Al is the point transform
+              if (comps.length != 1 || ns != 1 ||
+                  comps(0).h != 1 || comps(0).v != 1) return None
+              decodeLosslessScan(b, segEnd, comps(0), width, height,
+                ss, al, restartInterval)
+              return Some(toRgb(comps, width, height))
+            }
             if (arithCoded && !progressive) {
               if (ns != comps.length) return None // interleaved only, like SOF0
               decodeArithScan(b, segEnd, comps, width, height, qt,
@@ -980,6 +994,69 @@ object JpegCodec {
     }
   }
 
+  /** LOSSLESS scan (SOF3, T.81 Annex H): no DCT, no quantization — each
+    * sample is a Huffman-coded (category + EXTEND, SSSS 16 → 32768)
+    * prediction DIFFERENCE against one of the seven spatial predictors
+    * selected by the scan header's Ss field, modulo 2^16. Prediction
+    * defaults per H.1.2.1: 2^(P−1−Pt) for the very first sample, the
+    * left neighbor across the first line, the sample above at the start
+    * of each later line. Reconstruction is bit-exact by construction.
+    * Restart-interval lossless streams take the stub path (rare; the
+    * predictor re-initialization contract isn't exercised by anything
+    * we can cross-check). */
+  private def decodeLosslessScan(b: Array[Byte], start: Int, c: Component,
+      width: Int, height: Int, predSel: Int, pt: Int, ri: Int): Unit = {
+    if (ri > 0) corrupt()
+    if (predSel < 1 || predSel > 7 || pt > 7) corrupt()
+    if (c.dcTable == null) corrupt()
+    c.pw = width
+    c.ph = height
+    c.plane = new Array[Byte](width * height)
+    val r = new BitReader(b, start)
+    val defaultPred = 1 << (7 - pt) // 2^(P−1−Pt), P = 8
+    val prev = new Array[Int](width) // previous line, reconstructed
+    val cur = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val s = r.decode(c.dcTable)
+        if (s > 16) corrupt()
+        val diff =
+          if (s == 0) 0
+          else if (s == 16) 32768 // T.81 lossless special category
+          else extend(r.receive(s), s)
+        val pred =
+          if (y == 0 && x == 0) defaultPred
+          else if (y == 0) cur(x - 1) // first line: predictor 1
+          else if (x == 0) prev(0) // line start: predictor 2 (above)
+          else {
+            val a = cur(x - 1)
+            val bb = prev(x)
+            val cc = prev(x - 1)
+            predSel match {
+              case 1 => a
+              case 2 => bb
+              case 3 => cc
+              case 4 => a + bb - cc
+              case 5 => a + ((bb - cc) >> 1)
+              case 6 => bb + ((a - cc) >> 1)
+              case _ => (a + bb) >> 1
+            }
+          }
+        cur(x) = (pred + diff) & 0xffff
+        x += 1
+      }
+      var i2 = 0
+      while (i2 < width) {
+        c.plane(y * width + i2) = ((cur(i2) << pt) & 0xff).toByte
+        i2 += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, width)
+      y += 1
+    }
+  }
+
   /** Double-precision separable IDCT (T.81 A.3.3), +128 level shift,
     * clamp to 0..255. `coef` natural order, `out` row-major samples. */
   private def idct(coef: Array[Int], out: Array[Int]): Unit = {
@@ -1276,6 +1353,76 @@ object JpegCodec {
     }
     if (arith) enc.finish() else w.finish()
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Real LOSSLESS JPEG bytes (SOF3, T.81 Annex H): grayscale 8-bit,
+    * spatial `predictor` 1–7 (scan header Ss), point transform 0, no
+    * DQT (lossless has no quantization). Bit-exact round-trip for ANY
+    * input — the only JPEG spelling whose decode reproduces arbitrary
+    * pixels exactly, which is what lets q47's lossless slot carry the
+    * full per-pixel gradient closed form like the PNG/BMP slots. */
+  def encodeJpegLossless(width: Int, height: Int, gray: (Int, Int) => Int,
+      predictor: Int = 4): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
+      width.toLong * height <= MaxPixels && predictor >= 1 && predictor <= 7)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wbe16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    marker(0xd8)
+    marker(0xe0); wbe16(16)
+    out.write("JFIF".getBytes("US-ASCII")); w8(0)
+    w8(1); w8(1); w8(0); wbe16(1); wbe16(1); w8(0); w8(0)
+    marker(0xc3); wbe16(8 + 3) // SOF3, one component
+    w8(8); wbe16(height); wbe16(width); w8(1)
+    w8(1); w8(0x11); w8(0)
+    marker(0xc4); wbe16(2 + 17 + EncDc.vals.length) // DHT, DC class
+    w8(0x00)
+    var l = 1
+    while (l <= 16) { w8(EncDc.bits(l)); l += 1 }
+    EncDc.vals.foreach(w8)
+    marker(0xda); wbe16(8) // SOS
+    w8(1); w8(1); w8(0x00)
+    w8(predictor); w8(0); w8(0) // Ss = predictor, Se = 0, Ah/Al = 0
+    val w = new BitWriter(out)
+    val prev = new Array[Int](width)
+    val cur = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = gray(x, y) & 0xff
+        val pred =
+          if (y == 0 && x == 0) 128 // 2^(P−1)
+          else if (y == 0) cur(x - 1)
+          else if (x == 0) prev(0)
+          else {
+            val a = cur(x - 1)
+            val bb = prev(x)
+            val cc = prev(x - 1)
+            predictor match {
+              case 1 => a
+              case 2 => bb
+              case 3 => cc
+              case 4 => a + bb - cc
+              case 5 => a + ((bb - cc) >> 1)
+              case 6 => bb + ((a - cc) >> 1)
+              case _ => (a + bb) >> 1
+            }
+          }
+        val diff = v - pred // |diff| ≤ 510 → category ≤ 10, inside EncDc
+        val s = sizeCat(diff)
+        w.put(EncDc.codes(s), EncDc.lens(s))
+        if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        cur(x) = v
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, width)
+      y += 1
+    }
+    w.finish()
+    marker(0xd9)
     out.toByteArray
   }
 

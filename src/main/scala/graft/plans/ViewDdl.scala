@@ -49,12 +49,24 @@ object ViewDdl {
     ("""(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?""" +
       """((?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+)){2,})\s*;?\s*$""").r
 
-  private def parts(ident: String): Seq[String] =
-    ident.split('.').toSeq.map(_.trim).map { seg =>
+  // split on dots OUTSIDE backquotes (a quoted segment may contain `.`),
+  // then strip the quotes per segment
+  private def parts(ident: String): Seq[String] = {
+    val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    ident.foreach {
+      case '`' => inQuote = !inQuote; cur += '`'
+      case '.' if !inQuote => segs += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    segs += cur.result()
+    segs.toSeq.map(_.trim).map { seg =>
       if (seg.startsWith("`") && seg.endsWith("`") && seg.length >= 2)
         seg.substring(1, seg.length - 1)
       else seg
     }
+  }
 
   private def quote(s: String): String = "'" + s.replace("'", "''") + "'"
 

@@ -526,16 +526,18 @@ object Llm {
   // JPEG frame types — sequential SOF9 and progressive SOF10 — the same
   // DC-only closed form entropy-coded through the from-scratch T.81 QM
   // coder ([[graft.operators.QmCoder]]): the "lossy codec" class
-  // decoding for real, both ImageIO-cross-checked. All seven rotation
-  // slots decode real pixels; the per-row `decoder` label stays
-  // (q70/q71 exercise the stub contract).
+  // decoding for real, both ImageIO-cross-checked. Slot 8 is LOSSLESS
+  // JPEG (SOF3, predictors rotating): exact for arbitrary pixels, so it
+  // carries the FULL gradient like the PNG/BMP slots. All eight
+  // rotation slots decode real pixels; the per-row `decoder` label
+  // stays (q70/q71 exercise the stub contract).
   def q47(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // fixture build is a one-time layout step (fingerprint-cached, like
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v6-seven-formats") {
+      version = "v7-eight-formats") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -558,22 +560,29 @@ object Llm {
           val v = br + 7 * (x / 8) + 11 * (y / 8)
           (v, v, v)
         }
-        val bytes = (id % 7).toInt match {
+        val bytes = (id % 8).toInt match {
           case 0 => graft.operators.PixelCodec.encodeBmp(w, h, px,
-            topDown = (id / 7) % 2 == 1)
+            topDown = (id / 8) % 2 == 1)
           case 1 => graft.operators.PixelCodec.encodePng(w, h, px,
-            withAlpha = (id / 7) % 2 == 1)
+            withAlpha = (id / 8) % 2 == 1)
           case 2 => graft.operators.PixelCodec.encodeGif(w, h, px)
           case 3 => graft.operators.JpegCodec.encodeJpeg(jw, jh, jpx, gray = true)
           case 4 => // real lossless WebP (VP8L): bit-exact gradient
             graft.operators.WebpCodec.encodeWebpLossless(w, h, px,
-              subtractGreen = (id / 7) % 2 == 1)
+              subtractGreen = (id / 8) % 2 == 1)
           case 5 => // round 16: sequential ARITHMETIC JPEG (QM coder)
             graft.operators.JpegCodec.encodeJpeg(jw, jh, jpx, gray = true,
               arith = true)
-          case _ => // round 16: PROGRESSIVE arithmetic JPEG (SOF10)
+          case 6 => // round 16: PROGRESSIVE arithmetic JPEG (SOF10)
             graft.operators.JpegCodec.encodeJpegProgArith(jw, jh, jpx,
               gray = true)
+          case _ => // round 16: LOSSLESS JPEG (SOF3) — the only JPEG
+            // spelling that reproduces ARBITRARY pixels exactly, so this
+            // slot carries the full per-pixel gradient (grayscale: the
+            // red-channel formula, value ≤ 142 < 255), predictors rotate
+            graft.operators.JpegCodec.encodeJpegLossless(w, h,
+              (x, y) => br + 3 * x + 5 * y,
+              predictor = 1 + ((id / 8) % 7).toInt)
         }
         (id, bytes)
       }.toDF("doc_id", "content")
@@ -651,7 +660,7 @@ object Llm {
       |         1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
       |         doc_id % 97 AS br, (doc_id * 3) % 89 AS bg,
       |         (doc_id * 7) % 83 AS bb,
-      |         CAST(doc_id % 7 AS INT) AS fmt
+      |         CAST(doc_id % 8 AS INT) AS fmt
       |  FROM documents),
       |j AS (
       |  SELECT doc_id,
@@ -667,9 +676,15 @@ object Llm {
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN 8*hb ELSE h END AS BIGINT) AS height,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum ELSE
       |         w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END AS BIGINT) AS sum_r,
-      |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum ELSE
+      |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
+      |            WHEN g.fmt = 7 THEN
+      |         w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2)
+      |            ELSE
       |         w*h*bg + 5*(h*w*(w-1)//2) + 2*(w*h*(h-1)//2) END AS BIGINT) AS sum_g,
-      |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum ELSE
+      |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
+      |            WHEN g.fmt = 7 THEN
+      |         w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2)
+      |            ELSE
       |         w*h*bb + 2*(h*w*(w-1)//2) + 7*(w*h*(h-1)//2) END AS BIGINT) AS sum_b
       |FROM g JOIN j ON g.doc_id = j.doc_id ORDER BY g.doc_id""".stripMargin
 

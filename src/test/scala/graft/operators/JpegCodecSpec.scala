@@ -377,6 +377,38 @@ class JpegCodecSpec extends SparkFunSuite {
     }
   }
 
+  test("lossless (SOF3): ARBITRARY grayscale round-trips bit-exactly under all 7 predictors") {
+    // the only JPEG spelling with exact reconstruction of arbitrary
+    // pixels: no DCT, no quantization — every predictor path and the
+    // category+EXTEND difference coding must be exactly invertible
+    val rnd = new scala.util.Random(555)
+    for (predictor <- 1 to 7) {
+      val w = 5 + rnd.nextInt(30)
+      val h = 3 + rnd.nextInt(20)
+      val px = Array.fill(h, w)(rnd.nextInt(256))
+      val bytes = JpegCodec.encodeJpegLossless(w, h, (x, y) => px(y)(x), predictor)
+      val img = decode(bytes).get
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.rgb((y * w + x) * 3) & 0xff) == px(y)(x),
+          s"predictor $predictor ($x,$y)")
+      // grayscale fan-out: all three channels identical
+      for (i <- 0 until w * h)
+        assert(img.rgb(i * 3) == img.rgb(i * 3 + 1) &&
+          img.rgb(i * 3) == img.rgb(i * 3 + 2))
+    }
+    // worst-case content for the difference coder: alternating rails
+    val rails = JpegCodec.encodeJpegLossless(16, 4,
+      (x, y) => if ((x + y) % 2 == 0) 0 else 255, predictor = 4)
+    val rimg = decode(rails).get
+    for (y <- 0 until 4; x <- 0 until 16)
+      assert((rimg.rgb((y * 16 + x) * 3) & 0xff) ==
+        (if ((x + y) % 2 == 0) 0 else 255))
+    // truncated lossless payloads never throw
+    val cut = rails.take(rails.length / 2)
+    JpegCodec.decode(cut) match { case _ => () }
+  }
+
   test("features off decoded JPEG pixels are exact for DC-only fixtures") {
     val bytes = JpegCodec.encodeJpeg(16, 8, blockGray(50), gray = true)
     val f = features(decode(bytes).get, bins = 4)
