@@ -212,6 +212,12 @@ class ViewCatalogSpec extends SparkFunSuite {
     intercept[Exception] { s.sql("SELECT * FROM graft.db.v_native").collect() }
     // IF EXISTS on a missing view is a no-op, not an error
     s.sql("DROP VIEW IF EXISTS graft.db.v_native")
+    // backquoted segments parse through the desugar too
+    s.sql("CREATE OR REPLACE VIEW graft.`db`.`v_bq` AS " +
+      "SELECT id FROM graft.db.v_base")
+    assert(s.sql("SELECT * FROM graft.db.v_bq").columns.toSeq == Seq("id"))
+    s.sql("DROP VIEW graft.db.`v_bq`")
+    intercept[Exception] { s.sql("SELECT * FROM graft.db.v_bq").collect() }
   }
 
   test("native spelling still refuses unqualified bodies; non-graft DDL passes through") {
