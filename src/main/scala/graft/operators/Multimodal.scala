@@ -254,12 +254,15 @@ object Multimodal {
 
   /** Frame-sample a (doc_id, content: binary) DataFrame of VIDEO
     * payloads partition-wise: AVI containers with uncompressed 24bpp
-    * DIB frames AND animated GIFs — both the full-canvas fast tier and
-    * (round 16) full GIF89a COMPOSITING (partial frames, transparency,
-    * disposal methods) — decode for real ([[VideoCodec]]), emitting one
-    * row per SAMPLED frame (indices 0, stride, 2·stride, …) with exact
-    * channel sums off the actual pixels; compressed video /
-    * corrupt bytes / NULL content emit a single labeled stub row. Exchange-free and
+    * DIB frames, AVI containers with MOTION-JPEG frames (round 16 —
+    * each chunk a complete JPEG through the in-repo T.81 codec, only
+    * sampled key frames pay decode work), AND animated GIFs — both the
+    * full-canvas fast tier and full GIF89a COMPOSITING (partial
+    * frames, transparency, disposal methods) — decode for real
+    * ([[VideoCodec]]), emitting one row per SAMPLED frame (indices 0,
+    * stride, 2·stride, …) with exact channel sums off the actual
+    * pixels; other codecs / corrupt bytes / NULL content emit a single
+    * labeled stub row. Exchange-free and
     * allocation-bounded: only every `stride`-th frame is materialized,
     * one clip at a time per executor thread — the "sample k frames,
     * featurize, never hold the whole clip" shape a 100 TB video corpus

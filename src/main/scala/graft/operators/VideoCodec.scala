@@ -1,20 +1,32 @@
 package graft.operators
 
 /** Zero-dependency video decode: AVI (RIFF) containers carrying
-  * UNCOMPRESSED 24bpp DIB frames — pure byte arithmetic, no codec
-  * library, same contract as the image/audio side.
+  * uncompressed 24bpp DIB frames OR Motion-JPEG frames — pure byte
+  * arithmetic plus the in-repo T.81 codec, no codec library, same
+  * contract as the image/audio side.
   *
   *  - Container: `RIFF....AVI ` with the standard LIST tree — `hdrl`
   *    (main `avih` header, per-stream `strl` with `strh`/`strf`) and
   *    `movi` (the frame chunks). The walk is tag-driven and skips
   *    unknown chunks by their declared (word-aligned) sizes, so `idx1`
   *    indexes, `JUNK` padding, and extra streams don't derail it.
-  *  - Frames: `NNdb` / `NNdc` chunks of the first video stream whose
-  *    `strf` BITMAPINFOHEADER declares BI_RGB 24bpp — decoded with the
-  *    same bottom-up/stride-padded/BGR row arithmetic as BMP. A `dc`
-  *    chunk with an actual compressed payload (size ≠ the DIB raster
-  *    size) → None: compressed video (MJPEG/H.264/…) is the labeled
-  *    stub path, like WebP and MP3.
+  *  - DIB frames: `NNdb` / `NNdc` chunks of the first video stream
+  *    whose `strf` BITMAPINFOHEADER declares BI_RGB 24bpp — decoded
+  *    with the same bottom-up/stride-padded/BGR row arithmetic as BMP.
+  *    A BI_RGB `dc` chunk with an actual compressed payload (size ≠
+  *    the DIB raster size) → None.
+  *  - MOTION-JPEG frames (round 16 — the first COMPRESSED video
+  *    codec): a `strf` whose biCompression fourcc is `MJPG` marks each
+  *    frame chunk as one complete JPEG stream, decoded by
+  *    [[JpegCodec.decode]] (baseline/progressive/arithmetic/lossless —
+  *    whatever frame type the payload carries). MJPEG frames are
+  *    independent key frames, so stride-k sampling decodes only every
+  *    k-th JPEG — non-sampled frames cost a chunk-walk skip, no
+  *    entropy work, exactly the shape a 100 TB clip corpus needs. A
+  *    frame whose decoded geometry disagrees with the stream header,
+  *    or that [[JpegCodec]] rejects, → None.
+  *  - Other codecs (H.264/VP9/…) → None: the labeled stub path, like
+  *    WebP-lossy and MP3.
   *  - Frame SAMPLING is first-class: [[decodeSampled]] walks the movi
   *    chunks and materializes only every `stride`-th frame, so a
   *    100-frame clip sampled at stride 10 allocates 10 frames — the
@@ -35,7 +47,8 @@ object VideoCodec {
 
   /** Sampled clip: total frame count in the container, the sampled
     * frames (indices 0, stride, 2·stride, …), geometry, and the
-    * container kind ("dib" for AVI/DIB, "gif" for animated GIF). */
+    * container kind ("dib" for AVI/DIB, "mjpg" for AVI/Motion-JPEG,
+    * "gif" for animated GIF). */
   final case class VideoClip(width: Int, height: Int, totalFrames: Int,
       sampledIdx: Array[Int], frames: Array[PixelImage],
       container: String = "dib")
@@ -61,6 +74,7 @@ object VideoCodec {
     var w = 0
     var h = 0
     var topDown = false
+    var mjpeg = false
     var moviOff = -1
     var moviEnd = -1
 
@@ -77,14 +91,16 @@ object VideoCodec {
           else if (!walk(i + 12, i + 8 + size)) return false
         } else if (tag(b, i, "strf") && w == 0 && size >= 40) {
           // BITMAPINFOHEADER of the FIRST stream that looks like video;
-          // only BI_RGB 24bpp qualifies for the real-decode path
+          // BI_RGB 24bpp or the MJPG fourcc qualify for the real-decode
+          // path (biCompression stores the handler fourcc bytes)
           val bw = le32(b, i + 8 + 4)
           val bh = le32(b, i + 8 + 8)
           val bpp = le16(b, i + 8 + 14)
           val compression = le32(b, i + 8 + 16)
-          if (bw > 0 && bh != 0 && bh != Int.MinValue && bpp == 24 &&
-              compression == 0) {
-            w = bw; h = math.abs(bh); topDown = bh < 0
+          val isMjpg = tag(b, i + 8 + 16, "MJPG")
+          if (bw > 0 && bh != 0 && bh != Int.MinValue &&
+              ((bpp == 24 && compression == 0) || isMjpg)) {
+            w = bw; h = math.abs(bh); topDown = bh < 0; mjpeg = isMjpg
           }
         }
         i += 8 + size + (size & 1)
@@ -107,7 +123,20 @@ object VideoCodec {
       // frame chunk ids are '<2-digit stream>db'/'dc' ('00db', '01dc', …)
       val isFrame = b(i) >= '0' && b(i) <= '9' && b(i + 1) >= '0' &&
         b(i + 1) <= '9' && b(i + 2) == 'd' && (b(i + 3) == 'b' || b(i + 3) == 'c')
-      if (isFrame) {
+      if (isFrame && mjpeg) {
+        // each chunk is one complete JPEG; frames are independent key
+        // frames, so ONLY sampled frames pay the entropy/IDCT work
+        if (total % stride == 0) {
+          if (frames.length >= MaxSampledFrames) return None
+          if (size < 4) return None
+          val payload = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + size)
+          val img = JpegCodec.decode(payload).getOrElse(return None)
+          if (img.width != w || img.height != h) return None
+          idx += total
+          frames += img
+        }
+        total += 1
+      } else if (isFrame) {
         if (size != rasterSize) return None // compressed payload → stub path
         if (total % stride == 0) {
           if (frames.length >= MaxSampledFrames) return None
@@ -134,7 +163,8 @@ object VideoCodec {
       i += 8 + size + (size & 1)
     }
     if (total == 0) return None
-    Some(VideoClip(w, h, total, idx.toArray, frames.toArray))
+    Some(VideoClip(w, h, total, idx.toArray, frames.toArray,
+      if (mjpeg) "mjpg" else "dib"))
   }
 
   /** Animated GIF as a frame-sampled video source, in two tiers:
@@ -615,6 +645,67 @@ object VideoCodec {
       wtag("00db"); wle32(0x10); wle32(off); wle32(rasterSize) // AVIIF_KEYFRAME
       off += 8 + rasterSize
       f += 1
+    }
+    out.toByteArray
+  }
+
+  /** Real Motion-JPEG AVI bytes (fixtures + round-trip tests): one
+    * 'vids'/'MJPG' stream whose `00dc` chunks each carry one complete
+    * JPEG from [[JpegCodec.encodeJpeg]] (grayscale when `gray` — the
+    * block-constant-exact fixture shape, see the JpegCodec object doc).
+    * Variable-size chunks exercise the word-alignment stepping the
+    * fixed-raster DIB path never does; idx1 records real sizes. */
+  def encodeAviMjpeg(width: Int, height: Int, nFrames: Int,
+      px: (Int, Int, Int) => (Int, Int, Int), fps: Int = 10,
+      gray: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0 && fps > 0 &&
+      width.toLong * height <= MaxPixels)
+    val payloads = Array.tabulate(nFrames) { f =>
+      JpegCodec.encodeJpeg(width, height, (x, y) => px(f, x, y), gray = gray)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wle16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def wle32(v: Int): Unit = { w8(v); w8(v >> 8); w8(v >> 16); w8(v >> 24) }
+    def wtag(t: String): Unit = t.foreach(c => w8(c))
+
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviSize = 4 + payloads.map(p => 8 + p.length + (p.length & 1)).sum
+    val idx1Size = nFrames * 16
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val maxPayload = payloads.map(_.length).max
+
+    wtag("RIFF"); wle32(riffSize); wtag("AVI ")
+    wtag("LIST"); wle32(hdrlSize); wtag("hdrl")
+    wtag("avih"); wle32(56)
+    wle32(1000000 / fps) // µs per frame
+    wle32(maxPayload * fps); wle32(0); wle32(0x10) // maxBytesPerSec, pad, HASINDEX
+    wle32(nFrames); wle32(0); wle32(1); wle32(maxPayload)
+    wle32(width); wle32(height)
+    wle32(0); wle32(0); wle32(0); wle32(0) // reserved
+    wtag("LIST"); wle32(4 + (8 + 56) + (8 + 40)); wtag("strl")
+    wtag("strh"); wle32(56)
+    wtag("vids"); wtag("MJPG")
+    wle32(0); wle16(0); wle16(0); wle32(0) // flags, prio, lang, initFrames
+    wle32(1); wle32(fps) // scale, rate
+    wle32(0); wle32(nFrames); wle32(maxPayload)
+    wle32(-1); wle32(0) // quality, sampleSize
+    wle16(0); wle16(0); wle16(width); wle16(height) // rcFrame
+    wtag("strf"); wle32(40)
+    wle32(40); wle32(width); wle32(height)
+    wle16(1); wle16(24); wtag("MJPG"); wle32(maxPayload) // planes, bpp, fourcc
+    wle32(2835); wle32(2835); wle32(0); wle32(0)
+    wtag("LIST"); wle32(moviSize); wtag("movi")
+    payloads.foreach { p =>
+      wtag("00dc"); wle32(p.length)
+      out.write(p, 0, p.length)
+      if ((p.length & 1) == 1) w8(0) // RIFF word alignment
+    }
+    wtag("idx1"); wle32(idx1Size)
+    var off = 4 // offsets are relative to the 'movi' tag
+    payloads.foreach { p =>
+      wtag("00dc"); wle32(0x10); wle32(off); wle32(p.length) // AVIIF_KEYFRAME
+      off += 8 + p.length + (p.length & 1)
     }
     out.toByteArray
   }

@@ -927,15 +927,18 @@ object Llm {
 
   // ------------------------------------------------------------- q71
   // Video modality: REAL container decode + first-class frame SAMPLING,
-  // over TWO container families. Even docs carry actual AVI bytes (RIFF
+  // over THREE codec families. Even docs carry actual AVI bytes (RIFF
   // hdrl/strl/movi/idx1 tree, uncompressed 24bpp DIB frames); odd docs
   // carry actual animated GIFs (GCE + per-frame local color tables +
   // LZW pixel streams — [[graft.operators.VideoCodec]]); both use the
   // same per-frame gradient keyed by (doc_id, frame); doc_id%10=3 docs
-  // are COMPOSITED GIFs (round 16: partial frames over a maintained
-  // canvas — the GIF89a disposal/placement semantics rendering for
-  // real), and every 5th doc
-  // is a non-video payload exercising the labeled stub row. The
+  // are COMPOSITED GIFs (partial frames over a maintained canvas — the
+  // GIF89a disposal/placement semantics rendering for real);
+  // doc_id%10=6 docs are MOTION-JPEG AVIs (round 16: the first
+  // COMPRESSED video codec — each frame chunk is a complete JPEG
+  // decoded by the in-repo T.81 codec, block-constant grayscale so the
+  // round trip is bit-exact and the sums stay closed-form); and every
+  // 5th doc is a non-video payload exercising the labeled stub row. The
   // operator samples every 2nd frame and computes exact channel sums
   // off the decoded pixels, so the DuckDB oracle recomputes each
   // sampled frame's sums in closed form — a decoder that misreads the
@@ -950,7 +953,7 @@ object Llm {
     // query measures DECODE + sampling, not the fixture write
     val out71 = Tables.scratch(s"media71/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out71,
-      version = "v3-avi-gif-composited") {
+      version = "v4-avi-mjpeg") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val nf = 3 + (id % 4).toInt
@@ -978,6 +981,18 @@ object Llm {
                   (_, _) => (r0 + 40, g0 + 50, b0 + 60))
               }
             graft.operators.VideoCodec.encodeGifAnimComposited(8, 4, frames)
+          } else if (id % 10 == 6) {
+            // MOTION-JPEG AVI (round 16: the first compressed video
+            // codec): 16×8 grayscale frames, constant per 8×8 block
+            // (v = br + 9f + 11·⌊x/8⌋) — block-constant + all-ones
+            // quant = bit-exact round-trip (JpegCodec object doc), so
+            // each channel sum has the closed form 128·(br+9f) + 704;
+            // max value 79+45+11 = 135 < 255
+            graft.operators.VideoCodec.encodeAviMjpeg(16, 8, nf,
+              (f, x, _) => {
+                val v = br + 9 * f + 11 * (x / 8)
+                (v, v, v)
+              }, gray = true)
           } else {
             val w = 4 + (id % 3).toInt
             val h = 3 + (id % 2).toInt
@@ -1009,8 +1024,12 @@ object Llm {
   val q71Sql =
     """WITH g AS (
       |  SELECT doc_id, 3 + doc_id % 4 AS nf,
-      |         CASE WHEN doc_id % 10 = 3 THEN 8 ELSE 4 + doc_id % 3 END AS w,
-      |         CASE WHEN doc_id % 10 = 3 THEN 4 ELSE 3 + doc_id % 2 END AS h,
+      |         CASE WHEN doc_id % 10 = 3 THEN 8
+      |              WHEN doc_id % 10 = 6 THEN 16
+      |              ELSE 4 + doc_id % 3 END AS w,
+      |         CASE WHEN doc_id % 10 = 3 THEN 4
+      |              WHEN doc_id % 10 = 6 THEN 8
+      |              ELSE 3 + doc_id % 2 END AS h,
       |         doc_id % 80 AS br, (doc_id * 3) % 70 AS bg,
       |         (doc_id * 7) % 60 AS bb
       |  FROM documents),
@@ -1020,17 +1039,24 @@ object Llm {
       |         unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS f
       |  FROM g WHERE doc_id % 5 <> 4)
       |SELECT doc_id,
-      |       CASE WHEN doc_id % 2 = 0 THEN 'dib' ELSE 'gif' END AS decoder,
+      |       CASE WHEN doc_id % 10 = 6 THEN 'mjpg'
+      |            WHEN doc_id % 2 = 0 THEN 'dib' ELSE 'gif' END AS decoder,
       |       CAST(nf AS BIGINT) AS total_frames, CAST(f AS BIGINT) AS frame_idx,
       |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
       |       CAST(CASE WHEN doc_id % 10 = 3
       |            THEN w*h*br + 3*sx + 5*sy + 40*f
+      |            WHEN doc_id % 10 = 6
+      |            THEN 128*(br + 9*f) + 704
       |            ELSE w*h*(br + 9*f) + 3*sx + 5*sy END AS BIGINT) AS sum_r,
       |       CAST(CASE WHEN doc_id % 10 = 3
       |            THEN w*h*bg + 5*sx + 2*sy + 50*f
+      |            WHEN doc_id % 10 = 6
+      |            THEN 128*(br + 9*f) + 704
       |            ELSE w*h*(bg + 6*f) + 5*sx + 2*sy END AS BIGINT) AS sum_g,
       |       CAST(CASE WHEN doc_id % 10 = 3
       |            THEN w*h*bb + 2*sx + 7*sy + 60*f
+      |            WHEN doc_id % 10 = 6
+      |            THEN 128*(br + 9*f) + 704
       |            ELSE w*h*(bb + 4*f) + 2*sx + 7*sy END AS BIGINT) AS sum_b
       |FROM fr
       |UNION ALL

@@ -257,4 +257,110 @@ class VideoCodecSpec extends SparkFunSuite {
     hostile(strfAt + 16) = 0x30; hostile(strfAt + 17) = 0x75 // biHeight 30000
     assert(VideoCodec.decodeSampled(hostile, 1) == None)
   }
+
+  // ------------------------------------------------------- Motion-JPEG
+
+  /** Block-constant grayscale: each 8×8 JPEG block is constant, so the
+    * all-ones-quant encoder round-trips bit-exactly (JpegCodec object
+    * doc) and frame pixels have a closed form. */
+  private def mjPx(f: Int, x: Int, y: Int): (Int, Int, Int) = {
+    val v = 10 + 9 * f + 11 * (x / 8)
+    (v, v, v)
+  }
+
+  test("MJPEG: block-constant frames round-trip exactly; ImageIO agrees per frame") {
+    val bytes = VideoCodec.encodeAviMjpeg(16, 8, 5, mjPx, gray = true)
+    val clip = VideoCodec.decodeSampled(bytes, 1).get
+    assert(clip.container == "mjpg")
+    assert(clip.width == 16 && clip.height == 8 && clip.totalFrames == 5)
+    assert(clip.sampledIdx.sameElements(0 until 5))
+    for (f <- 0 until 5) {
+      // closed form: exact block-constant values
+      for (y <- 0 until 8; x <- 0 until 16) {
+        val (v, _, _) = mjPx(f, x, y)
+        val o = (y * 16 + x) * 3
+        assert((clip.frames(f).rgb(o) & 0xff) == v, s"frame $f pixel ($x,$y)")
+      }
+      // independent anchor: ImageIO decodes the same JPEG payload to
+      // the same pixels — ties the AVI chunk wiring to a foreign codec
+      val payload = JpegCodec.encodeJpeg(16, 8,
+        (x, y) => mjPx(f, x, y), gray = true)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      assert(img != null)
+      // raster samples, not getRGB: getRGB on TYPE_BYTE_GRAY applies a
+      // linear-gray→sRGB conversion (same pitfall JpegCodecSpec pins)
+      for (y <- 0 until 8; x <- 0 until 16)
+        assert(img.getRaster.getSample(x, y, 0) ==
+          (clip.frames(f).rgb((y * 16 + x) * 3) & 0xff))
+    }
+  }
+
+  test("MJPEG: stride-k sampling decodes only the sampled key frames") {
+    val bytes = VideoCodec.encodeAviMjpeg(16, 8, 7, mjPx, gray = true)
+    val s2 = VideoCodec.decodeSampled(bytes, 2).get
+    assert(s2.totalFrames == 7)
+    assert(s2.sampledIdx.sameElements(Array(0, 2, 4, 6)))
+    for ((idx, i) <- s2.sampledIdx.zipWithIndex) {
+      val (v0, _, _) = mjPx(idx, 0, 0)
+      assert((s2.frames(i).rgb(0) & 0xff) == v0,
+        s"sampled position $i should hold frame $idx")
+    }
+    // frames are independent key frames: a corrupt NON-sampled frame is
+    // never decoded — skipping really skips the entropy work
+    val corrupt = bytes.clone()
+    var i = 12
+    var frameNo = 0
+    var patched = false
+    while (!patched && i + 8 <= corrupt.length) {
+      if (corrupt(i) == '0' && corrupt(i + 1) == '0' && corrupt(i + 2) == 'd' &&
+          corrupt(i + 3) == 'c') {
+        if (frameNo == 1) { // frame 1: skipped at stride 2
+          corrupt(i + 9) = 0 // break the SOI marker → not a JPEG
+          patched = true
+        }
+        frameNo += 1
+        val sz = (corrupt(i + 4) & 0xff) | ((corrupt(i + 5) & 0xff) << 8) |
+          ((corrupt(i + 6) & 0xff) << 16) | ((corrupt(i + 7) & 0xff) << 24)
+        i += 8 + sz + (sz & 1)
+      } else i += 1
+    }
+    assert(patched)
+    assert(VideoCodec.decodeSampled(corrupt, 2).isDefined)
+    assert(VideoCodec.decodeSampled(corrupt, 1) == None) // sampled → real decode → refused
+  }
+
+  test("MJPEG: color frames agree with the JPEG codec's own decode") {
+    val cpx = (f: Int, x: Int, y: Int) =>
+      (40 + 9 * f + 3 * x, 60 + 5 * y, 80 + 2 * x + 2 * y)
+    val bytes = VideoCodec.encodeAviMjpeg(10, 6, 3, cpx)
+    val clip = VideoCodec.decodeSampled(bytes, 1).get
+    assert(clip.container == "mjpg" && clip.totalFrames == 3)
+    for (f <- 0 until 3) {
+      val direct = JpegCodec.decode(
+        JpegCodec.encodeJpeg(10, 6, (x, y) => cpx(f, x, y))).get
+      assert(clip.frames(f).rgb.sameElements(direct.rgb),
+        s"frame $f diverges from the direct JPEG decode")
+    }
+  }
+
+  test("MJPEG: geometry mismatch and corrupt payloads refuse, never throw") {
+    // strf says 16×8 but the frames are 8×8 → None
+    val wrongGeom = {
+      val good = VideoCodec.encodeAviMjpeg(8, 8, 2, mjPx, gray = true)
+      var i = 12
+      var at = -1
+      while (at < 0 && i + 4 < good.length) {
+        if (good(i) == 's' && good(i + 1) == 't' && good(i + 2) == 'r' &&
+            good(i + 3) == 'f') at = i
+        else i += 1
+      }
+      good(at + 12) = 16 // biWidth 8 → 16
+      good
+    }
+    assert(VideoCodec.decodeSampled(wrongGeom, 1) == None)
+    // truncated container
+    val bytes = VideoCodec.encodeAviMjpeg(16, 8, 3, mjPx, gray = true)
+    assert(VideoCodec.decodeSampled(bytes.take(bytes.length - 30), 1) == None)
+  }
 }
