@@ -9,7 +9,10 @@ package graft.operators
   *  - Formats: PCM (wFormatTag 1), IEEE-float PCM (wFormatTag 3,
   *    32-bit — round 16), G.711 A-law/µ-law (wFormatTags 6/7 — round
   *    16, expanded to 16-bit linear by the standard segmented
-  *    formulas, JDK-codec-cross-checked on every code point), and
+  *    formulas, JDK-codec-cross-checked on every code point), IMA/DVI
+  *    ADPCM (wFormatTag 0x11 — round 16, the block-structured 4-bit
+  *    coding decoded with the standard 89-entry step table; the first
+  *    COMPRESSED audio coding), and
   *    WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping any of them;
   *    8-bit unsigned and 16/24/32-bit signed little-endian
   *    integer samples, any channel count ≥ 1, any sample rate ≥ 1.
@@ -38,8 +41,9 @@ object AudioCodec {
   /** Decoded clip: interleaved signed samples, frame-major
     * (frame 0 ch 0, frame 0 ch 1, …). `encoding` names the source
     * sample coding — "pcm" integers, "float" (samples carry the
-    * deterministic 24-bit mapping), or the G.711 companded pair
-    * "ulaw"/"alaw" (samples are the standard 16-bit linear expansion). */
+    * deterministic 24-bit mapping), the G.711 companded pair
+    * "ulaw"/"alaw" (standard 16-bit linear expansion), or "adpcm"
+    * (IMA 4-bit codes; samples are the 16-bit reconstruction). */
   final case class PcmClip(sampleRate: Int, channels: Int, bitsPerSample: Int,
       samples: Array[Int], encoding: String = "pcm") {
     def frames: Int = samples.length / channels
@@ -72,6 +76,8 @@ object AudioCodec {
     var channels = 0
     var sampleRate = 0
     var bits = 0
+    var fmtOff = -1
+    var fmtSize = 0
     var dataOff = -1
     var dataLen = 0
     var i = 12
@@ -80,6 +86,8 @@ object AudioCodec {
       if (size < 0 || i + 8 + size.toLong > b.length) return None
       if (tag(b, i, "fmt ")) {
         if (size < 16) return None
+        fmtOff = i + 8
+        fmtSize = size
         fmtTag = le16(b, i + 8)
         channels = le16(b, i + 10)
         sampleRate = le32(b, i + 12)
@@ -100,12 +108,17 @@ object AudioCodec {
       case 3 => "float"
       case 6 => "alaw"
       case 7 => "ulaw"
+      case 0x11 => "adpcm" // IMA/DVI ADPCM (round 16)
       case _ => return None // compressed codecs → stub path
     }
     if (dataOff < 0 || channels < 1 || sampleRate < 1) return None
     encoding match {
       case "float" => if (bits != 32) return None // float64 → stub path
       case "alaw" | "ulaw" => if (bits != 8) return None
+      case "adpcm" =>
+        if (bits != 4) return None
+        return decodeAdpcm(b, fmtOff, fmtSize, channels, sampleRate,
+          dataOff, dataLen)
       case _ =>
         if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
     }
@@ -164,6 +177,114 @@ object AudioCodec {
     if (seg == 0) t += 8
     else { t += 0x108; if (seg > 1) t <<= seg - 1 }
     if ((a & 0x80) != 0) t else -t
+  }
+
+  // ------------------------------------------------------ IMA ADPCM
+
+  /** The standard IMA/DVI ADPCM step-size table (89 entries, ~1.1×
+    * geometric growth) and index-adjustment table — the tables every
+    * IMA implementation shares (IMA Digital Audio Focus Group, 1992;
+    * also Microsoft's WAVE registration of format 0x0011).
+    * AudioCodecSpec pins their structural invariants (monotone, 7 →
+    * 32767, per-entry growth ratio) and the encoder/decoder inverse
+    * property that makes fixtures exact. */
+  private[operators] val AdpcmStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private[operators] val AdpcmIndexAdj: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA decode step: reconstruct the delta for `nibble` from the
+    * current step size (step/8 + optional step/4 + step/2 + step terms,
+    * bit 8 = sign), clamp the predictor to int16, walk the index. */
+  private def adpcmAdvance(nibble: Int, pred: Int, index: Int): (Int, Int) = {
+    val step = AdpcmStep(index)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    val p0 = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val p = if (p0 > 32767) 32767 else if (p0 < -32768) -32768 else p0
+    val i0 = index + AdpcmIndexAdj(nibble & 7)
+    (p, if (i0 < 0) 0 else if (i0 > 88) 88 else i0)
+  }
+
+  /** WAVE format 0x0011 block decode. Per block and channel: a 4-byte
+    * header (int16 initial predictor — which IS the first output
+    * sample — uint8 step index ≤ 88, reserved byte), then 4-bit codes
+    * low-nibble-first; stereo interleaves the code stream in 4-byte
+    * (8-sample) groups per channel. wSamplesPerBlock from the fmt
+    * extension must agree with the block geometry
+    * ((blockAlign − 4·ch)·2/ch + 1). Only complete blocks decode (the
+    * same whole-frames-only policy as PCM); a hostile index byte or
+    * geometry mismatch → None. Output samples are the 16-bit linear
+    * reconstruction, so the exact-integer feature contract holds.
+    * There is no JDK ADPCM reader to cross-check (javax.sound stops at
+    * G.711), so AudioCodecSpec anchors the tables structurally and
+    * pins decode↔encode inverse identities instead. */
+  private def decodeAdpcm(b: Array[Byte], fmtOff: Int, fmtSize: Int,
+      channels: Int, sampleRate: Int, dataOff: Int, dataLen: Int)
+      : Option[PcmClip] = {
+    if (fmtSize < 20) return None // needs cbSize + wSamplesPerBlock
+    val blockAlign = le16(b, fmtOff + 12)
+    val spb = le16(b, fmtOff + 18)
+    val headerBytes = 4 * channels
+    val dataArea = blockAlign - headerBytes
+    if (dataArea < 0) return None
+    if (channels > 1 && dataArea % (4 * channels) != 0) return None
+    if (spb != dataArea * 2 / channels + 1) return None
+    val nBlocks = if (blockAlign == 0) 0 else dataLen / blockAlign
+    if (nBlocks <= 0) return None
+    val total = nBlocks.toLong * spb * channels
+    if (total > MaxSamples) return None
+    val out = new Array[Int](total.toInt)
+    val pred = new Array[Int](channels)
+    val index = new Array[Int](channels)
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = dataOff + blk * blockAlign
+      val outBase = blk * spb * channels
+      var c = 0
+      while (c < channels) {
+        pred(c) = le16(b, base + 4 * c).toShort.toInt
+        index(c) = b(base + 4 * c + 2) & 0xff
+        if (index(c) > 88) return None // hostile step index
+        out(outBase + c) = pred(c) // the header predictor is sample 0
+        c += 1
+      }
+      // code area: mono reads bytes sequentially; stereo alternates
+      // 4-byte groups per channel. Sample s of channel c lands at
+      // interleaved position (s·ch + c).
+      var off = base + headerBytes
+      var done = 1 // samples emitted per channel so far
+      while (done < spb) {
+        c = 0
+        while (c < channels) {
+          val groupSamples = math.min(8, spb - done)
+          var k = 0
+          while (k < groupSamples) {
+            val byte = b(off + (k >> 1)) & 0xff
+            val nib = if ((k & 1) == 0) byte & 0x0f else byte >> 4
+            val (p, ix) = adpcmAdvance(nib, pred(c), index(c))
+            pred(c) = p; index(c) = ix
+            out(outBase + (done + k) * channels + c) = p
+            k += 1
+          }
+          off += 4
+          c += 1
+        }
+        done += math.min(8, spb - done)
+      }
+      blk += 1
+    }
+    Some(PcmClip(sampleRate, channels, 4, out, "adpcm"))
   }
 
   /** Exact per-channel sums / sums-of-squares + clip peak. */
@@ -238,6 +359,99 @@ object AudioCodec {
     wle32(28, sampleRate); wle16(32, 1); wle16(34, 8)
     wtag(36, "data"); wle32(40, codes.length)
     System.arraycopy(codes, 0, b, 44, codes.length)
+    b
+  }
+
+  /** Real IMA-ADPCM RIFF/WAVE bytes (fixtures + round-trip tests): the
+    * standard format-0x0011 compressor. Per block and channel the
+    * header carries the first input sample VERBATIM as the predictor
+    * (so a blockwise-constant input encodes to all-zero nibbles at
+    * step index 0 and reconstructs EXACTLY — the closed-form fixture
+    * shape) plus the carried step index; remaining samples quantize
+    * through the standard bit-by-bit comparison, state advanced by the
+    * same reconstruction arithmetic the decoder runs. `samples` is
+    * interleaved frame-major; frames must fill whole blocks. */
+  def encodeWavAdpcm(sampleRate: Int, channels: Int, samples: Array[Int],
+      blockAlign: Int, initialIndex: Int = 0): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && blockAlign > 4 * channels)
+    val dataArea = blockAlign - 4 * channels
+    require(channels == 1 || dataArea % (4 * channels) == 0)
+    val spb = dataArea * 2 / channels + 1
+    require(samples.length % (spb * channels) == 0 && samples.nonEmpty)
+    require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue))
+    require(initialIndex >= 0 && initialIndex <= 88)
+    val nBlocks = samples.length / (spb * channels)
+    val data = new Array[Byte](nBlocks * blockAlign)
+    val pred = new Array[Int](channels)
+    val index = Array.fill(channels)(initialIndex)
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk * blockAlign
+      val inBase = blk * spb * channels
+      var c = 0
+      while (c < channels) {
+        pred(c) = samples(inBase + c)
+        data(base + 4 * c) = pred(c).toByte
+        data(base + 4 * c + 1) = (pred(c) >> 8).toByte
+        data(base + 4 * c + 2) = index(c).toByte
+        c += 1
+      }
+      var off = base + 4 * channels
+      var done = 1
+      while (done < spb) {
+        c = 0
+        while (c < channels) {
+          val groupSamples = math.min(8, spb - done)
+          var k = 0
+          while (k < groupSamples) {
+            val x = samples(inBase + (done + k) * channels + c)
+            val step = AdpcmStep(index(c))
+            var diff = x - pred(c)
+            var nib = 0
+            if (diff < 0) { nib = 8; diff = -diff }
+            if (diff >= step) { nib |= 4; diff -= step }
+            if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+            if (diff >= (step >> 2)) nib |= 1
+            val (p, ix) = adpcmAdvance(nib, pred(c), index(c))
+            pred(c) = p; index(c) = ix
+            val at = off + (k >> 1)
+            if ((k & 1) == 0) data(at) = nib.toByte
+            else data(at) = (data(at) | (nib << 4)).toByte
+            k += 1
+          }
+          off += 4
+          c += 1
+        }
+        done += math.min(8, spb - done)
+      }
+      blk += 1
+    }
+    wrapWavAdpcm(sampleRate, channels, blockAlign, spb, data)
+  }
+
+  /** Raw format-0x0011 container around caller-built block bytes
+    * (adversarial fixtures: hostile indexes, mismatched geometry). */
+  def wrapWavAdpcm(sampleRate: Int, channels: Int, blockAlign: Int,
+      samplesPerBlock: Int, data: Array[Byte]): Array[Byte] = {
+    val b = new Array[Byte](48 + data.length)
+    def wtag(i: Int, t: String): Unit = {
+      var k = 0
+      while (k < 4) { b(i + k) = t.charAt(k).toByte; k += 1 }
+    }
+    def wle16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    def wle32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    wtag(0, "RIFF"); wle32(4, 40 + data.length); wtag(8, "WAVE")
+    wtag(12, "fmt "); wle32(16, 20)
+    wle16(20, 0x11); wle16(22, channels); wle32(24, sampleRate)
+    wle32(28, if (samplesPerBlock > 0)
+      (sampleRate.toLong * blockAlign / samplesPerBlock).toInt else 0)
+    wle16(32, blockAlign); wle16(34, 4) // block align, 4-bit codes
+    wle16(36, 2); wle16(38, samplesPerBlock) // cbSize, wSamplesPerBlock
+    wtag(40, "data"); wle32(44, data.length)
+    System.arraycopy(data, 0, b, 48, data.length)
     b
   }
 

@@ -163,7 +163,7 @@ object Multimodal {
             Row(id, bytes.length.toLong,
               clip.encoding match {
                 case "float" => "pcmf32"
-                case "ulaw" | "alaw" => clip.encoding
+                case "ulaw" | "alaw" | "adpcm" => clip.encoding
                 case _ => s"pcm${clip.bitsPerSample}"
               },
               clip.sampleRate.toLong, clip.channels.toLong, frames,

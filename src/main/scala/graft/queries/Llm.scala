@@ -794,10 +794,12 @@ object Llm {
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------------- q70
   // Audio modality, same discipline as q47: REAL decode, no codec
-  // library. The fixture writer emits actual RIFF/WAVE bytes in THREE
-  // sample codings — 16-bit PCM, IEEE-float32 (round 16; identical
-  // sample values on the k/8388607 lattice), and G.711 µ-law (round 16;
-  // deterministic code bytes, oracle recomputes the standard expansion)
+  // library. The fixture writer emits actual RIFF/WAVE bytes in FOUR
+  // sample codings — 16-bit PCM, IEEE-float32 (identical sample values
+  // on the k/8388607 lattice), G.711 µ-law (deterministic code bytes,
+  // oracle recomputes the standard expansion), and IMA ADPCM (round 16;
+  // block-structured 4-bit codes whose blockwise-constant fixtures
+  // reconstruct exactly — the first COMPRESSED audio coding)
   // — deterministic per-channel ramps keyed by doc_id; every 7th doc is
   // a non-audio payload exercising the labeled stub fallback — and
   // [[graft.operators.AudioCodec]] walks the container and reconstructs
@@ -813,7 +815,7 @@ object Llm {
     // query measures DECODE, not the fixture write
     val out70 = Tables.scratch(s"media70/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out70,
-      version = "v2-wav-float-g711") {
+      version = "v3-wav-adpcm") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val bytes =
@@ -832,6 +834,20 @@ object Llm {
                 // per sample
                 graft.operators.AudioCodec.encodeWavUlaw(rate,
                   Array.tabulate[Byte](n)(i => ((id + 7L * i) % 256).toByte))
+              case 4 =>
+                // round 16: IMA ADPCM (wFormatTag 0x11), mono — the
+                // first COMPRESSED audio coding. Blockwise-constant
+                // input (block j holds v_j = a + 21j, a = -300 − id%40)
+                // encodes to header-predictor v_j + all-zero nibbles at
+                // step index 0, which reconstructs EXACTLY — so sums/
+                // sumsq/peak keep closed forms while the decoder walks
+                // real block headers, nibble groups, and spb accounting
+                val nb = 4 + (id % 3).toInt
+                val a = -300 - (id % 40).toInt
+                val spb = 17 // blockAlign 12, mono
+                graft.operators.AudioCodec.encodeWavAdpcm(rate, 1,
+                  Array.tabulate(nb * spb)(k => a + 21 * (k / spb)),
+                  blockAlign = 12)
               case slot =>
                 val ch = 1 + (id % 2).toInt
                 // channel c, frame i → -500 + 7c + 13i (monotone ramp:
@@ -871,19 +887,28 @@ object Llm {
   // segment/bias/sign arithmetic is off by anything hash-mismatches.
   // Float rows (slot 1) share every closed form with pcm16: the fixture
   // floats are k/8388607 lattice points that decode back to exactly k.
+  // ADPCM rows (slot 4): nb blocks of 17 samples, block j constant
+  // v_j = a + 21j (all negative) — header predictor + all-zero nibbles
+  // at step index 0 reconstruct exactly, so sum = 17·(nb·a + 21·S1(nb)),
+  // ssq = 17·(nb·a² + 42·a·S1 + 441·S2), peak = −a.
   val q70Sql =
     """WITH g AS (
       |  SELECT doc_id,
       |         CASE CAST(doc_id % 3 AS INT)
       |           WHEN 0 THEN 8000 WHEN 1 THEN 10000 ELSE 20000 END AS rate,
-      |         CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 1 + doc_id % 2 END AS ch,
-      |         100 + doc_id % 50 AS n,
+      |         CASE WHEN doc_id % 5 IN (2, 4) THEN 1
+      |              ELSE 1 + doc_id % 2 END AS ch,
+      |         CASE WHEN doc_id % 5 = 4 THEN 17 * (4 + doc_id % 3)
+      |              ELSE 100 + doc_id % 50 END AS n,
+      |         4 + doc_id % 3 AS nb,
+      |         -300 - doc_id % 40 AS a,
       |         doc_id % 7 = 3 AS stub,
       |         CAST(doc_id % 5 AS INT) AS slot
       |  FROM documents),
       |f AS (
-      |  SELECT doc_id, rate, ch, n, stub, slot,
-      |         n*(n-1)//2 AS s1, (n-1)*n*(2*n-1)//6 AS s2
+      |  SELECT doc_id, rate, ch, n, nb, a, stub, slot,
+      |         n*(n-1)//2 AS s1, (n-1)*n*(2*n-1)//6 AS s2,
+      |         nb*(nb-1)//2 AS s1b, (nb-1)*nb*(2*nb-1)//6 AS s2b
       |  FROM g),
       |uv AS (
       |  SELECT doc_id, 255 - CAST((doc_id + 7*i) % 256 AS INT) AS uu
@@ -903,6 +928,7 @@ object Llm {
       |       CASE WHEN stub THEN 'stub'
       |            WHEN slot = 1 THEN 'pcmf32'
       |            WHEN slot = 2 THEN 'ulaw'
+      |            WHEN slot = 4 THEN 'adpcm'
       |            ELSE 'pcm16' END AS decoder,
       |       CAST(CASE WHEN stub THEN NULL ELSE rate END AS BIGINT) AS sample_rate,
       |       CAST(CASE WHEN stub THEN NULL ELSE ch END AS BIGINT) AS channels,
@@ -911,14 +937,17 @@ object Llm {
       |            ELSE n * (1000000 // rate) END AS BIGINT) AS duration_us,
       |       CAST(CASE WHEN stub THEN NULL
       |            WHEN slot = 2 THEN upk
+      |            WHEN slot = 4 THEN -a
       |            ELSE GREATEST(500, 7*(ch-1) + 13*(n-1) - 500) END AS BIGINT) AS peak_abs,
       |       CAST(CASE WHEN stub THEN NULL
       |            WHEN slot = 2 THEN us
+      |            WHEN slot = 4 THEN 17*(nb*a + 21*s1b)
       |            ELSE n*(-500) + 13*s1 END AS BIGINT) AS sum_ch0,
       |       CAST(CASE WHEN stub OR ch = 1 THEN NULL
       |            ELSE n*(-493) + 13*s1 END AS BIGINT) AS sum_ch1,
       |       CAST(CASE WHEN stub THEN NULL
       |            WHEN slot = 2 THEN usq
+      |            WHEN slot = 4 THEN 17*(nb*a*a + 42*a*s1b + 441*s2b)
       |            ELSE n*250000 + 26*(-500)*s1 + 169*s2 END AS BIGINT) AS sumsq_ch0,
       |       CAST(CASE WHEN stub OR ch = 1 THEN NULL
       |            ELSE n*243049 + 26*(-493)*s1 + 169*s2 END AS BIGINT) AS sumsq_ch1

@@ -255,4 +255,119 @@ class AudioCodecSpec extends SparkFunSuite {
     hostile(40) = -1; hostile(41) = -1; hostile(42) = -1; hostile(43) = 0x7f
     assert(AudioCodec.decode(hostile) == None)
   }
+
+  // ------------------------------------------------------- IMA ADPCM
+  // No JDK ADPCM reader exists (javax.sound stops at G.711), so the
+  // anchors are: the step table's structural invariants, the exact
+  // constant-block closed form, and the decode↔encode inverse identity
+  // over arbitrary nibble streams — encoder and decoder share only the
+  // reconstruction arithmetic the identity is ABOUT.
+
+  test("ADPCM step table: 89 entries, 7→32767, strictly monotone, ~1.1 growth") {
+    val t = AudioCodec.AdpcmStep
+    assert(t.length == 89)
+    assert(t.head == 7 && t.last == 32767)
+    for (i <- 1 until t.length) {
+      assert(t(i) > t(i - 1), s"not monotone at $i")
+      val ratio = t(i).toDouble / t(i - 1)
+      assert(ratio > 1.03 && ratio < 1.16, s"growth $ratio off-profile at $i")
+    }
+    assert(AudioCodec.AdpcmIndexAdj.sameElements(Array(-1, -1, -1, -1, 2, 4, 6, 8)))
+  }
+
+  test("ADPCM: blockwise-constant input reconstructs EXACTLY (all-zero nibbles)") {
+    // block j holds constant v_j; the encoder writes v_j verbatim into
+    // the block header and, at step index 0 (step 7, 7>>3 = 0), every
+    // zero nibble reconstructs +0 — so decode is bit-exact
+    val spb = 17 // blockAlign 12, mono
+    val nb = 5
+    val samples = Array.tabulate(nb * spb)(k => -300 + 21 * (k / spb))
+    val bytes = AudioCodec.encodeWavAdpcm(8000, 1, samples, blockAlign = 12)
+    val clip = AudioCodec.decode(bytes).get
+    assert(clip.encoding == "adpcm" && clip.bitsPerSample == 4)
+    assert(clip.sampleRate == 8000 && clip.channels == 1)
+    assert(clip.frames == nb * spb)
+    assert(clip.samples.sameElements(samples))
+    // and the code area really is all-zero nibbles at index 0
+    for (blk <- 0 until nb; o <- 4 until 12)
+      assert(bytes(48 + blk * 12 + o) == 0, s"nonzero nibble blk $blk byte $o")
+  }
+
+  test("ADPCM: stereo blocks keep per-channel state and interleave exactly") {
+    val spb = 9 // blockAlign 16, stereo: dataArea 8 = one 4-byte group each
+    val nb = 4
+    val samples = Array.tabulate(nb * spb * 2) { i =>
+      val blk = i / (spb * 2)
+      if (i % 2 == 0) -200 + 30 * blk else 150 - 25 * blk
+    }
+    val bytes = AudioCodec.encodeWavAdpcm(20000, 2, samples, blockAlign = 16)
+    val clip = AudioCodec.decode(bytes).get
+    assert(clip.channels == 2 && clip.frames == nb * spb)
+    assert(clip.samples.sameElements(samples))
+  }
+
+  test("ADPCM: decode→encode→decode is the identity on arbitrary nibble streams") {
+    // seed a raw one-block stream with pseudo-random nibbles from a
+    // mid-table state; the quantizer must map each reconstructed step
+    // back to a nibble with the same magnitude class, so the re-encoded
+    // stream reconstructs the identical samples
+    val rnd = new scala.util.Random(41)
+    var tested = 0
+    for (trial <- 0 until 30) {
+      val idx0 = 10 + rnd.nextInt(40)
+      val pred0 = rnd.nextInt(2000) - 1000
+      val blockAlign = 12
+      val data = new Array[Byte](blockAlign)
+      data(0) = pred0.toByte; data(1) = (pred0 >> 8).toByte
+      data(2) = idx0.toByte
+      for (o <- 4 until blockAlign) data(o) = rnd.nextInt(256).toByte
+      val bytes = AudioCodec.wrapWavAdpcm(8000, 1, blockAlign, 17, data)
+      val y = AudioCodec.decode(bytes).get
+      assert(y.frames == 17)
+      // the identity's scope is non-clamping streams: once the int16
+      // clamp engages, the reconstruction is no longer a quantizer
+      // level and no encoder could emit the same nibble
+      if (y.samples.forall(s => s < 32767 && s > -32768)) {
+        tested += 1
+        val re = AudioCodec.encodeWavAdpcm(8000, 1, y.samples, blockAlign,
+          initialIndex = idx0)
+        val z = AudioCodec.decode(re).get
+        assert(z.samples.sameElements(y.samples), s"identity broken, trial $trial")
+      }
+    }
+    assert(tested >= 15, s"only $tested non-clamping trials — seed drift?")
+  }
+
+  test("ADPCM: a slow ramp tracks within the small-step error bound") {
+    val spb = 505 // blockAlign 256, mono
+    val samples = Array.tabulate(spb)(i => -3000 + 12 * i)
+    val bytes = AudioCodec.encodeWavAdpcm(8000, 1, samples, blockAlign = 256)
+    val clip = AudioCodec.decode(bytes).get
+    assert(clip.frames == spb)
+    val maxErr = clip.samples.zip(samples).map { case (a, b) => math.abs(a - b) }.max
+    // slope 12/sample keeps the adaptive step small; generous bound
+    assert(maxErr <= 64, s"ramp drifted by $maxErr")
+  }
+
+  test("ADPCM: hostile/mismatched payloads decode to None, never throw") {
+    val spb = 17
+    val good = AudioCodec.encodeWavAdpcm(8000, 1,
+      Array.fill(spb * 2)(100), blockAlign = 12)
+    // hostile step index (> 88) in block 0's header
+    val badIdx = good.clone(); badIdx(48 + 2) = 90.toByte
+    assert(AudioCodec.decode(badIdx) == None)
+    // samplesPerBlock disagrees with the block geometry
+    val badSpb = good.clone(); badSpb(38) = 16.toByte
+    assert(AudioCodec.decode(badSpb) == None)
+    // fmt chunk without the extension words (size 16) → refused
+    val noExt = AudioCodec.encodeWav(8000, 1, Array.fill(20)(5))
+    noExt(20) = 0x11 // flip the tag on a 16-byte fmt
+    assert(AudioCodec.decode(noExt) == None)
+    // truncation to less than one block → None; a trailing partial
+    // block decodes the complete blocks only (whole-frames policy)
+    assert(AudioCodec.decode(good.take(48 + 11)) == None)
+    val partial = AudioCodec.wrapWavAdpcm(8000, 1, 12, 17,
+      java.util.Arrays.copyOfRange(good, 48, 48 + 12 + 5))
+    assert(AudioCodec.decode(partial).get.frames == 17)
+  }
 }
