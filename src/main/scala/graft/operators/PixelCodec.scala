@@ -5,7 +5,10 @@ package graft.operators
   *
   *  - BMP: uncompressed 24bpp BI_RGB (BITMAPINFOHEADER or later), both
   *    bottom-up (positive biHeight) and top-down (negative) row orders,
-  *    4-byte-aligned row stride, BGR byte order (MS BMP spec).
+  *    4-byte-aligned row stride, BGR byte order (MS BMP spec); plus
+  *    8bpp paletted — uncompressed AND BI_RLE8 run-length (round 16:
+  *    encoded runs, absolute mode, end-of-line/bitmap, cursor deltas —
+  *    the same engine the AVI `MRLE` video codec rides).
   *  - PNG: all five color types — grayscale (1/2/4/8/16-bit), truecolor
   *    (8/16), palette (1/2/4/8, PLTE), gray+alpha and RGBA (8/16) — in
   *    both non-interlaced and Adam7-interlaced layouts. IDAT chunks are
@@ -24,8 +27,8 @@ package graft.operators
   * too — the T.81 DCT+Huffman codec is implemented from scratch in
   * [[JpegCodec]] and the VP8L prefix-code/transform layer in
   * [[WebpCodec]] (this object dispatches to both). Only genuinely
-  * codec-bound payloads (lossy-VP8 WebP, arithmetic-coded JPEG) fall
-  * back to [[Multimodal.StubCodec]], labeled per-row via `decoder`.
+  * codec-bound payloads (lossy-VP8 WebP) fall back to
+  * [[Multimodal.StubCodec]], labeled per-row via `decoder`.
   *
   * Anything malformed decodes to None, never an exception — corrupt media
   * in a 100 TB crawl is data, not an error.
@@ -81,7 +84,9 @@ object PixelCodec {
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
       ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
 
-  /** 24bpp BI_RGB only; other depths/compressions → None (stub path). */
+  /** 24bpp BI_RGB, 8bpp paletted BI_RGB, and 8bpp BI_RLE8 run-length
+    * (round 16 — the compressed BMP coding, shared with the AVI `MRLE`
+    * video codec); other depths/compressions → None (stub path). */
   private def decodeBmp(b: Array[Byte]): Option[PixelImage] = {
     if (b.length < 54) return None
     val pixelOff = le32(b, 10)
@@ -94,9 +99,41 @@ object PixelCodec {
     val planes = le16(b, 26)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (w <= 0 || h <= 0 || hRaw == Int.MinValue || planes != 1 ||
-        bpp != 24 || compression != 0) return None
+    if (w <= 0 || h <= 0 || hRaw == Int.MinValue || planes != 1) return None
     if (w.toLong * h > MaxPixels) return None
+    if (bpp == 8 && (compression == 0 || compression == 1)) {
+      if (compression == 1 && topDown) return None // RLE is bottom-up only
+      // palette: biClrUsed RGBQUADs (0 → 256) right after the DIB header
+      val clrUsed0 = le32(b, 46)
+      val nColors = if (clrUsed0 == 0) 256 else clrUsed0
+      if (nColors < 1 || nColors > 256) return None
+      val palOff = 14 + dibSize
+      if (palOff + 4 * nColors > b.length) return None
+      val idx = new Array[Byte](w * h) // display-space palette indices
+      if (compression == 0) {
+        val stride = (w + 3) / 4 * 4
+        if (pixelOff.toLong + stride.toLong * h > b.length) return None
+        var y = 0
+        while (y < h) {
+          val srcRow = if (topDown) y else h - 1 - y
+          System.arraycopy(b, pixelOff + srcRow * stride, idx, y * w, w)
+          y += 1
+        }
+      } else if (pixelOff < 0 || pixelOff > b.length ||
+          !rle8DecodeInto(b, pixelOff, b.length, w, h, idx)) return None
+      val out = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < w * h) {
+        val ci = idx(p) & 0xff
+        if (ci >= nColors) return None
+        out(p * 3) = b(palOff + ci * 4 + 2) // RGBQUAD is BGRX
+        out(p * 3 + 1) = b(palOff + ci * 4 + 1)
+        out(p * 3 + 2) = b(palOff + ci * 4)
+        p += 1
+      }
+      return Some(PixelImage(w, h, out))
+    }
+    if (bpp != 24 || compression != 0) return None
     val stride = ((w * 3 + 3) / 4) * 4
     if (pixelOff < 54 || pixelOff.toLong + stride.toLong * h > b.length) return None
     val out = new Array[Byte](w * h * 3)
@@ -115,6 +152,55 @@ object PixelCodec {
       y += 1
     }
     Some(PixelImage(w, h, out))
+  }
+
+  /** Microsoft RLE8 run-length decode (the BMP BI_RLE8 / AVI `MRLE`
+    * coding) into a display-space (top row first) palette-index raster.
+    * The stream works in BMP space — the cursor starts at the BOTTOM
+    * row; (n>0, v) paints a run, escape 00 00 ends the line, 00 01 ends
+    * the bitmap, 00 02 dx dy moves the cursor right/up, 00 n≥3 copies n
+    * literal indices (word-aligned). Pixels the stream never touches
+    * keep whatever `idx` already holds — zeros for a standalone BMP,
+    * the PREVIOUS frame for an AVI delta frame, which is exactly how
+    * MRLE inter-frame compression works. Returns false (→ None
+    * upstream) on any cursor/bounds/truncation violation. */
+  private[operators] def rle8DecodeInto(b: Array[Byte], off0: Int, end: Int,
+      w: Int, h: Int, idx: Array[Byte]): Boolean = {
+    var x = 0
+    var y = 0 // BMP space: 0 = bottom row
+    var i = off0
+    while (i + 2 <= end) {
+      val n = b(i) & 0xff
+      val v = b(i + 1) & 0xff
+      i += 2
+      if (n > 0) { // encoded run
+        if (y >= h || x + n > w) return false
+        var k = (h - 1 - y) * w + x
+        val stop = k + n
+        while (k < stop) { idx(k) = v.toByte; k += 1 }
+        x += n
+      } else v match {
+        case 0 => x = 0; y += 1 // end of line
+        case 1 => return true // end of bitmap
+        case 2 => // delta: cursor jump, skipped pixels untouched
+          if (i + 2 > end) return false
+          x += b(i) & 0xff
+          y += b(i + 1) & 0xff
+          i += 2
+          if (x > w || y > h) return false
+        case cnt => // absolute mode: cnt literal indices, word-aligned
+          if (y >= h || x + cnt > w) return false
+          if (i + cnt + (cnt & 1) > end) return false
+          var k = 0
+          while (k < cnt) {
+            idx((h - 1 - y) * w + x + k) = b(i + k)
+            k += 1
+          }
+          i += cnt + (cnt & 1)
+          x += cnt
+      }
+    }
+    false // ran off the stream without an end-of-bitmap marker
   }
 
   /** Adam7 pass origins/steps: (x0, y0, xStep, yStep) per pass. */
@@ -554,6 +640,61 @@ object PixelCodec {
       }
       y += 1
     }
+    b
+  }
+
+  /** RLE8-compress one display-space index raster, row-major top-first,
+    * into the BMP/MRLE wire coding: bottom-up rows of encoded runs
+    * (capped at 255), 00 00 after every line, 00 01 at the end. Shared
+    * by the BI_RLE8 BMP fixture writer and the AVI `MRLE` encoder. */
+  private[operators] def rle8Encode(w: Int, h: Int,
+      idx: (Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var row = h - 1 // display row; emitted bottom-up
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = idx(x, row) & 0xff
+        var n = 1
+        while (n < 255 && x + n < w && (idx(x + n, row) & 0xff) == v) n += 1
+        out.write(n); out.write(v)
+        x += n
+      }
+      out.write(0); out.write(if (row == 0) 1 else 0) // EOL / final EOB
+      row -= 1
+    }
+    out.toByteArray
+  }
+
+  /** Real BI_RLE8 BMP bytes (fixtures + round-trip tests): 8bpp
+    * paletted, compression 1, the palette as RGBQUADs, pixel indices
+    * run-length coded by [[rle8Encode]]. `palette(i)` = 0xRRGGBB. */
+  def encodeBmpRle8(width: Int, height: Int, palette: Array[Int],
+      idx: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width.toLong * height <= MaxPixels)
+    require(palette.nonEmpty && palette.length <= 256)
+    val data = rle8Encode(width, height, idx)
+    val palBytes = palette.length * 4
+    val off = 14 + 40 + palBytes
+    val b = new Array[Byte](off + data.length)
+    def wle16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    def wle32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    wle32(2, b.length); wle32(10, off)
+    wle32(14, 40); wle32(18, width); wle32(22, height)
+    wle16(26, 1); wle16(28, 8)
+    wle32(30, 1); wle32(34, data.length) // BI_RLE8
+    wle32(38, 2835); wle32(42, 2835)
+    wle32(46, palette.length); wle32(50, 0) // biClrUsed / biClrImportant
+    for (i <- palette.indices) {
+      b(54 + i * 4) = palette(i).toByte // B
+      b(54 + i * 4 + 1) = (palette(i) >> 8).toByte // G
+      b(54 + i * 4 + 2) = (palette(i) >> 16).toByte // R
+    }
+    System.arraycopy(data, 0, b, off, data.length)
     b
   }
 

@@ -75,6 +75,8 @@ object VideoCodec {
     var h = 0
     var topDown = false
     var mjpeg = false
+    var mrlePalOff = -1 // ≥ 0 marks an MRLE stream; offset of its RGBQUADs
+    var mrleColors = 0
     var moviOff = -1
     var moviEnd = -1
 
@@ -98,9 +100,19 @@ object VideoCodec {
           val bpp = le16(b, i + 8 + 14)
           val compression = le32(b, i + 8 + 16)
           val isMjpg = tag(b, i + 8 + 16, "MJPG")
+          // Microsoft RLE8 ('MRLE' handler): 8bpp, biCompression BI_RLE8,
+          // palette as RGBQUADs right after the 40-byte header
+          val isMrle = bpp == 8 && compression == 1 && bh > 0
           if (bw > 0 && bh != 0 && bh != Int.MinValue &&
-              ((bpp == 24 && compression == 0) || isMjpg)) {
+              ((bpp == 24 && compression == 0) || isMjpg || isMrle)) {
             w = bw; h = math.abs(bh); topDown = bh < 0; mjpeg = isMjpg
+            if (isMrle) {
+              val clrUsed = le32(b, i + 8 + 32)
+              mrleColors = if (clrUsed == 0) 256 else clrUsed
+              if (mrleColors < 1 || mrleColors > 256 ||
+                  size < 40 + 4 * mrleColors) { w = 0; mrleColors = 0 }
+              else mrlePalOff = i + 8 + 40
+            }
           }
         }
         i += 8 + size + (size & 1)
@@ -115,6 +127,11 @@ object VideoCodec {
     val rasterSize = rasterStride * h
     val idx = new scala.collection.mutable.ArrayBuffer[Int]()
     val frames = new scala.collection.mutable.ArrayBuffer[PixelImage]()
+    // MRLE state: palette indices accumulate across frames — pixels a
+    // delta frame skips show the previous frame through, the codec's
+    // whole inter-frame compression scheme (so EVERY frame's stream
+    // must decode regardless of stride, like composited GIF)
+    val mrleCanvas = if (mrlePalOff >= 0) new Array[Byte](w * h) else null
     var total = 0
     var i = moviOff
     while (i + 8 <= moviEnd) {
@@ -123,7 +140,26 @@ object VideoCodec {
       // frame chunk ids are '<2-digit stream>db'/'dc' ('00db', '01dc', …)
       val isFrame = b(i) >= '0' && b(i) <= '9' && b(i + 1) >= '0' &&
         b(i + 1) <= '9' && b(i + 2) == 'd' && (b(i + 3) == 'b' || b(i + 3) == 'c')
-      if (isFrame && mjpeg) {
+      if (isFrame && mrleCanvas != null) {
+        if (!PixelCodec.rle8DecodeInto(b, i + 8, i + 8 + size, w, h, mrleCanvas))
+          return None
+        if (total % stride == 0) {
+          if (frames.length >= MaxSampledFrames) return None
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < w * h) {
+            val ci = mrleCanvas(p) & 0xff
+            if (ci >= mrleColors) return None
+            rgb(p * 3) = b(mrlePalOff + ci * 4 + 2) // RGBQUAD is BGRX
+            rgb(p * 3 + 1) = b(mrlePalOff + ci * 4 + 1)
+            rgb(p * 3 + 2) = b(mrlePalOff + ci * 4)
+            p += 1
+          }
+          idx += total
+          frames += PixelImage(w, h, rgb)
+        }
+        total += 1
+      } else if (isFrame && mjpeg) {
         // each chunk is one complete JPEG; frames are independent key
         // frames, so ONLY sampled frames pay the entropy/IDCT work
         if (total % stride == 0) {
@@ -164,7 +200,7 @@ object VideoCodec {
     }
     if (total == 0) return None
     Some(VideoClip(w, h, total, idx.toArray, frames.toArray,
-      if (mjpeg) "mjpg" else "dib"))
+      if (mjpeg) "mjpg" else if (mrleCanvas != null) "mrle" else "dib"))
   }
 
   /** Animated GIF as a frame-sampled video source, in two tiers:
@@ -705,6 +741,101 @@ object VideoCodec {
     var off = 4 // offsets are relative to the 'movi' tag
     payloads.foreach { p =>
       wtag("00dc"); wle32(0x10); wle32(off); wle32(p.length) // AVIIF_KEYFRAME
+      off += 8 + p.length + (p.length & 1)
+    }
+    out.toByteArray
+  }
+
+  /** One frame of a Microsoft-RLE AVI fixture: paints the rect at
+    * (left, top) sized fw×fh in DISPLAY coordinates with palette
+    * indices from `idx(x, y)` (frame-local coords); everything outside
+    * the rect is a delta skip — the previous frame shows through. A
+    * full-canvas frame is a key frame. */
+  final case class MrleFrame(left: Int, top: Int, fw: Int, fh: Int,
+      idx: (Int, Int) => Int)
+
+  /** Real Microsoft-RLE AVI bytes (fixtures + round-trip tests): one
+    * 'vids'/'MRLE' stream, strf = BITMAPINFOHEADER with 8bpp /
+    * BI_RLE8 + the RGBQUAD palette, each `00dc` chunk an RLE8 stream
+    * ([[PixelCodec.rle8Encode]] wire coding) that paints only its
+    * frame's rect via cursor deltas — real inter-frame delta
+    * compression. `palette(i)` = 0xRRGGBB. */
+  def encodeAviMrle(width: Int, height: Int, frames: Seq[MrleFrame],
+      palette: Array[Int], fps: Int = 10): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty && fps > 0 &&
+      width.toLong * height <= MaxPixels)
+    require(palette.nonEmpty && palette.length <= 256)
+    require(width <= 255 && height <= 255, "fixture deltas are byte-sized")
+    frames.foreach { f =>
+      require(f.left >= 0 && f.top >= 0 && f.fw > 0 && f.fh > 0 &&
+        f.left + f.fw <= width && f.top + f.fh <= height)
+    }
+    val payloads = frames.map { f =>
+      val o = new java.io.ByteArrayOutputStream()
+      val yBottom = height - f.top - f.fh // rect's lowest row, BMP space
+      if (yBottom > 0) { o.write(0); o.write(2); o.write(0); o.write(yBottom) }
+      var row = f.fh - 1 // frame-local row painted at this BMP line
+      while (row >= 0) {
+        if (f.left > 0) { o.write(0); o.write(2); o.write(f.left); o.write(0) }
+        var x = 0
+        while (x < f.fw) {
+          val v = f.idx(x, row) & 0xff
+          var n = 1
+          while (n < 255 && x + n < f.fw && (f.idx(x + n, row) & 0xff) == v) n += 1
+          o.write(n); o.write(v)
+          x += n
+        }
+        o.write(0); o.write(if (row == 0) 1 else 0) // EOL / final EOB
+        row -= 1
+      }
+      o.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wle16(v: Int): Unit = { w8(v); w8(v >> 8) }
+    def wle32(v: Int): Unit = { w8(v); w8(v >> 8); w8(v >> 16); w8(v >> 24) }
+    def wtag(t: String): Unit = t.foreach(c => w8(c))
+
+    val strfSize = 40 + 4 * palette.length
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + strfSize))
+    val moviSize = 4 + payloads.map(p => 8 + p.length + (p.length & 1)).sum
+    val idx1Size = frames.length * 16
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val maxPayload = payloads.map(_.length).max
+
+    wtag("RIFF"); wle32(riffSize); wtag("AVI ")
+    wtag("LIST"); wle32(hdrlSize); wtag("hdrl")
+    wtag("avih"); wle32(56)
+    wle32(1000000 / fps)
+    wle32(maxPayload * fps); wle32(0); wle32(0x10)
+    wle32(frames.length); wle32(0); wle32(1); wle32(maxPayload)
+    wle32(width); wle32(height)
+    wle32(0); wle32(0); wle32(0); wle32(0)
+    wtag("LIST"); wle32(4 + (8 + 56) + (8 + strfSize)); wtag("strl")
+    wtag("strh"); wle32(56)
+    wtag("vids"); wtag("MRLE")
+    wle32(0); wle16(0); wle16(0); wle32(0)
+    wle32(1); wle32(fps)
+    wle32(0); wle32(frames.length); wle32(maxPayload)
+    wle32(-1); wle32(0)
+    wle16(0); wle16(0); wle16(width); wle16(height)
+    wtag("strf"); wle32(strfSize)
+    wle32(40); wle32(width); wle32(height)
+    wle16(1); wle16(8); wle32(1); wle32(maxPayload) // 8bpp, BI_RLE8
+    wle32(2835); wle32(2835); wle32(palette.length); wle32(0)
+    palette.foreach { c =>
+      w8(c); w8(c >> 8); w8(c >> 16); w8(0) // RGBQUAD: B G R X
+    }
+    wtag("LIST"); wle32(moviSize); wtag("movi")
+    payloads.foreach { p =>
+      wtag("00dc"); wle32(p.length)
+      out.write(p, 0, p.length)
+      if ((p.length & 1) == 1) w8(0)
+    }
+    wtag("idx1"); wle32(idx1Size)
+    var off = 4
+    payloads.zipWithIndex.foreach { case (p, fi) =>
+      wtag("00dc"); wle32(if (fi == 0) 0x10 else 0); wle32(off); wle32(p.length)
       off += 8 + p.length + (p.length & 1)
     }
     out.toByteArray

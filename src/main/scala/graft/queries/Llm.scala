@@ -526,18 +526,19 @@ object Llm {
   // JPEG frame types — sequential SOF9 and progressive SOF10 — the same
   // DC-only closed form entropy-coded through the from-scratch T.81 QM
   // coder ([[graft.operators.QmCoder]]): the "lossy codec" class
-  // decoding for real, both ImageIO-cross-checked. Slot 8 is LOSSLESS
+  // decoding for real, both ImageIO-cross-checked. Slot 7 is LOSSLESS
   // JPEG (SOF3, predictors rotating): exact for arbitrary pixels, so it
-  // carries the FULL gradient like the PNG/BMP slots. All eight
-  // rotation slots decode real pixels; the per-row `decoder` label
-  // stays (q70/q71 exercise the stub contract).
+  // carries the FULL gradient like the PNG/BMP slots; slot 8 (round 16)
+  // is BI_RLE8 run-length BMP — compressed, lossless, same gradient.
+  // All nine rotation slots decode real pixels; the per-row `decoder`
+  // label stays (q70/q71 exercise the stub contract).
   def q47(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // fixture build is a one-time layout step (fingerprint-cached, like
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v7-eight-formats") {
+      version = "v8-nine-formats") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -560,7 +561,7 @@ object Llm {
           val v = br + 7 * (x / 8) + 11 * (y / 8)
           (v, v, v)
         }
-        val bytes = (id % 8).toInt match {
+        val bytes = (id % 9).toInt match {
           case 0 => graft.operators.PixelCodec.encodeBmp(w, h, px,
             topDown = (id / 8) % 2 == 1)
           case 1 => graft.operators.PixelCodec.encodePng(w, h, px,
@@ -576,13 +577,22 @@ object Llm {
           case 6 => // round 16: PROGRESSIVE arithmetic JPEG (SOF10)
             graft.operators.JpegCodec.encodeJpegProgArith(jw, jh, jpx,
               gray = true)
-          case _ => // round 16: LOSSLESS JPEG (SOF3) — the only JPEG
+          case 7 => // round 16: LOSSLESS JPEG (SOF3) — the only JPEG
             // spelling that reproduces ARBITRARY pixels exactly, so this
             // slot carries the full per-pixel gradient (grayscale: the
             // red-channel formula, value ≤ 142 < 255), predictors rotate
             graft.operators.JpegCodec.encodeJpegLossless(w, h,
               (x, y) => br + 3 * x + 5 * y,
-              predictor = 1 + ((id / 8) % 7).toInt)
+              predictor = 1 + ((id / 9) % 7).toInt)
+          case _ => // round 16: BI_RLE8 BMP — the run-length coding,
+            // lossless, so it carries the full gradient too; palette =
+            // one entry per pixel cell, unit encoded runs + EOL/EOB
+            graft.operators.PixelCodec.encodeBmpRle8(w, h,
+              Array.tabulate(w * h) { k =>
+                val (r, g, bl) = px(k % w, k / w)
+                (r << 16) | (g << 8) | bl
+              },
+              (x, y) => y * w + x)
         }
         (id, bytes)
       }.toDF("doc_id", "content")
@@ -660,7 +670,7 @@ object Llm {
       |         1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
       |         doc_id % 97 AS br, (doc_id * 3) % 89 AS bg,
       |         (doc_id * 7) % 83 AS bb,
-      |         CAST(doc_id % 8 AS INT) AS fmt
+      |         CAST(doc_id % 9 AS INT) AS fmt
       |  FROM documents),
       |j AS (
       |  SELECT doc_id,
@@ -671,6 +681,7 @@ object Llm {
       |       CASE g.fmt WHEN 0 THEN 'bmp'
       |            WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
       |            WHEN 3 THEN 'jpeg' WHEN 4 THEN 'webp'
+      |            WHEN 8 THEN 'bmp'
       |            ELSE 'jpeg' END AS decoder,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN 8*wb ELSE w END AS BIGINT) AS width,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN 8*hb ELSE h END AS BIGINT) AS height,
@@ -956,7 +967,7 @@ object Llm {
 
   // ------------------------------------------------------------- q71
   // Video modality: REAL container decode + first-class frame SAMPLING,
-  // over THREE codec families. Even docs carry actual AVI bytes (RIFF
+  // over FOUR codec families. Even docs carry actual AVI bytes (RIFF
   // hdrl/strl/movi/idx1 tree, uncompressed 24bpp DIB frames); odd docs
   // carry actual animated GIFs (GCE + per-frame local color tables +
   // LZW pixel streams — [[graft.operators.VideoCodec]]); both use the
@@ -967,6 +978,10 @@ object Llm {
   // COMPRESSED video codec — each frame chunk is a complete JPEG
   // decoded by the in-repo T.81 codec, block-constant grayscale so the
   // round trip is bit-exact and the sums stay closed-form); and every
+  // doc_id%10=1 docs are MICROSOFT-RLE AVIs (round 16: the DELTA-frame
+  // compressed codec — RLE8 streams whose cursor deltas leave skipped
+  // pixels showing the previous frame, sharing the composited-GIF
+  // accumulated-canvas closed form); and every
   // 5th doc is a non-video payload exercising the labeled stub row. The
   // operator samples every 2nd frame and computes exact channel sums
   // off the decoded pixels, so the DuckDB oracle recomputes each
@@ -982,7 +997,7 @@ object Llm {
     // query measures DECODE + sampling, not the fixture write
     val out71 = Tables.scratch(s"media71/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out71,
-      version = "v4-avi-mjpeg") {
+      version = "v5-avi-mrle") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val nf = 3 + (id % 4).toInt
@@ -1010,6 +1025,28 @@ object Llm {
                   (_, _) => (r0 + 40, g0 + 50, b0 + 60))
               }
             graft.operators.VideoCodec.encodeGifAnimComposited(8, 4, frames)
+          } else if (id % 10 == 1) {
+            // Microsoft-RLE AVI (round 16): the DELTA-frame compressed
+            // codec — frame 0 paints the full 8×4 base canvas, frame
+            // j ≥ 1 paints a single-cell overlay at (j−1, 2) of
+            // base+Δ (Δ = 40/50/60) through real RLE8 cursor deltas;
+            // every skipped pixel shows the previous frame through, so
+            // the closed form is the SAME accumulated-canvas arithmetic
+            // as the composited-GIF slot (sampled frame f sums to the
+            // base closed form plus Δ·f)
+            import graft.operators.VideoCodec.MrleFrame
+            def base(x: Int, y: Int): (Int, Int, Int) =
+              (br + 3 * x + 5 * y, bg + 5 * x + 2 * y, bb + 2 * x + 7 * y)
+            val pal = Array.tabulate(32) { k =>
+              val (r, g, bl) = base(k % 8, k / 8)
+              (r << 16) | (g << 8) | bl
+            } ++ (1 until nf).map { j =>
+              val (r0, g0, b0) = base(j - 1, 2)
+              ((r0 + 40) << 16) | ((g0 + 50) << 8) | (b0 + 60)
+            }
+            val frames = MrleFrame(0, 0, 8, 4, (x, y) => y * 8 + x) +:
+              (1 until nf).map(j => MrleFrame(j - 1, 2, 1, 1, (_, _) => 31 + j))
+            graft.operators.VideoCodec.encodeAviMrle(8, 4, frames, pal)
           } else if (id % 10 == 6) {
             // MOTION-JPEG AVI (round 16: the first compressed video
             // codec): 16×8 grayscale frames, constant per 8×8 block
@@ -1053,10 +1090,10 @@ object Llm {
   val q71Sql =
     """WITH g AS (
       |  SELECT doc_id, 3 + doc_id % 4 AS nf,
-      |         CASE WHEN doc_id % 10 = 3 THEN 8
+      |         CASE WHEN doc_id % 10 IN (1, 3) THEN 8
       |              WHEN doc_id % 10 = 6 THEN 16
       |              ELSE 4 + doc_id % 3 END AS w,
-      |         CASE WHEN doc_id % 10 = 3 THEN 4
+      |         CASE WHEN doc_id % 10 IN (1, 3) THEN 4
       |              WHEN doc_id % 10 = 6 THEN 8
       |              ELSE 3 + doc_id % 2 END AS h,
       |         doc_id % 80 AS br, (doc_id * 3) % 70 AS bg,
@@ -1068,21 +1105,22 @@ object Llm {
       |         unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS f
       |  FROM g WHERE doc_id % 5 <> 4)
       |SELECT doc_id,
-      |       CASE WHEN doc_id % 10 = 6 THEN 'mjpg'
+      |       CASE WHEN doc_id % 10 = 1 THEN 'mrle'
+      |            WHEN doc_id % 10 = 6 THEN 'mjpg'
       |            WHEN doc_id % 2 = 0 THEN 'dib' ELSE 'gif' END AS decoder,
       |       CAST(nf AS BIGINT) AS total_frames, CAST(f AS BIGINT) AS frame_idx,
       |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-      |       CAST(CASE WHEN doc_id % 10 = 3
+      |       CAST(CASE WHEN doc_id % 10 IN (1, 3)
       |            THEN w*h*br + 3*sx + 5*sy + 40*f
       |            WHEN doc_id % 10 = 6
       |            THEN 128*(br + 9*f) + 704
       |            ELSE w*h*(br + 9*f) + 3*sx + 5*sy END AS BIGINT) AS sum_r,
-      |       CAST(CASE WHEN doc_id % 10 = 3
+      |       CAST(CASE WHEN doc_id % 10 IN (1, 3)
       |            THEN w*h*bg + 5*sx + 2*sy + 50*f
       |            WHEN doc_id % 10 = 6
       |            THEN 128*(br + 9*f) + 704
       |            ELSE w*h*(bg + 6*f) + 5*sx + 2*sy END AS BIGINT) AS sum_g,
-      |       CAST(CASE WHEN doc_id % 10 = 3
+      |       CAST(CASE WHEN doc_id % 10 IN (1, 3)
       |            THEN w*h*bb + 2*sx + 7*sy + 60*f
       |            WHEN doc_id % 10 = 6
       |            THEN 128*(br + 9*f) + 704

@@ -222,6 +222,121 @@ class PixelCodecSpec extends SparkFunSuite {
     assert(decode(hostile) == None)
   }
 
+  // ---------------------------------------------------- BI_RLE8 BMP
+
+  private val rlePalette: Array[Int] =
+    Array.tabulate(256)(i => (i << 16) | ((i * 3 % 256) << 8) | (i * 7 % 256))
+
+  test("BI_RLE8 BMP round-trips exactly, and ImageIO agrees") {
+    // runs of varying lengths per row — exercises run splitting at 255
+    // via a 300-wide row — plus single-pixel runs
+    val w = 300
+    val h = 5
+    val idx = (x: Int, y: Int) => if (x < 256) (x / (y + 1)) % 256 else y * 40 + 7
+    val bytes = PixelCodec.encodeBmpRle8(w, h, rlePalette, idx)
+    val img = decode(bytes).get
+    assert(img.width == w && img.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val ci = idx(x, y)
+      val o = (y * w + x) * 3
+      assert((img.rgb(o) & 0xff) == ((rlePalette(ci) >> 16) & 0xff))
+      assert((img.rgb(o + 1) & 0xff) == ((rlePalette(ci) >> 8) & 0xff))
+      assert((img.rgb(o + 2) & 0xff) == (rlePalette(ci) & 0xff))
+    }
+    assert(img.rgb.sameElements(imageIoRgb(bytes)),
+      "ImageIO disagrees on the RLE8 stream")
+  }
+
+  test("uncompressed 8bpp paletted BMP decodes; ImageIO agrees") {
+    // hand-built: 5 wide (stride pads to 8), 3 high, bottom-up
+    val w = 5
+    val h = 3
+    val stride = 8
+    val b = new Array[Byte](54 + 16 * 4 + stride * h)
+    def wle16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
+    def wle32(i: Int, v: Int): Unit = {
+      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'; wle32(2, b.length); wle32(10, 54 + 64)
+    wle32(14, 40); wle32(18, w); wle32(22, h)
+    wle16(26, 1); wle16(28, 8); wle32(30, 0); wle32(46, 16)
+    for (i <- 0 until 16) {
+      b(54 + i * 4) = (i * 5).toByte; b(54 + i * 4 + 1) = (i * 9).toByte
+      b(54 + i * 4 + 2) = (i * 13).toByte
+    }
+    for (y <- 0 until h; x <- 0 until w)
+      b(54 + 64 + (h - 1 - y) * stride + x) = ((x + y * 4) % 16).toByte
+    val img = decode(b).get
+    assert(img.width == w && img.height == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val ci = (x + y * 4) % 16
+      val o = (y * w + x) * 3
+      assert((img.rgb(o) & 0xff) == (ci * 13 & 0xff) &&
+        (img.rgb(o + 1) & 0xff) == (ci * 9 & 0xff) &&
+        (img.rgb(o + 2) & 0xff) == (ci * 5 & 0xff))
+    }
+    assert(img.rgb.sameElements(imageIoRgb(b)))
+  }
+
+  test("RLE8 absolute mode and cursor deltas decode; ImageIO agrees") {
+    // hand-built stream over a 6×3 canvas: run, absolute block,
+    // delta-skip (untouched pixels stay palette 0), EOLs, EOB
+    val data = Array[Int](
+      3, 5, // bottom row: 3 px of color 5
+      0, 3, 1, 2, 3, 0, // absolute: 3 literals + the odd-count pad byte
+      0, 0, // EOL
+      0, 2, 2, 1, // delta: right 2, up 1 → skips row 1 entirely
+      4, 9, // top row, x=2..5: 4 px of color 9
+      0, 1 // EOB
+    ).map(_.toByte)
+    val pal = Array.tabulate(16)(i => (i * 11 << 16) | (i * 7 << 8) | i * 3)
+    val head = PixelCodec.encodeBmpRle8(6, 3, pal, (_, _) => 0)
+    // splice our stream in place of the generated one
+    val off = 14 + 40 + pal.length * 4
+    val bytes = java.util.Arrays.copyOf(head, off + data.length)
+    bytes(34) = data.length.toByte // biSizeImage
+    System.arraycopy(data, 0, bytes, off, data.length)
+    val img = decode(bytes).get
+    // expected index canvas (display space, top row first)
+    val expect = Array(
+      Array(0, 0, 9, 9, 9, 9), // top (BMP y=2)
+      Array(0, 0, 0, 0, 0, 0), // skipped by the delta
+      Array(5, 5, 5, 1, 2, 3)) // bottom (BMP y=0): run then absolute
+    for (y <- 0 until 3; x <- 0 until 6) {
+      val ci = expect(y)(x)
+      assert((img.rgb((y * 6 + x) * 3) & 0xff) == ((pal(ci) >> 16) & 0xff),
+        s"index mismatch at ($x,$y)")
+    }
+    assert(img.rgb.sameElements(imageIoRgb(bytes)),
+      "ImageIO disagrees on absolute/delta modes")
+  }
+
+  test("hostile RLE8 streams decode to None, never throw") {
+    val pal = Array.tabulate(4)(i => i * 0x111111)
+    val good = PixelCodec.encodeBmpRle8(4, 2, pal, (x, y) => (x + y) % 4)
+    // truncated: no end-of-bitmap
+    assert(decode(good.take(good.length - 2)) == None)
+    // run overflows the row
+    val off = 14 + 40 + pal.length * 4
+    val overrun = good.clone(); overrun(off) = 200.toByte
+    assert(decode(overrun) == None)
+    // delta jumps past the canvas
+    val wild = java.util.Arrays.copyOf(good, off + 6)
+    wild(off) = 0; wild(off + 1) = 2; wild(off + 2) = 250.toByte
+    wild(off + 3) = 250.toByte; wild(off + 4) = 0; wild(off + 5) = 1
+    assert(decode(wild) == None)
+    // palette index out of biClrUsed range
+    val badIx = good.clone(); badIx(off + 1) = 9 // only 4 colors
+    assert(decode(badIx) == None)
+    // RLE8 with top-down height is refused (spec: bottom-up only)
+    val topDown = good.clone()
+    val hNeg = -2
+    topDown(22) = hNeg.toByte; topDown(23) = (hNeg >> 8).toByte
+    topDown(24) = (hNeg >> 16).toByte; topDown(25) = (hNeg >> 24).toByte
+    assert(decode(topDown) == None)
+  }
+
   test("features: exact channel sums and luma histogram") {
     val img = decode(encodePng(3, 2, grad)).get
     val f = features(img, bins = 4)

@@ -344,6 +344,75 @@ class VideoCodecSpec extends SparkFunSuite {
     }
   }
 
+  // ---------------------------------------------------- Microsoft RLE
+
+  private val mrlePal: Array[Int] =
+    Array.tabulate(64)(i => (4 * i << 16) | ((3 * i) << 8) | (2 * i))
+
+  test("MRLE: key frame + delta frames composite on the index canvas") {
+    import VideoCodec.MrleFrame
+    // frame 0 paints the full 10×6 canvas; frame j ≥ 1 paints a 2×2
+    // block of color 32+j at a distinct spot, rest shows through
+    val base = (x: Int, y: Int) => (x + y * 2) % 32
+    val frames = MrleFrame(0, 0, 10, 6, base) +:
+      (1 until 5).map(j => MrleFrame(2 * (j - 1), 2, 2, 2, (_, _) => 32 + j))
+    val bytes = VideoCodec.encodeAviMrle(10, 6, frames, mrlePal)
+    val clip = VideoCodec.decodeSampled(bytes, 1).get
+    assert(clip.container == "mrle")
+    assert(clip.width == 10 && clip.height == 6 && clip.totalFrames == 5)
+    // frame f shows the base canvas with overlays 1..f applied
+    for (f <- 0 until 5; y <- 0 until 6; x <- 0 until 10) {
+      val overlay = (1 to f).reverse.find(j =>
+        x >= 2 * (j - 1) && x < 2 * (j - 1) + 2 && y >= 2 && y < 4)
+      val ci = overlay.map(32 + _).getOrElse(base(x, y))
+      val o = (y * 10 + x) * 3
+      assert((clip.frames(f).rgb(o) & 0xff) == ((mrlePal(ci) >> 16) & 0xff),
+        s"frame $f pixel ($x,$y)")
+    }
+    // stride 2 still composites every frame, then samples 0,2,4
+    val s2 = VideoCodec.decodeSampled(bytes, 2).get
+    assert(s2.sampledIdx.sameElements(Array(0, 2, 4)))
+    val f4 = clip.frames(4).rgb
+    assert(s2.frames(2).rgb.sameElements(f4), "stride-2 frame 4 must equal stride-1's")
+  }
+
+  test("MRLE: untouched pixels show the zero-initialized canvas through frame 0") {
+    import VideoCodec.MrleFrame
+    // the very first frame is itself partial: everything outside its
+    // rect stays palette index 0 (the defined initial canvas)
+    val bytes = VideoCodec.encodeAviMrle(8, 4,
+      Seq(MrleFrame(3, 1, 2, 2, (_, _) => 9)), mrlePal)
+    val clip = VideoCodec.decodeSampled(bytes, 1).get
+    for (y <- 0 until 4; x <- 0 until 8) {
+      val inRect = x >= 3 && x < 5 && y >= 1 && y < 3
+      val ci = if (inRect) 9 else 0
+      assert((clip.frames(0).rgb((y * 8 + x) * 3) & 0xff) ==
+        ((mrlePal(ci) >> 16) & 0xff), s"pixel ($x,$y)")
+    }
+  }
+
+  test("MRLE: corrupt streams and hostile palette indexes refuse, never throw") {
+    import VideoCodec.MrleFrame
+    val good = VideoCodec.encodeAviMrle(8, 4,
+      Seq(MrleFrame(0, 0, 8, 4, (x, y) => (x + y) % 16)), mrlePal)
+    // find the frame chunk and stomp its run count to overflow the row
+    var i = 12
+    var at = -1
+    while (at < 0 && i + 8 <= good.length) {
+      if (good(i) == '0' && good(i + 1) == '0' && good(i + 2) == 'd' &&
+          good(i + 3) == 'c') at = i
+      else i += 1
+    }
+    assert(at > 0)
+    val overrun = good.clone(); overrun(at + 8) = 200.toByte
+    assert(VideoCodec.decodeSampled(overrun, 1) == None)
+    // palette index beyond biClrUsed (64 colors) → refused at snapshot
+    val badIx = good.clone(); badIx(at + 9) = 70.toByte
+    assert(VideoCodec.decodeSampled(badIx, 1) == None)
+    // truncation mid-frame: the movi LIST overruns the buffer
+    assert(VideoCodec.decodeSampled(good.take(at + 30), 1) == None)
+  }
+
   test("MJPEG: geometry mismatch and corrupt payloads refuse, never throw") {
     // strf says 16×8 but the frames are 8×8 → None
     val wrongGeom = {
