@@ -1145,7 +1145,7 @@ object Llm {
   def q72(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out72 = Tables.scratch(s"media72/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val mediaDir = Tables.cachedDerived(dir, out72, version = "v1-resize") {
+    val mediaDir = Tables.cachedDerived(dir, out72, version = "v2-resize-rle8") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val bytes =
@@ -1158,14 +1158,21 @@ object Llm {
             val bb = ((id * 7) % 83).toInt
             def px(x: Int, y: Int): (Int, Int, Int) =
               (br + 3 * x + 5 * y, bg + 5 * x + 2 * y, bb + 2 * x + 7 * y)
-            (id % 4).toInt match {
+            (id % 5).toInt match {
               case 0 => graft.operators.PixelCodec.encodeBmp(w, h, px,
-                topDown = (id / 4) % 2 == 1)
+                topDown = (id / 5) % 2 == 1)
               case 1 => graft.operators.PixelCodec.encodePng(w, h, px,
-                interlaced = (id / 4) % 2 == 1)
+                interlaced = (id / 5) % 2 == 1)
               case 2 => graft.operators.PixelCodec.encodeGif(w, h, px)
-              case _ => graft.operators.WebpCodec.encodeWebpLossless(w, h, px,
-                subtractGreen = (id / 4) % 2 == 1)
+              case 3 => graft.operators.WebpCodec.encodeWebpLossless(w, h, px,
+                subtractGreen = (id / 5) % 2 == 1)
+              case _ => // round 16: BI_RLE8 run-length BMP, lossless too
+                graft.operators.PixelCodec.encodeBmpRle8(w, h,
+                  Array.tabulate(w * h) { k =>
+                    val (r, g, bl) = px(k % w, k / w)
+                    (r << 16) | (g << 8) | bl
+                  },
+                  (x, y) => y * w + x)
             }
           }
         (id, bytes)
@@ -1197,8 +1204,9 @@ object Llm {
       |  FROM g)
       |SELECT doc_id,
       |       CASE WHEN stub THEN 'stub'
-      |            WHEN doc_id % 4 = 0 THEN 'bmp' WHEN doc_id % 4 = 1 THEN 'png'
-      |            WHEN doc_id % 4 = 2 THEN 'gif' ELSE 'webp' END AS decoder,
+      |            WHEN doc_id % 5 IN (0, 4) THEN 'bmp'
+      |            WHEN doc_id % 5 = 1 THEN 'png'
+      |            WHEN doc_id % 5 = 2 THEN 'gif' ELSE 'webp' END AS decoder,
       |       CAST(CASE WHEN stub THEN NULL ELSE w END AS BIGINT) AS in_width,
       |       CAST(CASE WHEN stub THEN NULL ELSE h END AS BIGINT) AS in_height,
       |       CAST(CASE WHEN stub THEN NULL ELSE ow END AS BIGINT) AS out_width,
