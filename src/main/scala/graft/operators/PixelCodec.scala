@@ -107,12 +107,15 @@ object PixelCodec {
       val clrUsed0 = le32(b, 46)
       val nColors = if (clrUsed0 == 0) 256 else clrUsed0
       if (nColors < 1 || nColors > 256) return None
+      // Long arithmetic: a hostile biSize near Int.MaxValue must fail
+      // the bounds check, not wrap negative and pass it
+      if (14L + dibSize + 4L * nColors > b.length) return None
       val palOff = 14 + dibSize
-      if (palOff + 4 * nColors > b.length) return None
       val idx = new Array[Byte](w * h) // display-space palette indices
       if (compression == 0) {
         val stride = (w + 3) / 4 * 4
-        if (pixelOff.toLong + stride.toLong * h > b.length) return None
+        if (pixelOff < 54 ||
+            pixelOff.toLong + stride.toLong * h > b.length) return None
         var y = 0
         while (y < h) {
           val srcRow = if (topDown) y else h - 1 - y
@@ -647,19 +650,27 @@ object PixelCodec {
     * into the BMP/MRLE wire coding: bottom-up rows of encoded runs
     * (capped at 255), 00 00 after every line, 00 01 at the end. Shared
     * by the BI_RLE8 BMP fixture writer and the AVI `MRLE` encoder. */
+  /** Emit one row of encoded runs (capped at 255) — the core wire
+    * coding shared by [[rle8Encode]] and the AVI MRLE frame writer. */
+  private[operators] def rle8EncodeRuns(out: java.io.ByteArrayOutputStream,
+      width: Int, v: Int => Int): Unit = {
+    var x = 0
+    while (x < width) {
+      val c = v(x) & 0xff
+      var n = 1
+      while (n < 255 && x + n < width && (v(x + n) & 0xff) == c) n += 1
+      out.write(n); out.write(c)
+      x += n
+    }
+  }
+
   private[operators] def rle8Encode(w: Int, h: Int,
       idx: (Int, Int) => Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     var row = h - 1 // display row; emitted bottom-up
     while (row >= 0) {
-      var x = 0
-      while (x < w) {
-        val v = idx(x, row) & 0xff
-        var n = 1
-        while (n < 255 && x + n < w && (idx(x + n, row) & 0xff) == v) n += 1
-        out.write(n); out.write(v)
-        x += n
-      }
+      val r = row
+      rle8EncodeRuns(out, w, x => idx(x, r))
       out.write(0); out.write(if (row == 0) 1 else 0) // EOL / final EOB
       row -= 1
     }

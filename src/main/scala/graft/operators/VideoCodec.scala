@@ -777,14 +777,8 @@ object VideoCodec {
       var row = f.fh - 1 // frame-local row painted at this BMP line
       while (row >= 0) {
         if (f.left > 0) { o.write(0); o.write(2); o.write(f.left); o.write(0) }
-        var x = 0
-        while (x < f.fw) {
-          val v = f.idx(x, row) & 0xff
-          var n = 1
-          while (n < 255 && x + n < f.fw && (f.idx(x + n, row) & 0xff) == v) n += 1
-          o.write(n); o.write(v)
-          x += n
-        }
+        val r = row
+        PixelCodec.rle8EncodeRuns(o, f.fw, x => f.idx(x, r))
         o.write(0); o.write(if (row == 0) 1 else 0) // EOL / final EOB
         row -= 1
       }

@@ -329,6 +329,19 @@ class PixelCodecSpec extends SparkFunSuite {
     // palette index out of biClrUsed range
     val badIx = good.clone(); badIx(off + 1) = 9 // only 4 colors
     assert(decode(badIx) == None)
+    // hostile bfOffBits: negative via le32 wrap on an 8bpp uncompressed
+    // BMP — must refuse, not throw (the decode-to-None contract)
+    val pal16 = Array.tabulate(16)(i => i * 0x101010)
+    val flat = PixelCodec.encodeBmpRle8(4, 2, pal16, (x, y) => (x + y) % 16)
+    flat(30) = 0 // biCompression BI_RLE8 → BI_RGB (8bpp uncompressed)
+    val negOff = flat.clone()
+    negOff(10) = 0; negOff(11) = -1; negOff(12) = -1; negOff(13) = -1
+    assert(decode(negOff) == None)
+    // hostile biSize near Int.MaxValue: the palette bounds check must
+    // not wrap negative and pass
+    val hugeDib = good.clone()
+    hugeDib(14) = -1; hugeDib(15) = -1; hugeDib(16) = -1; hugeDib(17) = 0x7f
+    assert(decode(hugeDib) == None)
     // RLE8 with top-down height is refused (spec: bottom-up only)
     val topDown = good.clone()
     val hNeg = -2
