@@ -161,11 +161,18 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     // optional first arg: scale factor over the base dir (default 10;
-    // 100 runs the scan/join-bound subset on a ×100 dataset)
+    // 100 runs the scan/join-bound subset on a ×100 dataset).
+    // SPARK_GRAFT_PROBE=cc skips the dataset build and query sweep and
+    // runs ONLY the cc_chain section — a fresh-JVM elapsed measurement
+    // for the one probe row whose late-JVM position otherwise inflates
+    // it (the full probe runs it last, after ~50 heavy queries).
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val ccOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("cc")
     val sf1 = Tables.scratch(s"sfx$factor")
-    System.err.println(s"[probe] building ${factor}x dataset at $sf1 from $base")
-    build(spark, base, sf1, factor)
+    if (!ccOnly) {
+      System.err.println(s"[probe] building ${factor}x dataset at $sf1 from $base")
+      build(spark, base, sf1, factor)
+    }
 
     // stage-level shuffle-write accounting; queries that clone sessions
     // still share the one SparkContext, so the listener sees every stage
@@ -184,7 +191,7 @@ object ScaleProbe {
     case class Probe(q: String, dir: String, rows: Long, sec: Double,
         shuffleMb: Double)
 
-    val qs = probeQueries(factor)
+    val qs = if (ccOnly) Seq.empty[String] else probeQueries(factor)
     val results = for (dir <- Seq(base, sf1); q <- qs) yield {
       sweep()
       // let queued listener events settle so the previous query's stages
