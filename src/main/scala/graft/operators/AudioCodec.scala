@@ -307,6 +307,20 @@ object AudioCodec {
 
   // ------------------------------------------------------------- encode
 
+  // shared little-endian writers for the fixture encoders (one copy —
+  // every canonical-header writer below uses these)
+  private def wtagAt(b: Array[Byte], i: Int, t: String): Unit = {
+    var k = 0
+    while (k < 4) { b(i + k) = t.charAt(k).toByte; k += 1 }
+  }
+  private def wle16At(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+  }
+  private def wle32At(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
+    b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
+  }
+
   /** Real IEEE-float RIFF/WAVE bytes (fixtures + round-trip tests):
     * canonical header with wFormatTag 3, 32-bit LE floats, interleaved
     * frame-major. Floats on the k/8388607 lattice round-trip to exact
@@ -316,15 +330,9 @@ object AudioCodec {
     require(sampleRate > 0 && channels > 0 && samples.length % channels == 0)
     val dataLen = samples.length * 4
     val b = new Array[Byte](44 + dataLen)
-    def wtag(i: Int, t: String): Unit = {
-      var k = 0
-      while (k < 4) { b(i + k) = t.charAt(k).toByte; k += 1 }
-    }
-    def wle16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
-    def wle32(i: Int, v: Int): Unit = {
-      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
-      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
-    }
+    def wtag(i: Int, t: String): Unit = wtagAt(b, i, t)
+    def wle16(i: Int, v: Int): Unit = wle16At(b, i, v)
+    def wle32(i: Int, v: Int): Unit = wle32At(b, i, v)
     wtag(0, "RIFF"); wle32(4, 36 + dataLen); wtag(8, "WAVE")
     wtag(12, "fmt "); wle32(16, 16)
     wle16(20, 3); wle16(22, channels); wle32(24, sampleRate) // IEEE float
@@ -344,15 +352,9 @@ object AudioCodec {
   def encodeWavUlaw(sampleRate: Int, codes: Array[Byte]): Array[Byte] = {
     require(sampleRate > 0 && codes.nonEmpty)
     val b = new Array[Byte](44 + codes.length)
-    def wtag(i: Int, t: String): Unit = {
-      var k = 0
-      while (k < 4) { b(i + k) = t.charAt(k).toByte; k += 1 }
-    }
-    def wle16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
-    def wle32(i: Int, v: Int): Unit = {
-      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
-      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
-    }
+    def wtag(i: Int, t: String): Unit = wtagAt(b, i, t)
+    def wle16(i: Int, v: Int): Unit = wle16At(b, i, v)
+    def wle32(i: Int, v: Int): Unit = wle32At(b, i, v)
     wtag(0, "RIFF"); wle32(4, 36 + codes.length); wtag(8, "WAVE")
     wtag(12, "fmt "); wle32(16, 16)
     wle16(20, 7); wle16(22, 1); wle32(24, sampleRate) // µ-law, mono
@@ -434,15 +436,9 @@ object AudioCodec {
   def wrapWavAdpcm(sampleRate: Int, channels: Int, blockAlign: Int,
       samplesPerBlock: Int, data: Array[Byte]): Array[Byte] = {
     val b = new Array[Byte](48 + data.length)
-    def wtag(i: Int, t: String): Unit = {
-      var k = 0
-      while (k < 4) { b(i + k) = t.charAt(k).toByte; k += 1 }
-    }
-    def wle16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
-    def wle32(i: Int, v: Int): Unit = {
-      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
-      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
-    }
+    def wtag(i: Int, t: String): Unit = wtagAt(b, i, t)
+    def wle16(i: Int, v: Int): Unit = wle16At(b, i, v)
+    def wle32(i: Int, v: Int): Unit = wle32At(b, i, v)
     wtag(0, "RIFF"); wle32(4, 40 + data.length); wtag(8, "WAVE")
     wtag(12, "fmt "); wle32(16, 20)
     wle16(20, 0x11); wle16(22, channels); wle32(24, sampleRate)
@@ -463,15 +459,9 @@ object AudioCodec {
     require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue))
     val dataLen = samples.length * 2
     val b = new Array[Byte](44 + dataLen)
-    def wtag(i: Int, t: String): Unit = {
-      var k = 0
-      while (k < 4) { b(i + k) = t.charAt(k).toByte; k += 1 }
-    }
-    def wle16(i: Int, v: Int): Unit = { b(i) = v.toByte; b(i + 1) = (v >> 8).toByte }
-    def wle32(i: Int, v: Int): Unit = {
-      b(i) = v.toByte; b(i + 1) = (v >> 8).toByte
-      b(i + 2) = (v >> 16).toByte; b(i + 3) = (v >> 24).toByte
-    }
+    def wtag(i: Int, t: String): Unit = wtagAt(b, i, t)
+    def wle16(i: Int, v: Int): Unit = wle16At(b, i, v)
+    def wle32(i: Int, v: Int): Unit = wle32At(b, i, v)
     wtag(0, "RIFF"); wle32(4, 36 + dataLen); wtag(8, "WAVE")
     wtag(12, "fmt "); wle32(16, 16)
     wle16(20, 1); wle16(22, channels); wle32(24, sampleRate)

@@ -172,6 +172,10 @@ object JpegCodec {
       case _: Corrupt => None
       case _: ArrayIndexOutOfBoundsException => None
       case _: NegativeArraySizeException => None
+      // the QM coder reports malformed restart-marker structure this
+      // way (missing or non-RSTn marker at a DRI boundary in an
+      // arithmetic scan) — corrupt media is data, not an error
+      case _: IllegalStateException => None
     }
   }
 

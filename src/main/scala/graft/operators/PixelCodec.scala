@@ -646,10 +646,6 @@ object PixelCodec {
     b
   }
 
-  /** RLE8-compress one display-space index raster, row-major top-first,
-    * into the BMP/MRLE wire coding: bottom-up rows of encoded runs
-    * (capped at 255), 00 00 after every line, 00 01 at the end. Shared
-    * by the BI_RLE8 BMP fixture writer and the AVI `MRLE` encoder. */
   /** Emit one row of encoded runs (capped at 255) — the core wire
     * coding shared by [[rle8Encode]] and the AVI MRLE frame writer. */
   private[operators] def rle8EncodeRuns(out: java.io.ByteArrayOutputStream,
@@ -664,6 +660,10 @@ object PixelCodec {
     }
   }
 
+  /** RLE8-compress one display-space index raster, row-major top-first,
+    * into the BMP/MRLE wire coding: bottom-up rows of encoded runs
+    * (capped at 255), 00 00 after every line, 00 01 at the end. Shared
+    * by the BI_RLE8 BMP fixture writer and the AVI `MRLE` encoder. */
   private[operators] def rle8Encode(w: Int, h: Int,
       idx: (Int, Int) => Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

@@ -319,7 +319,7 @@ object VideoCodec {
         case 0x21 =>
           if (i + 1 >= b.length) return None
           if ((b(i + 1) & 0xff) == 0xf9) {
-            if (i + 5 >= b.length) return None
+            if (i + 6 >= b.length) return None // reads through b(i+6)
             val flags = b(i + 3) & 0xff
             disposal = (flags >> 2) & 7
             transIdx = if ((flags & 1) != 0) b(i + 6) & 0xff else -1

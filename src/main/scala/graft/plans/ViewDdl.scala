@@ -68,7 +68,35 @@ object ViewDdl {
     }
   }
 
-  private def quote(s: String): String = "'" + s.replace("'", "''") + "'"
+  /** Single-quote `s` so the generated CALL re-parses to exactly `s`.
+    * Quotes double ('' is an escaped quote in Spark's lexer — probed);
+    * backslashes double too, because the default lexer escape-processes
+    * them (`\d` typed in a view body would otherwise be CONSUMED on the
+    * re-parse and the stored definition would silently differ from what
+    * the user wrote). Under the legacy
+    * `spark.sql.parser.escapedStringLiterals=true` mode backslashes are
+    * literal, so only quotes need doubling there. */
+  private def quote(s: String): String = {
+    val legacyLiterals =
+      try org.apache.spark.sql.internal.SQLConf.get.escapedStringLiterals
+      catch { case _: Throwable => false }
+    val bs = if (legacyLiterals) s else s.replace("\\", "\\\\")
+    "'" + bs.replace("'", "''") + "'"
+  }
+
+  /** The procedure's `view` argument is dot-separated (`split('.')` on
+    * the other side), so a backquoted segment CONTAINING a dot cannot
+    * round-trip — refuse loudly rather than create/drop a different
+    * identifier than the user named. */
+  private def joinTail(p: Seq[String], verb: String): String = {
+    p.tail.find(_.contains('.')).foreach { seg =>
+      throw new IllegalArgumentException(
+        s"$verb: backquoted identifier segment `$seg` contains '.', which " +
+          "the create_view/drop_view procedures' dot-separated view " +
+          "argument cannot represent — rename the view or namespace")
+    }
+    p.tail.mkString(".")
+  }
 
   /** Rewrite graft-catalog view DDL to its procedure call; anything else
     * passes through byte-identical. */
@@ -79,13 +107,13 @@ object ViewDdl {
         if (!isGraftCatalog(p.head)) sql
         else {
           val replace = orReplace != null
-          s"CALL ${p.head}.system.create_view(view => ${quote(p.tail.mkString("."))}, " +
+          s"CALL ${p.head}.system.create_view(view => ${quote(joinTail(p, "CREATE VIEW"))}, " +
             s"sql_text => ${quote(body.trim.stripSuffix(";"))}, replace => $replace)"
         }
       case DropRe(ident) =>
         val p = parts(ident)
         if (!isGraftCatalog(p.head)) sql
-        else s"CALL ${p.head}.system.drop_view(view => ${quote(p.tail.mkString("."))})"
+        else s"CALL ${p.head}.system.drop_view(view => ${quote(joinTail(p, "DROP VIEW"))})"
       case _ => sql
     }
 }

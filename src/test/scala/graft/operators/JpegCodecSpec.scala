@@ -223,6 +223,24 @@ class JpegCodecSpec extends SparkFunSuite {
       case Some(i) => assert(i.width == 24 && i.height == 16)
       case None => // fine: corruption detected
     }
+    // an ARITHMETIC stream with a DRI segment spliced in declares
+    // restart intervals its entropy data doesn't contain — the QM
+    // coder reports the missing RSTn as an IllegalStateException,
+    // which must surface as None, not escape and kill the task
+    val arith = JpegCodec.encodeJpeg(24, 16, blockGray(40), gray = true,
+      arith = true)
+    var sosAt = -1
+    var j = 2
+    while (sosAt < 0 && j + 1 < arith.length) {
+      if ((arith(j) & 0xff) == 0xff && (arith(j + 1) & 0xff) == 0xda) sosAt = j
+      else j += 1
+    }
+    assert(sosAt > 0)
+    val withDri = new java.io.ByteArrayOutputStream()
+    withDri.write(arith, 0, sosAt)
+    withDri.write(Array[Byte](0xff.toByte, 0xdd.toByte, 0, 4, 0, 1), 0, 6)
+    withDri.write(arith, sosAt, arith.length - sosAt)
+    assert(decode(withDri.toByteArray) == None)
   }
 
   test("arithmetic (SOF9): block-constant grayscale round-trips bit-exactly") {

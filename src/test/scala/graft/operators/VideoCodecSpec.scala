@@ -344,6 +344,22 @@ class VideoCodecSpec extends SparkFunSuite {
     }
   }
 
+  test("composited GIF: a GCE truncated exactly at its transparent-index byte refuses") {
+    // [valid composited frames][0x21 0xF9 0x00 0x3B 0x00 0x00] — the
+    // pre-scan reads only through b(i+3) (whose 0x3B has the
+    // transparency bit set, routing to the composited tier) and the
+    // stray 0x3B doubles as a trailer for it; the composited decoder
+    // must then bounds-check through b(i+6) before reading the
+    // transparent index, not crash on the truncated extension
+    import VideoCodec.GifFrame
+    val base = VideoCodec.encodeGifAnimComposited(4, 3,
+      Seq(GifFrame(0, 0, 4, 3, 1, (x, y) => (10 + x, 20 + y, 30)),
+        GifFrame(1, 1, 1, 1, 1, (_, _) => (200, 100, 50))))
+    val crafted = base.dropRight(1) ++
+      Array[Byte](0x21, 0xf9.toByte, 0x00, 0x3b, 0x00, 0x00)
+    assert(VideoCodec.decodeSampled(crafted, 1) == None)
+  }
+
   // ---------------------------------------------------- Microsoft RLE
 
   private val mrlePal: Array[Int] =

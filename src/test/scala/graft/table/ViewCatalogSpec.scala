@@ -218,6 +218,25 @@ class ViewCatalogSpec extends SparkFunSuite {
     assert(s.sql("SELECT * FROM graft.db.v_bq").columns.toSeq == Seq("id"))
     s.sql("DROP VIEW graft.db.`v_bq`")
     intercept[Exception] { s.sql("SELECT * FROM graft.db.v_bq").collect() }
+    // a body containing BACKSLASH escapes survives the desugar's
+    // re-quoting exactly: the stored definition must keep the \d the
+    // user typed (a quote() that only doubled single quotes would let
+    // the generated CALL's re-parse CONSUME the backslash, silently
+    // storing a different regex)
+    s.sql("""CREATE OR REPLACE VIEW graft.db.v_bs AS
+      |SELECT regexp_replace(CAST(id AS STRING), '\\d', 'N') AS r
+      |FROM graft.db.v_base""".stripMargin)
+    assert(s.sql("SELECT r FROM graft.db.v_bs ORDER BY r").collect()
+      .map(_.getString(0)).toSeq == Seq("N", "N", "N"))
+    s.sql("DROP VIEW graft.db.v_bs")
+    // a backquoted segment CONTAINING a dot cannot round-trip through
+    // the procedure's dot-separated view argument — refused loudly,
+    // not silently re-split into a different identifier
+    val dotted = intercept[Exception] {
+      s.sql("CREATE OR REPLACE VIEW graft.db.`v.dot` AS " +
+        "SELECT id FROM graft.db.v_base")
+    }
+    assert(dotted.getMessage.contains("contains '.'"), dotted.getMessage)
   }
 
   test("native spelling still refuses unqualified bodies; non-graft DDL passes through") {
