@@ -20,8 +20,14 @@ package graft.operators
   * statistical model, DAC conditioning parsed with spec defaults) and
   * PROGRESSIVE (SOF10: the G.2 scan-script models — DC first/refine,
   * AC first/refine with previous-stage EOB gating), both
-  * ImageIO-cross-checked. Hierarchical/differential/lossless frames
-  * return None → the labeled stub path, like any other
+  * ImageIO-cross-checked. HIERARCHICAL sequences (Annex J) decode for
+  * real too since round 16: DHP declares the final geometry, a
+  * non-differential base frame seeds the reference plane, EXP doubles
+  * it with the J.1.1.2 bilinear ((a+b+1)>>1, edge-replicated) filter,
+  * and DIFFERENTIAL SOF5 frames add their un-level-shifted signed
+  * corrections — grayscale sequential-Huffman pyramid scope; the
+  * arithmetic/progressive/lossless differential family (SOF6/7/11/
+  * 13–15) returns None → the labeled stub path, like any other
   * malformed/unsupported payload: corrupt media in a 100 TB crawl is
   * data, not an error.
   *
@@ -194,6 +200,16 @@ object JpegCodec {
     var arithCoded = false // SOF9/SOF10: arithmetic entropy
     var lossless = false // SOF3: predictive lossless
     var progScans = 0 // progressive scans successfully processed
+    // hierarchical mode (T.81 Annex J): DHP declares the final
+    // geometry, frames accumulate into a reference plane, EXP doubles
+    // it between frames, SOF5 frames ADD signed corrections
+    var hier = false
+    var hierW = 0
+    var hierH = 0
+    var hierRef: Array[Int] = null // reference plane, refW × refH
+    var refW = 0
+    var refH = 0
+    var differential = false
     // DAC conditioning (T.81 B.2.4.3): DC bounds L/U and AC Kx per
     // table id; spec defaults when no DAC segment appears
     val dcL = Array.fill(4)(0)
@@ -206,9 +222,11 @@ object JpegCodec {
       while (i + 1 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1 // fill bytes
       if (i + 1 >= b.length) corrupt()
       val m = b(i + 1) & 0xff
-      if (m == 0xd9) // EOI: reconstruct a progressive frame, else give up
+      if (m == 0xd9) // EOI: progressive/hierarchical reconstruct here
         return if (progressive && progScans > 0)
           Some(finishProgressive(comps, width, height, qt))
+        else if (hier && hierRef != null && refW == hierW && refH == hierH)
+          Some(grayImage(hierRef, hierW, hierH))
         else None
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
       else {
@@ -269,14 +287,17 @@ object JpegCodec {
               } else corrupt()
               p += 2
             }
-          case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca | 0xc3 =>
+          case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca | 0xc3 | 0xc5 =>
             // SOF0/1 sequential, SOF2 progressive (Huffman),
             // SOF9 sequential / SOF10 progressive (arithmetic),
-            // SOF3 lossless (predictive, Huffman)
+            // SOF3 lossless (predictive, Huffman), SOF5 DIFFERENTIAL
+            // sequential (Huffman — hierarchical frames only)
             if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
             progressive = m == 0xc2 || m == 0xca
             arithCoded = m == 0xc9 || m == 0xca
             lossless = m == 0xc3
+            differential = m == 0xc5
+            if (differential && !hier) return None // J.1: needs a DHP sequence
             height = be16(b, seg + 1)
             width = be16(b, seg + 3)
             val nf = b(seg + 5) & 0xff
@@ -289,12 +310,37 @@ object JpegCodec {
               if (comp.h < 1 || comp.h > 4 || comp.v < 1 || comp.v > 4) corrupt()
               comp
             }
-          case 0xc5 | 0xc6 | 0xc7 | 0xcb |
+          case 0xde => // DHP: hierarchical sequence header (T.81 B.3.2)
+            if ((b(seg) & 0xff) != 8) return None
+            hierH = be16(b, seg + 1)
+            hierW = be16(b, seg + 3)
+            val nf = b(seg + 5) & 0xff
+            if (hierW <= 0 || hierH <= 0) return None
+            if (nf != 1) return None // grayscale hierarchical scope
+            if (hierW.toLong * hierH > MaxPixels) return None
+            hier = true
+          case 0xdf => // EXP: double the reference before the next frame
+            if (!hier || hierRef == null) corrupt()
+            val eh = (b(seg) & 0xff) >> 4
+            val ev = b(seg) & 0x0f
+            if (eh > 1 || ev > 1) corrupt()
+            if (eh == 1) {
+              hierRef = expandH(hierRef, refW, refH)
+              refW *= 2
+            }
+            if (ev == 1) {
+              hierRef = expandV(hierRef, refW, refH)
+              refH *= 2
+            }
+            if (refW.toLong * refH > MaxPixels) corrupt()
+          case 0xc6 | 0xc7 | 0xcb |
               0xcd | 0xce | 0xcf =>
-            // hierarchical / differential frames and ARITHMETIC lossless
-            // (SOF11) remain the labeled stub path; Huffman lossless
-            // (SOF3) and both arithmetic DCT frame types (SOF9/SOF10)
-            // are real since round 16
+            // differential progressive/lossless and the arithmetic
+            // differential family, plus ARITHMETIC lossless (SOF11),
+            // remain the labeled stub path; Huffman lossless (SOF3),
+            // both arithmetic DCT frame types (SOF9/SOF10), and
+            // Huffman hierarchical (DHP/EXP/SOF5) are real since
+            // round 16
             return None
           case 0xda => // SOS → entropy-coded data follows
             if (comps == null) corrupt()
@@ -320,7 +366,31 @@ object JpegCodec {
             val se = b(p + 1) & 0xff
             val ah = (b(p + 2) & 0xff) >> 4
             val al = b(p + 2) & 0x0f
-            if (lossless) {
+            if (hier) {
+              // hierarchical scope: sequential Huffman frames, grayscale
+              // 1×1 (the pyramid shape the encoder writes); other frame
+              // types inside a DHP sequence → labeled stub
+              if (progressive || arithCoded || lossless) return None
+              if (comps.length != 1 || ns != 1 ||
+                  comps(0).h != 1 || comps(0).v != 1) return None
+              val c0 = comps(0)
+              if (c0.dcTable == null || c0.acTable == null) corrupt()
+              if (qt(c0.tq) == null) corrupt()
+              if (differential) {
+                // frame geometry must match the (possibly EXPanded)
+                // reference — a mismatch would mis-register corrections
+                if (hierRef == null || width != refW || height != refH)
+                  return None
+              } else {
+                hierRef = new Array[Int](width * height)
+                refW = width
+                refH = height
+              }
+              i = decodeHierScan(b, segEnd, c0, width, height, qt,
+                restartInterval, hierRef, refW, differential)
+              differential = false
+              comps = null // next frame brings its own SOF
+            } else if (lossless) {
               // SOF3: grayscale only (3-component lossless carries no
               // implied color transform — out of scope), 1×1 sampling,
               // Ss selects the predictor, Al is the point transform
@@ -329,14 +399,12 @@ object JpegCodec {
               decodeLosslessScan(b, segEnd, comps(0), width, height,
                 ss, al, restartInterval)
               return Some(toRgb(comps, width, height))
-            }
-            if (arithCoded && !progressive) {
+            } else if (arithCoded && !progressive) {
               if (ns != comps.length) return None // interleaved only, like SOF0
               decodeArithScan(b, segEnd, comps, width, height, qt,
                 restartInterval, dcL, dcU, acK)
               return Some(toRgb(comps, width, height))
-            }
-            if (!progressive) {
+            } else if (!progressive) {
               if (ns != comps.length) return None // non-interleaved sequential: out of scope
               scanComps.foreach(sc =>
                 if (sc.dcTable == null || sc.acTable == null) corrupt())
@@ -355,7 +423,9 @@ object JpegCodec {
             }
           case _ => // APPn / COM / anything else with a length field
         }
-        if (!(m == 0xda && progressive)) i = segEnd
+        // progressive and hierarchical SOS set `i` past the entropy
+        // data themselves; everything else resumes at the segment end
+        if (!(m == 0xda && (progressive || hier))) i = segEnd
       }
     }
     None
@@ -1061,9 +1131,11 @@ object JpegCodec {
     }
   }
 
-  /** Double-precision separable IDCT (T.81 A.3.3), +128 level shift,
-    * clamp to 0..255. `coef` natural order, `out` row-major samples. */
-  private def idct(coef: Array[Int], out: Array[Int]): Unit = {
+  /** Double-precision separable IDCT (T.81 A.3.3) WITHOUT the level
+    * shift: raw signed spatial values — what a hierarchical
+    * DIFFERENTIAL frame's corrections are (J.1: no level shift on the
+    * difference signal). `coef` natural order, `out` row-major. */
+  private def idctRaw(coef: Array[Int], out: Array[Int]): Unit = {
     val tmp = new Array[Double](64)
     var u = 0
     while (u < 8) { // horizontal pass: frequency v → spatial x
@@ -1084,12 +1156,146 @@ object JpegCodec {
         var s = 0.0
         var uu = 0
         while (uu < 8) { s += Cn(uu) * tmp(uu * 8 + x) * CosT(y)(uu); uu += 1 }
-        val v = math.round(s / 4.0).toInt + 128
-        out(y * 8 + x) = if (v < 0) 0 else if (v > 255) 255 else v
+        out(y * 8 + x) = math.round(s / 4.0).toInt
         x += 1
       }
       y += 1
     }
+  }
+
+  /** [[idctRaw]] + the +128 level shift, clamped to 0..255 — the
+    * non-differential spelling every other frame type uses. */
+  private def idct(coef: Array[Int], out: Array[Int]): Unit = {
+    idctRaw(coef, out)
+    var i = 0
+    while (i < 64) {
+      val v = out(i) + 128
+      out(i) = if (v < 0) 0 else if (v > 255) 255 else v
+      i += 1
+    }
+  }
+
+  /** Gray reference plane → PixelImage (hierarchical output). */
+  private def grayImage(ref: Array[Int], w: Int, h: Int): PixelImage = {
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val v = ref(i).toByte
+      out(i * 3) = v; out(i * 3 + 1) = v; out(i * 3 + 2) = v
+      i += 1
+    }
+    PixelImage(w, h, out)
+  }
+
+  /** T.81 J.1.1.2 horizontal 2× expansion: even outputs copy, odd
+    * outputs interpolate (a+b+1)>>1 with edge replication. */
+  private def expandH(ref: Array[Int], w: Int, h: Int): Array[Int] = {
+    val nw = w * 2
+    val out = new Array[Int](nw * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val a = ref(y * w + x)
+        val c = ref(y * w + math.min(x + 1, w - 1))
+        out(y * nw + 2 * x) = a
+        out(y * nw + 2 * x + 1) = (a + c + 1) >> 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** T.81 J.1.1.2 vertical 2× expansion, same rule per column. */
+  private def expandV(ref: Array[Int], w: Int, h: Int): Array[Int] = {
+    val out = new Array[Int](w * h * 2)
+    var y = 0
+    while (y < h) {
+      val next = math.min(y + 1, h - 1)
+      var x = 0
+      while (x < w) {
+        val a = ref(y * w + x)
+        val c = ref(next * w + x)
+        out(2 * y * w + x) = a
+        out((2 * y + 1) * w + x) = (a + c + 1) >> 1
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** One sequential Huffman scan of a HIERARCHICAL frame (T.81 Annex
+    * J), single gray 1×1 component: entropy decode per 8×8 block like
+    * [[decodeScan]], but the spatial output lands in the shared
+    * reference plane — non-differential frames level-shift (+128) and
+    * overwrite, DIFFERENTIAL frames (SOF5) add the raw signed
+    * corrections to the reference, clamping once after the add.
+    * Returns the byte position after the entropy data (the marker walk
+    * continues: more frames follow until EOI). */
+  private def decodeHierScan(b: Array[Byte], start: Int, c: Component,
+      width: Int, height: Int, qt: Array[Array[Int]], ri: Int,
+      ref: Array[Int], refW: Int, diff: Boolean): Int = {
+    val q = qt(c.tq)
+    val r = new BitReader(b, start)
+    val coef = new Array[Int](64)
+    val pix = new Array[Int](64)
+    c.pred = 0
+    val mcusX = (width + 7) / 8
+    val mcusY = (height + 7) / 8
+    var mcu = 0
+    val n = mcusX * mcusY
+    while (mcu < n) {
+      if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+        r.restart()
+        c.pred = 0
+      }
+      java.util.Arrays.fill(coef, 0)
+      val s = r.decode(c.dcTable)
+      if (s > 15) corrupt()
+      c.pred += extend(r.receive(s), s)
+      coef(0) = c.pred * q(0)
+      var k = 1
+      var done = false
+      while (!done && k < 64) {
+        val rs = r.decode(c.acTable)
+        val run = rs >> 4
+        val size = rs & 0x0f
+        if (size == 0) {
+          if (run == 15) k += 16 else done = true
+        } else {
+          k += run
+          if (k > 63) corrupt()
+          coef(ZigZag(k)) = extend(r.receive(size), size) * q(k)
+          k += 1
+        }
+      }
+      idctRaw(coef, pix)
+      val ox = (mcu % mcusX) * 8
+      val oy = (mcu / mcusX) * 8
+      var y = 0
+      while (y < 8) {
+        val py = oy + y
+        if (py < height) {
+          var x = 0
+          while (x < 8) {
+            val px = ox + x
+            if (px < width) {
+              val o = py * refW + px
+              val v =
+                if (diff) ref(o) + pix(y * 8 + x)
+                else pix(y * 8 + x) + 128
+              ref(o) = if (v < 0) 0 else if (v > 255) 255 else v
+            }
+            x += 1
+          }
+        }
+        y += 1
+      }
+      mcu += 1
+    }
+    r.pos
   }
 
   /** Component planes → interleaved RGB: replication upsampling for
@@ -1356,6 +1562,99 @@ object JpegCodec {
       my += 1
     }
     if (arith) enc.finish() else w.finish()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Real HIERARCHICAL JPEG bytes (T.81 Annex J): SOI, DHP declaring
+    * the final 2·halfW × 2·halfH geometry, a non-differential SOF0
+    * base frame at half resolution, EXP(1,1), and a DIFFERENTIAL SOF5
+    * frame whose per-8×8-block CONSTANT corrections `delta(bx, by)`
+    * ride the same all-ones-quant DC-only exactness as every other
+    * fixture frame — so the decoded image is EXACTLY
+    * bilinear-upsample(half) + delta, and a closed-form oracle holds.
+    * Grayscale; `halfGray` should be constant per 8×8 block for the
+    * base frame to round-trip bit-exactly (the same contract as
+    * [[encodeJpeg]]). Half dims must be multiples of 8. */
+  def encodeJpegHier(halfW: Int, halfH: Int, halfGray: (Int, Int) => Int,
+      delta: (Int, Int) => Int): Array[Byte] = {
+    require(halfW > 0 && halfH > 0 && halfW % 8 == 0 && halfH % 8 == 0 &&
+      4L * halfW * halfH <= MaxPixels && 2 * halfW <= 0xffff &&
+      2 * halfH <= 0xffff)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wbe16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    def frameHeader(m: Int, w: Int, h: Int): Unit = {
+      marker(m); wbe16(8 + 3)
+      w8(8); wbe16(h); wbe16(w); w8(1)
+      w8(1); w8(0x11); w8(0) // component 1, 1×1, qt 0
+    }
+    def sos(): Unit = {
+      marker(0xda); wbe16(8)
+      w8(1); w8(1); w8(0x00) // one component, DC/AC tables 0
+      w8(0); w8(63); w8(0)
+    }
+    marker(0xd8) // SOI
+    frameHeader(0xde, 2 * halfW, 2 * halfH) // DHP: final geometry
+    marker(0xdb); wbe16(2 + 1 + 64) // DQT 0: all ones
+    w8(0)
+    var k = 0
+    while (k < 64) { w8(1); k += 1 }
+    def dht(tc: Int, t: EncTable): Unit = {
+      marker(0xc4); wbe16(2 + 17 + t.vals.length)
+      w8(tc << 4)
+      var l = 1
+      while (l <= 16) { w8(t.bits(l)); l += 1 }
+      t.vals.foreach(w8)
+    }
+    dht(0, EncDc)
+    dht(1, EncAc)
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    // base frame: non-differential SOF0 at half resolution
+    frameHeader(0xc0, halfW, halfH)
+    sos()
+    var w = new BitWriter(out)
+    var pred = 0
+    var my = 0
+    while (my < halfH / 8) {
+      var mx = 0
+      while (mx < halfW / 8) {
+        var i = 0
+        while (i < 64) {
+          block(i) = (halfGray(mx * 8 + i % 8, my * 8 + i / 8) & 0xff) - 128.0
+          i += 1
+        }
+        fdctQuant(block, coef)
+        pred = encodeBlock(w, coef, pred)
+        mx += 1
+      }
+      my += 1
+    }
+    w.finish()
+    // expand the reference both ways, then the differential frame:
+    // block-constant signed corrections, NO level shift (Annex J)
+    marker(0xdf); wbe16(3); w8(0x11) // EXP: Eh=1, Ev=1
+    frameHeader(0xc5, 2 * halfW, 2 * halfH)
+    sos()
+    w = new BitWriter(out)
+    pred = 0
+    my = 0
+    while (my < halfH / 4) { // full-res block rows = 2·halfH/8
+      var mx = 0
+      while (mx < halfW / 4) {
+        val d = delta(mx, my)
+        require(d >= -255 && d <= 255, s"delta($mx,$my)=$d out of range")
+        var i = 0
+        while (i < 64) { block(i) = d.toDouble; i += 1 }
+        fdctQuant(block, coef)
+        pred = encodeBlock(w, coef, pred)
+        mx += 1
+      }
+      my += 1
+    }
+    w.finish()
     marker(0xd9) // EOI
     out.toByteArray
   }

@@ -529,8 +529,11 @@ object Llm {
   // decoding for real, both ImageIO-cross-checked. Slot 7 is LOSSLESS
   // JPEG (SOF3, predictors rotating): exact for arbitrary pixels, so it
   // carries the FULL gradient like the PNG/BMP slots; slot 8 (round 16)
-  // is BI_RLE8 run-length BMP — compressed, lossless, same gradient.
-  // All nine rotation slots decode real pixels; the per-row `decoder`
+  // is BI_RLE8 run-length BMP — compressed, lossless, same gradient;
+  // slot 9 (round 16) is HIERARCHICAL JPEG (T.81 Annex J: DHP sequence,
+  // non-differential base frame, EXP bilinear doubling, differential
+  // SOF5 corrections — all stages exact by construction). All ten
+  // rotation slots decode real pixels; the per-row `decoder`
   // label stays (q70/q71 exercise the stub contract).
   def q47(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -538,7 +541,7 @@ object Llm {
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v8-nine-formats") {
+      version = "v9-ten-formats") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -561,7 +564,7 @@ object Llm {
           val v = br + 7 * (x / 8) + 11 * (y / 8)
           (v, v, v)
         }
-        val bytes = (id % 9).toInt match {
+        val bytes = (id % 10).toInt match {
           case 0 => graft.operators.PixelCodec.encodeBmp(w, h, px,
             topDown = (id / 8) % 2 == 1)
           case 1 => graft.operators.PixelCodec.encodePng(w, h, px,
@@ -584,7 +587,7 @@ object Llm {
             graft.operators.JpegCodec.encodeJpegLossless(w, h,
               (x, y) => br + 3 * x + 5 * y,
               predictor = 1 + ((id / 9) % 7).toInt)
-          case _ => // round 16: BI_RLE8 BMP — the run-length coding,
+          case 8 => // round 16: BI_RLE8 BMP — the run-length coding,
             // lossless, so it carries the full gradient too; palette =
             // one entry per pixel cell, unit encoded runs + EOL/EOB
             graft.operators.PixelCodec.encodeBmpRle8(w, h,
@@ -593,6 +596,18 @@ object Llm {
                 (r << 16) | (g << 8) | bl
               },
               (x, y) => y * w + x)
+          case _ => // round 16: HIERARCHICAL JPEG (T.81 Annex J —
+            // DHP/EXP/SOF5): an 8×(8·hb) half-res row-tile gradient
+            // (br + 11·(y/8), constant horizontally) bilinear-upsampled
+            // 2×, plus a checkerboard of block-constant +5 corrections
+            // in the DIFFERENTIAL frame; both stages are exact (DC-only
+            // blocks, J.1.1.2 interpolation has a closed form), so the
+            // oracle recomputes the sums: 16·(16·(hb·br + 11·S1(hb)) +
+            // 6·(hb−1)) + 640·hb per channel
+            graft.operators.JpegCodec.encodeJpegHier(
+              8, 8 * (1 + (id % 2).toInt),
+              (_, y) => br + 11 * (y / 8),
+              (bx, by) => 5 * ((bx + by) % 2))
         }
         (id, bytes)
       }.toDF("doc_id", "content")
@@ -670,12 +685,13 @@ object Llm {
       |         1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
       |         doc_id % 97 AS br, (doc_id * 3) % 89 AS bg,
       |         (doc_id * 7) % 83 AS bb,
-      |         CAST(doc_id % 9 AS INT) AS fmt
+      |         CAST(doc_id % 10 AS INT) AS fmt
       |  FROM documents),
       |j AS (
       |  SELECT doc_id,
       |         64 * (wb*hb*br + 7*(hb*(wb*(wb-1)//2)) + 11*(wb*(hb*(hb-1)//2)))
-      |           AS jsum
+      |           AS jsum,
+      |         16*(16*(hb*br + 11*(hb*(hb-1)//2)) + 6*(hb-1)) + 640*hb AS hsum
       |  FROM g)
       |SELECT g.doc_id,
       |       CASE g.fmt WHEN 0 THEN 'bmp'
@@ -683,18 +699,23 @@ object Llm {
       |            WHEN 3 THEN 'jpeg' WHEN 4 THEN 'webp'
       |            WHEN 8 THEN 'bmp'
       |            ELSE 'jpeg' END AS decoder,
-      |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN 8*wb ELSE w END AS BIGINT) AS width,
-      |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN 8*hb ELSE h END AS BIGINT) AS height,
-      |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum ELSE
+      |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN 8*wb
+      |            WHEN g.fmt = 9 THEN 16 ELSE w END AS BIGINT) AS width,
+      |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN 8*hb
+      |            WHEN g.fmt = 9 THEN 16*hb ELSE h END AS BIGINT) AS height,
+      |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
+      |            WHEN g.fmt = 9 THEN hsum ELSE
       |         w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END AS BIGINT) AS sum_r,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
-      |            WHEN g.fmt = 7 THEN
-      |         w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2)
+      |            WHEN g.fmt IN (7, 9) THEN
+      |         CASE WHEN g.fmt = 9 THEN hsum ELSE
+      |           w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END
       |            ELSE
       |         w*h*bg + 5*(h*w*(w-1)//2) + 2*(w*h*(h-1)//2) END AS BIGINT) AS sum_g,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
-      |            WHEN g.fmt = 7 THEN
-      |         w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2)
+      |            WHEN g.fmt IN (7, 9) THEN
+      |         CASE WHEN g.fmt = 9 THEN hsum ELSE
+      |           w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END
       |            ELSE
       |         w*h*bb + 2*(h*w*(w-1)//2) + 7*(w*h*(h-1)//2) END AS BIGINT) AS sum_b
       |FROM g JOIN j ON g.doc_id = j.doc_id ORDER BY g.doc_id""".stripMargin

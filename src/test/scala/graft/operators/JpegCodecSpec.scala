@@ -202,6 +202,108 @@ class JpegCodecSpec extends SparkFunSuite {
     assert(mean <= 2.0, f"mean channel divergence $mean%.2f > 2.0")
   }
 
+  // ------------------------------------------------- hierarchical (J)
+
+  /** Independent reference: bilinear 2× upsample (J.1.1.2 — even
+    * copies, odd (a+b+1)>>1, edge replicate) + per-block delta,
+    * computed with none of the codec's machinery. */
+  private def hierExpected(hw: Int, hh: Int, half: (Int, Int) => Int,
+      delta: (Int, Int) => Int): Array[Int] = {
+    val w2 = hw * 2
+    val hstep = Array.tabulate(hh, w2) { (y, x) =>
+      if (x % 2 == 0) half(x / 2, y)
+      else (half(x / 2, y) + half(math.min(x / 2 + 1, hw - 1), y) + 1) >> 1
+    }
+    Array.tabulate(hh * 2 * w2) { o =>
+      val y = o / w2
+      val x = o % w2
+      val up =
+        if (y % 2 == 0) hstep(y / 2)(x)
+        else (hstep(y / 2)(x) + hstep(math.min(y / 2 + 1, hh - 1))(x) + 1) >> 1
+      val v = up + delta(x / 8, y / 8)
+      if (v < 0) 0 else if (v > 255) 255 else v
+    }
+  }
+
+  test("hierarchical (DHP/EXP/SOF5): upsample + signed corrections, pixel-exact") {
+    // half-res constant per 8×8 tile (exercises vertical AND horizontal
+    // interpolation seams), full-res checkerboard corrections incl.
+    // NEGATIVE deltas (no level shift on the difference signal)
+    val (hw, hh) = (16, 16)
+    val half = (x: Int, y: Int) => 60 + 7 * (x / 8) + 11 * (y / 8)
+    val delta = (bx: Int, by: Int) => if ((bx + by) % 2 == 0) -7 else 5
+    val bytes = JpegCodec.encodeJpegHier(hw, hh, half, delta)
+    val img = decode(bytes).get
+    assert(img.width == 32 && img.height == 32)
+    val want = hierExpected(hw, hh, half, delta)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val got = img.rgb((y * 32 + x) * 3) & 0xff
+      assert(got == want(y * 32 + x), s"pixel ($x,$y): $got vs ${want(y * 32 + x)}")
+    }
+  }
+
+  test("hierarchical: constant base + zero delta reconstructs the constant") {
+    val bytes = JpegCodec.encodeJpegHier(8, 8, (_, _) => 77, (_, _) => 0)
+    val img = decode(bytes).get
+    assert(img.width == 16 && img.height == 16)
+    assert(img.rgb.forall(v => (v & 0xff) == 77))
+  }
+
+  test("hierarchical: malformed sequences refuse, never throw") {
+    val good = JpegCodec.encodeJpegHier(8, 8, (_, _) => 50, (_, _) => 3)
+    // truncation inside the differential frame's entropy data
+    assert(decode(good.take(good.length - 10)) == None)
+    // a DIFFERENTIAL frame with no DHP sequence: strip the DHP and
+    // turn the base frame's SOF0 marker into SOF5 — the differential
+    // frame type outside a hierarchical sequence must refuse
+    val noDhp = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(good, 0, 2) // SOI
+      out.write(good, 15, good.length - 15) // skip the 13-byte DHP
+      val b = out.toByteArray
+      var j = 2
+      var at = -1
+      while (at < 0 && j + 1 < b.length) {
+        if ((b(j) & 0xff) == 0xff && (b(j + 1) & 0xff) == 0xc0) at = j
+        else j += 1
+      }
+      assert(at > 0)
+      b(at + 1) = 0xc5.toByte
+      b
+    }
+    assert(decode(noDhp) == None)
+    // EXP with no reference frame yet: DHP then EXP immediately
+    val expFirst = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array[Byte](0xff.toByte, 0xd8.toByte), 0, 2)
+      // DHP 16×16 gray
+      out.write(Array[Byte](0xff.toByte, 0xde.toByte, 0, 11, 8, 0, 16, 0, 16,
+        1, 1, 0x11, 0), 0, 13)
+      out.write(Array[Byte](0xff.toByte, 0xdf.toByte, 0, 3, 0x11), 0, 5)
+      out.write(Array[Byte](0xff.toByte, 0xd9.toByte), 0, 2)
+      out.toByteArray
+    }
+    assert(decode(expFirst) == None)
+    // geometry mismatch: EXP only doubles horizontally but the SOF5
+    // frame declares the full doubled geometry → refused
+    val mismatched = {
+      val idx = {
+        var at = -1
+        var j = 2
+        while (at < 0 && j + 4 < good.length) {
+          if ((good(j) & 0xff) == 0xff && (good(j + 1) & 0xff) == 0xdf) at = j
+          else j += 1
+        }
+        at
+      }
+      assert(idx > 0)
+      val c = good.clone()
+      c(idx + 4) = 0x10 // Eh=1, Ev=0
+      c
+    }
+    assert(decode(mismatched) == None)
+  }
+
   test("truncated and corrupt JPEG payloads decode to None, never throw") {
     val good = JpegCodec.encodeJpeg(24, 16, blockGray(40), gray = true)
     assert(decode(good.take(good.length / 2)) == None) // truncated entropy data
