@@ -287,16 +287,17 @@ object JpegCodec {
               } else corrupt()
               p += 2
             }
-          case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca | 0xc3 | 0xc5 =>
+          case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca | 0xc3 | 0xc5 | 0xcd =>
             // SOF0/1 sequential, SOF2 progressive (Huffman),
             // SOF9 sequential / SOF10 progressive (arithmetic),
-            // SOF3 lossless (predictive, Huffman), SOF5 DIFFERENTIAL
-            // sequential (Huffman — hierarchical frames only)
+            // SOF3 lossless (predictive, Huffman), and the DIFFERENTIAL
+            // sequential pair — SOF5 Huffman / SOF13 arithmetic —
+            // inside hierarchical sequences only
             if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
             progressive = m == 0xc2 || m == 0xca
-            arithCoded = m == 0xc9 || m == 0xca
+            arithCoded = m == 0xc9 || m == 0xca || m == 0xcd
             lossless = m == 0xc3
-            differential = m == 0xc5
+            differential = m == 0xc5 || m == 0xcd
             if (differential && !hier) return None // J.1: needs a DHP sequence
             height = be16(b, seg + 1)
             width = be16(b, seg + 3)
@@ -333,14 +334,13 @@ object JpegCodec {
               refH *= 2
             }
             if (refW.toLong * refH > MaxPixels) corrupt()
-          case 0xc6 | 0xc7 | 0xcb |
-              0xcd | 0xce | 0xcf =>
-            // differential progressive/lossless and the arithmetic
-            // differential family, plus ARITHMETIC lossless (SOF11),
-            // remain the labeled stub path; Huffman lossless (SOF3),
-            // both arithmetic DCT frame types (SOF9/SOF10), and
-            // Huffman hierarchical (DHP/EXP/SOF5) are real since
-            // round 16
+          case 0xc6 | 0xc7 | 0xcb | 0xce | 0xcf =>
+            // differential progressive/lossless (SOF6/7/14/15) and
+            // ARITHMETIC lossless (SOF11) remain the labeled stub
+            // path; Huffman lossless (SOF3), both arithmetic DCT frame
+            // types (SOF9/SOF10), and hierarchical sequences with both
+            // differential sequential spellings (SOF5 Huffman / SOF13
+            // arithmetic) are real since round 16
             return None
           case 0xda => // SOS → entropy-coded data follows
             if (comps == null) corrupt()
@@ -367,14 +367,17 @@ object JpegCodec {
             val ah = (b(p + 2) & 0xff) >> 4
             val al = b(p + 2) & 0x0f
             if (hier) {
-              // hierarchical scope: sequential Huffman frames, grayscale
-              // 1×1 (the pyramid shape the encoder writes); other frame
-              // types inside a DHP sequence → labeled stub
-              if (progressive || arithCoded || lossless) return None
+              // hierarchical scope: sequential frames (Huffman OR
+              // arithmetic), grayscale 1×1 (the pyramid shape the
+              // encoder writes); progressive/lossless frame types
+              // inside a DHP sequence → labeled stub
+              if (progressive || lossless) return None
               if (comps.length != 1 || ns != 1 ||
                   comps(0).h != 1 || comps(0).v != 1) return None
               val c0 = comps(0)
-              if (c0.dcTable == null || c0.acTable == null) corrupt()
+              if (!arithCoded) {
+                if (c0.dcTable == null || c0.acTable == null) corrupt()
+              }
               if (qt(c0.tq) == null) corrupt()
               if (differential) {
                 // frame geometry must match the (possibly EXPanded)
@@ -386,8 +389,13 @@ object JpegCodec {
                 refW = width
                 refH = height
               }
-              i = decodeHierScan(b, segEnd, c0, width, height, qt,
-                restartInterval, hierRef, refW, differential)
+              i =
+                if (arithCoded)
+                  decodeArithScan(b, segEnd, comps, width, height, qt,
+                    restartInterval, dcL, dcU, acK, hierRef, refW,
+                    differential)
+                else decodeHierScan(b, segEnd, c0, width, height, qt,
+                  restartInterval, hierRef, refW, differential)
               differential = false
               comps = null // next frame brings its own SOF
             } else if (lossless) {
@@ -937,10 +945,18 @@ object JpegCodec {
     * IDCT, and plane placement are shared with the Huffman path —
     * identical quantized coefficients MUST produce identical pixels,
     * which is what the JpegCodecSpec cross-check pins. */
+  /** Sequential arithmetic scan (F.2.4). When `hierRef` is non-null
+    * this is a HIERARCHICAL frame: spatial output lands in the shared
+    * reference plane (level-shifted overwrite, or — `diff`, SOF13 —
+    * un-level-shifted signed corrections added to it), and the return
+    * value is the position of the terminating marker so the Annex-J
+    * marker walk can continue to the next frame. */
   private def decodeArithScan(b: Array[Byte], start: Int,
       comps: Array[Component], width: Int, height: Int,
       qt: Array[Array[Int]], ri: Int,
-      dcL: Array[Int], dcU: Array[Int], acK: Array[Int]): Unit = {
+      dcL: Array[Int], dcU: Array[Int], acK: Array[Int],
+      hierRef: Array[Int] = null, refW: Int = 0,
+      diff: Boolean = false): Int = {
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
     val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
@@ -1045,18 +1061,42 @@ object JpegCodec {
                 k += 1
               }
             }
-            idct(coef, pix)
             val ox = (mx * c.h + bx) * 8
             val oy = (my * c.v + by) * 8
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              val rowOff = (oy + y) * c.pw + ox
-              while (x < 8) {
-                c.plane(rowOff + x) = pix(y * 8 + x).toByte
-                x += 1
+            if (hierRef == null) {
+              idct(coef, pix)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                val rowOff = (oy + y) * c.pw + ox
+                while (x < 8) {
+                  c.plane(rowOff + x) = pix(y * 8 + x).toByte
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+            } else {
+              // hierarchical target: raw IDCT, reference-plane landing
+              idctRaw(coef, pix)
+              var y = 0
+              while (y < 8) {
+                val py = oy + y
+                if (py < height) {
+                  var x = 0
+                  while (x < 8) {
+                    val px = ox + x
+                    if (px < width) {
+                      val o = py * refW + px
+                      val v =
+                        if (diff) hierRef(o) + pix(y * 8 + x)
+                        else pix(y * 8 + x) + 128
+                      hierRef(o) = if (v < 0) 0 else if (v > 255) 255 else v
+                    }
+                    x += 1
+                  }
+                }
+                y += 1
+              }
             }
             bx += 1
           }
@@ -1066,6 +1106,7 @@ object JpegCodec {
       }
       mcu += 1
     }
+    dec.endPos
   }
 
   /** LOSSLESS scan (SOF3, T.81 Annex H): no DCT, no quantization — each
@@ -1575,9 +1616,14 @@ object JpegCodec {
     * bilinear-upsample(half) + delta, and a closed-form oracle holds.
     * Grayscale; `halfGray` should be constant per 8×8 block for the
     * base frame to round-trip bit-exactly (the same contract as
-    * [[encodeJpeg]]). Half dims must be multiples of 8. */
+    * [[encodeJpeg]]). Half dims must be multiples of 8.
+    *
+    * `arith = true` writes the SAME pyramid with arithmetic entropy
+    * coding — SOF9 base + SOF13 differential through the QM coder —
+    * and the two spellings MUST decode to identical pixels
+    * (JpegCodecSpec pins it), mirroring the SOF0/SOF9 cross-check. */
   def encodeJpegHier(halfW: Int, halfH: Int, halfGray: (Int, Int) => Int,
-      delta: (Int, Int) => Int): Array[Byte] = {
+      delta: (Int, Int) => Int, arith: Boolean = false): Array[Byte] = {
     require(halfW > 0 && halfH > 0 && halfW % 8 == 0 && halfH % 8 == 0 &&
       4L * halfW * halfH <= MaxPixels && 2 * halfW <= 0xffff &&
       2 * halfH <= 0xffff)
@@ -1601,60 +1647,70 @@ object JpegCodec {
     w8(0)
     var k = 0
     while (k < 64) { w8(1); k += 1 }
-    def dht(tc: Int, t: EncTable): Unit = {
-      marker(0xc4); wbe16(2 + 17 + t.vals.length)
-      w8(tc << 4)
-      var l = 1
-      while (l <= 16) { w8(t.bits(l)); l += 1 }
-      t.vals.foreach(w8)
+    if (arith) {
+      // DAC: the (default) conditioning, like encodeJpeg's SOF9 path
+      marker(0xcc); wbe16(2 + 4)
+      w8(0x00); w8(0x10) // Tc=0 Tb=0, Cs = U<<4 | L
+      w8(0x10); w8(5) // Tc=1 Tb=0, Cs = Kx
+    } else {
+      def dht(tc: Int, t: EncTable): Unit = {
+        marker(0xc4); wbe16(2 + 17 + t.vals.length)
+        w8(tc << 4)
+        var l = 1
+        while (l <= 16) { w8(t.bits(l)); l += 1 }
+        t.vals.foreach(w8)
+      }
+      dht(0, EncDc)
+      dht(1, EncAc)
     }
-    dht(0, EncDc)
-    dht(1, EncAc)
     val block = new Array[Double](64)
     val coef = new Array[Int](64)
-    // base frame: non-differential SOF0 at half resolution
-    frameHeader(0xc0, halfW, halfH)
-    sos()
-    var w = new BitWriter(out)
-    var pred = 0
-    var my = 0
-    while (my < halfH / 8) {
-      var mx = 0
-      while (mx < halfW / 8) {
-        var i = 0
-        while (i < 64) {
-          block(i) = (halfGray(mx * 8 + i % 8, my * 8 + i / 8) & 0xff) - 128.0
-          i += 1
+    val preds = new Array[Int](1)
+    val dcCtxs = new Array[Int](1)
+    // one frame's worth of blocks through the selected entropy coder
+    def emitFrame(sofM: Int, w2: Int, h2: Int,
+        fill: (Int, Int) => Unit): Unit = {
+      frameHeader(sofM, w2, h2)
+      sos()
+      preds(0) = 0
+      dcCtxs(0) = 0
+      val w = if (arith) null else new BitWriter(out)
+      val enc = if (arith) new QmCoder.Encoder(out) else null
+      val dcSt = if (arith) new QmCoder.Stats(64) else null
+      val acSt = if (arith) new QmCoder.Stats(256) else null
+      var my = 0
+      while (my < h2 / 8) {
+        var mx = 0
+        while (mx < w2 / 8) {
+          fill(mx, my)
+          fdctQuant(block, coef)
+          if (arith) {
+            encodeBlockArith(enc, dcSt, acSt, coef, preds, dcCtxs, 0)
+            preds(0) = coef(0)
+          } else preds(0) = encodeBlock(w, coef, preds(0))
+          mx += 1
         }
-        fdctQuant(block, coef)
-        pred = encodeBlock(w, coef, pred)
-        mx += 1
+        my += 1
       }
-      my += 1
+      if (arith) enc.finish() else w.finish()
     }
-    w.finish()
+    // base frame: non-differential SOF0/SOF9 at half resolution
+    emitFrame(if (arith) 0xc9 else 0xc0, halfW, halfH, (mx, my) => {
+      var i = 0
+      while (i < 64) {
+        block(i) = (halfGray(mx * 8 + i % 8, my * 8 + i / 8) & 0xff) - 128.0
+        i += 1
+      }
+    })
     // expand the reference both ways, then the differential frame:
     // block-constant signed corrections, NO level shift (Annex J)
     marker(0xdf); wbe16(3); w8(0x11) // EXP: Eh=1, Ev=1
-    frameHeader(0xc5, 2 * halfW, 2 * halfH)
-    sos()
-    w = new BitWriter(out)
-    pred = 0
-    my = 0
-    while (my < halfH / 4) { // full-res block rows = 2·halfH/8
-      var mx = 0
-      while (mx < halfW / 4) {
-        val d = delta(mx, my)
-        require(d >= -255 && d <= 255, s"delta($mx,$my)=$d out of range")
-        var i = 0
-        while (i < 64) { block(i) = d.toDouble; i += 1 }
-        fdctQuant(block, coef)
-        pred = encodeBlock(w, coef, pred)
-        mx += 1
-      }
-      my += 1
-    }
-    w.finish()
+    emitFrame(if (arith) 0xcd else 0xc5, 2 * halfW, 2 * halfH, (mx, my) => {
+      val d = delta(mx, my)
+      require(d >= -255 && d <= 255, s"delta($mx,$my)=$d out of range")
+      var i = 0
+      while (i < 64) { block(i) = d.toDouble; i += 1 }
+    })
     marker(0xd9) // EOI
     out.toByteArray
   }

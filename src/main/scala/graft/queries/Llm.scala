@@ -532,7 +532,8 @@ object Llm {
   // is BI_RLE8 run-length BMP — compressed, lossless, same gradient;
   // slot 9 (round 16) is HIERARCHICAL JPEG (T.81 Annex J: DHP sequence,
   // non-differential base frame, EXP bilinear doubling, differential
-  // SOF5 corrections — all stages exact by construction). All ten
+  // corrections — alternating the Huffman SOF0+SOF5 and arithmetic
+  // SOF9+SOF13 spellings — all stages exact by construction). All ten
   // rotation slots decode real pixels; the per-row `decoder`
   // label stays (q70/q71 exercise the stub contract).
   def q47(s: SparkSession, dir: String): DataFrame = {
@@ -541,7 +542,7 @@ object Llm {
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v9-ten-formats") {
+      version = "v10-hier-arith") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -604,10 +605,14 @@ object Llm {
             // blocks, J.1.1.2 interpolation has a closed form), so the
             // oracle recomputes the sums: 16·(16·(hb·br + 11·S1(hb)) +
             // 6·(hb−1)) + 640·hb per channel
+            // entropy spelling alternates: Huffman (SOF0+SOF5) and
+            // arithmetic (SOF9+SOF13) pyramids decode to the SAME
+            // pixels, so one closed form covers both
             graft.operators.JpegCodec.encodeJpegHier(
               8, 8 * (1 + (id % 2).toInt),
               (_, y) => br + 11 * (y / 8),
-              (bx, by) => 5 * ((bx + by) % 2))
+              (bx, by) => 5 * ((bx + by) % 2),
+              arith = (id / 10) % 2 == 1)
         }
         (id, bytes)
       }.toDF("doc_id", "content")

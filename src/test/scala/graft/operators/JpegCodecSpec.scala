@@ -242,6 +242,26 @@ class JpegCodecSpec extends SparkFunSuite {
     }
   }
 
+  test("hierarchical ARITHMETIC (SOF9 base + SOF13 diff) decodes identically to Huffman") {
+    val (hw, hh) = (16, 8)
+    val half = (x: Int, y: Int) => 90 + 7 * (x / 8) + 11 * (y / 8)
+    val delta = (bx: Int, by: Int) => 4 * ((bx + by) % 3) - 4 // -4/0/4
+    val huff = decode(JpegCodec.encodeJpegHier(hw, hh, half, delta)).get
+    val bytes = JpegCodec.encodeJpegHier(hw, hh, half, delta, arith = true)
+    // really the arithmetic spelling: SOF13 present, no DHT
+    def hasMarker(m: Int): Boolean =
+      bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(hasMarker(0xc9) && hasMarker(0xcd) && !hasMarker(0xc4))
+    val arith = decode(bytes).get
+    assert(arith.width == huff.width && arith.height == huff.height)
+    assert(arith.rgb.sameElements(huff.rgb),
+      "arithmetic and Huffman hierarchical pyramids must decode identically")
+    // and both match the independent upsample+delta reference
+    val want = hierExpected(hw, hh, half, delta)
+    for (o <- want.indices)
+      assert((arith.rgb(o * 3) & 0xff) == want(o), s"pixel $o")
+  }
+
   test("hierarchical: constant base + zero delta reconstructs the constant") {
     val bytes = JpegCodec.encodeJpegHier(8, 8, (_, _) => 77, (_, _) => 0)
     val img = decode(bytes).get
