@@ -325,6 +325,11 @@ object JpegCodec {
             val eh = (b(seg) & 0xff) >> 4
             val ev = b(seg) & 0x0f
             if (eh > 1 || ev > 1) corrupt()
+            // bound the TARGET size before allocating anything — a
+            // crafted EXP on a MaxPixels-sized reference must refuse,
+            // not transiently allocate 4× it first
+            if ((refW.toLong << eh) * (refH.toLong << ev) > MaxPixels)
+              corrupt()
             if (eh == 1) {
               hierRef = expandH(hierRef, refW, refH)
               refW *= 2
@@ -333,7 +338,6 @@ object JpegCodec {
               hierRef = expandV(hierRef, refW, refH)
               refH *= 2
             }
-            if (refW.toLong * refH > MaxPixels) corrupt()
           case 0xc6 | 0xc7 | 0xcb | 0xce | 0xcf =>
             // differential progressive/lossless (SOF6/7/14/15) and
             // ARITHMETIC lossless (SOF11) remain the labeled stub
@@ -437,6 +441,63 @@ object JpegCodec {
       }
     }
     None
+  }
+
+  /** Decode one sequential-Huffman block into `coef` (natural order,
+    * dequantized): DC category + EXTENDed diff against the running
+    * predictor, AC run/size with ZRL/EOB — shared by [[decodeScan]]
+    * and the hierarchical [[decodeHierScan]]. */
+  private def decodeHuffBlock(r: BitReader, c: Component, q: Array[Int],
+      coef: Array[Int]): Unit = {
+    java.util.Arrays.fill(coef, 0)
+    val s = r.decode(c.dcTable)
+    if (s > 15) corrupt()
+    c.pred += extend(r.receive(s), s)
+    coef(0) = c.pred * q(0)
+    var k = 1
+    var done = false
+    while (!done && k < 64) {
+      val rs = r.decode(c.acTable)
+      val run = rs >> 4
+      val size = rs & 0x0f
+      if (size == 0) {
+        if (run == 15) k += 16 else done = true
+      } else {
+        k += run
+        if (k > 63) corrupt()
+        coef(ZigZag(k)) = extend(r.receive(size), size) * q(k)
+        k += 1
+      }
+    }
+  }
+
+  /** Land one raw-IDCT 8×8 block in the hierarchical reference plane
+    * at (ox, oy), clipped to the frame geometry: level-shifted
+    * overwrite for non-differential frames, clamped ADD of the signed
+    * corrections for differential ones — shared by [[decodeHierScan]]
+    * and [[decodeArithScan]]'s hierarchical branch. */
+  private def landHierBlock(ref: Array[Int], refW: Int, width: Int,
+      height: Int, ox: Int, oy: Int, pix: Array[Int],
+      diff: Boolean): Unit = {
+    var y = 0
+    while (y < 8) {
+      val py = oy + y
+      if (py < height) {
+        var x = 0
+        while (x < 8) {
+          val px = ox + x
+          if (px < width) {
+            val o = py * refW + px
+            val v =
+              if (diff) ref(o) + pix(y * 8 + x)
+              else pix(y * 8 + x) + 128
+            ref(o) = if (v < 0) 0 else if (v > 255) 255 else v
+          }
+          x += 1
+        }
+      }
+      y += 1
+    }
   }
 
   // ----------------------------------------------- progressive (SOF2)
@@ -697,28 +758,7 @@ object JpegCodec {
         while (by < c.v) {
           var bx = 0
           while (bx < c.h) {
-            java.util.Arrays.fill(coef, 0)
-            // DC: category + EXTENDed diff against the running predictor
-            val s = r.decode(c.dcTable)
-            if (s > 15) corrupt()
-            c.pred += extend(r.receive(s), s)
-            coef(0) = c.pred * q(0)
-            // AC: run/size symbols, ZRL (F0) and EOB (00)
-            var k = 1
-            var done = false
-            while (!done && k < 64) {
-              val rs = r.decode(c.acTable)
-              val run = rs >> 4
-              val size = rs & 0x0f
-              if (size == 0) {
-                if (run == 15) k += 16 else done = true
-              } else {
-                k += run
-                if (k > 63) corrupt()
-                coef(ZigZag(k)) = extend(r.receive(size), size) * q(k)
-                k += 1
-              }
-            }
+            decodeHuffBlock(r, c, q, coef)
             idct(coef, pix)
             // place the 8×8 block into the component plane
             val ox = (mx * c.h + bx) * 8
@@ -965,7 +1005,9 @@ object JpegCodec {
       c.pw = mcusX * c.h * 8
       c.ph = mcusY * c.v * 8
       if (c.pw.toLong * c.ph > 4L * MaxPixels) corrupt()
-      c.plane = new Array[Byte](c.pw * c.ph)
+      // hierarchical frames land in the shared reference plane — a
+      // per-component plane would be dead weight (up to 4·MaxPixels)
+      if (hierRef == null) c.plane = new Array[Byte](c.pw * c.ph)
       c.pred = 0
     }
     val dcStats = Array.fill(4)(new QmCoder.Stats(64))
@@ -1078,25 +1120,7 @@ object JpegCodec {
             } else {
               // hierarchical target: raw IDCT, reference-plane landing
               idctRaw(coef, pix)
-              var y = 0
-              while (y < 8) {
-                val py = oy + y
-                if (py < height) {
-                  var x = 0
-                  while (x < 8) {
-                    val px = ox + x
-                    if (px < width) {
-                      val o = py * refW + px
-                      val v =
-                        if (diff) hierRef(o) + pix(y * 8 + x)
-                        else pix(y * 8 + x) + 128
-                      hierRef(o) = if (v < 0) 0 else if (v > 255) 255 else v
-                    }
-                    x += 1
-                  }
-                }
-                y += 1
-              }
+              landHierBlock(hierRef, refW, width, height, ox, oy, pix, diff)
             }
             bx += 1
           }
@@ -1292,48 +1316,10 @@ object JpegCodec {
         r.restart()
         c.pred = 0
       }
-      java.util.Arrays.fill(coef, 0)
-      val s = r.decode(c.dcTable)
-      if (s > 15) corrupt()
-      c.pred += extend(r.receive(s), s)
-      coef(0) = c.pred * q(0)
-      var k = 1
-      var done = false
-      while (!done && k < 64) {
-        val rs = r.decode(c.acTable)
-        val run = rs >> 4
-        val size = rs & 0x0f
-        if (size == 0) {
-          if (run == 15) k += 16 else done = true
-        } else {
-          k += run
-          if (k > 63) corrupt()
-          coef(ZigZag(k)) = extend(r.receive(size), size) * q(k)
-          k += 1
-        }
-      }
+      decodeHuffBlock(r, c, q, coef)
       idctRaw(coef, pix)
-      val ox = (mcu % mcusX) * 8
-      val oy = (mcu / mcusX) * 8
-      var y = 0
-      while (y < 8) {
-        val py = oy + y
-        if (py < height) {
-          var x = 0
-          while (x < 8) {
-            val px = ox + x
-            if (px < width) {
-              val o = py * refW + px
-              val v =
-                if (diff) ref(o) + pix(y * 8 + x)
-                else pix(y * 8 + x) + 128
-              ref(o) = if (v < 0) 0 else if (v > 255) 255 else v
-            }
-            x += 1
-          }
-        }
-        y += 1
-      }
+      landHierBlock(ref, refW, width, height,
+        (mcu % mcusX) * 8, (mcu / mcusX) * 8, pix, diff)
       mcu += 1
     }
     r.pos
