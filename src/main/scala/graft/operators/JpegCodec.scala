@@ -287,17 +287,18 @@ object JpegCodec {
               } else corrupt()
               p += 2
             }
-          case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca | 0xc3 | 0xc5 | 0xcd =>
+          case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca | 0xc3 | 0xc5 | 0xcd | 0xc7 =>
             // SOF0/1 sequential, SOF2 progressive (Huffman),
             // SOF9 sequential / SOF10 progressive (arithmetic),
             // SOF3 lossless (predictive, Huffman), and the DIFFERENTIAL
-            // sequential pair — SOF5 Huffman / SOF13 arithmetic —
-            // inside hierarchical sequences only
+            // frames — SOF5 Huffman / SOF13 arithmetic DCT, SOF7
+            // LOSSLESS (the exact-refinement final stage) — inside
+            // hierarchical sequences only
             if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
             progressive = m == 0xc2 || m == 0xca
             arithCoded = m == 0xc9 || m == 0xca || m == 0xcd
-            lossless = m == 0xc3
-            differential = m == 0xc5 || m == 0xcd
+            lossless = m == 0xc3 || m == 0xc7
+            differential = m == 0xc5 || m == 0xcd || m == 0xc7
             if (differential && !hier) return None // J.1: needs a DHP sequence
             height = be16(b, seg + 1)
             width = be16(b, seg + 3)
@@ -338,13 +339,14 @@ object JpegCodec {
               hierRef = expandV(hierRef, refW, refH)
               refH *= 2
             }
-          case 0xc6 | 0xc7 | 0xcb | 0xce | 0xcf =>
-            // differential progressive/lossless (SOF6/7/14/15) and
-            // ARITHMETIC lossless (SOF11) remain the labeled stub
-            // path; Huffman lossless (SOF3), both arithmetic DCT frame
-            // types (SOF9/SOF10), and hierarchical sequences with both
-            // differential sequential spellings (SOF5 Huffman / SOF13
-            // arithmetic) are real since round 16
+          case 0xc6 | 0xcb | 0xce | 0xcf =>
+            // differential progressive (SOF6/14), arithmetic
+            // differential lossless (SOF15), and ARITHMETIC lossless
+            // (SOF11) remain the labeled stub path; Huffman lossless
+            // (SOF3), both arithmetic DCT frame types (SOF9/SOF10),
+            // and hierarchical sequences with three differential
+            // spellings (SOF5 Huffman DCT / SOF13 arithmetic DCT /
+            // SOF7 lossless) are real since round 16
             return None
           case 0xda => // SOS → entropy-coded data follows
             if (comps == null) corrupt()
@@ -371,18 +373,18 @@ object JpegCodec {
             val ah = (b(p + 2) & 0xff) >> 4
             val al = b(p + 2) & 0x0f
             if (hier) {
-              // hierarchical scope: sequential frames (Huffman OR
-              // arithmetic), grayscale 1×1 (the pyramid shape the
-              // encoder writes); progressive/lossless frame types
-              // inside a DHP sequence → labeled stub
-              if (progressive || lossless) return None
+              // hierarchical scope: sequential DCT frames (Huffman OR
+              // arithmetic) plus the SOF7 differential-LOSSLESS
+              // refinement stage, grayscale 1×1 (the pyramid shape the
+              // encoder writes); progressive and non-differential
+              // lossless frames inside a DHP sequence → labeled stub
+              if (progressive || (lossless && !differential)) return None
               if (comps.length != 1 || ns != 1 ||
                   comps(0).h != 1 || comps(0).v != 1) return None
               val c0 = comps(0)
-              if (!arithCoded) {
-                if (c0.dcTable == null || c0.acTable == null) corrupt()
-              }
-              if (qt(c0.tq) == null) corrupt()
+              if (!arithCoded && c0.dcTable == null) corrupt()
+              if (!arithCoded && !lossless && c0.acTable == null) corrupt()
+              if (!lossless && qt(c0.tq) == null) corrupt()
               if (differential) {
                 // frame geometry must match the (possibly EXPanded)
                 // reference — a mismatch would mis-register corrections
@@ -394,7 +396,14 @@ object JpegCodec {
                 refH = height
               }
               i =
-                if (arithCoded)
+                if (lossless) {
+                  // H.2: differential lossless codes the differences
+                  // directly — no prediction (Ss = 0); point-transform
+                  // and restart-interval variants are out of scope
+                  if (ss != 0 || al != 0) return None
+                  decodeDiffLosslessScan(b, segEnd, c0, width, height,
+                    restartInterval, hierRef, refW)
+                } else if (arithCoded)
                   decodeArithScan(b, segEnd, comps, width, height, qt,
                     restartInterval, dcL, dcU, acK, hierRef, refW,
                     differential)
@@ -469,6 +478,37 @@ object JpegCodec {
         k += 1
       }
     }
+  }
+
+  /** One DIFFERENTIAL LOSSLESS scan (SOF7, T.81 H.2 inside an Annex-J
+    * sequence): per sample, a DC-table category + EXTENDed difference
+    * coded directly (no spatial prediction — that is the reference
+    * plane's job), added to the reference modulo 2^16 with the low 8
+    * bits kept (the spec's modulo arithmetic at P = 8). This is the
+    * EXACT-refinement final stage: ref + diff reproduces arbitrary
+    * images bit-for-bit. Returns the position after the entropy data. */
+  private def decodeDiffLosslessScan(b: Array[Byte], start: Int,
+      c: Component, width: Int, height: Int, ri: Int,
+      ref: Array[Int], refW: Int): Int = {
+    if (ri > 0) corrupt()
+    val r = new BitReader(b, start)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val s = r.decode(c.dcTable)
+        if (s > 16) corrupt()
+        val diff =
+          if (s == 0) 0
+          else if (s == 16) 32768 // T.81 lossless special category
+          else extend(r.receive(s), s)
+        val o = y * refW + x
+        ref(o) = ((ref(o) + diff) & 0xffff) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    r.pos
   }
 
   /** Land one raw-IDCT 8×8 block in the hierarchical reference plane
@@ -1698,6 +1738,92 @@ object JpegCodec {
       while (i < 64) { block(i) = d.toDouble; i += 1 }
     })
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Real hierarchical bytes with a LOSSLESS refinement stage (T.81
+    * Annex J + H.2): a block-constant SOF0 base frame (exact by the
+    * all-ones-quant argument), EXP(1,1), then a DIFFERENTIAL LOSSLESS
+    * SOF7 frame coding `fullGray − upsample(halfGray)` sample-exactly —
+    * so the decoded image reproduces an ARBITRARY `fullGray`
+    * bit-for-bit: the lossy-base + lossless-diff shape hierarchical
+    * JPEG exists for. `halfGray` must be constant per 8×8 block (the
+    * exact-base contract); `fullGray` is unconstrained. */
+  def encodeJpegHierLossless(halfW: Int, halfH: Int,
+      halfGray: (Int, Int) => Int, fullGray: (Int, Int) => Int): Array[Byte] = {
+    require(halfW > 0 && halfH > 0 && halfW % 8 == 0 && halfH % 8 == 0 &&
+      4L * halfW * halfH <= MaxPixels && 2 * halfW <= 0xffff &&
+      2 * halfH <= 0xffff)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wbe16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    def frameHeader(m: Int, w: Int, h: Int): Unit = {
+      marker(m); wbe16(8 + 3)
+      w8(8); wbe16(h); wbe16(w); w8(1)
+      w8(1); w8(0x11); w8(0)
+    }
+    marker(0xd8)
+    frameHeader(0xde, 2 * halfW, 2 * halfH) // DHP
+    marker(0xdb); wbe16(2 + 1 + 64) // DQT 0: all ones
+    w8(0)
+    var k = 0
+    while (k < 64) { w8(1); k += 1 }
+    def dht(tc: Int, t: EncTable): Unit = {
+      marker(0xc4); wbe16(2 + 17 + t.vals.length)
+      w8(tc << 4)
+      var l = 1
+      while (l <= 16) { w8(t.bits(l)); l += 1 }
+      t.vals.foreach(w8)
+    }
+    dht(0, EncDc)
+    dht(1, EncAc)
+    // base frame: block-constant SOF0 at half resolution
+    frameHeader(0xc0, halfW, halfH)
+    marker(0xda); wbe16(8); w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    var w = new BitWriter(out)
+    var pred = 0
+    var my = 0
+    while (my < halfH / 8) {
+      var mx = 0
+      while (mx < halfW / 8) {
+        var i = 0
+        while (i < 64) {
+          block(i) = (halfGray(mx * 8 + i % 8, my * 8 + i / 8) & 0xff) - 128.0
+          i += 1
+        }
+        fdctQuant(block, coef)
+        pred = encodeBlock(w, coef, pred)
+        mx += 1
+      }
+      my += 1
+    }
+    w.finish()
+    // the reference the decoder will hold: exact base, bilinear-doubled
+    val half = Array.tabulate(halfH * halfW)(o =>
+      halfGray(o % halfW, o / halfW) & 0xff)
+    val up = expandV(expandH(half, halfW, halfH), 2 * halfW, halfH)
+    marker(0xdf); wbe16(3); w8(0x11) // EXP: Eh=1, Ev=1
+    // SOF7: the differences, coded per-sample with Ss = 0
+    frameHeader(0xc7, 2 * halfW, 2 * halfH)
+    marker(0xda); wbe16(8); w8(1); w8(1); w8(0x00); w8(0); w8(0); w8(0)
+    w = new BitWriter(out)
+    var y = 0
+    while (y < 2 * halfH) {
+      var x = 0
+      while (x < 2 * halfW) {
+        val diff = (fullGray(x, y) & 0xff) - up(y * 2 * halfW + x)
+        val s = sizeCat(diff)
+        w.put(EncDc.codes(s), EncDc.lens(s))
+        if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        x += 1
+      }
+      y += 1
+    }
+    w.finish()
+    marker(0xd9)
     out.toByteArray
   }
 

@@ -532,8 +532,10 @@ object Llm {
   // is BI_RLE8 run-length BMP — compressed, lossless, same gradient;
   // slot 9 (round 16) is HIERARCHICAL JPEG (T.81 Annex J: DHP sequence,
   // non-differential base frame, EXP bilinear doubling, differential
-  // corrections — alternating the Huffman SOF0+SOF5 and arithmetic
-  // SOF9+SOF13 spellings — all stages exact by construction). All ten
+  // corrections — rotating the Huffman SOF0+SOF5 and arithmetic
+  // SOF9+SOF13 DCT pyramids with the SOF7 LOSSLESS-refinement stage,
+  // which reconstructs an arbitrary full-res gradient bit-exactly —
+  // all stages exact by construction). All ten
   // rotation slots decode real pixels; the per-row `decoder`
   // label stays (q70/q71 exercise the stub contract).
   def q47(s: SparkSession, dir: String): DataFrame = {
@@ -542,7 +544,7 @@ object Llm {
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v10-hier-arith") {
+      version = "v11-hier-lossless") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -597,22 +599,29 @@ object Llm {
                 (r << 16) | (g << 8) | bl
               },
               (x, y) => y * w + x)
-          case _ => // round 16: HIERARCHICAL JPEG (T.81 Annex J —
-            // DHP/EXP/SOF5): an 8×(8·hb) half-res row-tile gradient
-            // (br + 11·(y/8), constant horizontally) bilinear-upsampled
-            // 2×, plus a checkerboard of block-constant +5 corrections
-            // in the DIFFERENTIAL frame; both stages are exact (DC-only
-            // blocks, J.1.1.2 interpolation has a closed form), so the
-            // oracle recomputes the sums: 16·(16·(hb·br + 11·S1(hb)) +
-            // 6·(hb−1)) + 640·hb per channel
-            // entropy spelling alternates: Huffman (SOF0+SOF5) and
-            // arithmetic (SOF9+SOF13) pyramids decode to the SAME
-            // pixels, so one closed form covers both
-            graft.operators.JpegCodec.encodeJpegHier(
-              8, 8 * (1 + (id % 2).toInt),
-              (_, y) => br + 11 * (y / 8),
-              (bx, by) => 5 * ((bx + by) % 2),
-              arith = (id / 10) % 2 == 1)
+          case _ => // round 16: HIERARCHICAL JPEG (T.81 Annex J),
+            // rotating THREE differential spellings by (id/10)%3:
+            //  0/1 — DCT pyramids (SOF0+SOF5 Huffman / SOF9+SOF13
+            //  arithmetic): an 8×(8·hb) half-res row-tile gradient
+            //  (br + 11·(y/8)) bilinear-upsampled 2× plus a
+            //  checkerboard of block-constant +5 corrections; exact
+            //  (DC-only blocks + closed-form J.1.1.2 interpolation) →
+            //  sums = 16·(16·(hb·br + 11·S1(hb)) + 6·(hb−1)) + 640·hb.
+            //  2 — LOSSLESS refinement (SOF0 base + SOF7): the final
+            //  stage recovers an ARBITRARY full-res gradient
+            //  br + 3x + 2y bit-exactly (≤ 203 < 255) →
+            //  sums = 16·hh·br + 360·hh + 16·hh·(hh−1), hh = 16·hb
+            if ((id / 10) % 3 == 2)
+              graft.operators.JpegCodec.encodeJpegHierLossless(
+                8, 8 * (1 + (id % 2).toInt),
+                (_, _) => br,
+                (x, y) => br + 3 * x + 2 * y)
+            else
+              graft.operators.JpegCodec.encodeJpegHier(
+                8, 8 * (1 + (id % 2).toInt),
+                (_, y) => br + 11 * (y / 8),
+                (bx, by) => 5 * ((bx + by) % 2),
+                arith = (id / 10) % 3 == 1)
         }
         (id, bytes)
       }.toDF("doc_id", "content")
@@ -696,7 +705,8 @@ object Llm {
       |  SELECT doc_id,
       |         64 * (wb*hb*br + 7*(hb*(wb*(wb-1)//2)) + 11*(wb*(hb*(hb-1)//2)))
       |           AS jsum,
-      |         16*(16*(hb*br + 11*(hb*(hb-1)//2)) + 6*(hb-1)) + 640*hb AS hsum
+      |         16*(16*(hb*br + 11*(hb*(hb-1)//2)) + 6*(hb-1)) + 640*hb AS hsum,
+      |         16*(16*hb)*br + 360*(16*hb) + 16*(16*hb)*(16*hb - 1) AS lsum
       |  FROM g)
       |SELECT g.doc_id,
       |       CASE g.fmt WHEN 0 THEN 'bmp'
@@ -709,18 +719,22 @@ object Llm {
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN 8*hb
       |            WHEN g.fmt = 9 THEN 16*hb ELSE h END AS BIGINT) AS height,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
-      |            WHEN g.fmt = 9 THEN hsum ELSE
+      |            WHEN g.fmt = 9 THEN
+      |         CASE WHEN (g.doc_id // 10) % 3 = 2 THEN lsum ELSE hsum END
+      |            ELSE
       |         w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END AS BIGINT) AS sum_r,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
       |            WHEN g.fmt IN (7, 9) THEN
-      |         CASE WHEN g.fmt = 9 THEN hsum ELSE
-      |           w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END
+      |         CASE WHEN g.fmt = 7 THEN
+      |           w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2)
+      |         WHEN (g.doc_id // 10) % 3 = 2 THEN lsum ELSE hsum END
       |            ELSE
       |         w*h*bg + 5*(h*w*(w-1)//2) + 2*(w*h*(h-1)//2) END AS BIGINT) AS sum_g,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
       |            WHEN g.fmt IN (7, 9) THEN
-      |         CASE WHEN g.fmt = 9 THEN hsum ELSE
-      |           w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END
+      |         CASE WHEN g.fmt = 7 THEN
+      |           w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2)
+      |         WHEN (g.doc_id // 10) % 3 = 2 THEN lsum ELSE hsum END
       |            ELSE
       |         w*h*bb + 2*(h*w*(w-1)//2) + 7*(w*h*(h-1)//2) END AS BIGINT) AS sum_b
       |FROM g JOIN j ON g.doc_id = j.doc_id ORDER BY g.doc_id""".stripMargin

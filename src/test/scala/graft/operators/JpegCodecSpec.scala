@@ -262,6 +262,41 @@ class JpegCodecSpec extends SparkFunSuite {
       assert((arith.rgb(o * 3) & 0xff) == want(o), s"pixel $o")
   }
 
+  test("hierarchical LOSSLESS refinement (SOF7): ARBITRARY images round-trip bit-exactly") {
+    // random full-res pixels — the lossy base is just an approximation,
+    // the differential-lossless stage must recover every pixel exactly
+    val rnd = new scala.util.Random(7)
+    val full = Array.fill(32 * 32)(rnd.nextInt(256))
+    val fullF = (x: Int, y: Int) => full(y * 32 + x)
+    // block-constant base: the top-left full-res sample of each tile
+    val halfF = (x: Int, y: Int) => full((y / 8) * 16 * 32 + (x / 8) * 16)
+    val bytes = JpegCodec.encodeJpegHierLossless(16, 16, halfF, fullF)
+    val img = decode(bytes).get
+    assert(img.width == 32 && img.height == 32)
+    for (y <- 0 until 32; x <- 0 until 32)
+      assert((img.rgb((y * 32 + x) * 3) & 0xff) == full(y * 32 + x),
+        s"pixel ($x,$y)")
+    // degenerate: full == upsample(half) → all-zero differences
+    val flat = JpegCodec.encodeJpegHierLossless(8, 8, (_, _) => 99, (_, _) => 99)
+    assert(decode(flat).get.rgb.forall(v => (v & 0xff) == 99))
+    // a SOF7 scan claiming a PREDICTOR (Ss ≠ 0) is refused: the
+    // reference plane is the prediction in differential lossless
+    val patched = {
+      val c = bytes.clone()
+      // second SOS: find the last FF DA, set its Ss byte (offset +7)
+      var at = -1
+      var j = 2
+      while (j + 1 < c.length) {
+        if ((c(j) & 0xff) == 0xff && (c(j + 1) & 0xff) == 0xda) at = j
+        j += 1
+      }
+      assert(at > 0)
+      c(at + 7) = 1 // Ss byte: FF DA len2 ns comp-id comp-tables Ss
+      c
+    }
+    assert(decode(patched) == None)
+  }
+
   test("hierarchical: constant base + zero delta reconstructs the constant") {
     val bytes = JpegCodec.encodeJpegHier(8, 8, (_, _) => 77, (_, _) => 0)
     val img = decode(bytes).get
