@@ -384,7 +384,8 @@ object JpegCodec {
               val c0 = comps(0)
               if (!arithCoded && c0.dcTable == null) corrupt()
               if (!arithCoded && !lossless && c0.acTable == null) corrupt()
-              if (!lossless && qt(c0.tq) == null) corrupt()
+              // (the scan-component loop above already verified qt for
+              // non-lossless frames)
               if (differential) {
                 // frame geometry must match the (possibly EXPanded)
                 // reference — a mismatch would mis-register corrections
@@ -1654,21 +1655,77 @@ object JpegCodec {
       4L * halfW * halfH <= MaxPixels && 2 * halfW <= 0xffff &&
       2 * halfH <= 0xffff)
     val out = new java.io.ByteArrayOutputStream()
+    hierPreambleAndBase(out, halfW, halfH, halfGray, arith)
+    // expand the reference both ways, then the differential frame:
+    // block-constant signed corrections, NO level shift (Annex J)
+    hierExpSegment(out)
+    val block = new Array[Double](64)
+    hierDctFrame(out, if (arith) 0xcd else 0xc5, 2 * halfW, 2 * halfH,
+      arith, block, (mx, my) => {
+        val d = delta(mx, my)
+        require(d >= -255 && d <= 255, s"delta($mx,$my)=$d out of range")
+        var i = 0
+        while (i < 64) { block(i) = d.toDouble; i += 1 }
+      })
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Real hierarchical bytes with a LOSSLESS refinement stage (T.81
+    * Annex J + H.2): a block-constant SOF0 base frame (exact by the
+    * all-ones-quant argument), EXP(1,1), then a DIFFERENTIAL LOSSLESS
+    * SOF7 frame coding `fullGray − upsample(halfGray)` sample-exactly —
+    * so the decoded image reproduces an ARBITRARY `fullGray`
+    * bit-for-bit: the lossy-base + lossless-diff shape hierarchical
+    * JPEG exists for. `halfGray` must be constant per 8×8 block (the
+    * exact-base contract); `fullGray` is unconstrained. */
+  def encodeJpegHierLossless(halfW: Int, halfH: Int,
+      halfGray: (Int, Int) => Int, fullGray: (Int, Int) => Int): Array[Byte] = {
+    require(halfW > 0 && halfH > 0 && halfW % 8 == 0 && halfH % 8 == 0 &&
+      4L * halfW * halfH <= MaxPixels && 2 * halfW <= 0xffff &&
+      2 * halfH <= 0xffff)
+    val out = new java.io.ByteArrayOutputStream()
+    hierPreambleAndBase(out, halfW, halfH, halfGray, arith = false)
+    // the reference the decoder will hold: exact base, bilinear-doubled
+    val half = Array.tabulate(halfH * halfW)(o =>
+      halfGray(o % halfW, o / halfW) & 0xff)
+    val up = expandV(expandH(half, halfW, halfH), 2 * halfW, halfH)
+    hierExpSegment(out)
+    // SOF7: the differences, coded per-sample with Ss = 0
+    hierFrameHeader(out, 0xc7, 2 * halfW, 2 * halfH)
+    out.write(0xff); out.write(0xda); out.write(0); out.write(8)
+    out.write(1); out.write(1); out.write(0x00)
+    out.write(0); out.write(0); out.write(0) // Ss = 0 (no prediction)
+    val w = new BitWriter(out)
+    var y = 0
+    while (y < 2 * halfH) {
+      var x = 0
+      while (x < 2 * halfW) {
+        val diff = (fullGray(x, y) & 0xff) - up(y * 2 * halfW + x)
+        val s = sizeCat(diff)
+        w.put(EncDc.codes(s), EncDc.lens(s))
+        if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        x += 1
+      }
+      y += 1
+    }
+    w.finish()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Shared hierarchical-fixture preamble: SOI + DHP (final geometry) +
+    * all-ones DQT + entropy tables (DAC or DHT) + the non-differential
+    * base frame at half resolution — common to [[encodeJpegHier]] and
+    * [[encodeJpegHierLossless]]. */
+  private def hierPreambleAndBase(out: java.io.ByteArrayOutputStream,
+      halfW: Int, halfH: Int, halfGray: (Int, Int) => Int,
+      arith: Boolean): Unit = {
     def w8(v: Int): Unit = out.write(v & 0xff)
     def wbe16(v: Int): Unit = { w8(v >> 8); w8(v) }
     def marker(m: Int): Unit = { w8(0xff); w8(m) }
-    def frameHeader(m: Int, w: Int, h: Int): Unit = {
-      marker(m); wbe16(8 + 3)
-      w8(8); wbe16(h); wbe16(w); w8(1)
-      w8(1); w8(0x11); w8(0) // component 1, 1×1, qt 0
-    }
-    def sos(): Unit = {
-      marker(0xda); wbe16(8)
-      w8(1); w8(1); w8(0x00) // one component, DC/AC tables 0
-      w8(0); w8(63); w8(0)
-    }
     marker(0xd8) // SOI
-    frameHeader(0xde, 2 * halfW, 2 * halfH) // DHP: final geometry
+    hierFrameHeader(out, 0xde, 2 * halfW, 2 * halfH) // DHP: final geometry
     marker(0xdb); wbe16(2 + 1 + 64) // DQT 0: all ones
     w8(0)
     var k = 0
@@ -1689,142 +1746,63 @@ object JpegCodec {
       dht(0, EncDc)
       dht(1, EncAc)
     }
-    val block = new Array[Double](64)
-    val coef = new Array[Int](64)
-    val preds = new Array[Int](1)
-    val dcCtxs = new Array[Int](1)
-    // one frame's worth of blocks through the selected entropy coder
-    def emitFrame(sofM: Int, w2: Int, h2: Int,
-        fill: (Int, Int) => Unit): Unit = {
-      frameHeader(sofM, w2, h2)
-      sos()
-      preds(0) = 0
-      dcCtxs(0) = 0
-      val w = if (arith) null else new BitWriter(out)
-      val enc = if (arith) new QmCoder.Encoder(out) else null
-      val dcSt = if (arith) new QmCoder.Stats(64) else null
-      val acSt = if (arith) new QmCoder.Stats(256) else null
-      var my = 0
-      while (my < h2 / 8) {
-        var mx = 0
-        while (mx < w2 / 8) {
-          fill(mx, my)
-          fdctQuant(block, coef)
-          if (arith) {
-            encodeBlockArith(enc, dcSt, acSt, coef, preds, dcCtxs, 0)
-            preds(0) = coef(0)
-          } else preds(0) = encodeBlock(w, coef, preds(0))
-          mx += 1
-        }
-        my += 1
-      }
-      if (arith) enc.finish() else w.finish()
-    }
     // base frame: non-differential SOF0/SOF9 at half resolution
-    emitFrame(if (arith) 0xc9 else 0xc0, halfW, halfH, (mx, my) => {
-      var i = 0
-      while (i < 64) {
-        block(i) = (halfGray(mx * 8 + i % 8, my * 8 + i / 8) & 0xff) - 128.0
-        i += 1
-      }
-    })
-    // expand the reference both ways, then the differential frame:
-    // block-constant signed corrections, NO level shift (Annex J)
-    marker(0xdf); wbe16(3); w8(0x11) // EXP: Eh=1, Ev=1
-    emitFrame(if (arith) 0xcd else 0xc5, 2 * halfW, 2 * halfH, (mx, my) => {
-      val d = delta(mx, my)
-      require(d >= -255 && d <= 255, s"delta($mx,$my)=$d out of range")
-      var i = 0
-      while (i < 64) { block(i) = d.toDouble; i += 1 }
-    })
-    marker(0xd9) // EOI
-    out.toByteArray
-  }
-
-  /** Real hierarchical bytes with a LOSSLESS refinement stage (T.81
-    * Annex J + H.2): a block-constant SOF0 base frame (exact by the
-    * all-ones-quant argument), EXP(1,1), then a DIFFERENTIAL LOSSLESS
-    * SOF7 frame coding `fullGray − upsample(halfGray)` sample-exactly —
-    * so the decoded image reproduces an ARBITRARY `fullGray`
-    * bit-for-bit: the lossy-base + lossless-diff shape hierarchical
-    * JPEG exists for. `halfGray` must be constant per 8×8 block (the
-    * exact-base contract); `fullGray` is unconstrained. */
-  def encodeJpegHierLossless(halfW: Int, halfH: Int,
-      halfGray: (Int, Int) => Int, fullGray: (Int, Int) => Int): Array[Byte] = {
-    require(halfW > 0 && halfH > 0 && halfW % 8 == 0 && halfH % 8 == 0 &&
-      4L * halfW * halfH <= MaxPixels && 2 * halfW <= 0xffff &&
-      2 * halfH <= 0xffff)
-    val out = new java.io.ByteArrayOutputStream()
-    def w8(v: Int): Unit = out.write(v & 0xff)
-    def wbe16(v: Int): Unit = { w8(v >> 8); w8(v) }
-    def marker(m: Int): Unit = { w8(0xff); w8(m) }
-    def frameHeader(m: Int, w: Int, h: Int): Unit = {
-      marker(m); wbe16(8 + 3)
-      w8(8); wbe16(h); wbe16(w); w8(1)
-      w8(1); w8(0x11); w8(0)
-    }
-    marker(0xd8)
-    frameHeader(0xde, 2 * halfW, 2 * halfH) // DHP
-    marker(0xdb); wbe16(2 + 1 + 64) // DQT 0: all ones
-    w8(0)
-    var k = 0
-    while (k < 64) { w8(1); k += 1 }
-    def dht(tc: Int, t: EncTable): Unit = {
-      marker(0xc4); wbe16(2 + 17 + t.vals.length)
-      w8(tc << 4)
-      var l = 1
-      while (l <= 16) { w8(t.bits(l)); l += 1 }
-      t.vals.foreach(w8)
-    }
-    dht(0, EncDc)
-    dht(1, EncAc)
-    // base frame: block-constant SOF0 at half resolution
-    frameHeader(0xc0, halfW, halfH)
-    marker(0xda); wbe16(8); w8(1); w8(1); w8(0x00); w8(0); w8(63); w8(0)
     val block = new Array[Double](64)
-    val coef = new Array[Int](64)
-    var w = new BitWriter(out)
-    var pred = 0
-    var my = 0
-    while (my < halfH / 8) {
-      var mx = 0
-      while (mx < halfW / 8) {
+    hierDctFrame(out, if (arith) 0xc9 else 0xc0, halfW, halfH, arith,
+      block, (mx, my) => {
         var i = 0
         while (i < 64) {
           block(i) = (halfGray(mx * 8 + i % 8, my * 8 + i / 8) & 0xff) - 128.0
           i += 1
         }
+      })
+  }
+
+  private def hierExpSegment(out: java.io.ByteArrayOutputStream): Unit = {
+    out.write(0xff); out.write(0xdf); out.write(0); out.write(3)
+    out.write(0x11) // EXP: Eh=1, Ev=1
+  }
+
+  private def hierFrameHeader(out: java.io.ByteArrayOutputStream, m: Int,
+      w2: Int, h2: Int): Unit = {
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    w8(0xff); w8(m); w8(0); w8(8 + 3)
+    w8(8); w8(h2 >> 8); w8(h2); w8(w2 >> 8); w8(w2); w8(1)
+    w8(1); w8(0x11); w8(0) // component 1, 1×1, qt 0
+  }
+
+  /** One DCT frame of a hierarchical fixture: frame header + SOS +
+    * every 8×8 block of `fill` through the selected entropy coder. */
+  private def hierDctFrame(out: java.io.ByteArrayOutputStream, sofM: Int,
+      w2: Int, h2: Int, arith: Boolean, block: Array[Double],
+      fill: (Int, Int) => Unit): Unit = {
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    hierFrameHeader(out, sofM, w2, h2)
+    w8(0xff); w8(0xda); w8(0); w8(8) // SOS
+    w8(1); w8(1); w8(0x00) // one component, DC/AC tables 0
+    w8(0); w8(63); w8(0)
+    val coef = new Array[Int](64)
+    val preds = new Array[Int](1)
+    val dcCtxs = new Array[Int](1)
+    val w = if (arith) null else new BitWriter(out)
+    val enc = if (arith) new QmCoder.Encoder(out) else null
+    val dcSt = if (arith) new QmCoder.Stats(64) else null
+    val acSt = if (arith) new QmCoder.Stats(256) else null
+    var my = 0
+    while (my < h2 / 8) {
+      var mx = 0
+      while (mx < w2 / 8) {
+        fill(mx, my)
         fdctQuant(block, coef)
-        pred = encodeBlock(w, coef, pred)
+        if (arith) {
+          encodeBlockArith(enc, dcSt, acSt, coef, preds, dcCtxs, 0)
+          preds(0) = coef(0)
+        } else preds(0) = encodeBlock(w, coef, preds(0))
         mx += 1
       }
       my += 1
     }
-    w.finish()
-    // the reference the decoder will hold: exact base, bilinear-doubled
-    val half = Array.tabulate(halfH * halfW)(o =>
-      halfGray(o % halfW, o / halfW) & 0xff)
-    val up = expandV(expandH(half, halfW, halfH), 2 * halfW, halfH)
-    marker(0xdf); wbe16(3); w8(0x11) // EXP: Eh=1, Ev=1
-    // SOF7: the differences, coded per-sample with Ss = 0
-    frameHeader(0xc7, 2 * halfW, 2 * halfH)
-    marker(0xda); wbe16(8); w8(1); w8(1); w8(0x00); w8(0); w8(0); w8(0)
-    w = new BitWriter(out)
-    var y = 0
-    while (y < 2 * halfH) {
-      var x = 0
-      while (x < 2 * halfW) {
-        val diff = (fullGray(x, y) & 0xff) - up(y * 2 * halfW + x)
-        val s = sizeCat(diff)
-        w.put(EncDc.codes(s), EncDc.lens(s))
-        if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-        x += 1
-      }
-      y += 1
-    }
-    w.finish()
-    marker(0xd9)
-    out.toByteArray
+    if (arith) enc.finish() else w.finish()
   }
 
   /** Real LOSSLESS JPEG bytes (SOF3, T.81 Annex H): grayscale 8-bit,
