@@ -225,17 +225,29 @@ object Bench {
       spark.sqlContext.clearCache()
     }
 
-    // 1-minute /proc/loadavg at timed-loop start and end: the cheap load
-    // indicator for the byte-OPAQUE queries (q83 CC on checkpointed RDDs,
-    // q23 CTAS, q48, q88 streaming — their scan/shuf columns read 0, so
-    // byte drift can't adjudicate them). README "Bench variance protocol"
-    // has the discount rule: either reading ≳ CPU count means elapsed
-    // numbers from that run carry machine-load inflation, not plan drift.
+    // 1-minute /proc/loadavg sampled BEFORE EVERY TIMED REP (not just at
+    // loop start/end): the load indicator for the byte-OPAQUE queries
+    // (q83 CC on checkpointed RDDs, q23 CTAS, q48, q88 streaming — their
+    // scan/shuf columns read 0, so byte drift can't adjudicate them).
+    // r16 showed why start/end-only sampling fails: the driver run
+    // carried 3–5× mid-run elapsed inflation on q32/q35/q55-q57 while
+    // "load":[3.0,2.9] read benign — 1-min samples at the loop
+    // boundaries missed the contention window entirely (VERDICT r16
+    // task 1). The summary line now publishes "load":[start,max,end]
+    // (max over all per-rep samples) plus "hot":[...] — the queries
+    // whose start-of-rep sample exceeded SPARK_GRAFT_HOT_LOAD
+    // (default 8.0; the bench's own steady-state contribution measured
+    // 2.5–4 on this 32-CPU box, so ≥8 means an external co-runner).
+    // README "Bench variance protocol" restates the discount rule
+    // against these fields.
     def loadavg(): Double =
       try java.nio.file.Files.readString(
         java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Exception => -1.0 }
+    val hotThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_HOT_LOAD", "8.0").toDouble
     val loadStart = loadavg()
+    var loadMax = loadStart
 
     // A single-query invocation (`runMain graft.Bench q26_pricing_summary`)
     // is an attribution run — always apply the median protocol there, even
@@ -251,6 +263,8 @@ object Bench {
         else 1
       System.err.println(s"[bench] start $name x$n @${java.time.LocalTime.now}")
       val runs = (1 to n).map { _ =>
+        val repLoad = loadavg()
+        if (repLoad > loadMax) loadMax = repLoad
         val t0 = System.nanoTime()
         // per-query bytes off the executed plan's own SQLMetrics
         // (synchronous — no listener-bus quiesce): plan-determined, so
@@ -274,7 +288,7 @@ object Bench {
           }
         val sec = (System.nanoTime() - t0) / 1e9
         sweepCaches(spark)
-        (sec, rows, status, m)
+        (sec, rows, status, m, repLoad)
       }
       // median elapsed for the write family (n>1); the rows/status pair
       // comes from the worst run so an intermittent failure is never
@@ -287,9 +301,13 @@ object Bench {
       // and a byte-drift reader could misread a transient error as a real
       // scan collapse — the exact ambiguity the arrays exist to remove
       val bytes = runs.find(_._3 == "OK").map(_._4)
-      (name, sec, rows, status, runs.map(_._1), bytes)
+      // per-query load: the max 1-min loadavg sampled at the start of any
+      // of this query's reps — the field the hot flag is judged on
+      val qLoad = runs.map(_._5).max
+      (name, sec, rows, status, runs.map(_._1), bytes, qLoad)
     }
     val loadEnd = loadavg()
+    if (loadEnd > loadMax) loadMax = loadEnd
     // The driver captures only the LAST ~2000 chars of stdout and parses the
     // JSON line from that tail; sbt then appends its own "[success] ..." line
     // (~80 chars). Rounds 2 and 3 shipped rows+status maps inline and the
@@ -316,7 +334,7 @@ object Bench {
       if (mb < 0.05) "0" else if (mb < 9.95) jnum(mb, 1) else jnum(mb, 0)
     }
     def mkLine(key: String => String, withBytes: Boolean): String = {
-      val qs = results.map { case (n, sec, _, _, _, _) => s"${jstr(key(n))}:${jnum(sec, 2)}" }.mkString("{", ",", "}")
+      val qs = results.map { case (n, sec, _, _, _, _, _) => s"${jstr(key(n))}:${jnum(sec, 2)}" }.mkString("{", ",", "}")
       val extra =
         if (!withBytes) ""
         else {
@@ -326,10 +344,16 @@ object Bench {
             .mkString("[", ",", "]")
           s""","scan_mb":$scan,"shuf_mb":$shuf"""
         }
-      // "load":[start,end] — 1-min /proc/loadavg at timed-loop start/end;
-      // ~20 chars, the load indicator for byte-opaque queries
-      val load = s""","load":[${jnum(loadStart, 1)},${jnum(loadEnd, 1)}]"""
-      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs$extra$load,"errors":$nErr,"sf":${jstr(sfDir)}}"""
+      // "load":[start,max,end] — 1-min /proc/loadavg at loop start, the
+      // MAX over every per-rep sample, and loop end. "hot" lists the
+      // queries whose start-of-rep sample exceeded the threshold — their
+      // elapsed carries machine-load inflation and must be discounted
+      // (empty on a clean run, so normally ~10 chars). Kept in every
+      // ladder variant: it IS the adjudication signal.
+      val load = s""","load":[${jnum(loadStart, 1)},${jnum(loadMax, 1)},${jnum(loadEnd, 1)}]"""
+      val hot = results.filter(_._7 > hotThreshold).map(r => jstr(key(r._1)))
+        .mkString(""","hot":[""", ",", "]")
+      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs$extra$load$hot,"errors":$nErr,"sf":${jstr(sfDir)}}"""
     }
     // fallback ladder: "q01_count_events" → "q01" if the full names overflow
     // (only when the prefixes stay unique — duplicate JSON keys would
@@ -343,14 +367,14 @@ object Bench {
       if (shortOk) mkLine(shortKey, withBytes = true) else "",
       mkLine(identity, withBytes = false),
       if (shortOk) mkLine(shortKey, withBytes = false) else "",
-      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":{},"load":[${jnum(loadStart, 1)},${jnum(loadEnd, 1)}],"errors":$nErr,"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":{},"load":[${jnum(loadStart, 1)},${jnum(loadMax, 1)},${jnum(loadEnd, 1)}],"errors":$nErr,"sf":${jstr(sfDir)}}""")
     println(candidates.find(l => l.nonEmpty && l.length <= 1850).getOrElse(candidates.last))
 
     // Reference-shaped report file (run_performance_tests.py:286-329):
     // per-test name/status/seconds/rows + summary, timestamped filename.
     val ts = java.time.LocalDateTime.now()
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
-    val tests = results.map { case (n, sec, r, st, reps, bytesOpt) =>
+    val tests = results.map { case (n, sec, r, st, reps, bytesOpt, qLoad) =>
       // the report keeps numeric 0s for errored queries — its adjacent
       // status field disambiguates them (unlike the summary arrays)
       val (mRows, mBytes, mShuffle) = bytesOpt.getOrElse((0L, 0L, 0L))
@@ -361,7 +385,7 @@ object Bench {
         if (reps.size > 1)
           reps.map(x => jnum(x, 3)).mkString(""", "rep_seconds": [""", ", ", "]")
         else ""
-      s"""    {"test_name": ${jstr(n)}, "suite": ${jstr(suite(n))}, "status": ${jstr(if (st == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": $sec, "row_count": $r, "rows_scanned": $mRows, "bytes_scanned": $mBytes, "shuffle_bytes": $mShuffle$repsJson}"""
+      s"""    {"test_name": ${jstr(n)}, "suite": ${jstr(suite(n))}, "status": ${jstr(if (st == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": $sec, "row_count": $r, "rows_scanned": $mRows, "bytes_scanned": $mBytes, "shuffle_bytes": $mShuffle, "loadavg_start": ${jnum(qLoad, 1)}, "hot": ${qLoad > hotThreshold}$repsJson}"""
     }.mkString("[\n", ",\n", "\n  ]")
     val report =
       s"""{
