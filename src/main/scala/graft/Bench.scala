@@ -17,13 +17,14 @@ object Bench {
          "q44_compaction" | "q45_schema_evolution" | "q48_sql_time_travel" |
          "q49_bench_metrics" | "q52_warehouse_usage" | "q53_storage_usage" |
          "q54_multi_engine" | "q55_partitioned_table" |
-         "q57_zorder_compaction" | "q58_sql_merge" |
+         "q57_zorder_compaction" | "q58_sql_merge" | "q58b_mor_merge" |
          "q59_history_table" | "q64_days_transform" |
          "q67_wap_publish" | "q68_retention_floor" |
          "q96_zero_copy_clone" | "q97_add_files_migrate" |
          "q98_catalog_view" => "maintenance"
     case "q60_json_roundtrip" | "q61_stateful_dedup" |
          "q62_spj_join" | "q63_streaming_pipeline" | "q65_dynamic_table" |
+         "q65b_dynamic_cdc" |
          "q66_image_meta" | "q69_governed_stream" |
          "q70_audio_features" | "q71_video_frames" |
          "q72_image_resize" => "data_pipeline"
@@ -57,8 +58,10 @@ object Bench {
     */
   val writeFamily: Set[String] = Set(
     "q42_streaming_agg", "q44_compaction", "q56_ngram_jaccard",
-    "q57_zorder_compaction", "q58_sql_merge", "q61_stateful_dedup",
+    "q57_zorder_compaction", "q58_sql_merge", "q58b_mor_merge",
+    "q61_stateful_dedup",
     "q63_streaming_pipeline", "q64_days_transform", "q65_dynamic_table",
+    "q65b_dynamic_cdc",
     "q67_wap_publish", "q68_retention_floor", "q69_governed_stream",
     "q83_dedup_clusters", "q88_stream_stream_join", "q96_zero_copy_clone",
     "q97_add_files_migrate", "q98_catalog_view")

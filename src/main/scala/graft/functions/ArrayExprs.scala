@@ -880,6 +880,8 @@ object Registry {
       (es: Seq[Expression]) => WordNgrams(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("top_gram_frac",
       (es: Seq[Expression]) => TopGramFrac(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("trigram_lang",
+      (es: Seq[Expression]) => TrigramLang(es(0)), "built-in")
     reg.createOrReplaceTempFunction("image_meta",
       (es: Seq[Expression]) => ImageMetaExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("intersect_size",

@@ -89,31 +89,68 @@ object Llm {
       |FROM w ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------- q32
-  // Language-ID via stopword-density heuristic (n-gram-free variant: the
-  // driver corpus is synthetic English-ish in every lang bucket, so the
-  // detector is judged on determinism, not accuracy), reported as a
-  // confusion matrix against the labeled lang column.
-  def q32(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .withColumn("words", split(col("text"), " "))
-      .withColumn("ratio",
-        expr("size(filter(words, x -> x IN ('the', 'a')))").cast("long") * lit(1.0)
-          / size(col("words")).cast("long"))
-      .withColumn("predicted_lang",
-        when(col("ratio") >= 0.05, lit("en")).otherwise(lit("unknown")))
+  // Language-ID via char-trigram profiles ([[graft.functions.LangId]] —
+  // the Cavnar-Trenkle n-gram technique as a codegen'd native expression,
+  // zero shuffles), reported as a confusion matrix against the labeled
+  // lang column. The fixture's lang buckets all draw one shared
+  // English-ish vocabulary (labels are synthetic), so the corpus is
+  // UNIONED with embedded real-language samples (`LangId.samples`,
+  // lang='real:xx') — those rows grade detection ACCURACY on real en /
+  // de / fr / es text plus the CJK rule for zh, and the oracle inlines
+  // the identical classifier and samples, so the matrix is hash-checked
+  // end to end.
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val samples = graft.functions.LangId.samples
+      .toDF("doc_id", "lang", "text")
+    docs(s, dir).select("doc_id", "lang", "text")
+      .unionByName(samples)
+      .withColumn("predicted_lang", expr("trigram_lang(text)"))
       .groupBy("lang", "predicted_lang")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "predicted_lang")
+  }
 
-  val q32Sql =
-    """WITH p AS (
-      |  SELECT lang,
-      |         CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
-      |                   / len(string_split(text, ' ')) >= 0.05
-      |              THEN 'en' ELSE 'unknown' END AS predicted_lang
-      |  FROM documents)
-      |SELECT lang, predicted_lang, count(*) AS n_docs
-      |FROM p GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin
+  /** The same classifier spelled in DuckDB SQL, interpolated from the
+    * SAME profile/sample constants — the two implementations cannot
+    * drift apart without the hash catching it. */
+  val q32Sql: String = {
+    def triList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString(", ")
+    val profs = graft.functions.LangId.profiles.toMap
+    val sampleRows = graft.functions.LangId.samples.map { case (id, lang, text) =>
+      s"SELECT CAST($id AS BIGINT) AS doc_id, '$lang' AS lang, '${text.replace("'", "''")}' AS text"
+    }.mkString("\n  UNION ALL ")
+    val th = graft.functions.LangId.Threshold
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL $sampleRows),
+       |g AS (
+       |  SELECT lang, lower(text) AS lt,
+       |         list_transform(range(1, length(lower(text)) - 1),
+       |                        x -> substr(lower(text), CAST(x AS INT), 3)) AS tri
+       |  FROM all_docs),
+       |h AS (
+       |  SELECT lang,
+       |         regexp_matches(lt, '[\\x{4e00}-\\x{9fff}]') AS is_cjk,
+       |         len(tri) AS n,
+       |         len(list_filter(tri, x -> x IN (${triList(profs("de"))}))) AS h_de,
+       |         len(list_filter(tri, x -> x IN (${triList(profs("en"))}))) AS h_en,
+       |         len(list_filter(tri, x -> x IN (${triList(profs("es"))}))) AS h_es,
+       |         len(list_filter(tri, x -> x IN (${triList(profs("fr"))}))) AS h_fr
+       |  FROM g),
+       |p AS (
+       |  SELECT lang,
+       |         CASE WHEN is_cjk THEN 'zh'
+       |              WHEN n = 0 THEN 'unknown'
+       |              WHEN greatest(h_de, h_en, h_es, h_fr) * 1.0 / n < $th THEN 'unknown'
+       |              WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       |              WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       |              WHEN h_es >= h_fr THEN 'es'
+       |              ELSE 'fr' END AS predicted_lang
+       |  FROM h)
+       |SELECT lang, predicted_lang, count(*) AS n_docs
+       |FROM p GROUP BY 1, 2 ORDER BY lang, predicted_lang""".stripMargin
+  }
 
   // ------------------------------------------------------------- q33
   // Token counting: whitespace tokens + a BPE-ish regex token count.

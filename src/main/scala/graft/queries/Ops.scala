@@ -211,6 +211,52 @@ object Ops {
       |FROM events
       |WHERE NOT (event_id >= 4000 AND event_id < 5000 AND event_id % 10 = 0)""".stripMargin
 
+  // ------------------------------------------------------------- q58b
+  // Merge-on-read row-level ops (Iceberg v2 position deletes, the deck's
+  // ACID claims `aws-community-builders-presentation.md:111-121` without
+  // the copy-on-write scale cliff): SQL DELETE under
+  // `write.delete.mode=merge-on-read` records (file,pos) entries instead
+  // of rewriting files, mergeMor upserts as position-delete + append, and
+  // the final SQL read runs the delete-applied MOR scan. The oracle
+  // recomputes the same end state from raw events.
+  def q58b(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val name = s"events_mor_${tag(dir)}"
+    Tables.deleteRecursively(s"$wh/db/$name")
+    s.sql(
+      s"""CREATE TABLE graft.db.$name
+         |  (event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE)""".stripMargin)
+    val e = ev(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    e.writeTo(s"graft.db.$name").append()
+    val t = SnapshotTable.load(s, s"$wh/db/$name")
+    t.setProperties(Map(SnapshotTable.DeleteMode -> "merge-on-read"))
+    s.sql(s"DELETE FROM graft.db.$name WHERE event_type = 'purchase' AND value < 50")
+    // sanity: the DELETE must have gone merge-on-read (no file rewrite)
+    require(t.hasDeletes, s"q58b: expected a position-delete ledger on $name")
+    t.mergeMor(e.filter(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") * 3), Seq("event_id"))
+    s.sql(
+      s"""SELECT count(*) AS n_rows,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM graft.db.$name""".stripMargin)
+  }
+
+  // merge semantics: every id%10==0 row ends at value*3 (previously
+  // MOR-deleted ones are re-inserted by the MERGE); other rows survive
+  // iff the MOR DELETE predicate missed them
+  val q58bSql =
+    """WITH merged AS (
+      |  SELECT CASE WHEN event_id % 10 = 0 THEN value * 3 ELSE value END AS value,
+      |         CASE WHEN event_id % 10 = 0 THEN FALSE
+      |              ELSE (event_type = 'purchase' AND value < 50) END AS deleted
+      |  FROM events)
+      |SELECT count(*) AS n_rows,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM merged WHERE NOT deleted""".stripMargin
+
   // ------------------------------------------------------------- q59
   // Snapshot-log introspection through SQL metadata tables (the Iceberg
   // `t.history` surface, reference
@@ -541,6 +587,51 @@ object Ops {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
       |       count(DISTINCT event_type) AS n_event_types
       |FROM events GROUP BY user_id""".stripMargin
+
+  // ------------------------------------------------------------- q65b
+  // Dynamic table at Snowflake's ACTUAL TARGET_LAG semantics
+  // (`aws-community-builders-presentation.md:751-766`): the source is a
+  // graft TABLE receiving MERGE and DELETE commits, and the MV refreshes
+  // through the CDC changelog ([[SnapshotTable.changes]]) — the commit
+  // mix the appends-only q65 stream would refuse. Each refresh recomputes
+  // only the touched users' groups (bounded by the delta) and swaps them
+  // file-confined on the bucketed MV.
+  def q65b(s: SparkSession, dir: String): DataFrame = {
+    val srcLoc = Tables.scratch(s"snaptab/cdc_src_${tag(dir)}")
+    val mvLoc = Tables.scratch(s"snaptab/cdc_mv_${tag(dir)}")
+    Tables.deleteRecursively(srcLoc)
+    Tables.deleteRecursively(mvLoc)
+    val e = ev(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), col("ts"))
+    val src = SnapshotTable.create(s, srcLoc,
+      e.filter(col("event_id") % 4 =!= 3))
+    val dyn = new graft.streaming.Streams.CdcDynamicTable(s, mvLoc,
+      partitionCols = Seq("bucket(16,user_id)"))
+    dyn.refresh(srcLoc) // initial build
+    // MOR MERGE: ids %5==0 present → update (value*2); absent (%4==3) → insert
+    src.mergeMor(e.filter(col("event_id") % 5 === 0)
+      .withColumn("value", col("value") * 2), Seq("event_id"))
+    // MOR DELETE: a slice of view events disappears
+    src.positionDelete(col("event_type") === "view" && col("user_id") % 7 === 2)
+    dyn.refresh(srcLoc) // CDC refresh across both row-level commits
+      .select(col("user_id"), col("event_count"),
+        col("total_value").cast("double").as("total_value"),
+        size(col("event_types")).cast("long").as("n_event_types"))
+  }
+
+  val q65bSql =
+    """WITH src AS (
+      |  SELECT event_id, user_id, event_type,
+      |         CASE WHEN event_id % 5 = 0 THEN value * 2 ELSE value END AS value
+      |  FROM events
+      |  WHERE event_id % 4 <> 3 OR event_id % 5 = 0),
+      |live AS (
+      |  SELECT * FROM src
+      |  WHERE NOT (event_type = 'view' AND user_id % 7 = 2))
+      |SELECT user_id, count(*) AS event_count,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       count(DISTINCT event_type) AS n_event_types
+      |FROM live GROUP BY user_id""".stripMargin
 
   // ------------------------------------------------------------- q62
   // Storage-partitioned join (SPJ), end-to-end: two graft tables
@@ -1071,6 +1162,7 @@ object Ops {
     "q55_partitioned_table" -> (q55 _),
     "q57_zorder_compaction" -> (q57 _),
     "q58_sql_merge" -> (q58 _),
+    "q58b_mor_merge" -> (q58b _),
     "q59_history_table" -> (q59 _),
     "q61_stateful_dedup" -> (q61 _),
     "q62_spj_join" -> (q62 _),
@@ -1081,6 +1173,7 @@ object Ops {
     "q98_catalog_view" -> (q98 _),
     "q64_days_transform" -> (q64 _),
     "q65_dynamic_table" -> (q65 _),
+    "q65b_dynamic_cdc" -> (q65b _),
     "q67_wap_publish" -> (q67 _),
     "q68_retention_floor" -> (q68 _),
     "q69_governed_stream" -> (q69 _))
@@ -1100,6 +1193,7 @@ object Ops {
     "q55_partitioned_table" -> q55Sql,
     "q57_zorder_compaction" -> q57Sql,
     "q58_sql_merge" -> q58Sql,
+    "q58b_mor_merge" -> q58bSql,
     "q59_history_table" -> q59Sql,
     "q61_stateful_dedup" -> q61Sql,
     "q62_spj_join" -> q62Sql,
@@ -1110,6 +1204,7 @@ object Ops {
     "q98_catalog_view" -> q98Sql,
     "q64_days_transform" -> q64Sql,
     "q65_dynamic_table" -> q65Sql,
+    "q65b_dynamic_cdc" -> q65bSql,
     "q67_wap_publish" -> q67Sql,
     "q68_retention_floor" -> q68Sql,
     "q69_governed_stream" -> q69Sql)

@@ -101,7 +101,106 @@ class GraftTable(tableName: String, location: String,
     * runtime re-prune can rebuild an identically-configured scan over
     * the smaller file list.
     */
+  /** Scan for a snapshot with live position-delete files (merge-on-read):
+    * a DSv2 [[org.apache.spark.sql.connector.read.V1Scan]] whose relation
+    * materializes the SAME plan every other read surface uses —
+    * [[SnapshotTable.readSnapshotFiles]]: file-list parquet read with row
+    * provenance, broadcast anti-join against the delete ledger. Pushed
+    * filters stats-prune the file list and (when exactly translatable)
+    * re-apply inside the relation for parquet row-group pushdown, but are
+    * all reported residual so Spark's own evaluation above stays
+    * authoritative. The scan loses whole-stage-vectorized reading until
+    * `CALL system.compact` folds the ledger — the documented MOR read
+    * tax, identical in shape to Iceberg's merge-on-read scan cost. */
+  private def morV1Scan(required: StructType,
+      files: Seq[SnapshotTable.DataFile],
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      mkStream: () => org.apache.spark.sql.connector.read.streaming.MicroBatchStream)
+      : org.apache.spark.sql.connector.read.Scan =
+    new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = required
+      override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](
+          context: org.apache.spark.sql.SQLContext): T =
+        new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override def schema: StructType = required
+          override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+            import org.apache.spark.sql.{functions => F}
+            val t = SnapshotTable.load(spark, location)
+            val base = t.readSnapshotFiles(snap, files, GraftTable.this.schema())
+            // exact-translation-only filter re-push (StatsPruning's
+            // catalyst→source shapes ∘ filterToColumn) — anything else is
+            // evaluated by Spark above the relation, never approximated
+            val pushable = filters.flatMap(StatsPruning.fromCatalyst)
+              .flatMap(GraftTable.filterToColumn)
+            val filtered = pushable.foldLeft(base)(_.filter(_))
+            filtered.select(required.fieldNames.map(F.col).toIndexedSeq: _*).rdd
+          }
+        }.asInstanceOf[T]
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        mkStream()
+      override def description(): String =
+        s"GraftMorScan(${files.size} data files, " +
+          s"${snap.deleteFiles.size} delete files)"
+    }
+
+  /** Scan builder for delete-bearing snapshots: stats pruning + column
+    * pruning feed [[morV1Scan]]. Handles rename generations too (the
+    * shared readSnapshotFiles path dispatches them), so MOR+rename
+    * compose. */
+  private def morScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder
+        with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      import org.apache.spark.sql.catalyst.expressions.Expression
+
+      private val baseFiles = scanFiles(options)
+      private var staticFiles = baseFiles
+      private var filters: Seq[Expression] = Seq.empty
+      private var required: StructType = schema()
+
+      override def pushFilters(fs: Seq[Expression]): Seq[Expression] = {
+        filters = fs
+        staticFiles = StatsPruning.prune(baseFiles,
+          fs.flatMap(StatsPruning.fromCatalyst))
+        fs // all residual: Spark re-evaluates above the V1 relation
+      }
+
+      override def pushedFilters
+          : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+        Array.empty
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        // streaming from a delete-bearing table stays on the appends-only
+        // version-delta source: a stream's deltas are files appended after
+        // its start, which by construction carry no applicable delete
+        // entries (a later MOR delete in the unconsumed range fails the
+        // stream at that version with the changes()-pointing error)
+        val rebuild = (fs: Seq[SnapshotTable.DataFile]) => {
+          val b = innerBuilder(fs, options)
+          b.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+            .pruneColumns(required)
+          b.build()
+        }
+        val mkStream = () => new GraftMicroBatchStream(location,
+          GraftTable.intOption(options, "stream_from_version").getOrElse(-1),
+          GraftTable.intOption(options, "maxFilesPerTrigger"),
+          GraftTable.skipRewrites(options),
+          filters, rebuild,
+          plannedVersion = snap.version)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+        morV1Scan(required, staticFiles, filters, mkStream)
+      }
+    }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (snap.deleteFiles.nonEmpty) return morScanBuilder(options)
     if (renameMappingActive) return renameAwareScanBuilder(options)
     new ScanBuilder
         with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -315,8 +414,15 @@ class GraftTable(tableName: String, location: String,
     val cond = filters.flatMap(GraftTable.filterToColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    t.replace(baseV, t.readVersion(baseV).filter(not(coalesce(cond, lit(false)))),
-      "delete")
+    // `write.delete.mode = merge-on-read` (Iceberg's property): record
+    // position deletes instead of rewriting files — the scale path for
+    // routine row-level deletes; default stays copy-on-write
+    if (t.properties.get(SnapshotTable.DeleteMode)
+        .exists(_.trim.equalsIgnoreCase("merge-on-read")))
+      t.positionDelete(cond)
+    else
+      t.replace(baseV, t.readVersion(baseV).filter(not(coalesce(cond, lit(false)))),
+        "delete")
   }
 
   /** SQL `UPDATE` / `MERGE INTO` via the DSv2 row-level operation
@@ -446,6 +552,19 @@ class GraftTable(tableName: String, location: String,
           override def build(): org.apache.spark.sql.connector.read.Scan = {
             refuse() // a DELETE that didn't convert to metadata-only
             refuseWap() // same: group-based rewrite would read main's scan
+            // a live merge-on-read ledger: this group-based operation scan
+            // reads raw files and would RESURRECT position-deleted rows
+            // into the copy-on-write rewrite (Spark plans it as a direct
+            // batch scan, so the delete-applying V1 relation cannot stand
+            // in) — refuse with the remedy rather than answer wrong.
+            // Convertible DELETEs never reach here (the metadata-only
+            // conversion rewrites through readVersion, which applies the
+            // ledger), and merge-on-read MERGE is SnapshotTable.mergeMor.
+            require(snap.deleteFiles.isEmpty,
+              s"$tableName has live position-delete files; run CALL " +
+                "system.compact to fold them before a copy-on-write " +
+                "UPDATE/MERGE/row-level DELETE (or use merge-on-read " +
+                "operations end-to-end)")
             scannedFiles = Some(files)
             val scan = ensureInner().build()
             if (snap.partitionCols.isEmpty) scan

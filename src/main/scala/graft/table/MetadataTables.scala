@@ -50,6 +50,15 @@ object MetadataTables {
     // branch → its head version; tag → the pinned version
     StructField("version", IntegerType, nullable = false)))
 
+  val deletesSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    // number of (file_path, pos) entries in the delete file
+    StructField("entry_count", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    // the file_path range the entries cover (reader/changelog scoping)
+    StructField("min_path", StringType, nullable = true),
+    StructField("max_path", StringType, nullable = true)))
+
   /** Sum that propagates UNKNOWN: any negative (unrecorded) entry makes
     * the rollup null rather than silently undercounting. */
   private def sumOrNull(xs: Seq[Long]): Any =
@@ -122,6 +131,16 @@ object MetadataTables {
               if (fields.isEmpty) "<unpartitioned>" else "<empty>"),
             0L, 0L, 0L))
         Some(new MetadataTable(s"$name.partitions", partitionsSchema, out))
+      case "deletes" =>
+        // `SELECT * FROM cat.db.t.deletes` — the live merge-on-read
+        // position-delete ledger (empty once compaction folds it)
+        import org.apache.spark.unsafe.types.UTF8String
+        val rows = t.snapshot(t.latestVersion).deleteFiles.map { d =>
+          InternalRow(UTF8String.fromString(d.path), d.rows, d.bytes,
+            if (d.minPath.isEmpty) null else UTF8String.fromString(d.minPath),
+            if (d.maxPath.isEmpty) null else UTF8String.fromString(d.maxPath))
+        }
+        Some(new MetadataTable(s"$name.deletes", deletesSchema, rows))
       case "refs" =>
         // `SELECT * FROM cat.db.t.refs` — branches and tags (Iceberg's
         // `t.refs` shape), sorted by name for deterministic output

@@ -149,7 +149,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     require(rewrites.isEmpty,
       s"$what v$since..v$to of $location crosses non-append commits: " +
         rewrites.map(s => s"v${s.version}=${s.operation}").mkString(", ") +
-        " — read the full snapshot instead")
+        " — read the full snapshot instead, or use changes(from, to) " +
+        "for a row-level CDC delta that crosses delete/merge commits")
     if (snaps.forall(isAppend)) {
       // appends-only fast path: endpoint set-diff equals the union of the
       // per-step deltas and parses only the two endpoint snapshots
@@ -174,6 +175,121 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     }
   }
 
+  /** CDC changelog scan (the Iceberg changes-table / Snowflake
+    * table-stream shape, the capability behind Snowflake dynamic tables'
+    * TARGET_LAG refresh `aws-community-builders-presentation.md:751-766`):
+    * every row added or removed in `(sinceVersion, toVersion]`, tagged
+    * `_change_type` ('insert' | 'delete'), `_commit_version`, and
+    * `_commit_timestamp`. Unlike [[appendsSince]], the range may cross
+    * row-level commits — this is how an incremental consumer (dynamic
+    * table, downstream sync) survives MERGE/DELETE instead of failing.
+    *
+    * Delta semantics per commit:
+    *  - append family → the added files' rows as inserts (exact);
+    *  - merge-on-read delete/merge → the NEW position-delete entries
+    *    resolved back to their rows as deletes (plus the merge's new
+    *    files as inserts) — exact row-level CDC, computed from the delete
+    *    ledger without diffing any unchanged data;
+    *  - rollback → file-diff both ways plus entries that VANISHED from
+    *    the ledger resolved as re-inserts (exact multiset delta);
+    *  - copy-on-write rewrites (overwrite / COW delete/update/merge) →
+    *    FILE-granular: removed files' rows (as the pre-commit state saw
+    *    them) as deletes, added files' rows as inserts. Rows carried
+    *    through the rewrite appear as a delete+insert pair — Iceberg's
+    *    changelog reports overwrite snapshots the same way; keyed
+    *    consumers recompute those keys and stay exact;
+    *  - compaction and metadata-only commits (alter) → no changes.
+    *
+    * Scale: each version contributes scans over its CHANGED files only
+    * (manifest-listed, stats-scoped for position resolution); nothing
+    * ever diffs unchanged data. */
+  def changes(sinceVersion: Int, toVersion: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val to = if (toVersion < 0) latestVersion else toVersion
+    require(to >= sinceVersion, s"empty version range v$sinceVersion..v$to")
+    val toSnap = snapshot(to)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(toSnap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val declared = schema.fieldNames.toSeq
+    def tagged(df: DataFrame, typ: String, s: SnapshotTable.Snapshot): DataFrame =
+      df.withColumn("_change_type", lit(typ))
+        .withColumn("_commit_version", lit(s.version))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(s.timestampMs)))
+    // rows of `files` at the given (file_path, pos) entries — the
+    // resolution semi-join behind MOR delete / rollback deltas; files
+    // outside every delete file's recorded path range never even plan
+    def resolvePositions(files: Seq[SnapshotTable.DataFile],
+        scopes: Seq[SnapshotTable.DeleteFile], entries: DataFrame): DataFrame = {
+      val scoped = files.filter { f =>
+        val p = SnapshotTable.stripScheme(f.path)
+        scopes.exists(d => d.minPath.isEmpty || d.maxPath.isEmpty ||
+          (SnapshotTable.stripScheme(d.minPath) <= p &&
+            p <= SnapshotTable.stripScheme(d.maxPath)))
+      }
+      val base = readFileList(scoped, schema, toSnap.renames, withRowMeta = true)
+      base.join(broadcast(entries),
+          base(SnapshotTable.MetaFile) === entries("file_path") &&
+            base(SnapshotTable.MetaPos) === entries("pos"), "left_semi")
+        .select(declared.map(col): _*)
+    }
+    val range = versions.filter(v => v > sinceVersion && v <= to)
+    val parts: Seq[DataFrame] = range.flatMap { v =>
+      val s = snapshot(v)
+      if (s.operation == "compact" || s.operation == "alter") Seq.empty
+      else {
+        val prevV = versions.filter(_ < v).lastOption.getOrElse(-1)
+        val p =
+          if (prevV >= 0) snapshot(prevV)
+          else SnapshotTable.Snapshot(-1, 0L, s.schemaJson, Seq.empty, "none")
+        val pPaths = p.files.map(_.path).toSet
+        val sPaths = s.files.map(_.path).toSet
+        val added = s.files.filterNot(f => pPaths(f.path))
+        val removed = p.files.filterNot(f => sPaths(f.path))
+        val survivors = s.files.filter(f => pPaths(f.path))
+        val pDel = p.deleteFiles.map(_.path).toSet
+        val sDel = s.deleteFiles.map(_.path).toSet
+        val newDels = s.deleteFiles.filterNot(d => pDel(d.path))
+        val droppedDels = p.deleteFiles.filterNot(d => sDel(d.path))
+        val out = Seq.newBuilder[DataFrame]
+        if (added.nonEmpty)
+          out += tagged(
+            readWithDeletes(added, schema, toSnap.renames, s.deleteFiles),
+            "insert", s)
+        if (removed.nonEmpty)
+          out += tagged(
+            readWithDeletes(removed, schema, toSnap.renames, p.deleteFiles),
+            "delete", s)
+        if (newDels.nonEmpty && survivors.nonEmpty) {
+          // positions newly deleted on surviving files; EXCEPT against the
+          // prior ledger both dedups in-commit duplicates and guards a
+          // re-recorded entry from double-reporting
+          val fresh = deleteEntries(newDels).except(deleteEntries(p.deleteFiles))
+          out += tagged(resolvePositions(survivors, newDels, fresh), "delete", s)
+        }
+        if (droppedDels.nonEmpty && survivors.nonEmpty) {
+          // rollback resurrection: entries that vanished from the ledger
+          val gone =
+            deleteEntries(droppedDels).except(deleteEntries(s.deleteFiles))
+          out += tagged(resolvePositions(survivors, droppedDels, gone),
+            "insert", s)
+        }
+        out.result()
+      }
+    }
+    if (parts.isEmpty) {
+      val cdcSchema = org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_timestamp",
+          org.apache.spark.sql.types.TimestampType, nullable = false)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cdcSchema)
+    } else parts.reduce(_.unionByName(_))
+  }
+
   /** Time travel by version (`VERSION AS OF`). The snapshot's declared
     * schema is applied explicitly, so columns added by schema evolution /
     * ALTER TABLE read as null from files written before the column existed
@@ -182,8 +298,58 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val snap = snapshot(version)
     val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    readFileList(snap.files, schema, snap.renames)
+    readSnapshotFiles(snap, snap.files, schema)
   }
+
+  /** Read `files` under `snap`'s schema with `snap`'s position deletes
+    * applied — THE merge-on-read read path, shared by every batch surface
+    * (readVersion, the DSv2 scan for delete-bearing snapshots, carried-row
+    * reads inside copy-on-write rewrites). Tables without delete files
+    * take the plain file-list read unchanged. */
+  private[table] def readSnapshotFiles(snap: SnapshotTable.Snapshot,
+      files: Seq[SnapshotTable.DataFile],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    readWithDeletes(files, schema, snap.renames, snap.deleteFiles)
+
+  private[table] def readWithDeletes(files: Seq[SnapshotTable.DataFile],
+      schema: org.apache.spark.sql.types.StructType,
+      renames: Seq[SnapshotTable.Rename],
+      dels: Seq[SnapshotTable.DeleteFile]): DataFrame =
+    if (dels.isEmpty) readFileList(files, schema, renames)
+    else applyDeletes(
+      readFileList(files, schema, renames, withRowMeta = true),
+      dels, schema.fieldNames.toSeq)
+
+  /** Anti-join `base` (which carries the [[SnapshotTable.MetaFile]] /
+    * [[SnapshotTable.MetaPos]] provenance columns) against the position-
+    * delete entries, keeping only `keep` columns. The delete payload is
+    * broadcast while provably small (the steady state between
+    * compactions — sizes come from the manifest, no IO); a large backlog
+    * degrades to an ordinary shuffled anti-join rather than OOMing the
+    * driver. */
+  private def applyDeletes(base: DataFrame,
+      dels: Seq[SnapshotTable.DeleteFile], keep: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val d0 = deleteEntries(dels)
+    val d =
+      if (dels.forall(_.bytes >= 0) && dels.map(_.bytes).sum <= (32L << 20))
+        broadcast(d0)
+      else d0
+    base.join(d,
+        base(SnapshotTable.MetaFile) === d("file_path") &&
+          base(SnapshotTable.MetaPos) === d("pos"), "left_anti")
+      .select(keep.map(col): _*)
+  }
+
+  /** The (file_path, pos) entries of the given delete files. */
+  private[table] def deleteEntries(
+      dels: Seq[SnapshotTable.DeleteFile]): DataFrame =
+    if (dels.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        SnapshotTable.deleteEntrySchema)
+    else spark.read.schema(SnapshotTable.deleteEntrySchema)
+      .parquet(dels.map(_.path): _*)
 
   /** Read a file list under a declared schema, resolving RENAME COLUMN
     * history: files are grouped by their schema generation's local names
@@ -196,10 +362,26 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * compaction collapses back to one. */
   private[table] def readFileList(files: Seq[SnapshotTable.DataFile],
       schema: org.apache.spark.sql.types.StructType,
-      renames: Seq[SnapshotTable.Rename]): DataFrame = {
-    if (files.isEmpty)
+      renames: Seq[SnapshotTable.Rename],
+      withRowMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    // `withRowMeta` appends each row's provenance — the reader's
+    // `_metadata.file_path` / `_metadata.row_index` (V1 parquet source
+    // metadata columns, split-safe) — as __gd_file/__gd_pos, the join key
+    // the merge-on-read delete application and the CDC position
+    // resolution run on.
+    val metaNames = Seq(SnapshotTable.MetaFile, SnapshotTable.MetaPos)
+    if (files.isEmpty) {
+      val outSchema =
+        if (!withRowMeta) schema
+        else org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(SnapshotTable.MetaFile,
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField(SnapshotTable.MetaPos,
+            org.apache.spark.sql.types.LongType, nullable = false)))
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
     // partition source columns are stored in the data files themselves
     // (stage() keeps them alongside the __gp_ dir keys), so every read
     // is a plain file-list read with the declared schema. Grouping is
@@ -209,8 +391,11 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     RenameRead.groups(files, declared, renames).map { case (localNames, fs) =>
       val localSchema = org.apache.spark.sql.types.StructType(
         schema.fields.zip(localNames).map { case (f, n) => f.copy(name = n) })
-      spark.read.schema(localSchema).parquet(fs.map(_.path): _*)
-        .toDF(declared: _*)
+      val r = spark.read.schema(localSchema).parquet(fs.map(_.path): _*)
+      if (!withRowMeta) r.toDF(declared: _*)
+      else r.select(localNames.map(col) ++ Seq(
+          col("_metadata.file_path"), col("_metadata.row_index")): _*)
+        .toDF(declared ++ metaNames: _*)
     }.reduce(_.unionAll(_))
   }
 
@@ -410,7 +595,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * last-writer-wins by SQL semantics). */
   def overwrite(df: DataFrame): Int = {
     val staged = stage(df, partitionCols)
-    commitWithRetry(_ => staged, _ => df.schema.json, "overwrite")
+    commitWithRetry(_ => staged, _ => df.schema.json, "overwrite",
+      nextDeleteFiles = _ => Seq.empty)
   }
 
   /** Copy-on-write overwrite validated against the snapshot the caller
@@ -430,7 +616,10 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
           throw new java.util.ConcurrentModificationException(
             s"table $location moved v$baseVersion -> v${base.version} during copy-on-write $operation")
         staged
-      }, _ => df.schema.json, operation)
+      }, _ => df.schema.json, operation,
+      // the whole content was re-derived from a deletes-applied read, so
+      // the replacement starts with a clean delete ledger
+      nextDeleteFiles = _ => Seq.empty)
   }
 
   /** Delete data files under `data/` that NO snapshot references —
@@ -453,10 +642,16 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val branchFiles = refs.collect { case (n, ("branch", _)) => n }
       .flatMap { n =>
         val b = branch(n)
-        b.versions.flatMap(v => b.snapshot(v).files.map(_.path))
+        b.versions.flatMap { v =>
+          val s = b.snapshot(v)
+          s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+        }
       }
     val referenced =
-      (versions.flatMap(v => snapshot(v).files.map(_.path)) ++ branchFiles)
+      (versions.flatMap { v =>
+        val s = snapshot(v)
+        s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+      } ++ branchFiles)
         .map(f => canonical(Paths.get(f))).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     if (!Files.isDirectory(dataDir)) return Seq.empty
@@ -486,7 +681,10 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * old content. Metadata-only: no data is read or written. */
   def rollbackTo(version: Int): Int = {
     val target = snapshot(version)
-    commitWithRetry(_ => target.files, _ => target.schemaJson, "rollback")
+    commitWithRetry(_ => target.files, _ => target.schemaJson, "rollback",
+      // the delete ledger is part of the content being restored: rolling
+      // back past a MOR delete un-deletes those rows
+      nextDeleteFiles = _ => target.deleteFiles)
   }
 
   /** In-place migration (Iceberg's `add_files` — the reference demo's
@@ -650,6 +848,14 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       s"clone of $location: a RENAME COLUMN mapping is active on live " +
         "files — run CALL system.compact to rewrite them under the " +
         "current names, then clone")
+    // position-delete entries name the SOURCE table's file paths; the
+    // clone's hard links live at new paths, so a carried ledger would
+    // silently stop matching and resurrect deleted rows — same remedy as
+    // the rename guard: fold first, then clone
+    require(snap.deleteFiles.isEmpty,
+      s"clone of $location: live position-delete files reference the " +
+        "source's data file paths — run CALL system.compact to fold " +
+        "them, then clone")
     val t = new SnapshotTable(spark, target)
     require(t.latestVersion < 0, s"table already exists at $target")
     val srcData = dataDir
@@ -817,7 +1023,10 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
           if (seedPaths(f.path)) f else f.copy(schemaVersion = base.version + 1))
       },
       _ => head.schemaJson, "fast_forward",
-      nextProperties = _ => head.properties)
+      nextProperties = _ => head.properties,
+      // the branch's delete ledger is part of the state being published
+      // (its entries name shared data/ paths, valid on main unchanged)
+      nextDeleteFiles = _ => head.deleteFiles)
   }
 
   /** Scoped overwrite (INSERT OVERWRITE … PARTITION / replaceWhere):
@@ -842,28 +1051,20 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val base = snapshot(baseV)
     val schema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    // resolve the predicate against the table schema (an analyzed dummy
-    // filter — Column→Expression is private[sql]) so the stats split sees
-    // plain attribute/literal comparisons; unsupported shapes yield no
-    // pruner and every file is conservatively rewritten
-    val pred = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .filter(cond).queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-      }.flatMap(StatsPruning.fromCatalyst).toSeq
-    // bucket transforms: a key-equality/IN predicate pins the touched
-    // bucket ids, letting a hash-partitioned table prune by partition
-    // value where min/max ranges cannot (hash destroys value order)
-    val bucketPred = StatsPruning.bucketDerived(partitionCols, schema, pred)
-    val rewrite = StatsPruning.prune(base.files, pred ++ bucketPred)
+    val rewrite = StatsPruning.prune(base.files,
+      prunablePredicates(cond, schema))
     val rewriteSet = rewrite.map(_.path).toSet
     val replacement =
       if (rewrite.isEmpty) df
-      // readFileList, not a bare schema'd read: rewrite files may predate
-      // a RENAME COLUMN and store the old physical name — reading them
-      // with the declared name would null the renamed column in every
-      // carried row and stage the nulls permanently
-      else readFileList(rewrite, schema, base.renames)
+      // readWithDeletes, not a bare schema'd read: rewrite files may
+      // predate a RENAME COLUMN and store the old physical name — reading
+      // them with the declared name would null the renamed column in
+      // every carried row and stage the nulls permanently — and any
+      // position-deleted row must not be resurrected into the rewrite.
+      // Delete entries for the rewritten files go stale (their paths
+      // leave the file list — never matched again); entries for surviving
+      // files stay live via the default carry-forward.
+      else readWithDeletes(rewrite, schema, base.renames, base.deleteFiles)
         .filter(not(coalesce(cond, lit(false))))
         .unionByName(df, allowMissingColumns = true)
     val staged = stage(replacement, partitionCols)
@@ -931,10 +1132,21 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         if (!inputs.subsetOf(live))
           throw new java.util.ConcurrentModificationException(
             s"compaction inputs at $location were rewritten concurrently")
+        // a position delete committed since the compaction read started
+        // would be folded WITHOUT its rows removed — abort, never drop a
+        // concurrent delete silently
+        if (cur.deleteFiles.map(_.path) != base.deleteFiles.map(_.path))
+          throw new java.util.ConcurrentModificationException(
+            s"position deletes landed on $location during compaction")
         cur.files.filterNot(f => inputs(f.path)) ++ staged
       },
       cur => if (cur.version < 0) base.schemaJson else cur.schemaJson,
-      "compact")
+      "compact",
+      // the rewrite read applied every delete entry (readVersion), so the
+      // compacted snapshot folds them in and starts a clean ledger — the
+      // MOR maintenance contract: compaction restores the vectorized
+      // plain-scan fast path
+      nextDeleteFiles = _ => Seq.empty)
   }
 
   /** Global [lo, hi] of column `c` in code-space units for Z-order
@@ -977,6 +1189,153 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(updates, allowMissingColumns = true)
     replace(baseV, merged, "overwrite")
+  }
+
+  /** The stats-prunable conjuncts of `cond`, resolved against the table
+    * schema (an analyzed dummy filter — Column→Expression is
+    * private[sql]) plus any bucket-transform predicates a key equality
+    * pins; unsupported shapes yield nothing and every file conservatively
+    * survives pruning. Shared by [[replaceWhere]] and [[positionDelete]]. */
+  private def prunablePredicates(cond: org.apache.spark.sql.Column,
+      schema: org.apache.spark.sql.types.StructType)
+      : Seq[org.apache.spark.sql.sources.Filter] = {
+    val pred = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.flatMap(StatsPruning.fromCatalyst).toSeq
+    // bucket transforms: a key-equality/IN predicate pins the touched
+    // bucket ids, letting a hash-partitioned table prune by partition
+    // value where min/max ranges cannot (hash destroys value order)
+    pred ++ StatsPruning.bucketDerived(partitionCols, schema, pred)
+  }
+
+  /** True when the latest snapshot carries live position-delete files —
+    * i.e. reads must take the merge-on-read path until [[compact]] folds
+    * the ledger back into plain files. */
+  def hasDeletes: Boolean =
+    latestVersion >= 0 && snapshot(latestVersion).deleteFiles.nonEmpty
+
+  /** Merge-on-read DELETE (Iceberg v2 position-delete semantics, the
+    * deck's ACID claims `aws-community-builders-presentation.md:111-121`
+    * without the copy-on-write scale cliff): record the (file, position)
+    * of every row where `cond` is TRUE into a position-delete file and
+    * commit it — no data file is rewritten, so a 1-row GDPR delete on a
+    * 256 MB file costs O(matching rows) IO, not 256 MB. Readers apply
+    * the ledger as a broadcast anti-join; [[compact]] folds it in.
+    *
+    * Candidate files are manifest-stats pruned by the predicate first
+    * (only possibly-matching files are even scanned), and rows already
+    * position-deleted are excluded so an entry is never recorded twice —
+    * readers would tolerate duplicates, but the changelog must see each
+    * row deleted exactly once. Concurrent APPENDS rebase cleanly (their
+    * rows are untouched by position entries); a concurrent rewrite of a
+    * scanned file aborts — its positions would name rows that moved.
+    *
+    * Returns the number of rows deleted. */
+  def positionDelete(cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val baseV = latestVersion
+    val base = snapshot(baseV)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val candidates = StatsPruning.prune(base.files,
+      prunablePredicates(cond, schema))
+    if (candidates.isEmpty) return 0L
+    val scanned = candidates.map(_.path).toSet
+    val withMeta = readFileList(candidates, schema, base.renames,
+      withRowMeta = true)
+    val undeleted =
+      if (base.deleteFiles.isEmpty) withMeta
+      else applyDeletes(withMeta, base.deleteFiles,
+        schema.fieldNames.toSeq ++
+          Seq(SnapshotTable.MetaFile, SnapshotTable.MetaPos))
+    val entries = undeleted
+      .filter(coalesce(cond, lit(false))) // SQL DELETE: only TRUE deletes
+      .select(col(SnapshotTable.MetaFile).as("file_path"),
+        col(SnapshotTable.MetaPos).as("pos"))
+    val staged = stageDeleteEntries(entries)
+    if (staged.isEmpty) return 0L
+    commitWithRetry(
+      cur => {
+        val live = cur.files.map(_.path).toSet
+        if (!scanned.forall(live))
+          throw new java.util.ConcurrentModificationException(
+            s"files scanned by a position delete on $location were " +
+              "rewritten concurrently — the recorded positions name rows " +
+              "that moved")
+        cur.files
+      },
+      cur => cur.schemaJson, "delete",
+      nextDeleteFiles = cur => cur.deleteFiles ++ staged)
+    staged.map(_.rows).sum
+  }
+
+  /** Merge-on-read MERGE/upsert: rows matching an update key are
+    * position-deleted and every update row lands in new files — one
+    * atomic commit with the same row semantics as [[upsert]], at
+    * O(updates + matching rows) IO instead of rewriting the table. The
+    * key-match probe is one shuffle/broadcast join against the update
+    * keys; the data write is a plain staged append. */
+  def mergeMor(updates: DataFrame, keyCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    val baseV = latestVersion
+    val base = snapshot(baseV)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val withMeta = readFileList(base.files, schema, base.renames,
+      withRowMeta = true)
+    val undeleted =
+      if (base.deleteFiles.isEmpty) withMeta
+      else applyDeletes(withMeta, base.deleteFiles,
+        schema.fieldNames.toSeq ++
+          Seq(SnapshotTable.MetaFile, SnapshotTable.MetaPos))
+    val entries = undeleted
+      .join(updates.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .select(col(SnapshotTable.MetaFile).as("file_path"),
+        col(SnapshotTable.MetaPos).as("pos"))
+    val stagedDeletes = stageDeleteEntries(entries)
+    val stagedData = stage(updates, partitionCols)
+    commitWithRetry(
+      cur => {
+        if (cur.version != baseV)
+          throw new java.util.ConcurrentModificationException(
+            s"table $location moved v$baseV -> v${cur.version} during " +
+              "merge-on-read MERGE")
+        cur.files ++ stagedData
+      },
+      cur => SnapshotTable.unionSchema(cur.schemaJson, updates.schema),
+      "merge",
+      nextDeleteFiles = cur => cur.deleteFiles ++ stagedDeletes)
+  }
+
+  /** Write position-delete `entries` (file_path, pos) as globally sorted
+    * parquet under `data/` and return their manifest records — entry
+    * counts, bytes, and the file_path range each file covers (footer
+    * stats, metadata-only), the scoping key that lets readers and the
+    * changelog skip delete files that cannot reference a given data
+    * file. */
+  private def stageDeleteEntries(
+      entries: DataFrame): Seq[SnapshotTable.DeleteFile] = {
+    val dir = dataDir.resolve(s"deletes-${java.util.UUID.randomUUID}")
+    entries.sort("file_path", "pos").write.parquet(dir.toString)
+    val paths = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+    if (paths.isEmpty) { graft.Tables.deleteRecursively(dir.toString); return Seq.empty }
+    val statCols = Seq("file_path" -> "string")
+    val footer = spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+      .map(p => p -> SnapshotTable.footerStats(p, statCols))
+      .collect().toMap
+    paths.flatMap { p =>
+      val (rows, bytes, stats) = footer(p)
+      // a file with zero entries contributes nothing — drop it
+      if (rows == 0) { Files.deleteIfExists(Paths.get(p)); None }
+      else Some(SnapshotTable.DeleteFile(p, rows, bytes,
+        stats.get("file_path").map(_.min).getOrElse(""),
+        stats.get("file_path").map(_.max).getOrElse("")))
+    }
   }
 
   /** Current table properties (carried forward by every commit). */
@@ -1050,10 +1409,19 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val branchLive = allRefs.collect { case (n, ("branch", _)) => n }
       .flatMap { n =>
         val b = branch(n)
-        b.versions.flatMap(v => b.snapshot(v).files.map(_.path))
+        b.versions.flatMap { v =>
+          val s = b.snapshot(v)
+          s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+        }
       }.toSet
-    val live = keep.flatMap(v => snapshot(v).files.map(_.path)).toSet ++ branchLive
-    val dead = drop.flatMap(v => snapshot(v).files.map(_.path)).toSet -- live
+    // position-delete files are part of a snapshot's content: collected
+    // with the versions that reference them, kept while any survivor does
+    def allPaths(v: Int): Seq[String] = {
+      val s = snapshot(v)
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+    }
+    val live = keep.flatMap(allPaths).toSet ++ branchLive
+    val dead = drop.flatMap(allPaths).toSet -- live
     dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
     drop.foreach(v => Files.deleteIfExists(snapDir.resolve(f"v$v%05d.json")))
     // orphan sweep: staging dirs survive only if a writer crashed between
@@ -1238,7 +1606,12 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
           case Some(replaced) => base.files.filterNot(f => replaced(f.path)) ++ files
           case None => files
         }
-      }, base => base.schemaJson, operation)
+      }, base => base.schemaJson, operation,
+      // partial rewrite: surviving files' delete entries stay live
+      // (rewritten files' entries go stale-harmless — their paths left
+      // the list); full replace starts a clean ledger
+      nextDeleteFiles =
+        base => if (replacedPaths.isDefined) base.deleteFiles else Seq.empty)
   }
 
   /** True if any snapshot was committed with `operation` — the replay
@@ -1282,7 +1655,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       d.toString
     }
     val files = manifestEntries(moved, schema, Seq.empty, latestVersion)
-    commitWithRetry(_ => files, _ => schema.json, operation)
+    commitWithRetry(_ => files, _ => schema.json, operation,
+      nextDeleteFiles = _ => Seq.empty)
   }
 
   private def commitWithRetry(
@@ -1294,7 +1668,12 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       nextRenames: (SnapshotTable.Snapshot, Int) => Seq[SnapshotTable.Rename] =
         (b, _) => b.renames,
       nextProperties: SnapshotTable.Snapshot => Map[String, String] =
-        b => b.properties): Int = {
+        b => b.properties,
+      // position-delete files carry forward by default (appends/ALTERs
+      // never invalidate them); whole-content replacements clear them and
+      // MOR commits extend them
+      nextDeleteFiles: SnapshotTable.Snapshot => Seq[SnapshotTable.DeleteFile] =
+        b => b.deleteFiles): Int = {
     var tries = 0
     while (true) {
       val baseV = latestVersion
@@ -1304,7 +1683,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       val snap = SnapshotTable.Snapshot(
         baseV + 1, System.currentTimeMillis(), nextSchema(base),
         nextFiles(base), operation, base.partitionCols,
-        nextRenames(base, baseV + 1), nextProperties(base))
+        nextRenames(base, baseV + 1), nextProperties(base),
+        nextDeleteFiles(base))
       Files.createDirectories(snapDir)
       // the commit point: atomic publish-if-absent of the version file
       // ([[CommitPrimitive]] — hard link here, conditional PUT on S3)
@@ -1344,11 +1724,50 @@ object SnapshotTable {
     * `newName`. Files with schemaVersion < atVersion store `oldName`. */
   case class Rename(atVersion: Int, newName: String, oldName: String)
 
+  /** A position-delete file (Iceberg v2 merge-on-read): a sorted parquet
+    * file of `(file_path STRING, pos BIGINT)` rows marking individual data
+    * rows as deleted without rewriting their files. `rows` is the entry
+    * count; `minPath`/`maxPath` bound the `file_path` column (from the
+    * parquet footer) so readers and the changelog can skip delete files
+    * that cannot reference a given data file — the same scoping Iceberg
+    * gets from per-delete-file referenced-data-file bounds. Paths inside
+    * the entries use the reader's `_metadata.file_path` spelling (URI
+    * form), which is also how they are produced — self-consistent by
+    * construction. */
+  case class DeleteFile(path: String, rows: Long, bytes: Long = -1L,
+      minPath: String = "", maxPath: String = "")
+
   case class Snapshot(version: Int, timestampMs: Long, schemaJson: String,
       files: Seq[DataFile], operation: String,
       partitionCols: Seq[String] = Seq.empty,
       renames: Seq[Rename] = Seq.empty,
-      properties: Map[String, String] = Map.empty)
+      properties: Map[String, String] = Map.empty,
+      deleteFiles: Seq[DeleteFile] = Seq.empty)
+
+  /** Metadata column aliases the merge-on-read run through the V1 parquet
+    * reader uses to carry each row's provenance for the delete anti-join. */
+  private[table] val MetaFile = "__gd_file"
+  private[table] val MetaPos = "__gd_pos"
+
+  /** The physical schema of a position-delete file. */
+  private[table] val deleteEntrySchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Strip a URI scheme so a manifest path (`/wh/data/f.parquet`) and the
+    * reader's `_metadata.file_path` spelling (`file:///wh/data/f.parquet`)
+    * compare equal for delete-file SCOPING decisions (membership tests
+    * always compare same-origin strings and never need this). */
+  private[table] def stripScheme(p: String): String =
+    p.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
+  /** Table property selecting the DELETE strategy for SQL `DELETE FROM`:
+    * `merge-on-read` writes position deletes; anything else (default)
+    * keeps copy-on-write. Iceberg's property name. */
+  val DeleteMode = "write.delete.mode"
 
   /** Retention-policy table properties (Iceberg's names): expiration may
     * never collect below these floors, no matter what a maintenance job
@@ -1653,6 +2072,17 @@ object SnapshotTable {
         }
       }
     }
+    if (s.deleteFiles.nonEmpty) {
+      val del: ArrayNode = root.putArray("deletes")
+      s.deleteFiles.foreach { d =>
+        val o = del.addObject()
+        o.put("path", d.path)
+        o.put("rows", d.rows)
+        if (d.bytes >= 0) o.put("bytes", d.bytes)
+        if (d.minPath.nonEmpty) o.put("minPath", d.minPath)
+        if (d.maxPath.nonEmpty) o.put("maxPath", d.maxPath)
+      }
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
@@ -1689,8 +2119,17 @@ object SnapshotTable {
         val pr = n.get("properties")
         pr.fieldNames().asScala.map(k => k -> pr.get(k).asText()).toMap
       } else Map.empty[String, String]
+    val deletes =
+      if (n.has("deletes"))
+        n.get("deletes").elements().asScala.map { d =>
+          DeleteFile(d.get("path").asText(), d.get("rows").asLong(),
+            if (d.has("bytes")) d.get("bytes").asLong() else -1L,
+            if (d.has("minPath")) d.get("minPath").asText() else "",
+            if (d.has("maxPath")) d.get("maxPath").asText() else "")
+        }.toSeq
+      else Seq.empty
     Snapshot(n.get("version").asInt(), n.get("timestampMs").asLong(),
       n.get("schemaJson").asText(), files, n.get("operation").asText(), pcols,
-      renames, props)
+      renames, props, deletes)
   }
 }

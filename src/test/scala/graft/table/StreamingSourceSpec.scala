@@ -467,4 +467,83 @@ class StreamingSourceSpec extends SparkFunSuite {
     assert(seen == events.filter(col("event_id") >= 800).count(),
       s"tail stream read $seen rows")
   }
+
+  test("a merge-on-read DELETE in the unconsumed range fails the stream, pointing at changes()") {
+    val wh = mkCatalog("srcm")
+    val events = graft.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    spark.sql(
+      """CREATE TABLE srcm.db.mor
+        |  (event_id BIGINT, event_type STRING, value DOUBLE)""".stripMargin)
+    events.filter(col("event_id") < 500).writeTo("srcm.db.mor").append()
+
+    val ckpt = scratch("srcm-ckpt")
+    def drain(): Unit =
+      spark.readStream.table("srcm.db.mor")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) => b.count(); () }
+        .start()
+        .awaitTermination()
+    drain()
+
+    // a position delete changes the row multiset without touching the
+    // file list — the appends-only stream must still refuse (its deltas
+    // cannot express -rows), and the error must hand the consumer the
+    // CDC remedy
+    SnapshotTable.load(spark, s"$wh/db/mor")
+      .positionDelete(col("event_id") < 50)
+    events.filter(col("event_id") >= 500).writeTo("srcm.db.mor").append()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("delete") && m.contains("changes(")),
+      s"expected the appends-only guard with the CDC pointer, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("CdcDynamicTable refreshes across MOR delete and merge commits, matching full recompute") {
+    val srcLoc = scratch("cdc-dyn-src")
+    val mvLoc = scratch("cdc-dyn-mv")
+    val events = graft.Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+
+    val src = SnapshotTable.create(spark, srcLoc,
+      events.filter(col("event_id") < 700))
+    val dyn = new graft.streaming.Streams.CdcDynamicTable(spark, mvLoc)
+    def recompute() = src.read().groupBy("user_id").agg(
+      count(lit(1)).as("event_count"),
+      sum(col("value").cast("decimal(18,2)")).cast("decimal(28,2)")
+        .as("total_value"),
+      max(col("ts")).as("last_seen"),
+      sort_array(collect_set(col("event_type"))).as("event_types"))
+    def assertMatches(): Unit = {
+      val got = dyn.refresh(srcLoc)
+      val want = recompute()
+      assert(got.count() == want.count())
+      assert(got.unionAll(want).distinct().count() == want.count(),
+        "incremental MV state diverged from the full recompute")
+    }
+    assertMatches() // initial build
+
+    // appends refresh incrementally
+    src.append(events.filter(col("event_id") >= 700 && col("event_id") < 850))
+    assertMatches()
+
+    // a MOR DELETE — the commit the appends-only dynamic table cannot
+    // cross — refreshes exactly (deleted users' groups recomputed; groups
+    // losing every row vanish)
+    src.positionDelete(col("user_id") % 3 === 1)
+    assertMatches()
+
+    // a MOR MERGE (update + insert rows) refreshes exactly too
+    src.mergeMor(events.filter(col("event_id") >= 800)
+      .withColumn("value", col("value") * 2), Seq("event_id"))
+    assertMatches()
+
+    // no new commits → refresh is a watermark no-op
+    val before = SnapshotTable.load(spark, mvLoc).latestVersion
+    dyn.refresh(srcLoc)
+    assert(SnapshotTable.load(spark, mvLoc).latestVersion == before)
+  }
 }
