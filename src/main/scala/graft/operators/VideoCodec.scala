@@ -161,10 +161,15 @@ object VideoCodec {
         total += 1
       } else if (isFrame && mjpeg) {
         // each chunk is one complete JPEG; frames are independent key
-        // frames, so ONLY sampled frames pay the entropy/IDCT work
+        // frames, so ONLY sampled frames pay the entropy/IDCT work —
+        // but EVERY chunk passes the cheap structural check (size + SOI
+        // marker), so accept/reject cannot depend on the stride: a clip
+        // with one corrupt frame is a stub row at every stride, not just
+        // the strides that happen to sample it
+        if (size < 4 || (b(i + 8) & 0xff) != 0xff || (b(i + 9) & 0xff) != 0xd8)
+          return None
         if (total % stride == 0) {
           if (frames.length >= MaxSampledFrames) return None
-          if (size < 4) return None
           val payload = java.util.Arrays.copyOfRange(b, i + 8, i + 8 + size)
           val img = JpegCodec.decode(payload).getOrElse(return None)
           if (img.width != w || img.height != h) return None

@@ -30,11 +30,10 @@ package graft.plans
   * TEMPORARY/GLOBAL views, `IF NOT EXISTS`, and column-list forms all
   * pass through untouched to stock Spark, whose behavior for them is
   * already correct (session-catalog views work; v2-catalog forms get
-  * Spark's own refusal). `DROP VIEW` through this spelling is idempotent
-  * (the procedure reports `dropped=false` rather than erroring), which
-  * matches the `IF EXISTS` reading; plain DROP VIEW on a missing graft
-  * view likewise reports false — callers needing a hard error can test
-  * the returned flag.
+  * Spark's own refusal). `DROP VIEW` carries standard semantics through
+  * the desugar: the plain spelling passes `if_exists => false` (a
+  * missing graft view RAISES, matching Spark/ANSI), `IF EXISTS` passes
+  * `true` (idempotent no-op).
   */
 object ViewDdl {
 
@@ -42,12 +41,15 @@ object ViewDdl {
   // lines). Identifier: plain or backquoted segments joined by dots; a
   // column list or TEMPORARY/GLOBAL/IF NOT EXISTS keyword makes the
   // pattern not match → pass-through by construction.
+  // backquoted segments admit Spark's doubled-backquote escape
+  // (`v``x` names v`x — parts() unescapes)
+  private val Seg = """(?:`(?:[^`]|``)+`|\w+)"""
   private val CreateRe =
     ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+""" +
-      """((?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+)){2,})\s+AS\s+(.+)$""").r
+      s"""($Seg(?:\\s*\\.\\s*$Seg){2,})\\s+AS\\s+(.+)$$""").r
   private val DropRe =
-    ("""(?is)^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?""" +
-      """((?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+)){2,})\s*;?\s*$""").r
+    ("""(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?""" +
+      s"""($Seg(?:\\s*\\.\\s*$Seg){2,})\\s*;?\\s*$$""").r
 
   // split on dots OUTSIDE backquotes (a quoted segment may contain `.`),
   // then strip the quotes per segment
@@ -63,7 +65,8 @@ object ViewDdl {
     segs += cur.result()
     segs.toSeq.map(_.trim).map { seg =>
       if (seg.startsWith("`") && seg.endsWith("`") && seg.length >= 2)
-        seg.substring(1, seg.length - 1)
+        // Spark's doubled-backquote escape: `v``x` names v`x
+        seg.substring(1, seg.length - 1).replace("``", "`")
       else seg
     }
   }
@@ -110,10 +113,14 @@ object ViewDdl {
           s"CALL ${p.head}.system.create_view(view => ${quote(joinTail(p, "CREATE VIEW"))}, " +
             s"sql_text => ${quote(body.trim.stripSuffix(";"))}, replace => $replace)"
         }
-      case DropRe(ident) =>
+      case DropRe(ifExists, ident) =>
         val p = parts(ident)
         if (!isGraftCatalog(p.head)) sql
-        else s"CALL ${p.head}.system.drop_view(view => ${quote(joinTail(p, "DROP VIEW"))})"
+        else
+          // IF EXISTS threads through: plain DROP VIEW on a missing graft
+          // view raises (standard SQL), IF EXISTS drops idempotently
+          s"CALL ${p.head}.system.drop_view(view => ${quote(joinTail(p, "DROP VIEW"))}, " +
+            s"if_exists => ${ifExists != null})"
       case _ => sql
     }
 }

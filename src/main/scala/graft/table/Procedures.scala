@@ -187,18 +187,31 @@ object Procedures {
     }
   }
 
-  /** `CALL graft.system.drop_view(view => 'db.v')`. */
+  /** `CALL graft.system.drop_view(view => 'db.v' [, if_exists => …])`.
+    * The PROCEDURE's default stays idempotent (`if_exists => true`,
+    * reporting `dropped = false` on a missing view — the established
+    * contract cleanup scripts rely on); the native SQL spelling threads
+    * the standard semantics through explicitly: `DROP VIEW` desugars
+    * with `if_exists => false` (missing view RAISES, like Spark/ANSI),
+    * `DROP VIEW IF EXISTS` with `true`. */
   final class DropView(warehouse: String, cat: GraftCatalog)
       extends GraftProcedure("drop_view") {
     override def parameters(): Array[ProcedureParameter] = Array(
-      param("view", StringType))
+      param("view", StringType),
+      paramWithDefault("if_exists", BooleanType, "true"))
     private val outSchema = StructType(Seq(
       StructField("dropped", BooleanType)))
     override def call(input: InternalRow): util.Iterator[Scan] = {
-      val parts = input.getUTF8String(0).toString.split('.')
+      val viewName = input.getUTF8String(0).toString
+      val parts = viewName.split('.')
+      val ifExists = !input.isNullAt(1) && input.getBoolean(1)
       val dropped = cat.dropView(
         org.apache.spark.sql.connector.catalog.Identifier
           .of(parts.init, parts.last))
+      if (!dropped && !ifExists)
+        throw new IllegalArgumentException(
+          s"view $viewName does not exist (use IF EXISTS / " +
+            "if_exists => true for an idempotent drop)")
       resultScan(outSchema, InternalRow(dropped))
     }
   }

@@ -306,28 +306,37 @@ class VideoCodecSpec extends SparkFunSuite {
       assert((s2.frames(i).rgb(0) & 0xff) == v0,
         s"sampled position $i should hold frame $idx")
     }
-    // frames are independent key frames: a corrupt NON-sampled frame is
-    // never decoded — skipping really skips the entropy work
-    val corrupt = bytes.clone()
-    var i = 12
-    var frameNo = 0
-    var patched = false
-    while (!patched && i + 8 <= corrupt.length) {
-      if (corrupt(i) == '0' && corrupt(i + 1) == '0' && corrupt(i + 2) == 'd' &&
-          corrupt(i + 3) == 'c') {
-        if (frameNo == 1) { // frame 1: skipped at stride 2
-          corrupt(i + 9) = 0 // break the SOI marker → not a JPEG
-          patched = true
-        }
-        frameNo += 1
-        val sz = (corrupt(i + 4) & 0xff) | ((corrupt(i + 5) & 0xff) << 8) |
-          ((corrupt(i + 6) & 0xff) << 16) | ((corrupt(i + 7) & 0xff) << 24)
-        i += 8 + sz + (sz & 1)
-      } else i += 1
+    // acceptance is STRIDE-INDEPENDENT for structural damage: every
+    // chunk passes the cheap size+SOI check, so a broken SOI on a
+    // non-sampled frame refuses at every stride (it used to slip through
+    // when the stride skipped it — ADVICE r16)
+    def patchFrame1(f: (Array[Byte], Int) => Unit): Array[Byte] = {
+      val c = bytes.clone()
+      var i = 12
+      var frameNo = 0
+      var patched = false
+      while (!patched && i + 8 <= c.length) {
+        if (c(i) == '0' && c(i + 1) == '0' && c(i + 2) == 'd' &&
+            c(i + 3) == 'c') {
+          if (frameNo == 1) { f(c, i); patched = true } // skipped at stride 2
+          frameNo += 1
+          val sz = (c(i + 4) & 0xff) | ((c(i + 5) & 0xff) << 8) |
+            ((c(i + 6) & 0xff) << 16) | ((c(i + 7) & 0xff) << 24)
+          i += 8 + sz + (sz & 1)
+        } else i += 1
+      }
+      assert(patched)
+      c
     }
-    assert(patched)
-    assert(VideoCodec.decodeSampled(corrupt, 2).isDefined)
-    assert(VideoCodec.decodeSampled(corrupt, 1) == None) // sampled → real decode → refused
+    val noSoi = patchFrame1((c, i) => c(i + 9) = 0) // break the SOI marker
+    assert(VideoCodec.decodeSampled(noSoi, 2) == None)
+    assert(VideoCodec.decodeSampled(noSoi, 1) == None)
+    // …while DEEP corruption (valid SOI, broken segment structure) is
+    // only seen by the full decode of SAMPLED frames — skipping really
+    // skips the entropy/parse work
+    val deep = patchFrame1((c, i) => java.util.Arrays.fill(c, i + 10, i + 24, 0.toByte))
+    assert(VideoCodec.decodeSampled(deep, 2).isDefined)
+    assert(VideoCodec.decodeSampled(deep, 1) == None) // sampled → real decode → refused
   }
 
   test("MJPEG: color frames agree with the JPEG codec's own decode") {

@@ -210,14 +210,28 @@ class ViewCatalogSpec extends SparkFunSuite {
     assert(s.sql("SELECT * FROM graft.db.v_native").count() == 3)
     s.sql("DROP VIEW graft.db.v_native")
     intercept[Exception] { s.sql("SELECT * FROM graft.db.v_native").collect() }
-    // IF EXISTS on a missing view is a no-op, not an error
+    // IF EXISTS on a missing view is a no-op, not an error…
     s.sql("DROP VIEW IF EXISTS graft.db.v_native")
+    // …while plain DROP VIEW on a missing view RAISES (standard SQL —
+    // the desugar threads if_exists=false through to the procedure)
+    val missing = intercept[Exception] {
+      s.sql("DROP VIEW graft.db.v_native")
+    }
+    assert(missing.getMessage.contains("does not exist"), missing.getMessage)
     // backquoted segments parse through the desugar too
     s.sql("CREATE OR REPLACE VIEW graft.`db`.`v_bq` AS " +
       "SELECT id FROM graft.db.v_base")
     assert(s.sql("SELECT * FROM graft.db.v_bq").columns.toSeq == Seq("id"))
     s.sql("DROP VIEW graft.db.`v_bq`")
     intercept[Exception] { s.sql("SELECT * FROM graft.db.v_bq").collect() }
+    // Spark's doubled-backquote escape unescapes through the desugar:
+    // `v``q` names v`q on BOTH the create and the drop side (the same
+    // identifier everywhere else in Spark)
+    s.sql("CREATE OR REPLACE VIEW graft.db.`v``q` AS " +
+      "SELECT id FROM graft.db.v_base")
+    assert(s.sql("SELECT * FROM graft.db.`v``q`").count() == 3)
+    s.sql("DROP VIEW graft.db.`v``q`")
+    intercept[Exception] { s.sql("SELECT * FROM graft.db.`v``q`").collect() }
     // a body containing BACKSLASH escapes survives the desugar's
     // re-quoting exactly: the stored definition must keep the \d the
     // user typed (a quote() that only doubled single quotes would let
