@@ -50,7 +50,11 @@ object ScaleProbe {
     if (factor <= 10)
       Seq("q62_spj_join", "q65_dynamic_table", "q61_stateful_dedup",
         "q56_ngram_jaccard", "q35_minhash_neardup", "q37_ann_topk",
-        "q50_ann_ivf", "q30_dedup_exact", "q47_multimodal_features",
+        // q50b: IVF-PQ — same probe contract as q50 (recall_ok is the
+        // guarded signal); the candidate payload through the probe join
+        // is the 8-byte PQ code, so shuffle stays ~vector-free at 10×
+        "q50_ann_ivf", "q50b_ann_ivfpq",
+        "q30_dedup_exact", "q47_multimodal_features",
         "q71_video_frames",
         // corpus-curation + temporal-join additions. q75/q76/q79/q80
         // shuffle on data-growing keys (segment text, shingle, user_id) —

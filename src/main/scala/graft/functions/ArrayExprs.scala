@@ -882,6 +882,10 @@ object Registry {
       (es: Seq[Expression]) => TopGramFrac(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("trigram_lang",
       (es: Seq[Expression]) => TrigramLang(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("pq_encode",
+      (es: Seq[Expression]) => PqEncode(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("pq_decode",
+      (es: Seq[Expression]) => PqDecode(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("image_meta",
       (es: Seq[Expression]) => ImageMetaExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("intersect_size",

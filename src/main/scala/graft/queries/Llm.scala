@@ -538,6 +538,69 @@ object Llm {
   val q50Sql =
     "SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries, true AS recall_ok"
 
+  // ------------------------------------------------------------- q50b
+  // IVF-PQ (Jégou et al. 2011): same coarse quantizer as q50, but the
+  // candidate payload carried through the probe join is the M=8-byte PQ
+  // code instead of the 64×8-byte vector — the ~64× memory cut that
+  // binds at 100 TB embedding corpora (the index fits where the vectors
+  // don't). Ranking uses cosine against the concatenated-centroid
+  // reconstruction (the ADC approximation) through the SAME codegen'd
+  // cosine_sim; both encode and decode are native expressions with the
+  // codebook held as a plan reference object ([[graft.functions.Pq]]).
+  // Training is deterministic (index-strided Lloyd per subspace on the
+  // bounded driver sample; ksub clamps to the sample at tiny SF), so
+  // the recall summary is oracle-checkable like q38/q50.
+  private[graft] def ivfPqTopK(s: SparkSession, dir: String,
+      nprobeArg: Int = 0): DataFrame = {
+    val e = emb(s, dir)
+    val cells = ivfCells(e.count())
+    val nprobe = if (nprobeArg > 0) nprobeArg else math.max(4, (cells + 3) / 4)
+    val sample = e.select(col("v")).limit(math.min(64 * cells, 8192)).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val cents = Llm.lloyd(sample, k = cells, iters = 5)
+    val cb = graft.functions.Pq.trainPq(sample, m = 8, ksub = 256, iters = 3)
+    val cbB64 = graft.functions.Pq.encodeCodebook(cb)
+    val cellSims = array(cents.map(c =>
+      call_function("cosine_sim", col("v"), typedlit(c.toSeq))): _*)
+    // the INDEX: cell id + 8-byte code per vector — the full vector is
+    // dropped here, which is the point
+    val indexed = e
+      .withColumn("cell",
+        (array_position(cellSims, array_max(cellSims)) - 1).cast("int"))
+      .withColumn("codes", call_function("pq_encode", col("v"), lit(cbB64)))
+      .select(col("vec_id"), col("cell"), col("codes"))
+    import s.implicits._
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cv")
+    // queries keep exact vectors (10 rows — always exact on the query side)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cellRank = Window.partitionBy("query_id")
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probed = q.join(broadcast(centroids))
+      .withColumn("cell_sim", cosine("qv", "cv"))
+      .withColumn("cell_rank", row_number().over(cellRank))
+      .filter(col("cell_rank") <= nprobe)
+      .select("query_id", "qv", "cell")
+    val nnRank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    probed.join(indexed, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", call_function("cosine_sim", col("qv"),
+        call_function("pq_decode", col("codes"), lit(cbB64))))
+      .withColumn("nn_rank", row_number().over(nnRank))
+      .filter(col("nn_rank") <= 5)
+      .select(col("query_id"), col("nn_rank"),
+        col("vec_id").as("neighbor_id"), round(col("sim"), 4).as("cos_sim"))
+      .orderBy("query_id", "nn_rank")
+  }
+
+  def q50b(s: SparkSession, dir: String): DataFrame =
+    recallSummary(ivfPqTopK(s, dir), q37(s, dir), floor = 0.4)
+
+  val q50bSql =
+    "SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries, true AS recall_ok"
+
   // ------------------------------------------------------------- q47
   // Multimodal deep decode — REAL pixels, no codec library: the fixture
   // writer emits deterministic gradient images keyed by doc_id (24bpp BMP
@@ -1303,6 +1366,7 @@ object Llm {
     "q56_ngram_jaccard" -> (q56 _),
     "q51_corpus_prep" -> (q51 _),
     "q50_ann_ivf" -> (q50 _),
+    "q50b_ann_ivfpq" -> (q50b _),
     "q47_multimodal_features" -> (q47 _),
     "q30_dedup_exact" -> (q30 _),
     "q31_text_stats" -> (q31 _),
@@ -1334,6 +1398,7 @@ object Llm {
     "q37_ann_topk" -> q37Sql,
     "q38_ann_lsh" -> q38Sql,
     "q50_ann_ivf" -> q50Sql,
+    "q50b_ann_ivfpq" -> q50bSql,
     "q39_embedding_neardup" -> q39Sql,
     "q40_multimodal_meta" -> q40Sql,
     "q66_image_meta" -> q66Sql)

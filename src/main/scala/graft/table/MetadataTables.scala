@@ -34,7 +34,10 @@ object MetadataTables {
     StructField("path", StringType, nullable = false),
     StructField("row_count", LongType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
-    StructField("stats_json", StringType, nullable = false)))
+    StructField("stats_json", StringType, nullable = false),
+    // per-column NDV estimates from the file's HLL sketches as JSON
+    // ({} when the table never opted into write.ndv-sketch.columns)
+    StructField("ndv_json", StringType, nullable = false)))
 
   val partitionsSchema: StructType = StructType(Seq(
     StructField("partition", StringType, nullable = false),
@@ -89,10 +92,18 @@ object MetadataTables {
             o.put("type", s.typ); o.put("min", s.min); o.put("max", s.max)
           }
           val stats = mapper.writeValueAsString(root)
+          val ndvRoot = mapper.createObjectNode()
+          f.ndv.toSeq.sortBy(_._1).foreach { case (c, b64) =>
+            ndvRoot.put(c, math.round(
+              org.apache.datasketches.hll.HllSketch.heapify(
+                java.util.Base64.getDecoder.decode(b64)).getEstimate))
+          }
           InternalRow(
             org.apache.spark.unsafe.types.UTF8String.fromString(f.path),
             f.rows, f.bytes,
-            org.apache.spark.unsafe.types.UTF8String.fromString(stats))
+            org.apache.spark.unsafe.types.UTF8String.fromString(stats),
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              mapper.writeValueAsString(ndvRoot)))
         }
         Some(new MetadataTable(s"$name.files", filesSchema, rows))
       case "partitions" =>

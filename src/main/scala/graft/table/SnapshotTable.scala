@@ -1563,13 +1563,92 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         .parallelize(paths, math.max(1, math.min(paths.size, 32)))
         .map(p => p -> SnapshotTable.footerStats(p, statCols))
         .collect().toMap
+    val sketches = ndvSketches(paths, schema)
     paths.map { p =>
       val (rows, bytes, stats) = footer.getOrElse(p, (-1L, -1L, Map.empty[String, SnapshotTable.ColStats]))
       // partition values ride the stats map as min==max entries
       val partStats = SnapshotTable.partitionValueStats(
         dataDir.toString, p, pcols, schemaByName)
-      SnapshotTable.DataFile(p, rows, stats ++ partStats, bytes, schemaVersion)
+      SnapshotTable.DataFile(p, rows, stats ++ partStats, bytes, schemaVersion,
+        sketches.getOrElse(SnapshotTable.stripScheme(p), Map.empty))
     }
+  }
+
+  /** Per-file HLL distinct-count sketches for the columns the
+    * `write.ndv-sketch.columns` property names (`auto` = every
+    * sketch-eligible stats column) — one column-pruned Spark pass over
+    * the just-written files, grouped by `_metadata.file_path`, using
+    * Spark's DataSketches `hll_sketch_agg` (lgK=12, ~1.6% rel. error).
+    * Keyed by scheme-stripped path. Empty map (zero cost) unless the
+    * table opted in. */
+  private def ndvSketches(paths: Seq[String],
+      schema: org.apache.spark.sql.types.StructType)
+      : Map[String, Map[String, String]] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    val prop = properties.get(SnapshotTable.NdvSketchColumns)
+      .map(_.trim).filter(_.nonEmpty)
+    if (prop.isEmpty || paths.isEmpty) return Map.empty
+    // hll_sketch_agg accepts int/long/string/binary: route dates and
+    // timestamps through their integral representations, leave types
+    // with no sensible NDV (double, nested) out
+    def sketchExpr(f: StructField): Option[org.apache.spark.sql.Column] = {
+      val q = s"`${f.name.replace("`", "``")}`"
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | StringType |
+             BinaryType => Some(expr(q))
+        case DateType => Some(expr(s"unix_date($q)"))
+        case TimestampType => Some(expr(s"unix_micros($q)"))
+        case TimestampNTZType =>
+          Some(expr(s"unix_micros(cast($q AS TIMESTAMP))"))
+        case _ => None
+      }
+    }
+    val wanted: Seq[StructField] =
+      if (prop.get.equalsIgnoreCase("auto")) schema.fields.toSeq
+      else {
+        val names = prop.get.split(',').map(_.trim).filter(_.nonEmpty)
+        names.flatMap(n => schema.fields.find(_.name.equalsIgnoreCase(n))).toSeq
+      }
+    val cols = wanted.flatMap(f => sketchExpr(f).map(f.name -> _))
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.map { case (name, c) =>
+      expr(s"hll_sketch_agg(__gndv_$name, 12)").as(name)
+    }
+    val prepared = cols.foldLeft(
+        spark.read.schema(schema).parquet(paths: _*)
+          .withColumn("__gndv_file", col("_metadata.file_path"))) {
+      case (d, (name, c)) => d.withColumn(s"__gndv_$name", c)
+    }
+    prepared.groupBy(col("__gndv_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { row =>
+        val key = SnapshotTable.stripScheme(row.getString(0))
+        key -> cols.indices.flatMap { i =>
+          Option(row.get(i + 1)).map { v =>
+            cols(i)._1 -> java.util.Base64.getEncoder
+              .encodeToString(v.asInstanceOf[Array[Byte]])
+          }
+        }.toMap
+      }.toMap
+  }
+
+  /** Table-level distinct-count estimate for `column`, answered
+    * METADATA-ONLY by unioning the live files' HLL sketches — no data
+    * IO, O(files) driver work (the Puffin/ANALYZE capability). None when
+    * any live file lacks a sketch for the column (an unknown must read
+    * as unknown, never as an undercount). */
+  def ndvEstimate(column: String): Option[Long] = {
+    val snap = snapshot(latestVersion)
+    val perFile = snap.files.map(_.ndv.get(column))
+    if (perFile.isEmpty || perFile.exists(_.isEmpty)) return None
+    val union = new org.apache.datasketches.hll.Union(12)
+    perFile.flatten.foreach { b64 =>
+      union.update(org.apache.datasketches.hll.HllSketch.heapify(
+        java.util.Base64.getDecoder.decode(b64)))
+    }
+    Some(math.round(union.getEstimate))
   }
 
   /** Adopt parquet files an EXTERNAL writer staged under `stagedDir` (the
@@ -1715,10 +1794,21 @@ object SnapshotTable {
     * COLUMN a metadata-only operation — a file predating a rename
     * physically stores the OLD parquet column name, and the read path
     * resolves each file's local names through the rename log
-    * ([[fileLocalNames]]). */
+    * ([[fileLocalNames]]).
+    *
+    * `ndv` = optional per-column DISTINCT-COUNT sketches (Apache
+    * DataSketches HLL, compact bytes, base64 in the manifest JSON) —
+    * the Iceberg-Puffin idea carried inline at Delta-lite cost. Sketches
+    * are MERGEABLE (register-wise union), so table/partition-level NDV
+    * is answerable metadata-only from the manifest; see
+    * [[SnapshotTable.ndvEstimate]]. Populated only when the
+    * `write.ndv-sketch.columns` table property opts the table in (the
+    * sketch pass re-reads the just-written columns once per commit —
+    * a deliberate write-side cost the owner chooses). */
   case class DataFile(path: String, rows: Long,
       stats: Map[String, ColStats] = Map.empty, bytes: Long = -1L,
-      schemaVersion: Int = -1)
+      schemaVersion: Int = -1,
+      ndv: Map[String, String] = Map.empty)
 
   /** One RENAME COLUMN event: at snapshot `atVersion`, `oldName` became
     * `newName`. Files with schemaVersion < atVersion store `oldName`. */
@@ -1768,6 +1858,13 @@ object SnapshotTable {
     * `merge-on-read` writes position deletes; anything else (default)
     * keeps copy-on-write. Iceberg's property name. */
   val DeleteMode = "write.delete.mode"
+
+  /** Table property opting writes into per-file HLL NDV sketches: a
+    * comma-separated column list, or `auto` for every sketch-eligible
+    * stats column. Costs one column-pruned re-read of each commit's new
+    * files; buys metadata-only distinct-count answers
+    * ([[SnapshotTable.ndvEstimate]], the `t.files` ndv column). */
+  val NdvSketchColumns = "write.ndv-sketch.columns"
 
   /** Retention-policy table properties (Iceberg's names): expiration may
     * never collect below these floors, no matter what a maintenance job
@@ -2071,6 +2168,10 @@ object SnapshotTable {
           n.put("t", cs.typ); n.put("min", cs.min); n.put("max", cs.max)
         }
       }
+      if (f.ndv.nonEmpty) {
+        val nd = o.putObject("ndv")
+        f.ndv.toSeq.sortBy(_._1).foreach { case (c, b64) => nd.put(c, b64) }
+      }
     }
     if (s.deleteFiles.nonEmpty) {
       val del: ArrayNode = root.putArray("deletes")
@@ -2099,9 +2200,14 @@ object SnapshotTable {
                 cn.get("max").asText())
             }.toMap
           } else Map.empty[String, ColStats]
+        val ndv =
+          if (f.has("ndv")) {
+            val nd = f.get("ndv")
+            nd.fieldNames().asScala.map(c => c -> nd.get(c).asText()).toMap
+          } else Map.empty[String, String]
         DataFile(f.get("path").asText(), f.get("rows").asLong(), stats,
           if (f.has("bytes")) f.get("bytes").asLong() else -1L,
-          if (f.has("sv")) f.get("sv").asInt() else -1)
+          if (f.has("sv")) f.get("sv").asInt() else -1, ndv)
       }
       .toSeq
     val pcols =

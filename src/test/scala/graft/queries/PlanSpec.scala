@@ -18,8 +18,10 @@ class PlanSpec extends SparkFunSuite {
   // per-term df) every scored row needs — a scalar-broadcast join, not a
   // pairwise product. q39 is NOT on this list: its exact all-pairs join
   // is a block-replicated equi-join (EmbeddingJoin) with no nested loop.
+  // q50b shares q50's centroid-probe shape (queries × ≤1024 broadcast
+  // centroids) and embeds the exact baseline for its recall summary
   private val nestedLoopAllowed = Set(
-    "q37_ann_topk", "q38_ann_lsh", "q50_ann_ivf",
+    "q37_ann_topk", "q38_ann_lsh", "q50_ann_ivf", "q50b_ann_ivfpq",
     "q94_bm25_search")
 
   test("no query plans a cartesian product; nested-loop only where approved") {

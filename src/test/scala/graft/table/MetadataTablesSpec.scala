@@ -104,4 +104,53 @@ class MetadataTablesSpec extends SparkFunSuite {
       "SELECT n_rows FROM mtu.db.legacy.history ORDER BY version DESC").head()
     assert(hist.isNullAt(0), s"expected null history n_rows, got ${hist.get(0)}")
   }
+
+  test("NDV sketches: metadata-only distinct estimates within 5%, carried through compaction") {
+    import org.apache.spark.sql.functions._
+    val loc = scratch("meta-ndv")
+    val events = graft.Tables.load(spark, sf, "events")
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    // opt in BEFORE the data lands: create empty, set the property, append
+    val t = SnapshotTable.createEmpty(spark, loc, events.schema)
+    t.setProperties(Map(
+      SnapshotTable.NdvSketchColumns -> "user_id, event_type, event_id"))
+    t.append(events.filter(col("event_id") % 2 === 0).repartition(3))
+    t.append(events.filter(col("event_id") % 2 =!= 0).repartition(2))
+
+    def trueNdv(c: String): Long = events.select(c).distinct().count()
+    def assertClose(c: String): Unit = {
+      val est = t.ndvEstimate(c).getOrElse(fail(s"no sketch for $c"))
+      val exact = trueNdv(c)
+      assert(math.abs(est - exact) <= math.max(1, 0.05 * exact),
+        s"$c: estimate $est vs exact $exact drifted past 5%")
+    }
+    assertClose("user_id")
+    assertClose("event_type")
+    assertClose("event_id") // high-cardinality: the case HLL exists for
+    // un-sketched and unknown columns answer unknown, never a guess
+    assert(t.ndvEstimate("value").isEmpty)
+    assert(t.ndvEstimate("nope").isEmpty)
+
+    // sketches are per-file and mergeable: every live file carries one
+    val snap = t.snapshot(t.latestVersion)
+    assert(snap.files.nonEmpty &&
+      snap.files.forall(_.ndv.keySet == Set("user_id", "event_type", "event_id")))
+
+    // compaction rewrites files through the same stats pass → sketches
+    // survive and the table estimate stays tight
+    t.compact(targetBytes = 1L << 20)
+    assert(t.snapshot(t.latestVersion).files.forall(_.ndv.nonEmpty))
+    assertClose("user_id")
+    assertClose("event_id")
+
+    // the files metadata table surfaces per-file estimates as JSON
+    val wh = scratch("meta-ndv-wh")
+    spark.conf.set("spark.sql.catalog.mtn", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mtn.warehouse", wh)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$wh/db"))
+    t.cloneTo(s"$wh/db/ndvt")
+    val ndvJson = spark.sql("SELECT ndv_json FROM mtn.db.ndvt.files")
+      .collect().map(_.getString(0))
+    assert(ndvJson.nonEmpty && ndvJson.forall(_.contains("\"user_id\"")))
+  }
 }
