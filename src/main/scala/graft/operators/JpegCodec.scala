@@ -24,12 +24,18 @@ package graft.operators
   * real too since round 16: DHP declares the final geometry, a
   * non-differential base frame seeds the reference plane, EXP doubles
   * it with the J.1.1.2 bilinear ((a+b+1)>>1, edge-replicated) filter,
-  * and DIFFERENTIAL SOF5 frames add their un-level-shifted signed
-  * corrections — grayscale sequential-Huffman pyramid scope; the
-  * arithmetic/progressive/lossless differential family (SOF6/7/11/
-  * 13–15) returns None → the labeled stub path, like any other
-  * malformed/unsupported payload: corrupt media in a 100 TB crawl is
-  * data, not an error.
+  * and DIFFERENTIAL frames add their un-level-shifted signed
+  * corrections. Since round 17 EVERY 8-bit frame type of T.81 Table
+  * B.1 decodes for real: the differential family spans all six
+  * spellings (SOF5/SOF6 Huffman sequential/progressive DCT,
+  * SOF13/SOF14 arithmetic, SOF7/SOF15 differential LOSSLESS — the
+  * exact-refinement stages), and standalone LOSSLESS comes in both
+  * entropies (SOF3 Huffman, SOF11 ARITHMETIC via the Annex H.1
+  * (left, above) difference-class conditioning through the QM coder).
+  * 12-bit precision, multi-component lossless, and restart-interval
+  * lossless remain out of scope and return None → the labeled stub
+  * path, like any other malformed/unsupported payload: corrupt media
+  * in a 100 TB crawl is data, not an error.
   *
   * Encoder (fixtures + round-trip tests): baseline sequential, quant
   * tables all-ones, grayscale or 4:4:4 YCbCr, double-precision FDCT.
@@ -215,6 +221,46 @@ object JpegCodec {
     val dcL = Array.fill(4)(0)
     val dcU = Array.fill(4)(1)
     val acK = Array.fill(4)(5)
+    // a DIFFERENTIAL PROGRESSIVE frame (SOF6/SOF14) in a hierarchical
+    // sequence accumulates coefficients across its scan script like any
+    // progressive frame; it FINALIZES (raw IDCT + add to the reference)
+    // when the next frame header / EXP / EOI arrives — these carry the
+    // pending frame between markers
+    var hierProgPending = false
+    var hierProgComp: Component = null
+    var hierProgW = 0
+    var hierProgH = 0
+    def finalizeHierProg(): Unit = if (hierProgPending) {
+      val c = hierProgComp
+      val q = qt(c.tq)
+      if (q == null) corrupt()
+      val dq = new Array[Int](64)
+      val pix = new Array[Int](64)
+      var by = 0
+      while (by < c.bh) {
+        var bx = 0
+        while (bx < c.bw) {
+          val base = (by * c.bw + bx) * 64
+          var k = 0
+          while (k < 64) {
+            val n = ZigZag(k)
+            dq(n) = c.coefs(base + n) * q(k)
+            k += 1
+          }
+          idctRaw(dq, pix)
+          landHierBlock(hierRef, refW, hierProgW, hierProgH,
+            bx * 8, by * 8, pix, diff = true)
+          bx += 1
+        }
+        by += 1
+      }
+      hierProgPending = false
+      hierProgComp = null
+      c.coefs = null
+      comps = null
+      progressive = false
+      differential = false
+    }
 
     var i = 2
     while (i + 1 < b.length) { // EOI can be the final two bytes
@@ -222,12 +268,14 @@ object JpegCodec {
       while (i + 1 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1 // fill bytes
       if (i + 1 >= b.length) corrupt()
       val m = b(i + 1) & 0xff
-      if (m == 0xd9) // EOI: progressive/hierarchical reconstruct here
+      if (m == 0xd9) { // EOI: progressive/hierarchical reconstruct here
+        finalizeHierProg()
         return if (progressive && progScans > 0)
           Some(finishProgressive(comps, width, height, qt))
         else if (hier && hierRef != null && refW == hierW && refH == hierH)
           Some(grayImage(hierRef, hierW, hierH))
         else None
+      }
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { i += 2 }
       else {
         if (i + 4 > b.length) corrupt()
@@ -287,18 +335,25 @@ object JpegCodec {
               } else corrupt()
               p += 2
             }
-          case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca | 0xc3 | 0xc5 | 0xcd | 0xc7 =>
-            // SOF0/1 sequential, SOF2 progressive (Huffman),
-            // SOF9 sequential / SOF10 progressive (arithmetic),
-            // SOF3 lossless (predictive, Huffman), and the DIFFERENTIAL
-            // frames — SOF5 Huffman / SOF13 arithmetic DCT, SOF7
-            // LOSSLESS (the exact-refinement final stage) — inside
-            // hierarchical sequences only
+          case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca | 0xc3 | 0xcb | 0xc5 |
+               0xc6 | 0xcd | 0xce | 0xc7 | 0xcf =>
+            // Every 8-bit frame type of T.81 Table B.1 decodes for real:
+            // SOF0/1 sequential + SOF2 progressive (Huffman), SOF9/SOF10
+            // their arithmetic spellings, SOF3 lossless (Huffman) +
+            // SOF11 lossless ARITHMETIC (Annex H.1 conditioning through
+            // the QM coder), and the DIFFERENTIAL family inside
+            // hierarchical sequences — SOF5/SOF6 Huffman sequential/
+            // progressive DCT, SOF13/SOF14 their arithmetic spellings,
+            // SOF7/SOF15 differential LOSSLESS (Huffman/arithmetic), the
+            // exact-refinement final stages
+            finalizeHierProg() // a new frame header ends a pending one
             if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
-            progressive = m == 0xc2 || m == 0xca
-            arithCoded = m == 0xc9 || m == 0xca || m == 0xcd
-            lossless = m == 0xc3 || m == 0xc7
-            differential = m == 0xc5 || m == 0xcd || m == 0xc7
+            progressive = m == 0xc2 || m == 0xca || m == 0xc6 || m == 0xce
+            arithCoded = m == 0xc9 || m == 0xca || m == 0xcb ||
+              m == 0xcd || m == 0xce || m == 0xcf
+            lossless = m == 0xc3 || m == 0xcb || m == 0xc7 || m == 0xcf
+            differential = m == 0xc5 || m == 0xc6 || m == 0xcd ||
+              m == 0xce || m == 0xc7 || m == 0xcf
             if (differential && !hier) return None // J.1: needs a DHP sequence
             height = be16(b, seg + 1)
             width = be16(b, seg + 3)
@@ -322,6 +377,7 @@ object JpegCodec {
             if (hierW.toLong * hierH > MaxPixels) return None
             hier = true
           case 0xdf => // EXP: double the reference before the next frame
+            finalizeHierProg() // EXP ends any pending progressive frame
             if (!hier || hierRef == null) corrupt()
             val eh = (b(seg) & 0xff) >> 4
             val ev = b(seg) & 0x0f
@@ -339,15 +395,6 @@ object JpegCodec {
               hierRef = expandV(hierRef, refW, refH)
               refH *= 2
             }
-          case 0xc6 | 0xcb | 0xce | 0xcf =>
-            // differential progressive (SOF6/14), arithmetic
-            // differential lossless (SOF15), and ARITHMETIC lossless
-            // (SOF11) remain the labeled stub path; Huffman lossless
-            // (SOF3), both arithmetic DCT frame types (SOF9/SOF10),
-            // and hierarchical sequences with three differential
-            // spellings (SOF5 Huffman DCT / SOF13 arithmetic DCT /
-            // SOF7 lossless) are real since round 16
-            return None
           case 0xda => // SOS → entropy-coded data follows
             if (comps == null) corrupt()
             val ns = b(seg) & 0xff
@@ -373,17 +420,22 @@ object JpegCodec {
             val ah = (b(p + 2) & 0xff) >> 4
             val al = b(p + 2) & 0x0f
             if (hier) {
-              // hierarchical scope: sequential DCT frames (Huffman OR
-              // arithmetic) plus the SOF7 differential-LOSSLESS
-              // refinement stage, grayscale 1×1 (the pyramid shape the
-              // encoder writes); progressive and non-differential
-              // lossless frames inside a DHP sequence → labeled stub
-              if (progressive || (lossless && !differential)) return None
+              // hierarchical scope: sequential AND progressive DCT
+              // frames (Huffman OR arithmetic) plus the differential
+              // LOSSLESS refinement stages (SOF7 Huffman / SOF15
+              // arithmetic), grayscale 1×1 (the pyramid shape the
+              // encoder writes); non-differential lossless and
+              // non-differential progressive frames inside a DHP
+              // sequence → labeled stub (no base-frame spelling we can
+              // cross-check emits them)
+              if ((progressive || lossless) && !differential) return None
               if (comps.length != 1 || ns != 1 ||
                   comps(0).h != 1 || comps(0).v != 1) return None
               val c0 = comps(0)
-              if (!arithCoded && c0.dcTable == null) corrupt()
-              if (!arithCoded && !lossless && c0.acTable == null) corrupt()
+              if (!arithCoded && c0.dcTable == null &&
+                  !(progressive && ah != 0)) corrupt()
+              if (!arithCoded && !lossless && !progressive &&
+                  c0.acTable == null) corrupt()
               // (the scan-component loop above already verified qt for
               // non-lossless frames)
               if (differential) {
@@ -396,30 +448,61 @@ object JpegCodec {
                 refW = width
                 refH = height
               }
-              i =
-                if (lossless) {
-                  // H.2: differential lossless codes the differences
-                  // directly — no prediction (Ss = 0); point-transform
-                  // and restart-interval variants are out of scope
-                  if (ss != 0 || al != 0) return None
-                  decodeDiffLosslessScan(b, segEnd, c0, width, height,
-                    restartInterval, hierRef, refW)
-                } else if (arithCoded)
-                  decodeArithScan(b, segEnd, comps, width, height, qt,
-                    restartInterval, dcL, dcU, acK, hierRef, refW,
-                    differential)
-                else decodeHierScan(b, segEnd, c0, width, height, qt,
-                  restartInterval, hierRef, refW, differential)
-              differential = false
-              comps = null // next frame brings its own SOF
+              if (progressive) {
+                // SOF6/SOF14: the frame's scans accumulate like SOF2/
+                // SOF10; finalizeHierProg lands the raw-IDCT corrections
+                // when the frame ends (next SOF/EXP/EOI)
+                if (ss > 0 && !arithCoded && c0.acTable == null) corrupt()
+                if (c0.coefs == null) allocProgressive(comps, width, height)
+                hierProgPending = true
+                hierProgComp = c0
+                hierProgW = width
+                hierProgH = height
+                i =
+                  if (arithCoded)
+                    processProgressiveArithScan(b, segEnd, comps, scanComps,
+                      ss, se, ah, al, restartInterval, width, height,
+                      dcL, dcU, acK)
+                  else processProgressiveScan(b, segEnd, comps, scanComps,
+                    ss, se, ah, al, restartInterval, width, height)
+                // frame stays pending: differential/comps survive into
+                // the next scan of the same frame
+              } else {
+                i =
+                  if (lossless) {
+                    // H.2: differential lossless codes the differences
+                    // directly — no prediction (Ss = 0); point-transform
+                    // and restart-interval variants are out of scope
+                    if (ss != 0 || al != 0) return None
+                    if (arithCoded)
+                      decodeDiffLosslessArithScan(b, segEnd, width, height,
+                        restartInterval, hierRef, refW,
+                        dcL(c0.dcSel), dcU(c0.dcSel))
+                    else decodeDiffLosslessScan(b, segEnd, c0, width, height,
+                      restartInterval, hierRef, refW)
+                  } else if (arithCoded)
+                    decodeArithScan(b, segEnd, comps, width, height, qt,
+                      restartInterval, dcL, dcU, acK, hierRef, refW,
+                      differential)
+                  else decodeHierScan(b, segEnd, c0, width, height, qt,
+                    restartInterval, hierRef, refW, differential)
+                differential = false
+                comps = null // next frame brings its own SOF
+              }
             } else if (lossless) {
-              // SOF3: grayscale only (3-component lossless carries no
-              // implied color transform — out of scope), 1×1 sampling,
-              // Ss selects the predictor, Al is the point transform
+              // SOF3 (Huffman) / SOF11 (arithmetic): grayscale only
+              // (3-component lossless carries no implied color transform
+              // — out of scope), 1×1 sampling, Ss selects the predictor,
+              // Al is the point transform
               if (comps.length != 1 || ns != 1 ||
                   comps(0).h != 1 || comps(0).v != 1) return None
-              decodeLosslessScan(b, segEnd, comps(0), width, height,
-                ss, al, restartInterval)
+              if (arithCoded)
+                decodeLosslessArithScan(b, segEnd, comps(0), width, height,
+                  ss, al, restartInterval,
+                  dcL(comps(0).dcSel), dcU(comps(0).dcSel))
+              else
+                decodeLosslessScan(b, segEnd, comps(0), width, height,
+                  ss, al, restartInterval)
               return Some(toRgb(comps, width, height))
             } else if (arithCoded && !progressive) {
               if (ns != comps.length) return None // interleaved only, like SOF0
@@ -510,6 +593,170 @@ object JpegCodec {
       y += 1
     }
     r.pos
+  }
+
+  // ------------------------------ lossless ARITHMETIC (SOF11 / SOF15)
+
+  /** T.81 H.1.1 five-way classification of a neighbor's prediction
+    * difference under the DC conditioning bounds (L, U): 0 zero/near-
+    * zero, 1 +small, 2 −small, 3 +large, 4 −large. Uses the same
+    * magnitude-category convention as the DC model's context update
+    * (`m` = the power-of-two floor of |D|−1). */
+  private def losslessDiffClass(d: Int, l: Int, u: Int): Int = {
+    if (d == 0) return 0
+    val m = Integer.highestOneBit(math.abs(d) - 1) // 0 for |d| == 1
+    if (m < ((1 << l) >> 1)) 0
+    else if (m <= ((1 << u) >> 1)) { if (d > 0) 1 else 2 }
+    else { if (d > 0) 3 else 4 }
+  }
+
+  /** One prediction difference through the Annex H.1 statistical model:
+    * 25 combined (left, above) context classes, each owning its
+    * S0/SS/SP/SN decision bins, with TWO X/M magnitude ladders selected
+    * by whether the ABOVE class is large — H.1's conditioning shape.
+    * Bin numbering is this codec's own fixed convention, exactly
+    * mirrored by [[encodeLosslessDiffArith]]: no independently-decoding
+    * implementation of SOF11/SOF15 exists to pin bit-level numbering
+    * against (ImageIO rejects the frame types outright), so conformance
+    * is bit-exact round-trip plus cross-frame-type pixel agreement with
+    * the Huffman lossless spellings (SOF3/SOF7), which JpegCodecSpec
+    * pins. Stats area: 25×4 decision bins (0–99) + ladder A at 100 +
+    * ladder B at 130 (each 15 X bins with M bins trailing by 14). */
+  private def decodeLosslessDiffArith(dec: QmCoder.Decoder,
+      st: QmCoder.Stats, ca: Int, cb: Int): Int = {
+    val ctx = (ca * 5 + cb) * 4
+    if (dec.decode(st, ctx) == 0) return 0
+    val sign = dec.decode(st, ctx + 1)
+    var m = dec.decode(st, ctx + 2 + sign)
+    var xst = ctx + 2 + sign
+    if (m != 0) {
+      xst = if (cb >= 3) 130 else 100
+      while (dec.decode(st, xst) != 0) {
+        m <<= 1
+        if (m == 0x8000) corrupt()
+        xst += 1
+      }
+    }
+    var v = m
+    var mm = m
+    val mb = xst + 14
+    while ({ mm >>= 1; mm != 0 }) if (dec.decode(st, mb) != 0) v |= mm
+    v += 1
+    if (sign != 0) -v else v
+  }
+
+  /** Encoding mirror of [[decodeLosslessDiffArith]]. `diff` must lie in
+    * [−32768, 32767] (the signed-16 window of the mod-2^16 arithmetic —
+    * encoders fold `(sample − pred) & 0xffff` through a short cast). */
+  private def encodeLosslessDiffArith(enc: QmCoder.Encoder,
+      st: QmCoder.Stats, ca: Int, cb: Int, diff: Int): Unit = {
+    val ctx = (ca * 5 + cb) * 4
+    if (diff == 0) { enc.encode(st, ctx, 0); return }
+    enc.encode(st, ctx, 1)
+    val sign = if (diff < 0) 1 else 0
+    enc.encode(st, ctx + 1, sign)
+    val v = math.abs(diff) - 1
+    if (v == 0) { enc.encode(st, ctx + 2 + sign, 0); return }
+    enc.encode(st, ctx + 2 + sign, 1)
+    var m = 1
+    var xst = if (cb >= 3) 130 else 100
+    while (2 * m <= v) { enc.encode(st, xst, 1); m <<= 1; xst += 1 }
+    enc.encode(st, xst, 0)
+    var mm = m
+    val mb = xst + 14
+    while ({ mm >>= 1; mm != 0 })
+      enc.encode(st, mb, if ((v & mm) != 0) 1 else 0)
+  }
+
+  /** LOSSLESS scan with ARITHMETIC entropy coding (SOF11, Annexes H.1 +
+    * D): the same seven predictors / defaults / mod-2^16 arithmetic as
+    * [[decodeLosslessScan]], entropy through the QM coder conditioned on
+    * the (left, above) difference classes. Returns the position after
+    * the entropy data. */
+  private def decodeLosslessArithScan(b: Array[Byte], start: Int,
+      c: Component, width: Int, height: Int, predSel: Int, pt: Int,
+      ri: Int, l: Int, u: Int): Int = {
+    if (ri > 0) corrupt()
+    if (predSel < 1 || predSel > 7 || pt > 7) corrupt()
+    c.pw = width
+    c.ph = height
+    c.plane = new Array[Byte](width * height)
+    val st = new QmCoder.Stats(160)
+    val dec = new QmCoder.Decoder(b, start, b.length)
+    val defaultPred = 1 << (7 - pt)
+    val prev = new Array[Int](width)
+    val cur = new Array[Int](width)
+    val dPrev = new Array[Int](width)
+    val dCur = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val ca = if (x == 0) 0 else losslessDiffClass(dCur(x - 1), l, u)
+        val cb = if (y == 0) 0 else losslessDiffClass(dPrev(x), l, u)
+        val d = decodeLosslessDiffArith(dec, st, ca, cb)
+        val pred =
+          if (y == 0 && x == 0) defaultPred
+          else if (y == 0) cur(x - 1)
+          else if (x == 0) prev(0)
+          else {
+            val a = cur(x - 1)
+            val bb = prev(x)
+            val cc = prev(x - 1)
+            predSel match {
+              case 1 => a
+              case 2 => bb
+              case 3 => cc
+              case 4 => a + bb - cc
+              case 5 => a + ((bb - cc) >> 1)
+              case 6 => bb + ((a - cc) >> 1)
+              case _ => (a + bb) >> 1
+            }
+          }
+        cur(x) = (pred + d) & 0xffff
+        dCur(x) = d
+        x += 1
+      }
+      var i2 = 0
+      while (i2 < width) {
+        c.plane(y * width + i2) = ((cur(i2) << pt) & 0xff).toByte
+        i2 += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, width)
+      System.arraycopy(dCur, 0, dPrev, 0, width)
+      y += 1
+    }
+    dec.endPos
+  }
+
+  /** DIFFERENTIAL LOSSLESS scan with ARITHMETIC coding (SOF15, H.2 +
+    * H.1 inside an Annex-J sequence): per-sample differences — no
+    * spatial prediction — added to the reference mod 2^16, conditioned
+    * like [[decodeLosslessArithScan]]. */
+  private def decodeDiffLosslessArithScan(b: Array[Byte], start: Int,
+      width: Int, height: Int, ri: Int, ref: Array[Int], refW: Int,
+      l: Int, u: Int): Int = {
+    if (ri > 0) corrupt()
+    val st = new QmCoder.Stats(160)
+    val dec = new QmCoder.Decoder(b, start, b.length)
+    val dPrev = new Array[Int](width)
+    val dCur = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val ca = if (x == 0) 0 else losslessDiffClass(dCur(x - 1), l, u)
+        val cb = if (y == 0) 0 else losslessDiffClass(dPrev(x), l, u)
+        val d = decodeLosslessDiffArith(dec, st, ca, cb)
+        val o = y * refW + x
+        ref(o) = ((ref(o) + d) & 0xffff) & 0xff
+        dCur(x) = d
+        x += 1
+      }
+      System.arraycopy(dCur, 0, dPrev, 0, width)
+      y += 1
+    }
+    dec.endPos
   }
 
   /** Land one raw-IDCT 8×8 block in the hierarchical reference plane
@@ -1650,7 +1897,8 @@ object JpegCodec {
     * and the two spellings MUST decode to identical pixels
     * (JpegCodecSpec pins it), mirroring the SOF0/SOF9 cross-check. */
   def encodeJpegHier(halfW: Int, halfH: Int, halfGray: (Int, Int) => Int,
-      delta: (Int, Int) => Int, arith: Boolean = false): Array[Byte] = {
+      delta: (Int, Int) => Int, arith: Boolean = false,
+      progressiveDiff: Boolean = false): Array[Byte] = {
     require(halfW > 0 && halfH > 0 && halfW % 8 == 0 && halfH % 8 == 0 &&
       4L * halfW * halfH <= MaxPixels && 2 * halfW <= 0xffff &&
       2 * halfH <= 0xffff)
@@ -1660,15 +1908,112 @@ object JpegCodec {
     // block-constant signed corrections, NO level shift (Annex J)
     hierExpSegment(out)
     val block = new Array[Double](64)
-    hierDctFrame(out, if (arith) 0xcd else 0xc5, 2 * halfW, 2 * halfH,
-      arith, block, (mx, my) => {
-        val d = delta(mx, my)
-        require(d >= -255 && d <= 255, s"delta($mx,$my)=$d out of range")
-        var i = 0
-        while (i < 64) { block(i) = d.toDouble; i += 1 }
-      })
+    val fill = (mx: Int, my: Int) => {
+      val d = delta(mx, my)
+      require(d >= -255 && d <= 255, s"delta($mx,$my)=$d out of range")
+      var i = 0
+      while (i < 64) { block(i) = d.toDouble; i += 1 }
+    }
+    // the differential stage in four spellings: sequential SOF5/SOF13 or
+    // — `progressiveDiff` — PROGRESSIVE SOF6/SOF14, the same corrections
+    // as a two-scan spectral-selection script; all four must decode to
+    // identical pixels (JpegCodecSpec pins the quartet)
+    if (progressiveDiff)
+      hierProgDiffFrame(out, if (arith) 0xce else 0xc6, 2 * halfW, 2 * halfH,
+        arith, block, fill)
+    else
+      hierDctFrame(out, if (arith) 0xcd else 0xc5, 2 * halfW, 2 * halfH,
+        arith, block, fill)
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
+  }
+
+  /** Differential PROGRESSIVE stage (SOF6 Huffman / SOF14 arithmetic) of
+    * a hierarchical fixture: the corrections' quantized coefficients
+    * transmitted as a spectral-selection scan script — DC band first,
+    * then the AC band (all-EOB for the block-constant fixtures; Huffman
+    * spells it as per-block EOB1 symbols, arithmetic as per-block EOB
+    * decisions). */
+  private def hierProgDiffFrame(out: java.io.ByteArrayOutputStream,
+      sofM: Int, w2: Int, h2: Int, arith: Boolean, block: Array[Double],
+      fill: (Int, Int) => Unit): Unit = {
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    hierFrameHeader(out, sofM, w2, h2)
+    val bw = w2 / 8
+    val bh = h2 / 8
+    // quantize every block once; the scans then read the coefficients
+    val coef = new Array[Int](64)
+    val dcs = new Array[Int](bw * bh)
+    var my = 0
+    while (my < bh) {
+      var mx = 0
+      while (mx < bw) {
+        fill(mx, my)
+        fdctQuant(block, coef)
+        var k = 1
+        while (k < 64) {
+          require(coef(k) == 0,
+            "progressive differential fixture blocks must be DC-only")
+          k += 1
+        }
+        dcs(my * bw + mx) = coef(0)
+        mx += 1
+      }
+      my += 1
+    }
+    def sos(ss: Int, se: Int): Unit = {
+      w8(0xff); w8(0xda); w8(0); w8(8)
+      w8(1); w8(1); w8(0x00)
+      w8(ss); w8(se); w8(0)
+    }
+    // --- scan 1: the DC band
+    sos(0, 0)
+    if (arith) {
+      val enc = new QmCoder.Encoder(out)
+      val dcSt = new QmCoder.Stats(64)
+      val dcCtxs = new Array[Int](1)
+      var pred = 0
+      var blk = 0
+      while (blk < dcs.length) {
+        encodeDcDiffArith(enc, dcSt, dcCtxs, 0, dcs(blk) - pred)
+        pred = dcs(blk)
+        blk += 1
+      }
+      enc.finish()
+    } else {
+      val w = new BitWriter(out)
+      var pred = 0
+      var blk = 0
+      while (blk < dcs.length) {
+        val diff = dcs(blk) - pred
+        val s = sizeCat(diff)
+        w.put(EncDc.codes(s), EncDc.lens(s))
+        if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        pred = dcs(blk)
+        blk += 1
+      }
+      w.finish()
+    }
+    // --- scan 2: the AC band, all blocks empty
+    sos(1, 63)
+    if (arith) {
+      val enc = new QmCoder.Encoder(out)
+      val acSt = new QmCoder.Stats(256)
+      var blk = 0
+      while (blk < dcs.length) {
+        enc.encode(acSt, 0, 1) // EOB decision at k = Ss
+        blk += 1
+      }
+      enc.finish()
+    } else {
+      val w = new BitWriter(out)
+      var blk = 0
+      while (blk < dcs.length) {
+        w.put(EncAc.codes(0x00), 8) // EOB1 (run-length 1)
+        blk += 1
+      }
+      w.finish()
+    }
   }
 
   /** Real hierarchical bytes with a LOSSLESS refinement stage (T.81
@@ -1680,36 +2025,63 @@ object JpegCodec {
     * JPEG exists for. `halfGray` must be constant per 8×8 block (the
     * exact-base contract); `fullGray` is unconstrained. */
   def encodeJpegHierLossless(halfW: Int, halfH: Int,
-      halfGray: (Int, Int) => Int, fullGray: (Int, Int) => Int): Array[Byte] = {
+      halfGray: (Int, Int) => Int, fullGray: (Int, Int) => Int,
+      arith: Boolean = false): Array[Byte] = {
     require(halfW > 0 && halfH > 0 && halfW % 8 == 0 && halfH % 8 == 0 &&
       4L * halfW * halfH <= MaxPixels && 2 * halfW <= 0xffff &&
       2 * halfH <= 0xffff)
     val out = new java.io.ByteArrayOutputStream()
-    hierPreambleAndBase(out, halfW, halfH, halfGray, arith = false)
+    hierPreambleAndBase(out, halfW, halfH, halfGray, arith)
     // the reference the decoder will hold: exact base, bilinear-doubled
     val half = Array.tabulate(halfH * halfW)(o =>
       halfGray(o % halfW, o / halfW) & 0xff)
     val up = expandV(expandH(half, halfW, halfH), 2 * halfW, halfH)
     hierExpSegment(out)
-    // SOF7: the differences, coded per-sample with Ss = 0
-    hierFrameHeader(out, 0xc7, 2 * halfW, 2 * halfH)
+    // SOF7 (Huffman) / SOF15 (arithmetic): the differences, coded
+    // per-sample with Ss = 0 — the same pixels through both entropy
+    // spellings, the SOF13-vs-SOF5 cross-check pattern
+    hierFrameHeader(out, if (arith) 0xcf else 0xc7, 2 * halfW, 2 * halfH)
     out.write(0xff); out.write(0xda); out.write(0); out.write(8)
     out.write(1); out.write(1); out.write(0x00)
     out.write(0); out.write(0); out.write(0) // Ss = 0 (no prediction)
-    val w = new BitWriter(out)
-    var y = 0
-    while (y < 2 * halfH) {
-      var x = 0
-      while (x < 2 * halfW) {
-        val diff = (fullGray(x, y) & 0xff) - up(y * 2 * halfW + x)
-        val s = sizeCat(diff)
-        w.put(EncDc.codes(s), EncDc.lens(s))
-        if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-        x += 1
+    val fw = 2 * halfW
+    val fh = 2 * halfH
+    if (arith) {
+      val st = new QmCoder.Stats(160)
+      val enc = new QmCoder.Encoder(out)
+      val dPrev = new Array[Int](fw)
+      val dCur = new Array[Int](fw)
+      var y = 0
+      while (y < fh) {
+        var x = 0
+        while (x < fw) {
+          val diff = (fullGray(x, y) & 0xff) - up(y * fw + x)
+          val ca = if (x == 0) 0 else losslessDiffClass(dCur(x - 1), 0, 1)
+          val cb = if (y == 0) 0 else losslessDiffClass(dPrev(x), 0, 1)
+          encodeLosslessDiffArith(enc, st, ca, cb, diff)
+          dCur(x) = diff
+          x += 1
+        }
+        System.arraycopy(dCur, 0, dPrev, 0, fw)
+        y += 1
       }
-      y += 1
+      enc.finish()
+    } else {
+      val w = new BitWriter(out)
+      var y = 0
+      while (y < fh) {
+        var x = 0
+        while (x < fw) {
+          val diff = (fullGray(x, y) & 0xff) - up(y * fw + x)
+          val s = sizeCat(diff)
+          w.put(EncDc.codes(s), EncDc.lens(s))
+          if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+          x += 1
+        }
+        y += 1
+      }
+      w.finish()
     }
-    w.finish()
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
@@ -1871,6 +2243,77 @@ object JpegCodec {
       y += 1
     }
     w.finish()
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** Real LOSSLESS ARITHMETIC JPEG bytes (SOF11, Annexes H.1 + D):
+    * the same predictor/mod-2^16 pipeline as [[encodeJpegLossless]],
+    * entropy through the QM coder under the H.1 (left, above)
+    * difference-class conditioning — bit-exact round-trip for ANY
+    * input, the arithmetic spelling of the only exact JPEG mode. */
+  def encodeJpegLosslessArith(width: Int, height: Int,
+      gray: (Int, Int) => Int, predictor: Int = 4): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
+      width.toLong * height <= MaxPixels && predictor >= 1 && predictor <= 7)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wbe16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    marker(0xd8)
+    marker(0xe0); wbe16(16)
+    out.write("JFIF".getBytes("US-ASCII")); w8(0)
+    w8(1); w8(1); w8(0); wbe16(1); wbe16(1); w8(0); w8(0)
+    marker(0xcb); wbe16(8 + 3) // SOF11, one component
+    w8(8); wbe16(height); wbe16(width); w8(1)
+    w8(1); w8(0x11); w8(0)
+    marker(0xcc); wbe16(2 + 2) // DAC: DC table 0, default L=0 U=1
+    w8(0x00); w8(0x10)
+    marker(0xda); wbe16(8) // SOS
+    w8(1); w8(1); w8(0x00)
+    w8(predictor); w8(0); w8(0) // Ss = predictor, Se = 0, Ah/Al = 0
+    val st = new QmCoder.Stats(160)
+    val enc = new QmCoder.Encoder(out)
+    val prev = new Array[Int](width)
+    val cur = new Array[Int](width)
+    val dPrev = new Array[Int](width)
+    val dCur = new Array[Int](width)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val v = gray(x, y) & 0xff
+        val pred =
+          if (y == 0 && x == 0) 128 // 2^(P−1)
+          else if (y == 0) cur(x - 1)
+          else if (x == 0) prev(0)
+          else {
+            val a = cur(x - 1)
+            val bb = prev(x)
+            val cc = prev(x - 1)
+            predictor match {
+              case 1 => a
+              case 2 => bb
+              case 3 => cc
+              case 4 => a + bb - cc
+              case 5 => a + ((bb - cc) >> 1)
+              case 6 => bb + ((a - cc) >> 1)
+              case _ => (a + bb) >> 1
+            }
+          }
+        val diff = (((v - pred) & 0xffff) << 16) >> 16 // signed-16 window
+        val ca = if (x == 0) 0 else losslessDiffClass(dCur(x - 1), 0, 1)
+        val cb = if (y == 0) 0 else losslessDiffClass(dPrev(x), 0, 1)
+        encodeLosslessDiffArith(enc, st, ca, cb, diff)
+        cur(x) = v
+        dCur(x) = diff
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, width)
+      System.arraycopy(dCur, 0, dPrev, 0, width)
+      y += 1
+    }
+    enc.finish()
     marker(0xd9)
     out.toByteArray
   }

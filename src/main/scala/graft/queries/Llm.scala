@@ -644,7 +644,7 @@ object Llm {
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v11-hier-lossless") {
+      version = "v12-full-t81") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -683,13 +683,21 @@ object Llm {
           case 6 => // round 16: PROGRESSIVE arithmetic JPEG (SOF10)
             graft.operators.JpegCodec.encodeJpegProgArith(jw, jh, jpx,
               gray = true)
-          case 7 => // round 16: LOSSLESS JPEG (SOF3) — the only JPEG
-            // spelling that reproduces ARBITRARY pixels exactly, so this
-            // slot carries the full per-pixel gradient (grayscale: the
-            // red-channel formula, value ≤ 142 < 255), predictors rotate
-            graft.operators.JpegCodec.encodeJpegLossless(w, h,
-              (x, y) => br + 3 * x + 5 * y,
-              predictor = 1 + ((id / 9) % 7).toInt)
+          case 7 => // round 16: LOSSLESS JPEG — the only JPEG mode that
+            // reproduces ARBITRARY pixels exactly, so this slot carries
+            // the full per-pixel gradient (grayscale: the red-channel
+            // formula, value ≤ 142 < 255); predictors rotate, and since
+            // round 17 the ENTROPY spelling sub-rotates too: Huffman
+            // SOF3 / arithmetic SOF11 (Annex H.1 through the QM coder),
+            // identical pixels → one closed form
+            if ((id / 10) % 2 == 0)
+              graft.operators.JpegCodec.encodeJpegLossless(w, h,
+                (x, y) => br + 3 * x + 5 * y,
+                predictor = 1 + ((id / 9) % 7).toInt)
+            else
+              graft.operators.JpegCodec.encodeJpegLosslessArith(w, h,
+                (x, y) => br + 3 * x + 5 * y,
+                predictor = 1 + ((id / 9) % 7).toInt)
           case 8 => // round 16: BI_RLE8 BMP — the run-length coding,
             // lossless, so it carries the full gradient too; palette =
             // one entry per pixel cell, unit encoded runs + EOL/EOB
@@ -699,29 +707,40 @@ object Llm {
                 (r << 16) | (g << 8) | bl
               },
               (x, y) => y * w + x)
-          case _ => // round 16: HIERARCHICAL JPEG (T.81 Annex J),
-            // rotating THREE differential spellings by (id/10)%3:
-            //  0/1 — DCT pyramids (SOF0+SOF5 Huffman / SOF9+SOF13
-            //  arithmetic): an 8×(8·hb) half-res row-tile gradient
-            //  (br + 11·(y/8)) bilinear-upsampled 2× plus a
-            //  checkerboard of block-constant +5 corrections; exact
-            //  (DC-only blocks + closed-form J.1.1.2 interpolation) →
+          case _ => // round 16/17: HIERARCHICAL JPEG (T.81 Annex J),
+            // rotating SIX differential spellings by spell = (id/10)%6 —
+            // chosen so spell%3 classifies the closed form exactly like
+            // the round-16 3-way rotation (the oracle's selector is
+            // unchanged):
+            //  spell%3 ∈ {0,1} — DCT pyramids: 0 SOF0+SOF5 (Huffman
+            //  sequential), 1 SOF9+SOF13 (arithmetic sequential),
+            //  3 SOF0+SOF6 (Huffman PROGRESSIVE differential),
+            //  4 SOF9+SOF14 (arithmetic progressive differential) — all
+            //  four decode the SAME pixels: an 8×(8·hb) half-res
+            //  row-tile gradient (br + 11·(y/8)) bilinear-upsampled 2×
+            //  plus a checkerboard of block-constant +5 corrections;
+            //  exact (DC-only blocks + closed-form J.1.1.2
+            //  interpolation) →
             //  sums = 16·(16·(hb·br + 11·S1(hb)) + 6·(hb−1)) + 640·hb.
-            //  2 — LOSSLESS refinement (SOF0 base + SOF7): the final
-            //  stage recovers an ARBITRARY full-res gradient
-            //  br + 3x + 2y bit-exactly (≤ 203 < 255) →
+            //  spell%3 == 2 — LOSSLESS refinement: 2 SOF0+SOF7
+            //  (Huffman), 5 SOF9+SOF15 (arithmetic) — the final stage
+            //  recovers an ARBITRARY full-res gradient br + 3x + 2y
+            //  bit-exactly (≤ 203 < 255) →
             //  sums = 16·hh·br + 360·hh + 16·hh·(hh−1), hh = 16·hb
-            if ((id / 10) % 3 == 2)
+            val spell = ((id / 10) % 6).toInt
+            if (spell % 3 == 2)
               graft.operators.JpegCodec.encodeJpegHierLossless(
                 8, 8 * (1 + (id % 2).toInt),
                 (_, _) => br,
-                (x, y) => br + 3 * x + 2 * y)
+                (x, y) => br + 3 * x + 2 * y,
+                arith = spell == 5)
             else
               graft.operators.JpegCodec.encodeJpegHier(
                 8, 8 * (1 + (id % 2).toInt),
                 (_, y) => br + 11 * (y / 8),
                 (bx, by) => 5 * ((bx + by) % 2),
-                arith = (id / 10) % 3 == 1)
+                arith = spell == 1 || spell == 4,
+                progressiveDiff = spell >= 3)
         }
         (id, bytes)
       }.toDF("doc_id", "content")

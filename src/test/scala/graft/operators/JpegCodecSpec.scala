@@ -584,6 +584,95 @@ class JpegCodecSpec extends SparkFunSuite {
     JpegCodec.decode(cut) match { case _ => () }
   }
 
+  test("lossless ARITHMETIC (SOF11): arbitrary pixels bit-exact, all 7 predictors; agrees with SOF3") {
+    val rnd = new scala.util.Random(556)
+    for (predictor <- 1 to 7) {
+      val w = 5 + rnd.nextInt(30)
+      val h = 3 + rnd.nextInt(20)
+      val px = Array.fill(h, w)(rnd.nextInt(256))
+      val bytes = JpegCodec.encodeJpegLosslessArith(w, h, (x, y) => px(y)(x), predictor)
+      // really the arithmetic spelling: SOF11, DAC, no DHT
+      def hasMarker(m: Int): Boolean =
+        bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+      assert(hasMarker(0xcb) && hasMarker(0xcc) && !hasMarker(0xc4))
+      val img = decode(bytes).get
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.rgb((y * w + x) * 3) & 0xff) == px(y)(x),
+          s"predictor $predictor ($x,$y)")
+      // cross-frame-type agreement: the Huffman spelling of the same
+      // image decodes to identical pixels
+      val huff = decode(JpegCodec.encodeJpegLossless(w, h,
+        (x, y) => px(y)(x), predictor)).get
+      assert(img.rgb.sameElements(huff.rgb),
+        s"SOF11 vs SOF3 disagreed under predictor $predictor")
+    }
+    // rails content + truncation robustness
+    val rails = JpegCodec.encodeJpegLosslessArith(16, 4,
+      (x, y) => if ((x + y) % 2 == 0) 0 else 255)
+    val rimg = decode(rails).get
+    for (y <- 0 until 4; x <- 0 until 16)
+      assert((rimg.rgb((y * 16 + x) * 3) & 0xff) ==
+        (if ((x + y) % 2 == 0) 0 else 255))
+    JpegCodec.decode(rails.take(rails.length / 2)) match { case _ => () }
+  }
+
+  test("hierarchical lossless ARITHMETIC refinement (SOF15) reproduces arbitrary images; agrees with SOF7") {
+    val rnd = new scala.util.Random(15)
+    val full = Array.fill(32 * 32)(rnd.nextInt(256))
+    val fullF = (x: Int, y: Int) => full(y * 32 + x)
+    val halfF = (x: Int, y: Int) => full((y / 8) * 16 * 32 + (x / 8) * 16)
+    val bytes = JpegCodec.encodeJpegHierLossless(16, 16, halfF, fullF,
+      arith = true)
+    def hasMarker(m: Int): Boolean =
+      bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    // arithmetic pyramid: SOF9 base + SOF15 refinement, no DHT anywhere
+    assert(hasMarker(0xc9) && hasMarker(0xcf) && !hasMarker(0xc4))
+    val img = decode(bytes).get
+    assert(img.width == 32 && img.height == 32)
+    for (y <- 0 until 32; x <- 0 until 32)
+      assert((img.rgb((y * 32 + x) * 3) & 0xff) == full(y * 32 + x),
+        s"pixel ($x,$y)")
+    // the Huffman spelling (SOF0 base + SOF7) must agree exactly — both
+    // reproduce `full` bit-for-bit by construction
+    val huff = decode(JpegCodec.encodeJpegHierLossless(16, 16, halfF, fullF)).get
+    assert(img.rgb.sameElements(huff.rgb))
+    // truncation inside the arithmetic refinement never throws
+    JpegCodec.decode(bytes.take(bytes.length - 12)) match { case _ => () }
+  }
+
+  test("differential PROGRESSIVE (SOF6/SOF14) decode identically to the sequential spellings") {
+    val (hw, hh) = (16, 16)
+    val half = (x: Int, y: Int) => 60 + 7 * (x / 8) + 11 * (y / 8)
+    val delta = (bx: Int, by: Int) => if ((bx + by) % 2 == 0) -7 else 5
+    val seq = decode(JpegCodec.encodeJpegHier(hw, hh, half, delta)).get
+    val want = hierExpected(hw, hh, half, delta)
+
+    // SOF6: Huffman progressive differential stage
+    val p6 = JpegCodec.encodeJpegHier(hw, hh, half, delta,
+      progressiveDiff = true)
+    def marker(bytes: Array[Byte], m: Int): Boolean =
+      bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == m)
+    assert(marker(p6, 0xc6) && !marker(p6, 0xc5))
+    val i6 = decode(p6).get
+    assert(i6.rgb.sameElements(seq.rgb),
+      "SOF6 progressive differential diverged from the SOF5 sequential spelling")
+    for (o <- want.indices)
+      assert((i6.rgb(o * 3) & 0xff) == want(o), s"SOF6 pixel $o")
+
+    // SOF14: arithmetic progressive differential stage
+    val p14 = JpegCodec.encodeJpegHier(hw, hh, half, delta,
+      arith = true, progressiveDiff = true)
+    assert(marker(p14, 0xce) && marker(p14, 0xc9) && !marker(p14, 0xc4))
+    val i14 = decode(p14).get
+    assert(i14.rgb.sameElements(seq.rgb),
+      "SOF14 arithmetic progressive differential diverged")
+
+    // truncation inside either progressive stage refuses, never throws
+    assert(decode(p6.take(p6.length - 8)) == None)
+    assert(decode(p14.take(p14.length - 8)) == None)
+  }
+
   test("features off decoded JPEG pixels are exact for DC-only fixtures") {
     val bytes = JpegCodec.encodeJpeg(16, 8, blockGray(50), gray = true)
     val f = features(decode(bytes).get, bins = 4)
