@@ -245,6 +245,43 @@ class MorDeleteSpec extends SparkFunSuite {
     assert(t.read().count() == 200) // 180 survivors + 20 appended
   }
 
+  // ---------------------------------------------------------------- (m)
+  test("position deletes on a bucket-partitioned table: pruned scan, exact read") {
+    val loc = scratch("mor-bucketed")
+    val t = SnapshotTable.create(spark, loc,
+      spark.range(2000).selectExpr("id", "id % 40 AS k", "CAST(id AS DOUBLE) AS v"),
+      partitionCols = Seq("bucket(8,k)"))
+    val filesBefore = t.snapshot(t.latestVersion).files.map(_.path)
+    // key-equality predicate: candidate files prune to the key's bucket
+    val n = t.positionDelete(col("k") === 7)
+    assert(n == 50)
+    val s = t.snapshot(t.latestVersion)
+    assert(s.files.map(_.path) == filesBefore)
+    assert(t.read().count() == 1950)
+    assert(t.read().filter(col("k") === 7).count() == 0)
+    assert(t.read().filter(col("k") === 8).count() == 50)
+    // compact folds on the partitioned layout too
+    t.compact(targetBytes = 1L << 20)
+    assert(!t.hasDeletes && t.read().count() == 1950)
+  }
+
+  // ---------------------------------------------------------------- (n)
+  test("merge-on-read composes with RENAME COLUMN generations") {
+    val loc = scratch("mor-rename")
+    val t = SnapshotTable.create(spark, loc,
+      spark.range(500).selectExpr("id", "CAST(id AS DOUBLE) AS amount"))
+    t.renameColumn("amount", "value") // files still store 'amount'
+    // delete THROUGH the renamed name: the metadata read resolves the
+    // old physical column per generation, positions land correctly
+    val n = t.positionDelete(col("value") < 100)
+    assert(n == 100)
+    assert(t.read().count() == 400)
+    assert(t.read().agg(min(col("value"))).head().getDouble(0) == 100.0)
+    // new-generation appends coexist with the ledger
+    t.append(spark.range(500, 600).selectExpr("id", "CAST(id AS DOUBLE) AS value"))
+    assert(t.read().count() == 500)
+  }
+
   // ---------------------------------------------------------------- (l)
   test("clone and concurrent-rewrite guards refuse a live ledger loudly") {
     val loc = scratch("mor-guards")
