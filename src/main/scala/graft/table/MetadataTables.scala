@@ -142,6 +142,22 @@ object MetadataTables {
               if (fields.isEmpty) "<unpartitioned>" else "<empty>"),
             0L, 0L, 0L))
         Some(new MetadataTable(s"$name.partitions", partitionsSchema, out))
+      case "changes" =>
+        // `spark.read.option("since_version", v).option("end_version", w)
+        //   .table("cat.db.t.changes")` (or plain SQL for full history):
+        // the CDC changelog as a relation — data-sized, so unlike the
+        // other metadata tables it materializes NOTHING on the driver:
+        // a V1Scan relation plans [[SnapshotTable.changes]]'s own
+        // distributed DataFrame (per-version changed-file scans +
+        // scoped semi-joins) when the query executes
+        val dataSchema = org.apache.spark.sql.types.DataType
+          .fromJson(t.snapshot(t.latestVersion).schemaJson)
+          .asInstanceOf[StructType]
+        val cdcSchema = StructType(dataSchema.fields ++ Seq(
+          StructField("_change_type", StringType, nullable = false),
+          StructField("_commit_version", IntegerType, nullable = false),
+          StructField("_commit_timestamp", TimestampType, nullable = false)))
+        Some(new ChangesTable(s"$name.changes", cdcSchema, t))
       case "deletes" =>
         // `SELECT * FROM cat.db.t.deletes` — the live merge-on-read
         // position-delete ledger (empty once compaction folds it)
@@ -175,5 +191,42 @@ object MetadataTables {
         override def rows(): Array[InternalRow] = rowData.toArray
         override def readSchema(): StructType = tableSchema
       }
+  }
+
+  /** The `t.changes` relation: a V1Scan whose RDD is the distributed
+    * changelog plan. `since_version` defaults to -1 (full history),
+    * `end_version` to the head. */
+  private class ChangesTable(tableName: String, cdcSchema: StructType,
+      t: SnapshotTable) extends Table with SupportsRead {
+    override def name(): String = tableName
+    override def schema(): StructType = cdcSchema
+    override def capabilities(): util.Set[TableCapability] =
+      util.Set.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      def intOpt(k: String, dflt: Int): Int =
+        Option(options.get(k)).map { v =>
+          try v.trim.toInt
+          catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"option $k must be an integer, got '$v'")
+          }
+        }.getOrElse(dflt)
+      val since = intOpt("since_version", -1)
+      val end = intOpt("end_version", -1)
+      () => new org.apache.spark.sql.connector.read.V1Scan {
+        override def readSchema(): StructType = cdcSchema
+        override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan](
+            context: org.apache.spark.sql.SQLContext): T =
+          new org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan {
+            override def sqlContext: org.apache.spark.sql.SQLContext = context
+            override def schema: StructType = cdcSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              t.changes(since, end).rdd
+          }.asInstanceOf[T]
+        override def description(): String = s"GraftChangesScan(v$since..)"
+      }
+    }
   }
 }

@@ -282,6 +282,31 @@ class MorDeleteSpec extends SparkFunSuite {
     assert(t.read().count() == 500)
   }
 
+  // ---------------------------------------------------------------- (o)
+  test("the changelog is SQL-reachable as the t.changes relation") {
+    val wh = scratch("mor-changes-sql-wh")
+    spark.conf.set("spark.sql.catalog.morch", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.morch.warehouse", wh)
+    spark.sql("CREATE TABLE morch.db.t (id BIGINT, v DOUBLE)")
+    spark.range(100).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+      .writeTo("morch.db.t").append()                       // v1
+    val t = SnapshotTable.load(spark, s"$wh/db/t")
+    t.positionDelete(col("id") < 10)                        // v2
+    // full history through plain SQL
+    val byType = spark.sql(
+      """SELECT _change_type, count(*) AS n FROM morch.db.t.changes
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    assert(byType.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("delete", 10L), ("insert", 100L)))
+    // bounded range through reader options
+    val delta = spark.read.option("since_version", "1")
+      .table("morch.db.t.changes")
+    assert(delta.count() == 10)
+    assert(delta.agg(collect_set(col("_change_type"))).head()
+      .getSeq[String](0) == Seq("delete"))
+    assert(delta.agg(max(col("id"))).head().getLong(0) == 9)
+  }
+
   // ---------------------------------------------------------------- (l)
   test("clone and concurrent-rewrite guards refuse a live ledger loudly") {
     val loc = scratch("mor-guards")
