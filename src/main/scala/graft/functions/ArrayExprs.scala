@@ -883,9 +883,13 @@ object Registry {
     reg.createOrReplaceTempFunction("trigram_lang",
       (es: Seq[Expression]) => TrigramLang(es(0)), "built-in")
     reg.createOrReplaceTempFunction("pq_encode",
-      (es: Seq[Expression]) => PqEncode(es(0), es(1)), "built-in")
+      (es: Seq[Expression]) =>
+        if (es.length == 3) PqEncodeResidual(es(0), es(1), es(2))
+        else PqEncode(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("pq_decode",
-      (es: Seq[Expression]) => PqDecode(es(0), es(1)), "built-in")
+      (es: Seq[Expression]) =>
+        if (es.length == 3) PqDecodeResidual(es(0), es(1), es(2))
+        else PqDecode(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("image_meta",
       (es: Seq[Expression]) => ImageMetaExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("intersect_size",

@@ -106,6 +106,30 @@ object Pq {
     out
   }
 
+  /** RESIDUAL encode — the actual IVF-PQ design (Jégou 2011 §III):
+    * quantize `v − anchor` (the coarse cell centroid), whose spread is a
+    * cell diameter instead of the whole space, so the same 8 bytes carry
+    * far more precision. The anchor is re-added at decode. */
+  def encodeResidual(v: ArrayData, anchor: ArrayData,
+      cb: Codebook): Array[Byte] = {
+    val m = cb.length
+    val subdim = cb(0)(0).length
+    val out = new Array[Byte](m)
+    val sub = new Array[Double](subdim)
+    var mi = 0
+    while (mi < m) {
+      var j = 0
+      while (j < subdim) {
+        val o = mi * subdim + j
+        sub(j) = v.getDouble(o) - anchor.getDouble(o)
+        j += 1
+      }
+      out(mi) = nearest(sub, cb(mi)).toByte
+      mi += 1
+    }
+    out
+  }
+
   /** Concatenated-centroid reconstruction of an M-byte code. */
   def decode(codes: Array[Byte], cb: Codebook): GenericArrayData = {
     val m = cb.length
@@ -116,6 +140,26 @@ object Pq {
       val cent = cb(mi)(codes(mi) & 0xff)
       var j = 0
       while (j < subdim) { out(mi * subdim + j) = cent(j); j += 1 }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Residual reconstruction: anchor + the coded residual. */
+  def decodeResidual(codes: Array[Byte], anchor: ArrayData,
+      cb: Codebook): GenericArrayData = {
+    val m = cb.length
+    val subdim = cb(0)(0).length
+    val out = new Array[Any](m * subdim)
+    var mi = 0
+    while (mi < m) {
+      val cent = cb(mi)(codes(mi) & 0xff)
+      var j = 0
+      while (j < subdim) {
+        val o = mi * subdim + j
+        out(o) = anchor.getDouble(o) + cent(j)
+        j += 1
+      }
       mi += 1
     }
     new GenericArrayData(out)
@@ -159,6 +203,66 @@ case class PqEncode(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** pq_encode(v array<double>, anchor array<double>, codebook string) →
+  * binary: residual encoding against the coarse-cell anchor. */
+case class PqEncodeResidual(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    Pq.foldableCodebook(third, prettyName)
+
+  @transient private lazy val cb: Pq.Codebook =
+    Pq.decodeCodebook(third.eval(
+      org.apache.spark.sql.catalyst.InternalRow.empty).toString)
+
+  override def nullSafeEval(v: Any, a: Any, c: Any): Any =
+    Pq.encodeResidual(v.asInstanceOf[ArrayData], a.asInstanceOf[ArrayData], cb)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (v, a, _) =>
+      s"${ev.value} = graft.functions.Pq.encodeResidual($v, $a, $cbRef);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
+/** pq_decode(codes binary, anchor array<double>, codebook string) →
+  * array<double>: anchor + coded residual. */
+case class PqDecodeResidual(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_decode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    Pq.foldableCodebook(third, prettyName)
+
+  @transient private lazy val cb: Pq.Codebook =
+    Pq.decodeCodebook(third.eval(
+      org.apache.spark.sql.catalyst.InternalRow.empty).toString)
+
+  override def nullSafeEval(c: Any, a: Any, cbArg: Any): Any =
+    Pq.decodeResidual(c.asInstanceOf[Array[Byte]], a.asInstanceOf[ArrayData], cb)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cb, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (c, a, _) =>
+      s"${ev.value} = graft.functions.Pq.decodeResidual($c, $a, $cbRef);")
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
 /** pq_decode(codes binary, codebook string) → array<double>. */
