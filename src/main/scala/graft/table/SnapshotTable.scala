@@ -233,12 +233,15 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
             base(SnapshotTable.MetaPos) === entries("pos"), "left_semi")
         .select(declared.map(col): _*)
     }
-    val range = versions.filter(v => v > sinceVersion && v <= to)
+    // one directory listing for the whole walk (a per-version re-list
+    // would be O(range²) metadata IO and could see mid-call expirations)
+    val vs = versions
+    val range = vs.filter(v => v > sinceVersion && v <= to)
     val parts: Seq[DataFrame] = range.flatMap { v =>
       val s = snapshot(v)
       if (s.operation == "compact" || s.operation == "alter") Seq.empty
       else {
-        val prevV = versions.filter(_ < v).lastOption.getOrElse(-1)
+        val prevV = vs.filter(_ < v).lastOption.getOrElse(-1)
         val p =
           if (prevV >= 0) snapshot(prevV)
           else SnapshotTable.Snapshot(-1, 0L, s.schemaJson, Seq.empty, "none")
