@@ -17,7 +17,9 @@ object Bench {
          "q44_compaction" | "q45_schema_evolution" | "q48_sql_time_travel" |
          "q49_bench_metrics" | "q52_warehouse_usage" | "q53_storage_usage" |
          "q54_multi_engine" | "q55_partitioned_table" |
+         "q55b_partition_evolution" |
          "q57_zorder_compaction" | "q58_sql_merge" | "q58b_mor_merge" |
+         "q58c_equality_upsert" |
          "q59_history_table" | "q64_days_transform" |
          "q67_wap_publish" | "q68_retention_floor" |
          "q96_zero_copy_clone" | "q97_add_files_migrate" |
@@ -57,8 +59,10 @@ object Bench {
     * load-robust signal it has (VERDICT r15 task 1).
     */
   val writeFamily: Set[String] = Set(
-    "q42_streaming_agg", "q44_compaction", "q56_ngram_jaccard",
+    "q42_streaming_agg", "q44_compaction", "q55b_partition_evolution",
+    "q56_ngram_jaccard",
     "q57_zorder_compaction", "q58_sql_merge", "q58b_mor_merge",
+    "q58c_equality_upsert",
     "q61_stateful_dedup",
     "q63_streaming_pipeline", "q64_days_transform", "q65_dynamic_table",
     "q65b_dynamic_cdc",

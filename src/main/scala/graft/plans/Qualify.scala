@@ -105,10 +105,13 @@ object Qualify {
   *
   * Since round 16 the same wrapper also desugars graft-catalog view DDL
   * (`CREATE [OR REPLACE] VIEW cat.ns.v AS …` / `DROP VIEW cat.ns.v`) to
-  * the `create_view`/`drop_view` procedure calls — see [[ViewDdl]]; the
-  * rewrite fires only on statements (parsePlan), never on parseQuery,
-  * and only when the identifier's catalog part names a GraftCatalog in
-  * `session` (absent a session, DDL passes through untouched). */
+  * the `create_view`/`drop_view` procedure calls — see [[ViewDdl]] — and
+  * since round 17 Iceberg's partition-evolution spellings
+  * (`ALTER TABLE cat.ns.t ADD/DROP/REPLACE PARTITION FIELD …`) to
+  * `set_partition_spec` — see [[PartitionDdl]]; the rewrites fire only on
+  * statements (parsePlan), never on parseQuery, and only when the
+  * identifier's catalog part names a GraftCatalog in `session` (absent a
+  * session, DDL passes through untouched). */
 class QualifyParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterface,
     session: Option[org.apache.spark.sql.SparkSession] = None)
     extends org.apache.spark.sql.catalyst.parser.ParserInterface {
@@ -125,7 +128,8 @@ class QualifyParser(delegate: org.apache.spark.sql.catalyst.parser.ParserInterfa
   import org.apache.spark.sql.types.{DataType, StructType}
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(Qualify.desugar(ViewDdl.desugar(sqlText, isGraftCatalog)))
+    delegate.parsePlan(Qualify.desugar(PartitionDdl.desugar(
+      ViewDdl.desugar(sqlText, isGraftCatalog), isGraftCatalog)))
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(Qualify.desugar(sqlText))
   override def parseExpression(sqlText: String): Expression =

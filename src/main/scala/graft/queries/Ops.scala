@@ -257,6 +257,42 @@ object Ops {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM merged WHERE NOT deleted""".stripMargin
 
+  // ------------------------------------------------------------- q58c
+  // EQUALITY deletes (Iceberg v2's second merge-on-read flavor — the
+  // streaming-CDC upsert primitive): upsertMor commits ONE snapshot with
+  // an equality-delete file on the key plus the update rows as new files,
+  // WITHOUT ever reading the base table (O(batch) at any table size,
+  // where q58b's position deletes still pay a key-probe scan); a
+  // standalone equalityDelete then kills two users' rows everywhere, and
+  // compaction folds the whole ledger back to plain files. The verified
+  // read runs AFTER the fold, so the oracle proves upsert + equality
+  // delete + fold compose to the exact recomputed state.
+  def q58c(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val loc = Tables.scratch(s"snaptab/equpsert_${tag(dir)}")
+    Tables.deleteRecursively(loc)
+    val e = ev(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val t = SnapshotTable.create(s, loc, e)
+    t.upsertMor(e.filter(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") * 3), Seq("event_id"))
+    t.equalityDelete(Seq(1L, 2L).toDF("user_id"))
+    require(t.hasDeletes, "q58c: expected a live equality-delete ledger")
+    t.compact(targetBytes = 64L * 1024 * 1024)
+    require(!t.hasDeletes, "q58c: compaction must fold the equality ledger")
+    t.read().agg(count(lit(1)).as("n_rows"),
+      dsum(col("value")).as("total_value"))
+  }
+
+  val q58cSql =
+    """WITH merged AS (
+      |  SELECT user_id,
+      |         CASE WHEN event_id % 10 = 0 THEN value * 3 ELSE value END AS value
+      |  FROM events)
+      |SELECT count(*) AS n_rows,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM merged WHERE user_id NOT IN (1, 2)""".stripMargin
+
   // ------------------------------------------------------------- q59
   // Snapshot-log introspection through SQL metadata tables (the Iceberg
   // `t.history` surface, reference
@@ -518,6 +554,58 @@ object Ops {
        |FROM events
        |WHERE CAST(ts AS DATE) >= DATE '${Tables.daysAgo(7).take(10)}'
        |GROUP BY 1 ORDER BY day""".stripMargin
+
+  // ------------------------------------------------------------- q55b
+  // Partition spec EVOLUTION (Iceberg's metadata-only layout change, the
+  // "Partition Spec" slot of the reference's metadata diagram
+  // `aws-community-builders-presentation.md:163`): seed the table
+  // day-partitioned, CALL set_partition_spec to add bucket(8,user_id),
+  // append the rest — the two layout generations coexist and the verified
+  // query crosses BOTH (a ts range over old-spec files, a user filter the
+  // new generation bucket-prunes), proving evolution never rewrites or
+  // loses a row. At 100 TB this commit replaces days of rewrite cluster
+  // time; compaction migrates old regions incrementally.
+  def q55b(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val name = s"events_pevo_${tag(dir)}"
+    Tables.deleteRecursively(s"$wh/db/$name")
+    s.sql(
+      s"""CREATE TABLE graft.db.$name
+         |  (event_id BIGINT, user_id BIGINT, event_type STRING,
+         |   ts TIMESTAMP, value DOUBLE)
+         |PARTITIONED BY (days(ts))""".stripMargin)
+    val e = ev(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+    e.filter(col("event_id") % 2 === 0).writeTo(s"graft.db.$name").append()
+    s.sql(s"CALL graft.system.set_partition_spec(table => 'db.$name', " +
+      "spec => 'days(ts), bucket(8, user_id)')")
+    e.filter(col("event_id") % 2 =!= 0).writeTo(s"graft.db.$name").append()
+    // sanity: the evolution really was metadata-only — new spec live, both
+    // stats generations present in the manifest
+    val t = graft.table.SnapshotTable.load(s, s"$wh/db/$name")
+    require(t.partitionCols == Seq("days(ts)", "bucket(8,user_id)"),
+      s"q55b: expected the evolved spec, got ${t.partitionCols}")
+    val snap = t.snapshot(t.latestVersion)
+    require(snap.files.exists(f => !f.stats.contains("bucket(8,user_id)")) &&
+      snap.files.exists(f => f.stats.contains("bucket(8,user_id)")),
+      "q55b: expected both partition-spec generations in the manifest")
+    s.sql(
+      s"""SELECT user_id, count(*) AS n_events,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM graft.db.$name
+         |WHERE ts >= TIMESTAMP '${Tables.daysAgo(14)}' AND user_id < 50
+         |GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
+  val q55bSql =
+    s"""SELECT user_id, count(*) AS n_events,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM events
+       |WHERE ts >= TIMESTAMP '${Tables.daysAgo(14)}' AND user_id < 50
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------------------- q64
   // days(ts) TIME-TRANSFORM partitioning (Iceberg's fact-table idiom,
@@ -1160,9 +1248,11 @@ object Ops {
     "q53_storage_usage" -> (q53 _),
     "q54_multi_engine" -> (q54 _),
     "q55_partitioned_table" -> (q55 _),
+    "q55b_partition_evolution" -> (q55b _),
     "q57_zorder_compaction" -> (q57 _),
     "q58_sql_merge" -> (q58 _),
     "q58b_mor_merge" -> (q58b _),
+    "q58c_equality_upsert" -> (q58c _),
     "q59_history_table" -> (q59 _),
     "q61_stateful_dedup" -> (q61 _),
     "q62_spj_join" -> (q62 _),
@@ -1191,9 +1281,11 @@ object Ops {
     "q53_storage_usage" -> q53Sql,
     "q54_multi_engine" -> q54Sql,
     "q55_partitioned_table" -> q55Sql,
+    "q55b_partition_evolution" -> q55bSql,
     "q57_zorder_compaction" -> q57Sql,
     "q58_sql_merge" -> q58Sql,
     "q58b_mor_merge" -> q58bSql,
+    "q58c_equality_upsert" -> q58cSql,
     "q59_history_table" -> q59Sql,
     "q61_stateful_dedup" -> q61Sql,
     "q62_spj_join" -> q62Sql,

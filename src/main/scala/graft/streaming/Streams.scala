@@ -608,6 +608,59 @@ object Streams {
     SnapshotTable.load(spark, tableLoc)
   }
 
+  /** Streaming UPSERT into a snapshot table through merge-on-read
+    * equality deletes (the Flink-Iceberg upsert-sink shape, the
+    * streaming-CDC pattern Snowflake serves with Snowpipe+MERGE): each
+    * micro-batch commits ONE snapshot carrying an equality delete on
+    * `keyCols` plus the batch's rows as new files —
+    * [[graft.table.SnapshotTable.upsertMor]], O(batch) IO with the base
+    * table never read, the property that keeps a continuous upsert
+    * stream feasible against a 100 TB table. Exactly-once like
+    * [[streamIntoTable]]: batch-id-tagged commits, replays detected and
+    * skipped. Readers pay the MOR anti-join until `CALL system.compact`
+    * folds the ledger (the documented maintenance contract).
+    */
+  def upsertStream(spark: SparkSession, srcDir: String, tableLoc: String,
+      keyCols: Seq[String], checkpointTag: String): graft.table.SnapshotTable = {
+    import graft.table.SnapshotTable
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(s2)
+    try {
+      val schema = s2.read.parquet(srcDir).schema
+      val ckpt = Tables.scratch(s"ckpt/upsert_$checkpointTag")
+      val q = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 10).parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val tag = s"upsert-batch-$batchId"
+          val exists = new java.io.File(s"$tableLoc/_snapshots").isDirectory
+          if (!exists) {
+            new java.io.File(tableLoc).mkdirs()
+            SnapshotTable.createEmpty(batch.sparkSession, tableLoc, batch.schema)
+          }
+          val t = SnapshotTable.load(batch.sparkSession, tableLoc)
+          // within-batch key dedup: an upsert's equality delete never
+          // applies to its own files, so two same-key rows in one epoch
+          // would BOTH land — keep one per key (Flink's upsert sink keeps
+          // the checkpoint's last row the same way; with no ordering
+          // column the survivor is arbitrary but the key is unique)
+          if (!t.hasOperation(tag))
+            t.upsertMor(batch.dropDuplicates(keyCols), keyCols, tag)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    } finally prevActive match {
+      case Some(p) => SparkSession.setActiveSession(p)
+      case None => SparkSession.clearActiveSession()
+    }
+    SnapshotTable.load(spark, tableLoc)
+  }
+
   /** T3: materialized-view refresh by full recompute + atomic publish. */
   def refreshMaterializedView(spark: SparkSession, mvDir: String,
       compute: => DataFrame): DataFrame = {

@@ -144,7 +144,8 @@ class GraftTable(tableName: String, location: String,
         mkStream()
       override def description(): String =
         s"GraftMorScan(${files.size} data files, " +
-          s"${snap.deleteFiles.size} delete files)"
+          s"${snap.deleteFiles.size} position-delete + " +
+          s"${snap.eqDeleteFiles.size} equality-delete files)"
     }
 
   /** Scan builder for delete-bearing snapshots: stats pruning + column
@@ -200,7 +201,8 @@ class GraftTable(tableName: String, location: String,
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    if (snap.deleteFiles.nonEmpty) return morScanBuilder(options)
+    if (snap.deleteFiles.nonEmpty || snap.eqDeleteFiles.nonEmpty)
+      return morScanBuilder(options)
     if (renameMappingActive) return renameAwareScanBuilder(options)
     new ScanBuilder
         with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -560,11 +562,11 @@ class GraftTable(tableName: String, location: String,
             // Convertible DELETEs never reach here (the metadata-only
             // conversion rewrites through readVersion, which applies the
             // ledger), and merge-on-read MERGE is SnapshotTable.mergeMor.
-            require(snap.deleteFiles.isEmpty,
-              s"$tableName has live position-delete files; run CALL " +
-                "system.compact to fold them before a copy-on-write " +
-                "UPDATE/MERGE/row-level DELETE (or use merge-on-read " +
-                "operations end-to-end)")
+            require(snap.deleteFiles.isEmpty && snap.eqDeleteFiles.isEmpty,
+              s"$tableName has live position- or equality-delete files; " +
+                "run CALL system.compact to fold them before a " +
+                "copy-on-write UPDATE/MERGE/row-level DELETE (or use " +
+                "merge-on-read operations end-to-end)")
             scannedFiles = Some(files)
             val scan = ensureInner().build()
             if (snap.partitionCols.isEmpty) scan

@@ -62,6 +62,15 @@ object MetadataTables {
     StructField("min_path", StringType, nullable = true),
     StructField("max_path", StringType, nullable = true)))
 
+  val eqDeletesSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    // number of distinct key tuples in the equality-delete file
+    StructField("entry_count", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("key_columns", StringType, nullable = false),
+    // rows of files added BEFORE this version are subject to the delete
+    StructField("at_version", IntegerType, nullable = false)))
+
   /** Sum that propagates UNKNOWN: any negative (unrecorded) entry makes
     * the rollup null rather than silently undercounting. */
   private def sumOrNull(xs: Seq[Long]): Any =
@@ -168,6 +177,15 @@ object MetadataTables {
             if (d.maxPath.isEmpty) null else UTF8String.fromString(d.maxPath))
         }
         Some(new MetadataTable(s"$name.deletes", deletesSchema, rows))
+      case "eq_deletes" =>
+        // `SELECT * FROM cat.db.t.eq_deletes` — the live equality-delete
+        // ledger (empty once compaction folds it)
+        import org.apache.spark.unsafe.types.UTF8String
+        val rows = t.snapshot(t.latestVersion).eqDeleteFiles.map { d =>
+          InternalRow(UTF8String.fromString(d.path), d.rows, d.bytes,
+            UTF8String.fromString(d.keyCols.mkString(",")), d.atVersion)
+        }
+        Some(new MetadataTable(s"$name.eq_deletes", eqDeletesSchema, rows))
       case "refs" =>
         // `SELECT * FROM cat.db.t.refs` — branches and tags (Iceberg's
         // `t.refs` shape), sorted by name for deterministic output

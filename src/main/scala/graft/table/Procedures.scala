@@ -348,6 +348,56 @@ object Procedures {
     }
   }
 
+  /** `CALL graft.system.set_partition_spec(table => 'db.t',
+    * spec => 'days(ts), bucket(16, user_id)')` — metadata-only partition
+    * evolution ([[SnapshotTable.setPartitionSpec]]): existing files keep
+    * their layout, future writes use the new spec, compaction migrates.
+    * An empty spec un-partitions the table. */
+  final class SetPartitionSpec(warehouse: String)
+      extends GraftProcedure("set_partition_spec") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      paramWithDefault("spec", StringType, "''"),
+      paramWithDefault("add", StringType, "''"),
+      paramWithDefault("drop", StringType, "''"))
+    private val outSchema = StructType(Seq(
+      StructField("version", IntegerType),
+      StructField("spec", StringType)))
+    // split on commas OUTSIDE parens: 'days(ts), bucket(16, user_id)'
+    // is two fields, not three
+    private def fields(raw: String): Seq[String] =
+      raw.split(",(?![^(]*\\))").map(_.trim).filter(_.nonEmpty).toSeq
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val t = open(warehouse, input.getUTF8String(0).toString)
+      def arg(i: Int): String =
+        Option(input.getUTF8String(i)).map(_.toString.trim).getOrElse("")
+      val (spec, add, drop) = (arg(1), arg(2), arg(3))
+      require(spec.isEmpty || (add.isEmpty && drop.isEmpty),
+        "set_partition_spec takes either spec => (full replacement, '' " +
+          "un-partitions) or add/drop => (incremental edits), not both")
+      val v =
+        if (add.isEmpty && drop.isEmpty) t.setPartitionSpec(fields(spec))
+        else {
+          // incremental edit against the CURRENT spec, one atomic commit
+          // (Iceberg's ADD/DROP/REPLACE PARTITION FIELD semantics); field
+          // matching is on the parsed-normalized name so 'bucket(16,
+          // user_id)' finds "bucket(16,user_id)"
+          val cur = t.partitionCols
+          val dropNames = fields(drop).map(PartitionFields.parse(_).name)
+          dropNames.foreach(d => require(cur.contains(d),
+            s"DROP PARTITION FIELD $d: not in the current spec " +
+              s"(${if (cur.isEmpty) "<unpartitioned>" else cur.mkString(", ")})"))
+          val afterDrop = cur.filterNot(dropNames.contains)
+          val addNames = fields(add).map(PartitionFields.parse(_).name)
+          addNames.foreach(a => require(!afterDrop.contains(a),
+            s"ADD PARTITION FIELD $a: already in the spec"))
+          t.setPartitionSpec(afterDrop ++ addNames)
+        }
+      resultScan(outSchema,
+        InternalRow(v, utf8(t.partitionCols.mkString(", "))))
+    }
+  }
+
   def load(warehouse: String, name: String,
       cat: GraftCatalog): Option[UnboundProcedure] =
     name match {
@@ -363,13 +413,14 @@ object Procedures {
       case "create_tag" => Some(new CreateTag(warehouse))
       case "fast_forward" => Some(new FastForward(warehouse))
       case "drop_ref" => Some(new DropRef(warehouse))
+      case "set_partition_spec" => Some(new SetPartitionSpec(warehouse))
       case _ => None
     }
 
   val names: Seq[String] =
     Seq("compact", "expire_snapshots", "rollback", "clone", "add_files",
       "remove_orphans", "create_branch", "create_tag", "fast_forward",
-      "drop_ref", "create_view", "drop_view")
+      "drop_ref", "create_view", "drop_view", "set_partition_spec")
 
   /** Output of name()/description() for UTF8String-safe literals. */
   private[table] def utf8(s: String): UTF8String = UTF8String.fromString(s)

@@ -142,7 +142,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     // cloned table could never be streamed or incrementally read.
     def isAppend(s: SnapshotTable.Snapshot): Boolean =
       s.operation == "append" || s.operation == "create" ||
-        s.operation == "alter" || s.operation == "add_files" ||
+        s.operation == "alter" || s.operation == "set-partition-spec" ||
+        s.operation == "add_files" ||
         s.operation == "clone" || s.operation.startsWith("stream-")
     val snaps = range.map(snapshot)
     val rewrites = snaps.filterNot(s => isAppend(s) || skipOps(s.operation))
@@ -233,13 +234,31 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
             base(SnapshotTable.MetaPos) === entries("pos"), "left_semi")
         .select(declared.map(col): _*)
     }
+    // rows of `files` that MATCH any of `matched`'s equality deletes
+    // (null-safe keys, addedAt scoping), evaluated against the given
+    // delete context (the rows must be LIVE under ctx to count exactly
+    // once) — the resolution behind equality-delete / rollback deltas
+    def resolveEqMatches(files: Seq[SnapshotTable.DataFile],
+        dels: Seq[SnapshotTable.DeleteFile],
+        eqCtx: Seq[SnapshotTable.EqDeleteFile],
+        matched: Seq[SnapshotTable.EqDeleteFile]): DataFrame = {
+      val keepMeta = declared ++
+        Seq(SnapshotTable.MetaFile, SnapshotTable.MetaPos)
+      var live = readFileList(files, schema, toSnap.renames, withRowMeta = true)
+      if (dels.nonEmpty) live = applyDeletes(live, dels, keepMeta)
+      if (eqCtx.nonEmpty) live = applyEqDeletes(live, files, eqCtx, keepMeta)
+      eqMatchRows(live, files, matched)
+        .dropDuplicates(SnapshotTable.MetaFile, SnapshotTable.MetaPos)
+        .select(declared.map(col): _*)
+    }
     // one directory listing for the whole walk (a per-version re-list
     // would be O(range²) metadata IO and could see mid-call expirations)
     val vs = versions
     val range = vs.filter(v => v > sinceVersion && v <= to)
     val parts: Seq[DataFrame] = range.flatMap { v =>
       val s = snapshot(v)
-      if (s.operation == "compact" || s.operation == "alter") Seq.empty
+      if (s.operation == "compact" || s.operation == "alter" ||
+        s.operation == "set-partition-spec") Seq.empty
       else {
         val prevV = vs.filter(_ < v).lastOption.getOrElse(-1)
         val p =
@@ -257,11 +276,13 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         val out = Seq.newBuilder[DataFrame]
         if (added.nonEmpty)
           out += tagged(
-            readWithDeletes(added, schema, toSnap.renames, s.deleteFiles),
+            readWithDeletes(added, schema, toSnap.renames, s.deleteFiles,
+              s.eqDeleteFiles),
             "insert", s)
         if (removed.nonEmpty)
           out += tagged(
-            readWithDeletes(removed, schema, toSnap.renames, p.deleteFiles),
+            readWithDeletes(removed, schema, toSnap.renames, p.deleteFiles,
+              p.eqDeleteFiles),
             "delete", s)
         if (newDels.nonEmpty && survivors.nonEmpty) {
           // positions newly deleted on surviving files; EXCEPT against the
@@ -277,6 +298,21 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
           out += tagged(resolvePositions(survivors, droppedDels, gone),
             "insert", s)
         }
+        // equality-delete deltas: a NEW entry kills the key-matching rows
+        // that were live at the predecessor (evaluated under p's full
+        // delete context so an already-dead row is never reported twice);
+        // a DROPPED entry (rollback) resurrects the key-matching rows
+        // live under s's context
+        val pEq = p.eqDeleteFiles.map(_.path).toSet
+        val sEq = s.eqDeleteFiles.map(_.path).toSet
+        val newEqs = s.eqDeleteFiles.filterNot(d => pEq(d.path))
+        val droppedEqs = p.eqDeleteFiles.filterNot(d => sEq(d.path))
+        if (newEqs.nonEmpty && survivors.nonEmpty)
+          out += tagged(resolveEqMatches(survivors, p.deleteFiles,
+            p.eqDeleteFiles, newEqs), "delete", s)
+        if (droppedEqs.nonEmpty && survivors.nonEmpty)
+          out += tagged(resolveEqMatches(survivors, s.deleteFiles,
+            s.eqDeleteFiles, droppedEqs), "insert", s)
         out.result()
       }
     }
@@ -312,16 +348,24 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
   private[table] def readSnapshotFiles(snap: SnapshotTable.Snapshot,
       files: Seq[SnapshotTable.DataFile],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    readWithDeletes(files, schema, snap.renames, snap.deleteFiles)
+    readWithDeletes(files, schema, snap.renames, snap.deleteFiles,
+      snap.eqDeleteFiles)
 
   private[table] def readWithDeletes(files: Seq[SnapshotTable.DataFile],
       schema: org.apache.spark.sql.types.StructType,
       renames: Seq[SnapshotTable.Rename],
-      dels: Seq[SnapshotTable.DeleteFile]): DataFrame =
-    if (dels.isEmpty) readFileList(files, schema, renames)
-    else applyDeletes(
-      readFileList(files, schema, renames, withRowMeta = true),
-      dels, schema.fieldNames.toSeq)
+      dels: Seq[SnapshotTable.DeleteFile],
+      eqDels: Seq[SnapshotTable.EqDeleteFile] = Seq.empty): DataFrame =
+    if (dels.isEmpty && eqDels.isEmpty) readFileList(files, schema, renames)
+    else {
+      val keep = schema.fieldNames.toSeq
+      val meta = Seq(SnapshotTable.MetaFile, SnapshotTable.MetaPos)
+      var df = readFileList(files, schema, renames, withRowMeta = true)
+      if (dels.nonEmpty) df = applyDeletes(df, dels, keep ++ meta)
+      if (eqDels.nonEmpty) df = applyEqDeletes(df, files, eqDels, keep ++ meta)
+      import org.apache.spark.sql.functions.col
+      df.select(keep.map(col): _*)
+    }
 
   /** Anti-join `base` (which carries the [[SnapshotTable.MetaFile]] /
     * [[SnapshotTable.MetaPos]] provenance columns) against the position-
@@ -342,6 +386,75 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         base(SnapshotTable.MetaFile) === d("file_path") &&
           base(SnapshotTable.MetaPos) === d("pos"), "left_anti")
       .select(keep.map(col): _*)
+  }
+
+  /** Anti-join `base` (carrying the [[SnapshotTable.MetaFile]] provenance
+    * column) against each equality-delete file's key tuples, scoped by
+    * sequence position: a row is deleted iff its keys null-safe-equal an
+    * entry AND its file was added BEFORE the delete's commit (`addedAt <
+    * atVersion` — the rule that lets one upsert commit delete old rows
+    * while its own new rows survive). The per-row sequence position comes
+    * from a broadcast (path → addedAt) lookup built off the manifest the
+    * caller already holds — O(files) driver state, same as the file list.
+    * Key payloads are broadcast while provably small (manifest byte
+    * counts, no IO); a large backlog degrades to shuffled anti-joins. */
+  private def applyEqDeletes(base: DataFrame,
+      files: Seq[SnapshotTable.DataFile],
+      eqDels: Seq[SnapshotTable.EqDeleteFile], keep: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val withAdded = withAddedAt(base, files)
+    val applied = eqDels.foldLeft(withAdded) { (df, d) =>
+      val (e, cond) = eqJoinSide(df, d)
+      df.join(e, cond, "left_anti")
+    }
+    applied.select(keep.map(col): _*)
+  }
+
+  /** Rows of `base` (declared + provenance columns) matching ANY of the
+    * given equality deletes under the addedAt scoping — the SEMI twin of
+    * [[applyEqDeletes]], used by the changelog to resolve delete/rollback
+    * deltas back to rows. May emit a row once per matching delete file;
+    * callers dedupe on (file, pos). */
+  private def eqMatchRows(base: DataFrame,
+      files: Seq[SnapshotTable.DataFile],
+      eqDels: Seq[SnapshotTable.EqDeleteFile]): DataFrame = {
+    val withAdded = withAddedAt(base, files)
+    eqDels.map { d =>
+      val (e, cond) = eqJoinSide(withAdded, d)
+      withAdded.join(e, cond, "left_semi")
+        .select(base.columns.toIndexedSeq
+          .map(org.apache.spark.sql.functions.col): _*)
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Per-row sequence position: broadcast (path → addedAt) lookup on the
+    * reader's provenance column. The reader's file_path is URI-spelled;
+    * the manifest path is plain — strip the scheme on both sides (same
+    * rule as [[SnapshotTable.stripScheme]]). */
+  private def withAddedAt(base: DataFrame,
+      files: Seq[SnapshotTable.DataFile]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    import spark.implicits._
+    val lookup = broadcast(files.map(f =>
+        (SnapshotTable.stripScheme(f.path), f.addedAt))
+      .toDF("__gd_lk_path", "__gd_added"))
+    base.join(lookup,
+      regexp_replace(base(SnapshotTable.MetaFile),
+        "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/") === col("__gd_lk_path"), "left")
+  }
+
+  /** One equality-delete file as a join side: (entries frame with
+    * prefixed column names, null-safe key match ∧ sequence scope). The
+    * entry payload is broadcast while provably small (manifest bytes). */
+  private def eqJoinSide(df: DataFrame, d: SnapshotTable.EqDeleteFile)
+      : (DataFrame, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val entryCols = d.keyCols.map(k => s"__gd_eq_$k")
+    val e0 = spark.read.parquet(d.path).toDF(entryCols: _*)
+    val e = if (d.bytes >= 0 && d.bytes <= (32L << 20)) broadcast(e0) else e0
+    val keyMatch = d.keyCols.zip(entryCols)
+      .map { case (k, ek) => df(k) <=> e(ek) }.reduce(_ && _)
+    (e, keyMatch && df("__gd_added") < lit(d.atVersion))
   }
 
   /** The (file_path, pos) entries of the given delete files. */
@@ -480,6 +593,86 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       nextProperties = b => (b.properties ++ propSet) -- propUnset)
   }
 
+  /** Partition spec EVOLUTION (Iceberg's headline metadata-only layout
+    * change, the "Partition Spec" slot of the reference's metadata diagram
+    * `aws-community-builders-presentation.md:163`): commit a NEW partition
+    * spec without touching a single data file. Files written before this
+    * commit keep their old layout and their old per-file partition stats;
+    * files written after use the new spec — the two generations coexist in
+    * one table because every read decision here is PER-FILE:
+    *
+    *  - pruning is manifest-stats-driven ([[StatsPruning]]), and a file
+    *    lacking a new-spec field's stat conservatively survives every
+    *    derived partition predicate (never wrongly pruned);
+    *  - data files are self-describing (partition sources are stored IN
+    *    the files), so no read ever consults directory layout;
+    *  - storage-partitioned-join eligibility is all-or-nothing
+    *    ([[KeyGroupedScan.fileKeys]]): old-spec files simply disable SPJ
+    *    until [[compact]] rewrites everything under the current spec —
+    *    the same re-key contract flat rewrite files already have.
+    *
+    * This is THE 100 TB operation: repartitioning a 100 TB table by
+    * rewrite is days of cluster time, while this commit is one metadata
+    * CAS — new data lands in the better layout immediately and compaction
+    * migrates old regions incrementally (or never, correctness is
+    * unaffected).
+    *
+    * Validation mirrors the write path: every field's source column must
+    * exist in the current schema with a transform-compatible type.
+    * Concurrency: like ALTER, aborts with
+    * `ConcurrentModificationException` if the table moved past the
+    * snapshot the caller validated against (a racing writer may have
+    * dropped the source column). An empty spec un-partitions the table
+    * (future writes are flat). Returns the new version; a spec identical
+    * to the current one is a no-op returning the current version.
+    * `validatedAt` (like [[commitEvolution]]) pins the snapshot the caller
+    * validated against; default = the head at entry. */
+  def setPartitionSpec(spec: Seq[String], validatedAt: Int = -1): Int = {
+    requireMain("ALTER (partition spec)")
+    val base = snapshot(if (validatedAt >= 0) validatedAt else latestVersion)
+    val fields = spec.map(PartitionFields.parse)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def colType(c: String): org.apache.spark.sql.types.DataType =
+      schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition spec field references unknown column: $c")).dataType
+    fields.foreach {
+      case PartitionFields.Identity(c) => colType(c)
+      case PartitionFields.Bucket(n, c) =>
+        require(n > 0, s"bucket count must be positive, got $n")
+        require(PartitionFields.bucketableType(colType(c)),
+          s"bucket source type not supported for $c: " +
+            s"${colType(c).simpleString} (int/bigint/string)")
+      case PartitionFields.Truncate(w, c) =>
+        require(w > 0, s"truncate width must be positive, got $w")
+        require(PartitionFields.bucketableType(colType(c)),
+          s"truncate source type not supported for $c: " +
+            s"${colType(c).simpleString} (int/bigint/string)")
+      case PartitionFields.TimeUnit(u, c) =>
+        require(PartitionFields.timeSourceType(colType(c)),
+          s"$u source must be timestamp/date, got " +
+            s"${colType(c).simpleString} for $c")
+        require(u != "hours" || colType(c) != org.apache.spark.sql.types.DateType,
+          "hours of a DATE is degenerate — use days(col) instead")
+    }
+    val names = fields.map(_.name)
+    require(names.distinct == names,
+      s"duplicate partition fields in spec: ${names.mkString(", ")}")
+    if (names == base.partitionCols) return base.version
+    commitWithRetry(
+      b => {
+        if (b.version != base.version)
+          throw new java.util.ConcurrentModificationException(
+            s"table $location moved v${base.version} -> v${b.version} " +
+              "during SET PARTITION SPEC — re-validate against the " +
+              "current snapshot and retry")
+        b.files
+      },
+      b => b.schemaJson, "set-partition-spec",
+      nextPartitionCols = _ => names)
+  }
+
   /** ALTER TABLE … RENAME COLUMN — metadata-only (Iceberg T8 beyond ADD):
     * commits the renamed schema plus a [[SnapshotTable.Rename]] log entry;
     * no data file is touched. Files written before this commit physically
@@ -504,6 +697,11 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val psrc = partitionCols.map(PartitionFields.parse).map(_.source)
     require(!psrc.contains(oldName),
       s"cannot rename partition source column $oldName")
+    // live equality deletes name their key columns by the DECLARED name;
+    // renaming one would silently divorce entries from the column
+    require(!base.eqDeleteFiles.exists(_.keyCols.contains(oldName)),
+      s"cannot rename $oldName: live equality-delete files key on it — " +
+        "run CALL system.compact to fold them first")
     require(!historicalNames.contains(newName),
       s"cannot rename to $newName: a previous schema generation used that " +
         "name and old data files may still store it — pick a fresh name")
@@ -525,6 +723,9 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     require(schema.fieldNames.contains(name), s"no such column: $name")
     val psrc = partitionCols.map(PartitionFields.parse).map(_.source)
     require(!psrc.contains(name), s"cannot drop partition source column $name")
+    require(!base.eqDeleteFiles.exists(_.keyCols.contains(name)),
+      s"cannot drop $name: live equality-delete files key on it — " +
+        "run CALL system.compact to fold them first")
     require(schema.fields.length > 1, "cannot drop the last column")
     val narrowed = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(_.name == name))
@@ -599,7 +800,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
   def overwrite(df: DataFrame): Int = {
     val staged = stage(df, partitionCols)
     commitWithRetry(_ => staged, _ => df.schema.json, "overwrite",
-      nextDeleteFiles = _ => Seq.empty)
+      nextDeleteFiles = _ => Seq.empty,
+      nextEqDeleteFiles = (_, _) => Seq.empty)
   }
 
   /** Copy-on-write overwrite validated against the snapshot the caller
@@ -622,7 +824,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       }, _ => df.schema.json, operation,
       // the whole content was re-derived from a deletes-applied read, so
       // the replacement starts with a clean delete ledger
-      nextDeleteFiles = _ => Seq.empty)
+      nextDeleteFiles = _ => Seq.empty,
+      nextEqDeleteFiles = (_, _) => Seq.empty)
   }
 
   /** Delete data files under `data/` that NO snapshot references —
@@ -647,13 +850,15 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         val b = branch(n)
         b.versions.flatMap { v =>
           val s = b.snapshot(v)
-          s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+          s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+            s.eqDeleteFiles.map(_.path)
         }
       }
     val referenced =
       (versions.flatMap { v =>
         val s = snapshot(v)
-        s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+        s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+          s.eqDeleteFiles.map(_.path)
       } ++ branchFiles)
         .map(f => canonical(Paths.get(f))).toSet
     val cutoff = System.currentTimeMillis() - graceMs
@@ -686,8 +891,11 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val target = snapshot(version)
     commitWithRetry(_ => target.files, _ => target.schemaJson, "rollback",
       // the delete ledger is part of the content being restored: rolling
-      // back past a MOR delete un-deletes those rows
-      nextDeleteFiles = _ => target.deleteFiles)
+      // back past a MOR delete un-deletes those rows (restored files keep
+      // their original addedAt, so restored equality deletes keep their
+      // exact sequence scoping)
+      nextDeleteFiles = _ => target.deleteFiles,
+      nextEqDeleteFiles = (_, _) => target.eqDeleteFiles)
   }
 
   /** In-place migration (Iceberg's `add_files` — the reference demo's
@@ -859,6 +1067,12 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       s"clone of $location: live position-delete files reference the " +
         "source's data file paths — run CALL system.compact to fold " +
         "them, then clone")
+    // equality-delete atVersions are source-version-relative and the
+    // clone restarts its version counter — same remedy
+    require(snap.eqDeleteFiles.isEmpty,
+      s"clone of $location: live equality-delete files scope on the " +
+        "source's version sequence — run CALL system.compact to fold " +
+        "them, then clone")
     val t = new SnapshotTable(spark, target)
     require(t.latestVersion < 0, s"table already exists at $target")
     val srcData = dataDir
@@ -881,7 +1095,10 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
           s"cloned-${java.util.UUID.randomUUID}").resolve(p.getFileName)
       Files.createDirectories(dest.getParent)
       Files.createLink(dest, p)
-      f.copy(path = dest.toString, schemaVersion = 0)
+      // re-base the sequence position with the version counter: carried
+      // files are the clone's v0 content, so future equality deletes
+      // (atVersion >= 1) correctly apply to them
+      f.copy(path = dest.toString, schemaVersion = 0, addedAt = 0)
     }
     t.commitWithRetry(_ => files, _ => snap.schemaJson, "clone",
       snap.partitionCols,
@@ -1014,7 +1231,18 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val b = branch(name)
     val seedV = b.versions.head
     val head = b.snapshot(b.latestVersion)
-    val seedPaths = b.snapshot(seedV).files.map(_.path).toSet
+    val seed = b.snapshot(seedV)
+    val seedPaths = seed.files.map(_.path).toSet
+    // equality deletes ADDED on the branch scope on branch-chain version
+    // numbers that collapse into ONE publish version here — a branch file
+    // added after the branch's own equality delete would wrongly become
+    // subject to it on main. Seed-inherited entries (atVersion <= seedV)
+    // stay exact and publish through.
+    require(head.eqDeleteFiles.map(_.path) == seed.eqDeleteFiles.map(_.path),
+      s"fast_forward of '$name' into $location: equality deletes were " +
+        "committed on the branch — their version scoping cannot survive " +
+        "the single-version publish; compact the branch to fold them, " +
+        "then fast_forward")
     commitWithRetry(
       base => {
         if (base.version != seedV)
@@ -1023,13 +1251,19 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
               s"'$name' was created — fast_forward must be a pure pointer " +
               "advance; recreate the branch from the current head and replay")
         head.files.map(f =>
-          if (seedPaths(f.path)) f else f.copy(schemaVersion = base.version + 1))
+          if (seedPaths(f.path)) f
+          // branch files logically land on main AT the publish version:
+          // both the rename-resolution stamp and the equality-delete
+          // sequence position re-base to it
+          else f.copy(schemaVersion = base.version + 1,
+            addedAt = base.version + 1))
       },
       _ => head.schemaJson, "fast_forward",
       nextProperties = _ => head.properties,
       // the branch's delete ledger is part of the state being published
       // (its entries name shared data/ paths, valid on main unchanged)
-      nextDeleteFiles = _ => head.deleteFiles)
+      nextDeleteFiles = _ => head.deleteFiles,
+      nextEqDeleteFiles = (_, _) => head.eqDeleteFiles)
   }
 
   /** Scoped overwrite (INSERT OVERWRITE … PARTITION / replaceWhere):
@@ -1067,7 +1301,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       // Delete entries for the rewritten files go stale (their paths
       // leave the file list — never matched again); entries for surviving
       // files stay live via the default carry-forward.
-      else readWithDeletes(rewrite, schema, base.renames, base.deleteFiles)
+      else readWithDeletes(rewrite, schema, base.renames, base.deleteFiles,
+          base.eqDeleteFiles)
         .filter(not(coalesce(cond, lit(false))))
         .unionByName(df, allowMissingColumns = true)
     val staged = stage(replacement, partitionCols)
@@ -1135,12 +1370,15 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         if (!inputs.subsetOf(live))
           throw new java.util.ConcurrentModificationException(
             s"compaction inputs at $location were rewritten concurrently")
-        // a position delete committed since the compaction read started
-        // would be folded WITHOUT its rows removed — abort, never drop a
-        // concurrent delete silently
+        // a delete committed since the compaction read started would be
+        // folded WITHOUT its rows removed — abort, never drop a
+        // concurrent delete silently (both ledger flavors)
         if (cur.deleteFiles.map(_.path) != base.deleteFiles.map(_.path))
           throw new java.util.ConcurrentModificationException(
             s"position deletes landed on $location during compaction")
+        if (cur.eqDeleteFiles.map(_.path) != base.eqDeleteFiles.map(_.path))
+          throw new java.util.ConcurrentModificationException(
+            s"equality deletes landed on $location during compaction")
         cur.files.filterNot(f => inputs(f.path)) ++ staged
       },
       cur => if (cur.version < 0) base.schemaJson else cur.schemaJson,
@@ -1149,7 +1387,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       // compacted snapshot folds them in and starts a clean ledger — the
       // MOR maintenance contract: compaction restores the vectorized
       // plain-scan fast path
-      nextDeleteFiles = _ => Seq.empty)
+      nextDeleteFiles = _ => Seq.empty,
+      nextEqDeleteFiles = (_, _) => Seq.empty)
   }
 
   /** Global [lo, hi] of column `c` in code-space units for Z-order
@@ -1213,11 +1452,13 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     pred ++ StatsPruning.bucketDerived(partitionCols, schema, pred)
   }
 
-  /** True when the latest snapshot carries live position-delete files —
-    * i.e. reads must take the merge-on-read path until [[compact]] folds
-    * the ledger back into plain files. */
-  def hasDeletes: Boolean =
-    latestVersion >= 0 && snapshot(latestVersion).deleteFiles.nonEmpty
+  /** True when the latest snapshot carries live position- or equality-
+    * delete files — i.e. reads must take the merge-on-read path until
+    * [[compact]] folds the ledger back into plain files. */
+  def hasDeletes: Boolean = latestVersion >= 0 && {
+    val s = snapshot(latestVersion)
+    s.deleteFiles.nonEmpty || s.eqDeleteFiles.nonEmpty
+  }
 
   /** Merge-on-read DELETE (Iceberg v2 position-delete semantics, the
     * deck's ACID claims `aws-community-builders-presentation.md:111-121`
@@ -1248,11 +1489,14 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val scanned = candidates.map(_.path).toSet
     val withMeta = readFileList(candidates, schema, base.renames,
       withRowMeta = true)
-    val undeleted =
+    val keepMeta = schema.fieldNames.toSeq ++
+      Seq(SnapshotTable.MetaFile, SnapshotTable.MetaPos)
+    val posApplied =
       if (base.deleteFiles.isEmpty) withMeta
-      else applyDeletes(withMeta, base.deleteFiles,
-        schema.fieldNames.toSeq ++
-          Seq(SnapshotTable.MetaFile, SnapshotTable.MetaPos))
+      else applyDeletes(withMeta, base.deleteFiles, keepMeta)
+    val undeleted =
+      if (base.eqDeleteFiles.isEmpty) posApplied
+      else applyEqDeletes(posApplied, candidates, base.eqDeleteFiles, keepMeta)
     val entries = undeleted
       .filter(coalesce(cond, lit(false))) // SQL DELETE: only TRUE deletes
       .select(col(SnapshotTable.MetaFile).as("file_path"),
@@ -1288,11 +1532,14 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val withMeta = readFileList(base.files, schema, base.renames,
       withRowMeta = true)
-    val undeleted =
+    val keepMeta = schema.fieldNames.toSeq ++
+      Seq(SnapshotTable.MetaFile, SnapshotTable.MetaPos)
+    val posApplied =
       if (base.deleteFiles.isEmpty) withMeta
-      else applyDeletes(withMeta, base.deleteFiles,
-        schema.fieldNames.toSeq ++
-          Seq(SnapshotTable.MetaFile, SnapshotTable.MetaPos))
+      else applyDeletes(withMeta, base.deleteFiles, keepMeta)
+    val undeleted =
+      if (base.eqDeleteFiles.isEmpty) posApplied
+      else applyEqDeletes(posApplied, base.files, base.eqDeleteFiles, keepMeta)
     val entries = undeleted
       .join(updates.select(keyCols.map(col): _*), keyCols, "left_semi")
       .select(col(SnapshotTable.MetaFile).as("file_path"),
@@ -1310,6 +1557,88 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       cur => SnapshotTable.unionSchema(cur.schemaJson, updates.schema),
       "merge",
       nextDeleteFiles = cur => cur.deleteFiles ++ stagedDeletes)
+  }
+
+  /** EQUALITY delete (Iceberg v2's second merge-on-read flavor): record
+    * the DISTINCT key tuples of `keys` as an equality-delete file and
+    * commit — the base table is NEVER read or scanned, so a delete-by-key
+    * on a 100 TB table costs O(keys), not even the position-delete's
+    * O(matching files) probe scan. Readers apply the entry as a
+    * null-safe anti-join scoped to files added before this commit
+    * ([[applyEqDeletes]]); [[compact]] folds it in.
+    *
+    * `keys`' columns name the key (any subset of the table's columns);
+    * values are cast to the declared column types so write-side and
+    * read-side comparisons can never disagree on type. Returns the
+    * distinct key-tuple count (the rows deleted are unknowable without
+    * the scan this operation exists to avoid — Iceberg's contract too). */
+  def equalityDelete(keys: DataFrame): Long = {
+    val base = snapshot(latestVersion)
+    val staged = stageEqDeleteEntries(keys, base)
+    if (staged.isEmpty) return 0L
+    commitWithRetry(cur => cur.files, cur => cur.schemaJson, "delete",
+      nextEqDeleteFiles = (cur, v) =>
+        cur.eqDeleteFiles ++ staged.map(_.copy(atVersion = v)))
+    staged.map(_.rows).sum
+  }
+
+  /** Merge-on-read upsert through equality deletes — the streaming-CDC
+    * sink primitive (the Flink-Iceberg upsert shape): ONE commit carrying
+    * an equality-delete file on `keyCols` plus the update rows as new
+    * data files. Rows in files added before this commit lose to a
+    * matching key; the commit's own files are added AT the commit version
+    * and survive its delete by the sequence rule — so the whole upsert is
+    * O(batch) IO with the base table untouched, the property that makes a
+    * continuous 100 TB upsert stream feasible where [[mergeMor]]'s
+    * key-probe scan or [[upsert]]'s full rewrite would not be. */
+  def upsertMor(updates: DataFrame, keyCols: Seq[String],
+      operation: String = "merge"): Int = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "upsertMor needs at least one key column")
+    keyCols.foreach(k => require(updates.columns.exists(_.equalsIgnoreCase(k)),
+      s"upsertMor key column $k missing from the update frame"))
+    val base = snapshot(latestVersion)
+    val stagedDeletes = stageEqDeleteEntries(
+      updates.select(keyCols.map(col): _*), base)
+    val stagedData = stage(updates, partitionCols)
+    commitWithRetry(
+      cur => cur.files ++ stagedData,
+      cur => SnapshotTable.unionSchema(cur.schemaJson, updates.schema),
+      operation,
+      nextEqDeleteFiles = (cur, v) =>
+        cur.eqDeleteFiles ++ stagedDeletes.map(_.copy(atVersion = v)))
+  }
+
+  /** Write the DISTINCT key tuples of `keys` (cast to the declared column
+    * types) as one sorted parquet equality-delete file under `data/`;
+    * `atVersion` is stamped by the caller's commit lambda. */
+  private def stageEqDeleteEntries(keys: DataFrame,
+      base: SnapshotTable.Snapshot): Seq[SnapshotTable.EqDeleteFile] = {
+    import org.apache.spark.sql.functions.col
+    val schema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "equality delete needs at least one key column")
+    val typed = keyCols.map { k =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"equality-delete key column $k is not a table column"))
+      col(k).cast(f.dataType).as(f.name)
+    }
+    val dir = dataDir.resolve(s"eqdeletes-${java.util.UUID.randomUUID}")
+    keys.select(typed: _*).distinct()
+      .coalesce(1).sortWithinPartitions(keyCols.map(col): _*)
+      .write.parquet(dir.toString)
+    val paths = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+    if (paths.isEmpty) { graft.Tables.deleteRecursively(dir.toString); return Seq.empty }
+    paths.flatMap { p =>
+      val (rows, bytes, _) = SnapshotTable.footerStats(p, Seq.empty)
+      if (rows == 0) { Files.deleteIfExists(Paths.get(p)); None }
+      else Some(SnapshotTable.EqDeleteFile(p, rows, bytes,
+        keyCols.map(k => schema.fields.find(_.name.equalsIgnoreCase(k)).get.name)))
+    }
   }
 
   /** Write position-delete `entries` (file_path, pos) as globally sorted
@@ -1414,14 +1743,17 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         val b = branch(n)
         b.versions.flatMap { v =>
           val s = b.snapshot(v)
-          s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+          s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+            s.eqDeleteFiles.map(_.path)
         }
       }.toSet
-    // position-delete files are part of a snapshot's content: collected
-    // with the versions that reference them, kept while any survivor does
+    // delete files (both flavors) are part of a snapshot's content:
+    // collected with the versions that reference them, kept while any
+    // survivor does
     def allPaths(v: Int): Seq[String] = {
       val s = snapshot(v)
-      s.files.map(_.path) ++ s.deleteFiles.map(_.path)
+      s.files.map(_.path) ++ s.deleteFiles.map(_.path) ++
+        s.eqDeleteFiles.map(_.path)
     }
     val live = keep.flatMap(allPaths).toSet ++ branchLive
     val dead = drop.flatMap(allPaths).toSet -- live
@@ -1755,18 +2087,40 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       // never invalidate them); whole-content replacements clear them and
       // MOR commits extend them
       nextDeleteFiles: SnapshotTable.Snapshot => Seq[SnapshotTable.DeleteFile] =
-        b => b.deleteFiles): Int = {
+        b => b.deleteFiles,
+      // the partition spec carries forward by default; only
+      // setPartitionSpec replaces it
+      nextPartitionCols: SnapshotTable.Snapshot => Seq[String] =
+        b => b.partitionCols,
+      // equality-delete files carry forward like position deletes;
+      // whole-content replacements clear them, upserts extend them (the
+      // Int is the version being committed — atVersion is stamped per
+      // retry so a rebased commit scopes to its real sequence position)
+      nextEqDeleteFiles: (SnapshotTable.Snapshot, Int) => Seq[SnapshotTable.EqDeleteFile] =
+        (b, _) => b.eqDeleteFiles): Int = {
     var tries = 0
     while (true) {
       val baseV = latestVersion
       val base =
         if (baseV >= 0) snapshot(baseV)
         else SnapshotTable.Snapshot(-1, 0L, "", Seq.empty, "none", partitionColsIfNew)
+      // central addedAt stamping: every UNSTAMPED file entering the
+      // manifest at this commit gets the committed version as its
+      // sequence position — the ordering equality deletes scope on.
+      // Re-stamped per retry: a rebased commit's files are "added" at the
+      // version that actually wins. Files that already carry a stamp keep
+      // it even when absent from base (rollback restores old files WITH
+      // their old sequence position, so restored equality deletes keep
+      // applying to them).
+      val basePaths = base.files.map(_.path).toSet
+      val stamped = nextFiles(base).map(f =>
+        if (f.addedAt < 0 && !basePaths(f.path)) f.copy(addedAt = baseV + 1)
+        else f)
       val snap = SnapshotTable.Snapshot(
         baseV + 1, System.currentTimeMillis(), nextSchema(base),
-        nextFiles(base), operation, base.partitionCols,
+        stamped, operation, nextPartitionCols(base),
         nextRenames(base, baseV + 1), nextProperties(base),
-        nextDeleteFiles(base))
+        nextDeleteFiles(base), nextEqDeleteFiles(base, baseV + 1))
       Files.createDirectories(snapDir)
       // the commit point: atomic publish-if-absent of the version file
       // ([[CommitPrimitive]] — hard link here, conditional PUT on S3)
@@ -1808,10 +2162,19 @@ object SnapshotTable {
     * `write.ndv-sketch.columns` table property opts the table in (the
     * sketch pass re-reads the just-written columns once per commit —
     * a deliberate write-side cost the owner chooses). */
+  /** `addedAt` = the snapshot version that first committed the file
+    * (-1 for legacy manifests), stamped centrally by the commit loop —
+    * the sequence-number ordering equality deletes scope on: an equality
+    * delete at version v applies only to rows of files added BEFORE v,
+    * so an upsert's own new rows survive the delete committed alongside
+    * them (Iceberg v2's data-sequence-number rule). Legacy -1 reads as
+    * "older than everything", which is exact for every file that existed
+    * before this field did (no equality delete predates the field). */
   case class DataFile(path: String, rows: Long,
       stats: Map[String, ColStats] = Map.empty, bytes: Long = -1L,
       schemaVersion: Int = -1,
-      ndv: Map[String, String] = Map.empty)
+      ndv: Map[String, String] = Map.empty,
+      addedAt: Int = -1)
 
   /** One RENAME COLUMN event: at snapshot `atVersion`, `oldName` became
     * `newName`. Files with schemaVersion < atVersion store `oldName`. */
@@ -1830,12 +2193,23 @@ object SnapshotTable {
   case class DeleteFile(path: String, rows: Long, bytes: Long = -1L,
       minPath: String = "", maxPath: String = "")
 
+  /** An equality-delete file (Iceberg v2's second delete flavor, the
+    * streaming-CDC upsert primitive): a parquet file holding DISTINCT
+    * key tuples under `keyCols`; a row in a data file added before
+    * `atVersion` is deleted iff its key tuple null-safe-equals an entry.
+    * Written WITHOUT reading the base table — the property that makes a
+    * 100 TB upsert cost O(batch): position deletes must first scan to
+    * find the doomed rows, an equality delete just states the keys. */
+  case class EqDeleteFile(path: String, rows: Long, bytes: Long = -1L,
+      keyCols: Seq[String] = Seq.empty, atVersion: Int = -1)
+
   case class Snapshot(version: Int, timestampMs: Long, schemaJson: String,
       files: Seq[DataFile], operation: String,
       partitionCols: Seq[String] = Seq.empty,
       renames: Seq[Rename] = Seq.empty,
       properties: Map[String, String] = Map.empty,
-      deleteFiles: Seq[DeleteFile] = Seq.empty)
+      deleteFiles: Seq[DeleteFile] = Seq.empty,
+      eqDeleteFiles: Seq[EqDeleteFile] = Seq.empty)
 
   /** Metadata column aliases the merge-on-read run through the V1 parquet
     * reader uses to carry each row's provenance for the delete anti-join. */
@@ -2164,6 +2538,7 @@ object SnapshotTable {
       o.put("rows", f.rows)
       if (f.bytes >= 0) o.put("bytes", f.bytes)
       if (f.schemaVersion >= 0) o.put("sv", f.schemaVersion)
+      if (f.addedAt >= 0) o.put("added", f.addedAt)
       if (f.stats.nonEmpty) {
         val st = o.putObject("stats")
         f.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
@@ -2185,6 +2560,18 @@ object SnapshotTable {
         if (d.bytes >= 0) o.put("bytes", d.bytes)
         if (d.minPath.nonEmpty) o.put("minPath", d.minPath)
         if (d.maxPath.nonEmpty) o.put("maxPath", d.maxPath)
+      }
+    }
+    if (s.eqDeleteFiles.nonEmpty) {
+      val del: ArrayNode = root.putArray("eqDeletes")
+      s.eqDeleteFiles.foreach { d =>
+        val o = del.addObject()
+        o.put("path", d.path)
+        o.put("rows", d.rows)
+        if (d.bytes >= 0) o.put("bytes", d.bytes)
+        val kc: ArrayNode = o.putArray("keyCols")
+        d.keyCols.foreach(kc.add)
+        o.put("v", d.atVersion)
       }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
@@ -2210,7 +2597,8 @@ object SnapshotTable {
           } else Map.empty[String, String]
         DataFile(f.get("path").asText(), f.get("rows").asLong(), stats,
           if (f.has("bytes")) f.get("bytes").asLong() else -1L,
-          if (f.has("sv")) f.get("sv").asInt() else -1, ndv)
+          if (f.has("sv")) f.get("sv").asInt() else -1, ndv,
+          if (f.has("added")) f.get("added").asInt() else -1)
       }
       .toSeq
     val pcols =
@@ -2237,8 +2625,17 @@ object SnapshotTable {
             if (d.has("maxPath")) d.get("maxPath").asText() else "")
         }.toSeq
       else Seq.empty
+    val eqDeletes =
+      if (n.has("eqDeletes"))
+        n.get("eqDeletes").elements().asScala.map { d =>
+          EqDeleteFile(d.get("path").asText(), d.get("rows").asLong(),
+            if (d.has("bytes")) d.get("bytes").asLong() else -1L,
+            d.get("keyCols").elements().asScala.map(_.asText()).toSeq,
+            d.get("v").asInt())
+        }.toSeq
+      else Seq.empty
     Snapshot(n.get("version").asInt(), n.get("timestampMs").asLong(),
       n.get("schemaJson").asText(), files, n.get("operation").asText(), pcols,
-      renames, props, deletes)
+      renames, props, deletes, eqDeletes)
   }
 }
