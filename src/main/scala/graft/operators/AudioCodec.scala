@@ -113,7 +113,7 @@ object AudioCodec {
     }
     if (dataOff < 0 || channels < 1 || sampleRate < 1) return None
     encoding match {
-      case "float" => if (bits != 32) return None // float64 → stub path
+      case "float" => if (bits != 32 && bits != 64) return None
       case "alaw" | "ulaw" => if (bits != 8) return None
       case "adpcm" =>
         if (bits != 4) return None
@@ -132,11 +132,19 @@ object AudioCodec {
       out(s) = encoding match {
         case "float" =>
           // [-1,1] float → 24-bit int, round-half-even, clamped: keeps
-          // the exact-integer feature contract for float payloads
-          val f = java.lang.Float.intBitsToFloat(le32(b, o))
-          if (f.isNaN) 0
+          // the exact-integer feature contract for float payloads.
+          // 64-bit doubles (wFormatTag 3, bits=64) take the same
+          // deterministic mapping — every k/8388607 lattice point is
+          // exactly representable in both widths, so the feature
+          // contract is width-independent
+          val d =
+            if (bits == 32) java.lang.Float.intBitsToFloat(le32(b, o)).toDouble
+            else java.lang.Double.longBitsToDouble(
+              ((le32(b, o + 4).toLong & 0xffffffffL) << 32) |
+                (le32(b, o).toLong & 0xffffffffL))
+          if (d.isNaN) 0
           else {
-            val v = math.rint(f.toDouble * 8388607.0)
+            val v = math.rint(d * 8388607.0)
             if (v > 8388607.0) 8388607
             else if (v < -8388608.0) -8388608
             else v.toInt
@@ -342,6 +350,33 @@ object AudioCodec {
     var s = 0
     while (s < samples.length) {
       wle32(44 + s * 4, java.lang.Float.floatToIntBits(samples(s)))
+      s += 1
+    }
+    b
+  }
+
+  /** 64-bit IEEE-float WAV fixture (wFormatTag 3, bits=64) — the double
+    * sibling of [[encodeWavFloat]]; same deterministic 24-bit mapping on
+    * decode, so lattice doubles round-trip to exact ints. */
+  def encodeWavFloat64(sampleRate: Int, channels: Int,
+      samples: Array[Double]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && samples.length % channels == 0)
+    val dataLen = samples.length * 8
+    val b = new Array[Byte](44 + dataLen)
+    def wtag(i: Int, t: String): Unit = wtagAt(b, i, t)
+    def wle16(i: Int, v: Int): Unit = wle16At(b, i, v)
+    def wle32(i: Int, v: Int): Unit = wle32At(b, i, v)
+    wtag(0, "RIFF"); wle32(4, 36 + dataLen); wtag(8, "WAVE")
+    wtag(12, "fmt "); wle32(16, 16)
+    wle16(20, 3); wle16(22, channels); wle32(24, sampleRate) // IEEE float
+    wle32(28, sampleRate * channels * 8)
+    wle16(32, channels * 8); wle16(34, 64)
+    wtag(36, "data"); wle32(40, dataLen)
+    var s = 0
+    while (s < samples.length) {
+      val bits = java.lang.Double.doubleToLongBits(samples(s))
+      wle32(44 + s * 8, bits.toInt)
+      wle32(44 + s * 8 + 4, (bits >>> 32).toInt)
       s += 1
     }
     b

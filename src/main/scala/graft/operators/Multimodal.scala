@@ -162,7 +162,7 @@ object Multimodal {
             val frames = clip.frames.toLong
             Row(id, bytes.length.toLong,
               clip.encoding match {
-                case "float" => "pcmf32"
+                case "float" => s"pcmf${clip.bitsPerSample}"
                 case "ulaw" | "alaw" | "adpcm" => clip.encoding
                 case _ => s"pcm${clip.bitsPerSample}"
               },

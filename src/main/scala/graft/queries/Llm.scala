@@ -1001,12 +1001,13 @@ object Llm {
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------------- q70
   // Audio modality, same discipline as q47: REAL decode, no codec
-  // library. The fixture writer emits actual RIFF/WAVE bytes in FOUR
-  // sample codings — 16-bit PCM, IEEE-float32 (identical sample values
-  // on the k/8388607 lattice), G.711 µ-law (deterministic code bytes,
-  // oracle recomputes the standard expansion), and IMA ADPCM (round 16;
-  // block-structured 4-bit codes whose blockwise-constant fixtures
-  // reconstruct exactly — the first COMPRESSED audio coding)
+  // library. The fixture writer emits actual RIFF/WAVE bytes in FIVE
+  // sample codings — 16-bit PCM, IEEE-float32 AND (round 17)
+  // IEEE-float64 (identical sample values on the k/8388607 lattice),
+  // G.711 µ-law (deterministic code bytes, oracle recomputes the
+  // standard expansion), and IMA ADPCM (round 16; block-structured
+  // 4-bit codes whose blockwise-constant fixtures reconstruct exactly —
+  // the first COMPRESSED audio coding)
   // — deterministic per-channel ramps keyed by doc_id; every 7th doc is
   // a non-audio payload exercising the labeled stub fallback — and
   // [[graft.operators.AudioCodec]] walks the container and reconstructs
@@ -1022,7 +1023,7 @@ object Llm {
     // query measures DECODE, not the fixture write
     val out70 = Tables.scratch(s"media70/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out70,
-      version = "v3-wav-adpcm") {
+      version = "v4-wav-f64") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val bytes =
@@ -1069,6 +1070,11 @@ object Llm {
                   // so every closed form is shared with the pcm16 rows
                   graft.operators.AudioCodec.encodeWavFloat(rate, ch,
                     samples.map(v => (v.toDouble / 8388607.0).toFloat))
+                else if (slot == 3)
+                  // round 17: 64-bit IEEE-float container (wFormatTag 3,
+                  // bits=64) — same lattice mapping, same closed forms
+                  graft.operators.AudioCodec.encodeWavFloat64(rate, ch,
+                    samples.map(v => v.toDouble / 8388607.0))
                 else graft.operators.AudioCodec.encodeWav(rate, ch, samples)
             }
           }
@@ -1134,6 +1140,7 @@ object Llm {
       |SELECT f.doc_id,
       |       CASE WHEN stub THEN 'stub'
       |            WHEN slot = 1 THEN 'pcmf32'
+      |            WHEN slot = 3 THEN 'pcmf64'
       |            WHEN slot = 2 THEN 'ulaw'
       |            WHEN slot = 4 THEN 'adpcm'
       |            ELSE 'pcm16' END AS decoder,

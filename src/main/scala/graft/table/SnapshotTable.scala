@@ -1759,6 +1759,23 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val dead = drop.flatMap(allPaths).toSet -- live
     dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
     drop.foreach(v => Files.deleteIfExists(snapDir.resolve(f"v$v%05d.json")))
+    // manifest-chunk sweep: chunks referenced by NO surviving snapshot
+    // (main or branch) and older than an hour are garbage — expired
+    // versions' chunks, lost-race commit attempts, dropped branches. The
+    // grace window protects a concurrent writer's just-published chunks.
+    if (Files.isDirectory(manifestsDir)) {
+      val liveRefs = (keep.map(snapshot) ++
+        allRefs.collect { case (n, ("branch", _)) => n }
+          .flatMap { n => val b = branch(n); b.versions.map(b.snapshot) })
+        .flatMap(_.manifestRefs)
+        .map(r => Paths.get(r).toAbsolutePath.normalize.toString).toSet
+      val cutoffMs = System.currentTimeMillis() - 3600L * 1000
+      Files.list(manifestsDir).iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filterNot(p => liveRefs(p.toAbsolutePath.normalize.toString))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoffMs)
+        .foreach(p => Files.deleteIfExists(p))
+    }
     // orphan sweep: staging dirs survive only if a writer crashed between
     // staging and commit/abort — anything older than an hour is garbage
     val staging = Paths.get(location, "_staging")
@@ -2073,6 +2090,57 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       nextDeleteFiles = _ => Seq.empty)
   }
 
+  /** Where manifest chunks live — under the MAIN snapshot dir for branch
+    * commits too: fast_forward publishes branch documents' refs into
+    * main's chain, and `drop_ref` deletes the branch dir, so a chunk
+    * under `_refs/<name>/` could be yanked from under a main snapshot
+    * that references it. Unreferenced chunks are swept by expiration. */
+  private def manifestsDir: Path =
+    Paths.get(location, "_snapshots", "manifests")
+
+  /** Decide this commit's manifest layout. Small file lists stay INLINE
+    * in the snapshot document (zero overhead, the dominant test/dev
+    * shape); above the threshold ([[SnapshotTable.ManifestInlineMax]]
+    * table property) the list is SEGMENTED: every base chunk whose
+    * entries all survive unchanged is reused BY REFERENCE, and only the
+    * leftover entries (the commit's new files, plus survivors of
+    * partially-invalidated chunks) are written into fresh chunks — an
+    * append onto a million-file table writes one small chunk and one
+    * small snapshot document instead of re-rendering the whole manifest
+    * (the metadata term that would otherwise bind every commit at
+    * 100 TB). Returns (refs, files-in-ref-order); inline → (empty,
+    * stamped unchanged). */
+  private def chunkLayout(base: SnapshotTable.Snapshot,
+      stamped: Seq[SnapshotTable.DataFile], props: Map[String, String])
+      : (Seq[String], Seq[SnapshotTable.DataFile]) = {
+    val inlineMax = props.get(SnapshotTable.ManifestInlineMax)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(SnapshotTable.DefaultManifestInlineMax)
+    if (stamped.size <= inlineMax) return (Seq.empty, stamped)
+    val byPath = stamped.map(f => f.path -> f).toMap
+    val covered = scala.collection.mutable.HashSet.empty[String]
+    val reusedRefs = Seq.newBuilder[String]
+    val reusedEntries = Seq.newBuilder[SnapshotTable.DataFile]
+    base.manifestRefs.foreach { r =>
+      val entries = SnapshotTable.readChunk(r)
+      if (entries.nonEmpty &&
+          entries.forall(e => !covered(e.path) &&
+            byPath.get(e.path).contains(e))) {
+        reusedRefs += r
+        reusedEntries ++= entries
+        covered ++= entries.map(_.path)
+      }
+    }
+    val leftovers = stamped.filterNot(f => covered(f.path))
+    Files.createDirectories(manifestsDir)
+    val newRefs = leftovers.grouped(SnapshotTable.ChunkEntries).map { group =>
+      val p = manifestsDir.resolve(s"m-${java.util.UUID.randomUUID}.json")
+      Files.writeString(p, SnapshotTable.renderChunk(group))
+      p.toString
+    }.toSeq
+    (reusedRefs.result() ++ newRefs, reusedEntries.result() ++ leftovers)
+  }
+
   private def commitWithRetry(
       nextFiles: SnapshotTable.Snapshot => Seq[SnapshotTable.DataFile],
       nextSchema: SnapshotTable.Snapshot => String,
@@ -2116,11 +2184,13 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       val stamped = nextFiles(base).map(f =>
         if (f.addedAt < 0 && !basePaths(f.path)) f.copy(addedAt = baseV + 1)
         else f)
+      val props = nextProperties(base)
+      val (refs, ordered) = chunkLayout(base, stamped, props)
       val snap = SnapshotTable.Snapshot(
         baseV + 1, System.currentTimeMillis(), nextSchema(base),
-        stamped, operation, nextPartitionCols(base),
-        nextRenames(base, baseV + 1), nextProperties(base),
-        nextDeleteFiles(base), nextEqDeleteFiles(base, baseV + 1))
+        ordered, operation, nextPartitionCols(base),
+        nextRenames(base, baseV + 1), props,
+        nextDeleteFiles(base), nextEqDeleteFiles(base, baseV + 1), refs)
       Files.createDirectories(snapDir)
       // the commit point: atomic publish-if-absent of the version file
       // ([[CommitPrimitive]] — hard link here, conditional PUT on S3)
@@ -2203,13 +2273,23 @@ object SnapshotTable {
   case class EqDeleteFile(path: String, rows: Long, bytes: Long = -1L,
       keyCols: Seq[String] = Seq.empty, atVersion: Int = -1)
 
+  /** `manifestRefs`: when non-empty, the snapshot document stores NO
+    * inline file entries — `files` was materialized from these immutable
+    * manifest-chunk files at parse time (see [[parseSnapshot]]). The
+    * segmentation that keeps commit metadata O(changed files): an append
+    * onto a million-file table reuses every intact chunk by reference and
+    * writes ONE new chunk holding just its own files, instead of
+    * re-rendering the whole file list into the snapshot JSON (Iceberg's
+    * manifest-list design). Refs are absolute paths, so branch documents
+    * share main's chunks and clones resolve across table roots. */
   case class Snapshot(version: Int, timestampMs: Long, schemaJson: String,
       files: Seq[DataFile], operation: String,
       partitionCols: Seq[String] = Seq.empty,
       renames: Seq[Rename] = Seq.empty,
       properties: Map[String, String] = Map.empty,
       deleteFiles: Seq[DeleteFile] = Seq.empty,
-      eqDeleteFiles: Seq[EqDeleteFile] = Seq.empty)
+      eqDeleteFiles: Seq[EqDeleteFile] = Seq.empty,
+      manifestRefs: Seq[String] = Seq.empty)
 
   /** Metadata column aliases the merge-on-read run through the V1 parquet
     * reader uses to carry each row's provenance for the delete anti-join. */
@@ -2242,6 +2322,16 @@ object SnapshotTable {
     * files; buys metadata-only distinct-count answers
     * ([[SnapshotTable.ndvEstimate]], the `t.files` ndv column). */
   val NdvSketchColumns = "write.ndv-sketch.columns"
+
+  /** Table property: file-entry count above which a commit writes the
+    * manifest SEGMENTED (chunk files + by-reference reuse,
+    * [[Snapshot.manifestRefs]]) instead of inline in the snapshot
+    * document. Default [[DefaultManifestInlineMax]]; lower it to force
+    * the segmented path (tests), raise it to pin small tables inline. */
+  val ManifestInlineMax = "write.manifest.inline-max"
+  val DefaultManifestInlineMax = 512
+  /** Max file entries per manifest chunk (bounds chunk parse cost). */
+  val ChunkEntries = 8192
 
   /** Retention-policy table properties (Iceberg's names): expiration may
     * never collect below these floors, no matter what a maintenance job
@@ -2531,25 +2621,15 @@ object SnapshotTable {
       val pr = root.putObject("properties")
       s.properties.toSeq.sortBy(_._1).foreach { case (k, v) => pr.put(k, v) }
     }
-    val arr: ArrayNode = root.putArray("files")
-    s.files.foreach { f =>
-      val o = arr.addObject()
-      o.put("path", f.path)
-      o.put("rows", f.rows)
-      if (f.bytes >= 0) o.put("bytes", f.bytes)
-      if (f.schemaVersion >= 0) o.put("sv", f.schemaVersion)
-      if (f.addedAt >= 0) o.put("added", f.addedAt)
-      if (f.stats.nonEmpty) {
-        val st = o.putObject("stats")
-        f.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
-          val n = st.putObject(c)
-          n.put("t", cs.typ); n.put("min", cs.min); n.put("max", cs.max)
-        }
-      }
-      if (f.ndv.nonEmpty) {
-        val nd = o.putObject("ndv")
-        f.ndv.toSeq.sortBy(_._1).foreach { case (c, b64) => nd.put(c, b64) }
-      }
+    if (s.manifestRefs.nonEmpty) {
+      // segmented layout: the file entries live in immutable chunk files;
+      // the snapshot document carries references only (O(chunks), not
+      // O(files) — see Snapshot.manifestRefs)
+      val refs: ArrayNode = root.putArray("manifestRefs")
+      s.manifestRefs.foreach(refs.add)
+    } else {
+      val arr: ArrayNode = root.putArray("files")
+      s.files.foreach(f => renderFileInto(arr.addObject(), f))
     }
     if (s.deleteFiles.nonEmpty) {
       val del: ArrayNode = root.putArray("deletes")
@@ -2577,30 +2657,78 @@ object SnapshotTable {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
+  private def renderFileInto(o: ObjectNode, f: DataFile): Unit = {
+    o.put("path", f.path)
+    o.put("rows", f.rows)
+    if (f.bytes >= 0) o.put("bytes", f.bytes)
+    if (f.schemaVersion >= 0) o.put("sv", f.schemaVersion)
+    if (f.addedAt >= 0) o.put("added", f.addedAt)
+    if (f.stats.nonEmpty) {
+      val st = o.putObject("stats")
+      f.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+        val n = st.putObject(c)
+        n.put("t", cs.typ); n.put("min", cs.min); n.put("max", cs.max)
+      }
+    }
+    if (f.ndv.nonEmpty) {
+      val nd = o.putObject("ndv")
+      f.ndv.toSeq.sortBy(_._1).foreach { case (c, b64) => nd.put(c, b64) }
+    }
+  }
+
+  private def parseFileNode(f: JsonNode): DataFile = {
+    val stats =
+      if (f.has("stats")) {
+        val st = f.get("stats")
+        st.fieldNames().asScala.map { c =>
+          val cn = st.get(c)
+          c -> ColStats(cn.get("t").asText(), cn.get("min").asText(),
+            cn.get("max").asText())
+        }.toMap
+      } else Map.empty[String, ColStats]
+    val ndv =
+      if (f.has("ndv")) {
+        val nd = f.get("ndv")
+        nd.fieldNames().asScala.map(c => c -> nd.get(c).asText()).toMap
+      } else Map.empty[String, String]
+    DataFile(f.get("path").asText(), f.get("rows").asLong(), stats,
+      if (f.has("bytes")) f.get("bytes").asLong() else -1L,
+      if (f.has("sv")) f.get("sv").asInt() else -1, ndv,
+      if (f.has("added")) f.get("added").asInt() else -1)
+  }
+
+  /** A manifest chunk: `{"files":[…]}`, same per-file schema as inline. */
+  private[table] def renderChunk(files: Seq[DataFile]): String = {
+    val root: ObjectNode = mapper.createObjectNode()
+    val arr: ArrayNode = root.putArray("files")
+    files.foreach(f => renderFileInto(arr.addObject(), f))
+    root.toString
+  }
+
+  // Chunk files are IMMUTABLE (UUID-named, published before the snapshot
+  // CAS, deleted only by GC) — parse each once per JVM. Bounded: cleared
+  // wholesale when it outgrows the cap (refill is one re-read per chunk).
+  private val chunkCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFile]]()
+  private val ChunkCacheMax = 4096
+
+  private[table] def readChunk(path: String): Seq[DataFile] = {
+    if (chunkCache.size > ChunkCacheMax) chunkCache.clear()
+    chunkCache.computeIfAbsent(path, p =>
+      mapper.readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(p)))
+        .get("files").elements().asScala.map(parseFileNode).toSeq)
+  }
+
   private[table] def parseSnapshot(json: String): Snapshot = {
     val n: JsonNode = mapper.readTree(json)
-    val files = n.get("files").elements().asScala
-      .map { f =>
-        val stats =
-          if (f.has("stats")) {
-            val st = f.get("stats")
-            st.fieldNames().asScala.map { c =>
-              val cn = st.get(c)
-              c -> ColStats(cn.get("t").asText(), cn.get("min").asText(),
-                cn.get("max").asText())
-            }.toMap
-          } else Map.empty[String, ColStats]
-        val ndv =
-          if (f.has("ndv")) {
-            val nd = f.get("ndv")
-            nd.fieldNames().asScala.map(c => c -> nd.get(c).asText()).toMap
-          } else Map.empty[String, String]
-        DataFile(f.get("path").asText(), f.get("rows").asLong(), stats,
-          if (f.has("bytes")) f.get("bytes").asLong() else -1L,
-          if (f.has("sv")) f.get("sv").asInt() else -1, ndv,
-          if (f.has("added")) f.get("added").asInt() else -1)
-      }
-      .toSeq
+    val refs =
+      if (n.has("manifestRefs"))
+        n.get("manifestRefs").elements().asScala.map(_.asText()).toSeq
+      else Seq.empty
+    val files =
+      if (refs.nonEmpty) refs.flatMap(readChunk)
+      else n.get("files").elements().asScala.map(parseFileNode).toSeq
     val pcols =
       if (n.has("partitionCols"))
         n.get("partitionCols").elements().asScala.map(_.asText()).toSeq
@@ -2636,6 +2764,6 @@ object SnapshotTable {
       else Seq.empty
     Snapshot(n.get("version").asInt(), n.get("timestampMs").asLong(),
       n.get("schemaJson").asText(), files, n.get("operation").asText(), pcols,
-      renames, props, deletes, eqDeletes)
+      renames, props, deletes, eqDeletes, refs)
   }
 }

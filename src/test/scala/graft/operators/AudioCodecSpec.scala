@@ -139,7 +139,7 @@ class AudioCodecSpec extends SparkFunSuite {
     assert(f.sumByChannel(0) == ks.map(_.toLong).sum && f.peakAbs == 8388608)
   }
 
-  test("javax.sound reads our float WAV; EXTENSIBLE-wrapped float decodes; float64 stubs") {
+  test("javax.sound reads our float WAV; EXTENSIBLE-wrapped float decodes") {
     val fs = Array.tabulate(32)(i => ((i - 16) / 20.0).toFloat)
     val bytes = AudioCodec.encodeWavFloat(22050, 1, fs)
     // independent read: the JDK's WAV parser agrees on the format geometry
@@ -179,10 +179,34 @@ class AudioCodecSpec extends SparkFunSuite {
     val eclip = AudioCodec.decode(ext).get
     assert(eclip.float && eclip.samples.sameElements(
       AudioCodec.decode(bytes).get.samples))
-    // float64 (bits=64 under tag 3) is NOT decoded — labeled stub path
-    val f64 = bytes.clone()
-    f64(34) = 64.toByte // bits field
-    assert(AudioCodec.decode(f64) == None)
+  }
+
+  test("float64 WAV decodes through the same deterministic 24-bit mapping") {
+    // lattice doubles k/8388607 map back to exactly k (a double holds
+    // every |k| <= 2^23 exactly, same as float32's significand range)
+    val ks = Array(-8388608, -8388607, -12345, -1, 0, 1, 777, 8388607)
+    val ds = ks.map(_.toDouble / 8388607.0)
+    val clip = AudioCodec.decode(AudioCodec.encodeWavFloat64(16000, 1, ds)).get
+    assert(clip.float && clip.bitsPerSample == 64 && clip.channels == 1)
+    assert(clip.samples.sameElements(ks.map(k => math.max(k, -8388608))))
+    // NaN → 0; out-of-range clamps; infinities clamp
+    val weird = AudioCodec.decode(AudioCodec.encodeWavFloat64(16000, 1,
+      Array(Double.NaN, 1.5, -2.0, Double.PositiveInfinity))).get
+    assert(weird.samples.sameElements(Array(0, 8388607, -8388608, 8388607)))
+    // a float32 stream and a float64 stream of the SAME values decode to
+    // the same integers (width-independent feature contract)
+    val fs = Array.tabulate(32)(i => ((i - 16) / 20.0).toFloat)
+    val from32 = AudioCodec.decode(AudioCodec.encodeWavFloat(22050, 1, fs)).get
+    val from64 = AudioCodec.decode(AudioCodec.encodeWavFloat64(22050, 1,
+      fs.map(_.toDouble))).get
+    assert(from32.samples.sameElements(from64.samples))
+    // javax.sound agrees on the container geometry (PCM_FLOAT, 64-bit)
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(
+        AudioCodec.encodeWavFloat64(22050, 2, Array(0.25, -0.25, 0.5, -0.5))))
+    val fmt = in.getFormat
+    assert(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT)
+    assert(fmt.getSampleSizeInBits == 64 && fmt.getChannels == 2)
   }
 
   test("G.711 mu-law and A-law decode to the standard expansion; JDK codec agrees on all 256 codes") {
