@@ -32,8 +32,9 @@ package graft.operators
   * exact-refinement stages), and standalone LOSSLESS comes in both
   * entropies (SOF3 Huffman, SOF11 ARITHMETIC via the Annex H.1
   * (left, above) difference-class conditioning through the QM coder).
-  * 12-bit precision, multi-component lossless, and restart-interval
-  * lossless remain out of scope and return None → the labeled stub
+  * 12-bit precision, arithmetic multi-component lossless, and mid-row
+  * (non-line-aligned) restart-interval lossless
+  * remain out of scope and return None → the labeled stub
   * path, like any other malformed/unsupported payload: corrupt media
   * in a 100 TB crawl is data, not an error.
   *
@@ -490,20 +491,29 @@ object JpegCodec {
                 comps = null // next frame brings its own SOF
               }
             } else if (lossless) {
-              // SOF3 (Huffman) / SOF11 (arithmetic): grayscale only
-              // (3-component lossless carries no implied color transform
-              // — out of scope), 1×1 sampling, Ss selects the predictor,
-              // Al is the point transform
-              if (comps.length != 1 || ns != 1 ||
-                  comps(0).h != 1 || comps(0).v != 1) return None
-              if (arithCoded)
+              // SOF3 (Huffman) / SOF11 (arithmetic): 1×1 sampling, Ss
+              // selects the predictor, Al is the point transform. The
+              // Huffman spelling also decodes 3-COMPONENT interleaved
+              // scans (lossless carries NO implied color transform —
+              // T.81 is colorspace-blind here — so frame component order
+              // maps directly to R,G,B, the convention of every lossless
+              // RGB producer absent an Adobe APP14) and row-aligned
+              // RESTART INTERVALS. Arithmetic lossless stays grayscale.
+              if (ns != comps.length ||
+                  comps.exists(c => c.h != 1 || c.v != 1)) return None
+              if (arithCoded) {
+                if (comps.length != 1) return None
                 decodeLosslessArithScan(b, segEnd, comps(0), width, height,
                   ss, al, restartInterval,
                   dcL(comps(0).dcSel), dcU(comps(0).dcSel))
-              else
-                decodeLosslessScan(b, segEnd, comps(0), width, height,
-                  ss, al, restartInterval)
-              return Some(toRgb(comps, width, height))
+                return Some(toRgb(comps, width, height))
+              }
+              if (comps.length != 1 && comps.length != 3) return None
+              decodeLosslessScan(b, segEnd, scanComps, width, height,
+                ss, al, restartInterval)
+              return Some(
+                if (comps.length == 1) toRgb(comps, width, height)
+                else losslessRgb(comps, width, height))
             } else if (arithCoded && !progressive) {
               if (ns != comps.length) return None // interleaved only, like SOF0
               decodeArithScan(b, segEnd, comps, width, height, qt,
@@ -1431,55 +1441,90 @@ object JpegCodec {
     * Restart-interval lossless streams take the stub path (rare; the
     * predictor re-initialization contract isn't exercised by anything
     * we can cross-check). */
-  private def decodeLosslessScan(b: Array[Byte], start: Int, c: Component,
-      width: Int, height: Int, predSel: Int, pt: Int, ri: Int): Unit = {
-    if (ri > 0) corrupt()
+  private def decodeLosslessScan(b: Array[Byte], start: Int,
+      scanComps: Array[Component], width: Int, height: Int,
+      predSel: Int, pt: Int, ri: Int): Unit = {
     if (predSel < 1 || predSel > 7 || pt > 7) corrupt()
-    if (c.dcTable == null) corrupt()
-    c.pw = width
-    c.ph = height
-    c.plane = new Array[Byte](width * height)
+    val nc = scanComps.length
+    scanComps.foreach { c =>
+      if (c.dcTable == null) corrupt()
+      c.pw = width
+      c.ph = height
+      c.plane = new Array[Byte](width * height)
+    }
+    // Restart intervals (T.81 H.1: the restart resets the entropy coder
+    // and prediction as at the start of the scan — "selection value 1 is
+    // used for the first line of samples at the start of the scan and at
+    // the beginning of each restart interval"). The interval counts MCUs
+    // (= one sample per scan component here), so an interval that is not
+    // a whole number of lines would put the interval's "first line"
+    // mid-row, a shape with no second implementation to agree with —
+    // refuse it (labeled stub) and decode the row-aligned form for real.
+    val rowsPerRi =
+      if (ri == 0) 0
+      else {
+        if (ri % width != 0) corrupt() // mid-row restart: out of scope
+        ri / width
+      }
     val r = new BitReader(b, start)
     val defaultPred = 1 << (7 - pt) // 2^(P−1−Pt), P = 8
-    val prev = new Array[Int](width) // previous line, reconstructed
-    val cur = new Array[Int](width)
+    // per-component previous/current reconstructed lines (interleaved
+    // MCUs advance all components in lockstep at 1×1 sampling)
+    val prev = Array.ofDim[Int](nc, width)
+    val cur = Array.ofDim[Int](nc, width)
     var y = 0
     while (y < height) {
+      val intervalStart = rowsPerRi > 0 && y > 0 && y % rowsPerRi == 0
+      if (intervalStart) r.restart() // byte-align + consume RSTn
+      val firstLine = y == 0 || intervalStart
       var x = 0
       while (x < width) {
-        val s = r.decode(c.dcTable)
-        if (s > 16) corrupt()
-        val diff =
-          if (s == 0) 0
-          else if (s == 16) 32768 // T.81 lossless special category
-          else extend(r.receive(s), s)
-        val pred =
-          if (y == 0 && x == 0) defaultPred
-          else if (y == 0) cur(x - 1) // first line: predictor 1
-          else if (x == 0) prev(0) // line start: predictor 2 (above)
-          else {
-            val a = cur(x - 1)
-            val bb = prev(x)
-            val cc = prev(x - 1)
-            predSel match {
-              case 1 => a
-              case 2 => bb
-              case 3 => cc
-              case 4 => a + bb - cc
-              case 5 => a + ((bb - cc) >> 1)
-              case 6 => bb + ((a - cc) >> 1)
-              case _ => (a + bb) >> 1
+        var ci = 0
+        while (ci < nc) {
+          val c = scanComps(ci)
+          val s = r.decode(c.dcTable)
+          if (s > 16) corrupt()
+          val diff =
+            if (s == 0) 0
+            else if (s == 16) 32768 // T.81 lossless special category
+            else extend(r.receive(s), s)
+          val cl = cur(ci)
+          val pl = prev(ci)
+          val pred =
+            if (firstLine && x == 0) defaultPred
+            else if (firstLine) cl(x - 1) // interval first line: predictor 1
+            else if (x == 0) pl(0) // line start: predictor 2 (above)
+            else {
+              val a = cl(x - 1)
+              val bb = pl(x)
+              val cc = pl(x - 1)
+              predSel match {
+                case 1 => a
+                case 2 => bb
+                case 3 => cc
+                case 4 => a + bb - cc
+                case 5 => a + ((bb - cc) >> 1)
+                case 6 => bb + ((a - cc) >> 1)
+                case _ => (a + bb) >> 1
+              }
             }
-          }
-        cur(x) = (pred + diff) & 0xffff
+          cl(x) = (pred + diff) & 0xffff
+          ci += 1
+        }
         x += 1
       }
-      var i2 = 0
-      while (i2 < width) {
-        c.plane(y * width + i2) = ((cur(i2) << pt) & 0xff).toByte
-        i2 += 1
+      var ci = 0
+      while (ci < nc) {
+        val c = scanComps(ci)
+        val cl = cur(ci)
+        var i2 = 0
+        while (i2 < width) {
+          c.plane(y * width + i2) = ((cl(i2) << pt) & 0xff).toByte
+          i2 += 1
+        }
+        System.arraycopy(cl, 0, prev(ci), 0, width)
+        ci += 1
       }
-      System.arraycopy(cur, 0, prev, 0, width)
       y += 1
     }
   }
@@ -1615,6 +1660,26 @@ object JpegCodec {
 
   /** Component planes → interleaved RGB: replication upsampling for
     * subsampled chroma, JFIF YCbCr→RGB (3 comps) or gray fan-out (1). */
+  /** 3-component LOSSLESS assembly: planes map directly to R,G,B — the
+    * exact-reconstruction mode must not round-trip through YCbCr (T.81
+    * defines no color transform; JFIF's YCbCr convention is a DCT-JPEG
+    * ecosystem contract that lossless RGB producers don't follow). */
+  private def losslessRgb(comps: Array[Component], width: Int,
+      height: Int): PixelImage = {
+    val n = width * height
+    val out = new Array[Byte](n * 3)
+    var i = 0
+    var p = 0
+    while (i < n) {
+      out(p) = comps(0).plane(i)
+      out(p + 1) = comps(1).plane(i)
+      out(p + 2) = comps(2).plane(i)
+      i += 1
+      p += 3
+    }
+    PixelImage(width, height, out)
+  }
+
   private def toRgb(comps: Array[Component], width: Int, height: Int): PixelImage = {
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
@@ -2184,62 +2249,110 @@ object JpegCodec {
     * pixels exactly, which is what lets q47's lossless slot carry the
     * full per-pixel gradient closed form like the PNG/BMP slots. */
   def encodeJpegLossless(width: Int, height: Int, gray: (Int, Int) => Int,
-      predictor: Int = 4): Array[Byte] = {
+      predictor: Int = 4, restartRows: Int = 0): Array[Byte] =
+    encodeLosslessCore(width, height, 1,
+      (_, x, y) => gray(x, y) & 0xff, predictor, restartRows)
+
+  /** Real 3-COMPONENT lossless JPEG bytes (SOF3, interleaved R,G,B at
+    * 1×1 — the colorspace-blind exact mode; no JFIF marker on purpose,
+    * a JFIF signature would promise YCbCr). `rgb` returns 0xRRGGBB. */
+  def encodeJpegLosslessRgb(width: Int, height: Int,
+      rgb: (Int, Int) => Int, predictor: Int = 4,
+      restartRows: Int = 0): Array[Byte] =
+    encodeLosslessCore(width, height, 3,
+      (c, x, y) => (rgb(x, y) >> (16 - 8 * c)) & 0xff, predictor, restartRows)
+
+  /** Shared SOF3 encoder: `nc` interleaved 1×1 components off
+    * `sample(comp, x, y)`, optional row-aligned restart intervals
+    * (`restartRows` rows per interval → DRI Ri = restartRows·width MCUs;
+    * prediction resets per T.81 H.1 — the interval's first line uses
+    * predictor 1 with the default first sample). */
+  private def encodeLosslessCore(width: Int, height: Int, nc: Int,
+      sample: (Int, Int, Int) => Int, predictor: Int,
+      restartRows: Int): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
-      width.toLong * height <= MaxPixels && predictor >= 1 && predictor <= 7)
+      width.toLong * height <= MaxPixels && predictor >= 1 && predictor <= 7 &&
+      restartRows >= 0 && restartRows.toLong * width <= 0xffff)
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
     def wbe16(v: Int): Unit = { w8(v >> 8); w8(v) }
     def marker(m: Int): Unit = { w8(0xff); w8(m) }
     marker(0xd8)
-    marker(0xe0); wbe16(16)
-    out.write("JFIF".getBytes("US-ASCII")); w8(0)
-    w8(1); w8(1); w8(0); wbe16(1); wbe16(1); w8(0); w8(0)
-    marker(0xc3); wbe16(8 + 3) // SOF3, one component
-    w8(8); wbe16(height); wbe16(width); w8(1)
-    w8(1); w8(0x11); w8(0)
+    if (nc == 1) { // JFIF only for grayscale (see encodeJpegLosslessRgb)
+      marker(0xe0); wbe16(16)
+      out.write("JFIF".getBytes("US-ASCII")); w8(0)
+      w8(1); w8(1); w8(0); wbe16(1); wbe16(1); w8(0); w8(0)
+    }
+    marker(0xc3); wbe16(8 + 3 * nc) // SOF3
+    w8(8); wbe16(height); wbe16(width); w8(nc)
+    var c = 0
+    while (c < nc) { w8(c + 1); w8(0x11); w8(0); c += 1 }
     marker(0xc4); wbe16(2 + 17 + EncDc.vals.length) // DHT, DC class
     w8(0x00)
     var l = 1
     while (l <= 16) { w8(EncDc.bits(l)); l += 1 }
     EncDc.vals.foreach(w8)
-    marker(0xda); wbe16(8) // SOS
-    w8(1); w8(1); w8(0x00)
+    if (restartRows > 0) {
+      marker(0xdd); wbe16(4); wbe16(restartRows * width) // DRI, Ri in MCUs
+    }
+    marker(0xda); wbe16(6 + 2 * nc) // SOS
+    w8(nc)
+    c = 0
+    while (c < nc) { w8(c + 1); w8(0x00); c += 1 }
     w8(predictor); w8(0); w8(0) // Ss = predictor, Se = 0, Ah/Al = 0
-    val w = new BitWriter(out)
-    val prev = new Array[Int](width)
-    val cur = new Array[Int](width)
+    var w = new BitWriter(out)
+    val prev = Array.ofDim[Int](nc, width)
+    val cur = Array.ofDim[Int](nc, width)
+    var rst = 0
     var y = 0
     while (y < height) {
+      val intervalStart = restartRows > 0 && y > 0 && y % restartRows == 0
+      if (intervalStart) {
+        w.finish()
+        marker(0xd0 + (rst & 7))
+        rst += 1
+        w = new BitWriter(out)
+      }
+      val firstLine = y == 0 || intervalStart
       var x = 0
       while (x < width) {
-        val v = gray(x, y) & 0xff
-        val pred =
-          if (y == 0 && x == 0) 128 // 2^(P−1)
-          else if (y == 0) cur(x - 1)
-          else if (x == 0) prev(0)
-          else {
-            val a = cur(x - 1)
-            val bb = prev(x)
-            val cc = prev(x - 1)
-            predictor match {
-              case 1 => a
-              case 2 => bb
-              case 3 => cc
-              case 4 => a + bb - cc
-              case 5 => a + ((bb - cc) >> 1)
-              case 6 => bb + ((a - cc) >> 1)
-              case _ => (a + bb) >> 1
+        var ci = 0
+        while (ci < nc) {
+          val v = sample(ci, x, y) & 0xff
+          val cl = cur(ci)
+          val pl = prev(ci)
+          val pred =
+            if (firstLine && x == 0) 128 // 2^(P−1)
+            else if (firstLine) cl(x - 1)
+            else if (x == 0) pl(0)
+            else {
+              val a = cl(x - 1)
+              val bb = pl(x)
+              val cc = pl(x - 1)
+              predictor match {
+                case 1 => a
+                case 2 => bb
+                case 3 => cc
+                case 4 => a + bb - cc
+                case 5 => a + ((bb - cc) >> 1)
+                case 6 => bb + ((a - cc) >> 1)
+                case _ => (a + bb) >> 1
+              }
             }
-          }
-        val diff = v - pred // |diff| ≤ 510 → category ≤ 10, inside EncDc
-        val s = sizeCat(diff)
-        w.put(EncDc.codes(s), EncDc.lens(s))
-        if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-        cur(x) = v
+          val diff = v - pred // |diff| ≤ 510 → category ≤ 10, inside EncDc
+          val s = sizeCat(diff)
+          w.put(EncDc.codes(s), EncDc.lens(s))
+          if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+          cl(x) = v
+          ci += 1
+        }
         x += 1
       }
-      System.arraycopy(cur, 0, prev, 0, width)
+      c = 0
+      while (c < nc) {
+        System.arraycopy(cur(c), 0, prev(c), 0, width)
+        c += 1
+      }
       y += 1
     }
     w.finish()

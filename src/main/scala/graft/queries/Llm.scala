@@ -681,7 +681,7 @@ object Llm {
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v12-full-t81") {
+      version = "v13-lossless-shapes") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -722,19 +722,30 @@ object Llm {
               gray = true)
           case 7 => // round 16: LOSSLESS JPEG — the only JPEG mode that
             // reproduces ARBITRARY pixels exactly, so this slot carries
-            // the full per-pixel gradient (grayscale: the red-channel
-            // formula, value ≤ 142 < 255); predictors rotate, and since
-            // round 17 the ENTROPY spelling sub-rotates too: Huffman
-            // SOF3 / arithmetic SOF11 (Annex H.1 through the QM coder),
-            // identical pixels → one closed form
-            if ((id / 10) % 2 == 0)
-              graft.operators.JpegCodec.encodeJpegLossless(w, h,
-                (x, y) => br + 3 * x + 5 * y,
-                predictor = 1 + ((id / 9) % 7).toInt)
+            // the full per-pixel gradient (value ≤ 142 < 255);
+            // predictors rotate, the ENTROPY spelling sub-rotates
+            // (Huffman SOF3 / arithmetic SOF11 through the QM coder),
+            // and since round 17 the Huffman half sub-rotates SHAPE too:
+            // plain grayscale / row-aligned RESTART-INTERVAL grayscale /
+            // 3-COMPONENT interleaved RGB (no color transform — the full
+            // per-channel gradient, same closed forms as the BMP slot)
+            // optionally restarted
+            val pred = 1 + ((id / 9) % 7).toInt
+            if ((id / 10) % 2 == 0) ((id / 20) % 3).toInt match {
+              case 0 => graft.operators.JpegCodec.encodeJpegLossless(w, h,
+                (x, y) => br + 3 * x + 5 * y, pred)
+              case 1 => graft.operators.JpegCodec.encodeJpegLossless(w, h,
+                (x, y) => br + 3 * x + 5 * y, pred,
+                restartRows = 1 + (id % 3).toInt)
+              case _ => graft.operators.JpegCodec.encodeJpegLosslessRgb(w, h,
+                (x, y) => {
+                  val (r, g, bl) = px(x, y)
+                  (r << 16) | (g << 8) | bl
+                }, pred, restartRows = (id % 2).toInt)
+            }
             else
               graft.operators.JpegCodec.encodeJpegLosslessArith(w, h,
-                (x, y) => br + 3 * x + 5 * y,
-                predictor = 1 + ((id / 9) % 7).toInt)
+                (x, y) => br + 3 * x + 5 * y, pred)
           case 8 => // round 16: BI_RLE8 BMP — the run-length coding,
             // lossless, so it carries the full gradient too; palette =
             // one entry per pixel cell, unit encoded runs + EOL/EOB
@@ -882,14 +893,21 @@ object Llm {
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
       |            WHEN g.fmt IN (7, 9) THEN
       |         CASE WHEN g.fmt = 7 THEN
-      |           w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2)
+      |           -- Huffman-lossless shape 2 is 3-component RGB (real
+      |           -- green channel); every other slot-7 shape is grayscale
+      |           -- off the red formula
+      |           CASE WHEN (g.doc_id // 10) % 2 = 0 AND (g.doc_id // 20) % 3 = 2
+      |             THEN w*h*bg + 5*(h*w*(w-1)//2) + 2*(w*h*(h-1)//2)
+      |             ELSE w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END
       |         WHEN (g.doc_id // 10) % 3 = 2 THEN lsum ELSE hsum END
       |            ELSE
       |         w*h*bg + 5*(h*w*(w-1)//2) + 2*(w*h*(h-1)//2) END AS BIGINT) AS sum_g,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
       |            WHEN g.fmt IN (7, 9) THEN
       |         CASE WHEN g.fmt = 7 THEN
-      |           w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2)
+      |           CASE WHEN (g.doc_id // 10) % 2 = 0 AND (g.doc_id // 20) % 3 = 2
+      |             THEN w*h*bb + 2*(h*w*(w-1)//2) + 7*(w*h*(h-1)//2)
+      |             ELSE w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END
       |         WHEN (g.doc_id // 10) % 3 = 2 THEN lsum ELSE hsum END
       |            ELSE
       |         w*h*bb + 2*(h*w*(w-1)//2) + 7*(w*h*(h-1)//2) END AS BIGINT) AS sum_b

@@ -584,6 +584,75 @@ class JpegCodecSpec extends SparkFunSuite {
     JpegCodec.decode(cut) match { case _ => () }
   }
 
+  test("lossless 3-component RGB (SOF3 interleaved): arbitrary pixels bit-exact, no color transform") {
+    val rnd = new scala.util.Random(557)
+    for (predictor <- Seq(1, 4, 7)) {
+      val w = 5 + rnd.nextInt(25)
+      val h = 3 + rnd.nextInt(15)
+      val px = Array.fill(h, w)(rnd.nextInt(1 << 24))
+      val bytes = JpegCodec.encodeJpegLosslessRgb(w, h,
+        (x, y) => px(y)(x), predictor)
+      val img = decode(bytes).get
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val v = px(y)(x)
+        assert((img.rgb(o) & 0xff) == ((v >> 16) & 0xff), s"R ($x,$y) p$predictor")
+        assert((img.rgb(o + 1) & 0xff) == ((v >> 8) & 0xff), s"G ($x,$y)")
+        assert((img.rgb(o + 2) & 0xff) == (v & 0xff), s"B ($x,$y)")
+      }
+      // interleave consistency: each channel of the 3-component stream
+      // decodes identically to a SINGLE-component stream of that plane —
+      // the per-component predictor state never crosses channels
+      for (c <- 0 until 3) {
+        val gray = decode(JpegCodec.encodeJpegLossless(w, h,
+          (x, y) => (px(y)(x) >> (16 - 8 * c)) & 0xff, predictor)).get
+        for (i <- 0 until w * h)
+          assert(img.rgb(i * 3 + c) == gray.rgb(i * 3), s"chan $c px $i")
+      }
+    }
+  }
+
+  test("lossless restart intervals (row-aligned DRI): bit-exact; mid-row restarts refuse") {
+    val rnd = new scala.util.Random(558)
+    val w = 17
+    val h = 11
+    val px = Array.fill(h, w)(rnd.nextInt(256))
+    for (rows <- Seq(1, 2, 4)) {
+      val bytes = JpegCodec.encodeJpegLossless(w, h, (x, y) => px(y)(x),
+        predictor = 4, restartRows = rows)
+      // the stream really carries DRI + RST markers
+      assert(bytes.sliding(2).exists(s =>
+        (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xdd))
+      val img = decode(bytes).get
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.rgb((y * w + x) * 3) & 0xff) == px(y)(x),
+          s"restartRows=$rows ($x,$y)")
+      // spelling agreement: the restarted stream and the plain stream
+      // reconstruct the same image
+      val plain = decode(JpegCodec.encodeJpegLossless(w, h,
+        (x, y) => px(y)(x), predictor = 4)).get
+      assert(img.rgb.sameElements(plain.rgb))
+    }
+    // 3-component + restarts compose
+    val cpx = Array.fill(h, w)(rnd.nextInt(1 << 24))
+    val cimg = decode(JpegCodec.encodeJpegLosslessRgb(w, h,
+      (x, y) => cpx(y)(x), predictor = 4, restartRows = 3)).get
+    for (y <- 0 until h; x <- 0 until w)
+      assert((cimg.rgb((y * w + x) * 3 + 2) & 0xff) == (cpx(y)(x) & 0xff))
+    // a DRI that is NOT a whole number of lines puts the interval's
+    // "first line" mid-row — no second implementation to agree with, so
+    // the decoder refuses (labeled stub), never guesses
+    val good = JpegCodec.encodeJpegLossless(w, h, (x, y) => px(y)(x),
+      predictor = 4, restartRows = 1)
+    val badDri = good.clone()
+    val driAt = (0 until badDri.length - 1).find(i =>
+      (badDri(i) & 0xff) == 0xff && (badDri(i + 1) & 0xff) == 0xdd).get
+    badDri(driAt + 4) = ((w - 1) >> 8).toByte // Ri = w-1: mid-row
+    badDri(driAt + 5) = ((w - 1) & 0xff).toByte
+    assert(JpegCodec.decode(badDri).isEmpty)
+  }
+
   test("lossless ARITHMETIC (SOF11): arbitrary pixels bit-exact, all 7 predictors; agrees with SOF3") {
     val rnd = new scala.util.Random(556)
     for (predictor <- 1 to 7) {
