@@ -32,8 +32,9 @@ package graft.operators
   * exact-refinement stages), and standalone LOSSLESS comes in both
   * entropies (SOF3 Huffman, SOF11 ARITHMETIC via the Annex H.1
   * (left, above) difference-class conditioning through the QM coder).
-  * 12-bit precision, arithmetic multi-component lossless, and mid-row
-  * (non-line-aligned) restart-interval lossless
+  * 12-bit progressive/arithmetic DCT, arithmetic multi-component or
+  * extended-precision lossless, and mid-row (non-line-aligned)
+  * restart-interval lossless
   * remain out of scope and return None → the labeled stub
   * path, like any other malformed/unsupported payload: corrupt media
   * in a 100 TB crawl is data, not an error.
@@ -206,6 +207,7 @@ object JpegCodec {
     var progressive = false
     var arithCoded = false // SOF9/SOF10: arithmetic entropy
     var lossless = false // SOF3: predictive lossless
+    var precision = 8 // sample precision P (see the SOF handler's gate)
     var progScans = 0 // progressive scans successfully processed
     // hierarchical mode (T.81 Annex J): DHP declares the final
     // geometry, frames accumulate into a reference plane, EXP doubles
@@ -348,7 +350,18 @@ object JpegCodec {
             // SOF7/SOF15 differential LOSSLESS (Huffman/arithmetic), the
             // exact-refinement final stages
             finalizeHierProg() // a new frame header ends a pending one
-            if ((b(seg) & 0xff) != 8) return None // 8-bit precision only
+            // sample precision: 8 everywhere; 12-bit for EXTENDED
+            // sequential Huffman (SOF1 — the only 12-bit DCT carrier
+            // T.81 B.1 defines; planes scale to 8-bit output by >> 4);
+            // 8..16 for Huffman lossless (SOF3 — Annex H's full range,
+            // scaled by >> (P-8)); everything else stays 8-bit-only
+            precision = b(seg) & 0xff
+            if (precision != 8) {
+              val ok = !hier &&
+                ((precision == 12 && m == 0xc1) ||
+                  (precision > 8 && precision <= 16 && m == 0xc3))
+              if (!ok) return None
+            }
             progressive = m == 0xc2 || m == 0xca || m == 0xc6 || m == 0xce
             arithCoded = m == 0xc9 || m == 0xca || m == 0xcb ||
               m == 0xcd || m == 0xce || m == 0xcf
@@ -502,7 +515,7 @@ object JpegCodec {
               if (ns != comps.length ||
                   comps.exists(c => c.h != 1 || c.v != 1)) return None
               if (arithCoded) {
-                if (comps.length != 1) return None
+                if (comps.length != 1 || precision != 8) return None
                 decodeLosslessArithScan(b, segEnd, comps(0), width, height,
                   ss, al, restartInterval,
                   dcL(comps(0).dcSel), dcU(comps(0).dcSel))
@@ -510,7 +523,7 @@ object JpegCodec {
               }
               if (comps.length != 1 && comps.length != 3) return None
               decodeLosslessScan(b, segEnd, scanComps, width, height,
-                ss, al, restartInterval)
+                ss, al, restartInterval, precision)
               return Some(
                 if (comps.length == 1) toRgb(comps, width, height)
                 else losslessRgb(comps, width, height))
@@ -523,7 +536,8 @@ object JpegCodec {
               if (ns != comps.length) return None // non-interleaved sequential: out of scope
               scanComps.foreach(sc =>
                 if (sc.dcTable == null || sc.acTable == null) corrupt())
-              decodeScan(b, segEnd, comps, width, height, qt, restartInterval)
+              decodeScan(b, segEnd, comps, width, height, qt, restartInterval,
+                precision)
               return Some(toRgb(comps, width, height))
             } else {
               if (comps(0).coefs == null) allocProgressive(comps, width, height)
@@ -551,10 +565,10 @@ object JpegCodec {
     * predictor, AC run/size with ZRL/EOB — shared by [[decodeScan]]
     * and the hierarchical [[decodeHierScan]]. */
   private def decodeHuffBlock(r: BitReader, c: Component, q: Array[Int],
-      coef: Array[Int]): Unit = {
+      coef: Array[Int], maxDc: Int = 15): Unit = {
     java.util.Arrays.fill(coef, 0)
     val s = r.decode(c.dcTable)
-    if (s > 15) corrupt()
+    if (s > maxDc) corrupt()
     c.pred += extend(r.receive(s), s)
     coef(0) = c.pred * q(0)
     var k = 1
@@ -1024,9 +1038,13 @@ object JpegCodec {
     toRgb(comps, width, height)
   }
 
-  /** Interleaved baseline scan: all MCUs, restart-interval aware. */
+  /** Interleaved baseline scan: all MCUs, restart-interval aware.
+    * `precision` 12 (SOF1 extended) level-shifts by 2048, clamps to
+    * 0..4095, and scales the stored plane to 8-bit by >> 4 — the DC
+    * categories widen to 16 (T.81 Table F.6). */
   private def decodeScan(b: Array[Byte], start: Int, comps: Array[Component],
-      width: Int, height: Int, qt: Array[Array[Int]], ri: Int): Unit = {
+      width: Int, height: Int, qt: Array[Array[Int]], ri: Int,
+      precision: Int = 8): Unit = {
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
     val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
@@ -1056,8 +1074,10 @@ object JpegCodec {
         while (by < c.v) {
           var bx = 0
           while (bx < c.h) {
-            decodeHuffBlock(r, c, q, coef)
-            idct(coef, pix)
+            decodeHuffBlock(r, c, q, coef,
+              maxDc = if (precision == 12) 16 else 15)
+            idct(coef, pix, level = 1 << (precision - 1),
+              max = (1 << precision) - 1, down = precision - 8)
             // place the 8×8 block into the component plane
             val ox = (mx * c.h + bx) * 8
             val oy = (my * c.v + by) * 8
@@ -1443,7 +1463,7 @@ object JpegCodec {
     * we can cross-check). */
   private def decodeLosslessScan(b: Array[Byte], start: Int,
       scanComps: Array[Component], width: Int, height: Int,
-      predSel: Int, pt: Int, ri: Int): Unit = {
+      predSel: Int, pt: Int, ri: Int, prec: Int = 8): Unit = {
     if (predSel < 1 || predSel > 7 || pt > 7) corrupt()
     val nc = scanComps.length
     scanComps.foreach { c =>
@@ -1467,7 +1487,10 @@ object JpegCodec {
         ri / width
       }
     val r = new BitReader(b, start)
-    val defaultPred = 1 << (7 - pt) // 2^(P−1−Pt), P = 8
+    val defaultPred = 1 << (prec - 1 - pt) // 2^(P−1−Pt)
+    // P > 8: reconstruction runs at full precision (mod 2^16, exact);
+    // only the stored 8-bit plane scales down
+    val down = prec - 8
     // per-component previous/current reconstructed lines (interleaved
     // MCUs advance all components in lockstep at 1×1 sampling)
     val prev = Array.ofDim[Int](nc, width)
@@ -1519,7 +1542,8 @@ object JpegCodec {
         val cl = cur(ci)
         var i2 = 0
         while (i2 < width) {
-          c.plane(y * width + i2) = ((cl(i2) << pt) & 0xff).toByte
+          c.plane(y * width + i2) =
+            ((((cl(i2) << pt) & 0xffff) >> down) & 0xff).toByte
           i2 += 1
         }
         System.arraycopy(cl, 0, prev(ci), 0, width)
@@ -1561,14 +1585,16 @@ object JpegCodec {
     }
   }
 
-  /** [[idctRaw]] + the +128 level shift, clamped to 0..255 — the
-    * non-differential spelling every other frame type uses. */
-  private def idct(coef: Array[Int], out: Array[Int]): Unit = {
+  /** [[idctRaw]] + the level shift (+2^(P−1)), clamped to 0..2^P−1 and
+    * scaled down to 8 bits — the non-differential spelling every other
+    * frame type uses; defaults are the 8-bit identity scaling. */
+  private def idct(coef: Array[Int], out: Array[Int], level: Int = 128,
+      max: Int = 255, down: Int = 0): Unit = {
     idctRaw(coef, out)
     var i = 0
     while (i < 64) {
-      val v = out(i) + 128
-      out(i) = if (v < 0) 0 else if (v > 255) 255 else v
+      val v = out(i) + level
+      out(i) = (if (v < 0) 0 else if (v > max) max else v) >> down
       i += 1
     }
   }
@@ -1741,6 +1767,13 @@ object JpegCodec {
     val bits = new Array[Int](17); bits(4) = 12
     new EncTable(bits, Array.tabulate(12)(identity))
   }
+  // extended-precision DC categories 0..16 at code length 5 (17 ≤ 2^5,
+  // no all-ones code since 16 < 31) — for 12-bit DCT (Table F.6) and
+  // P>8 lossless difference coding
+  private val EncDcWide = {
+    val bits = new Array[Int](17); bits(5) = 17
+    new EncTable(bits, Array.tabulate(17)(identity))
+  }
   // all 162 baseline AC symbols at code length 8: (run 0..15, size 1..10)
   // + EOB (0x00) + ZRL (0xF0); 161 < 255 so no all-ones code
   private val EncAc = {
@@ -1801,10 +1834,11 @@ object JpegCodec {
     }
   }
 
-  private def encodeBlock(w: BitWriter, coef: Array[Int], pred: Int): Int = {
+  private def encodeBlock(w: BitWriter, coef: Array[Int], pred: Int,
+      dcTable: EncTable = EncDc): Int = {
     val diff = coef(0) - pred
     val s = sizeCat(diff)
-    w.put(EncDc.codes(s), EncDc.lens(s))
+    w.put(dcTable.codes(s), dcTable.lens(s))
     if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
     var k = 1
     var run = 0
@@ -1943,6 +1977,74 @@ object JpegCodec {
     }
     if (arith) enc.finish() else w.finish()
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Real 12-BIT extended-sequential JPEG bytes (SOF1, P=12 — the only
+    * 12-bit DCT carrier T.81 B.1 defines; the shape medical DICOM
+    * producers emit): grayscale, all-ones quant, wide DC categories
+    * (0..16, [[EncDcWide]]). Block-constant 12-bit inputs round-trip
+    * bit-exactly at full precision (DC-only blocks), so the decoder's
+    * 8-bit output is EXACTLY `v >> 4` — the closed-form contract
+    * JpegCodecSpec and the q47 rotation grade. `gray12` returns
+    * 0..4095. */
+  def encodeJpeg12(width: Int, height: Int,
+      gray12: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
+      width.toLong * height <= MaxPixels)
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wbe16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    marker(0xd8)
+    marker(0xdb); wbe16(2 + 1 + 64) // DQT table 0: all ones, 8-bit Pq
+    w8(0)
+    var k = 0
+    while (k < 64) { w8(1); k += 1 }
+    marker(0xc1); wbe16(8 + 3) // SOF1, one component, P = 12
+    w8(12); wbe16(height); wbe16(width); w8(1)
+    w8(1); w8(0x11); w8(0)
+    def dht(tc: Int, t: EncTable): Unit = {
+      marker(0xc4); wbe16(2 + 17 + t.vals.length)
+      w8(tc << 4)
+      var l = 1
+      while (l <= 16) { w8(t.bits(l)); l += 1 }
+      t.vals.foreach(w8)
+    }
+    dht(0, EncDcWide)
+    dht(1, EncAc)
+    marker(0xda); wbe16(8) // SOS
+    w8(1); w8(1); w8(0x00)
+    w8(0); w8(63); w8(0)
+    val w = new BitWriter(out)
+    val block = new Array[Double](64)
+    val coef = new Array[Int](64)
+    var pred = 0
+    val mcusX = (width + 7) / 8
+    val mcusY = (height + 7) / 8
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 8) {
+            val sx = math.min(mx * 8 + bx, width - 1) // edge replication
+            val sy = math.min(my * 8 + by, height - 1)
+            block(by * 8 + bx) = (gray12(sx, sy) & 0xfff).toDouble - 2048.0
+            bx += 1
+          }
+          by += 1
+        }
+        fdctQuant(block, coef)
+        pred = encodeBlock(w, coef, pred, dcTable = EncDcWide)
+        mx += 1
+      }
+      my += 1
+    }
+    w.finish()
+    marker(0xd9)
     out.toByteArray
   }
 
@@ -2249,9 +2351,10 @@ object JpegCodec {
     * pixels exactly, which is what lets q47's lossless slot carry the
     * full per-pixel gradient closed form like the PNG/BMP slots. */
   def encodeJpegLossless(width: Int, height: Int, gray: (Int, Int) => Int,
-      predictor: Int = 4, restartRows: Int = 0): Array[Byte] =
+      predictor: Int = 4, restartRows: Int = 0,
+      precision: Int = 8): Array[Byte] =
     encodeLosslessCore(width, height, 1,
-      (_, x, y) => gray(x, y) & 0xff, predictor, restartRows)
+      (_, x, y) => gray(x, y), predictor, restartRows, precision)
 
   /** Real 3-COMPONENT lossless JPEG bytes (SOF3, interleaved R,G,B at
     * 1×1 — the colorspace-blind exact mode; no JFIF marker on purpose,
@@ -2269,10 +2372,15 @@ object JpegCodec {
     * predictor 1 with the default first sample). */
   private def encodeLosslessCore(width: Int, height: Int, nc: Int,
       sample: (Int, Int, Int) => Int, predictor: Int,
-      restartRows: Int): Array[Byte] = {
+      restartRows: Int, precision: Int = 8): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
       width.toLong * height <= MaxPixels && predictor >= 1 && predictor <= 7 &&
-      restartRows >= 0 && restartRows.toLong * width <= 0xffff)
+      restartRows >= 0 && restartRows.toLong * width <= 0xffff &&
+      precision >= 8 && precision <= 16 && (nc == 1 || precision == 8))
+    // P > 8 widens sample values, difference coding (mod 2^16 with the
+    // s=16 special category), and the DC category table (EncDcWide)
+    val mask = (1 << precision) - 1
+    val dc = if (precision > 8) EncDcWide else EncDc
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
     def wbe16(v: Int): Unit = { w8(v >> 8); w8(v) }
@@ -2284,14 +2392,14 @@ object JpegCodec {
       w8(1); w8(1); w8(0); wbe16(1); wbe16(1); w8(0); w8(0)
     }
     marker(0xc3); wbe16(8 + 3 * nc) // SOF3
-    w8(8); wbe16(height); wbe16(width); w8(nc)
+    w8(precision); wbe16(height); wbe16(width); w8(nc)
     var c = 0
     while (c < nc) { w8(c + 1); w8(0x11); w8(0); c += 1 }
-    marker(0xc4); wbe16(2 + 17 + EncDc.vals.length) // DHT, DC class
+    marker(0xc4); wbe16(2 + 17 + dc.vals.length) // DHT, DC class
     w8(0x00)
     var l = 1
-    while (l <= 16) { w8(EncDc.bits(l)); l += 1 }
-    EncDc.vals.foreach(w8)
+    while (l <= 16) { w8(dc.bits(l)); l += 1 }
+    dc.vals.foreach(w8)
     if (restartRows > 0) {
       marker(0xdd); wbe16(4); wbe16(restartRows * width) // DRI, Ri in MCUs
     }
@@ -2318,11 +2426,11 @@ object JpegCodec {
       while (x < width) {
         var ci = 0
         while (ci < nc) {
-          val v = sample(ci, x, y) & 0xff
+          val v = sample(ci, x, y) & mask
           val cl = cur(ci)
           val pl = prev(ci)
           val pred =
-            if (firstLine && x == 0) 128 // 2^(P−1)
+            if (firstLine && x == 0) 1 << (precision - 1) // 2^(P−1)
             else if (firstLine) cl(x - 1)
             else if (x == 0) pl(0)
             else {
@@ -2339,10 +2447,15 @@ object JpegCodec {
                 case _ => (a + bb) >> 1
               }
             }
-          val diff = v - pred // |diff| ≤ 510 → category ≤ 10, inside EncDc
-          val s = sizeCat(diff)
-          w.put(EncDc.codes(s), EncDc.lens(s))
-          if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+          // difference mod 2^16 mapped signed (T.81 H.1.2.2): −32768
+          // takes the s=16 special category with NO extra bits
+          val diff = ((v - pred) << 16) >> 16
+          if (diff == -32768) w.put(dc.codes(16), dc.lens(16))
+          else {
+            val s = sizeCat(diff)
+            w.put(dc.codes(s), dc.lens(s))
+            if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+          }
           cl(x) = v
           ci += 1
         }

@@ -681,7 +681,7 @@ object Llm {
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v13-lossless-shapes") {
+      version = "v14-precision") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -710,7 +710,15 @@ object Llm {
           case 1 => graft.operators.PixelCodec.encodePng(w, h, px,
             withAlpha = (id / 8) % 2 == 1)
           case 2 => graft.operators.PixelCodec.encodeGif(w, h, px)
-          case 3 => graft.operators.JpegCodec.encodeJpeg(jw, jh, jpx, gray = true)
+          case 3 =>
+            // sub-rotates the PRECISION since round 17: 8-bit baseline
+            // SOF0 / 12-BIT extended SOF1 whose samples are 16× the same
+            // gradient — the decoder's 8-bit output is exactly v >> 4,
+            // so ONE closed form covers both spellings
+            if ((id / 10) % 2 == 0)
+              graft.operators.JpegCodec.encodeJpeg(jw, jh, jpx, gray = true)
+            else graft.operators.JpegCodec.encodeJpeg12(jw, jh,
+              (x, y) => 16 * (br + 7 * (x / 8) + 11 * (y / 8)))
           case 4 => // real lossless WebP (VP8L): bit-exact gradient
             graft.operators.WebpCodec.encodeWebpLossless(w, h, px,
               subtractGreen = (id / 8) % 2 == 1)
@@ -731,17 +739,22 @@ object Llm {
             // per-channel gradient, same closed forms as the BMP slot)
             // optionally restarted
             val pred = 1 + ((id / 9) % 7).toInt
-            if ((id / 10) % 2 == 0) ((id / 20) % 3).toInt match {
+            if ((id / 10) % 2 == 0) ((id / 20) % 4).toInt match {
               case 0 => graft.operators.JpegCodec.encodeJpegLossless(w, h,
                 (x, y) => br + 3 * x + 5 * y, pred)
               case 1 => graft.operators.JpegCodec.encodeJpegLossless(w, h,
                 (x, y) => br + 3 * x + 5 * y, pred,
                 restartRows = 1 + (id % 3).toInt)
-              case _ => graft.operators.JpegCodec.encodeJpegLosslessRgb(w, h,
+              case 2 => graft.operators.JpegCodec.encodeJpegLosslessRgb(w, h,
                 (x, y) => {
                   val (r, g, bl) = px(x, y)
                   (r << 16) | (g << 8) | bl
                 }, pred, restartRows = (id % 2).toInt)
+              case _ => // 16-BIT precision: samples 256× the gradient,
+                // 8-bit output = v >> 8 → the same closed form
+                graft.operators.JpegCodec.encodeJpegLossless(w, h,
+                  (x, y) => 256 * (br + 3 * x + 5 * y), pred,
+                  precision = 16)
             }
             else
               graft.operators.JpegCodec.encodeJpegLosslessArith(w, h,
@@ -896,7 +909,7 @@ object Llm {
       |           -- Huffman-lossless shape 2 is 3-component RGB (real
       |           -- green channel); every other slot-7 shape is grayscale
       |           -- off the red formula
-      |           CASE WHEN (g.doc_id // 10) % 2 = 0 AND (g.doc_id // 20) % 3 = 2
+      |           CASE WHEN (g.doc_id // 10) % 2 = 0 AND (g.doc_id // 20) % 4 = 2
       |             THEN w*h*bg + 5*(h*w*(w-1)//2) + 2*(w*h*(h-1)//2)
       |             ELSE w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END
       |         WHEN (g.doc_id // 10) % 3 = 2 THEN lsum ELSE hsum END
@@ -905,7 +918,7 @@ object Llm {
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
       |            WHEN g.fmt IN (7, 9) THEN
       |         CASE WHEN g.fmt = 7 THEN
-      |           CASE WHEN (g.doc_id // 10) % 2 = 0 AND (g.doc_id // 20) % 3 = 2
+      |           CASE WHEN (g.doc_id // 10) % 2 = 0 AND (g.doc_id // 20) % 4 = 2
       |             THEN w*h*bb + 2*(h*w*(w-1)//2) + 7*(w*h*(h-1)//2)
       |             ELSE w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END
       |         WHEN (g.doc_id // 10) % 3 = 2 THEN lsum ELSE hsum END

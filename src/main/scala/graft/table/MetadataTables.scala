@@ -62,6 +62,14 @@ object MetadataTables {
     StructField("min_path", StringType, nullable = true),
     StructField("max_path", StringType, nullable = true)))
 
+  val manifestsSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("entry_count", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    // sum of the chunk's recorded data-file bytes (null when any entry
+    // predates byte recording — same unknown rule as partitions)
+    StructField("data_bytes", LongType, nullable = true)))
+
   val eqDeletesSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     // number of distinct key tuples in the equality-delete file
@@ -186,6 +194,20 @@ object MetadataTables {
             UTF8String.fromString(d.keyCols.mkString(",")), d.atVersion)
         }
         Some(new MetadataTable(s"$name.eq_deletes", eqDeletesSchema, rows))
+      case "manifests" =>
+        // `SELECT * FROM cat.db.t.manifests` — the segmented-manifest
+        // chunk layer (X120): one row per chunk ref of the current
+        // snapshot; empty for inline (small-table) snapshots
+        import org.apache.spark.unsafe.types.UTF8String
+        val rows = t.snapshot(t.latestVersion).manifestRefs.map { r =>
+          val entries = SnapshotTable.readChunk(r)
+          val size =
+            try java.nio.file.Files.size(java.nio.file.Paths.get(r))
+            catch { case _: java.io.IOException => -1L }
+          InternalRow(UTF8String.fromString(r), entries.size.toLong, size,
+            sumOrNull(entries.map(_.bytes)))
+        }
+        Some(new MetadataTable(s"$name.manifests", manifestsSchema, rows))
       case "refs" =>
         // `SELECT * FROM cat.db.t.refs` — branches and tags (Iceberg's
         // `t.refs` shape), sorted by name for deterministic output

@@ -653,6 +653,67 @@ class JpegCodecSpec extends SparkFunSuite {
     assert(JpegCodec.decode(badDri).isEmpty)
   }
 
+  test("12-bit extended sequential (SOF1): block-constant content decodes to exactly v >> 4") {
+    val rnd = new scala.util.Random(559)
+    // 3×2 MCUs, per-block-constant 12-bit values (all-ones quant →
+    // DC-only → exact at FULL precision; the 8-bit plane is v >> 4)
+    val bw = 3; val bh = 2
+    val v12 = Array.fill(bh, bw)(rnd.nextInt(4096))
+    val bytes = JpegCodec.encodeJpeg12(8 * bw, 8 * bh,
+      (x, y) => v12(y / 8)(x / 8))
+    val img = decode(bytes).get
+    assert(img.width == 24 && img.height == 16)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val expect = v12(y / 8)(x / 8) >> 4
+      assert((img.rgb((y * 24 + x) * 3) & 0xff) == expect, s"($x,$y)")
+    }
+    // DC-difference categories really exceed the 8-bit range: a black →
+    // white block step forces a wide category through EncDcWide
+    val hop = decode(JpegCodec.encodeJpeg12(16, 8,
+      (x, _) => if (x < 8) 0 else 4095)).get
+    assert((hop.rgb(0) & 0xff) == 0 && (hop.rgb(15 * 3) & 0xff) == 255)
+    // 12-bit under any other frame type refuses (only SOF1 carries it)
+    val asSof0 = bytes.clone()
+    val sofAt = (0 until asSof0.length - 1).find(i =>
+      (asSof0(i) & 0xff) == 0xff && (asSof0(i + 1) & 0xff) == 0xc1).get
+    asSof0(sofAt + 1) = 0xc0.toByte
+    assert(JpegCodec.decode(asSof0).isEmpty)
+  }
+
+  test("lossless at 12/16-bit precision: arbitrary pixels reconstruct exactly (8-bit plane = v >> (P-8))") {
+    val rnd = new scala.util.Random(560)
+    for (prec <- Seq(12, 16); predictor <- Seq(1, 4, 7)) {
+      val w = 5 + rnd.nextInt(20)
+      val h = 3 + rnd.nextInt(12)
+      val px = Array.fill(h, w)(rnd.nextInt(1 << prec))
+      val bytes = JpegCodec.encodeJpegLossless(w, h, (x, y) => px(y)(x),
+        predictor, precision = prec)
+      val img = decode(bytes).get
+      assert(img.width == w && img.height == h)
+      // full-precision reconstruction is exact or prediction errors
+      // cascade: every output byte must equal the top 8 bits
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.rgb((y * w + x) * 3) & 0xff) == (px(y)(x) >> (prec - 8)),
+          s"P=$prec predictor $predictor ($x,$y)")
+    }
+    // width agreement: a 16-bit stream of v*256 decodes identically to
+    // the plain 8-bit stream of v
+    val w = 12; val h = 7
+    val v8 = Array.fill(h, w)(rnd.nextInt(256))
+    val from8 = decode(JpegCodec.encodeJpegLossless(w, h,
+      (x, y) => v8(y)(x), predictor = 4)).get
+    val from16 = decode(JpegCodec.encodeJpegLossless(w, h,
+      (x, y) => v8(y)(x) * 256, predictor = 4, precision = 16)).get
+    assert(from8.rgb.sameElements(from16.rgb))
+    // the s=16 special category (difference exactly -32768 mod 2^16)
+    // round-trips: alternating 0 / 32768 rails at P=16
+    val rails = decode(JpegCodec.encodeJpegLossless(8, 2,
+      (x, _) => if (x % 2 == 0) 0 else 32768, predictor = 1,
+      precision = 16)).get
+    for (x <- 0 until 8)
+      assert((rails.rgb(x * 3) & 0xff) == (if (x % 2 == 0) 0 else 128))
+  }
+
   test("lossless ARITHMETIC (SOF11): arbitrary pixels bit-exact, all 7 predictors; agrees with SOF3") {
     val rnd = new scala.util.Random(556)
     for (predictor <- 1 to 7) {

@@ -84,6 +84,22 @@ class ManifestChunkSpec extends SparkFunSuite {
     assert(t.read().count() == expect.count())
   }
 
+  test("t.manifests exposes the chunk layer through SQL") {
+    val wh = graft.Tables.scratch("test/mc-meta-wh")
+    graft.Tables.deleteRecursively(wh)
+    spark.conf.set("spark.sql.catalog.mcm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mcm.warehouse", wh)
+    spark.sql("CREATE TABLE mcm.db.ev (event_id BIGINT, user_id BIGINT, value DOUBLE)")
+    spark.sql("ALTER TABLE mcm.db.ev SET TBLPROPERTIES " +
+      s"('${SnapshotTable.ManifestInlineMax}' = '4')")
+    events().repartition(8).writeTo("mcm.db.ev").append()
+    val rows = spark.sql(
+      "SELECT entry_count, size_bytes FROM mcm.db.ev.manifests").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).sum == 8)
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+
   test("expiration sweeps chunks no surviving snapshot references") {
     val loc = scratch("mc-gc")
     val t = SnapshotTable.create(spark, loc, events().repartition(8))
