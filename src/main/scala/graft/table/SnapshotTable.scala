@@ -357,14 +357,33 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       dels: Seq[SnapshotTable.DeleteFile],
       eqDels: Seq[SnapshotTable.EqDeleteFile] = Seq.empty): DataFrame =
     if (dels.isEmpty && eqDels.isEmpty) readFileList(files, schema, renames)
+    else if (eqDels.isEmpty)
+      applyDeletes(
+        readFileList(files, schema, renames, withRowMeta = true),
+        dels, schema.fieldNames.toSeq)
     else {
+      // Equality-delete applicability is a PER-FILE fact (addedAt vs the
+      // delete's commit version), so split the file list into strata of
+      // equal applicable-delete signature and anti-join each stratum on
+      // KEYS ONLY — no per-row sequence lookup in the plan at all (the
+      // alternative, a broadcast (path → addedAt) join, would ship
+      // O(table files) driver state through every read). Signatures are
+      // prefix-monotone in addedAt, so there are at most (eqDels + 1)
+      // strata, and compaction folds the ledger anyway.
       val keep = schema.fieldNames.toSeq
-      val meta = Seq(SnapshotTable.MetaFile, SnapshotTable.MetaPos)
-      var df = readFileList(files, schema, renames, withRowMeta = true)
-      if (dels.nonEmpty) df = applyDeletes(df, dels, keep ++ meta)
-      if (eqDels.nonEmpty) df = applyEqDeletes(df, files, eqDels, keep ++ meta)
-      import org.apache.spark.sql.functions.col
-      df.select(keep.map(col): _*)
+      val strata = files.groupBy(f =>
+        eqDels.map(d => f.addedAt < 0 || f.addedAt < d.atVersion)
+          .toIndexedSeq)
+      strata.toSeq.sortBy(_._1.mkString).map { case (sig, fs) =>
+        var df = readFileList(fs, schema, renames,
+          withRowMeta = dels.nonEmpty)
+        if (dels.nonEmpty) df = applyDeletes(df, dels, keep)
+        eqDels.zip(sig).collect { case (d, true) => d }
+          .foldLeft(df) { (acc, d) =>
+            val (e, cond) = eqKeyJoin(acc, d)
+            acc.join(e, cond, "left_anti")
+          }
+      }.reduce(_.unionByName(_))
     }
 
   /** Anti-join `base` (which carries the [[SnapshotTable.MetaFile]] /
@@ -443,17 +462,27 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/") === col("__gd_lk_path"), "left")
   }
 
-  /** One equality-delete file as a join side: (entries frame with
-    * prefixed column names, null-safe key match ∧ sequence scope). The
-    * entry payload is broadcast while provably small (manifest bytes). */
-  private def eqJoinSide(df: DataFrame, d: SnapshotTable.EqDeleteFile)
+  /** One equality-delete file as a KEY-ONLY join side: (entries frame
+    * with prefixed column names, null-safe key match). The entry payload
+    * is broadcast while provably small (manifest bytes). */
+  private def eqKeyJoin(df: DataFrame, d: SnapshotTable.EqDeleteFile)
       : (DataFrame, org.apache.spark.sql.Column) = {
-    import org.apache.spark.sql.functions.{broadcast, lit}
+    import org.apache.spark.sql.functions.broadcast
     val entryCols = d.keyCols.map(k => s"__gd_eq_$k")
     val e0 = spark.read.parquet(d.path).toDF(entryCols: _*)
     val e = if (d.bytes >= 0 && d.bytes <= (32L << 20)) broadcast(e0) else e0
     val keyMatch = d.keyCols.zip(entryCols)
       .map { case (k, ek) => df(k) <=> e(ek) }.reduce(_ && _)
+    (e, keyMatch)
+  }
+
+  /** [[eqKeyJoin]] plus the per-row sequence scope (`__gd_added <
+    * atVersion`) — the CDC resolution spelling, where rows of mixed
+    * strata flow through one frame annotated by [[withAddedAt]]. */
+  private def eqJoinSide(df: DataFrame, d: SnapshotTable.EqDeleteFile)
+      : (DataFrame, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.lit
+    val (e, keyMatch) = eqKeyJoin(df, d)
     (e, keyMatch && df("__gd_added") < lit(d.atVersion))
   }
 
