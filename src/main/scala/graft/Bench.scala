@@ -18,7 +18,8 @@ object Bench {
          "q49_bench_metrics" | "q52_warehouse_usage" | "q53_storage_usage" |
          "q54_multi_engine" | "q55_partitioned_table" |
          "q55b_partition_evolution" |
-         "q57_zorder_compaction" | "q58_sql_merge" | "q58b_mor_merge" |
+         "q57_zorder_compaction" | "q57b_sort_order" |
+         "q58_sql_merge" | "q58b_mor_merge" |
          "q58c_equality_upsert" |
          "q59_history_table" | "q64_days_transform" |
          "q67_wap_publish" | "q68_retention_floor" |
@@ -61,7 +62,8 @@ object Bench {
   val writeFamily: Set[String] = Set(
     "q42_streaming_agg", "q44_compaction", "q55b_partition_evolution",
     "q56_ngram_jaccard",
-    "q57_zorder_compaction", "q58_sql_merge", "q58b_mor_merge",
+    "q57_zorder_compaction", "q57b_sort_order",
+    "q58_sql_merge", "q58b_mor_merge",
     "q58c_equality_upsert",
     "q61_stateful_dedup",
     "q63_streaming_pipeline", "q64_days_transform", "q65_dynamic_table",

@@ -38,6 +38,14 @@ object PartitionDdl {
   private val ReplaceRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+REPLACE\\s+PARTITION\\s+""" +
       s"""FIELD\\s+($Field)\\s+WITH\\s+($Field)\\s*;?\\s*$$""").r
+  // Iceberg's write-order spellings: ORDERED BY a[, b…] (with or without
+  // parens; plain identity columns) / UNORDERED — desugared to the
+  // write.sort-order table property the staged write path reads
+  private val OrderedRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+WRITE\\s+ORDERED\\s+BY\\s+""" +
+      """\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?\s*;?\s*$""").r
+  private val UnorderedRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+WRITE\\s+UNORDERED\\s*;?\\s*$$""").r
 
   // identifier split/unquote and the dotted-segment refusal, shared with
   // the view DDL desugar's rules (same procedure-side split('.'))
@@ -88,6 +96,19 @@ object PartitionDdl {
         val p = parts(ident)
         if (!isGraftCatalog(p.head)) sql
         else call(p, s"add => ${lit(to)}, drop => ${lit(from)}")
+      case OrderedRe(ident, cols) =>
+        // `ident` re-emits VERBATIM (backquoting preserved) — only the
+        // catalog part is inspected
+        if (!isGraftCatalog(parts(ident).head)) sql
+        else {
+          val list = cols.split(",").map(_.trim).filter(_.nonEmpty)
+            .mkString(",")
+          s"ALTER TABLE $ident SET TBLPROPERTIES " +
+            s"('write.sort-order' = ${lit(list)})"
+        }
+      case UnorderedRe(ident) =>
+        if (!isGraftCatalog(parts(ident).head)) sql
+        else s"ALTER TABLE $ident UNSET TBLPROPERTIES ('write.sort-order')"
       case _ => sql
     }
 }

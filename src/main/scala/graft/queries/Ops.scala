@@ -169,6 +169,46 @@ object Ops {
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events WHERE user_id < 50""".stripMargin
 
+  // ------------------------------------------------------------- q57b
+  // WRITE SORT ORDER (Iceberg's WRITE ORDERED BY surface, the
+  // stats-tightness lever): declare `write.sort-order = user_id` through
+  // SQL, append — the staged write range-distributes + sorts so each
+  // file's user_id min/max are disjoint and the verified point-filtered
+  // read prunes whole files (the manifest-level win Z-order generalizes
+  // to multiple dimensions). The query asserts the layout actually
+  // prunes before answering; the oracle recomputes from raw events.
+  def q57b(s: SparkSession, dir: String): DataFrame = {
+    val wh = Tables.scratch("warehouse/graft-catalog")
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val name = s"events_sorted_${tag(dir)}"
+    Tables.deleteRecursively(s"$wh/db/$name")
+    s.sql(
+      s"""CREATE TABLE graft.db.$name
+         |  (event_id BIGINT, user_id BIGINT, value DOUBLE)""".stripMargin)
+    s.sql(s"ALTER TABLE graft.db.$name SET TBLPROPERTIES " +
+      "('write.sort-order' = 'user_id')")
+    ev(s, dir).select(col("event_id"), col("user_id"), col("value"))
+      .repartition(8)
+      .writeTo(s"graft.db.$name").append()
+    // layout sanity: a point predicate prunes to a strict subset
+    val t = SnapshotTable.load(s, s"$wh/db/$name")
+    val files = t.snapshot(t.latestVersion).files.filter(_.rows > 0)
+    val kept = graft.table.StatsPruning.prune(files,
+      Seq(org.apache.spark.sql.sources.EqualTo("user_id", 7L)))
+    require(files.size >= 4 && kept.size < files.size,
+      s"q57b: sorted layout must prune (kept ${kept.size}/${files.size})")
+    s.sql(
+      s"""SELECT count(*) AS n_events,
+         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         |FROM graft.db.$name WHERE user_id < 50""".stripMargin)
+  }
+
+  val q57bSql =
+    """SELECT count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events WHERE user_id < 50""".stripMargin
+
   // ------------------------------------------------------------- q58
   // SQL MERGE INTO through the DSv2 row-level operation protocol
   // (group-based copy-on-write): seed the catalog table with the first
@@ -1250,6 +1290,7 @@ object Ops {
     "q55_partitioned_table" -> (q55 _),
     "q55b_partition_evolution" -> (q55b _),
     "q57_zorder_compaction" -> (q57 _),
+    "q57b_sort_order" -> (q57b _),
     "q58_sql_merge" -> (q58 _),
     "q58b_mor_merge" -> (q58b _),
     "q58c_equality_upsert" -> (q58c _),
@@ -1283,6 +1324,7 @@ object Ops {
     "q55_partitioned_table" -> q55Sql,
     "q55b_partition_evolution" -> q55bSql,
     "q57_zorder_compaction" -> q57Sql,
+    "q57b_sort_order" -> q57bSql,
     "q58_sql_merge" -> q58Sql,
     "q58b_mor_merge" -> q58bSql,
     "q58c_equality_upsert" -> q58cSql,

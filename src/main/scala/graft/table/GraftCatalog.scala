@@ -410,6 +410,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (sp.property() == SnapshotTable.MaxSnapshotAgeMs)
           require(sp.value().trim.matches("\\d+"),
             s"${sp.property()} must be a non-negative integer, got '${sp.value()}'")
+        if (sp.property() == SnapshotTable.SortOrder)
+          sp.value().split(",").map(_.trim).filter(_.nonEmpty).foreach(c =>
+            require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+              s"${SnapshotTable.SortOrder}: unknown column $c"))
         propSet += sp.property() -> sp.value()
       case rp: TableChange.RemoveProperty =>
         propUnset += rp.property()

@@ -1392,7 +1392,10 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         data.repartitionByRange(nFiles, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else data.repartition(nFiles)
-    val staged = stage(arranged, base.partitionCols)
+    // an explicit zorder/cluster arrangement overrides the declared
+    // write sort order for this rewrite; plain compaction honors it
+    val staged = stage(arranged, base.partitionCols,
+      applySortOrder = zorderBy.isEmpty && clusterBy.isEmpty)
     commitWithRetry(
       cur => {
         val live = cur.files.map(_.path).toSet
@@ -1717,6 +1720,14 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     set.get(SnapshotTable.MaxSnapshotAgeMs).foreach(v =>
       require(v.trim.matches("\\d+"),
         s"${SnapshotTable.MaxSnapshotAgeMs} must be a non-negative integer, got '$v'"))
+    set.get(SnapshotTable.SortOrder).foreach { v =>
+      val declared = org.apache.spark.sql.types.DataType
+        .fromJson(snapshot(latestVersion).schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+      v.split(",").map(_.trim).filter(_.nonEmpty).foreach(c =>
+        require(declared.exists(_.equalsIgnoreCase(c)),
+          s"${SnapshotTable.SortOrder}: unknown column $c"))
+    }
     commitWithRetry(b => b.files, b => b.schemaJson, "alter",
       nextProperties = b => (b.properties ++ set) -- unset)
   }
@@ -1830,18 +1841,38 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * same stats-pruning machinery as data-column range skipping.
     */
   private def stage(df: DataFrame,
-      pcols: Seq[String]): Seq[SnapshotTable.DataFile] = {
+      pcols: Seq[String],
+      applySortOrder: Boolean = true): Seq[SnapshotTable.DataFile] = {
     // the schema generation these files are written under — the rename
     // log classifies files by it (a rename committed LATER has a higher
     // version, so these files correctly resolve to their written names)
     val schemaGen = latestVersion
+    // the declared write sort order, restricted to columns this frame
+    // actually carries (see [[SnapshotTable.SortOrder]])
+    val sortCols: Seq[String] =
+      if (!applySortOrder) Seq.empty
+      else properties.getOrElse(SnapshotTable.SortOrder, "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
     // INT64 micros timestamps: footer stats are usable (INT96 has none)
     // and the files stay readable by other engines
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val paths: Seq[String] =
       if (pcols.isEmpty) {
         val dir = dataDir.resolve(java.util.UUID.randomUUID.toString)
-        df.write.parquet(dir.toString)
+        val arranged =
+          if (sortCols.isEmpty) df
+          else {
+            // range-distribute then sort: each output file covers a
+            // DISJOINT sort-column range, so its manifest min/max are
+            // tight and point/range predicates prune whole files — the
+            // layout `WRITE ORDERED BY` exists for. File count preserved.
+            import org.apache.spark.sql.functions.col
+            val n = math.max(1, df.rdd.getNumPartitions)
+            df.repartitionByRange(n, sortCols.map(col): _*)
+              .sortWithinPartitions(sortCols.map(col): _*)
+          }
+        arranged.write.parquet(dir.toString)
         Files.list(dir).iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map(_.toString).toSeq.sorted
@@ -1906,9 +1937,15 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         // small files — the exact problem the reference demos compaction
         // for. A pathologically hot partition serializes into one task;
         // compact(clusterBy/zorderBy) is the rebalance for that.
-        withDirKeys
+        val distributed = withDirKeys
           .repartition(dirCols.map(org.apache.spark.sql.functions.col): _*)
-          .write.partitionBy(dirCols: _*).parquet(tmp.toString)
+        val arranged =
+          if (sortCols.isEmpty) distributed
+          // within each partition value's file: sorted content → tight
+          // parquet row-group stats on the sort columns
+          else distributed.sortWithinPartitions(
+            (dirCols ++ sortCols).map(org.apache.spark.sql.functions.col): _*)
+        arranged.write.partitionBy(dirCols: _*).parquet(tmp.toString)
         val staged = Files.walk(tmp).iterator().asScala
           .filter(p => p.getFileName.toString.endsWith(".parquet"))
           .toSeq.sorted
@@ -2344,6 +2381,20 @@ object SnapshotTable {
     * `merge-on-read` writes position deletes; anything else (default)
     * keeps copy-on-write. Iceberg's property name. */
   val DeleteMode = "write.delete.mode"
+
+  /** Table property declaring a WRITE SORT ORDER (Iceberg's
+    * `WRITE ORDERED BY` surface): a comma-separated column list every
+    * staged write arranges by — unpartitioned writes RANGE-distribute
+    * across their output files and sort within them (so manifest min/max
+    * on the sort columns become disjoint and point/range predicates
+    * prune at the FILE level), partitioned writes sort within each
+    * partition's file (tight parquet row-group stats). Plain compaction
+    * honors it; explicit `zorder_by`/`cluster_by` compaction arguments
+    * override it for that rewrite. Sort columns missing from a
+    * particular append's frame are skipped for that write (additive
+    * schema evolution keeps working); unknown columns are refused at
+    * ALTER time. */
+  val SortOrder = "write.sort-order"
 
   /** Table property opting writes into per-file HLL NDV sketches: a
     * comma-separated column list, or `auto` for every sketch-eligible
