@@ -149,6 +149,24 @@ class EqualityDeleteSpec extends SparkFunSuite {
     assert(ex4.getMessage.contains("equality-delete"))
   }
 
+  test("incremental reads refuse to cross equality-delete commits, pointing at changes()") {
+    val loc = scratch("eq-incr")
+    val e = events()
+    val t = SnapshotTable.create(spark, loc, e)
+    val v0 = t.latestVersion
+    import spark.implicits._
+    t.equalityDelete(Seq(3L).toDF("user_id"))
+    t.append(e.limit(10))
+    // the appends-only delta would surface rows the delete killed —
+    // refused loudly with the row-level CDC remedy
+    val ex = intercept[IllegalArgumentException](t.appendsSince(v0))
+    assert(ex.getMessage.contains("changes"))
+    // the changelog itself crosses the commit exactly
+    val delta = t.changes(v0)
+    val dels = delta.filter(col("_change_type") === "delete").count()
+    assert(dels == e.filter(col("user_id") === 3L).count())
+  }
+
   test("streaming upsert sink: exactly-once equality-delete upserts per epoch") {
     val srcDir = scratch("eq-stream-src")
     val e = events().select("event_id", "user_id", "value")
