@@ -41,9 +41,18 @@ object PartitionDdl {
   // Iceberg's write-order spellings: ORDERED BY a[, b…] (with or without
   // parens; plain identity columns) / UNORDERED — desugared to the
   // write.sort-order table property the staged write path reads
+  // Parens must balance (two alternates: parenthesized list OR bare
+  // list) — `BY (a, b` / `BY a)` must NOT silently desugar to SET
+  // TBLPROPERTIES; they fall through to stock Spark's parse error.
   private val OrderedRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+WRITE\\s+ORDERED\\s+BY\\s+""" +
-      """\(?\s*(\w+(?:\s*,\s*\w+)*)\s*\)?\s*;?\s*$""").r
+      """(?:\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)|(\w+(?:\s*,\s*\w+)*))\s*;?\s*$""").r
+  // direction / null-order modifiers (Iceberg's `ORDERED BY a DESC NULLS
+  // LAST`) are recognized so the refusal is targeted, not stock Spark's
+  // generic parse error
+  private val OrderedModifierRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+WRITE\\s+ORDERED\\s+BY\\s+""" +
+      """.*\b(?:ASC|DESC|NULLS)\b.*$""").r
   private val UnorderedRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident)\\s+WRITE\\s+UNORDERED\\s*;?\\s*$$""").r
 
@@ -96,11 +105,17 @@ object PartitionDdl {
         val p = parts(ident)
         if (!isGraftCatalog(p.head)) sql
         else call(p, s"add => ${lit(to)}, drop => ${lit(from)}")
-      case OrderedRe(ident, cols) =>
+      case OrderedModifierRe(ident) if isGraftCatalog(parts(ident).head) =>
+        throw new IllegalArgumentException(
+          "WRITE ORDERED BY supports plain ascending identity columns " +
+            "only; direction/null-order modifiers (ASC/DESC/NULLS " +
+            "FIRST/LAST) are not supported")
+      case OrderedRe(ident, parenCols, bareCols) =>
         // `ident` re-emits VERBATIM (backquoting preserved) — only the
         // catalog part is inspected
         if (!isGraftCatalog(parts(ident).head)) sql
         else {
+          val cols = Option(parenCols).getOrElse(bareCols)
           val list = cols.split(",").map(_.trim).filter(_.nonEmpty)
             .mkString(",")
           s"ALTER TABLE $ident SET TBLPROPERTIES " +

@@ -636,7 +636,11 @@ object Streams {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          val tag = s"upsert-batch-$batchId"
+          // scope the exactly-once replay tag to THIS logical stream: a
+          // second stream into the same table (fresh checkpoint, batch
+          // ids restarting at 0) must not have its early batches skipped
+          // as replays of the first stream's commits
+          val tag = s"upsert-$checkpointTag-batch-$batchId"
           val exists = new java.io.File(s"$tableLoc/_snapshots").isDirectory
           if (!exists) {
             new java.io.File(tableLoc).mkdirs()

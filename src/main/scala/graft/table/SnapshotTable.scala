@@ -383,7 +383,12 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
             val (e, cond) = eqKeyJoin(acc, d)
             acc.join(e, cond, "left_anti")
           }
-      }.reduce(_.unionByName(_))
+      }.reduceOption(_.unionByName(_))
+        // stats pruning can legitimately empty the file list (a point
+        // predicate outside every file's min/max) even while the
+        // eq-delete ledger is live — return the empty relation, the same
+        // contract as the legacy paths' readFileList empty branch
+        .getOrElse(readFileList(Seq.empty, schema, renames))
     }
 
   /** Anti-join `base` (which carries the [[SnapshotTable.MetaFile]] /
@@ -1605,6 +1610,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * distinct key-tuple count (the rows deleted are unknowable without
     * the scan this operation exists to avoid — Iceberg's contract too). */
   def equalityDelete(keys: DataFrame): Long = {
+    require(latestVersion >= 0,
+      s"equalityDelete: table does not exist at $location")
     val base = snapshot(latestVersion)
     val staged = stageEqDeleteEntries(keys, base)
     if (staged.isEmpty) return 0L
@@ -1629,6 +1636,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     require(keyCols.nonEmpty, "upsertMor needs at least one key column")
     keyCols.foreach(k => require(updates.columns.exists(_.equalsIgnoreCase(k)),
       s"upsertMor key column $k missing from the update frame"))
+    require(latestVersion >= 0,
+      s"upsertMor: table does not exist at $location")
     val base = snapshot(latestVersion)
     val stagedDeletes = stageEqDeleteEntries(
       updates.select(keyCols.map(col): _*), base)
@@ -1655,7 +1664,18 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       val f = schema.fields.find(_.name.equalsIgnoreCase(k)).getOrElse(
         throw new IllegalArgumentException(
           s"equality-delete key column $k is not a table column"))
-      col(k).cast(f.dataType).as(f.name)
+      // Refuse uncastable key values instead of letting a non-ANSI cast
+      // silently yield NULL — a NULL entry would null-safe-match (and
+      // delete) every NULL-keyed row in the table, turning a caller typo
+      // into data loss. try_cast makes the guard ANSI-mode-independent;
+      // raise_error fires during the staging write below.
+      import org.apache.spark.sql.functions.{concat, lit, raise_error, when}
+      val cast = col(k).try_cast(f.dataType)
+      when(col(k).isNotNull && cast.isNull,
+          raise_error(concat(
+            lit(s"equality-delete key $k: value '"), col(k).cast("string"),
+            lit(s"' is not castable to ${f.dataType.sql}"))).cast(f.dataType))
+        .otherwise(cast).as(f.name)
     }
     val dir = dataDir.resolve(s"eqdeletes-${java.util.UUID.randomUUID}")
     keys.select(typed: _*).distinct()
@@ -2673,6 +2693,12 @@ object SnapshotTable {
     require(t.latestVersion >= 0, s"no snapshot log at $location")
     t
   }
+
+  /** Open a handle WITHOUT the existence check — for internal callers
+    * (clone destinations, create-if-absent sinks) and specs that grade
+    * the per-operation not-yet-created guards. */
+  private[table] def openUnchecked(spark: SparkSession,
+      location: String): SnapshotTable = new SnapshotTable(spark, location)
 
   // Minimal JSON codec (Jackson via Spark's bundled jars; the snapshot
   // document is our own format, so no external schema to honor).

@@ -176,18 +176,96 @@ class EqualityDeleteSpec extends SparkFunSuite {
         .withColumn("value", col("value") + 1000))
       .repartition(30).write.parquet(srcDir)
     val tableLoc = scratch("eq-stream-table")
+    val ckptTag = s"eqspec_${System.nanoTime}"
     val t = graft.streaming.Streams.upsertStream(spark, srcDir, tableLoc,
-      Seq("event_id"), s"eqspec_${System.nanoTime}")
+      Seq("event_id"), ckptTag)
     // after the full drain every event_id appears exactly once
     assert(t.read().count() == e.count())
     val dup = t.read().groupBy("event_id").count().filter(col("count") > 1).count()
     assert(dup == 0)
-    // replaying the whole stream (fresh checkpoint, same batches replay
-    // detection is per-batch-id so use the SAME tag semantics via direct
-    // upsertMor replay): an already-committed operation tag is skipped
+    // replay detection is scoped to THIS logical stream's tag — a batch id
+    // alone is not an identity (a second stream's batch 0 must not be
+    // mistaken for this one's)
     val v = t.latestVersion
-    assert(t.hasOperation("upsert-batch-0"))
-    assert(!t.hasOperation("upsert-batch-999"))
+    assert(t.hasOperation(s"upsert-$ckptTag-batch-0"))
+    assert(!t.hasOperation(s"upsert-$ckptTag-batch-999"))
     assert(t.latestVersion == v)
+  }
+
+  test("streaming upsert sink: a second stream with a fresh checkpoint is not skipped as replay") {
+    val srcA = scratch("eq-stream2-srcA")
+    val srcB = scratch("eq-stream2-srcB")
+    val e = events().select("event_id", "user_id", "value")
+    e.filter(col("event_id") < 200).repartition(3).write.parquet(srcA)
+    // second stream updates an overlapping key range with new values
+    e.filter(col("event_id") < 100)
+      .withColumn("value", col("value") + 5000)
+      .repartition(3).write.parquet(srcB)
+    val tableLoc = scratch("eq-stream2-table")
+    val n = System.nanoTime
+    graft.streaming.Streams.upsertStream(spark, srcA, tableLoc,
+      Seq("event_id"), s"eqspec2a_$n")
+    // stream B has its OWN checkpoint — its batch ids restart at 0; with
+    // an unscoped `upsert-batch-$id` tag its early batches would be
+    // silently dropped as replays of stream A's commits
+    val t = graft.streaming.Streams.upsertStream(spark, srcB, tableLoc,
+      Seq("event_id"), s"eqspec2b_$n")
+    val updated = t.read().filter(col("event_id") < 100 && col("value") >= 5000)
+    assert(updated.count() == e.filter(col("event_id") < 100).count())
+    assert(t.read().count() == e.filter(col("event_id") < 200).count())
+  }
+
+  test("live eq-delete ledger over an empty or pruned-to-empty file list returns 0 rows") {
+    import spark.implicits._
+    // empty table + eq delete: the stratified read sees ZERO strata
+    val loc = scratch("eq-empty-read")
+    val t = SnapshotTable.createEmpty(spark, loc, events().schema)
+    t.equalityDelete(Seq(3L).toDF("user_id"))
+    assert(t.read().count() == 0)
+    // stats-pruned-to-empty through SQL: a point predicate outside every
+    // file's min/max empties morScanBuilder's staticFiles while the
+    // ledger is live — the normal state between upserts and compaction
+    val wh = graft.Tables.scratch("test/eq-prune-wh")
+    graft.Tables.deleteRecursively(wh)
+    spark.conf.set("spark.sql.catalog.eqp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.eqp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS eqp.db")
+    val t2 = SnapshotTable.create(spark, s"$wh/db/ev", events())
+    t2.equalityDelete(Seq(3L).toDF("user_id"))
+    assert(spark.sql(
+      "SELECT * FROM eqp.db.ev WHERE user_id = 99999999").count() == 0)
+  }
+
+  test("uncastable equality-delete key values raise instead of silently deleting NULL-keyed rows") {
+    import spark.implicits._
+    val loc = scratch("eq-badcast")
+    // a table with a NULL-keyed row that a silent NULL cast would destroy
+    val e = events().withColumn("user_id",
+      when(col("event_id") === 0, lit(null)).otherwise(col("user_id")))
+    val t = SnapshotTable.create(spark, loc, e)
+    val before = t.read().count()
+    val ex = intercept[Exception](
+      t.equalityDelete(Seq("not-a-number").toDF("user_id")))
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(ex).exists(_.contains("not castable")))
+    // nothing committed, nothing deleted — the NULL-keyed row survives
+    assert(t.read().count() == before)
+    assert(t.read().filter(col("user_id").isNull).count() == 1)
+    // a CASTABLE string key still works (the convenience the cast exists for)
+    val n = t.equalityDelete(Seq("3").toDF("user_id"))
+    assert(n == 1)
+  }
+
+  test("equalityDelete/upsertMor on a never-created table refuse with a clear message") {
+    import spark.implicits._
+    val loc = scratch("eq-nonexistent")
+    val t = SnapshotTable.openUnchecked(spark, loc)
+    val ex1 = intercept[IllegalArgumentException](
+      t.equalityDelete(Seq(1L).toDF("user_id")))
+    assert(ex1.getMessage.contains("does not exist"))
+    val ex2 = intercept[IllegalArgumentException](
+      t.upsertMor(Seq((1L, 2L)).toDF("event_id", "user_id"), Seq("event_id")))
+    assert(ex2.getMessage.contains("does not exist"))
   }
 }

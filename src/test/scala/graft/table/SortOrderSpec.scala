@@ -94,6 +94,18 @@ class SortOrderSpec extends SparkFunSuite {
       val ex = intercept[Exception](
         s.sql("ALTER TABLE sodl.db.ev WRITE ORDERED BY nope"))
       assert(ex.getMessage.contains("unknown column"))
+      // unbalanced parens must NOT silently desugar to SET TBLPROPERTIES —
+      // they fall through to stock Spark's parse error, property untouched
+      intercept[Exception](
+        s.sql("ALTER TABLE sodl.db.ev WRITE ORDERED BY (user_id, value"))
+      intercept[Exception](
+        s.sql("ALTER TABLE sodl.db.ev WRITE ORDERED BY user_id)"))
+      assert(!t.properties.contains(SnapshotTable.SortOrder))
+      // direction/null-order modifiers get a targeted refusal, not a
+      // generic parse error
+      val exDesc = intercept[Exception](
+        s.sql("ALTER TABLE sodl.db.ev WRITE ORDERED BY user_id DESC NULLS LAST"))
+      assert(exDesc.getMessage.contains("modifiers"))
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(shared)
       org.apache.spark.sql.SparkSession.setDefaultSession(shared)
