@@ -281,6 +281,15 @@ object Bench {
         // round reads (reference records bytes_scanned per query too,
         // run_performance_tests.py:86-119)
         var m = (0L, 0L, 0L)
+        // plan_ms: driver-side time to CONSTRUCT and PLAN the frame —
+        // frame building (catalog loadTable, snapshot/manifest-chunk
+        // parse, delete-ledger reads) plus analysis/optimization/physical
+        // planning, everything before the first job submits. Attributes
+        // metadata-path regressions (e.g. time travel parsing manifest
+        // chunks) separately from scan time. For write-family queries the
+        // frame-construction step includes their imperative commits, so
+        // compare plan_ms across READ queries only.
+        var planMs = -1.0
         val (rows, status) =
           try {
             // df.count() executes a DERIVED plan, leaving df's own
@@ -288,6 +297,8 @@ object Bench {
             // the count aggregate explicitly and collect THAT, so the
             // metrics come from the plan that actually ran
             val agg = fn(spark, sfDir).groupBy().count()
+            agg.queryExecution.executedPlan // force planning, untimed jobs none
+            planMs = (System.nanoTime() - t0) / 1e6
             val r = agg.collect()(0).getLong(0)
             m = graft.metrics.QueryMetrics.planMetrics(agg.queryExecution)
             (r, "OK")
@@ -297,7 +308,7 @@ object Bench {
           }
         val sec = (System.nanoTime() - t0) / 1e9
         sweepCaches(spark)
-        (sec, rows, status, m, repLoad)
+        (sec, rows, status, m, repLoad, planMs)
       }
       // median elapsed for the write family (n>1); the rows/status pair
       // comes from the worst run so an intermittent failure is never
@@ -313,7 +324,11 @@ object Bench {
       // per-query load: the max 1-min loadavg sampled at the start of any
       // of this query's reps — the field the hot flag is judged on
       val qLoad = runs.map(_._5).max
-      (name, sec, rows, status, runs.map(_._1), bytes, qLoad)
+      // plan_ms: min over successful reps (the cache-warm steady state —
+      // the first rep pays one-time metadata/chunk-cache fills)
+      val planMs = runs.filter(r => r._3 == "OK" && r._6 >= 0).map(_._6)
+        .minOption.getOrElse(-1.0)
+      (name, sec, rows, status, runs.map(_._1), bytes, qLoad, planMs)
     }
     val loadEnd = loadavg()
     if (loadEnd > loadMax) loadMax = loadEnd
@@ -342,8 +357,9 @@ object Bench {
       val mb = bytes / 1e6
       if (mb < 0.05) "0" else if (mb < 9.95) jnum(mb, 1) else jnum(mb, 0)
     }
-    def mkLine(key: String => String, withBytes: Boolean): String = {
-      val qs = results.map { case (n, sec, _, _, _, _, _) => s"${jstr(key(n))}:${jnum(sec, 2)}" }.mkString("{", ",", "}")
+    def mkLine(key: String => String, withBytes: Boolean,
+        withReps: Boolean = true): String = {
+      val qs = results.map { case r => s"${jstr(key(r._1))}:${jnum(r._2, 2)}" }.mkString("{", ",", "}")
       val extra =
         if (!withBytes) ""
         else {
@@ -353,6 +369,17 @@ object Bench {
             .mkString("[", ",", "]")
           s""","scan_mb":$scan,"shuf_mb":$shuf"""
         }
+      // per-rep elapsed for every multi-rep (write-family) query: the
+      // self-adjudication signal for load spikes — a 15 s median with
+      // sibling reps at 3.4 s is drift, not regression; MIN-of-reps is
+      // the robust statistic (README "Bench variance protocol"). Dropped
+      // from the line after the byte arrays if the budget overflows (the
+      // report file always keeps rep_seconds).
+      val repsJson =
+        if (!withReps) ""
+        else results.filter(_._5.size > 1).map(r =>
+            s"${jstr(key(r._1))}:${r._5.map(x => jnum(x, 2)).mkString("[", ",", "]")}")
+          .mkString(""","reps":{""", ",", "}")
       // "load":[start,max,end] — 1-min /proc/loadavg at loop start, the
       // MAX over every per-rep sample, and loop end. "hot" lists the
       // queries whose start-of-rep sample exceeded the threshold — their
@@ -362,20 +389,22 @@ object Bench {
       val load = s""","load":[${jnum(loadStart, 1)},${jnum(loadMax, 1)},${jnum(loadEnd, 1)}]"""
       val hot = results.filter(_._7 > hotThreshold).map(r => jstr(key(r._1)))
         .mkString(""","hot":[""", ",", "]")
-      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs$extra$load$hot,"errors":$nErr,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs$extra$repsJson$load$hot,"errors":$nErr,"sf":${jstr(sfDir)}}"""
     }
     // fallback ladder: "q01_count_events" → "q01" if the full names overflow
     // (only when the prefixes stay unique — duplicate JSON keys would
-    // silently drop timings in most parsers); bytes arrays dropped next; if
-    // even the bare short line overflows, drop the per-query map rather than
-    // ship an unparseable line
+    // silently drop timings in most parsers); per-rep arrays dropped after
+    // the byte arrays; if even the bare short line overflows, drop the
+    // per-query map rather than ship an unparseable line
     val shortOk = names.map(_.takeWhile(_ != '_')).distinct.size == names.size
     def shortKey(n: String): String = n.takeWhile(_ != '_')
     val candidates = Seq(
       mkLine(identity, withBytes = true),
       if (shortOk) mkLine(shortKey, withBytes = true) else "",
-      mkLine(identity, withBytes = false),
       if (shortOk) mkLine(shortKey, withBytes = false) else "",
+      if (shortOk) mkLine(shortKey, withBytes = true, withReps = false) else "",
+      mkLine(identity, withBytes = false, withReps = false),
+      if (shortOk) mkLine(shortKey, withBytes = false, withReps = false) else "",
       s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":{},"load":[${jnum(loadStart, 1)},${jnum(loadMax, 1)},${jnum(loadEnd, 1)}],"errors":$nErr,"sf":${jstr(sfDir)}}""")
     println(candidates.find(l => l.nonEmpty && l.length <= 1850).getOrElse(candidates.last))
 
@@ -383,7 +412,7 @@ object Bench {
     // per-test name/status/seconds/rows + summary, timestamped filename.
     val ts = java.time.LocalDateTime.now()
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
-    val tests = results.map { case (n, sec, r, st, reps, bytesOpt, qLoad) =>
+    val tests = results.map { case (n, sec, r, st, reps, bytesOpt, qLoad, planMs) =>
       // the report keeps numeric 0s for errored queries — its adjacent
       // status field disambiguates them (unlike the summary arrays)
       val (mRows, mBytes, mShuffle) = bytesOpt.getOrElse((0L, 0L, 0L))
@@ -394,7 +423,7 @@ object Bench {
         if (reps.size > 1)
           reps.map(x => jnum(x, 3)).mkString(""", "rep_seconds": [""", ", ", "]")
         else ""
-      s"""    {"test_name": ${jstr(n)}, "suite": ${jstr(suite(n))}, "status": ${jstr(if (st == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": $sec, "row_count": $r, "rows_scanned": $mRows, "bytes_scanned": $mBytes, "shuffle_bytes": $mShuffle, "loadavg_start": ${jnum(qLoad, 1)}, "hot": ${qLoad > hotThreshold}$repsJson}"""
+      s"""    {"test_name": ${jstr(n)}, "suite": ${jstr(suite(n))}, "status": ${jstr(if (st == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": $sec, "row_count": $r, "rows_scanned": $mRows, "bytes_scanned": $mBytes, "shuffle_bytes": $mShuffle, "plan_ms": ${jnum(planMs, 1)}, "loadavg_start": ${jnum(qLoad, 1)}, "hot": ${qLoad > hotThreshold}$repsJson}"""
     }.mkString("[\n", ",\n", "\n  ]")
     val report =
       s"""{
