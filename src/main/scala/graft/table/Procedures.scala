@@ -66,6 +66,27 @@ object Procedures {
     }
   }
 
+  /** `CALL cat.system.fold_eq_deletes(table => 'db.t')` — fold the live
+    * equality-delete ledger into the data (rewrites only stats-affected
+    * files) and clear it; the manual spelling of the
+    * [[SnapshotTable.MaxEqDeleteFiles]] auto-fold policy. */
+  final class FoldEqDeletes(warehouse: String)
+      extends GraftProcedure("fold_eq_deletes") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType))
+    private val outSchema = StructType(Seq(
+      StructField("version", IntegerType),
+      StructField("eq_delete_files", IntegerType)))
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val t = open(warehouse, input.getUTF8String(0).toString)
+      val v = t.foldEqDeletes()
+      val live =
+        if (v >= 0) t.snapshot(v).eqDeleteFiles.size
+        else t.snapshot(t.latestVersion).eqDeleteFiles.size
+      resultScan(outSchema, InternalRow(v, live))
+    }
+  }
+
   final class ExpireSnapshots(warehouse: String)
       extends GraftProcedure("expire_snapshots") {
     override def parameters(): Array[ProcedureParameter] = Array(
@@ -404,6 +425,7 @@ object Procedures {
       case "create_view" => Some(new CreateView(warehouse, cat))
       case "drop_view" => Some(new DropView(warehouse, cat))
       case "compact" => Some(new Compact(warehouse))
+      case "fold_eq_deletes" => Some(new FoldEqDeletes(warehouse))
       case "expire_snapshots" => Some(new ExpireSnapshots(warehouse))
       case "rollback" => Some(new Rollback(warehouse))
       case "clone" => Some(new CloneTable(warehouse))
@@ -418,7 +440,8 @@ object Procedures {
     }
 
   val names: Seq[String] =
-    Seq("compact", "expire_snapshots", "rollback", "clone", "add_files",
+    Seq("compact", "fold_eq_deletes", "expire_snapshots", "rollback",
+      "clone", "add_files",
       "remove_orphans", "create_branch", "create_tag", "fast_forward",
       "drop_ref", "create_view", "drop_view", "set_partition_spec")
 

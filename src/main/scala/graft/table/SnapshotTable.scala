@@ -1618,6 +1618,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     commitWithRetry(cur => cur.files, cur => cur.schemaJson, "delete",
       nextEqDeleteFiles = (cur, v) =>
         cur.eqDeleteFiles ++ staged.map(_.copy(atVersion = v)))
+    maybeAutoFold()
     staged.map(_.rows).sum
   }
 
@@ -1642,12 +1643,112 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val stagedDeletes = stageEqDeleteEntries(
       updates.select(keyCols.map(col): _*), base)
     val stagedData = stage(updates, partitionCols)
-    commitWithRetry(
+    val v = commitWithRetry(
       cur => cur.files ++ stagedData,
       cur => SnapshotTable.unionSchema(cur.schemaJson, updates.schema),
       operation,
       nextEqDeleteFiles = (cur, v) =>
         cur.eqDeleteFiles ++ stagedDeletes.map(_.copy(atVersion = v)))
+    maybeAutoFold()
+    v
+  }
+
+  /** Auto-fold policy ([[SnapshotTable.MaxEqDeleteFiles]], the Snowflake
+    * auto-clustering analog): when set, any upsert/delete commit that
+    * leaves MORE than `bound` live equality-delete files triggers
+    * [[foldEqDeletes]] — so a 24/7 upsert stream's read-side strata stay
+    * ≤ bound+1 without an external maintenance job. A failed fold (lost
+    * race) is logged and skipped, never failing the commit that
+    * triggered it — the next epoch re-triggers. */
+  private def maybeAutoFold(): Unit =
+    properties.get(SnapshotTable.MaxEqDeleteFiles)
+      .flatMap(_.trim.toIntOption).foreach { bound =>
+        if (snapshot(latestVersion).eqDeleteFiles.size > bound)
+          try { foldEqDeletes(); () }
+          catch { case e: Exception =>
+            System.err.println(s"[graft] auto-fold of $location skipped: $e")
+          }
+      }
+
+  /** Fold the equality-delete ledger into the data: rewrite ONLY the
+    * data files that may contain a deleted key — per delete file, the
+    * key tuples' min/max (one tiny agg over the key-only delete file)
+    * is checked against each applicable data file's manifest min/max
+    * stats, a metadata-only prune — carry every other file unchanged,
+    * and clear the eq ledger in one atomic commit. This is the bounded
+    * version of what [[compact]] does for the whole table: a steady
+    * upsert stream touches a bounded key range per epoch, so the fold's
+    * rewrite set is O(files overlapping the deleted keys), not O(table).
+    * A delete file with a NULL key component disables pruning for that
+    * file (NULL entries match NULL-keyed rows, which file stats can't
+    * see). Position deletes are retained — entries referencing rewritten
+    * files become inert, and carried files keep theirs applied at read.
+    * Returns the fold's commit version, or -1 if the ledger was empty. */
+  def foldEqDeletes(): Int = {
+    import org.apache.spark.sql.functions.{col, isnull, max => smax, min => smin}
+    require(latestVersion >= 0,
+      s"foldEqDeletes: table does not exist at $location")
+    val base = snapshot(latestVersion)
+    val eqDels = base.eqDeleteFiles
+    if (eqDels.isEmpty) return -1
+    val schema = org.apache.spark.sql.types.DataType.fromJson(base.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // per delete file: [min,max] per key column + a null-key flag; the
+    // delete files are small key-only parquet, so this is one tiny job
+    // each, and the auto-fold bound keeps their count small by contract
+    val ranges: Seq[(SnapshotTable.EqDeleteFile,
+        Option[org.apache.spark.sql.sources.Filter])] =
+      eqDels.map { d =>
+        val e = spark.read.parquet(d.path)
+        val aggs = d.keyCols.flatMap(k => Seq(
+          smin(col(k)), smax(col(k)),
+          smax(isnull(col(k)).cast("int"))))
+        val row = e.agg(aggs.head, aggs.tail: _*).head()
+        val perKey = d.keyCols.zipWithIndex.map { case (k, i) =>
+          val (mn, mx, hasNull) = (row.get(3 * i), row.get(3 * i + 1),
+            row.getInt(3 * i + 2) == 1)
+          if (hasNull || mn == null) None // can't prune on this delete file
+          else Some(org.apache.spark.sql.sources.And(
+            org.apache.spark.sql.sources.GreaterThanOrEqual(k, mn),
+            org.apache.spark.sql.sources.LessThanOrEqual(k, mx)))
+        }
+        // all key columns must be prunable for the file-range test to be
+        // sound (a row matches a delete entry only if EVERY key matches)
+        val filter =
+          if (perKey.exists(_.isEmpty)) None
+          else Some(perKey.flatten.reduce[org.apache.spark.sql.sources.Filter](
+            org.apache.spark.sql.sources.And(_, _)))
+        (d, filter)
+      }
+    val affected = base.files.filter { f =>
+      ranges.exists { case (d, filter) =>
+        (f.addedAt < 0 || f.addedAt < d.atVersion) &&
+          filter.forall(fl => StatsPruning.prune(Seq(f), Seq(fl)).nonEmpty)
+      }
+    }
+    val affectedSet = affected.map(_.path).toSet
+    val staged =
+      if (affected.isEmpty) Seq.empty
+      else stage(readSnapshotFiles(base, affected, schema), base.partitionCols)
+    commitWithRetry(
+      cur => {
+        val live = cur.files.map(_.path).toSet
+        if (!affectedSet.subsetOf(live))
+          throw new java.util.ConcurrentModificationException(
+            s"fold_eq_deletes inputs at $location were rewritten concurrently")
+        // a delete committed since the fold read started would be cleared
+        // WITHOUT its rows removed — abort (same rule as compact)
+        if (cur.deleteFiles.map(_.path) != base.deleteFiles.map(_.path))
+          throw new java.util.ConcurrentModificationException(
+            s"position deletes landed on $location during fold_eq_deletes")
+        if (cur.eqDeleteFiles.map(_.path) != base.eqDeleteFiles.map(_.path))
+          throw new java.util.ConcurrentModificationException(
+            s"equality deletes landed on $location during fold_eq_deletes")
+        cur.files.filterNot(f => affectedSet(f.path)) ++ staged
+      },
+      cur => cur.schemaJson,
+      "fold_eq_deletes",
+      nextEqDeleteFiles = (_, _) => Seq.empty)
   }
 
   /** Write the DISTINCT key tuples of `keys` (cast to the declared column
@@ -1740,6 +1841,9 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     set.get(SnapshotTable.MaxSnapshotAgeMs).foreach(v =>
       require(v.trim.matches("\\d+"),
         s"${SnapshotTable.MaxSnapshotAgeMs} must be a non-negative integer, got '$v'"))
+    set.get(SnapshotTable.MaxEqDeleteFiles).foreach(v =>
+      require(v.trim.matches("\\d+") && v.trim.toInt >= 1,
+        s"${SnapshotTable.MaxEqDeleteFiles} must be a positive integer, got '$v'"))
     set.get(SnapshotTable.SortOrder).foreach { v =>
       val declared = org.apache.spark.sql.types.DataType
         .fromJson(snapshot(latestVersion).schemaJson)
@@ -2430,6 +2534,11 @@ object SnapshotTable {
     * the segmented path (tests), raise it to pin small tables inline. */
   val ManifestInlineMax = "write.manifest.inline-max"
   val DefaultManifestInlineMax = 512
+  /** Table property: max live equality-delete files before an upsert /
+    * delete commit auto-triggers [[SnapshotTable.foldEqDeletes]] (absent
+    * = never auto-fold; maintenance stays manual via compact). Bounds a
+    * 24/7 upsert stream's read-side strata at bound+1. */
+  val MaxEqDeleteFiles = "write.delete.max-eq-files"
   /** Max file entries per manifest chunk (bounds chunk parse cost). */
   val ChunkEntries = 8192
 
@@ -2817,13 +2926,18 @@ object SnapshotTable {
   private val chunkCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFile]]()
   private val ChunkCacheMax = 4096
+  // miss counter (observability): a miss is an actual chunk-file read +
+  // parse; repeated time-travel loads of the same table must not move it
+  private[table] val chunkMisses = new java.util.concurrent.atomic.LongAdder()
 
   private[table] def readChunk(path: String): Seq[DataFile] = {
     if (chunkCache.size > ChunkCacheMax) chunkCache.clear()
-    chunkCache.computeIfAbsent(path, p =>
+    chunkCache.computeIfAbsent(path, p => {
+      chunkMisses.increment()
       mapper.readTree(java.nio.file.Files.readString(
           java.nio.file.Paths.get(p)))
-        .get("files").elements().asScala.map(parseFileNode).toSeq)
+        .get("files").elements().asScala.map(parseFileNode).toSeq
+    })
   }
 
   private[table] def parseSnapshot(json: String): Snapshot = {

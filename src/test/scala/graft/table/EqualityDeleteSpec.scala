@@ -257,6 +257,79 @@ class EqualityDeleteSpec extends SparkFunSuite {
     assert(n == 1)
   }
 
+  test("foldEqDeletes rewrites only stats-affected files, carries the rest, clears the ledger") {
+    import spark.implicits._
+    val loc = scratch("eq-fold")
+    val e = events()
+    val lo = e.filter(col("event_id") < 500)
+    val hi = e.filter(col("event_id") >= 500)
+      .withColumn("event_id", col("event_id") + 100000)
+    val t = SnapshotTable.create(spark, loc, lo.coalesce(1))
+    t.append(hi.coalesce(1))
+    val hiPaths = t.snapshot(t.latestVersion).files.map(_.path)
+      .filterNot(t.snapshot(0).files.map(_.path).contains)
+    t.equalityDelete(Seq(10L, 20L).toDF("event_id"))
+    val v = t.foldEqDeletes()
+    assert(v == t.latestVersion)
+    val snap = t.snapshot(v)
+    assert(snap.eqDeleteFiles.isEmpty, "fold must clear the eq ledger")
+    // the hi-range file's [100000+] stats are disjoint from keys {10,20}
+    // — it must be CARRIED by reference, not rewritten
+    hiPaths.foreach(p => assert(snap.files.map(_.path).contains(p),
+      "stats-disjoint file must be carried unchanged"))
+    val expect = e.count() - 2
+    assert(t.read().count() == expect)
+    assert(t.read().filter(col("event_id").isin(10L, 20L)).count() == 0)
+    // idempotent: an empty ledger folds to a no-op
+    assert(t.foldEqDeletes() == -1)
+  }
+
+  test("foldEqDeletes with a NULL key entry disables pruning and deletes the NULL-keyed row") {
+    import spark.implicits._
+    val loc = scratch("eq-fold-null")
+    val e = events().limit(100)
+    val withNull = e.withColumn("event_id",
+      when(col("user_id") === e.agg(min("user_id")).head().getLong(0),
+        lit(null)).otherwise(col("event_id")))
+    val nNull = withNull.filter(col("event_id").isNull).count()
+    assert(nNull >= 1)
+    val t = SnapshotTable.create(spark, loc, withNull)
+    t.equalityDelete(Seq[java.lang.Long](5L, null).toDF("event_id"))
+    t.foldEqDeletes()
+    assert(t.snapshot(t.latestVersion).eqDeleteFiles.isEmpty)
+    assert(t.read().filter(col("event_id").isNull).count() == 0,
+      "NULL key entry must delete NULL-keyed rows through the fold")
+    assert(t.read().filter(col("event_id") === 5L).count() == 0)
+  }
+
+  test("auto-fold policy bounds the eq-delete ledger across 100 upsert epochs") {
+    import spark.implicits._
+    val loc = scratch("eq-autofold")
+    val e = events().filter(col("event_id") < 2000)
+    val t = SnapshotTable.create(spark, loc, e)
+    t.setProperties(Map(SnapshotTable.MaxEqDeleteFiles -> "5"))
+    // 100 epochs, each upserting one key-residue slice; the sink-visible
+    // ledger (and with it the read-side strata count) must stay ≤ bound
+    val sizes = (1 to 100).map { i =>
+      val batch = e.filter(col("event_id") % 100 === i % 100)
+        .withColumn("value", col("value") + i)
+      t.upsertMor(batch.coalesce(1), Seq("event_id"))
+      t.snapshot(t.latestVersion).eqDeleteFiles.size
+    }
+    assert(sizes.max <= 5,
+      s"ledger must stay within the bound, saw max ${sizes.max}")
+    assert(sizes.count(_ == 0) >= 10, "the fold must actually have fired")
+    // exact content: each residue r was last (and only) touched at epoch
+    // i=r (i=100 for r=0), setting value = original + i
+    val expect = e.withColumn("value",
+      col("value") + when(col("event_id") % 100 === 0, 100.0)
+        .otherwise((col("event_id") % 100).cast("double")))
+    assert(t.read().count() == expect.count())
+    val got = t.read().agg(sum("value")).head().getDouble(0)
+    val want = expect.agg(sum("value")).head().getDouble(0)
+    assert(math.abs(got - want) < 1e-6 * math.abs(want))
+  }
+
   test("equalityDelete/upsertMor on a never-created table refuse with a clear message") {
     import spark.implicits._
     val loc = scratch("eq-nonexistent")

@@ -143,4 +143,24 @@ class ManifestChunkSpec extends SparkFunSuite {
     fresh.snapshot(fresh.latestVersion).manifestRefs.foreach(r =>
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(r))))
   }
+
+  test("repeated time-travel loads hit the chunk cache: one parse per chunk per JVM") {
+    val loc = scratch("mc-cache")
+    val t = SnapshotTable.create(spark, loc, events().repartition(8))
+    t.setProperties(Map(SnapshotTable.ManifestInlineMax -> "4"))
+    t.append(events().limit(200).repartition(3))
+    val v = t.latestVersion
+    assert(t.snapshot(v).manifestRefs.nonEmpty)
+    val expect = t.readVersion(v).count() // first read warms the cache
+    val before = SnapshotTable.chunkMisses.sum()
+    // fresh instances re-parse the snapshot DOCUMENT, but the immutable
+    // chunk files must come from the per-JVM cache — zero new reads, the
+    // bound that keeps q07-style time-travel planning O(doc) after warmup
+    (1 to 3).foreach { _ =>
+      val t2 = SnapshotTable.load(spark, loc)
+      assert(t2.readVersion(v).count() == expect)
+    }
+    assert(SnapshotTable.chunkMisses.sum() == before,
+      "repeated loads of unchanged chunks must not re-read chunk files")
+  }
 }
