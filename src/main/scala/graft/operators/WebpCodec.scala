@@ -20,8 +20,10 @@ package graft.operators
   *    sub-byte pixel packing), each sub-image decoded recursively as an
   *    entropy-coded image.
   *
-  * Lossy WebP (`VP8 ` chunks — boolean-arithmetic-coded DCT, a genuine
-  * transform codec) and animated/`VP8X` extended files stay on the
+  * Lossy WebP (`VP8 ` chunks — boolean-arithmetic-coded DCT) routes to
+  * the from-scratch intra keyframe decoder in [[Vp8Codec]] (round 18);
+  * `VP8X` extended STILL images decode through whichever stream they
+  * carry. Animated WebP (frames nested inside ANMF chunks) stays on the
   * labeled stub path, like MP3 on the audio side. Anything malformed
   * decodes to None, never an exception.
   *
@@ -258,7 +260,11 @@ object WebpCodec {
   private def decodeImpl(b: Array[Byte]): Option[PixelImage] = {
     if (b == null || b.length < 30) return None
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WEBP")) return None
-    // chunk walk to VP8L; 'VP8 ' (lossy) / 'VP8X' (extended) → stub path
+    // chunk walk: VP8L → lossless path below; 'VP8 ' → the lossy VP8
+    // keyframe decoder ([[Vp8Codec]]). A 'VP8X' header chunk is walked
+    // past, so extended STILL images decode through whichever stream
+    // they carry (their ALPH plane, if any, is ignored — PixelImage is
+    // RGB); animations (frames nested inside ANMF) stay refused.
     var i = 12
     var off = -1
     var len = 0
@@ -266,6 +272,7 @@ object WebpCodec {
       val size = le32(b, i + 4)
       if (size < 0 || i + 8 + size.toLong > b.length) return None
       if (tag(b, i, "VP8L")) { off = i + 8; len = size }
+      else if (tag(b, i, "VP8 ")) return Vp8Codec.decodeFrame(b, i + 8, size)
       else i += 8 + size + (size & 1)
     }
     if (off < 0) return None

@@ -681,7 +681,7 @@ object Llm {
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v14-precision") {
+      version = "v15-vp8lossy") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -719,9 +719,19 @@ object Llm {
               graft.operators.JpegCodec.encodeJpeg(jw, jh, jpx, gray = true)
             else graft.operators.JpegCodec.encodeJpeg12(jw, jh,
               (x, y) => 16 * (br + 7 * (x / 8) + 11 * (y / 8)))
-          case 4 => // real lossless WebP (VP8L): bit-exact gradient
-            graft.operators.WebpCodec.encodeWebpLossless(w, h, px,
-              subtractGreen = (id / 8) % 2 == 1)
+          case 4 => // real WebP, sub-rotating LOSSLESS (VP8L, bit-exact
+            // gradient) / LOSSY (VP8 intra keyframe, round 18): the
+            // lossy half is grayscale constant per 4×4 block — DC-only
+            // residuals through quant 4 reconstruct bit-exactly
+            // ([[graft.operators.Vp8Codec]]), so the closed form holds
+            // the same way the DC-only JPEG slots' does
+            if ((id / 10) % 2 == 0)
+              graft.operators.WebpCodec.encodeWebpLossless(w, h, px,
+                subtractGreen = (id / 8) % 2 == 1)
+            else
+              graft.operators.Vp8Codec.encodeWebpLossyGray(
+                16 * (1 + (id % 2)).toInt, 16,
+                (bx4, by4) => br + 7 * bx4 + 11 * by4)
           case 5 => // round 16: sequential ARITHMETIC JPEG (QM coder)
             graft.operators.JpegCodec.encodeJpeg(jw, jh, jpx, gray = true,
               arith = true)
@@ -886,7 +896,10 @@ object Llm {
       |         64 * (wb*hb*br + 7*(hb*(wb*(wb-1)//2)) + 11*(wb*(hb*(hb-1)//2)))
       |           AS jsum,
       |         16*(16*(hb*br + 11*(hb*(hb-1)//2)) + 6*(hb-1)) + 640*hb AS hsum,
-      |         16*(16*hb)*br + 360*(16*hb) + 16*(16*hb)*(16*hb - 1) AS lsum
+      |         16*(16*hb)*br + 360*(16*hb) + 16*(16*hb)*(16*hb - 1) AS lsum,
+      |         -- lossy VP8 slot: 16*hb x 16 grayscale, constant per 4x4
+      |         -- block v = br + 7*bx + 11*by over (4*hb) x 4 blocks
+      |         16*(16*hb*br + 28*((4*hb)*(4*hb-1)//2) + 264*hb) AS vsum
       |  FROM g)
       |SELECT g.doc_id,
       |       CASE g.fmt WHEN 0 THEN 'bmp'
@@ -895,15 +908,21 @@ object Llm {
       |            WHEN 8 THEN 'bmp'
       |            ELSE 'jpeg' END AS decoder,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN 8*wb
-      |            WHEN g.fmt = 9 THEN 16 ELSE w END AS BIGINT) AS width,
+      |            WHEN g.fmt = 9 THEN 16
+      |            WHEN g.fmt = 4 AND (g.doc_id // 10) % 2 = 1 THEN 16*hb
+      |            ELSE w END AS BIGINT) AS width,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN 8*hb
-      |            WHEN g.fmt = 9 THEN 16*hb ELSE h END AS BIGINT) AS height,
+      |            WHEN g.fmt = 9 THEN 16*hb
+      |            WHEN g.fmt = 4 AND (g.doc_id // 10) % 2 = 1 THEN 16
+      |            ELSE h END AS BIGINT) AS height,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
       |            WHEN g.fmt = 9 THEN
       |         CASE WHEN (g.doc_id // 10) % 3 = 2 THEN lsum ELSE hsum END
+      |            WHEN g.fmt = 4 AND (g.doc_id // 10) % 2 = 1 THEN vsum
       |            ELSE
       |         w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END AS BIGINT) AS sum_r,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
+      |            WHEN g.fmt = 4 AND (g.doc_id // 10) % 2 = 1 THEN vsum
       |            WHEN g.fmt IN (7, 9) THEN
       |         CASE WHEN g.fmt = 7 THEN
       |           -- Huffman-lossless shape 2 is 3-component RGB (real
@@ -916,6 +935,7 @@ object Llm {
       |            ELSE
       |         w*h*bg + 5*(h*w*(w-1)//2) + 2*(w*h*(h-1)//2) END AS BIGINT) AS sum_g,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
+      |            WHEN g.fmt = 4 AND (g.doc_id // 10) % 2 = 1 THEN vsum
       |            WHEN g.fmt IN (7, 9) THEN
       |         CASE WHEN g.fmt = 7 THEN
       |           CASE WHEN (g.doc_id // 10) % 2 = 0 AND (g.doc_id // 20) % 4 = 2
@@ -1379,7 +1399,7 @@ object Llm {
   def q72(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out72 = Tables.scratch(s"media72/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val mediaDir = Tables.cachedDerived(dir, out72, version = "v2-resize-rle8") {
+    val mediaDir = Tables.cachedDerived(dir, out72, version = "v3-vp8lossy") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val bytes =
@@ -1398,8 +1418,17 @@ object Llm {
               case 1 => graft.operators.PixelCodec.encodePng(w, h, px,
                 interlaced = (id / 5) % 2 == 1)
               case 2 => graft.operators.PixelCodec.encodeGif(w, h, px)
-              case 3 => graft.operators.WebpCodec.encodeWebpLossless(w, h, px,
-                subtractGreen = (id / 5) % 2 == 1)
+              case 3 =>
+                // sub-rotates LOSSY VP8 (round 18) every third cycle:
+                // 16×16 grayscale constant per 4×4 block decodes exactly
+                // (Vp8Codec), and each 2×2 resize box falls inside one
+                // block, so the downscale is exact too: out 8×8, every
+                // channel sum = 4·Σ_blocks v = 64·br + 1728
+                if ((id / 5) % 3 == 2)
+                  graft.operators.Vp8Codec.encodeWebpLossyGray(16, 16,
+                    (bx4, by4) => br + 7 * bx4 + 11 * by4)
+                else graft.operators.WebpCodec.encodeWebpLossless(w, h, px,
+                  subtractGreen = (id / 5) % 2 == 1)
               case _ => // round 16: BI_RLE8 run-length BMP, lossless too
                 graft.operators.PixelCodec.encodeBmpRle8(w, h,
                   Array.tabulate(w * h) { k =>
@@ -1430,10 +1459,11 @@ object Llm {
       |         2 + doc_id % 3 AS ow, 1 + doc_id % 2 AS oh,
       |         doc_id % 97 AS br, (doc_id * 3) % 89 AS bg,
       |         (doc_id * 7) % 83 AS bb,
-      |         doc_id % 7 = 5 AS stub
+      |         doc_id % 7 = 5 AS stub,
+      |         doc_id % 5 = 3 AND (doc_id // 5) % 3 = 2 AS vp8lossy
       |  FROM documents),
       |f AS (
-      |  SELECT doc_id, w, h, ow, oh, br, bg, bb, stub,
+      |  SELECT doc_id, w, h, ow, oh, br, bg, bb, stub, vp8lossy,
       |         oh*(ow*(ow-1)//2) AS si, ow*(oh*(oh-1)//2) AS sj
       |  FROM g)
       |SELECT doc_id,
@@ -1441,15 +1471,18 @@ object Llm {
       |            WHEN doc_id % 5 IN (0, 4) THEN 'bmp'
       |            WHEN doc_id % 5 = 1 THEN 'png'
       |            WHEN doc_id % 5 = 2 THEN 'gif' ELSE 'webp' END AS decoder,
-      |       CAST(CASE WHEN stub THEN NULL ELSE w END AS BIGINT) AS in_width,
-      |       CAST(CASE WHEN stub THEN NULL ELSE h END AS BIGINT) AS in_height,
-      |       CAST(CASE WHEN stub THEN NULL ELSE ow END AS BIGINT) AS out_width,
-      |       CAST(CASE WHEN stub THEN NULL ELSE oh END AS BIGINT) AS out_height,
+      |       CAST(CASE WHEN stub THEN NULL WHEN vp8lossy THEN 16 ELSE w END AS BIGINT) AS in_width,
+      |       CAST(CASE WHEN stub THEN NULL WHEN vp8lossy THEN 16 ELSE h END AS BIGINT) AS in_height,
+      |       CAST(CASE WHEN stub THEN NULL WHEN vp8lossy THEN 8 ELSE ow END AS BIGINT) AS out_width,
+      |       CAST(CASE WHEN stub THEN NULL WHEN vp8lossy THEN 8 ELSE oh END AS BIGINT) AS out_height,
       |       CAST(CASE WHEN stub THEN NULL
+      |            WHEN vp8lossy THEN 64*br + 1728
       |            ELSE ow*oh*(br+4) + 6*si + 10*sj END AS BIGINT) AS sum_r,
       |       CAST(CASE WHEN stub THEN NULL
+      |            WHEN vp8lossy THEN 64*br + 1728
       |            ELSE ow*oh*(bg+3) + 10*si + 4*sj END AS BIGINT) AS sum_g,
       |       CAST(CASE WHEN stub THEN NULL
+      |            WHEN vp8lossy THEN 64*br + 1728
       |            ELSE ow*oh*(bb+4) + 4*si + 14*sj END AS BIGINT) AS sum_b
       |FROM f ORDER BY doc_id""".stripMargin
 

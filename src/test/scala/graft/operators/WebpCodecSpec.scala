@@ -221,14 +221,18 @@ class WebpCodecSpec extends SparkFunSuite {
     import spark.implicits._
     val rows = Seq(
       (1L, encodeWebpLossless(4, 3, grad)),
-      (2L, graft.functions.ImageMeta.encode("webp", 8, 8))) // VP8 lossy
+      // header-only VP8 payload (frame tag declares an EMPTY first
+      // partition): since round 18 real lossy streams decode (Vp8Codec),
+      // but a header with no coded data must still refuse to the stub row
+      (2L, graft.functions.ImageMeta.encode("webp", 8, 8)))
       .toDF("doc_id", "content")
     val out = Multimodal.extractFeatures(rows).orderBy("doc_id").collect()
     assert(out(0).getString(3) == "webp")
     var sr = 0L
     for (y <- 0 until 3; x <- 0 until 4) sr += grad(x, y)._1
     assert(out(0).getLong(6) == sr)
-    assert(out(1).getString(3) == "stub", "VP8 lossy must stay on the stub path")
+    assert(out(1).getString(3) == "stub",
+      "header-only VP8 payload must refuse to the stub path")
   }
 
   test("malformed and lossy payloads decode to None, never throw") {
