@@ -12,7 +12,10 @@ package graft.operators
   *    formulas, JDK-codec-cross-checked on every code point), IMA/DVI
   *    ADPCM (wFormatTag 0x11 — round 16, the block-structured 4-bit
   *    coding decoded with the standard 89-entry step table; the first
-  *    COMPRESSED audio coding), and
+  *    COMPRESSED audio coding), Microsoft ADPCM (wFormatTag 2 —
+  *    round 18, the second-order linear-predictor 4-bit coding with
+  *    the registered 7 coefficient pairs and 16-entry delta
+  *    adaptation), and
   *    WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping any of them;
   *    8-bit unsigned and 16/24/32-bit signed little-endian
   *    integer samples, any channel count ≥ 1, any sample rate ≥ 1.
@@ -27,9 +30,9 @@ package graft.operators
   *    stored unsigned in WAV: 128 maps to 0), so features are exact
   *    integers an oracle can recompute in closed form.
   *
-  * Compressed audio (MP3/AAC/FLAC/μ-law…) needs an entropy codec and
-  * falls back to the labeled stub path, same contract as WebP on the
-  * image side. Anything malformed decodes to None, never an exception —
+  * Perceptual/entropy-coded audio (MP3/AAC/FLAC/Vorbis…) falls back to
+  * the labeled stub path, same contract as animated WebP on the image
+  * side. Anything malformed decodes to None, never an exception —
   * corrupt media in a 100 TB crawl is data, not an error.
   *
   * Reference capability: multimodal columns over binary payloads
@@ -108,6 +111,7 @@ object AudioCodec {
       case 3 => "float"
       case 6 => "alaw"
       case 7 => "ulaw"
+      case 2 => "msadpcm" // Microsoft ADPCM (round 18)
       case 0x11 => "adpcm" // IMA/DVI ADPCM (round 16)
       case _ => return None // compressed codecs → stub path
     }
@@ -118,6 +122,10 @@ object AudioCodec {
       case "adpcm" =>
         if (bits != 4) return None
         return decodeAdpcm(b, fmtOff, fmtSize, channels, sampleRate,
+          dataOff, dataLen)
+      case "msadpcm" =>
+        if (bits != 4) return None
+        return decodeMsAdpcm(b, fmtOff, fmtSize, channels, sampleRate,
           dataOff, dataLen)
       case _ =>
         if (bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
@@ -293,6 +301,202 @@ object AudioCodec {
       blk += 1
     }
     Some(PcmClip(sampleRate, channels, 4, out, "adpcm"))
+  }
+
+  // ------------------------------------------------------- MS ADPCM
+
+  /** Microsoft ADPCM (wFormatTag 2) constants — the second-order
+    * linear-predictor coding registered in Microsoft's WAVE spec: 7
+    * fixed coefficient pairs (÷256), a 16-entry delta-adaptation table
+    * (÷256, floored at 16). Both tables are from the published format
+    * registration; AudioCodecSpec pins the decoder↔encoder inverse
+    * identities and the exact blockwise-constant shape. */
+  private[operators] val MsAdaptTable: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+  private[operators] val MsCoef1: Array[Int] = Array(256, 512, 0, 192, 240, 460, 392)
+  private[operators] val MsCoef2: Array[Int] = Array(0, -256, 0, 64, 0, -208, -232)
+
+  private def clamp16(v: Int): Int =
+    if (v > 32767) 32767 else if (v < -32768) -32768 else v
+
+  /** One MS-ADPCM decode step: second-order prediction (÷256,
+    * truncating like the C reference), signed-nibble × delta residual,
+    * int16 clamp, delta adaptation with the 16 floor. Returns
+    * (sample, newDelta). */
+  private def msAdvance(nib: Int, samp1: Int, samp2: Int, coef: Int,
+      delta: Int): (Int, Int) = {
+    val predictor = (samp1 * MsCoef1(coef) + samp2 * MsCoef2(coef)) / 256
+    val signed = if (nib >= 8) nib - 16 else nib
+    val sample = clamp16(predictor + signed * delta)
+    val d0 = MsAdaptTable(nib) * delta / 256
+    (sample, if (d0 < 16) 16 else d0)
+  }
+
+  /** WAVE format 0x0002 block decode. Per block: per-channel predictor
+    * indexes (1 byte, < wNumCoef), per-channel int16 initial deltas,
+    * then the two seed samples per channel (iSamp1, iSamp2) — iSamp2 is
+    * the OLDER one and is emitted first — followed by 4-bit codes HIGH
+    * nibble first, alternating channels sample-by-sample.
+    * wSamplesPerBlock must equal (blockAlign − 7·ch)·2/ch + 2. Only
+    * complete blocks decode; a hostile predictor index or geometry
+    * mismatch → None. Like IMA there is no JDK reader to cross-check,
+    * so the spec pins inverse identities + the exact constant shape. */
+  private def decodeMsAdpcm(b: Array[Byte], fmtOff: Int, fmtSize: Int,
+      channels: Int, sampleRate: Int, dataOff: Int, dataLen: Int)
+      : Option[PcmClip] = {
+    if (fmtSize < 22) return None // cbSize + wSamplesPerBlock + wNumCoef
+    val blockAlign = le16(b, fmtOff + 12)
+    val spb = le16(b, fmtOff + 18)
+    val numCoef = le16(b, fmtOff + 20)
+    if (numCoef < 1 || fmtSize < 22 + 4 * numCoef) return None
+    // custom coefficient sets are legal in the container; this decoder
+    // requires the standard 7 pairs as a prefix so every stream it
+    // accepts reconstructs with the registered arithmetic
+    if (numCoef > 7) return None
+    var k = 0
+    while (k < numCoef) {
+      if (le16(b, fmtOff + 22 + 4 * k).toShort.toInt != MsCoef1(k) ||
+        le16(b, fmtOff + 24 + 4 * k).toShort.toInt != MsCoef2(k)) return None
+      k += 1
+    }
+    val headerBytes = 7 * channels
+    val dataArea = blockAlign - headerBytes
+    if (dataArea < 0) return None
+    if ((dataArea * 2) % channels != 0) return None
+    if (spb != dataArea * 2 / channels + 2) return None
+    val nBlocks = if (blockAlign == 0) 0 else dataLen / blockAlign
+    if (nBlocks <= 0) return None
+    val total = nBlocks.toLong * spb * channels
+    if (total > MaxSamples) return None
+    val out = new Array[Int](total.toInt)
+    val coef = new Array[Int](channels)
+    val delta = new Array[Int](channels)
+    val samp1 = new Array[Int](channels)
+    val samp2 = new Array[Int](channels)
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = dataOff + blk * blockAlign
+      val outBase = blk * spb * channels
+      var c = 0
+      while (c < channels) {
+        coef(c) = b(base + c) & 0xff
+        if (coef(c) >= numCoef) return None // hostile predictor index
+        delta(c) = le16(b, base + channels + 2 * c).toShort.toInt
+        samp1(c) = le16(b, base + 3 * channels + 2 * c).toShort.toInt
+        samp2(c) = le16(b, base + 5 * channels + 2 * c).toShort.toInt
+        out(outBase + c) = samp2(c) // iSamp2 is the earlier sample
+        out(outBase + channels + c) = samp1(c)
+        c += 1
+      }
+      var nibIdx = 0
+      val nNibs = (spb - 2) * channels
+      while (nibIdx < nNibs) {
+        val byte = b(base + headerBytes + (nibIdx >> 1)) & 0xff
+        val nib = if ((nibIdx & 1) == 0) byte >> 4 else byte & 0x0f
+        val c2 = nibIdx % channels
+        val (s, d) = msAdvance(nib, samp1(c2), samp2(c2), coef(c2), delta(c2))
+        samp2(c2) = samp1(c2); samp1(c2) = s; delta(c2) = d
+        out(outBase + (2 + nibIdx / channels) * channels + c2) = s
+        nibIdx += 1
+      }
+      blk += 1
+    }
+    Some(PcmClip(sampleRate, channels, 4, out, "msadpcm"))
+  }
+
+  /** Real MS-ADPCM RIFF/WAVE bytes (fixtures + round-trip tests): the
+    * format-0x0002 compressor with predictor set 0 ({256, 0} — first-
+    * order) and exhaustive 16-way nibble choice (each candidate scored
+    * by the decoder's own reconstruction, so encode∘decode state always
+    * agrees). The two seed samples ride the header VERBATIM, so a
+    * blockwise-constant input encodes to all-zero nibbles and
+    * reconstructs EXACTLY — the closed-form fixture shape. `samples`
+    * is interleaved frame-major and must fill whole blocks. */
+  def encodeWavMsAdpcm(sampleRate: Int, channels: Int, samples: Array[Int],
+      blockAlign: Int, initialDelta: Int = 16): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && blockAlign > 7 * channels)
+    val dataArea = blockAlign - 7 * channels
+    require((dataArea * 2) % channels == 0)
+    val spb = dataArea * 2 / channels + 2
+    require(samples.length % (spb * channels) == 0 && samples.nonEmpty)
+    require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue))
+    require(initialDelta >= 16 && initialDelta <= Short.MaxValue)
+    val nBlocks = samples.length / (spb * channels)
+    val data = new Array[Byte](nBlocks * blockAlign)
+    val delta = new Array[Int](channels)
+    val samp1 = new Array[Int](channels)
+    val samp2 = new Array[Int](channels)
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk * blockAlign
+      val inBase = blk * spb * channels
+      var c = 0
+      while (c < channels) {
+        delta(c) = initialDelta
+        samp2(c) = samples(inBase + c)
+        samp1(c) = samples(inBase + channels + c)
+        data(base + c) = 0 // bPredictor 0: coef {256, 0}
+        data(base + channels + 2 * c) = delta(c).toByte
+        data(base + channels + 2 * c + 1) = (delta(c) >> 8).toByte
+        data(base + 3 * channels + 2 * c) = samp1(c).toByte
+        data(base + 3 * channels + 2 * c + 1) = (samp1(c) >> 8).toByte
+        data(base + 5 * channels + 2 * c) = samp2(c).toByte
+        data(base + 5 * channels + 2 * c + 1) = (samp2(c) >> 8).toByte
+        c += 1
+      }
+      var nibIdx = 0
+      val nNibs = (spb - 2) * channels
+      while (nibIdx < nNibs) {
+        val c2 = nibIdx % channels
+        val x = samples(inBase + (2 + nibIdx / channels) * channels + c2)
+        // exhaustive candidate scoring through the decode arithmetic
+        var bestNib = 0
+        var bestErr = Long.MaxValue
+        var cand = 0
+        while (cand < 16) {
+          val (s, _) = msAdvance(cand, samp1(c2), samp2(c2), 0, delta(c2))
+          val e = math.abs(s.toLong - x)
+          if (e < bestErr) { bestErr = e; bestNib = cand }
+          cand += 1
+        }
+        val (s, d) = msAdvance(bestNib, samp1(c2), samp2(c2), 0, delta(c2))
+        samp2(c2) = samp1(c2); samp1(c2) = s; delta(c2) = d
+        val at = base + 7 * channels + (nibIdx >> 1)
+        if ((nibIdx & 1) == 0) data(at) = (bestNib << 4).toByte
+        else data(at) = (data(at) | bestNib).toByte
+        nibIdx += 1
+      }
+      blk += 1
+    }
+    wrapWavMsAdpcm(sampleRate, channels, blockAlign, spb, data)
+  }
+
+  /** Raw format-0x0002 container around caller-built block bytes
+    * (adversarial fixtures: hostile predictor indexes, bad geometry). */
+  def wrapWavMsAdpcm(sampleRate: Int, channels: Int, blockAlign: Int,
+      samplesPerBlock: Int, data: Array[Byte]): Array[Byte] = {
+    val fmtLen = 22 + 4 * 7 // through the 7 standard coefficient pairs
+    val b = new Array[Byte](28 + fmtLen + 8 + data.length)
+    def wtag(i: Int, t: String): Unit = wtagAt(b, i, t)
+    def wle16(i: Int, v: Int): Unit = wle16At(b, i, v)
+    def wle32(i: Int, v: Int): Unit = wle32At(b, i, v)
+    wtag(0, "RIFF"); wle32(4, 20 + fmtLen + 8 + data.length); wtag(8, "WAVE")
+    wtag(12, "fmt "); wle32(16, fmtLen)
+    wle16(20, 0x02); wle16(22, channels); wle32(24, sampleRate)
+    wle32(28, if (samplesPerBlock > 0)
+      (sampleRate.toLong * blockAlign / samplesPerBlock).toInt else 0)
+    wle16(32, blockAlign); wle16(34, 4)
+    wle16(36, fmtLen - 18) // cbSize
+    wle16(38, samplesPerBlock); wle16(40, 7)
+    var k = 0
+    while (k < 7) {
+      wle16(42 + 4 * k, MsCoef1(k)); wle16(44 + 4 * k, MsCoef2(k))
+      k += 1
+    }
+    wtag(20 + fmtLen, "data"); wle32(24 + fmtLen, data.length)
+    System.arraycopy(data, 0, b, 28 + fmtLen, data.length)
+    b
   }
 
   /** Exact per-channel sums / sums-of-squares + clip peak. */

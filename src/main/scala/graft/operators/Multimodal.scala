@@ -19,8 +19,9 @@ import org.apache.spark.sql.types._
   * means, luma histogram — come from those pixels (q47 oracle-checks the
   * sums bit-for-bit; JPEG covers baseline, progressive, AND — since
   * round 16 — BOTH arithmetic-coded frame types, sequential SOF9 and
-  * progressive SOF10 ([[QmCoder]])). Transform-codec payloads our
-  * from-scratch decoders don't cover (lossy-VP8 WebP) fall back to the
+  * progressive SOF10 ([[QmCoder]]); lossy-VP8 WebP decodes since round
+  * 18 — [[Vp8Codec]]). Payloads the from-scratch decoders don't cover
+  * (animated WebP, modern video codecs) fall back to the
   * clearly-labeled deterministic [[StubCodec]], flagged per-row in the
   * `decoder` column; swap it for a real codec on a cluster that has one.
   *
@@ -163,7 +164,7 @@ object Multimodal {
             Row(id, bytes.length.toLong,
               clip.encoding match {
                 case "float" => s"pcmf${clip.bitsPerSample}"
-                case "ulaw" | "alaw" | "adpcm" => clip.encoding
+                case "ulaw" | "alaw" | "adpcm" | "msadpcm" => clip.encoding
                 case _ => s"pcm${clip.bitsPerSample}"
               },
               clip.sampleRate.toLong, clip.channels.toLong, frames,

@@ -1074,7 +1074,7 @@ object Llm {
     // query measures DECODE, not the fixture write
     val out70 = Tables.scratch(s"media70/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out70,
-      version = "v4-wav-f64") {
+      version = "v5-msadpcm") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val bytes =
@@ -1100,13 +1100,22 @@ object Llm {
                 // encodes to header-predictor v_j + all-zero nibbles at
                 // step index 0, which reconstructs EXACTLY — so sums/
                 // sumsq/peak keep closed forms while the decoder walks
-                // real block headers, nibble groups, and spb accounting
+                // real block headers, nibble groups, and spb accounting.
+                // Round 18 sub-rotates MICROSOFT ADPCM (wFormatTag 2):
+                // the second-order-predictor coding, same blockwise-
+                // constant exactness (both header seed samples carry
+                // v_j verbatim; zero nibbles predict v_j forever), spb
+                // 12 at blockAlign 12 mono
                 val nb = 4 + (id % 3).toInt
                 val a = -300 - (id % 40).toInt
-                val spb = 17 // blockAlign 12, mono
-                graft.operators.AudioCodec.encodeWavAdpcm(rate, 1,
-                  Array.tabulate(nb * spb)(k => a + 21 * (k / spb)),
-                  blockAlign = 12)
+                if ((id / 5) % 2 == 1)
+                  graft.operators.AudioCodec.encodeWavMsAdpcm(rate, 1,
+                    Array.tabulate(nb * 12)(k => a + 21 * (k / 12)),
+                    blockAlign = 12)
+                else
+                  graft.operators.AudioCodec.encodeWavAdpcm(rate, 1,
+                    Array.tabulate(nb * 17)(k => a + 21 * (k / 17)),
+                    blockAlign = 12)
               case slot =>
                 val ch = 1 + (id % 2).toInt
                 // channel c, frame i → -500 + 7c + 13i (monotone ramp:
@@ -1151,10 +1160,11 @@ object Llm {
   // segment/bias/sign arithmetic is off by anything hash-mismatches.
   // Float rows (slot 1) share every closed form with pcm16: the fixture
   // floats are k/8388607 lattice points that decode back to exactly k.
-  // ADPCM rows (slot 4): nb blocks of 17 samples, block j constant
-  // v_j = a + 21j (all negative) — header predictor + all-zero nibbles
-  // at step index 0 reconstruct exactly, so sum = 17·(nb·a + 21·S1(nb)),
-  // ssq = 17·(nb·a² + 42·a·S1 + 441·S2), peak = −a.
+  // ADPCM rows (slot 4): nb blocks of spb samples (spb 17 IMA / 12
+  // MS-ADPCM, sub-rotated by (id/5)%2), block j constant v_j = a + 21j
+  // (all negative) — the header seed sample(s) + all-zero nibbles
+  // reconstruct exactly in both codings, so sum = spb·(nb·a + 21·S1(nb)),
+  // ssq = spb·(nb·a² + 42·a·S1 + 441·S2), peak = −a.
   val q70Sql =
     """WITH g AS (
       |  SELECT doc_id,
@@ -1162,7 +1172,11 @@ object Llm {
       |           WHEN 0 THEN 8000 WHEN 1 THEN 10000 ELSE 20000 END AS rate,
       |         CASE WHEN doc_id % 5 IN (2, 4) THEN 1
       |              ELSE 1 + doc_id % 2 END AS ch,
-      |         CASE WHEN doc_id % 5 = 4 THEN 17 * (4 + doc_id % 3)
+      |         CASE WHEN doc_id % 5 = 4 AND (doc_id // 5) % 2 = 1 THEN 12
+      |              ELSE 17 END AS spb,
+      |         CASE WHEN doc_id % 5 = 4 THEN
+      |           (CASE WHEN (doc_id // 5) % 2 = 1 THEN 12 ELSE 17 END)
+      |             * (4 + doc_id % 3)
       |              ELSE 100 + doc_id % 50 END AS n,
       |         4 + doc_id % 3 AS nb,
       |         -300 - doc_id % 40 AS a,
@@ -1170,7 +1184,7 @@ object Llm {
       |         CAST(doc_id % 5 AS INT) AS slot
       |  FROM documents),
       |f AS (
-      |  SELECT doc_id, rate, ch, n, nb, a, stub, slot,
+      |  SELECT doc_id, rate, ch, n, nb, a, stub, slot, spb,
       |         n*(n-1)//2 AS s1, (n-1)*n*(2*n-1)//6 AS s2,
       |         nb*(nb-1)//2 AS s1b, (nb-1)*nb*(2*nb-1)//6 AS s2b
       |  FROM g),
@@ -1193,6 +1207,7 @@ object Llm {
       |            WHEN slot = 1 THEN 'pcmf32'
       |            WHEN slot = 3 THEN 'pcmf64'
       |            WHEN slot = 2 THEN 'ulaw'
+      |            WHEN slot = 4 AND (f.doc_id // 5) % 2 = 1 THEN 'msadpcm'
       |            WHEN slot = 4 THEN 'adpcm'
       |            ELSE 'pcm16' END AS decoder,
       |       CAST(CASE WHEN stub THEN NULL ELSE rate END AS BIGINT) AS sample_rate,
@@ -1206,13 +1221,13 @@ object Llm {
       |            ELSE GREATEST(500, 7*(ch-1) + 13*(n-1) - 500) END AS BIGINT) AS peak_abs,
       |       CAST(CASE WHEN stub THEN NULL
       |            WHEN slot = 2 THEN us
-      |            WHEN slot = 4 THEN 17*(nb*a + 21*s1b)
+      |            WHEN slot = 4 THEN spb*(nb*a + 21*s1b)
       |            ELSE n*(-500) + 13*s1 END AS BIGINT) AS sum_ch0,
       |       CAST(CASE WHEN stub OR ch = 1 THEN NULL
       |            ELSE n*(-493) + 13*s1 END AS BIGINT) AS sum_ch1,
       |       CAST(CASE WHEN stub THEN NULL
       |            WHEN slot = 2 THEN usq
-      |            WHEN slot = 4 THEN 17*(nb*a*a + 42*a*s1b + 441*s2b)
+      |            WHEN slot = 4 THEN spb*(nb*a*a + 42*a*s1b + 441*s2b)
       |            ELSE n*250000 + 26*(-500)*s1 + 169*s2 END AS BIGINT) AS sumsq_ch0,
       |       CAST(CASE WHEN stub OR ch = 1 THEN NULL
       |            ELSE n*243049 + 26*(-493)*s1 + 169*s2 END AS BIGINT) AS sumsq_ch1

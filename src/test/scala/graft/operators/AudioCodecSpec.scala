@@ -394,4 +394,101 @@ class AudioCodecSpec extends SparkFunSuite {
       java.util.Arrays.copyOfRange(good, 48, 48 + 12 + 5))
     assert(AudioCodec.decode(partial).get.frames == 17)
   }
+
+  // ---------------------------------------------------------- MS-ADPCM
+
+  test("MS-ADPCM tables: 16-entry symmetric adaptation, 7 registered coefficient pairs") {
+    assert(AudioCodec.MsAdaptTable.length == 16)
+    // the table is symmetric in the nibble's magnitude (±k adapt alike)
+    for (i <- 1 until 16)
+      assert(AudioCodec.MsAdaptTable(i) == AudioCodec.MsAdaptTable((16 - i) % 16))
+    assert(AudioCodec.MsAdaptTable.min == 230 && AudioCodec.MsAdaptTable.max == 768)
+    assert(AudioCodec.MsCoef1.length == 7 && AudioCodec.MsCoef2.length == 7)
+    assert(AudioCodec.MsCoef1(0) == 256 && AudioCodec.MsCoef2(0) == 0)
+  }
+
+  test("MS-ADPCM: blockwise-constant input reconstructs EXACTLY (seed samples + zero nibbles)") {
+    val nb = 3
+    val spb = 12 // blockAlign 12, mono
+    val samples = Array.tabulate(nb * spb)(k => -321 + 21 * (k / spb))
+    val bytes = AudioCodec.encodeWavMsAdpcm(8000, 1, samples, blockAlign = 12)
+    val clip = AudioCodec.decode(bytes).get
+    assert(clip.encoding == "msadpcm")
+    assert(clip.frames == nb * spb)
+    assert(clip.samples.sameElements(samples))
+  }
+
+  test("MS-ADPCM: stereo blocks keep per-channel state and interleave exactly") {
+    val spb = 8 // blockAlign 20, stereo
+    val nb = 2
+    val samples = Array.tabulate(nb * spb * 2) { k =>
+      val c = k % 2
+      val blkv = 100 + 37 * (k / (spb * 2))
+      if (c == 0) blkv else -blkv
+    }
+    val bytes = AudioCodec.encodeWavMsAdpcm(8000, 2, samples, blockAlign = 20)
+    val clip = AudioCodec.decode(bytes).get
+    assert(clip.channels == 2 && clip.frames == nb * spb)
+    assert(clip.samples.sameElements(samples))
+  }
+
+  test("MS-ADPCM: decode→encode→decode is the identity on arbitrary nibble streams") {
+    val rnd = new scala.util.Random(43)
+    var tested = 0
+    for (trial <- 0 until 30) {
+      val blockAlign = 12 // mono: spb 12, 5 code bytes
+      val delta0 = 16 + rnd.nextInt(80)
+      val s1 = rnd.nextInt(2000) - 1000
+      val s2 = rnd.nextInt(2000) - 1000
+      val data = new Array[Byte](blockAlign)
+      data(0) = 0 // bPredictor 0 (the set the encoder emits)
+      data(1) = delta0.toByte; data(2) = (delta0 >> 8).toByte
+      data(3) = s1.toByte; data(4) = (s1 >> 8).toByte
+      data(5) = s2.toByte; data(6) = (s2 >> 8).toByte
+      for (o <- 7 until blockAlign) data(o) = rnd.nextInt(256).toByte
+      val bytes = AudioCodec.wrapWavMsAdpcm(8000, 1, blockAlign, 12, data)
+      val y = AudioCodec.decode(bytes).get
+      assert(y.frames == 12)
+      // identity scope: non-clamping streams (a clamped sample is not a
+      // quantizer level, so no encoder could emit the same nibble)
+      if (y.samples.forall(s => s < 32767 && s > -32768)) {
+        tested += 1
+        val re = AudioCodec.encodeWavMsAdpcm(8000, 1, y.samples, blockAlign,
+          initialDelta = delta0)
+        val z = AudioCodec.decode(re).get
+        assert(z.samples.sameElements(y.samples), s"identity broken, trial $trial")
+      }
+    }
+    assert(tested >= 15, s"only $tested non-clamping trials — seed drift?")
+  }
+
+  test("MS-ADPCM: a slow ramp tracks within the per-step delta bound") {
+    val spb = 12
+    val nb = 4
+    val samples = Array.tabulate(nb * spb)(k => 3 * k)
+    val bytes = AudioCodec.encodeWavMsAdpcm(8000, 1, samples, blockAlign = 12)
+    val clip = AudioCodec.decode(bytes).get
+    val maxErr = clip.samples.zip(samples).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 64, s"ramp drifted by $maxErr")
+  }
+
+  test("MS-ADPCM: hostile/mismatched payloads decode to None, never throw") {
+    val spb = 12
+    val good = AudioCodec.encodeWavMsAdpcm(8000, 1,
+      Array.fill(spb)(100), blockAlign = 12)
+    // hostile predictor index (≥ wNumCoef)
+    val badPred = good.clone()
+    badPred(78) = 9 // first data byte = bPredictor
+    assert(AudioCodec.decode(badPred) == None)
+    // geometry mismatch: declared spb disagrees with blockAlign
+    val data = java.util.Arrays.copyOfRange(good, 78, 78 + 12)
+    assert(AudioCodec.decode(
+      AudioCodec.wrapWavMsAdpcm(8000, 1, 12, 17, data)) == None)
+    // a non-standard coefficient table must refuse, not mis-reconstruct
+    val badCoef = good.clone()
+    badCoef(42) = 1 // MsCoef1(0): 256 → 257
+    assert(AudioCodec.decode(badCoef) == None)
+    // truncation below one block
+    assert(AudioCodec.decode(good.take(78 + 11)) == None)
+  }
 }
