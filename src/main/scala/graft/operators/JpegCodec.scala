@@ -32,12 +32,13 @@ package graft.operators
   * exact-refinement stages), and standalone LOSSLESS comes in both
   * entropies (SOF3 Huffman, SOF11 ARITHMETIC via the Annex H.1
   * (left, above) difference-class conditioning through the QM coder).
-  * 12-bit progressive/arithmetic DCT, arithmetic multi-component or
-  * extended-precision lossless, and mid-row (non-line-aligned)
-  * restart-interval lossless
-  * remain out of scope and return None → the labeled stub
-  * path, like any other malformed/unsupported payload: corrupt media
-  * in a 100 TB crawl is data, not an error.
+  * 12-bit sample precision covers every non-differential DCT carrier
+  * (SOF1/SOF2/SOF9/SOF10 — round 18 closed the family), and lossless
+  * runs the full 8..16 range and 1/3 components in BOTH entropies.
+  * The remaining refusals are mid-row (non-line-aligned) and
+  * arithmetic-lossless restart intervals — they return None → the
+  * labeled stub path, like any other malformed/unsupported payload:
+  * corrupt media in a 100 TB crawl is data, not an error.
   *
   * Encoder (fixtures + round-trip tests): baseline sequential, quant
   * tables all-ones, grayscale or 4:4:4 YCbCr, double-precision FDCT.
@@ -274,7 +275,7 @@ object JpegCodec {
       if (m == 0xd9) { // EOI: progressive/hierarchical reconstruct here
         finalizeHierProg()
         return if (progressive && progScans > 0)
-          Some(finishProgressive(comps, width, height, qt))
+          Some(finishProgressive(comps, width, height, qt, precision))
         else if (hier && hierRef != null && refW == hierW && refH == hierH)
           Some(grayImage(hierRef, hierW, hierH))
         else None
@@ -350,16 +351,19 @@ object JpegCodec {
             // SOF7/SOF15 differential LOSSLESS (Huffman/arithmetic), the
             // exact-refinement final stages
             finalizeHierProg() // a new frame header ends a pending one
-            // sample precision: 8 everywhere; 12-bit for EXTENDED
-            // sequential Huffman (SOF1 — the only 12-bit DCT carrier
-            // T.81 B.1 defines; planes scale to 8-bit output by >> 4);
-            // 8..16 for Huffman lossless (SOF3 — Annex H's full range,
-            // scaled by >> (P-8)); everything else stays 8-bit-only
+            // sample precision: 8 everywhere; 12-bit DCT planes scale
+            // to 8-bit output by >> 4, lossless P>8 by >> (P−8)
             precision = b(seg) & 0xff
             if (precision != 8) {
+              // 12-bit for every non-differential DCT carrier T.81 B.1
+              // defines (SOF1 ext. sequential, SOF2 progressive, SOF9/
+              // SOF10 their arithmetic spellings — round 18 closed the
+              // family); 8..16 for lossless, Huffman AND arithmetic
               val ok = !hier &&
-                ((precision == 12 && m == 0xc1) ||
-                  (precision > 8 && precision <= 16 && m == 0xc3))
+                ((precision == 12 &&
+                  (m == 0xc1 || m == 0xc2 || m == 0xc9 || m == 0xca)) ||
+                  (precision > 8 && precision <= 16 &&
+                    (m == 0xc3 || m == 0xcb)))
               if (!ok) return None
             }
             progressive = m == 0xc2 || m == 0xca || m == 0xc6 || m == 0xce
@@ -505,23 +509,26 @@ object JpegCodec {
               }
             } else if (lossless) {
               // SOF3 (Huffman) / SOF11 (arithmetic): 1×1 sampling, Ss
-              // selects the predictor, Al is the point transform. The
-              // Huffman spelling also decodes 3-COMPONENT interleaved
-              // scans (lossless carries NO implied color transform —
-              // T.81 is colorspace-blind here — so frame component order
-              // maps directly to R,G,B, the convention of every lossless
-              // RGB producer absent an Adobe APP14) and row-aligned
-              // RESTART INTERVALS. Arithmetic lossless stays grayscale.
+              // selects the predictor, Al is the point transform. BOTH
+              // spellings decode 3-COMPONENT interleaved scans (lossless
+              // carries NO implied color transform — T.81 is
+              // colorspace-blind here — so frame component order maps
+              // directly to R,G,B, the convention of every lossless RGB
+              // producer absent an Adobe APP14) and the full 8..16
+              // precision range; row-aligned RESTART INTERVALS are
+              // Huffman-only (arithmetic restart stays refused).
               if (ns != comps.length ||
                   comps.exists(c => c.h != 1 || c.v != 1)) return None
-              if (arithCoded) {
-                if (comps.length != 1 || precision != 8) return None
-                decodeLosslessArithScan(b, segEnd, comps(0), width, height,
-                  ss, al, restartInterval,
-                  dcL(comps(0).dcSel), dcU(comps(0).dcSel))
-                return Some(toRgb(comps, width, height))
-              }
               if (comps.length != 1 && comps.length != 3) return None
+              if (arithCoded) {
+                // round 18: SOF11 gained 3-component interleaved scans
+                // and the full 8..16 precision range, matching SOF3
+                decodeLosslessArithScan(b, segEnd, scanComps, width, height,
+                  ss, al, restartInterval, dcL, dcU, precision)
+                return Some(
+                  if (comps.length == 1) toRgb(comps, width, height)
+                  else losslessRgb(comps, width, height))
+              }
               decodeLosslessScan(b, segEnd, scanComps, width, height,
                 ss, al, restartInterval, precision)
               return Some(
@@ -530,7 +537,7 @@ object JpegCodec {
             } else if (arithCoded && !progressive) {
               if (ns != comps.length) return None // interleaved only, like SOF0
               decodeArithScan(b, segEnd, comps, width, height, qt,
-                restartInterval, dcL, dcU, acK)
+                restartInterval, dcL, dcU, acK, precision = precision)
               return Some(toRgb(comps, width, height))
             } else if (!progressive) {
               if (ns != comps.length) return None // non-interleaved sequential: out of scope
@@ -547,7 +554,8 @@ object JpegCodec {
                     ss, se, ah, al, restartInterval, width, height,
                     dcL, dcU, acK)
                 else processProgressiveScan(b, segEnd, comps, scanComps,
-                  ss, se, ah, al, restartInterval, width, height)
+                  ss, se, ah, al, restartInterval, width, height,
+                  maxDc = if (precision == 12) 16 else 15)
               progScans += 1
             }
           case _ => // APPn / COM / anything else with a length field
@@ -693,61 +701,87 @@ object JpegCodec {
   }
 
   /** LOSSLESS scan with ARITHMETIC entropy coding (SOF11, Annexes H.1 +
-    * D): the same seven predictors / defaults / mod-2^16 arithmetic as
-    * [[decodeLosslessScan]], entropy through the QM coder conditioned on
-    * the (left, above) difference classes. Returns the position after
-    * the entropy data. */
+    * D): the same seven predictors / defaults / mod-2^16 arithmetic /
+    * P>8 handling as [[decodeLosslessScan]] — including 3-COMPONENT
+    * interleaved scans (round 18; component order maps to R,G,B like
+    * the Huffman spelling) — entropy through the QM coder conditioned
+    * on the (left, above) difference classes. Statistics areas are per
+    * DC table destination (T.81's conditioning-table binding), so two
+    * components sharing a destination share adaptation state. Returns
+    * the position after the entropy data. */
   private def decodeLosslessArithScan(b: Array[Byte], start: Int,
-      c: Component, width: Int, height: Int, predSel: Int, pt: Int,
-      ri: Int, l: Int, u: Int): Int = {
+      scanComps: Array[Component], width: Int, height: Int, predSel: Int,
+      pt: Int, ri: Int, dcL: Array[Int], dcU: Array[Int],
+      prec: Int = 8): Int = {
     if (ri > 0) corrupt()
     if (predSel < 1 || predSel > 7 || pt > 7) corrupt()
-    c.pw = width
-    c.ph = height
-    c.plane = new Array[Byte](width * height)
-    val st = new QmCoder.Stats(160)
+    val nc = scanComps.length
+    scanComps.foreach { c =>
+      c.pw = width
+      c.ph = height
+      c.plane = new Array[Byte](width * height)
+    }
+    val statsBySel = scanComps.map(_.dcSel).distinct
+      .map(s => s -> new QmCoder.Stats(160)).toMap
     val dec = new QmCoder.Decoder(b, start, b.length)
-    val defaultPred = 1 << (7 - pt)
-    val prev = new Array[Int](width)
-    val cur = new Array[Int](width)
-    val dPrev = new Array[Int](width)
-    val dCur = new Array[Int](width)
+    val defaultPred = 1 << (prec - 1 - pt)
+    val down = prec - 8
+    val prev = Array.ofDim[Int](nc, width)
+    val cur = Array.ofDim[Int](nc, width)
+    val dPrev = Array.ofDim[Int](nc, width)
+    val dCur = Array.ofDim[Int](nc, width)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        val ca = if (x == 0) 0 else losslessDiffClass(dCur(x - 1), l, u)
-        val cb = if (y == 0) 0 else losslessDiffClass(dPrev(x), l, u)
-        val d = decodeLosslessDiffArith(dec, st, ca, cb)
-        val pred =
-          if (y == 0 && x == 0) defaultPred
-          else if (y == 0) cur(x - 1)
-          else if (x == 0) prev(0)
-          else {
-            val a = cur(x - 1)
-            val bb = prev(x)
-            val cc = prev(x - 1)
-            predSel match {
-              case 1 => a
-              case 2 => bb
-              case 3 => cc
-              case 4 => a + bb - cc
-              case 5 => a + ((bb - cc) >> 1)
-              case 6 => bb + ((a - cc) >> 1)
-              case _ => (a + bb) >> 1
+        var ci = 0
+        while (ci < nc) {
+          val c = scanComps(ci)
+          val l = dcL(c.dcSel)
+          val u = dcU(c.dcSel)
+          val ca = if (x == 0) 0 else losslessDiffClass(dCur(ci)(x - 1), l, u)
+          val cb = if (y == 0) 0 else losslessDiffClass(dPrev(ci)(x), l, u)
+          val d = decodeLosslessDiffArith(dec, statsBySel(c.dcSel), ca, cb)
+          val cl = cur(ci)
+          val pl = prev(ci)
+          val pred =
+            if (y == 0 && x == 0) defaultPred
+            else if (y == 0) cl(x - 1)
+            else if (x == 0) pl(0)
+            else {
+              val a = cl(x - 1)
+              val bb = pl(x)
+              val cc = pl(x - 1)
+              predSel match {
+                case 1 => a
+                case 2 => bb
+                case 3 => cc
+                case 4 => a + bb - cc
+                case 5 => a + ((bb - cc) >> 1)
+                case 6 => bb + ((a - cc) >> 1)
+                case _ => (a + bb) >> 1
+              }
             }
-          }
-        cur(x) = (pred + d) & 0xffff
-        dCur(x) = d
+          cl(x) = (pred + d) & 0xffff
+          dCur(ci)(x) = d
+          ci += 1
+        }
         x += 1
       }
-      var i2 = 0
-      while (i2 < width) {
-        c.plane(y * width + i2) = ((cur(i2) << pt) & 0xff).toByte
-        i2 += 1
+      var ci = 0
+      while (ci < nc) {
+        val c = scanComps(ci)
+        val cl = cur(ci)
+        var i2 = 0
+        while (i2 < width) {
+          c.plane(y * width + i2) =
+            ((((cl(i2) << pt) & 0xffff) >> down) & 0xff).toByte
+          i2 += 1
+        }
+        System.arraycopy(cl, 0, prev(ci), 0, width)
+        System.arraycopy(dCur(ci), 0, dPrev(ci), 0, width)
+        ci += 1
       }
-      System.arraycopy(cur, 0, prev, 0, width)
-      System.arraycopy(dCur, 0, dPrev, 0, width)
       y += 1
     }
     dec.endPos
@@ -840,7 +874,7 @@ object JpegCodec {
   private def processProgressiveScan(b: Array[Byte], start: Int,
       frameComps: Array[Component], scanComps: Array[Component],
       ss: Int, se: Int, ah: Int, al: Int, ri: Int,
-      width: Int, height: Int): Int = {
+      width: Int, height: Int, maxDc: Int = 15): Int = {
     if (se > 63 || ss > se || al > 13) corrupt()
     if (ss == 0 && se != 0) corrupt() // DC scans cover exactly band 0
     if (ss > 0 && scanComps.length != 1) corrupt() // AC scans: one component
@@ -869,7 +903,8 @@ object JpegCodec {
             var bx = 0
             while (bx < c.h) {
               decodeDcProg(r, c,
-                ((my * c.v + by) * c.bw + (mx * c.h + bx)) * 64, ah, al)
+                ((my * c.v + by) * c.bw + (mx * c.h + bx)) * 64, ah, al,
+                maxDc)
               bx += 1
             }
             by += 1
@@ -892,7 +927,7 @@ object JpegCodec {
           eobrun = 0
         }
         val base = ((blk / c.nbw) * c.bw + (blk % c.nbw)) * 64
-        if (ss == 0) decodeDcProg(r, c, base, ah, al)
+        if (ss == 0) decodeDcProg(r, c, base, ah, al, maxDc)
         else eobrun =
           if (ah == 0) acFirst(r, c, base, ss, se, al, eobrun)
           else acRefine(r, c, base, ss, se, al, eobrun)
@@ -903,10 +938,10 @@ object JpegCodec {
   }
 
   private def decodeDcProg(r: BitReader, c: Component, base: Int,
-      ah: Int, al: Int): Unit =
+      ah: Int, al: Int, maxDc: Int = 15): Unit =
     if (ah == 0) { // first pass: baseline DC diff, scaled by 2^Al
       val s = r.decode(c.dcTable)
-      if (s > 15) corrupt()
+      if (s > maxDc) corrupt()
       c.pred += extend(r.receive(s), s)
       c.coefs(base) = c.pred << al
     } else { // refinement: one appended magnitude bit
@@ -999,7 +1034,7 @@ object JpegCodec {
 
   /** Dequantize + IDCT every accumulated block, then color-convert. */
   private def finishProgressive(comps: Array[Component], width: Int,
-      height: Int, qt: Array[Array[Int]]): PixelImage = {
+      height: Int, qt: Array[Array[Int]], precision: Int = 8): PixelImage = {
     val dq = new Array[Int](64)
     val pix = new Array[Int](64)
     for (c <- comps) {
@@ -1019,7 +1054,8 @@ object JpegCodec {
             dq(n) = c.coefs(base + n) * q(k)
             k += 1
           }
-          idct(dq, pix)
+          idct(dq, pix, level = 1 << (precision - 1),
+            max = (1 << precision) - 1, down = precision - 8)
           var y = 0
           while (y < 8) {
             var x = 0
@@ -1314,7 +1350,7 @@ object JpegCodec {
       qt: Array[Array[Int]], ri: Int,
       dcL: Array[Int], dcU: Array[Int], acK: Array[Int],
       hierRef: Array[Int] = null, refW: Int = 0,
-      diff: Boolean = false): Int = {
+      diff: Boolean = false, precision: Int = 8): Int = {
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
     val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
@@ -1424,7 +1460,8 @@ object JpegCodec {
             val ox = (mx * c.h + bx) * 8
             val oy = (my * c.v + by) * 8
             if (hierRef == null) {
-              idct(coef, pix)
+              idct(coef, pix, level = 1 << (precision - 1),
+                max = (1 << precision) - 1, down = precision - 8)
               var y = 0
               while (y < 8) {
                 var x = 0
@@ -1989,9 +2026,9 @@ object JpegCodec {
     * JpegCodecSpec and the q47 rotation grade. `gray12` returns
     * 0..4095. */
   def encodeJpeg12(width: Int, height: Int,
-      gray12: (Int, Int) => Int): Array[Byte] = {
+      gray12: (Int, Int) => Int, spelling: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
-      width.toLong * height <= MaxPixels)
+      width.toLong * height <= MaxPixels && spelling >= 0 && spelling <= 2)
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
     def wbe16(v: Int): Unit = { w8(v >> 8); w8(v) }
@@ -2001,7 +2038,12 @@ object JpegCodec {
     w8(0)
     var k = 0
     while (k < 64) { w8(1); k += 1 }
-    marker(0xc1); wbe16(8 + 3) // SOF1, one component, P = 12
+    // spelling 0 = SOF1 (extended sequential Huffman), 1 = SOF9
+    // (sequential ARITHMETIC — round 18), 2 = SOF2 (PROGRESSIVE
+    // Huffman, spectral selection only — round 18): one 12-bit image,
+    // three entropy structures, identical decoded pixels
+    marker(spelling match { case 0 => 0xc1; case 1 => 0xc9; case _ => 0xc2 })
+    wbe16(8 + 3)
     w8(12); wbe16(height); wbe16(width); w8(1)
     w8(1); w8(0x11); w8(0)
     def dht(tc: Int, t: EncTable): Unit = {
@@ -2011,17 +2053,19 @@ object JpegCodec {
       while (l <= 16) { w8(t.bits(l)); l += 1 }
       t.vals.foreach(w8)
     }
-    dht(0, EncDcWide)
-    dht(1, EncAc)
-    marker(0xda); wbe16(8) // SOS
-    w8(1); w8(1); w8(0x00)
-    w8(0); w8(63); w8(0)
-    val w = new BitWriter(out)
-    val block = new Array[Double](64)
-    val coef = new Array[Int](64)
-    var pred = 0
+    if (spelling == 1) {
+      marker(0xcc); wbe16(2 + 4) // DAC, default conditioning spelled out
+      w8(0x00); w8(0x10)
+      w8(0x10); w8(5)
+    } else {
+      dht(0, EncDcWide)
+      dht(1, EncAc)
+    }
+    // quantized coefficients per block, raster order
     val mcusX = (width + 7) / 8
     val mcusY = (height + 7) / 8
+    val blocks = Array.fill(mcusX * mcusY)(new Array[Int](64))
+    val block = new Array[Double](64)
     var my = 0
     while (my < mcusY) {
       var mx = 0
@@ -2037,13 +2081,72 @@ object JpegCodec {
           }
           by += 1
         }
-        fdctQuant(block, coef)
-        pred = encodeBlock(w, coef, pred, dcTable = EncDcWide)
+        fdctQuant(block, blocks(my * mcusX + mx))
         mx += 1
       }
       my += 1
     }
-    w.finish()
+    val nBlocks = mcusX * mcusY
+    if (spelling == 2) {
+      // DC scan (Ss=0, Se=0, Ah=Al=0) — wide categories
+      marker(0xda); wbe16(8)
+      w8(1); w8(1); w8(0x00)
+      w8(0); w8(0); w8(0)
+      val w = new BitWriter(out)
+      var pred = 0
+      var blk = 0
+      while (blk < nBlocks) {
+        val diff = blocks(blk)(0) - pred
+        pred = blocks(blk)(0)
+        val s = sizeCat(diff)
+        w.put(EncDcWide.codes(s), EncDcWide.lens(s))
+        if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        blk += 1
+      }
+      w.finish()
+      // AC scan (Ss=1, Se=63): every block is one EOB run of 1 (the
+      // fixtures are DC-only; a nonzero AC would need run/size symbols)
+      blocks.foreach(bk =>
+        require((1 to 63).forall(kk => bk(ZigZag(kk)) == 0),
+          "progressive 12-bit spelling carries DC-only fixtures"))
+      marker(0xda); wbe16(8)
+      w8(1); w8(1); w8(0x00)
+      w8(1); w8(63); w8(0)
+      val w2 = new BitWriter(out)
+      var blk2 = 0
+      while (blk2 < nBlocks) {
+        w2.put(EncAc.codes(0x00), EncAc.lens(0x00)) // EOBRUN = 1
+        blk2 += 1
+      }
+      w2.finish()
+    } else {
+      marker(0xda); wbe16(8) // SOS
+      w8(1); w8(1); w8(0x00)
+      w8(0); w8(63); w8(0)
+      if (spelling == 1) {
+        val enc = new QmCoder.Encoder(out)
+        val dcSt = new QmCoder.Stats(64)
+        val acSt = new QmCoder.Stats(256)
+        val preds = new Array[Int](1)
+        val dcCtxs = new Array[Int](1)
+        var blk = 0
+        while (blk < nBlocks) {
+          encodeBlockArith(enc, dcSt, acSt, blocks(blk), preds, dcCtxs, 0)
+          preds(0) = blocks(blk)(0)
+          blk += 1
+        }
+        enc.finish()
+      } else {
+        val w = new BitWriter(out)
+        var pred = 0
+        var blk = 0
+        while (blk < nBlocks) {
+          pred = encodeBlock(w, blocks(blk), pred, dcTable = EncDcWide)
+          blk += 1
+        }
+        w.finish()
+      }
+    }
     marker(0xd9)
     out.toByteArray
   }
@@ -2479,64 +2582,97 @@ object JpegCodec {
     * difference-class conditioning — bit-exact round-trip for ANY
     * input, the arithmetic spelling of the only exact JPEG mode. */
   def encodeJpegLosslessArith(width: Int, height: Int,
-      gray: (Int, Int) => Int, predictor: Int = 4): Array[Byte] = {
+      gray: (Int, Int) => Int, predictor: Int = 4,
+      precision: Int = 8): Array[Byte] =
+    encodeJpegLosslessArithImpl(width, height, 1,
+      (_, x, y) => gray(x, y), predictor, precision)
+
+  /** 3-component interleaved arithmetic lossless (SOF11 RGB — round 18):
+    * same component conventions as [[encodeJpegLosslessRgb]], entropy
+    * through per-DC-destination QM statistics (components declare
+    * distinct DAC destinations 0/1/2). `rgb` returns 0xRRGGBB. */
+  def encodeJpegLosslessArithRgb(width: Int, height: Int,
+      rgb: (Int, Int) => Int, predictor: Int = 4): Array[Byte] =
+    encodeJpegLosslessArithImpl(width, height, 3,
+      (c, x, y) => (rgb(x, y) >> (16 - 8 * c)) & 0xff, predictor, 8)
+
+  private def encodeJpegLosslessArithImpl(width: Int, height: Int, nc: Int,
+      sample: (Int, Int, Int) => Int, predictor: Int,
+      precision: Int): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
-      width.toLong * height <= MaxPixels && predictor >= 1 && predictor <= 7)
+      width.toLong * height <= MaxPixels && predictor >= 1 && predictor <= 7 &&
+      precision >= 8 && precision <= 16 && (nc == 1 || precision == 8))
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
     def wbe16(v: Int): Unit = { w8(v >> 8); w8(v) }
     def marker(m: Int): Unit = { w8(0xff); w8(m) }
+    val mask = (1 << precision) - 1
     marker(0xd8)
     marker(0xe0); wbe16(16)
     out.write("JFIF".getBytes("US-ASCII")); w8(0)
     w8(1); w8(1); w8(0); wbe16(1); wbe16(1); w8(0); w8(0)
-    marker(0xcb); wbe16(8 + 3) // SOF11, one component
-    w8(8); wbe16(height); wbe16(width); w8(1)
-    w8(1); w8(0x11); w8(0)
-    marker(0xcc); wbe16(2 + 2) // DAC: DC table 0, default L=0 U=1
-    w8(0x00); w8(0x10)
-    marker(0xda); wbe16(8) // SOS
-    w8(1); w8(1); w8(0x00)
+    marker(0xcb); wbe16(8 + 3 * nc) // SOF11
+    w8(precision); wbe16(height); wbe16(width); w8(nc)
+    var c = 0
+    while (c < nc) { w8(c + 1); w8(0x11); w8(0); c += 1 }
+    marker(0xcc); wbe16(2 + 2 * nc) // DAC: per-component DC destination
+    c = 0
+    while (c < nc) { w8(c); w8(0x10); c += 1 } // default L=0 U=1 each
+    marker(0xda); wbe16(6 + 2 * nc) // SOS
+    w8(nc)
+    c = 0
+    while (c < nc) { w8(c + 1); w8(c << 4); c += 1 } // dcSel = c
     w8(predictor); w8(0); w8(0) // Ss = predictor, Se = 0, Ah/Al = 0
-    val st = new QmCoder.Stats(160)
+    val st = Array.fill(nc)(new QmCoder.Stats(160))
     val enc = new QmCoder.Encoder(out)
-    val prev = new Array[Int](width)
-    val cur = new Array[Int](width)
-    val dPrev = new Array[Int](width)
-    val dCur = new Array[Int](width)
+    val defaultPred = 1 << (precision - 1)
+    val prev = Array.ofDim[Int](nc, width)
+    val cur = Array.ofDim[Int](nc, width)
+    val dPrev = Array.ofDim[Int](nc, width)
+    val dCur = Array.ofDim[Int](nc, width)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        val v = gray(x, y) & 0xff
-        val pred =
-          if (y == 0 && x == 0) 128 // 2^(P−1)
-          else if (y == 0) cur(x - 1)
-          else if (x == 0) prev(0)
-          else {
-            val a = cur(x - 1)
-            val bb = prev(x)
-            val cc = prev(x - 1)
-            predictor match {
-              case 1 => a
-              case 2 => bb
-              case 3 => cc
-              case 4 => a + bb - cc
-              case 5 => a + ((bb - cc) >> 1)
-              case 6 => bb + ((a - cc) >> 1)
-              case _ => (a + bb) >> 1
+        var ci = 0
+        while (ci < nc) {
+          val v = sample(ci, x, y) & mask
+          val cl = cur(ci)
+          val pl = prev(ci)
+          val pred =
+            if (y == 0 && x == 0) defaultPred // 2^(P−1)
+            else if (y == 0) cl(x - 1)
+            else if (x == 0) pl(0)
+            else {
+              val a = cl(x - 1)
+              val bb = pl(x)
+              val cc = pl(x - 1)
+              predictor match {
+                case 1 => a
+                case 2 => bb
+                case 3 => cc
+                case 4 => a + bb - cc
+                case 5 => a + ((bb - cc) >> 1)
+                case 6 => bb + ((a - cc) >> 1)
+                case _ => (a + bb) >> 1
+              }
             }
-          }
-        val diff = (((v - pred) & 0xffff) << 16) >> 16 // signed-16 window
-        val ca = if (x == 0) 0 else losslessDiffClass(dCur(x - 1), 0, 1)
-        val cb = if (y == 0) 0 else losslessDiffClass(dPrev(x), 0, 1)
-        encodeLosslessDiffArith(enc, st, ca, cb, diff)
-        cur(x) = v
-        dCur(x) = diff
+          val diff = (((v - pred) & 0xffff) << 16) >> 16 // signed-16 window
+          val ca = if (x == 0) 0 else losslessDiffClass(dCur(ci)(x - 1), 0, 1)
+          val cb = if (y == 0) 0 else losslessDiffClass(dPrev(ci)(x), 0, 1)
+          encodeLosslessDiffArith(enc, st(ci), ca, cb, diff)
+          cl(x) = v
+          dCur(ci)(x) = diff
+          ci += 1
+        }
         x += 1
       }
-      System.arraycopy(cur, 0, prev, 0, width)
-      System.arraycopy(dCur, 0, dPrev, 0, width)
+      var ci = 0
+      while (ci < nc) {
+        System.arraycopy(cur(ci), 0, prev(ci), 0, width)
+        System.arraycopy(dCur(ci), 0, dPrev(ci), 0, width)
+        ci += 1
+      }
       y += 1
     }
     enc.finish()
@@ -2557,7 +2693,8 @@ object JpegCodec {
     * SOF0/SOF9 decode of the same image — the cross-check the spec
     * pins, alongside ImageIO's independent SOF10 decode. */
   def encodeJpegProgArith(width: Int, height: Int,
-      px: (Int, Int) => (Int, Int, Int), gray: Boolean = false): Array[Byte] = {
+      px: (Int, Int) => (Int, Int, Int), gray: Boolean = false,
+      gray12: (Int, Int) => Int = null): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
       width.toLong * height <= MaxPixels)
     val out = new java.io.ByteArrayOutputStream()
@@ -2572,9 +2709,11 @@ object JpegCodec {
     w8(0)
     var k = 0
     while (k < 64) { w8(1); k += 1 }
-    val nf = if (gray) 1 else 3
+    // gray12 non-null: 12-BIT progressive arithmetic (round 18) — the
+    // same scan script at P = 12 (level shift 2048)
+    val nf = if (gray || gray12 != null) 1 else 3
     marker(0xca); wbe16(8 + 3 * nf) // SOF10
-    w8(8); wbe16(height); wbe16(width); w8(nf)
+    w8(if (gray12 != null) 12 else 8); wbe16(height); wbe16(width); w8(nf)
     var c = 0
     while (c < nf) { w8(c + 1); w8(0x11); w8(0); c += 1 }
     marker(0xcc); wbe16(2 + 4) // DAC, spec defaults spelled out
@@ -2587,15 +2726,19 @@ object JpegCodec {
     while (y < height) {
       var x = 0
       while (x < width) {
-        val (r, g, b) = px(x, y)
         val o = y * width + x
-        if (gray)
-          planes(0)(o) = ((299 * (r & 0xff) + 587 * (g & 0xff) +
-            114 * (b & 0xff)) / 1000).toDouble - 128.0
+        if (gray12 != null)
+          planes(0)(o) = (gray12(x, y) & 0xfff).toDouble - 2048.0
         else {
-          planes(0)(o) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
-          planes(1)(o) = -0.168736 * r - 0.331264 * g + 0.5 * b
-          planes(2)(o) = 0.5 * r - 0.418688 * g - 0.081312 * b
+          val (r, g, b) = px(x, y)
+          if (gray)
+            planes(0)(o) = ((299 * (r & 0xff) + 587 * (g & 0xff) +
+              114 * (b & 0xff)) / 1000).toDouble - 128.0
+          else {
+            planes(0)(o) = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+            planes(1)(o) = -0.168736 * r - 0.331264 * g + 0.5 * b
+            planes(2)(o) = 0.5 * r - 0.418688 * g - 0.081312 * b
+          }
         }
         x += 1
       }

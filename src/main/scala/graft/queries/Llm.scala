@@ -681,7 +681,7 @@ object Llm {
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v15-vp8lossy") {
+      version = "v16-jpeg12") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -732,12 +732,26 @@ object Llm {
               graft.operators.Vp8Codec.encodeWebpLossyGray(
                 16 * (1 + (id % 2)).toInt, 16,
                 (bx4, by4) => br + 7 * bx4 + 11 * by4)
-          case 5 => // round 16: sequential ARITHMETIC JPEG (QM coder)
-            graft.operators.JpegCodec.encodeJpeg(jw, jh, jpx, gray = true,
-              arith = true)
-          case 6 => // round 16: PROGRESSIVE arithmetic JPEG (SOF10)
-            graft.operators.JpegCodec.encodeJpegProgArith(jw, jh, jpx,
-              gray = true)
+          case 5 => // round 16: sequential ARITHMETIC JPEG (QM coder);
+            // round 18 sub-rotates 12-BIT SOF9 — samples 16× the same
+            // gradient, decoded 8-bit output exactly v >> 4, so ONE
+            // closed form covers both precisions (the SOF1 pattern)
+            if ((id / 10) % 2 == 0)
+              graft.operators.JpegCodec.encodeJpeg(jw, jh, jpx, gray = true,
+                arith = true)
+            else graft.operators.JpegCodec.encodeJpeg12(jw, jh,
+              (x, y) => 16 * (br + 7 * (x / 8) + 11 * (y / 8)), spelling = 1)
+          case 6 => // round 16: PROGRESSIVE arithmetic JPEG (SOF10);
+            // round 18 sub-rotates its 12-BIT spelling and 12-bit
+            // PROGRESSIVE HUFFMAN (SOF2) — same v >> 4 closed form
+            if ((id / 10) % 3 == 0)
+              graft.operators.JpegCodec.encodeJpegProgArith(jw, jh, jpx,
+                gray = true)
+            else if ((id / 10) % 3 == 1)
+              graft.operators.JpegCodec.encodeJpegProgArith(jw, jh, null,
+                gray12 = (x, y) => 16 * (br + 7 * (x / 8) + 11 * (y / 8)))
+            else graft.operators.JpegCodec.encodeJpeg12(jw, jh,
+              (x, y) => 16 * (br + 7 * (x / 8) + 11 * (y / 8)), spelling = 2)
           case 7 => // round 16: LOSSLESS JPEG — the only JPEG mode that
             // reproduces ARBITRARY pixels exactly, so this slot carries
             // the full per-pixel gradient (value ≤ 142 < 255);
@@ -766,9 +780,23 @@ object Llm {
                   (x, y) => 256 * (br + 3 * x + 5 * y), pred,
                   precision = 16)
             }
-            else
-              graft.operators.JpegCodec.encodeJpegLosslessArith(w, h,
-                (x, y) => br + 3 * x + 5 * y, pred)
+            else ((id / 20) % 3).toInt match {
+              // round 18: the ARITHMETIC half sub-rotates shape too —
+              // plain grayscale / 16-BIT precision (samples 256×, 8-bit
+              // output v >> 8, same closed form) / 3-component RGB
+              // (full per-channel gradient, same closed forms as the
+              // Huffman RGB shape)
+              case 0 => graft.operators.JpegCodec.encodeJpegLosslessArith(w,
+                h, (x, y) => br + 3 * x + 5 * y, pred)
+              case 1 => graft.operators.JpegCodec.encodeJpegLosslessArith(w,
+                h, (x, y) => 256 * (br + 3 * x + 5 * y), pred,
+                precision = 16)
+              case _ => graft.operators.JpegCodec.encodeJpegLosslessArithRgb(
+                w, h, (x, y) => {
+                  val (r, g, bl) = px(x, y)
+                  (r << 16) | (g << 8) | bl
+                }, pred)
+            }
           case 8 => // round 16: BI_RLE8 BMP — the run-length coding,
             // lossless, so it carries the full gradient too; palette =
             // one entry per pixel cell, unit encoded runs + EOL/EOB
@@ -928,7 +956,8 @@ object Llm {
       |           -- Huffman-lossless shape 2 is 3-component RGB (real
       |           -- green channel); every other slot-7 shape is grayscale
       |           -- off the red formula
-      |           CASE WHEN (g.doc_id // 10) % 2 = 0 AND (g.doc_id // 20) % 4 = 2
+      |           CASE WHEN ((g.doc_id // 10) % 2 = 0 AND (g.doc_id // 20) % 4 = 2)
+      |                  OR ((g.doc_id // 10) % 2 = 1 AND (g.doc_id // 20) % 3 = 2)
       |             THEN w*h*bg + 5*(h*w*(w-1)//2) + 2*(w*h*(h-1)//2)
       |             ELSE w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END
       |         WHEN (g.doc_id // 10) % 3 = 2 THEN lsum ELSE hsum END
@@ -938,7 +967,8 @@ object Llm {
       |            WHEN g.fmt = 4 AND (g.doc_id // 10) % 2 = 1 THEN vsum
       |            WHEN g.fmt IN (7, 9) THEN
       |         CASE WHEN g.fmt = 7 THEN
-      |           CASE WHEN (g.doc_id // 10) % 2 = 0 AND (g.doc_id // 20) % 4 = 2
+      |           CASE WHEN ((g.doc_id // 10) % 2 = 0 AND (g.doc_id // 20) % 4 = 2)
+      |                  OR ((g.doc_id // 10) % 2 = 1 AND (g.doc_id // 20) % 3 = 2)
       |             THEN w*h*bb + 2*(h*w*(w-1)//2) + 7*(w*h*(h-1)//2)
       |             ELSE w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END
       |         WHEN (g.doc_id // 10) % 3 = 2 THEN lsum ELSE hsum END

@@ -672,12 +672,77 @@ class JpegCodecSpec extends SparkFunSuite {
     val hop = decode(JpegCodec.encodeJpeg12(16, 8,
       (x, _) => if (x < 8) 0 else 4095)).get
     assert((hop.rgb(0) & 0xff) == 0 && (hop.rgb(15 * 3) & 0xff) == 255)
-    // 12-bit under any other frame type refuses (only SOF1 carries it)
+    // 12-bit under BASELINE (SOF0) refuses — T.81 B.1 pins baseline to
+    // P=8; the extended/progressive/arithmetic carriers accept it
     val asSof0 = bytes.clone()
     val sofAt = (0 until asSof0.length - 1).find(i =>
       (asSof0(i) & 0xff) == 0xff && (asSof0(i + 1) & 0xff) == 0xc1).get
     asSof0(sofAt + 1) = 0xc0.toByte
     assert(JpegCodec.decode(asSof0).isEmpty)
+  }
+
+  test("12-bit DCT family closed: SOF1/SOF9/SOF2/SOF10 spellings decode identically") {
+    val rnd = new scala.util.Random(561)
+    val bw = 3; val bh = 2
+    val v12 = Array.fill(bh, bw)(rnd.nextInt(4096))
+    val f = (x: Int, y: Int) => v12(y / 8)(x / 8)
+    val huff = JpegCodec.encodeJpeg12(8 * bw, 8 * bh, f) // SOF1
+    val arith = JpegCodec.encodeJpeg12(8 * bw, 8 * bh, f, spelling = 1) // SOF9
+    val prog = JpegCodec.encodeJpeg12(8 * bw, 8 * bh, f, spelling = 2) // SOF2
+    val progArith = JpegCodec.encodeJpegProgArith(8 * bw, 8 * bh,
+      null, gray12 = f) // SOF10
+    // four genuinely different bitstreams...
+    val all = Seq(huff, arith, prog, progArith)
+    for (i <- all.indices; j <- all.indices if i < j)
+      assert(!java.util.Arrays.equals(all(i), all(j)))
+    // ...one image: every spelling decodes to exactly v >> 4
+    val imgs = all.map(b => decode(b).getOrElse(fail("decode failed")))
+    for (img <- imgs) {
+      assert(img.width == 24 && img.height == 16)
+      for (y <- 0 until 16; x <- 0 until 24)
+        assert((img.rgb((y * 24 + x) * 3) & 0xff) == (f(x, y) >> 4), s"($x,$y)")
+    }
+  }
+
+  test("arithmetic lossless at 12/16-bit precision agrees with the Huffman spelling exactly") {
+    val rnd = new scala.util.Random(562)
+    for (prec <- Seq(12, 16); predictor <- Seq(1, 4, 7)) {
+      val w = 5 + rnd.nextInt(12)
+      val h = 3 + rnd.nextInt(8)
+      val px = Array.fill(h, w)(rnd.nextInt(1 << prec))
+      val ar = JpegCodec.encodeJpegLosslessArith(w, h, (x, y) => px(y)(x),
+        predictor, precision = prec)
+      val hu = JpegCodec.encodeJpegLossless(w, h, (x, y) => px(y)(x),
+        predictor, precision = prec)
+      val ia = decode(ar).getOrElse(fail(s"SOF11 P=$prec failed"))
+      val ih = decode(hu).getOrElse(fail(s"SOF3 P=$prec failed"))
+      assert(java.util.Arrays.equals(ia.rgb, ih.rgb), s"P=$prec pred=$predictor")
+      // both exact: the 8-bit plane is v >> (P-8)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((ia.rgb((y * w + x) * 3) & 0xff) == (px(y)(x) >> (prec - 8)))
+    }
+  }
+
+  test("arithmetic lossless 3-component RGB (SOF11) agrees with SOF3 RGB exactly") {
+    val rnd = new scala.util.Random(563)
+    for (predictor <- Seq(1, 4, 7)) {
+      val w = 5 + rnd.nextInt(12)
+      val h = 3 + rnd.nextInt(8)
+      val px = Array.fill(h, w)(rnd.nextInt(1 << 24))
+      val ar = JpegCodec.encodeJpegLosslessArithRgb(w, h, (x, y) => px(y)(x),
+        predictor)
+      val hu = JpegCodec.encodeJpegLosslessRgb(w, h, (x, y) => px(y)(x),
+        predictor)
+      val ia = decode(ar).getOrElse(fail("SOF11 RGB failed"))
+      val ih = decode(hu).getOrElse(fail("SOF3 RGB failed"))
+      assert(java.util.Arrays.equals(ia.rgb, ih.rgb), s"pred=$predictor")
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        assert((ia.rgb(o) & 0xff) == ((px(y)(x) >> 16) & 0xff))
+        assert((ia.rgb(o + 1) & 0xff) == ((px(y)(x) >> 8) & 0xff))
+        assert((ia.rgb(o + 2) & 0xff) == (px(y)(x) & 0xff))
+      }
+    }
   }
 
   test("lossless at 12/16-bit precision: arbitrary pixels reconstruct exactly (8-bit plane = v >> (P-8))") {
