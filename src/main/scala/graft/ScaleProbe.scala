@@ -86,6 +86,24 @@ object ScaleProbe {
         //   the scan grows linearly.
         "q96_zero_copy_clone", "q97_add_files_migrate",
         "q98_catalog_view", "q99_cube",
+        // round-17 read paths (VERDICT r17 task 3). Expected shapes:
+        // q58b MOR position-delete merge — the delete write is
+        //   O(matched rows) (key-probe scan + entry write) and the read
+        //   adds one anti-join against the (small) delete payload, so
+        //   elapsed/shuffle grow ≈linearly with the base table;
+        // q58c equality-delete upsert stream — commits are O(batch) by
+        //   construction (no base-table probe); the end-state read
+        //   splits into addedAt strata whose count tracks epochs (fixed
+        //   here), so growth is the scan term, ≈linear;
+        // q65b CDC dynamic table — the changelog resolves deltas through
+        //   per-commit file slices + the broadcast (path→addedAt)
+        //   spelling; touched-user rewrites are O(touched files), so the
+        //   refresh tracks the base scan, ≈linear;
+        // q55b partition evolution — two partitioned rewrites dominate
+        //   (by design); the evolution commit itself is one metadata
+        //   CAS, so growth is the write volume, ≈linear.
+        "q58b_mor_merge", "q58c_equality_upsert",
+        "q65b_dynamic_cdc", "q55b_partition_evolution",
         // q39: EXACT threshold join — Θ(N²) cosines by problem statement
         // (see EmbeddingJoin's scaladoc for why LSH can't prune at
         // τ=0.45), so elapsed is EXPECTED ≈quadratic at 10×; the probe's
@@ -98,6 +116,10 @@ object ScaleProbe {
       Seq("q62_spj_join", "q35_minhash_neardup", "q56_ngram_jaccard",
         "q74_repetition_quality", "q75_segment_dedup",
         "q76_decontamination", "q79_asof_join", "q80_range_join",
+        // MOR merge at the second decade: the batch flavor of the
+        // round-17 read paths (the streaming ones would measure
+        // micro-batch count, not data-path scaling)
+        "q58b_mor_merge",
         // iterative CC at the second decade: rounds track component
         // diameter (constant by construction), so elapsed should stay
         // ≈flat while rows go exactly 100×
