@@ -114,7 +114,14 @@ object Vp8Codec {
     }
     def bool(prob: Int, v: Int): Unit = {
       val split = 1 + (((range - 1) * prob) >> 8)
-      if (v != 0) { bottom += split; range -= split } else range = split
+      if (v != 0) {
+        bottom += split
+        // the add can carry past bit 31 (bits above it belong to the
+        // already-emitted bytes) — propagate it now; the in-loop test
+        // below only sees bit 31
+        if ((bottom >>> 32) != 0) { carry(); bottom &= 0xffffffffL }
+        range -= split
+      } else range = split
       while (range < 128) {
         if ((bottom & 0x80000000L) != 0) carry()
         range <<= 1

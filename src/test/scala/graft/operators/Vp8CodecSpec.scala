@@ -42,6 +42,28 @@ class Vp8CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("random per-4x4-block images round-trip exactly across seeds (bool-coder stress)") {
+    // large random residuals swing the arithmetic coder through its
+    // carry/renormalization paths far harder than the gradient fixtures
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val (w, h) = (64, 32)
+      val vals = Array.fill(h / 4, w / 4)(rnd.nextInt(256))
+      val f = (bx4: Int, by4: Int) => vals(by4)(bx4)
+      val img = decodeRgb(Vp8Codec.encodeWebpLossyGray(w, h, f))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          assert((img.rgb((y * w + x) * 3) & 0xff) == f(x / 4, y / 4),
+            s"seed=$seed ($x,$y)")
+          x += 1
+        }
+        y += 1
+      }
+    }
+  }
+
   test("spelling agreement: B_PRED vs 16x16+Y2 decode the same per-MB-constant image identically") {
     val (w, h) = (48, 32)
     // constant per 16x16 MB so both spellings can express it
