@@ -26,7 +26,7 @@ package graft.operators
   *    frame whose decoded geometry disagrees with the stream header,
   *    or that [[JpegCodec]] rejects, → None.
   *  - Other codecs (H.264/VP9/…) → None: the labeled stub path, like
-  *    WebP-lossy and MP3.
+  *    MP3/AAC on the audio side.
   *  - Frame SAMPLING is first-class: [[decodeSampled]] walks the movi
   *    chunks and materializes only every `stride`-th frame, so a
   *    100-frame clip sampled at stride 10 allocates 10 frames — the
@@ -35,6 +35,9 @@ package graft.operators
   *  - Animated GIF rides the same entry point, including (round 16)
   *    full GIF89a COMPOSITING — partial frames, transparency, disposal
   *    methods — see [[decodeGifSampled]].
+  *  - ANIMATED WEBP rides it too (round 18): VP8X/ANIM/ANMF chunk walk
+  *    with real alpha-blend compositing over VP8L and lossy-VP8
+  *    sub-frames (+ ALPH alpha planes) — see [[decodeWebpAnimSampled]].
   *
   * Anything malformed decodes to None, never an exception — corrupt
   * media in a 100 TB crawl is data, not an error.
@@ -48,7 +51,8 @@ object VideoCodec {
   /** Sampled clip: total frame count in the container, the sampled
     * frames (indices 0, stride, 2·stride, …), geometry, and the
     * container kind ("dib" for AVI/DIB, "mjpg" for AVI/Motion-JPEG,
-    * "gif" for animated GIF). */
+    * "mrle" for AVI/Microsoft-RLE, "gif" for animated GIF, "webp" for
+    * animated WebP). */
   final case class VideoClip(width: Int, height: Int, totalFrames: Int,
       sampledIdx: Array[Int], frames: Array[PixelImage],
       container: String = "dib")
@@ -70,6 +74,8 @@ object VideoCodec {
     if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return decodeGifSampled(b, stride)
+    if (tag(b, 0, "RIFF") && tag(b, 8, "WEBP"))
+      return decodeWebpAnimSampled(b, stride)
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return None
     var w = 0
     var h = 0
@@ -206,6 +212,181 @@ object VideoCodec {
     if (total == 0) return None
     Some(VideoClip(w, h, total, idx.toArray, frames.toArray,
       if (mjpeg) "mjpg" else if (mrleCanvas != null) "mrle" else "dib"))
+  }
+
+  /** ANIMATED WEBP (round 18) as a frame-sampled video source: a
+    * RIFF/WEBP container whose VP8X header carries the animation flag,
+    * rendered per the container spec's compositing model —
+    *
+    *  - ANMF frames place a sub-image at an even (x, y) offset on the
+    *    canvas; the blending bit selects alpha-blend ("over" operator,
+    *    straight alpha) or overwrite; the disposal bit optionally fills
+    *    the frame rectangle with the ANIM background color AFTER
+    *    display.
+    *  - Frame pixels come from the in-repo decoders: VP8L sub-frames
+    *    keep their own alpha ([[WebpCodec.decodeVp8lArgb]]); lossy VP8
+    *    sub-frames ([[Vp8Codec]]) are opaque unless an ALPH chunk
+    *    supplies the alpha plane ([[WebpCodec.decodeAlph]] — raw or
+    *    lossless tier, all four prediction filters).
+    *  - The canvas is initialized to the ANIM background color, and
+    *    sampled snapshots are flattened over that color (PixelImage is
+    *    RGB; the spec leaves under-canvas presentation to the viewer, so
+    *    the fixture discipline keeps oracle rows fully opaque where any
+    *    rounding choice would show).
+    *
+    * Like composited GIF, frame N depends on frames < N, so every
+    * ANMF's pixels decode regardless of stride, bounded by the same
+    * total-pixel-work cap. Alpha-blend integer spelling: with frame
+    * alpha aF and canvas alpha aC, a·255 = 255·aF + aC·(255−aF) and
+    * each channel is round-half-up of (f·aF·255 + c·aC·(255−aF)) / a·255
+    * — exact whenever aF ∈ {0, 255} or both pixels are opaque. */
+  private def decodeWebpAnimSampled(b: Array[Byte], stride: Int): Option[VideoClip] = {
+    def le24(i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+    // VP8X must lead and carry the animation flag (bit 0x02); a still
+    // WebP (VP8/VP8L/VP8X-still) is not a video → None, stub row
+    if (b.length < 30 || !tag(b, 12, "VP8X")) return None
+    val vp8xSize = le32(b, 16)
+    if (vp8xSize < 10 || 20 + vp8xSize.toLong > b.length) return None
+    if (((b(20) & 0xff) & 0x02) == 0) return None
+    val w = le24(24) + 1
+    val h = le24(27) + 1
+    if (w.toLong * h > MaxPixels) return None
+
+    var bgArgb = 0
+    var sawAnim = false
+    val canvas = new Array[Int](w * h)
+    val idx = new scala.collection.mutable.ArrayBuffer[Int]()
+    val frames = new scala.collection.mutable.ArrayBuffer[PixelImage]()
+    var total = 0
+    var work = 0L
+
+    def flatten(): PixelImage = { // canvas over the (opaque) bg color
+      val rgb = new Array[Byte](w * h * 3)
+      var k = 0
+      while (k < w * h) {
+        val c = canvas(k)
+        val ac = c >>> 24
+        var sh = 16
+        var o = k * 3
+        while (sh >= 0) {
+          val cc = (c >> sh) & 0xff
+          val bgc = (bgArgb >> sh) & 0xff
+          rgb(o) = (if (ac == 255) cc
+                    else (cc * ac + bgc * (255 - ac) + 127) / 255).toByte
+          sh -= 8; o += 1
+        }
+        k += 1
+      }
+      PixelImage(w, h, rgb)
+    }
+
+    var i = 20 + vp8xSize + (vp8xSize & 1)
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0 || i + 8 + size.toLong > b.length) return None
+      if (tag(b, i, "ANIM")) {
+        if (size < 6 || sawAnim) return None
+        // background color is [B, G, R, A] byte order on disk
+        bgArgb = ((b(i + 11) & 0xff) << 24) | ((b(i + 10) & 0xff) << 16) |
+          ((b(i + 9) & 0xff) << 8) | (b(i + 8) & 0xff)
+        java.util.Arrays.fill(canvas, bgArgb)
+        sawAnim = true
+      } else if (tag(b, i, "ANMF")) {
+        if (!sawAnim || size < 16) return None
+        val fx = 2 * le24(i + 8)
+        val fy = 2 * le24(i + 11)
+        val fw = le24(i + 14) + 1
+        val fh = le24(i + 17) + 1
+        val fl = b(i + 23) & 0xff // |reserved(6)|B|D|
+        val noBlend = (fl & 0x02) != 0
+        val disposeBg = (fl & 0x01) != 0
+        if (fx.toLong + fw > w || fy.toLong + fh > h) return None
+        work += fw.toLong * fh + w.toLong * h
+        if (work > (1L << 28)) return None // CPU bound → stub path
+        // frame data: optional ALPH, then exactly one VP8/VP8L chunk
+        var j = i + 24 // 8-byte chunk header + 16-byte ANMF frame header
+        val end = i + 8 + size
+        var alphaPlane: Array[Byte] = null
+        var sub: Array[Int] = null
+        while (j + 8 <= end && sub == null) {
+          val ssz = le32(b, j + 4)
+          if (ssz < 0 || j + 8 + ssz.toLong > end) return None
+          if (tag(b, j, "ALPH")) {
+            if (alphaPlane != null) return None
+            alphaPlane = WebpCodec.decodeAlph(b, j + 8, ssz, fw, fh)
+              .getOrElse(return None)
+          } else if (tag(b, j, "VP8L")) {
+            // VP8L carries its own alpha; an ALPH alongside it is
+            // ignored (the spec says it SHOULD NOT be present)
+            val (sw, sh, argb) = WebpCodec.decodeVp8lArgb(b, j + 8, ssz)
+              .getOrElse(return None)
+            if (sw != fw || sh != fh) return None
+            sub = argb
+          } else if (tag(b, j, "VP8 ")) {
+            val img = Vp8Codec.decodeFrame(b, j + 8, ssz).getOrElse(return None)
+            if (img.width != fw || img.height != fh) return None
+            sub = new Array[Int](fw * fh)
+            var k = 0
+            while (k < sub.length) {
+              val a = if (alphaPlane != null) alphaPlane(k) & 0xff else 255
+              sub(k) = (a << 24) | ((img.rgb(k * 3) & 0xff) << 16) |
+                ((img.rgb(k * 3 + 1) & 0xff) << 8) | (img.rgb(k * 3 + 2) & 0xff)
+              k += 1
+            }
+          } else return None // unknown chunk inside ANMF
+          j += 8 + ssz + (ssz & 1)
+        }
+        if (sub == null) return None
+        var yy = 0
+        while (yy < fh) {
+          var xx = 0
+          val rowBase = (fy + yy) * w + fx
+          while (xx < fw) {
+            val fp = sub(yy * fw + xx)
+            canvas(rowBase + xx) =
+              if (noBlend) fp else blendOver(fp, canvas(rowBase + xx))
+            xx += 1
+          }
+          yy += 1
+        }
+        if (total % stride == 0) {
+          if (frames.length >= MaxSampledFrames) return None
+          idx += total
+          frames += flatten()
+        }
+        if (disposeBg) { // AFTER display: frame rect → background color
+          var ry = 0
+          while (ry < fh) {
+            java.util.Arrays.fill(canvas, (fy + ry) * w + fx,
+              (fy + ry) * w + fx + fw, bgArgb)
+            ry += 1
+          }
+        }
+        total += 1
+      } // else: skip ICCP/EXIF/XMP/unknown chunks
+      i += 8 + size + (size & 1)
+    }
+    if (total == 0) return None
+    Some(VideoClip(w, h, total, idx.toArray, frames.toArray, "webp"))
+  }
+
+  /** Straight-alpha "over" compositing of frame pixel `f` onto canvas
+    * pixel `c` (both 0xAARRGGBB), the container spec's blend formula in
+    * exact integer form; round-half-up on the single divide. */
+  private def blendOver(f: Int, c: Int): Int = {
+    val af = f >>> 24
+    if (af == 255) return f
+    if (af == 0) return c
+    val ac = c >>> 24
+    val a255 = 255 * af + ac * (255 - af) // blended alpha × 255
+    if (a255 == 0) return 0
+    def ch(sh: Int): Int = {
+      val num = ((f >> sh) & 0xff).toLong * af * 255 +
+        ((c >> sh) & 0xff).toLong * ac * (255 - af)
+      ((num + a255 / 2) / a255).toInt
+    }
+    (((a255 + 127) / 255) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
   }
 
   /** Animated GIF as a frame-sampled video source, in two tiers:
@@ -615,6 +796,85 @@ object VideoCodec {
       out.write(one, payloadStart, one.length - payloadStart - 1)
     }
     w8(0x3b)
+    out.toByteArray
+  }
+
+  /** One frame of an animated-WebP fixture: placed at the EVEN offset
+    * (left, top) — ANMF stores x/2, y/2 — sized fw×fh. `blend` selects
+    * alpha-blend vs overwrite; `disposeBg` fills the rect with the ANIM
+    * background after display. `argb(x, y)` gives 0xAARRGGBB pixels
+    * (frame-local coords), carried as a real VP8L sub-stream with
+    * per-pixel alpha; `raw` instead supplies explicit (fourcc, payload)
+    * frame-data chunks — the lossy-VP8 / ALPH spellings. */
+  final case class WebpFrame(left: Int, top: Int, fw: Int, fh: Int,
+      blend: Boolean = true, disposeBg: Boolean = false,
+      argb: (Int, Int) => Int = null,
+      raw: Seq[(String, Array[Byte])] = Nil)
+
+  /** Real animated-WebP bytes (fixtures + tests): VP8X with the
+    * animation flag + ANIM (background color, infinite loop) + one ANMF
+    * chunk per frame, each nesting its VP8L (or raw) frame data. */
+  def encodeWebpAnim(width: Int, height: Int, frames: Seq[WebpFrame],
+      bgArgb: Int = 0xff000000): Array[Byte] = {
+    require(width > 0 && height > 0 && frames.nonEmpty &&
+      width <= (1 << 24) && height <= (1 << 24) &&
+      width.toLong * height <= MaxPixels)
+    frames.foreach { f =>
+      require(f.left >= 0 && f.top >= 0 && f.left % 2 == 0 && f.top % 2 == 0 &&
+        f.fw > 0 && f.fh > 0 && f.left + f.fw <= width &&
+        f.top + f.fh <= height && (f.argb != null || f.raw.nonEmpty))
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = body.write(v & 0xff)
+    def wle24(v: Int): Unit = { w8(v); w8(v >> 8); w8(v >> 16) }
+    def wle32(v: Int): Unit = { w8(v); w8(v >> 8); w8(v >> 16); w8(v >> 24) }
+    def wtag(t: String): Unit = t.foreach(c => w8(c))
+    def chunk(tag: String, payload: Array[Byte]): Unit = {
+      wtag(tag); wle32(payload.length)
+      body.write(payload, 0, payload.length)
+      if ((payload.length & 1) == 1) w8(0)
+    }
+    // VP8X: animation + alpha flags, 24-bit reserved, canvas w-1 / h-1
+    chunk("VP8X", {
+      val p = new java.io.ByteArrayOutputStream()
+      p.write(0x12); p.write(0); p.write(0); p.write(0) // A + L flags
+      def p24(v: Int): Unit = { p.write(v & 0xff); p.write((v >> 8) & 0xff); p.write((v >> 16) & 0xff) }
+      p24(width - 1); p24(height - 1)
+      p.toByteArray
+    })
+    // ANIM: background color in [B, G, R, A] byte order, loop count 0
+    chunk("ANIM", Array[Byte](
+      (bgArgb & 0xff).toByte, ((bgArgb >> 8) & 0xff).toByte,
+      ((bgArgb >> 16) & 0xff).toByte, ((bgArgb >>> 24) & 0xff).toByte,
+      0, 0))
+    frames.foreach { f =>
+      val data = new java.io.ByteArrayOutputStream()
+      def dchunk(tag: String, payload: Array[Byte]): Unit = {
+        tag.foreach(c => data.write(c))
+        data.write(payload.length & 0xff); data.write((payload.length >> 8) & 0xff)
+        data.write((payload.length >> 16) & 0xff); data.write((payload.length >> 24) & 0xff)
+        data.write(payload, 0, payload.length)
+        if ((payload.length & 1) == 1) data.write(0)
+      }
+      if (f.raw.nonEmpty) f.raw.foreach { case (t, p) => dchunk(t, p) }
+      else dchunk("VP8L", WebpCodec.encodeVp8lChunk(f.fw, f.fh, f.argb))
+      val payload = data.toByteArray
+      wtag("ANMF"); wle32(16 + payload.length)
+      wle24(f.left / 2); wle24(f.top / 2)
+      wle24(f.fw - 1); wle24(f.fh - 1)
+      wle24(100) // duration ms
+      w8((if (f.blend) 0 else 0x02) | (if (f.disposeBg) 1 else 0))
+      body.write(payload, 0, payload.length)
+      if ((payload.length & 1) == 1) w8(0)
+    }
+    val inner = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def o8(v: Int): Unit = out.write(v & 0xff)
+    "RIFF".foreach(c => o8(c))
+    val total = 4 + inner.length
+    o8(total); o8(total >> 8); o8(total >> 16); o8(total >> 24)
+    "WEBP".foreach(c => o8(c))
+    out.write(inner, 0, inner.length)
     out.toByteArray
   }
 

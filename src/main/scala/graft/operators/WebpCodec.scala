@@ -23,9 +23,10 @@ package graft.operators
   * Lossy WebP (`VP8 ` chunks — boolean-arithmetic-coded DCT) routes to
   * the from-scratch intra keyframe decoder in [[Vp8Codec]] (round 18);
   * `VP8X` extended STILL images decode through whichever stream they
-  * carry. Animated WebP (frames nested inside ANMF chunks) stays on the
-  * labeled stub path, like MP3 on the audio side. Anything malformed
-  * decodes to None, never an exception.
+  * carry. Animated WebP is a VIDEO, not a still: this entry point
+  * refuses it, and [[VideoCodec.decodeSampled]] composites its ANMF
+  * frames (round 18) using [[decodeVp8lArgb]] / [[decodeAlph]] below.
+  * Anything malformed decodes to None, never an exception.
   *
   * The encoder (fixtures + round-trip tests) writes literal-coded VP8L:
   * complete 8-bit prefix codes for G/R/B described through the
@@ -276,14 +277,48 @@ object WebpCodec {
       else i += 8 + size + (size & 1)
     }
     if (off < 0) return None
-    if ((b(off) & 0xff) != 0x2f) return None // VP8L signature
-    val r = new BitReader(b, off + 1, off + len)
-    val w = r.read(14) + 1
-    val h = r.read(14) + 1
-    r.read(1) // alpha hint
-    if (r.read(3) != 0) return None // version
-    if (w.toLong * h > MaxPixels) return None
+    decodeVp8lArgb(b, off, len).map { case (w, h, argb) =>
+      val out = new Array[Byte](w * h * 3)
+      var k = 0
+      while (k < w * h) {
+        out(k * 3) = ((argb(k) >> 16) & 0xff).toByte
+        out(k * 3 + 1) = ((argb(k) >> 8) & 0xff).toByte
+        out(k * 3 + 2) = (argb(k) & 0xff).toByte
+        k += 1
+      }
+      PixelImage(w, h, out)
+    }
+  }
 
+  /** Decode a complete VP8L chunk payload (signature byte + 28-bit
+    * header + image-stream) to (width, height, ARGB pixels) — the
+    * alpha-preserving entry the animated-WebP compositor needs
+    * ([[VideoCodec]] ANMF frames blend by their own alpha). None on
+    * anything malformed. */
+  private[operators] def decodeVp8lArgb(b: Array[Byte], off: Int,
+      len: Int): Option[(Int, Int, Array[Int])] = {
+    try {
+      if (len < 5 || (b(off) & 0xff) != 0x2f) return None // VP8L signature
+      val r = new BitReader(b, off + 1, off + len)
+      val w = r.read(14) + 1
+      val h = r.read(14) + 1
+      r.read(1) // alpha hint
+      if (r.read(3) != 0) return None // version
+      if (w.toLong * h > MaxPixels) return None
+      Some((w, h, decodeVp8lStream(r, w, h)))
+    } catch {
+      case _: Corrupt => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  /** One VP8L image-stream of KNOWN dimensions: optional transforms +
+    * entropy-coded image + inverse transforms. Shared by the full VP8L
+    * chunk (explicit 14-bit dims) and the ALPH chunk's lossless tier
+    * (implicit dims — the container spec's "image-stream of implicit
+    * dimension"). Throws [[Corrupt]] on malformed input. */
+  private def decodeVp8lStream(r: BitReader, w: Int, h: Int): Array[Int] = {
     // transforms (level 0 only), read order recorded for inverse
     val transforms = new scala.collection.mutable.ArrayBuffer[Transform]()
     var curW = w // COLOR_INDEXING packs pixels and narrows the coded image
@@ -346,16 +381,69 @@ object WebpCodec {
       t -= 1
     }
     if (aw != w) corrupt()
+    argb
+  }
 
-    val out = new Array[Byte](w * h * 3)
-    var k = 0
-    while (k < w * h) {
-      out(k * 3) = ((argb(k) >> 16) & 0xff).toByte
-      out(k * 3 + 1) = ((argb(k) >> 8) & 0xff).toByte
-      out(k * 3 + 2) = (argb(k) & 0xff).toByte
-      k += 1
+  /** Decode an ALPH chunk payload into a w·h alpha plane (container
+    * spec: 1 header byte — 2 reserved + 2 pre-processing + 2 filtering
+    * + 2 compression bits — then either raw bytes or a headerless VP8L
+    * image-stream whose GREEN channel carries the alpha values, then
+    * the inverse of the per-pixel prediction filter). Pre-processing
+    * (level reduction) is an encoder-side lossy step with no decoder
+    * inverse. None on anything malformed. */
+  private[operators] def decodeAlph(b: Array[Byte], off: Int, len: Int,
+      w: Int, h: Int): Option[Array[Byte]] = {
+    try {
+      if (len < 1 || w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+      val hdr = b(off) & 0xff
+      if ((hdr >> 6) != 0) return None // reserved bits
+      val filter = (hdr >> 2) & 3
+      val comp = hdr & 3
+      val n = w * h
+      val alpha = new Array[Byte](n)
+      if (comp == 0) { // raw
+        if (len - 1 < n) return None
+        System.arraycopy(b, off + 1, alpha, 0, n)
+      } else if (comp == 1) { // lossless: headerless image-stream, green channel
+        val r = new BitReader(b, off + 1, off + len)
+        val argb = decodeVp8lStream(r, w, h)
+        var i = 0
+        while (i < n) { alpha(i) = ((argb(i) >> 8) & 0xff).toByte; i += 1 }
+      } else return None
+      // inverse prediction filter: stored value is (actual - pred) mod 256.
+      // Edge rule (container spec): (0,0) predicts from 0; the rest of the
+      // top row predicts from the left; the rest of the left column
+      // predicts from above; interior per the filter method.
+      if (filter != 0) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val pred =
+              if (x == 0 && y == 0) 0
+              else if (y == 0) alpha(x - 1) & 0xff
+              else if (x == 0) alpha((y - 1) * w) & 0xff
+              else filter match {
+                case 1 => alpha(y * w + x - 1) & 0xff // horizontal: L
+                case 2 => alpha((y - 1) * w + x) & 0xff // vertical: T
+                case _ => // gradient: clip(L + T - TL)
+                  val v = (alpha(y * w + x - 1) & 0xff) +
+                    (alpha((y - 1) * w + x) & 0xff) -
+                    (alpha((y - 1) * w + x - 1) & 0xff)
+                  if (v < 0) 0 else if (v > 255) 255 else v
+              }
+            alpha(y * w + x) = (((alpha(y * w + x) & 0xff) + pred) & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+      }
+      Some(alpha)
+    } catch {
+      case _: Corrupt => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
     }
-    Some(PixelImage(w, h, out))
   }
 
   /** Decode one entropy-coded ARGB image (spec §5): the main image
@@ -690,6 +778,102 @@ object WebpCodec {
       y += 1
     }
     wrapVp8l(w.toBytes)
+  }
+
+  /** Raw VP8L chunk bytes (signature + 28-bit header + literal-coded
+    * stream) for an ARGB image — the alpha-capable sibling of
+    * [[encodeWebpLossless]]. Animated-WebP fixtures nest these inside
+    * ANMF chunks, where per-pixel alpha drives real blend compositing.
+    * `argb(x, y)` returns a packed 0xAARRGGBB pixel. */
+  private[operators] def encodeVp8lChunk(width: Int, height: Int,
+      argb: (Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0x4000 && height <= 0x4000 &&
+      width.toLong * height <= MaxPixels)
+    val w = new BitWriter
+    w.writeBits(width - 1, 14)
+    w.writeBits(height - 1, 14)
+    w.writeBits(1, 1) // alpha hint
+    w.writeBits(0, 3) // version
+    w.writeBits(0, 1) // no transforms
+    w.writeBits(0, 1) // no color cache
+    w.writeBits(0, 1) // no meta-prefix image
+    writeByteWideCode(w, 256 + 24) // green
+    writeByteWideCode(w, 256) // red
+    writeByteWideCode(w, 256) // blue
+    writeByteWideCode(w, 256) // alpha
+    writeSingleSymbolCode(w, 0) // distance: unused (no LZ77 emitted)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = argb(x, y)
+        w.writeCode((p >> 8) & 0xff, 8) // literal order: G, R, B, A
+        w.writeCode((p >> 16) & 0xff, 8)
+        w.writeCode(p & 0xff, 8)
+        w.writeCode((p >>> 24) & 0xff, 8)
+        x += 1
+      }
+      y += 1
+    }
+    0x2f.toByte +: w.toBytes
+  }
+
+  /** ALPH chunk payload for fixtures: forward-filters the alpha plane
+    * (same edge rules as [[decodeAlph]]'s inverse), then stores it raw
+    * (compression 0) or as a headerless VP8L image-stream carrying the
+    * residuals in the green channel (compression 1). */
+  private[operators] def encodeAlphChunk(width: Int, height: Int,
+      alpha: (Int, Int) => Int, filter: Int = 0,
+      lossless: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && filter >= 0 && filter <= 3)
+    val plane = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { plane(y * width + x) = alpha(x, y) & 0xff; x += 1 }
+      y += 1
+    }
+    val resid = new Array[Int](width * height)
+    y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val pred =
+          if (filter == 0) 0
+          else if (x == 0 && y == 0) 0
+          else if (y == 0) plane(x - 1)
+          else if (x == 0) plane((y - 1) * width)
+          else filter match {
+            case 1 => plane(y * width + x - 1)
+            case 2 => plane((y - 1) * width + x)
+            case _ =>
+              val v = plane(y * width + x - 1) + plane((y - 1) * width + x) -
+                plane((y - 1) * width + x - 1)
+              if (v < 0) 0 else if (v > 255) 255 else v
+          }
+        resid(y * width + x) = (plane(y * width + x) - pred) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write((filter << 2) | (if (lossless) 1 else 0))
+    if (!lossless) resid.foreach(out.write)
+    else { // headerless image-stream: residuals in green, R/B/A zero-bit
+      val w = new BitWriter
+      w.writeBits(0, 1) // no transforms
+      w.writeBits(0, 1) // no color cache
+      w.writeBits(0, 1) // no meta-prefix image
+      writeByteWideCode(w, 256 + 24) // green carries the residuals
+      writeSingleSymbolCode(w, 0) // red
+      writeSingleSymbolCode(w, 0) // blue
+      writeSingleSymbolCode(w, 0) // alpha
+      writeSingleSymbolCode(w, 0) // distance
+      resid.foreach(v => w.writeCode(v, 8))
+      val bs = w.toBytes // single call: toBytes flushes the partial byte
+      out.write(bs, 0, bs.length)
+    }
+    out.toByteArray
   }
 
   /** RIFF/WEBP container around a raw VP8L payload (signature added). */
