@@ -30,10 +30,13 @@ package graft.operators
   *    stored unsigned in WAV: 128 maps to 0), so features are exact
   *    integers an oracle can recompute in closed form.
   *
-  * Perceptual/entropy-coded audio (MP3/AAC/FLAC/Vorbis…) falls back to
-  * the labeled stub path, same contract as animated WebP on the image
-  * side. Anything malformed decodes to None, never an exception —
-  * corrupt media in a 100 TB crawl is data, not an error.
+  * FLAC decodes for real since round 18 ([[FlacCodec]] — rice codes,
+  * fixed + LPC predictors, CRC-verified frames, lossless so every
+  * closed-form oracle carries over bit-exactly). PERCEPTUAL codecs
+  * (MP3/AAC/Vorbis…) fall back to the labeled stub path — their
+  * synthesis filterbanks need coefficient tables that cannot be
+  * transcribed offline. Anything malformed decodes to None, never an
+  * exception — corrupt media in a 100 TB crawl is data, not an error.
   *
   * Reference capability: multimodal columns over binary payloads
   * (BASELINE.md north star; audio is carried like images — opaque
@@ -73,7 +76,10 @@ object AudioCodec {
       b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
 
   def decode(b: Array[Byte]): Option[PcmClip] = {
-    if (b == null || b.length < 44) return None
+    if (b == null || b.length < 8) return None
+    if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+      return FlacCodec.decode(b) // round 18: lossless entropy-coded tier
+    if (b.length < 44) return None
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
     var fmtTag = -1
     var channels = 0

@@ -20,8 +20,9 @@ import org.apache.spark.sql.types._
   * sums bit-for-bit; JPEG covers baseline, progressive, AND — since
   * round 16 — BOTH arithmetic-coded frame types, sequential SOF9 and
   * progressive SOF10 ([[QmCoder]]); lossy-VP8 WebP decodes since round
-  * 18 — [[Vp8Codec]]). Payloads the from-scratch decoders don't cover
-  * (animated WebP, modern video codecs) fall back to the
+  * 18 — [[Vp8Codec]]; animated WebP composites through the video
+  * surface since round 18 — [[VideoCodec]]). Payloads the from-scratch
+  * decoders don't cover (modern video codecs, MP3/AAC) fall back to the
   * clearly-labeled deterministic [[StubCodec]], flagged per-row in the
   * `decoder` column; swap it for a real codec on a cluster that has one.
   *
@@ -34,8 +35,8 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   /** STUB decoder — deterministic stand-in for codec-bound payloads
-    * (lossy-VP8 WebP, compressed audio/video; BMP/PNG/GIF/JPEG incl.
-    * SOF9-arithmetic/VP8L decode for real via [[PixelCodec]]). Derives
+    * (H.264/VP9 video, MP3/AAC audio; BMP/PNG/GIF/JPEG/WebP decode for
+    * real via [[PixelCodec]]). Derives
     * pseudo-features purely from byte length so tests and oracles stay
     * reproducible; rows that went through it carry `decoder = "stub"`.
     */
@@ -124,7 +125,8 @@ object Multimodal {
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
-    // "pcm8"|"pcm16"|"pcm24"|"pcm32"|"pcmf32" = real decode; "stub" = fallback
+    // "pcm8".."pcm32"|"pcmf32"|"pcmf64"|"ulaw"|"alaw"|"adpcm"|"msadpcm"
+    // |"flac" = real decode; "stub" = fallback
     StructField("decoder", StringType, nullable = false),
     StructField("sample_rate", LongType, nullable = true),
     StructField("channels", LongType, nullable = true),
@@ -164,7 +166,8 @@ object Multimodal {
             Row(id, bytes.length.toLong,
               clip.encoding match {
                 case "float" => s"pcmf${clip.bitsPerSample}"
-                case "ulaw" | "alaw" | "adpcm" | "msadpcm" => clip.encoding
+                case "ulaw" | "alaw" | "adpcm" | "msadpcm" | "flac" =>
+                  clip.encoding
                 case _ => s"pcm${clip.bitsPerSample}"
               },
               clip.sampleRate.toLong, clip.channels.toLong, frames,
@@ -243,7 +246,8 @@ object Multimodal {
 
   val videoFrameSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
-    // "dib" (AVI) | "gif" (animated GIF) = real decode; "stub" = fallback
+    // "dib"/"mjpg"/"mrle" (AVI) | "gif" | "webp" (animated) = real
+    // decode; "stub" = fallback
     StructField("decoder", StringType, nullable = false),
     StructField("total_frames", LongType, nullable = true),
     StructField("frame_idx", LongType, nullable = true),
