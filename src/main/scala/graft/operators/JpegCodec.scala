@@ -35,8 +35,10 @@ package graft.operators
   * 12-bit sample precision covers every non-differential DCT carrier
   * (SOF1/SOF2/SOF9/SOF10 — round 18 closed the family), and lossless
   * runs the full 8..16 range and 1/3 components in BOTH entropies.
-  * The remaining refusals are mid-row (non-line-aligned) and
-  * arithmetic-lossless restart intervals — they return None → the
+  * Row-aligned restart intervals decode in BOTH lossless entropies
+  * (arithmetic since round 18). The remaining refusals are MID-ROW
+  * (non-line-aligned) lossless restart intervals and restarts inside
+  * differential-lossless (SOF7/SOF15) scans — they return None → the
   * labeled stub path, like any other malformed/unsupported payload:
   * corrupt media in a 100 TB crawl is data, not an error.
   *
@@ -514,9 +516,9 @@ object JpegCodec {
               // carries NO implied color transform — T.81 is
               // colorspace-blind here — so frame component order maps
               // directly to R,G,B, the convention of every lossless RGB
-              // producer absent an Adobe APP14) and the full 8..16
-              // precision range; row-aligned RESTART INTERVALS are
-              // Huffman-only (arithmetic restart stays refused).
+              // producer absent an Adobe APP14), the full 8..16
+              // precision range, and row-aligned RESTART INTERVALS in
+              // BOTH entropies (arithmetic since round 18).
               if (ns != comps.length ||
                   comps.exists(c => c.h != 1 || c.v != 1)) return None
               if (comps.length != 1 && comps.length != 3) return None
@@ -713,7 +715,6 @@ object JpegCodec {
       scanComps: Array[Component], width: Int, height: Int, predSel: Int,
       pt: Int, ri: Int, dcL: Array[Int], dcU: Array[Int],
       prec: Int = 8): Int = {
-    if (ri > 0) corrupt()
     if (predSel < 1 || predSel > 7 || pt > 7) corrupt()
     val nc = scanComps.length
     scanComps.foreach { c =>
@@ -721,9 +722,21 @@ object JpegCodec {
       c.ph = height
       c.plane = new Array[Byte](width * height)
     }
+    // Row-aligned restart intervals (round 18): the restart resets the
+    // QM coder, its statistics areas, and prediction exactly as at the
+    // start of the scan (T.81 H.1 + F.1.4.1) — agreeing with the SOF3
+    // Huffman spelling's interval semantics. A mid-row interval stays
+    // refused (same no-second-implementation reasoning as the Huffman
+    // path — see decodeLosslessScan).
+    val rowsPerRi =
+      if (ri == 0) 0
+      else {
+        if (ri % width != 0) corrupt() // mid-row restart: out of scope
+        ri / width
+      }
     val statsBySel = scanComps.map(_.dcSel).distinct
       .map(s => s -> new QmCoder.Stats(160)).toMap
-    val dec = new QmCoder.Decoder(b, start, b.length)
+    var dec = new QmCoder.Decoder(b, start, b.length)
     val defaultPred = 1 << (prec - 1 - pt)
     val down = prec - 8
     val prev = Array.ofDim[Int](nc, width)
@@ -732,6 +745,12 @@ object JpegCodec {
     val dCur = Array.ofDim[Int](nc, width)
     var y = 0
     while (y < height) {
+      val intervalStart = rowsPerRi > 0 && y > 0 && y % rowsPerRi == 0
+      if (intervalStart) {
+        dec = new QmCoder.Decoder(b, dec.posAfterRestart(), b.length)
+        statsBySel.values.foreach(_.reset())
+      }
+      val firstLine = y == 0 || intervalStart
       var x = 0
       while (x < width) {
         var ci = 0
@@ -740,13 +759,13 @@ object JpegCodec {
           val l = dcL(c.dcSel)
           val u = dcU(c.dcSel)
           val ca = if (x == 0) 0 else losslessDiffClass(dCur(ci)(x - 1), l, u)
-          val cb = if (y == 0) 0 else losslessDiffClass(dPrev(ci)(x), l, u)
+          val cb = if (firstLine) 0 else losslessDiffClass(dPrev(ci)(x), l, u)
           val d = decodeLosslessDiffArith(dec, statsBySel(c.dcSel), ca, cb)
           val cl = cur(ci)
           val pl = prev(ci)
           val pred =
-            if (y == 0 && x == 0) defaultPred
-            else if (y == 0) cl(x - 1)
+            if (firstLine && x == 0) defaultPred
+            else if (firstLine) cl(x - 1)
             else if (x == 0) pl(0)
             else {
               val a = cl(x - 1)
@@ -2583,24 +2602,27 @@ object JpegCodec {
     * input, the arithmetic spelling of the only exact JPEG mode. */
   def encodeJpegLosslessArith(width: Int, height: Int,
       gray: (Int, Int) => Int, predictor: Int = 4,
-      precision: Int = 8): Array[Byte] =
+      precision: Int = 8, restartRows: Int = 0): Array[Byte] =
     encodeJpegLosslessArithImpl(width, height, 1,
-      (_, x, y) => gray(x, y), predictor, precision)
+      (_, x, y) => gray(x, y), predictor, precision, restartRows)
 
   /** 3-component interleaved arithmetic lossless (SOF11 RGB — round 18):
     * same component conventions as [[encodeJpegLosslessRgb]], entropy
     * through per-DC-destination QM statistics (components declare
     * distinct DAC destinations 0/1/2). `rgb` returns 0xRRGGBB. */
   def encodeJpegLosslessArithRgb(width: Int, height: Int,
-      rgb: (Int, Int) => Int, predictor: Int = 4): Array[Byte] =
+      rgb: (Int, Int) => Int, predictor: Int = 4,
+      restartRows: Int = 0): Array[Byte] =
     encodeJpegLosslessArithImpl(width, height, 3,
-      (c, x, y) => (rgb(x, y) >> (16 - 8 * c)) & 0xff, predictor, 8)
+      (c, x, y) => (rgb(x, y) >> (16 - 8 * c)) & 0xff, predictor, 8,
+      restartRows)
 
   private def encodeJpegLosslessArithImpl(width: Int, height: Int, nc: Int,
       sample: (Int, Int, Int) => Int, predictor: Int,
-      precision: Int): Array[Byte] = {
+      precision: Int, restartRows: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
       width.toLong * height <= MaxPixels && predictor >= 1 && predictor <= 7 &&
+      restartRows >= 0 && restartRows.toLong * width <= 0xffff &&
       precision >= 8 && precision <= 16 && (nc == 1 || precision == 8))
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -2618,20 +2640,33 @@ object JpegCodec {
     marker(0xcc); wbe16(2 + 2 * nc) // DAC: per-component DC destination
     c = 0
     while (c < nc) { w8(c); w8(0x10); c += 1 } // default L=0 U=1 each
+    if (restartRows > 0) {
+      marker(0xdd); wbe16(4); wbe16(restartRows * width) // DRI, Ri in MCUs
+    }
     marker(0xda); wbe16(6 + 2 * nc) // SOS
     w8(nc)
     c = 0
     while (c < nc) { w8(c + 1); w8(c << 4); c += 1 } // dcSel = c
     w8(predictor); w8(0); w8(0) // Ss = predictor, Se = 0, Ah/Al = 0
     val st = Array.fill(nc)(new QmCoder.Stats(160))
-    val enc = new QmCoder.Encoder(out)
+    var enc = new QmCoder.Encoder(out)
     val defaultPred = 1 << (precision - 1)
     val prev = Array.ofDim[Int](nc, width)
     val cur = Array.ofDim[Int](nc, width)
     val dPrev = Array.ofDim[Int](nc, width)
     val dCur = Array.ofDim[Int](nc, width)
+    var rst = 0
     var y = 0
     while (y < height) {
+      val intervalStart = restartRows > 0 && y > 0 && y % restartRows == 0
+      if (intervalStart) { // flush the QM segment, emit RSTn, reset state
+        enc.finish()
+        marker(0xd0 + (rst & 7))
+        rst += 1
+        enc = new QmCoder.Encoder(out)
+        st.foreach(_.reset())
+      }
+      val firstLine = y == 0 || intervalStart
       var x = 0
       while (x < width) {
         var ci = 0
@@ -2640,8 +2675,8 @@ object JpegCodec {
           val cl = cur(ci)
           val pl = prev(ci)
           val pred =
-            if (y == 0 && x == 0) defaultPred // 2^(P−1)
-            else if (y == 0) cl(x - 1)
+            if (firstLine && x == 0) defaultPred // 2^(P−1)
+            else if (firstLine) cl(x - 1)
             else if (x == 0) pl(0)
             else {
               val a = cl(x - 1)
@@ -2659,7 +2694,7 @@ object JpegCodec {
             }
           val diff = (((v - pred) & 0xffff) << 16) >> 16 // signed-16 window
           val ca = if (x == 0) 0 else losslessDiffClass(dCur(ci)(x - 1), 0, 1)
-          val cb = if (y == 0) 0 else losslessDiffClass(dPrev(ci)(x), 0, 1)
+          val cb = if (firstLine) 0 else losslessDiffClass(dPrev(ci)(x), 0, 1)
           encodeLosslessDiffArith(enc, st(ci), ca, cb, diff)
           cl(x) = v
           dCur(ci)(x) = diff

@@ -681,7 +681,7 @@ object Llm {
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v16-jpeg12") {
+      version = "v17-arith-dri") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -780,22 +780,27 @@ object Llm {
                   (x, y) => 256 * (br + 3 * x + 5 * y), pred,
                   precision = 16)
             }
-            else ((id / 20) % 3).toInt match {
+            else ((id / 20) % 4).toInt match {
               // round 18: the ARITHMETIC half sub-rotates shape too —
               // plain grayscale / 16-BIT precision (samples 256×, 8-bit
-              // output v >> 8, same closed form) / 3-component RGB
-              // (full per-channel gradient, same closed forms as the
-              // Huffman RGB shape)
+              // output v >> 8, same closed form) / row-aligned RESTART
+              // INTERVALS (QM coder + statistics reset at each RSTn) /
+              // 3-component RGB (full per-channel gradient, same closed
+              // forms as the Huffman RGB shape) — RGB composes restarts
+              // too
               case 0 => graft.operators.JpegCodec.encodeJpegLosslessArith(w,
                 h, (x, y) => br + 3 * x + 5 * y, pred)
               case 1 => graft.operators.JpegCodec.encodeJpegLosslessArith(w,
                 h, (x, y) => 256 * (br + 3 * x + 5 * y), pred,
                 precision = 16)
+              case 2 => graft.operators.JpegCodec.encodeJpegLosslessArith(w,
+                h, (x, y) => br + 3 * x + 5 * y, pred,
+                restartRows = 1 + (id % 3).toInt)
               case _ => graft.operators.JpegCodec.encodeJpegLosslessArithRgb(
                 w, h, (x, y) => {
                   val (r, g, bl) = px(x, y)
                   (r << 16) | (g << 8) | bl
-                }, pred)
+                }, pred, restartRows = (id % 2).toInt)
             }
           case 8 => // round 16: BI_RLE8 BMP — the run-length coding,
             // lossless, so it carries the full gradient too; palette =
@@ -957,7 +962,7 @@ object Llm {
       |           -- green channel); every other slot-7 shape is grayscale
       |           -- off the red formula
       |           CASE WHEN ((g.doc_id // 10) % 2 = 0 AND (g.doc_id // 20) % 4 = 2)
-      |                  OR ((g.doc_id // 10) % 2 = 1 AND (g.doc_id // 20) % 3 = 2)
+      |                  OR ((g.doc_id // 10) % 2 = 1 AND (g.doc_id // 20) % 4 = 3)
       |             THEN w*h*bg + 5*(h*w*(w-1)//2) + 2*(w*h*(h-1)//2)
       |             ELSE w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END
       |         WHEN (g.doc_id // 10) % 3 = 2 THEN lsum ELSE hsum END
@@ -968,7 +973,7 @@ object Llm {
       |            WHEN g.fmt IN (7, 9) THEN
       |         CASE WHEN g.fmt = 7 THEN
       |           CASE WHEN ((g.doc_id // 10) % 2 = 0 AND (g.doc_id // 20) % 4 = 2)
-      |                  OR ((g.doc_id // 10) % 2 = 1 AND (g.doc_id // 20) % 3 = 2)
+      |                  OR ((g.doc_id // 10) % 2 = 1 AND (g.doc_id // 20) % 4 = 3)
       |             THEN w*h*bb + 2*(h*w*(w-1)//2) + 7*(w*h*(h-1)//2)
       |             ELSE w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END
       |         WHEN (g.doc_id // 10) % 3 = 2 THEN lsum ELSE hsum END
@@ -1082,13 +1087,15 @@ object Llm {
   // ------------------------------------------------------------ registry
   // ------------------------------------------------------------- q70
   // Audio modality, same discipline as q47: REAL decode, no codec
-  // library. The fixture writer emits actual RIFF/WAVE bytes in FIVE
-  // sample codings — 16-bit PCM, IEEE-float32 AND (round 17)
-  // IEEE-float64 (identical sample values on the k/8388607 lattice),
+  // library. The fixture writer emits actual audio bytes in SIX sample
+  // codings — 16-bit PCM, IEEE-float32 AND (round 17) IEEE-float64
+  // (identical sample values on the k/8388607 lattice),
   // G.711 µ-law (deterministic code bytes, oracle recomputes the
-  // standard expansion), and IMA ADPCM (round 16; block-structured
-  // 4-bit codes whose blockwise-constant fixtures reconstruct exactly —
-  // the first COMPRESSED audio coding)
+  // standard expansion), IMA ADPCM / MS ADPCM sub-rotation (rounds
+  // 16/18; block-structured 4-bit codes whose blockwise-constant
+  // fixtures reconstruct exactly), and FLAC (round 18; the pcm16 slot
+  // sub-rotates into rice-coded fixed-order-2 subframes with mid/side
+  // stereo — LOSSLESS, so the pcm16 closed forms carry over bit-exactly)
   // — deterministic per-channel ramps keyed by doc_id; every 7th doc is
   // a non-audio payload exercising the labeled stub fallback — and
   // [[graft.operators.AudioCodec]] walks the container and reconstructs
@@ -1104,7 +1111,7 @@ object Llm {
     // query measures DECODE, not the fixture write
     val out70 = Tables.scratch(s"media70/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out70,
-      version = "v5-msadpcm") {
+      version = "v6-flac") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val bytes =
@@ -1165,6 +1172,15 @@ object Llm {
                   // bits=64) — same lattice mapping, same closed forms
                   graft.operators.AudioCodec.encodeWavFloat64(rate, ch,
                     samples.map(v => v.toDouble / 8388607.0))
+                else if ((id / 5) % 2 == 1)
+                  // round 18: FLAC, SAME sample values — LOSSLESS, so
+                  // every closed form is shared with the pcm16 rows
+                  // while the decoder walks real rice-coded fixed-order-2
+                  // subframes, CRC-8/16 checks, and (stereo docs)
+                  // mid/side decorrelation
+                  graft.operators.FlacCodec.encodeFlac(rate, ch, 16,
+                    samples, blockSize = 64, spelling = "fixed2",
+                    stereo = if (ch == 2) "ms" else "independent")
                 else graft.operators.AudioCodec.encodeWav(rate, ch, samples)
             }
           }
@@ -1239,6 +1255,7 @@ object Llm {
       |            WHEN slot = 2 THEN 'ulaw'
       |            WHEN slot = 4 AND (f.doc_id // 5) % 2 = 1 THEN 'msadpcm'
       |            WHEN slot = 4 THEN 'adpcm'
+      |            WHEN slot = 0 AND (f.doc_id // 5) % 2 = 1 THEN 'flac'
       |            ELSE 'pcm16' END AS decoder,
       |       CAST(CASE WHEN stub THEN NULL ELSE rate END AS BIGINT) AS sample_rate,
       |       CAST(CASE WHEN stub THEN NULL ELSE ch END AS BIGINT) AS channels,
@@ -1280,7 +1297,10 @@ object Llm {
   // doc_id%10=1 docs are MICROSOFT-RLE AVIs (round 16: the DELTA-frame
   // compressed codec — RLE8 streams whose cursor deltas leave skipped
   // pixels showing the previous frame, sharing the composited-GIF
-  // accumulated-canvas closed form); and every
+  // accumulated-canvas closed form); doc_id%10=8 docs are ANIMATED
+  // WEBPs (round 18: VP8X/ANIM/ANMF compositing — lossless VP8L
+  // sub-frames alpha-blended onto a maintained canvas at even ANMF
+  // offsets, same accumulated-canvas closed form); and every
   // 5th doc is a non-video payload exercising the labeled stub row. The
   // operator samples every 2nd frame and computes exact channel sums
   // off the decoded pixels, so the DuckDB oracle recomputes each
@@ -1296,7 +1316,7 @@ object Llm {
     // query measures DECODE + sampling, not the fixture write
     val out71 = Tables.scratch(s"media71/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out71,
-      version = "v5-avi-mrle") {
+      version = "v6-webp-anim") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val nf = 3 + (id % 4).toInt
@@ -1346,6 +1366,27 @@ object Llm {
             val frames = MrleFrame(0, 0, 8, 4, (x, y) => y * 8 + x) +:
               (1 until nf).map(j => MrleFrame(j - 1, 2, 1, 1, (_, _) => 31 + j))
             graft.operators.VideoCodec.encodeAviMrle(8, 4, frames, pal)
+          } else if (id % 10 == 8) {
+            // ANIMATED WEBP (round 18): a 12×4 VP8L base frame, then one
+            // opaque 1×1 VP8L overlay per subsequent frame at the EVEN
+            // offset (2(j−1), 2) — ANMF stores x/2 — painting base+Δ
+            // (Δ = 40/50/60) under alpha-blend (opaque ⇒ exact), so the
+            // closed form is the SAME accumulated-canvas arithmetic as
+            // the composited-GIF and MRLE slots: sampled frame f sums to
+            // the 12×4 base plus Δ·f. Positions 0,2,4,6,8 are distinct
+            // (nf ≤ 6), no repaint ambiguity; max channel
+            // 79+33+15+60 = 187 < 255
+            import graft.operators.VideoCodec.WebpFrame
+            def base(x: Int, y: Int): Int =
+              0xff000000 | ((br + 3 * x + 5 * y) << 16) |
+                ((bg + 5 * x + 2 * y) << 8) | (bb + 2 * x + 7 * y)
+            val frames = WebpFrame(0, 0, 12, 4, argb = (x, y) => base(x, y)) +:
+              (1 until nf).map { j =>
+                val p = base(2 * (j - 1), 2)
+                WebpFrame(2 * (j - 1), 2, 1, 1, argb = (_, _) =>
+                  p + (40 << 16) + (50 << 8) + 60)
+              }
+            graft.operators.VideoCodec.encodeWebpAnim(12, 4, frames)
           } else if (id % 10 == 6) {
             // MOTION-JPEG AVI (round 16: the first compressed video
             // codec): 16×8 grayscale frames, constant per 8×8 block
@@ -1390,9 +1431,10 @@ object Llm {
     """WITH g AS (
       |  SELECT doc_id, 3 + doc_id % 4 AS nf,
       |         CASE WHEN doc_id % 10 IN (1, 3) THEN 8
+      |              WHEN doc_id % 10 = 8 THEN 12
       |              WHEN doc_id % 10 = 6 THEN 16
       |              ELSE 4 + doc_id % 3 END AS w,
-      |         CASE WHEN doc_id % 10 IN (1, 3) THEN 4
+      |         CASE WHEN doc_id % 10 IN (1, 3, 8) THEN 4
       |              WHEN doc_id % 10 = 6 THEN 8
       |              ELSE 3 + doc_id % 2 END AS h,
       |         doc_id % 80 AS br, (doc_id * 3) % 70 AS bg,
@@ -1406,20 +1448,21 @@ object Llm {
       |SELECT doc_id,
       |       CASE WHEN doc_id % 10 = 1 THEN 'mrle'
       |            WHEN doc_id % 10 = 6 THEN 'mjpg'
+      |            WHEN doc_id % 10 = 8 THEN 'webp'
       |            WHEN doc_id % 2 = 0 THEN 'dib' ELSE 'gif' END AS decoder,
       |       CAST(nf AS BIGINT) AS total_frames, CAST(f AS BIGINT) AS frame_idx,
       |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-      |       CAST(CASE WHEN doc_id % 10 IN (1, 3)
+      |       CAST(CASE WHEN doc_id % 10 IN (1, 3, 8)
       |            THEN w*h*br + 3*sx + 5*sy + 40*f
       |            WHEN doc_id % 10 = 6
       |            THEN 128*(br + 9*f) + 704
       |            ELSE w*h*(br + 9*f) + 3*sx + 5*sy END AS BIGINT) AS sum_r,
-      |       CAST(CASE WHEN doc_id % 10 IN (1, 3)
+      |       CAST(CASE WHEN doc_id % 10 IN (1, 3, 8)
       |            THEN w*h*bg + 5*sx + 2*sy + 50*f
       |            WHEN doc_id % 10 = 6
       |            THEN 128*(br + 9*f) + 704
       |            ELSE w*h*(bg + 6*f) + 5*sx + 2*sy END AS BIGINT) AS sum_g,
-      |       CAST(CASE WHEN doc_id % 10 IN (1, 3)
+      |       CAST(CASE WHEN doc_id % 10 IN (1, 3, 8)
       |            THEN w*h*bb + 2*sx + 7*sy + 60*f
       |            WHEN doc_id % 10 = 6
       |            THEN 128*(br + 9*f) + 704

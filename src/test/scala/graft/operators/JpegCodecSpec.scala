@@ -653,6 +653,69 @@ class JpegCodecSpec extends SparkFunSuite {
     assert(JpegCodec.decode(badDri).isEmpty)
   }
 
+  test("ARITHMETIC lossless restart intervals (round 18): bit-exact, four-way spelling agreement, mid-row refuses") {
+    val rnd = new scala.util.Random(560)
+    val w = 17
+    val h = 11
+    val px = Array.fill(h, w)(rnd.nextInt(256))
+    val plain = decode(JpegCodec.encodeJpegLosslessArith(w, h,
+      (x, y) => px(y)(x), predictor = 4)).get
+    for (rows <- Seq(1, 2, 4)) {
+      val bytes = JpegCodec.encodeJpegLosslessArith(w, h, (x, y) => px(y)(x),
+        predictor = 4, restartRows = rows)
+      // the stream really carries DRI + RST markers
+      assert(bytes.sliding(2).exists(s =>
+        (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xdd))
+      assert(bytes.sliding(2).exists(s =>
+        (s(0) & 0xff) == 0xff && (s(1) & 0xff) >= 0xd0 && (s(1) & 0xff) <= 0xd7))
+      val img = decode(bytes).get
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.rgb((y * w + x) * 3) & 0xff) == px(y)(x),
+          s"restartRows=$rows ($x,$y)")
+      // FOUR-way spelling agreement on one image: SOF11+DRI ==
+      // SOF11 plain == SOF3+DRI == SOF3 plain
+      assert(img.rgb.sameElements(plain.rgb))
+      val huff = decode(JpegCodec.encodeJpegLossless(w, h,
+        (x, y) => px(y)(x), predictor = 4, restartRows = rows)).get
+      assert(img.rgb.sameElements(huff.rgb))
+    }
+    // 3-component interleaved + arithmetic restarts compose (per-DC-
+    // destination statistics reset together at the marker)
+    val cpx = Array.fill(h, w)(rnd.nextInt(1 << 24))
+    val cimg = decode(JpegCodec.encodeJpegLosslessArithRgb(w, h,
+      (x, y) => cpx(y)(x), predictor = 4, restartRows = 3)).get
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      assert((cimg.rgb(o) & 0xff) == ((cpx(y)(x) >> 16) & 0xff), s"R ($x,$y)")
+      assert((cimg.rgb(o + 2) & 0xff) == (cpx(y)(x) & 0xff), s"B ($x,$y)")
+    }
+    // 16-bit precision + restarts: full-precision reconstruction is
+    // exact mod 2^16; the stored plane is the top byte
+    val px16 = Array.fill(h, w)(rnd.nextInt(1 << 16))
+    val img16 = decode(JpegCodec.encodeJpegLosslessArith(w, h,
+      (x, y) => px16(y)(x), predictor = 7, precision = 16,
+      restartRows = 2)).get
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img16.rgb((y * w + x) * 3) & 0xff) == (px16(y)(x) >> 8),
+        s"P16 ($x,$y)")
+    // mid-row DRI refuses in the arithmetic spelling too
+    val good = JpegCodec.encodeJpegLosslessArith(w, h, (x, y) => px(y)(x),
+      predictor = 4, restartRows = 1)
+    val badDri = good.clone()
+    val driAt = (0 until badDri.length - 1).find(i =>
+      (badDri(i) & 0xff) == 0xff && (badDri(i + 1) & 0xff) == 0xdd).get
+    badDri(driAt + 4) = ((w - 1) >> 8).toByte // Ri = w-1: mid-row
+    badDri(driAt + 5) = ((w - 1) & 0xff).toByte
+    assert(JpegCodec.decode(badDri).isEmpty)
+    // a missing restart marker (RST byte corrupted) refuses, not garbage
+    val noRst = good.clone()
+    val rstAt = (2 until noRst.length - 1).find(i =>
+      (noRst(i) & 0xff) == 0xff && (noRst(i + 1) & 0xff) >= 0xd0 &&
+        (noRst(i + 1) & 0xff) <= 0xd7).get
+    noRst(rstAt + 1) = 0x3f // no longer a marker
+    assert(JpegCodec.decode(noRst).isEmpty)
+  }
+
   test("12-bit extended sequential (SOF1): block-constant content decodes to exactly v >> 4") {
     val rnd = new scala.util.Random(559)
     // 3×2 MCUs, per-block-constant 12-bit values (all-ones quant →
