@@ -29,7 +29,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - BMP: "BM" file header, then a BITMAPINFOHEADER-or-later DIB header
   *    (size ≥ 40) with signed LE32 width at 18 / height at 22 — a
   *    negative height is the top-down layout flag, so its magnitude is
-  *    the pixel height.
+  *    the pixel height;
+  *  - TIFF (round 18): II/MM byte-order mark + magic 42, then the first
+  *    IFD's ImageWidth/ImageLength entries (tags 256/257, SHORT or LONG,
+  *    both endians).
   *
   * Anything else — truncated headers, unknown magic, a JPEG with no frame
   * header — yields NULL, never an exception: corrupt media in a 100 TB
@@ -118,7 +121,42 @@ object ImageMeta {
       parseBmp(b)
     } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
       parseJpeg(b)
+    } else if (b.length >= 8 &&
+        ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))) {
+      parseTiff(b)
     } else null
+  }
+
+  /** First-IFD walk for ImageWidth (256) / ImageLength (257), both
+    * endians, SHORT or LONG entry types (TIFF 6.0 §2). */
+  private def parseTiff(b: Array[Byte]): (String, Int, Int) = {
+    val le = b(0) == 'I'
+    def u16(i: Int): Int = if (le) le16(b, i) else be16(b, i)
+    def u32(i: Int): Int = if (le) le32(b, i) else be32(b, i)
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return null
+    val n = u16(ifd)
+    if (n < 1 || ifd + 2 + 12L * n > b.length) return null
+    var w = 0
+    var h = 0
+    var e = 0
+    while (e < n) {
+      val at = ifd + 2 + 12 * e
+      val tag = u16(at)
+      if (tag == 256 || tag == 257) {
+        val typ = u16(at + 2)
+        // inline value: SHORT left-justified in the 4-byte field, LONG full
+        val v = typ match {
+          case 3 => u16(at + 8)
+          case 4 => u32(at + 8)
+          case _ => return null
+        }
+        if (tag == 256) w = v else h = v
+      }
+      e += 1
+    }
+    if (w > 0 && h > 0) ("tiff", w, h) else null
   }
 
   private def isPng(b: Array[Byte]): Boolean =
@@ -277,6 +315,14 @@ object ImageMeta {
         wle16(1); wle16(24) // planes, bpp
         wle32(0); wle32(szOrZero(pixelBytes)) // BI_RGB, image size
         wle32(2835); wle32(2835); wle32(0); wle32(0) // 72 dpi, no palette
+      case "tiff" =>
+        // little-endian header + one IFD carrying just the geometry —
+        // metadata fixtures need no pixel strips
+        out.write("II".getBytes("US-ASCII")); wle16(42); wle32(8)
+        wle16(2) // two entries
+        wle16(256); wle16(3); wle32(1); wle16(width); wle16(0)
+        wle16(257); wle16(4); wle32(1); wle32(height) // LONG spelling too
+        wle32(0) // no next IFD
       case other =>
         throw new IllegalArgumentException(s"unknown fixture format: $other")
     }

@@ -72,6 +72,9 @@ object PixelCodec {
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b.length > 11 && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P')
       WebpCodec.decode(b) // VP8L lossless decodes; VP8 lossy → None (stub)
+    else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+      TiffCodec.decode(b) // round 18: baseline TIFF (none/PackBits/LZW)
     else None
   }
 

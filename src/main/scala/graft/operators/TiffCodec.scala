@@ -1,0 +1,555 @@
+package graft.operators
+
+/** Zero-dependency baseline TIFF 6.0 decode (round 18) — the
+  * scanned-document workhorse of real crawls, and a fully-specified
+  * format: IFD tag walk, strip assembly, PackBits RLE, and the TIFF
+  * flavor of LZW (MSB-first bit packing, 9-bit initial codes, EARLY
+  * code-width change at 2^n − 1, Clear/EOI), plus the horizontal-
+  * differencing predictor.
+  *
+  *  - Container: `II`*42 little-endian or `MM`*42 big-endian; the FIRST
+  *    IFD only (multi-page files decode their first page). Entry types
+  *    BYTE/SHORT/LONG read endian-aware, inline or by offset.
+  *  - Shapes: grayscale 1/4/8/16-bit (photometric 0 WhiteIsZero —
+  *    inverted — and 1 BlackIsZero; 16-bit keeps the high byte,
+  *    endian-aware), PALETTE 4/8-bit (ColorMap SHORTs, high byte), RGB
+  *    8/8/8 and RGBA 8888 (alpha dropped — PixelImage is RGB). Chunky
+  *    planar configuration only (planar 2 → None, labeled stub).
+  *  - Compression: 1 none, 5 LZW (+ predictor 2 on 8-bit samples),
+  *    32773 PackBits. CCITT fax / JPEG-in-TIFF → None.
+  *  - Strips: RowsPerStrip honored (default: whole image), per-strip
+  *    byte counts checked; every strip decompresses independently.
+  *
+  * The encoder (fixtures + round-trip tests) writes both endians, real
+  * strip splits, all three compressions — its LZW is a REAL
+  * string-table encoder (hash-chained prefixes, early change, Clear at
+  * table-full) so the decoder's dictionary growth paths are exercised —
+  * and the horizontal predictor. Lossless, so closed-form oracles hold
+  * bit-for-bit; javax.imageio ships an independent TIFF reader (Java 9+)
+  * the spec suite cross-checks against.
+  *
+  * Reference capability: multimodal feature extraction over binary
+  * columns (BASELINE.md north star).
+  */
+object TiffCodec {
+  import PixelCodec.PixelImage
+
+  private val MaxPixels = 1 << 26
+
+  private final class Corrupt extends RuntimeException(null, null, false, false)
+  private def corrupt(): Nothing = throw new Corrupt
+
+  def decode(b: Array[Byte]): Option[PixelImage] = {
+    try decodeImpl(b)
+    catch {
+      case _: Corrupt => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
+  }
+
+  private def decodeImpl(b: Array[Byte]): Option[PixelImage] = {
+    if (b == null || b.length < 16) return None
+    val le =
+      if (b(0) == 'I' && b(1) == 'I') true
+      else if (b(0) == 'M' && b(1) == 'M') false
+      else return None
+    def u16(i: Int): Int =
+      if (le) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+      else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    def u32(i: Int): Long =
+      if (le) (u16(i) | (u16(i + 2).toLong << 16)) & 0xffffffffL
+      else ((u16(i).toLong << 16) | u16(i + 2)) & 0xffffffffL
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val n = u16(ifd.toInt)
+    if (n < 1 || ifd + 2 + 12L * n + 4 > b.length) return None
+
+    // tag → (type, count, value-or-offset position)
+    var width = 0
+    var height = 0
+    var bits: Array[Int] = Array(1) // BitsPerSample default 1
+    var spp = 1
+    var compression = 1
+    var photometric = -1
+    var rowsPerStrip = Long.MaxValue
+    var predictor = 1
+    var planar = 1
+    var stripOffsets: Array[Long] = null
+    var stripCounts: Array[Long] = null
+    var colorMap: Array[Int] = null
+    var extraSamples = 0
+
+    def typeSize(t: Int): Int = t match {
+      case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEFINED
+      case 3 | 8 => 2 // SHORT/SSHORT
+      case 4 | 9 | 11 => 4 // LONG/SLONG/FLOAT
+      case 5 | 10 | 12 => 8 // RATIONAL/SRATIONAL/DOUBLE
+      case _ => corrupt()
+    }
+    /** Read entry values as Longs (BYTE/SHORT/LONG only). */
+    def values(typ: Int, count: Int, at: Int): Array[Long] = {
+      if (typ != 1 && typ != 3 && typ != 4) corrupt()
+      val sz = typeSize(typ)
+      val total = sz.toLong * count
+      val base = if (total <= 4) at else {
+        val off = u32(at)
+        if (off + total > b.length) corrupt()
+        off.toInt
+      }
+      Array.tabulate(count) { k =>
+        typ match {
+          case 1 => (b(base + k) & 0xff).toLong
+          case 3 => u16(base + 2 * k).toLong
+          case _ => u32(base + 4 * k)
+        }
+      }
+    }
+
+    var e = 0
+    while (e < n) {
+      val at = ifd.toInt + 2 + 12 * e
+      val tag = u16(at)
+      val typ = u16(at + 2)
+      val countL = u32(at + 4)
+      if (countL > (1 << 24)) corrupt()
+      val count = countL.toInt
+      val vat = at + 8
+      tag match {
+        case 256 => width = values(typ, count, vat)(0).toInt
+        case 257 => height = values(typ, count, vat)(0).toInt
+        case 258 => bits = values(typ, count, vat).map(_.toInt)
+        case 259 => compression = values(typ, count, vat)(0).toInt
+        case 262 => photometric = values(typ, count, vat)(0).toInt
+        case 273 => stripOffsets = values(typ, count, vat)
+        case 277 => spp = values(typ, count, vat)(0).toInt
+        case 278 => rowsPerStrip = values(typ, count, vat)(0)
+        case 279 => stripCounts = values(typ, count, vat)
+        case 284 => planar = values(typ, count, vat)(0).toInt
+        case 317 => predictor = values(typ, count, vat)(0).toInt
+        case 320 => colorMap = values(typ, count, vat).map(_.toInt)
+        case 338 => extraSamples = count // RGBA: alpha dropped below
+        case _ => () // resolution, descriptions, … — irrelevant to pixels
+      }
+      e += 1
+    }
+
+    if (width <= 0 || height <= 0 || width.toLong * height > MaxPixels) return None
+    if (stripOffsets == null || stripCounts == null ||
+        stripOffsets.length != stripCounts.length || stripOffsets.isEmpty)
+      return None
+    if (planar != 1) return None // planar config 2: out of scope
+    if (predictor != 1 && predictor != 2) return None
+    if (spp != bits.length) return None
+    val bps = bits(0)
+    if (bits.exists(_ != bps)) return None
+
+    // supported shape matrix
+    val shape = (photometric, spp - extraSamples, bps) match {
+      case (0 | 1, 1, 1 | 4 | 8 | 16) if spp == 1 => "gray"
+      case (3, 1, 4 | 8) if spp == 1 && colorMap != null => "palette"
+      case (2, 3, 8) => "rgb"
+      case _ => return None
+    }
+    if (shape == "palette" && colorMap.length < 3 * (1 << bps)) return None
+    if (predictor == 2 && (bps != 8 || compression != 5)) return None
+
+    val rps = if (rowsPerStrip < 1 || rowsPerStrip > height) height
+              else rowsPerStrip.toInt
+    val expectStrips = (height + rps - 1) / rps
+    if (stripOffsets.length < expectStrips) return None
+    val rowBytes = ((width.toLong * spp * bps + 7) / 8).toInt
+
+    val out = new Array[Byte](width * height * 3)
+    var stripRow = 0
+    var s = 0
+    while (s < expectStrips) {
+      val rows = math.min(rps, height - stripRow)
+      val off = stripOffsets(s)
+      val cnt = stripCounts(s)
+      if (off < 0 || cnt < 0 || off + cnt > b.length) return None
+      val raw = compression match {
+        case 1 =>
+          if (cnt < rowBytes.toLong * rows) return None
+          java.util.Arrays.copyOfRange(b, off.toInt, (off + rowBytes.toLong * rows).toInt)
+        case 5 => lzwDecode(b, off.toInt, (off + cnt).toInt, rowBytes * rows)
+        case 32773 => packBitsDecode(b, off.toInt, (off + cnt).toInt, rowBytes * rows)
+        case _ => return None // CCITT / JPEG-in-TIFF: labeled stub
+      }
+      if (predictor == 2) { // horizontal differencing, per row per channel
+        var r = 0
+        while (r < rows) {
+          var i = spp
+          val base = r * rowBytes
+          while (i < rowBytes) {
+            raw(base + i) = ((raw(base + i) + raw(base + i - spp)) & 0xff).toByte
+            i += 1
+          }
+          r += 1
+        }
+      }
+      // assemble rows into RGB
+      var r = 0
+      while (r < rows) {
+        val y = stripRow + r
+        val rowBase = r * rowBytes
+        var x = 0
+        while (x < width) {
+          val o = (y * width + x) * 3
+          shape match {
+            case "rgb" =>
+              val p = rowBase + x * spp
+              out(o) = raw(p); out(o + 1) = raw(p + 1); out(o + 2) = raw(p + 2)
+            case "palette" =>
+              val idx =
+                if (bps == 8) raw(rowBase + x) & 0xff
+                else (raw(rowBase + (x >> 1)) >> (4 * (1 - (x & 1)))) & 0x0f
+              // ColorMap: all reds, then greens, then blues — 16-bit SHORTs
+              out(o) = (colorMap(idx) >> 8).toByte
+              out(o + 1) = (colorMap((1 << bps) + idx) >> 8).toByte
+              out(o + 2) = (colorMap(2 * (1 << bps) + idx) >> 8).toByte
+            case _ =>
+              var v = bps match {
+                case 1 => ((raw(rowBase + (x >> 3)) >> (7 - (x & 7))) & 1) * 255
+                case 4 =>
+                  val nib = (raw(rowBase + (x >> 1)) >> (4 * (1 - (x & 1)))) & 0x0f
+                  nib * 17 // expand to full 8-bit range
+                case 8 => raw(rowBase + x) & 0xff
+                case _ => // 16-bit: high byte, file byte order
+                  if (le) raw(rowBase + 2 * x + 1) & 0xff
+                  else raw(rowBase + 2 * x) & 0xff
+              }
+              if (photometric == 0) v = 255 - v // WhiteIsZero
+              out(o) = v.toByte; out(o + 1) = v.toByte; out(o + 2) = v.toByte
+          }
+          x += 1
+        }
+        r += 1
+      }
+      stripRow += rows
+      s += 1
+    }
+    Some(PixelImage(width, height, out))
+  }
+
+  // ------------------------------------------------------------ packbits
+
+  private def packBitsDecode(b: Array[Byte], from: Int, until: Int,
+      expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    var i = from
+    var o = 0
+    while (o < expect) {
+      if (i >= until) corrupt()
+      val nj = b(i)
+      i += 1
+      if (nj >= 0) { // literal run of n+1
+        val len = nj + 1
+        if (i + len > until || o + len > expect) corrupt()
+        System.arraycopy(b, i, out, o, len)
+        i += len; o += len
+      } else if (nj != -128) { // repeat next byte 1-n times
+        val len = 1 - nj
+        if (i >= until || o + len > expect) corrupt()
+        java.util.Arrays.fill(out, o, o + len, b(i))
+        i += 1; o += len
+      } // -128: no-op
+    }
+    out
+  }
+
+  // ----------------------------------------------------------- tiff lzw
+
+  /** TIFF LZW (spec §13): MSB-first code packing, initial width 9,
+    * Clear=256 / EOI=257, table entries from 258, and the EARLY code-
+    * width change — width grows when the next code to be ASSIGNED is
+    * 2^w − 1 (one code earlier than GIF). */
+  private[operators] def lzwDecode(b: Array[Byte], from: Int, until: Int,
+      expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    var o = 0
+    var bitPos = from.toLong * 8
+    val bitEnd = until.toLong * 8
+    def read(w: Int): Int = {
+      if (bitPos + w > bitEnd) corrupt()
+      var v = 0
+      var k = 0
+      while (k < w) {
+        v = (v << 1) | ((b((bitPos >> 3).toInt) >> (7 - (bitPos & 7).toInt)) & 1)
+        bitPos += 1; k += 1
+      }
+      v
+    }
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var next = 258
+    var width = 9
+    var prev = -1
+    while (o < expect) {
+      val code = read(width)
+      if (code == 257) corrupt() // EOI before the strip filled
+      if (code == 256) { // clear
+        next = 258; width = 9; prev = -1
+      } else {
+        if (code > next || (code == next && prev < 0)) corrupt()
+        if (prev < 0 && code >= 258) corrupt() // first code must be a root
+        // KwKwK (code == next): the string is prev-string + first(prev)
+        val expandCode = if (code == next) prev else code
+        var sp = 0
+        var c = expandCode
+        while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        if (c >= 256) corrupt() // a chain must bottom out at a root byte
+        val first = c.toByte
+        stack(sp) = first; sp += 1
+        if (o + sp + (if (code == next) 1 else 0) > expect) corrupt()
+        while (sp > 0) { sp -= 1; out(o) = stack(sp); o += 1 }
+        if (code == next) { out(o) = first; o += 1 }
+        if (prev >= 0 && next < 4096) { // encoders Clear before overflow
+          prefix(next) = prev; suffix(next) = first; next += 1
+        }
+        prev = code
+        // THE early change (interop-pinned against ImageIO's encoder):
+        // the decoder's table lags the encoder's by one entry (the first
+        // code after Clear adds none), so while the encoder widens at
+        // the natural next == 2^w, the decoder widens at 2^w − 1 — the
+        // "one code early" the TIFF spec is famous for
+        if (next == 511 && width == 9) width = 10
+        else if (next == 1023 && width == 10) width = 11
+        else if (next == 2047 && width == 11) width = 12
+      }
+    }
+    out
+  }
+
+  // ------------------------------------------------------------- encode
+
+  /** Real TIFF bytes for fixtures + round-trip tests: RGB 8/8/8 chunky,
+    * both endians, real strip splits, compression "none" / "packbits" /
+    * "lzw" (a true string-table encoder), optional horizontal predictor
+    * under LZW. */
+  def encodeTiffRgb(width: Int, height: Int, px: (Int, Int) => (Int, Int, Int),
+      compression: String = "none", bigEndian: Boolean = false,
+      rowsPerStrip: Int = 0, predictor: Boolean = false): Array[Byte] = {
+    val spp = 3
+    val raster = Array.tabulate(height, width * 3) { (y, i) =>
+      val (r, g, b) = px(i / 3, y)
+      (i % 3 match { case 0 => r case 1 => g case _ => b }).toByte
+    }
+    encodeCore(width, height, spp, 8, 2, raster, compression, bigEndian,
+      rowsPerStrip, predictor, null)
+  }
+
+  /** Grayscale 8-bit; photometric 1 (BlackIsZero) or 0 (WhiteIsZero —
+    * stored inverted, decoders must re-invert). */
+  def encodeTiffGray(width: Int, height: Int, gray: (Int, Int) => Int,
+      compression: String = "none", bigEndian: Boolean = false,
+      rowsPerStrip: Int = 0, whiteIsZero: Boolean = false): Array[Byte] = {
+    val raster = Array.tabulate(height, width) { (y, x) =>
+      val v = gray(x, y) & 0xff
+      (if (whiteIsZero) 255 - v else v).toByte
+    }
+    encodeCore(width, height, 1, 8, if (whiteIsZero) 0 else 1, raster,
+      compression, bigEndian, rowsPerStrip, predictor = false, null)
+  }
+
+  /** 8-bit palette (photometric 3): `palette(i)` = 0xRRGGBB, indices
+    * from `idx(x, y)`. */
+  def encodeTiffPalette(width: Int, height: Int, palette: Array[Int],
+      idx: (Int, Int) => Int, compression: String = "none",
+      bigEndian: Boolean = false): Array[Byte] = {
+    require(palette.nonEmpty && palette.length <= 256)
+    val raster = Array.tabulate(height, width) { (y, x) =>
+      val i = idx(x, y)
+      require(i >= 0 && i < palette.length)
+      i.toByte
+    }
+    encodeCore(width, height, 1, 8, 3, raster, compression, bigEndian, 0,
+      predictor = false, palette)
+  }
+
+  private def encodeCore(width: Int, height: Int, spp: Int, bps: Int,
+      photometric: Int, raster: Array[Array[Byte]], compression: String,
+      bigEndian: Boolean, rowsPerStrip: Int, predictor: Boolean,
+      palette: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0 && width.toLong * height <= MaxPixels)
+    val comp = compression match {
+      case "none" => 1
+      case "lzw" => 5
+      case "packbits" => 32773
+      case other => throw new IllegalArgumentException(other)
+    }
+    require(!predictor || comp == 5, "predictor rides LZW")
+    val rps = if (rowsPerStrip < 1) height else math.min(rowsPerStrip, height)
+    val nStrips = (height + rps - 1) / rps
+    val rowBytes = width * spp
+
+    val strips = Array.tabulate(nStrips) { s =>
+      val rows = math.min(rps, height - s * rps)
+      val plain = new Array[Byte](rows * rowBytes)
+      var r = 0
+      while (r < rows) {
+        System.arraycopy(raster(s * rps + r), 0, plain, r * rowBytes, rowBytes)
+        if (predictor) { // horizontal differencing, back to front
+          var i = rowBytes - 1
+          while (i >= spp) {
+            plain(r * rowBytes + i) =
+              ((plain(r * rowBytes + i) - plain(r * rowBytes + i - spp)) & 0xff).toByte
+            i -= 1
+          }
+        }
+        r += 1
+      }
+      comp match {
+        case 1 => plain
+        case 5 => lzwEncode(plain)
+        case _ => packBitsEncode(plain)
+      }
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (bigEndian) { w8(v >> 8); w8(v) } else { w8(v); w8(v >> 8) }
+    def w32(v: Int): Unit =
+      if (bigEndian) { w8(v >> 24); w8(v >> 16); w8(v >> 8); w8(v) }
+      else { w8(v); w8(v >> 8); w8(v >> 16); w8(v >> 24) }
+
+    w8(if (bigEndian) 'M' else 'I'); w8(if (bigEndian) 'M' else 'I')
+    w16(42); w32(8) // IFD right after the header
+
+    // entries: width, length, bits, compression, photometric, strips,
+    // spp, rowsPerStrip, counts, planar [, predictor] [, colormap]. (The
+    // RGB BitsPerSample ARRAY lives out-of-line but is still ONE entry.)
+    val nEntries = 10 + (if (predictor) 1 else 0) + (if (palette != null) 1 else 0)
+    // layout after IFD: [bits array if spp=3] [colormap] [strip offsets]
+    // [strip counts] [strip data...]
+    val ifdSize = 2 + nEntries * 12 + 4
+    var cursor = 8 + ifdSize
+    val bitsOff = cursor
+    if (spp == 3) cursor += 6
+    val mapOff = cursor
+    if (palette != null) cursor += 2 * 3 * 256
+    val offsOff = cursor
+    val needOffArrays = nStrips > 1
+    if (needOffArrays) cursor += 4 * nStrips
+    val cntsOff = cursor
+    if (needOffArrays) cursor += 4 * nStrips
+    val dataOff = cursor
+    val stripOffsets = new Array[Int](nStrips)
+    var acc = dataOff
+    var s = 0
+    while (s < nStrips) {
+      stripOffsets(s) = acc
+      acc += strips(s).length
+      s += 1
+    }
+
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(count)
+      if (typ == 3 && count == 1) { w16(value); w16(0) } else w32(value)
+    }
+    w16(nEntries)
+    entry(256, 3, 1, width)
+    entry(257, 3, 1, height)
+    if (spp == 3) entry(258, 3, 3, bitsOff) else entry(258, 3, 1, bps)
+    entry(259, 3, 1, comp)
+    entry(262, 3, 1, photometric)
+    entry(273, 4, nStrips, if (needOffArrays) offsOff else stripOffsets(0))
+    entry(277, 3, 1, spp)
+    entry(278, 3, 1, rps)
+    entry(279, 4, nStrips, if (needOffArrays) cntsOff else strips(0).length)
+    entry(284, 3, 1, 1) // chunky planar configuration, explicit
+    if (predictor) entry(317, 3, 1, 2)
+    if (palette != null) entry(320, 3, 3 * 256, mapOff)
+    w32(0) // no next IFD
+
+    if (spp == 3) { w16(8); w16(8); w16(8) }
+    if (palette != null) {
+      // all reds, greens, blues as 16-bit (v*257 maps 8→16 bit exactly)
+      for (c <- 0 until 3; i <- 0 until 256) {
+        val v = if (i < palette.length) (palette(i) >> (16 - 8 * c)) & 0xff else 0
+        w16(v * 257)
+      }
+    }
+    if (needOffArrays) {
+      stripOffsets.foreach(w32)
+      strips.foreach(st => w32(st.length))
+    }
+    strips.foreach(st => out.write(st, 0, st.length))
+    out.toByteArray
+  }
+
+  private def packBitsEncode(p: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < p.length) {
+      // find run length at i
+      var run = 1
+      while (i + run < p.length && run < 128 && p(i + run) == p(i)) run += 1
+      if (run >= 2) {
+        out.write(1 - run) // -(run-1)
+        out.write(p(i))
+        i += run
+      } else {
+        // literal until next run of ≥3 (or 128 cap)
+        var lit = 1
+        while (i + lit < p.length && lit < 128 &&
+            !(i + lit + 2 < p.length && p(i + lit) == p(i + lit + 1) &&
+              p(i + lit) == p(i + lit + 2))) lit += 1
+        out.write(lit - 1)
+        out.write(p, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Real TIFF-LZW encoder: hash-map string table, early width change,
+    * Clear when the table fills. */
+  private[operators] def lzwEncode(p: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nb = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code
+      nb += width
+      while (nb >= 8) { out.write(((acc >> (nb - 8)) & 0xff).toInt); nb -= 8 }
+    }
+    val table = new java.util.HashMap[Long, Integer]()
+    var next = 258
+    put(256) // leading Clear (spec requires)
+    var prev = -1
+    var i = 0
+    while (i < p.length) {
+      val c = p(i) & 0xff
+      if (prev < 0) prev = c
+      else {
+        val key = prev.toLong << 8 | c
+        val hit = table.get(key)
+        if (hit != null) prev = hit.intValue()
+        else {
+          put(prev)
+          table.put(key, Integer.valueOf(next))
+          next += 1
+          // the ENCODER widens at the natural 2^w (the decoder, lagging
+          // one entry, is where the early change shows)
+          if (next == 512 && width == 9) width = 10
+          else if (next == 1024 && width == 10) width = 11
+          else if (next == 2048 && width == 11) width = 12
+          else if (next == 4094) { // table nearly full: Clear, reset
+            put(256); table.clear(); next = 258; width = 9
+          }
+          prev = c
+        }
+      }
+      i += 1
+    }
+    if (prev >= 0) put(prev)
+    put(257) // EOI
+    if (nb > 0) out.write(((acc << (8 - nb)) & 0xff).toInt)
+    out.toByteArray
+  }
+}

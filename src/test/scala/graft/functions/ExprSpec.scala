@@ -29,7 +29,8 @@ class ExprSpec extends SparkFunSuite {
       ("png", 640, 480), ("jpeg", 1, 1), ("jpeg", 1920, 1080),
       ("gif", 320, 200), ("png", 65535, 1),
       ("webp", 800, 600), ("webp", 1, 1), ("webp", 16383, 16383),
-      ("bmp", 1024, 768), ("bmp", 1, 1), ("bmp", 65535, 65535))
+      ("bmp", 1024, 768), ("bmp", 1, 1), ("bmp", 65535, 65535),
+      ("tiff", 2480, 3508), ("tiff", 1, 1), ("tiff", 65535, 65535))
     val enc = fixtures.map { case (f, w, h) => (f, w, h, ImageMeta.encode(f, w, h)) }
     val got = enc.toDF("f", "w", "h", "content")
       .selectExpr("f", "w", "h", "image_meta(content) AS m")
