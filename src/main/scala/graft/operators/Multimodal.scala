@@ -9,13 +9,14 @@ import org.apache.spark.sql.types._
   * feature-extraction / frame-sampling runs as `mapPartitions` over the
   * binary payloads — the Spark-side schema, batching, and partitioning are
   * real. Container METADATA extraction is real
-  * ([[graft.functions.ImageMetaExpr]] parses PNG/JPEG/GIF/WebP/BMP headers,
-  * q66 oracle-checks it), and so is the DEEP decode for all five
+  * ([[graft.functions.ImageMetaExpr]] parses PNG/JPEG/GIF/WebP/BMP/TIFF
+  * headers, q66 oracle-checks it), and so is the DEEP decode for all six
   * container formats: [[PixelCodec]] reconstructs actual pixels from
   * 24bpp BMP, 8-bit PNG (full filter set, Inflater), GIF (LZW, palette,
   * interlace), baseline JPEG (from-scratch T.81 Huffman+IDCT —
-  * [[JpegCodec]]), and lossless WebP (from-scratch VP8L prefix codes +
-  * transforms — [[WebpCodec]]), and the features — exact channel sums,
+  * [[JpegCodec]]), lossless WebP (from-scratch VP8L prefix codes +
+  * transforms — [[WebpCodec]]), and baseline TIFF (round 18 — IFD walk,
+  * PackBits + TIFF-LZW, predictor — [[TiffCodec]]), and the features — exact channel sums,
   * means, luma histogram — come from those pixels (q47 oracle-checks the
   * sums bit-for-bit; JPEG covers baseline, progressive, AND — since
   * round 16 — BOTH arithmetic-coded frame types, sequential SOF9 and
@@ -35,8 +36,8 @@ import org.apache.spark.sql.types._
 object Multimodal {
 
   /** STUB decoder — deterministic stand-in for codec-bound payloads
-    * (H.264/VP9 video, MP3/AAC audio; BMP/PNG/GIF/JPEG/WebP decode for
-    * real via [[PixelCodec]]). Derives
+    * (H.264/VP9 video, MP3/AAC audio; BMP/PNG/GIF/JPEG/WebP/TIFF decode
+    * for real via [[PixelCodec]]). Derives
     * pseudo-features purely from byte length so tests and oracles stay
     * reproducible; rows that went through it carry `decoder = "stub"`.
     */
@@ -63,7 +64,7 @@ object Multimodal {
     StructField("doc_id", LongType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("n_frames", LongType, nullable = false),
-    // "bmp"|"png"|"gif"|"jpeg"|"webp" = real pixel decode; "stub" = fallback
+    // "bmp"|"png"|"gif"|"jpeg"|"webp"|"tiff" = real decode; "stub" = fallback
     StructField("decoder", StringType, nullable = false),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
@@ -103,6 +104,7 @@ object Multimodal {
               else if (bytes(0) == 'G') "gif"
               else if ((bytes(0) & 0xff) == 0xff) "jpeg"
               else if (bytes(0) == 'R') "webp"
+              else if (bytes(0) == 'I' || bytes(0) == 'M') "tiff"
               else "png"
             val vec = Array(
               f.sumR.toDouble / n / 255.0,
@@ -227,6 +229,7 @@ object Multimodal {
               else if (bytes(0) == 'G') "gif"
               else if ((bytes(0) & 0xff) == 0xff) "jpeg"
               else if (bytes(0) == 'R') "webp"
+              else if (bytes(0) == 'I' || bytes(0) == 'M') "tiff"
               else "png"
             val png = PixelCodec.encodePng(small.width, small.height,
               (x, y) => {

@@ -681,7 +681,7 @@ object Llm {
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v17-arith-dri") {
+      version = "v18-tiff") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -709,7 +709,19 @@ object Llm {
             topDown = (id / 8) % 2 == 1)
           case 1 => graft.operators.PixelCodec.encodePng(w, h, px,
             withAlpha = (id / 8) % 2 == 1)
-          case 2 => graft.operators.PixelCodec.encodeGif(w, h, px)
+          case 2 =>
+            // round 18: the GIF slot sub-rotates baseline TIFF — the
+            // scanned-document workhorse — lossless RGB with rotating
+            // compression (none / PackBits / LZW, optionally with the
+            // horizontal predictor), real strip splits, both byte
+            // orders; same gradient, same closed forms
+            if ((id / 10) % 2 == 1) {
+              val comp = Seq("none", "packbits", "lzw")(((id / 20) % 3).toInt)
+              graft.operators.TiffCodec.encodeTiffRgb(w, h, px, comp,
+                bigEndian = (id / 40) % 2 == 1,
+                rowsPerStrip = 1 + (id % 3).toInt,
+                predictor = comp == "lzw" && (id / 80) % 2 == 1)
+            } else graft.operators.PixelCodec.encodeGif(w, h, px)
           case 3 =>
             // sub-rotates the PRECISION since round 17: 8-bit baseline
             // SOF0 / 12-BIT extended SOF1 whose samples are 16× the same
@@ -861,7 +873,8 @@ object Llm {
   // ------------------------------------------------------------- q66
   // REAL multimodal metadata: the fixture writer emits actual container
   // bytes (PNG signature+IHDR / JPEG APP0-then-SOF0 segments / GIF89a
-  // descriptor / RIFF-WEBP VP8 keyframe / BMP BITMAPINFOHEADER) keyed
+  // descriptor / RIFF-WEBP VP8 keyframe / BMP BITMAPINFOHEADER / TIFF
+  // IFD — round 18, SHORT and LONG entry spellings) keyed
   // deterministically by doc_id, and the native
   // [[graft.functions.ImageMetaExpr]] parses format and pixel dimensions
   // back OFF THE BYTES — no codec library, pure header arithmetic. The
@@ -874,12 +887,12 @@ object Llm {
     // one-time fixture build, fingerprint-cached (see q47): the timed
     // query measures the header-parse scan, not the fixture write
     val out66 = Tables.scratch(s"media/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val mediaDir = Tables.cachedDerived(dir, out66) {
+    val mediaDir = Tables.cachedDerived(dir, out66, version = "v2-tiff") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
-        val fmt = (id % 5) match {
+        val fmt = (id % 6) match {
           case 0 => "png"; case 1 => "jpeg"; case 2 => "gif"
-          case 3 => "webp"; case _ => "bmp"
+          case 3 => "webp"; case 4 => "bmp"; case _ => "tiff"
         }
         (id, graft.functions.ImageMeta.encode(fmt,
           1 + (id % 640).toInt, 1 + (id % 480).toInt))
@@ -897,9 +910,10 @@ object Llm {
 
   val q66Sql =
     """SELECT doc_id,
-      |       CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png'
+      |       CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'png'
       |            WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
-      |            WHEN 3 THEN 'webp' ELSE 'bmp' END AS format,
+      |            WHEN 3 THEN 'webp' WHEN 4 THEN 'bmp'
+      |            ELSE 'tiff' END AS format,
       |       CAST(1 + doc_id % 640 AS BIGINT) AS width,
       |       CAST(1 + doc_id % 480 AS BIGINT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -935,10 +949,11 @@ object Llm {
       |         16*(16*hb*br + 28*((4*hb)*(4*hb-1)//2) + 264*hb) AS vsum
       |  FROM g)
       |SELECT g.doc_id,
-      |       CASE g.fmt WHEN 0 THEN 'bmp'
-      |            WHEN 1 THEN 'png' WHEN 2 THEN 'gif'
-      |            WHEN 3 THEN 'jpeg' WHEN 4 THEN 'webp'
-      |            WHEN 8 THEN 'bmp'
+      |       CASE WHEN g.fmt = 2 AND (g.doc_id // 10) % 2 = 1 THEN 'tiff'
+      |            WHEN g.fmt = 2 THEN 'gif'
+      |            WHEN g.fmt = 0 OR g.fmt = 8 THEN 'bmp'
+      |            WHEN g.fmt = 1 THEN 'png'
+      |            WHEN g.fmt = 3 THEN 'jpeg' WHEN g.fmt = 4 THEN 'webp'
       |            ELSE 'jpeg' END AS decoder,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN 8*wb
       |            WHEN g.fmt = 9 THEN 16
@@ -1487,7 +1502,7 @@ object Llm {
   def q72(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out72 = Tables.scratch(s"media72/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val mediaDir = Tables.cachedDerived(dir, out72, version = "v3-vp8lossy") {
+    val mediaDir = Tables.cachedDerived(dir, out72, version = "v4-tiff") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val bytes =
@@ -1505,7 +1520,12 @@ object Llm {
                 topDown = (id / 5) % 2 == 1)
               case 1 => graft.operators.PixelCodec.encodePng(w, h, px,
                 interlaced = (id / 5) % 2 == 1)
-              case 2 => graft.operators.PixelCodec.encodeGif(w, h, px)
+              case 2 =>
+                // round 18: sub-rotates baseline TIFF (LZW) — lossless,
+                // so the resize closed form is shared with the GIF half
+                if ((id / 5) % 2 == 1)
+                  graft.operators.TiffCodec.encodeTiffRgb(w, h, px, "lzw")
+                else graft.operators.PixelCodec.encodeGif(w, h, px)
               case 3 =>
                 // sub-rotates LOSSY VP8 (round 18) every third cycle:
                 // 16×16 grayscale constant per 4×4 block decodes exactly
@@ -1558,6 +1578,7 @@ object Llm {
       |       CASE WHEN stub THEN 'stub'
       |            WHEN doc_id % 5 IN (0, 4) THEN 'bmp'
       |            WHEN doc_id % 5 = 1 THEN 'png'
+      |            WHEN doc_id % 5 = 2 AND (doc_id // 5) % 2 = 1 THEN 'tiff'
       |            WHEN doc_id % 5 = 2 THEN 'gif' ELSE 'webp' END AS decoder,
       |       CAST(CASE WHEN stub THEN NULL WHEN vp8lossy THEN 16 ELSE w END AS BIGINT) AS in_width,
       |       CAST(CASE WHEN stub THEN NULL WHEN vp8lossy THEN 16 ELSE h END AS BIGINT) AS in_height,

@@ -439,7 +439,101 @@ object Pipeline {
       |FROM sc WHERE score > 0
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------- q100
+  // WARC/WET ingestion (round 18): the container a real LLM pipeline
+  // reads FIRST — Common Crawl archives. Each doc carries an actual
+  // WARC archive (warcinfo + request + 1..3 response records, HTTP
+  // blocks with status/headers/body), rotating the three on-disk
+  // layouts by doc_id%3: plain, whole-file gzip, and Common Crawl's
+  // per-record gzip members ([[graft.operators.Warc]] — the JDK inflater
+  // consumes concatenated members). Every 7th doc is a non-WARC payload
+  // exercising the labeled corrupt row. The operator emits one row per
+  // record with the HTTP layer split out; bodies are deterministic
+  // repeats, so the DuckDB oracle recomputes every row — type, URI,
+  // status, body length, body text — in closed form. Scale: extraction
+  // is exchange-free mapPartitions, one archive at a time per executor
+  // thread; downstream this feeds the q73–q78 curation pipeline.
+  def q100(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out100 = Tables.scratch(s"media100/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out100, version = "v1-warc") {
+      val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      ids.map { id =>
+        import graft.operators.Warc
+        val bytes =
+          if (id % 7 == 6) "HTML, not an archive at all".getBytes("US-ASCII")
+          else {
+            val nr = 1 + (id % 3).toInt
+            val status = if (id % 2 == 0) 200 else 404
+            val recs =
+              Warc.Rec("warcinfo", null, "2025-08-15T12:00:00Z",
+                "application/warc-fields",
+                "software: graft-spark".getBytes("US-ASCII")) +:
+              Warc.Rec("request", s"https://ex.com/$id/0",
+                "2025-08-15T12:00:00Z", "application/http; msgtype=request",
+                "GET / HTTP/1.1".getBytes("US-ASCII")) +:
+              (0 until nr).map { j =>
+                val body = ("d" + id + "p" + j + "x") * (2 + ((id + j) % 4).toInt)
+                Warc.Rec("response", s"https://ex.com/$id/$j",
+                  "2025-08-15T12:00:00Z", "application/http; msgtype=response",
+                  Warc.httpResponse(status, "text/html",
+                    body.getBytes("US-ASCII")))
+              }
+            (id % 3).toInt match {
+              case 0 => Warc.encodeWarc(recs)
+              case 1 => Warc.encodeWarc(recs, gzipWhole = true)
+              case _ => Warc.encodeWarc(recs, gzipPerRecord = true)
+            }
+          }
+        (id, bytes)
+      }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out100/data")
+    }
+    graft.operators.Warc.extractRecords(s.read.parquet(s"$mediaDir/data"))
+      .select(col("doc_id"), col("record_idx"), col("warc_type"),
+        col("target_uri"), col("http_status"), col("body_len"),
+        col("body_text"))
+      .orderBy("doc_id", "record_idx")
+  }
+
+  val q100Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 3 AS nr,
+      |         CASE WHEN doc_id % 2 = 0 THEN 200 ELSE 404 END AS status,
+      |         doc_id % 7 = 6 AS bad
+      |  FROM documents),
+      |resp AS (
+      |  SELECT doc_id, status,
+      |         unnest(generate_series(0, CAST(nr - 1 AS BIGINT))) AS j
+      |  FROM g WHERE NOT bad),
+      |rows_out AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT) AS record_idx,
+      |         'warcinfo' AS warc_type, CAST(NULL AS VARCHAR) AS target_uri,
+      |         CAST(NULL AS BIGINT) AS http_status,
+      |         CAST(length('software: graft-spark') AS BIGINT) AS body_len,
+      |         'software: graft-spark' AS body_text
+      |  FROM g WHERE NOT bad
+      |  UNION ALL
+      |  SELECT doc_id, 1, 'request',
+      |         'https://ex.com/' || doc_id || '/0', NULL,
+      |         CAST(length('GET / HTTP/1.1') AS BIGINT), 'GET / HTTP/1.1'
+      |  FROM g WHERE NOT bad
+      |  UNION ALL
+      |  SELECT doc_id, 2 + j, 'response',
+      |         'https://ex.com/' || doc_id || '/' || j, status,
+      |         CAST(length(repeat('d' || doc_id || 'p' || j || 'x',
+      |           CAST(2 + (doc_id + j) % 4 AS INT))) AS BIGINT),
+      |         repeat('d' || doc_id || 'p' || j || 'x',
+      |           CAST(2 + (doc_id + j) % 4 AS INT))
+      |  FROM resp
+      |  UNION ALL
+      |  SELECT doc_id, CAST(NULL AS BIGINT), 'corrupt', NULL, NULL,
+      |         CAST(NULL AS BIGINT), NULL
+      |  FROM g WHERE bad)
+      |SELECT * FROM rows_out ORDER BY doc_id, record_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_warc_extract" -> (q100 _),
     "q83_dedup_clusters" -> (q83 _),
     "q94_bm25_search" -> (q94 _),
     "q73_pii_redact" -> (q73 _),
@@ -450,6 +544,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q100_warc_extract" -> q100Sql,
     "q83_dedup_clusters" -> q83Sql,
     "q94_bm25_search" -> q94Sql,
     "q73_pii_redact" -> q73Sql,
