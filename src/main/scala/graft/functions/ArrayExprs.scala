@@ -892,6 +892,8 @@ object Registry {
         else PqDecode(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("image_meta",
       (es: Seq[Expression]) => ImageMetaExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("html_to_text",
+      (es: Seq[Expression]) => HtmlTextExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("intersect_size",
       (es: Seq[Expression]) => IntersectSize(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("token_histogram",
