@@ -453,10 +453,10 @@ object Pipeline {
   // status, body length, body text — in closed form. Scale: extraction
   // is exchange-free mapPartitions, one archive at a time per executor
   // thread; downstream this feeds the q73–q78 curation pipeline.
-  def q100(s: SparkSession, dir: String): DataFrame = {
+  private def warcFixtures(s: SparkSession, dir: String): String = {
     import s.implicits._
     val out100 = Tables.scratch(s"media100/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val mediaDir = Tables.cachedDerived(dir, out100, version = "v1-warc") {
+    val mediaDir = Tables.cachedDerived(dir, out100, version = "v2-warc") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         import graft.operators.Warc
@@ -473,7 +473,11 @@ object Pipeline {
                 "2025-08-15T12:00:00Z", "application/http; msgtype=request",
                 "GET / HTTP/1.1".getBytes("US-ASCII")) +:
               (0 until nr).map { j =>
-                val body = ("d" + id + "p" + j + "x") * (2 + ((id + j) % 4).toInt)
+                // bodies are keyed by id%40, so ~12 docs share each one —
+                // the duplicate-ful shape a real crawl has (q100b dedups
+                // these by content digest)
+                val body = ("d" + (id % 40) + "p" + j + "x") *
+                  (2 + ((id % 40 + j) % 4).toInt)
                 Warc.Rec("response", s"https://ex.com/$id/$j",
                   "2025-08-15T12:00:00Z", "application/http; msgtype=response",
                   Warc.httpResponse(status, "text/html",
@@ -489,12 +493,15 @@ object Pipeline {
       }.toDF("doc_id", "content")
         .write.mode("overwrite").parquet(s"$out100/data")
     }
-    graft.operators.Warc.extractRecords(s.read.parquet(s"$mediaDir/data"))
+    s"$mediaDir/data"
+  }
+
+  def q100(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Warc.extractRecords(s.read.parquet(warcFixtures(s, dir)))
       .select(col("doc_id"), col("record_idx"), col("warc_type"),
         col("target_uri"), col("http_status"), col("body_len"),
         col("body_text"))
       .orderBy("doc_id", "record_idx")
-  }
 
   val q100Sql =
     """WITH g AS (
@@ -521,10 +528,10 @@ object Pipeline {
       |  UNION ALL
       |  SELECT doc_id, 2 + j, 'response',
       |         'https://ex.com/' || doc_id || '/' || j, status,
-      |         CAST(length(repeat('d' || doc_id || 'p' || j || 'x',
-      |           CAST(2 + (doc_id + j) % 4 AS INT))) AS BIGINT),
-      |         repeat('d' || doc_id || 'p' || j || 'x',
-      |           CAST(2 + (doc_id + j) % 4 AS INT))
+      |         CAST(length(repeat('d' || (doc_id % 40) || 'p' || j || 'x',
+      |           CAST(2 + (doc_id % 40 + j) % 4 AS INT))) AS BIGINT),
+      |         repeat('d' || (doc_id % 40) || 'p' || j || 'x',
+      |           CAST(2 + (doc_id % 40 + j) % 4 AS INT))
       |  FROM resp
       |  UNION ALL
       |  SELECT doc_id, CAST(NULL AS BIGINT), 'corrupt', NULL, NULL,
@@ -532,8 +539,91 @@ object Pipeline {
       |  FROM g WHERE bad)
       |SELECT * FROM rows_out ORDER BY doc_id, record_idx""".stripMargin
 
+  // ------------------------------------------------------------- q101
+  // HTML → text extraction (round 18): the WET-generation step between
+  // a crawled response and the documents table. Each doc's text is
+  // wrapped in a realistic page — DOCTYPE, head with a style block and
+  // a script whose body contains both a bare `>` and a "</div>" string
+  // literal (raw-text scanning must not stop at either), an attribute
+  // value containing `>`, named + decimal + hex character references,
+  // an &nbsp;, and a trailing comment — and the native codegen'd
+  // [[graft.functions.HtmlTextExpr]] recovers exactly the page text.
+  // The oracle rebuilds the expected extraction in closed form from the
+  // same text column (whitespace-normalized on both sides). Per-row
+  // scalar work inside the scan projection: zero shuffle at any scale.
+  def q101(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("html", expr(
+        """concat('<!DOCTYPE html><html><head><title></title>',
+          |'<style>p { color: red; }</style>',
+          |'<script type="text/javascript">if (1 > 0) { var s = "</div>"; }</script>',
+          |'</head><body><h1>Doc ', doc_id, '</h1>',
+          |'<p id="x" title="a>b">alpha &amp; beta &#65;&#x42;&nbsp;gamma</p>',
+          |'<div>', text, '</div><!-- trailing comment --></body></html>')"""
+          .stripMargin.replace("\n", "")))
+      .selectExpr("doc_id", "html_to_text(html) AS text_out")
+      .orderBy("doc_id")
+
+  val q101Sql =
+    """SELECT doc_id,
+      |       trim('Doc ' || doc_id || ' alpha & beta AB gamma ' ||
+      |            trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g'))) AS text_out
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q100b
+  // CDX-style crawl dedup (round 18): the index step crawl pipelines run
+  // right after WARC extraction — digest every response body, keep the
+  // FIRST capture of each digest as canonical, count the duplicates. The
+  // q100 corpus shares bodies across doc_id%40 groups by construction,
+  // so real dedup happens; digests are md5, which Spark and DuckDB both
+  // ship — the oracle recomputes the same hex digest, so any byte-level
+  // disagreement in the extraction chain surfaces as a hash mismatch.
+  // Scale: one shuffle keyed by the digest (grows with the data, no hot
+  // reducer — group sizes are bounded by the corpus's duplication rate).
+  def q100b(s: SparkSession, dir: String): DataFrame = {
+    val recs = graft.operators.Warc
+      .extractRecords(s.read.parquet(warcFixtures(s, dir)))
+      .filter(col("warc_type") === "response")
+      .withColumn("digest", md5(col("body_text").cast("binary")))
+    val byDigest = Window.partitionBy("digest")
+    recs
+      .withColumn("rank",
+        row_number().over(byDigest.orderBy("doc_id", "record_idx")))
+      .withColumn("dup_count", count(lit(1)).over(byDigest))
+      .filter(col("rank") === 1)
+      .select(col("digest"), col("target_uri").as("canonical_uri"),
+        col("doc_id").as("first_doc"), col("dup_count"))
+      .orderBy("digest")
+  }
+
+  val q100bSql =
+    """WITH g AS (
+      |  SELECT doc_id, 1 + doc_id % 3 AS nr
+      |  FROM documents WHERE doc_id % 7 <> 6),
+      |resp AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(0, CAST(nr - 1 AS BIGINT))) AS j
+      |  FROM g),
+      |bodies AS (
+      |  SELECT doc_id, j,
+      |         md5(repeat('d' || (doc_id % 40) || 'p' || j || 'x',
+      |           CAST(2 + (doc_id % 40 + j) % 4 AS INT))) AS digest,
+      |         'https://ex.com/' || doc_id || '/' || j AS uri
+      |  FROM resp),
+      |ranked AS (
+      |  SELECT digest, uri, doc_id,
+      |         row_number() OVER (PARTITION BY digest ORDER BY doc_id, j)
+      |           AS rank,
+      |         count(*) OVER (PARTITION BY digest) AS dup_count
+      |  FROM bodies)
+      |SELECT digest, uri AS canonical_uri, doc_id AS first_doc,
+      |       CAST(dup_count AS BIGINT) AS dup_count
+      |FROM ranked WHERE rank = 1 ORDER BY digest""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_html_text" -> (q101 _),
     "q100_warc_extract" -> (q100 _),
+    "q100b_warc_cdx" -> (q100b _),
     "q83_dedup_clusters" -> (q83 _),
     "q94_bm25_search" -> (q94 _),
     "q73_pii_redact" -> (q73 _),
@@ -544,7 +634,9 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q101_html_text" -> q101Sql,
     "q100_warc_extract" -> q100Sql,
+    "q100b_warc_cdx" -> q100bSql,
     "q83_dedup_clusters" -> q83Sql,
     "q94_bm25_search" -> q94Sql,
     "q73_pii_redact" -> q73Sql,
