@@ -125,7 +125,34 @@ object ImageMeta {
         ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
          (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))) {
       parseTiff(b)
+    } else if (b.length >= 6 && b(0) == 'P' && b(1) >= '1' && b(1) <= '6' &&
+        (b(2) == '\n' || b(2) == ' ' || b(2) == '\t' || b(2) == '\r')) {
+      parsePnm(b)
     } else null
+  }
+
+  /** Netpbm header (round 18): magic P1–P6, then width and height as
+    * the next two decimal tokens (comments and whitespace skipped). */
+  private def parsePnm(b: Array[Byte]): (String, Int, Int) = {
+    var i = 2
+    def token(): Int = {
+      var v = -1
+      while (i < b.length) {
+        val c = b(i) & 0xff
+        if (c == '#' && v < 0) { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c >= '0' && c <= '9') {
+          v = (if (v < 0) 0 else v) * 10 + (c - '0')
+          if (v > 0xffffff) return -1
+          i += 1
+        } else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') {
+          if (v >= 0) return v else i += 1
+        } else return -1
+      }
+      v
+    }
+    val w = token()
+    val h = token()
+    if (w > 0 && h > 0) ("pnm", w, h) else null
   }
 
   /** First-IFD walk for ImageWidth (256) / ImageLength (257), both
@@ -323,6 +350,9 @@ object ImageMeta {
         wle16(256); wle16(3); wle32(1); wle16(width); wle16(0)
         wle16(257); wle16(4); wle32(1); wle32(height) // LONG spelling too
         wle32(0) // no next IFD
+      case "pnm" =>
+        out.write(s"P6\n# fixture\n$width $height\n255\n"
+          .getBytes("US-ASCII")) // header only: meta parsing needs no raster
       case other =>
         throw new IllegalArgumentException(s"unknown fixture format: $other")
     }

@@ -105,6 +105,7 @@ object Multimodal {
               else if ((bytes(0) & 0xff) == 0xff) "jpeg"
               else if (bytes(0) == 'R') "webp"
               else if (bytes(0) == 'I' || bytes(0) == 'M') "tiff"
+              else if (bytes(0) == 'P') "pnm"
               else "png"
             val vec = Array(
               f.sumR.toDouble / n / 255.0,
@@ -230,6 +231,7 @@ object Multimodal {
               else if ((bytes(0) & 0xff) == 0xff) "jpeg"
               else if (bytes(0) == 'R') "webp"
               else if (bytes(0) == 'I' || bytes(0) == 'M') "tiff"
+              else if (bytes(0) == 'P') "pnm"
               else "png"
             val png = PixelCodec.encodePng(small.width, small.height,
               (x, y) => {

@@ -75,7 +75,117 @@ object PixelCodec {
     else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
         (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
       TiffCodec.decode(b) // round 18: baseline TIFF (none/PackBits/LZW)
+    else if (b(0) == 'P' && b(1) >= '1' && b(1) <= '6')
+      decodePnm(b) // round 18: netpbm P1–P6
     else None
+  }
+
+  /** Netpbm P1–P6 (round 18): the classic ML-dataset interchange
+    * formats. ASCII (P1 bitmap / P2 graymap / P3 pixmap) and binary
+    * (P4/P5/P6) variants; `#` comments anywhere in the header; maxval
+    * up to 65535 (two-byte big-endian samples, scaled to 8 bits by
+    * round(v·255/maxval) — identity at maxval 255); PBM semantics
+    * honored (1 = black). Anything malformed → None. */
+  private def decodePnm(b: Array[Byte]): Option[PixelImage] = {
+    try {
+      val kind = b(1) - '0'
+      var i = 2
+      def token(): Long = { // next decimal token, skipping space + comments
+        var v = -1L
+        var done = false
+        while (!done) {
+          if (i >= b.length) { done = true }
+          else {
+            val c = b(i) & 0xff
+            if (c == '#' && v < 0) { // comment to end of line
+              while (i < b.length && b(i) != '\n') i += 1
+            } else if (c >= '0' && c <= '9') {
+              v = (if (v < 0) 0 else v) * 10 + (c - '0')
+              if (v > 0xffffffffL) return -1L
+              i += 1
+            } else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') {
+              if (v >= 0) done = true else i += 1
+            } else return -1L
+          }
+        }
+        v
+      }
+      val w = token().toInt
+      val h = token().toInt
+      if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+      val maxval =
+        if (kind == 1 || kind == 4) 1
+        else {
+          val m = token().toInt
+          if (m < 1 || m > 65535) return None
+          m
+        }
+      // exactly ONE whitespace byte separates header and binary raster
+      if (kind >= 4) { if (i >= b.length) return None else i += 1 }
+      val out = new Array[Byte](w * h * 3)
+      def scale(v: Int): Byte =
+        (if (maxval == 255) v
+         else ((v * 255 + maxval / 2) / maxval)).toByte
+      var k = 0
+      kind match {
+        case 1 => // ASCII bitmap: 1 = black; digits may run together
+          while (k < w * h) {
+            while (i < b.length && (b(i) != '0' && b(i) != '1')) {
+              if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+              else i += 1
+            }
+            if (i >= b.length) return None
+            val v: Byte = if (b(i) == '1') 0 else -1 // black / white(255)
+            out(k * 3) = v; out(k * 3 + 1) = v; out(k * 3 + 2) = v
+            i += 1; k += 1
+          }
+        case 2 | 3 =>
+          val per = if (kind == 2) 1 else 3
+          while (k < w * h * per) {
+            val v = token()
+            if (v < 0 || v > maxval) return None
+            val s = scale(v.toInt)
+            if (per == 1) {
+              out(k * 3) = s; out(k * 3 + 1) = s; out(k * 3 + 2) = s
+            } else out(k) = s
+            k += 1
+          }
+        case 4 => // packed bitmap, rows byte-aligned, MSB first, 1 = black
+          val rowBytes = (w + 7) / 8
+          if (i + rowBytes.toLong * h > b.length) return None
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val bit = (b(i + y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+              val v: Byte = if (bit == 1) 0 else -1
+              val o = (y * w + x) * 3
+              out(o) = v; out(o + 1) = v; out(o + 2) = v
+              x += 1
+            }
+            y += 1
+          }
+        case _ => // P5 / P6 binary
+          val per = if (kind == 5) 1 else 3
+          val bytesPer = if (maxval > 255) 2 else 1
+          if (i + w.toLong * h * per * bytesPer > b.length) return None
+          while (k < w * h * per) {
+            val v =
+              if (bytesPer == 1) b(i) & 0xff
+              else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+            if (v > maxval) return None
+            val s = scale(v)
+            if (per == 1) {
+              out(k * 3) = s; out(k * 3 + 1) = s; out(k * 3 + 2) = s
+            } else out(k) = s
+            i += bytesPer; k += 1
+          }
+      }
+      Some(PixelImage(w, h, out))
+    } catch {
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
   }
 
   private def le16(b: Array[Byte], i: Int): Int =
@@ -614,6 +724,65 @@ object PixelCodec {
   }
 
   // ------------------------------------------------------------- encode
+
+  /** Real netpbm bytes (fixtures + tests): P1/P2/P3 ASCII or P4/P5/P6
+    * binary, with a header comment so decoders must really skip them.
+    * Gray kinds (P2/P5) take the red channel; bitmap kinds (P1/P4) are
+    * black where red < 128. maxval > 255 emits two-byte big-endian
+    * samples (value v·maxval/255 keeps the round-trip scaling exact
+    * when maxval = 257·255 = 65535: v·257 → high byte v). */
+  def encodePnm(width: Int, height: Int, kind: Int,
+      px: (Int, Int) => (Int, Int, Int), maxval: Int = 255): Array[Byte] = {
+    require(kind >= 1 && kind <= 6 && width > 0 && height > 0 &&
+      width.toLong * height <= MaxPixels)
+    require(maxval >= 1 && maxval <= 65535)
+    val out = new java.io.ByteArrayOutputStream()
+    def ws(s: String): Unit = s.foreach(c => out.write(c))
+    ws(s"P$kind\n# graft fixture\n$width $height\n")
+    if (kind != 1 && kind != 4) ws(s"$maxval\n")
+    def sample(v8: Int): Int =
+      if (maxval == 255) v8 else v8 * maxval / 255
+    kind match {
+      case 1 =>
+        for (y <- 0 until height) {
+          ws((0 until width).map { x =>
+            if ((px(x, y)._1 & 0xff) < 128) "1" else "0"
+          }.mkString(" "))
+          ws("\n")
+        }
+      case 2 | 3 =>
+        for (y <- 0 until height) {
+          ws((0 until width).flatMap { x =>
+            val (r, g, b) = px(x, y)
+            if (kind == 2) Seq(sample(r & 0xff))
+            else Seq(sample(r & 0xff), sample(g & 0xff), sample(b & 0xff))
+          }.mkString(" "))
+          ws("\n")
+        }
+      case 4 =>
+        for (y <- 0 until height) {
+          var acc = 0
+          var nb = 0
+          for (x <- 0 until width) {
+            acc = (acc << 1) | (if ((px(x, y)._1 & 0xff) < 128) 1 else 0)
+            nb += 1
+            if (nb == 8) { out.write(acc); acc = 0; nb = 0 }
+          }
+          if (nb > 0) out.write(acc << (8 - nb)) // rows byte-aligned
+        }
+      case _ =>
+        for (y <- 0 until height; x <- 0 until width) {
+          val (r, g, b) = px(x, y)
+          val vals = if (kind == 5) Seq(r) else Seq(r, g, b)
+          vals.foreach { v =>
+            val s = sample(v & 0xff)
+            if (maxval > 255) { out.write(s >> 8); out.write(s & 0xff) }
+            else out.write(s)
+          }
+        }
+    }
+    out.toByteArray
+  }
 
   /** Real 24bpp BMP bytes with pixel payload; `topDown` writes the
     * negative-height layout. `px(x, y)` returns (r, g, b). */

@@ -681,7 +681,7 @@ object Llm {
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v18-tiff") {
+      version = "v19-pnm") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -707,8 +707,18 @@ object Llm {
         val bytes = (id % 10).toInt match {
           case 0 => graft.operators.PixelCodec.encodeBmp(w, h, px,
             topDown = (id / 8) % 2 == 1)
-          case 1 => graft.operators.PixelCodec.encodePng(w, h, px,
-            withAlpha = (id / 8) % 2 == 1)
+          case 1 =>
+            // round 18: the PNG slot sub-rotates netpbm — binary P6 /
+            // ASCII P3 / 16-bit-per-sample P6 (maxval 65535: v·257 on
+            // disk, decode keeps the high byte → same closed form)
+            if ((id / 10) % 2 == 1) ((id / 20) % 3).toInt match {
+              case 0 => graft.operators.PixelCodec.encodePnm(w, h, 6, px)
+              case 1 => graft.operators.PixelCodec.encodePnm(w, h, 3, px)
+              case _ => graft.operators.PixelCodec.encodePnm(w, h, 6, px,
+                maxval = 65535)
+            }
+            else graft.operators.PixelCodec.encodePng(w, h, px,
+              withAlpha = (id / 8) % 2 == 1)
           case 2 =>
             // round 18: the GIF slot sub-rotates baseline TIFF — the
             // scanned-document workhorse — lossless RGB with rotating
@@ -887,12 +897,13 @@ object Llm {
     // one-time fixture build, fingerprint-cached (see q47): the timed
     // query measures the header-parse scan, not the fixture write
     val out66 = Tables.scratch(s"media/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val mediaDir = Tables.cachedDerived(dir, out66, version = "v2-tiff") {
+    val mediaDir = Tables.cachedDerived(dir, out66, version = "v3-pnm") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
-        val fmt = (id % 6) match {
+        val fmt = (id % 7) match {
           case 0 => "png"; case 1 => "jpeg"; case 2 => "gif"
-          case 3 => "webp"; case 4 => "bmp"; case _ => "tiff"
+          case 3 => "webp"; case 4 => "bmp"; case 5 => "tiff"
+          case _ => "pnm"
         }
         (id, graft.functions.ImageMeta.encode(fmt,
           1 + (id % 640).toInt, 1 + (id % 480).toInt))
@@ -910,10 +921,10 @@ object Llm {
 
   val q66Sql =
     """SELECT doc_id,
-      |       CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'png'
+      |       CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 'png'
       |            WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
       |            WHEN 3 THEN 'webp' WHEN 4 THEN 'bmp'
-      |            ELSE 'tiff' END AS format,
+      |            WHEN 5 THEN 'tiff' ELSE 'pnm' END AS format,
       |       CAST(1 + doc_id % 640 AS BIGINT) AS width,
       |       CAST(1 + doc_id % 480 AS BIGINT) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -952,6 +963,7 @@ object Llm {
       |       CASE WHEN g.fmt = 2 AND (g.doc_id // 10) % 2 = 1 THEN 'tiff'
       |            WHEN g.fmt = 2 THEN 'gif'
       |            WHEN g.fmt = 0 OR g.fmt = 8 THEN 'bmp'
+      |            WHEN g.fmt = 1 AND (g.doc_id // 10) % 2 = 1 THEN 'pnm'
       |            WHEN g.fmt = 1 THEN 'png'
       |            WHEN g.fmt = 3 THEN 'jpeg' WHEN g.fmt = 4 THEN 'webp'
       |            ELSE 'jpeg' END AS decoder,

@@ -30,7 +30,8 @@ class ExprSpec extends SparkFunSuite {
       ("gif", 320, 200), ("png", 65535, 1),
       ("webp", 800, 600), ("webp", 1, 1), ("webp", 16383, 16383),
       ("bmp", 1024, 768), ("bmp", 1, 1), ("bmp", 65535, 65535),
-      ("tiff", 2480, 3508), ("tiff", 1, 1), ("tiff", 65535, 65535))
+      ("tiff", 2480, 3508), ("tiff", 1, 1), ("tiff", 65535, 65535),
+      ("pnm", 640, 480), ("pnm", 1, 1))
     val enc = fixtures.map { case (f, w, h) => (f, w, h, ImageMeta.encode(f, w, h)) }
     val got = enc.toDF("f", "w", "h", "content")
       .selectExpr("f", "w", "h", "image_meta(content) AS m")

@@ -365,4 +365,44 @@ class PixelCodecSpec extends SparkFunSuite {
     assert(f.lumaHist.sameElements(hist))
     assert(f.lumaHist.sum == 6) // every pixel lands in exactly one bin
   }
+
+  test("netpbm: P6/P3/P5/P2 round-trip; P1/P4 bitmaps; 16-bit and maxval scaling; comments skipped") {
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      (10 + 3 * x + 5 * y, 20 + 5 * x + 2 * y, 30 + 2 * x + 7 * y)
+    val (w, h) = (9, 6)
+    // dual-spelling agreement: the ASCII and binary pixmaps decode
+    // identically, bit for bit — and 16-bit samples keep the high byte
+    val p6 = PixelCodec.decode(PixelCodec.encodePnm(w, h, 6, px)).get
+    val p3 = PixelCodec.decode(PixelCodec.encodePnm(w, h, 3, px)).get
+    val p6wide = PixelCodec.decode(
+      PixelCodec.encodePnm(w, h, 6, px, maxval = 65535)).get
+    assert(p6.rgb.toSeq == p3.rgb.toSeq)
+    assert(p6.rgb.toSeq == p6wide.rgb.toSeq)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val (r, g, b) = px(x, y)
+      assert((p6.rgb(o) & 0xff, p6.rgb(o + 1) & 0xff, p6.rgb(o + 2) & 0xff)
+        == ((r, g, b)), s"($x,$y)")
+    }
+    // graymaps: P5 binary == P2 ASCII, red channel replicated
+    val p5 = PixelCodec.decode(PixelCodec.encodePnm(w, h, 5, px)).get
+    val p2 = PixelCodec.decode(PixelCodec.encodePnm(w, h, 2, px)).get
+    assert(p5.rgb.toSeq == p2.rgb.toSeq)
+    assert((p5.rgb(3) & 0xff) == (p5.rgb(4) & 0xff))
+    // bitmaps: P4 packed == P1 ASCII; 1 = black, rows byte-aligned
+    def bw(x: Int, y: Int): (Int, Int, Int) =
+      if ((x + y) % 3 == 0) (0, 0, 0) else (255, 255, 255)
+    val p4 = PixelCodec.decode(PixelCodec.encodePnm(11, 5, 4, bw)).get
+    val p1 = PixelCodec.decode(PixelCodec.encodePnm(11, 5, 1, bw)).get
+    assert(p4.rgb.toSeq == p1.rgb.toSeq)
+    for (y <- 0 until 5; x <- 0 until 11)
+      assert((p4.rgb((y * 11 + x) * 3) & 0xff) ==
+        (if ((x + y) % 3 == 0) 0 else 255), s"P4 ($x,$y)")
+    // refusals: truncated raster, absurd header, sample over maxval
+    val ok = PixelCodec.encodePnm(w, h, 6, px)
+    assert(PixelCodec.decode(ok.take(ok.length - 5)).isEmpty)
+    assert(PixelCodec.decode("P6\n0 5\n255\n".getBytes("US-ASCII")).isEmpty)
+    assert(PixelCodec.decode("P2\n2 1\n100\n5 101\n".getBytes("US-ASCII")).isEmpty)
+    assert(PixelCodec.decode("P9\n2 1\n255\n".getBytes("US-ASCII")).isEmpty)
+  }
 }
