@@ -1,0 +1,69 @@
+package graft.functions
+
+/** docx_text: ZIP + WordprocessingML extraction — run concatenation,
+  * paragraph/break separators, XML entity decode, refusal matrix, and
+  * the codegen path. */
+class OfficeTextSpec extends graft.SparkFunSuite {
+
+  test("paragraphs round-trip; runs concatenate without separators") {
+    val docx = OfficeText.encodeDocx(Seq(
+      "Hello world from paragraph one",
+      "and & <two> with specials",
+      "third"))
+    val got = OfficeText.docxText(docx)
+    assert(got ==
+      "Hello world from paragraph one and & <two> with specials third")
+    // the encoder splits each paragraph into two runs MID-WORD: if the
+    // extractor inserted a separator between runs, words would split
+    assert(!got.contains("paragra ph") && !got.contains("wo rld"))
+  }
+
+  test("breaks, tabs, numeric references, and preserve-space semantics") {
+    // hand-built document.xml exercising what the fixture encoder doesn't
+    val doc =
+      """<?xml version="1.0"?><w:document><w:body>""" +
+        """<w:p><w:r><w:t>a</w:t><w:br/><w:t>b</w:t></w:r></w:p>""" +
+        """<w:p><w:r><w:t>x&#65;&#x42;y</w:t><w:tab/><w:t>z</w:t></w:r></w:p>""" +
+        """<w:p><w:r><w:t xml:space="preserve">  spaced  </w:t></w:r></w:p>""" +
+        """</w:body></w:document>"""
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write(doc.getBytes("UTF-8")); z.closeEntry(); z.close()
+    assert(OfficeText.docxText(out.toByteArray) == "a b xABy z spaced")
+  }
+
+  test("refusals: non-zip, zip without document.xml, truncated zip, null") {
+    assert(OfficeText.docxText("not a zip at all".getBytes("US-ASCII")) == null)
+    assert(OfficeText.docxText(null) == null)
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    z.putNextEntry(new java.util.zip.ZipEntry("other.txt"))
+    z.write("hi".getBytes); z.closeEntry(); z.close()
+    assert(OfficeText.docxText(out.toByteArray) == null)
+    val ok = OfficeText.encodeDocx(Seq("text"))
+    assert(OfficeText.docxText(ok.take(ok.length / 2)) == null)
+    // PK magic but garbage after
+    assert(OfficeText.docxText(
+      Array[Byte]('P', 'K', 3, 4, 9, 9, 9, 9, 9, 9)) == null)
+  }
+
+  test("docx_text through a parquet scan under codegen; NULL for junk rows") {
+    import spark.implicits._
+    Registry.install(spark)
+    val dir = scratch("docxtext")
+    Seq(
+      (1L, OfficeText.encodeDocx(Seq("alpha", "beta"))),
+      (2L, "junk".getBytes("US-ASCII")))
+      .toDF("id", "content").write.parquet(dir)
+    val df = spark.read.parquet(dir)
+      .selectExpr("id", "docx_text(content) AS t")
+      .orderBy("id")
+    val rows = df.collect()
+    assert(rows(0).getString(1) == "alpha beta")
+    assert(rows(1).isNullAt(1))
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("[codegen id :"), explained)
+  }
+}
