@@ -894,6 +894,10 @@ object Registry {
       (es: Seq[Expression]) => ImageMetaExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("html_to_text",
       (es: Seq[Expression]) => HtmlTextExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("docx_text",
+      (es: Seq[Expression]) => DocxTextExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("mp4_meta",
+      (es: Seq[Expression]) => Mp4MetaExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("intersect_size",
       (es: Seq[Expression]) => IntersectSize(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("token_histogram",
