@@ -620,7 +620,161 @@ object Pipeline {
       |       CAST(dup_count AS BIGINT) AS dup_count
       |FROM ranked WHERE rank = 1 ORDER BY digest""".stripMargin
 
+  // ------------------------------------------------------------- q102
+  // DOCX text extraction (round 18): the office-document slice of a
+  // real crawl. Each doc's text becomes an ACTUAL Office Open XML
+  // package (ZIP via the JDK, [Content_Types] + rels + a
+  // word/document.xml whose paragraphs split into two runs mid-word —
+  // run concatenation must not insert separators) with XML-escaped
+  // specials; the native codegen'd [[graft.functions.DocxTextExpr]]
+  // walks the container and the WordprocessingML markup back to text.
+  // Every 7th doc is a non-ZIP payload → NULL (corrupt attachments are
+  // data). The oracle rebuilds the expected extraction in closed form
+  // from the same text column. Per-row scalar work, zero shuffle.
+  def q102(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    val out102 = Tables.scratch(s"media102/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out102, version = "v1-docx") {
+      docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes =
+            if (id % 7 == 2) "PK but not actually a zip".getBytes("US-ASCII")
+            else graft.functions.OfficeText.encodeDocx(
+              Seq(s"Doc $id & <notes>", text))
+          (id, bytes)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out102/data")
+    }
+    s.read.parquet(s"$mediaDir/data")
+      .selectExpr("doc_id", "docx_text(content) AS text_out")
+      .orderBy("doc_id")
+  }
+
+  val q102Sql =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 7 = 2 THEN NULL
+      |            ELSE trim('Doc ' || doc_id || ' & <notes> ' ||
+      |                 trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')))
+      |       END AS text_out
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q103
+  // MP4 container metadata (round 18): at 100 TB, geometry / duration /
+  // codec are what a video-curation pipeline filters on BEFORE paying
+  // any decode — drop thumbnails, cap durations, route by codec — and
+  // the ISO-BMFF box walk is pure byte arithmetic even though the
+  // H.264/HEVC frame payload stays honestly stubbed. Each doc carries a
+  // real ftyp+moov+mdat file (mvhd v0, a video trak with an stsd visual
+  // sample entry) with codec rotating avc1/hev1/vp09, deterministic
+  // dimensions and millisecond durations; every 7th doc is junk → NULL.
+  // The oracle recomputes every field from doc_id in closed form.
+  def q103(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    val out103 = Tables.scratch(s"media103/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out103, version = "v1-mp4") {
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 7 == 4) "RIFF not an mp4 either".getBytes("US-ASCII")
+            else graft.functions.Mp4Meta.encode(
+              brand = "isom",
+              durationMs = 1000 + (id % 50000),
+              codec = (id % 3) match {
+                case 0 => "avc1"; case 1 => "hev1"; case _ => "vp09"
+              },
+              width = 320 + 16 * (id % 80).toInt,
+              height = 180 + 9 * (id % 60).toInt)
+          (id, bytes)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out103/data")
+    }
+    s.read.parquet(s"$mediaDir/data")
+      .selectExpr("doc_id", "mp4_meta(content) AS m")
+      .selectExpr("doc_id", "m.brand AS brand",
+        "m.duration_ms AS duration_ms", "m.codec AS codec",
+        "CAST(m.width AS BIGINT) AS width", "CAST(m.height AS BIGINT) AS height")
+      .orderBy("doc_id")
+  }
+
+  val q103Sql =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 7 = 4 THEN NULL ELSE 'isom' END AS brand,
+      |       CASE WHEN doc_id % 7 = 4 THEN NULL
+      |            ELSE 1000 + doc_id % 50000 END AS duration_ms,
+      |       CASE WHEN doc_id % 7 = 4 THEN NULL
+      |            WHEN doc_id % 3 = 0 THEN 'avc1'
+      |            WHEN doc_id % 3 = 1 THEN 'hev1'
+      |            ELSE 'vp09' END AS codec,
+      |       CASE WHEN doc_id % 7 = 4 THEN NULL
+      |            ELSE 320 + 16 * (doc_id % 80) END AS width,
+      |       CASE WHEN doc_id % 7 = 4 THEN NULL
+      |            ELSE 180 + 9 * (doc_id % 60) END AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q104
+  // Subtitle parsing (round 18): caption files are the text half of
+  // video-text training pairs; cue timings drive frame-caption
+  // alignment joins downstream. Each doc carries a real subtitle file —
+  // SubRip (numbered cues, comma timings, CRLF) for even docs, WebVTT
+  // (header + NOTE block to skip + cue ids + cue settings + dot
+  // timings) for odd — with deterministic cue times and text; every 7th
+  // doc is junk exercising the labeled corrupt row. One row per cue;
+  // the oracle recomputes index/times/text in closed form. Exchange-
+  // free mapPartitions, the Warc shape.
+  def q104(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out104 = Tables.scratch(s"media104/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out104, version = "v1-subs") {
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          import graft.operators.Subtitles
+          val content =
+            if (id % 7 == 1) "not captions at all, just prose"
+            else {
+              val cues = (0 until (2 + (id % 4)).toInt).map { j =>
+                Subtitles.Cue(1000L * j + id % 1000,
+                  1000L * j + id % 1000 + 500 + 100 * j,
+                  s"cue $id $j words")
+              }
+              if (id % 2 == 0) Subtitles.encodeSrt(cues)
+              else Subtitles.encodeVtt(cues)
+            }
+          (id, content)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out104/data")
+    }
+    graft.operators.Subtitles
+      .extractCues(s.read.parquet(s"$mediaDir/data"))
+      .orderBy("doc_id", "cue_idx")
+  }
+
+  val q104Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 2 + doc_id % 4 AS nc, doc_id % 7 = 1 AS bad
+      |  FROM documents),
+      |cues AS (
+      |  SELECT doc_id, nc,
+      |         unnest(generate_series(0, CAST(nc - 1 AS BIGINT))) AS j
+      |  FROM g WHERE NOT bad)
+      |SELECT doc_id,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'srt' ELSE 'vtt' END AS format,
+      |       j AS cue_idx,
+      |       1000 * j + doc_id % 1000 AS start_ms,
+      |       1000 * j + doc_id % 1000 + 500 + 100 * j AS end_ms,
+      |       'cue ' || doc_id || ' ' || j || ' words' AS text
+      |FROM cues
+      |UNION ALL
+      |SELECT doc_id, 'corrupt', NULL, NULL, NULL, NULL
+      |FROM g WHERE bad
+      |ORDER BY doc_id, cue_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_subtitle_cues" -> (q104 _),
+    "q103_mp4_meta" -> (q103 _),
+    "q102_docx_text" -> (q102 _),
     "q101_html_text" -> (q101 _),
     "q100_warc_extract" -> (q100 _),
     "q100b_warc_cdx" -> (q100b _),
@@ -634,6 +788,9 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q104_subtitle_cues" -> q104Sql,
+    "q103_mp4_meta" -> q103Sql,
+    "q102_docx_text" -> q102Sql,
     "q101_html_text" -> q101Sql,
     "q100_warc_extract" -> q100Sql,
     "q100b_warc_cdx" -> q100bSql,
