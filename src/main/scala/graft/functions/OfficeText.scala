@@ -55,6 +55,36 @@ case class DocxTextExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** epub_text(content binary) -> string — the ebook slice of a crawl;
+  * see [[OfficeText.epubText]] for the extraction contract. */
+case class EpubTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "epub_text"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects binary content, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    OfficeText.epubTextU(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.OfficeText.epubTextU($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object OfficeText {
 
   private val MaxXmlBytes = 64 << 20
@@ -168,6 +198,60 @@ object OfficeText {
     out.toString
   }
 
+  /** Extracted EPUB text, or null when the payload isn't an EPUB.
+    * Detection is the spec's own: a ZIP whose `mimetype` entry reads
+    * `application/epub+zip` (EPUB OCF requires it first and stored).
+    * Every `.xhtml`/`.html` entry is extracted with the SAME state
+    * machine as `html_to_text` ([[HtmlText.extract]]) and chapters
+    * join with single spaces in ZIP order — the deterministic
+    * approximation of spine order a crawl extractor uses when it
+    * doesn't parse the OPF package document. */
+  def epubText(b: Array[Byte]): String = {
+    if (b == null || b.length < 4) return null
+    if (!(b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4)) return null
+    try {
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(b))
+      var entry = zin.getNextEntry
+      var isEpub = false
+      val parts = Seq.newBuilder[String]
+      var total = 0L
+      while (entry != null) {
+        val name = entry.getName
+        if (name == "mimetype" || name.endsWith(".xhtml") ||
+            name.endsWith(".html")) {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = zin.read(buf)
+          while (n >= 0 && total <= MaxXmlBytes) {
+            out.write(buf, 0, n)
+            total += n
+            n = zin.read(buf)
+          }
+          if (total > MaxXmlBytes) return null // bomb: refuse
+          val content = new String(out.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8)
+          if (name == "mimetype") {
+            if (content.trim != "application/epub+zip") return null
+            isEpub = true
+          } else parts += HtmlText.extract(content)
+        }
+        entry = zin.getNextEntry
+      }
+      if (!isEpub) return null
+      val text = parts.result().filter(_.nonEmpty).mkString(" ")
+      if (text.isEmpty) null else text
+    } catch {
+      case _: java.io.IOException => null
+      case _: IllegalArgumentException => null
+    }
+  }
+
+  def epubTextU(b: Array[Byte]): UTF8String = {
+    val s = epubText(b)
+    if (s == null) null else UTF8String.fromString(s)
+  }
+
   // ------------------------------------------------------------- encode
 
   /** Real DOCX bytes for fixtures + tests: a ZIP with [Content_Types],
@@ -213,6 +297,43 @@ object OfficeText {
     put("[Content_Types].xml", types)
     put("_rels/.rels", rels)
     put("word/document.xml", doc)
+    z.close()
+    out.toByteArray
+  }
+
+  /** Real EPUB bytes for fixtures + tests: OCF mimetype entry (stored,
+    * first — the spec's own detector), container.xml, and one XHTML
+    * chapter per string (entities escaped on write). */
+  def encodeEpub(chapters: Seq[String]): Array[Byte] = {
+    def esc(t: String): String = t.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case c => c.toString
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    val mime = "application/epub+zip".getBytes("US-ASCII")
+    val me = new java.util.zip.ZipEntry("mimetype")
+    me.setMethod(java.util.zip.ZipOutputStream.STORED)
+    me.setSize(mime.length)
+    val crc = new java.util.zip.CRC32(); crc.update(mime)
+    me.setCrc(crc.getValue)
+    z.putNextEntry(me); z.write(mime); z.closeEntry()
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      z.write(bytes, 0, bytes.length)
+      z.closeEntry()
+    }
+    put("META-INF/container.xml",
+      """<?xml version="1.0"?><container version="1.0"><rootfiles>""" +
+        """<rootfile full-path="OEBPS/content.opf"/></rootfiles></container>""")
+    chapters.zipWithIndex.foreach { case (c, i) =>
+      put(f"OEBPS/chap$i%03d.xhtml",
+        "<?xml version=\"1.0\"?><html><head><title></title></head>" +
+          s"<body><p>${esc(c)}</p></body></html>")
+    }
     z.close()
     out.toByteArray
   }

@@ -771,7 +771,45 @@ object Pipeline {
       |FROM g WHERE bad
       |ORDER BY doc_id, cue_idx""".stripMargin
 
+  // ------------------------------------------------------------- q105
+  // EPUB text extraction (round 18): the ebook slice of a crawl. Each
+  // doc becomes a real OCF container (STORED mimetype entry first — the
+  // spec's own detector — container.xml, per-chapter XHTML) whose two
+  // chapters carry a title line and the doc's text; extraction composes
+  // the ZIP walk with the html_to_text state machine per chapter and
+  // joins chapters in ZIP order. Every 7th doc is junk → NULL. Oracle
+  // in closed form from the same text column.
+  def q105(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    val out105 = Tables.scratch(s"media105/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out105, version = "v1-epub") {
+      docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val bytes =
+            if (id % 7 == 3) "PK: a feigned archive".getBytes("US-ASCII")
+            else graft.functions.OfficeText.encodeEpub(
+              Seq(s"Chapter $id & <intro>", text))
+          (id, bytes)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out105/data")
+    }
+    s.read.parquet(s"$mediaDir/data")
+      .selectExpr("doc_id", "epub_text(content) AS text_out")
+      .orderBy("doc_id")
+  }
+
+  val q105Sql =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 7 = 3 THEN NULL
+      |            ELSE trim('Chapter ' || doc_id || ' & <intro> ' ||
+      |                 trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')))
+      |       END AS text_out
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_epub_text" -> (q105 _),
     "q104_subtitle_cues" -> (q104 _),
     "q103_mp4_meta" -> (q103 _),
     "q102_docx_text" -> (q102 _),
@@ -788,6 +826,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q105_epub_text" -> q105Sql,
     "q104_subtitle_cues" -> q104Sql,
     "q103_mp4_meta" -> q103Sql,
     "q102_docx_text" -> q102Sql,

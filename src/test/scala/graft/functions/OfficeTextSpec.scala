@@ -48,6 +48,28 @@ class OfficeTextSpec extends graft.SparkFunSuite {
       Array[Byte]('P', 'K', 3, 4, 9, 9, 9, 9, 9, 9)) == null)
   }
 
+  test("epub_text: chapters join in zip order; mimetype gates detection") {
+    val epub = OfficeText.encodeEpub(Seq(
+      "First chapter & <tags>", "Second chapter"))
+    assert(OfficeText.epubText(epub) ==
+      "First chapter & <tags> Second chapter")
+    // a ZIP without the OCF mimetype entry is NOT an epub (e.g. a docx)
+    val docx = OfficeText.encodeDocx(Seq("word text"))
+    assert(OfficeText.epubText(docx) == null)
+    // …and a docx is not readable as epub nor vice versa
+    assert(OfficeText.docxText(epub) == null)
+    // a wrong mimetype refuses
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    z.putNextEntry(new java.util.zip.ZipEntry("mimetype"))
+    z.write("application/zip".getBytes); z.closeEntry()
+    z.putNextEntry(new java.util.zip.ZipEntry("a.xhtml"))
+    z.write("<p>x</p>".getBytes); z.closeEntry(); z.close()
+    assert(OfficeText.epubText(out.toByteArray) == null)
+    assert(OfficeText.epubText("no zip".getBytes) == null)
+    assert(OfficeText.epubText(epub.take(epub.length / 3)) == null)
+  }
+
   test("docx_text through a parquet scan under codegen; NULL for junk rows") {
     import spark.implicits._
     Registry.install(spark)
