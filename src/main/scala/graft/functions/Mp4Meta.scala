@@ -22,7 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    and 1 layouts), reported as integer milliseconds (duration·1000 /
   *    timescale, floor);
   *  - the first `stsd` whose sample entry is a VISUAL entry (nonzero
-  *    16-bit width/height at entry offsets 24/26) supplies codec fourcc
+  *    16-bit width/height at entry offsets 32/34 — 8-byte box header +
+  *    6 reserved + 2 data_reference_index + 16 pre_defined/reserved,
+  *    ISO 14496-12 §12.1.3) supplies codec fourcc
   *    + pixel dimensions — `avc1`, `hev1`, `hvc1`, `vp09`, `av01`,
   *    `mp4v`, whatever the file declares.
   *

@@ -148,11 +148,18 @@ object OfficeText {
         val close = xml.indexOf('>', i + 1)
         if (close < 0) return out.toString // truncated markup: keep prefix
         val body = xml.substring(i + 1, close)
-        if (inText && body.startsWith("/w:t")) inText = false
-        else if (!inText && (body.startsWith("w:t ") || body == "w:t"))
+        // Exact-name tag match: `name`, `name attr…`, or self-closing
+        // `name/`. A prefix test alone would let </w:proofErr> or
+        // <w:pPr> (both between runs in real Word output) masquerade
+        // as a paragraph break and split words across runs.
+        def isTag(name: String): Boolean =
+          body == name || body.startsWith(name + " ") ||
+            body.startsWith(name + "/")
+        if (inText && isTag("/w:t")) inText = false
+        else if (!inText && isTag("w:t"))
           inText = true // <w:t> or <w:t xml:space="preserve">
-        else if (body.startsWith("/w:p") || body.startsWith("w:br") ||
-            body.startsWith("w:tab") || body.startsWith("w:cr"))
+        else if (isTag("/w:p") || isTag("w:br") || isTag("w:tab") ||
+            isTag("w:cr"))
           pendingSpace = true
         i = close + 1
       } else if (inText) {

@@ -614,8 +614,13 @@ object FlacCodec {
       if (total < bestBits) { bestBits = total; best = param }
       param += 1
     }
-    // escape if rice would explode (enormous quotients)
-    val rawBits = 32
+    // Escape if rice would explode (enormous quotients). The rice
+    // escape's width field is 5 bits, so the widest legal raw residual
+    // is 31 bits — put(32, 5) would truncate to 0 and desync the
+    // stream. 31-bit signed covers every residual this encoder can
+    // produce (fixed predictors over ≤24-bit samples).
+    val rawBits = 31
+    require(rawBits <= 31, "rice escape width field is 5 bits")
     if (bestBits > zz.length.toLong * (rawBits + 2)) {
       w.put(15, 4); w.put(rawBits, 5)
       res.foreach(v => w.putSigned(v, rawBits))

@@ -103,7 +103,13 @@ object Multimodal {
               if (bytes(0) == 'B') "bmp"
               else if (bytes(0) == 'G') "gif"
               else if ((bytes(0) & 0xff) == 0xff) "jpeg"
-              else if (bytes(0) == 'R') "webp"
+              // lossy VP8 decodes under self-consistent (not offline-
+              // verified) probability tables — distinct label so
+              // consumers can filter ([[Vp8Codec]] HONESTY NOTE)
+              else if (bytes(0) == 'R')
+                (if (WebpCodec.isLossyVp8Still(bytes))
+                   "webp-vp8-unverified-probs"
+                 else "webp")
               else if (bytes(0) == 'I' || bytes(0) == 'M') "tiff"
               else if (bytes(0) == 'P') "pnm"
               else "png"
@@ -229,7 +235,13 @@ object Multimodal {
               if (bytes(0) == 'B') "bmp"
               else if (bytes(0) == 'G') "gif"
               else if ((bytes(0) & 0xff) == 0xff) "jpeg"
-              else if (bytes(0) == 'R') "webp"
+              // lossy VP8 decodes under self-consistent (not offline-
+              // verified) probability tables — distinct label so
+              // consumers can filter ([[Vp8Codec]] HONESTY NOTE)
+              else if (bytes(0) == 'R')
+                (if (WebpCodec.isLossyVp8Still(bytes))
+                   "webp-vp8-unverified-probs"
+                 else "webp")
               else if (bytes(0) == 'I' || bytes(0) == 'M') "tiff"
               else if (bytes(0) == 'P') "pnm"
               else "png"

@@ -255,6 +255,7 @@ object VideoCodec {
 
     var bgArgb = 0
     var sawAnim = false
+    var sawLossyVp8 = false
     val canvas = new Array[Int](w * h)
     val idx = new scala.collection.mutable.ArrayBuffer[Int]()
     val frames = new scala.collection.mutable.ArrayBuffer[PixelImage]()
@@ -324,6 +325,7 @@ object VideoCodec {
             if (sw != fw || sh != fh) return None
             sub = argb
           } else if (tag(b, j, "VP8 ")) {
+            sawLossyVp8 = true // lossy frames: unverified-probs caveat
             val img = Vp8Codec.decodeFrame(b, j + 8, ssz).getOrElse(return None)
             if (img.width != fw || img.height != fh) return None
             sub = new Array[Int](fw * fh)
@@ -368,7 +370,11 @@ object VideoCodec {
       i += 8 + size + (size & 1)
     }
     if (total == 0) return None
-    Some(VideoClip(w, h, total, idx.toArray, frames.toArray, "webp"))
+    // Clips containing any lossy-VP8 sub-frame carry the caveat label:
+    // those frames decode under self-consistent probability tables, not
+    // offline-verified spec constants ([[Vp8Codec]] HONESTY NOTE).
+    Some(VideoClip(w, h, total, idx.toArray, frames.toArray,
+      if (sawLossyVp8) "webp-vp8-unverified-probs" else "webp"))
   }
 
   /** Straight-alpha "over" compositing of frame pixel `f` onto canvas

@@ -41,6 +41,16 @@ package graft.operators
   * parse structurally, but their token/sub-mode probabilities may differ
   * from the spec constants until those two tables are re-transcribed —
   * the remaining conformance caveat, stated here rather than hidden.
+  * The caveat is MACHINE-VISIBLE downstream: every pipeline row whose
+  * pixels came through this decoder carries the distinct decoder label
+  * `webp-vp8-unverified-probs` ([[WebpCodec.isLossyVp8Still]] routes the
+  * still-image label in [[Multimodal]]; animated clips with any lossy
+  * sub-frame get the same label in [[VideoCodec]]), so consumers can
+  * filter or discount lossy-VP8 rows rather than trusting them blindly.
+  * Offline probe: no ImageIO WebP plugin ships in this JDK/container
+  * (ImageIO.getImageReadersByFormatName("webp") is empty), so no
+  * independent third-party VP8 vector could be constructed to verify
+  * the tables against.
   *
   * Reference capability: multimodal feature extraction over binary
   * columns (BASELINE.md north star).

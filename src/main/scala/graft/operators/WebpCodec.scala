@@ -258,6 +258,27 @@ object WebpCodec {
     b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
       b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
 
+  /** True when the still-image decode path for these bytes is the lossy
+    * 'VP8 ' keyframe decoder ([[Vp8Codec]]) — whose two large default
+    * probability tables are self-consistent rather than offline-verified
+    * (see the HONESTY NOTE there). Callers surface this as the distinct
+    * decoder label `webp-vp8-unverified-probs` so a pipeline consumer
+    * can filter or discount lossy-VP8 rows instead of trusting silently
+    * possibly-nonconformant pixels. Header walk only; never throws. */
+  def isLossyVp8Still(b: Array[Byte]): Boolean = try {
+    if (b == null || b.length < 30) return false
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "WEBP")) return false
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = le32(b, i + 4)
+      if (size < 0 || i + 8 + size.toLong > b.length) return false
+      if (tag(b, i, "VP8L")) return false
+      if (tag(b, i, "VP8 ")) return true
+      i += 8 + size + (size & 1)
+    }
+    false
+  } catch { case _: Exception => false }
+
   private def decodeImpl(b: Array[Byte]): Option[PixelImage] = {
     if (b == null || b.length < 30) return None
     if (!tag(b, 0, "RIFF") || !tag(b, 8, "WEBP")) return None

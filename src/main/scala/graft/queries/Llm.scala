@@ -965,7 +965,10 @@ object Llm {
       |            WHEN g.fmt = 0 OR g.fmt = 8 THEN 'bmp'
       |            WHEN g.fmt = 1 AND (g.doc_id // 10) % 2 = 1 THEN 'pnm'
       |            WHEN g.fmt = 1 THEN 'png'
-      |            WHEN g.fmt = 3 THEN 'jpeg' WHEN g.fmt = 4 THEN 'webp'
+      |            WHEN g.fmt = 3 THEN 'jpeg'
+      |            WHEN g.fmt = 4 AND (g.doc_id // 10) % 2 = 1
+      |              THEN 'webp-vp8-unverified-probs'
+      |            WHEN g.fmt = 4 THEN 'webp'
       |            ELSE 'jpeg' END AS decoder,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN 8*wb
       |            WHEN g.fmt = 9 THEN 16
@@ -1591,7 +1594,9 @@ object Llm {
       |            WHEN doc_id % 5 IN (0, 4) THEN 'bmp'
       |            WHEN doc_id % 5 = 1 THEN 'png'
       |            WHEN doc_id % 5 = 2 AND (doc_id // 5) % 2 = 1 THEN 'tiff'
-      |            WHEN doc_id % 5 = 2 THEN 'gif' ELSE 'webp' END AS decoder,
+      |            WHEN doc_id % 5 = 2 THEN 'gif'
+      |            WHEN vp8lossy THEN 'webp-vp8-unverified-probs'
+      |            ELSE 'webp' END AS decoder,
       |       CAST(CASE WHEN stub THEN NULL WHEN vp8lossy THEN 16 ELSE w END AS BIGINT) AS in_width,
       |       CAST(CASE WHEN stub THEN NULL WHEN vp8lossy THEN 16 ELSE h END AS BIGINT) AS in_height,
       |       CAST(CASE WHEN stub THEN NULL WHEN vp8lossy THEN 8 ELSE ow END AS BIGINT) AS out_width,

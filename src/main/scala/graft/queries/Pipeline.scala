@@ -548,6 +548,9 @@ object Pipeline {
   // value containing `>`, named + decimal + hex character references,
   // an &nbsp;, and a trailing comment — and the native codegen'd
   // [[graft.functions.HtmlTextExpr]] recovers exactly the page text.
+  // Corpus text is entity-escaped (&/</>) when embedded, mirroring
+  // encodeDocx/encodeEpub, so markup-looking document text round-trips
+  // instead of being parsed as tags.
   // The oracle rebuilds the expected extraction in closed form from the
   // same text column (whitespace-normalized on both sides). Per-row
   // scalar work inside the scan projection: zero shuffle at any scale.
@@ -559,7 +562,9 @@ object Pipeline {
           |'<script type="text/javascript">if (1 > 0) { var s = "</div>"; }</script>',
           |'</head><body><h1>Doc ', doc_id, '</h1>',
           |'<p id="x" title="a>b">alpha &amp; beta &#65;&#x42;&nbsp;gamma</p>',
-          |'<div>', text, '</div><!-- trailing comment --></body></html>')"""
+          |'<div>',
+          |replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+          |'</div><!-- trailing comment --></body></html>')"""
           .stripMargin.replace("\n", "")))
       .selectExpr("doc_id", "html_to_text(html) AS text_out")
       .orderBy("doc_id")

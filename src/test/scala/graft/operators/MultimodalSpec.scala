@@ -141,6 +141,26 @@ class MultimodalSpec extends SparkFunSuite {
     assert(!videoPlan.contains("Exchange"), s"unexpected shuffle in:\n$videoPlan")
   }
 
+  test("lossy-VP8 rows carry the machine-visible unverified-probs label") {
+    import spark.implicits._
+    // the Vp8Codec HONESTY NOTE caveat must be visible in the decoder
+    // column, not just a source comment: lossless WebP keeps "webp",
+    // lossy VP8 gets the distinct label a consumer can filter on
+    def px(x: Int, y: Int): (Int, Int, Int) = (40 + x, 50 + y, 60)
+    val rows = Seq(
+      (1L, Vp8Codec.encodeWebpLossyGray(16, 16,
+        (bx, by) => 40 + 7 * bx + 11 * by)),
+      (2L, WebpCodec.encodeWebpLossless(4, 4, px)))
+    val feats = Multimodal.extractFeatures(rows.toDF("doc_id", "content"))
+      .orderBy("doc_id").collect()
+    assert(feats(0).getString(3) == "webp-vp8-unverified-probs")
+    assert(feats(1).getString(3) == "webp")
+    val resized = Multimodal.resizeImages(rows.toDF("doc_id", "content"))
+      .orderBy("doc_id").collect()
+    assert(resized(0).getString(1) == "webp-vp8-unverified-probs")
+    assert(resized(1).getString(1) == "webp")
+  }
+
   test("frame sampling honors the stride") {
     val bytes = Array.fill[Byte](640)(1) // 10 chunks of 64
     assert(Multimodal.StubCodec.sampleFrames(bytes, 2).size == 5)

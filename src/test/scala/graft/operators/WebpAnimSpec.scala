@@ -148,6 +148,8 @@ class WebpAnimSpec extends AnyFunSuite {
       WebpFrame(0, 0, w, h, raw = Seq(("VP8 ", innerChunk(standalone, "VP8 "))))))
     val clip = VideoCodec.decodeSampled(anim, 1).getOrElse(fail("anim None"))
     assert(clip.frames(0).rgb.toSeq == expected.rgb.toSeq)
+    // lossy sub-frame ⇒ the clip carries the unverified-probs caveat label
+    assert(clip.container == "webp-vp8-unverified-probs")
   }
 
   test("an ALPH chunk modulates a lossy VP8 sub-frame's blending") {
