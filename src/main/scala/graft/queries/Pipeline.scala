@@ -813,7 +813,65 @@ object Pipeline {
       |       END AS text_out
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q106
+  // PDF text extraction (round 19): the single most common document-
+  // extraction step in real LLM pipelines, completing the q101/q102/
+  // q105 document family. Each doc becomes a REAL PDF ([[graft
+  // .functions.PdfText.encodePdf]]) in rotating spellings — classic
+  // xref table / xref stream / PNG-predictor xref stream, one or two
+  // pages, Flate or raw content, literal WinAnsi / MacRoman / BOM'd
+  // UTF-16BE strings, all four text-show operators — every spelling
+  // extracting the SAME text, so one closed-form oracle covers the
+  // whole rotation (the codec-family discipline). Three labeled
+  // refusals are data, not errors: non-PDF junk (id%7=1), encrypted
+  // (id%11=5), CID/Type0 fonts (id%13=6) — all NULL. Per-row scalar
+  // work inside the scan projection: zero shuffle at any scale.
+  def q106(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    val out106 = Tables.scratch(s"media106/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out106, version = "v1-pdf") {
+      docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.functions.PdfText
+          val bytes =
+            if (id % 7 == 1) "%FDP backwards, not a pdf".getBytes("US-ASCII")
+            else if (id % 11 == 5) PdfText.encodePdf(
+              Seq(Seq(s"Doc $id secret", text)), encrypted = true)
+            else if (id % 13 == 6) PdfText.encodePdf(
+              Seq(Seq(s"Doc $id cid", text)), cidFont = true)
+            else {
+              val paras = Seq(s"Doc $id (PDF) 50% \\ café", text)
+              PdfText.encodePdf(
+                if (id % 3 == 0) Seq(paras)
+                else Seq(paras.take(1), paras.drop(1)), // page-tree walk
+                xrefStream = id % 2 == 1,
+                xrefPredictor = id % 4 == 3,
+                utf16 = id % 5 == 2,
+                macRoman = id % 5 == 4,
+                flate = id % 6 != 4)
+            }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out106/data")
+    }
+    s.read.parquet(s"$mediaDir/data")
+      .selectExpr("doc_id", "pdf_text(content) AS text_out")
+      .orderBy("doc_id")
+  }
+
+  val q106Sql =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 7 = 1 OR doc_id % 11 = 5 OR doc_id % 13 = 6
+      |              THEN NULL
+      |            ELSE trim('Doc ' || doc_id || ' (PDF) 50% \ café ' ||
+      |                 trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')))
+      |       END AS text_out
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_pdf_text" -> (q106 _),
     "q105_epub_text" -> (q105 _),
     "q104_subtitle_cues" -> (q104 _),
     "q103_mp4_meta" -> (q103 _),
@@ -831,6 +889,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q106_pdf_text" -> q106Sql,
     "q105_epub_text" -> q105Sql,
     "q104_subtitle_cues" -> q104Sql,
     "q103_mp4_meta" -> q103Sql,
