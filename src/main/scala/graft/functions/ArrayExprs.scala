@@ -902,6 +902,8 @@ object Registry {
       (es: Seq[Expression]) => EpubTextExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("pdf_text",
       (es: Seq[Expression]) => PdfTextExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("mp3_meta",
+      (es: Seq[Expression]) => Mp3MetaExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("intersect_size",
       (es: Seq[Expression]) => IntersectSize(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("token_histogram",

@@ -35,7 +35,11 @@ package graft.operators
   * closed-form oracle carries over bit-exactly). PERCEPTUAL codecs
   * (MP3/AAC/Vorbis…) fall back to the labeled stub path — their
   * synthesis filterbanks need coefficient tables that cannot be
-  * transcribed offline. Anything malformed decodes to None, never an
+  * transcribed offline. MP3 CONTAINER metadata (exact frame-counted
+  * duration, bitrate, sample rate, channels, VBR detection) is real
+  * since round 19 via the [[graft.functions.Mp3Meta]] header walk —
+  * the filter-before-decode path; only sample synthesis stays stubbed.
+  * Anything malformed decodes to None, never an
   * exception — corrupt media in a 100 TB crawl is data, not an error.
   *
   * Reference capability: multimodal columns over binary payloads

@@ -870,7 +870,106 @@ object Pipeline {
       |       END AS text_out
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q107
+  // MP3 container metadata (round 19): the mp4_meta treatment for the
+  // other half of a crawl's audio — duration / bitrate / sample rate /
+  // channel count off the frame-header walk, EXACT (frame-counted, not
+  // bitrate-estimated), while sample synthesis stays honestly stubbed.
+  // Fixtures rotate version/layer/sample-rate slots (V1L3, V2L3, V1L2,
+  // V2.5L3), CBR bitrates, a VBR shape with an alternating bitrate
+  // rotation + Xing tag, mono/stereo, and an ID3v2 prefix; every 7th
+  // doc is junk → NULL. One closed-form oracle covers the rotation.
+  def q107(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    val out107 = Tables.scratch(s"media107/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out107, version = "v1-mp3") {
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          import graft.functions.Mp3Meta
+          val bytes =
+            if (id % 7 == 2) "OggS not mpeg audio".getBytes("US-ASCII")
+            else {
+              val slot = (id % 4).toInt
+              val (version, layer, sr) = slot match {
+                case 0 => ("1", 3, 44100)
+                case 1 => ("2", 3, 24000)
+                case 2 => ("1", 2, 48000)
+                case _ => ("2.5", 3, 8000)
+              }
+              val hi = slot == 0 || slot == 2 // V1 tables
+              val cbr = ((id % 3).toInt, hi) match {
+                case (0, true) => 64; case (1, true) => 128; case (_, true) => 192
+                case (0, false) => 32; case (1, false) => 64; case (_, false) => 96
+              }
+              val vbr = id % 5 == 1
+              Mp3Meta.encode(version, layer, sr,
+                bitrates =
+                  if (vbr) Seq(if (hi) 64 else 32, if (hi) 128 else 64)
+                  else Seq(cbr),
+                frames = 10 + (id % 20).toInt,
+                mono = id % 2 == 0,
+                xing = vbr,
+                id3Size = if (id % 6 == 3) 64 else 0)
+            }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out107/data")
+    }
+    s.read.parquet(s"$mediaDir/data")
+      .selectExpr("doc_id", "mp3_meta(content) AS m")
+      .selectExpr("doc_id", "m.version AS version",
+        "CAST(m.layer AS BIGINT) AS layer",
+        "CAST(m.sample_rate_hz AS BIGINT) AS sample_rate_hz",
+        "CAST(m.channels AS BIGINT) AS channels",
+        "CAST(m.bitrate_kbps AS BIGINT) AS bitrate_kbps",
+        "m.frames AS frames", "m.duration_ms AS duration_ms",
+        "m.vbr AS vbr")
+      .orderBy("doc_id")
+  }
+
+  val q107Sql =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS slot,
+      |         10 + doc_id % 20 AS frames,
+      |         doc_id % 7 = 2 AS bad, doc_id % 5 = 1 AS isvbr,
+      |         doc_id % 2 = 0 AS mono, CAST(doc_id % 3 AS INT) AS bsel
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, frames, bad, isvbr, mono,
+      |         CASE slot WHEN 0 THEN '1' WHEN 1 THEN '2'
+      |              WHEN 2 THEN '1' ELSE '2.5' END AS version,
+      |         CASE WHEN slot = 2 THEN 2 ELSE 3 END AS layer,
+      |         CASE slot WHEN 0 THEN 44100 WHEN 1 THEN 24000
+      |              WHEN 2 THEN 48000 ELSE 8000 END AS sr,
+      |         CASE WHEN slot = 1 OR slot = 3 THEN 576 ELSE 1152 END AS spf,
+      |         CASE WHEN slot IN (0, 2) THEN
+      |                CASE bsel WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 192 END
+      |              ELSE
+      |                CASE bsel WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END
+      |         END AS cbr,
+      |         CASE WHEN slot IN (0, 2) THEN 64 ELSE 32 END AS bra,
+      |         CASE WHEN slot IN (0, 2) THEN 128 ELSE 64 END AS brb
+      |  FROM g)
+      |SELECT doc_id,
+      |       CASE WHEN bad THEN NULL ELSE version END AS version,
+      |       CAST(CASE WHEN bad THEN NULL ELSE layer END AS BIGINT) AS layer,
+      |       CAST(CASE WHEN bad THEN NULL ELSE sr END AS BIGINT)
+      |         AS sample_rate_hz,
+      |       CAST(CASE WHEN bad THEN NULL WHEN mono THEN 1 ELSE 2 END
+      |         AS BIGINT) AS channels,
+      |       CAST(CASE WHEN bad THEN NULL
+      |            WHEN isvbr THEN
+      |              ((frames+1)//2*bra + frames//2*brb) // frames
+      |            ELSE cbr END AS BIGINT) AS bitrate_kbps,
+      |       CAST(CASE WHEN bad THEN NULL ELSE frames END AS BIGINT) AS frames,
+      |       CAST(CASE WHEN bad THEN NULL
+      |            ELSE frames*spf*1000 // sr END AS BIGINT) AS duration_ms,
+      |       CASE WHEN bad THEN NULL ELSE isvbr END AS vbr
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_mp3_meta" -> (q107 _),
     "q106_pdf_text" -> (q106 _),
     "q105_epub_text" -> (q105 _),
     "q104_subtitle_cues" -> (q104 _),
@@ -889,6 +988,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q107_mp3_meta" -> q107Sql,
     "q106_pdf_text" -> q106Sql,
     "q105_epub_text" -> q105Sql,
     "q104_subtitle_cues" -> q104Sql,
