@@ -16,7 +16,10 @@ package graft.operators
   *    8/8/8 and RGBA 8888 (alpha dropped — PixelImage is RGB). Chunky
   *    planar configuration only (planar 2 → None, labeled stub).
   *  - Compression: 1 none, 5 LZW (+ predictor 2 on 8-bit samples),
-  *    32773 PackBits. CCITT fax / JPEG-in-TIFF → None.
+  *    32773 PackBits, and — round 19 — 4 CCITT GROUP 4 (T.6 2D MMR,
+  *    bilevel, strips coded independently; T6Options extensions and
+  *    G3/T.4 → None). CCITT tables cross-checked both directions
+  *    against javax.imageio's independent codec. JPEG-in-TIFF → None.
   *  - Strips: RowsPerStrip honored (default: whole image), per-strip
   *    byte counts checked; every strip decompresses independently.
   *
@@ -80,6 +83,7 @@ object TiffCodec {
     var stripCounts: Array[Long] = null
     var colorMap: Array[Int] = null
     var extraSamples = 0
+    var t6Options = 0L
 
     def typeSize(t: Int): Int = t match {
       case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEFINED
@@ -128,6 +132,7 @@ object TiffCodec {
         case 279 => stripCounts = values(typ, count, vat)
         case 284 => planar = values(typ, count, vat)(0).toInt
         case 317 => predictor = values(typ, count, vat)(0).toInt
+        case 293 => t6Options = values(typ, count, vat)(0)
         case 320 => colorMap = values(typ, count, vat).map(_.toInt)
         case 338 => extraSamples = count // RGBA: alpha dropped below
         case _ => () // resolution, descriptions, … — irrelevant to pixels
@@ -154,6 +159,10 @@ object TiffCodec {
     }
     if (shape == "palette" && colorMap.length < 3 * (1 << bps)) return None
     if (predictor == 2 && (bps != 8 || compression != 5)) return None
+    // CCITT Group 4 (T.6): bilevel only; T6Options extensions
+    // (uncompressed mode) are out of scope — labeled stub
+    if (compression == 4 && (shape != "gray" || bps != 1 || t6Options != 0L))
+      return None
 
     val rps = if (rowsPerStrip < 1 || rowsPerStrip > height) height
               else rowsPerStrip.toInt
@@ -173,9 +182,13 @@ object TiffCodec {
         case 1 =>
           if (cnt < rowBytes.toLong * rows) return None
           java.util.Arrays.copyOfRange(b, off.toInt, (off + rowBytes.toLong * rows).toInt)
+        case 4 =>
+          val d = g4Decode(b, off.toInt, (off + cnt).toInt, width, rows)
+          if (d == null) return None
+          d
         case 5 => lzwDecode(b, off.toInt, (off + cnt).toInt, rowBytes * rows)
         case 32773 => packBitsDecode(b, off.toInt, (off + cnt).toInt, rowBytes * rows)
-        case _ => return None // CCITT / JPEG-in-TIFF: labeled stub
+        case _ => return None // CCITT G3 / JPEG-in-TIFF: labeled stub
       }
       if (predictor == 2) { // horizontal differencing, per row per channel
         var r = 0
@@ -550,6 +563,371 @@ object TiffCodec {
     if (prev >= 0) put(prev)
     put(257) // EOI
     if (nb > 0) out.write(((acc << (8 - nb)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------ CCITT Group 4 (T.6)
+  // The scanned-document compression (round 19). 2D MMR coding only —
+  // every line codes against the one above (an imaginary all-white line
+  // first), no EOLs, k = ∞ — so the whole machinery is the T.4/T.6 mode
+  // codes (V0/VR/VL/P/H) plus the public modified-Huffman run-length
+  // tables for horizontal mode. Tables transcribed from ITU-T T.4
+  // Tables 2/3 (terminating + make-up, white and black) and the shared
+  // extended make-ups; the spec suite cross-checks BOTH directions
+  // against javax.imageio's independent CCITT T.6 TIFF codec, so a
+  // mis-transcribed code can't survive. Output bit 1 = BLACK (the fax
+  // convention; photometric 0 WhiteIsZero re-inverts in the gray path).
+
+  /** (len << 16) | code, indexed by run 0..63. */
+  private val WhiteTerm: Array[Int] = {
+    val lens = Array(
+      8, 6, 4, 4, 4, 4, 4, 4, 5, 5, 5, 5, 6, 6, 6, 6,
+      6, 6, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 7, 8, 8, 8,
+      8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8,
+      8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8)
+    val codes = Array(
+      0x35, 0x07, 0x07, 0x08, 0x0B, 0x0C, 0x0E, 0x0F,
+      0x13, 0x14, 0x07, 0x08, 0x08, 0x03, 0x34, 0x35,
+      0x2A, 0x2B, 0x27, 0x0C, 0x08, 0x17, 0x03, 0x04,
+      0x28, 0x2B, 0x13, 0x24, 0x18, 0x02, 0x03, 0x1A,
+      0x1B, 0x12, 0x13, 0x14, 0x15, 0x16, 0x17, 0x28,
+      0x29, 0x2A, 0x2B, 0x2C, 0x2D, 0x04, 0x05, 0x0A,
+      0x0B, 0x52, 0x53, 0x54, 0x55, 0x24, 0x25, 0x58,
+      0x59, 0x5A, 0x5B, 0x4A, 0x4B, 0x32, 0x33, 0x34)
+    Array.tabulate(64)(i => (lens(i) << 16) | codes(i))
+  }
+
+  /** Make-up codes for runs 64·k, k = 1..27 (64..1728). */
+  private val WhiteMakeup: Array[Int] = {
+    val lens = Array(5, 5, 6, 7, 8, 8, 8, 8, 8, 8, 9, 9, 9, 9, 9, 9, 9,
+      9, 9, 9, 9, 9, 9, 9, 9, 6, 9)
+    val codes = Array(0x1B, 0x12, 0x17, 0x37, 0x36, 0x37, 0x64, 0x65,
+      0x68, 0x67, 0xCC, 0xCD, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+      0xD9, 0xDA, 0xDB, 0x98, 0x99, 0x9A, 0x18, 0x9B)
+    Array.tabulate(27)(i => (lens(i) << 16) | codes(i))
+  }
+
+  private val BlackTerm: Array[Int] = {
+    val lens = Array(
+      10, 3, 2, 2, 3, 4, 4, 5, 6, 6, 7, 7, 7, 8, 8, 9,
+      10, 10, 10, 11, 11, 11, 11, 11, 11, 11, 12, 12, 12, 12, 12, 12,
+      12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12,
+      12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12)
+    val codes = Array(
+      0x37, 0x02, 0x03, 0x02, 0x03, 0x03, 0x02, 0x03,
+      0x05, 0x04, 0x04, 0x05, 0x07, 0x04, 0x07, 0x18,
+      0x17, 0x18, 0x08, 0x67, 0x68, 0x6C, 0x37, 0x28,
+      0x17, 0x18, 0xCA, 0xCB, 0xCC, 0xCD, 0x68, 0x69,
+      0x6A, 0x6B, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7,
+      0x6C, 0x6D, 0xDA, 0xDB, 0x54, 0x55, 0x56, 0x57,
+      0x64, 0x65, 0x52, 0x53, 0x24, 0x37, 0x38, 0x27,
+      0x28, 0x58, 0x59, 0x2B, 0x2C, 0x5A, 0x66, 0x67)
+    Array.tabulate(64)(i => (lens(i) << 16) | codes(i))
+  }
+
+  private val BlackMakeup: Array[Int] = {
+    val lens = Array(10, 12, 12, 12, 12, 12, 12, 13, 13, 13, 13, 13, 13,
+      13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13, 13)
+    val codes = Array(0x0F, 0xC8, 0xC9, 0x5B, 0x33, 0x34, 0x35, 0x6C,
+      0x6D, 0x4A, 0x4B, 0x4C, 0x4D, 0x72, 0x73, 0x74, 0x75, 0x76, 0x77,
+      0x52, 0x53, 0x54, 0x55, 0x5A, 0x5B, 0x64, 0x65)
+    Array.tabulate(27)(i => (lens(i) << 16) | codes(i))
+  }
+
+  /** Extended make-ups 1792..2560 (shared by both colours). */
+  private val SharedMakeup: Array[Int] = {
+    val lens = Array(11, 11, 11, 12, 12, 12, 12, 12, 12, 12, 12, 12, 12)
+    val codes = Array(0x08, 0x0C, 0x0D, 0x12, 0x13, 0x14, 0x15, 0x16,
+      0x17, 0x1C, 0x1D, 0x1E, 0x1F)
+    Array.tabulate(13)(i => (lens(i) << 16) | codes(i))
+  }
+
+  /** (len<<16|code) → run, per colour. */
+  private def buildRunDecode(term: Array[Int], makeup: Array[Int])
+      : java.util.HashMap[Integer, Integer] = {
+    val m = new java.util.HashMap[Integer, Integer]()
+    var i = 0
+    while (i < term.length) { m.put(term(i), i); i += 1 }
+    i = 0
+    while (i < makeup.length) { m.put(makeup(i), 64 * (i + 1)); i += 1 }
+    i = 0
+    while (i < SharedMakeup.length) {
+      m.put(SharedMakeup(i), 1792 + 64 * i); i += 1
+    }
+    m
+  }
+  private val WhiteRunDecode = buildRunDecode(WhiteTerm, WhiteMakeup)
+  private val BlackRunDecode = buildRunDecode(BlackTerm, BlackMakeup)
+
+  private final class BitRd(b: Array[Byte], var pos: Int, end: Int) {
+    private var bit = 0
+    def read(): Int = {
+      if (pos >= end) corrupt()
+      val v = (b(pos) >> (7 - bit)) & 1
+      bit += 1
+      if (bit == 8) { bit = 0; pos += 1 }
+      v
+    }
+  }
+
+  private def readRun(rd: BitRd, white: Boolean): Int = {
+    val table = if (white) WhiteRunDecode else BlackRunDecode
+    var total = 0
+    var go = true
+    while (go) {
+      var code = 0
+      var len = 0
+      var run = -1
+      while (run < 0) {
+        code = (code << 1) | rd.read()
+        len += 1
+        if (len > 13) corrupt()
+        val hit = table.get(Integer.valueOf((len << 16) | code))
+        if (hit != null) run = hit.intValue()
+      }
+      total += run
+      if (run < 64) go = false // make-ups chain; a terminating code ends
+      if (total > (1 << 24)) corrupt()
+    }
+    total
+  }
+
+  private val ModeEofb = 100
+
+  /** Mode code: 0 = V0, ±1..±3 = VR/VL, 4 = H, 5 = P, ModeEofb. */
+  private def readMode(rd: BitRd): Int = {
+    if (rd.read() == 1) return 0 // 1       V0
+    if (rd.read() == 1) return if (rd.read() == 1) 1 else -1 // 011/010
+    if (rd.read() == 1) return 4 // 001     H
+    if (rd.read() == 1) return 5 // 0001    P
+    if (rd.read() == 1) // 00001x
+      return if (rd.read() == 1) 2 else -2 // 000011/000010
+    if (rd.read() == 1) // 000001x
+      return if (rd.read() == 1) 3 else -3 // 0000011/0000010
+    ModeEofb // 0000000…: EOFB / extension territory — end of strip
+  }
+
+  /** T.6 decode of one strip: `rows` lines of `width` pixels → packed
+    * 1-bit rows, bit 1 = black. Null on any malformed stream. */
+  private[operators] def g4Decode(b: Array[Byte], from: Int, until: Int,
+      width: Int, rows: Int): Array[Byte] = {
+    if (from < 0 || until > b.length || from >= until) return null
+    val rowBytes = (width + 7) / 8
+    val out = new Array[Byte](rowBytes * rows)
+    val rd = new BitRd(b, from, until)
+    try {
+      var ref = new Array[Int](0) // imaginary all-white line above
+      var r = 0
+      while (r < rows) {
+        val cur = new Array[Int](width + 2)
+        var curLen = 0
+        var a0 = -1
+        var white = true
+        var guard = 0
+        while (a0 < width) {
+          guard += 1
+          if (guard > 2 * width + 8) corrupt()
+          // b1: first reference change > a0 of opposite colour to a0's
+          // (even indices are white→black transitions — rows start white)
+          var i = if (white) 0 else 1
+          while (i < ref.length && ref(i) <= a0) i += 2
+          val b1 = if (i < ref.length) ref(i) else width
+          val b2 = if (i + 1 < ref.length) ref(i + 1) else width
+          readMode(rd) match {
+            case 5 => // pass: skip both reference changes
+              if (b2 <= a0) corrupt()
+              a0 = b2
+            case 4 => // horizontal: two MH runs, colour preserved
+              val a0p = math.max(a0, 0)
+              val r1 = readRun(rd, white)
+              val r2 = readRun(rd, !white)
+              val a1 = a0p + r1
+              val a2 = a1 + r2
+              if (a2 > width || a1 < a0p) corrupt()
+              cur(curLen) = a1; cur(curLen + 1) = a2; curLen += 2
+              a0 = a2
+            case ModeEofb => corrupt() // mid-image EOFB: truncated strip
+            case v => // vertical: a1 = b1 + v, colour flips
+              val a1 = b1 + v
+              if (a1 < 0 || a1 > width || a1 <= a0) corrupt()
+              cur(curLen) = a1; curLen += 1
+              a0 = a1
+              white = !white
+          }
+        }
+        // changes alternate w→b, b→w: paint [cur(2k), cur(2k+1)) black
+        var k = 0
+        while (k < curLen) {
+          val start = cur(k)
+          val end = if (k + 1 < curLen) cur(k + 1) else width
+          var x = start
+          while (x < end) {
+            out(r * rowBytes + (x >> 3)) =
+              (out(r * rowBytes + (x >> 3)) | (0x80 >> (x & 7))).toByte
+            x += 1
+          }
+          k += 2
+        }
+        ref = java.util.Arrays.copyOf(cur, curLen)
+        r += 1
+      }
+      out
+    } catch { case _: Corrupt => null }
+  }
+
+  private final class BitWr {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nb = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        nb += 1
+        if (nb == 8) { out.write(acc & 0xff); acc = 0; nb = 0 }
+        i -= 1
+      }
+    }
+    def bytes(): Array[Byte] = {
+      if (nb > 0) { out.write((acc << (8 - nb)) & 0xff); acc = 0; nb = 0 }
+      out.toByteArray
+    }
+  }
+
+  private def writeRun(w: BitWr, runIn: Int, white: Boolean): Unit = {
+    var run = runIn
+    val term = if (white) WhiteTerm else BlackTerm
+    val makeup = if (white) WhiteMakeup else BlackMakeup
+    while (run >= 2624) { // repeated max make-up for very long runs
+      val c = SharedMakeup(12) // 2560
+      w.put(c & 0xffff, c >> 16)
+      run -= 2560
+    }
+    if (run >= 1792) {
+      val c = SharedMakeup((run - 1792) / 64)
+      w.put(c & 0xffff, c >> 16)
+      run -= 64 * ((run - 1792) / 64) + 1792
+    } else if (run >= 64) {
+      val c = makeup(run / 64 - 1)
+      w.put(c & 0xffff, c >> 16)
+      run -= 64 * (run / 64)
+    }
+    val c = term(run)
+    w.put(c & 0xffff, c >> 16)
+  }
+
+  /** T.6 encode of one strip of boolean rows (true = black). */
+  private[operators] def g4Encode(rows: Array[Array[Boolean]],
+      width: Int): Array[Byte] = {
+    val w = new BitWr
+    var ref = new Array[Int](0)
+    rows.foreach { row =>
+      val cur = new Array[Int](width + 2)
+      var curLen = 0
+      var x = 0
+      var prev = false
+      while (x < width) {
+        if (row(x) != prev) { cur(curLen) = x; curLen += 1; prev = row(x) }
+        x += 1
+      }
+      var a0 = -1
+      var white = true
+      var ai = 0 // index of first cur change > a0
+      while (a0 < width) {
+        while (ai < curLen && cur(ai) <= a0) ai += 1
+        val a1 = if (ai < curLen) cur(ai) else width
+        val a2 = if (ai + 1 < curLen) cur(ai + 1) else width
+        var i = if (white) 0 else 1
+        while (i < ref.length && ref(i) <= a0) i += 2
+        val b1 = if (i < ref.length) ref(i) else width
+        val b2 = if (i + 1 < ref.length) ref(i + 1) else width
+        if (b2 < a1) { // pass
+          w.put(1, 4) // 0001
+          a0 = b2
+        } else if (math.abs(a1 - b1) <= 3) { // vertical
+          a1 - b1 match {
+            case 0 => w.put(1, 1)
+            case 1 => w.put(3, 3) // 011
+            case 2 => w.put(3, 6) // 000011
+            case 3 => w.put(3, 7) // 0000011
+            case -1 => w.put(2, 3) // 010
+            case -2 => w.put(2, 6) // 000010
+            case _ => w.put(2, 7) // 0000010
+          }
+          a0 = a1
+          white = !white
+        } else { // horizontal
+          w.put(1, 3) // 001
+          val a0p = math.max(a0, 0)
+          writeRun(w, a1 - a0p, white)
+          writeRun(w, a2 - a1, !white)
+          a0 = a2
+        }
+      }
+      ref = java.util.Arrays.copyOf(cur, curLen)
+    }
+    // EOFB: two T.4 EOLs (000000000001 twice)
+    w.put(1, 12); w.put(1, 12)
+    w.bytes()
+  }
+
+  /** Bilevel TIFF, CCITT Group 4 (compression 4), photometric 0
+    * (WhiteIsZero — the fax convention: `black(x, y)` = true encodes a
+    * black pixel). Strips code independently, per the TIFF contract. */
+  def encodeTiffG4(width: Int, height: Int, black: (Int, Int) => Boolean,
+      bigEndian: Boolean = false, rowsPerStrip: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && width.toLong * height <= MaxPixels)
+    val rps = if (rowsPerStrip < 1) height else math.min(rowsPerStrip, height)
+    val nStrips = (height + rps - 1) / rps
+    val strips = Array.tabulate(nStrips) { s =>
+      val rows = math.min(rps, height - s * rps)
+      g4Encode(Array.tabulate(rows, width)((r, x) => black(x, s * rps + r)),
+        width)
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (bigEndian) { w8(v >> 8); w8(v) } else { w8(v); w8(v >> 8) }
+    def w32(v: Int): Unit =
+      if (bigEndian) { w8(v >> 24); w8(v >> 16); w8(v >> 8); w8(v) }
+      else { w8(v); w8(v >> 8); w8(v >> 16); w8(v >> 24) }
+    w8(if (bigEndian) 'M' else 'I'); w8(if (bigEndian) 'M' else 'I')
+    w16(42); w32(8)
+    val nEntries = 11
+    val ifdSize = 2 + nEntries * 12 + 4
+    var cursor = 8 + ifdSize
+    val needArrays = nStrips > 1
+    val offsOff = cursor
+    if (needArrays) cursor += 4 * nStrips
+    val cntsOff = cursor
+    if (needArrays) cursor += 4 * nStrips
+    val stripOffsets = new Array[Int](nStrips)
+    var acc = cursor
+    var s = 0
+    while (s < nStrips) { stripOffsets(s) = acc; acc += strips(s).length; s += 1 }
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(count)
+      if (typ == 3 && count == 1) { w16(value); w16(0) } else w32(value)
+    }
+    w16(nEntries)
+    entry(256, 3, 1, width)
+    entry(257, 3, 1, height)
+    entry(258, 3, 1, 1)
+    entry(259, 3, 1, 4) // CCITT Group 4
+    entry(262, 3, 1, 0) // WhiteIsZero
+    entry(273, 4, nStrips, if (needArrays) offsOff else stripOffsets(0))
+    entry(277, 3, 1, 1)
+    entry(278, 3, 1, rps)
+    entry(279, 4, nStrips, if (needArrays) cntsOff else strips(0).length)
+    entry(284, 3, 1, 1)
+    entry(293, 4, 1, 0) // T6Options: no extensions
+    w32(0)
+    if (needArrays) {
+      stripOffsets.foreach(w32)
+      strips.foreach(st => w32(st.length))
+    }
+    strips.foreach(st => out.write(st, 0, st.length))
     out.toByteArray
   }
 }

@@ -681,7 +681,7 @@ object Llm {
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v19-pnm") {
+      version = "v20-g4") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -724,13 +724,23 @@ object Llm {
             // scanned-document workhorse — lossless RGB with rotating
             // compression (none / PackBits / LZW, optionally with the
             // horizontal predictor), real strip splits, both byte
-            // orders; same gradient, same closed forms
+            // orders; same gradient, same closed forms. Round 19 adds
+            // the fourth compression: CCITT GROUP 4 (T.6) — bilevel by
+            // nature, so its sub-slot carries diagonal stripes (black
+            // iff (x+y+id)%3=0) whose black count the oracle recomputes
             if ((id / 10) % 2 == 1) {
-              val comp = Seq("none", "packbits", "lzw")(((id / 20) % 3).toInt)
-              graft.operators.TiffCodec.encodeTiffRgb(w, h, px, comp,
-                bigEndian = (id / 40) % 2 == 1,
-                rowsPerStrip = 1 + (id % 3).toInt,
-                predictor = comp == "lzw" && (id / 80) % 2 == 1)
+              if ((id / 20) % 4 == 3)
+                graft.operators.TiffCodec.encodeTiffG4(w, h,
+                  (x, y) => (x + y + id) % 3 == 0,
+                  bigEndian = (id / 40) % 2 == 1,
+                  rowsPerStrip = 1 + (id % 3).toInt)
+              else {
+                val comp = Seq("none", "packbits", "lzw")(((id / 20) % 4).toInt)
+                graft.operators.TiffCodec.encodeTiffRgb(w, h, px, comp,
+                  bigEndian = (id / 40) % 2 == 1,
+                  rowsPerStrip = 1 + (id % 3).toInt,
+                  predictor = comp == "lzw" && (id / 80) % 2 == 1)
+              }
             } else graft.operators.PixelCodec.encodeGif(w, h, px)
           case 3 =>
             // sub-rotates the PRECISION since round 17: 8-bit baseline
@@ -958,7 +968,19 @@ object Llm {
       |         -- lossy VP8 slot: 16*hb x 16 grayscale, constant per 4x4
       |         -- block v = br + 7*bx + 11*by over (4*hb) x 4 blocks
       |         16*(16*hb*br + 28*((4*hb)*(4*hb-1)//2) + 264*hb) AS vsum
-      |  FROM g)
+      |  FROM g),
+      |-- CCITT G4 sub-slot: diagonal stripes, black iff (x+y+id)%3=0;
+      |-- per row y the black count is (w - r + 2)//3 with
+      |-- r = (3 - (y+id)%3)%3, white pixels contribute 255
+      |ys AS (
+      |  SELECT doc_id, w, h,
+      |         unnest(generate_series(0, CAST(h - 1 AS BIGINT))) AS y
+      |  FROM g),
+      |g4 AS (
+      |  SELECT doc_id,
+      |         255 * (w*h - sum((w - (3 - (y + doc_id) % 3) % 3 + 2) // 3))
+      |           AS gsum
+      |  FROM ys GROUP BY doc_id, w, h)
       |SELECT g.doc_id,
       |       CASE WHEN g.fmt = 2 AND (g.doc_id // 10) % 2 = 1 THEN 'tiff'
       |            WHEN g.fmt = 2 THEN 'gif'
@@ -982,10 +1004,14 @@ object Llm {
       |            WHEN g.fmt = 9 THEN
       |         CASE WHEN (g.doc_id // 10) % 3 = 2 THEN lsum ELSE hsum END
       |            WHEN g.fmt = 4 AND (g.doc_id // 10) % 2 = 1 THEN vsum
+      |            WHEN g.fmt = 2 AND (g.doc_id // 10) % 2 = 1
+      |                 AND (g.doc_id // 20) % 4 = 3 THEN g4.gsum
       |            ELSE
       |         w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END AS BIGINT) AS sum_r,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
       |            WHEN g.fmt = 4 AND (g.doc_id // 10) % 2 = 1 THEN vsum
+      |            WHEN g.fmt = 2 AND (g.doc_id // 10) % 2 = 1
+      |                 AND (g.doc_id // 20) % 4 = 3 THEN g4.gsum
       |            WHEN g.fmt IN (7, 9) THEN
       |         CASE WHEN g.fmt = 7 THEN
       |           -- Huffman-lossless shape 2 is 3-component RGB (real
@@ -1000,6 +1026,8 @@ object Llm {
       |         w*h*bg + 5*(h*w*(w-1)//2) + 2*(w*h*(h-1)//2) END AS BIGINT) AS sum_g,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
       |            WHEN g.fmt = 4 AND (g.doc_id // 10) % 2 = 1 THEN vsum
+      |            WHEN g.fmt = 2 AND (g.doc_id // 10) % 2 = 1
+      |                 AND (g.doc_id // 20) % 4 = 3 THEN g4.gsum
       |            WHEN g.fmt IN (7, 9) THEN
       |         CASE WHEN g.fmt = 7 THEN
       |           CASE WHEN ((g.doc_id // 10) % 2 = 0 AND (g.doc_id // 20) % 4 = 2)
@@ -1009,7 +1037,8 @@ object Llm {
       |         WHEN (g.doc_id // 10) % 3 = 2 THEN lsum ELSE hsum END
       |            ELSE
       |         w*h*bb + 2*(h*w*(w-1)//2) + 7*(w*h*(h-1)//2) END AS BIGINT) AS sum_b
-      |FROM g JOIN j ON g.doc_id = j.doc_id ORDER BY g.doc_id""".stripMargin
+      |FROM g JOIN j ON g.doc_id = j.doc_id
+      |JOIN g4 ON g.doc_id = g4.doc_id ORDER BY g.doc_id""".stripMargin
 
   // ------------------------------------------------------------- q51
   // End-to-end corpus preparation — the pipeline a training-data run
