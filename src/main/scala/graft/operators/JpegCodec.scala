@@ -35,10 +35,13 @@ package graft.operators
   * 12-bit sample precision covers every non-differential DCT carrier
   * (SOF1/SOF2/SOF9/SOF10 — round 18 closed the family), and lossless
   * runs the full 8..16 range and 1/3 components in BOTH entropies.
-  * Row-aligned restart intervals decode in BOTH lossless entropies
-  * (arithmetic since round 18). The remaining refusals are MID-ROW
-  * (non-line-aligned) lossless restart intervals and restarts inside
-  * differential-lossless (SOF7/SOF15) scans — they return None → the
+  * Lossless restart intervals decode in BOTH entropies at ARBITRARY
+  * sample positions (round 19 — the interval counts MCUs per T.81 H.1;
+  * the interval's first sample takes the default prediction and the
+  * remainder of that line the 1-D predictor, with the row-aligned form
+  * a special case the agreement specs pin bit-for-bit). The remaining
+  * refusal is restarts inside differential-lossless (SOF7/SOF15)
+  * scans — they return None → the
   * labeled stub path, like any other malformed/unsupported payload:
   * corrupt media in a 100 TB crawl is data, not an error.
   *
@@ -722,18 +725,13 @@ object JpegCodec {
       c.ph = height
       c.plane = new Array[Byte](width * height)
     }
-    // Row-aligned restart intervals (round 18): the restart resets the
-    // QM coder, its statistics areas, and prediction exactly as at the
-    // start of the scan (T.81 H.1 + F.1.4.1) — agreeing with the SOF3
-    // Huffman spelling's interval semantics. A mid-row interval stays
-    // refused (same no-second-implementation reasoning as the Huffman
-    // path — see decodeLosslessScan).
-    val rowsPerRi =
-      if (ri == 0) 0
-      else {
-        if (ri % width != 0) corrupt() // mid-row restart: out of scope
-        ri / width
-      }
+    // Restart intervals (round 19 — generalized to ARBITRARY sample
+    // positions, the decodeLosslessScan reading): the restart resets
+    // the QM coder, its statistics areas, and prediction exactly as at
+    // the start of the scan (T.81 H.1 + F.1.4.1); the interval's first
+    // (partial) line uses the 1-D predictor with zeroed conditioning at
+    // the restart column, agreeing bit-for-bit with the SOF3 Huffman
+    // spelling's interval semantics (the agreement specs pin it).
     val statsBySel = scanComps.map(_.dcSel).distinct
       .map(s => s -> new QmCoder.Stats(160)).toMap
     var dec = new QmCoder.Decoder(b, start, b.length)
@@ -743,28 +741,34 @@ object JpegCodec {
     val cur = Array.ofDim[Int](nc, width)
     val dPrev = Array.ofDim[Int](nc, width)
     val dCur = Array.ofDim[Int](nc, width)
+    var riX = 0
+    var riY = 0
+    var mcu = 0L
     var y = 0
     while (y < height) {
-      val intervalStart = rowsPerRi > 0 && y > 0 && y % rowsPerRi == 0
-      if (intervalStart) {
-        dec = new QmCoder.Decoder(b, dec.posAfterRestart(), b.length)
-        statsBySel.values.foreach(_.reset())
-      }
-      val firstLine = y == 0 || intervalStart
       var x = 0
       while (x < width) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          dec = new QmCoder.Decoder(b, dec.posAfterRestart(), b.length)
+          statsBySel.values.foreach(_.reset())
+          riX = x
+          riY = y
+        }
+        val firstLine = y == riY
         var ci = 0
         while (ci < nc) {
           val c = scanComps(ci)
           val l = dcL(c.dcSel)
           val u = dcU(c.dcSel)
-          val ca = if (x == 0) 0 else losslessDiffClass(dCur(ci)(x - 1), l, u)
+          val ca =
+            if (x == 0 || (firstLine && x == riX)) 0
+            else losslessDiffClass(dCur(ci)(x - 1), l, u)
           val cb = if (firstLine) 0 else losslessDiffClass(dPrev(ci)(x), l, u)
           val d = decodeLosslessDiffArith(dec, statsBySel(c.dcSel), ca, cb)
           val cl = cur(ci)
           val pl = prev(ci)
           val pred =
-            if (firstLine && x == 0) defaultPred
+            if (firstLine && x == riX) defaultPred
             else if (firstLine) cl(x - 1)
             else if (x == 0) pl(0)
             else {
@@ -785,6 +789,7 @@ object JpegCodec {
           dCur(ci)(x) = d
           ci += 1
         }
+        mcu += 1
         x += 1
       }
       var ci = 0
@@ -1528,20 +1533,19 @@ object JpegCodec {
       c.ph = height
       c.plane = new Array[Byte](width * height)
     }
-    // Restart intervals (T.81 H.1: the restart resets the entropy coder
-    // and prediction as at the start of the scan — "selection value 1 is
-    // used for the first line of samples at the start of the scan and at
-    // the beginning of each restart interval"). The interval counts MCUs
-    // (= one sample per scan component here), so an interval that is not
-    // a whole number of lines would put the interval's "first line"
-    // mid-row, a shape with no second implementation to agree with —
-    // refuse it (labeled stub) and decode the row-aligned form for real.
-    val rowsPerRi =
-      if (ri == 0) 0
-      else {
-        if (ri % width != 0) corrupt() // mid-row restart: out of scope
-        ri / width
-      }
+    // Restart intervals (T.81 H.1): Ri counts MCUs (one sample per scan
+    // component here) and may start ANYWHERE in a line — round 19
+    // generalizes the round-18 row-aligned form to arbitrary sample
+    // positions. At an interval start the entropy coder resets, the
+    // interval's first sample takes the default prediction, and the
+    // REMAINDER OF THAT LINE uses the 1-D predictor (H.1.1: "the
+    // one-dimensional predictor is used for the first line of samples
+    // at the start of the scan and at the beginning of each restart
+    // interval"); following lines resume the selected predictor, their
+    // above references crossing the interval boundary where x precedes
+    // the restart column — the self-consistent reading, pinned by the
+    // encoder/decoder agreement specs and by bit-identity with the
+    // row-aligned path on aligned geometries.
     val r = new BitReader(b, start)
     val defaultPred = 1 << (prec - 1 - pt) // 2^(P−1−Pt)
     // P > 8: reconstruction runs at full precision (mod 2^16, exact);
@@ -1551,13 +1555,19 @@ object JpegCodec {
     // MCUs advance all components in lockstep at 1×1 sampling)
     val prev = Array.ofDim[Int](nc, width)
     val cur = Array.ofDim[Int](nc, width)
+    var riX = 0 // position of the current interval's first sample
+    var riY = 0
+    var mcu = 0L
     var y = 0
     while (y < height) {
-      val intervalStart = rowsPerRi > 0 && y > 0 && y % rowsPerRi == 0
-      if (intervalStart) r.restart() // byte-align + consume RSTn
-      val firstLine = y == 0 || intervalStart
       var x = 0
       while (x < width) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          r.restart() // byte-align + consume RSTn
+          riX = x
+          riY = y
+        }
+        val firstLine = y == riY
         var ci = 0
         while (ci < nc) {
           val c = scanComps(ci)
@@ -1570,7 +1580,7 @@ object JpegCodec {
           val cl = cur(ci)
           val pl = prev(ci)
           val pred =
-            if (firstLine && x == 0) defaultPred
+            if (firstLine && x == riX) defaultPred
             else if (firstLine) cl(x - 1) // interval first line: predictor 1
             else if (x == 0) pl(0) // line start: predictor 2 (above)
             else {
@@ -1590,6 +1600,7 @@ object JpegCodec {
           cl(x) = (pred + diff) & 0xffff
           ci += 1
         }
+        mcu += 1
         x += 1
       }
       var ci = 0
@@ -2474,9 +2485,10 @@ object JpegCodec {
     * full per-pixel gradient closed form like the PNG/BMP slots. */
   def encodeJpegLossless(width: Int, height: Int, gray: (Int, Int) => Int,
       predictor: Int = 4, restartRows: Int = 0,
-      precision: Int = 8): Array[Byte] =
+      precision: Int = 8, restartMcus: Int = 0): Array[Byte] =
     encodeLosslessCore(width, height, 1,
-      (_, x, y) => gray(x, y), predictor, restartRows, precision)
+      (_, x, y) => gray(x, y), predictor, restartRows, precision,
+      restartMcus)
 
   /** Real 3-COMPONENT lossless JPEG bytes (SOF3, interleaved R,G,B at
     * 1×1 — the colorspace-blind exact mode; no JFIF marker on purpose,
@@ -2488,16 +2500,21 @@ object JpegCodec {
       (c, x, y) => (rgb(x, y) >> (16 - 8 * c)) & 0xff, predictor, restartRows)
 
   /** Shared SOF3 encoder: `nc` interleaved 1×1 components off
-    * `sample(comp, x, y)`, optional row-aligned restart intervals
-    * (`restartRows` rows per interval → DRI Ri = restartRows·width MCUs;
-    * prediction resets per T.81 H.1 — the interval's first line uses
-    * predictor 1 with the default first sample). */
+    * `sample(comp, x, y)`, optional restart intervals — `restartRows`
+    * rows per interval (row-aligned, DRI Ri = restartRows·width MCUs)
+    * or, round 19, `restartMcus` for an interval starting at ARBITRARY
+    * sample positions. Prediction resets per T.81 H.1 — the interval's
+    * first sample takes the default, the remainder of that line uses
+    * predictor 1. */
   private def encodeLosslessCore(width: Int, height: Int, nc: Int,
       sample: (Int, Int, Int) => Int, predictor: Int,
-      restartRows: Int, precision: Int = 8): Array[Byte] = {
+      restartRows: Int, precision: Int = 8,
+      restartMcus: Int = 0): Array[Byte] = {
+    val ri =
+      if (restartMcus > 0) restartMcus else restartRows * width
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
       width.toLong * height <= MaxPixels && predictor >= 1 && predictor <= 7 &&
-      restartRows >= 0 && restartRows.toLong * width <= 0xffff &&
+      restartRows >= 0 && restartMcus >= 0 && ri <= 0xffff &&
       precision >= 8 && precision <= 16 && (nc == 1 || precision == 8))
     // P > 8 widens sample values, difference coding (mod 2^16 with the
     // s=16 special category), and the DC category table (EncDcWide)
@@ -2522,8 +2539,8 @@ object JpegCodec {
     var l = 1
     while (l <= 16) { w8(dc.bits(l)); l += 1 }
     dc.vals.foreach(w8)
-    if (restartRows > 0) {
-      marker(0xdd); wbe16(4); wbe16(restartRows * width) // DRI, Ri in MCUs
+    if (ri > 0) {
+      marker(0xdd); wbe16(4); wbe16(ri) // DRI, Ri in MCUs
     }
     marker(0xda); wbe16(6 + 2 * nc) // SOS
     w8(nc)
@@ -2534,25 +2551,29 @@ object JpegCodec {
     val prev = Array.ofDim[Int](nc, width)
     val cur = Array.ofDim[Int](nc, width)
     var rst = 0
+    var riX = 0
+    var riY = 0
+    var mcu = 0L
     var y = 0
     while (y < height) {
-      val intervalStart = restartRows > 0 && y > 0 && y % restartRows == 0
-      if (intervalStart) {
-        w.finish()
-        marker(0xd0 + (rst & 7))
-        rst += 1
-        w = new BitWriter(out)
-      }
-      val firstLine = y == 0 || intervalStart
       var x = 0
       while (x < width) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          w.finish()
+          marker(0xd0 + (rst & 7))
+          rst += 1
+          w = new BitWriter(out)
+          riX = x
+          riY = y
+        }
+        val firstLine = y == riY
         var ci = 0
         while (ci < nc) {
           val v = sample(ci, x, y) & mask
           val cl = cur(ci)
           val pl = prev(ci)
           val pred =
-            if (firstLine && x == 0) 1 << (precision - 1) // 2^(P−1)
+            if (firstLine && x == riX) 1 << (precision - 1) // 2^(P−1)
             else if (firstLine) cl(x - 1)
             else if (x == 0) pl(0)
             else {
@@ -2581,6 +2602,7 @@ object JpegCodec {
           cl(x) = v
           ci += 1
         }
+        mcu += 1
         x += 1
       }
       c = 0
@@ -2602,9 +2624,11 @@ object JpegCodec {
     * input, the arithmetic spelling of the only exact JPEG mode. */
   def encodeJpegLosslessArith(width: Int, height: Int,
       gray: (Int, Int) => Int, predictor: Int = 4,
-      precision: Int = 8, restartRows: Int = 0): Array[Byte] =
+      precision: Int = 8, restartRows: Int = 0,
+      restartMcus: Int = 0): Array[Byte] =
     encodeJpegLosslessArithImpl(width, height, 1,
-      (_, x, y) => gray(x, y), predictor, precision, restartRows)
+      (_, x, y) => gray(x, y), predictor, precision, restartRows,
+      restartMcus)
 
   /** 3-component interleaved arithmetic lossless (SOF11 RGB — round 18):
     * same component conventions as [[encodeJpegLosslessRgb]], entropy
@@ -2619,10 +2643,13 @@ object JpegCodec {
 
   private def encodeJpegLosslessArithImpl(width: Int, height: Int, nc: Int,
       sample: (Int, Int, Int) => Int, predictor: Int,
-      precision: Int, restartRows: Int = 0): Array[Byte] = {
+      precision: Int, restartRows: Int = 0,
+      restartMcus: Int = 0): Array[Byte] = {
+    val ri =
+      if (restartMcus > 0) restartMcus else restartRows * width
     require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff &&
       width.toLong * height <= MaxPixels && predictor >= 1 && predictor <= 7 &&
-      restartRows >= 0 && restartRows.toLong * width <= 0xffff &&
+      restartRows >= 0 && restartMcus >= 0 && ri <= 0xffff &&
       precision >= 8 && precision <= 16 && (nc == 1 || precision == 8))
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -2640,8 +2667,8 @@ object JpegCodec {
     marker(0xcc); wbe16(2 + 2 * nc) // DAC: per-component DC destination
     c = 0
     while (c < nc) { w8(c); w8(0x10); c += 1 } // default L=0 U=1 each
-    if (restartRows > 0) {
-      marker(0xdd); wbe16(4); wbe16(restartRows * width) // DRI, Ri in MCUs
+    if (ri > 0) {
+      marker(0xdd); wbe16(4); wbe16(ri) // DRI, Ri in MCUs
     }
     marker(0xda); wbe16(6 + 2 * nc) // SOS
     w8(nc)
@@ -2656,26 +2683,31 @@ object JpegCodec {
     val dPrev = Array.ofDim[Int](nc, width)
     val dCur = Array.ofDim[Int](nc, width)
     var rst = 0
+    var riX = 0
+    var riY = 0
+    var mcu = 0L
     var y = 0
     while (y < height) {
-      val intervalStart = restartRows > 0 && y > 0 && y % restartRows == 0
-      if (intervalStart) { // flush the QM segment, emit RSTn, reset state
-        enc.finish()
-        marker(0xd0 + (rst & 7))
-        rst += 1
-        enc = new QmCoder.Encoder(out)
-        st.foreach(_.reset())
-      }
-      val firstLine = y == 0 || intervalStart
       var x = 0
       while (x < width) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          // flush the QM segment, emit RSTn, reset state
+          enc.finish()
+          marker(0xd0 + (rst & 7))
+          rst += 1
+          enc = new QmCoder.Encoder(out)
+          st.foreach(_.reset())
+          riX = x
+          riY = y
+        }
+        val firstLine = y == riY
         var ci = 0
         while (ci < nc) {
           val v = sample(ci, x, y) & mask
           val cl = cur(ci)
           val pl = prev(ci)
           val pred =
-            if (firstLine && x == 0) defaultPred // 2^(P−1)
+            if (firstLine && x == riX) defaultPred // 2^(P−1)
             else if (firstLine) cl(x - 1)
             else if (x == 0) pl(0)
             else {
@@ -2693,13 +2725,16 @@ object JpegCodec {
               }
             }
           val diff = (((v - pred) & 0xffff) << 16) >> 16 // signed-16 window
-          val ca = if (x == 0) 0 else losslessDiffClass(dCur(ci)(x - 1), 0, 1)
+          val ca =
+            if (x == 0 || (firstLine && x == riX)) 0
+            else losslessDiffClass(dCur(ci)(x - 1), 0, 1)
           val cb = if (firstLine) 0 else losslessDiffClass(dPrev(ci)(x), 0, 1)
           encodeLosslessDiffArith(enc, st(ci), ca, cb, diff)
           cl(x) = v
           dCur(ci)(x) = diff
           ci += 1
         }
+        mcu += 1
         x += 1
       }
       var ci = 0

@@ -613,7 +613,7 @@ class JpegCodecSpec extends SparkFunSuite {
     }
   }
 
-  test("lossless restart intervals (row-aligned DRI): bit-exact; mid-row restarts refuse") {
+  test("lossless restart intervals (row-aligned DRI): bit-exact; inconsistent DRI refuses") {
     val rnd = new scala.util.Random(558)
     val w = 17
     val h = 11
@@ -640,20 +640,70 @@ class JpegCodecSpec extends SparkFunSuite {
       (x, y) => cpx(y)(x), predictor = 4, restartRows = 3)).get
     for (y <- 0 until h; x <- 0 until w)
       assert((cimg.rgb((y * w + x) * 3 + 2) & 0xff) == (cpx(y)(x) & 0xff))
-    // a DRI that is NOT a whole number of lines puts the interval's
-    // "first line" mid-row — no second implementation to agree with, so
-    // the decoder refuses (labeled stub), never guesses
+    // a DRI that contradicts where the RST markers actually sit (stream
+    // coded at Ri = w, header rewritten to w-1) cannot resync — the
+    // decoder refuses, never guesses
     val good = JpegCodec.encodeJpegLossless(w, h, (x, y) => px(y)(x),
       predictor = 4, restartRows = 1)
     val badDri = good.clone()
     val driAt = (0 until badDri.length - 1).find(i =>
       (badDri(i) & 0xff) == 0xff && (badDri(i + 1) & 0xff) == 0xdd).get
-    badDri(driAt + 4) = ((w - 1) >> 8).toByte // Ri = w-1: mid-row
+    badDri(driAt + 4) = ((w - 1) >> 8).toByte
     badDri(driAt + 5) = ((w - 1) & 0xff).toByte
     assert(JpegCodec.decode(badDri).isEmpty)
   }
 
-  test("ARITHMETIC lossless restart intervals (round 18): bit-exact, four-way spelling agreement, mid-row refuses") {
+  test("MID-ROW lossless restart intervals (round 19): bit-exact in both entropies, all predictors") {
+    val rnd = new scala.util.Random(561)
+    val w = 17
+    val h = 11
+    val px = Array.fill(h, w)(rnd.nextInt(256))
+    val plain = decode(JpegCodec.encodeJpegLossless(w, h,
+      (x, y) => px(y)(x), predictor = 4)).get
+    // intervals that start anywhere in a line — including one shorter
+    // than a row (multiple restarts per line) and a non-divisor of w
+    for (ri <- Seq(5, 7, w - 1, w + 3)) {
+      val huff = decode(JpegCodec.encodeJpegLossless(w, h,
+        (x, y) => px(y)(x), predictor = 4, restartMcus = ri)).get
+      assert(huff.rgb.sameElements(plain.rgb), s"huffman restartMcus=$ri")
+      val arith = decode(JpegCodec.encodeJpegLosslessArith(w, h,
+        (x, y) => px(y)(x), predictor = 4, restartMcus = ri)).get
+      assert(arith.rgb.sameElements(plain.rgb), s"arith restartMcus=$ri")
+    }
+    // every predictor survives a mid-row reset (the interval's partial
+    // first line forces the 1-D fallback mid-row)
+    for (pred <- 1 to 7) {
+      val img = decode(JpegCodec.encodeJpegLossless(w, h,
+        (x, y) => px(y)(x), predictor = pred, restartMcus = 7)).get
+      val ref = decode(JpegCodec.encodeJpegLossless(w, h,
+        (x, y) => px(y)(x), predictor = pred)).get
+      assert(img.rgb.sameElements(ref.rgb), s"predictor $pred")
+      val aimg = decode(JpegCodec.encodeJpegLosslessArith(w, h,
+        (x, y) => px(y)(x), predictor = pred, restartMcus = 7)).get
+      assert(aimg.rgb.sameElements(ref.rgb), s"arith predictor $pred")
+    }
+    // a row-aligned interval spelled in MCUs is byte-identical to the
+    // restartRows spelling — the round-18 path is the aligned special
+    // case of the generalized machinery, not a separate code path
+    assert(JpegCodec.encodeJpegLossless(w, h, (x, y) => px(y)(x),
+      predictor = 4, restartMcus = 2 * w).sameElements(
+      JpegCodec.encodeJpegLossless(w, h, (x, y) => px(y)(x),
+        predictor = 4, restartRows = 2)))
+    assert(JpegCodec.encodeJpegLosslessArith(w, h, (x, y) => px(y)(x),
+      predictor = 4, restartMcus = 2 * w).sameElements(
+      JpegCodec.encodeJpegLosslessArith(w, h, (x, y) => px(y)(x),
+        predictor = 4, restartRows = 2)))
+    // 16-bit precision composes with mid-row restarts
+    val px16 = Array.fill(h, w)(rnd.nextInt(1 << 16))
+    val img16 = decode(JpegCodec.encodeJpegLossless(w, h,
+      (x, y) => px16(y)(x), predictor = 7, precision = 16,
+      restartMcus = w + 5)).get
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img16.rgb((y * w + x) * 3) & 0xff) == (px16(y)(x) >> 8),
+        s"P16 mid-row ($x,$y)")
+  }
+
+  test("ARITHMETIC lossless restart intervals (round 18): bit-exact, four-way spelling agreement") {
     val rnd = new scala.util.Random(560)
     val w = 17
     val h = 11
@@ -698,16 +748,9 @@ class JpegCodecSpec extends SparkFunSuite {
     for (y <- 0 until h; x <- 0 until w)
       assert((img16.rgb((y * w + x) * 3) & 0xff) == (px16(y)(x) >> 8),
         s"P16 ($x,$y)")
-    // mid-row DRI refuses in the arithmetic spelling too
+    // a missing restart marker (RST byte corrupted) refuses, not garbage
     val good = JpegCodec.encodeJpegLosslessArith(w, h, (x, y) => px(y)(x),
       predictor = 4, restartRows = 1)
-    val badDri = good.clone()
-    val driAt = (0 until badDri.length - 1).find(i =>
-      (badDri(i) & 0xff) == 0xff && (badDri(i + 1) & 0xff) == 0xdd).get
-    badDri(driAt + 4) = ((w - 1) >> 8).toByte // Ri = w-1: mid-row
-    badDri(driAt + 5) = ((w - 1) & 0xff).toByte
-    assert(JpegCodec.decode(badDri).isEmpty)
-    // a missing restart marker (RST byte corrupted) refuses, not garbage
     val noRst = good.clone()
     val rstAt = (2 until noRst.length - 1).find(i =>
       (noRst(i) & 0xff) == 0xff && (noRst(i + 1) & 0xff) >= 0xd0 &&
