@@ -621,7 +621,8 @@ object Streams {
     * folds the ledger (the documented maintenance contract).
     */
   def upsertStream(spark: SparkSession, srcDir: String, tableLoc: String,
-      keyCols: Seq[String], checkpointTag: String): graft.table.SnapshotTable = {
+      keyCols: Seq[String], checkpointTag: String,
+      maxFilesPerTrigger: Int = 10): graft.table.SnapshotTable = {
     import graft.table.SnapshotTable
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -631,7 +632,7 @@ object Streams {
       val schema = s2.read.parquet(srcDir).schema
       val ckpt = Tables.scratch(s"ckpt/upsert_$checkpointTag")
       val q = s2.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 10).parquet(srcDir)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(srcDir)
         .writeStream
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())

@@ -330,6 +330,59 @@ class EqualityDeleteSpec extends SparkFunSuite {
     assert(math.abs(got - want) < 1e-6 * math.abs(want))
   }
 
+  test("long-haul: a 100-epoch upsert STREAM under max-eq-files=8 keeps strata bounded and read latency flat") {
+    // the 24/7-sink shape (r19): the REAL streaming path — checkpointed
+    // micro-batches through upsertStream, one source file per epoch —
+    // run as 10 stream drains of 10 epochs each over a shared
+    // checkpoint. After every drain: the stream-visible eq-delete
+    // ledger must sit within bound+1 (read strata ≤ 9), and the full-
+    // table read latency, sampled per drain, must not grow with epoch
+    // count — the property the auto-fold policy exists to provide.
+    val srcDir = scratch("eq-longhaul-src")
+    val tableLoc = scratch("eq-longhaul-table")
+    val e = events().filter(col("event_id") < 1000)
+      .select("event_id", "user_id", "value")
+    val t = SnapshotTable.create(spark, tableLoc, e)
+    t.setProperties(Map(SnapshotTable.MaxEqDeleteFiles -> "8"))
+    val tag = s"longhaul_${System.nanoTime}"
+    val latencies = new scala.collection.mutable.ArrayBuffer[Double]
+    val strata = new scala.collection.mutable.ArrayBuffer[Int]
+    for (chunk <- 0 until 10) {
+      // 10 fresh single-file epochs: epoch k upserts the keys with
+      // event_id % 100 == k, bumping value by the epoch index
+      for (i <- 0 until 10) {
+        val k = 10 * chunk + i
+        e.filter(col("event_id") % 100 === k)
+          .withColumn("value", col("value") + k)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      val t2 = graft.streaming.Streams.upsertStream(spark, srcDir,
+        tableLoc, Seq("event_id"), tag, maxFilesPerTrigger = 1)
+      strata += t2.snapshot(t2.latestVersion).eqDeleteFiles.size
+      val t0 = System.nanoTime()
+      t2.read().count()
+      latencies += (System.nanoTime() - t0) / 1e6
+    }
+    assert(strata.max <= 9,
+      s"read strata must stay ≤ bound+1 across 100 epochs, saw $strata")
+    // coarse flatness: the late-epoch reads must not outgrow the early
+    // ones (3x + absolute slack absorbs JIT/GC noise; an unbounded
+    // ledger would grow linearly and blow well past this)
+    val early = latencies.take(5).max
+    val late = latencies.drop(5).max
+    assert(late <= 3 * early + 200.0,
+      s"read latency grew with epochs: $latencies ms")
+    // exactness after 100 epochs: every key < 1000 was upserted exactly
+    // once, at epoch event_id % 100
+    val expect = e.withColumn("value",
+      col("value") + (col("event_id") % 100).cast("double"))
+    val t3 = SnapshotTable.load(spark, tableLoc)
+    assert(t3.read().count() == expect.count())
+    val got = t3.read().agg(sum("value")).head().getDouble(0)
+    val want = expect.agg(sum("value")).head().getDouble(0)
+    assert(math.abs(got - want) < 1e-6 * math.abs(want))
+  }
+
   test("equalityDelete/upsertMor on a never-created table refuse with a clear message") {
     import spark.implicits._
     val loc = scratch("eq-nonexistent")
