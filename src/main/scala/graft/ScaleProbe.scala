@@ -104,6 +104,17 @@ object ScaleProbe {
         //   CAS, so growth is the write volume, ≈linear.
         "q58b_mor_merge", "q58c_equality_upsert",
         "q65b_dynamic_cdc", "q55b_partition_evolution",
+        // round-19 ingestion layer (VERDICT r18 task 6). Expected shapes:
+        // q100 WARC extract — exchange-free mapPartitions record walk,
+        //   one archive per row: shuffle ≈0 at BOTH scales (only the
+        //   final ORDER BY's exchange over the output rows), rows
+        //   exactly linear;
+        // q100b CDX dedup — ONE digest-keyed shuffle (the Common Crawl
+        //   idiom): shuffle grows ≈linearly with responses, group sizes
+        //   bounded by the corpus duplication rate (no hot reducer);
+        // q101 html_to_text — per-row codegen'd kernel inside the scan
+        //   projection: shuffle ≈0, rows exactly linear.
+        "q100_warc_extract", "q100b_warc_cdx", "q101_html_text",
         // q39: EXACT threshold join — Θ(N²) cosines by problem statement
         // (see EmbeddingJoin's scaladoc for why LSH can't prune at
         // τ=0.45), so elapsed is EXPECTED ≈quadratic at 10×; the probe's
@@ -217,7 +228,14 @@ object ScaleProbe {
     case class Probe(q: String, dir: String, rows: Long, sec: Double,
         shuffleMb: Double)
 
-    val qs = if (ccOnly) Seq.empty[String] else probeQueries(factor)
+    // SPARK_GRAFT_PROBE_QUERIES=q100_warc_extract,q101_html_text runs a
+    // targeted subset (new-row measurement without a full sweep; the
+    // full table is still republished from complete runs)
+    val subset = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val qs =
+      if (ccOnly) Seq.empty[String]
+      else probeQueries(factor).filter(q => subset.forall(_.contains(q)))
     val results = for (dir <- Seq(base, sf1); q <- qs) yield {
       sweep()
       // let queued listener events settle so the previous query's stages
@@ -230,7 +248,8 @@ object ScaleProbe {
       // media sets) get one untimed invocation first, so the measured
       // run scales the DECODE path, not the fixture write — the same
       // amortization Bench's warmup block applies
-      if (q == "q47_multimodal_features" || q == "q71_video_frames") {
+      if (q == "q47_multimodal_features" || q == "q71_video_frames" ||
+          q == "q100_warc_extract" || q == "q100b_warc_cdx") {
         SparkEntry.queries(q)(spark, dir).count()
         sweep()
         Thread.sleep(1000)
