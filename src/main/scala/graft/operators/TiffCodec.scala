@@ -16,10 +16,13 @@ package graft.operators
   *    8/8/8 and RGBA 8888 (alpha dropped — PixelImage is RGB). Chunky
   *    planar configuration only (planar 2 → None, labeled stub).
   *  - Compression: 1 none, 5 LZW (+ predictor 2 on 8-bit samples),
-  *    32773 PackBits, and — round 19 — 4 CCITT GROUP 4 (T.6 2D MMR,
-  *    bilevel, strips coded independently; T6Options extensions and
-  *    G3/T.4 → None). CCITT tables cross-checked both directions
-  *    against javax.imageio's independent codec. JPEG-in-TIFF → None.
+  *    32773 PackBits, and — round 19 — the COMPLETE CCITT fax family:
+  *    2 Modified Huffman (1D, byte-aligned rows), 3 Group 3 / T.4
+  *    (EOL-separated 1D and, under T4Options bit 0, alternating 1D/2D),
+  *    4 GROUP 4 (T.6 2D MMR, strips coded independently). The
+  *    uncompressed-mode extensions (T4Options/T6Options bit 1) → None.
+  *    CCITT tables cross-checked both directions against
+  *    javax.imageio's independent codec. JPEG-in-TIFF → None.
   *  - Strips: RowsPerStrip honored (default: whole image), per-strip
   *    byte counts checked; every strip decompresses independently.
   *
@@ -83,6 +86,7 @@ object TiffCodec {
     var stripCounts: Array[Long] = null
     var colorMap: Array[Int] = null
     var extraSamples = 0
+    var t4Options = 0L
     var t6Options = 0L
 
     def typeSize(t: Int): Int = t match {
@@ -132,6 +136,7 @@ object TiffCodec {
         case 279 => stripCounts = values(typ, count, vat)
         case 284 => planar = values(typ, count, vat)(0).toInt
         case 317 => predictor = values(typ, count, vat)(0).toInt
+        case 292 => t4Options = values(typ, count, vat)(0)
         case 293 => t6Options = values(typ, count, vat)(0)
         case 320 => colorMap = values(typ, count, vat).map(_.toInt)
         case 338 => extraSamples = count // RGBA: alpha dropped below
@@ -159,10 +164,13 @@ object TiffCodec {
     }
     if (shape == "palette" && colorMap.length < 3 * (1 << bps)) return None
     if (predictor == 2 && (bps != 8 || compression != 5)) return None
-    // CCITT Group 4 (T.6): bilevel only; T6Options extensions
-    // (uncompressed mode) are out of scope — labeled stub
-    if (compression == 4 && (shape != "gray" || bps != 1 || t6Options != 0L))
-      return None
+    // CCITT fax family (compressions 2 MH / 3 T.4 / 4 T.6): bilevel
+    // only; the uncompressed-mode extensions (T4Options bit 1,
+    // T6Options bit 1) are out of scope — labeled stub
+    if ((compression == 2 || compression == 3 || compression == 4) &&
+        (shape != "gray" || bps != 1)) return None
+    if (compression == 4 && t6Options != 0L) return None
+    if (compression == 3 && (t4Options & ~1L) != 0L) return None
 
     val rps = if (rowsPerStrip < 1 || rowsPerStrip > height) height
               else rowsPerStrip.toInt
@@ -182,13 +190,22 @@ object TiffCodec {
         case 1 =>
           if (cnt < rowBytes.toLong * rows) return None
           java.util.Arrays.copyOfRange(b, off.toInt, (off + rowBytes.toLong * rows).toInt)
+        case 2 =>
+          val d = mhDecode(b, off.toInt, (off + cnt).toInt, width, rows)
+          if (d == null) return None
+          d
+        case 3 =>
+          val d = g3Decode(b, off.toInt, (off + cnt).toInt, width, rows,
+            (t4Options & 1L) != 0L)
+          if (d == null) return None
+          d
         case 4 =>
           val d = g4Decode(b, off.toInt, (off + cnt).toInt, width, rows)
           if (d == null) return None
           d
         case 5 => lzwDecode(b, off.toInt, (off + cnt).toInt, rowBytes * rows)
         case 32773 => packBitsDecode(b, off.toInt, (off + cnt).toInt, rowBytes * rows)
-        case _ => return None // CCITT G3 / JPEG-in-TIFF: labeled stub
+        case _ => return None // JPEG-in-TIFF: labeled stub
       }
       if (predictor == 2) { // horizontal differencing, per row per channel
         var r = 0
@@ -668,6 +685,10 @@ object TiffCodec {
       if (bit == 8) { bit = 0; pos += 1 }
       v
     }
+    /** Skip to the next byte boundary (compression-2 row starts). */
+    def align(): Unit = if (bit != 0) { bit = 0; pos += 1 }
+    def mark: Long = (pos.toLong << 3) | bit
+    def reset(m: Long): Unit = { pos = (m >> 3).toInt; bit = (m & 7).toInt }
   }
 
   private def readRun(rd: BitRd, white: Boolean): Int = {
@@ -709,6 +730,86 @@ object TiffCodec {
 
   /** T.6 decode of one strip: `rows` lines of `width` pixels → packed
     * 1-bit rows, bit 1 = black. Null on any malformed stream. */
+  /** One 2D-coded line against `ref` (shared by T.6 and T.4 2D rows):
+    * returns the line's changing elements. */
+  private def decode2dRow(rd: BitRd, ref: Array[Int],
+      width: Int): Array[Int] = {
+    val cur = new Array[Int](width + 2)
+    var curLen = 0
+    var a0 = -1
+    var white = true
+    var guard = 0
+    while (a0 < width) {
+      guard += 1
+      if (guard > 2 * width + 8) corrupt()
+      // b1: first reference change > a0 of opposite colour to a0's
+      // (even indices are white→black transitions — rows start white)
+      var i = if (white) 0 else 1
+      while (i < ref.length && ref(i) <= a0) i += 2
+      val b1 = if (i < ref.length) ref(i) else width
+      val b2 = if (i + 1 < ref.length) ref(i + 1) else width
+      readMode(rd) match {
+        case 5 => // pass: skip both reference changes
+          if (b2 <= a0) corrupt()
+          a0 = b2
+        case 4 => // horizontal: two MH runs, colour preserved
+          val a0p = math.max(a0, 0)
+          val r1 = readRun(rd, white)
+          val r2 = readRun(rd, !white)
+          val a1 = a0p + r1
+          val a2 = a1 + r2
+          if (a2 > width || a1 < a0p) corrupt()
+          cur(curLen) = a1; cur(curLen + 1) = a2; curLen += 2
+          a0 = a2
+        case ModeEofb => corrupt() // mid-image EOL/EOFB: truncated line
+        case v => // vertical: a1 = b1 + v, colour flips
+          val a1 = b1 + v
+          if (a1 < 0 || a1 > width || a1 <= a0) corrupt()
+          cur(curLen) = a1; curLen += 1
+          a0 = a1
+          white = !white
+      }
+    }
+    java.util.Arrays.copyOf(cur, curLen)
+  }
+
+  /** One 1D modified-Huffman line (T.4 §4.1): alternating white/black
+    * runs from an initial white run (possibly zero-length), summing
+    * exactly to `width`; returns the changing elements. */
+  private def decodeMhRow(rd: BitRd, width: Int): Array[Int] = {
+    val cur = new Array[Int](width + 2)
+    var curLen = 0
+    var pos = 0
+    var white = true
+    var guard = 0
+    while (pos < width) {
+      guard += 1
+      if (guard > 2 * width + 8) corrupt() // zero-run flood
+      pos += readRun(rd, white)
+      if (pos > width) corrupt()
+      if (pos < width) { cur(curLen) = pos; curLen += 1 }
+      white = !white
+    }
+    java.util.Arrays.copyOf(cur, curLen)
+  }
+
+  /** Paint [cur(2k), cur(2k+1)) black into packed row `r`. */
+  private def paintRow(out: Array[Byte], r: Int, rowBytes: Int,
+      cur: Array[Int], width: Int): Unit = {
+    var k = 0
+    while (k < cur.length) {
+      val start = cur(k)
+      val end = if (k + 1 < cur.length) cur(k + 1) else width
+      var x = start
+      while (x < end) {
+        out(r * rowBytes + (x >> 3)) =
+          (out(r * rowBytes + (x >> 3)) | (0x80 >> (x & 7))).toByte
+        x += 1
+      }
+      k += 2
+    }
+  }
+
   private[operators] def g4Decode(b: Array[Byte], from: Int, until: Int,
       width: Int, rows: Int): Array[Byte] = {
     if (from < 0 || until > b.length || from >= until) return null
@@ -719,56 +820,71 @@ object TiffCodec {
       var ref = new Array[Int](0) // imaginary all-white line above
       var r = 0
       while (r < rows) {
-        val cur = new Array[Int](width + 2)
-        var curLen = 0
-        var a0 = -1
-        var white = true
-        var guard = 0
-        while (a0 < width) {
-          guard += 1
-          if (guard > 2 * width + 8) corrupt()
-          // b1: first reference change > a0 of opposite colour to a0's
-          // (even indices are white→black transitions — rows start white)
-          var i = if (white) 0 else 1
-          while (i < ref.length && ref(i) <= a0) i += 2
-          val b1 = if (i < ref.length) ref(i) else width
-          val b2 = if (i + 1 < ref.length) ref(i + 1) else width
-          readMode(rd) match {
-            case 5 => // pass: skip both reference changes
-              if (b2 <= a0) corrupt()
-              a0 = b2
-            case 4 => // horizontal: two MH runs, colour preserved
-              val a0p = math.max(a0, 0)
-              val r1 = readRun(rd, white)
-              val r2 = readRun(rd, !white)
-              val a1 = a0p + r1
-              val a2 = a1 + r2
-              if (a2 > width || a1 < a0p) corrupt()
-              cur(curLen) = a1; cur(curLen + 1) = a2; curLen += 2
-              a0 = a2
-            case ModeEofb => corrupt() // mid-image EOFB: truncated strip
-            case v => // vertical: a1 = b1 + v, colour flips
-              val a1 = b1 + v
-              if (a1 < 0 || a1 > width || a1 <= a0) corrupt()
-              cur(curLen) = a1; curLen += 1
-              a0 = a1
-              white = !white
-          }
-        }
-        // changes alternate w→b, b→w: paint [cur(2k), cur(2k+1)) black
-        var k = 0
-        while (k < curLen) {
-          val start = cur(k)
-          val end = if (k + 1 < curLen) cur(k + 1) else width
-          var x = start
-          while (x < end) {
-            out(r * rowBytes + (x >> 3)) =
-              (out(r * rowBytes + (x >> 3)) | (0x80 >> (x & 7))).toByte
-            x += 1
-          }
-          k += 2
-        }
-        ref = java.util.Arrays.copyOf(cur, curLen)
+        val cur = decode2dRow(rd, ref, width)
+        paintRow(out, r, rowBytes, cur, width)
+        ref = cur
+        r += 1
+      }
+      out
+    } catch { case _: Corrupt => null }
+  }
+
+  /** CCITT "Modified Huffman" (TIFF compression 2, a.k.a. CCITT RLE):
+    * each line coded 1-D, each line starting on a BYTE boundary. */
+  private[operators] def mhDecode(b: Array[Byte], from: Int, until: Int,
+      width: Int, rows: Int): Array[Byte] = {
+    if (from < 0 || until > b.length || from >= until) return null
+    val rowBytes = (width + 7) / 8
+    val out = new Array[Byte](rowBytes * rows)
+    val rd = new BitRd(b, from, until)
+    try {
+      var r = 0
+      while (r < rows) {
+        rd.align()
+        paintRow(out, r, rowBytes, decodeMhRow(rd, width), width)
+        r += 1
+      }
+      out
+    } catch { case _: Corrupt => null }
+  }
+
+  /** Consume an EOL (≥11 zeros then a 1) if one sits at the current
+    * position, tolerating fill bits; -1 = none, else the post-EOL mode
+    * bit for 2D streams (1 = next line 1D, 0 = 2D) or 1 for 1D. */
+  private def tryEol(rd: BitRd, twoD: Boolean): Int = {
+    val m = rd.mark
+    try {
+      var zeros = 0
+      var bit = rd.read()
+      while (bit == 0) { zeros += 1; bit = rd.read() }
+      if (zeros < 11) { rd.reset(m); -1 }
+      else if (twoD) rd.read()
+      else 1
+    } catch { case _: Corrupt => rd.reset(m); -1 }
+  }
+
+  /** CCITT Group 3 / T.4 (TIFF compression 3): EOL-separated lines;
+    * plain 1D, or — when `twoD` (T4Options bit 0) — each EOL carries a
+    * mode bit selecting 1D or 2D coding for the next line. Leading EOL
+    * optional, fill bits tolerated (the EOL scan eats them). */
+  private[operators] def g3Decode(b: Array[Byte], from: Int, until: Int,
+      width: Int, rows: Int, twoD: Boolean): Array[Byte] = {
+    if (from < 0 || until > b.length || from >= until) return null
+    val rowBytes = (width + 7) / 8
+    val out = new Array[Byte](rowBytes * rows)
+    val rd = new BitRd(b, from, until)
+    try {
+      var ref = new Array[Int](0)
+      var r = 0
+      while (r < rows) {
+        val mode = tryEol(rd, twoD)
+        val oneD = if (mode >= 0) mode == 1
+                   else !twoD || r == 0 // no EOL: 1D unless mid-2D-stream
+        if (mode < 0 && twoD && r > 0) corrupt() // 2D lines need their EOL
+        val cur = if (oneD) decodeMhRow(rd, width)
+                  else decode2dRow(rd, ref, width)
+        paintRow(out, r, rowBytes, cur, width)
+        ref = cur
         r += 1
       }
       out
@@ -792,6 +908,9 @@ object TiffCodec {
       if (nb > 0) { out.write((acc << (8 - nb)) & 0xff); acc = 0; nb = 0 }
       out.toByteArray
     }
+    /** Pad to the next byte boundary (compression-2 row starts). */
+    def align(): Unit =
+      if (nb > 0) { out.write((acc << (8 - nb)) & 0xff); acc = 0; nb = 0 }
   }
 
   private def writeRun(w: BitWr, runIn: Int, white: Boolean): Unit = {
@@ -817,57 +936,115 @@ object TiffCodec {
   }
 
   /** T.6 encode of one strip of boolean rows (true = black). */
+  /** Changing elements of one boolean row. */
+  private def rowChanges(row: Array[Boolean], width: Int): Array[Int] = {
+    val cur = new Array[Int](width + 2)
+    var curLen = 0
+    var x = 0
+    var prev = false
+    while (x < width) {
+      if (row(x) != prev) { cur(curLen) = x; curLen += 1; prev = row(x) }
+      x += 1
+    }
+    java.util.Arrays.copyOf(cur, curLen)
+  }
+
+  /** Emit one 2D-coded line (T.6 / T.4 2D) against `ref`. */
+  private def encode2dRow(w: BitWr, ref: Array[Int], cur: Array[Int],
+      width: Int): Unit = {
+    var a0 = -1
+    var white = true
+    var ai = 0 // index of first cur change > a0
+    while (a0 < width) {
+      while (ai < cur.length && cur(ai) <= a0) ai += 1
+      val a1 = if (ai < cur.length) cur(ai) else width
+      val a2 = if (ai + 1 < cur.length) cur(ai + 1) else width
+      var i = if (white) 0 else 1
+      while (i < ref.length && ref(i) <= a0) i += 2
+      val b1 = if (i < ref.length) ref(i) else width
+      val b2 = if (i + 1 < ref.length) ref(i + 1) else width
+      if (b2 < a1) { // pass
+        w.put(1, 4) // 0001
+        a0 = b2
+      } else if (math.abs(a1 - b1) <= 3) { // vertical
+        a1 - b1 match {
+          case 0 => w.put(1, 1)
+          case 1 => w.put(3, 3) // 011
+          case 2 => w.put(3, 6) // 000011
+          case 3 => w.put(3, 7) // 0000011
+          case -1 => w.put(2, 3) // 010
+          case -2 => w.put(2, 6) // 000010
+          case _ => w.put(2, 7) // 0000010
+        }
+        a0 = a1
+        white = !white
+      } else { // horizontal
+        w.put(1, 3) // 001
+        val a0p = math.max(a0, 0)
+        writeRun(w, a1 - a0p, white)
+        writeRun(w, a2 - a1, !white)
+        a0 = a2
+      }
+    }
+  }
+
+  /** Emit one 1D modified-Huffman line from its changing elements. */
+  private def encodeMhRow(w: BitWr, cur: Array[Int], width: Int): Unit = {
+    var pos = 0
+    var white = true
+    var k = 0
+    while (pos < width) {
+      val next = if (k < cur.length) cur(k) else width
+      writeRun(w, next - pos, white)
+      pos = next
+      white = !white
+      k += 1
+    }
+  }
+
   private[operators] def g4Encode(rows: Array[Array[Boolean]],
       width: Int): Array[Byte] = {
     val w = new BitWr
     var ref = new Array[Int](0)
     rows.foreach { row =>
-      val cur = new Array[Int](width + 2)
-      var curLen = 0
-      var x = 0
-      var prev = false
-      while (x < width) {
-        if (row(x) != prev) { cur(curLen) = x; curLen += 1; prev = row(x) }
-        x += 1
-      }
-      var a0 = -1
-      var white = true
-      var ai = 0 // index of first cur change > a0
-      while (a0 < width) {
-        while (ai < curLen && cur(ai) <= a0) ai += 1
-        val a1 = if (ai < curLen) cur(ai) else width
-        val a2 = if (ai + 1 < curLen) cur(ai + 1) else width
-        var i = if (white) 0 else 1
-        while (i < ref.length && ref(i) <= a0) i += 2
-        val b1 = if (i < ref.length) ref(i) else width
-        val b2 = if (i + 1 < ref.length) ref(i + 1) else width
-        if (b2 < a1) { // pass
-          w.put(1, 4) // 0001
-          a0 = b2
-        } else if (math.abs(a1 - b1) <= 3) { // vertical
-          a1 - b1 match {
-            case 0 => w.put(1, 1)
-            case 1 => w.put(3, 3) // 011
-            case 2 => w.put(3, 6) // 000011
-            case 3 => w.put(3, 7) // 0000011
-            case -1 => w.put(2, 3) // 010
-            case -2 => w.put(2, 6) // 000010
-            case _ => w.put(2, 7) // 0000010
-          }
-          a0 = a1
-          white = !white
-        } else { // horizontal
-          w.put(1, 3) // 001
-          val a0p = math.max(a0, 0)
-          writeRun(w, a1 - a0p, white)
-          writeRun(w, a2 - a1, !white)
-          a0 = a2
-        }
-      }
-      ref = java.util.Arrays.copyOf(cur, curLen)
+      val cur = rowChanges(row, width)
+      encode2dRow(w, ref, cur, width)
+      ref = cur
     }
     // EOFB: two T.4 EOLs (000000000001 twice)
     w.put(1, 12); w.put(1, 12)
+    w.bytes()
+  }
+
+  /** Compression-2 (Modified Huffman) strip: 1D lines, byte-aligned. */
+  private[operators] def mhEncode(rows: Array[Array[Boolean]],
+      width: Int): Array[Byte] = {
+    val w = new BitWr
+    rows.foreach { row =>
+      w.align()
+      encodeMhRow(w, rowChanges(row, width), width)
+    }
+    w.bytes()
+  }
+
+  /** Compression-3 (T.4) strip: EOL before every line; in 2D mode the
+    * EOL carries the mode bit and rows alternate 1D / 2D (k = 2 — every
+    * other line re-anchors, the standard error-confinement choice). */
+  private[operators] def g3Encode(rows: Array[Array[Boolean]],
+      width: Int, twoD: Boolean): Array[Byte] = {
+    val w = new BitWr
+    var ref = new Array[Int](0)
+    var r = 0
+    while (r < rows.length) {
+      val cur = rowChanges(rows(r), width)
+      val oneD = !twoD || r % 2 == 0
+      w.put(1, 12) // EOL
+      if (twoD) w.put(if (oneD) 1 else 0, 1)
+      if (oneD) encodeMhRow(w, cur, width)
+      else encode2dRow(w, ref, cur, width)
+      ref = cur
+      r += 1
+    }
     w.bytes()
   }
 
@@ -875,14 +1052,38 @@ object TiffCodec {
     * (WhiteIsZero — the fax convention: `black(x, y)` = true encodes a
     * black pixel). Strips code independently, per the TIFF contract. */
   def encodeTiffG4(width: Int, height: Int, black: (Int, Int) => Boolean,
-      bigEndian: Boolean = false, rowsPerStrip: Int = 0): Array[Byte] = {
+      bigEndian: Boolean = false, rowsPerStrip: Int = 0): Array[Byte] =
+    encodeTiffFax(width, height, black, 4, twoD = false, bigEndian,
+      rowsPerStrip)
+
+  /** Bilevel TIFF, CCITT Modified Huffman (compression 2, "CCITT RLE"):
+    * 1D lines, byte-aligned rows. */
+  def encodeTiffMh(width: Int, height: Int, black: (Int, Int) => Boolean,
+      bigEndian: Boolean = false, rowsPerStrip: Int = 0): Array[Byte] =
+    encodeTiffFax(width, height, black, 2, twoD = false, bigEndian,
+      rowsPerStrip)
+
+  /** Bilevel TIFF, CCITT Group 3 / T.4 (compression 3): EOL-separated
+    * 1D lines, or alternating 1D/2D when `twoD` (T4Options bit 0). */
+  def encodeTiffG3(width: Int, height: Int, black: (Int, Int) => Boolean,
+      twoD: Boolean = false, bigEndian: Boolean = false,
+      rowsPerStrip: Int = 0): Array[Byte] =
+    encodeTiffFax(width, height, black, 3, twoD, bigEndian, rowsPerStrip)
+
+  private def encodeTiffFax(width: Int, height: Int,
+      black: (Int, Int) => Boolean, comp: Int, twoD: Boolean,
+      bigEndian: Boolean, rowsPerStrip: Int): Array[Byte] = {
     require(width > 0 && height > 0 && width.toLong * height <= MaxPixels)
     val rps = if (rowsPerStrip < 1) height else math.min(rowsPerStrip, height)
     val nStrips = (height + rps - 1) / rps
     val strips = Array.tabulate(nStrips) { s =>
       val rows = math.min(rps, height - s * rps)
-      g4Encode(Array.tabulate(rows, width)((r, x) => black(x, s * rps + r)),
-        width)
+      val bools = Array.tabulate(rows, width)((r, x) => black(x, s * rps + r))
+      comp match {
+        case 2 => mhEncode(bools, width)
+        case 3 => g3Encode(bools, width, twoD)
+        case _ => g4Encode(bools, width)
+      }
     }
 
     val out = new java.io.ByteArrayOutputStream()
@@ -894,7 +1095,9 @@ object TiffCodec {
       else { w8(v); w8(v >> 8); w8(v >> 16); w8(v >> 24) }
     w8(if (bigEndian) 'M' else 'I'); w8(if (bigEndian) 'M' else 'I')
     w16(42); w32(8)
-    val nEntries = 11
+    // compression 2 carries no options tag; 3 carries T4Options, 4
+    // carries T6Options
+    val nEntries = if (comp == 2) 10 else 11
     val ifdSize = 2 + nEntries * 12 + 4
     var cursor = 8 + ifdSize
     val needArrays = nStrips > 1
@@ -914,14 +1117,15 @@ object TiffCodec {
     entry(256, 3, 1, width)
     entry(257, 3, 1, height)
     entry(258, 3, 1, 1)
-    entry(259, 3, 1, 4) // CCITT Group 4
+    entry(259, 3, 1, comp) // 2 MH / 3 T.4 / 4 T.6
     entry(262, 3, 1, 0) // WhiteIsZero
     entry(273, 4, nStrips, if (needArrays) offsOff else stripOffsets(0))
     entry(277, 3, 1, 1)
     entry(278, 3, 1, rps)
     entry(279, 4, nStrips, if (needArrays) cntsOff else strips(0).length)
     entry(284, 3, 1, 1)
-    entry(293, 4, 1, 0) // T6Options: no extensions
+    if (comp == 3) entry(292, 4, 1, if (twoD) 1 else 0) // T4Options
+    else if (comp == 4) entry(293, 4, 1, 0) // T6Options: no extensions
     w32(0)
     if (needArrays) {
       stripOffsets.foreach(w32)

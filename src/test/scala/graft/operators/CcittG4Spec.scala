@@ -66,9 +66,47 @@ class CcittG4Spec extends AnyFunSuite {
       "long runs")
   }
 
+  // ------------------------------------- MH (2) and G3/T.4 (3) spellings
+
+  test("Modified Huffman (compression 2): byte-aligned 1D rows round-trip") {
+    for (seed <- 1 to 4) {
+      val (w, h) = (23 + 7 * seed, 6)
+      val f = pattern(seed + 40) _
+      val bytes = TiffCodec.encodeTiffMh(w, h, f, bigEndian = seed % 2 == 0)
+      assertImage(TiffCodec.decode(bytes).getOrElse(fail(s"mh $seed: None")),
+        w, h, f, s"mh seed $seed")
+    }
+  }
+
+  test("Group 3 / T.4: 1D and alternating-2D spellings round-trip") {
+    for (seed <- 1 to 4; twoD <- Seq(false, true)) {
+      val (w, h) = (31 + 5 * seed, 8)
+      val f = pattern(seed + 60) _
+      val bytes = TiffCodec.encodeTiffG3(w, h, f, twoD = twoD,
+        rowsPerStrip = if (seed % 2 == 0) 3 else 0)
+      assertImage(TiffCodec.decode(bytes).getOrElse(
+        fail(s"g3 $seed twoD=$twoD: None")), w, h, f, s"g3 $seed twoD=$twoD")
+    }
+  }
+
+  test("T4Options/T6Options uncompressed-mode bits take the labeled stub") {
+    val g3 = TiffCodec.encodeTiffG3(16, 4, (x, _) => x % 3 == 0)
+    // patch T4Options (tag 292) from 0 to 2 — uncompressed mode allowed
+    val n3 = (g3(8) & 0xff) | ((g3(9) & 0xff) << 8)
+    var patched: Array[Byte] = null
+    for (e <- 0 until n3) {
+      val at = 10 + 12 * e
+      if (((g3(at) & 0xff) | ((g3(at + 1) & 0xff) << 8)) == 292) {
+        patched = g3.clone(); patched(at + 8) = 2
+      }
+    }
+    assert(patched != null)
+    assert(TiffCodec.decode(patched).isEmpty)
+  }
+
   // ------------------------------------------------ ImageIO cross-check
 
-  private def imageIoWriteG4(w: Int, h: Int,
+  private def imageIoWriteFax(w: Int, h: Int, compression: String,
       black: (Int, Int) => Boolean): Array[Byte] = {
     import javax.imageio._
     val img = new java.awt.image.BufferedImage(w, h,
@@ -78,7 +116,7 @@ class CcittG4Spec extends AnyFunSuite {
     val wr = ImageIO.getImageWritersByFormatName("tiff").next()
     val p = wr.getDefaultWriteParam
     p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
-    p.setCompressionType("CCITT T.6")
+    p.setCompressionType(compression)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
     wr.setOutput(ios)
@@ -91,7 +129,7 @@ class CcittG4Spec extends AnyFunSuite {
     for (seed <- 1 to 4) {
       val (w, h) = (53 + seed, 9)
       val f = pattern(seed + 20) _
-      val bytes = imageIoWriteG4(w, h, f)
+      val bytes = imageIoWriteFax(w, h, "CCITT T.6", f)
       // TYPE_BYTE_BINARY + CCITT writes photometric 0, sample 0 = black
       // per the fax convention ImageIO follows
       val img = TiffCodec.decode(bytes).getOrElse(fail(s"seed $seed: None"))
@@ -99,20 +137,38 @@ class CcittG4Spec extends AnyFunSuite {
     }
   }
 
-  test("ImageIO reads our T.6 output (encoder conformance)") {
-    for (seed <- 5 to 8) {
+  test("our decoder reads ImageIO-written CCITT RLE and T.4 streams") {
+    for ((comp, label) <- Seq("CCITT RLE" -> "rle", "CCITT T.4" -> "t4");
+         seed <- 1 to 3) {
+      val (w, h) = (37 + 4 * seed, 7)
+      val f = pattern(seed + 80) _
+      val bytes = imageIoWriteFax(w, h, comp, f)
+      val img = TiffCodec.decode(bytes)
+        .getOrElse(fail(s"$label $seed: None"))
+      assertImage(img, w, h, f, s"imageio-$label seed $seed")
+    }
+  }
+
+  test("ImageIO reads our T.6, MH, and T.4 output (encoder conformance)") {
+    for (seed <- 5 to 7; comp <- 0 to 3) {
       val (w, h) = (29 + 3 * seed, 7)
-      val f = pattern(seed) _
-      val bytes = TiffCodec.encodeTiffG4(w, h, f)
+      val f = pattern(seed + 10 * comp) _
+      val bytes = comp match {
+        case 0 => TiffCodec.encodeTiffG4(w, h, f)
+        case 1 => TiffCodec.encodeTiffMh(w, h, f)
+        case 2 => TiffCodec.encodeTiffG3(w, h, f)
+        case _ => TiffCodec.encodeTiffG3(w, h, f, twoD = true)
+      }
       val back = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
-      assert(back != null && back.getWidth == w && back.getHeight == h)
+      assert(back != null && back.getWidth == w && back.getHeight == h,
+        s"comp $comp seed $seed")
       for (y <- 0 until h; x <- 0 until w) {
         // photometric 0: sample 0 = white in TIFF terms, but ImageIO
         // maps WhiteIsZero to gray levels — read via RGB
         val rgb = back.getRGB(x, y) & 0xff
         assert(rgb == (if (f(x, y)) 0 else 255),
-          s"ours->imageio seed $seed ($x,$y)")
+          s"ours->imageio comp $comp seed $seed ($x,$y)")
       }
     }
   }

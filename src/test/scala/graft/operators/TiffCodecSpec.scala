@@ -160,7 +160,9 @@ class TiffCodecSpec extends AnyFunSuite {
       assert(TiffCodec.decode(ok.take(cut)).isEmpty, s"cut=$cut")
     val badMagic = ok.clone(); badMagic(2) = 43
     assert(TiffCodec.decode(badMagic).isEmpty)
-    // compression CCITT (2): find the SHORT entry value for tag 259
+    // compression CCITT (2) on an RGB 8-bit shape: fax codings are
+    // bilevel-only, so the mismatch refuses (the bilevel decode itself
+    // is real since round 19 — CcittG4Spec). Patch tag 259's SHORT value:
     def patchShortTag(b: Array[Byte], tag: Int, v: Int): Array[Byte] = {
       val out = b.clone()
       val n = (out(8) & 0xff) | ((out(9) & 0xff) << 8)
