@@ -10,6 +10,9 @@ package graft.operators
   *  - Container: `II`*42 little-endian or `MM`*42 big-endian; the FIRST
   *    IFD only (multi-page files decode their first page). Entry types
   *    BYTE/SHORT/LONG read endian-aware, inline or by offset.
+  *    Planar configuration 2 (separate component planes, per-plane
+  *    strip sequences, plane-stride predictor) decodes for the RGB
+  *    shape since round 19 — ImageIO-cross-checked.
   *  - Shapes: grayscale 1/4/8/16-bit (photometric 0 WhiteIsZero —
   *    inverted — and 1 BlackIsZero; 16-bit keeps the high byte,
   *    endian-aware), PALETTE 4/8-bit (ColorMap SHORTs, high byte), RGB
@@ -149,7 +152,11 @@ object TiffCodec {
     if (stripOffsets == null || stripCounts == null ||
         stripOffsets.length != stripCounts.length || stripOffsets.isEmpty)
       return None
-    if (planar != 1) return None // planar config 2: out of scope
+    // planar configuration 2 (separate component planes — round 19):
+    // supported for the RGB 8-bit shape below; with one sample per
+    // pixel the two configurations are byte-identical, so spp==1 files
+    // declaring planar 2 decode through the chunky path
+    if (planar != 1 && planar != 2) return None
     if (predictor != 1 && predictor != 2) return None
     if (spp != bits.length) return None
     val bps = bits(0)
@@ -175,6 +182,64 @@ object TiffCodec {
     val rps = if (rowsPerStrip < 1 || rowsPerStrip > height) height
               else rowsPerStrip.toInt
     val expectStrips = (height + rps - 1) / rps
+
+    // ---------- planar configuration 2: per-component strip sequences
+    if (planar == 2 && spp > 1) {
+      // RGB 8-bit only (the shape the spec's planar examples use); the
+      // strip list is all of plane 0's strips, then plane 1's, plane 2's
+      if (shape != "rgb") return None
+      if (stripOffsets.length < 3 * expectStrips) return None
+      val rowBytesP = width // 8-bit, one sample per pixel per plane
+      val out = new Array[Byte](width * height * 3)
+      var c = 0
+      while (c < 3) {
+        var stripRow = 0
+        var s = 0
+        while (s < expectStrips) {
+          val idx = c * expectStrips + s
+          val rows = math.min(rps, height - stripRow)
+          val off = stripOffsets(idx)
+          val cnt = stripCounts(idx)
+          if (off < 0 || cnt < 0 || off + cnt > b.length) return None
+          val raw = compression match {
+            case 1 =>
+              if (cnt < rowBytesP.toLong * rows) return None
+              java.util.Arrays.copyOfRange(b, off.toInt,
+                (off + rowBytesP.toLong * rows).toInt)
+            case 5 => lzwDecode(b, off.toInt, (off + cnt).toInt, rowBytesP * rows)
+            case 32773 => packBitsDecode(b, off.toInt, (off + cnt).toInt,
+              rowBytesP * rows)
+            case _ => return None
+          }
+          if (predictor == 2) { // per plane the delta stride is ONE sample
+            var r = 0
+            while (r < rows) {
+              var i = 1
+              while (i < rowBytesP) {
+                raw(r * rowBytesP + i) =
+                  ((raw(r * rowBytesP + i) + raw(r * rowBytesP + i - 1)) & 0xff).toByte
+                i += 1
+              }
+              r += 1
+            }
+          }
+          var r = 0
+          while (r < rows) {
+            var x = 0
+            while (x < width) {
+              out(((stripRow + r) * width + x) * 3 + c) = raw(r * rowBytesP + x)
+              x += 1
+            }
+            r += 1
+          }
+          stripRow += rows
+          s += 1
+        }
+        c += 1
+      }
+      return Some(PixelImage(width, height, out))
+    }
+
     if (stripOffsets.length < expectStrips) return None
     val rowBytes = ((width.toLong * spp * bps + 7) / 8).toInt
 
@@ -361,14 +426,15 @@ object TiffCodec {
     * under LZW. */
   def encodeTiffRgb(width: Int, height: Int, px: (Int, Int) => (Int, Int, Int),
       compression: String = "none", bigEndian: Boolean = false,
-      rowsPerStrip: Int = 0, predictor: Boolean = false): Array[Byte] = {
+      rowsPerStrip: Int = 0, predictor: Boolean = false,
+      planar2: Boolean = false): Array[Byte] = {
     val spp = 3
     val raster = Array.tabulate(height, width * 3) { (y, i) =>
       val (r, g, b) = px(i / 3, y)
       (i % 3 match { case 0 => r case 1 => g case _ => b }).toByte
     }
     encodeCore(width, height, spp, 8, 2, raster, compression, bigEndian,
-      rowsPerStrip, predictor, null)
+      rowsPerStrip, predictor, null, planar2)
   }
 
   /** Grayscale 8-bit; photometric 1 (BlackIsZero) or 0 (WhiteIsZero —
@@ -402,8 +468,9 @@ object TiffCodec {
   private def encodeCore(width: Int, height: Int, spp: Int, bps: Int,
       photometric: Int, raster: Array[Array[Byte]], compression: String,
       bigEndian: Boolean, rowsPerStrip: Int, predictor: Boolean,
-      palette: Array[Int]): Array[Byte] = {
+      palette: Array[Int], planar2: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0 && width.toLong * height <= MaxPixels)
+    require(!planar2 || spp == 3, "planar configuration 2 is the RGB shape")
     val comp = compression match {
       case "none" => 1
       case "lzw" => 5
@@ -412,31 +479,60 @@ object TiffCodec {
     }
     require(!predictor || comp == 5, "predictor rides LZW")
     val rps = if (rowsPerStrip < 1) height else math.min(rowsPerStrip, height)
-    val nStrips = (height + rps - 1) / rps
-    val rowBytes = width * spp
+    val perPlane = (height + rps - 1) / rps
+    // planar 2: the strip list is plane 0's strips, then 1's, then 2's
+    val nStrips = if (planar2) 3 * perPlane else perPlane
 
-    val strips = Array.tabulate(nStrips) { s =>
-      val rows = math.min(rps, height - s * rps)
-      val plain = new Array[Byte](rows * rowBytes)
-      var r = 0
-      while (r < rows) {
-        System.arraycopy(raster(s * rps + r), 0, plain, r * rowBytes, rowBytes)
-        if (predictor) { // horizontal differencing, back to front
-          var i = rowBytes - 1
-          while (i >= spp) {
-            plain(r * rowBytes + i) =
-              ((plain(r * rowBytes + i) - plain(r * rowBytes + i - spp)) & 0xff).toByte
-            i -= 1
-          }
-        }
-        r += 1
-      }
-      comp match {
-        case 1 => plain
-        case 5 => lzwEncode(plain)
-        case _ => packBitsEncode(plain)
-      }
+    def compress(plain: Array[Byte]): Array[Byte] = comp match {
+      case 1 => plain
+      case 5 => lzwEncode(plain)
+      case _ => packBitsEncode(plain)
     }
+
+    val strips =
+      if (!planar2) Array.tabulate(perPlane) { s =>
+        val rowBytes = width * spp
+        val rows = math.min(rps, height - s * rps)
+        val plain = new Array[Byte](rows * rowBytes)
+        var r = 0
+        while (r < rows) {
+          System.arraycopy(raster(s * rps + r), 0, plain, r * rowBytes, rowBytes)
+          if (predictor) { // horizontal differencing, back to front
+            var i = rowBytes - 1
+            while (i >= spp) {
+              plain(r * rowBytes + i) =
+                ((plain(r * rowBytes + i) - plain(r * rowBytes + i - spp)) & 0xff).toByte
+              i -= 1
+            }
+          }
+          r += 1
+        }
+        compress(plain)
+      }
+      else Array.tabulate(nStrips) { idx =>
+        val c = idx / perPlane
+        val s = idx % perPlane
+        val rows = math.min(rps, height - s * rps)
+        val plain = new Array[Byte](rows * width)
+        var r = 0
+        while (r < rows) {
+          var x = 0
+          while (x < width) {
+            plain(r * width + x) = raster(s * rps + r)(x * spp + c)
+            x += 1
+          }
+          if (predictor) { // per plane the delta stride is ONE sample
+            var i = width - 1
+            while (i >= 1) {
+              plain(r * width + i) =
+                ((plain(r * width + i) - plain(r * width + i - 1)) & 0xff).toByte
+              i -= 1
+            }
+          }
+          r += 1
+        }
+        compress(plain)
+      }
 
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -490,7 +586,7 @@ object TiffCodec {
     entry(277, 3, 1, spp)
     entry(278, 3, 1, rps)
     entry(279, 4, nStrips, if (needOffArrays) cntsOff else strips(0).length)
-    entry(284, 3, 1, 1) // chunky planar configuration, explicit
+    entry(284, 3, 1, if (planar2) 2 else 1) // planar configuration
     if (predictor) entry(317, 3, 1, 2)
     if (palette != null) entry(320, 3, 3 * 256, mapOff)
     w32(0) // no next IFD

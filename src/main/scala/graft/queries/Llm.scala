@@ -681,7 +681,7 @@ object Llm {
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v20-g4") {
+      version = "v21-planar") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -736,10 +736,13 @@ object Llm {
                   rowsPerStrip = 1 + (id % 3).toInt)
               else {
                 val comp = Seq("none", "packbits", "lzw")(((id / 20) % 4).toInt)
+                // planar-2 spelling sub-rotation (round 19): separate
+                // component planes, same pixels — oracle invariant
                 graft.operators.TiffCodec.encodeTiffRgb(w, h, px, comp,
                   bigEndian = (id / 40) % 2 == 1,
                   rowsPerStrip = 1 + (id % 3).toInt,
-                  predictor = comp == "lzw" && (id / 80) % 2 == 1)
+                  predictor = comp == "lzw" && (id / 80) % 2 == 1,
+                  planar2 = (id / 160) % 2 == 1)
               }
             } else graft.operators.PixelCodec.encodeGif(w, h, px)
           case 3 =>
