@@ -91,6 +91,7 @@ object TiffCodec {
     var extraSamples = 0
     var t4Options = 0L
     var t6Options = 0L
+    var jpegTables: Array[Byte] = null
 
     def typeSize(t: Int): Int = t match {
       case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEFINED
@@ -141,6 +142,15 @@ object TiffCodec {
         case 317 => predictor = values(typ, count, vat)(0).toInt
         case 292 => t4Options = values(typ, count, vat)(0)
         case 293 => t6Options = values(typ, count, vat)(0)
+        case 347 => // JPEGTables: shared DQT/DHT for abbreviated strips
+          if (count < 0 || count > (1 << 20) || typ != 7 && typ != 1)
+            corrupt()
+          val base = if (count <= 4) vat else {
+            val o = u32(vat)
+            if (o + count > b.length) corrupt()
+            o.toInt
+          }
+          jpegTables = java.util.Arrays.copyOfRange(b, base, base + count)
         case 320 => colorMap = values(typ, count, vat).map(_.toInt)
         case 338 => extraSamples = count // RGBA: alpha dropped below
         case _ => () // resolution, descriptions, … — irrelevant to pixels
@@ -167,6 +177,9 @@ object TiffCodec {
       case (0 | 1, 1, 1 | 4 | 8 | 16) if spp == 1 => "gray"
       case (3, 1, 4 | 8) if spp == 1 && colorMap != null => "palette"
       case (2, 3, 8) => "rgb"
+      // new-style JPEG-in-TIFF carries YCbCr (photometric 6) strips;
+      // the embedded T.81 decode outputs RGB directly
+      case (6, 3, 8) if compression == 7 => "rgb"
       case _ => return None
     }
     if (shape == "palette" && colorMap.length < 3 * (1 << bps)) return None
@@ -269,8 +282,36 @@ object TiffCodec {
           if (d == null) return None
           d
         case 5 => lzwDecode(b, off.toInt, (off + cnt).toInt, rowBytes * rows)
+        case 7 =>
+          // new-style JPEG-in-TIFF: each strip is a T.81 stream, either
+          // complete or abbreviated against the shared JPEGTables tag
+          val strip = java.util.Arrays.copyOfRange(b, off.toInt, (off + cnt).toInt)
+          if (strip.length < 4 || (strip(0) & 0xff) != 0xff ||
+              (strip(1) & 0xff) != 0xd8) return None
+          val stream =
+            if (jpegTables != null && jpegTables.length > 4) {
+              // SOI + tables body (sans its SOI/EOI) + strip body
+              val o = new java.io.ByteArrayOutputStream(
+                jpegTables.length + strip.length)
+              o.write(0xff); o.write(0xd8)
+              o.write(jpegTables, 2, jpegTables.length - 4)
+              o.write(strip, 2, strip.length - 2)
+              o.toByteArray
+            } else strip
+          val img = JpegCodec.decode(stream) match {
+            case Some(i) => i
+            case None => return None
+          }
+          if (img.width != width || img.height != rows) return None
+          if (shape == "rgb") img.rgb
+          else { // gray: the decoder replicates luma across channels
+            val g = new Array[Byte](width * rows)
+            var i = 0
+            while (i < g.length) { g(i) = img.rgb(3 * i); i += 1 }
+            g
+          }
         case 32773 => packBitsDecode(b, off.toInt, (off + cnt).toInt, rowBytes * rows)
-        case _ => return None // JPEG-in-TIFF: labeled stub
+        case _ => return None // old-style JPEG (compression 6): labeled stub
       }
       if (predictor == 2) { // horizontal differencing, per row per channel
         var r = 0
@@ -1165,6 +1206,107 @@ object TiffCodec {
       twoD: Boolean = false, bigEndian: Boolean = false,
       rowsPerStrip: Int = 0): Array[Byte] =
     encodeTiffFax(width, height, black, 3, twoD, bigEndian, rowsPerStrip)
+
+  /** Split a complete T.81 stream into (JPEGTables blob, abbreviated
+    * stream): DQT/DHT segments move into `SOI <tables> EOI`, everything
+    * else (APP0, SOF, the SOS-to-EOI entropy tail) stays. */
+  private def splitJpegTables(s: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val tables = new java.io.ByteArrayOutputStream()
+    val rest = new java.io.ByteArrayOutputStream()
+    tables.write(0xff); tables.write(0xd8)
+    rest.write(0xff); rest.write(0xd8)
+    var i = 2
+    var go = true
+    while (go) {
+      require(i + 4 <= s.length && (s(i) & 0xff) == 0xff, "marker walk")
+      val m = s(i + 1) & 0xff
+      if (m == 0xda) { // SOS: the rest is entropy data + EOI, verbatim
+        rest.write(s, i, s.length - i)
+        go = false
+      } else {
+        val tot = 2 + (((s(i + 2) & 0xff) << 8) | (s(i + 3) & 0xff))
+        if (m == 0xdb || m == 0xc4) tables.write(s, i, tot)
+        else rest.write(s, i, tot)
+        i += tot
+      }
+    }
+    tables.write(0xff); tables.write(0xd9)
+    (tables.toByteArray, rest.toByteArray)
+  }
+
+  /** Grayscale new-style JPEG-in-TIFF (compression 7): per-strip T.81
+    * baseline streams — complete, or abbreviated with the shared
+    * DQT/DHT in the JPEGTables tag when `tablesTag`. Content constant
+    * per 8×8 block round-trips bit-exactly (DC-only, all-ones quant —
+    * the q47 JPEG-slot discipline). */
+  def encodeTiffJpegGray(width: Int, height: Int, gray: (Int, Int) => Int,
+      rowsPerStrip: Int = 0, tablesTag: Boolean = false,
+      bigEndian: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && width.toLong * height <= MaxPixels)
+    val rps = if (rowsPerStrip < 1) height else math.min(rowsPerStrip, height)
+    val nStrips = (height + rps - 1) / rps
+    val full = Array.tabulate(nStrips) { s =>
+      val rows = math.min(rps, height - s * rps)
+      JpegCodec.encodeJpeg(width, rows, (x, y) => {
+        val v = gray(x, s * rps + y)
+        (v, v, v)
+      }, gray = true)
+    }
+    val (tablesBlob, strips) =
+      if (!tablesTag) (null, full)
+      else {
+        val split = full.map(splitJpegTables)
+        (split(0)._1, split.map(_._2))
+      }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (bigEndian) { w8(v >> 8); w8(v) } else { w8(v); w8(v >> 8) }
+    def w32(v: Int): Unit =
+      if (bigEndian) { w8(v >> 24); w8(v >> 16); w8(v >> 8); w8(v) }
+      else { w8(v); w8(v >> 8); w8(v >> 16); w8(v >> 24) }
+    w8(if (bigEndian) 'M' else 'I'); w8(if (bigEndian) 'M' else 'I')
+    w16(42); w32(8)
+    val nEntries = if (tablesTag) 11 else 10
+    val ifdSize = 2 + nEntries * 12 + 4
+    var cursor = 8 + ifdSize
+    val needArrays = nStrips > 1
+    val offsOff = cursor
+    if (needArrays) cursor += 4 * nStrips
+    val cntsOff = cursor
+    if (needArrays) cursor += 4 * nStrips
+    val tablesOff = cursor
+    if (tablesTag) cursor += tablesBlob.length
+    val stripOffsets = new Array[Int](nStrips)
+    var acc = cursor
+    var s = 0
+    while (s < nStrips) { stripOffsets(s) = acc; acc += strips(s).length; s += 1 }
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(count)
+      if (typ == 3 && count == 1) { w16(value); w16(0) } else w32(value)
+    }
+    w16(nEntries)
+    entry(256, 3, 1, width)
+    entry(257, 3, 1, height)
+    entry(258, 3, 1, 8)
+    entry(259, 3, 1, 7) // new-style JPEG
+    entry(262, 3, 1, 1) // BlackIsZero grayscale
+    entry(273, 4, nStrips, if (needArrays) offsOff else stripOffsets(0))
+    entry(277, 3, 1, 1)
+    entry(278, 3, 1, rps)
+    entry(279, 4, nStrips, if (needArrays) cntsOff else strips(0).length)
+    entry(284, 3, 1, 1)
+    if (tablesTag) entry(347, 7, tablesBlob.length, tablesOff)
+    w32(0)
+    if (needArrays) {
+      stripOffsets.foreach(w32)
+      strips.foreach(st => w32(st.length))
+    }
+    if (tablesTag) out.write(tablesBlob, 0, tablesBlob.length)
+    strips.foreach(st => out.write(st, 0, st.length))
+    out.toByteArray
+  }
 
   private def encodeTiffFax(width: Int, height: Int,
       black: (Int, Int) => Boolean, comp: Int, twoD: Boolean,

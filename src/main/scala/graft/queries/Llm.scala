@@ -681,7 +681,7 @@ object Llm {
     // q09's partitioned rewrite) — the timed query measures DECODE
     val out47 = Tables.scratch(s"media47/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
     val mediaDir = Tables.cachedDerived(dir, out47,
-      version = "v21-planar") {
+      version = "v22-jpegtiff") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         val w = 3 + (id % 6).toInt
@@ -734,6 +734,15 @@ object Llm {
                   (x, y) => (x + y + id) % 3 == 0,
                   bigEndian = (id / 40) % 2 == 1,
                   rowsPerStrip = 1 + (id % 3).toInt)
+              else if ((id / 20) % 4 == 0 && (id / 40) % 2 == 0)
+                // JPEG-in-TIFF sub-slot (round 19, compression 7): at
+                // this geometry (w ≤ 8, h ≤ 6) the block-constant gray
+                // is a SINGLE DC-only block = constant br, so all three
+                // channel sums are w·h·br in closed form; tablesTag
+                // rotates the abbreviated-stream spelling
+                graft.operators.TiffCodec.encodeTiffJpegGray(w, h,
+                  (x, y) => br + 7 * (x / 8) + 11 * (y / 8),
+                  tablesTag = (id / 80) % 2 == 1)
               else {
                 val comp = Seq("none", "packbits", "lzw")(((id / 20) % 4).toInt)
                 // planar-2 spelling sub-rotation (round 19): separate
@@ -1009,12 +1018,18 @@ object Llm {
       |            WHEN g.fmt = 4 AND (g.doc_id // 10) % 2 = 1 THEN vsum
       |            WHEN g.fmt = 2 AND (g.doc_id // 10) % 2 = 1
       |                 AND (g.doc_id // 20) % 4 = 3 THEN g4.gsum
+      |            WHEN g.fmt = 2 AND (g.doc_id // 10) % 2 = 1
+      |                 AND (g.doc_id // 20) % 4 = 0 AND (g.doc_id // 40) % 2 = 0
+      |              THEN w*h*br -- JPEG-in-TIFF: single DC-only gray block
       |            ELSE
       |         w*h*br + 3*(h*w*(w-1)//2) + 5*(w*h*(h-1)//2) END AS BIGINT) AS sum_r,
       |       CAST(CASE WHEN g.fmt IN (3, 5, 6) THEN jsum
       |            WHEN g.fmt = 4 AND (g.doc_id // 10) % 2 = 1 THEN vsum
       |            WHEN g.fmt = 2 AND (g.doc_id // 10) % 2 = 1
       |                 AND (g.doc_id // 20) % 4 = 3 THEN g4.gsum
+      |            WHEN g.fmt = 2 AND (g.doc_id // 10) % 2 = 1
+      |                 AND (g.doc_id // 20) % 4 = 0 AND (g.doc_id // 40) % 2 = 0
+      |              THEN w*h*br
       |            WHEN g.fmt IN (7, 9) THEN
       |         CASE WHEN g.fmt = 7 THEN
       |           -- Huffman-lossless shape 2 is 3-component RGB (real
@@ -1031,6 +1046,9 @@ object Llm {
       |            WHEN g.fmt = 4 AND (g.doc_id // 10) % 2 = 1 THEN vsum
       |            WHEN g.fmt = 2 AND (g.doc_id // 10) % 2 = 1
       |                 AND (g.doc_id // 20) % 4 = 3 THEN g4.gsum
+      |            WHEN g.fmt = 2 AND (g.doc_id // 10) % 2 = 1
+      |                 AND (g.doc_id // 20) % 4 = 0 AND (g.doc_id // 40) % 2 = 0
+      |              THEN w*h*br
       |            WHEN g.fmt IN (7, 9) THEN
       |         CASE WHEN g.fmt = 7 THEN
       |           CASE WHEN ((g.doc_id // 10) % 2 = 0 AND (g.doc_id // 20) % 4 = 2)

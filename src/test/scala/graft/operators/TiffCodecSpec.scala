@@ -184,6 +184,60 @@ class TiffCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG-in-TIFF (compression 7): complete and JPEGTables-abbreviated strips") {
+    // block-constant grayscale is DC-only under all-ones quant — the
+    // embedded T.81 streams round-trip bit-exactly (q47's discipline)
+    def g(x: Int, y: Int): Int = 40 + 7 * (x / 8) + 11 * (y / 8)
+    for ((rows, tables, be) <- Seq((0, false, false), (8, false, true),
+        (8, true, false), (16, true, true))) {
+      val bytes = TiffCodec.encodeTiffJpegGray(24, 16, g,
+        rowsPerStrip = rows, tablesTag = tables, bigEndian = be)
+      val img = TiffCodec.decode(bytes)
+        .getOrElse(fail(s"jpeg-in-tiff rows=$rows tables=$tables: None"))
+      assert(img.width == 24 && img.height == 16)
+      for (y <- 0 until 16; x <- 0 until 24)
+        assert((img.rgb((y * 24 + x) * 3) & 0xff) == g(x, y),
+          s"rows=$rows tables=$tables ($x,$y)")
+      // independent read: the JDK TIFF plugin decodes JPEG-in-TIFF
+      val back = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(back != null && back.getWidth == 24 && back.getHeight == 16,
+        s"imageio rows=$rows tables=$tables")
+      // raw raster sample, not getRGB — ImageIO color-manages gray
+      // through an ICC transfer curve that would distort the values
+      for (y <- 0 until 16; x <- 0 until 24)
+        assert(back.getRaster.getSample(x, y, 0) == g(x, y),
+          s"imageio rows=$rows tables=$tables ($x,$y)")
+    }
+  }
+
+  test("ImageIO-written JPEG-in-TIFF decodes through our embedded T.81 decoder") {
+    import javax.imageio._
+    // a CONSTANT image survives JPEG quantization exactly at any quality
+    val img = new java.awt.image.BufferedImage(20, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 20) img.setRGB(x, y, 0x5a5a5a)
+    val wr = ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("JPEG")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new IIOImage(img, null, null), p)
+    ios.close()
+    val out = TiffCodec.decode(bos.toByteArray)
+      .getOrElse(fail("imageio jpeg-in-tiff: None"))
+    assert(out.width == 20 && out.height == 12)
+    for (y <- 0 until 12; x <- 0 until 20) {
+      val o = (y * 20 + x) * 3
+      // constant gray through YCbCr: allow ±1 rounding per channel
+      for (c <- 0 to 2)
+        assert(math.abs((out.rgb(o + c) & 0xff) - 0x5a) <= 1,
+          s"imageio->ours ($x,$y) c=$c got ${out.rgb(o + c) & 0xff}")
+    }
+  }
+
   test("hostile payloads refuse: truncation, bad magic, absurd geometry, planar, CCITT") {
     val ok = TiffCodec.encodeTiffRgb(8, 5, grad, "lzw")
     assert(PixelCodec.decode(ok).isDefined)
