@@ -13,10 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - Cross-reference walk: `startxref` → classic xref TABLES and xref
   *    STREAMS (/Type/XRef with /W field widths + /Index subsections,
   *    FlateDecode), /Prev chains for incremental updates, hybrid
-  *    /XRefStm bridges. Objects living inside OBJECT STREAMS
-  *    (/Type/ObjStm, xref entry type 2) are out of baseline scope —
-  *    their entries are skipped, and a document whose page tree needs
-  *    them refuses to NULL rather than emitting partial text.
+  *    /XRefStm bridges, and OBJECT STREAMS (/Type/ObjStm, xref entry
+  *    type 2 — the layout modern writers emit): the container's
+  *    N/First header pairs resolve member objects on demand.
   *  - Document walk: trailer /Root → /Pages tree (inheritable
   *    /Resources), per-page /Contents (single stream or array),
   *    streams raw or FlateDecode'd (64 MB total decompression cap —
@@ -353,6 +352,11 @@ object PdfText {
 
   private final class Parser(b: Array[Byte]) {
     private val xref = scala.collection.mutable.Map.empty[Int, Long]
+    // objnum → (object-stream container number, index within it)
+    private val objStmMap = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    // container number → (decoded data, per-object offsets, /First)
+    private val objStmCache =
+      scala.collection.mutable.Map.empty[Int, (Array[Byte], Array[Int], Int)]
     private var trailer = Map.empty[String, Any]
     private val cache = scala.collection.mutable.Map.empty[Int, Any]
     private val loading = scala.collection.mutable.Set.empty[Int]
@@ -436,11 +440,15 @@ object PdfText {
           val o = row * rowW
           val tpe = if (w(0) == 0) 1L else be(data, o, w(0))
           val f2 = be(data, o + w(0), w(1))
-          // type 1 = plain object at byte offset f2; type 2 (object
-          // inside an ObjStm) is out of baseline scope — skipped, so a
-          // page tree needing it fails object load → document NULL
-          if (tpe == 1 && !xref.contains(start + i))
-            xref.update(start + i, f2)
+          val f3 = be(data, o + w(0) + w(1), w(2))
+          // type 1 = plain object at byte offset f2; type 2 = object
+          // number f2's object stream, index f3. Newest-first walk:
+          // first-seen wins ACROSS both entry kinds
+          val num = start + i
+          if (!xref.contains(num) && !objStmMap.contains(num)) {
+            if (tpe == 1) xref.update(num, f2)
+            else if (tpe == 2) objStmMap.update(num, (f2.toInt, f3.toInt))
+          }
           row += 1
           i += 1
         }
@@ -549,11 +557,62 @@ object PdfText {
       } else v
     }
 
+    /** Member `idx` of object stream `container` (ISO 32000-1 §7.5.7):
+      * the stream body leads with N (objnum, offset) pairs; object data
+      * begins at /First + offset. Members are direct objects (no nested
+      * streams), parsed on demand from the cached decoded body. */
+    private def loadFromObjStm(container: Int, idx: Int): Any = {
+      val (data, offsets, first) = objStmCache.getOrElseUpdate(container, {
+        obj(container) match {
+          case s: PStream
+              if deref(s.dict.getOrElse("Type", PNull)) == PName("ObjStm") =>
+            val d = streamData(s)
+            if (d == null) refuse()
+            val n = deref(s.dict.getOrElse("N", PNull)) match {
+              case l: java.lang.Long if l >= 0 && l <= 100000 => l.intValue()
+              case _ => refuse()
+            }
+            val firstOff = deref(s.dict.getOrElse("First", PNull)) match {
+              case l: java.lang.Long if l >= 0 => l.intValue()
+              case _ => refuse()
+            }
+            val lx = new Lex(d, 0)
+            val offs = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              lx.parseValue() match { // member object number (unused —
+                case _: java.lang.Long => () //  the xref already maps it)
+                case _ => refuse()
+              }
+              offs(i) = lx.parseValue() match {
+                case l: java.lang.Long if l >= 0 => l.intValue()
+                case _ => refuse()
+              }
+              i += 1
+            }
+            (d, offs, firstOff)
+          case _ => refuse()
+        }
+      })
+      if (idx < 0 || idx >= offsets.length) refuse()
+      val at = first.toLong + offsets(idx)
+      if (at < 0 || at >= data.length) refuse()
+      new Lex(data, at.toInt).parseValue()
+    }
+
     private def obj(num: Int): Any =
       cache.getOrElseUpdate(num, {
-        if (loading.contains(num)) refuse() // /Length cycle
+        if (loading.contains(num)) refuse() // /Length or ObjStm cycle
         loading += num
-        try xref.get(num).map(loadObjAt).getOrElse(PNull)
+        try xref.get(num).map(loadObjAt).getOrElse {
+          objStmMap.get(num) match {
+            case Some((c, i)) =>
+              objLoads += 1
+              if (objLoads > MaxObjLoads) refuse()
+              loadFromObjStm(c, i)
+            case None => PNull
+          }
+        }
         finally loading -= num
       })
 
@@ -892,13 +951,21 @@ object PdfText {
     *  - paragraphs rotate the four show operators (Tj / TJ-with-kern /
     *    `'` / `"`), and every third paragraph spells its string in hex;
     *  - `flate = false` leaves the content stream uncompressed;
+    *  - `objStm = true` moves every document dictionary into an OBJECT
+    *    STREAM with type-2 xref entries (implies a cross-reference
+    *    stream) — the layout modern writers emit;
     *  - `cidFont` / `encrypted` build the two labeled-refusal shapes.
     */
   def encodePdf(pages: Seq[Seq[String]], xrefStream: Boolean = false,
       macRoman: Boolean = false, utf16: Boolean = false,
       flate: Boolean = true, cidFont: Boolean = false,
-      encrypted: Boolean = false, xrefPredictor: Boolean = false): Array[Byte] = {
+      encrypted: Boolean = false, xrefPredictor: Boolean = false,
+      objStm: Boolean = false): Array[Byte] = {
     require(pages.nonEmpty && pages.forall(_.nonEmpty))
+    // objStm: the document dictionaries live inside an OBJECT STREAM
+    // (the layout modern writers emit) — implies a cross-reference
+    // stream, since classic tables cannot carry type-2 entries
+    val useXrefStream = xrefStream || objStm
     val cs = if (macRoman) Mac else Win
     val out = new java.io.ByteArrayOutputStream(4096)
     def w(s: String): Unit =
@@ -956,17 +1023,26 @@ object PdfText {
     def beginObj(num: Int): Unit = { offsets(num) = out.size(); w(s"$num 0 obj\n") }
     def endObj(): Unit = w("endobj\n")
 
-    beginObj(1)
-    w("<< /Type /Catalog /Pages 2 0 R >>\n"); endObj()
-    beginObj(2)
-    w(s"<< /Type /Pages /Kids [${(0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")}] /Count $nPages >>\n")
-    endObj()
-    pages.indices.foreach { i =>
-      beginObj(3 + i)
-      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+    val catalogStr = "<< /Type /Catalog /Pages 2 0 R >>"
+    val pagesStr =
+      s"<< /Type /Pages /Kids [${(0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")}] /Count $nPages >>"
+    def pageStr(i: Int): String =
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Resources << /Font << /F1 $fontObj 0 R >> >> " +
-        s"/Contents ${3 + nPages + i} 0 R >>\n")
-      endObj()
+        s"/Contents ${3 + nPages + i} 0 R >>"
+    val fontStr =
+      if (cidFont)
+        "<< /Type /Font /Subtype /Type0 /BaseFont /Noto /Encoding /Identity-H >>"
+      else
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /" +
+          (if (macRoman) "MacRomanEncoding" else "WinAnsiEncoding") + " >>"
+
+    if (!objStm) {
+      beginObj(1); w(catalogStr + "\n"); endObj()
+      beginObj(2); w(pagesStr + "\n"); endObj()
+      pages.indices.foreach { i =>
+        beginObj(3 + i); w(pageStr(i) + "\n"); endObj()
+      }
     }
     pages.indices.foreach { i =>
       val raw = contentFor(pages(i))
@@ -977,18 +1053,35 @@ object PdfText {
       out.write(data, 0, data.length)
       w("\nendstream\nendobj\n")
     }
-    beginObj(fontObj)
-    if (cidFont)
-      w("<< /Type /Font /Subtype /Type0 /BaseFont /Noto " +
-        "/Encoding /Identity-H >>\n")
-    else
-      w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /" +
-        (if (macRoman) "MacRomanEncoding" else "WinAnsiEncoding") + " >>\n")
-    endObj()
+    if (!objStm) { beginObj(fontObj); w(fontStr + "\n"); endObj() }
 
-    val size = fontObj + 1
+    // objStm layout: dictionaries live in the object-stream container
+    // (content STREAMS may not — the spec forbids streams in ObjStm)
+    val objStmNum = fontObj + 1
+    val memberIdx = scala.collection.mutable.Map.empty[Int, Int]
+    if (objStm) {
+      val members: Seq[(Int, String)] =
+        Seq(1 -> catalogStr, 2 -> pagesStr) ++
+          pages.indices.map(i => (3 + i) -> pageStr(i)) :+ (fontObj -> fontStr)
+      members.zipWithIndex.foreach { case ((n, _), i) => memberIdx(n) = i }
+      val body = new java.lang.StringBuilder()
+      val offs = members.map { case (_, d) =>
+        val o = body.length(); body.append(d).append(' '); o
+      }
+      val header = members.zip(offs)
+        .map { case ((n, _), o) => s"$n $o" }.mkString("", " ", "\n")
+      val payload = deflate((header + body.toString)
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      beginObj(objStmNum)
+      w(s"<< /Type /ObjStm /N ${members.size} /First ${header.length} " +
+        s"/Filter /FlateDecode /Length ${payload.length} >>\nstream\n")
+      out.write(payload, 0, payload.length)
+      w("\nendstream\nendobj\n")
+    }
+
+    val size = if (objStm) fontObj + 2 else fontObj + 1
     val encExtra = if (encrypted) s" /Encrypt ${size + 5} 0 R" else ""
-    if (!xrefStream) {
+    if (!useXrefStream) {
       val xrefOff = out.size()
       w(s"xref\n0 $size\n")
       w("0000000000 65535 f \n")
@@ -1007,7 +1100,12 @@ object PdfText {
         rows.write((f3 >> 8) & 0xff); rows.write(f3 & 0xff)
       }
       row(0, 0, 0xffff)
-      (1 until size).foreach(n => row(1, offsets(n), 0))
+      (1 until size).foreach { n =>
+        memberIdx.get(n) match {
+          case Some(idx) => row(2, objStmNum, idx) // inside the ObjStm
+          case None => row(1, offsets(n), 0)
+        }
+      }
       row(1, xrefOff, 0)
       // optional real-world spelling: PNG Up predictor (12) over the
       // 7-byte rows, the layout most writers actually emit

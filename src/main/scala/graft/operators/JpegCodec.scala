@@ -39,10 +39,10 @@ package graft.operators
   * sample positions (round 19 — the interval counts MCUs per T.81 H.1;
   * the interval's first sample takes the default prediction and the
   * remainder of that line the 1-D predictor, with the row-aligned form
-  * a special case the agreement specs pin bit-for-bit). The remaining
-  * refusal is restarts inside differential-lossless (SOF7/SOF15)
-  * scans — they return None → the
-  * labeled stub path, like any other malformed/unsupported payload:
+  * a special case the agreement specs pin bit-for-bit), INCLUDING
+  * restarts inside differential-lossless (SOF7/SOF15) refinement scans
+  * — no labeled JPEG restart refusal remains. Malformed/unsupported
+  * payloads return None → the labeled stub path:
   * corrupt media in a 100 TB crawl is data, not an error.
   *
   * Encoder (fixtures + round-trip tests): baseline sequential, quant
@@ -611,12 +611,16 @@ object JpegCodec {
   private def decodeDiffLosslessScan(b: Array[Byte], start: Int,
       c: Component, width: Int, height: Int, ri: Int,
       ref: Array[Int], refW: Int): Int = {
-    if (ri > 0) corrupt()
     val r = new BitReader(b, start)
+    // restart intervals (round 19 — the last JPEG refusal closed): a
+    // differential scan has no prediction chain, so the restart is
+    // purely the entropy reset at any MCU position (H.2 via F.1.4)
+    var mcu = 0L
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) r.restart()
         val s = r.decode(c.dcTable)
         if (s > 16) corrupt()
         val diff =
@@ -625,6 +629,7 @@ object JpegCodec {
           else extend(r.receive(s), s)
         val o = y * refW + x
         ref(o) = ((ref(o) + diff) & 0xffff) & 0xff
+        mcu += 1
         x += 1
       }
       y += 1
@@ -818,21 +823,37 @@ object JpegCodec {
   private def decodeDiffLosslessArithScan(b: Array[Byte], start: Int,
       width: Int, height: Int, ri: Int, ref: Array[Int], refW: Int,
       l: Int, u: Int): Int = {
-    if (ri > 0) corrupt()
     val st = new QmCoder.Stats(160)
-    val dec = new QmCoder.Decoder(b, start, b.length)
+    var dec = new QmCoder.Decoder(b, start, b.length)
     val dPrev = new Array[Int](width)
     val dCur = new Array[Int](width)
+    // restarts at arbitrary MCU positions (round 19): QM coder and
+    // statistics reset, conditioning zeroed at the restart column and
+    // for the interval's (partial) first line — the decodeLossless-
+    // ArithScan reading, mirrored by the encoder
+    var riX = 0
+    var riY = 0
+    var mcu = 0L
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
-        val ca = if (x == 0) 0 else losslessDiffClass(dCur(x - 1), l, u)
-        val cb = if (y == 0) 0 else losslessDiffClass(dPrev(x), l, u)
+        if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+          dec = new QmCoder.Decoder(b, dec.posAfterRestart(), b.length)
+          st.reset()
+          riX = x
+          riY = y
+        }
+        val firstLine = y == riY
+        val ca =
+          if (x == 0 || (firstLine && x == riX)) 0
+          else losslessDiffClass(dCur(x - 1), l, u)
+        val cb = if (firstLine) 0 else losslessDiffClass(dPrev(x), l, u)
         val d = decodeLosslessDiffArith(dec, st, ca, cb)
         val o = y * refW + x
         ref(o) = ((ref(o) + d) & 0xffff) & 0xff
         dCur(x) = d
+        mcu += 1
         x += 1
       }
       System.arraycopy(dCur, 0, dPrev, 0, width)
@@ -2326,10 +2347,10 @@ object JpegCodec {
     * exact-base contract); `fullGray` is unconstrained. */
   def encodeJpegHierLossless(halfW: Int, halfH: Int,
       halfGray: (Int, Int) => Int, fullGray: (Int, Int) => Int,
-      arith: Boolean = false): Array[Byte] = {
+      arith: Boolean = false, restartMcus: Int = 0): Array[Byte] = {
     require(halfW > 0 && halfH > 0 && halfW % 8 == 0 && halfH % 8 == 0 &&
       4L * halfW * halfH <= MaxPixels && 2 * halfW <= 0xffff &&
-      2 * halfH <= 0xffff)
+      2 * halfH <= 0xffff && restartMcus >= 0 && restartMcus <= 0xffff)
     val out = new java.io.ByteArrayOutputStream()
     hierPreambleAndBase(out, halfW, halfH, halfGray, arith)
     // the reference the decoder will hold: exact base, bilinear-doubled
@@ -2341,25 +2362,46 @@ object JpegCodec {
     // per-sample with Ss = 0 — the same pixels through both entropy
     // spellings, the SOF13-vs-SOF5 cross-check pattern
     hierFrameHeader(out, if (arith) 0xcf else 0xc7, 2 * halfW, 2 * halfH)
+    val ri = restartMcus
+    if (ri > 0) { // DRI for the refinement scan (round 19)
+      out.write(0xff); out.write(0xdd); out.write(0); out.write(4)
+      out.write((ri >> 8) & 0xff); out.write(ri & 0xff)
+    }
     out.write(0xff); out.write(0xda); out.write(0); out.write(8)
     out.write(1); out.write(1); out.write(0x00)
     out.write(0); out.write(0); out.write(0) // Ss = 0 (no prediction)
     val fw = 2 * halfW
     val fh = 2 * halfH
+    var rst = 0
     if (arith) {
       val st = new QmCoder.Stats(160)
-      val enc = new QmCoder.Encoder(out)
+      var enc = new QmCoder.Encoder(out)
       val dPrev = new Array[Int](fw)
       val dCur = new Array[Int](fw)
+      var riX = 0
+      var riY = 0
+      var mcu = 0L
       var y = 0
       while (y < fh) {
         var x = 0
         while (x < fw) {
+          if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+            enc.finish()
+            out.write(0xff); out.write(0xd0 + (rst & 7)); rst += 1
+            enc = new QmCoder.Encoder(out)
+            st.reset()
+            riX = x
+            riY = y
+          }
+          val firstLine = y == riY
           val diff = (fullGray(x, y) & 0xff) - up(y * fw + x)
-          val ca = if (x == 0) 0 else losslessDiffClass(dCur(x - 1), 0, 1)
-          val cb = if (y == 0) 0 else losslessDiffClass(dPrev(x), 0, 1)
+          val ca =
+            if (x == 0 || (firstLine && x == riX)) 0
+            else losslessDiffClass(dCur(x - 1), 0, 1)
+          val cb = if (firstLine) 0 else losslessDiffClass(dPrev(x), 0, 1)
           encodeLosslessDiffArith(enc, st, ca, cb, diff)
           dCur(x) = diff
+          mcu += 1
           x += 1
         }
         System.arraycopy(dCur, 0, dPrev, 0, fw)
@@ -2367,15 +2409,22 @@ object JpegCodec {
       }
       enc.finish()
     } else {
-      val w = new BitWriter(out)
+      var w = new BitWriter(out)
+      var mcu = 0L
       var y = 0
       while (y < fh) {
         var x = 0
         while (x < fw) {
+          if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+            w.finish()
+            out.write(0xff); out.write(0xd0 + (rst & 7)); rst += 1
+            w = new BitWriter(out)
+          }
           val diff = (fullGray(x, y) & 0xff) - up(y * fw + x)
           val s = sizeCat(diff)
           w.put(EncDc.codes(s), EncDc.lens(s))
           if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+          mcu += 1
           x += 1
         }
         y += 1

@@ -830,7 +830,7 @@ object Pipeline {
     import s.implicits._
     graft.functions.Registry.install(s)
     val out106 = Tables.scratch(s"media106/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val mediaDir = Tables.cachedDerived(dir, out106, version = "v1-pdf") {
+    val mediaDir = Tables.cachedDerived(dir, out106, version = "v2-objstm") {
       docs(s, dir).select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
@@ -850,7 +850,8 @@ object Pipeline {
                 xrefPredictor = id % 4 == 3,
                 utf16 = id % 5 == 2,
                 macRoman = id % 5 == 4,
-                flate = id % 6 != 4)
+                flate = id % 6 != 4,
+                objStm = id % 9 == 7) // modern object-stream layout
             }
           (id, bytes)
         }.toDF("doc_id", "content")

@@ -703,6 +703,28 @@ class JpegCodecSpec extends SparkFunSuite {
         s"P16 mid-row ($x,$y)")
   }
 
+  test("hierarchical LOSSLESS refinement (SOF7/SOF15) with restart intervals is bit-exact") {
+    // the LAST labeled JPEG restart refusal: restarts inside the
+    // differential-lossless stage, both entropies, mid-row intervals
+    val rnd = new scala.util.Random(562)
+    val (hw, hh) = (8, 8)
+    val fullPx = Array.fill(2 * hh, 2 * hw)(rnd.nextInt(256))
+    val halfF = (x: Int, y: Int) => 50 + x + 2 * y
+    val fullF = (x: Int, y: Int) => fullPx(y)(x)
+    val plain = decode(JpegCodec.encodeJpegHierLossless(hw, hh,
+      halfF, fullF)).get
+    for (ri <- Seq(7, 16, 2 * hw - 3); arith <- Seq(false, true)) {
+      val img = decode(JpegCodec.encodeJpegHierLossless(hw, hh,
+        halfF, fullF, arith = arith, restartMcus = ri))
+        .getOrElse(fail(s"hier ri=$ri arith=$arith: None"))
+      assert(img.rgb.sameElements(plain.rgb), s"hier ri=$ri arith=$arith")
+      // the refinement recovers the arbitrary full-res image exactly
+      for (y <- 0 until 2 * hh; x <- 0 until 2 * hw)
+        assert((img.rgb((y * 2 * hw + x) * 3) & 0xff) == fullPx(y)(x),
+          s"ri=$ri arith=$arith ($x,$y)")
+    }
+  }
+
   test("ARITHMETIC lossless restart intervals (round 18): bit-exact, four-way spelling agreement") {
     val rnd = new scala.util.Random(560)
     val w = 17
