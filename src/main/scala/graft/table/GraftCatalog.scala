@@ -491,9 +491,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     Files.move(Paths.get(from), Paths.get(to))
     val snaps = Paths.get(to, "_snapshots")
     import scala.jdk.CollectionConverters._
-    Files.list(snaps).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .foreach { p =>
+    scala.util.Using.resource(Files.list(snaps))(
+      _.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .toList).foreach { p =>
         val rewritten = Files.readString(p).replace(s"$from/", s"$to/")
         Files.writeString(p, rewritten)
       }

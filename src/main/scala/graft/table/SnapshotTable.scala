@@ -59,13 +59,17 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
 
   // ------------------------------------------------------------ snapshots
 
-  /** Sorted list of committed snapshot versions. */
+  /** Sorted list of committed snapshot versions. NB every directory
+    * stream here and below closes via Using.resource — `Files.list`
+    * holds an OS directory handle until closed, and this method runs on
+    * every commit/read; leaked handles took the test JVM to EMFILE. */
   def versions: Seq[Int] =
     if (!Files.isDirectory(snapDir)) Seq.empty
-    else Files.list(snapDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case SnapshotTable.SnapName(v) => v.toInt }
-      .toSeq.sorted
+    else scala.util.Using.resource(Files.list(snapDir))(
+      _.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case SnapshotTable.SnapName(v) => v.toInt }
+        .toSeq).sorted
 
   def latestVersion: Int = versions.lastOption.getOrElse(-1)
 
@@ -897,10 +901,11 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         .map(f => canonical(Paths.get(f))).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     if (!Files.isDirectory(dataDir)) return Seq.empty
-    val onDisk = Files.walk(dataDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .toList
+    val onDisk = scala.util.Using.resource(Files.walk(dataDir))(
+      _.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toList)
     val (live, orphans0) = onDisk.partition(p => referenced(canonical(p)))
     // Last-ditch guard against normalization divergence this canonical()
     // didn't cover: snapshots reference files, yet not one of them matched
@@ -1213,7 +1218,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
   /** All refs: name -> (type `branch`|`tag`, head / pinned version). */
   def refs: Map[String, (String, Int)] = {
     if (!Files.isDirectory(refsDir)) return Map.empty
-    Files.list(refsDir).iterator().asScala.flatMap { p =>
+    scala.util.Using.resource(Files.list(refsDir))(_.iterator().asScala.flatMap { p =>
       val fn = p.getFileName.toString
       if (Files.isDirectory(p)) {
         val b = new SnapshotTable(spark, location, Some(fn))
@@ -1222,7 +1227,7 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         val name = fn.stripSuffix(".tag.json")
         Some(name -> ("tag", tagVersion(name)))
       } else None
-    }.toMap
+    }.toMap)
   }
 
   /** Resolve a ref name to the snapshot a read should pin: a branch's
@@ -1782,9 +1787,10 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     keys.select(typed: _*).distinct()
       .coalesce(1).sortWithinPartitions(keyCols.map(col): _*)
       .write.parquet(dir.toString)
-    val paths = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).toSeq.sorted
+    val paths = scala.util.Using.resource(Files.list(dir))(
+      _.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq).sorted
     if (paths.isEmpty) { graft.Tables.deleteRecursively(dir.toString); return Seq.empty }
     paths.flatMap { p =>
       val (rows, bytes, _) = SnapshotTable.footerStats(p, Seq.empty)
@@ -1804,9 +1810,10 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       entries: DataFrame): Seq[SnapshotTable.DeleteFile] = {
     val dir = dataDir.resolve(s"deletes-${java.util.UUID.randomUUID}")
     entries.sort("file_path", "pos").write.parquet(dir.toString)
-    val paths = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(_.toString).toSeq.sorted
+    val paths = scala.util.Using.resource(Files.list(dir))(
+      _.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq).sorted
     if (paths.isEmpty) { graft.Tables.deleteRecursively(dir.toString); return Seq.empty }
     val statCols = Seq("file_path" -> "string")
     val footer = spark.sparkContext
@@ -1934,20 +1941,22 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         .flatMap(_.manifestRefs)
         .map(r => Paths.get(r).toAbsolutePath.normalize.toString).toSet
       val cutoffMs = System.currentTimeMillis() - 3600L * 1000
-      Files.list(manifestsDir).iterator().asScala
-        .filter(p => Files.isRegularFile(p))
-        .filterNot(p => liveRefs(p.toAbsolutePath.normalize.toString))
-        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoffMs)
-        .foreach(p => Files.deleteIfExists(p))
+      scala.util.Using.resource(Files.list(manifestsDir))(
+        _.iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .filterNot(p => liveRefs(p.toAbsolutePath.normalize.toString))
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoffMs)
+          .toList).foreach(p => Files.deleteIfExists(p))
     }
     // orphan sweep: staging dirs survive only if a writer crashed between
     // staging and commit/abort — anything older than an hour is garbage
     val staging = Paths.get(location, "_staging")
     if (Files.isDirectory(staging)) {
       val cutoff = System.currentTimeMillis() - 3600L * 1000
-      Files.list(staging).iterator().asScala
-        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
-        .foreach(p => graft.Tables.deleteRecursively(p.toString))
+      scala.util.Using.resource(Files.list(staging))(
+        _.iterator().asScala
+          .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+          .toList).foreach(p => graft.Tables.deleteRecursively(p.toString))
     }
   }
 
@@ -1997,9 +2006,10 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
               .sortWithinPartitions(sortCols.map(col): _*)
           }
         arranged.write.parquet(dir.toString)
-        Files.list(dir).iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(_.toString).toSeq.sorted
+        scala.util.Using.resource(Files.list(dir))(
+          _.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(_.toString).toSeq).sorted
       } else {
         // Hive-style directory layout for humans and layout-aware tools,
         // BUT the partition source columns are also written INTO the data
@@ -2070,9 +2080,10 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
           else distributed.sortWithinPartitions(
             (dirCols ++ sortCols).map(org.apache.spark.sql.functions.col): _*)
         arranged.write.partitionBy(dirCols: _*).parquet(tmp.toString)
-        val staged = Files.walk(tmp).iterator().asScala
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .toSeq.sorted
+        val staged = scala.util.Using.resource(Files.walk(tmp))(
+          _.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .toSeq).sorted
         val uuid = java.util.UUID.randomUUID.toString.take(8)
         val moved = staged.zipWithIndex.map { case (p, i) =>
           val rel = tmp.relativize(p.getParent).toString
@@ -2204,9 +2215,10 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
       replacedPaths: Option[Set[String]] = None): Int = {
     val dest = dataDir.resolve(java.util.UUID.randomUUID.toString)
     Files.createDirectories(dest)
-    val moved = Files.list(stagedDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .toSeq.sortBy(_.toString)
+    val moved = scala.util.Using.resource(Files.list(stagedDir))(
+      _.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq).sortBy(_.toString)
       .map { p =>
         val d = dest.resolve(p.getFileName)
         Files.move(p, d)
