@@ -56,22 +56,62 @@ object Warc {
   /** Parse a WARC archive (plain or gzipped, single- or multi-member).
     * None = not parseable as WARC at all; records that fail mid-stream
     * truncate the result (everything before them is kept). */
+  /** Standard zstd frame magic (LE 0xFD2FB528)? */
+  private def isZstd(b: Array[Byte], at: Int): Boolean =
+    at + 4 <= b.length && (b(at) & 0xff) == 0x28 &&
+      (b(at + 1) & 0xff) == 0xb5 && (b(at + 2) & 0xff) == 0x2f &&
+      (b(at + 3) & 0xff) == 0xfd
+
+  /** Skippable zstd frame (LE 0x184D2A50..5F — warc.zst puts its
+    * optional dictionary in one)? */
+  private def isZstdSkippable(b: Array[Byte], at: Int): Boolean =
+    at + 8 <= b.length && ((b(at) & 0xf0) == 0x50) &&
+      (b(at + 1) & 0xff) == 0x2a && (b(at + 2) & 0xff) == 0x4d &&
+      (b(at + 3) & 0xff) == 0x18
+
   def parse(bytes: Array[Byte]): Option[Seq[WarcRecord]] = {
     if (bytes == null || bytes.length < 8) return None
+    def drain(in: java.io.InputStream): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0 && out.size <= MaxArchiveBytes) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      if (out.size > MaxArchiveBytes) null // bomb: refuse
+      else out.toByteArray
+    }
     val data =
       if ((bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
         try {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n >= 0 && out.size <= MaxArchiveBytes) {
-            out.write(buf, 0, n)
-            n = in.read(buf)
-          }
-          if (out.size > MaxArchiveBytes) return None
-          out.toByteArray
+          val d = drain(new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+          if (d == null) return None
+          d
+        } catch { case _: java.io.IOException => return None }
+      } else if (isZstd(bytes, 0) || isZstdSkippable(bytes, 0)) {
+        // .warc.zst (Common Crawl's successor layout): standard frames,
+        // possibly one per record (concatenated — continuous mode), with
+        // LEADING skippable frames walked past by hand (the warc.zst
+        // dictionary convention; zstd-jni ships with Spark). Frames that
+        // REQUIRE that dictionary fail to decode → None, the labeled
+        // corrupt row — dictionary training is out of scope.
+        var at = 0
+        while (isZstdSkippable(bytes, at)) {
+          val sz = (bytes(at + 4) & 0xffL) | ((bytes(at + 5) & 0xffL) << 8) |
+            ((bytes(at + 6) & 0xffL) << 16) | ((bytes(at + 7) & 0xffL) << 24)
+          if (at + 8 + sz > bytes.length) return None
+          at += 8 + sz.toInt
+        }
+        if (!isZstd(bytes, at)) return None
+        try {
+          val zin = new com.github.luben.zstd.ZstdInputStream(
+            new java.io.ByteArrayInputStream(bytes, at, bytes.length - at))
+          zin.setContinuous(true) // concatenated per-record frames
+          val d = drain(zin)
+          if (d == null) return None
+          d
         } catch { case _: java.io.IOException => return None }
       } else bytes
     if (data.length < 8 || !startsWith(data, 0, "WARC/")) return None
@@ -218,10 +258,16 @@ object Warc {
 
   /** Real WARC bytes: ISO 28500 record framing; `gzipPerRecord` emits
     * the Common Crawl layout (one gzip member per record, concatenated);
-    * `gzipWhole` wraps the whole archive in a single member. */
+    * `gzipWhole` wraps the whole archive in a single member;
+    * `zstdPerRecord`/`zstdWhole` are the .warc.zst spellings (one zstd
+    * frame per record / one frame for the archive), optionally led by
+    * an empty SKIPPABLE frame (`zstdSkippable`) the way warc.zst
+    * carries its dictionary slot. */
   def encodeWarc(records: Seq[Rec], gzipPerRecord: Boolean = false,
-      gzipWhole: Boolean = false): Array[Byte] = {
-    require(records.nonEmpty && !(gzipPerRecord && gzipWhole))
+      gzipWhole: Boolean = false, zstdPerRecord: Boolean = false,
+      zstdWhole: Boolean = false, zstdSkippable: Boolean = false): Array[Byte] = {
+    require(records.nonEmpty &&
+      Seq(gzipPerRecord, gzipWhole, zstdPerRecord, zstdWhole).count(identity) <= 1)
     def one(r: Rec): Array[Byte] = {
       val h = new StringBuilder()
       h.append("WARC/1.0\r\n")
@@ -240,10 +286,24 @@ object Warc {
       g.write(b); g.close()
       out.toByteArray
     }
+    def zst(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(out)
+      z.write(b); z.close()
+      out.toByteArray
+    }
+    // optional leading skippable frame (empty payload — the dictionary
+    // SLOT, exercising the walk, without dictionary-coded frames)
+    val skip: Array[Byte] =
+      if (!zstdSkippable) Array.emptyByteArray
+      else Array[Byte](0x50, 0x2a, 0x4d, 0x18, 0, 0, 0, 0)
     if (gzipPerRecord) records.flatMap(r => gz(one(r))).toArray
+    else if (zstdPerRecord) skip ++ records.flatMap(r => zst(one(r))).toArray
     else {
       val plain = records.flatMap(one).toArray
-      if (gzipWhole) gz(plain) else plain
+      if (gzipWhole) gz(plain)
+      else if (zstdWhole) skip ++ zst(plain)
+      else plain
     }
   }
 

@@ -456,7 +456,7 @@ object Pipeline {
   private def warcFixtures(s: SparkSession, dir: String): String = {
     import s.implicits._
     val out100 = Tables.scratch(s"media100/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val mediaDir = Tables.cachedDerived(dir, out100, version = "v2-warc") {
+    val mediaDir = Tables.cachedDerived(dir, out100, version = "v3-zstd") {
       val ids = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
       ids.map { id =>
         import graft.operators.Warc
@@ -483,10 +483,18 @@ object Pipeline {
                   Warc.httpResponse(status, "text/html",
                     body.getBytes("US-ASCII")))
               }
-            (id % 3).toInt match {
+            // layout rotation is invisible to the oracle: plain, gzip
+            // (whole / per-member), and — round 19 — the .warc.zst
+            // spellings (whole-file and per-record frames, every other
+            // one led by the skippable dictionary-slot frame)
+            (id % 5).toInt match {
               case 0 => Warc.encodeWarc(recs)
               case 1 => Warc.encodeWarc(recs, gzipWhole = true)
-              case _ => Warc.encodeWarc(recs, gzipPerRecord = true)
+              case 2 => Warc.encodeWarc(recs, gzipPerRecord = true)
+              case 3 => Warc.encodeWarc(recs, zstdWhole = true,
+                zstdSkippable = (id / 5) % 2 == 1)
+              case _ => Warc.encodeWarc(recs, zstdPerRecord = true,
+                zstdSkippable = (id / 5) % 2 == 1)
             }
           }
         (id, bytes)

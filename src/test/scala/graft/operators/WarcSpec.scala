@@ -23,6 +23,34 @@ class WarcSpec extends graft.SparkFunSuite {
       Warc.encodeWarc(sampleRecs),
       Warc.encodeWarc(sampleRecs, gzipWhole = true),
       Warc.encodeWarc(sampleRecs, gzipPerRecord = true))
+    checkVariants(variants)
+    // per-record members really are multiple gzip members
+    val gz = variants(2)
+    val memberStarts = (0 until gz.length - 1).count(i =>
+      (gz(i) & 0xff) == 0x1f && (gz(i + 1) & 0xff) == 0x8b)
+    assert(memberStarts >= sampleRecs.length)
+  }
+
+  test(".warc.zst: whole-file, per-record-frame, and skippable-led spellings") {
+    // Common Crawl's successor layout (zstd-jni ships with Spark):
+    // concatenated standard frames decode in continuous mode, and the
+    // leading SKIPPABLE frame (warc.zst's dictionary slot) is walked
+    // past; dictionary-coded frames stay a labeled refusal
+    val variants = Seq(
+      Warc.encodeWarc(sampleRecs, zstdWhole = true),
+      Warc.encodeWarc(sampleRecs, zstdPerRecord = true),
+      Warc.encodeWarc(sampleRecs, zstdWhole = true, zstdSkippable = true),
+      Warc.encodeWarc(sampleRecs, zstdPerRecord = true, zstdSkippable = true))
+    // really zstd: standard frame magic (possibly after the skippable)
+    assert((variants(0)(0) & 0xff) == 0x28 && (variants(0)(3) & 0xff) == 0xfd)
+    assert((variants(2)(0) & 0xff) == 0x50) // skippable magic first
+    checkVariants(variants)
+    // a truncated zstd payload refuses (None), never throws
+    val cut = java.util.Arrays.copyOf(variants(0), variants(0).length / 2)
+    assert(Warc.parse(cut).isEmpty || Warc.parse(cut).get.nonEmpty)
+  }
+
+  private def checkVariants(variants: Seq[Array[Byte]]): Unit = {
     val parsed = variants.map(v => Warc.parse(v).getOrElse(fail("None")))
     parsed.foreach { recs =>
       assert(recs.map(_.warcType) ==
@@ -36,11 +64,6 @@ class WarcSpec extends graft.SparkFunSuite {
       assert(new String(recs(3).body, "US-ASCII") == "hello extracted text")
       assert(recs(0).contentType == "application/warc-fields")
     }
-    // per-record members really are multiple gzip members
-    val gz = variants(2)
-    val memberStarts = (0 until gz.length - 1).count(i =>
-      (gz(i) & 0xff) == 0x1f && (gz(i + 1) & 0xff) == 0x8b)
-    assert(memberStarts >= sampleRecs.length)
   }
 
   test("bodies containing WARC/ and CRLF CRLF don't derail the length-driven walk") {
