@@ -347,8 +347,46 @@ object PdfText {
 
   // ---------------------------------------------------------- parser
 
-  private final case class FontInfo(cid: Boolean, mac: Boolean)
+  private final case class FontInfo(cid: Boolean, mac: Boolean,
+      diff: Map[Int, Char] = Map.empty)
   private val DefaultFont = FontInfo(cid = false, mac = false)
+
+  /** Glyph name → character for /Differences arrays: the `uniXXXX` /
+    * `uXXXX(XX)` algorithmic forms plus the ASCII block of the Adobe
+    * Standard names (what subset fonts actually remap). Unknown names
+    * return 0 → the base encoding's byte mapping applies. */
+  private val StdGlyphNames: Map[String, Char] = {
+    val ascii = Seq(
+      "space" -> ' ', "exclam" -> '!', "quotedbl" -> '"',
+      "numbersign" -> '#', "dollar" -> '$', "percent" -> '%',
+      "ampersand" -> '&', "quotesingle" -> '\'', "parenleft" -> '(',
+      "parenright" -> ')', "asterisk" -> '*', "plus" -> '+',
+      "comma" -> ',', "hyphen" -> '-', "period" -> '.', "slash" -> '/',
+      "zero" -> '0', "one" -> '1', "two" -> '2', "three" -> '3',
+      "four" -> '4', "five" -> '5', "six" -> '6', "seven" -> '7',
+      "eight" -> '8', "nine" -> '9', "colon" -> ':', "semicolon" -> ';',
+      "less" -> '<', "equal" -> '=', "greater" -> '>', "question" -> '?',
+      "at" -> '@', "bracketleft" -> '[', "backslash" -> '\\',
+      "bracketright" -> ']', "asciicircum" -> '^', "underscore" -> '_',
+      "grave" -> '`', "braceleft" -> '{', "bar" -> '|',
+      "braceright" -> '}', "asciitilde" -> '~')
+    val letters = (('a' to 'z') ++ ('A' to 'Z')).map(c => c.toString -> c)
+    (ascii ++ letters).toMap
+  }
+
+  private def glyphChar(name: String): Char = {
+    if (name.length == 7 && name.startsWith("uni")) {
+      try return Integer.parseInt(name.substring(3), 16).toChar
+      catch { case _: NumberFormatException => () }
+    }
+    if (name.length >= 5 && name.length <= 7 && name.charAt(0) == 'u') {
+      try {
+        val cp = Integer.parseInt(name.substring(1), 16)
+        if (cp <= 0xffff) return cp.toChar
+      } catch { case _: NumberFormatException => () }
+    }
+    StdGlyphNames.getOrElse(name, 0.toChar)
+  }
 
   private final class Parser(b: Array[Byte]) {
     private val xref = scala.collection.mutable.Map.empty[Int, Long]
@@ -772,9 +810,21 @@ object PdfText {
       if (font.cid) refuse() // CID text needs CMaps: labeled refusal
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe &&
           (bytes(1) & 0xff) == 0xff)
-        new String(bytes, 2, bytes.length - 2,
+        return new String(bytes, 2, bytes.length - 2,
           java.nio.charset.StandardCharsets.UTF_16BE)
-      else new String(bytes, if (font.mac) Mac else Win)
+      val cs = if (font.mac) Mac else Win
+      if (font.diff.isEmpty) new String(bytes, cs)
+      else { // per-byte: /Differences override, base encoding otherwise
+        val sb = new java.lang.StringBuilder(bytes.length)
+        bytes.foreach { bb =>
+          val code = bb & 0xff
+          font.diff.get(code) match {
+            case Some(c) => sb.append(c)
+            case None => sb.append(new String(Array(bb), cs))
+          }
+        }
+        sb.toString
+      }
     }
 
     // ------------------------------------------------- content machine
@@ -784,13 +834,36 @@ object PdfText {
         case PName("Type0") => true
         case _ => false
       }
-      val mac = deref(d.getOrElse("Encoding", PNull)) match {
+      val enc = deref(d.getOrElse("Encoding", PNull))
+      val mac = enc match {
         case PName("MacRomanEncoding") => true
         case m: Map[String, Any] @unchecked =>
           deref(m.getOrElse("BaseEncoding", PNull)) == PName("MacRomanEncoding")
         case _ => false
       }
-      FontInfo(cid, mac)
+      // /Differences: [ code /name /name ... code /name ... ] — codes
+      // assign consecutively; names resolve via uniXXXX / the Standard
+      // ASCII names, unresolvable names fall back to the base encoding
+      val diff: Map[Int, Char] = enc match {
+        case m: Map[String, Any] @unchecked =>
+          deref(m.getOrElse("Differences", PNull)) match {
+            case arr: Vector[_] =>
+              val out = Map.newBuilder[Int, Char]
+              var code = -1
+              arr.foreach {
+                case l: java.lang.Long => code = l.intValue()
+                case PName(n) if code >= 0 && code <= 255 =>
+                  val c = glyphChar(n)
+                  if (c != 0) out += code -> c
+                  code += 1
+                case _ => ()
+              }
+              out.result()
+            case _ => Map.empty
+          }
+        case _ => Map.empty
+      }
+      FontInfo(cid, mac, diff)
     }
 
     private def runContent(data: Array[Byte],
