@@ -365,11 +365,12 @@ class EqualityDeleteSpec extends SparkFunSuite {
     }
     assert(strata.max <= 9,
       s"read strata must stay ≤ bound+1 across 100 epochs, saw $strata")
-    // coarse flatness: the late-epoch reads must not outgrow the early
-    // ones (3x + absolute slack absorbs JIT/GC noise; an unbounded
-    // ledger would grow linearly and blow well past this)
-    val early = latencies.take(5).max
-    val late = latencies.drop(5).max
+    // coarse flatness, on the MIN of each half — the same load-robust
+    // statistic the bench publishes (a GC/JIT spike in one late sample
+    // must not fail the suite, and an unbounded ledger inflates even
+    // the minimum monotonically, so the property survives): 3x + slack
+    val early = latencies.take(5).min
+    val late = latencies.drop(5).min
     assert(late <= 3 * early + 200.0,
       s"read latency grew with epochs: $latencies ms")
     // exactness after 100 epochs: every key < 1000 was upserted exactly
