@@ -31,11 +31,24 @@ import org.apache.spark.unsafe.types.UTF8String
   *    bytes map through the selected font's single-byte encoding —
   *    /WinAnsiEncoding (≈ windows-1252) or /MacRomanEncoding — and a
   *    leading FE FF BOM switches the string to UTF-16BE.
-  *  - Labeled refusals (NULL, never an exception): encrypted documents
-  *    (trailer /Encrypt), CID/Type0 composite fonts (multi-byte text
-  *    needs CMap machinery beyond baseline), malformed xref/objects,
-  *    decompression-cap blowouts, non-PDF bytes. Corrupt attachments
-  *    in a 100 TB crawl are data, not errors.
+  *  - CID/Type0 composite fonts (what Word / Chrome / LaTeX emit for
+  *    subset-embedded fonts) decode through their /ToUnicode CMap:
+  *    codespace ranges drive the multi-byte code walk, `bfchar` and
+  *    both `bfrange` forms (increment + array) map codes to Unicode
+  *    (one code may expand to several chars — ligatures). A Type0 font
+  *    WITHOUT /ToUnicode stays a labeled refusal: its codes name
+  *    glyphs, not characters, and guessing would extract garbage.
+  *  - Encrypted documents (ISO 32000 §7.6 standard security handler):
+  *    when the USER password is empty — the overwhelmingly common
+  *    "permissions-only" encryption in crawls — the document decrypts:
+  *    RC4 (R2/R3/R4 /V2), AES-128-CBC (R4 /AESV2, per-object keys with
+  *    the sAlT salt), and AES-256 (R5/R6 /AESV3, the 2.B iterated
+  *    hash). A non-empty user password refuses to NULL — the content
+  *    is cryptographically out of reach, not merely unimplemented.
+  *  - Labeled refusals (NULL, never an exception): password-protected
+  *    documents, Type0 fonts without /ToUnicode, malformed
+  *    xref/objects, decompression-cap blowouts, non-PDF bytes. Corrupt
+  *    attachments in a 100 TB crawl are data, not errors.
   *
   * Output whitespace collapses to single spaces and is trimmed — the
   * same normalization contract as `html_to_text`/`docx_text`, so
@@ -115,7 +128,8 @@ object PdfText {
   private case class PName(s: String)
   private case class PRef(num: Int, gen: Int)
   private case class POp(s: String)
-  private case class PStream(dict: Map[String, Any], dataStart: Int, rawLen: Int)
+  private case class PStream(dict: Map[String, Any], dataStart: Int,
+      rawLen: Int, num: Int = 0, gen: Int = 0)
   private case object PNull
 
   // ----------------------------------------------------------- lexer
@@ -347,9 +361,105 @@ object PdfText {
 
   // ---------------------------------------------------------- parser
 
+  /** /ToUnicode CMap: codespace ranges (width, lo, hi — sorted by
+    * width so the code walk takes the shortest matching width) plus
+    * the code → Unicode map (a code may expand to several chars). */
+  private final case class ToUni(ranges: Vector[(Int, Long, Long)],
+      map: Map[Long, String])
+
   private final case class FontInfo(cid: Boolean, mac: Boolean,
-      diff: Map[Int, Char] = Map.empty)
+      diff: Map[Int, Char] = Map.empty, toUni: ToUni = null)
   private val DefaultFont = FontInfo(cid = false, mac = false)
+
+  /** Parse a /ToUnicode CMap stream (ISO 32000-1 §9.10.3): the
+    * `begincodespacerange` / `beginbfchar` / `beginbfrange` sections,
+    * both bfrange destination forms. The CMap's PostScript wrapper
+    * tokens lex as operators and are skipped; a malformed token ends
+    * the section (hostile CMaps degrade to fewer mappings, never
+    * throw past the per-document caps). */
+  private def parseToUnicodeCMap(data: Array[Byte]): ToUni = {
+    val lx = new Lex(data, 0)
+    val ranges = Vector.newBuilder[(Int, Long, Long)]
+    val map = Map.newBuilder[Long, String]
+    var total = 0
+    def codeOf(bs: Array[Byte]): Long = {
+      var v = 0L; var i = 0
+      while (i < bs.length) { v = (v << 8) | (bs(i) & 0xff); i += 1 }
+      v
+    }
+    def utf16(bs: Array[Byte]): String =
+      new String(bs, java.nio.charset.StandardCharsets.UTF_16BE)
+    def next(): Any = try lx.nextToken() catch { case _: Refuse => null }
+    var tok = next()
+    while (tok != null && total < 200000) {
+      tok match {
+        case POp("begincodespacerange") =>
+          var go = true
+          while (go) next() match {
+            case lo: Array[Byte] => next() match {
+              case hi: Array[Byte]
+                  if hi.length == lo.length && lo.length >= 1 && lo.length <= 4 =>
+                ranges += ((lo.length, codeOf(lo), codeOf(hi)))
+                total += 1
+              case _ => go = false
+            }
+            case _ => go = false // endcodespacerange / junk / EOF
+          }
+        case POp("beginbfchar") =>
+          var go = true
+          while (go && total < 200000) next() match {
+            case src: Array[Byte] => next() match {
+              case dst: Array[Byte] =>
+                map += codeOf(src) -> utf16(dst); total += 1
+              case _ => go = false
+            }
+            case _ => go = false
+          }
+        case POp("beginbfrange") =>
+          var go = true
+          while (go && total < 200000) next() match {
+            case lo: Array[Byte] =>
+              (next(), next()) match {
+                case (hi: Array[Byte], dst: Array[Byte])
+                    if hi.length == lo.length =>
+                  // increment form: the LAST UTF-16 code unit advances
+                  val l = codeOf(lo); val h = codeOf(hi)
+                  if (h >= l && h - l <= 65535) {
+                    val base = utf16(dst)
+                    var c = l
+                    while (c <= h && total < 200000) {
+                      val s =
+                        if (base.isEmpty) ""
+                        else base.substring(0, base.length - 1) +
+                          ((base.charAt(base.length - 1) + (c - l).toInt).toChar)
+                      map += c -> s; total += 1; c += 1
+                    }
+                  }
+                case (hi: Array[Byte], dst: Vector[_])
+                    if hi.length == lo.length =>
+                  val l = codeOf(lo)
+                  var i = 0
+                  dst.foreach { d =>
+                    d match {
+                      case a: Array[Byte] if total < 200000 =>
+                        map += (l + i) -> utf16(a); total += 1
+                      case _ => ()
+                    }
+                    i += 1
+                  }
+                case _ => go = false
+              }
+            case _ => go = false
+          }
+        case _ => () // CMap PostScript wrapper tokens
+      }
+      tok = next()
+    }
+    val rs = ranges.result().sortBy(_._1)
+    // Identity-H CMaps in the wild sometimes omit the codespace: the
+    // 2-byte space is the spec'd default for Identity encodings
+    ToUni(if (rs.isEmpty) Vector((2, 0L, 0xffffL)) else rs, map.result())
+  }
 
   /** Glyph name → character for /Differences arrays: the `uniXXXX` /
     * `uXXXX(XX)` algorithmic forms plus the ASCII block of the Adobe
@@ -388,6 +498,211 @@ object PdfText {
     StdGlyphNames.getOrElse(name, 0.toChar)
   }
 
+  // ------------------------------------------------ standard security
+  //
+  // ISO 32000 §7.6: the standard security handler. Everything here is
+  // the public spec algorithm suite — Algorithm 2 (RC4/AES-128 key),
+  // 3 (/O), 4/5 (/U), 1/1.A (per-object keys), 2.A/2.B (AES-256).
+  // RC4 is transcribed from its public description; AES/MD5/SHA come
+  // from the JDK (java.security / javax.crypto — no new dependency).
+
+  private[functions] object PdfCrypt {
+
+    /** The 32-byte password pad (ISO 32000-1 Algorithm 2 step a). */
+    val Pad: Array[Byte] = Array(
+      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+      0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+      0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+    def pad32(pwd: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](32)
+      val n = math.min(32, pwd.length)
+      System.arraycopy(pwd, 0, out, 0, n)
+      System.arraycopy(Pad, 0, out, n, 32 - n)
+      out
+    }
+
+    def md5(data: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(data)
+    def sha(bits: Int, data: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-" + bits).digest(data)
+
+    def xorKey(k: Array[Byte], i: Int): Array[Byte] =
+      k.map(x => (x ^ i).toByte)
+
+    def le4(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+    /** RC4 (public KSA + PRGA). Symmetric: encrypt == decrypt. */
+    def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val s = new Array[Int](256)
+      var i = 0
+      while (i < 256) { s(i) = i; i += 1 }
+      var j = 0
+      i = 0
+      while (i < 256) {
+        j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+        val t = s(i); s(i) = s(j); s(j) = t
+        i += 1
+      }
+      val out = new Array[Byte](data.length)
+      var x = 0; var y = 0; var k = 0
+      while (k < data.length) {
+        x = (x + 1) & 0xff
+        y = (y + s(x)) & 0xff
+        val t = s(x); s(x) = s(y); s(y) = t
+        out(k) = (data(k) ^ s((s(x) + s(y)) & 0xff)).toByte
+        k += 1
+      }
+      out
+    }
+
+    private def aes(encrypt: Boolean, key: Array[Byte], iv: Array[Byte],
+        data: Array[Byte]): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(
+        if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+        else javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      c.doFinal(data)
+    }
+
+    def aesCbcEncrypt(key: Array[Byte], iv: Array[Byte],
+        data: Array[Byte]): Array[Byte] = aes(encrypt = true, key, iv, data)
+
+    def aesCbcDecryptIv(key: Array[Byte], iv: Array[Byte],
+        data: Array[Byte]): Array[Byte] = aes(encrypt = false, key, iv, data)
+
+    def aesEcbEncrypt(key: Array[Byte], block: Array[Byte]): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"))
+      c.doFinal(block)
+    }
+
+    def pkcs7(data: Array[Byte]): Array[Byte] = {
+      val padLen = 16 - (data.length % 16)
+      val out = java.util.Arrays.copyOf(data, data.length + padLen)
+      java.util.Arrays.fill(out, data.length, out.length, padLen.toByte)
+      out
+    }
+
+    /** Algorithm 2: the RC4/AES-128 file key for revisions 2–4. */
+    def algo2(userPwd: Array[Byte], o: Array[Byte], p: Int,
+        id0: Array[Byte], r: Int, n: Int, encMeta: Boolean): Array[Byte] = {
+      val in = new java.io.ByteArrayOutputStream(80)
+      in.write(pad32(userPwd), 0, 32)
+      in.write(o, 0, 32)
+      in.write(le4(p), 0, 4)
+      in.write(id0, 0, id0.length)
+      if (r >= 4 && !encMeta)
+        in.write(Array[Byte](-1, -1, -1, -1), 0, 4)
+      var h = md5(in.toByteArray)
+      if (r >= 3) {
+        var i = 0
+        while (i < 50) { h = md5(java.util.Arrays.copyOf(h, n)); i += 1 }
+      }
+      java.util.Arrays.copyOf(h, n)
+    }
+
+    /** Algorithm 3: the /O value. */
+    def algo3(ownerPwd: Array[Byte], userPwd: Array[Byte], r: Int,
+        n: Int): Array[Byte] = {
+      var h = md5(pad32(ownerPwd))
+      if (r >= 3) {
+        var i = 0
+        while (i < 50) { h = md5(java.util.Arrays.copyOf(h, n)); i += 1 }
+      }
+      val key = java.util.Arrays.copyOf(h, n)
+      var o = rc4(key, pad32(userPwd))
+      if (r >= 3) { var i = 1; while (i <= 19) { o = rc4(xorKey(key, i), o); i += 1 } }
+      o
+    }
+
+    /** Algorithms 4 (R2) / 5 (R≥3): the /U value. */
+    def algoU(key: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] = {
+      if (r == 2) rc4(key, Pad)
+      else {
+        var x = rc4(key, md5(Pad ++ id0))
+        var i = 1
+        while (i <= 19) { x = rc4(xorKey(key, i), x); i += 1 }
+        java.util.Arrays.copyOf(x, 32) // 16 significant + 16 zero pad
+      }
+    }
+
+    /** Algorithm 2.B (R6): the iterated SHA-256/384/512 + AES hash.
+      * K1 is 64 repetitions of (pwd ++ K ++ udata) — always a multiple
+      * of 16 bytes, so NoPadding AES-CBC applies exactly. */
+    def hash2B(pwd: Array[Byte], salt: Array[Byte],
+        udata: Array[Byte]): Array[Byte] = {
+      var k = sha(256, pwd ++ salt ++ udata)
+      var round = 0
+      var lastE = 0
+      while (round < 64 || lastE > round - 32) {
+        val unit = pwd.length + k.length + udata.length
+        val k1 = new Array[Byte](unit * 64)
+        var off = 0
+        var i = 0
+        while (i < 64) {
+          System.arraycopy(pwd, 0, k1, off, pwd.length)
+          System.arraycopy(k, 0, k1, off + pwd.length, k.length)
+          System.arraycopy(udata, 0, k1, off + pwd.length + k.length,
+            udata.length)
+          off += unit
+          i += 1
+        }
+        val e = aesCbcEncrypt(java.util.Arrays.copyOf(k, 16),
+          java.util.Arrays.copyOfRange(k, 16, 32), k1)
+        var sum = 0
+        i = 0
+        while (i < 16) { sum += e(i) & 0xff; i += 1 }
+        k = sha(sum % 3 match { case 0 => 256; case 1 => 384; case _ => 512 }, e)
+        lastE = e(e.length - 1) & 0xff
+        round += 1
+      }
+      java.util.Arrays.copyOf(k, 32)
+    }
+  }
+
+  /** Per-object stream decryption once the file key is validated.
+    * mode 0 = RC4 (R2–R4 /V2), 1 = AES-128-CBC (/AESV2, per-object
+    * keys salted with sAlT), 2 = AES-256-CBC (/AESV3, the file key
+    * directly). AES payloads lead with their 16-byte IV and end with
+    * PKCS#7 padding — both validated, bad shapes refuse. */
+  private final class Decryptor(mode: Int, fileKey: Array[Byte]) {
+
+    private def objKey(num: Int, gen: Int, aes: Boolean): Array[Byte] = {
+      val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) // "sAlT"
+                 else Array.emptyByteArray
+      val in = fileKey ++ Array(
+        (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+        ((num >> 16) & 0xff).toByte,
+        (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte) ++ salt
+      java.util.Arrays.copyOf(PdfCrypt.md5(in),
+        math.min(fileKey.length + 5, 16))
+    }
+
+    private def aesDecrypt(key: Array[Byte], raw: Array[Byte]): Array[Byte] = {
+      if (raw.length < 32 || (raw.length - 16) % 16 != 0) refuse()
+      val iv = java.util.Arrays.copyOf(raw, 16)
+      val body = java.util.Arrays.copyOfRange(raw, 16, raw.length)
+      val plain = PdfCrypt.aesCbcDecryptIv(key, iv, body)
+      val pad = plain(plain.length - 1) & 0xff
+      if (pad < 1 || pad > 16 || pad > plain.length) refuse()
+      java.util.Arrays.copyOf(plain, plain.length - pad)
+    }
+
+    def stream(num: Int, gen: Int, raw: Array[Byte]): Array[Byte] =
+      mode match {
+        case 0 => PdfCrypt.rc4(objKey(num, gen, aes = false), raw)
+        case 1 => aesDecrypt(objKey(num, gen, aes = true), raw)
+        case _ => aesDecrypt(fileKey, raw)
+      }
+  }
+
   private final class Parser(b: Array[Byte]) {
     private val xref = scala.collection.mutable.Map.empty[Int, Long]
     // objnum → (object-stream container number, index within it)
@@ -403,6 +718,11 @@ object PdfText {
     private var pagesSeen = 0
     private val out = new java.lang.StringBuilder(1024)
     private var pendingSpace = false
+    // set after the xref walk when the trailer carries /Encrypt and
+    // the EMPTY user password validates; null = unencrypted document.
+    // The xref stream itself is read before setup — the spec says it
+    // is never encrypted, and the ordering enforces that for free.
+    private var decrypt: Decryptor = null
 
     // ------------------------------------------------------- xref walk
 
@@ -569,11 +889,11 @@ object PdfText {
       objLoads += 1
       if (objLoads > MaxObjLoads) refuse()
       val lx = new Lex(b, off.toInt)
-      lx.parseValue() match {
-        case _: java.lang.Long => (); case _ => refuse()
+      val num = lx.parseValue() match {
+        case l: java.lang.Long => l.intValue(); case _ => refuse()
       }
-      lx.parseValue() match {
-        case _: java.lang.Long => (); case _ => refuse()
+      val gen = lx.parseValue() match {
+        case l: java.lang.Long => l.intValue(); case _ => refuse()
       }
       lx.expectKeyword("obj")
       val v = lx.parseValue()
@@ -591,7 +911,7 @@ object PdfText {
           case _ => refuse()
         }
         if (lx.pos.toLong + len > b.length) refuse()
-        PStream(dict, lx.pos, len)
+        PStream(dict, lx.pos, len, num, gen)
       } else v
     }
 
@@ -760,9 +1080,12 @@ object PdfText {
     }
 
     /** Decoded stream bytes, or null when the filter chain isn't
-      * baseline-decodable (DCT, CCITT, LZW, crypt filters, …). */
+      * baseline-decodable (DCT, CCITT, LZW, crypt filters, …).
+      * Encrypted documents decrypt BEFORE the filter chain — the
+      * stored layout is Enc(Flate(data)). */
     private def streamData(s: PStream): Array[Byte] = {
-      val raw = java.util.Arrays.copyOfRange(b, s.dataStart, s.dataStart + s.rawLen)
+      val raw0 = java.util.Arrays.copyOfRange(b, s.dataStart, s.dataStart + s.rawLen)
+      val raw = if (decrypt == null) raw0 else decrypt.stream(s.num, s.gen, raw0)
       val parms: Map[String, Any] =
         deref(s.dict.getOrElse("DecodeParms", PNull)) match {
           case m: Map[String, Any] @unchecked => m
@@ -807,7 +1130,38 @@ object PdfText {
     private def sep(): Unit = pendingSpace = true
 
     private def decodeString(bytes: Array[Byte], font: FontInfo): String = {
-      if (font.cid) refuse() // CID text needs CMaps: labeled refusal
+      if (font.cid) {
+        // Type0 text: multi-byte codes through the /ToUnicode CMap.
+        // Without one the codes name glyphs, not characters — refuse.
+        val tu = font.toUni
+        if (tu == null) refuse()
+        val sb = new java.lang.StringBuilder(bytes.length)
+        var i = 0
+        while (i < bytes.length) {
+          // shortest codespace width whose range covers the prefix
+          var len = 0
+          var k = 0
+          while (len == 0 && k < tu.ranges.length) {
+            val (l, lo, hi) = tu.ranges(k)
+            if (i + l <= bytes.length) {
+              var v = 0L; var j = 0
+              while (j < l) { v = (v << 8) | (bytes(i + j) & 0xff); j += 1 }
+              if (v >= lo && v <= hi) len = l
+            }
+            k += 1
+          }
+          if (len == 0) // undefined code: consume the narrowest width
+            len = math.min(tu.ranges.head._1, bytes.length - i)
+          var v = 0L; var j = 0
+          while (j < len) { v = (v << 8) | (bytes(i + j) & 0xff); j += 1 }
+          tu.map.get(v) match {
+            case Some(s) => sb.append(s)
+            case None => () // unmapped code: no character information
+          }
+          i += len
+        }
+        return sb.toString
+      }
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe &&
           (bytes(1) & 0xff) == 0xff)
         return new String(bytes, 2, bytes.length - 2,
@@ -863,7 +1217,20 @@ object PdfText {
           }
         case _ => Map.empty
       }
-      FontInfo(cid, mac, diff)
+      // Type0: the /ToUnicode CMap stream (if present) is what makes
+      // the font extractable; failures degrade to null → refusal at
+      // first use, not at page setup (an unused broken font is fine)
+      val toUni: ToUni =
+        if (!cid) null
+        else deref(d.getOrElse("ToUnicode", PNull)) match {
+          case s: PStream =>
+            val data = streamData(s)
+            if (data == null) null
+            else try parseToUnicodeCMap(data)
+            catch { case _: Refuse => null }
+          case _ => null
+        }
+      FontInfo(cid, mac, diff, toUni)
     }
 
     private def runContent(data: Array[Byte],
@@ -976,11 +1343,108 @@ object PdfText {
       }
     }
 
+    // ------------------------------------------------- security setup
+
+    private def encBytes(d: Map[String, Any], k: String): Array[Byte] =
+      deref(d.getOrElse(k, PNull)) match {
+        case a: Array[Byte] => a
+        case _ => refuse()
+      }
+
+    private def encInt(d: Map[String, Any], k: String, dflt: Int): Int =
+      deref(d.getOrElse(k, PNull)) match {
+        case l: java.lang.Long => l.intValue()
+        case _ => dflt
+      }
+
+    /** Validate the EMPTY user password against the standard security
+      * handler and build the stream decryptor. A non-empty user
+      * password (validation mismatch) refuses — the labeled-NULL
+      * contract for content that is cryptographically out of reach. */
+    private def buildDecryptor(d: Map[String, Any]): Decryptor = {
+      if (deref(d.getOrElse("Filter", PNull)) != PName("Standard")) refuse()
+      val r = encInt(d, "R", -1)
+      val id0 = deref(trailer.getOrElse("ID", PNull)) match {
+        case ids: Vector[_] if ids.nonEmpty => deref(ids.head) match {
+          case a: Array[Byte] => a
+          case _ => Array.emptyByteArray
+        }
+        case _ => Array.emptyByteArray
+      }
+      r match {
+        case 2 | 3 | 4 =>
+          val o = encBytes(d, "O"); val u = encBytes(d, "U")
+          if (o.length < 32 || u.length < 32) refuse()
+          val p = encInt(d, "P", 0)
+          var n = if (r == 2) 5
+                  else math.max(5, math.min(16, encInt(d, "Length", 40) / 8))
+          // V4: /CF crypt filters, /StmF selects the stream filter
+          var cfm = "V2"
+          if (encInt(d, "V", 0) == 4) {
+            val stmf = deref(d.getOrElse("StmF", PNull)) match {
+              case PName(s) => s
+              case _ => "Identity"
+            }
+            if (stmf == "Identity") cfm = "Identity"
+            else {
+              val cf = derefDict(derefDict(d.getOrElse("CF", refuse()))
+                .getOrElse(stmf, refuse()))
+              cfm = deref(cf.getOrElse("CFM", PNull)) match {
+                case PName(s) => s
+                case _ => refuse()
+              }
+              // CF /Length is spec'd in BYTES but often written in bits
+              val cfLen = encInt(cf, "Length", n)
+              n = math.min(16, if (cfLen >= 40) cfLen / 8 else cfLen)
+              if (n < 5) refuse()
+            }
+          }
+          val encMeta =
+            deref(d.getOrElse("EncryptMetadata", PNull)) != java.lang.Boolean.FALSE
+          val key = PdfCrypt.algo2(Array.emptyByteArray, o, p, id0, r, n, encMeta)
+          val uComputed = PdfCrypt.algoU(key, id0, r)
+          val cmpLen = if (r == 2) 32 else 16
+          var i = 0
+          var ok = true
+          while (i < cmpLen) { if (uComputed(i) != u(i)) ok = false; i += 1 }
+          if (!ok) refuse() // real user password required
+          cfm match {
+            case "Identity" => null // streams stored in the clear
+            case "V2" => new Decryptor(0, key)
+            case "AESV2" => new Decryptor(1, key)
+            case _ => refuse()
+          }
+        case 5 | 6 =>
+          // AES-256: /U = hash(32) ++ validation salt(8) ++ key salt(8)
+          val u = encBytes(d, "U")
+          val ue = encBytes(d, "UE")
+          if (u.length < 48 || ue.length < 32) refuse()
+          val hash = java.util.Arrays.copyOf(u, 32)
+          val vsalt = java.util.Arrays.copyOfRange(u, 32, 40)
+          val ksalt = java.util.Arrays.copyOfRange(u, 40, 48)
+          val empty = Array.emptyByteArray
+          val computed =
+            if (r == 5) PdfCrypt.sha(256, vsalt) // sha(pass ++ vsalt), pass empty
+            else PdfCrypt.hash2B(empty, vsalt, empty)
+          if (!java.util.Arrays.equals(computed, hash)) refuse()
+          val inter =
+            if (r == 5) PdfCrypt.sha(256, ksalt)
+            else PdfCrypt.hash2B(empty, ksalt, empty)
+          val fileKey = java.util.Arrays.copyOf(
+            PdfCrypt.aesCbcDecryptIv(inter, new Array[Byte](16),
+              java.util.Arrays.copyOf(ue, 32)), 32)
+          new Decryptor(2, fileKey)
+        case _ => refuse()
+      }
+    }
+
     // -------------------------------------------------------- extract
 
     def extract(): String = {
       loadXrefChain()
-      if (trailer.contains("Encrypt")) refuse() // encrypted: labeled NULL
+      trailer.get("Encrypt").foreach { e =>
+        decrypt = buildDecryptor(derefDict(e))
+      }
       val root = derefDict(trailer.getOrElse("Root", refuse()))
       val pages = derefDict(root.getOrElse("Pages", refuse()))
       walkPages(pages, Map.empty, 0)
@@ -1027,14 +1491,27 @@ object PdfText {
     *  - `objStm = true` moves every document dictionary into an OBJECT
     *    STREAM with type-2 xref entries (implies a cross-reference
     *    stream) — the layout modern writers emit;
-    *  - `cidFont` / `encrypted` build the two labeled-refusal shapes.
+    *  - `cidToUnicode = true` writes a Type0 / Identity-H SUBSET font:
+    *    distinct characters get sequential 2-byte codes (the real
+    *    subsetter shape) and a /ToUnicode CMap maps them back, mixing
+    *    bfchar, increment-form bfrange, and array-form bfrange;
+    *  - `encrypt` selects REAL standard-security encryption with an
+    *    empty user password — "rc4-40" (R2), "rc4" (R3, 128-bit),
+    *    "aes" (R4 /AESV2), "aes256" (R6 /AESV3) — or "password" for
+    *    an R3 document with a real (non-empty) user password: the
+    *    empty-password refusal shape;
+    *  - `cidFont` (Type0 WITHOUT /ToUnicode) / `encrypted` (alias for
+    *    encrypt="password") build the two labeled-refusal shapes.
     */
   def encodePdf(pages: Seq[Seq[String]], xrefStream: Boolean = false,
       macRoman: Boolean = false, utf16: Boolean = false,
       flate: Boolean = true, cidFont: Boolean = false,
       encrypted: Boolean = false, xrefPredictor: Boolean = false,
-      objStm: Boolean = false): Array[Byte] = {
+      objStm: Boolean = false, cidToUnicode: Boolean = false,
+      encrypt: String = ""): Array[Byte] = {
     require(pages.nonEmpty && pages.forall(_.nonEmpty))
+    val encMode = if (encrypt.nonEmpty) encrypt
+                  else if (encrypted) "password" else ""
     // objStm: the document dictionaries live inside an OBJECT STREAM
     // (the layout modern writers emit) — implies a cross-reference
     // stream, since classic tables cannot carry type-2 entries
@@ -1047,15 +1524,126 @@ object PdfText {
 
     val nPages = pages.size
     // object numbering: 1 catalog, 2 pages, 3..2+n page dicts,
-    // 3+n..2+2n content streams, 3+2n font
+    // 3+n..2+2n content streams, 3+2n font; then (when present) the
+    // descendant CID font + ToUnicode stream, the ObjStm container,
+    // and the encryption dictionary
     val fontObj = 3 + 2 * nPages
+    val descFontObj = if (cidToUnicode) fontObj + 1 else -1
+    val toUniObj = if (cidToUnicode) fontObj + 2 else -1
+    val afterFont = if (cidToUnicode) fontObj + 2 else fontObj
+
+    // subset-font code assignment: distinct characters in sorted order
+    // get sequential 2-byte codes from 1 — the shape real subsetters
+    // emit (codes are font-local, unrelated to Unicode)
+    val cidCodes: Map[Char, Int] =
+      if (!cidToUnicode) Map.empty
+      else pages.flatten.flatMap(_.toSeq).distinct.sorted.zipWithIndex
+        .map { case (c, i) => c -> (i + 1) }.toMap
+
+    def cidHex(s: String): String = {
+      val bytes = new Array[Byte](s.length * 2)
+      var i = 0
+      while (i < s.length) {
+        val code = cidCodes(s.charAt(i))
+        bytes(2 * i) = ((code >> 8) & 0xff).toByte
+        bytes(2 * i + 1) = (code & 0xff).toByte
+        i += 1
+      }
+      hexLit(bytes)
+    }
 
     def showString(s: String, idx: Int): String =
-      if (utf16)
+      if (cidToUnicode) cidHex(s)
+      else if (utf16)
         hexLit(Array[Byte](0xfe.toByte, 0xff.toByte) ++
           s.getBytes(java.nio.charset.StandardCharsets.UTF_16BE))
       else if (idx % 3 == 2) hexLit(s.getBytes(cs))
       else litString(s, cs)
+
+    // ------------------------------------------------ encryption setup
+    // deterministic document ID (the fixture has no randomness)
+    val docId: Array[Byte] = PdfCrypt.md5(
+      pages.flatten.mkString(" ").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    val encP = -3904 // a real Acrobat permissions value
+    // (dict-body string, per-object stream encryptor); mode "" → plain
+    val (encDictBody, encStream): (String, (Int, Array[Byte]) => Array[Byte]) =
+      encMode match {
+        case "" => (null, (_, d) => d)
+        case "rc4-40" | "rc4" | "aes" | "password" =>
+          val r = if (encMode == "rc4-40") 2 else if (encMode == "aes") 4 else 3
+          val v = if (encMode == "rc4-40") 1 else if (encMode == "aes") 4 else 2
+          val n = if (r == 2) 5 else 16
+          val userPwd =
+            if (encMode == "password") "hunter2".getBytes("US-ASCII")
+            else Array.emptyByteArray
+          val ownerPwd = "owner".getBytes("US-ASCII")
+          val o = PdfCrypt.algo3(ownerPwd, userPwd, r, n)
+          val key = PdfCrypt.algo2(userPwd, o, encP, docId, r, n, encMeta = true)
+          val u = PdfCrypt.algoU(key, docId, r)
+          val head = s"/Filter /Standard /V $v /R $r" +
+            (if (r >= 3) s" /Length ${n * 8}" else "") +
+            (if (v == 4)
+               " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>" +
+                 " /StmF /StdCF /StrF /StdCF"
+             else "")
+          val body = s"<< $head /O ${hexLit(o)} /U ${hexLit(u)} /P $encP >>"
+          def objKey(num: Int, aes: Boolean): Array[Byte] = {
+            val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54)
+                       else Array.emptyByteArray
+            val in = key ++ Array(
+              (num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+              ((num >> 16) & 0xff).toByte, 0.toByte, 0.toByte) ++ salt
+            java.util.Arrays.copyOf(PdfCrypt.md5(in), math.min(n + 5, 16))
+          }
+          val enc: (Int, Array[Byte]) => Array[Byte] =
+            if (v == 4) { (num, d) =>
+              val iv = java.util.Arrays.copyOf(
+                PdfCrypt.md5(docId ++ s"#iv$num".getBytes("US-ASCII")), 16)
+              iv ++ PdfCrypt.aesCbcEncrypt(objKey(num, aes = true), iv,
+                PdfCrypt.pkcs7(d))
+            } else { (num, d) => PdfCrypt.rc4(objKey(num, aes = false), d) }
+          (body, enc)
+        case "aes256" =>
+          val fileKey = PdfCrypt.sha(256, docId ++
+            "graft-file-key".getBytes("US-ASCII"))
+          val empty = Array.emptyByteArray
+          val vsalt = java.util.Arrays.copyOf(
+            PdfCrypt.md5(docId ++ "vs".getBytes("US-ASCII")), 8)
+          val ksalt = java.util.Arrays.copyOf(
+            PdfCrypt.md5(docId ++ "ks".getBytes("US-ASCII")), 8)
+          val uHash = PdfCrypt.hash2B(empty, vsalt, empty)
+          val u = uHash ++ vsalt ++ ksalt
+          val ue = PdfCrypt.aesCbcEncrypt(
+            PdfCrypt.hash2B(empty, ksalt, empty), new Array[Byte](16), fileKey)
+          val ownerPwd = "owner".getBytes("US-ASCII")
+          val ovsalt = java.util.Arrays.copyOf(
+            PdfCrypt.md5(docId ++ "ovs".getBytes("US-ASCII")), 8)
+          val oksalt = java.util.Arrays.copyOf(
+            PdfCrypt.md5(docId ++ "oks".getBytes("US-ASCII")), 8)
+          val o = PdfCrypt.hash2B(ownerPwd, ovsalt, u) ++ ovsalt ++ oksalt
+          val oe = PdfCrypt.aesCbcEncrypt(
+            PdfCrypt.hash2B(ownerPwd, oksalt, u), new Array[Byte](16), fileKey)
+          val permsBlock = PdfCrypt.le4(encP) ++
+            Array[Byte](-1, -1, -1, -1, 'T'.toByte,
+              'a'.toByte, 'd'.toByte, 'b'.toByte) ++
+            java.util.Arrays.copyOf(PdfCrypt.md5(docId), 4)
+          val perms = PdfCrypt.aesEcbEncrypt(fileKey, permsBlock)
+          val body = "<< /Filter /Standard /V 5 /R 6 /Length 256" +
+            " /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>" +
+            " /StmF /StdCF /StrF /StdCF" +
+            s" /O ${hexLit(o)} /U ${hexLit(u)}" +
+            s" /OE ${hexLit(oe)} /UE ${hexLit(ue)}" +
+            s" /P $encP /Perms ${hexLit(perms)} >>"
+          val enc: (Int, Array[Byte]) => Array[Byte] = { (num, d) =>
+            val iv = java.util.Arrays.copyOf(
+              PdfCrypt.md5(docId ++ s"#iv$num".getBytes("US-ASCII")), 16)
+            iv ++ PdfCrypt.aesCbcEncrypt(fileKey, iv, PdfCrypt.pkcs7(d))
+          }
+          (body, enc)
+        case other =>
+          throw new IllegalArgumentException(s"unknown encrypt mode: $other")
+      }
 
     def contentFor(paras: Seq[String]): Array[Byte] = {
       val sb = new java.lang.StringBuilder(256)
@@ -1104,11 +1692,67 @@ object PdfText {
         s"/Resources << /Font << /F1 $fontObj 0 R >> >> " +
         s"/Contents ${3 + nPages + i} 0 R >>"
     val fontStr =
-      if (cidFont)
+      if (cidToUnicode)
+        s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftSubset " +
+          s"/Encoding /Identity-H /DescendantFonts [$descFontObj 0 R] " +
+          s"/ToUnicode $toUniObj 0 R >>"
+      else if (cidFont)
         "<< /Type /Font /Subtype /Type0 /BaseFont /Noto /Encoding /Identity-H >>"
       else
         "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /" +
           (if (macRoman) "MacRomanEncoding" else "WinAnsiEncoding") + " >>"
+    val descFontStr =
+      "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GraftSubset " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+        "/Supplement 0 >> /CIDToGIDMap /Identity >>"
+
+    /** The /ToUnicode CMap body: codes were assigned to sorted distinct
+      * chars, so maximal runs of CONSECUTIVE codepoints map to
+      * consecutive codes — runs ≥ 4 take the increment bfrange form,
+      * runs of 2–3 the array form, singletons bfchar (≤100-entry
+      * sections per the CMap spec). All three destination spellings
+      * exercised by ordinary text. */
+    def toUniCMap: Array[Byte] = {
+      val entries = cidCodes.toSeq.map { case (c, code) => (code, c) }.sorted
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Vector[(Int, Char)]]
+      entries.foreach { e =>
+        if (runs.nonEmpty && runs.last.last._1 + 1 == e._1 &&
+            runs.last.last._2 + 1 == e._2.toInt)
+          runs(runs.size - 1) = runs.last :+ e
+        else runs += Vector(e)
+      }
+      def hex4(v: Int): String = f"<$v%04X>"
+      val bfchar = runs.filter(_.size == 1).map(_.head)
+      val bfranges = runs.filter(_.size > 1)
+      val sb = new java.lang.StringBuilder(512)
+      sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+      sb.append("/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def\n")
+      sb.append("/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n")
+      sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+      bfranges.grouped(100).foreach { grp =>
+        sb.append(grp.size).append(" beginbfrange\n")
+        grp.foreach { run =>
+          val lo = run.head._1; val hi = run.last._1
+          if (run.size >= 4)
+            sb.append(hex4(lo)).append(' ').append(hex4(hi)).append(' ')
+              .append(hex4(run.head._2.toInt)).append('\n')
+          else
+            sb.append(hex4(lo)).append(' ').append(hex4(hi)).append(" [")
+              .append(run.map(e => hex4(e._2.toInt)).mkString(" "))
+              .append("]\n")
+        }
+        sb.append("endbfrange\n")
+      }
+      bfchar.grouped(100).foreach { grp =>
+        sb.append(grp.size).append(" beginbfchar\n")
+        grp.foreach { case (code, c) =>
+          sb.append(hex4(code)).append(' ').append(hex4(c.toInt)).append('\n')
+        }
+        sb.append("endbfchar\n")
+      }
+      sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
 
     if (!objStm) {
       beginObj(1); w(catalogStr + "\n"); endObj()
@@ -1118,24 +1762,37 @@ object PdfText {
       }
     }
     pages.indices.foreach { i =>
+      val num = 3 + nPages + i
       val raw = contentFor(pages(i))
-      val data = if (flate) deflate(raw) else raw
-      beginObj(3 + nPages + i)
+      val data = encStream(num, if (flate) deflate(raw) else raw)
+      beginObj(num)
       w(s"<< /Length ${data.length}" +
         (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
       out.write(data, 0, data.length)
       w("\nendstream\nendobj\n")
     }
     if (!objStm) { beginObj(fontObj); w(fontStr + "\n"); endObj() }
+    if (cidToUnicode) {
+      // the descendant font dict and ToUnicode STREAM stay plain
+      // objects even in ObjStm mode (streams may not live in one)
+      if (!objStm) { beginObj(descFontObj); w(descFontStr + "\n"); endObj() }
+      val data = encStream(toUniObj, deflate(toUniCMap))
+      beginObj(toUniObj)
+      w(s"<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(data, 0, data.length)
+      w("\nendstream\nendobj\n")
+    }
 
     // objStm layout: dictionaries live in the object-stream container
     // (content STREAMS may not — the spec forbids streams in ObjStm)
-    val objStmNum = fontObj + 1
+    val objStmNum = afterFont + 1
     val memberIdx = scala.collection.mutable.Map.empty[Int, Int]
     if (objStm) {
       val members: Seq[(Int, String)] =
-        Seq(1 -> catalogStr, 2 -> pagesStr) ++
-          pages.indices.map(i => (3 + i) -> pageStr(i)) :+ (fontObj -> fontStr)
+        (Seq(1 -> catalogStr, 2 -> pagesStr) ++
+          pages.indices.map(i => (3 + i) -> pageStr(i)) :+
+          (fontObj -> fontStr)) ++
+          (if (cidToUnicode) Seq(descFontObj -> descFontStr) else Seq.empty)
       members.zipWithIndex.foreach { case ((n, _), i) => memberIdx(n) = i }
       val body = new java.lang.StringBuilder()
       val offs = members.map { case (_, d) =>
@@ -1143,8 +1800,8 @@ object PdfText {
       }
       val header = members.zip(offs)
         .map { case ((n, _), o) => s"$n $o" }.mkString("", " ", "\n")
-      val payload = deflate((header + body.toString)
-        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      val payload = encStream(objStmNum, deflate((header + body.toString)
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
       beginObj(objStmNum)
       w(s"<< /Type /ObjStm /N ${members.size} /First ${header.length} " +
         s"/Filter /FlateDecode /Length ${payload.length} >>\nstream\n")
@@ -1152,8 +1809,17 @@ object PdfText {
       w("\nendstream\nendobj\n")
     }
 
-    val size = if (objStm) fontObj + 2 else fontObj + 1
-    val encExtra = if (encrypted) s" /Encrypt ${size + 5} 0 R" else ""
+    // the encryption dictionary is a PLAIN indirect object (the spec
+    // forbids it inside an ObjStm) and its own strings stay clear
+    val afterObjStm = if (objStm) objStmNum else afterFont
+    val encObj = if (encMode.nonEmpty) afterObjStm + 1 else -1
+    if (encMode.nonEmpty) { beginObj(encObj); w(encDictBody + "\n"); endObj() }
+
+    val size = (if (encMode.nonEmpty) encObj else afterObjStm) + 1
+    val idHex = hexLit(docId)
+    val encExtra =
+      if (encMode.nonEmpty) s" /Encrypt $encObj 0 R /ID [$idHex $idHex]"
+      else ""
     if (!useXrefStream) {
       val xrefOff = out.size()
       w(s"xref\n0 $size\n")

@@ -826,19 +826,24 @@ object Pipeline {
   // extraction step in real LLM pipelines, completing the q101/q102/
   // q105 document family. Each doc becomes a REAL PDF ([[graft
   // .functions.PdfText.encodePdf]]) in rotating spellings — classic
-  // xref table / xref stream / PNG-predictor xref stream, one or two
-  // pages, Flate or raw content, literal WinAnsi / MacRoman / BOM'd
-  // UTF-16BE strings, all four text-show operators — every spelling
-  // extracting the SAME text, so one closed-form oracle covers the
-  // whole rotation (the codec-family discipline). Three labeled
-  // refusals are data, not errors: non-PDF junk (id%7=1), encrypted
-  // (id%11=5), CID/Type0 fonts (id%13=6) — all NULL. Per-row scalar
-  // work inside the scan projection: zero shuffle at any scale.
+  // xref table / xref stream / PNG-predictor xref stream / object
+  // streams, one or two pages, Flate or raw content, literal WinAnsi /
+  // MacRoman / BOM'd UTF-16BE strings / Type0-Identity-H subset fonts
+  // with ToUnicode CMaps, all four text-show operators, and REAL
+  // empty-user-password encryption (RC4-40, RC4-128, AESV2, AES-256
+  // R6) — every spelling extracting the SAME text, so one closed-form
+  // oracle covers the whole rotation (the codec-family discipline).
+  // Three labeled refusals are data, not errors: non-PDF junk
+  // (id%7=1), PASSWORD-protected (id%11=5 — a real non-empty user
+  // password, cryptographically out of reach), Type0 fonts WITHOUT
+  // /ToUnicode (id%13=6 — codes name glyphs, not characters) — all
+  // NULL. Per-row scalar work inside the scan projection: zero
+  // shuffle at any scale.
   def q106(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.Registry.install(s)
     val out106 = Tables.scratch(s"media106/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
-    val mediaDir = Tables.cachedDerived(dir, out106, version = "v2-objstm") {
+    val mediaDir = Tables.cachedDerived(dir, out106, version = "v3-cid-crypt") {
       docs(s, dir).select(col("doc_id").cast("long"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
@@ -846,7 +851,7 @@ object Pipeline {
           val bytes =
             if (id % 7 == 1) "%FDP backwards, not a pdf".getBytes("US-ASCII")
             else if (id % 11 == 5) PdfText.encodePdf(
-              Seq(Seq(s"Doc $id secret", text)), encrypted = true)
+              Seq(Seq(s"Doc $id secret", text)), encrypt = "password")
             else if (id % 13 == 6) PdfText.encodePdf(
               Seq(Seq(s"Doc $id cid", text)), cidFont = true)
             else {
@@ -859,7 +864,15 @@ object Pipeline {
                 utf16 = id % 5 == 2,
                 macRoman = id % 5 == 4,
                 flate = id % 6 != 4,
-                objStm = id % 9 == 7) // modern object-stream layout
+                objStm = id % 9 == 7, // modern object-stream layout
+                cidToUnicode = id % 8 == 3, // subset font + ToUnicode
+                encrypt = (id % 10) match { // empty-user-password crypt
+                  case 1 => "rc4-40"
+                  case 4 => "rc4"
+                  case 7 => "aes"
+                  case 9 => "aes256"
+                  case _ => ""
+                })
             }
           (id, bytes)
         }.toDF("doc_id", "content")
