@@ -904,6 +904,10 @@ object Registry {
       (es: Seq[Expression]) => PdfTextExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("mp3_meta",
       (es: Seq[Expression]) => Mp3MetaExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("aac_meta",
+      (es: Seq[Expression]) => AacMetaExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("ogg_meta",
+      (es: Seq[Expression]) => OggMetaExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("intersect_size",
       (es: Seq[Expression]) => IntersectSize(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("token_histogram",

@@ -990,7 +990,184 @@ object Pipeline {
       |       CASE WHEN bad THEN NULL ELSE isvbr END AS vbr
       |FROM p ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q108
+  // AAC/ADTS container metadata (round 19): the raw-AAC framing half
+  // of a crawl's AAC audio (the MP4-boxed half is q103). Fixtures
+  // rotate all four profiles, MPEG-2/4 version bits, CRC and no-CRC
+  // headers, multi-raw-data-block frames, and CBR/VBR frame-size
+  // rotations; every 7th doc is junk → NULL. Frame counts, duration,
+  // and average bitrate are EXACT (frame-counted), so one closed-form
+  // oracle covers the rotation. Zero shuffle at any scale.
+  def q108(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    val out108 = Tables.scratch(s"media108/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out108, version = "v1-aac") {
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          import graft.functions.AacMeta
+          val bytes =
+            if (id % 7 == 4) "fLaC not adts framing".getBytes("US-ASCII")
+            else {
+              val (profile, sr, ch, mpeg2) = (id % 5).toInt match {
+                case 0 => ("LC", 44100, 2, false)
+                case 1 => ("LC", 48000, 2, false)
+                case 2 => ("Main", 24000, 1, false)
+                case 3 => ("LTP", 16000, 1, true)
+                case _ => ("SSR", 22050, 2, false)
+              }
+              val crc = id % 3 == 1
+              val rdb = if (id % 3 == 2) 2 else 1
+              val frames = 8 + (id % 15).toInt
+              val sizes =
+                if (id % 2 == 0) Seq(100 + (id % 50).toInt)
+                else Seq(100, 220) // VBR rotation
+              AacMeta.encode(profile, sr, ch, sizes, frames,
+                crc = crc, mpeg2 = mpeg2, rawDataBlocks = rdb)
+            }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out108/data")
+    }
+    s.read.parquet(s"$mediaDir/data")
+      .selectExpr("doc_id", "aac_meta(content) AS m")
+      .selectExpr("doc_id", "m.version AS version", "m.profile AS profile",
+        "CAST(m.sample_rate_hz AS BIGINT) AS sample_rate_hz",
+        "CAST(m.channels AS BIGINT) AS channels",
+        "m.frames AS frames", "m.duration_ms AS duration_ms",
+        "CAST(m.bitrate_kbps AS BIGINT) AS bitrate_kbps")
+      .orderBy("doc_id")
+  }
+
+  val q108Sql =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS slot,
+      |         8 + doc_id % 15 AS frames,
+      |         doc_id % 7 = 4 AS bad,
+      |         doc_id % 3 = 1 AS crc,
+      |         CASE WHEN doc_id % 3 = 2 THEN 2 ELSE 1 END AS rdb,
+      |         doc_id % 2 = 0 AS cbr,
+      |         100 + doc_id % 50 AS cbrsz
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, frames, bad, rdb,
+      |         CASE slot WHEN 3 THEN 'MPEG-2' ELSE 'MPEG-4' END AS version,
+      |         CASE slot WHEN 0 THEN 'LC' WHEN 1 THEN 'LC' WHEN 2 THEN 'Main'
+      |              WHEN 3 THEN 'LTP' ELSE 'SSR' END AS profile,
+      |         CASE slot WHEN 0 THEN 44100 WHEN 1 THEN 48000 WHEN 2 THEN 24000
+      |              WHEN 3 THEN 16000 ELSE 22050 END AS sr,
+      |         CASE WHEN slot IN (2, 3) THEN 1 ELSE 2 END AS ch,
+      |         CASE WHEN crc THEN 9 ELSE 7 END AS hdr,
+      |         CASE WHEN cbr THEN frames * (cbrsz + CASE WHEN crc THEN 9 ELSE 7 END)
+      |              ELSE (frames + 1) // 2 * (100 + CASE WHEN crc THEN 9 ELSE 7 END)
+      |                 + frames // 2 * (220 + CASE WHEN crc THEN 9 ELSE 7 END)
+      |         END AS bytes
+      |  FROM g)
+      |SELECT doc_id,
+      |       CASE WHEN bad THEN NULL ELSE version END AS version,
+      |       CASE WHEN bad THEN NULL ELSE profile END AS profile,
+      |       CAST(CASE WHEN bad THEN NULL ELSE sr END AS BIGINT)
+      |         AS sample_rate_hz,
+      |       CAST(CASE WHEN bad THEN NULL ELSE ch END AS BIGINT) AS channels,
+      |       CAST(CASE WHEN bad THEN NULL ELSE frames END AS BIGINT) AS frames,
+      |       CAST(CASE WHEN bad THEN NULL
+      |            ELSE frames * rdb * 1024 * 1000 // sr END AS BIGINT)
+      |         AS duration_ms,
+      |       CAST(CASE WHEN bad THEN NULL
+      |            ELSE bytes * 8 * sr // (frames * rdb * 1024) // 1000
+      |       END AS BIGINT) AS bitrate_kbps
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q109
+  // Ogg container metadata (round 19): the Vorbis/Opus slice of a
+  // crawl's audio. Fixtures are REAL Ogg streams — CRC-correct pages,
+  // exact lacing, continued comment packets spanning pages — rotating
+  // both codecs, rates, channel counts, tag presence, and the split-
+  // comment spelling; every 7th doc is junk → NULL. Duration comes
+  // from the final granule position (Opus minus pre-skip per RFC
+  // 7845). One closed-form oracle covers the rotation. Zero shuffle.
+  def q109(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    val out109 = Tables.scratch(s"media109/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out109, version = "v1-ogg") {
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          import graft.functions.OggMeta
+          val bytes =
+            if (id % 7 == 5) "RIFF not an ogg stream".getBytes("US-ASCII")
+            else {
+              val vorbis = id % 2 == 0
+              val sr = (id % 3).toInt match {
+                case 0 => if (vorbis) 44100 else 48000
+                case 1 => if (vorbis) 48000 else 16000
+                case _ => 8000
+              }
+              val quarters = 1 + (id % 4)
+              val samples =
+                if (vorbis) sr.toLong * quarters / 2 // 500 ms steps
+                else 12000L * quarters // 250 ms steps at 48 kHz
+              OggMeta.encode(
+                if (vorbis) "vorbis" else "opus", sr,
+                channels = if (id % 3 == 0) 1 else 2,
+                samples = samples,
+                title = if (id % 4 == 1) null else s"Track $id",
+                artist = if (id % 5 == 2) null else s"Artist ${id % 9}",
+                audioPages = 2 + (id % 3).toInt,
+                splitComment = id % 6 == 3)
+            }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out109/data")
+    }
+    s.read.parquet(s"$mediaDir/data")
+      .selectExpr("doc_id", "ogg_meta(content) AS m")
+      .selectExpr("doc_id", "m.codec AS codec",
+        "CAST(m.sample_rate_hz AS BIGINT) AS sample_rate_hz",
+        "CAST(m.channels AS BIGINT) AS channels",
+        "m.pages AS pages", "m.duration_ms AS duration_ms",
+        "m.title AS title", "m.artist AS artist")
+      .orderBy("doc_id")
+  }
+
+  val q109Sql =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 2 = 0 AS vorbis,
+      |         CAST(doc_id % 3 AS INT) AS srslot,
+      |         1 + doc_id % 4 AS quarters,
+      |         doc_id % 7 = 5 AS bad,
+      |         2 + doc_id % 3 AS audiopages,
+      |         doc_id % 6 = 3 AS split
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, vorbis, quarters, bad,
+      |         CASE srslot WHEN 0 THEN CASE WHEN vorbis THEN 44100 ELSE 48000 END
+      |              WHEN 1 THEN CASE WHEN vorbis THEN 48000 ELSE 16000 END
+      |              ELSE 8000 END AS sr,
+      |         CASE WHEN srslot = 0 THEN 1 ELSE 2 END AS ch,
+      |         audiopages + CASE WHEN split THEN 3 ELSE 2 END AS pages,
+      |         CASE WHEN vorbis THEN quarters * 500 ELSE quarters * 250 END
+      |           AS dur,
+      |         doc_id % 4 = 1 AS notitle, doc_id % 5 = 2 AS noartist
+      |  FROM g)
+      |SELECT doc_id,
+      |       CASE WHEN bad THEN NULL
+      |            WHEN vorbis THEN 'vorbis' ELSE 'opus' END AS codec,
+      |       CAST(CASE WHEN bad THEN NULL ELSE sr END AS BIGINT)
+      |         AS sample_rate_hz,
+      |       CAST(CASE WHEN bad THEN NULL ELSE ch END AS BIGINT) AS channels,
+      |       CAST(CASE WHEN bad THEN NULL ELSE pages END AS BIGINT) AS pages,
+      |       CAST(CASE WHEN bad THEN NULL ELSE dur END AS BIGINT)
+      |         AS duration_ms,
+      |       CASE WHEN bad OR notitle THEN NULL
+      |            ELSE 'Track ' || doc_id END AS title,
+      |       CASE WHEN bad OR noartist THEN NULL
+      |            ELSE 'Artist ' || (doc_id % 9) END AS artist
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_ogg_meta" -> (q109 _),
+    "q108_aac_meta" -> (q108 _),
     "q107_mp3_meta" -> (q107 _),
     "q106_pdf_text" -> (q106 _),
     "q105_epub_text" -> (q105 _),
@@ -1010,6 +1187,8 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q109_ogg_meta" -> q109Sql,
+    "q108_aac_meta" -> q108Sql,
     "q107_mp3_meta" -> q107Sql,
     "q106_pdf_text" -> q106Sql,
     "q105_epub_text" -> q105Sql,
