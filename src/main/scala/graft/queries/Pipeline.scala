@@ -1165,7 +1165,76 @@ object Pipeline {
       |            ELSE 'Artist ' || (doc_id % 9) END AS artist
       |FROM p ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q110
+  // ID3 tag extraction (round 19): the join key an audio-curation
+  // pipeline actually uses — title/artist/album without touching a
+  // sample. Fixtures rotate ID3v2.3 (ISO-8859-1 and UTF-16, plus the
+  // unsynchronised spelling), ID3v2.4 (UTF-16/UTF-16BE/UTF-8 frames),
+  // ID3v2.2 (3-char frames), and the ID3v1 128-byte tail, each tag
+  // wrapped around a REAL MPEG audio stream; some docs carry BOTH v2
+  // and v1 (v2 wins, the spec order). Every 7th doc has no tag at all
+  // → NULL. One closed-form oracle covers the rotation. Zero shuffle.
+  def q110(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    val out110 = Tables.scratch(s"media110/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out110, version = "v1-id3") {
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          import graft.functions.{Id3Tags, Mp3Meta}
+          val audio = Mp3Meta.encode("1", 3, 44100, Seq(128),
+            frames = 3 + (id % 4).toInt)
+          val title = if (id % 3 == 1) null else s"Title $id"
+          val artist = if (id % 5 == 3) null else s"Artist ${id % 11}"
+          val album = if (id % 2 == 1) null else s"Album ${id % 6}"
+          val bytes =
+            if (id % 7 == 6) audio // untagged audio → NULL tags
+            else (id % 4).toInt match {
+              case 0 => Id3Tags.encodeV2(3, title, artist, album,
+                enc = (id % 2).toInt,
+                unsync = id % 5 == 0) ++ audio
+              case 1 => Id3Tags.encodeV2(4, title, artist, album,
+                enc = 1 + (id % 3).toInt) ++ audio ++
+                // v2 wins over a v1 tail carrying different values
+                (if (id % 9 == 8)
+                   Id3Tags.encodeV1("loser", "loser", "loser")
+                 else Array.emptyByteArray)
+              case 2 => Id3Tags.encodeV2(2, title, artist, album) ++ audio
+              case _ => audio ++ Id3Tags.encodeV1(title, artist, album)
+            }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out110/data")
+    }
+    s.read.parquet(s"$mediaDir/data")
+      .selectExpr("doc_id", "id3_tags(content) AS t")
+      .selectExpr("doc_id", "t.version AS version", "t.title AS title",
+        "t.artist AS artist", "t.album AS album")
+      .orderBy("doc_id")
+  }
+
+  val q110Sql =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS layout,
+      |         doc_id % 7 = 6 AS bad,
+      |         CASE WHEN doc_id % 3 = 1 THEN NULL
+      |              ELSE 'Title ' || doc_id END AS title,
+      |         CASE WHEN doc_id % 5 = 3 THEN NULL
+      |              ELSE 'Artist ' || (doc_id % 11) END AS artist,
+      |         CASE WHEN doc_id % 2 = 1 THEN NULL
+      |              ELSE 'Album ' || (doc_id % 6) END AS album
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN bad THEN NULL
+      |            WHEN layout = 0 THEN '2.3' WHEN layout = 1 THEN '2.4'
+      |            WHEN layout = 2 THEN '2.2' ELSE '1' END AS version,
+      |       CASE WHEN bad THEN NULL ELSE title END AS title,
+      |       CASE WHEN bad THEN NULL ELSE artist END AS artist,
+      |       CASE WHEN bad THEN NULL ELSE album END AS album
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_id3_tags" -> (q110 _),
     "q109_ogg_meta" -> (q109 _),
     "q108_aac_meta" -> (q108 _),
     "q107_mp3_meta" -> (q107 _),
@@ -1187,6 +1256,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q110_id3_tags" -> q110Sql,
     "q109_ogg_meta" -> q109Sql,
     "q108_aac_meta" -> q108Sql,
     "q107_mp3_meta" -> q107Sql,
