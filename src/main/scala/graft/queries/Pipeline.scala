@@ -1233,7 +1233,118 @@ object Pipeline {
       |       CASE WHEN bad THEN NULL ELSE album END AS album
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q111
+  // Matroska/WebM container metadata (round 19): the EBML half of a
+  // crawl's video (the ISO-BMFF half is q103) — geometry / duration /
+  // codec-id filtering BEFORE paying any decode. Fixtures are REAL
+  // EBML: sized and unknown-size (live-muxed) Segments, 4- and 8-byte
+  // float spellings, default and explicit timestamp scales, video-only
+  // / audio-only / both track layouts, junk cluster payloads the walk
+  // must skip by size; every 7th doc is junk → NULL. One closed-form
+  // oracle covers the rotation. Zero shuffle at any scale.
+  def q111(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    val out111 = Tables.scratch(s"media111/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out111, version = "v1-mkv") {
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          import graft.functions.MkvMeta
+          val bytes =
+            if (id % 7 == 3) "ftyp is bmff, not ebml".getBytes("US-ASCII")
+            else {
+              val layout = (id % 3).toInt // 0 video, 1 audio, 2 both
+              val vc = (id % 4).toInt match {
+                case 0 => "V_VP9"; case 1 => "V_VP8"
+                case 2 => "V_AV1"; case _ => "V_MPEG4/ISO/AVC"
+              }
+              val (ac, sr) = (id % 5).toInt match {
+                case 0 | 3 => ("A_OPUS", 48000)
+                case 1 | 4 => ("A_VORBIS", 44100)
+                case _ => ("A_FLAC", 16000)
+              }
+              val nonDefaultScale = id % 9 == 4
+              MkvMeta.encode(
+                doctype = if (id % 2 == 0) "webm" else "matroska",
+                durationMs = 1000L * (1 + id % 30),
+                title = if (id % 4 == 2) null else s"Video $id",
+                videoCodec = if (layout != 1) vc else null,
+                width = 160 * (1 + (id % 8).toInt),
+                height = 90 * (1 + (id % 8).toInt),
+                audioCodec = if (layout != 0) ac else null,
+                sampleRate = sr,
+                channels = 1 + (id % 2).toInt,
+                unknownSegmentSize = id % 5 == 1,
+                wideFloats = id % 5 == 2,
+                explicitScale = nonDefaultScale || id % 6 != 5,
+                scaleNs = if (nonDefaultScale) 100000L else 1000000L,
+                clusters = 1 + (id % 3).toInt)
+            }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out111/data")
+    }
+    s.read.parquet(s"$mediaDir/data")
+      .selectExpr("doc_id", "mkv_meta(content) AS m")
+      .selectExpr("doc_id", "m.doctype AS doctype",
+        "m.duration_ms AS duration_ms", "m.title AS title",
+        "CAST(m.tracks AS BIGINT) AS tracks",
+        "m.video_codec AS video_codec",
+        "CAST(m.width AS BIGINT) AS width",
+        "CAST(m.height AS BIGINT) AS height",
+        "m.audio_codec AS audio_codec",
+        "CAST(m.sample_rate_hz AS BIGINT) AS sample_rate_hz",
+        "CAST(m.channels AS BIGINT) AS channels")
+      .orderBy("doc_id")
+  }
+
+  val q111Sql =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 7 = 3 AS bad,
+      |         CAST(doc_id % 3 AS INT) AS layout,
+      |         CAST(doc_id % 4 AS INT) AS vslot,
+      |         CAST(doc_id % 5 AS INT) AS aslot
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, bad, layout,
+      |         CASE WHEN doc_id % 2 = 0 THEN 'webm' ELSE 'matroska' END
+      |           AS doctype,
+      |         1000 * (1 + doc_id % 30) AS dur,
+      |         CASE WHEN doc_id % 4 = 2 THEN NULL
+      |              ELSE 'Video ' || doc_id END AS title,
+      |         CASE vslot WHEN 0 THEN 'V_VP9' WHEN 1 THEN 'V_VP8'
+      |              WHEN 2 THEN 'V_AV1' ELSE 'V_MPEG4/ISO/AVC' END AS vc,
+      |         CASE WHEN aslot IN (0, 3) THEN 'A_OPUS'
+      |              WHEN aslot IN (1, 4) THEN 'A_VORBIS'
+      |              ELSE 'A_FLAC' END AS ac,
+      |         CASE WHEN aslot IN (0, 3) THEN 48000
+      |              WHEN aslot IN (1, 4) THEN 44100
+      |              ELSE 16000 END AS sr,
+      |         160 * (1 + doc_id % 8) AS w,
+      |         90 * (1 + doc_id % 8) AS h,
+      |         1 + doc_id % 2 AS ch
+      |  FROM g)
+      |SELECT doc_id,
+      |       CASE WHEN bad THEN NULL ELSE doctype END AS doctype,
+      |       CAST(CASE WHEN bad THEN NULL ELSE dur END AS BIGINT)
+      |         AS duration_ms,
+      |       CASE WHEN bad THEN NULL ELSE title END AS title,
+      |       CAST(CASE WHEN bad THEN NULL
+      |            WHEN layout = 2 THEN 2 ELSE 1 END AS BIGINT) AS tracks,
+      |       CASE WHEN bad OR layout = 1 THEN NULL ELSE vc END AS video_codec,
+      |       CAST(CASE WHEN bad OR layout = 1 THEN NULL ELSE w END AS BIGINT)
+      |         AS width,
+      |       CAST(CASE WHEN bad OR layout = 1 THEN NULL ELSE h END AS BIGINT)
+      |         AS height,
+      |       CASE WHEN bad OR layout = 0 THEN NULL ELSE ac END AS audio_codec,
+      |       CAST(CASE WHEN bad OR layout = 0 THEN NULL ELSE sr END AS BIGINT)
+      |         AS sample_rate_hz,
+      |       CAST(CASE WHEN bad OR layout = 0 THEN NULL ELSE ch END AS BIGINT)
+      |         AS channels
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_mkv_meta" -> (q111 _),
     "q110_id3_tags" -> (q110 _),
     "q109_ogg_meta" -> (q109 _),
     "q108_aac_meta" -> (q108 _),
@@ -1256,6 +1367,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q111_mkv_meta" -> q111Sql,
     "q110_id3_tags" -> q110Sql,
     "q109_ogg_meta" -> q109Sql,
     "q108_aac_meta" -> q108Sql,
