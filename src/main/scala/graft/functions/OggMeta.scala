@@ -131,6 +131,61 @@ object OggMeta {
 
   private val MaxPacket = 16 << 20
 
+  /** The Vorbis-comment structure (shared verbatim by Vorbis, Opus,
+    * and FLAC): vendor_len + vendor, count, then len-prefixed UTF-8
+    * `KEY=value` entries. Returns (TITLE, ARTIST), either null. */
+  private[functions] def vorbisComments(c: Array[Byte],
+      tagOff: Int): (String, String) = {
+    var title: String = null
+    var artist: String = null
+    if (tagOff + 4 <= c.length) {
+      var p = tagOff
+      val vendorLen = le32(c, p); p += 4
+      if (vendorLen >= 0 && p + vendorLen + 4 <= c.length) {
+        p += vendorLen
+        val n = le32(c, p); p += 4
+        var i = 0
+        while (i < n && i < 1000 && p + 4 <= c.length) {
+          val len = le32(c, p); p += 4
+          if (len < 0 || p + len > c.length) { i = n }
+          else {
+            val s = new String(c, p, len,
+              java.nio.charset.StandardCharsets.UTF_8)
+            val eq = s.indexOf('=')
+            if (eq > 0) {
+              val key = s.substring(0, eq).toUpperCase(java.util.Locale.ROOT)
+              if (key == "TITLE" && title == null) title = s.substring(eq + 1)
+              else if (key == "ARTIST" && artist == null)
+                artist = s.substring(eq + 1)
+            }
+            p += len
+            i += 1
+          }
+        }
+      }
+    }
+    (title, artist)
+  }
+
+  /** A raw Vorbis-comment body (no codec-specific prefix) — the block
+    * FLAC embeds directly and Ogg codecs wrap. */
+  private[functions] def encodeComments(title: String,
+      artist: String): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream(128)
+    val vendor = "graft fixture".getBytes("UTF-8")
+    o.write(le32b(vendor.length)); o.write(vendor)
+    val tags = Seq(
+      Option(title).map(t => s"TITLE=$t"),
+      Option(artist).map(a => s"ARTIST=$a"),
+      Some("ENCODER=graft")).flatten
+    o.write(le32b(tags.size))
+    tags.foreach { t =>
+      val bs = t.getBytes("UTF-8")
+      o.write(le32b(bs.length)); o.write(bs)
+    }
+    o.toByteArray
+  }
+
   /** Metadata from the page walk, or null for non-Ogg payloads. */
   def parse(b: Array[Byte]): Meta = {
     if (b == null || b.length < 28) return null
@@ -225,31 +280,9 @@ object OggMeta {
         else if (codec == "opus" && c.length >= 8 && c(0) == 'O' &&
             c(4) == 'T' && c(5) == 'a' && c(6) == 'g' && c(7) == 's') 8
         else -1
-      if (tagOff >= 0 && tagOff + 4 <= c.length) {
-        var p = tagOff
-        val vendorLen = le32(c, p); p += 4
-        if (vendorLen >= 0 && p + vendorLen + 4 <= c.length) {
-          p += vendorLen
-          val n = le32(c, p); p += 4
-          var i = 0
-          while (i < n && i < 1000 && p + 4 <= c.length) {
-            val len = le32(c, p); p += 4
-            if (len < 0 || p + len > c.length) { i = n }
-            else {
-              val s = new String(c, p, len,
-                java.nio.charset.StandardCharsets.UTF_8)
-              val eq = s.indexOf('=')
-              if (eq > 0) {
-                val key = s.substring(0, eq).toUpperCase(java.util.Locale.ROOT)
-                if (key == "TITLE" && title == null) title = s.substring(eq + 1)
-                else if (key == "ARTIST" && artist == null)
-                  artist = s.substring(eq + 1)
-              }
-              p += len
-              i += 1
-            }
-          }
-        }
+      if (tagOff >= 0) {
+        val (t, a) = vorbisComments(c, tagOff)
+        title = t; artist = a
       }
     }
     val durationMs =

@@ -1343,7 +1343,92 @@ object Pipeline {
       |         AS channels
       |FROM p ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q112
+  // FLAC metadata (round 19): the metadata-block walk beside the FULL
+  // FlacCodec sample decoder — at 100 TB, duration/tag filtering must
+  // not pay rice decoding. Fixtures are REAL FLAC streams from the
+  // full encoder (every one still sample-decodable) with spliced
+  // VORBIS_COMMENT / PADDING blocks; every 7th doc is junk → NULL.
+  // STREAMINFO total_samples gives exact duration; TITLE/ARTIST share
+  // the Vorbis-comment structure with q109. Closed-form oracle.
+  def q112(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    val out112 = Tables.scratch(s"media112/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out112, version = "v1-flacmeta") {
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          import graft.functions.FlacMeta
+          val bytes =
+            if (id % 7 == 1) "ID3 not a flac stream".getBytes("US-ASCII")
+            else {
+              val (sr, ch) = (id % 3).toInt match {
+                case 0 => (44100, 1)
+                case 1 => (8000, 2)
+                case _ => (16000, 2)
+              }
+              // sr/100 frames per tenth → duration 100*(1+id%5) ms
+              val frames = sr / 10 * (1 + (id % 5)).toInt
+              val samples = Array.tabulate(frames * ch)(i =>
+                ((i * 37 + id) % 500 - 250).toInt)
+              val base = graft.operators.FlacCodec.encodeFlac(
+                sr, ch, 16, samples)
+              if (id % 4 == 0) base // STREAMINFO-only spelling
+              else FlacMeta.withComments(base,
+                title = if (id % 3 == 1) null else s"Flac $id",
+                artist = if (id % 5 == 4) null else s"Band ${id % 7}",
+                padding = if (id % 6 == 5) 32 else 0,
+                lastIsPadding = id % 6 == 5)
+            }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out112/data")
+    }
+    s.read.parquet(s"$mediaDir/data")
+      .selectExpr("doc_id", "flac_meta(content) AS m")
+      .selectExpr("doc_id",
+        "CAST(m.sample_rate_hz AS BIGINT) AS sample_rate_hz",
+        "CAST(m.channels AS BIGINT) AS channels",
+        "CAST(m.bits_per_sample AS BIGINT) AS bits_per_sample",
+        "m.total_samples AS total_samples",
+        "m.duration_ms AS duration_ms",
+        "m.title AS title", "m.artist AS artist")
+      .orderBy("doc_id")
+  }
+
+  val q112Sql =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 7 = 1 AS bad,
+      |         CAST(doc_id % 3 AS INT) AS slot,
+      |         1 + doc_id % 5 AS tenths,
+      |         doc_id % 4 = 0 AS plain
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, bad, plain, tenths,
+      |         CASE slot WHEN 0 THEN 44100 WHEN 1 THEN 8000
+      |              ELSE 16000 END AS sr,
+      |         CASE WHEN slot = 0 THEN 1 ELSE 2 END AS ch,
+      |         CASE WHEN doc_id % 3 = 1 THEN NULL
+      |              ELSE 'Flac ' || doc_id END AS title,
+      |         CASE WHEN doc_id % 5 = 4 THEN NULL
+      |              ELSE 'Band ' || (doc_id % 7) END AS artist
+      |  FROM g)
+      |SELECT doc_id,
+      |       CAST(CASE WHEN bad THEN NULL ELSE sr END AS BIGINT)
+      |         AS sample_rate_hz,
+      |       CAST(CASE WHEN bad THEN NULL ELSE ch END AS BIGINT) AS channels,
+      |       CAST(CASE WHEN bad THEN NULL ELSE 16 END AS BIGINT)
+      |         AS bits_per_sample,
+      |       CAST(CASE WHEN bad THEN NULL
+      |            ELSE sr // 10 * tenths END AS BIGINT) AS total_samples,
+      |       CAST(CASE WHEN bad THEN NULL
+      |            ELSE 100 * tenths END AS BIGINT) AS duration_ms,
+      |       CASE WHEN bad OR plain THEN NULL ELSE title END AS title,
+      |       CASE WHEN bad OR plain THEN NULL ELSE artist END AS artist
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_flac_meta" -> (q112 _),
     "q111_mkv_meta" -> (q111 _),
     "q110_id3_tags" -> (q110 _),
     "q109_ogg_meta" -> (q109 _),
@@ -1367,6 +1452,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q112_flac_meta" -> q112Sql,
     "q111_mkv_meta" -> q111Sql,
     "q110_id3_tags" -> q110Sql,
     "q109_ogg_meta" -> q109Sql,
