@@ -1427,7 +1427,96 @@ object Pipeline {
       |       CASE WHEN bad OR plain THEN NULL ELSE artist END AS artist
       |FROM p ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q113
+  // Charset sniffing (round 19): the bytes→text front door of a WARC
+  // pipeline — response bodies arrive in whatever encoding the origin
+  // served, and everything downstream (html_to_text, lang-ID, quality)
+  // needs Unicode. Fixtures rotate the full detection cascade: all
+  // five BOMs, meta prescan labels (quoted/bare/alias/shift_jis/
+  // WHATWG latin1→1252), strict-UTF-8 validation, pure ASCII, and the
+  // windows-1252 fallback; binary payloads (NULs) are the labeled
+  // NULL. One closed-form oracle covers the rotation. Zero shuffle.
+  def q113(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    val out113 = Tables.scratch(s"media113/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out113, version = "v1-sniff") {
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val cs1252 = java.nio.charset.Charset.forName("windows-1252")
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val accent = s"Résumé café $id"
+          val ascii = s"plain ascii doc $id"
+          val bytes: Array[Byte] =
+            if (id % 7 == 3) // binary: a PNG-ish NUL-bearing payload
+              Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 0, 0, 1)
+            else (id % 12).toInt match {
+              case 0 | 9 => Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+                accent.getBytes(utf8)
+              case 1 => Array[Byte](0xff.toByte, 0xfe.toByte) ++
+                accent.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+              case 2 => Array[Byte](0xfe.toByte, 0xff.toByte) ++
+                accent.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+              case 3 => s"""<meta charset="windows-1252">$accent"""
+                .getBytes(cs1252)
+              case 4 => s"doc $id — unicode ✓ body".getBytes(utf8)
+              case 5 | 11 => ascii.getBytes(utf8)
+              case 6 => // no meta, invalid UTF-8 → 1252 fallback
+                s"café “$id”".getBytes(cs1252)
+              case 7 => s"<meta charset=shift_jis>doc $id カタカナ"
+                .getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+              case 8 => s"<meta charset=latin1>$accent".getBytes(cs1252)
+              case _ => s"<meta charset=utf-8>$accent".getBytes(utf8)
+            }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out113/data")
+    }
+    s.read.parquet(s"$mediaDir/data")
+      .selectExpr("doc_id", "sniff_text(content) AS m")
+      .selectExpr("doc_id", "m.charset AS charset", "m.source AS source",
+        "m.text AS text")
+      .orderBy("doc_id")
+  }
+
+  val q113Sql =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 7 = 3 AS bad,
+      |         CAST(doc_id % 12 AS INT) AS slot,
+      |         'Résumé café ' || doc_id AS accent,
+      |         'plain ascii doc ' || doc_id AS ascii
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN bad THEN NULL
+      |            WHEN slot IN (0, 9) THEN 'utf-8'
+      |            WHEN slot = 1 THEN 'utf-16le'
+      |            WHEN slot = 2 THEN 'utf-16be'
+      |            WHEN slot IN (3, 6, 8) THEN 'windows-1252'
+      |            WHEN slot = 4 THEN 'utf-8'
+      |            WHEN slot IN (5, 11) THEN 'ascii'
+      |            WHEN slot = 7 THEN 'shift_jis'
+      |            ELSE 'utf-8' END AS charset,
+      |       CASE WHEN bad THEN NULL
+      |            WHEN slot IN (0, 1, 2, 9) THEN 'bom'
+      |            WHEN slot IN (3, 7, 8, 10) THEN 'meta'
+      |            WHEN slot = 4 THEN 'utf8-valid'
+      |            WHEN slot IN (5, 11) THEN 'ascii'
+      |            ELSE 'fallback' END AS source,
+      |       CASE WHEN bad THEN NULL
+      |            WHEN slot IN (0, 1, 2, 9) THEN accent
+      |            WHEN slot = 3 THEN '<meta charset="windows-1252">' || accent
+      |            WHEN slot = 4 THEN 'doc ' || doc_id || ' — unicode ✓ body'
+      |            WHEN slot IN (5, 11) THEN ascii
+      |            WHEN slot = 6 THEN 'café “' || doc_id || '”'
+      |            WHEN slot = 7 THEN '<meta charset=shift_jis>doc ' ||
+      |                 doc_id || ' カタカナ'
+      |            WHEN slot = 8 THEN '<meta charset=latin1>' || accent
+      |            ELSE '<meta charset=utf-8>' || accent
+      |       END AS text
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_sniff_text" -> (q113 _),
     "q112_flac_meta" -> (q112 _),
     "q111_mkv_meta" -> (q111 _),
     "q110_id3_tags" -> (q110 _),
@@ -1452,6 +1541,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q113_sniff_text" -> q113Sql,
     "q112_flac_meta" -> q112Sql,
     "q111_mkv_meta" -> q111Sql,
     "q110_id3_tags" -> q110Sql,
