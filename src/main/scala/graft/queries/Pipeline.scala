@@ -1515,7 +1515,75 @@ object Pipeline {
       |       END AS text
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q114
+  // URL decomposition (round 19): the host-level keying a crawl
+  // pipeline groups and dedups on. Fixtures rotate the normalization
+  // surface — case folding, explicit-default ports, userinfo, IDN
+  // punycode (the unicode label sits OUTSIDE the id-bearing label so
+  // the oracle stays closed-form), dot-segments, IPv6 literals — plus
+  // two refusal shapes (relative refs, junk). Zero shuffle; the
+  // emitted host column is exactly what a 100 TB per-site
+  // aggregation would shuffle on.
+  def q114(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val k = id % 40
+        val url = (id % 10).toInt match {
+          case 0 => s"http://example$k.com/a/b"
+          case 1 => s"HTTPS://EXAMPLE$k.COM:443/x/../y"
+          case 2 => s"http://user:pw@site$k.org:8080/p?q=1&b=2"
+          case 3 => s"http://münchen.site$k.de/straße"
+          case 4 => s"https://example$k.com/a/./b/c/../d?x=$k#frag"
+          case 5 => s"ftp://files$k.net:21/pub/"
+          case 6 => "/relative/path/only"
+          case 7 => s"not a url at all ($k)"
+          case 8 => s"http://[2001:db8::${1 + id % 9}]:8443/v6"
+          case _ => s"ws://sock$k.io/chat?room=$k"
+        }
+        (id, url)
+      }.toDF("doc_id", "url")
+      .selectExpr("doc_id", "url", "url_parts(url) AS u")
+      .selectExpr("doc_id", "u.scheme AS scheme", "u.host AS host",
+        "CAST(u.port AS BIGINT) AS port", "u.path AS path",
+        "u.query AS query", "u.fragment AS fragment")
+      .orderBy("doc_id")
+  }
+
+  val q114Sql =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 10 AS INT) AS slot,
+      |         CAST(doc_id % 40 AS VARCHAR) AS k,
+      |         1 + doc_id % 9 AS v6
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE slot WHEN 0 THEN 'http' WHEN 1 THEN 'https'
+      |            WHEN 2 THEN 'http' WHEN 3 THEN 'http' WHEN 4 THEN 'https'
+      |            WHEN 5 THEN 'ftp' WHEN 8 THEN 'http' WHEN 9 THEN 'ws'
+      |            ELSE NULL END AS scheme,
+      |       CASE slot WHEN 0 THEN 'example' || k || '.com'
+      |            WHEN 1 THEN 'example' || k || '.com'
+      |            WHEN 2 THEN 'site' || k || '.org'
+      |            WHEN 3 THEN 'xn--mnchen-3ya.site' || k || '.de'
+      |            WHEN 4 THEN 'example' || k || '.com'
+      |            WHEN 5 THEN 'files' || k || '.net'
+      |            WHEN 8 THEN '[2001:db8::' || v6 || ']'
+      |            WHEN 9 THEN 'sock' || k || '.io'
+      |            ELSE NULL END AS host,
+      |       CAST(CASE WHEN slot = 2 THEN 8080 WHEN slot = 8 THEN 8443
+      |            ELSE NULL END AS BIGINT) AS port,
+      |       CASE slot WHEN 0 THEN '/a/b' WHEN 1 THEN '/y' WHEN 2 THEN '/p'
+      |            WHEN 3 THEN '/straße' WHEN 4 THEN '/a/b/d'
+      |            WHEN 5 THEN '/pub/' WHEN 8 THEN '/v6' WHEN 9 THEN '/chat'
+      |            ELSE NULL END AS path,
+      |       CASE slot WHEN 2 THEN 'q=1&b=2' WHEN 4 THEN 'x=' || k
+      |            WHEN 9 THEN 'room=' || k ELSE NULL END AS query,
+      |       CASE slot WHEN 4 THEN 'frag' ELSE NULL END AS fragment
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_url_parts" -> (q114 _),
     "q113_sniff_text" -> (q113 _),
     "q112_flac_meta" -> (q112 _),
     "q111_mkv_meta" -> (q111 _),
@@ -1541,6 +1609,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q114_url_parts" -> q114Sql,
     "q113_sniff_text" -> q113Sql,
     "q112_flac_meta" -> q112Sql,
     "q111_mkv_meta" -> q111Sql,
