@@ -918,6 +918,8 @@ object Registry {
       (es: Seq[Expression]) => SniffTextExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("url_parts",
       (es: Seq[Expression]) => UrlPartsExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("main_text",
+      (es: Seq[Expression]) => MainTextExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("intersect_size",
       (es: Seq[Expression]) => IntersectSize(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("token_histogram",

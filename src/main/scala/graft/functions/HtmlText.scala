@@ -122,7 +122,7 @@ object HtmlText {
 
   /** Past the raw-text element starting at `at` (its close tag's `>`),
     * or end of input when unterminated. */
-  private def skipRawElement(html: String, at: Int, close: String): Int = {
+  private[functions] def skipRawElement(html: String, at: Int, close: String): Int = {
     val n = html.length
     // first the opening tag's own '>'
     var i = html.indexOf('>', at)
@@ -142,7 +142,7 @@ object HtmlText {
   /** Decode the character reference at `at` ('&'): (char, index past
     * it), or (_, at) — next == at — to keep the ampersand verbatim.
     * nbsp maps to a plain space (the collapse step absorbs it). */
-  private def entity(html: String, at: Int): (Char, Int) = {
+  private[functions] def entity(html: String, at: Int): (Char, Int) = {
     val semi = html.indexOf(';', at + 1)
     if (semi < 0 || semi - at > 10) return (' ', at)
     val name = html.substring(at + 1, semi)

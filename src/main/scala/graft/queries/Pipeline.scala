@@ -1582,7 +1582,58 @@ object Pipeline {
       |       CASE slot WHEN 4 THEN 'frag' ELSE NULL END AS fragment
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q115
+  // Boilerplate removal (round 19): main_text between html_to_text
+  // (keeps everything) and a training corpus (must not learn nav
+  // menus and footer link farms). Fixtures wrap each doc's text in a
+  // full page — header/nav/aside/footer subtrees, a link-dense
+  // related-articles block (dies by density, not structure), and the
+  // real article paragraph; every 7th doc is ALL boilerplate and must
+  // come out empty (not NULL — extraction succeeded, nothing was
+  // content). The heuristic constants are a contract, so the oracle
+  // is closed-form. Zero shuffle at any scale.
+  def q115(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val boiler =
+          s"""<header><h1>Site $id</h1></header>
+             |<nav><ul><li><a href="/">Home page link</a></li>
+             |<li><a href="/s">Section link text</a></li></ul></nav>
+             |<div><a href="/r1">Related article headline one</a>
+             |<a href="/r2">Related article headline two</a>
+             |<a href="/r3">Related article headline three</a></div>""".stripMargin
+        val tail =
+          s"""<aside>Subscribe to the newsletter for updates $id</aside>
+             |<footer>© Site $id — all rights reserved legalese</footer>""".stripMargin
+        // entity-escape the corpus text (the q101/q102/q105 embedding
+        // discipline): markup-looking document text must round-trip
+        val esc = text.replace("&", "&amp;")
+          .replace("<", "&lt;").replace(">", "&gt;")
+        val html =
+          if (id % 7 == 6) s"<html><body>$boiler$tail</body></html>"
+          else
+            s"""<html><body>$boiler
+               |<p>Doc $id article body paragraph: $esc</p>
+               |$tail</body></html>""".stripMargin
+        (id, html)
+      }.toDF("doc_id", "html")
+      .selectExpr("doc_id", "main_text(html) AS text_out")
+      .orderBy("doc_id")
+  }
+
+  val q115Sql =
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 7 = 6 THEN ''
+      |            ELSE trim('Doc ' || doc_id || ' article body paragraph: ' ||
+      |                 trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')))
+      |       END AS text_out
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_main_text" -> (q115 _),
     "q114_url_parts" -> (q114 _),
     "q113_sniff_text" -> (q113 _),
     "q112_flac_meta" -> (q112 _),
@@ -1609,6 +1660,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q115_main_text" -> q115Sql,
     "q114_url_parts" -> q114Sql,
     "q113_sniff_text" -> q113Sql,
     "q112_flac_meta" -> q112Sql,
