@@ -152,7 +152,7 @@ object CharsetSniff {
     null
   }
 
-  private def resolve(label: String): java.nio.charset.Charset = {
+  private[functions] def resolve(label: String): java.nio.charset.Charset = {
     if (label == null || label.isEmpty) return null
     // the WHATWG mappings browsers apply before the registry
     val norm = label match {
@@ -168,7 +168,7 @@ object CharsetSniff {
     catch { case _: Exception => null }
   }
 
-  private def decode(b: Array[Byte], from: Int,
+  private[functions] def decode(b: Array[Byte], from: Int,
       cs: java.nio.charset.Charset): String =
     try {
       val dec = cs.newDecoder()

@@ -1632,7 +1632,81 @@ object Pipeline {
       |       END AS text_out
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q116
+  // Email/MIME extraction (round 19): mailing-list archives are a
+  // standard LLM corpus source. Fixtures are REAL RFC 5322 messages
+  // rotating every body spelling (7bit, quoted-printable, base64,
+  // multipart/alternative with an HTML part, multipart/mixed with an
+  // attachment that must contribute nothing, nested message/rfc822)
+  // and the header machinery (B/Q encoded-words, folding, RFC 1123
+  // dates with an unparseable slot); every 7th doc is non-mail → NULL.
+  // All spellings extract the SAME text, so the oracle is closed-form.
+  def q116(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    val out116 = Tables.scratch(s"media116/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out116, version = "v1-eml") {
+      docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.functions.EmlText
+          val bytes =
+            if (id % 7 == 0)
+              "just some text\nwith lines and no mail headers\n".getBytes("US-ASCII")
+            else {
+              val kind = (id % 6).toInt match {
+                case 0 => "plain"; case 1 => "qp"; case 2 => "b64"
+                case 3 => "alt"; case 4 => "mixed"; case _ => "nested"
+              }
+              val enc = (id % 3).toInt match {
+                case 0 => "none"; case 1 => "b"; case _ => "q"
+              }
+              val subject =
+                if (enc == "none") s"Update $id status"
+                else s"Update $id — statüs"
+              val date =
+                if (id % 4 == 1) "not a parseable date"
+                else f"Tue, 3 Jun 2008 11:${5 + id % 50}%02d:30 +0200"
+              EmlText.encodeEml(subject,
+                s"Sender $id <s$id@example.org>", date,
+                s"Doc $id report: $text", bodyKind = kind,
+                subjectEnc = enc, foldSubject = id % 5 == 2)
+            }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out116/data")
+    }
+    s.read.parquet(s"$mediaDir/data")
+      .selectExpr("doc_id", "eml_text(content) AS m")
+      .selectExpr("doc_id", "m.subject AS subject", "m.from AS sender",
+        "m.date_ms AS date_ms", "m.text AS text_out")
+      .orderBy("doc_id")
+  }
+
+  val q116Sql =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 7 = 0 AS bad,
+      |         CAST(doc_id % 3 AS INT) AS enc,
+      |         doc_id % 4 = 1 AS baddate,
+      |         doc_id % 50 AS mins,
+      |         trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN bad THEN NULL
+      |            WHEN enc = 0 THEN 'Update ' || doc_id || ' status'
+      |            ELSE 'Update ' || doc_id || ' — statüs' END AS subject,
+      |       CASE WHEN bad THEN NULL
+      |            ELSE 'Sender ' || doc_id || ' <s' || doc_id ||
+      |                 '@example.org>' END AS sender,
+      |       CAST(CASE WHEN bad OR baddate THEN NULL
+      |            ELSE 1212483930000 + mins * 60000 END AS BIGINT) AS date_ms,
+      |       CASE WHEN bad THEN NULL
+      |            ELSE trim('Doc ' || doc_id || ' report: ' || norm)
+      |       END AS text_out
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_eml_text" -> (q116 _),
     "q115_main_text" -> (q115 _),
     "q114_url_parts" -> (q114 _),
     "q113_sniff_text" -> (q113 _),
@@ -1660,6 +1734,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q116_eml_text" -> q116Sql,
     "q115_main_text" -> q115Sql,
     "q114_url_parts" -> q114Sql,
     "q113_sniff_text" -> q113Sql,
