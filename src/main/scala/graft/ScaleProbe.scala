@@ -115,6 +115,14 @@ object ScaleProbe {
         // q101 html_to_text — per-row codegen'd kernel inside the scan
         //   projection: shuffle ≈0, rows exactly linear.
         "q100_warc_extract", "q100b_warc_cdx", "q101_html_text",
+        // round-19 extraction tail: q106 is the HEAVIEST per-row
+        // extractor (xref walk + inflate + text machine per document)
+        // and q116 the deepest (MIME tree recursion) — both are
+        // per-row kernels inside the scan projection, so the contract
+        // is shuffle ≈0 at both scales and rows exactly linear; fixture
+        // BUILD cost (PDF/EML encoding) is also probed implicitly, it
+        // rides the same elapsed number on first run
+        "q106_pdf_text", "q116_eml_text",
         // q39: EXACT threshold join — Θ(N²) cosines by problem statement
         // (see EmbeddingJoin's scaladoc for why LSH can't prune at
         // τ=0.45), so elapsed is EXPECTED ≈quadratic at 10×; the probe's

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -1705,7 +1705,82 @@ object Pipeline {
       |       END AS text_out
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q117
+  // Jupyter-notebook extraction (round 19): .ipynb files are a prime
+  // code-corpus source, and they are JSON — so this one is PURE
+  // Catalyst, no custom expression: the fixture serializes real
+  // nbformat-4 documents with to_json (struct escaping for free) and
+  // the extraction is from_json + higher-order functions (filter/
+  // transform/aggregate) entirely inside whole-stage codegen. Cells
+  // rotate markdown/code/raw; code cells carry outputs that must NOT
+  // leak into text; every 7th doc is invalid JSON → from_json NULL →
+  // labeled NULL row. Closed-form oracle. Zero shuffle at any scale.
+  def q117(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // fixture via the Column DSL — the equivalent single selectExpr
+    // trips ANTLR's prediction on the deep named_struct nest
+    def cell(tpe: Column, source: Column, outputs: Column): Column =
+      struct(tpe.as("cell_type"), array(source).as("source"),
+        array(outputs).as("outputs"))
+    val nullStr = lit(null).cast("string")
+    val notebook = to_json(struct(
+      lit(4).as("nbformat"), lit(5).as("nbformat_minor"),
+      struct(struct(lit("python3").as("name"),
+        lit("python").as("language")).as("kernelspec")).as("metadata"),
+      array(
+        cell(lit("markdown"),
+          concat(lit("# Doc "), col("doc_id"), lit(" analysis")), nullStr),
+        cell(lit("code"),
+          concat(lit("print("), col("doc_id"), lit(")")),
+          concat(lit("stdout noise "), col("doc_id"))),
+        cell(when(col("doc_id") % 3 === 0, "raw").otherwise("markdown"),
+          col("text"), nullStr)).as("cells")))
+    val nb = docs(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 5, lit("{\"cells\": [unterminated"))
+          .otherwise(notebook).as("ipynb"))
+    nb.selectExpr("doc_id",
+        """from_json(ipynb,
+          |  'STRUCT<nbformat: INT,
+          |          cells: ARRAY<STRUCT<cell_type: STRING,
+          |                              source: ARRAY<STRING>>>>'
+          |) AS doc""".stripMargin)
+      .selectExpr("doc_id",
+        "CAST(doc.nbformat AS BIGINT) AS nbformat",
+        "CAST(size(doc.cells) AS BIGINT) AS n_cells",
+        """CAST(size(filter(doc.cells, c -> c.cell_type = 'code'))
+          |AS BIGINT) AS n_code""".stripMargin,
+        // text = markdown + code sources in document order; raw cells
+        // and code OUTPUTS contribute nothing (nbconvert semantics)
+        """CASE WHEN doc.cells IS NULL THEN NULL ELSE
+          |trim(regexp_replace(
+          |  array_join(transform(
+          |    filter(doc.cells,
+          |      c -> c.cell_type = 'markdown' OR c.cell_type = 'code'),
+          |    c -> array_join(c.source, '')), ' '),
+          |  '[ \\t\\r\\n]+', ' ')) END AS text_out""".stripMargin)
+      .orderBy("doc_id")
+  }
+
+  val q117Sql =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 7 = 5 AS bad, doc_id % 3 = 0 AS rawcell,
+      |         trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(CASE WHEN bad THEN NULL ELSE 4 END AS BIGINT) AS nbformat,
+      |       CAST(CASE WHEN bad THEN NULL ELSE 3 END AS BIGINT) AS n_cells,
+      |       CAST(CASE WHEN bad THEN NULL ELSE 1 END AS BIGINT) AS n_code,
+      |       CASE WHEN bad THEN NULL
+      |            ELSE trim('# Doc ' || doc_id || ' analysis print(' ||
+      |                 doc_id || ')' ||
+      |                 CASE WHEN rawcell THEN '' ELSE ' ' || norm END)
+      |       END AS text_out
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_ipynb_text" -> (q117 _),
     "q116_eml_text" -> (q116 _),
     "q115_main_text" -> (q115 _),
     "q114_url_parts" -> (q114 _),
@@ -1734,6 +1809,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q117_ipynb_text" -> q117Sql,
     "q116_eml_text" -> q116Sql,
     "q115_main_text" -> q115Sql,
     "q114_url_parts" -> q114Sql,
