@@ -1779,7 +1779,58 @@ object Pipeline {
       |       END AS text_out
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q118
+  // Robots-exclusion governance (round 19): the RFC 9309 gate a
+  // responsible pipeline applies before crawled content enters a
+  // corpus — and re-applies retroactively when policies change, which
+  // is why it is a QUERY operator. Fixtures rotate *-group rules with
+  // allow-overrides and anchored wildcards, agent-specific groups,
+  // and unparseable robots bodies (permissive per the RFC) against a
+  // path rotation; the verdict matrix is closed-form. Zero shuffle.
+  def q118(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val robots = (id % 3).toInt match {
+          case 0 =>
+            "User-agent: *\nDisallow: /private/\n" +
+              "Allow: /private/ok.html\nDisallow: /*.pdf$\n"
+          case 1 =>
+            "User-agent: graftbot\nDisallow: /blocked/\n\n" +
+              "User-agent: *\nDisallow: /\n"
+          case _ => "not a structured robots file at all\n"
+        }
+        val path = (id % 4).toInt match {
+          case 0 => s"/private/x$id.html"
+          case 1 => "/private/ok.html"
+          case 2 => s"/report$id.pdf"
+          case _ => s"/blocked/p$id"
+        }
+        (id, robots, "graftbot/1.0", path)
+      }.toDF("doc_id", "robots", "agent", "path")
+      .selectExpr("doc_id", "path",
+        "robots_allowed(robots, agent, path) AS allowed")
+      .orderBy("doc_id")
+  }
+
+  val q118Sql =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS rslot,
+      |         CAST(doc_id % 4 AS INT) AS pslot
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE pslot WHEN 0 THEN '/private/x' || doc_id || '.html'
+      |            WHEN 1 THEN '/private/ok.html'
+      |            WHEN 2 THEN '/report' || doc_id || '.pdf'
+      |            ELSE '/blocked/p' || doc_id END AS path,
+      |       CASE WHEN rslot = 0 AND pslot IN (0, 2) THEN false
+      |            WHEN rslot = 1 AND pslot = 3 THEN false
+      |            ELSE true END AS allowed
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_robots_gate" -> (q118 _),
     "q117_ipynb_text" -> (q117 _),
     "q116_eml_text" -> (q116 _),
     "q115_main_text" -> (q115 _),
@@ -1809,6 +1860,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q118_robots_gate" -> q118Sql,
     "q117_ipynb_text" -> q117Sql,
     "q116_eml_text" -> q116Sql,
     "q115_main_text" -> q115Sql,
