@@ -1829,7 +1829,92 @@ object Pipeline {
       |            ELSE true END AS allowed
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q119
+  // EXIF extraction (round 19): the PRIVACY operator for image
+  // corpora — GPS tags must be found before they can be stripped or
+  // filtered, capture timestamps drive dedup windows, orientation
+  // feeds decode. Fixtures splice real APP1 bodies (both byte orders,
+  // GPS present/absent, DateTimeOriginal-wins rotation) into REAL
+  // JPEGs from the in-house encoder; every 7th doc is an untagged
+  // JPEG → NULL (absence is data). GPS decimal degrees are computed
+  // d + m/60 + s/3600 in that exact order on both sides, so the
+  // closed-form oracle hash-matches on IEEE doubles. Zero shuffle.
+  def q119(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    val out119 = Tables.scratch(s"media119/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out119, version = "v1-exif") {
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          import graft.functions.ExifMeta
+          val jpeg = graft.operators.JpegCodec.encodeJpeg(8, 8,
+            (x, y) => (((x + id) * 31 % 256).toInt, (y * 29) % 256, 64))
+          val bytes =
+            if (id % 7 == 2) jpeg // no EXIF: NULL row
+            else {
+              val dt = f"2023:${1 + id % 12}%02d:${1 + id % 28}%02d " +
+                f"${id % 24}%02d:${id % 60}%02d:30"
+              val dto =
+                if (id % 6 == 1) f"2019:${1 + id % 12}%02d:01 08:30:00"
+                else null
+              val gps =
+                if (id % 3 == 1) None
+                else Some((
+                  (id % 90).toInt, (id % 60).toInt, ((id * 7) % 60).toInt,
+                  id % 5 == 0,
+                  (id % 180).toInt, ((id * 3) % 60).toInt, (id % 60).toInt,
+                  id % 4 == 3))
+              ExifMeta.withExif(jpeg, ExifMeta.encodeExifBody(
+                le = id % 2 == 0, orientation = (1 + id % 8).toInt,
+                datetime = dt, make = "GraftCam", model = s"GC-${id % 50}",
+                gps = gps, dateTimeOriginal = dto))
+            }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out119/data")
+    }
+    s.read.parquet(s"$mediaDir/data")
+      .selectExpr("doc_id", "exif_meta(content) AS m")
+      .selectExpr("doc_id",
+        "CAST(m.orientation AS BIGINT) AS orientation",
+        "m.datetime AS datetime", "m.make AS make", "m.model AS model",
+        "m.gps_lat AS gps_lat", "m.gps_lon AS gps_lon")
+      .orderBy("doc_id")
+  }
+
+  val q119Sql =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 7 = 2 AS bad,
+      |         doc_id % 6 = 1 AS dto, doc_id % 3 = 1 AS nogps,
+      |         doc_id % 5 = 0 AS south, doc_id % 4 = 3 AS west
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(CASE WHEN bad THEN NULL ELSE 1 + doc_id % 8 END AS BIGINT)
+      |         AS orientation,
+      |       CASE WHEN bad THEN NULL
+      |            WHEN dto THEN '2019:' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+      |                 || ':01 08:30:00'
+      |            ELSE '2023:' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+      |                 || ':' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+      |                 || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+      |                 || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+      |                 || ':30' END AS datetime,
+      |       CASE WHEN bad THEN NULL ELSE 'GraftCam' END AS make,
+      |       CASE WHEN bad THEN NULL ELSE 'GC-' || (doc_id % 50) END AS model,
+      |       CASE WHEN bad OR nogps THEN NULL
+      |            ELSE (CASE WHEN south THEN -1 ELSE 1 END) *
+      |                 (CAST(doc_id % 90 AS DOUBLE) +
+      |                  (doc_id % 60) / 60.0 + ((doc_id * 7) % 60) / 3600.0)
+      |       END AS gps_lat,
+      |       CASE WHEN bad OR nogps THEN NULL
+      |            ELSE (CASE WHEN west THEN -1 ELSE 1 END) *
+      |                 (CAST(doc_id % 180 AS DOUBLE) +
+      |                  ((doc_id * 3) % 60) / 60.0 + (doc_id % 60) / 3600.0)
+      |       END AS gps_lon
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_exif_meta" -> (q119 _),
     "q118_robots_gate" -> (q118 _),
     "q117_ipynb_text" -> (q117 _),
     "q116_eml_text" -> (q116 _),
@@ -1860,6 +1945,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q119_exif_meta" -> q119Sql,
     "q118_robots_gate" -> q118Sql,
     "q117_ipynb_text" -> q117Sql,
     "q116_eml_text" -> q116Sql,
