@@ -1913,7 +1913,72 @@ object Pipeline {
       |       END AS gps_lon
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q120
+  // Mbox archives (round 19): mailing lists ship as mbox files of
+  // thousands of messages — the pipeline shape is explode(mbox_split)
+  // → eml_text per message, the container walk an EXPRESSION so
+  // Catalyst's generator does the fan-out. Fixtures are REAL mboxes
+  // (From-stuffed bodies — message 0 carries the corpus text, which
+  // can itself contain envelope-looking lines) of 2–4 messages; every
+  // 7th doc is non-mbox → one NULL row via posexplode_outer. Oracle
+  // in closed form. The only exchange is the output ORDER BY.
+  def q120(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    val out120 = Tables.scratch(s"media120/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out120, version = "v1-mbox") {
+      docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import graft.functions.{EmlText, MboxSplit}
+          val bytes =
+            if (id % 7 == 4) "Status: not a mailbox at all\n".getBytes("US-ASCII")
+            else {
+              val n = 2 + (id % 3).toInt
+              MboxSplit.encodeMbox((0 until n).map { j =>
+                val body =
+                  if (j == 0) s"Doc $id msg 0 body: $text"
+                  else s"Doc $id msg $j body"
+                (s"sender$j@example.org Mon Jan  1 0$j:00:00 2024",
+                  EmlText.encodeEml(s"Msg $id-$j", s"sender$j@example.org",
+                    "Tue, 3 Jun 2008 11:05:30 +0200", body))
+              })
+            }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out120/data")
+    }
+    s.read.parquet(s"$mediaDir/data")
+      .selectExpr("doc_id", "posexplode_outer(mbox_split(content))")
+      .selectExpr("doc_id", "CAST(pos AS BIGINT) AS msg_idx",
+        "eml_text(col.message) AS m")
+      .selectExpr("doc_id", "msg_idx", "m.subject AS subject",
+        "m.text AS text_out")
+      .orderBy("doc_id", "msg_idx")
+  }
+
+  val q120Sql =
+    """WITH g AS (
+      |  SELECT doc_id, 2 + doc_id % 3 AS n, doc_id % 7 = 4 AS bad,
+      |         trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS norm
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, norm,
+      |         unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS j
+      |  FROM g WHERE NOT bad)
+      |SELECT doc_id, CAST(j AS BIGINT) AS msg_idx,
+      |       'Msg ' || doc_id || '-' || j AS subject,
+      |       CASE WHEN j = 0
+      |            THEN trim('Doc ' || doc_id || ' msg 0 body: ' || norm)
+      |            ELSE 'Doc ' || doc_id || ' msg ' || j || ' body'
+      |       END AS text_out
+      |FROM m
+      |UNION ALL
+      |SELECT doc_id, NULL, NULL, NULL FROM g WHERE bad
+      |ORDER BY doc_id, msg_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_mbox_explode" -> (q120 _),
     "q119_exif_meta" -> (q119 _),
     "q118_robots_gate" -> (q118 _),
     "q117_ipynb_text" -> (q117 _),
@@ -1945,6 +2010,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q120_mbox_explode" -> q120Sql,
     "q119_exif_meta" -> q119Sql,
     "q118_robots_gate" -> q118Sql,
     "q117_ipynb_text" -> q117Sql,
