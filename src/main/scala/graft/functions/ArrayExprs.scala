@@ -928,6 +928,8 @@ object Registry {
       (es: Seq[Expression]) => ExifMetaExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("mbox_split",
       (es: Seq[Expression]) => MboxSplitExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("sitemap_urls",
+      (es: Seq[Expression]) => SitemapUrlsExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("intersect_size",
       (es: Seq[Expression]) => IntersectSize(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("token_histogram",

@@ -1977,7 +1977,83 @@ object Pipeline {
       |SELECT doc_id, NULL, NULL, NULL FROM g WHERE bad
       |ORDER BY doc_id, msg_idx""".stripMargin
 
+  // ------------------------------------------------------------- q121
+  // Sitemap discovery (round 19): the third leg of crawl governance —
+  // robots_allowed says what MAY be fetched, url_parts keys it, and
+  // sitemap freshness drives recrawl priority. Fixtures rotate
+  // urlset/sitemapindex kinds, gzip (.xml.gz) payloads, optional
+  // lastmod/changefreq/priority fields, and entity-escaped locs;
+  // every 7th doc is non-sitemap HTML → NULL row. The query COMPOSES
+  // three round-19 operators: sitemap_urls → posexplode → url_parts
+  // for the host key. Closed-form oracle; the only exchange is the
+  // output ORDER BY.
+  def q121(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        import graft.functions.Sitemap
+        val bytes =
+          if (id % 7 == 1) "<html><body>not a sitemap</body></html>"
+            .getBytes("US-ASCII")
+          else if (id % 5 == 3) // index kind
+            Sitemap.encodeSitemap(
+              (0 until 2).map(j =>
+                (s"https://hub${id % 40}.org/sm-$j.xml.gz",
+                  s"2024-01-0${j + 1}", null,
+                  null: java.lang.Double)),
+              index = true, gz = id % 4 == 2)
+          else
+            Sitemap.encodeSitemap(
+              (0 until (2 + (id % 3).toInt)).map { j =>
+                (s"https://site${id % 40}.com/page/$j?ref=a&b=$j",
+                  if (j % 2 == 0) s"2024-0${1 + id % 9}-1$j" else null,
+                  if (j == 0) "daily" else null,
+                  if (j % 2 == 1) java.lang.Double.valueOf(j / 10.0)
+                  else null: java.lang.Double)
+              },
+              gz = id % 4 == 2)
+        (id, bytes)
+      }.toDF("doc_id", "content")
+      .selectExpr("doc_id", "posexplode_outer(sitemap_urls(content))")
+      .selectExpr("doc_id", "CAST(pos AS BIGINT) AS ent_idx",
+        "col.kind AS kind", "col.loc AS loc",
+        "url_parts(col.loc).host AS host",
+        "col.lastmod AS lastmod", "col.priority AS priority")
+      .orderBy("doc_id", "ent_idx")
+  }
+
+  val q121Sql =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 7 = 1 AS bad, doc_id % 5 = 3 AS idx,
+      |         CASE WHEN doc_id % 5 = 3 THEN 2 ELSE 2 + doc_id % 3 END AS n
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, idx,
+      |         unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS j
+      |  FROM g WHERE NOT bad)
+      |SELECT doc_id, CAST(j AS BIGINT) AS ent_idx,
+      |       CASE WHEN idx THEN 'sitemap' ELSE 'url' END AS kind,
+      |       CASE WHEN idx THEN 'https://hub' || (doc_id % 40) ||
+      |                 '.org/sm-' || j || '.xml.gz'
+      |            ELSE 'https://site' || (doc_id % 40) ||
+      |                 '.com/page/' || j || '?ref=a&b=' || j END AS loc,
+      |       CASE WHEN idx THEN 'hub' || (doc_id % 40) || '.org'
+      |            ELSE 'site' || (doc_id % 40) || '.com' END AS host,
+      |       CASE WHEN idx THEN '2024-01-0' || (j + 1)
+      |            WHEN j % 2 = 0 THEN '2024-0' || (1 + doc_id % 9) ||
+      |                 '-1' || j
+      |            ELSE NULL END AS lastmod,
+      |       CASE WHEN idx THEN NULL
+      |            WHEN j % 2 = 1 THEN j / 10.0
+      |            ELSE NULL END AS priority
+      |FROM m
+      |UNION ALL
+      |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL FROM g WHERE bad
+      |ORDER BY doc_id, ent_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_sitemap_discovery" -> (q121 _),
     "q120_mbox_explode" -> (q120 _),
     "q119_exif_meta" -> (q119 _),
     "q118_robots_gate" -> (q118 _),
@@ -2010,6 +2086,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q121_sitemap_discovery" -> q121Sql,
     "q120_mbox_explode" -> q120Sql,
     "q119_exif_meta" -> q119Sql,
     "q118_robots_gate" -> q118Sql,
