@@ -505,6 +505,13 @@ object PdfText {
   // 3 (/O), 4/5 (/U), 1/1.A (per-object keys), 2.A/2.B (AES-256).
   // RC4 is transcribed from its public description; AES/MD5/SHA come
   // from the JDK (java.security / javax.crypto — no new dependency).
+  //
+  // CONFORMANCE NOTE (the contrast with Vp8Codec's probability-table
+  // caveat): the one transcribed constant here — the 32-byte password
+  // pad — is VALIDATION-GATED: the /U check runs before any decrypt,
+  // so a transcription error on a third-party file fails validation
+  // and the document refuses to NULL. The failure mode is a labeled
+  // refusal, never silently wrong text.
 
   private[functions] object PdfCrypt {
 
