@@ -115,9 +115,11 @@ object CharsetSniff {
     if (multi) 2 else 1
   }
 
-  /** WHATWG-style meta prescan over the first 1024 bytes: find a
-    * "charset" attribute token, parse `= [quote] label`. Returns the
-    * label or null. */
+  /** WHATWG-style meta prescan over the first 1024 bytes: walk `<meta`
+    * tags (delimiter-checked) and honor "charset" tokens only INSIDE
+    * one — script text like `document.charset="shift_jis"` or visible
+    * head content must not force the decode. Returns the label or
+    * null. */
   private def metaCharset(b: Array[Byte]): String = {
     val n = math.min(b.length, 1024)
     val s = new String(b, 0, n,
@@ -125,21 +127,42 @@ object CharsetSniff {
       .toLowerCase(java.util.Locale.ROOT)
     var from = 0
     while (from >= 0 && from < s.length) {
+      val tag = s.indexOf("<meta", from)
+      if (tag < 0) return null
+      val after = tag + 5
+      if (after < s.length &&
+          (s.charAt(after).isWhitespace || s.charAt(after) == '/')) {
+        var end = s.indexOf('>', after)
+        if (end < 0) end = s.length
+        val got = charsetToken(s, after, end)
+        if (got != null) return got
+      }
+      from = after
+    }
+    null
+  }
+
+  /** `charset = [quote] label` token parse within [start, limit) — the
+    * attribute span of one meta tag. */
+  private def charsetToken(s: String, start: Int, limit: Int): String = {
+    var from = start
+    while (from >= 0 && from < limit) {
       val at = s.indexOf("charset", from)
-      if (at < 0) return null
+      if (at < 0 || at >= limit) return null
       var p = at + "charset".length
-      while (p < s.length && s.charAt(p).isWhitespace) p += 1
-      if (p < s.length && s.charAt(p) == '=') {
+      while (p < limit && s.charAt(p).isWhitespace) p += 1
+      if (p < limit && s.charAt(p) == '=') {
         p += 1
-        while (p < s.length && s.charAt(p).isWhitespace) p += 1
-        if (p < s.length) {
+        while (p < limit && s.charAt(p).isWhitespace) p += 1
+        if (p < limit) {
           val quote = s.charAt(p)
           if (quote == '"' || quote == '\'') {
             val end = s.indexOf(quote, p + 1)
-            if (end > p + 1) return s.substring(p + 1, end).trim
+            if (end > p + 1 && end <= limit)
+              return s.substring(p + 1, end).trim
           } else {
             var e = p
-            while (e < s.length && !s.charAt(e).isWhitespace &&
+            while (e < limit && !s.charAt(e).isWhitespace &&
                 s.charAt(e) != ';' && s.charAt(e) != '"' &&
                 s.charAt(e) != '\'' && s.charAt(e) != '>' &&
                 s.charAt(e) != '/') e += 1

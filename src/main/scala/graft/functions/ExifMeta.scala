@@ -111,23 +111,28 @@ object ExifMeta {
 
   private final class Tiff(b: Array[Byte], base: Int, le: Boolean) {
     val limit: Int = b.length
+    // All bounds arithmetic in Long: off/count are attacker-controlled
+    // 32-bit fields, so Int sums can wrap negative and pass the guard.
     def u16(off: Int): Int = {
-      val o = base + off
-      if (o < 0 || o + 2 > limit) return -1
+      val oL = base.toLong + off
+      if (oL < 0 || oL + 2 > limit) return -1
+      val o = oL.toInt
       if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
       else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
     }
     def u32(off: Int): Long = {
-      val o = base + off
-      if (o < 0 || o + 4 > limit) return -1L
+      val oL = base.toLong + off
+      if (oL < 0 || oL + 4 > limit) return -1L
+      val o = oL.toInt
       if (le) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
       else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
         ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
     }
     def ascii(off: Int, count: Int): String = {
-      val o = base + off
-      if (o < 0 || count <= 0 || o + count > limit) return null
+      val oL = base.toLong + off
+      if (oL < 0 || count <= 0 || oL + count > limit) return null
+      val o = oL.toInt
       var n = count
       while (n > 0 && b(o + n - 1) == 0) n -= 1 // trim NUL terminator(s)
       new String(b, o, n, java.nio.charset.StandardCharsets.US_ASCII)

@@ -161,7 +161,7 @@ object Id3Tags {
                 (body(p + 5) & 0xff)
             else if (major == 4) synchsafe(body, p + 4)
             else be32(body, p + 4)
-          if (fsize < 0 || p + hdrLen + fsize > body.length) go = false
+          if (fsize < 0 || p.toLong + hdrLen + fsize > body.length) go = false
           else {
             val fflags = if (major == 2) 0 else body(p + 9) & 0xff
             // v2.4 frame format flags: 0x08 compression, 0x04 encryption,

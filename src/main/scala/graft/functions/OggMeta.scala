@@ -141,13 +141,13 @@ object OggMeta {
     if (tagOff + 4 <= c.length) {
       var p = tagOff
       val vendorLen = le32(c, p); p += 4
-      if (vendorLen >= 0 && p + vendorLen + 4 <= c.length) {
+      if (vendorLen >= 0 && p.toLong + vendorLen + 4 <= c.length) {
         p += vendorLen
         val n = le32(c, p); p += 4
         var i = 0
         while (i < n && i < 1000 && p + 4 <= c.length) {
           val len = le32(c, p); p += 4
-          if (len < 0 || p + len > c.length) { i = n }
+          if (len < 0 || p.toLong + len > c.length) { i = n }
           else {
             val s = new String(c, p, len,
               java.nio.charset.StandardCharsets.UTF_8)

@@ -136,6 +136,30 @@ object Sitemap {
     out.toString
   }
 
+  /** Name of the document's root element — the first real tag after
+    * any XML declaration, comments, and DOCTYPE — with a proper
+    * delimiter check so `<urlsetfoo>` is not read as `urlset`. */
+  private def rootTag(s: String): String = {
+    var i = 0
+    while (i < s.length) {
+      val lt = s.indexOf('<', i)
+      if (lt < 0) return null
+      if (s.startsWith("<?", lt)) {
+        val e = s.indexOf("?>", lt); if (e < 0) return null; i = e + 2
+      } else if (s.startsWith("<!--", lt)) {
+        val e = s.indexOf("-->", lt); if (e < 0) return null; i = e + 3
+      } else if (s.startsWith("<!", lt)) {
+        val e = s.indexOf('>', lt); if (e < 0) return null; i = e + 1
+      } else {
+        var j = lt + 1
+        while (j < s.length && s.charAt(j) != '>' && s.charAt(j) != '/' &&
+            !s.charAt(j).isWhitespace) j += 1
+        return s.substring(lt + 1, j)
+      }
+    }
+    null
+  }
+
   /** Entries, or null when the payload is not a sitemap document. */
   def parse(b0: Array[Byte]): Seq[Entry] = {
     if (b0 == null || b0.length < 10) return null
@@ -144,11 +168,28 @@ object Sitemap {
       else b0
     if (b == null) return null
     val s = new String(b, java.nio.charset.StandardCharsets.UTF_8)
-    val isIndex = s.contains("<sitemapindex")
-    if (!isIndex && !s.contains("<urlset")) return null
+    // Kind comes from the ROOT element, not a substring anywhere in the
+    // payload — a urlset merely mentioning "<sitemapindex" in a comment
+    // or escaped text must not be misclassified.
+    val root = rootTag(s)
+    val isIndex = root == "sitemapindex"
+    if (!isIndex && root != "urlset") return null
     val (entryTag, kind) = if (isIndex) ("sitemap", "sitemap") else ("url", "url")
     val out = Vector.newBuilder[Entry]
     var count = 0
+
+    // Close tag with a real delimiter after the name, so scanning for
+    // "</url" cannot prefix-match "</urlset".
+    def closeOf(tag: String, from: Int): Int = {
+      var k = s.indexOf("</" + tag, from)
+      while (k >= 0) {
+        val a = k + 2 + tag.length
+        if (a < s.length &&
+            (s.charAt(a) == '>' || s.charAt(a).isWhitespace)) return k
+        k = s.indexOf("</" + tag, k + 1)
+      }
+      -1
+    }
 
     def childText(block: String, tag: String): String = {
       val open = block.indexOf("<" + tag)
@@ -169,7 +210,7 @@ object Sitemap {
           s.charAt(after) == '/')
       if (!delimOk) at = s.indexOf("<" + entryTag, at + 1)
       else {
-        val end = s.indexOf("</" + entryTag, at)
+        val end = closeOf(entryTag, at)
         if (end < 0) at = -1 // truncated tail entry drops
         else {
           val block = s.substring(at, end)

@@ -16,8 +16,7 @@ package graft.operators
   *  - Shapes: grayscale 1/4/8/16-bit (photometric 0 WhiteIsZero —
   *    inverted — and 1 BlackIsZero; 16-bit keeps the high byte,
   *    endian-aware), PALETTE 4/8-bit (ColorMap SHORTs, high byte), RGB
-  *    8/8/8 and RGBA 8888 (alpha dropped — PixelImage is RGB). Chunky
-  *    planar configuration only (planar 2 → None, labeled stub).
+  *    8/8/8 and RGBA 8888 (alpha dropped — PixelImage is RGB).
   *  - Compression: 1 none, 5 LZW (+ predictor 2 on 8-bit samples),
   *    32773 PackBits, and — round 19 — the COMPLETE CCITT fax family:
   *    2 Modified Huffman (1D, byte-aligned rows), 3 Group 3 / T.4

@@ -106,4 +106,21 @@ class CharsetSniffSpec extends AnyFunSuite {
       "we discuss charset detection at length".getBytes(UTF8))
     assert(prose.source == "ascii")
   }
+
+  test("charset tokens outside a <meta> tag are ignored (WHATWG prescan)") {
+    // script text must not force the decode...
+    val js = """<script>document.charset="shift_jis";</script>""" +
+      """<meta charset="windows-1252">café"""
+    val s = CharsetSniff.sniff(js.getBytes(
+      java.nio.charset.Charset.forName("windows-1252")))
+    assert(s != null && s.source == "meta" && s.charset == "windows-1252")
+    // ...and neither must visible head text mentioning charset=
+    val text = "<title>how charset=shift_jis works</title>plain ascii body"
+    val t = CharsetSniff.sniff(text.getBytes(UTF8))
+    assert(t != null && t.source == "ascii")
+    // a real meta later in the prescan window still wins
+    val late = "<p>set charset=koi8-r maybe?</p><meta charset=utf-8>ok"
+    val l = CharsetSniff.sniff(late.getBytes(UTF8))
+    assert(l != null && l.source == "meta" && l.charset == "utf-8")
+  }
 }

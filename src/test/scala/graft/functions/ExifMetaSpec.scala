@@ -84,4 +84,20 @@ class ExifMetaSpec extends AnyFunSuite {
     assert(m != null && m.orientation == 8) // row survives
     assert(m.gpsLat == null && m.gpsLon == null) // field refuses
   }
+
+  test("value offsets near Int.MaxValue cannot wrap the bounds math") {
+    // Make (ASCII, count 64) pointing at 0x7ffffff0: base+off stays
+    // positive but off+count wraps an Int sum negative, which would
+    // pass the old o+count>limit guard and index out of bounds.
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val body = "II".getBytes("US-ASCII") ++ le16(42) ++ le32(8) ++
+      le16(1) ++ // one IFD0 entry
+      le16(0x010f) ++ le16(2) ++ le32(64) ++ le32(0x7ffffff0) ++
+      le32(0) // no next IFD
+    val m = ExifMeta.parse(ExifMeta.withExif(jpeg, body))
+    assert(m != null) // row survives
+    assert(m.make == null) // hostile field refuses
+  }
 }

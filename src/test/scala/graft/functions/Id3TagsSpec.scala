@@ -89,4 +89,20 @@ class Id3TagsSpec extends AnyFunSuite {
     val t2 = Id3Tags.parse(bad)
     assert(t2 != null && t2.title == null)
   }
+
+  test("v2.3 frame size near Int.MaxValue cannot wrap the bounds math") {
+    // plain-be32 v2.3 sizes go up to 0x7fffffff: p+hdrLen+fsize wraps
+    // negative for 0x7ffffffc and would pass the > body.length guard,
+    // sending copyOfRange a negative end — must refuse, never throw
+    val body = "TIT2".getBytes("US-ASCII") ++
+      Array[Byte](0x7f, 0xff.toByte, 0xff.toByte, 0xfc.toByte, 0, 0) ++
+      Array[Byte](0, 'X', 'Y', 'Z')
+    def synchsafe(v: Int): Array[Byte] = Array[Byte](
+      ((v >> 21) & 0x7f).toByte, ((v >> 14) & 0x7f).toByte,
+      ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+    val tag = "ID3".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0) ++
+      synchsafe(body.length) ++ body
+    val t = Id3Tags.parse(tag)
+    assert(t == null || t.title == null) // refused cleanly
+  }
 }

@@ -95,4 +95,17 @@ class OggMetaSpec extends AnyFunSuite {
     assert(s.contains("OpusHead")) // sanity: fixture shape
     assert(OggMeta.parse(theoraIsh) != null) // control
   }
+
+  test("comment lengths near Int.MaxValue cannot wrap the bounds math") {
+    def le32(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // vendor_len = 0x7ffffffc: an Int sum p+vendorLen+4 wraps negative
+    // and would pass the <= length guard; the Long spelling refuses
+    val hostileVendor = le32(0x7ffffffc) ++ Array[Byte](0, 0, 0, 0)
+    assert(OggMeta.vorbisComments(hostileVendor, 0) == ((null, null)))
+    // entry len = 0x7ffffff8: p+len wraps negative, would pass > guard
+    val hostileEntry = le32(0) ++ le32(1) ++ le32(0x7ffffff8)
+    assert(OggMeta.vorbisComments(hostileEntry, 0) == ((null, null)))
+  }
 }

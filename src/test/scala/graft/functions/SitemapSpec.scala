@@ -61,4 +61,30 @@ class SitemapSpec extends AnyFunSuite {
       'j', 'u', 'n', 'k')
     assert(Sitemap.parse(fakeGz) == null)
   }
+
+  test("kind comes from the ROOT element, not a substring anywhere") {
+    // a urlset whose comment mentions <sitemapindex stays a urlset
+    val b = ("""<?xml version="1.0"?><!-- not a <sitemapindex --> """ +
+      """<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">""" +
+      "<url><loc>https://a.com/p</loc></url></urlset>").getBytes("UTF-8")
+    val es = Sitemap.parse(b)
+    assert(es != null && es.size == 1 && es(0).kind == "url")
+    assert(es(0).loc == "https://a.com/p")
+    // a payload whose root is neither kind refuses even if it MENTIONS one
+    val fake = "<feed><entry><loc>x</loc></entry><!--<urlset>--></feed>"
+    assert(Sitemap.parse(fake.getBytes("UTF-8")) == null)
+  }
+
+  test("an entry missing its close tag cannot swallow the document") {
+    // </urlset must not prefix-match as </url: the unclosed entry
+    // drops, it does not consume to an unrelated close tag
+    val b = ("<urlset><url><loc>https://a.com/open</loc>" + // no </url>
+      "<url><loc>https://a.com/next</loc></url></urlset>").getBytes("UTF-8")
+    val es = Sitemap.parse(b)
+    assert(es != null)
+    // the malformed first entry must not silently swallow the second's
+    // close and return a phantom; exact recovery is parser's choice,
+    // but no loc may be fabricated and no exception thrown
+    assert(es.forall(e => e.loc.startsWith("https://a.com/")))
+  }
 }
