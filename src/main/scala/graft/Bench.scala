@@ -115,6 +115,22 @@ object Bench {
   def planHotRule(planMs: Double, floor: Option[Double]): Boolean =
     planMs >= 0 && floor.exists(f => planMs > 3 * f && planMs > f + 500)
 
+  /** Elapsed-floor adjudication for the WRITE family (pure rule,
+    * spec-pinned): write queries publish a median, and a median can't
+    * self-rescue when ALL reps run contended — r19 published q57 at
+    * 7.93 s against a 1.30–1.37 s two-round history and q57b at 6.20 s
+    * against 0.68–0.81 s while loadavg peaked at 6.0, under the hot
+    * threshold, with plan_hot inapplicable to writes. The rule mirrors
+    * [[planHotRule]]: a published median over 3× the best elapsed this
+    * machine has recorded for the query (persisted per sf dir), with
+    * 1 s absolute slack so sub-second queries can't flag on JIT/GC
+    * noise, is machine contention and gets visibly flagged `write_hot`
+    * instead of shipping silently. No stored floor (first run) → never
+    * flags.
+    */
+  def writeHotRule(medianSec: Double, floor: Option[Double]): Boolean =
+    medianSec >= 0 && floor.exists(f => medianSec > 3 * f && medianSec > f + 1.0)
+
   /** True median: middle element for odd n, mean of the two middles for
     * even n (REPS is user-settable — an upper-middle pick would bias
     * even-rep runs high).
@@ -124,6 +140,13 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2)
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
+
+  /** One query's aggregated bench result: published elapsed, worst-rep
+    * rows/status, plan metrics from the first clean rep, per-rep elapsed
+    * and loadavg stamps, and the rep-summed fixture-build ms. */
+  private final case class QRes(name: String, sec: Double, rows: Long,
+      status: String, repSecs: Seq[Double], bytes: Option[(Long, Long, Long)],
+      qLoad: Double, planMs: Double, repLoads: Seq[Double], fixtureMs: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -285,17 +308,34 @@ object Bench {
     // plan_ms exceeds 3× the best this machine has ever planned it in is
     // flagged "plan_hot" — the summary visibly marks what it couldn't
     // trust instead of shipping a silently inflated total.
-    val floorsPath = java.nio.file.Paths.get(Tables.scratch(
-      s"bench-plan-floors/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}.txt"))
-    val priorFloors: Map[String, Double] =
-      if (!java.nio.file.Files.exists(floorsPath)) Map.empty
-      else java.nio.file.Files.readAllLines(floorsPath).toArray(Array[String]())
+    def floorsFile(kind: String) = java.nio.file.Paths.get(Tables.scratch(
+      s"bench-$kind-floors/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}.txt"))
+    def readFloors(p: java.nio.file.Path): Map[String, Double] =
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else java.nio.file.Files.readAllLines(p).toArray(Array[String]())
         .flatMap { line =>
           line.split(" ") match {
             case Array(n, v) => v.toDoubleOption.map(n -> _)
             case _ => None
           }
         }.toMap
+    def writeFloors(p: java.nio.file.Path, prior: Map[String, Double],
+        observed: Seq[(String, Double)]): Unit = {
+      val merged = observed.foldLeft(prior) { case (acc, (n, v)) =>
+        acc.updated(n, acc.get(n).fold(v)(math.min(_, v)))
+      }
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p,
+        merged.toSeq.sorted.map { case (n, v) =>
+          String.format(java.util.Locale.ROOT, "%s %.3f", n, Double.box(v))
+        }.mkString("", "\n", "\n"))
+    }
+    val floorsPath = floorsFile("plan")
+    val priorFloors: Map[String, Double] = readFloors(floorsPath)
+    // Elapsed floors (seconds) for the write family — the write-side
+    // counterpart of the plan_ms floors ([[writeHotRule]]).
+    val elapsedFloorsPath = floorsFile("elapsed")
+    val priorElapsedFloors: Map[String, Double] = readFloors(elapsedFloorsPath)
 
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
@@ -314,6 +354,13 @@ object Bench {
       val runs = (1 to n).map { _ =>
         val repLoad = loadavg()
         if (repLoad > loadMax) loadMax = repLoad
+        // fixture-build attribution (r19 task 4): cachedDerived cache
+        // misses inside this rep are one-time warehouse builds (PDF/media
+        // fixture encodes), not query cost — snapshot the global counter
+        // so the rep can report them separately and keep them out of the
+        // plan_ms contention floors (a cold first run otherwise reads as
+        // "plan-time contention" and poisons plan_hot for new queries)
+        val fix0 = Tables.fixtureBuildNanos.get()
         val t0 = System.nanoTime()
         // per-query bytes off the executed plan's own SQLMetrics
         // (synchronous — no listener-bus quiesce): plan-determined, so
@@ -338,7 +385,11 @@ object Bench {
             // metrics come from the plan that actually ran
             val agg = fn(spark, sfDir).groupBy().count()
             agg.queryExecution.executedPlan // force planning, untimed jobs none
-            planMs = (System.nanoTime() - t0) / 1e6
+            // fixture builds run during frame construction, inside this
+            // window — subtract them so plan_ms compares like-for-like
+            // against floors recorded with warm fixture caches
+            val planFixMs = (Tables.fixtureBuildNanos.get() - fix0) / 1e6
+            planMs = math.max(0.0, (System.nanoTime() - t0) / 1e6 - planFixMs)
             val r = agg.collect()(0).getLong(0)
             m = graft.metrics.QueryMetrics.planMetrics(agg.queryExecution)
             (r, "OK")
@@ -347,8 +398,9 @@ object Bench {
             (-1L, s"ERROR:${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")
           }
         val sec = (System.nanoTime() - t0) / 1e9
+        val fixMs = (Tables.fixtureBuildNanos.get() - fix0) / 1e6
         sweepCaches(spark)
-        (sec, rows, status, m, repLoad, planMs)
+        (sec, rows, status, m, repLoad, planMs, fixMs)
       }
       // Published elapsed: MEDIAN for the write family (reps are
       // independent rebuilds whose genuine cost the median tracks;
@@ -373,7 +425,8 @@ object Bench {
       // the first rep pays one-time metadata/chunk-cache fills)
       val planMs = runs.filter(r => r._3 == "OK" && r._6 >= 0).map(_._6)
         .minOption.getOrElse(-1.0)
-      (name, sec, rows, status, runs.map(_._1), bytes, qLoad, planMs)
+      QRes(name, sec, rows, status, runs.map(_._1), bytes, qLoad, planMs,
+        runs.map(_._5), runs.map(_._7).sum)
     }
     val loadEnd = loadavg()
     if (loadEnd > loadMax) loadMax = loadEnd
@@ -383,21 +436,29 @@ object Bench {
     def isPlanHot(name: String, planMs: Double): Boolean =
       !writeFamily(name) && !extraReps(name) &&
         planHotRule(planMs, priorFloors.get(name))
-    val planHot = results.filter(r => isPlanHot(r._1, r._8)).map(_._1)
+    val planHot = results.filter(r => isPlanHot(r.name, r.planMs)).map(_.name)
 
-    // Update the floors file: min(stored, observed best rep) per query;
-    // entries for queries outside this run's suite are preserved.
-    locally {
-      val observed = results.collect { case r if r._8 >= 0 => r._1 -> r._8 }
-      val merged = observed.foldLeft(priorFloors) { case (acc, (n, v)) =>
-        acc.updated(n, acc.get(n).fold(v)(math.min(_, v)))
-      }
-      java.nio.file.Files.createDirectories(floorsPath.getParent)
-      java.nio.file.Files.writeString(floorsPath,
-        merged.toSeq.sorted.map { case (n, v) =>
-          String.format(java.util.Locale.ROOT, "%s %.1f", n, Double.box(v))
-        }.mkString("", "\n", "\n"))
-    }
+    // Write-family elapsed adjudication ([[writeHotRule]]): a published
+    // MEDIAN over 3× this machine's best recorded elapsed is contention
+    // every rep absorbed — flag it rather than ship it silently.
+    def isWriteHot(name: String, sec: Double): Boolean =
+      (writeFamily(name) || extraReps(name)) &&
+        writeHotRule(sec, priorElapsedFloors.get(name))
+    val writeHot = results.filter(r => r.status == "OK" &&
+      isWriteHot(r.name, r.sec)).map(_.name)
+
+    // Update the floors files: min(stored, observed) per query; entries
+    // for queries outside this run's suite are preserved. Elapsed floors
+    // take the best single rep (the least-contended statistic) of
+    // write-family queries only.
+    writeFloors(floorsPath, priorFloors,
+      results.collect { case r if r.planMs >= 0 => r.name -> r.planMs })
+    writeFloors(elapsedFloorsPath, priorElapsedFloors,
+      results.collect {
+        case r if (writeFamily(r.name) || extraReps(r.name)) &&
+            r.status == "OK" && r.repSecs.nonEmpty =>
+          r.name -> r.repSecs.min
+      })
     // The driver captures only the LAST ~2000 chars of stdout and parses the
     // JSON line from that tail; sbt then appends its own "[success] ..." line
     // (~80 chars). Rounds 2 and 3 shipped rows+status maps inline and the
@@ -413,8 +474,8 @@ object Bench {
     // (VERDICT r14 task 4: q45 read 18× slower purely from load; the bytes
     // columns decide such cases from the artifact alone). Dropped first if
     // the line would overflow the driver's tail buffer.
-    val total = results.map(_._2).sum
-    val nErr = results.count(_._4 != "OK")
+    val total = results.map(_.sec).sum
+    val nErr = results.count(_.status != "OK")
     // MB with one decimal under 10 (so a small query's 10× byte drift is
     // still visible), integral above, bare "0" under 50 KB (sub-rounding
     // values would all print "0.0" anyway; collapsing them is what keeps
@@ -425,13 +486,13 @@ object Bench {
     }
     def mkLine(key: String => String, withBytes: Boolean,
         withReps: Boolean = true): String = {
-      val qs = results.map { case r => s"${jstr(key(r._1))}:${jnum(r._2, 2)}" }.mkString("{", ",", "}")
+      val qs = results.map(r => s"${jstr(key(r.name))}:${jnum(r.sec, 2)}").mkString("{", ",", "}")
       val extra =
         if (!withBytes) ""
         else {
-          val scan = results.map(_._6.map(b => jmb(b._2)).getOrElse("null"))
+          val scan = results.map(_.bytes.map(b => jmb(b._2)).getOrElse("null"))
             .mkString("[", ",", "]")
-          val shuf = results.map(_._6.map(b => jmb(b._3)).getOrElse("null"))
+          val shuf = results.map(_.bytes.map(b => jmb(b._3)).getOrElse("null"))
             .mkString("[", ",", "]")
           s""","scan_mb":$scan,"shuf_mb":$shuf"""
         }
@@ -446,9 +507,9 @@ object Bench {
       // — their full rep_seconds live in the report file)
       val repsJson =
         if (!withReps) ""
-        else results.filter(r => r._5.size > 1 &&
-            (writeFamily(r._1) || extraReps(r._1))).map(r =>
-            s"${jstr(key(r._1))}:${r._5.map(x => jnum(x, 2)).mkString("[", ",", "]")}")
+        else results.filter(r => r.repSecs.size > 1 &&
+            (writeFamily(r.name) || extraReps(r.name))).map(r =>
+            s"${jstr(key(r.name))}:${r.repSecs.map(x => jnum(x, 2)).mkString("[", ",", "]")}")
           .mkString(""","reps":{""", ",", "}")
       // "load":[start,max,end] — 1-min /proc/loadavg at loop start, the
       // MAX over every per-rep sample, and loop end. "hot" lists the
@@ -457,14 +518,19 @@ object Bench {
       // (empty on a clean run, so normally ~10 chars). Kept in every
       // ladder variant: it IS the adjudication signal.
       val load = s""","load":[${jnum(loadStart, 1)},${jnum(loadMax, 1)},${jnum(loadEnd, 1)}]"""
-      val hot = results.filter(_._7 > hotThreshold).map(r => jstr(key(r._1)))
+      val hot = results.filter(_.qLoad > hotThreshold).map(r => jstr(key(r.name)))
         .mkString(""","hot":[""", ",", "]")
       // plan_hot: the queries whose published (best-rep) elapsed still
       // can't be trusted — every rep's driver-side planning ran ≥3× over
       // this machine's stored floor. Empty on a clean run.
       val phot = planHot.map(n => jstr(key(n)))
         .mkString(""","plan_hot":[""", ",", "]")
-      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs$extra$repsJson$load$hot$phot,"errors":$nErr,"sf":${jstr(sfDir)}}"""
+      // write_hot: write-family medians ≥3× over this machine's stored
+      // elapsed floor — the write-side counterpart of plan_hot (r19's
+      // gap: q57/q57b published 5–8× their history with hot:[]).
+      val whot = writeHot.map(n => jstr(key(n)))
+        .mkString(""","write_hot":[""", ",", "]")
+      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs$extra$repsJson$load$hot$phot$whot,"errors":$nErr,"sf":${jstr(sfDir)}}"""
     }
     // fallback ladder: "q01_count_events" → "q01" if the full names overflow
     // (only when the prefixes stay unique — duplicate JSON keys would
@@ -487,20 +553,31 @@ object Bench {
     // per-test name/status/seconds/rows + summary, timestamped filename.
     val ts = java.time.LocalDateTime.now()
       .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
-    val tests = results.map { case (n, sec, r, st, reps, bytesOpt, qLoad, planMs) =>
+    val tests = results.map { q =>
       // the report keeps numeric 0s for errored queries — its adjacent
       // status field disambiguates them (unlike the summary arrays)
-      val (mRows, mBytes, mShuffle) = bytesOpt.getOrElse((0L, 0L, 0L))
-      // rep_seconds (present when the median protocol ran >1 rep) makes
-      // a spiky rep visible in the report instead of vanishing into the
-      // median — the diagnosability half of the variance protocol
+      val (mRows, mBytes, mShuffle) = q.bytes.getOrElse((0L, 0L, 0L))
+      // rep_seconds + rep_loads (present when the protocol ran >1 rep):
+      // a spiky rep stays visible in the report instead of vanishing
+      // into the median, and its per-rep loadavg stamp says whether the
+      // machine was busy when it started — the diagnosability half of
+      // the variance protocol
       val repsJson =
-        if (reps.size > 1)
-          reps.map(x => jnum(x, 3)).mkString(""", "rep_seconds": [""", ", ", "]")
+        if (q.repSecs.size > 1)
+          q.repSecs.map(x => jnum(x, 3)).mkString(""", "rep_seconds": [""", ", ", "]") +
+            q.repLoads.map(x => jnum(x, 1)).mkString(""", "rep_loads": [""", ", ", "]")
         else ""
-      val floorJson = priorFloors.get(n)
+      val floorJson = priorFloors.get(q.name)
         .map(f => s""", "plan_floor_ms": ${jnum(f, 1)}""").getOrElse("")
-      s"""    {"test_name": ${jstr(n)}, "suite": ${jstr(suite(n))}, "status": ${jstr(if (st == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": $sec, "row_count": $r, "rows_scanned": $mRows, "bytes_scanned": $mBytes, "shuffle_bytes": $mShuffle, "plan_ms": ${jnum(planMs, 1)}$floorJson, "plan_hot": ${isPlanHot(n, planMs)}, "loadavg_start": ${jnum(qLoad, 1)}, "hot": ${qLoad > hotThreshold}$repsJson}"""
+      val elapsedFloorJson = priorElapsedFloors.get(q.name)
+        .map(f => s""", "elapsed_floor_s": ${jnum(f, 3)}""").getOrElse("")
+      // fixture_build_ms: one-time derived-fixture encodes this query
+      // triggered (cache misses), reported apart from query time so a
+      // cold first run can't read as a query regression
+      val fixtureJson =
+        if (q.fixtureMs > 0.5) s""", "fixture_build_ms": ${jnum(q.fixtureMs, 1)}"""
+        else ""
+      s"""    {"test_name": ${jstr(q.name)}, "suite": ${jstr(suite(q.name))}, "status": ${jstr(if (q.status == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": ${q.sec}, "row_count": ${q.rows}, "rows_scanned": $mRows, "bytes_scanned": $mBytes, "shuffle_bytes": $mShuffle, "plan_ms": ${jnum(q.planMs, 1)}$floorJson$elapsedFloorJson$fixtureJson, "plan_hot": ${isPlanHot(q.name, q.planMs)}, "write_hot": ${q.status == "OK" && isWriteHot(q.name, q.sec)}, "loadavg_start": ${jnum(q.qLoad, 1)}, "hot": ${q.qLoad > hotThreshold}$repsJson}"""
     }.mkString("[\n", ",\n", "\n  ]")
     val report =
       s"""{

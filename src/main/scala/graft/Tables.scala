@@ -105,11 +105,22 @@ object Tables {
     val fp = version + "\n" + fingerprint(srcDir)
     if (!java.nio.file.Files.exists(marker) ||
         new String(java.nio.file.Files.readAllBytes(marker)) != fp) {
+      val t0 = System.nanoTime()
       build
+      fixtureBuildNanos.addAndGet(System.nanoTime() - t0)
       java.nio.file.Files.write(marker, fp.getBytes)
     }
     out
   }
+
+  /** Nanoseconds this JVM has spent BUILDING derived fixtures
+    * ([[cachedDerived]] cache misses). The bench snapshots deltas around
+    * each timed rep to report fixture-build cost separately from query
+    * time — a first run at a fresh sf dir otherwise charges multi-second
+    * fixture encodes to the query that happened to trigger them (r19:
+    * q106's 10× first run spent 5.1 s building PDFs vs 0.2 s querying),
+    * which also poisoned the plan_ms contention floors. */
+  val fixtureBuildNanos = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Scratch space for operator outputs (partitioned layouts, snapshot
     * tables, CTAS warehouses, streaming checkpoints). Kept under the

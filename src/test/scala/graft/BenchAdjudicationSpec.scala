@@ -25,6 +25,27 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(!Bench.planHotRule(-1, Some(963)))
   }
 
+  test("writeHotRule flags the r19 write-family contention cases") {
+    // r19's real misses, pinned: q57 published 7.93 s against a
+    // 1.30-1.37 s two-round history; q57b 6.20 s against 0.68-0.81 s.
+    // Both ran with hot:[] (loadavg peaked 6.0, under the 8.0 threshold)
+    // and plan_hot inapplicable to writes — the elapsed floor is the
+    // signal that survives.
+    assert(Bench.writeHotRule(7.93, Some(1.30)))
+    assert(Bench.writeHotRule(6.20, Some(0.68)))
+    // the same queries' clean rounds do not flag
+    assert(!Bench.writeHotRule(1.37, Some(1.30)))
+    assert(!Bench.writeHotRule(0.81, Some(0.68)))
+    // sub-second queries can't flag on JIT/GC noise: 0.9 s over a 0.25 s
+    // floor is 3.6x but under the 1 s absolute slack
+    assert(!Bench.writeHotRule(0.9, Some(0.25)))
+    assert(Bench.writeHotRule(1.3, Some(0.25)))
+    // no stored floor (first run on this machine) -> never flags
+    assert(!Bench.writeHotRule(7.93, None))
+    // failed query (sentinel -1) -> never flags
+    assert(!Bench.writeHotRule(-1, Some(1.30)))
+  }
+
   test("median is the true middle for odd and even rep counts") {
     assert(Bench.median(Seq(3.0)) == 3.0)
     assert(Bench.median(Seq(1.0, 9.0, 2.0)) == 2.0)
