@@ -941,5 +941,9 @@ object Registry {
     reg.createOrReplaceTempFunction("bitmap_distinct",
       (es: Seq[Expression]) =>
         BitmapDistinct(es(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("bpe_count",
+      (es: Seq[Expression]) => BpeCountExpr(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("bpe_encode",
+      (es: Seq[Expression]) => BpeEncodeExpr(es(0), es(1)), "built-in")
   }
 }

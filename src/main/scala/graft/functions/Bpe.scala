@@ -1,0 +1,321 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-level BPE — the real tokenizer behind `bpe_count` / `bpe_encode`
+  * (round 20; until now q33/q78 counted tokens by whitespace heuristic).
+  * Replaces nothing in the reference (it has no tokenizer; this is
+  * beyond-ask LLM-pipeline surface): every production training pipeline
+  * packs sequences by REAL tokenizer counts, and byte-level BPE is the
+  * public algorithm behind the common ones (GPT-2's encoder.py pattern:
+  * bytes → pre-tokens → iterative lowest-rank pair merge).
+  *
+  * Design, all public knowledge:
+  *
+  *  - **Tokens are byte strings.** Internally a token is a Scala String
+  *    whose chars are ISO-8859-1 code units 0–255, one per byte — a
+  *    hashable, order-comparable byte-array spelling. Ids: bytes 0–255
+  *    keep their value; merge j (0-based rank) mints id 256 + j.
+  *  - **Pre-tokenization** splits the byte stream into maximal runs of
+  *    ASCII whitespace vs everything else; merges never cross pre-token
+  *    boundaries (the GPT-2 discipline that keeps merged tokens from
+  *    spanning words). UTF-8 is safe byte-wise: continuation bytes are
+  *    ≥ 0x80, so an ASCII-whitespace split can't cut a code point.
+  *  - **Training** (`train`) is the textbook loop: count adjacent token
+  *    pairs weighted by word frequency, merge the most frequent pair,
+  *    repeat. Ties break deterministically on the lexicographically
+  *    smallest (left, right) pair so the merge list is a pure function
+  *    of the corpus. Stops early when the best pair occurs once — a
+  *    merge that can never fire again is noise.
+  *  - **Encoding** (`encode`) applies merges by RANK: repeatedly find
+  *    the lowest-rank adjacent pair and fuse all its occurrences left
+  *    to right. O(n · merges-applied) per pre-token, no allocation
+  *    beyond the token buffer.
+  *
+  * Scale: training collects a BOUNDED word histogram to the driver
+  * (`trainFromCorpus` caps distinct words, keeping the most frequent —
+  * the same bounded-collect discipline as IVF k-means training in
+  * `queries/Llm.scala`); pair counting over the capped histogram is
+  * driver-side but O(vocab), not O(corpus). Encoding is a per-row
+  * codegen'd expression inside the scan projection — zero shuffle at
+  * any scale, merges ship to executors once as a plan reference.
+  */
+object Bpe {
+
+  /** One merge: fuse adjacent (left, right) byte-string tokens. */
+  type Merge = (String, String)
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+
+  /** Bytes → byte-string (one ISO-8859-1 char per byte). */
+  def byteStr(bytes: Array[Byte]): String =
+    new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Pre-tokens: maximal runs of ASCII whitespace / non-whitespace. */
+  private[functions] def preTokens(bytes: Array[Byte]): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < bytes.length) {
+      val ws = isWs(bytes(i))
+      var j = i + 1
+      while (j < bytes.length && isWs(bytes(j)) == ws) j += 1
+      out += byteStr(java.util.Arrays.copyOfRange(bytes, i, j))
+      i = j
+    }
+    out.result()
+  }
+
+  /** Textbook BPE training over a word histogram (word → count, words
+    * as byte-strings). Returns `numMerges` merges at most; stops early
+    * when no adjacent pair occurs twice. Deterministic: ties on count
+    * break toward the lexicographically smallest (left, right). */
+  def train(words: Seq[(String, Long)], numMerges: Int): Seq[Merge] = {
+    // each word as a mutable token list (start: one token per byte)
+    var corpus: Seq[(Array[String], Long)] = words.map { case (w, c) =>
+      (w.toCharArray.map(_.toString), c)
+    }
+    val merges = Vector.newBuilder[Merge]
+    var m = 0
+    var go = true
+    while (m < numMerges && go) {
+      val counts = new java.util.HashMap[Merge, Long]()
+      corpus.foreach { case (toks, c) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          counts.merge((toks(i), toks(i + 1)), c, _ + _)
+          i += 1
+        }
+      }
+      var best: Merge = null
+      var bestCount = 1L // a pair must occur at least twice to be worth a rank
+      counts.forEach { (pair, c) =>
+        if (c > bestCount || (c == bestCount && best != null && pairLt(pair, best))) {
+          best = pair; bestCount = c
+        }
+      }
+      if (best == null) go = false
+      else {
+        merges += best
+        corpus = corpus.map { case (toks, c) => (applyMerge(toks, best), c) }
+        m += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def pairLt(a: Merge, b: Merge): Boolean =
+    if (a._1 != b._1) a._1 < b._1 else a._2 < b._2
+
+  private def applyMerge(toks: Array[String], p: Merge): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i < toks.length - 1 && toks(i) == p._1 && toks(i + 1) == p._2) {
+        out += toks(i) + toks(i + 1); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** A compiled vocabulary: merge ranks and token ids. Serializable —
+    * ships to executors as a plan reference. */
+  final class Vocab(val merges: Seq[Merge]) extends Serializable {
+    // boxed Integer values: a primitive-Int java.util.HashMap unboxes
+    // absent keys to 0, which would rank every unknown pair 0
+    @transient private lazy val ranks
+        : java.util.HashMap[Merge, java.lang.Integer] = {
+      val m = new java.util.HashMap[Merge, java.lang.Integer]()
+      merges.zipWithIndex.foreach { case (p, i) => m.put(p, i) }
+      m
+    }
+    @transient private lazy val ids
+        : java.util.HashMap[String, java.lang.Integer] = {
+      val m = new java.util.HashMap[String, java.lang.Integer]()
+      merges.zipWithIndex.foreach { case ((l, r), i) => m.put(l + r, 256 + i) }
+      m
+    }
+    def rank(l: String, r: String): Int = {
+      val v = ranks.get((l, r))
+      if (v == null) Int.MaxValue else v.intValue()
+    }
+    /** Id of a token: its byte value for single bytes, 256 + rank for
+      * merged tokens. */
+    def idOf(tok: String): Int =
+      if (tok.length == 1) tok.charAt(0) & 0xff else ids.get(tok).intValue()
+
+    /** Encode one pre-token: iteratively fuse the lowest-rank adjacent
+      * pair, all occurrences left to right, until no ranked pair
+      * remains. */
+    def encodeWord(w: String): Array[String] = {
+      var toks: Array[String] = w.toCharArray.map(_.toString)
+      var done = toks.length < 2
+      while (!done) {
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < toks.length - 1) {
+          val r = rank(toks(i), toks(i + 1))
+          if (r < bestRank) bestRank = r
+          i += 1
+        }
+        if (bestRank == Int.MaxValue) done = true
+        else {
+          toks = applyMerge(toks, merges(bestRank))
+          done = toks.length < 2
+        }
+      }
+      toks
+    }
+
+    def encode(bytes: Array[Byte]): Array[Int] =
+      preTokens(bytes).iterator.flatMap(w => encodeWord(w).iterator)
+        .map(idOf).toArray
+
+    def count(bytes: Array[Byte]): Long = {
+      var n = 0L
+      preTokens(bytes).foreach(w => n += encodeWord(w).length)
+      n
+    }
+  }
+
+  /** merges → a stable wire form (hex-escaped, byte-exact) for literal
+    * expression arguments: `lefthex:righthex` pairs joined by `,`. */
+  def serialize(merges: Seq[Merge]): String =
+    merges.map { case (l, r) => hex(l) + ":" + hex(r) }.mkString(",")
+
+  def deserialize(s: String): Seq[Merge] =
+    if (s.isEmpty) Seq.empty
+    else s.split(",", -1).toSeq.map { p =>
+      val Array(l, r) = p.split(":", -1)
+      (unhex(l), unhex(r))
+    }
+
+  private def hex(t: String): String =
+    t.map(c => f"${c.toInt & 0xff}%02x").mkString
+  private def unhex(h: String): String =
+    (0 until h.length by 2)
+      .map(i => Integer.parseInt(h.substring(i, i + 2), 16).toChar)
+      .mkString
+
+  // compiled-vocab cache keyed by the wire form: codegen and eval paths
+  // both land here, so N rows compile the merges exactly once per JVM
+  private val vocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vocab]()
+  def compiled(serialized: String): Vocab =
+    vocabCache.computeIfAbsent(serialized,
+      s => new Vocab(deserialize(s)))
+
+  /** Train on a DataFrame's text column: distributed word histogram
+    * (split on whitespace — the same pre-token boundaries encoding
+    * uses), capped at `maxWords` distinct words by (count desc, word
+    * asc) so the driver-side collect is bounded — the IVF-training
+    * discipline. The histogram, not the corpus, is what training needs;
+    * at 100 TB the groupBy is one shuffle and the cap keeps the driver
+    * payload ≤ maxWords rows. */
+  def trainFromCorpus(df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int, maxWords: Int = 65536): Seq[Merge] = {
+    import org.apache.spark.sql.functions._
+    val words = df
+      .select(explode(split(col(textCol), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxWords)
+      .collect()
+      .map(r => (byteStr(r.getString(0)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)), r.getLong(1)))
+      .toSeq
+    train(words, numMerges)
+  }
+
+  /** The oracle-provable fixture vocabulary (pinned by BpeSpec and
+    * re-derived by q122's in-query training): words `"ab" * 2^j`,
+    * j = 0..3, train to exactly
+    * `[(a,b), (ab,ab), (abab,abab), (abababab,abababab)]` — pair
+    * counts at each step are strictly ordered, no tie-break needed.
+    * Under these merges an `(ab)^k` run encodes to
+    * `k/8 + popcount(k mod 8)` tokens (binary decomposition capped at
+    * the 8-unit token), which is what makes `bpe_count` of ARBITRARY
+    * text DuckDB-expressible: bytes − Σ per-run savings. */
+  val fixtureMerges: Seq[Merge] = Seq(
+    ("a", "b"), ("ab", "ab"), ("abab", "abab"), ("abababab", "abababab"))
+}
+
+/** bpe_count(text, merges) → BIGINT: byte-level BPE token count of
+  * `text` under the serialized merge table (see [[Bpe.serialize]]).
+  * NULL text → NULL. Codegen'd per-row; the compiled vocabulary is a
+  * per-JVM cached plan reference. */
+case class BpeCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType &&
+        right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, foldable string merges)")
+
+  @transient private lazy val vocab: Bpe.Vocab =
+    Bpe.compiled(right.eval(null).asInstanceOf[UTF8String].toString)
+
+  override def nullSafeEval(t: Any, m: Any): Any =
+    vocab.count(t.asInstanceOf[UTF8String].getBytes)
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val v = ctx.addReferenceObj("bpeVocab", vocab, classOf[Bpe.Vocab].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) => s"${ev.value} = $v.count($t.getBytes());")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** bpe_encode(text, merges) → ARRAY<INT>: the token ids (bytes keep
+  * their value 0–255; merge j mints 256 + j). NULL text → NULL. */
+case class BpeEncodeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType &&
+        right.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, foldable string merges)")
+
+  @transient private lazy val vocab: Bpe.Vocab =
+    Bpe.compiled(right.eval(null).asInstanceOf[UTF8String].toString)
+
+  override def nullSafeEval(t: Any, m: Any): Any =
+    new GenericArrayData(vocab.encode(t.asInstanceOf[UTF8String].getBytes))
+
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val v = ctx.addReferenceObj("bpeVocab", vocab, classOf[Bpe.Vocab].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) => s"""
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        $v.encode($t.getBytes()));""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

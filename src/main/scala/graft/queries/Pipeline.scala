@@ -290,11 +290,17 @@ object Pipeline {
   // source shard — at 100 TB the pipeline owner salts source into
   // source×shard keys to cap partition size; the closed form is unchanged
   // because the cumsum restarts per key.
+  //
+  // Round 20: counts come from the REAL byte-level BPE encoder
+  // (`bpe_count`, q122's oracle-provable fixture vocabulary) instead of
+  // the whitespace heuristic — packing by actual tokenizer counts is
+  // the production contract; a user swaps in their own merges table.
   def q78(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.functions.Bpe.serialize(graft.functions.Bpe.fixtureMerges)
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs(s, dir)
-      .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("tokens", expr(s"bpe_count(text, '$m')"))
       .withColumn("cum", sum("tokens").over(w))
       .withColumn("seq_id", expr("(cum - tokens) DIV 2048"))
       .groupBy("source", "seq_id")
@@ -306,7 +312,11 @@ object Pipeline {
   val q78Sql =
     """WITH t AS (
       |  SELECT doc_id, source,
-      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |         CAST(strlen(text) - coalesce(list_sum(list_transform(
+      |           regexp_extract_all(text, '(?:ab)+'),
+      |           m -> strlen(m) - (strlen(m)//2//8 +
+      |                             bit_count(strlen(m)//2 % 8)))), 0)
+      |           AS BIGINT) AS tokens
       |  FROM documents),
       |c AS (
       |  SELECT doc_id, source, tokens,
@@ -2052,7 +2062,62 @@ object Pipeline {
       |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL FROM g WHERE bad
       |ORDER BY doc_id, ent_idx""".stripMargin
 
+  // ------------------------------------------------------------- q122
+  // Byte-level BPE tokenization (round 20): the real-tokenizer operator
+  // the pipeline lacked — q33's counts are whitespace/regex heuristics,
+  // and every production pipeline packs by actual tokenizer counts.
+  // The query first TRAINS ([[graft.functions.Bpe.train]]) on a fixture
+  // corpus of (ab)^(2^(doc_id%4)) words, whose pair counts are strictly
+  // ordered at every step, so the learned merge list is provably
+  // [(a,b),(ab,ab),(abab,abab),(abababab,abababab)] — asserted in-query
+  // (a training bug fails the run loudly, and BpeSpec pins the same
+  // derivation). It then encodes the REAL document text under those
+  // merges. That vocabulary is what makes the count DuckDB-expressible:
+  // merges only ever fire inside maximal "(ab)+" runs, where a k-unit
+  // run costs k/8 + popcount(k mod 8) tokens (binary decomposition
+  // capped at the 8-unit token), so bpe_tokens = bytes − Σ per-run
+  // savings, closed-form per row. A second count under the 2-merge
+  // prefix vocabulary (run cost k/2 + k mod 2) pins rank ordering.
+  // Training is one word-histogram shuffle + a bounded driver collect
+  // (IVF discipline); encoding is per-row codegen'd, zero shuffle.
+  def q122(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bpe
+    val corpus = docs(s, dir).selectExpr(
+      "repeat('ab', CAST(pow(2, doc_id % 4) AS INT)) AS text")
+    val merges = Bpe.trainFromCorpus(corpus, "text", numMerges = 4)
+    require(merges == Bpe.fixtureMerges,
+      s"BPE training drifted from the provable fixture merges: $merges")
+    val m = Bpe.serialize(merges)
+    val m2 = Bpe.serialize(merges.take(2))
+    docs(s, dir).selectExpr(
+      "doc_id",
+      "CAST(octet_length(text) AS BIGINT) AS n_bytes",
+      s"bpe_count(text, '$m') AS bpe_tokens",
+      s"bpe_count(text, '$m2') AS bpe_tokens_2m",
+      s"CAST(size(bpe_encode(text, '$m')) AS BIGINT) AS n_ids")
+      .orderBy("doc_id")
+  }
+
+  val q122Sql =
+    """WITH s AS (
+      |  SELECT doc_id, strlen(text) AS n_bytes,
+      |         coalesce(list_sum(list_transform(
+      |           regexp_extract_all(text, '(?:ab)+'),
+      |           m -> strlen(m) - (strlen(m)//2//8 +
+      |                             bit_count(strlen(m)//2 % 8)))), 0) AS sav4,
+      |         coalesce(list_sum(list_transform(
+      |           regexp_extract_all(text, '(?:ab)+'),
+      |           m -> strlen(m) - (strlen(m)//2//2 +
+      |                             strlen(m)//2 % 2))), 0) AS sav2
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+      |       CAST(n_bytes - sav4 AS BIGINT) AS bpe_tokens,
+      |       CAST(n_bytes - sav2 AS BIGINT) AS bpe_tokens_2m,
+      |       CAST(n_bytes - sav4 AS BIGINT) AS n_ids
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_bpe_tokenize" -> (q122 _),
     "q121_sitemap_discovery" -> (q121 _),
     "q120_mbox_explode" -> (q120 _),
     "q119_exif_meta" -> (q119 _),
@@ -2086,6 +2151,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q122_bpe_tokenize" -> q122Sql,
     "q121_sitemap_discovery" -> q121Sql,
     "q120_mbox_explode" -> q120Sql,
     "q119_exif_meta" -> q119Sql,
