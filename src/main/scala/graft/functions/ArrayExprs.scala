@@ -941,6 +941,10 @@ object Registry {
     reg.createOrReplaceTempFunction("bitmap_distinct",
       (es: Seq[Expression]) =>
         BitmapDistinct(es(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("xlsx_text",
+      (es: Seq[Expression]) => XlsxTextExpr(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("pptx_text",
+      (es: Seq[Expression]) => PptxTextExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("bpe_count",
       (es: Seq[Expression]) => BpeCountExpr(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("bpe_encode",

@@ -2116,7 +2116,77 @@ object Pipeline {
       |       CAST(n_bytes - sav4 AS BIGINT) AS n_ids
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q123
+  // XLSX + PPTX text extraction (round 20): the Office family stops
+  // being DOCX-only — spreadsheets and slide decks are common crawl
+  // payloads, and both reuse the existing ZIP walk + XML run machinery
+  // ([[graft.functions.OfficeText]]). Fixtures rotate every cell kind
+  // (shared / rich-text shared / inline / numeric), sheet counts, and
+  // slide counts; the PPTX encoder writes slides in REVERSE zip order
+  // so extraction's numeric-name sort is load-bearing. Every 7th doc
+  // is non-Office junk → NULL row. Closed-form oracle; per-row
+  // codegen'd expressions inside the scan projection, zero shuffle.
+  def q123(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Registry.install(s)
+    val out123 = Tables.scratch(s"media123/${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val mediaDir = Tables.cachedDerived(dir, out123, version = "v1-office") {
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          import graft.functions.OfficeText
+          val bytes =
+            if (id % 7 == 4) "%PDF- not an office container".getBytes("US-ASCII")
+            else if (id % 2 == 0) {
+              val n = 1 + (id % 3).toInt
+              val sheet1 = (0 until n).map(r =>
+                Seq(("s", s"w${id}r$r"), ("num", s"${id + r}")))
+              OfficeText.encodeXlsx(
+                Seq(sheet1, Seq(Seq(("inline", s"tail$id")))),
+                richShared = id % 3 == 0)
+            } else {
+              val slides = (1 to (if (id % 4 == 1) 2 else 1)).map(n =>
+                Seq(s"Slide$n of doc $id", s"p$id"))
+              OfficeText.encodePptx(slides)
+            }
+          (id, bytes)
+        }.toDF("doc_id", "content")
+        .write.mode("overwrite").parquet(s"$out123/data")
+    }
+    s.read.parquet(s"$mediaDir/data")
+      .selectExpr("doc_id",
+        "CASE WHEN xlsx_text(content) IS NOT NULL THEN 'xlsx' " +
+          "WHEN pptx_text(content) IS NOT NULL THEN 'pptx' END AS kind",
+        "coalesce(xlsx_text(content), pptx_text(content)) AS text_out")
+      .orderBy("doc_id")
+  }
+
+  val q123Sql =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 7 = 4 AS bad, doc_id % 2 = 0 AS isx,
+      |         CAST(1 + doc_id % 3 AS INT) AS n, doc_id % 4 = 1 AS two
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN bad THEN NULL WHEN isx THEN 'xlsx'
+      |            ELSE 'pptx' END AS kind,
+      |       CASE WHEN bad THEN NULL
+      |            WHEN isx THEN
+      |              'w' || doc_id || 'r0 ' || doc_id ||
+      |              CASE WHEN n >= 2
+      |                   THEN ' w' || doc_id || 'r1 ' || (doc_id + 1)
+      |                   ELSE '' END ||
+      |              CASE WHEN n >= 3
+      |                   THEN ' w' || doc_id || 'r2 ' || (doc_id + 2)
+      |                   ELSE '' END ||
+      |              ' tail' || doc_id
+      |            ELSE 'Slide1 of doc ' || doc_id || ' p' || doc_id ||
+      |              CASE WHEN two
+      |                   THEN ' Slide2 of doc ' || doc_id || ' p' || doc_id
+      |                   ELSE '' END
+      |       END AS text_out
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_office_text" -> (q123 _),
     "q122_bpe_tokenize" -> (q122 _),
     "q121_sitemap_discovery" -> (q121 _),
     "q120_mbox_explode" -> (q120 _),
@@ -2151,6 +2221,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q123_office_text" -> q123Sql,
     "q122_bpe_tokenize" -> q122Sql,
     "q121_sitemap_discovery" -> q121Sql,
     "q120_mbox_explode" -> q120Sql,

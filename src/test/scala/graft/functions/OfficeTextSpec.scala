@@ -88,4 +88,70 @@ class OfficeTextSpec extends graft.SparkFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(explained.contains("[codegen id :"), explained)
   }
+
+  test("xlsx_text: shared/inline/num/str cells, sheet order, rich runs") {
+    // two sheets, all four cell kinds; shared strings dedupe
+    val b = OfficeText.encodeXlsx(Seq(
+      Seq(Seq(("s", "alpha"), ("num", "42")),
+        Seq(("inline", "in<line>"), ("str", "=res & t"))),
+      Seq(Seq(("s", "alpha"), ("s", "tail")))))
+    assert(OfficeText.xlsxText(b) == "alpha 42 in<line> =res & t alpha tail")
+    // rich-text shared entries (two <r><t> runs) concatenate seamlessly
+    val rich = OfficeText.encodeXlsx(
+      Seq(Seq(Seq(("s", "seamless")))), richShared = true)
+    assert(OfficeText.xlsxText(rich) == "seamless")
+  }
+
+  test("xlsx_text refusals and hostile cells") {
+    assert(OfficeText.xlsxText(null) == null)
+    assert(OfficeText.xlsxText("not a zip".getBytes) == null)
+    // a ZIP that isn't a workbook (DOCX) refuses as XLSX and vice versa
+    val docx = OfficeText.encodeDocx(Seq("hello"))
+    assert(OfficeText.xlsxText(docx) == null)
+    val xlsx = OfficeText.encodeXlsx(Seq(Seq(Seq(("s", "x")))))
+    assert(OfficeText.docxText(xlsx) == null)
+    // out-of-range shared index drops the CELL, keeps the sheet
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    def put(n: String, c: String): Unit = {
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(c.getBytes("UTF-8")); z.closeEntry()
+    }
+    put("xl/workbook.xml", "<workbook><sheets/></workbook>")
+    put("xl/sharedStrings.xml", "<sst><si><t>keep</t></si></sst>")
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData><row><c t="s"><v>0</v></c>""" +
+        """<c t="s"><v>99</v></c><c t="s"><v>junk</v></c>""" +
+        "</row></sheetData></worksheet>")
+    z.close()
+    assert(OfficeText.xlsxText(out.toByteArray) == "keep")
+  }
+
+  test("pptx_text: slides in numeric order despite reverse zip order") {
+    val b = OfficeText.encodePptx(Seq(
+      Seq("First slide", "with two paragraphs"),
+      Seq("Second & last")))
+    // encoder writes slide2 BEFORE slide1; numeric sort restores order,
+    // runs concatenate without separators, paragraphs add spaces
+    assert(OfficeText.pptxText(b) ==
+      "First slide with two paragraphs Second & last")
+    assert(OfficeText.pptxText(OfficeText.encodeDocx(Seq("x"))) == null)
+    assert(OfficeText.pptxText(Array[Byte](1, 2, 3)) == null)
+  }
+
+  test("xlsx/pptx expressions through a parquet scan under codegen") {
+    graft.functions.Registry.install(spark)
+    import spark.implicits._
+    val x = OfficeText.encodeXlsx(Seq(Seq(Seq(("s", "cell one"), ("num", "7")))))
+    val p = OfficeText.encodePptx(Seq(Seq("deck text")))
+    val dir = scratch("officetext-xp")
+    Seq((1L, x), (2L, p), (3L, "junk".getBytes))
+      .toDF("id", "content").write.mode("overwrite").parquet(dir)
+    val rows = spark.read.parquet(dir)
+      .selectExpr("id", "xlsx_text(content) AS xs", "pptx_text(content) AS ps")
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) == "cell one 7" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getString(2) == "deck text")
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
 }
