@@ -123,6 +123,14 @@ object ScaleProbe {
         // BUILD cost (PDF/EML encoding) is also probed implicitly, it
         // rides the same elapsed number on first run
         "q106_pdf_text", "q116_eml_text",
+        // round-20 additions (VERDICT r19 task 6): the metadata walks
+        // and crawl governance claim O(header)/O(row) cost — pin it
+        // with measured rows. q111 mkv_meta — the EBML walk touches
+        // header-depth bytes per container regardless of payload size:
+        // shuffle ≈0 (output ORDER BY only), rows exactly linear;
+        // q118 robots_allowed — iterative (non-regex) per-(rules, url)
+        // matcher in the scan projection: same contract.
+        "q111_mkv_meta", "q118_robots_gate",
         // q39: EXACT threshold join — Θ(N²) cosines by problem statement
         // (see EmbeddingJoin's scaladoc for why LSH can't prune at
         // τ=0.45), so elapsed is EXPECTED ≈quadratic at 10×; the probe's
@@ -257,7 +265,8 @@ object ScaleProbe {
       // run scales the DECODE path, not the fixture write — the same
       // amortization Bench's warmup block applies
       if (q == "q47_multimodal_features" || q == "q71_video_frames" ||
-          q == "q100_warc_extract" || q == "q100b_warc_cdx") {
+          q == "q100_warc_extract" || q == "q100b_warc_cdx" ||
+          q == "q111_mkv_meta" || q == "q118_robots_gate") {
         SparkEntry.queries(q)(spark, dir).count()
         sweep()
         Thread.sleep(1000)

@@ -52,6 +52,17 @@ package graft.operators
   * independent third-party VP8 vector could be constructed to verify
   * the tables against.
   *
+  * Round-20 disposition: a second independent transcription pass (the
+  * discipline the JPEG differential family used) was considered and
+  * REFUSED — the two large tables were never transcribed from the RFC
+  * text in the first place (no RFC 6386 copy exists in this offline
+  * environment; the small tables came from well-known public constants,
+  * the large ones could not), so a "second pass" would have to invent
+  * ~2,000 constants from unreliable recall and would silently convert
+  * this honest, machine-visible caveat into unverifiable nonconformance.
+  * The label stays until an environment with the RFC text (or a WebP
+  * decoder to differential-test against) is available.
+  *
   * Reference capability: multimodal feature extraction over binary
   * columns (BASELINE.md north star).
   */
