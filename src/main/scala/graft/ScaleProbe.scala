@@ -131,6 +131,13 @@ object ScaleProbe {
         // q118 robots_allowed — iterative (non-regex) per-(rules, url)
         // matcher in the scan projection: same contract.
         "q111_mkv_meta", "q118_robots_gate",
+        // round-20 statistical-filter rows: q124 bigram-LM scoring —
+        // vocab-keyed count aggs (map-side combinable) + vocab-keyed
+        // joins, so shuffle grows with corpus tokens, never pairs;
+        // q125 cross-doc repeated 5-grams — the corpus-vs-itself
+        // big-big join, gram-keyed: shuffle linear in gram count, the
+        // distinct() before the doc-count agg is the hot-gram guard
+        "q124_lm_score", "q125_repeated_ngrams",
         // q39: EXACT threshold join — Θ(N²) cosines by problem statement
         // (see EmbeddingJoin's scaladoc for why LSH can't prune at
         // τ=0.45), so elapsed is EXPECTED ≈quadratic at 10×; the probe's

@@ -2185,7 +2185,113 @@ object Pipeline {
       |       END AS text_out
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q124
+  // Corpus-LM quality scoring (round 20): the CCNet-class filter —
+  // score every document by the average log-probability of its bigrams
+  // under an MLE bigram model TRAINED ON THE CORPUS ITSELF (boilerplate
+  // and gibberish score low; middling prose scores high). Unlike the
+  // Gopher heuristics (q74) this is a statistical model, and unlike a
+  // pretrained-LM filter it is fully reproducible from the data — which
+  // is what makes the DuckDB oracle EXACT over the real corpus text
+  // (not a fixture): both sides count the same unigrams/bigrams and
+  // average the same logs, rounded to 4 decimals to absorb summation
+  // order. Tokens are q33's proven dialect-safe `[a-z]+` extraction.
+  //
+  // Scale: two count aggregations (map-side combinable — hot bigrams
+  // like "of the" partial-aggregate before the shuffle) + two joins
+  // keyed on vocabulary terms; everything is vocab- or corpus-linear,
+  // no all-pairs shape. Docs with < 2 tokens drop (no bigrams).
+  def q124(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      expr("regexp_extract_all(text, '[a-z]+', 0)").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bis = toks.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(t) - 1), " +
+        "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
+      .as("b")).select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bc = bis.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    bis.join(bc, Seq("w1", "w2"))
+      .join(uni, bis("w1") === uni("w"))
+      .groupBy("doc_id")
+      .agg(round(avg(log(col("cb").cast("double") / col("cw"))), 4)
+        .as("lm_score"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val q124Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS t
+      |  FROM documents WHERE len(regexp_extract_all(text, '[a-z]+')) >= 2),
+      |bis AS (
+      |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      |  FROM toks, unnest(range(1, len(t))) AS r(i)),
+      |uni AS (
+      |  SELECT u.w, count(*) AS cw FROM toks, unnest(t) AS u(w) GROUP BY 1),
+      |bc AS (SELECT w1, w2, count(*) AS cb FROM bis GROUP BY 1, 2)
+      |SELECT doc_id, round(avg(ln(cb * 1.0 / cw)), 4) AS lm_score,
+      |       count(*) AS n_bigrams
+      |FROM bis
+      |JOIN bc ON bis.w1 = bc.w1 AND bis.w2 = bc.w2
+      |JOIN uni ON bis.w1 = uni.w
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- q125
+  // Cross-document repeated n-gram spans (round 20): the n-gram
+  // granularity of exact substring dedup (the "dedup training data at
+  // the 50-token level" result) — for every document, how many of its
+  // 5-gram positions are covered by a gram that also appears in ANOTHER
+  // document. Differs from q30/q35 (whole/near-doc dedup) and q76
+  // (corpus-vs-eval broadcast): this is the corpus-vs-ITSELF join, the
+  // big-big shape. Exact oracle over the real corpus text.
+  //
+  // Scale: one gram-keyed distinct-doc aggregation + one join back.
+  // Hot grams (boilerplate sentences) concentrate on one reducer at
+  // the agg — at 100 TB the owner pre-aggregates (gram, doc_id)
+  // pairs distinct-first (done here: the distinct() before the count
+  // is map-side partial), and the join back is gram-keyed, never
+  // all-pairs.
+  def q125(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val grams = docs(s, dir).select(col("doc_id"),
+      expr("regexp_extract_all(text, '[a-z]+', 0)").as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${k - 1}), " +
+          s"i -> array_join(slice(t, i, $k), ' '))")).as("g"))
+    val multiDoc = grams.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+    grams.join(multiDoc, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("nd")).as("dup_positions"),
+        round(count(col("nd")).cast("double") / count(lit(1)), 4)
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q125Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS t
+      |  FROM documents WHERE len(regexp_extract_all(text, '[a-z]+')) >= 5),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+      |  FROM toks, unnest(range(1, len(t) - 3)) AS r(i)),
+      |multi AS (
+      |  SELECT g FROM (SELECT DISTINCT g, doc_id FROM grams)
+      |  GROUP BY g HAVING count(*) > 1)
+      |SELECT doc_id, count(*) AS n_grams,
+      |       count(multi.g) AS dup_positions,
+      |       round(count(multi.g) * 1.0 / count(*), 4) AS dup_frac
+      |FROM grams LEFT JOIN multi ON grams.g = multi.g
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_repeated_ngrams" -> (q125 _),
+    "q124_lm_score" -> (q124 _),
     "q123_office_text" -> (q123 _),
     "q122_bpe_tokenize" -> (q122 _),
     "q121_sitemap_discovery" -> (q121 _),
@@ -2221,6 +2327,8 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q125_repeated_ngrams" -> q125Sql,
+    "q124_lm_score" -> q124Sql,
     "q123_office_text" -> q123Sql,
     "q122_bpe_tokenize" -> q122Sql,
     "q121_sitemap_discovery" -> q121Sql,
