@@ -941,6 +941,8 @@ object Registry {
     reg.createOrReplaceTempFunction("bitmap_distinct",
       (es: Seq[Expression]) =>
         BitmapDistinct(es(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("clean_text",
+      (es: Seq[Expression]) => CleanTextExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("xlsx_text",
       (es: Seq[Expression]) => XlsxTextExpr(es(0)), "built-in")
     reg.createOrReplaceTempFunction("pptx_text",

@@ -2289,7 +2289,47 @@ object Pipeline {
       |FROM grams LEFT JOIN multi ON grams.g = multi.g
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q126
+  // Unicode text normalization (round 20): the front step every
+  // curation pipeline runs before tokenizing/shingling/scoring, so
+  // byte-different spellings hash identically — NFC composition, C0
+  // control stripping, whitespace-run collapse (the clean_text
+  // contract, [[graft.functions.CleanText]]). The corpus text carries
+  // no decomposed accents, so the query PLANTS a deterministic hazard
+  // prefix/suffix per doc (combining acute, BEL, VT, ragged spacing —
+  // the q73 PII-planting discipline) and the oracle applies DuckDB's
+  // own nfc_normalize + regex pipeline to the same planted string:
+  // the assertion is two independent NFC implementations agreeing.
+  // Per-row codegen'd, zero shuffle.
+  def q126(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.install(s)
+    // Spark's chr() is mod-256 (ASCII), DuckDB's is a codepoint, so the
+    // accent rides as a composed literal here while the ORACLE plants
+    // the decomposed 'A' || chr(769) — its nfc_normalize must compose
+    // to this very literal, which is the cross-dialect NFC assertion
+    // (CleanTextSpec pins composition on the Spark side directly).
+    docs(s, dir).selectExpr("doc_id",
+      "clean_text(concat('Á', ' ', chr(7), ' doc', chr(9), " +
+        "chr(9), text, ' ', chr(11))) AS text_out")
+      .selectExpr("doc_id", "text_out",
+        "CAST(length(text_out) AS BIGINT) AS n_chars")
+      .orderBy("doc_id")
+  }
+
+  val q126Sql =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         trim(regexp_replace(regexp_replace(
+      |           nfc_normalize('A' || chr(769) || ' ' || chr(7) ||
+      |             ' doc' || chr(9) || chr(9) || text || ' ' || chr(11)),
+      |           '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]+', '', 'g'),
+      |           '[\t\n\r ]+', ' ', 'g')) AS text_out
+      |  FROM documents)
+      |SELECT doc_id, text_out, CAST(length(text_out) AS BIGINT) AS n_chars
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_clean_text" -> (q126 _),
     "q125_repeated_ngrams" -> (q125 _),
     "q124_lm_score" -> (q124 _),
     "q123_office_text" -> (q123 _),
@@ -2327,6 +2367,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q126_clean_text" -> q126Sql,
     "q125_repeated_ngrams" -> q125Sql,
     "q124_lm_score" -> q124Sql,
     "q123_office_text" -> q123Sql,
