@@ -157,7 +157,11 @@ object ScaleProbe {
         // iterative CC at the second decade: rounds track component
         // diameter (constant by construction), so elapsed should stay
         // ≈flat while rows go exactly 100×
-        "q83_dedup_clusters")
+        "q83_dedup_clusters",
+        // round-20 big-big join at the second decade: gram-keyed
+        // shuffle must stay linear in gram count (the decorrelated
+        // copies add no cross-copy repeated grams by construction)
+        "q125_repeated_ngrams")
 
   def build(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     // the ready-marker records WHICH base built the cached dataset — path
