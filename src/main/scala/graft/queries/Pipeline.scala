@@ -2328,7 +2328,48 @@ object Pipeline {
       |SELECT doc_id, text_out, CAST(length(text_out) AS BIGINT) AS n_chars
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q127
+  // Document chunking (round 20): the RAG/embedding-prep fan-out —
+  // overlapping token windows (size 64, overlap 16) per document, the
+  // shape every retrieval pipeline feeds its embedder. PURE Catalyst
+  // (q117's discipline): token extraction + integer-exact chunk-count
+  // arithmetic + transform/slice/posexplode, all inside whole-stage
+  // codegen, zero custom code, zero shuffle beyond the output ORDER BY.
+  // Chunk count is max(1, ceil((n - overlap)/stride)) in INTEGER
+  // arithmetic (no float ceil edge); short docs yield one (possibly
+  // empty) chunk so no document silently vanishes.
+  def q127(s: SparkSession, dir: String): DataFrame = {
+    val sz = 64
+    val ov = 16
+    val st = sz - ov
+    docs(s, dir)
+      .selectExpr("doc_id",
+        "regexp_extract_all(text, '[a-z]+', 0) AS t")
+      .selectExpr("doc_id",
+        s"posexplode(transform(sequence(0, " +
+          s"greatest(1L, (size(t) - $ov + ${st - 1}) div $st) - 1), " +
+          s"i -> array_join(slice(t, CAST(i * $st + 1 AS INT), $sz), ' ')))")
+      .selectExpr("doc_id", "CAST(pos AS BIGINT) AS chunk_id",
+        "col AS chunk")
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val q127Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS t
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, t,
+      |         greatest(1, (len(t) - 16 + 47) // 48) AS nc
+      |  FROM toks)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+      |       array_to_string(t[CAST(i*48+1 AS INT):CAST(i*48+64 AS INT)],
+      |                       ' ') AS chunk
+      |FROM p, unnest(range(0, nc)) AS r(i)
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_chunk_text" -> (q127 _),
     "q126_clean_text" -> (q126 _),
     "q125_repeated_ngrams" -> (q125 _),
     "q124_lm_score" -> (q124 _),
@@ -2367,6 +2408,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q127_chunk_text" -> q127Sql,
     "q126_clean_text" -> q126Sql,
     "q125_repeated_ngrams" -> q125Sql,
     "q124_lm_score" -> q124Sql,
