@@ -186,12 +186,24 @@ object Bpe {
   def serialize(merges: Seq[Merge]): String =
     merges.map { case (l, r) => hex(l) + ":" + hex(r) }.mkString(",")
 
+  /** Inverse of [[serialize]]. Malformed input throws a DESCRIPTIVE
+    * IllegalArgumentException (the expressions surface it as an
+    * analysis-time type-check failure) rather than a raw MatchError
+    * from deep inside the split. */
   def deserialize(s: String): Seq[Merge] =
     if (s.isEmpty) Seq.empty
     else s.split(",", -1).toSeq.map { p =>
-      val Array(l, r) = p.split(":", -1)
-      (unhex(l), unhex(r))
+      val halves = p.split(":", -1)
+      if (halves.length != 2 || halves.exists(h => h.isEmpty ||
+          h.length % 2 != 0 || !h.forall(isHexDigit)))
+        throw new IllegalArgumentException(
+          s"merges must be Bpe.serialize() output " +
+            s"(lefthex:righthex pairs joined by ','): bad pair '$p'")
+      (unhex(halves(0)), unhex(halves(1)))
     }
+
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
   private def hex(t: String): String =
     t.map(c => f"${c.toInt & 0xff}%02x").mkString
@@ -242,6 +254,29 @@ object Bpe {
     * text DuckDB-expressible: bytes − Σ per-run savings. */
   val fixtureMerges: Seq[Merge] = Seq(
     ("a", "b"), ("ab", "ab"), ("abab", "abab"), ("abababab", "abababab"))
+
+  /** Shared type/shape check for the bpe_* expressions: both args
+    * strings, merges foldable AND parseable — a malformed merges
+    * literal fails at ANALYSIS time with the deserialize message, not
+    * as an opaque executor MatchError. */
+  private[functions] def checkMergesArg(name: String,
+      left: org.apache.spark.sql.catalyst.expressions.Expression,
+      right: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!(left.dataType == StringType && right.dataType == StringType &&
+        right.foldable))
+      return TypeCheckFailure(s"$name expects (string, foldable string merges)")
+    right.eval(null) match {
+      case null => TypeCheckFailure(s"$name merges must not be NULL")
+      case m =>
+        try { compiled(m.asInstanceOf[UTF8String].toString); TypeCheckSuccess }
+        catch {
+          case e: IllegalArgumentException =>
+            TypeCheckFailure(s"$name: ${e.getMessage}")
+        }
+    }
+  }
 }
 
 /** bpe_count(text, merges) → BIGINT: byte-level BPE token count of
@@ -256,12 +291,7 @@ case class BpeCountExpr(left: Expression, right: Expression)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == StringType &&
-        right.foldable)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects (string, foldable string merges)")
+    Bpe.checkMergesArg(prettyName, left, right)
 
   @transient private lazy val vocab: Bpe.Vocab =
     Bpe.compiled(right.eval(null).asInstanceOf[UTF8String].toString)
@@ -292,12 +322,7 @@ case class BpeEncodeExpr(left: Expression, right: Expression)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == StringType &&
-        right.foldable)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects (string, foldable string merges)")
+    Bpe.checkMergesArg(prettyName, left, right)
 
   @transient private lazy val vocab: Bpe.Vocab =
     Bpe.compiled(right.eval(null).asInstanceOf[UTF8String].toString)

@@ -132,14 +132,28 @@ object CharsetSniff {
       val after = tag + 5
       if (after < s.length &&
           (s.charAt(after).isWhitespace || s.charAt(after) == '/')) {
-        var end = s.indexOf('>', after)
-        if (end < 0) end = s.length
-        val got = charsetToken(s, after, end)
+        val got = charsetToken(s, after, tagEnd(s, after))
         if (got != null) return got
       }
       from = after
     }
     null
+  }
+
+  /** Index of the tag-closing '>' from `from`, quote-aware: a '>'
+    * inside a quoted attribute value (`data-x="a>b"`) does not end the
+    * tag. Unterminated tag → end of the prescan window. */
+  private def tagEnd(s: String, from: Int): Int = {
+    var i = from
+    var quote = 0.toChar
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i
+      i += 1
+    }
+    s.length
   }
 
   /** `charset = [quote] label` token parse within [start, limit) — the

@@ -272,8 +272,11 @@ object OfficeText {
           body == name || body.startsWith(name + " ") ||
             body.startsWith(name + "/")
         if (inText && isTag(closeTag)) inText = false
-        else if (!inText && isTag(textTag))
-          inText = true // <w:t> or <w:t xml:space="preserve">
+        else if (!inText && isTag(textTag) && !body.endsWith("/"))
+          inText = true // <w:t> or <w:t xml:space="preserve">; a
+          // SELF-CLOSING <w:t/> (real Word output writes empty runs)
+          // must not enter text mode — it has no matching close tag,
+          // and raw text of unrelated elements would leak out
         else if (breakTags.exists(isTag))
           pendingSpace = true
         i = close + 1

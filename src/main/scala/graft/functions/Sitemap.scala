@@ -191,14 +191,30 @@ object Sitemap {
       -1
     }
 
+    // same delimiter discipline as the entry scan: "<loc" must not
+    // match "<locomotive>", and "</loc" must not close on it either
     def childText(block: String, tag: String): String = {
-      val open = block.indexOf("<" + tag)
-      if (open < 0) return null
-      val gt = block.indexOf('>', open)
-      if (gt < 0) return null
-      val close = block.indexOf("</" + tag, gt + 1)
-      if (close < 0) return null
-      decodeEntities(block.substring(gt + 1, close).trim)
+      var open = block.indexOf("<" + tag)
+      while (open >= 0) {
+        val after = open + 1 + tag.length
+        if (after < block.length && (block.charAt(after) == '>' ||
+            block.charAt(after).isWhitespace || block.charAt(after) == '/')) {
+          val gt = block.indexOf('>', open)
+          if (gt < 0) return null
+          if (block.charAt(gt - 1) == '/') return null // self-closing: empty
+          var close = block.indexOf("</" + tag, gt + 1)
+          while (close >= 0) {
+            val a = close + 2 + tag.length
+            if (a < block.length && (block.charAt(a) == '>' ||
+                block.charAt(a).isWhitespace))
+              return decodeEntities(block.substring(gt + 1, close).trim)
+            close = block.indexOf("</" + tag, close + 1)
+          }
+          return null
+        }
+        open = block.indexOf("<" + tag, open + 1)
+      }
+      null
     }
 
     var at = s.indexOf("<" + entryTag)

@@ -122,5 +122,11 @@ class CharsetSniffSpec extends AnyFunSuite {
     val late = "<p>set charset=koi8-r maybe?</p><meta charset=utf-8>ok"
     val l = CharsetSniff.sniff(late.getBytes(UTF8))
     assert(l != null && l.source == "meta" && l.charset == "utf-8")
+    // a '>' inside a QUOTED attribute value does not end the meta tag:
+    // the charset after it must still be honored
+    val quoted = """<meta data-x="a>b" charset="windows-1252">café"""
+    val q = CharsetSniff.sniff(quoted.getBytes(
+      java.nio.charset.Charset.forName("windows-1252")))
+    assert(q != null && q.source == "meta" && q.charset == "windows-1252")
   }
 }

@@ -139,6 +139,22 @@ class OfficeTextSpec extends graft.SparkFunSuite {
     assert(OfficeText.pptxText(Array[Byte](1, 2, 3)) == null)
   }
 
+  test("a self-closing <w:t/> run never leaks surrounding raw text") {
+    // real Word output writes empty self-closing runs; entering text
+    // mode on one would emit everything to the next real </w:t> — e.g.
+    // field instructions — as document text
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(out)
+    z.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+    z.write(("""<w:document><w:body><w:p>""" +
+      """<w:r><w:t/></w:r>""" + // empty self-closing run
+      """<w:fldSimple w:instr=" PAGE ">raw field text</w:fldSimple>""" +
+      """<w:r><w:t>visible</w:t></w:r>""" +
+      """</w:p></w:body></w:document>""").getBytes("UTF-8"))
+    z.closeEntry(); z.close()
+    assert(OfficeText.docxText(out.toByteArray) == "visible")
+  }
+
   test("xlsx/pptx expressions through a parquet scan under codegen") {
     graft.functions.Registry.install(spark)
     import spark.implicits._

@@ -87,4 +87,17 @@ class SitemapSpec extends AnyFunSuite {
     // but no loc may be fabricated and no exception thrown
     assert(es.forall(e => e.loc.startsWith("https://a.com/")))
   }
+
+  test("child tags are delimiter-checked: <locomotive> is not <loc>") {
+    val b = ("<urlset><url><locomotive>x</locomotive>" +
+      "<loc>https://real.example/</loc></url></urlset>").getBytes("UTF-8")
+    val es = Sitemap.parse(b)
+    assert(es != null && es.size == 1)
+    assert(es(0).loc == "https://real.example/")
+    // a self-closing <loc/> has no text: the entry drops
+    val empty = ("<urlset><url><loc/></url>" +
+      "<url><loc>https://keep.example/</loc></url></urlset>").getBytes("UTF-8")
+    val es2 = Sitemap.parse(empty)
+    assert(es2 != null && es2.map(_.loc) == Seq("https://keep.example/"))
+  }
 }
