@@ -2205,19 +2205,25 @@ object Pipeline {
     val toks = docs(s, dir).select(col("doc_id"),
       expr("regexp_extract_all(text, '[a-z]+', 0)").as("t"))
       .filter(size(col("t")) >= 2)
-    val bis = toks.select(col("doc_id"), explode(expr(
+    // per-(doc, bigram) multiplicities FIRST: the explode runs once,
+    // corpus counts derive by summing k, and the count-table joins see
+    // distinct doc-bigram pairs instead of every occurrence; the
+    // occurrence average is recovered exactly as the k-weighted average
+    val docBi = toks.select(col("doc_id"), explode(expr(
       "transform(sequence(1, size(t) - 1), " +
         "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
       .as("b")).select(col("doc_id"), col("b.w1"), col("b.w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
-    val bc = bis.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    bis.join(bc, Seq("w1", "w2"))
-      .join(uni, bis("w1") === uni("w"))
+    val bc = docBi.groupBy("w1", "w2").agg(sum("k").as("cb"))
+    docBi.join(bc, Seq("w1", "w2"))
+      .join(uni, docBi("w1") === uni("w"))
       .groupBy("doc_id")
-      .agg(round(avg(log(col("cb").cast("double") / col("cw"))), 4)
-        .as("lm_score"),
-        count(lit(1)).as("n_bigrams"))
+      .agg(round(
+        sum(col("k") * log(col("cb").cast("double") / col("cw"))) /
+          sum(col("k")), 4).as("lm_score"),
+        sum(col("k")).as("n_bigrams"))
       .orderBy("doc_id")
   }
 
