@@ -97,7 +97,7 @@ object CharsetSniff {
           else if (c >= 0xf1 && c <= 0xf3) (4, 0x80)
           else if (c == 0xf4) (4, 0x80) // ≤ U+10FFFF checked below
           else return 0
-        if (i + len > b.length) return 0
+        if (i.toLong + len > b.length) return 0
         var j = 1
         while (j < len) {
           val cc = b(i + j) & 0xff

@@ -123,7 +123,7 @@ object MkvMeta {
     var len = 1
     var mask = 0x80
     while ((first & mask) == 0) { len += 1; mask >>= 1 }
-    if (len > 8 || pos + len > b.length) return null
+    if (len > 8 || pos.toLong + len > b.length) return null
     var v = (if (keepMarker) first else first & (mask - 1)).toLong
     var ones = !keepMarker && (first & (mask - 1)) == mask - 1
     var i = 1

@@ -203,13 +203,13 @@ object OggMeta {
           b(pos + 3) == 'S') || b(pos + 4) != 0) walking = false
       else {
         val nSegs = b(pos + 26) & 0xff
-        if (pos + 27 + nSegs > b.length) walking = false
+        if (pos.toLong + 27 + nSegs > b.length) walking = false
         else {
           var payload = 0
           var s = 0
           while (s < nSegs) { payload += b(pos + 27 + s) & 0xff; s += 1 }
           val pageLen = 27 + nSegs + payload
-          if (pos + pageLen > b.length) walking = false
+          if (pos.toLong + pageLen > b.length) walking = false
           else if (pageCrc(b, pos, pageLen) != le32(b, pos + 22)) walking = false
           else {
             val hdrType = b(pos + 5) & 0xff
