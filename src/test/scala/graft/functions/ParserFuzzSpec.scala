@@ -66,7 +66,17 @@ class ParserFuzzSpec extends AnyFunSuite {
         datetime = "2024:05:17 10:30:00", make = "GraftCam", model = "GC-1",
         gps = Some((52, 30, 36, false, 13, 24, 54, false))))),
       ExifMeta.parse),
-    ("pdf_text", Seq(PdfText.encodePdf(Seq("hello fuzz world"))),
+    ("pdf_text", Seq(
+      PdfText.encodePdf(Seq("hello fuzz world")),
+      // the deep container spellings: xref STREAMS with predictors +
+      // object streams, CID fonts through ToUnicode, and an AES-256
+      // encrypted body — mutations of these reach the decrypt/inflate/
+      // CMap paths plain seeds never enter
+      PdfText.encodePdf(Seq(Seq("xref stream page")), xrefStream = true,
+        xrefPredictor = true, objStm = true),
+      PdfText.encodePdf(Seq(Seq("cid text")), cidFont = true,
+        cidToUnicode = true),
+      PdfText.encodePdf(Seq(Seq("secret body")), encrypt = "aes256")),
       PdfText.pdfText),
     ("docx_text", Seq(OfficeText.encodeDocx(Seq("alpha beta", "gamma"))),
       OfficeText.docxText),
@@ -116,7 +126,18 @@ class ParserFuzzSpec extends AnyFunSuite {
         Array.tabulate(256)(i => ((i * 97) % 4096) - 2048)),
       graft.operators.AudioCodec.encodeWavUlaw(8000,
         Array.tabulate(64)(i => (i * 3).toByte))),
-      graft.operators.AudioCodec.decode))
+      graft.operators.AudioCodec.decode),
+    ("video_decode", Seq(
+      graft.operators.VideoCodec.encodeAvi(8, 8, 3,
+        (f, x, y) => ((x * 20 + f) % 256, (y * 20) % 256, 10)),
+      graft.operators.VideoCodec.encodeGifAnim(8, 8, 3,
+        (f, x, y) => ((x * 30 + f * 5) % 256, (y * 30) % 256, 9)),
+      graft.operators.VideoCodec.encodeWebpAnim(8, 8, Seq(
+        graft.operators.VideoCodec.WebpFrame(0, 0, 8, 8,
+          argb = (x, y) => 0xff000000 | ((x * 20) << 16) | ((y * 20) << 8) | 5),
+        graft.operators.VideoCodec.WebpFrame(2, 2, 4, 4,
+          argb = (_, _) => 0xffc8d2dc)))),
+      (b: Array[Byte]) => graft.operators.VideoCodec.decodeSampled(b, 1)))
 
   private def hex(b: Array[Byte], n: Int = 48): String =
     b.take(n).map(x => f"${x & 0xff}%02x").mkString
