@@ -138,6 +138,10 @@ object ScaleProbe {
         // big-big join, gram-keyed: shuffle linear in gram count, the
         // distinct() before the doc-count agg is the hot-gram guard
         "q124_lm_score", "q125_repeated_ngrams",
+        // q122 BPE: training is one word-histogram shuffle + a bounded
+        // (<=64k words) driver collect; encoding is per-row — the row
+        // pins that the TRAINING side scales, not just the kernel
+        "q122_bpe_tokenize",
         // q39: EXACT threshold join — Θ(N²) cosines by problem statement
         // (see EmbeddingJoin's scaladoc for why LSH can't prune at
         // τ=0.45), so elapsed is EXPECTED ≈quadratic at 10×; the probe's
