@@ -2374,7 +2374,46 @@ object Pipeline {
       |FROM p, unnest(range(0, nc)) AS r(i)
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ------------------------------------------------------------- q128
+  // Sitemap discovery FROM robots.txt (round 20): RFC 9309 §2.3 allows
+  // `Sitemap:` lines independent of any group, and real crawlers get
+  // most sitemap URLs this way — the directive ties the governance leg
+  // (q118 robots_allowed) to the discovery leg (q121 sitemap_urls).
+  // PURE Catalyst (the q117/q127 discipline): one multiline
+  // case-insensitive regex inside whole-stage codegen; comment lines
+  // (# ...) and non-sitemap fields never match. Fixtures plant mixed
+  // case, leading whitespace, tab separators, a commented-out decoy,
+  // and a NotASitemap field; the oracle predicts the rows by
+  // CONSTRUCTION arithmetic — no regex on the oracle side.
+  def q128(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).selectExpr("doc_id",
+      "concat('User-agent: *\\n', 'Disallow: /private\\n', " +
+        "'# Sitemap: https://commented.example/c.xml\\n', " +
+        "'Sitemap: https://s', CAST(doc_id % 40 AS STRING), '.com/a.xml\\n', " +
+        "CASE WHEN doc_id % 3 = 0 THEN concat('  sitemap:\\t" +
+        "https://s', CAST(doc_id % 40 AS STRING), '.com/b.xml.gz\\n') " +
+        "ELSE '' END, " +
+        "CASE WHEN doc_id % 5 = 1 THEN " +
+        "'NotASitemap: https://x.example/no.xml\\n' ELSE '' END) AS robots")
+      .selectExpr("doc_id",
+        "posexplode(regexp_extract_all(robots, " +
+          "'(?im)^[ \\\\t]*sitemap[ \\\\t]*:[ \\\\t]*(\\\\S+)', 1))")
+      .selectExpr("doc_id", "CAST(pos AS BIGINT) AS sm_idx",
+        "col AS sitemap_url")
+      .orderBy("doc_id", "sm_idx")
+
+  val q128Sql =
+    """SELECT doc_id, CAST(0 AS BIGINT) AS sm_idx,
+      |       'https://s' || (doc_id % 40) || '.com/a.xml' AS sitemap_url
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id, CAST(1 AS BIGINT),
+      |       'https://s' || (doc_id % 40) || '.com/b.xml.gz'
+      |FROM documents WHERE doc_id % 3 = 0
+      |ORDER BY doc_id, sm_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_robots_sitemaps" -> (q128 _),
     "q127_chunk_text" -> (q127 _),
     "q126_clean_text" -> (q126 _),
     "q125_repeated_ngrams" -> (q125 _),
@@ -2414,6 +2453,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q128_robots_sitemaps" -> q128Sql,
     "q127_chunk_text" -> q127Sql,
     "q126_clean_text" -> q126Sql,
     "q125_repeated_ngrams" -> q125Sql,
