@@ -2412,7 +2412,65 @@ object Pipeline {
       |FROM documents WHERE doc_id % 3 = 0
       |ORDER BY doc_id, sm_idx""".stripMargin
 
+  // ------------------------------------------------------------- q129
+  // Dedup KEPT-SET resolution (round 20): the step after q83's
+  // clusters that pipelines actually act on — for EVERY document, its
+  // canonical id (cluster minimum, or itself when unclustered) and the
+  // keep/drop verdict. q35 finds pairs, q83 resolves components; this
+  // emits the full delete list, which is what the training-shard
+  // writer consumes. One extra left join over q83's plan; the oracle
+  // wraps q83's recursive-CTE fixpoint with the same join.
+  def q129(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = graft.operators.NearDup.pairs(s, d, "doc_id", "text",
+      shingleSize = 3, threshold = 0.8, numPerms = 128, numBands = 32)
+    val labels = graft.operators.ConnectedComponents
+      .labels(pairs, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("component").as("canon"))
+    d.select("doc_id").join(labels, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "coalesce(canon, doc_id) AS canonical_id",
+        "coalesce(canon, doc_id) = doc_id AS kept")
+      .orderBy("doc_id")
+  }
+
+  val q129Sql =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY shingle IS NOT NULL),
+      |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM ds a JOIN ds b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT s AS node, s AS r FROM edges
+      |  UNION
+      |  SELECT e.s AS node, reach.r FROM edges e
+      |  JOIN reach ON reach.node = e.d),
+      |labels AS (SELECT node, min(r) AS canon FROM reach GROUP BY node)
+      |SELECT d.doc_id,
+      |       coalesce(l.canon, d.doc_id) AS canonical_id,
+      |       coalesce(l.canon, d.doc_id) = d.doc_id AS kept
+      |FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_dedup_kept_set" -> (q129 _),
     "q128_robots_sitemaps" -> (q128 _),
     "q127_chunk_text" -> (q127 _),
     "q126_clean_text" -> (q126 _),
@@ -2453,6 +2511,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q129_dedup_kept_set" -> q129Sql,
     "q128_robots_sitemaps" -> q128Sql,
     "q127_chunk_text" -> q127Sql,
     "q126_clean_text" -> q126Sql,
