@@ -2469,7 +2469,78 @@ object Pipeline {
       |FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------- q130
+  // Dataset-card composition report (round 20): the per-source rollup
+  // every corpus release ships — documents, bytes, REAL BPE token
+  // counts (q122's vocabulary), and the near-dup drop rate from q129's
+  // kept-set — composed in one plan: per-row kernels inside the scan,
+  // the q129 labels join, one source-keyed aggregation. The numbers a
+  // 100 TB pipeline owner actually publishes, derived from the same
+  // operators the pipeline runs.
+  def q130(s: SparkSession, dir: String): DataFrame = {
+    val m = graft.functions.Bpe.serialize(graft.functions.Bpe.fixtureMerges)
+    val kept = q129(s, dir).select(col("doc_id"), col("kept"))
+    docs(s, dir).join(kept, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("octet_length(text)")).cast("long").as("n_bytes"),
+        sum(expr(s"bpe_count(text, '$m')")).as("n_tokens"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dropped"),
+        expr("round(sum(CASE WHEN kept THEN 0.0 ELSE 1.0 END) / count(1), 4)")
+          .as("drop_frac"))
+      .orderBy("source")
+  }
+
+  val q130Sql =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY shingle IS NOT NULL),
+      |ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM ds a JOIN ds b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE round(c * 1.0 / (sa.n + sb.n - c), 4) >= 0.8),
+      |edges AS (
+      |  SELECT doc_a AS s, doc_b AS d FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT s AS node, s AS r FROM edges
+      |  UNION
+      |  SELECT e.s AS node, reach.r FROM edges e
+      |  JOIN reach ON reach.node = e.d),
+      |labels AS (SELECT node, min(r) AS canon FROM reach GROUP BY node),
+      |toks AS (
+      |  SELECT doc_id, strlen(text) -
+      |         coalesce(list_sum(list_transform(
+      |           regexp_extract_all(text, '(?:ab)+'),
+      |           m -> strlen(m) - (strlen(m)//2//8 +
+      |                             bit_count(strlen(m)//2 % 8)))), 0) AS toks
+      |  FROM documents)
+      |SELECT d.source, count(*) AS n_docs,
+      |       CAST(sum(strlen(d.text)) AS BIGINT) AS n_bytes,
+      |       CAST(sum(t.toks) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN coalesce(l.canon, d.doc_id) = d.doc_id
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      |       round(sum(CASE WHEN coalesce(l.canon, d.doc_id) = d.doc_id
+      |                      THEN 0.0 ELSE 1.0 END) / count(*), 4) AS drop_frac
+      |FROM documents d
+      |LEFT JOIN labels l ON l.node = d.doc_id
+      |JOIN toks t ON t.doc_id = d.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_dataset_card" -> (q130 _),
     "q129_dedup_kept_set" -> (q129 _),
     "q128_robots_sitemaps" -> (q128 _),
     "q127_chunk_text" -> (q127 _),
@@ -2511,6 +2582,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q130_dataset_card" -> q130Sql,
     "q129_dedup_kept_set" -> q129Sql,
     "q128_robots_sitemaps" -> q128Sql,
     "q127_chunk_text" -> q127Sql,
