@@ -142,6 +142,10 @@ object ScaleProbe {
         // (<=64k words) driver collect; encoding is per-row — the row
         // pins that the TRAINING side scales, not just the kernel
         "q122_bpe_tokenize",
+        // q129 kept-set: q83's banded-LSH + iterative-CC plan plus one
+        // labels join — rows must be exactly linear (every doc gets a
+        // verdict) while the join adds no new shuffle shape
+        "q129_dedup_kept_set",
         // q39: EXACT threshold join — Θ(N²) cosines by problem statement
         // (see EmbeddingJoin's scaladoc for why LSH can't prune at
         // τ=0.45), so elapsed is EXPECTED ≈quadratic at 10×; the probe's
