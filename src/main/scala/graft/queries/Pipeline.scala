@@ -2539,7 +2539,37 @@ object Pipeline {
       |JOIN toks t ON t.doc_id = d.doc_id
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ------------------------------------------------------------- q131
+  // Vocabulary report (round 20): the top-25 corpus tokens with counts
+  // and corpus share — the dataset-card table beside q130's per-source
+  // rollup, and the quick smoke test for tokenizer/cleaning bugs (a
+  // boilerplate token at rank 1 means the extractor leaked chrome).
+  // One map-side-combinable count aggregation + TakeOrderedAndProject;
+  // ties break by token so the rank-25 cut is deterministic. Exact
+  // integer oracle.
+  def q131(s: SparkSession, dir: String): DataFrame = {
+    val total = docs(s, dir)
+      .selectExpr("size(regexp_extract_all(text, '[a-z]+', 0)) AS n")
+      .agg(sum("n")).head.getLong(0)
+    docs(s, dir)
+      .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n") * lit(1.0) / lit(total), 6))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(25)
+  }
+
+  val q131Sql =
+    """WITH t AS (
+      |  SELECT u.w AS token FROM documents,
+      |         unnest(regexp_extract_all(text, '[a-z]+')) AS u(w)),
+      |c AS (SELECT token, count(*) AS n FROM t GROUP BY token)
+      |SELECT token, n,
+      |       round(n * 1.0 / (SELECT sum(n) FROM c), 6) AS share
+      |FROM c ORDER BY n DESC, token ASC LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_vocab_report" -> (q131 _),
     "q130_dataset_card" -> (q130 _),
     "q129_dedup_kept_set" -> (q129 _),
     "q128_robots_sitemaps" -> (q128 _),
@@ -2582,6 +2612,7 @@ object Pipeline {
     "q78_sequence_pack" -> (q78 _))
 
   val oracle: Map[String, String] = Map(
+    "q131_vocab_report" -> q131Sql,
     "q130_dataset_card" -> q130Sql,
     "q129_dedup_kept_set" -> q129Sql,
     "q128_robots_sitemaps" -> q128Sql,
