@@ -161,8 +161,22 @@ object Bench {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.warehouse.dir", Tables.scratch("warehouse"))
       .config("spark.ui.enabled", "false")
+      // let AQE re-size exchanges around persisted frames (guide §2.2):
+      // the default pins a cached plan's 32-partition layout onto every
+      // consumer, so each dynamic-table refresh ran 32-task stages over
+      // kilobyte deltas; with this on, AQE coalesces them by byte size —
+      // the same scale-adaptive sizing every uncached exchange already gets
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Committer v2 (task-side rename): the v1 default serializes a
+    // driver-side move of every output file at job commit — measurable per
+    // write here and a known object-store cliff at scale. Safe for this
+    // engine everywhere: reads are never pointed at half-committed
+    // directories (snapshot tables publish via the atomic pointer swap;
+    // scratch dirs are consumed only after the write returns).
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
 
     // All JSON numbers go through Locale.ROOT: the f"" interpolator uses
     // the JVM default locale, and a comma-decimal locale would emit

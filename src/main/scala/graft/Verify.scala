@@ -4,6 +4,19 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Output-dtype guard (r20 verdict task 3): the driver hashes dtypes, and
+    * no oracle query deliberately produces a decimal — Spark decimal128
+    * against DuckDB float64 is exactly how q130 went hash-red in r20 while
+    * values agreed. Refuse to ship such a schema (the query records as
+    * failed) rather than find out in CORRECTNESS. */
+  def assertNoDecimal(name: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+    val bad = schema.fields.filter(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+    require(bad.isEmpty,
+      s"$name emits DecimalType column(s) ${bad.map(_.name).mkString(",")} — " +
+        "the DuckDB oracle yields float64; cast to double (r20 q130 bug class)")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,8 +28,14 @@ object Verify {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.warehouse.dir", Tables.scratch("warehouse"))
       .config("spark.ui.enabled", "false")
+      // same planning/committer settings as Bench (see the rationale
+      // there): correctness is verified under the exact confs the bench
+      // times, so an optimization can never pass here and diverge there
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.hadoopConfiguration
+      .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter (driver always runs the full set): a
     // comma-separated allowlist of query names. The oracle dump below is
@@ -44,6 +63,7 @@ object Verify {
           if (f.dataType == TimestampType) col(f.name).cast(TimestampNTZType).as(f.name)
           else col(f.name)
         }.toSeq: _*)
+        assertNoDecimal(name, ntz.schema)
         ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         spark.sqlContext.clearCache() // don't accumulate operator caches across queries
       }

@@ -192,7 +192,7 @@ object Sitemap {
     }
 
     // same delimiter discipline as the entry scan: "<loc" must not
-    // match "<locomotive>", and "</loc" must not close on it either
+    // match "<location2>", and "</loc" must not close on it either
     def childText(block: String, tag: String): String = {
       var open = block.indexOf("<" + tag)
       while (open >= 0) {

@@ -71,7 +71,13 @@ object EmbeddingJoin {
   private[graft] def blockCount(n: Long, blockRows: Int = 4096,
       minBlocks: Int = 32, maxBlocks: Int = 4096): Int = {
     val byRows = ((n + blockRows - 1) / blockRows).toInt
-    val floor = math.min(minBlocks.toLong, math.max(1L, n / 256)).toInt
+    // small-N floor: n/64 instead of n/256 — a block is the operator's
+    // parallelism unit (one task per block, pinned below), and at fixture
+    // sizes the old floor left a 2000-vector corpus on 7 tasks; n/64 keeps
+    // per-block replication trivial (shuffle = N·b rows of a few hundred
+    // bytes) while letting the Θ(N²/b)-per-task cosine work spread. At
+    // N ≥ 131k `byRows` dominates and nothing changes.
+    val floor = math.min(minBlocks.toLong, math.max(1L, n / 64)).toInt
     math.min(maxBlocks, math.max(floor, byRows))
   }
 
@@ -90,10 +96,20 @@ object EmbeddingJoin {
       blocks: Int = 0): DataFrame = {
     graft.functions.Registry.install(e.sparkSession)
     val b = if (blocks > 0) blocks else blockCount(e.select(idCol).count())
+    // one task PER BLOCK, pinned with an explicit repartition: the
+    // post-shuffle partitions are byte-tiny (vectors are a few hundred
+    // bytes) but compute-quadratic, and AQE's size-based coalescing —
+    // blind to compute — folded the whole join into ONE task (measured
+    // 1.6 s single-threaded at N=2000; guide §2.5: max/median skew, here
+    // manufactured by the coalesce). An explicit partition count is
+    // user-specified, so AQE leaves it alone; b scales with N, so the
+    // pinning is the cluster layout too, not a local knob.
     val probe = e.select(col(idCol).as("vec_a"), col(vCol).as("qv"))
       .withColumn("blk", explode(sequence(lit(0), lit(b - 1))))
+      .repartition(b, col("blk"))
     val build = e.select(col(idCol).as("vec_b"), col(vCol).as("nv"),
       pmod(hash(col(idCol)), lit(b)).as("blk"))
+      .repartition(b, col("blk"))
     probe.join(build, Seq("blk"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim", round(expr("cosine_sim(qv, nv)"), 4))

@@ -30,7 +30,10 @@ object NearDup {
   def shingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     graft.functions.Registry.install(docs.sparkSession)
-    docs
+    // the shingle/minhash kernels are the pipeline's per-doc CPU; a
+    // single-split corpus would run them (and hand every downstream
+    // stage) one task — spread by doc id first, no-op at scale
+    Spread.toCores(docs, col(idCol))
       .withColumn("shingles", array_sort(expr(s"word_shingles($textCol, $n)")))
       .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("doc_id"), col("shingles"))

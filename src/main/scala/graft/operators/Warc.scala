@@ -225,7 +225,21 @@ object Warc {
     * row for payloads that don't parse. Exchange-free. */
   def extractRecords(in: DataFrame, idCol: String = "doc_id",
       contentCol: String = "content"): DataFrame = {
-    val src = in.select(col(idCol).cast("long"), col(contentCol))
+    val narrow = in.select(col(idCol).cast("long").as(idCol), col(contentCol))
+    // WARC members are gzip/zstd — unsplittable compressed payloads — so
+    // the scan's split count IS the decode parallelism, and small packed
+    // inputs land in ONE split (guide §2.5's "huge unsplittable file"
+    // shape: fix at the source or repartition immediately after the read).
+    // When the scan is under-parallel, spread archives across the
+    // executors with a deterministic hash repartition on the id (never
+    // round-robin: retried tasks must re-place rows identically). When the
+    // input already carries enough partitions — the thousands-of-files
+    // layout a real crawl has — this is a no-op and the path stays
+    // exchange-free.
+    val target = in.sparkSession.sparkContext.defaultParallelism
+    val src =
+      if (narrow.rdd.getNumPartitions >= target) narrow
+      else narrow.repartition(target, col(idCol))
     implicit val enc = Encoders.row(recordSchema)
     src.mapPartitions { rows =>
       rows.flatMap { r =>

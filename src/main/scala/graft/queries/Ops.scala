@@ -928,6 +928,12 @@ object Ops {
     // partitions-track-data-volume knob, exercised downward.
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "8")
+    // an INNER interval join emits each match in the data batch that
+    // completes it; the trailing no-data batch only advances the watermark
+    // to evict state — it re-runs the full 8-partition × 2-store commit
+    // cycle to emit zero rows, so the one-shot drain skips it (a 24/7
+    // deployment keeps it: state eviction is what bounds its memory)
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     s2.conf.set("spark.sql.catalog.graft", classOf[graft.table.GraftCatalog].getName)
     s2.conf.set("spark.sql.catalog.graft.warehouse", wh)
     val st = s2.readStream.table(s"graft.db.$src")

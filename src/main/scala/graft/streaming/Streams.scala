@@ -34,7 +34,7 @@ object Streams {
       statePartitions: Int = 8, warehouse: Option[String] = None): DataFrame =
     drainToTable(spark, queryName, warehouse, statePartitions,
       "event_type STRING, event_count BIGINT, total_value DOUBLE",
-      outputMode = "complete") { s2 =>
+      outputMode = "complete", noDataBatches = false) { s2 =>
       val schema = s2.read.parquet(srcDir).schema
       val raw = s2.readStream
         .schema(schema)
@@ -71,7 +71,7 @@ object Streams {
     * and output location reset). */
   private def drainToTable(spark: SparkSession, name: String,
       warehouse: Option[String], statePartitions: Int, columnsDdl: String,
-      outputMode: String = "append")
+      outputMode: String = "append", noDataBatches: Boolean = true)
       (mkStream: SparkSession => DataFrame): DataFrame = {
     import graft.table.{GraftCatalog, SnapshotTable}
     val ckpt = Tables.scratch(s"ckpt/$name")
@@ -82,6 +82,15 @@ object Streams {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s2.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // callers whose operators have no event-time machinery to finalize
+    // (complete-mode aggs re-emit per data batch; fMGWS with NoTimeout
+    // emits on data only) skip the trailing no-data micro-batch — it
+    // re-runs the full sink/state commit cycle to produce zero new rows.
+    // Watermark-append operators (windowed aggs, sessionization) keep it:
+    // their final windows only emit once a no-data batch advances the
+    // watermark.
+    if (!noDataBatches)
+      s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val cat = warehouseCatalogName(wh)
     s2.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     s2.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
@@ -216,7 +225,7 @@ object Streams {
       maxFilesPerTrigger: Int = 1, statePartitions: Int = 8,
       warehouse: Option[String] = None): DataFrame =
     drainToTable(spark, name, warehouse, statePartitions,
-      "keep_doc_id BIGINT, content_hash STRING")(
+      "keep_doc_id BIGINT, content_hash STRING", noDataBatches = false)(
       s2 => firstSeenStream(s2, srcDir, maxFilesPerTrigger))
 
   /** The shared first-seen state machine of the dedup streams: documents

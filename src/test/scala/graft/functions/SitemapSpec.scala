@@ -88,8 +88,8 @@ class SitemapSpec extends AnyFunSuite {
     assert(es.forall(e => e.loc.startsWith("https://a.com/")))
   }
 
-  test("child tags are delimiter-checked: <locomotive> is not <loc>") {
-    val b = ("<urlset><url><locomotive>x</locomotive>" +
+  test("child tags are delimiter-checked: <location2> is not <loc>") {
+    val b = ("<urlset><url><location2>x</location2>" +
       "<loc>https://real.example/</loc></url></urlset>").getBytes("UTF-8")
     val es = Sitemap.parse(b)
     assert(es != null && es.size == 1)

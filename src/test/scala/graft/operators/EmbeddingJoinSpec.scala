@@ -54,9 +54,19 @@ class EmbeddingJoinSpec extends SparkFunSuite {
 
   test("blockCount: floor, cap, and ~N/4096 sizing") {
     assert(EmbeddingJoin.blockCount(0) == 1)
-    assert(EmbeddingJoin.blockCount(2000) == 7)        // small-N floor: N/256
-    assert(EmbeddingJoin.blockCount(16384) == 32)      // full floor from 8192 up
+    assert(EmbeddingJoin.blockCount(2000) == 31)       // small-N floor: N/64 (r21)
+    assert(EmbeddingJoin.blockCount(16384) == 32)      // full floor from 2048 up
     assert(EmbeddingJoin.blockCount(1000000) == 245)   // ceil(1e6/4096)
     assert(EmbeddingJoin.blockCount(100000000L) == 4096) // capped
+  }
+
+  test("the block join is pinned to b partitions (AQE can't coalesce it away)") {
+    // r21: AQE's size-based coalescing folded the byte-tiny but
+    // compute-quadratic block join into ONE task; exactPairs now pins one
+    // task per block with an explicit repartition, which must survive
+    // into the executed plan as REPARTITION_BY_NUM
+    val plan = EmbeddingJoin.exactPairs(emb, "vec_id", "v", 0.45)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"), plan.linesIterator.take(30).mkString("\n"))
   }
 }

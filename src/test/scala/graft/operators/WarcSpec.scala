@@ -107,9 +107,26 @@ class WarcSpec extends graft.SparkFunSuite {
     assert(got(2).getLong(7) == 18) // response body_len after HTTP split
     assert(got(2).getString(8) == "<html>hello</html>")
     assert(got(4).getString(2) == "corrupt" && got(4).isNullAt(1))
-    // exchange-free plan (orderBy above adds its own exchange, so audit
-    // the raw extraction): no shuffle anywhere
+    // Parallelism contract (r21): an UNDER-parallel input (fewer
+    // partitions than the cluster's parallelism — the small-packed-files
+    // shape) is spread with ONE deterministic hash repartition so the
+    // unsplittable-archive decode isn't single-tasked (guide §2.5)...
     val noSort = Warc.extractRecords(rows)
-    assert(!noSort.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(noSort.queryExecution.executedPlan.toString.contains("REPARTITION_BY_NUM"))
+    // ...while an input that already carries enough partitions — the
+    // many-files layout a real crawl has — stays exchange-free, the
+    // operator's 100 TB contract (orderBy above adds its own exchange,
+    // so audit the raw extraction)
+    val wide = rows.repartition(
+      spark.sparkContext.defaultParallelism, rows("doc_id"))
+    val widePlanned = Warc.extractRecords(wide)
+    // exactly ONE Exchange — the input's own repartition above; the
+    // extraction added none
+    val nEx = "(?m)^\\s*\\+?-?\\s*Exchange ".r
+      .findAllIn(widePlanned.queryExecution.executedPlan.toString).size
+    assert(nEx == 1, widePlanned.queryExecution.executedPlan.toString)
+    // and the spread changes no rows
+    assert(widePlanned.orderBy("doc_id", "record_idx").collect()
+      .map(_.toString).toSeq == got.map(_.toString).toSeq)
   }
 }
