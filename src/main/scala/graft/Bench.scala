@@ -167,6 +167,13 @@ object Bench {
       // kilobyte deltas; with this on, AQE coalesces them by byte size —
       // the same scale-adaptive sizing every uncached exchange already gets
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // snapshot-table reads pass explicit leaf-file lists whose sizes the
+      // manifest already knows; above this threshold Spark still launches
+      // a distributed listing JOB per read (~0.3 s here for a 240-file
+      // table — pure overhead on a local FS). 512 keeps small tables on
+      // the driver's microsecond stat path; genuinely large tables (>512
+      // files — any table at cluster scale) keep the parallel listing.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Committer v2 (task-side rename): the v1 default serializes a
@@ -499,7 +506,7 @@ object Bench {
       if (mb < 0.05) "0" else if (mb < 9.95) jnum(mb, 1) else jnum(mb, 0)
     }
     def mkLine(key: String => String, withBytes: Boolean,
-        withReps: Boolean = true): String = {
+        withReps: Boolean = true, flagsAsCounts: Boolean = false): String = {
       val qs = results.map(r => s"${jstr(key(r.name))}:${jnum(r.sec, 2)}").mkString("{", ",", "}")
       val extra =
         if (!withBytes) ""
@@ -532,18 +539,30 @@ object Bench {
       // (empty on a clean run, so normally ~10 chars). Kept in every
       // ladder variant: it IS the adjudication signal.
       val load = s""","load":[${jnum(loadStart, 1)},${jnum(loadMax, 1)},${jnum(loadEnd, 1)}]"""
-      val hot = results.filter(_.qLoad > hotThreshold).map(r => jstr(key(r.name)))
-        .mkString(""","hot":[""", ",", "]")
+      // a heavily co-run machine can flag DOZENS of queries, and the full
+      // name lists then blow every ladder candidate past the line budget —
+      // r21 watched a 37-hot run collapse to `"queries":{}`, losing all
+      // per-query data. The count spelling keeps the adjudication signal
+      // (nonzero = discount the run; the full lists always live in the
+      // report file) while fitting the budget.
+      val hotNames = results.filter(_.qLoad > hotThreshold).map(_.name)
+      val hot =
+        if (flagsAsCounts) s""","hot_n":${hotNames.size}"""
+        else hotNames.map(n => jstr(key(n))).mkString(""","hot":[""", ",", "]")
       // plan_hot: the queries whose published (best-rep) elapsed still
       // can't be trusted — every rep's driver-side planning ran ≥3× over
       // this machine's stored floor. Empty on a clean run.
-      val phot = planHot.map(n => jstr(key(n)))
-        .mkString(""","plan_hot":[""", ",", "]")
+      val phot =
+        if (flagsAsCounts) s""","plan_hot_n":${planHot.size}"""
+        else planHot.map(n => jstr(key(n)))
+          .mkString(""","plan_hot":[""", ",", "]")
       // write_hot: write-family medians ≥3× over this machine's stored
       // elapsed floor — the write-side counterpart of plan_hot (r19's
       // gap: q57/q57b published 5–8× their history with hot:[]).
-      val whot = writeHot.map(n => jstr(key(n)))
-        .mkString(""","write_hot":[""", ",", "]")
+      val whot =
+        if (flagsAsCounts) s""","write_hot_n":${writeHot.size}"""
+        else writeHot.map(n => jstr(key(n)))
+          .mkString(""","write_hot":[""", ",", "]")
       s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs$extra$repsJson$load$hot$phot$whot,"errors":$nErr,"sf":${jstr(sfDir)}}"""
     }
     // fallback ladder: "q01_count_events" → "q01" if the full names overflow
@@ -560,6 +579,10 @@ object Bench {
       if (shortOk) mkLine(shortKey, withBytes = true, withReps = false) else "",
       mkLine(identity, withBytes = false, withReps = false),
       if (shortOk) mkLine(shortKey, withBytes = false, withReps = false) else "",
+      // flag lists as counts — the per-query seconds map outranks flag
+      // NAMES when a heavily co-run machine flags dozens of queries
+      if (shortOk) mkLine(shortKey, withBytes = false, withReps = false,
+        flagsAsCounts = true) else "",
       s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":{},"load":[${jnum(loadStart, 1)},${jnum(loadMax, 1)},${jnum(loadEnd, 1)}],"errors":$nErr,"sf":${jstr(sfDir)}}""")
     println(candidates.find(l => l.nonEmpty && l.length <= 1850).getOrElse(candidates.last))
 

@@ -24,6 +24,7 @@ object PlanDump {
       .config("spark.sql.warehouse.dir", Tables.scratch("warehouse"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.hadoopConfiguration

@@ -26,6 +26,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("PROFILE_CACHED_AQE", "true"))
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.getOrElse("PROFILE_COMMITTER_V2", "true") == "true")

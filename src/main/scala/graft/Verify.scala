@@ -32,6 +32,7 @@ object Verify {
       // there): correctness is verified under the exact confs the bench
       // times, so an optimization can never pass here and diverge there
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.hadoopConfiguration

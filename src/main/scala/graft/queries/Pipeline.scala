@@ -2574,10 +2574,14 @@ object Pipeline {
   // ties break by token so the rank-25 cut is deterministic. Exact
   // integer oracle.
   def q131(s: SparkSession, dir: String): DataFrame = {
-    val total = docs(s, dir)
+    // both passes run the regex tokenizer per doc — spread the single-
+    // row-group corpus scan so they parallelize (no-op at scale; integer
+    // count sums are order-insensitive, so the result is unchanged)
+    val spread = graft.operators.Spread.toCores(docs(s, dir), col("doc_id"))
+    val total = spread
       .selectExpr("size(regexp_extract_all(text, '[a-z]+', 0)) AS n")
       .agg(sum("n")).head.getLong(0)
-    docs(s, dir)
+    spread
       .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .withColumn("share", round(col("n") * lit(1.0) / lit(total), 6))
