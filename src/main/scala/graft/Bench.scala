@@ -131,6 +131,29 @@ object Bench {
   def writeHotRule(medianSec: Double, floor: Option[Double]): Boolean =
     medianSec >= 0 && floor.exists(f => medianSec > 3 * f && medianSec > f + 1.0)
 
+  /** Elapsed-floor adjudication for READ queries (r20 verdict task 5):
+    * min-of-reps assumes one rep lands clean, but when EVERY rep runs
+    * contended the published min still carries the inflation — r20's
+    * driver run published q90 at 1.13 s against a 0.15 s history and q78
+    * at 1.95 s vs 0.53 s with no flag (plan_ms floors watch planning, not
+    * elapsed). Same shape as [[writeHotRule]] with the slack scaled for
+    * read absolutes: most reads sit under 0.5 s, where a 1 s slack would
+    * never fire — 0.4 s still keeps JIT/GC noise on a 0.15 s query (3×
+    * would need 0.55 s published) from flagging. No stored floor → never
+    * flags.
+    */
+  def readHotRule(minSec: Double, floor: Option[Double]): Boolean =
+    minSec >= 0 && floor.exists(f => minSec > 3 * f && minSec > f + 0.4)
+
+  /** Queries whose frame CONSTRUCTION runs real Spark jobs (in-query BPE
+    * training collect, q131's corpus-total action): their plan_ms measures
+    * job execution, not planning, so the plan_hot floor comparison would
+    * dilute what the flag means (ADVICE r20). They are read-family for
+    * elapsed purposes — [[readHotRule]] still covers them.
+    */
+  val constructionActions: Set[String] =
+    Set("q122_bpe_tokenize", "q131_vocab_report")
+
   /** True median: middle element for odd n, mean of the two middles for
     * even n (REPS is user-settable — an upper-middle pick would bias
     * even-rep runs high).
@@ -452,12 +475,22 @@ object Bench {
     val loadEnd = loadavg()
     if (loadEnd > loadMax) loadMax = loadEnd
 
-    // Write-family plan_ms includes their imperative commits, so the
-    // floor comparison ([[planHotRule]]) applies to read queries only.
+    // Write-family plan_ms includes their imperative commits, and the
+    // construction-action queries' plan_ms measures job execution, so the
+    // floor comparison ([[planHotRule]]) applies to plain read queries only.
     def isPlanHot(name: String, planMs: Double): Boolean =
-      !writeFamily(name) && !extraReps(name) &&
+      !writeFamily(name) && !extraReps(name) && !constructionActions(name) &&
         planHotRule(planMs, priorFloors.get(name))
     val planHot = results.filter(r => isPlanHot(r.name, r.planMs)).map(_.name)
+
+    // Read-family elapsed adjudication ([[readHotRule]]): a published
+    // min-of-reps over 3× this machine's best recorded elapsed means every
+    // rep ran contended — flag it rather than ship it silently.
+    def isReadHot(name: String, sec: Double): Boolean =
+      !writeFamily(name) && !extraReps(name) &&
+        readHotRule(sec, priorElapsedFloors.get(name))
+    val readHot = results.filter(r => r.status == "OK" &&
+      isReadHot(r.name, r.sec)).map(_.name)
 
     // Write-family elapsed adjudication ([[writeHotRule]]): a published
     // MEDIAN over 3× this machine's best recorded elapsed is contention
@@ -470,14 +503,14 @@ object Bench {
 
     // Update the floors files: min(stored, observed) per query; entries
     // for queries outside this run's suite are preserved. Elapsed floors
-    // take the best single rep (the least-contended statistic) of
-    // write-family queries only.
+    // take the best single rep (the least-contended statistic) — since
+    // r21 for EVERY query, not just the write family (read_hot needs
+    // them; write floors are unchanged by the widening, min is min).
     writeFloors(floorsPath, priorFloors,
       results.collect { case r if r.planMs >= 0 => r.name -> r.planMs })
     writeFloors(elapsedFloorsPath, priorElapsedFloors,
       results.collect {
-        case r if (writeFamily(r.name) || extraReps(r.name)) &&
-            r.status == "OK" && r.repSecs.nonEmpty =>
+        case r if r.status == "OK" && r.repSecs.nonEmpty =>
           r.name -> r.repSecs.min
       })
     // The driver captures only the LAST ~2000 chars of stdout and parses the
@@ -563,7 +596,14 @@ object Bench {
         if (flagsAsCounts) s""","write_hot_n":${writeHot.size}"""
         else writeHot.map(n => jstr(key(n)))
           .mkString(""","write_hot":[""", ",", "]")
-      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs$extra$repsJson$load$hot$phot$whot,"errors":$nErr,"sf":${jstr(sfDir)}}"""
+      // read_hot: read-family min-of-reps ≥3× over this machine's stored
+      // elapsed floor — the r20 q90/q78 gap (every rep contended, min
+      // can't self-rescue, plan floors watch planning only).
+      val rhot =
+        if (flagsAsCounts) s""","read_hot_n":${readHot.size}"""
+        else readHot.map(n => jstr(key(n)))
+          .mkString(""","read_hot":[""", ",", "]")
+      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs$extra$repsJson$load$hot$phot$whot$rhot,"errors":$nErr,"sf":${jstr(sfDir)}}"""
     }
     // fallback ladder: "q01_count_events" → "q01" if the full names overflow
     // (only when the prefixes stay unique — duplicate JSON keys would
@@ -614,7 +654,7 @@ object Bench {
       val fixtureJson =
         if (q.fixtureMs > 0.5) s""", "fixture_build_ms": ${jnum(q.fixtureMs, 1)}"""
         else ""
-      s"""    {"test_name": ${jstr(q.name)}, "suite": ${jstr(suite(q.name))}, "status": ${jstr(if (q.status == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": ${q.sec}, "row_count": ${q.rows}, "rows_scanned": $mRows, "bytes_scanned": $mBytes, "shuffle_bytes": $mShuffle, "plan_ms": ${jnum(q.planMs, 1)}$floorJson$elapsedFloorJson$fixtureJson, "plan_hot": ${isPlanHot(q.name, q.planMs)}, "write_hot": ${q.status == "OK" && isWriteHot(q.name, q.sec)}, "loadavg_start": ${jnum(q.qLoad, 1)}, "hot": ${q.qLoad > hotThreshold}$repsJson}"""
+      s"""    {"test_name": ${jstr(q.name)}, "suite": ${jstr(suite(q.name))}, "status": ${jstr(if (q.status == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": ${q.sec}, "row_count": ${q.rows}, "rows_scanned": $mRows, "bytes_scanned": $mBytes, "shuffle_bytes": $mShuffle, "plan_ms": ${jnum(q.planMs, 1)}$floorJson$elapsedFloorJson$fixtureJson, "plan_hot": ${isPlanHot(q.name, q.planMs)}, "write_hot": ${q.status == "OK" && isWriteHot(q.name, q.sec)}, "read_hot": ${q.status == "OK" && isReadHot(q.name, q.sec)}, "loadavg_start": ${jnum(q.qLoad, 1)}, "hot": ${q.qLoad > hotThreshold}$repsJson}"""
     }.mkString("[\n", ",\n", "\n  ]")
     val report =
       s"""{

@@ -2228,8 +2228,6 @@ object Pipeline {
         "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
       .as("b")).select(col("doc_id"), col("b.w1"), col("b.w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
-      .repartition(s.sessionState.conf.numShufflePartitions,
-        col("w1"), col("w2"))
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
     val bc = docBi.groupBy("w1", "w2").agg(sum("k").as("cb"))

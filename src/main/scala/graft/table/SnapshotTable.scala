@@ -1816,10 +1816,15 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         .map(_.toString).toSeq).sorted
     if (paths.isEmpty) { graft.Tables.deleteRecursively(dir.toString); return Seq.empty }
     val statCols = Seq("file_path" -> "string")
-    val footer = spark.sparkContext
-      .parallelize(paths, math.max(1, math.min(paths.size, 32)))
-      .map(p => p -> SnapshotTable.footerStats(p, statCols))
-      .collect().toMap
+    // same small-commit driver path as manifestEntries: delete ledgers
+    // are typically 1-2 files, not worth a scheduled Spark job
+    val footer =
+      if (paths.size <= 32)
+        paths.map(p => p -> SnapshotTable.footerStats(p, statCols)).toMap
+      else spark.sparkContext
+        .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+        .map(p => p -> SnapshotTable.footerStats(p, statCols))
+        .collect().toMap
     paths.flatMap { p =>
       val (rows, bytes, stats) = footer(p)
       // a file with zero entries contributes nothing — drop it
@@ -2120,6 +2125,13 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     val schemaByName = schema.fields.map(f => f.name -> f.dataType).toMap
     val footer: Map[String, (Long, Long, Map[String, SnapshotTable.ColStats])] =
       if (paths.isEmpty) Map.empty
+      // small commits read their footers on the driver: a Spark job costs
+      // ~50-100 ms of fixed scheduling for what is a few milliseconds of
+      // local metadata IO, and every commit pays this pass. Large commits
+      // (the cluster/object-store shape, where per-footer latency is the
+      // cost) keep the distributed pass unchanged.
+      else if (paths.size <= 32)
+        paths.map(p => p -> SnapshotTable.footerStats(p, statCols)).toMap
       else spark.sparkContext
         .parallelize(paths, math.max(1, math.min(paths.size, 32)))
         .map(p => p -> SnapshotTable.footerStats(p, statCols))

@@ -46,6 +46,37 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(!Bench.writeHotRule(-1, Some(1.30)))
   }
 
+  test("readHotRule flags the r20 read-family contention cases") {
+    // r20's real misses, pinned (verdict task 5): q90 published 1.13 s
+    // against a 0.15 s history, q78 1.95 s against 0.53 s, q82 1.06 s vs
+    // 0.40 s — every rep contended, so min-of-reps couldn't self-rescue,
+    // and plan_ms floors watch planning, not elapsed.
+    assert(Bench.readHotRule(1.13, Some(0.15)))
+    assert(Bench.readHotRule(1.95, Some(0.53)))
+    // q82's 1.06 s vs 0.40 s was 2.65x — under the same 3x bar every other
+    // floor rule uses, so it stays unflagged by design (drift, not blowout)
+    assert(!Bench.readHotRule(1.06, Some(0.40)))
+    // the same queries' clean rounds do not flag
+    assert(!Bench.readHotRule(0.17, Some(0.15)))
+    assert(!Bench.readHotRule(0.55, Some(0.53)))
+    // sub-second absolutes need the 0.4 s slack too: 0.5 s over a 0.15 s
+    // floor is 3.3x but only 0.35 s of drift — JIT/GC territory
+    assert(!Bench.readHotRule(0.5, Some(0.15)))
+    assert(Bench.readHotRule(0.6, Some(0.15)))
+    // no stored floor (first run on this machine) -> never flags
+    assert(!Bench.readHotRule(1.95, None))
+    // failed query (sentinel -1) -> never flags
+    assert(!Bench.readHotRule(-1, Some(0.4)))
+  }
+
+  test("construction-action queries are excluded from plan_hot (ADVICE r20)") {
+    // q122 trains BPE and q131 runs the corpus-total action during frame
+    // construction — their plan_ms measures job execution, not planning
+    assert(Bench.constructionActions("q122_bpe_tokenize"))
+    assert(Bench.constructionActions("q131_vocab_report"))
+    assert(!Bench.constructionActions("q90_rank_suite"))
+  }
+
   test("median is the true middle for odd and even rep counts") {
     assert(Bench.median(Seq(3.0)) == 3.0)
     assert(Bench.median(Seq(1.0, 9.0, 2.0)) == 2.0)
