@@ -2202,15 +2202,14 @@ object Pipeline {
   // keyed on vocabulary terms; everything is vocab- or corpus-linear,
   // no all-pairs shape. Docs with < 2 tokens drop (no bigrams).
   def q124(s: SparkSession, dir: String): DataFrame = {
-    // Spread.toCores: the regex tokenization + interpreted transform()
-    // lambdas are the per-doc CPU, and a single-row-group corpus runs
-    // them on one task per plan branch (measured 2.2 s of q124's 2.6 s);
-    // the explicit exchange also lets AQE reuse ONE tokenization pass
-    // across the three consumers (ReusedExchange). No-op at scale.
-    val toks = graft.operators.Spread.toCores(
+    // Deliberately NOT spread (r21 A/B at idle: 1.28 s unspread vs 1.93 s
+    // spread, and 1.28 s vs 3.2 s with an extra (w1,w2) exchange): the
+    // tokenizer branches are cheaper than the added exchange of the token
+    // arrays at this corpus, and at scale the scan is already parallel.
+    val toks =
       docs(s, dir).select(col("doc_id"),
         expr("regexp_extract_all(text, '[a-z]+', 0)").as("t"))
-        .filter(size(col("t")) >= 2), col("doc_id"))
+        .filter(size(col("t")) >= 2)
     // per-(doc, bigram) multiplicities FIRST: the explode runs once,
     // corpus counts derive by summing k, and the count-table joins see
     // distinct doc-bigram pairs instead of every occurrence; the
@@ -2572,10 +2571,10 @@ object Pipeline {
   // ties break by token so the rank-25 cut is deterministic. Exact
   // integer oracle.
   def q131(s: SparkSession, dir: String): DataFrame = {
-    // both passes run the regex tokenizer per doc — spread the single-
-    // row-group corpus scan so they parallelize (no-op at scale; integer
-    // count sums are order-insensitive, so the result is unchanged)
-    val spread = graft.operators.Spread.toCores(docs(s, dir), col("doc_id"))
+    // Deliberately NOT spread (r21 A/B at idle: 0.62 s unspread vs 1.80 s
+    // spread): shuffling the full doc text costs more than the two
+    // single-task tokenizer passes it would parallelize at this corpus.
+    val spread = docs(s, dir)
     val total = spread
       .selectExpr("size(regexp_extract_all(text, '[a-z]+', 0)) AS n")
       .agg(sum("n")).head.getLong(0)
