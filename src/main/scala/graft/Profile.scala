@@ -80,11 +80,17 @@ object Profile {
         f"execute ${(tEnd - tPlan) / 1e9}%.3f s, rows=$rows")
       import scala.jdk.CollectionConverters._
       var shown = 0
+      var prevEnd = 0L
       order.asScala.toSeq.flatMap(jobs.get).foreach { j =>
         val wall = (j.end - j.start) / 1e3
-        if (wall >= 0.01) {
+        // driver-side gap since the previous job finished: planning,
+        // snapshot/manifest IO, footer stats, commit machinery — the
+        // between-jobs time the job walls alone can't attribute
+        val gap = if (prevEnd == 0L) 0.0 else (j.start - prevEnd) / 1e3
+        prevEnd = math.max(prevEnd, j.end)
+        if (wall >= 0.01 || gap >= 0.01) {
           shown += 1
-          println(f"  job ${j.id}%4d ${wall}%8.3f s  stages=${j.stages}%3d tasks=${j.tasks}%5d stageMs=${j.taskMs}%6d  ${j.desc.take(110)}")
+          println(f"  job ${j.id}%4d ${wall}%8.3f s  gap ${gap}%7.3f s  stages=${j.stages}%3d tasks=${j.tasks}%5d stageMs=${j.taskMs}%6d  ${j.desc.take(90)}")
         }
       }
       println(s"  (${jobs.size} jobs total, $shown shown >=10ms, " +

@@ -441,7 +441,13 @@ object Streams {
       val mv = SnapshotTable.load(spark, location)
       val last = mv.properties.get(WatermarkProp).map(_.trim.toInt).getOrElse(-1)
       if (head > last) {
-        val touched = src.changes(last, head).select("user_id")
+        // changedKeyRows, not changes(): the refresh recomputes touched
+        // groups from CURRENT state, so it needs a delta-bounded superset
+        // of changed keys, never the exact typed changelog — the superset
+        // skips per-commit ledger application and batches the whole range
+        // into at most three scans (see [[SnapshotTable.changedKeyRows]]).
+        // A spuriously-included key recomputes to its identical group row.
+        val touched = src.changedKeyRows(last, head, Seq("user_id"))
           .distinct().limit(MaxTouchedIn + 1).collect().map(_.get(0))
         if (touched.nonEmpty) {
           // NULL-SAFE scope, same reasoning as DynamicTable.refresh: a
