@@ -28,12 +28,19 @@ object NearDup {
     * instead of a hash-set build per candidate — order is semantically
     * invisible (every consumer treats the column as a set). */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, spread: Boolean = true): DataFrame = {
     graft.functions.Registry.install(docs.sparkSession)
-    // the shingle/minhash kernels are the pipeline's per-doc CPU; a
+    // the shingle/MINHASH kernels are the pipeline's per-doc CPU; a
     // single-split corpus would run them (and hand every downstream
-    // stage) one task — spread by doc id first, no-op at scale
-    Spread.toCores(docs, col(idCol))
+    // stage) one task — spread by doc id first, no-op at scale.
+    // `spread = false` for callers whose per-doc kernel is one cheap hash
+    // pass ([[exactPairs]]): there the explicit repartition pins every
+    // scan of the persisted shingle set at full core count — measured as
+    // ~6 cached-scan stages × 32 task launches over kilobyte slices —
+    // while AQE's byte-based sizing runs the whole join-dominated
+    // pipeline in a handful of tasks. No-op at scale either way.
+    val base = if (spread) Spread.toCores(docs, col(idCol)) else docs
+    base
       .withColumn("shingles", array_sort(expr(s"word_shingles($textCol, $n)")))
       .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("doc_id"), col("shingles"))
@@ -100,7 +107,7 @@ object NearDup {
     // 100× corpus scale once the verify join outgrows broadcast — is ~3×
     // smaller. Jaccard over the hashed sets equals Jaccard over the
     // string sets modulo 64-bit collisions (~1e-13 per doc).
-    val sh = shingles(docs, idCol, textCol, shingleSize)
+    val sh = shingles(docs, idCol, textCol, shingleSize, spread = false)
       .withColumn("shingles", expr("hash64_sorted(shingles)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verify(exactCandidates(sh, threshold), sh, threshold).orderBy("doc_a", "doc_b")
@@ -136,12 +143,18 @@ object NearDup {
     // it with a count-over-window would add a second Window pass
     val tokens = sh.select(col("doc_id"), size(col("shingles")).as("n"),
       explode(col("shingles")).as("shingle"))
-    val dfreq = tokens.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id")
+    // document frequency as a WINDOW COUNT over the shingle partition,
+    // not groupBy + join back: the join spelling scanned the shingle set
+    // twice and shuffled the token rows by shingle anyway (no partial
+    // agg on a join side), so the window is the same shuffle with one
+    // fewer exchange and one fewer scan. Shingles are distinct per doc,
+    // so count-over-partition == the groupBy count exactly.
     // persisted: the prefix set feeds both sides of the candidate
-    // self-join, and without it the df-join + window recompute per
-    // branch (same reasoning as the signature persist in [[pairs]])
-    val prefix = tokens.join(dfreq, "shingle")
+    // self-join, and without it the windows recompute per branch (same
+    // reasoning as the signature persist in [[pairs]])
+    val prefix = tokens
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
       .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
       .filter(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
       .select("doc_id", "shingle", "n", "rn", "df")
@@ -188,12 +201,23 @@ object NearDup {
     // BEFORE the distinct shuffle instead of at verification.
     val cold = prefix.filter(col("df") <= hotDf)
     val coldCand = cold.as("a").join(cold.as("b"), joinCond).select(pair: _*)
+    // Hot-token probe BEFORE planning the hot branch: one limit-1 scan of
+    // the just-persisted prefix set decides whether any hot posting
+    // exists at all. The df-ascending prefix ordering self-heals against
+    // frequency skew (hot tokens sort out of prefixes — see [[HotDf]]),
+    // so the NO-hot case is the common one at every measured scale, and
+    // there the probe saves planning AND executing an entire second join
+    // pipeline (sketch pass, histogram join, union) that would run as
+    // empty stages. The probe also forces the prefix cache exactly once,
+    // so the cold self-join's two branches never race to materialize it.
+    // Candidate set unchanged either way: with no hot posting the hot
+    // branch is definitionally empty.
+    val hasHot = !prefix.filter(col("df") > hotDf).isEmpty
+    if (!hasHot) return coldCand.distinct()
     // sketches only for docs that actually carry hot prefix postings (a
-    // left-semi first): at the driver corpus the hot partition is EMPTY
-    // and AQE collapses the whole branch without a corpus-wide sketch
-    // pass. A doc too large for the byte sketch gets a NULL histogram
-    // (TokenHistogram kernels) — coalesce(…, true) passes such match
-    // events straight to exact verification: no bound, never a drop.
+    // left-semi first). A doc too large for the byte sketch gets a NULL
+    // histogram (TokenHistogram kernels) — coalesce(…, true) passes such
+    // match events straight to exact verification: no bound, never a drop.
     val hotPost = prefix.filter(col("df") > hotDf)
     val hists = sh
       .join(hotPost.select("doc_id").distinct(), Seq("doc_id"), "left_semi")

@@ -70,8 +70,24 @@ object Ops {
   // sink's truncate path, on a cloned session (no caller conf flips).
   def q42(s: SparkSession, dir: String): DataFrame = {
     val pdir = Core.partitionedEventsDir(s, dir)
+    // Buffer sizing (r22): a complete-mode aggregate re-emits the FULL
+    // result in every data batch, so the final table is identical under
+    // ANY batch split — batch count is pure fixed cost here (state-store
+    // commit + sink truncate swap per batch). Two batches keep the
+    // cross-batch state-merge property this operator demonstrates while
+    // halving the per-batch machinery the r21 profile measured
+    // (~0.4-0.5 s/batch). The file count comes from a driver-local walk
+    // of the staged layout — the same number the file-stream source is
+    // about to list anyway. First-seen dedup (q61) is deliberately NOT
+    // sized this way: there batch ORDER is semantics.
+    val nFiles = {
+      val s0 = java.nio.file.Files.walk(java.nio.file.Paths.get(pdir))
+      try s0.filter(p => p.getFileName.toString.endsWith(".parquet")).count()
+      finally s0.close()
+    }
     graft.streaming.Streams
-      .streamingAggregate(s, pdir, s"q42_agg_${tag(dir)}")
+      .streamingAggregate(s, pdir, s"q42_agg_${tag(dir)}",
+        maxFilesPerTrigger = math.max(1, math.ceil(nFiles / 2.0).toInt))
       .select("event_type", "event_count", "total_value")
       .orderBy("event_type")
   }

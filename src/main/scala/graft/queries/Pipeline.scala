@@ -2213,15 +2213,7 @@ object Pipeline {
     // per-(doc, bigram) multiplicities FIRST: the explode runs once,
     // corpus counts derive by summing k, and the count-table joins see
     // distinct doc-bigram pairs instead of every occurrence; the
-    // occurrence average is recovered exactly as the k-weighted average
-    // keyed by (w1, w2) ONCE after the per-doc multiplicity agg: the same
-    // exchange serves BOTH downstream consumers — the corpus bigram count
-    // (groupBy w1,w2 — co-partitioned, no second shuffle) and the count-
-    // table join (same keys) — so the bigram table crosses the network
-    // once instead of twice (guide §2.4: two operations keyed the same
-    // way share one exchange). The explicit partition count keeps the
-    // compute-dense join from AQE's coalesce-to-one at fixture scale and
-    // is the ordinary shuffle parallelism at cluster scale.
+    // occurrence average is recovered exactly as the k-weighted average.
     val docBi = toks.select(col("doc_id"), explode(expr(
       "transform(sequence(1, size(t) - 1), " +
         "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"))
@@ -2274,13 +2266,17 @@ object Pipeline {
   // all-pairs.
   def q125(s: SparkSession, dir: String): DataFrame = {
     val k = 5
-    // spread before the gram explode (same rationale as q124): the
-    // tokenize+slice kernels parallelize and the exchange is reused by
-    // both consumers of `grams`; no-op at scale
-    val grams = graft.operators.Spread.toCores(
+    // Deliberately NOT spread (r22, reverting the r21 spread): the r21
+    // idle A/B bought 0.11 s (0.84 spread vs 0.95 unspread) but the
+    // added exchange ships the full gram text through one more shuffle,
+    // which the r21 driver run showed to be contention-fragile (3.46 s
+    // published vs 0.65 s in r20 under external load). The tokenizer
+    // kernels are cheaper than the exchange at this corpus; at scale the
+    // scan is already parallel and the spread was a no-op anyway.
+    val grams =
       docs(s, dir).select(col("doc_id"),
         expr("regexp_extract_all(text, '[a-z]+', 0)").as("t"))
-        .filter(size(col("t")) >= k), col("doc_id"))
+        .filter(size(col("t")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(t) - ${k - 1}), " +
           s"i -> array_join(slice(t, i, $k), ' '))")).as("g"))
