@@ -145,6 +145,28 @@ object Bench {
   def readHotRule(minSec: Double, floor: Option[Double]): Boolean =
     minSec >= 0 && floor.exists(f => minSec > 3 * f && minSec > f + 0.4)
 
+  /** Retry adjudication (r21 verdict task 6, pure rule, spec-pinned):
+    * a query whose published statistic tripped read_hot/write_hot gets
+    * ONE extra rep after the main loop (the contention window that
+    * inflated every original rep has often passed by then), and the
+    * published value becomes the BETTER of the two — for reads that is
+    * just a wider min; for writes a single clean rebuild is more
+    * trustworthy than a median every rep of which ran ≥3× over the
+    * machine's own floor. The flag is then re-judged on the published
+    * value: a successful retry clears it (self-healed measurement), a
+    * still-hot retry keeps it visible. Returns (publishedSec,
+    * stillFlagged). Queries that never flagged keep their original
+    * statistic untouched — additions-only.
+    */
+  def retryOutcome(isWrite: Boolean, published: Double, retrySec: Double,
+      floor: Option[Double]): (Double, Boolean) = {
+    val better =
+      if (retrySec >= 0 && retrySec < published) retrySec else published
+    val still =
+      if (isWrite) writeHotRule(better, floor) else readHotRule(better, floor)
+    (better, still)
+  }
+
   /** Queries whose frame CONSTRUCTION runs real Spark jobs (in-query BPE
     * training collect, q131's corpus-total action): their plan_ms measures
     * job execution, not planning, so the plan_hot floor comparison would
@@ -197,6 +219,17 @@ object Bench {
       // the driver's microsecond stat path; genuinely large tables (>512
       // files — any table at cluster scale) keep the parallel listing.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+      // parquet row-group size, parameterized (guide §6): row groups
+      // should track the bytes a writer will actually put in the file.
+      // This workload's dynamic-partition commits open hundreds of
+      // writers for KB-scale files, and the 128 MB default makes each
+      // open reserve buffer capacity ~4 orders of magnitude over the
+      // data — measured ~1.0 s of the 240-file write floor (q55b warm
+      // 4.2 -> 3.1 s with 8 MB; 1 MB measures the same, so 8 MB is kept
+      // as the less aggressive bound). A deployment writing real
+      // 128 MB - 1 GB files sets this back up to the default via the env.
+      .config("parquet.block.size",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_BLOCK_BYTES", "8388608"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Committer v2 (task-side rename): the v1 default serializes a
@@ -381,21 +414,11 @@ object Bench {
     val elapsedFloorsPath = floorsFile("elapsed")
     val priorElapsedFloors: Map[String, Double] = readFloors(elapsedFloorsPath)
 
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      // Read-family queries run ≥2 reps and publish MIN-of-reps (r18
-      // task 1): a read query's reps are idempotent scans, so the min is
-      // the uncontended statistic — one clean rep is enough to publish a
-      // trustworthy number even when a co-runner inflates the other.
-      // SPARK_GRAFT_REPS=1 still collapses everything to single-shot for
-      // quick local runs.
-      val n =
-        if (extraReps(name)) math.max(reps, if (reps > 1) 5 else 1)
-        else if (writeFamily(name) || isolated) reps
-        else if (reps > 1) 2
-        else 1
-      System.err.println(s"[bench] start $name x$n @${java.time.LocalTime.now}")
-      val runs = (1 to n).map { _ =>
+    // One timed rep, shared by the main loop and the retry rung below —
+    // identical methodology (fixture attribution, plan_ms window, metrics
+    // off the executed plan, cache sweep after).
+    def timeRep(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Long, String, (Long, Long, Long), Double, Double, Double) = {
         val repLoad = loadavg()
         if (repLoad > loadMax) loadMax = repLoad
         // fixture-build attribution (r19 task 4): cachedDerived cache
@@ -445,7 +468,23 @@ object Bench {
         val fixMs = (Tables.fixtureBuildNanos.get() - fix0) / 1e6
         sweepCaches(spark)
         (sec, rows, status, m, repLoad, planMs, fixMs)
-      }
+    }
+
+    val results0 = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      // Read-family queries run ≥2 reps and publish MIN-of-reps (r18
+      // task 1): a read query's reps are idempotent scans, so the min is
+      // the uncontended statistic — one clean rep is enough to publish a
+      // trustworthy number even when a co-runner inflates the other.
+      // SPARK_GRAFT_REPS=1 still collapses everything to single-shot for
+      // quick local runs.
+      val n =
+        if (extraReps(name)) math.max(reps, if (reps > 1) 5 else 1)
+        else if (writeFamily(name) || isolated) reps
+        else if (reps > 1) 2
+        else 1
+      System.err.println(s"[bench] start $name x$n @${java.time.LocalTime.now}")
+      val runs = (1 to n).map(_ => timeRep(fn))
       // Published elapsed: MEDIAN for the write family (reps are
       // independent rebuilds whose genuine cost the median tracks;
       // min would systematically understate commit machinery), MIN for
@@ -472,16 +511,12 @@ object Bench {
       QRes(name, sec, rows, status, runs.map(_._1), bytes, qLoad, planMs,
         runs.map(_._5), runs.map(_._7).sum)
     }
-    val loadEnd = loadavg()
-    if (loadEnd > loadMax) loadMax = loadEnd
-
     // Write-family plan_ms includes their imperative commits, and the
     // construction-action queries' plan_ms measures job execution, so the
     // floor comparison ([[planHotRule]]) applies to plain read queries only.
     def isPlanHot(name: String, planMs: Double): Boolean =
       !writeFamily(name) && !extraReps(name) && !constructionActions(name) &&
         planHotRule(planMs, priorFloors.get(name))
-    val planHot = results.filter(r => isPlanHot(r.name, r.planMs)).map(_.name)
 
     // Read-family elapsed adjudication ([[readHotRule]]): a published
     // min-of-reps over 3× this machine's best recorded elapsed means every
@@ -489,8 +524,6 @@ object Bench {
     def isReadHot(name: String, sec: Double): Boolean =
       !writeFamily(name) && !extraReps(name) &&
         readHotRule(sec, priorElapsedFloors.get(name))
-    val readHot = results.filter(r => r.status == "OK" &&
-      isReadHot(r.name, r.sec)).map(_.name)
 
     // Write-family elapsed adjudication ([[writeHotRule]]): a published
     // MEDIAN over 3× this machine's best recorded elapsed is contention
@@ -498,6 +531,38 @@ object Bench {
     def isWriteHot(name: String, sec: Double): Boolean =
       (writeFamily(name) || extraReps(name)) &&
         writeHotRule(sec, priorElapsedFloors.get(name))
+
+    // Retry rung (r21 verdict task 6, additions-only): any query whose
+    // published statistic tripped an elapsed floor gets ONE extra rep
+    // after the main loop — the r21 driver run flagged 16+3 queries whose
+    // same-day 8-core cross-check proved fine; a single later rep under
+    // a passed contention window converts that adjudication signal into
+    // a self-healed measurement ([[retryOutcome]]). Queries that never
+    // flagged keep their original statistic bit-for-bit; a retried name
+    // is published in the "retried" field either way so a reader knows
+    // the number's provenance.
+    val needRetry = results0.filter(r => r.status == "OK" &&
+      (isReadHot(r.name, r.sec) || isWriteHot(r.name, r.sec))).map(_.name).toSet
+    val results = results0.map { r =>
+      if (!needRetry(r.name)) r
+      else {
+        System.err.println(s"[bench] retry ${r.name} @${java.time.LocalTime.now}")
+        val t = timeRep(SparkEntry.queries(r.name))
+        val retrySec = if (t._3 == "OK") t._1 else -1.0
+        val (better, _) = retryOutcome(
+          writeFamily(r.name) || extraReps(r.name), r.sec, retrySec,
+          priorElapsedFloors.get(r.name))
+        r.copy(sec = better, repSecs = r.repSecs :+ t._1,
+          repLoads = r.repLoads :+ t._5, fixtureMs = r.fixtureMs + t._7)
+      }
+    }
+    val retriedNames = names.filter(needRetry)
+    val loadEnd = loadavg()
+    if (loadEnd > loadMax) loadMax = loadEnd
+
+    val planHot = results.filter(r => isPlanHot(r.name, r.planMs)).map(_.name)
+    val readHot = results.filter(r => r.status == "OK" &&
+      isReadHot(r.name, r.sec)).map(_.name)
     val writeHot = results.filter(r => r.status == "OK" &&
       isWriteHot(r.name, r.sec)).map(_.name)
 
@@ -603,7 +668,14 @@ object Bench {
         if (flagsAsCounts) s""","read_hot_n":${readHot.size}"""
         else readHot.map(n => jstr(key(n)))
           .mkString(""","read_hot":[""", ",", "]")
-      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs$extra$repsJson$load$hot$phot$whot$rhot,"errors":$nErr,"sf":${jstr(sfDir)}}"""
+      // retried: the queries whose published number went through the
+      // retry rung — provenance for the reader (the flags above already
+      // say whether the retry healed them or they stayed hot)
+      val retr =
+        if (flagsAsCounts) s""","retried_n":${retriedNames.size}"""
+        else retriedNames.map(n => jstr(key(n)))
+          .mkString(""","retried":[""", ",", "]")
+      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs$extra$repsJson$load$hot$phot$whot$rhot$retr,"errors":$nErr,"sf":${jstr(sfDir)}}"""
     }
     // fallback ladder: "q01_count_events" → "q01" if the full names overflow
     // (only when the prefixes stay unique — duplicate JSON keys would
@@ -654,7 +726,7 @@ object Bench {
       val fixtureJson =
         if (q.fixtureMs > 0.5) s""", "fixture_build_ms": ${jnum(q.fixtureMs, 1)}"""
         else ""
-      s"""    {"test_name": ${jstr(q.name)}, "suite": ${jstr(suite(q.name))}, "status": ${jstr(if (q.status == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": ${q.sec}, "row_count": ${q.rows}, "rows_scanned": $mRows, "bytes_scanned": $mBytes, "shuffle_bytes": $mShuffle, "plan_ms": ${jnum(q.planMs, 1)}$floorJson$elapsedFloorJson$fixtureJson, "plan_hot": ${isPlanHot(q.name, q.planMs)}, "write_hot": ${q.status == "OK" && isWriteHot(q.name, q.sec)}, "read_hot": ${q.status == "OK" && isReadHot(q.name, q.sec)}, "loadavg_start": ${jnum(q.qLoad, 1)}, "hot": ${q.qLoad > hotThreshold}$repsJson}"""
+      s"""    {"test_name": ${jstr(q.name)}, "suite": ${jstr(suite(q.name))}, "status": ${jstr(if (q.status == "OK") "SUCCESS" else "ERROR")}, "execution_time_seconds": ${q.sec}, "row_count": ${q.rows}, "rows_scanned": $mRows, "bytes_scanned": $mBytes, "shuffle_bytes": $mShuffle, "plan_ms": ${jnum(q.planMs, 1)}$floorJson$elapsedFloorJson$fixtureJson, "plan_hot": ${isPlanHot(q.name, q.planMs)}, "write_hot": ${q.status == "OK" && isWriteHot(q.name, q.sec)}, "read_hot": ${q.status == "OK" && isReadHot(q.name, q.sec)}, "retried": ${needRetry(q.name)}, "loadavg_start": ${jnum(q.qLoad, 1)}, "hot": ${q.qLoad > hotThreshold}$repsJson}"""
     }.mkString("[\n", ",\n", "\n  ]")
     val report =
       s"""{

@@ -25,6 +25,8 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+      .config("parquet.block.size",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_BLOCK_BYTES", "8388608"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.hadoopConfiguration

@@ -27,11 +27,19 @@ object Profile {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("PROFILE_CACHED_AQE", "true"))
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+      .config("parquet.block.size",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_BLOCK_BYTES", "8388608"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.getOrElse("PROFILE_COMMITTER_V2", "true") == "true")
       spark.sparkContext.hadoopConfiguration
         .set("mapreduce.fileoutputcommitter.algorithm.version", "2")
+    // ad-hoc conf A/B: PROFILE_EXTRA_CONF="k=v;k2=v2" (dev-only)
+    sys.env.get("PROFILE_EXTRA_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        spark.conf.set(kv.substring(0, i).trim, kv.substring(i + 1).trim)
+      })
 
     final case class J(id: Int, desc: String, start: Long,
         var end: Long = 0L, var stages: Int = 0, var tasks: Int = 0,

@@ -169,7 +169,26 @@ object ScaleProbe {
         // round-20 big-big join at the second decade: gram-keyed
         // shuffle must stay linear in gram count (the decorrelated
         // copies add no cross-copy repeated grams by construction)
-        "q125_repeated_ngrams")
+        "q125_repeated_ngrams",
+        // r21-verdict task 4 rows: pin the "leave it alone" decisions by
+        // measurement at the second decade. Expected shapes:
+        // q28 star join — lineitem⋈orders on the ×100-shifted order key
+        //   (sort-merge at scale), customer broadcastable: elapsed and
+        //   shuffle ≈linear; a superlinear bend here would mean the
+        //   unspread single-task local plan was hiding a join problem;
+        // q37 brute-force ANN — Θ(N·q) cosines by problem statement over
+        //   a fixed 10-vector query side: elapsed ≈linear in N, shuffle
+        //   stays ≈flat (the topK collect is q·k rows);
+        // q124 bigram LM — vocab-keyed count aggs + joins, never pairs:
+        //   ≈linear (the r21 spread revert left the plan single-exchange);
+        // q127 chunking — per-row kernel inside the scan: shuffle ≈0,
+        //   rows ≈linear (chunk count tracks token count);
+        // q129 kept-set — q83's plan plus one labels join: rows exactly
+        //   linear, no new shuffle shape;
+        // q131 vocab report — two corpus-linear aggregations over a
+        //   bounded (top-25) result: ≈linear, output rows constant.
+        "q28_star_join", "q37_ann_topk", "q124_lm_score",
+        "q127_chunk_text", "q129_dedup_kept_set", "q131_vocab_report")
 
   def build(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
     // the ready-marker records WHICH base built the cached dataset — path
@@ -177,7 +196,7 @@ object ScaleProbe {
     // between rounds, so a probe re-run after regeneration must rebuild
     // rather than compare fresh base data against stale scaled data
     val fp = base + "\n" + Tables.fingerprint(base)
-    val done = new java.io.File(s"$out/_PROBE_READY_V4")
+    val done = new java.io.File(s"$out/_PROBE_READY_V5")
     if (done.exists() &&
         new String(java.nio.file.Files.readAllBytes(done.toPath)) == fp)
       return
@@ -214,6 +233,25 @@ object ScaleProbe {
     copiesEmb.reduce(_ union _)
       .repartition(16)
       .write.parquet(s"$out/embeddings.parquet")
+    // relational fact/dim tables ×factor for the q28 star-join row: order
+    // and customer keys shifted per copy so per-key join fan-out stays
+    // identical (output group keys are fixed-cardinality; revenue scales)
+    val li = Tables.load(spark, base, "lineitem")
+    (0 until factor).map(i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+      .reduce(_ union _).repartition(32)
+      .write.parquet(s"$out/lineitem.parquet")
+    val ord = Tables.load(spark, base, "orders")
+    (0 until factor).map(i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L)))
+      .reduce(_ union _).repartition(16)
+      .write.parquet(s"$out/orders.parquet")
+    val cust = Tables.load(spark, base, "customer")
+    (0 until factor).map(i =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L)))
+      .reduce(_ union _).repartition(8)
+      .write.parquet(s"$out/customer.parquet")
     java.nio.file.Files.write(done.toPath, fp.getBytes)
     ()
   }

@@ -17,6 +17,46 @@ object Verify {
         "the DuckDB oracle yields float64; cast to double (r20 q130 bug class)")
   }
 
+  /** One-line dtype signature of a dump schema — name + SQL type per
+    * column, nullability excluded (it legitimately varies with plan
+    * shape and the driver's hash ignores it). */
+  def schemaSignature(schema: org.apache.spark.sql.types.StructType): String =
+    schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+
+  /** Schema-snapshot guard (r21 verdict task 8, the breadth companion of
+    * [[assertNoDecimal]]): the driver hashes dtypes, so ANY dtype drift —
+    * int32 vs int64, date vs timestamp, a renamed column — goes hash-red
+    * even when values agree. Every dumped schema must equal the committed
+    * snapshot in `expected-schemas.txt`; a query absent from the snapshot
+    * passes (the decimal guard still applies) so local iteration on a new
+    * query is not blocked before the snapshot is regenerated. */
+  def assertExpectedSchema(name: String,
+      schema: org.apache.spark.sql.types.StructType,
+      expected: Map[String, String]): Unit =
+    expected.get(name).foreach { want =>
+      val got = schemaSignature(schema)
+      require(got == want,
+        s"$name output schema drifted from the committed snapshot —\n" +
+          s"  expected: $want\n  got:      $got\n" +
+          "dtype drift hashes red at the driver even with equal values " +
+          "(r20 q130 class); if the change is intentional, regenerate " +
+          s"$SchemaSnapshotPath with SPARK_GRAFT_SCHEMA_SNAPSHOT=1")
+    }
+
+  val SchemaSnapshotPath = "src/main/resources/graft/expected-schemas.txt"
+
+  /** The committed name→signature snapshot, loaded from the classpath
+    * (empty when absent — e.g. before first generation). */
+  def loadExpectedSchemas(): Map[String, String] = {
+    val in = getClass.getResourceAsStream("/graft/expected-schemas.txt")
+    if (in == null) return Map.empty
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.contains('\t')).map { l =>
+        val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+    finally in.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,6 +73,8 @@ object Verify {
       // times, so an optimization can never pass here and diverge there
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+      .config("parquet.block.size",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_BLOCK_BYTES", "8388608"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.hadoopConfiguration
@@ -51,6 +93,13 @@ object Verify {
       .map(_.split(",").toSet)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // snapshot mode (dev-only): regenerate the committed schema snapshot
+    // instead of asserting against it
+    val snapshotMode =
+      sys.env.get("SPARK_GRAFT_SCHEMA_SNAPSHOT").exists(_.trim.nonEmpty)
+    val expectedSchemas = if (snapshotMode) Map.empty[String, String]
+      else loadExpectedSchemas()
+    val observedSchemas = collection.mutable.TreeMap[String, String]()
     selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -65,6 +114,8 @@ object Verify {
           else col(f.name)
         }.toSeq: _*)
         assertNoDecimal(name, ntz.schema)
+        assertExpectedSchema(name, ntz.schema, expectedSchemas)
+        observedSchemas(name) = schemaSignature(ntz.schema)
         ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         spark.sqlContext.clearCache() // don't accumulate operator caches across queries
       }
@@ -88,6 +139,14 @@ object Verify {
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (snapshotMode && only.isEmpty) {
+      val p = Paths.get(SchemaSnapshotPath)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, observedSchemas
+        .map { case (n, s) => s"$n\t$s" }.mkString("", "\n", "\n"))
+      System.err.println(s"[verify] schema snapshot written: $p " +
+        s"(${observedSchemas.size} queries)")
+    }
     spark.stop()
   }
 }

@@ -77,6 +77,29 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(!Bench.constructionActions("q90_rank_suite"))
   }
 
+  test("retryOutcome self-heals planted contention and keeps honest flags") {
+    // planted contention, r21's real shape: q90-style read published
+    // 1.13 s against a 0.15 s floor (flagged), the retry rep lands clean
+    // at 0.16 s -> published becomes 0.16, flag clears
+    assert(Bench.retryOutcome(isWrite = false, 1.13, 0.16, Some(0.15)) ==
+      ((0.16, false)))
+    // the retry itself ran contended too: published stays the better of
+    // the two and the flag STAYS — a retry must never silently bless a
+    // still-hot number
+    assert(Bench.retryOutcome(isWrite = false, 1.13, 0.98, Some(0.15)) ==
+      ((0.98, true)))
+    // write-family: contended 7.93 s median vs a clean 1.35 s rebuild —
+    // the single clean rebuild wins and clears write_hot
+    assert(Bench.retryOutcome(isWrite = true, 7.93, 1.35, Some(1.30)) ==
+      ((1.35, false)))
+    // a retry SLOWER than the published value never replaces it
+    assert(Bench.retryOutcome(isWrite = false, 1.13, 2.40, Some(0.15)) ==
+      ((1.13, true)))
+    // a FAILED retry (sentinel -1) keeps the original value and flag
+    assert(Bench.retryOutcome(isWrite = true, 7.93, -1.0, Some(1.30)) ==
+      ((7.93, true)))
+  }
+
   test("median is the true middle for odd and even rep counts") {
     assert(Bench.median(Seq(3.0)) == 3.0)
     assert(Bench.median(Seq(1.0, 9.0, 2.0)) == 2.0)

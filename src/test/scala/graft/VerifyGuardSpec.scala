@@ -28,6 +28,39 @@ class VerifyGuardSpec extends SparkFunSuite {
     Verify.assertNoDecimal("q_double_probe", df.schema) // must not throw
   }
 
+  test("schema snapshot guard catches int64-vs-int32 and date-vs-timestamp drift") {
+    // the committed-snapshot breadth guard (r21 verdict task 8): the same
+    // driver-hash mismatch q130 hit via decimal can arrive via ANY dtype
+    // drift; pin the two named classes plus the pass case
+    val want = Map("q_probe" -> "day DATE, n BIGINT")
+    val ok = spark.sql("SELECT DATE '2024-01-01' AS day, 1L AS n")
+    Verify.assertExpectedSchema("q_probe", ok.schema, want) // must not throw
+    // int64 -> int32 drift
+    val narrowed = spark.sql("SELECT DATE '2024-01-01' AS day, CAST(1 AS INT) AS n")
+    val e1 = intercept[IllegalArgumentException] {
+      Verify.assertExpectedSchema("q_probe", narrowed.schema, want)
+    }
+    assert(e1.getMessage.contains("drifted"))
+    // date -> timestamp drift
+    val widened = spark.sql("SELECT TIMESTAMP_NTZ '2024-01-01 00:00:00' AS day, 1L AS n")
+    val e2 = intercept[IllegalArgumentException] {
+      Verify.assertExpectedSchema("q_probe", widened.schema, want)
+    }
+    assert(e2.getMessage.contains("drifted"))
+    // a query not yet in the snapshot passes (regeneration not required
+    // for local iteration on new queries)
+    Verify.assertExpectedSchema("q_unsnapshotted", narrowed.schema, want)
+  }
+
+  test("the committed schema snapshot covers the full registry") {
+    val expected = Verify.loadExpectedSchemas()
+    assert(expected.size == SparkEntry.queries.size,
+      s"expected-schemas.txt has ${expected.size} entries for " +
+        s"${SparkEntry.queries.size} registered queries — regenerate with " +
+        "SPARK_GRAFT_SCHEMA_SNAPSHOT=1")
+    assert(SparkEntry.queries.keySet.forall(expected.contains))
+  }
+
   test("the fixed q130 emits drop_frac as DoubleType") {
     val df = graft.queries.Pipeline.q130(spark, sf)
     assert(df.schema("drop_frac").dataType ==
