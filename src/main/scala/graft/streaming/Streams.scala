@@ -433,9 +433,9 @@ object Streams {
       val src = SnapshotTable.load(spark, sourceLoc)
       val head = src.latestVersion
       if (!new java.io.File(s"$location/_snapshots").isDirectory) {
+        // watermark rides the creating commit — one snapshot, not two
         val t = SnapshotTable.create(spark, location, aggregate(src.read()),
-          partitionCols)
-        t.setProperties(Map(WatermarkProp -> head.toString))
+          partitionCols, properties = Map(WatermarkProp -> head.toString))
         return t.read()
       }
       val mv = SnapshotTable.load(spark, location)
@@ -463,11 +463,12 @@ object Streams {
             ).flatten.reduce(_ || _)
           // groups whose every row was deleted recompute to NO row and
           // correctly vanish from the MV (replaceWhere removes, nothing
-          // re-inserted)
+          // re-inserted). The advanced watermark rides the SAME commit —
+          // atomicity is a bonus (a crash can no longer land the data
+          // without the watermark), the saved snapshot commit is the point.
           mv.replaceWhere(cond, aggregate(src.read().filter(cond)),
-            "dynamic-refresh")
-        }
-        mv.setProperties(Map(WatermarkProp -> head.toString))
+            "dynamic-refresh", setProps = Map(WatermarkProp -> head.toString))
+        } else mv.setProperties(Map(WatermarkProp -> head.toString))
       }
       SnapshotTable.load(spark, location).read()
     }

@@ -941,16 +941,21 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * is the union of the table schema and the appended frame's schema —
     * additive evolution, old rows read null for new columns.
     * `operation` tags the snapshot (streaming sinks use it to record the
-    * micro-batch id for exactly-once replay detection). */
+    * micro-batch id for exactly-once replay detection). `setProps` merges
+    * table properties INTO the same commit — callers that would otherwise
+    * follow the append with setProperties (the CDC dynamic table's
+    * watermark) save a whole snapshot commit per refresh. */
   def append(df: DataFrame, operation: String = "append",
-      partitionColsIfNew: Seq[String] = Seq.empty): Int = {
+      partitionColsIfNew: Seq[String] = Seq.empty,
+      setProps: Map[String, String] = Map.empty): Int = {
     val pcols = if (latestVersion >= 0) partitionCols else partitionColsIfNew
     val staged = stage(df, pcols)
     commitWithRetry(
       base => base.files ++ staged,
       base => if (base.version < 0) df.schema.json
               else SnapshotTable.unionSchema(base.schemaJson, df.schema),
-      operation, partitionColsIfNew)
+      operation, partitionColsIfNew,
+      nextProperties = base => base.properties ++ setProps)
   }
 
   /** Replace the whole table content atomically (INSERT OVERWRITE —
@@ -1441,7 +1446,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
     * touched partitions only; an unprunable predicate degrades to the
     * full copy-on-write rewrite, never to a wrong answer. */
   def replaceWhere(cond: org.apache.spark.sql.Column, df: DataFrame,
-      operation: String = "overwrite"): Int = {
+      operation: String = "overwrite",
+      setProps: Map[String, String] = Map.empty): Int = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val baseV = latestVersion
     val base = snapshot(baseV)
@@ -1473,7 +1479,8 @@ final class SnapshotTable private (val spark: SparkSession, val location: String
         cur.files.filterNot(f => rewriteSet(f.path)) ++ staged
       },
       cur => SnapshotTable.unionSchema(cur.schemaJson, replacement.schema),
-      operation)
+      operation,
+      nextProperties = cur => cur.properties ++ setProps)
   }
 
   /** Bin-pack compaction (reference T7: target 128–256 MB files,
@@ -2971,12 +2978,14 @@ object SnapshotTable {
       s"invalid ref name '$name' for $location (letters, digits, '_', '-', " +
         "'.'; must not be 'main')")
 
-  /** Create a new table at `location` with `df` as snapshot v0. */
+  /** Create a new table at `location` with `df` as snapshot v0.
+    * `properties` land in the same creating commit (vs a separate ALTER). */
   def create(spark: SparkSession, location: String, df: DataFrame,
-      partitionCols: Seq[String] = Seq.empty): SnapshotTable = {
+      partitionCols: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty): SnapshotTable = {
     val t = new SnapshotTable(spark, location)
     require(t.latestVersion < 0, s"table already exists at $location")
-    t.append(df, partitionColsIfNew = partitionCols)
+    t.append(df, partitionColsIfNew = partitionCols, setProps = properties)
     t
   }
 
