@@ -16,9 +16,48 @@ import org.apache.spark.sql.{Column, DataFrame}
   * count is user-specified, so AQE never re-coalesces it.
   */
 object Spread {
+
+  /** Scan-parallelism estimate from the plan's LEAF FILE SOURCES, read
+    * off driver metadata the file index already holds (total bytes +
+    * file count, charged with the session's maxPartitionBytes /
+    * openCostInBytes exactly like Spark's own split packing). Replaces
+    * `df.rdd.getNumPartitions`, which forced a full analysis + physical
+    * planning + RDD DAG pass of the upstream subtree at FRAME
+    * CONSTRUCTION time just to read a partition count (r21 verdict
+    * item 4 — these queries' plan_ms carried real planning work twice).
+    * None when any leaf is not a file relation (cached/in-memory
+    * inputs) — callers then fall back to the physical count. */
+  private def scanPartitionEstimate(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val conf = df.sparkSession.sessionState.conf
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    if (leaves.isEmpty) return None
+    val sizes = leaves.map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          Some((fs.location.sizeInBytes, fs.location.inputFiles.length.toLong))
+        case _ => None
+      }
+      case _ => None
+    }
+    if (sizes.exists(_.isEmpty)) None
+    else {
+      val (bytes, files) = sizes.flatten
+        .foldLeft((0L, 0L)) { case ((b, f), (b2, f2)) => (b + b2, f + f2) }
+      val charged = bytes + files * conf.filesOpenCostInBytes
+      Some(math.max(1,
+        math.ceil(charged.toDouble / conf.filesMaxPartitionBytes).toInt))
+    }
+  }
+
+  /** Partitions the scan of `df` will run with, WITHOUT planning it when
+    * the metadata estimate suffices. Shared with [[Warc]]. */
+  private[operators] def inputPartitions(df: DataFrame): Int =
+    scanPartitionEstimate(df).getOrElse(df.rdd.getNumPartitions)
+
   def toCores(df: DataFrame, key: Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    if (inputPartitions(df) >= target) df
     else df.repartition(target, key)
   }
 }

@@ -238,7 +238,7 @@ object Warc {
     // exchange-free.
     val target = in.sparkSession.sparkContext.defaultParallelism
     val src =
-      if (narrow.rdd.getNumPartitions >= target) narrow
+      if (Spread.inputPartitions(narrow) >= target) narrow
       else narrow.repartition(target, col(idCol))
     implicit val enc = Encoders.row(recordSchema)
     src.mapPartitions { rows =>
